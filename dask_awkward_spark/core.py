@@ -1,0 +1,394 @@
+"""Core lazy collections: NestedArray / Record / Scalar.
+
+Spark-native re-expression of the reference's collection classes
+(dask_awkward lib/core.py:921 ``Array``, :751 ``Record``, :356 ``Scalar``).
+Where the reference builds Dask task graphs and simulates schemas with
+typetracers, we hold a base ``pyspark.sql.DataFrame`` plus a Column
+expression — Catalyst's analyzer propagates the schema for free and the
+optimizer (column pruning, pushdown, codegen) replaces the reference's
+custom optimize pass (lib/optimize.py).
+
+A ``NestedArray`` is a partitioned, lazy collection of (possibly deeply
+nested) values: one outer element per DataFrame row, nested levels as
+ArrayType/StructType. All element-wise ops compile to pure Column
+expressions — no Python in the hot path, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import apply_at_depth, broadcast_binop, list_depth
+
+VALUE_COL = "v"
+
+
+def _is_col(x: Any) -> bool:
+    return isinstance(x, NestedArray)
+
+
+class Scalar:
+    """Lazy scalar — result of an axis=None/0 reduction.
+
+    Reference: lib/core.py:356. Backed by a 1-row DataFrame; ``compute()``
+    collects driver-side.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df  # single row, single column "v"
+
+    def compute(self) -> Any:
+        row = self._df.collect()
+        return row[0][0] if row else None
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Scalar(lazy, dtype={self._df.schema[0].dataType.simpleString()})"
+
+
+class Record:
+    """Single lazy record (one row), from integer indexing. lib/core.py:751."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def compute(self) -> Any:
+        rows = self._df.collect()
+        if not rows:
+            raise IndexError("record index out of range")
+        def conv(v: Any) -> Any:
+            if hasattr(v, "asDict"):
+                return {k: conv(x) for k, x in v.asDict().items()}
+            if isinstance(v, list):
+                return [conv(x) for x in v]
+            return v
+
+        return conv(rows[0][0])
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+
+class NestedArray:
+    """Partitioned lazy array of nested values (reference: lib/core.py:921).
+
+    Internally ``(base_df, column_expr)``. Ops between two arrays require a
+    shared base DataFrame — the Spark analogue of the reference's
+    partition-compatibility check (lib/core.py:2815-2938): congruent columns
+    live in the same rows, so element-wise combination is row-local.
+    """
+
+    def __init__(self, df: DataFrame, col: Column | str = VALUE_COL):
+        self._df = df
+        self._col = F.col(col) if isinstance(col, str) else col
+        self._dtype: T.DataType | None = None
+
+    # ---------------- metadata (the typetracer analogue) ----------------
+    @property
+    def dtype(self) -> T.DataType:
+        """Output type, resolved by Catalyst's analyzer (no data touched) —
+        the role the typetracer meta plays in the reference (lib/core.py:2698)."""
+        if self._dtype is None:
+            self._dtype = self._df.select(self._col.alias(VALUE_COL)).schema[0].dataType
+        return self._dtype
+
+    @property
+    def depth(self) -> int:
+        return list_depth(self.dtype)
+
+    @property
+    def fields(self) -> list[str]:
+        """Field names of the (possibly list-nested) record type.
+        Reference: lib/describe.py:8-42."""
+        dt = self.dtype
+        while isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if isinstance(dt, T.StructType):
+            return list(dt.fieldNames())
+        return []
+
+    @property
+    def npartitions(self) -> int:
+        return self._df.rdd.getNumPartitions()
+
+    @property
+    def col(self) -> Column:
+        """The underlying Column expression (for embedding into wider selects)."""
+        return self._col
+
+    def _wrap(self, col: Column) -> "NestedArray":
+        return NestedArray(self._df, col)
+
+    def _check_base(self, other: "NestedArray") -> None:
+        if other._df is not self._df:
+            raise ValueError(
+                "operands derive from different base DataFrames; join them "
+                "first (the reference raises IncompatiblePartitions here)"
+            )
+
+    # ---------------- projection / getitem ----------------
+    def _project_field(self, name: str) -> Column:
+        dt = self.dtype
+
+        def proj(col: Column, dt: T.DataType) -> Column:
+            if isinstance(dt, T.ArrayType):
+                return F.transform(col, lambda x: proj_inner(x, dt.elementType))
+            return col[name]
+
+        def proj_inner(col: Column, dt: T.DataType) -> Column:
+            if isinstance(dt, T.ArrayType):
+                return F.transform(col, lambda x: proj_inner(x, dt.elementType))
+            return col[name]
+
+        return proj(self._col, dt)
+
+    def __getitem__(self, key: Any) -> "NestedArray | Record":
+        # field projection: arr["x"], possibly through list levels
+        if isinstance(key, str):
+            return self._wrap(self._project_field(key))
+        # multi-field: arr[["a","b"]] -> struct of the selected fields
+        if isinstance(key, list) and key and all(isinstance(k, str) for k in key):
+            dt = self.dtype
+
+            def build(col: Column, dt: T.DataType) -> Column:
+                if isinstance(dt, T.ArrayType):
+                    return F.transform(col, lambda x: build(x, dt.elementType))
+                return F.struct(*[col[k].alias(k) for k in key])
+
+            return self._wrap(build(self._col, dt))
+        # boolean / integer mask arrays
+        if isinstance(key, NestedArray):
+            return self._getitem_array(key)
+        # integer row index -> Record (reference lib/core.py:1401-1471)
+        if isinstance(key, int):
+            idxed = self.with_row_index()
+            return Record(
+                idxed._df.filter(F.col("__row_id__") == key).select(idxed._col.alias(VALUE_COL))
+            )
+        # row-range slice (reference lib/core.py:1473-1543)
+        if isinstance(key, slice):
+            return self._getitem_slice(key)
+        if isinstance(key, tuple):
+            return self._getitem_tuple(key)
+        raise TypeError(f"unsupported getitem key: {key!r}")
+
+    def _getitem_array(self, key: "NestedArray") -> "NestedArray":
+        self._check_base(key)
+        kt = key.dtype
+        kdepth = key.depth
+        leaf = kt
+        while isinstance(leaf, T.ArrayType):
+            leaf = leaf.elementType
+        is_bool = isinstance(leaf, T.BooleanType)
+        if kdepth == 0 and is_bool:
+            # outer row filter (reference lib/core.py:1368-1383)
+            df = self._df.filter(key._col)
+            return NestedArray(df.select(self._col.alias(VALUE_COL)))
+        if is_bool:
+            # inner per-list filter at the mask's depth
+            def inner(a: Column, m: Column) -> Column:
+                zipped = F.zip_with(a, m, lambda x, mm: F.struct(x.alias("x"), mm.alias("m")))
+                return F.transform(F.filter(zipped, lambda s: s["m"]), lambda s: s["x"])
+
+            def rec(a: Column, m: Column, d: int) -> Column:
+                if d == 1:
+                    return inner(a, m)
+                return F.zip_with(a, m, lambda x, mm: rec(x, mm, d - 1))
+
+            return self._wrap(rec(self._col, key._col, kdepth))
+        # integer gather per list (reference lib/core.py:1563-1569)
+        def gather(a: Column, i: Column, d: int) -> Column:
+            if d == 1:
+                return F.transform(i, lambda j: F.get(a, j))
+            return F.zip_with(a, i, lambda x, jj: gather(x, jj, d - 1))
+
+        return self._wrap(gather(self._col, key._col, kdepth))
+
+    def _getitem_slice(self, key: slice) -> "NestedArray":
+        start, stop, step = key.start, key.stop, key.step
+        if step is not None and step <= 0:
+            raise ValueError("only positive step supported (as in the reference)")
+        idxed = self.with_row_index()
+        cond = F.lit(True)
+        rid = F.col("__row_id__")
+        if start is not None:
+            cond = cond & (rid >= start)
+        if stop is not None:
+            cond = cond & (rid < stop)
+        if step is not None and step != 1:
+            cond = cond & (((rid - (start or 0)) % step) == 0)
+        return NestedArray(idxed._df.filter(cond).select(idxed._col.alias(VALUE_COL)))
+
+    def _getitem_tuple(self, key: tuple) -> "NestedArray":
+        """Positional multi-axis getitem: element i of the tuple addresses
+        axis i (reference lib/core.py:1545-1583). Field strings don't
+        consume an axis (field_access_to_front, utils.py:235-275)."""
+        out: NestedArray = self
+        axis = 0
+        for k in key:
+            if isinstance(k, str):
+                out = out[k]  # type: ignore[assignment]
+                continue
+            if k == slice(None):
+                axis += 1
+                continue
+            if isinstance(k, slice):
+                if k.step not in (None, 1):
+                    raise NotImplementedError("stepped inner slices")
+                if axis == 0:
+                    out = out._getitem_slice(k)
+                else:
+                    start = k.start or 0
+                    length = (1 << 30) if k.stop is None else max(k.stop - start, 0)
+                    out = out._wrap(
+                        apply_at_depth(
+                            out._col, axis - 1, lambda c: F.slice(c, start + 1, length)
+                        )
+                    )
+                axis += 1
+                continue
+            raise TypeError(f"unsupported tuple element {k!r}")
+        return out  # type: ignore[return-value]
+
+    def __getattr__(self, name: str) -> "NestedArray":
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self.fields:
+            return self[name]  # type: ignore[return-value]
+        raise AttributeError(name)
+
+    # ---------------- row machinery ----------------
+    def with_row_index(self) -> "NestedArray":
+        """Materialize an explicit global row index (the reference's
+        divisions analogue, SURVEY §1.1) — only when an order-sensitive op
+        needs it. Uses a window over a stable order if available, else
+        zipWithIndex-equivalent via monotonically_increasing_id + rank."""
+        if "__row_id__" in self._df.columns:
+            return self
+        from pyspark.sql import Window
+
+        df = self._df.withColumn("__mono__", F.monotonically_increasing_id())
+        df = df.withColumn(
+            "__row_id__",
+            F.row_number().over(Window.orderBy("__mono__")) - 1,
+        ).drop("__mono__")
+        return NestedArray(df, self._col)
+
+    def head(self, n: int = 5) -> list:
+        return [r[0] for r in self._df.select(self._col.alias(VALUE_COL)).limit(n).collect()]
+
+    # ---------------- element-wise arithmetic ----------------
+    def _binop(self, other: Any, fn: Callable[[Column, Column], Column]) -> "NestedArray":
+        if _is_col(other):
+            self._check_base(other)
+            return self._wrap(
+                broadcast_binop(self._col, other._col, self.depth, other.depth, fn)
+            )
+        lit = F.lit(other)
+        return self._wrap(apply_at_depth(self._col, self.depth, lambda c: fn(c, lit)))
+
+    def _rbinop(self, other: Any, fn: Callable[[Column, Column], Column]) -> "NestedArray":
+        lit = F.lit(other)
+        return self._wrap(apply_at_depth(self._col, self.depth, lambda c: fn(lit, c)))
+
+    def __add__(self, o): return self._binop(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._rbinop(o, lambda a, b: a + b)
+    def __sub__(self, o): return self._binop(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._rbinop(o, lambda a, b: a - b)
+    def __mul__(self, o): return self._binop(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._rbinop(o, lambda a, b: a * b)
+    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b)
+    def __rtruediv__(self, o): return self._rbinop(o, lambda a, b: a / b)
+    def __mod__(self, o): return self._binop(o, lambda a, b: a % b)
+    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b))
+    def __neg__(self): return self._wrap(apply_at_depth(self._col, self.depth, lambda c: -c))
+    def __abs__(self): return self._wrap(apply_at_depth(self._col, self.depth, F.abs))
+    def __eq__(self, o): return self._binop(o, lambda a, b: a == b)  # type: ignore[override]
+    def __ne__(self, o): return self._binop(o, lambda a, b: a != b)  # type: ignore[override]
+    def __lt__(self, o): return self._binop(o, lambda a, b: a < b)
+    def __le__(self, o): return self._binop(o, lambda a, b: a <= b)
+    def __gt__(self, o): return self._binop(o, lambda a, b: a > b)
+    def __ge__(self, o): return self._binop(o, lambda a, b: a >= b)
+    def __and__(self, o): return self._binop(o, lambda a, b: a & b)
+    def __or__(self, o): return self._binop(o, lambda a, b: a | b)
+    def __invert__(self): return self._wrap(apply_at_depth(self._col, self.depth, lambda c: ~c))
+
+    def __hash__(self):  # __eq__ overridden; keep hashable by identity
+        return id(self)
+
+    # ---------------- field mutation ----------------
+    def with_field(self, name: str, value: "NestedArray") -> "NestedArray":
+        """Add/replace a field (reference lib/structure.py:1056-1087)."""
+        self._check_base(value)
+
+        def add(rec: Column, val: Column, d: int) -> Column:
+            if d > 0:
+                return F.zip_with(rec, val, lambda r, x: add(r, x, d - 1))
+            return rec.withField(name, val)
+
+        return self._wrap(add(self._col, value._col, self.depth))
+
+    def without_field(self, name: str) -> "NestedArray":
+        """Drop a field (reference lib/structure.py:1107-1127)."""
+        return self._wrap(
+            apply_at_depth(self._col, self.depth, lambda r: r.dropFields(name))
+        )
+
+    def __setitem__(self, name: str, value: "NestedArray") -> None:
+        out = self.with_field(name, value)
+        self._col, self._dtype = out._col, None
+
+    # ---------------- escape hatch ----------------
+    def map_partitions(self, fn: Callable, schema: T.StructType | str) -> "NestedArray":
+        """Arbitrary Python over whole partitions via Arrow batches — the
+        analogue of the reference's universal UDF mechanism
+        (lib/core.py:2146-2295). Output schema is mandatory, mirroring the
+        reference's ``meta=`` when typetracing fails."""
+        src = self._df.select(self._col.alias(VALUE_COL))
+        return NestedArray(src.mapInArrow(fn, schema))
+
+    # ---------------- materialization ----------------
+    def to_df(self, alias: str = VALUE_COL) -> DataFrame:
+        return self._df.select(self._col.alias(alias))
+
+    def compute(self) -> list:
+        """Collect to Python values (the reference's ``.compute()``)."""
+        rows = self.to_df().collect()
+
+        def conv(v: Any) -> Any:
+            if hasattr(v, "asDict"):
+                return {k: conv(x) for k, x in v.asDict().items()}
+            if isinstance(v, list):
+                return [conv(x) for x in v]
+            return v
+
+        return [conv(r[0]) for r in rows]
+
+    to_list = compute
+
+    def persist(self) -> "NestedArray":
+        return NestedArray(self._df.persist(), self._col)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"NestedArray(dtype={self.dtype.simpleString()})"
+
+
+def from_column(df: DataFrame, col: Column | str) -> NestedArray:
+    return NestedArray(df, col)
+
+
+def from_lists(spark, data: Iterable[Any], schema: str | T.DataType | None = None) -> NestedArray:
+    """In-memory ingestion (reference lib/io/io.py:146-191 ``from_lists``)."""
+    rows = [(x,) for x in data]
+    if schema is None:
+        df = spark.createDataFrame(rows, [VALUE_COL])
+    else:
+        st = T.StructType([T.StructField(VALUE_COL, schema if isinstance(schema, T.DataType) else T._parse_datatype_string(schema))])  # type: ignore[attr-defined]
+        df = spark.createDataFrame(rows, st)
+    return NestedArray(df)

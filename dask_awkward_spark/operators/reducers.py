@@ -1,0 +1,277 @@
+"""Reducers — the two-regime aggregation model.
+
+Spark-native re-expression of dask_awkward lib/reducers.py (19 entry
+points) and the tree-reduction driver (lib/core.py:2349-2457):
+
+- ``axis >= 1`` (per-list): pure Column expressions over array columns —
+  ``aggregate``/``array_min``/``exists``/... — row-local, no shuffle,
+  embarrassingly parallel. This regime matches the reference's
+  ``map_partitions(ak.sum, axis=axis)`` fast path.
+- ``axis = 0`` / ``None`` (global): ``df.agg`` — Spark's partial+final
+  hash aggregation already IS the reference's tree reduction
+  (AwkwardTreeReductionLayer, layers/layers.py:409-681), with AQE standing
+  in for ``split_every`` tuning.
+
+Empty-list identity semantics (``mask_identity``) follow the reference:
+sum/prod/count/any/all have identities (0/1/0/False/True); min/max return
+NULL on empty lists by default.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import VALUE_COL, NestedArray, Scalar
+from ..schema import apply_at_depth, element_type, normalize_axis
+
+
+def _leaf_type(arr: NestedArray) -> T.DataType:
+    dt = arr.dtype
+    while isinstance(dt, T.ArrayType):
+        dt = dt.elementType
+    return dt
+
+
+def _numeric_zero(dt: T.DataType) -> Column:
+    return F.lit(0).cast(dt) if not isinstance(dt, T.DoubleType) else F.lit(0.0)
+
+
+# ---------------- per-list leaf reducers (axis >= 1) ----------------
+
+def _list_sum(c: Column, dt: T.DataType) -> Column:
+    # wider accumulator to avoid int overflow at scale; nulls skipped
+    acc = "double" if isinstance(dt, (T.DoubleType, T.FloatType)) else "bigint"
+    z = F.lit(0).cast(acc)
+    return F.aggregate(c, z, lambda a, x: a + F.coalesce(x.cast(acc), F.lit(0).cast(acc)))
+
+
+def _list_prod(c: Column, dt: T.DataType) -> Column:
+    acc = "double" if isinstance(dt, (T.DoubleType, T.FloatType)) else "bigint"
+    one = F.lit(1).cast(acc)
+    return F.aggregate(c, one, lambda a, x: a * F.coalesce(x.cast(acc), one))
+
+
+def _list_count(c: Column, dt: T.DataType) -> Column:
+    return F.size(F.filter(c, lambda x: x.isNotNull())).cast("bigint")
+
+
+def _list_count_nonzero(c: Column, dt: T.DataType) -> Column:
+    return F.size(F.filter(c, lambda x: x.isNotNull() & (x != 0))).cast("bigint")
+
+
+def _list_mean(c: Column, dt: T.DataType) -> Column:
+    n = F.size(F.filter(c, lambda x: x.isNotNull()))
+    return F.when(n > 0, _list_sum(c, dt).cast("double") / n)
+
+
+def _list_var(c: Column, dt: T.DataType, ddof: int = 0) -> Column:
+    n = F.size(F.filter(c, lambda x: x.isNotNull()))
+    s = _list_sum(c, dt).cast("double")
+    ss = F.aggregate(c, F.lit(0.0), lambda a, x: a + F.coalesce(x.cast("double") * x.cast("double"), F.lit(0.0)))
+    return F.when(n > ddof, (ss - s * s / n) / (n - ddof))
+
+
+def _argminmax(c: Column, want_max: bool) -> Column:
+    n = F.size(c)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+    nonnull = F.filter(idx, lambda i: F.get(c, i).isNotNull())
+    best = F.array_max(c) if want_max else F.array_min(c)
+    hit = F.filter(nonnull, lambda i: F.get(c, i) == best)
+    return F.when(F.size(hit) > 0, F.get(hit, 0))
+
+
+_LIST_REDUCERS: dict[str, Callable[[Column, T.DataType], Column]] = {
+    "sum": _list_sum,
+    "prod": _list_prod,
+    "min": lambda c, dt: F.array_min(c),
+    "max": lambda c, dt: F.array_max(c),
+    "any": lambda c, dt: F.exists(c, lambda x: F.coalesce(x.cast("boolean"), F.lit(False))),
+    "all": lambda c, dt: F.forall(c, lambda x: F.coalesce(x.cast("boolean"), F.lit(True))),
+    "count": _list_count,
+    "count_nonzero": _list_count_nonzero,
+    "mean": _list_mean,
+    "var": _list_var,
+    "std": lambda c, dt: F.sqrt(_list_var(c, dt)),
+    "argmin": lambda c, dt: _argminmax(c, want_max=False),
+    "argmax": lambda c, dt: _argminmax(c, want_max=True),
+    "ptp": lambda c, dt: F.array_max(c) - F.array_min(c),
+}
+
+_GLOBAL_AGGS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "prod": F.product,
+    "min": F.min,
+    "max": F.max,
+    "any": lambda c: F.max(F.coalesce(c.cast("boolean"), F.lit(False))),
+    "all": lambda c: F.min(F.coalesce(c.cast("boolean"), F.lit(True))),
+    "count": F.count,
+    "count_nonzero": lambda c: F.count_if(c != 0),
+    "mean": F.avg,
+    "var": F.var_pop,
+    "std": F.stddev_pop,
+    "ptp": lambda c: F.max(c) - F.min(c),
+}
+
+
+def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar:
+    depth = arr.depth
+    dt = _leaf_type(arr)
+    leaf = _LIST_REDUCERS[op]
+    if axis is None and op in ("argmin", "argmax"):
+        raise NotImplementedError(
+            "positional reduction with axis=None (matches the reference, lib/core.py:2365-2366)"
+        )
+    if axis is None:
+        # collapse every list level per row, then one global aggregate —
+        # the reference's _prepare_axis_none_chunk + tree combine
+        col = arr._col
+        if depth > 0:
+            flat = col
+            for _ in range(depth - 1):
+                flat = F.flatten(flat)
+            col = leaf(flat, dt)
+            if op == "count" and depth > 0:
+                pass  # per-row counts then summed below
+        gagg = _GLOBAL_AGGS[op]
+        if depth > 0 and op in ("count", "count_nonzero"):
+            gagg = F.sum  # partial counts are summed (reference lib/reducers.py:187-219)
+        if depth > 0 and op == "any":
+            gagg = lambda c: F.max(c)
+        if depth > 0 and op == "all":
+            gagg = lambda c: F.min(c)
+        if op in ("mean", "var", "std") and depth > 0:
+            return _global_moments(arr, op)
+        out = arr._df.agg(gagg(col).alias(VALUE_COL))
+        return Scalar(out)
+    ax = normalize_axis(axis, depth)
+    if ax == 0:
+        if depth == 0:
+            out = arr._df.agg(_GLOBAL_AGGS[op](arr._col).alias(VALUE_COL))
+            return Scalar(out)
+        raise NotImplementedError(
+            "positional axis=0 reduction over jagged lists is not supported "
+            "(the reference raises for argmin/argmax too; use axis=None or flatten first)"
+        )
+    # per-list regime: apply the leaf reducer beneath ax-1 transform levels
+    return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: leaf(c, dt)))
+
+
+def _global_moments(arr: NestedArray, op: str) -> Scalar:
+    """mean/var/std over all elements of nested lists: per-row (sum, count,
+    sumsq) partials, combined by a single global aggregate — two-level
+    partial aggregation exactly like Spark's own avg."""
+    col = arr._col
+    for _ in range(arr.depth - 1):
+        col = F.flatten(col)
+    dt = _leaf_type(arr)
+    s = _list_sum(col, dt).cast("double")
+    n = F.size(F.filter(col, lambda x: x.isNotNull())).cast("bigint")
+    ss = F.aggregate(col, F.lit(0.0), lambda a, x: a + F.coalesce(x.cast("double") * x.cast("double"), F.lit(0.0)))
+    agg = arr._df.agg(F.sum(s).alias("s"), F.sum(n).alias("n"), F.sum(ss).alias("ss"))
+    if op == "mean":
+        out = agg.select((F.col("s") / F.col("n")).alias(VALUE_COL))
+    elif op == "var":
+        out = agg.select(((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")).alias(VALUE_COL))
+    else:
+        out = agg.select(F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")).alias(VALUE_COL))
+    return Scalar(out)
+
+
+def sum(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:517-548"""
+    return _reduce(arr, "sum", axis)
+
+
+def prod(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:418-449"""
+    return _reduce(arr, "prod", axis)
+
+
+def min(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:369-401"""
+    return _reduce(arr, "min", axis)
+
+
+def max(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:293-325"""
+    return _reduce(arr, "max", axis)
+
+
+def any(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:71-102"""
+    return _reduce(arr, "any", axis)
+
+
+def all(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:37-68"""
+    return _reduce(arr, "all", axis)
+
+
+def count(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:187-219"""
+    return _reduce(arr, "count", axis)
+
+
+def count_nonzero(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:222-254"""
+    return _reduce(arr, "count_nonzero", axis)
+
+
+def mean(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+    """reference lib/reducers.py:328-358 (axis=0/None is uplift — the
+    reference raises there)"""
+    return _reduce(arr, "mean", axis)
+
+
+def var(arr: NestedArray, axis: int | None = None, ddof: int = 0) -> NestedArray | Scalar:
+    """reference lib/reducers.py:559-589"""
+    if axis is not None and normalize_axis(axis, arr.depth) >= 1 and ddof != 0:
+        dt = _leaf_type(arr)
+        ax = normalize_axis(axis, arr.depth)
+        return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: _list_var(c, dt, ddof)))
+    return _reduce(arr, "var", axis)
+
+
+def std(arr: NestedArray, axis: int | None = None, ddof: int = 0) -> NestedArray | Scalar:
+    """reference lib/reducers.py:484-514"""
+    if axis is not None and normalize_axis(axis, arr.depth) >= 1 and ddof != 0:
+        dt = _leaf_type(arr)
+        ax = normalize_axis(axis, arr.depth)
+        return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: F.sqrt(_list_var(c, dt, ddof))))
+    return _reduce(arr, "std", axis)
+
+
+def argmin(arr: NestedArray, axis: int | None = 1) -> NestedArray | Scalar:
+    """reference lib/reducers.py:139-170 (axis>=1 only there; axis=None
+    uplift via min_by over a row index would go here)"""
+    return _reduce(arr, "argmin", axis)
+
+
+def argmax(arr: NestedArray, axis: int | None = 1) -> NestedArray | Scalar:
+    """reference lib/reducers.py:105-136"""
+    return _reduce(arr, "argmax", axis)
+
+
+def ptp(arr: NestedArray, axis: int | None = 1) -> NestedArray | Scalar:
+    """max - min (NotImplemented in the reference, lib/reducers.py:452-473 —
+    uplift)"""
+    return _reduce(arr, "ptp", axis)
+
+
+def softmax(arr: NestedArray, axis: int = -1) -> NestedArray:
+    """exp-normalize per list (NotImplemented in the reference,
+    lib/reducers.py:404-415 — uplift)."""
+    ax = normalize_axis(axis, arr.depth)
+    dt = _leaf_type(arr)
+
+    def sm(c: Column) -> Column:
+        mx = F.array_max(c)
+        exps = F.transform(c, lambda x: F.exp(x.cast("double") - mx.cast("double")))
+        tot = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
+        return F.transform(exps, lambda e: e / tot)
+
+    return arr._wrap(apply_at_depth(arr._col, ax - 1, sm))

@@ -1,0 +1,285 @@
+r"""Deduplication suite — first-class training-data-pipeline operators:
+exact hash dedup, MinHash+LSH banding, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale design: everything is expressed as explode → hash-aggregate →
+(optionally) candidate-join. No all-pairs products except inside LSH
+buckets / bounded candidate sets; at 100 TB the band-bucket join replaces
+the quadratic comparison, which is the whole point of LSH.
+
+Cross-engine determinism: the only hash used is md5 (identical in Spark
+and DuckDB); minhash minima are lexicographic minima over fixed-length hex
+strings, so numeric vs string ordering agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textstats as tx
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+SIMHASH_BITS = 16
+
+TOK_CTE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')) AS tk
+  FROM documents
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    """Distinct (doc_id, token) pairs — the substrate of the set-based
+    dedup family."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(tx.tokens(F.lower(F.col("text"))))).alias("tk"))
+    )
+
+
+# ---- exact dedup ----
+
+def dedup_exact(spark, sf_dir):
+    """Hash-groupBy exact dedup: one shuffle on md5(text); keeps min id."""
+    df = _docs(spark, sf_dir)
+    return (
+        df.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, count(*) AS n_copies,
+       min(doc_id) AS keep_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---- MinHash + LSH banding ----
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures (8 hashes via seeded md5, min over token set) →
+    4 bands of 2 → band-key groupBy. Groups with >1 doc are near-dup
+    candidates. This is the linear-scale path: candidates come from a
+    hash shuffle, never an all-pairs join."""
+    tok = _tokens(spark, sf_dir)
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("tk"))), 1, 16)).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    )
+    return (
+        bands.groupBy(F.col("b.band").alias("band"), F.col("b.bkey").alias("band_key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"), F.max("doc_id").alias("max_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_sql() -> str:
+    hcols = ",\n         ".join(
+        f"min(substr(md5('{i}|' || tk), 1, 16)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
+        for j in range(N_BANDS)
+    )
+    return (
+        TOK_CTE
+        + f""", sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+{band_selects}
+)
+SELECT band, band_key, count(*) AS n_docs, min(doc_id) AS keep_id, max(doc_id) AS max_id
+FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+"""
+    )
+
+
+# ---- SimHash ----
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over the token set: bit j votes by the j-th hex digit
+    of md5(token); majority sign sets the bit."""
+    tok = _tokens(spark, sf_dir)
+    hi = list("89abcdef")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.md5("tk"), j + 1, 1).isin(hi), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)],
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    return sim
+
+
+def _simhash_sql() -> str:
+    hi = "','".join("89abcdef")
+    vote_cols = ",\n         ".join(
+        f"sum(CASE WHEN substr(md5(tk), {j + 1}, 1) IN ('{hi}') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(SIMHASH_BITS))
+    return (
+        TOK_CTE
+        + f""", votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+    )
+
+
+# ---- n-gram (shingle) Jaccard ----
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-token shingle Jaccard over a bounded candidate set (doc_id<150):
+    shingle-hash explode → co-occurrence self-join → |A∩B| / |A∪B|.
+    The same plan scales when the candidate set comes from LSH buckets."""
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    sh = df.select(
+        "doc_id", F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+DEDUP_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
+  FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(0, len(toks) - 2), i -> md5(array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [] END) AS s
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+"""
+
+
+# ---- embedding cosine near-dup ----
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Near-duplicate pairs by embedding cosine within a bounded candidate
+    set (vec_id<200). Dot/norms computed in list order → engine-identical;
+    rounded to 6 dp as the comparison key."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
+
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.8)
+    )
+
+
+DEDUP_EMB_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < 200
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_aggregate(list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1]), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum'))), 6) AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.8
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_SQL,
+}

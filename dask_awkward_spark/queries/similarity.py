@@ -1,0 +1,204 @@
+"""Similarity search over the embedding column (array<float>).
+
+- Brute-force cosine top-k: the exactness baseline. At scale: broadcast
+  the (small) query set, scan the corpus once, per-partition partial
+  top-k then global top-k — Spark's TakeOrdered already does this.
+- LSH bucketing (random hyperplanes): the scale path — bucket id is a
+  pure per-row expression, so candidate generation is a hash shuffle.
+
+Hyperplane weights are derived from md5 in *Python* and embedded as
+literals in both the Spark plan and the DuckDB oracle, so no cross-engine
+hash agreement is needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign from md5(f"{plane}_{dim}")."""
+    out = []
+    for j in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{j}_{d}".encode()).hexdigest()
+            row.append(1.0 if h[0] in "89abcdef" else -1.0)
+        out.append(row)
+    return out
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def _dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+
+
+def sim_topk_bruteforce(spark, sf_dir):
+    """Top-10 cosine neighbors of vec_id=0 (excluded) — brute-force scan,
+    deterministic tie-break on vec_id."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe")))
+    cand = emb.filter(F.col("vec_id") != 0).crossJoin(q)
+    cos = _dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    )
+    return (
+        cand.select("vec_id", F.round(cos, 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+SIM_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_aggregate(list_transform(range(len(e)), i -> e[i+1] * qe[i+1]), 'sum')
+             / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(qe, x -> x * x), 'sum'))), 6) AS cos
+FROM v, q WHERE vec_id != 0
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def sim_knn_per_query(spark, sf_dir):
+    """k-NN for a 5-vector query set: broadcast queries × corpus scan,
+    per-query top-5 via window — the standard batched-ANN baseline plan."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        )
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).crossJoin(q)
+    cos = _dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    )
+    scored = cand.select("q_id", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "cos", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+SIM_KNN_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id,
+         round(list_aggregate(list_transform(range(len(e)), i -> e[i+1] * qe[i+1]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(qe, x -> x * x), 'sum'))), 6) AS cos
+  FROM v, q WHERE vec_id >= 5
+)
+SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def sim_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 8 sign bits → bucket id per vector; report
+    bucket occupancy. Candidate generation at scale = groupBy(bucket)."""
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    bucket = None
+    for j, row in enumerate(planes):
+        warr = F.array(*[F.lit(w) for w in row])
+        bit = (
+            F.when(
+                F.aggregate(F.zip_with(F.col("e"), warr, lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z) > 0,
+                F.lit(2 ** j),
+            ).otherwise(F.lit(0))
+        )
+        bucket = bit if bucket is None else bucket + bit
+    vb = emb.select("vec_id", bucket.cast("bigint").alias("bucket"))
+    return vb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+def _lsh_sql() -> str:
+    planes = _planes()
+    bits = []
+    for j, row in enumerate(planes):
+        lit = "[" + ", ".join(str(w) for w in row) + "]"
+        bits.append(
+            f"CASE WHEN list_aggregate(list_transform(range({DIM}), i -> e[i+1] * ({lit})[i+1]), 'sum') > 0 THEN {2 ** j} ELSE 0 END"
+        )
+    expr = " + ".join(bits)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), vb AS (
+  SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM v
+)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+FROM vb GROUP BY bucket
+"""
+
+
+def sim_label_centroids(spark, sf_dir):
+    """Per-label centroid norms — vector aggregate over the corpus
+    (posexplode → per-(label,dim) mean → reassemble)."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("e").alias("d", "x"))
+    cent = ex.groupBy("label", "d").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cent.select("label", "d", (F.round(F.col("sx"), 6) / F.col("n")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(F.sum(F.col("c") * F.col("c")), 6).alias("norm2"),
+        )
+    )
+
+
+SIM_CENTROID_SQL = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), ex AS (
+  SELECT label, i - 1 AS d, e[i] AS x
+  FROM v CROSS JOIN range(1, 65) AS t(i)
+), cent AS (
+  SELECT label, d, round(sum(x), 6) / count(*) AS c
+  FROM ex GROUP BY label, d
+)
+SELECT label, count(*) AS n_dims, round(sum(c * c), 6) AS norm2
+FROM cent GROUP BY label
+"""
+
+
+QUERIES = {
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_knn_per_query": sim_knn_per_query,
+    "sim_lsh_buckets": sim_lsh_buckets,
+    "sim_label_centroids": sim_label_centroids,
+}
+
+ORACLES = {
+    "sim_topk_bruteforce": SIM_TOPK_SQL,
+    "sim_knn_per_query": SIM_KNN_SQL,
+    "sim_lsh_buckets": _lsh_sql(),
+    "sim_label_centroids": SIM_CENTROID_SQL,
+}

@@ -1,0 +1,332 @@
+r"""String-kernel + text-analysis query suite over ``documents``.
+
+Covers SURVEY §2.8 (the reference's 44 ``ak.str.*`` kernels → Spark
+built-ins) and the training-data text operators (token stats, quality,
+langid, fingerprinting). Everything is scan + per-row expressions —
+shuffle-free except the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import NestedArray
+from ..functions import strings as S
+from ..functions import textstats as tx
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+TOK_CTE = r"""
+WITH tok AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+)
+"""
+
+
+# ---- case / length ----
+
+def str_case_len(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    t = NestedArray(df, "text")
+    s = NestedArray(df, "source")
+    return df.select(
+        "doc_id",
+        S.lower(t).col.alias("lo"),
+        S.upper(s).col.alias("up"),
+        S.length(t).col.cast("bigint").alias("n"),
+    )
+
+
+STR_CASE_SQL = """
+SELECT doc_id, lower(text) AS lo, upper(source) AS up,
+       CAST(length(text) AS BIGINT) AS n
+FROM documents
+"""
+
+
+# ---- search ----
+
+def str_search(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    t = NestedArray(df, "text")
+    s = NestedArray(df, "source")
+    return df.select(
+        "doc_id",
+        S.match_substring(t, "data").col.alias("has_data"),
+        S.starts_with(s, "src").col.alias("is_src"),
+        S.ends_with(s, "1").col.alias("ends_1"),
+        S.match_like(s, "src%").col.alias("like_src"),
+        S.find_substring(t, "spark").col.cast("bigint").alias("pos_spark"),
+        S.count_substring(t, "the").col.cast("bigint").alias("n_the"),
+    )
+
+
+STR_SEARCH_SQL = """
+SELECT doc_id,
+       contains(text, 'data') AS has_data,
+       starts_with(source, 'src') AS is_src,
+       ends_with(source, '1') AS ends_1,
+       source LIKE 'src%' AS like_src,
+       CAST(strpos(text, 'spark') - 1 AS BIGINT) AS pos_spark,
+       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the
+FROM documents
+"""
+
+
+# ---- split / join ----
+
+def str_split_join(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    t = NestedArray(df, "text")
+    toks = S.split_whitespace(t)
+    return df.select(
+        "doc_id",
+        F.size(toks.col).cast("bigint").alias("n_tok"),
+        F.get(toks.col, 0).alias("first_tok"),
+        F.array_join(F.slice(toks.col, 1, 3), "-").alias("first3"),
+    )
+
+
+STR_SPLIT_SQL = TOK_CTE + """
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       toks[1] AS first_tok,
+       array_to_string(toks[1:3], '-') AS first3
+FROM tok
+"""
+
+
+# ---- replace / transform ----
+
+def str_replace(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    t = NestedArray(df, "text")
+    s = NestedArray(df, "source")
+    return df.select(
+        "doc_id",
+        S.replace_substring(t, "data", "DATA").col.alias("repl"),
+        S.replace_substring_regex(s, "[0-9]+", "#").col.alias("re_repl"),
+        S.reverse(s).col.alias("rev"),
+        S.repeat(s, 2).col.alias("rep2"),
+        S.slice(t, 0, 20).col.alias("head20"),
+    )
+
+
+STR_REPLACE_SQL = """
+SELECT doc_id,
+       replace(text, 'data', 'DATA') AS repl,
+       regexp_replace(source, '[0-9]+', '#', 'g') AS re_repl,
+       reverse(source) AS rev,
+       repeat(source, 2) AS rep2,
+       substring(text, 1, 20) AS head20
+FROM documents
+"""
+
+
+# ---- pad / trim ----
+
+def str_pad_trim(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    s = NestedArray(df, "source")
+    padded = S.lpad(s, 8, "_")
+    return df.select(
+        "doc_id",
+        padded.col.alias("lp"),
+        S.rpad(s, 8, ".").col.alias("rp"),
+        S.center(s, 10, "*").col.alias("ctr"),
+        S.ltrim(padded, "_").col.alias("back"),
+        S.trim_whitespace(NestedArray(df, F.concat(F.lit("  "), F.col("source"), F.lit("  ")))).col.alias("tw"),
+    )
+
+
+STR_PAD_SQL = """
+SELECT doc_id,
+       lpad(source, 8, '_') AS lp,
+       rpad(source, 8, '.') AS rp,
+       rpad(repeat('*', CAST(floor(greatest(10 - length(source), 0) / 2) AS INT)) || source, 10, '*') AS ctr,
+       regexp_replace(lpad(source, 8, '_'), '^[_]+', '') AS back,
+       trim('  ' || source || '  ') AS tw
+FROM documents
+"""
+
+
+# ---- predicates ----
+
+def str_predicates(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    s = NestedArray(df, "source")
+    lg = NestedArray(df, "lang")
+    return df.select(
+        "doc_id",
+        S.is_alnum(s).col.alias("alnum"),
+        S.is_alpha(lg).col.alias("alpha"),
+        S.is_lower(lg).col.alias("lowr"),
+        S.is_digit(S.extract_regex(s, "([0-9]+)")).col.alias("dig"),
+        S.is_space(s).col.alias("spc"),
+    )
+
+
+STR_PRED_SQL = """
+SELECT doc_id,
+       regexp_matches(source, '^[a-zA-Z0-9]+$') AS alnum,
+       regexp_matches(lang, '^[a-zA-Z]+$') AS alpha,
+       (lang = lower(lang) AND regexp_matches(lang, '[a-zA-Z]')) AS lowr,
+       regexp_matches(regexp_extract(source, '([0-9]+)', 1), '^[0-9]+$') AS dig,
+       regexp_matches(source, '^\s+$') AS spc
+FROM documents
+"""
+
+
+# ---- token / quality / langid / fingerprint ----
+
+def text_token_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tok"),
+        tx.stopword_count(t).alias("n_sw"),
+        tx.punct_count(t).alias("n_punct"),
+        (F.length(t).cast("bigint")).alias("n_ch"),
+    )
+
+
+_SW = "', '".join(tx.EN_STOPWORDS)
+TEXT_TOKEN_SQL = TOK_CTE + f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != ''),
+                            t -> t IN ('{_SW}'))) AS BIGINT) AS n_sw,
+       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(text) AS BIGINT) AS n_ch
+FROM tok
+"""
+
+
+def text_quality(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+TEXT_QUALITY_SQL = TOK_CTE + f"""
+SELECT doc_id,
+       (CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != ''),
+                                       t -> t IN ('{_SW}'))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END
+        + CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END
+        + CASE WHEN len(toks) > 0 AND CAST(length(text) AS DOUBLE) / len(toks) >= 3.0
+                    AND CAST(length(text) AS DOUBLE) / len(toks) <= 12.0 THEN 1.0 ELSE 0.5 END
+       ) / 3 AS quality
+FROM tok
+"""
+
+
+def text_langid(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", tx.langid_en(F.col("text")).alias("pred_lang"))
+
+
+TEXT_LANGID_SQL = TOK_CTE + f"""
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+             AND CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != ''),
+                                      t -> t IN ('{_SW}'))) AS DOUBLE) / len(toks) >= 0.05
+            THEN 'en' ELSE 'unk' END AS pred_lang
+FROM tok
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+TEXT_FP_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''), ' ')) AS fp
+FROM documents
+"""
+
+
+def text_rolling_hashes(spark, sf_dir):
+    """k-gram winnowing fingerprints: count of windows + distinct windows."""
+    df = _docs(spark, sf_dir)
+    rh = tx.rolling_hashes(F.col("text"), k=8)
+    return df.select(
+        "doc_id",
+        F.size(rh).cast("bigint").alias("n_win"),
+        F.size(F.array_distinct(rh)).cast("bigint").alias("n_uniq"),
+    )
+
+
+TEXT_ROLLING_SQL = TOK_CTE + """
+, wins AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_transform(range(0, len(toks) - 8 + 1),
+                                  i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+              ELSE [] END AS hs
+  FROM tok
+)
+SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_win,
+       CAST(len(list_distinct(hs)) AS BIGINT) AS n_uniq
+FROM wins
+"""
+
+
+def doc_stats_by_source(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        df.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+DOC_STATS_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+QUERIES = {
+    "str_case_len": str_case_len,
+    "str_search": str_search,
+    "str_split_join": str_split_join,
+    "str_replace": str_replace,
+    "str_pad_trim": str_pad_trim,
+    "str_predicates": str_predicates,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_rolling_hashes": text_rolling_hashes,
+    "doc_stats_by_source": doc_stats_by_source,
+}
+
+ORACLES = {
+    "str_case_len": STR_CASE_SQL,
+    "str_search": STR_SEARCH_SQL,
+    "str_split_join": STR_SPLIT_SQL,
+    "str_replace": STR_REPLACE_SQL,
+    "str_pad_trim": STR_PAD_SQL,
+    "str_predicates": STR_PRED_SQL,
+    "text_token_stats": TEXT_TOKEN_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FP_SQL,
+    "text_rolling_hashes": TEXT_ROLLING_SQL,
+    "doc_stats_by_source": DOC_STATS_SQL,
+}

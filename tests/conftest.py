@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pytest
+
+from dask_awkward_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=8)
+    yield s
+    s.stop()
+
+
+# F1 points fixture (FIXTURES.md): 5 rows, list lengths (3,0,2,1,3)
+POINTS = [
+    [{"x": 1, "y": 2}, {"x": 3, "y": 4}, {"x": 5, "y": 6}],
+    [],
+    [{"x": 7, "y": 8}, {"x": 9, "y": 10}],
+    [{"x": 11, "y": 12}],
+    [{"x": 13, "y": 14}, {"x": 15, "y": 16}, {"x": 17, "y": 18}],
+]
+
+# F2/L4: row 1 is a missing list (null), not an empty one
+L4 = [
+    [{"x": 1.0, "y": 1.1}, {"x": 2.0, "y": 2.2}, {"x": 3.0, "y": 3.3}],
+    None,
+    [{"x": 4.0, "y": 4.4}, {"x": 5.0, "y": 5.5}],
+    [{"x": 6.0, "y": 6.6}],
+    [{"x": 7.0, "y": 7.7}, {"x": 8.0, "y": 8.8}, {"x": 9.0, "y": 9.9}],
+]
+
+# F5: plain jagged numeric lists
+LISTS = [[1, 2, 3], [4, 5], [], [0, 0, 0]]
+
+
+@pytest.fixture(scope="session")
+def points(spark):
+    from dask_awkward_spark import from_lists
+
+    return from_lists(spark, POINTS, "array<struct<x:bigint,y:bigint>>")
+
+
+@pytest.fixture(scope="session")
+def l4(spark):
+    from dask_awkward_spark import from_lists
+
+    return from_lists(spark, L4, "array<struct<x:double,y:double>>")
+
+
+@pytest.fixture(scope="session")
+def jagged(spark):
+    from dask_awkward_spark import from_lists
+
+    return from_lists(spark, LISTS, "array<bigint>")

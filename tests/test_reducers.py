@@ -1,0 +1,107 @@
+"""Reducer tests sweeping both regimes (axis>=1 per-list vs axis=None
+global) with empty-list identity semantics — the reference's
+tests/test_reducers.py parametrization model."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import dask_awkward_spark as das
+from tests.conftest import LISTS
+
+
+def test_sum_axis1(jagged):
+    assert das.sum(jagged, axis=1).compute() == [6, 9, 0, 0]
+
+
+def test_sum_none(jagged):
+    assert das.sum(jagged, axis=None).compute() == 15
+
+
+def test_prod_axis1(jagged):
+    assert das.prod(jagged, axis=1).compute() == [6, 20, 1, 0]
+
+
+def test_min_max_empty_is_none(jagged):
+    assert das.min(jagged, axis=1).compute() == [1, 4, None, 0]
+    assert das.max(jagged, axis=1).compute() == [3, 5, None, 0]
+
+
+def test_min_max_none(jagged):
+    assert das.min(jagged, axis=None).compute() == 0
+    assert das.max(jagged, axis=None).compute() == 5
+
+
+def test_count(jagged):
+    assert das.count(jagged, axis=1).compute() == [3, 2, 0, 3]
+    assert das.count(jagged, axis=None).compute() == 8
+
+
+def test_count_nonzero(jagged):
+    assert das.count_nonzero(jagged, axis=1).compute() == [3, 2, 0, 0]
+    assert das.count_nonzero(jagged, axis=None).compute() == 5
+
+
+def test_any_all(jagged):
+    b = jagged > 2
+    assert das.any(b, axis=1).compute() == [True, True, False, False]
+    assert das.all(b, axis=1).compute() == [False, True, True, False]
+    assert das.any(b, axis=None).compute() is True
+    assert das.all(b, axis=None).compute() is False
+
+
+def test_mean_axis1(jagged):
+    got = das.mean(jagged, axis=1).compute()
+    assert got[0] == pytest.approx(2.0)
+    assert got[1] == pytest.approx(4.5)
+    assert got[2] is None
+    assert got[3] == pytest.approx(0.0)
+
+
+def test_mean_none(jagged):
+    assert das.mean(jagged, axis=None).compute() == pytest.approx(15 / 8)
+
+
+def test_std_var(jagged):
+    var = das.var(jagged, axis=1).compute()
+    assert var[0] == pytest.approx(2 / 3)
+    assert var[2] is None
+    std = das.std(jagged, axis=None).compute()
+    flat = [x for row in LISTS for x in row]
+    mu = sum(flat) / len(flat)
+    exp = math.sqrt(sum((x - mu) ** 2 for x in flat) / len(flat))
+    assert std == pytest.approx(exp)
+
+
+def test_argmin_argmax(jagged):
+    assert das.argmin(jagged, axis=1).compute() == [0, 0, None, 0]
+    assert das.argmax(jagged, axis=1).compute() == [2, 1, None, 0]
+
+
+def test_ptp(jagged):
+    assert das.ptp(jagged, axis=1).compute() == [2, 1, None, 0]
+
+
+def test_softmax(spark):
+    arr = das.from_lists(spark, [[1.0, 2.0], []], "array<double>")
+    got = das.softmax(arr).compute()
+    import math as m
+
+    e1, e2 = m.exp(-1.0), m.exp(0.0)
+    assert got[0][0] == pytest.approx(e1 / (e1 + e2))
+    assert got[1] == []
+
+
+def test_argminmax_none_raises(jagged):
+    with pytest.raises(NotImplementedError):
+        das.argmin(jagged, axis=None)
+
+
+def test_sum_depth2(spark):
+    arr = das.from_lists(spark, [[[1, 2], [3]], [[], [4, 5]]], "array<array<bigint>>")
+    assert das.sum(arr, axis=2).compute() == [[3, 3], [0, 9]]
+    assert das.sum(arr, axis=None).compute() == 15
+    assert das.num(arr, axis=2).compute() == [[2, 1], [0, 2]]
+    assert das.flatten(arr, axis=2).compute() == [[1, 2, 3], [4, 5]]

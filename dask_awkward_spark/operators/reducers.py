@@ -145,7 +145,15 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
             gagg = lambda c: F.min(c)
         if op in ("mean", "var", "std") and depth > 0:
             return _global_moments(arr, op)
-        out = arr._df.agg(gagg(col).alias(VALUE_COL))
+        agg_col = gagg(col)
+        # identity for the zero-row input (ak.sum([]) == 0, prod == 1, ...)
+        identities = {"sum": F.lit(0).cast(dt if depth == 0 else "bigint" if not isinstance(dt, (T.DoubleType, T.FloatType)) else "double"),
+                      "prod": F.lit(1), "count": F.lit(0).cast("bigint"),
+                      "count_nonzero": F.lit(0).cast("bigint"),
+                      "any": F.lit(False), "all": F.lit(True)}
+        if op in identities:
+            agg_col = F.coalesce(agg_col, identities[op])
+        out = arr._df.agg(agg_col.alias(VALUE_COL))
         return Scalar(out)
     ax = normalize_axis(axis, depth)
     if ax == 0:

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .tpch import cents
+
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events has TIMESTAMP(NANOS) in parquet — Spark reads it as long
@@ -25,13 +27,13 @@ def ev_hourly(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     return (
         ev.groupBy(F.date_trunc("hour", "ts").cast("string").alias("hour_ts"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("value_c"))
     )
 
 
 EV_HOURLY_SQL = """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
 FROM events GROUP BY 1
 """
 
@@ -109,13 +111,13 @@ def ev_json_props(spark, sf_dir):
     return (
         ev.select((k % 10).alias("k_mod"), "value")
         .groupBy("k_mod")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("v_c"))
     )
 
 
 EV_JSON_SQL = """
 SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
-       count(*) AS n, round(sum(value), 2) AS v
+       count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
 FROM events GROUP BY 1
 """
 
@@ -124,7 +126,7 @@ def ev_type_stats(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        F.sum(cents(F.col("value"))).alias("total_c"),
         F.min("ts").cast("string").alias("first_ts"),
         F.max("ts").cast("string").alias("last_ts"),
         F.countDistinct("user_id").alias("n_users"),
@@ -132,7 +134,7 @@ def ev_type_stats(spark, sf_dir):
 
 
 EV_TYPE_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c,
        CAST(min(ts) AS VARCHAR) AS first_ts, CAST(max(ts) AS VARCHAR) AS last_ts,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type

@@ -1,0 +1,200 @@
+"""Pipeline suite: multimodal binary-column plumbing, streaming windows,
+and assorted engine surfaces (repartition, global sort+head, sampling,
+per-list distinct, elementwise join) that round out SURVEY §2 coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import NestedArray
+from ..functions import multimodal as mm
+from ..functions import strings as S
+from ..operators import structure as st
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---- multimodal ----
+
+def mm_binary_meta(spark, sf_dir):
+    """Typed binary media column + metadata struct — pure expressions."""
+    media = mm.attach_binary(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+MM_BINARY_SQL = """
+SELECT doc_id, 'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def mm_decode_features(spark, sf_dir):
+    """Arrow-batched decode-stub over the binary column (mapInPandas).
+    Python-side stub → no SQL oracle; driver records the rows-only check."""
+    media = mm.attach_binary(_docs(spark, sf_dir))
+    feats = mm.extract_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", "width", "height", F.size("feature").alias("feat_dim")
+    )
+
+
+# ---- streaming ----
+
+def stream_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling-window counts over the bounded events
+    source (complete mode == batch aggregation, so the batch oracle holds)."""
+    from ..streaming import stream_tumbling_counts
+
+    return stream_tumbling_counts(spark, sf_dir)
+
+
+STREAM_TUMBLING_SQL = """
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS w_start,
+       event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sessions(spark, sf_dir):
+    """Streaming session windows (gap-based). Session-window merge order is
+    engine-specific → rows-only check."""
+    from ..streaming import sessionized_counts
+
+    return sessionized_counts(spark, sf_dir)
+
+
+# ---- engine surfaces ----
+
+def op_repartition_stable(spark, sf_dir):
+    """repartition(n) is a pure reshuffle: multiset of rows unchanged
+    (reference repartition, lib/structure.py:1371-1464)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    re = li.repartition(64, "l_orderkey")
+    return re.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+OP_REPARTITION_SQL = """
+SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def op_sample_deterministic(spark, sf_dir):
+    """every-Nth sampling (reference lib/inspect.py:241-273 ``sample``,
+    factor mode) — deterministic row subset via modulo on a key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter((F.col("l_orderkey") % 97 == 0))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+OP_SAMPLE_SQL = """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_orderkey % 97 = 0 GROUP BY l_returnflag
+"""
+
+
+def op_distinct_inner(spark, sf_dir):
+    """Per-list distinct (sorted for cross-engine list-order stability)."""
+    from .nested import _nested
+
+    df = _nested(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        F.sort_array(F.array_distinct("qs")).alias("uniq_sorted"),
+    )
+
+
+OP_DISTINCT_INNER_SQL = """
+WITH nested AS (
+  SELECT l_orderkey, list(l_quantity) AS qs FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, list_sort(list_distinct(qs)) AS uniq_sorted FROM nested
+"""
+
+
+def str_join_elementwise(spark, sf_dir):
+    """concat_ws across columns (reference join_element_wise, lib/str.py:415)."""
+    df = _docs(spark, sf_dir)
+    out = S.join_element_wise([NestedArray(df, "lang"), NestedArray(df, "source")], "/")
+    return df.select("doc_id", out.col.alias("tagged"))
+
+
+STR_JOIN_EW_SQL = "SELECT doc_id, concat_ws('/', lang, source) AS tagged FROM documents"
+
+
+def str_capitalize_title(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    s = NestedArray(df, "source")
+    return df.select(
+        "doc_id",
+        S.capitalize(s).col.alias("cap"),
+        S.is_title(S.capitalize(s)).col.alias("titled"),
+    )
+
+
+STR_CAPITALIZE_SQL = """
+SELECT doc_id,
+       upper(substring(source, 1, 1)) || lower(substring(source, 2)) AS cap,
+       TRUE AS titled
+FROM documents
+"""
+
+
+def str_index_in(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    lg = NestedArray(df, "lang")
+    return df.select(
+        "doc_id",
+        S.is_in(lg, ["en", "de"]).col.alias("known"),
+        S.index_in(lg, ["en", "de", "fr"]).col.cast("int").alias("lang_idx"),
+    )
+
+
+STR_INDEX_IN_SQL = """
+SELECT doc_id, lang IN ('en', 'de') AS known,
+       CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2 ELSE -1 END AS lang_idx
+FROM documents
+"""
+
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_decode_features": mm_decode_features,
+    "stream_tumbling": stream_tumbling,
+    "stream_sessions": stream_sessions,
+    "op_repartition_stable": op_repartition_stable,
+    "op_sample_deterministic": op_sample_deterministic,
+    "op_distinct_inner": op_distinct_inner,
+    "str_join_elementwise": str_join_elementwise,
+    "str_capitalize_title": str_capitalize_title,
+    "str_index_in": str_index_in,
+}
+
+ORACLES = {
+    "mm_binary_meta": MM_BINARY_SQL,
+    # mm_decode_features: Python stub decode — rows-only
+    "stream_tumbling": STREAM_TUMBLING_SQL,
+    # stream_sessions: session-window merge order is engine-specific — rows-only
+    "op_repartition_stable": OP_REPARTITION_SQL,
+    "op_sample_deterministic": OP_SAMPLE_SQL,
+    "op_distinct_inner": OP_DISTINCT_INNER_SQL,
+    "str_join_elementwise": STR_JOIN_EW_SQL,
+    "str_capitalize_title": STR_CAPITALIZE_SQL,
+    "str_index_in": STR_INDEX_IN_SQL,
+}

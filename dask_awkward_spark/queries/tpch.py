@@ -17,6 +17,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def cents(expr, scale: int = 100):
+    """Exact-money aggregation primitive: per-row scale-to-integer then
+    round; the resulting BIGINT sum is exact and order-independent, so it
+    hash-matches DuckDB regardless of partitioning (see queries/__init__
+    float-determinism notes)."""
+    return F.round(expr * scale).cast("bigint")
+
+
 # --- q1: pricing summary (TPC-H Q1 shape: scan + filter + hash agg) ---
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,13 +34,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("base_price_c"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("disc_price_e4"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 1000000)
+            ).alias("charge_e6"),
             (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(cents(F.col("l_extendedprice"))) / F.count(F.lit(1))).alias("avg_price_c"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -41,11 +49,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS disc_price_e4,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS charge_e6,
        sum(l_quantity) / count(*) AS avg_qty,
-       round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) AS avg_price_c,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -65,12 +73,12 @@ def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"), 10000)).alias("revenue_e4"))
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -87,16 +95,16 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"), "revenue")
+        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"), "revenue_e4")
     )
 
 
 Q3_SQL = """
 SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -104,7 +112,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15'
   AND l_shipdate > TIMESTAMP '1998-03-15'
 GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey
 LIMIT 10
 """
 
@@ -129,12 +137,12 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_e4"))
     )
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -174,12 +182,12 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_no_order"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .agg(F.count(F.lit(1)).alias("n_no_order"), F.sum(cents(F.col("c_acctbal"))).alias("bal_c"))
     )
 
 
 Q_ANTI_SQL = """
-SELECT count(*) AS n_no_order, round(sum(c_acctbal), 2) AS bal
+SELECT count(*) AS n_no_order, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
@@ -218,14 +226,14 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(F.round(F.col("o_totalprice"), 2)).over(w), 2).alias("running_total"),
+        F.sum(cents(F.col("o_totalprice"))).over(w).alias("running_c"),
     )
 
 
 Q_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
-       round(sum(round(o_totalprice, 2)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
 FROM orders WHERE o_custkey < 100
 """
 
@@ -293,13 +301,13 @@ def q_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") * 2).alias("tp"),
         )
         .groupBy("yr", "mo")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("tp"), 2).alias("total2x"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("tp"))).alias("total2x_c"))
     )
 
 
 Q_DATE_MATH_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-       count(*) AS n, round(sum(o_totalprice * 2), 2) AS total2x
+       count(*) AS n, CAST(sum(CAST(round(o_totalprice * 2 * 100) AS BIGINT)) AS BIGINT) AS total2x_c
 FROM orders GROUP BY 1, 2
 """
 

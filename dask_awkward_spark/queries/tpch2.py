@@ -1,0 +1,373 @@
+"""Relational suite, part 2: deeper TPC-H-shaped coverage — correlated
+EXISTS, scalar subqueries, disjunctive filters, min-by per group, pivots,
+cube, set operations, having filters. All Catalyst-native; dims broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tpch import cents
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# q4: order-priority checking (correlated EXISTS → left-semi)
+
+def q4_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp"))
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > TIMESTAMP '1999-06-01')
+GROUP BY o_orderpriority
+"""
+
+
+# q7: volume shipping between different nations
+
+def q7_nation_volume(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_e4"))
+        .select("supp_nation", "cust_nation", F.col("l_year").cast("int").alias("l_year"), "revenue_e4")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# q10: returned-item reporting, top 20 customers by lost revenue
+
+def q10_returned_items(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2 ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+# q14: promo revenue share (conditional aggregation + exact-component ratio)
+
+def q14_promo_share(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(cents(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), 10000))
+            / F.sum(cents(rev, 10000))
+        ).alias("promo_share")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * sum(CAST(round(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END * 10000) AS BIGINT))
+       / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# q15: top supplier(s) by revenue (view + max scalar subquery)
+
+def q15_top_supplier(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("total_rev_e4"))
+    )
+    top = rev.agg(F.max("total_rev_e4").alias("m"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev_e4 == F.col("m"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_rev_e4
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+"""
+
+
+# q18: large-volume customers (HAVING over join)
+
+def q18_large_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# q19: disjunctive brand/size/quantity predicates
+
+def q19_disjunctive(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# q22: customers above-average balance with no orders (scalar subquery + anti)
+
+def q22_idle_balance(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum(cents(F.col("c_acctbal"))).alias("total_bal_c"))
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_cust, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_c
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# min-by per group (argmin uplift at the relational level)
+
+def q_min_by_nation(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    cheapest = (
+        supp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return cheapest.join(F.broadcast(nation), cheapest.s_nationkey == nation.n_nationkey).select(
+        "n_name", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+
+
+Q_MIN_BY_SQL = """
+SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS rk
+  FROM supplier
+) s JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+"""
+
+
+# pivot (conditional aggregation in the oracle)
+
+def q_pivot_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# cube
+
+def q_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# set operations: intersect / except
+
+def q_set_ops(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nk"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nk"))
+    both = cust.intersect(supp).withColumn("which", F.lit("both"))
+    only_c = cust.distinct().subtract(supp.distinct()).withColumn("which", F.lit("cust_only"))
+    return both.unionByName(only_c)
+
+
+Q_SET_OPS_SQL = """
+SELECT nk, 'both' AS which FROM (
+  SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nk, 'cust_only' AS which FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+# global sort + limit (sort0/head uplift surface)
+
+def q_global_sort_head(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(15)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
+Q_GLOBAL_SORT_SQL = """
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
+    "q22_idle_balance": q22_idle_balance,
+    "q_min_by_nation": q_min_by_nation,
+    "q_pivot_status": q_pivot_status,
+    "q_cube": q_cube,
+    "q_set_ops": q_set_ops,
+    "q_global_sort_head": q_global_sort_head,
+}
+
+ORACLES = {
+    "q4_order_priority": Q4_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_share": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_disjunctive": Q19_SQL,
+    "q22_idle_balance": Q22_SQL,
+    "q_min_by_nation": Q_MIN_BY_SQL,
+    "q_pivot_status": Q_PIVOT_SQL,
+    "q_cube": Q_CUBE_SQL,
+    "q_set_ops": Q_SET_OPS_SQL,
+    "q_global_sort_head": Q_GLOBAL_SORT_SQL,
+}

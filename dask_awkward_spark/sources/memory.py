@@ -1,0 +1,50 @@
+"""In-memory ingestion (reference lib/io/io.py: from_awkward :79-134,
+from_lists :146-191, from_map :528-697) and exports (to_dataframe
+:446-496, to_list)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import VALUE_COL, NestedArray, from_lists  # noqa: F401
+
+
+def from_arrow(spark: SparkSession, table) -> NestedArray:
+    """Arrow table → NestedArray (the reference's from_awkward path is
+    awkward→Arrow→partitions; Spark ingests Arrow via pandas)."""
+    df = spark.createDataFrame(table.to_pandas())
+    return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
+
+
+def from_map(
+    spark: SparkSession,
+    fn: Callable[[Any], Iterable[Any]],
+    inputs: list[Any],
+    schema: str,
+) -> NestedArray:
+    """Generic one-task-per-input scan factory (reference lib/io/io.py:528,
+    the substrate of all its sources). Spark analogue: parallelize the
+    input descriptors, flatMap the read function, apply the declared
+    schema. ``fn`` receives one input element and yields row tuples."""
+    rdd = spark.sparkContext.parallelize(inputs, len(inputs)).flatMap(fn)
+    df = spark.createDataFrame(rdd, schema)
+    return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
+
+
+def to_dataframe(arr: NestedArray) -> DataFrame:
+    """Nested → fully-exploded flat table (reference lib/io/io.py:446-496
+    ``to_dataframe`` / ak.to_dataframe): one row per innermost element."""
+    df = arr.to_df()
+    from pyspark.sql import types as T
+
+    dt = df.schema[0].dataType
+    while isinstance(dt, T.ArrayType):
+        df = df.select(F.posexplode(VALUE_COL).alias("pos", VALUE_COL))
+        df = df.select(VALUE_COL)
+        dt = dt.elementType
+    if isinstance(dt, T.StructType):
+        df = df.select(f"{VALUE_COL}.*")
+    return df

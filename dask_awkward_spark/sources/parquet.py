@@ -1,0 +1,62 @@
+"""Parquet scan/sink (reference lib/io/parquet.py:251-427 ``from_parquet``,
+:515-721 ``to_parquet``).
+
+Spark-native: row-group splitting is automatic
+(``spark.sql.files.maxPartitionBytes``), column projection rides Catalyst
+(the ``columns=`` argument becomes a select, and nested-field pruning is on
+via ``nestedSchemaPruning``), predicate pushdown is free. The reference's
+600-line projection machinery (FromParquetFileWiseFn.project_columns +
+unproject_layout) disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import NestedArray
+
+
+def from_parquet(
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str] | None = None,
+    report: bool = False,
+) -> NestedArray | tuple[NestedArray, DataFrame]:
+    """Scan parquet into a NestedArray of records.
+
+    ``columns=`` projects eagerly (scan-level pruning); ``report=True``
+    returns a second DataFrame of per-file row counts — the analogue of the
+    reference's success/failure report records (lib/io/parquet.py:36-61).
+    """
+    paths = path if isinstance(path, list) else [path]
+    df = spark.read.parquet(*paths)
+    if columns is not None:
+        df = df.select(*columns)
+    arr = NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
+    if report:
+        rep = (
+            df.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        return arr, rep
+    return arr
+
+
+def to_parquet(
+    data: NestedArray | DataFrame,
+    path: str,
+    compression: str = "zstd",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write one file per partition, zstd default — matching the
+    reference's defaults (lib/io/parquet.py:525-527). ``partition_by``
+    adds hive-style partition pruning for downstream scans (uplift)."""
+    df = data.to_df() if isinstance(data, NestedArray) else data
+    w = df.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

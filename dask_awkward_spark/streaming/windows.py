@@ -1,0 +1,95 @@
+"""Structured Streaming operators (capability uplift — SURVEY §2.6 notes
+the reference has no streaming at all).
+
+The batch query suite's windowed shapes (ev_tumbling_window,
+ev_sessionize) are re-expressed here over ``readStream`` with watermarks;
+the memory sink + ``processAllAvailable`` drives a bounded parquet source
+to completion synchronously, which is how the smoke tests observe results.
+On a real cluster the same code runs against kafka/files with checkpoints.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FileStreamSource wants a directory: stream the sf dir with a glob
+    # filter selecting only the events file
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, sf_dir: str, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts with a watermark for late data; runs the
+    bounded source to completion and returns the batch result table."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "event_type", "n", "value_c")
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dakspark_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def sessionized_counts(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session windows (gap-based) in streaming — the streaming twin of the
+    batch ev_sessionize query."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("sess_start"),
+            "n_events",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dakspark_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -283,6 +283,26 @@ class NestedArray:
     def head(self, n: int = 5) -> list:
         return [r[0] for r in self._df.select(self._col.alias(VALUE_COL)).limit(n).collect()]
 
+    def repartition(self, npartitions: int, *cols: str) -> "NestedArray":
+        """reference lib/core.py:1031-1118 ``repartition``; hash-shuffle
+        when keys given, round-robin otherwise."""
+        df = self.to_df()
+        return NestedArray(df.repartition(npartitions, *cols) if cols else df.repartition(npartitions))
+
+    def coalesce(self, npartitions: int) -> "NestedArray":
+        """n_to_one repartition without a shuffle (reference
+        simple_repartition_layer, lib/structure.py:1434-1464)."""
+        return NestedArray(self.to_df().coalesce(npartitions))
+
+    def partition(self, i: int) -> "NestedArray":
+        """reference ``arr.partitions[i]`` (lib/core.py:1287-1344)."""
+        df = self.to_df().withColumn("__pid__", F.spark_partition_id())
+        return NestedArray(df.filter(F.col("__pid__") == i).drop("__pid__"))
+
+    def sample(self, fraction: float, seed: int = 42) -> "NestedArray":
+        """Bernoulli row sample (reference lib/inspect.py:241-273)."""
+        return NestedArray(self.to_df().sample(fraction=fraction, seed=seed))
+
     # ---------------- element-wise arithmetic ----------------
     def _binop(self, other: Any, fn: Callable[[Column, Column], Column]) -> "NestedArray":
         if _is_col(other):

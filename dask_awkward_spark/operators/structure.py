@@ -499,6 +499,64 @@ def concatenate(arrays: list[NestedArray], axis: int = 0) -> NestedArray:
     raise NotImplementedError("deep concatenate supports 2 arrays at axis>1")
 
 
+def broadcast_arrays(*arrays: NestedArray) -> list[NestedArray]:
+    """Broadcast scalars/lists to a common shape (reference
+    lib/structure.py:216-242): shallower operands are expanded into the
+    deepest operand's list structure."""
+    maxd = max(a.depth for a in arrays)
+    base = arrays[0]
+    out = []
+    for a in arrays:
+        if a.depth == maxd:
+            out.append(a)
+            continue
+        base._check_base(a)
+        deep = next(x for x in arrays if x.depth == maxd)
+        out.append(
+            a._wrap(
+                broadcast_binop(deep._col, a._col, maxd, a.depth, lambda _, y: y)
+            )
+        )
+    return out
+
+
+def with_name(arr: NestedArray, name: str) -> NestedArray:
+    """Record-name tagging (reference lib/structure.py:1145-1161). Spark
+    has no record names; carried as column metadata on materialization."""
+    arr._name = name  # type: ignore[attr-defined]
+    return arr
+
+
+def with_parameter(arr: NestedArray, key: str, value: Any) -> NestedArray:
+    """Layout-parameter metadata (reference lib/structure.py:1187-1231) —
+    stored driver-side; surfaces as StructField.metadata on write."""
+    params = dict(getattr(arr, "_parameters", {}) or {})
+    params[key] = value
+    arr._parameters = params  # type: ignore[attr-defined]
+    return arr
+
+
+def without_parameters(arr: NestedArray) -> NestedArray:
+    arr._parameters = {}  # type: ignore[attr-defined]
+    return arr
+
+
+def enforce_type(arr: NestedArray, dtype: str | T.DataType) -> NestedArray:
+    """Cast to a target schema (reference lib/structure.py:1349-1368)."""
+    return arr._wrap(arr._col.cast(dtype))
+
+
+def to_packed(arr: NestedArray) -> NestedArray:
+    """Buffer re-packing is a storage-layout concern the reference exposes
+    (lib/structure.py:702-712); Tungsten rows are always packed — no-op."""
+    return arr
+
+
+def copy(arr: NestedArray) -> NestedArray:
+    """reference lib/structure.py:335-347 — plans are immutable here."""
+    return NestedArray(arr._df, arr._col)
+
+
 def to_regular(arr: NestedArray, axis: int = 1) -> NestedArray:
     """Var→regular list conversion is metadata-only in Spark (ArrayType has
     no fixed-size variant); no-op kept for API parity

@@ -24,8 +24,8 @@ from ..operators import structure as st
 NESTED_CTE = """
 WITH nested AS (
   SELECT l_orderkey,
-         list(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice) AS qs,
-         list(l_extendedprice ORDER BY l_linenumber, l_quantity, l_extendedprice) AS ps
+         list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs,
+         list(l_extendedprice ORDER BY l_linenumber, l_extendedprice) AS ps
   FROM lineitem GROUP BY l_orderkey
 )
 """
@@ -33,20 +33,27 @@ WITH nested AS (
 
 def _nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order jagged lists (the groups-as-arrays round trip of SURVEY
-    §2.6: collect_list ↔ explode)."""
+    §2.6: collect_list ↔ explode).
+
+    Each list is its OWN aggregate expression (not fields of one shared
+    struct): Catalyst prunes whole unused aggregate expressions, so a
+    query touching only ``qs`` reads only (l_orderkey, l_linenumber,
+    l_quantity) from the scan — struct fields inside one collect_list
+    would defeat that (see tests/test_plans.py). Sort keys are
+    (l_linenumber, value): (orderkey, linenumber) is not unique in the
+    data, but equal sort keys imply equal values, so each list is still
+    deterministic."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pair = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("l_linenumber").alias("ln"),
-                F.col("l_quantity").alias("q"),
-                F.col("l_extendedprice").alias("p"),
-            )
+
+    def ordered(col: str) -> F.Column:
+        pair = F.array_sort(
+            F.collect_list(F.struct(F.col("l_linenumber").alias("ln"), F.col(col).alias("v")))
         )
-    )
+        return F.transform(pair, lambda s: s["v"])
+
     return li.groupBy("l_orderkey").agg(
-        F.transform(pair, lambda s: s["q"]).alias("qs"),
-        F.transform(pair, lambda s: s["p"]).alias("ps"),
+        ordered("l_quantity").alias("qs"),
+        ordered("l_extendedprice").alias("ps"),
     )
 
 
@@ -544,7 +551,7 @@ def _nested2(spark: SparkSession, sf_dir: str) -> DataFrame:
 NESTED2_CTE = """
 WITH nested AS (
   SELECT l_orderkey,
-         list(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice) AS qs
+         list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
   FROM lineitem GROUP BY l_orderkey
 ), nested2 AS (
   SELECT o_custkey, list(qs ORDER BY o_orderkey) AS qss

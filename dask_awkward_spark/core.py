@@ -256,11 +256,20 @@ class NestedArray:
             raise TypeError(f"unsupported tuple element {k!r}")
         return out  # type: ignore[return-value]
 
-    def __getattr__(self, name: str) -> "NestedArray":
+    def __getattr__(self, name: str) -> Any:
         if name.startswith("_"):
             raise AttributeError(name)
         if name in self.fields:
             return self[name]  # type: ignore[return-value]
+        # behavior dispatch (reference lib/core.py:1654-1684)
+        from .behaviors import _BehaviorProperty, lookup_behavior
+
+        member = lookup_behavior(getattr(self, "_name", None), name)
+        if member is not None:
+            if isinstance(member, _BehaviorProperty):
+                return member.fn(self)
+            if callable(member):
+                return lambda *a, **kw: member(self, *a, **kw)
         raise AttributeError(name)
 
     # ---------------- row machinery ----------------

@@ -87,7 +87,7 @@ def ends_with(arr, pattern): return _map(arr, lambda c: c.endswith(pattern))
 def starts_with(arr, pattern): return _map(arr, lambda c: c.startswith(pattern))
 def find_substring(arr, pattern): return _map(arr, lambda c: F.instr(c, pattern) - 1)
 def find_substring_regex(arr, pattern):
-    return _map(arr, lambda c: F.regexp_instr(c, pattern) - 1)
+    return _map(arr, lambda c: F.regexp_instr(c, F.lit(pattern)) - 1)
 def match_like(arr, pattern): return _map(arr, lambda c: c.like(pattern))
 def match_substring(arr, pattern): return _map(arr, lambda c: c.contains(pattern))
 def match_substring_regex(arr, pattern): return _map(arr, lambda c: c.rlike(pattern))

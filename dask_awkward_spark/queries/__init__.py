@@ -17,9 +17,9 @@ Float-determinism discipline (so value hashes match the oracle bit-for-bit):
 
 from __future__ import annotations
 
-from . import dedup, events, nested, pipeline, similarity, text, tpch, tpch2
+from . import coverage, dedup, events, nested, pipeline, similarity, text, tpch, tpch2
 
-_MODULES = [tpch, tpch2, nested, text, dedup, similarity, events, pipeline]
+_MODULES = [tpch, tpch2, nested, text, dedup, similarity, events, pipeline, coverage]
 
 
 def all_queries():

@@ -1,0 +1,278 @@
+r"""Coverage suite: the remaining SURVEY §2 inventory rows — IO round
+trips through the engine's sinks, the last reducers (prod/var/std),
+field mutation, NaN handling, regex string kernels, correlation uplift,
+and dedup application (keep-list anti-join).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import NestedArray
+from ..functions import strings as S
+from ..operators import reducers as red
+from ..operators import structure as st
+from .nested import NESTED_CTE, _nested
+from .tpch import cents
+
+_TMP = tempfile.gettempdir()
+
+
+# ---- IO round trips (scan + sink together in one checked query) ----
+
+def io_parquet_roundtrip(spark, sf_dir):
+    """to_parquet → from_parquet round trip preserves content exactly
+    (reference lib/io/parquet.py write/read pair)."""
+    from ..sources.parquet import from_parquet, to_parquet
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_rt_{sf_tag}.parquet"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_orderkey") < 1000)
+    to_parquet(li, path, compression="zstd")
+    back = from_parquet(spark, path)
+    df = back.to_df("r")
+    return df.select("r.*").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("l_extendedprice"))).alias("price_c")
+    )
+
+
+IO_PARQUET_RT_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_returnflag
+"""
+
+
+def io_json_roundtrip(spark, sf_dir):
+    """to_json → from_json (line-delimited) round trip (reference
+    lib/io/json.py)."""
+    from ..sources.json import from_json, to_json
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_rt_{sf_tag}.json"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "n_chars")
+    to_json(docs, path)
+    back = from_json(spark, path).to_df("r")
+    return back.select("r.*").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+IO_JSON_RT_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---- remaining reducers ----
+
+def op_prod_axis1(spark, sf_dir):
+    """prod over small exact ints (reference lib/reducers.py:418-449).
+    Quantities are 1..50; cap list length effect by using qty mod 3 + 1
+    so products stay well inside 2^63."""
+    df = _nested(spark, sf_dir)
+    small = NestedArray(df, F.transform(F.col("qs"), lambda x: (x.cast("bigint") % 3) + 1))
+    return df.select("l_orderkey", red.prod(small, axis=1).col.alias("prod_small"))
+
+
+OP_PROD_SQL = NESTED_CTE + """
+SELECT l_orderkey,
+       CAST(coalesce(list_aggregate(list_transform(qs, x -> CAST(x AS BIGINT) % 3 + 1), 'product'), 1) AS BIGINT) AS prod_small
+FROM nested
+"""
+
+
+def op_var_std_axis1(spark, sf_dir):
+    """var/std per list: (ss - s^2/n)/n from exact whole-number sums →
+    identical IEEE arithmetic in both engines (reference
+    lib/reducers.py:559-589, :484-514)."""
+    df = _nested(spark, sf_dir)
+    qs = NestedArray(df, "qs")
+    return df.select(
+        "l_orderkey",
+        red.var(qs, axis=1).col.alias("qty_var"),
+        red.std(qs, axis=1).col.alias("qty_std"),
+    )
+
+
+OP_VAR_STD_SQL = NESTED_CTE + """
+SELECT l_orderkey,
+       CASE WHEN len(qs) > 0 THEN
+         (list_aggregate(list_transform(qs, x -> x * x), 'sum')
+          - list_aggregate(qs, 'sum') * list_aggregate(qs, 'sum') / len(qs)) / len(qs)
+       END AS qty_var,
+       CASE WHEN len(qs) > 0 THEN
+         sqrt((list_aggregate(list_transform(qs, x -> x * x), 'sum')
+               - list_aggregate(qs, 'sum') * list_aggregate(qs, 'sum') / len(qs)) / len(qs))
+       END AS qty_std
+FROM nested
+"""
+
+
+# ---- field mutation / shape constants / nan ----
+
+def op_with_field(spark, sf_dir):
+    """zip → with_field → project round trip (reference with_field,
+    lib/structure.py:1056-1087)."""
+    df = _nested(spark, sf_dir)
+    qs, ps = NestedArray(df, "qs"), NestedArray(df, "ps")
+    recs = st.zip({"q": qs, "p": ps})
+    recs2 = recs.with_field("v", recs["q"] * recs["p"])
+    vsum = red.sum(recs2["v"], axis=1)
+    dropped = recs2.without_field("p")
+    return df.select(
+        "l_orderkey",
+        vsum.col.alias("v_sum"),
+        F.size(dropped.col).cast("bigint").alias("n_recs"),
+    )
+
+
+OP_WITH_FIELD_SQL = NESTED_CTE + """
+SELECT l_orderkey,
+       CAST(coalesce(list_aggregate(list_transform(range(len(qs)), i -> qs[i+1] * ps[i+1]), 'sum'), 0) AS DOUBLE) AS v_sum,
+       CAST(len(qs) AS BIGINT) AS n_recs
+FROM nested
+"""
+
+
+def op_full_like(spark, sf_dir):
+    """full_like/ones_like/zeros_like shape-preserving constants
+    (reference lib/structure.py:479-505, 672-690, 1234-1252)."""
+    df = _nested(spark, sf_dir)
+    qs = NestedArray(df, "qs")
+    return df.select(
+        "l_orderkey",
+        st.values_astype(st.ones_like(qs), "bigint").col.alias("ones"),
+        red.sum(st.values_astype(st.full_like(qs, 7), "bigint"), axis=1).col.alias("sevens_sum"),
+    )
+
+
+OP_FULL_LIKE_SQL = NESTED_CTE + """
+SELECT l_orderkey,
+       list_transform(qs, x -> CAST(1 AS BIGINT)) AS ones,
+       CAST(7 * len(qs) AS BIGINT) AS sevens_sum
+FROM nested
+"""
+
+
+def op_nan_to_num(spark, sf_dir):
+    """NaN construction + nan_to_num (reference lib/structure.py:600-616).
+    sqrt(-1) is NaN in both engines' double math."""
+    df = _nested(spark, sf_dir)
+    with_nan = NestedArray(
+        df, F.transform(F.col("qs"), lambda x: F.sqrt(x - 30.0))
+    )  # NaN where q < 30
+    fixed = st.nan_to_num(with_nan, nan=-1.0)
+    n_nan = red.count_nonzero(
+        NestedArray(df, F.transform(fixed.col, lambda x: (x == -1.0).cast("int"))), axis=1
+    )
+    return df.select("l_orderkey", n_nan.col.cast("bigint").alias("n_nan"))
+
+
+# sqrt(q-30) is NaN exactly when q < 30 — the oracle states the condition
+# directly (DuckDB's sqrt errors on negatives instead of yielding NaN)
+OP_NAN_SQL = NESTED_CTE + """
+SELECT l_orderkey,
+       CAST(len(list_filter(qs, x -> x < 30.0)) AS BIGINT) AS n_nan
+FROM nested
+"""
+
+
+# ---- regex string kernels ----
+
+def str_regex2(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = NestedArray(df, "text")
+    return df.select(
+        "doc_id",
+        S.count_substring_regex(t, "[ao]").col.cast("bigint").alias("n_ao"),
+        S.find_substring_regex(t, "v[a-z]+e").col.cast("bigint").alias("pos_ve"),
+        S.replace_slice(t, 2, 6, "#").col.alias("spliced"),
+        F.size(S.split_pattern(t, "data").col).cast("bigint").alias("n_parts"),
+    )
+
+
+STR_REGEX2_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '[ao]')) - 1 AS BIGINT) AS n_ao,
+       CAST(CASE WHEN regexp_matches(text, 'v[a-z]+e')
+                 THEN length(regexp_replace(text, 'v[a-z]+e.*', ''))
+                 ELSE -1 END AS BIGINT) AS pos_ve,
+       substring(text, 1, 2) || '#' || substring(text, 7) AS spliced,
+       CAST(len(string_split(text, 'data')) AS BIGINT) AS n_parts
+FROM documents
+"""
+
+
+# ---- correlation / covariance uplift (NotImplemented in the reference,
+#      lib/reducers.py:257-282) ----
+
+def q_corr_covar(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qd"),
+    )
+
+
+Q_CORR_SQL = """
+SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_pop(l_quantity, l_discount), 6) AS covar_qd
+FROM lineitem
+"""
+
+
+# ---- dedup application: materialize the survivor set ----
+
+def dedup_apply(spark, sf_dir):
+    """Apply exact dedup: keep the min-doc_id representative of each
+    md5(text) group; anti-join drops the rest. The standard 'build
+    keep-list, subtract' pipeline shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    survivors = docs.join(
+        keep, (F.md5(F.col("text")) == keep.h) & (docs.doc_id == keep.keep_id), "left_semi"
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+DEDUP_APPLY_SQL = """
+WITH keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE EXISTS (SELECT 1 FROM keep WHERE keep.h = md5(text) AND keep.keep_id = doc_id)
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "io_parquet_roundtrip": io_parquet_roundtrip,
+    "io_json_roundtrip": io_json_roundtrip,
+    "op_prod_axis1": op_prod_axis1,
+    "op_var_std_axis1": op_var_std_axis1,
+    "op_with_field": op_with_field,
+    "op_full_like": op_full_like,
+    "op_nan_to_num": op_nan_to_num,
+    "str_regex2": str_regex2,
+    "q_corr_covar": q_corr_covar,
+    "dedup_apply": dedup_apply,
+}
+
+ORACLES = {
+    "io_parquet_roundtrip": IO_PARQUET_RT_SQL,
+    "io_json_roundtrip": IO_JSON_RT_SQL,
+    "op_prod_axis1": OP_PROD_SQL,
+    "op_var_std_axis1": OP_VAR_STD_SQL,
+    "op_with_field": OP_WITH_FIELD_SQL,
+    "op_full_like": OP_FULL_LIKE_SQL,
+    "op_nan_to_num": OP_NAN_SQL,
+    "str_regex2": STR_REGEX2_SQL,
+    "q_corr_covar": Q_CORR_SQL,
+    "dedup_apply": DEDUP_APPLY_SQL,
+}

@@ -1,0 +1,125 @@
+"""Source/sink round-trip tests (reference tests: test_io.py,
+test_parquet.py, test_io_json.py, test_io_text.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import dask_awkward_spark as das
+from dask_awkward_spark.sources.json import from_json, to_json
+from dask_awkward_spark.sources.memory import from_map, to_dataframe
+from dask_awkward_spark.sources.parquet import from_parquet, to_parquet
+from dask_awkward_spark.sources.text import from_text
+from tests.conftest import POINTS
+
+
+def test_parquet_roundtrip(spark, points, tmp_path):
+    path = str(tmp_path / "pts.parquet")
+    to_parquet(points, path)
+    back = from_parquet(spark, path)
+    got = back["v"].compute()
+    # row order across files is not guaranteed — compare as multisets
+    key = lambda row: json.dumps(row, sort_keys=True)
+    assert sorted(got, key=key) == sorted(POINTS, key=key)
+
+
+def test_parquet_columns_pruned(spark, tmp_path):
+    path = str(tmp_path / "li.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    to_parquet(li, path)
+    arr = from_parquet(spark, path, columns=["l_orderkey", "l_quantity"])
+    assert arr.fields == ["l_orderkey", "l_quantity"]
+
+
+def test_parquet_report(spark, tmp_path):
+    path = str(tmp_path / "li2.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    to_parquet(li.repartition(3), path)
+    arr, rep = from_parquet(spark, path, report=True)
+    rows = rep.collect()
+    assert sum(r["n_rows"] for r in rows) == li.count()
+    assert len(rows) == 3
+
+
+def test_json_line_delimited(spark, tmp_path):
+    d = tmp_path / "nd"
+    d.mkdir()
+    with open(d / "a.json", "w") as f:
+        for row in POINTS:
+            f.write(json.dumps({"points": row}) + "\n")
+    arr = from_json(spark, str(d))
+    assert arr["points"]["x"].compute() == [[p["x"] for p in row] for row in POINTS]
+
+
+def test_json_single_object_per_file(spark, tmp_path):
+    d = tmp_path / "sopf"
+    d.mkdir()
+    with open(d / "one.json", "w") as f:
+        json.dump({"record": [1, 2, 3]}, f)
+    arr = from_json(spark, str(d), line_delimited=False)
+    assert arr["record"].compute() == [[1, 2, 3]]
+
+
+def test_json_explicit_schema(spark, tmp_path):
+    d = tmp_path / "schema"
+    d.mkdir()
+    with open(d / "a.json", "w") as f:
+        f.write('{"v": 1}\n{"v": 2}\n')
+    arr = from_json(spark, str(d), schema="v double")
+    assert arr["v"].compute() == [1.0, 2.0]
+
+
+def test_json_sink_roundtrip(spark, jagged, tmp_path):
+    path = str(tmp_path / "out.json")
+    to_json(jagged.to_df(), path)
+    back = from_json(spark, path)
+    got = sorted(back["v"].compute(), key=lambda x: (len(x), x))
+    exp = sorted([[1, 2, 3], [4, 5], [], [0, 0, 0]], key=lambda x: (len(x), x))
+    assert got == exp
+
+
+def test_text(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    arr = from_text(spark, str(p))
+    assert sorted(arr.compute()) == ["alpha", "beta", "gamma"]
+
+
+def test_from_map(spark):
+    def gen(i):
+        for j in range(i):
+            yield (i, j)
+
+    arr = from_map(spark, gen, [1, 2, 3], "a int, b int")
+    flat = sorted(map(tuple, (tuple(d.values()) for d in arr.compute())))
+    assert flat == [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2)]
+
+
+def test_to_dataframe(points):
+    df = to_dataframe(points)
+    assert df.columns == ["x", "y"]
+    assert df.count() == sum(len(r) for r in POINTS)
+
+
+def test_behaviors(spark, points):
+    from dask_awkward_spark.behaviors import behavior_property, register_behavior
+    from dask_awkward_spark.operators.structure import with_name
+
+    @register_behavior("Point")
+    class PointBehavior:
+        @behavior_property
+        def r2(arr):
+            return arr["x"] * arr["x"] + arr["y"] * arr["y"]
+
+        def shifted(arr, k):
+            return arr["x"] + k
+
+    pts = with_name(points, "Point")
+    assert pts.r2.compute() == [
+        [p["x"] ** 2 + p["y"] ** 2 for p in row] for row in POINTS
+    ]
+    assert pts.shifted(10).compute() == [[p["x"] + 10 for p in row] for row in POINTS]

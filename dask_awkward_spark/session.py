@@ -47,6 +47,14 @@ def get_spark(app_name: str = "dask_awkward_spark", cpus: int | None = None) -> 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # scan split size: 32m default keeps single-digit-MB bench files
+        # parallel across local cores while staying a sane task size for a
+        # cluster (raise to 128m+ via env for large deployments)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert explicitly (sources/events loader)

@@ -74,6 +74,22 @@ def stream_sessions(spark, sf_dir):
     return sessionized_counts(spark, sf_dir)
 
 
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, cent-sum) carried in GroupState — integer state makes it
+    exactly oracle-checkable despite the Python hop."""
+    from ..streaming.stateful import running_user_stats
+
+    return running_user_stats(spark, sf_dir)
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY user_id
+"""
+
+
 # ---- engine surfaces ----
 
 def op_repartition_stable(spark, sf_dir):
@@ -178,6 +194,7 @@ QUERIES = {
     "mm_decode_features": mm_decode_features,
     "stream_tumbling": stream_tumbling,
     "stream_sessions": stream_sessions,
+    "stream_stateful_user_stats": stream_stateful_user_stats,
     "op_repartition_stable": op_repartition_stable,
     "op_sample_deterministic": op_sample_deterministic,
     "op_distinct_inner": op_distinct_inner,
@@ -191,6 +208,7 @@ ORACLES = {
     # mm_decode_features: Python stub decode — rows-only
     "stream_tumbling": STREAM_TUMBLING_SQL,
     # stream_sessions: session-window merge order is engine-specific — rows-only
+    "stream_stateful_user_stats": STREAM_STATEFUL_SQL,
     "op_repartition_stable": OP_REPARTITION_SQL,
     "op_sample_deterministic": OP_SAMPLE_SQL,
     "op_distinct_inner": OP_DISTINCT_INNER_SQL,

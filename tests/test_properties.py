@@ -1,0 +1,101 @@
+"""Property-based differential tests: random jagged/nullable data, engine
+result vs eager Python evaluation — the reference's assert_eq discipline
+(lib/testutils.py:29-99) with generated inputs instead of fixtures.
+
+One Spark job per property (data batched into a single DataFrame) keeps
+runtime sane.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st_
+
+import dask_awkward_spark as das
+
+# rows: jagged lists of (nullable) small ints, including empty lists
+inner = st_.lists(st_.one_of(st_.integers(-50, 50), st_.none()), max_size=6)
+rows = st_.lists(inner, min_size=1, max_size=8)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _arr(spark, data):
+    return das.from_lists(spark, data, "array<bigint>")
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_sum_matches_python(spark, data):
+    got = das.sum(_arr(spark, data), axis=1).compute()
+    exp = [sum(x for x in row if x is not None) for row in data]
+    assert got == exp
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_count_min_max(spark, data):
+    arr = _arr(spark, data)
+    assert das.count(arr, axis=1).compute() == [
+        len([x for x in row if x is not None]) for row in data
+    ]
+    exp_min = [min((x for x in row if x is not None), default=None) for row in data]
+    exp_max = [max((x for x in row if x is not None), default=None) for row in data]
+    assert das.min(arr, axis=1).compute() == exp_min
+    assert das.max(arr, axis=1).compute() == exp_max
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_sort_drop_none(spark, data):
+    arr = _arr(spark, data)
+    got = das.sort(das.drop_none(arr), axis=1).compute()
+    exp = [sorted(x for x in row if x is not None) for row in data]
+    assert got == exp
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_flatten_num(spark, data):
+    arr = _arr(spark, data)
+    assert das.num(arr, axis=1).compute() == [len(row) for row in data]
+    assert das.flatten(arr, axis=1).compute() == [x for row in data for x in row]
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_filter_arith_roundtrip(spark, data):
+    arr = _arr(spark, data)
+    kept = arr[arr > 0]
+    exp = [[x for x in row if x is not None and x > 0] for row in data]
+    assert kept.compute() == exp
+    doubled = das.drop_none(arr) * 2
+    assert doubled.compute() == [[x * 2 for x in row if x is not None] for row in data]
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_pad_fill_inverse(spark, data):
+    arr = _arr(spark, data)
+    clean = das.drop_none(arr)
+    padded = das.pad_none(clean, 4, clip=True)
+    got = padded.compute()
+    for row, g in zip(data, got):
+        vals = [x for x in row if x is not None][:4]
+        assert g == vals + [None] * (4 - len(vals))
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_combinations_count(spark, data):
+    arr = das.drop_none(_arr(spark, data))
+    got = das.combinations(arr, 2).compute()
+    for row, pairs in zip(data, got):
+        n = len([x for x in row if x is not None])
+        assert len(pairs) == n * (n - 1) // 2

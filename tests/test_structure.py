@@ -83,7 +83,6 @@ def test_where(jagged):
 
 
 def test_local_index(jagged):
-    assert das.local_index(jagged).compute() == [[0, 1, 2], [0, 1], [], [0, 0, 0]] or True
     assert das.local_index(jagged).compute() == [[0, 1, 2], [0, 1], [], [0, 1, 2]]
 
 
@@ -154,4 +153,28 @@ def test_isclose(points):
     xs = points["x"]
     assert das.isclose(xs * 1.0, xs * (1 + 1e-9)).compute() == [
         [True] * len(row) for row in POINTS
+    ]
+
+
+def test_depth3_ops(spark):
+    data = [[[[1, 2], [3]], [[4]]], [[[5, 6]]]]
+    arr = das.from_lists(spark, data, "array<array<array<bigint>>>")
+    assert arr.depth == 3
+    assert das.num(arr, axis=3).compute() == [[[2, 1], [1]], [[2]]]
+    assert das.sum(arr, axis=3).compute() == [[[3, 3], [4]], [[11]]]
+    assert das.sum(arr, axis=-1).compute() == das.sum(arr, axis=3).compute()
+    assert das.flatten(arr, axis=3).compute() == [[[1, 2, 3], [4]], [[5, 6]]]
+    assert das.flatten(arr, axis=None).compute() == [1, 2, 3, 4, 5, 6]
+    assert das.sum(arr, axis=None).compute() == 21
+
+
+def test_zip_depth_broadcast(spark, points):
+    xs = points["x"]
+    n = das.num(points, axis=1)
+    z = das.zip({"x": xs, "n": n})  # depth-1 zipped with depth-0 broadcast
+    got = z.compute()
+    from tests.conftest import POINTS
+
+    assert got == [
+        [{"x": p["x"], "n": len(row)} for p in row] for row in POINTS
     ]

@@ -35,7 +35,8 @@ class Scalar:
     """Lazy scalar — result of an axis=None/0 reduction.
 
     Reference: lib/core.py:356. Backed by a 1-row DataFrame; ``compute()``
-    collects driver-side.
+    collects driver-side. Supports lazy arithmetic between scalars and
+    with Python numbers (reference Scalar ops, lib/core.py:620-644).
     """
 
     def __init__(self, df: DataFrame):
@@ -47,6 +48,27 @@ class Scalar:
 
     def to_df(self) -> DataFrame:
         return self._df
+
+    def _binop(self, other: Any, fn: Callable[[Column, Column], Column], swap: bool = False) -> "Scalar":
+        a = F.col("a") if not swap else F.col("b")
+        b = F.col("b") if not swap else F.col("a")
+        left = self._df.select(F.col(VALUE_COL).alias("a"))
+        if isinstance(other, Scalar):
+            joined = left.crossJoin(other._df.select(F.col(VALUE_COL).alias("b")))
+        else:
+            joined = left.withColumn("b", F.lit(other))
+        return Scalar(joined.select(fn(a, b).alias(VALUE_COL)))
+
+    def __add__(self, o): return self._binop(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._binop(o, lambda a, b: a + b, swap=True)
+    def __sub__(self, o): return self._binop(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._binop(o, lambda a, b: a - b, swap=True)
+    def __mul__(self, o): return self._binop(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._binop(o, lambda a, b: a * b, swap=True)
+    def __truediv__(self, o): return self._binop(o, lambda a, b: a / b)
+    def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, swap=True)
+    def __gt__(self, o): return self._binop(o, lambda a, b: a > b)
+    def __lt__(self, o): return self._binop(o, lambda a, b: a < b)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Scalar(lazy, dtype={self._df.schema[0].dataType.simpleString()})"

@@ -251,7 +251,47 @@ GROUP BY lang
 """
 
 
+def op_argcartesian(spark, sf_dir):
+    """Index-pair cartesian (reference lib/structure.py:92-122)."""
+    df = _nested(spark, sf_dir)
+    qs, ps = NestedArray(df, "qs"), NestedArray(df, "ps")
+    prod = st.argcartesian([qs, ps])
+    ex = df.select("l_orderkey", F.explode(prod.col).alias("pr"))
+    return ex.select(
+        "l_orderkey",
+        F.col("pr.0").cast("bigint").alias("i"),
+        F.col("pr.1").cast("bigint").alias("j"),
+    )
+
+
+OP_ARGCARTESIAN_SQL = NESTED_CTE + """
+SELECT l_orderkey, pr.i AS i, pr.j AS j FROM (
+  SELECT l_orderkey,
+         unnest(flatten(list_transform(range(len(qs)),
+           a -> list_transform(range(len(ps)),
+             b -> {'i': CAST(a AS BIGINT), 'j': CAST(b AS BIGINT)})))) AS pr
+  FROM nested
+)
+"""
+
+
+def op_ravel(spark, sf_dir):
+    """ravel / flatten(axis=None): depth-2 → flat leaves
+    (reference lib/structure.py:753-772)."""
+    from .nested import _nested2
+
+    df = _nested2(spark, sf_dir)
+    a = NestedArray(df, "qss")
+    flat = st.ravel(a)
+    return flat.to_df("q")
+
+
+OP_RAVEL_SQL = "SELECT l_quantity AS q FROM lineitem"
+
+
 QUERIES = {
+    "op_argcartesian": op_argcartesian,
+    "op_ravel": op_ravel,
     "io_parquet_roundtrip": io_parquet_roundtrip,
     "io_json_roundtrip": io_json_roundtrip,
     "op_prod_axis1": op_prod_axis1,
@@ -265,6 +305,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "op_argcartesian": OP_ARGCARTESIAN_SQL,
+    "op_ravel": OP_RAVEL_SQL,
     "io_parquet_roundtrip": IO_PARQUET_RT_SQL,
     "io_json_roundtrip": IO_JSON_RT_SQL,
     "op_prod_axis1": OP_PROD_SQL,

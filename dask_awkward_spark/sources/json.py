@@ -26,7 +26,12 @@ def from_json(
     line_delimited: bool = True,
     schema: T.StructType | str | None = None,
     sampling_ratio: float | None = None,
-) -> NestedArray:
+    report: bool = False,
+):
+    """Returns a NestedArray; with ``report=True`` also returns a
+    DataFrame of malformed records (the reference's per-partition
+    success/failure report, lib/io/io.py:651-695): PERMISSIVE mode routes
+    unparsable lines into ``_corrupt_record``."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -35,7 +40,21 @@ def from_json(
     if not line_delimited:
         reader = reader.option("multiLine", "true")
     df = reader.json(source)
-    return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
+    data_cols = [c for c in df.columns if c != "_corrupt_record"]
+    arr = NestedArray(df, F.struct(*[F.col(c) for c in data_cols]))
+    if report:
+        # Report malformed lines via an independent text scan + from_json
+        # probe. (The _corrupt_record column would need df.cache(), and the
+        # cached plan then shadows later re-reads of the same path with
+        # stale data — a correctness hazard.)
+        lines = spark.read.text(source)
+        bad = (
+            lines.filter(F.trim("value") != "")
+            .filter(F.try_parse_json(F.col("value")).isNull())
+            .select(F.col("value").alias("record"))
+        )
+        return arr, bad
+    return arr
 
 
 def to_json(data: NestedArray | DataFrame, path: str, compression: str | None = None) -> None:

@@ -34,6 +34,14 @@ def from_map(
     return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
 
 
+def to_local_iterator(arr: NestedArray):
+    """Partition-wise export (reference to_delayed/to_dask_bag,
+    lib/io/io.py:249-282): lazily iterate rows without materializing the
+    whole result on the driver."""
+    for row in arr.to_df().toLocalIterator():
+        yield row[0]
+
+
 def to_dataframe(arr: NestedArray) -> DataFrame:
     """Nested → fully-exploded flat table (reference lib/io/io.py:446-496
     ``to_dataframe`` / ak.to_dataframe): one row per innermost element."""

@@ -123,3 +123,36 @@ def test_behaviors(spark, points):
         [p["x"] ** 2 + p["y"] ** 2 for p in row] for row in POINTS
     ]
     assert pts.shifted(10).compute() == [[p["x"] + 10 for p in row] for row in POINTS]
+
+
+def test_json_report_mode(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    with open(d / "a.json", "w") as f:
+        f.write('{"v": 1}\nTHIS IS NOT JSON\n{"v": 3}\n')
+    arr, bad = from_json(spark, str(d), schema="v bigint", report=True)
+    assert sorted(x["v"] for x in arr.compute() if x["v"] is not None) == [1, 3]
+    assert bad.count() == 1
+    assert "NOT JSON" in bad.collect()[0]["record"]
+
+
+def test_to_local_iterator(jagged):
+    from dask_awkward_spark.sources.memory import to_local_iterator
+
+    got = sorted(map(tuple, to_local_iterator(jagged)))
+    from tests.conftest import LISTS
+
+    assert got == sorted(map(tuple, LISTS))
+
+
+def test_scalar_arithmetic(spark, jagged):
+    import dask_awkward_spark as das
+
+    total = das.sum(jagged, axis=None)       # 15
+    n = das.count(jagged, axis=None)         # 8
+    assert (total + 5).compute() == 20
+    assert (total - n).compute() == 7
+    assert (total / n).compute() == 15 / 8
+    assert (2 * total).compute() == 30
+    assert (100 - total).compute() == 85
+    assert (total > n).compute() is True

@@ -17,6 +17,9 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ns → µs; values are µs-aligned in the generator)."""
     import pyspark.sql.types as T
 
+    # runtime-settable: make events readable even when the caller (e.g. the
+    # round driver) built its own SparkSession without our session defaults
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -30,6 +30,8 @@ EVENT_SCHEMA = T.StructType(
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # runtime-settable guard for sessions built without our defaults
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource wants a directory: stream the sf dir with a glob
     # filter selecting only the events file
     raw = (

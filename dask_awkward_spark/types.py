@@ -1,0 +1,90 @@
+"""Type-system edge mappings (SURVEY §1.2 / §7.4): the awkward layout
+nodes Spark has no first-class type for.
+
+- **uint64** → `DecimalType(20, 0)` (Spark's LongType overflows above
+  2^63-1; decimal holds the full unsigned range).
+- **UnionArray** (tagged heterogeneous union) → tagged struct
+  ``struct<tag: int, v0: T0, v1: T1, ...>`` with exactly one non-null
+  variant. `union_encode` builds it from a tag + variant columns;
+  `union_map` applies per-variant expressions; `union_tag`/`union_project`
+  inspect it. (The reference enumerates UnionArray handling in
+  lib/unproject_layout.py:290-311.)
+- **categorical** (`__array__: "categorical"`, lib/str.py:867-879) →
+  dictionary table + integer codes: `categorical_encode` returns
+  (codes_df, dictionary_df); `categorical_decode` joins codes back.
+  At scale the dictionary is broadcast — the classic dictionary-encoding
+  join.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def uint64_to_decimal(col: Column) -> Column:
+    """Lossless uint64 carrier (LongType would overflow past 2^63-1)."""
+    return col.cast("decimal(20,0)")
+
+
+# ---------------- tagged unions ----------------
+
+def union_encode(tag: Column, variants: Sequence[Column]) -> Column:
+    """Build struct<tag, v0..vk-1>: variant i is populated where tag==i."""
+    fields = [tag.cast("int").alias("tag")]
+    for i, v in enumerate(variants):
+        fields.append(F.when(tag == i, v).alias(f"v{i}"))
+    return F.struct(*fields)
+
+
+def union_tag(u: Column) -> Column:
+    return u["tag"]
+
+
+def union_project(u: Column, i: int) -> Column:
+    """Variant i's value (null where the tag differs)."""
+    return u[f"v{i}"]
+
+
+def union_map(u: Column, fns: Sequence[Callable[[Column], Column]]) -> Column:
+    """Apply fns[i] to variant i, merging to one output column — the
+    restricted-ops story for unions: results must share a common type."""
+    out = None
+    for i, fn in enumerate(fns):
+        branch = fn(u[f"v{i}"])
+        out = F.when(u["tag"] == i, branch) if out is None else out.when(u["tag"] == i, branch)
+    return out
+
+
+# ---------------- categorical (dictionary encoding) ----------------
+
+def categorical_encode(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (df with ``{col}_code`` int column, dictionary DataFrame
+    ``[code, value]``). Codes are assigned deterministically by value
+    order so encode is reproducible across runs/partitionings."""
+    from pyspark.sql import Window
+
+    dictionary = (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col(col).isNotNull())  # nulls stay null-coded, not a category
+        .distinct()
+        .withColumn("code", F.row_number().over(Window.orderBy("value")) - 1)
+        .select("code", "value")
+    )
+    coded = (
+        df.join(F.broadcast(dictionary), df[col] == dictionary.value, "left")
+        .drop("value")
+        .withColumnRenamed("code", f"{col}_code")
+    )
+    return coded, dictionary
+
+
+def categorical_decode(coded: DataFrame, dictionary: DataFrame, code_col: str, out_col: str) -> DataFrame:
+    """Inverse of encode: broadcast-join codes back to values."""
+    return (
+        coded.join(F.broadcast(dictionary), coded[code_col] == dictionary.code, "left")
+        .withColumnRenamed("value", out_col)
+        .drop("code")
+    )

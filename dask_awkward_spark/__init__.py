@@ -9,6 +9,8 @@ reference implements by hand.
 
 from .core import NestedArray, Record, Scalar, from_column, from_lists
 from .session import get_spark, load_tables
+from .plans import explain_str, necessary_columns, pushed_filters
+from . import behaviors, types
 from .operators import reducers, structure
 from .operators.structure import (
     argcartesian,

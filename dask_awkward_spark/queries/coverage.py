@@ -318,3 +318,91 @@ ORACLES = {
     "q_corr_covar": Q_CORR_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
 }
+
+
+# ---- type-edge surfaces ----
+
+def op_categorical(spark, sf_dir):
+    """Deterministic dictionary encoding (types.categorical_encode):
+    codes assigned by value order, so the oracle can re-derive them."""
+    from ..types import categorical_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    coded, dictionary = categorical_encode(docs, "source")
+    return coded.groupBy("source_code").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
+OP_CATEGORICAL_SQL = """
+WITH dict AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS code
+  FROM (SELECT DISTINCT source AS value FROM documents WHERE source IS NOT NULL)
+)
+SELECT code AS source_code, count(*) AS n, min(doc_id) AS min_doc
+FROM documents JOIN dict ON source = value
+GROUP BY code
+"""
+
+
+def op_union_map(spark, sf_dir):
+    """Tagged-union round trip (types.union_encode/union_map): orders
+    carry a long payload when open, a string payload otherwise."""
+    from ..types import union_encode, union_map, union_tag
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tag = F.when(F.col("o_orderstatus") == "O", 0).otherwise(1)
+    u = union_encode(tag, [F.col("o_custkey"), F.col("o_orderpriority")])
+    mapped = union_map(u, [lambda c: (c % 100).cast("string"), lambda c: F.substring(c, 1, 1)])
+    return orders.select("o_orderkey", union_tag(u).alias("tag"), mapped.alias("m"))
+
+
+OP_UNION_MAP_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS tag,
+       CASE WHEN o_orderstatus = 'O' THEN CAST(o_custkey % 100 AS VARCHAR)
+            ELSE substring(o_orderpriority, 1, 1) END AS m
+FROM orders
+"""
+
+
+def q_sql_api(spark, sf_dir):
+    """Same engine through the SQL surface: temp views + spark.sql —
+    Catalyst produces the identical plan either way."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("li_sql")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_e4,
+               count(*) AS n
+        FROM li_sql
+        WHERE l_quantity BETWEEN 10 AND 40
+        GROUP BY l_returnflag
+        """
+    )
+
+
+Q_SQL_API_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_e4,
+       count(*) AS n
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 40
+GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "op_categorical": op_categorical,
+        "op_union_map": op_union_map,
+        "q_sql_api": q_sql_api,
+    }
+)
+ORACLES.update(
+    {
+        "op_categorical": OP_CATEGORICAL_SQL,
+        "op_union_map": OP_UNION_MAP_SQL,
+        "q_sql_api": Q_SQL_API_SQL,
+    }
+)

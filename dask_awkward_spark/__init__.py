@@ -49,11 +49,15 @@ from .operators.reducers import (
     any,
     argmax,
     argmin,
+    corr,
     count,
     count_nonzero,
+    covar,
+    linear_fit,
     max,
     mean,
     min,
+    moment,
     prod,
     ptp,
     softmax,

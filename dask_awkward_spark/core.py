@@ -184,11 +184,33 @@ class NestedArray:
                 return F.struct(*[col[k].alias(k) for k in key])
 
             return self._wrap(build(self._col, dt))
+        # outer integer-list gather: rows by position, order preserved
+        # (reference int-array getitem, lib/core.py:1563-1569 outer branch).
+        # Out-of-range indices are dropped (join semantics) rather than
+        # raising — checking eagerly would force an extra count action.
+        if isinstance(key, list) and key and all(isinstance(k, int) for k in key):
+            idxed = self.with_row_index()
+            spark = self._df.sparkSession
+            sel = spark.createDataFrame(
+                [(p, i) for p, i in enumerate(key)], "pos long, idx long"
+            )
+            out = (
+                idxed._df.join(F.broadcast(sel), F.col("__row_id__") == F.col("idx"))
+                .orderBy("pos")
+                .select(idxed._col.alias(VALUE_COL))
+            )
+            return NestedArray(out)
         # boolean / integer mask arrays
         if isinstance(key, NestedArray):
             return self._getitem_array(key)
-        # integer row index -> Record (reference lib/core.py:1401-1471)
+        # integer row index -> Record (reference lib/core.py:1401-1471);
+        # negative indices trigger an eager count, like the reference's
+        # normalize_single_outer_inner_index (lib/core.py:2758-2795)
         if isinstance(key, int):
+            if key < 0:
+                key = self._df.count() + key
+                if key < 0:
+                    raise IndexError("index out of range")
             idxed = self.with_row_index()
             return Record(
                 idxed._df.filter(F.col("__row_id__") == key).select(idxed._col.alias(VALUE_COL))

@@ -153,3 +153,10 @@ def to_categorical(arr):
     """No first-class categorical in Spark (SURVEY §1.2) — dictionary
     encoding happens at the Parquet layer; identity for API parity."""
     return arr
+
+
+def strings_astype(arr, to="double"):
+    """String→numeric leaf cast (NotImplemented in the reference,
+    lib/structure.py:861-868 — uplift; non-numeric strings become null
+    via try-cast semantics)."""
+    return _map(arr, lambda c: c.try_cast(to))

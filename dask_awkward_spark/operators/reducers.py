@@ -270,6 +270,93 @@ def ptp(arr: NestedArray, axis: int | None = 1) -> NestedArray | Scalar:
     return _reduce(arr, "ptp", axis)
 
 
+def moment(arr: NestedArray, n: int, axis: int | None = 1) -> NestedArray | Scalar:
+    """n-th raw moment sum(x^n)/count (NotImplemented in the reference,
+    lib/reducers.py:173-184 — uplift)."""
+    dt = _leaf_type(arr)
+    if axis is None:
+        powed = arr._wrap(apply_at_depth(arr._col, arr.depth, lambda c: F.pow(c.cast("double"), F.lit(n))))
+        num = _reduce(powed, "sum", None)
+        den = _reduce(arr, "count", None)
+        return num / den  # lazy Scalar arithmetic
+    ax = normalize_axis(axis, arr.depth)
+
+    def m(c: Column) -> Column:
+        cnt = F.size(F.filter(c, lambda x: x.isNotNull()))
+        s = F.aggregate(c, F.lit(0.0), lambda a, x: a + F.coalesce(F.pow(x.cast("double"), F.lit(n)), F.lit(0.0)))
+        return F.when(cnt > 0, s / cnt)
+
+    return arr._wrap(apply_at_depth(arr._col, ax - 1, m))
+
+
+def _pair_sums(a: Column, b: Column) -> dict[str, Column]:
+    n = F.size(F.filter(F.zip_with(a, b, lambda x, y: x.isNotNull() & y.isNotNull()), lambda t: t))
+    sx = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.coalesce(x.cast("double"), F.lit(0.0)))
+    sy = F.aggregate(b, F.lit(0.0), lambda acc, y: acc + F.coalesce(y.cast("double"), F.lit(0.0)))
+    sxx = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.coalesce(x.cast("double") * x.cast("double"), F.lit(0.0)))
+    syy = F.aggregate(b, F.lit(0.0), lambda acc, y: acc + F.coalesce(y.cast("double") * y.cast("double"), F.lit(0.0)))
+    sxy = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + F.coalesce(p, F.lit(0.0)),
+    )
+    return {"n": n, "sx": sx, "sy": sy, "sxx": sxx, "syy": syy, "sxy": sxy}
+
+
+def covar(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
+    """Per-list population covariance (NotImplemented in the reference,
+    lib/reducers.py:257-282 — uplift)."""
+    a._check_base(b)
+    ax = normalize_axis(axis, a.depth)
+
+    def f(x: Column, y: Column) -> Column:
+        s = _pair_sums(x, y)
+        return F.when(s["n"] > 0, (s["sxy"] - s["sx"] * s["sy"] / s["n"]) / s["n"])
+
+    from ..schema import apply_at_depth2
+
+    return a._wrap(apply_at_depth2(a._col, b._col, ax - 1, f))
+
+
+def corr(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
+    """Per-list Pearson correlation (uplift)."""
+    a._check_base(b)
+    ax = normalize_axis(axis, a.depth)
+
+    def f(x: Column, y: Column) -> Column:
+        s = _pair_sums(x, y)
+        cov = s["sxy"] - s["sx"] * s["sy"] / s["n"]
+        vx = s["sxx"] - s["sx"] * s["sx"] / s["n"]
+        vy = s["syy"] - s["sy"] * s["sy"] / s["n"]
+        return F.when((s["n"] > 0) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+
+    from ..schema import apply_at_depth2
+
+    return a._wrap(apply_at_depth2(a._col, b._col, ax - 1, f))
+
+
+def linear_fit(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
+    """Per-list least-squares fit y = intercept + slope*x
+    (NotImplemented in the reference — uplift). Returns
+    struct<intercept, slope>."""
+    a._check_base(b)
+    ax = normalize_axis(axis, a.depth)
+
+    def f(x: Column, y: Column) -> Column:
+        s = _pair_sums(x, y)
+        denom = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+        slope = (s["n"] * s["sxy"] - s["sx"] * s["sy"]) / denom
+        intercept = (s["sy"] - slope * s["sx"]) / s["n"]
+        return F.when(
+            (s["n"] > 1) & (denom != 0),
+            F.struct(intercept.alias("intercept"), slope.alias("slope")),
+        )
+
+    from ..schema import apply_at_depth2
+
+    return a._wrap(apply_at_depth2(a._col, b._col, ax - 1, f))
+
+
 def softmax(arr: NestedArray, axis: int = -1) -> NestedArray:
     """exp-normalize per list (NotImplemented in the reference,
     lib/reducers.py:404-415 — uplift)."""

@@ -95,3 +95,13 @@ def test_map_partitions(spark, jagged):
 
     out = jagged.map_partitions(double, "v array<bigint>")
     assert out.compute() == [[x * 2 for x in row] for row in LISTS]
+
+
+def test_outer_int_list_gather(points):
+    got = points[[3, 0, 2]]
+    assert got.compute() == [POINTS[3], POINTS[0], POINTS[2]]
+
+
+def test_negative_record_index(points):
+    assert points[-1].compute() == POINTS[-1]
+    assert points[-5].compute() == POINTS[0]

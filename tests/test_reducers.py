@@ -105,3 +105,48 @@ def test_sum_depth2(spark):
     assert das.sum(arr, axis=None).compute() == 15
     assert das.num(arr, axis=2).compute() == [[2, 1], [0, 2]]
     assert das.flatten(arr, axis=2).compute() == [[1, 2, 3], [4, 5]]
+
+
+def test_moment(jagged):
+    got = das.moment(jagged, 2, axis=1).compute()
+    from tests.conftest import LISTS
+
+    exp = [sum(x * x for x in row) / len(row) if row else None for row in LISTS]
+    for g, e in zip(got, exp):
+        if e is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(e)
+    assert das.moment(jagged, 2, axis=None).compute() == pytest.approx(
+        sum(x * x for row in LISTS for x in row) / 8
+    )
+
+
+def test_corr_covar_linear_fit(spark):
+    xs = [[1.0, 2.0, 3.0, 4.0], [], [1.0, 2.0]]
+    ys = [[2.0, 4.1, 5.9, 8.0], [], [3.0, 3.0]]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(list(zip(xs, ys)), "a array<double>, b array<double>")
+    a, b = das.NestedArray(df, "a"), das.NestedArray(df, "b")
+    corr = das.corr(a, b).compute()
+    assert corr[0] == pytest.approx(0.9996, abs=1e-3)
+    assert corr[1] is None
+    assert corr[2] is None  # zero variance in b
+    cov = das.covar(a, b).compute()
+    import statistics
+
+    exp_cov = sum(
+        (x - 2.5) * (y - 5.0) for x, y in zip(xs[0], ys[0])
+    ) / 4
+    assert cov[0] == pytest.approx(exp_cov)
+    fit = das.linear_fit(a, b).compute()
+    assert fit[0]["slope"] == pytest.approx(1.98)  # (4*59.9-10*20)/(4*30-100)
+    assert fit[1] is None
+
+
+def test_strings_astype(spark):
+    from dask_awkward_spark.functions.strings import strings_astype
+
+    arr = das.from_lists(spark, [["1", "2.5", "x"], []], "array<string>")
+    assert strings_astype(arr).compute() == [[1.0, 2.5, None], []]

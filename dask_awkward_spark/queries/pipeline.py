@@ -216,3 +216,66 @@ ORACLES = {
     "str_capitalize_title": STR_CAPITALIZE_SQL,
     "str_index_in": STR_INDEX_IN_SQL,
 }
+
+
+def pipeline_e2e(spark, sf_dir):
+    """The full training-data curation flow composed into ONE lazy plan:
+    quality filter → language filter → exact-dedup survivors → per-source
+    token statistics. Every stage is an expression or hash-shuffle; at
+    100 TB this runs as scan → two shuffles (dedup groupBy + final agg)."""
+    from ..functions import textstats as tx
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        tx.quality_score(F.col("text")).alias("q"),
+        tx.langid_en(F.col("text")).alias("lang_pred"),
+        tx.token_count(F.col("text")).alias("n_tok"),
+        F.md5("text").alias("h"),
+    ).filter((F.col("q") >= 0.5) & (F.col("lang_pred") == "en"))
+    keep = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    survivors = scored.join(
+        keep, (scored.h == keep.h) & (scored.doc_id == keep.keep_id), "left_semi"
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+from ..functions.textstats import EN_STOPWORDS as _EN_SW
+
+_SW_LIST = "', '".join(_EN_SW)
+PIPELINE_E2E_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '') AS toks,
+         list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''),
+                     t -> t IN ('{_SW_LIST}')) AS sws
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, md5(text) AS h, CAST(len(toks) AS BIGINT) AS n_tok,
+         (CASE WHEN len(toks) > 0 THEN CAST(len(sws) AS DOUBLE) / len(toks) ELSE 0.0 END
+          + CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END
+          + CASE WHEN len(toks) > 0 AND CAST(length(text) AS DOUBLE) / len(toks) >= 3.0
+                      AND CAST(length(text) AS DOUBLE) / len(toks) <= 12.0 THEN 1.0 ELSE 0.5 END) / 3 AS q,
+         CASE WHEN len(toks) > 0 AND CAST(len(sws) AS DOUBLE) / len(toks) >= 0.05
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM tok
+), filtered AS (
+  SELECT * FROM scored WHERE q >= 0.5 AND lang_pred = 'en'
+), keep AS (
+  SELECT h, min(doc_id) AS keep_id FROM filtered GROUP BY h
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc
+FROM filtered
+WHERE EXISTS (SELECT 1 FROM keep WHERE keep.h = filtered.h AND keep.keep_id = filtered.doc_id)
+GROUP BY source
+"""
+
+QUERIES["pipeline_e2e"] = pipeline_e2e
+ORACLES["pipeline_e2e"] = PIPELINE_E2E_SQL

@@ -101,6 +101,72 @@ _LIST_REDUCERS: dict[str, Callable[[Column, T.DataType], Column]] = {
     "ptp": lambda c, dt: F.array_max(c) - F.array_min(c),
 }
 
+# scalar merge rules for positional (non-innermost-axis) reductions;
+# one side may be null when sublist lengths differ (jagged broadcasting)
+_POSITIONAL_MERGE: dict[str, Callable[[Column, Column], Column]] = {
+    "sum": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "prod": lambda a, b: F.coalesce(a, F.lit(1)) * F.coalesce(b, F.lit(1)),
+    "min": lambda a, b: F.when(a.isNull(), b).when(b.isNull(), a).otherwise(F.least(a, b)),
+    "max": lambda a, b: F.when(a.isNull(), b).when(b.isNull(), a).otherwise(F.greatest(a, b)),
+    "any": lambda a, b: F.coalesce(a, F.lit(False)) | F.coalesce(b, F.lit(False)),
+    "all": lambda a, b: F.coalesce(a, F.lit(True)) & F.coalesce(b, F.lit(True)),
+    "count": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+}
+
+
+def _positional_merge_values(a: Column, b: Column, dt: T.DataType, op: str) -> Column:
+    """Merge two same-position values; recurses through deeper list levels
+    so any depth works."""
+    if isinstance(dt, T.ArrayType):
+        n = F.greatest(F.coalesce(F.size(a), F.lit(0)), F.coalesce(F.size(b), F.lit(0)))
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: _positional_merge_values(F.get(a, i), F.get(b, i), dt.elementType, op)
+        )
+    return _POSITIONAL_MERGE[op](a, b)
+
+
+def _apply_leafwise(col: Column, dt: T.DataType, fn: Callable[[Column], Column]) -> Column:
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda x: _apply_leafwise(x, dt.elementType, fn))
+    return fn(col)
+
+
+def _retype(dt: T.DataType, leaf: T.DataType) -> T.DataType:
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_retype(dt.elementType, leaf), True)
+    return leaf
+
+
+def _positional_reduce(col: Column, sub_dt: T.DataType, op: str) -> Column:
+    """Collapse one list level positionally: fold sublists together
+    element-by-element (ragged tails survive on their own)."""
+    if op == "count":
+        # count per position = positional sum of 1/0 presence indicators
+        sub_dt = _retype(sub_dt, T.LongType())
+        col = F.transform(
+            col,
+            lambda l: _apply_leafwise(
+                l,
+                sub_dt,
+                lambda x: F.when(x.isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+            ),
+        )
+        op = "sum"
+    init = F.lit(None).cast(sub_dt)
+    merged = F.aggregate(
+        col,
+        init,
+        lambda acc, l: F.when(acc.isNull(), l).otherwise(
+            _positional_merge_values(acc, l, sub_dt, op)
+        ),
+    )
+    # empty outer list reduces to an empty list (ak.sum([], axis=1) == [])
+    if isinstance(sub_dt, T.ArrayType):
+        merged = F.coalesce(merged, F.array().cast(sub_dt))
+    return merged
+
+
 _GLOBAL_AGGS: dict[str, Callable[[Column], Column]] = {
     "sum": F.sum,
     "prod": F.product,
@@ -164,7 +230,21 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
             "positional axis=0 reduction over jagged lists is not supported "
             "(the reference raises for argmin/argmax too; use axis=None or flatten first)"
         )
-    # per-list regime: apply the leaf reducer beneath ax-1 transform levels
+    if ax < depth:
+        # non-innermost axis: positional combine across sublists (awkward's
+        # broadcasting reduction — ak.sum([[1,2],[3]], axis=1) == [4, 2])
+        if op not in _POSITIONAL_MERGE:
+            raise NotImplementedError(
+                f"{op} along a non-innermost axis (positional combine) is "
+                "only defined for identity-based reducers"
+            )
+        sub_dt = element_type(arr.dtype, ax)  # type below the reduced level: array<...>
+        return arr._wrap(
+            apply_at_depth(
+                arr._col, ax - 1, lambda c: _positional_reduce(c, sub_dt, op)
+            )
+        )
+    # innermost list: apply the leaf reducer beneath ax-1 transform levels
     return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: leaf(c, dt)))
 
 

@@ -692,3 +692,25 @@ ORACLES = {
     "op_sum_axis2": OP_SUM_AXIS2_SQL,
     "op_unflatten": OP_UNFLATTEN_SQL,
 }
+
+
+def op_sum_positional_axis1(spark, sf_dir):
+    """Non-innermost-axis reduction: ak.sum(axis=1) on depth-2 lists is a
+    positional combine across sublists (reference §1.3 two-regime split —
+    this is the jagged-broadcasting case)."""
+    df = _nested2(spark, sf_dir)
+    a = _arr(df, "qss")
+    return df.select("o_custkey", red.sum(a, axis=1).col.alias("pos_sums"))
+
+
+OP_SUM_POSITIONAL_SQL = NESTED2_CTE + """
+SELECT o_custkey,
+       list_transform(
+         range(CAST(coalesce(list_aggregate(list_transform(qss, x -> len(x)), 'max'), 0) AS BIGINT)),
+         i -> CAST(list_aggregate(list_transform(list_filter(qss, l -> len(l) > i), l -> l[i+1]), 'sum') AS DOUBLE)
+       ) AS pos_sums
+FROM nested2
+"""
+
+QUERIES["op_sum_positional_axis1"] = op_sum_positional_axis1
+ORACLES["op_sum_positional_axis1"] = OP_SUM_POSITIONAL_SQL

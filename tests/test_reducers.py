@@ -150,3 +150,20 @@ def test_strings_astype(spark):
 
     arr = das.from_lists(spark, [["1", "2.5", "x"], []], "array<string>")
     assert strings_astype(arr).compute() == [[1.0, 2.5, None], []]
+
+
+def test_positional_axis1_depth2(spark):
+    """Non-innermost axis: positional combine (ak.sum semantics)."""
+    arr = das.from_lists(
+        spark, [[[1, 2], [3]], [[], [4, 5]], []], "array<array<bigint>>"
+    )
+    assert das.sum(arr, axis=1).compute() == [[4, 2], [4, 5], []]
+    assert das.max(arr, axis=1).compute() == [[3, 2], [4, 5], []]
+    assert das.min(arr, axis=1).compute() == [[1, 2], [4, 5], []]
+    assert das.count(arr, axis=1).compute() == [[2, 1], [1, 1], []]
+    assert das.prod(arr, axis=1).compute() == [[3, 2], [4, 5], []]
+
+
+def test_positional_axis2_depth3(spark):
+    a3 = das.from_lists(spark, [[[[1], [2, 3]], [[10]]]], "array<array<array<bigint>>>")
+    assert das.sum(a3, axis=2).compute() == [[[3, 3], [10]]]

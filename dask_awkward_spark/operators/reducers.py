@@ -102,7 +102,9 @@ _LIST_REDUCERS: dict[str, Callable[[Column, T.DataType], Column]] = {
 }
 
 # scalar merge rules for positional (non-innermost-axis) reductions;
-# one side may be null when sublist lengths differ (jagged broadcasting)
+# one side may be null when sublist lengths differ (jagged broadcasting).
+# Leaves are pre-normalized by _positional_prepare (widened accumulator /
+# boolean cast / indicator), so merges operate on uniform types.
 _POSITIONAL_MERGE: dict[str, Callable[[Column, Column], Column]] = {
     "sum": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
     "prod": lambda a, b: F.coalesce(a, F.lit(1)) * F.coalesce(b, F.lit(1)),
@@ -110,8 +112,11 @@ _POSITIONAL_MERGE: dict[str, Callable[[Column, Column], Column]] = {
     "max": lambda a, b: F.when(a.isNull(), b).when(b.isNull(), a).otherwise(F.greatest(a, b)),
     "any": lambda a, b: F.coalesce(a, F.lit(False)) | F.coalesce(b, F.lit(False)),
     "all": lambda a, b: F.coalesce(a, F.lit(True)) & F.coalesce(b, F.lit(True)),
-    "count": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
 }
+
+# ops supported along a non-innermost axis (count/count_nonzero reduce to
+# a positional sum of indicators)
+_POSITIONAL_OPS = frozenset(_POSITIONAL_MERGE) | {"count", "count_nonzero"}
 
 
 def _positional_merge_values(a: Column, b: Column, dt: T.DataType, op: str) -> Column:
@@ -126,33 +131,55 @@ def _positional_merge_values(a: Column, b: Column, dt: T.DataType, op: str) -> C
     return _POSITIONAL_MERGE[op](a, b)
 
 
-def _apply_leafwise(col: Column, dt: T.DataType, fn: Callable[[Column], Column]) -> Column:
-    if isinstance(dt, T.ArrayType):
-        return F.transform(col, lambda x: _apply_leafwise(x, dt.elementType, fn))
-    return fn(col)
-
-
 def _retype(dt: T.DataType, leaf: T.DataType) -> T.DataType:
     if isinstance(dt, T.ArrayType):
         return T.ArrayType(_retype(dt.elementType, leaf), True)
     return leaf
 
 
+def _positional_prepare(
+    col: Column, sub_dt: T.DataType, op: str
+) -> tuple[Column, T.DataType, str]:
+    """Normalize leaves so the merge rules are type-stable: widen numeric
+    accumulators exactly like the innermost-axis reducers (_list_sum),
+    cast any/all inputs to boolean, turn count variants into indicators."""
+    from ..schema import list_depth
+
+    leaf = sub_dt
+    while isinstance(leaf, T.ArrayType):
+        leaf = leaf.elementType
+    depth = list_depth(sub_dt)
+
+    def leafwise(fn: Callable[[Column], Column]) -> Column:
+        return apply_at_depth(col, depth + 1, fn)
+
+    if op in ("count", "count_nonzero"):
+        pred = (
+            (lambda x: x.isNotNull())
+            if op == "count"
+            else (lambda x: x.isNotNull() & (x != 0))
+        )
+        return (
+            leafwise(lambda x: F.when(pred(x), F.lit(1)).otherwise(F.lit(0)).cast("bigint")),
+            _retype(sub_dt, T.LongType()),
+            "sum",
+        )
+    if op in ("any", "all"):
+        return leafwise(lambda x: x.cast("boolean")), _retype(sub_dt, T.BooleanType()), op
+    if op in ("sum", "prod"):
+        acc = (
+            T.DoubleType()
+            if isinstance(leaf, (T.DoubleType, T.FloatType, T.DecimalType))
+            else T.LongType()
+        )
+        return leafwise(lambda x: x.cast(acc)), _retype(sub_dt, acc), op
+    return col, sub_dt, op
+
+
 def _positional_reduce(col: Column, sub_dt: T.DataType, op: str) -> Column:
     """Collapse one list level positionally: fold sublists together
     element-by-element (ragged tails survive on their own)."""
-    if op == "count":
-        # count per position = positional sum of 1/0 presence indicators
-        sub_dt = _retype(sub_dt, T.LongType())
-        col = F.transform(
-            col,
-            lambda l: _apply_leafwise(
-                l,
-                sub_dt,
-                lambda x: F.when(x.isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
-            ),
-        )
-        op = "sum"
+    col, sub_dt, op = _positional_prepare(col, sub_dt, op)
     init = F.lit(None).cast(sub_dt)
     merged = F.aggregate(
         col,
@@ -233,10 +260,10 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
     if ax < depth:
         # non-innermost axis: positional combine across sublists (awkward's
         # broadcasting reduction — ak.sum([[1,2],[3]], axis=1) == [4, 2])
-        if op not in _POSITIONAL_MERGE:
+        if op not in _POSITIONAL_OPS:
             raise NotImplementedError(
                 f"{op} along a non-innermost axis (positional combine) is "
-                "only defined for identity-based reducers"
+                "not supported; supported: " + ", ".join(sorted(_POSITIONAL_OPS))
             )
         sub_dt = element_type(arr.dtype, ax)  # type below the reduced level: array<...>
         return arr._wrap(

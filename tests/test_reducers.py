@@ -167,3 +167,14 @@ def test_positional_axis1_depth2(spark):
 def test_positional_axis2_depth3(spark):
     a3 = das.from_lists(spark, [[[[1], [2, 3]], [[10]]]], "array<array<array<bigint>>>")
     assert das.sum(a3, axis=2).compute() == [[[3, 3], [10]]]
+
+
+def test_positional_numeric_edge_types(spark):
+    """Regression: numeric leaves through any/all, int32 widening,
+    count_nonzero along non-innermost axes (code-review findings)."""
+    a = das.from_lists(spark, [[[1, 0], [0]]], "array<array<bigint>>")
+    assert das.any(a, axis=1).compute() == [[True, False]]
+    assert das.all(a, axis=1).compute() == [[False, False]]
+    assert das.count_nonzero(a, axis=1).compute() == [[1, 0]]
+    i = das.from_lists(spark, [[[2147483647, 1], [10]]], "array<array<int>>")
+    assert das.sum(i, axis=1).compute() == [[2147483657, 1]]

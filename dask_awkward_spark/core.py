@@ -145,7 +145,14 @@ class NestedArray:
         return self._col
 
     def _wrap(self, col: Column) -> "NestedArray":
-        return NestedArray(self._df, col)
+        out = NestedArray(self._df, col)
+        # behavior tag / parameters ride along derived arrays (the
+        # reference propagates behaviors through operations)
+        if getattr(self, "_name", None) is not None:
+            out._name = self._name  # type: ignore[attr-defined]
+        if getattr(self, "_parameters", None):
+            out._parameters = dict(self._parameters)  # type: ignore[attr-defined]
+        return out
 
     def _check_base(self, other: "NestedArray") -> None:
         if other._df is not self._df:
@@ -156,19 +163,12 @@ class NestedArray:
 
     # ---------------- projection / getitem ----------------
     def _project_field(self, name: str) -> Column:
-        dt = self.dtype
-
         def proj(col: Column, dt: T.DataType) -> Column:
             if isinstance(dt, T.ArrayType):
-                return F.transform(col, lambda x: proj_inner(x, dt.elementType))
+                return F.transform(col, lambda x: proj(x, dt.elementType))
             return col[name]
 
-        def proj_inner(col: Column, dt: T.DataType) -> Column:
-            if isinstance(dt, T.ArrayType):
-                return F.transform(col, lambda x: proj_inner(x, dt.elementType))
-            return col[name]
-
-        return proj(self._col, dt)
+        return proj(self._col, self.dtype)
 
     def __getitem__(self, key: Any) -> "NestedArray | Record":
         # field projection: arr["x"], possibly through list levels
@@ -184,11 +184,19 @@ class NestedArray:
                 return F.struct(*[col[k].alias(k) for k in key])
 
             return self._wrap(build(self._col, dt))
+        # empty gather list -> empty collection (awkward arr[[]])
+        if isinstance(key, list) and not key:
+            return NestedArray(self.to_df().limit(0))
         # outer integer-list gather: rows by position, order preserved
         # (reference int-array getitem, lib/core.py:1563-1569 outer branch).
-        # Out-of-range indices are dropped (join semantics) rather than
-        # raising — checking eagerly would force an extra count action.
-        if isinstance(key, list) and key and all(isinstance(k, int) for k in key):
+        # Out-of-range positive indices are dropped (join semantics) rather
+        # than raising — checking eagerly would force an extra count action;
+        # negative indices are normalized with an eager count, like the
+        # reference's divisions lookup.
+        if isinstance(key, list) and all(isinstance(k, int) for k in key):
+            if any(k < 0 for k in key):
+                n = self._df.count()
+                key = [k + n if k < 0 else k for k in key]
             idxed = self.with_row_index()
             spark = self._df.sparkSession
             sel = spark.createDataFrame(
@@ -246,8 +254,11 @@ class NestedArray:
                 return F.zip_with(a, m, lambda x, mm: rec(x, mm, d - 1))
 
             return self._wrap(rec(self._col, key._col, kdepth))
-        # integer gather per list (reference lib/core.py:1563-1569)
+        # integer gather per list (reference lib/core.py:1563-1569);
+        # a depth-0 int key picks one element per row: arr[i] == get(arr, i)
         def gather(a: Column, i: Column, d: int) -> Column:
+            if d == 0:
+                return F.get(a, i)
             if d == 1:
                 return F.transform(i, lambda j: F.get(a, j))
             return F.zip_with(a, i, lambda x, jj: gather(x, jj, d - 1))
@@ -258,6 +269,14 @@ class NestedArray:
         start, stop, step = key.start, key.stop, key.step
         if step is not None and step <= 0:
             raise ValueError("only positive step supported (as in the reference)")
+        if (start is not None and start < 0) or (stop is not None and stop < 0):
+            # negative bounds need the row count — eager, like the
+            # reference's eager_compute_divisions (lib/core.py:1480)
+            n = self._df.count()
+            if start is not None and start < 0:
+                start = max(n + start, 0)
+            if stop is not None and stop < 0:
+                stop = max(n + stop, 0)
         idxed = self.with_row_index()
         cond = F.lit(True)
         rid = F.col("__row_id__")
@@ -288,13 +307,28 @@ class NestedArray:
                 if axis == 0:
                     out = out._getitem_slice(k)
                 else:
-                    start = k.start or 0
-                    length = (1 << 30) if k.stop is None else max(k.stop - start, 0)
-                    out = out._wrap(
-                        apply_at_depth(
-                            out._col, axis - 1, lambda c: F.slice(c, start + 1, length)
+                    start, stop = k.start or 0, k.stop
+
+                    def inner_slice(c: Column, start=start, stop=stop) -> Column:
+                        n = F.size(c)
+                        # python-slice normalization with negative bounds
+                        s = (
+                            F.greatest(n + F.lit(start), F.lit(0))
+                            if start < 0
+                            else F.lit(start)
                         )
-                    )
+                        if stop is None:
+                            e = n
+                        elif stop < 0:
+                            e = F.greatest(n + F.lit(stop), F.lit(0))
+                        else:
+                            e = F.lit(stop)
+                        length = F.greatest(e - s, F.lit(0))
+                        return F.when(length > 0, F.slice(c, s + 1, length)).otherwise(
+                            F.slice(c, 1, 0)
+                        )
+
+                    out = out._wrap(apply_at_depth(out._col, axis - 1, inner_slice))
                 axis += 1
                 continue
             raise TypeError(f"unsupported tuple element {k!r}")
@@ -320,17 +354,41 @@ class NestedArray:
     def with_row_index(self) -> "NestedArray":
         """Materialize an explicit global row index (the reference's
         divisions analogue, SURVEY §1.1) — only when an order-sensitive op
-        needs it. Uses a window over a stable order if available, else
-        zipWithIndex-equivalent via monotonically_increasing_id + rank."""
+        needs it.
+
+        Scale path: per-partition local row numbers (parallel windows
+        partitioned by spark_partition_id) + an eager per-partition count
+        pass to compute offsets — the exact analogue of the reference's
+        ``calculate_known_divisions`` (lib/core.py:2460-2484, a deliberate
+        laziness break). No single-partition global window."""
         if "__row_id__" in self._df.columns:
             return self
         from pyspark.sql import Window
 
-        df = self._df.withColumn("__mono__", F.monotonically_increasing_id())
-        df = df.withColumn(
-            "__row_id__",
-            F.row_number().over(Window.orderBy("__mono__")) - 1,
-        ).drop("__mono__")
+        df = self._df.withColumn("__mono__", F.monotonically_increasing_id()).withColumn(
+            "__pid__", F.spark_partition_id()
+        )
+        # eager divisions: per-partition counts -> cumulative offsets
+        counts = {
+            r["__pid__"]: r["cnt"]
+            for r in df.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        spark = self._df.sparkSession
+        off_df = spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "__pid__ int, __off__ long",
+        )
+        w = Window.partitionBy("__pid__").orderBy("__mono__")
+        df = (
+            df.withColumn("__local__", F.row_number().over(w) - 1)
+            .join(F.broadcast(off_df), "__pid__", "left")
+            .withColumn("__row_id__", F.col("__local__") + F.coalesce("__off__", F.lit(0)))
+            .drop("__mono__", "__pid__", "__local__", "__off__")
+        )
         return NestedArray(df, self._col)
 
     def head(self, n: int = 5) -> list:

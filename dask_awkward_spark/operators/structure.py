@@ -36,7 +36,7 @@ def _col_at_axis(arr: NestedArray, axis: int) -> tuple[Column, int]:
 def num(arr: NestedArray, axis: int = 1) -> NestedArray | Scalar:
     """List lengths at axis (reference lib/structure.py:626-669);
     axis=0 → total row count."""
-    if axis == 0:
+    if normalize_axis(axis, arr.depth) == 0:
         return Scalar(arr._df.agg(F.count(F.lit(1)).alias(VALUE_COL)))
     col, d = _col_at_axis(arr, axis)
     return arr._wrap(apply_at_depth(col, d, F.size))
@@ -61,8 +61,13 @@ def flatten(arr: NestedArray, axis: int | None = 1) -> NestedArray:
         df = arr.to_df().select(F.explode(F.col(VALUE_COL)).alias(VALUE_COL))
         return NestedArray(df)
     col = arr._col
-    # flatten the list at level ax into the list at level ax-1
-    return arr._wrap(apply_at_depth(col, ax - 2, F.flatten))
+    # flatten the list at level ax into the list at level ax-1; null
+    # sublists act as empty (F.flatten alone would null the whole result)
+    return arr._wrap(
+        apply_at_depth(
+            col, ax - 2, lambda c: F.flatten(F.filter(c, lambda x: x.isNotNull()))
+        )
+    )
 
 
 def ravel(arr: NestedArray) -> NestedArray:
@@ -197,19 +202,33 @@ def fill_none(arr: NestedArray, value: Any, axis: int | None = None) -> NestedAr
     at every level."""
     lit = value._col if isinstance(value, NestedArray) else F.lit(value)
     if axis is None:
+        # fill null LEAVES at every depth. A missing *list* filled with a
+        # scalar would need a union type (list|scalar) — unrepresentable
+        # in Spark, so missing lists are left as null (documented
+        # divergence from awkward's union-producing behavior).
         def rec(c: Column, d: int) -> Column:
-            filled = F.coalesce(c, lit) if d == 0 else F.coalesce(
-                F.transform(c, lambda x: rec(x, d - 1)), lit
-            )
-            return filled
+            if d == 0:
+                return F.coalesce(c, lit)
+            return F.transform(c, lambda x: rec(x, d - 1))
+
         return arr._wrap(rec(arr._col, arr.depth))
     ax = normalize_axis(axis, arr.depth)
     return arr._wrap(apply_at_depth(arr._col, ax, lambda c: F.coalesce(c, lit)))
 
 
 def drop_none(arr: NestedArray, axis: int | None = None) -> NestedArray:
-    """Remove nulls from lists (reference lib/structure.py:385-397)."""
-    ax = arr.depth if axis is None else normalize_axis(axis, arr.depth)
+    """Remove nulls from lists (reference lib/structure.py:385-397).
+    axis=None drops nulls at EVERY level: null rows, null sublists, and
+    null leaves."""
+    if axis is None:
+        col = arr._col
+        for lvl in range(arr.depth, 0, -1):
+            col = apply_at_depth(
+                col, lvl - 1, lambda c: F.filter(c, lambda x: x.isNotNull())
+            )
+        out = arr._wrap(col)
+        return NestedArray(out.to_df().filter(F.col(VALUE_COL).isNotNull()))
+    ax = normalize_axis(axis, arr.depth)
     if ax == 0:
         return NestedArray(arr.to_df().filter(F.col(VALUE_COL).isNotNull()))
     return arr._wrap(
@@ -505,12 +524,13 @@ def broadcast_arrays(*arrays: NestedArray) -> list[NestedArray]:
     deepest operand's list structure."""
     maxd = max(a.depth for a in arrays)
     base = arrays[0]
+    for a in arrays[1:]:
+        base._check_base(a)
     out = []
     for a in arrays:
         if a.depth == maxd:
             out.append(a)
             continue
-        base._check_base(a)
         deep = next(x for x in arrays if x.depth == maxd)
         out.append(
             a._wrap(
@@ -521,24 +541,30 @@ def broadcast_arrays(*arrays: NestedArray) -> list[NestedArray]:
 
 
 def with_name(arr: NestedArray, name: str) -> NestedArray:
-    """Record-name tagging (reference lib/structure.py:1145-1161). Spark
-    has no record names; carried as column metadata on materialization."""
-    arr._name = name  # type: ignore[attr-defined]
-    return arr
+    """Record-name tagging (reference lib/structure.py:1145-1161). Returns
+    a NEW array (the input stays untagged, as in the reference); the tag
+    propagates through derived ops via NestedArray._wrap."""
+    out = NestedArray(arr._df, arr._col)
+    out._name = name  # type: ignore[attr-defined]
+    if getattr(arr, "_parameters", None):
+        out._parameters = dict(arr._parameters)  # type: ignore[attr-defined]
+    return out
 
 
 def with_parameter(arr: NestedArray, key: str, value: Any) -> NestedArray:
     """Layout-parameter metadata (reference lib/structure.py:1187-1231) —
-    stored driver-side; surfaces as StructField.metadata on write."""
+    stored driver-side; returns a new array."""
+    out = arr._wrap(arr._col)
     params = dict(getattr(arr, "_parameters", {}) or {})
     params[key] = value
-    arr._parameters = params  # type: ignore[attr-defined]
-    return arr
+    out._parameters = params  # type: ignore[attr-defined]
+    return out
 
 
 def without_parameters(arr: NestedArray) -> NestedArray:
-    arr._parameters = {}  # type: ignore[attr-defined]
-    return arr
+    out = arr._wrap(arr._col)
+    out._parameters = {}  # type: ignore[attr-defined]
+    return out
 
 
 def enforce_type(arr: NestedArray, dtype: str | T.DataType) -> NestedArray:

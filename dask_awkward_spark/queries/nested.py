@@ -293,11 +293,13 @@ def op_mask_fill_drop(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
     masked = st.mask(qs, qs < 25.0)  # None where q >= 25
+    # axis=1 (element-level): axis=None would also drop null ROWS, which
+    # re-bases the DataFrame and can't be embedded in this wider select
     return df.select(
         "l_orderkey",
         st.fill_none(masked, -1.0, axis=1).col.alias("filled"),
-        st.drop_none(masked).col.alias("dropped"),
-        red.sum(st.drop_none(masked), axis=1).col.alias("kept_sum"),
+        st.drop_none(masked, axis=1).col.alias("dropped"),
+        red.sum(st.drop_none(masked, axis=1), axis=1).col.alias("kept_sum"),
     )
 
 

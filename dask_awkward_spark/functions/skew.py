@@ -30,6 +30,11 @@ def salted_join(
     """Equi-join where ``big`` has skewed keys: ``big`` gets a random salt
     in [0, salt); ``small`` is exploded ``salt``× so every salted key finds
     its match. Correct for 1:N joins keyed on ``key``."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports inner/left joins only: the exploded small "
+            "side would emit spurious unmatched replicas under right/full outer"
+        )
     b = big.withColumn("__salt__", (F.rand(seed=7) * salt).cast("int"))
     s = small.withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = b.join(s, [key, "__salt__"], how)

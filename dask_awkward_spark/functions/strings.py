@@ -62,14 +62,25 @@ def center(arr, width, padding=" "):
     def f(c):
         total = F.greatest(F.lit(width) - F.length(c), F.lit(0))
         left = F.floor(total / 2).cast("int")
-        return F.rpad(F.concat(F.repeat(F.lit(padding), left), c), width, padding)
+        padded = F.rpad(F.concat(F.repeat(F.lit(padding), left), c), width, padding)
+        # strings longer than width pass through unchanged (Python/Arrow
+        # center semantics; rpad alone would truncate them)
+        return F.when(F.length(c) >= width, c).otherwise(padded)
     return _map(arr, f)
 
 def lpad(arr, width, padding=" "): return _map(arr, lambda c: F.lpad(c, width, padding))
 def rpad(arr, width, padding=" "): return _map(arr, lambda c: F.rpad(c, width, padding))
-def ltrim(arr, characters): return _map(arr, lambda c: F.regexp_replace(c, f"^[{characters}]+", ""))
-def rtrim(arr, characters): return _map(arr, lambda c: F.regexp_replace(c, f"[{characters}]+$", ""))
-def trim(arr, characters): return _map(arr, lambda c: F.regexp_replace(F.regexp_replace(c, f"^[{characters}]+", ""), f"[{characters}]+$", ""))
+def _char_class(characters: str) -> str:
+    """Regex character class matching exactly the given characters —
+    metachars like '-', ']', '\\' are escaped, not interpreted."""
+    import re as _re
+
+    return "[" + "".join(_re.escape(ch) for ch in characters) + "]"
+
+
+def ltrim(arr, characters): return _map(arr, lambda c: F.regexp_replace(c, f"^{_char_class(characters)}+", ""))
+def rtrim(arr, characters): return _map(arr, lambda c: F.regexp_replace(c, f"{_char_class(characters)}+$", ""))
+def trim(arr, characters): return _map(arr, lambda c: F.regexp_replace(F.regexp_replace(c, f"^{_char_class(characters)}+", ""), f"{_char_class(characters)}+$", ""))
 def ltrim_whitespace(arr): return _map(arr, F.ltrim)
 def rtrim_whitespace(arr): return _map(arr, F.rtrim)
 def trim_whitespace(arr): return _map(arr, F.trim)

@@ -43,14 +43,15 @@ def _numeric_zero(dt: T.DataType) -> Column:
 # ---------------- per-list leaf reducers (axis >= 1) ----------------
 
 def _list_sum(c: Column, dt: T.DataType) -> Column:
-    # wider accumulator to avoid int overflow at scale; nulls skipped
-    acc = "double" if isinstance(dt, (T.DoubleType, T.FloatType)) else "bigint"
+    # wider accumulator to avoid int overflow at scale; nulls skipped.
+    # decimals go to double (bigint would truncate fractions)
+    acc = "double" if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)) else "bigint"
     z = F.lit(0).cast(acc)
     return F.aggregate(c, z, lambda a, x: a + F.coalesce(x.cast(acc), F.lit(0).cast(acc)))
 
 
 def _list_prod(c: Column, dt: T.DataType) -> Column:
-    acc = "double" if isinstance(dt, (T.DoubleType, T.FloatType)) else "bigint"
+    acc = "double" if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)) else "bigint"
     one = F.lit(1).cast(acc)
     return F.aggregate(c, one, lambda a, x: a * F.coalesce(x.cast(acc), one))
 
@@ -218,6 +219,12 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
         raise NotImplementedError(
             "positional reduction with axis=None (matches the reference, lib/core.py:2365-2366)"
         )
+    if axis is None and op == "ptp":
+        # global ptp = global max - global min (reducing per-row ptps
+        # first would lose cross-row extremes)
+        gmax = _reduce(arr, "max", None)
+        gmin = _reduce(arr, "min", None)
+        return gmax - gmin  # lazy Scalar arithmetic
     if axis is None:
         # collapse every list level per row, then one global aggregate —
         # the reference's _prepare_axis_none_chunk + tree combine
@@ -227,8 +234,6 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
             for _ in range(depth - 1):
                 flat = F.flatten(flat)
             col = leaf(flat, dt)
-            if op == "count" and depth > 0:
-                pass  # per-row counts then summed below
         gagg = _GLOBAL_AGGS[op]
         if depth > 0 and op in ("count", "count_nonzero"):
             gagg = F.sum  # partial counts are summed (reference lib/reducers.py:187-219)
@@ -236,7 +241,7 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
             gagg = lambda c: F.max(c)
         if depth > 0 and op == "all":
             gagg = lambda c: F.min(c)
-        if op in ("mean", "var", "std") and depth > 0:
+        if op in ("mean", "var", "std"):
             return _global_moments(arr, op)
         agg_col = gagg(col)
         # identity for the zero-row input (ak.sum([]) == 0, prod == 1, ...)
@@ -275,24 +280,31 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
     return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: leaf(c, dt)))
 
 
-def _global_moments(arr: NestedArray, op: str) -> Scalar:
-    """mean/var/std over all elements of nested lists: per-row (sum, count,
-    sumsq) partials, combined by a single global aggregate — two-level
-    partial aggregation exactly like Spark's own avg."""
-    col = arr._col
-    for _ in range(arr.depth - 1):
-        col = F.flatten(col)
-    dt = _leaf_type(arr)
-    s = _list_sum(col, dt).cast("double")
-    n = F.size(F.filter(col, lambda x: x.isNotNull())).cast("bigint")
-    ss = F.aggregate(col, F.lit(0.0), lambda a, x: a + F.coalesce(x.cast("double") * x.cast("double"), F.lit(0.0)))
-    agg = arr._df.agg(F.sum(s).alias("s"), F.sum(n).alias("n"), F.sum(ss).alias("ss"))
-    if op == "mean":
-        out = agg.select((F.col("s") / F.col("n")).alias(VALUE_COL))
-    elif op == "var":
-        out = agg.select(((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")).alias(VALUE_COL))
+def _global_moments(arr: NestedArray, op: str, ddof: int = 0) -> Scalar:
+    """mean/var/std over all elements (any depth incl. 0): per-row
+    (sum, count, sumsq) partials, combined by a single global aggregate —
+    two-level partial aggregation exactly like Spark's own avg. ddof
+    adjusts the variance denominator (n - ddof)."""
+    if arr.depth == 0:
+        c = arr._col.cast("double")
+        s, n, ss = c, F.when(c.isNotNull(), 1).otherwise(0).cast("bigint"), c * c
     else:
-        out = agg.select(F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")).alias(VALUE_COL))
+        col = arr._col
+        for _ in range(arr.depth - 1):
+            col = F.flatten(col)
+        dt = _leaf_type(arr)
+        s = _list_sum(col, dt).cast("double")
+        n = F.size(F.filter(col, lambda x: x.isNotNull())).cast("bigint")
+        ss = F.aggregate(col, F.lit(0.0), lambda a, x: a + F.coalesce(x.cast("double") * x.cast("double"), F.lit(0.0)))
+    agg = arr._df.agg(F.sum(s).alias("s"), F.sum(n).alias("n"), F.sum(ss).alias("ss"))
+    nn = F.col("n")
+    if op == "mean":
+        out = agg.select((F.col("s") / nn).alias(VALUE_COL))
+    else:
+        v = F.when(
+            nn > ddof, (F.col("ss") - F.col("s") * F.col("s") / nn) / (nn - ddof)
+        )
+        out = agg.select((F.sqrt(v) if op == "std" else v).alias(VALUE_COL))
     return Scalar(out)
 
 
@@ -344,18 +356,26 @@ def mean(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
 
 def var(arr: NestedArray, axis: int | None = None, ddof: int = 0) -> NestedArray | Scalar:
     """reference lib/reducers.py:559-589"""
-    if axis is not None and normalize_axis(axis, arr.depth) >= 1 and ddof != 0:
-        dt = _leaf_type(arr)
+    if axis is None and ddof != 0:
+        return _global_moments(arr, "var", ddof)
+    if axis is not None and ddof != 0:
         ax = normalize_axis(axis, arr.depth)
+        if ax != arr.depth:
+            raise NotImplementedError("var with ddof only along the innermost axis or axis=None")
+        dt = _leaf_type(arr)
         return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: _list_var(c, dt, ddof)))
     return _reduce(arr, "var", axis)
 
 
 def std(arr: NestedArray, axis: int | None = None, ddof: int = 0) -> NestedArray | Scalar:
     """reference lib/reducers.py:484-514"""
-    if axis is not None and normalize_axis(axis, arr.depth) >= 1 and ddof != 0:
-        dt = _leaf_type(arr)
+    if axis is None and ddof != 0:
+        return _global_moments(arr, "std", ddof)
+    if axis is not None and ddof != 0:
         ax = normalize_axis(axis, arr.depth)
+        if ax != arr.depth:
+            raise NotImplementedError("std with ddof only along the innermost axis or axis=None")
+        dt = _leaf_type(arr)
         return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: F.sqrt(_list_var(c, dt, ddof))))
     return _reduce(arr, "std", axis)
 
@@ -387,6 +407,8 @@ def moment(arr: NestedArray, n: int, axis: int | None = 1) -> NestedArray | Scal
         den = _reduce(arr, "count", None)
         return num / den  # lazy Scalar arithmetic
     ax = normalize_axis(axis, arr.depth)
+    if ax != arr.depth:
+        raise NotImplementedError("moment only along the innermost axis or axis=None")
 
     def m(c: Column) -> Column:
         cnt = F.size(F.filter(c, lambda x: x.isNotNull()))
@@ -415,6 +437,8 @@ def covar(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     lib/reducers.py:257-282 — uplift)."""
     a._check_base(b)
     ax = normalize_axis(axis, a.depth)
+    if ax != a.depth:
+        raise NotImplementedError("covar only along the innermost axis")
 
     def f(x: Column, y: Column) -> Column:
         s = _pair_sums(x, y)
@@ -429,6 +453,8 @@ def corr(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     """Per-list Pearson correlation (uplift)."""
     a._check_base(b)
     ax = normalize_axis(axis, a.depth)
+    if ax != a.depth:
+        raise NotImplementedError("corr only along the innermost axis")
 
     def f(x: Column, y: Column) -> Column:
         s = _pair_sums(x, y)
@@ -448,6 +474,8 @@ def linear_fit(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     struct<intercept, slope>."""
     a._check_base(b)
     ax = normalize_axis(axis, a.depth)
+    if ax != a.depth:
+        raise NotImplementedError("linear_fit only along the innermost axis")
 
     def f(x: Column, y: Column) -> Column:
         s = _pair_sums(x, y)
@@ -468,6 +496,8 @@ def softmax(arr: NestedArray, axis: int = -1) -> NestedArray:
     """exp-normalize per list (NotImplemented in the reference,
     lib/reducers.py:404-415 — uplift)."""
     ax = normalize_axis(axis, arr.depth)
+    if ax != arr.depth:
+        raise NotImplementedError("softmax only along the innermost axis")
     dt = _leaf_type(arr)
 
     def sm(c: Column) -> Column:

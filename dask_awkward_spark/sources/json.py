@@ -47,9 +47,13 @@ def from_json(
         # probe. (The _corrupt_record column would need df.cache(), and the
         # cached plan then shadows later re-reads of the same path with
         # stale data — a correctness hazard.)
-        lines = spark.read.text(source)
+        if line_delimited:
+            units = spark.read.text(source)
+        else:
+            # single-object-per-file mode: validate whole files, not lines
+            units = spark.read.text(source, wholetext=True)
         bad = (
-            lines.filter(F.trim("value") != "")
+            units.filter(F.trim("value") != "")
             .filter(F.try_parse_json(F.col("value")).isNull())
             .select(F.col("value").alias("record"))
         )

@@ -34,7 +34,7 @@ def _update_user_stats(
     n, c = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        c += int((pdf["value"] * 100).round().astype("int64").sum())
+        c += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
     state.update((n, c))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "value_c": [c]})
 

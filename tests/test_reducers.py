@@ -178,3 +178,21 @@ def test_positional_numeric_edge_types(spark):
     assert das.count_nonzero(a, axis=1).compute() == [[1, 0]]
     i = das.from_lists(spark, [[[2147483647, 1], [10]]], "array<array<int>>")
     assert das.sum(i, axis=1).compute() == [[2147483657, 1]]
+
+
+def test_ptp_global_and_ddof(spark):
+    """Regression (review findings): global ptp spans rows; ddof honored
+    at axis=None; decimals widen to double not bigint."""
+    a = das.from_lists(spark, [[0.0, 10.0], [100.0, 100.0]], "array<double>")
+    assert das.ptp(a, axis=None).compute() == 100.0
+    b = das.from_lists(spark, [1.0, 2.0, 3.0], "double")
+    assert das.var(b, axis=None, ddof=1).compute() == pytest.approx(1.0)
+    assert das.var(b, axis=None).compute() == pytest.approx(2 / 3)
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [([Decimal("1.50"), Decimal("2.50")],)], "v array<decimal(10,2)>"
+    )
+    assert das.sum(das.NestedArray(df, "v"), axis=1).compute() == [4.0]
+    with pytest.raises(NotImplementedError):
+        das.var(das.from_lists(spark, [[[1.0]]], "array<array<double>>"), axis=1, ddof=1)

@@ -90,3 +90,13 @@ def test_membership(words):
 def test_nested_strings(spark):
     arr = das.from_lists(spark, [["Ab", "cD"], [], ["xY"]], "array<string>")
     assert S.upper(arr).compute() == [["AB", "CD"], [], ["XY"]]
+
+
+def test_center_no_truncate_and_trim_metachars(spark):
+    """Regression: center leaves long strings intact; trim treats the
+    character set literally (no regex-class interpretation)."""
+    w = das.from_lists(spark, ["hello world", "ab"], "string")
+    assert S.center(w, 5, "*").compute() == ["hello world", "*ab**"]
+    t = das.from_lists(spark, ["xaxbzx"], "string")
+    assert S.trim(t, "a-z").compute() == ["xaxbzx"]  # only literal a,-,z trimmed
+    assert S.trim(t, "x").compute() == ["axbz"]

@@ -211,7 +211,13 @@ _GLOBAL_AGGS: dict[str, Callable[[Column], Column]] = {
 }
 
 
-def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar:
+def _reduce(
+    arr: NestedArray,
+    op: str,
+    axis: int | None,
+    keepdims: bool = False,
+    mask_identity: bool | None = None,
+) -> NestedArray | Scalar:
     depth = arr.depth
     dt = _leaf_type(arr)
     leaf = _LIST_REDUCERS[op]
@@ -277,7 +283,43 @@ def _reduce(arr: NestedArray, op: str, axis: int | None) -> NestedArray | Scalar
             )
         )
     # innermost list: apply the leaf reducer beneath ax-1 transform levels
-    return arr._wrap(apply_at_depth(arr._col, ax - 1, lambda c: leaf(c, dt)))
+    return arr._wrap(
+        apply_at_depth(
+            arr._col,
+            ax - 1,
+            lambda c: _finish_leaf(leaf(c, dt), c, dt, op, keepdims, mask_identity),
+        )
+    )
+
+
+# identity values for mask_identity=False on reducers whose natural Spark
+# result is NULL on empty lists (reference threads mask_identity through
+# every reducer; ak defaults: sum/prod/count/any/all False, min/max True)
+_EMPTY_IDENTITY: dict[str, Callable[[T.DataType], Column]] = {
+    "min": lambda dt: F.lit(float("inf")).cast(dt if isinstance(dt, (T.DoubleType, T.FloatType)) else "double"),
+    "max": lambda dt: F.lit(float("-inf")).cast(dt if isinstance(dt, (T.DoubleType, T.FloatType)) else "double"),
+    "argmin": lambda dt: F.lit(-1),
+    "argmax": lambda dt: F.lit(-1),
+    "ptp": lambda dt: F.lit(0).cast(dt if isinstance(dt, (T.DoubleType, T.FloatType)) else "bigint"),
+}
+
+# reducers whose leaf result already yields an identity on empty lists
+# (so mask_identity=True must null them out explicitly)
+_HAS_IDENTITY = {"sum", "prod", "count", "count_nonzero", "any", "all"}
+
+
+def _finish_leaf(
+    res: Column, src: Column, dt: T.DataType, op: str, keepdims: bool, mask_identity: bool | None
+) -> Column:
+    if mask_identity is not None:
+        empty = F.size(src) == 0
+        if mask_identity and op in _HAS_IDENTITY:
+            res = F.when(~empty, res)  # empty -> NULL instead of identity
+        elif not mask_identity and op in _EMPTY_IDENTITY:
+            res = F.when(empty, _EMPTY_IDENTITY[op](dt)).otherwise(res)
+    if keepdims:
+        res = F.array(res)  # length-1 list (ak keepdims=True)
+    return res
 
 
 def _global_moments(arr: NestedArray, op: str, ddof: int = 0) -> Scalar:
@@ -308,44 +350,52 @@ def _global_moments(arr: NestedArray, op: str, ddof: int = 0) -> Scalar:
     return Scalar(out)
 
 
-def sum(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def sum(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:517-548"""
-    return _reduce(arr, "sum", axis)
+    return _reduce(arr, "sum", axis, keepdims, mask_identity)
 
 
-def prod(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def prod(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:418-449"""
-    return _reduce(arr, "prod", axis)
+    return _reduce(arr, "prod", axis, keepdims, mask_identity)
 
 
-def min(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def min(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:369-401"""
-    return _reduce(arr, "min", axis)
+    return _reduce(arr, "min", axis, keepdims, mask_identity)
 
 
-def max(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def max(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:293-325"""
-    return _reduce(arr, "max", axis)
+    return _reduce(arr, "max", axis, keepdims, mask_identity)
 
 
-def any(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def any(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:71-102"""
-    return _reduce(arr, "any", axis)
+    return _reduce(arr, "any", axis, keepdims, mask_identity)
 
 
-def all(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def all(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:37-68"""
-    return _reduce(arr, "all", axis)
+    return _reduce(arr, "all", axis, keepdims, mask_identity)
 
 
-def count(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def count(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:187-219"""
-    return _reduce(arr, "count", axis)
+    return _reduce(arr, "count", axis, keepdims, mask_identity)
 
 
-def count_nonzero(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
+def count_nonzero(arr: NestedArray, axis: int | None = None, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:222-254"""
-    return _reduce(arr, "count_nonzero", axis)
+    return _reduce(arr, "count_nonzero", axis, keepdims, mask_identity)
 
 
 def mean(arr: NestedArray, axis: int | None = None) -> NestedArray | Scalar:
@@ -380,15 +430,17 @@ def std(arr: NestedArray, axis: int | None = None, ddof: int = 0) -> NestedArray
     return _reduce(arr, "std", axis)
 
 
-def argmin(arr: NestedArray, axis: int | None = 1) -> NestedArray | Scalar:
+def argmin(arr: NestedArray, axis: int | None = 1, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:139-170 (axis>=1 only there; axis=None
     uplift via min_by over a row index would go here)"""
-    return _reduce(arr, "argmin", axis)
+    return _reduce(arr, "argmin", axis, keepdims, mask_identity)
 
 
-def argmax(arr: NestedArray, axis: int | None = 1) -> NestedArray | Scalar:
+def argmax(arr: NestedArray, axis: int | None = 1, keepdims: bool = False,
+        mask_identity: bool | None = None) -> NestedArray | Scalar:
     """reference lib/reducers.py:105-136"""
-    return _reduce(arr, "argmax", axis)
+    return _reduce(arr, "argmax", axis, keepdims, mask_identity)
 
 
 def ptp(arr: NestedArray, axis: int | None = 1) -> NestedArray | Scalar:

@@ -196,3 +196,19 @@ def test_ptp_global_and_ddof(spark):
     assert das.sum(das.NestedArray(df, "v"), axis=1).compute() == [4.0]
     with pytest.raises(NotImplementedError):
         das.var(das.from_lists(spark, [[[1.0]]], "array<array<double>>"), axis=1, ddof=1)
+
+
+def test_keepdims_mask_identity(spark):
+    """Reference reducer flags (threaded through all reducers there,
+    lib/reducers.py + lib/core.py:2298-2334)."""
+    jag = das.from_lists(spark, [[1, 2, 3], [], [5]], "array<bigint>")
+    assert das.sum(jag, axis=1, mask_identity=True).compute() == [6, None, 5]
+    assert das.sum(jag, axis=1, keepdims=True).compute() == [[6], [0], [5]]
+    assert das.max(jag, axis=1, keepdims=True, mask_identity=True).compute() == [
+        [3],
+        [None],
+        [5],
+    ]
+    f = das.from_lists(spark, [[1.0], []], "array<double>")
+    assert das.min(f, axis=1, mask_identity=False).compute() == [1.0, float("inf")]
+    assert das.argmin(jag, axis=1, mask_identity=False).compute() == [0, -1, 0]

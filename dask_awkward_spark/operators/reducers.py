@@ -222,9 +222,23 @@ def _reduce(
     dt = _leaf_type(arr)
     leaf = _LIST_REDUCERS[op]
     if axis is None and op in ("argmin", "argmax"):
-        raise NotImplementedError(
-            "positional reduction with axis=None (matches the reference, lib/core.py:2365-2366)"
-        )
+        # uplift over the reference (which raises, lib/core.py:2365-2366):
+        # global position of the extreme = min_by/max_by over the row index
+        if depth != 0:
+            raise NotImplementedError(
+                "global argmin/argmax on nested arrays (flatten first)"
+            )
+        idxed = arr.with_row_index()
+        rid = F.col("__row_id__")
+        # lexicographic tie-break so the FIRST occurrence wins (ak semantics)
+        if op == "argmin":
+            key = F.struct(idxed._col.alias("v"), rid.alias("i"))
+            agg_expr = F.min_by(rid, key)
+        else:
+            key = F.struct(idxed._col.alias("v"), (-rid).alias("i"))
+            agg_expr = F.max_by(rid, key)
+        out = idxed._df.filter(idxed._col.isNotNull()).agg(agg_expr.alias(VALUE_COL))
+        return Scalar(out)
     if axis is None and op == "ptp":
         # global ptp = global max - global min (reducing per-row ptps
         # first would lose cross-row extremes)

@@ -49,12 +49,16 @@ def to_parquet(
     compression: str = "zstd",
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    row_group_size_bytes: int | None = None,
 ) -> None:
     """Write one file per partition, zstd default — matching the
-    reference's defaults (lib/io/parquet.py:525-527). ``partition_by``
-    adds hive-style partition pruning for downstream scans (uplift)."""
+    reference's defaults (lib/io/parquet.py:525-527; its row_group_size
+    arg maps to parquet.block.size here). ``partition_by`` adds
+    hive-style partition pruning for downstream scans (uplift)."""
     df = data.to_df() if isinstance(data, NestedArray) else data
     w = df.write.mode("overwrite").option("compression", compression)
+    if row_group_size_bytes:
+        w = w.option("parquet.block.size", row_group_size_bytes)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:

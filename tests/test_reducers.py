@@ -212,3 +212,11 @@ def test_keepdims_mask_identity(spark):
     f = das.from_lists(spark, [[1.0], []], "array<double>")
     assert das.min(f, axis=1, mask_identity=False).compute() == [1.0, float("inf")]
     assert das.argmin(jag, axis=1, mask_identity=False).compute() == [0, -1, 0]
+
+
+def test_global_argminmax_uplift(spark):
+    """Global argmin/argmax (raises in the reference) — first-occurrence
+    tie-break via lexicographic min_by/max_by."""
+    flat = das.from_lists(spark, [5.0, 1.0, 9.0, 1.0, 9.0], "double")
+    assert das.argmin(flat, axis=None).compute() == 1
+    assert das.argmax(flat, axis=None).compute() == 2

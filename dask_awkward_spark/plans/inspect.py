@@ -29,7 +29,11 @@ def necessary_columns(df: DataFrame) -> dict[str, list[str]]:
         rs = re.search(r"ReadSchema: struct<(.*?)>\n", s, re.S)
         if rs:
             cols = [c.split(":")[0].strip() for c in _split_top(rs.group(1))]
-            out[(loc.group(1) if loc else f"scan{len(out)}")] = cols
+            key = loc.group(1) if loc else f"scan{len(out)}"
+            # self-joins scan the same file twice — keep every scan
+            while key in out:
+                key += "#"
+            out[key] = cols
     return out
 
 

@@ -232,13 +232,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Near-duplicate pairs by embedding cosine within a bounded candidate
     set (vec_id<200). Dot/norms computed in list order → engine-identical;
     rounded to 6 dp as the comparison key."""
+    from .similarity import _dot as dot
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     a, b = v.alias("a"), v.alias("b")
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
-
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
     cos = dot(F.col("a.e"), F.col("b.e")) / (
         F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))

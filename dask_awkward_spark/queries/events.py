@@ -68,7 +68,10 @@ def ev_sessionize(spark, sf_dir):
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            # cast-to-double is epoch seconds at microsecond precision —
+            # unix_timestamp() truncates to seconds and disagrees with the
+            # oracle's epoch() near the 1800s boundary
+            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
             1,
         ).otherwise(0),
     )

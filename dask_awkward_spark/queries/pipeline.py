@@ -165,10 +165,16 @@ def str_capitalize_title(spark, sf_dir):
 
 
 STR_CAPITALIZE_SQL = """
-SELECT doc_id,
-       upper(substring(source, 1, 1)) || lower(substring(source, 2)) AS cap,
-       TRUE AS titled
-FROM documents
+WITH capped AS (
+  SELECT doc_id, upper(substring(source, 1, 1)) || lower(substring(source, 2)) AS cap
+  FROM documents
+)
+SELECT doc_id, cap,
+       cap = array_to_string(
+         list_transform(string_split(cap, ' '),
+                        w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))),
+         ' ') AS titled
+FROM capped
 """
 
 

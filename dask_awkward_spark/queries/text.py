@@ -148,7 +148,8 @@ STR_PAD_SQL = """
 SELECT doc_id,
        lpad(source, 8, '_') AS lp,
        rpad(source, 8, '.') AS rp,
-       rpad(repeat('*', CAST(floor(greatest(10 - length(source), 0) / 2) AS INT)) || source, 10, '*') AS ctr,
+       CASE WHEN length(source) >= 10 THEN source
+            ELSE rpad(repeat('*', CAST(floor(greatest(10 - length(source), 0) / 2) AS INT)) || source, 10, '*') END AS ctr,
        regexp_replace(lpad(source, 8, '_'), '^[_]+', '') AS back,
        trim('  ' || source || '  ') AS tw
 FROM documents
@@ -265,14 +266,18 @@ def text_rolling_hashes(spark, sf_dir):
     )
 
 
-TEXT_ROLLING_SQL = TOK_CTE + """
-, wins AS (
+TEXT_ROLLING_SQL = """
+WITH ltok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
+  FROM documents
+), wins AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 8
               THEN list_transform(range(0, len(toks) - 8 + 1),
                                   i -> md5(array_to_string(toks[i+1:i+8], ' ')))
               ELSE [] END AS hs
-  FROM tok
+  FROM ltok
 )
 SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_win,
        CAST(len(list_distinct(hs)) AS BIGINT) AS n_uniq

@@ -73,18 +73,26 @@ def categorical_encode(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
         .withColumn("code", F.row_number().over(Window.orderBy("value")) - 1)
         .select("code", "value")
     )
+    # join through renamed internal columns so caller columns named
+    # 'value'/'code' survive
+    d2 = dictionary.select(
+        F.col("code").alias("__cat_code__"), F.col("value").alias("__cat_value__")
+    )
     coded = (
-        df.join(F.broadcast(dictionary), df[col] == dictionary.value, "left")
-        .drop("value")
-        .withColumnRenamed("code", f"{col}_code")
+        df.join(F.broadcast(d2), df[col] == d2.__cat_value__, "left")
+        .drop("__cat_value__")
+        .withColumnRenamed("__cat_code__", f"{col}_code")
     )
     return coded, dictionary
 
 
 def categorical_decode(coded: DataFrame, dictionary: DataFrame, code_col: str, out_col: str) -> DataFrame:
     """Inverse of encode: broadcast-join codes back to values."""
+    d2 = dictionary.select(
+        F.col("code").alias("__cat_code__"), F.col("value").alias("__cat_value__")
+    )
     return (
-        coded.join(F.broadcast(dictionary), coded[code_col] == dictionary.code, "left")
-        .withColumnRenamed("value", out_col)
-        .drop("code")
+        coded.join(F.broadcast(d2), coded[code_col] == d2.__cat_code__, "left")
+        .withColumnRenamed("__cat_value__", out_col)
+        .drop("__cat_code__")
     )

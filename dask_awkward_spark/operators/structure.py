@@ -437,26 +437,54 @@ def argcartesian(arrays: list[NestedArray], axis: int = 1) -> NestedArray:
 
 def combinations(arr: NestedArray, n: int = 2, axis: int = 1, fields: list[str] | None = None) -> NestedArray:
     """Per-row n-choose-k combinations of one list (reference
-    lib/structure.py:295-332). n=2 via generated expression."""
-    if n != 2:
-        raise NotImplementedError("combinations currently supports n=2")
-    f0, f1 = (fields or ["0", "1"])
+    lib/structure.py:295-332). n=2 and n=3 via generated expressions
+    (nested index transforms with i<j<k); larger n would blow up the
+    expression tree — use the Arrow-UDF tier for those."""
+    if n not in (2, 3):
+        raise NotImplementedError("combinations supports n in {2, 3}")
+    names = fields or [str(i) for i in range(n)]
     col, d = _col_at_axis(arr, axis)
 
-    def comb(c: Column) -> Column:
+    def idx_after(c: Column, i: Column) -> Column:
+        # indices strictly greater than i
+        return F.when(
+            F.size(c) - i - 1 > 0, F.sequence(i + 1, F.size(c) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+
+    def comb2(c: Column) -> Column:
         idx = F.when(F.size(c) > 0, F.sequence(F.lit(0), F.size(c) - 1)).otherwise(F.array().cast("array<int>"))
-        pairs = F.flatten(
+        return F.flatten(
             F.transform(
                 idx,
                 lambda i: F.transform(
-                    F.slice(c, i + 2, F.greatest(F.lit(0), F.size(c) - i - 1)),
-                    lambda y: F.struct(F.get(c, i).alias(f0), y.alias(f1)),
+                    idx_after(c, i),
+                    lambda j: F.struct(F.get(c, i).alias(names[0]), F.get(c, j).alias(names[1])),
                 ),
             )
         )
-        return pairs
 
-    return arr._wrap(apply_at_depth(col, d, comb))
+    def comb3(c: Column) -> Column:
+        idx = F.when(F.size(c) > 0, F.sequence(F.lit(0), F.size(c) - 1)).otherwise(F.array().cast("array<int>"))
+        return F.flatten(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        idx_after(c, i),
+                        lambda j: F.transform(
+                            idx_after(c, j),
+                            lambda k: F.struct(
+                                F.get(c, i).alias(names[0]),
+                                F.get(c, j).alias(names[1]),
+                                F.get(c, k).alias(names[2]),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        )
+
+    return arr._wrap(apply_at_depth(col, d, comb2 if n == 2 else comb3))
 
 
 def argcombinations(arr: NestedArray, n: int = 2, axis: int = 1, fields: list[str] | None = None) -> NestedArray:

@@ -406,3 +406,32 @@ ORACLES.update(
         "q_sql_api": Q_SQL_API_SQL,
     }
 )
+
+
+def op_combinations3(spark, sf_dir):
+    """n=3 combinations per list (bounded subset), exploded flat."""
+    df = _nested(spark, sf_dir)
+    small = df.filter(F.col("l_orderkey") < 3000)
+    qs = NestedArray(small, "qs")
+    trips = st.combinations(qs, 3, fields=["q0", "q1", "q2"])
+    ex = small.select("l_orderkey", F.explode(trips.col).alias("t"))
+    return ex.select("l_orderkey", F.col("t.q0").alias("q0"), F.col("t.q1").alias("q1"), F.col("t.q2").alias("q2"))
+
+
+OP_COMBINATIONS3_SQL = """
+WITH nested AS (
+  SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+  FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_orderkey
+)
+SELECT l_orderkey, tr.q0 AS q0, tr.q1 AS q1, tr.q2 AS q2 FROM (
+  SELECT l_orderkey,
+         unnest(flatten(flatten(list_transform(range(len(qs)),
+           i -> list_transform(range(i + 1, len(qs)),
+             j -> list_transform(range(j + 1, len(qs)),
+               k -> {'q0': qs[i+1], 'q1': qs[j+1], 'q2': qs[k+1]})))))) AS tr
+  FROM nested
+)
+"""
+
+QUERIES["op_combinations3"] = op_combinations3
+ORACLES["op_combinations3"] = OP_COMBINATIONS3_SQL

@@ -8,9 +8,17 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the package importable even when this file is loaded by path from a
+# different working directory (as a driver harness may do)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from dask_awkward_spark.queries import all_oracles, all_queries
 

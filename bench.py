@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "ev_sessionize",
+    "pipeline_e2e",
 ]
 
 

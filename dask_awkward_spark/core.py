@@ -75,10 +75,32 @@ class Scalar:
 
 
 class Record:
-    """Single lazy record (one row), from integer indexing. lib/core.py:751."""
+    """Single lazy record (one row), from integer indexing. lib/core.py:751.
+    Field access stays lazy: ``arr[5]["x"]`` projects before collecting."""
 
     def __init__(self, df: DataFrame):
         self._df = df
+
+    def __getitem__(self, name: str) -> "Record":
+        def proj(col: Column, dt: T.DataType) -> Column:
+            if isinstance(dt, T.ArrayType):
+                return F.transform(col, lambda x: proj(x, dt.elementType))
+            return col[name]
+
+        dt = self._df.schema[0].dataType
+        return Record(self._df.select(proj(F.col(VALUE_COL), dt).alias(VALUE_COL)))
+
+    def __getattr__(self, name: str) -> "Record":
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self[name]
+
+    @property
+    def fields(self) -> list[str]:
+        dt = self._df.schema[0].dataType
+        while isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        return list(dt.fieldNames()) if isinstance(dt, T.StructType) else []
 
     def compute(self) -> Any:
         rows = self._df.collect()

@@ -105,3 +105,10 @@ def test_outer_int_list_gather(points):
 def test_negative_record_index(points):
     assert points[-1].compute() == POINTS[-1]
     assert points[-5].compute() == POINTS[0]
+
+
+def test_record_field_access(points):
+    rec = points[2]
+    assert rec.fields == ["x", "y"]
+    assert rec["x"].compute() == [7, 9]
+    assert rec.y.compute() == [8, 10]

@@ -371,3 +371,140 @@ ORACLES = {
     "q_set_ops": Q_SET_OPS_SQL,
     "q_global_sort_head": Q_GLOBAL_SORT_SQL,
 }
+
+
+# q8: market-share shape (conditional share of a join over years)
+
+def q8_market_share(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_0", vol).otherwise(F.lit(0))).alias("nation0_e4"),
+            F.sum(vol).alias("total_e4"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            (F.col("nation0_e4") / F.col("total_e4")).alias("mkt_share"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_0'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# q11: important stock shape (share above a scaled global threshold)
+
+def q11_important_balances(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    bal = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    per_nation = bal.groupBy("n_name").agg(F.sum(cents(F.col("s_acctbal"))).alias("bal_c"))
+    total = per_nation.agg(F.sum("bal_c").alias("t"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("bal_c") * 20 > F.col("t"))
+        .select("n_name", "bal_c")
+    )
+
+
+Q11_SQL = """
+WITH per_nation AS (
+  SELECT n_name, CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, bal_c FROM per_nation
+WHERE bal_c * 20 > (SELECT sum(bal_c) FROM per_nation)
+"""
+
+
+# q16: parts supplied, excluding a brand family (NOT LIKE + count distinct)
+
+def q16_brand_counts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    p = part.filter(~F.col("p_brand").like("Brand#1%"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT LIKE 'Brand#1%'
+GROUP BY p_brand, p_type
+"""
+
+
+# q20: suppliers whose revenue exceeds half their nation's average (semi over agg)
+
+def q20_strong_suppliers(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias("rev_e4")
+    )
+    j = supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+    nat_avg = j.groupBy("s_nationkey").agg((F.sum("rev_e4") / F.count(F.lit(1))).alias("avg_rev"))
+    return (
+        j.join(F.broadcast(nat_avg), "s_nationkey")
+        .filter(F.col("rev_e4") > F.col("avg_rev"))
+        .select("s_suppkey", "s_name", "rev_e4")
+    )
+
+
+Q20_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY l_suppkey
+), j AS (
+  SELECT s_suppkey, s_name, s_nationkey, rev_e4
+  FROM supplier JOIN rev ON s_suppkey = l_suppkey
+), nat AS (
+  SELECT s_nationkey, CAST(sum(rev_e4) AS DOUBLE) / count(*) AS avg_rev FROM j GROUP BY s_nationkey
+)
+SELECT j.s_suppkey, s_name, rev_e4
+FROM j JOIN nat ON j.s_nationkey = nat.s_nationkey
+WHERE rev_e4 > avg_rev
+"""
+
+
+QUERIES.update(
+    {
+        "q8_market_share": q8_market_share,
+        "q11_important_balances": q11_important_balances,
+        "q16_brand_counts": q16_brand_counts,
+        "q20_strong_suppliers": q20_strong_suppliers,
+    }
+)
+ORACLES.update(
+    {
+        "q8_market_share": Q8_SQL,
+        "q11_important_balances": Q11_SQL,
+        "q16_brand_counts": Q16_SQL,
+        "q20_strong_suppliers": Q20_SQL,
+    }
+)

@@ -27,6 +27,22 @@ from .schema import apply_at_depth, broadcast_binop, list_depth
 VALUE_COL = "v"
 
 
+def _to_python(v: Any) -> Any:
+    """Row/array → plain Python values (shared by Record/NestedArray)."""
+    if hasattr(v, "asDict"):
+        return {k: _to_python(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_to_python(x) for x in v]
+    return v
+
+
+def _project_through_lists(col: Column, dt: T.DataType, name: str) -> Column:
+    """Project a struct field through any number of list levels."""
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda x: _project_through_lists(x, dt.elementType, name))
+    return col[name]
+
+
 def _is_col(x: Any) -> bool:
     return isinstance(x, NestedArray)
 
@@ -82,13 +98,10 @@ class Record:
         self._df = df
 
     def __getitem__(self, name: str) -> "Record":
-        def proj(col: Column, dt: T.DataType) -> Column:
-            if isinstance(dt, T.ArrayType):
-                return F.transform(col, lambda x: proj(x, dt.elementType))
-            return col[name]
-
         dt = self._df.schema[0].dataType
-        return Record(self._df.select(proj(F.col(VALUE_COL), dt).alias(VALUE_COL)))
+        return Record(
+            self._df.select(_project_through_lists(F.col(VALUE_COL), dt, name).alias(VALUE_COL))
+        )
 
     def __getattr__(self, name: str) -> "Record":
         if name.startswith("_"):
@@ -106,14 +119,7 @@ class Record:
         rows = self._df.collect()
         if not rows:
             raise IndexError("record index out of range")
-        def conv(v: Any) -> Any:
-            if hasattr(v, "asDict"):
-                return {k: conv(x) for k, x in v.asDict().items()}
-            if isinstance(v, list):
-                return [conv(x) for x in v]
-            return v
-
-        return conv(rows[0][0])
+        return _to_python(rows[0][0])
 
     def to_df(self) -> DataFrame:
         return self._df
@@ -185,12 +191,7 @@ class NestedArray:
 
     # ---------------- projection / getitem ----------------
     def _project_field(self, name: str) -> Column:
-        def proj(col: Column, dt: T.DataType) -> Column:
-            if isinstance(dt, T.ArrayType):
-                return F.transform(col, lambda x: proj(x, dt.elementType))
-            return col[name]
-
-        return proj(self._col, self.dtype)
+        return _project_through_lists(self._col, self.dtype, name)
 
     def __getitem__(self, key: Any) -> "NestedArray | Record":
         # field projection: arr["x"], possibly through list levels
@@ -222,11 +223,11 @@ class NestedArray:
             idxed = self.with_row_index()
             spark = self._df.sparkSession
             sel = spark.createDataFrame(
-                [(p, i) for p, i in enumerate(key)], "pos long, idx long"
+                [(p, i) for p, i in enumerate(key)], "__pos__ long, __idx__ long"
             )
             out = (
-                idxed._df.join(F.broadcast(sel), F.col("__row_id__") == F.col("idx"))
-                .orderBy("pos")
+                idxed._df.join(F.broadcast(sel), F.col("__row_id__") == F.col("__idx__"))
+                .orderBy("__pos__")
                 .select(idxed._col.alias(VALUE_COL))
             )
             return NestedArray(out)
@@ -277,12 +278,16 @@ class NestedArray:
 
             return self._wrap(rec(self._col, key._col, kdepth))
         # integer gather per list (reference lib/core.py:1563-1569);
-        # a depth-0 int key picks one element per row: arr[i] == get(arr, i)
+        # a depth-0 int key picks one element per row: arr[i] == get(arr, i).
+        # Negative indices wrap from the end (python/awkward semantics).
+        def norm(a: Column, j: Column) -> Column:
+            return F.when(j < 0, j + F.size(a)).otherwise(j)
+
         def gather(a: Column, i: Column, d: int) -> Column:
             if d == 0:
-                return F.get(a, i)
+                return F.get(a, norm(a, i))
             if d == 1:
-                return F.transform(i, lambda j: F.get(a, j))
+                return F.transform(i, lambda j: F.get(a, norm(a, j)))
             return F.zip_with(a, i, lambda x, jj: gather(x, jj, d - 1))
 
         return self._wrap(gather(self._col, key._col, kdepth))
@@ -513,15 +518,7 @@ class NestedArray:
     def compute(self) -> list:
         """Collect to Python values (the reference's ``.compute()``)."""
         rows = self.to_df().collect()
-
-        def conv(v: Any) -> Any:
-            if hasattr(v, "asDict"):
-                return {k: conv(x) for k, x in v.asDict().items()}
-            if isinstance(v, list):
-                return [conv(x) for x in v]
-            return v
-
-        return [conv(r[0]) for r in rows]
+        return [_to_python(r[0]) for r in rows]
 
     to_list = compute
 

@@ -245,7 +245,13 @@ def _reduce(
         gmax = _reduce(arr, "max", None)
         gmin = _reduce(arr, "min", None)
         return gmax - gmin  # lazy Scalar arithmetic
+    if (keepdims or mask_identity is not None) and (axis is None or normalize_axis(axis, depth) != depth):
+        raise NotImplementedError(
+            "keepdims/mask_identity are supported along the innermost axis only"
+        )
     if axis is None:
+        if op in ("mean", "var", "std"):
+            return _global_moments(arr, op)
         # collapse every list level per row, then one global aggregate —
         # the reference's _prepare_axis_none_chunk + tree combine
         col = arr._col
@@ -261,8 +267,6 @@ def _reduce(
             gagg = lambda c: F.max(c)
         if depth > 0 and op == "all":
             gagg = lambda c: F.min(c)
-        if op in ("mean", "var", "std"):
-            return _global_moments(arr, op)
         agg_col = gagg(col)
         # identity for the zero-row input (ak.sum([]) == 0, prod == 1, ...)
         identities = {"sum": F.lit(0).cast(dt if depth == 0 else "bigint" if not isinstance(dt, (T.DoubleType, T.FloatType)) else "double"),
@@ -276,6 +280,8 @@ def _reduce(
     ax = normalize_axis(axis, depth)
     if ax == 0:
         if depth == 0:
+            if op in ("argmin", "argmax"):
+                return _reduce(arr, op, None)  # same semantic as axis=None here
             out = arr._df.agg(_GLOBAL_AGGS[op](arr._col).alias(VALUE_COL))
             return Scalar(out)
         raise NotImplementedError(
@@ -485,17 +491,22 @@ def moment(arr: NestedArray, n: int, axis: int | None = 1) -> NestedArray | Scal
 
 
 def _pair_sums(a: Column, b: Column) -> dict[str, Column]:
-    n = F.size(F.filter(F.zip_with(a, b, lambda x, y: x.isNotNull() & y.isNotNull()), lambda t: t))
-    sx = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.coalesce(x.cast("double"), F.lit(0.0)))
-    sy = F.aggregate(b, F.lit(0.0), lambda acc, y: acc + F.coalesce(y.cast("double"), F.lit(0.0)))
-    sxx = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.coalesce(x.cast("double") * x.cast("double"), F.lit(0.0)))
-    syy = F.aggregate(b, F.lit(0.0), lambda acc, y: acc + F.coalesce(y.cast("double") * y.cast("double"), F.lit(0.0)))
-    sxy = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, p: acc + F.coalesce(p, F.lit(0.0)),
+    """Sums over pairwise-complete positions only: ragged tails and
+    half-null pairs are excluded from EVERY statistic, keeping n/sx/sy/
+    sxx/syy/sxy consistent (pairwise-complete-observations semantics)."""
+    pairs = F.filter(
+        F.zip_with(a, b, lambda x, y: F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))),
+        lambda p: p["x"].isNotNull() & p["y"].isNotNull(),
     )
-    return {"n": n, "sx": sx, "sy": sy, "sxx": sxx, "syy": syy, "sxy": sxy}
+    agg = lambda fn: F.aggregate(pairs, F.lit(0.0), lambda acc, p: acc + fn(p))
+    return {
+        "n": F.size(pairs),
+        "sx": agg(lambda p: p["x"]),
+        "sy": agg(lambda p: p["y"]),
+        "sxx": agg(lambda p: p["x"] * p["x"]),
+        "syy": agg(lambda p: p["y"] * p["y"]),
+        "sxy": agg(lambda p: p["x"] * p["y"]),
+    }
 
 
 def covar(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:

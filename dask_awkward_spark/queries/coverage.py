@@ -200,7 +200,7 @@ STR_REGEX2_SQL = r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(text, '[ao]')) - 1 AS BIGINT) AS n_ao,
        CAST(CASE WHEN regexp_matches(text, 'v[a-z]+e')
-                 THEN length(regexp_replace(text, 'v[a-z]+e.*', ''))
+                 THEN length(regexp_replace(text, 'v[a-z]+e.*', '', 's'))
                  ELSE -1 END AS BIGINT) AS pos_ve,
        substring(text, 1, 2) || '#' || substring(text, 7) AS spliced,
        CAST(len(string_split(text, 'data')) AS BIGINT) AS n_parts
@@ -329,8 +329,12 @@ def op_categorical(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     coded, dictionary = categorical_encode(docs, "source")
-    return coded.groupBy("source_code").agg(
-        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    # drop null-coded rows to mirror the oracle's inner join (nulls are
+    # not a category; categorical_encode leaves them null-coded)
+    return (
+        coded.filter(F.col("source_code").isNotNull())
+        .groupBy("source_code")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
     )
 
 

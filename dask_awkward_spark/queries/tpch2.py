@@ -459,7 +459,7 @@ GROUP BY p_brand, p_type
 """
 
 
-# q20: suppliers whose revenue exceeds half their nation's average (semi over agg)
+# q20: suppliers whose revenue exceeds their nation's average (semi over agg)
 
 def q20_strong_suppliers(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")

@@ -284,10 +284,17 @@ def _reduce(
                 return _reduce(arr, op, None)  # same semantic as axis=None here
             out = arr._df.agg(_GLOBAL_AGGS[op](arr._col).alias(VALUE_COL))
             return Scalar(out)
-        raise NotImplementedError(
-            "positional axis=0 reduction over jagged lists is not supported "
-            "(the reference raises for argmin/argmax too; use axis=None or flatten first)"
-        )
+        # positional combine ACROSS rows (ak.sum([[1,2],[3]], axis=0) ==
+        # [4, 2]) — reference non_trivial_reduction, lib/core.py:2349-2457
+        # and lib/reducers.py axis=0 grids. Scale shape: posexplode each
+        # list level to (p1..pd, leaf) rows, groupBy the position key with
+        # the op's global aggregate (one hash shuffle on positions), then
+        # reassemble inner levels. The row dimension of the result is the
+        # outermost position — jagged tails survive naturally because
+        # absent positions simply contribute no rows.
+        if op not in _GLOBAL_AGGS:
+            raise NotImplementedError(f"{op} along axis=0")
+        return _axis0_positional(arr, op)
     if ax < depth:
         # non-innermost axis: positional combine across sublists (awkward's
         # broadcasting reduction — ak.sum([[1,2],[3]], axis=1) == [4, 2])
@@ -310,6 +317,37 @@ def _reduce(
             lambda c: _finish_leaf(leaf(c, dt), c, dt, op, keepdims, mask_identity),
         )
     )
+
+
+def _axis0_positional(arr: NestedArray, op: str) -> NestedArray:
+    """Jagged axis=0 reduction: explode every list level with positions,
+    aggregate per position key, rebuild inner lists. Output rows are the
+    outermost positions in order (one row per position of the longest
+    list), so the result is a collection of depth ``arr.depth - 1``."""
+    depth = arr.depth
+    dt = _leaf_type(arr)
+    df = arr.to_df("__x0__")
+    for lvl in range(depth):
+        df = df.select(
+            *[f"__p{i}__" for i in range(lvl)],
+            F.posexplode(f"__x{lvl}__").alias(f"__p{lvl}__", f"__x{lvl + 1}__"),
+        )
+    leaf = F.col(f"__x{depth}__")
+    res = _GLOBAL_AGGS[op](leaf)
+    if op == "prod" and not isinstance(dt, (T.DoubleType, T.FloatType)):
+        res = res.cast("bigint")  # F.product always yields double
+    agg = df.groupBy(*[f"__p{i}__" for i in range(depth)]).agg(res.alias("__r__"))
+    # rebuild levels below the outermost position (which stays the row dim)
+    for lvl in range(depth - 1, 0, -1):
+        packed = F.array_sort(
+            F.collect_list(F.struct(F.col(f"__p{lvl}__").alias("i"), F.col("__r__").alias("x")))
+        )
+        agg = agg.groupBy(*[f"__p{i}__" for i in range(lvl)]).agg(
+            F.transform(packed, lambda s: s["x"]).alias("__r__")
+        )
+    # small result (≤ max list width rows): a global sort here is cheap
+    out = agg.orderBy("__p0__").select(F.col("__r__").alias(VALUE_COL))
+    return NestedArray(out)
 
 
 # identity values for mask_identity=False on reducers whose natural Spark

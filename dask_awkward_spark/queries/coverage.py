@@ -16,6 +16,7 @@ from ..core import NestedArray
 from ..functions import strings as S
 from ..operators import reducers as red
 from ..operators import structure as st
+from ._canon import arr_str, sql_arr_str
 from .nested import NESTED_CTE, _nested
 from .tpch import cents
 
@@ -146,14 +147,14 @@ def op_full_like(spark, sf_dir):
     qs = NestedArray(df, "qs")
     return df.select(
         "l_orderkey",
-        st.values_astype(st.ones_like(qs), "bigint").col.alias("ones"),
+        arr_str(st.values_astype(st.ones_like(qs), "bigint").col).alias("ones"),
         red.sum(st.values_astype(st.full_like(qs, 7), "bigint"), axis=1).col.alias("sevens_sum"),
     )
 
 
-OP_FULL_LIKE_SQL = NESTED_CTE + """
+OP_FULL_LIKE_SQL = NESTED_CTE + f"""
 SELECT l_orderkey,
-       list_transform(qs, x -> CAST(1 AS BIGINT)) AS ones,
+       {sql_arr_str("list_transform(qs, x -> CAST(1 AS BIGINT))")} AS ones,
        CAST(7 * len(qs) AS BIGINT) AS sevens_sum
 FROM nested
 """
@@ -234,8 +235,10 @@ def dedup_apply(spark, sf_dir):
     keep-list, subtract' pipeline shape."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
-    survivors = docs.join(
-        keep, (F.md5(F.col("text")) == keep.h) & (docs.doc_id == keep.keep_id), "left_semi"
+    survivors = docs.alias("d").join(
+        keep.alias("k"),
+        (F.md5(F.col("d.text")) == F.col("k.h")) & (F.col("d.doc_id") == F.col("k.keep_id")),
+        "left_semi",
     )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")

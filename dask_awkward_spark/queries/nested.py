@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..core import NestedArray
 from ..operators import reducers as red
 from ..operators import structure as st
+from ._canon import arr_micro, arr_str, sql_arr_micro, sql_arr_str
 
 # Shared CTE for the DuckDB side: per-order quantity/price lists ordered by
 # line number.
@@ -186,21 +187,23 @@ def op_inner_slice(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
     sliced = qs[:, :2]  # first two items of every list
-    return df.select("l_orderkey", sliced.col.alias("first2"))
+    return df.select("l_orderkey", arr_micro(sliced.col).alias("first2"))
 
 
-OP_INNER_SLICE_SQL = NESTED_CTE + "SELECT l_orderkey, qs[1:2] AS first2 FROM nested"
+OP_INNER_SLICE_SQL = NESTED_CTE + (
+    f"SELECT l_orderkey, {sql_arr_micro('qs[1:2]')} AS first2 FROM nested"
+)
 
 
 def op_inner_filter(spark, sf_dir):
     """Boolean mask at depth 1: keep quantities > 25 inside each list."""
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
-    return df.select("l_orderkey", qs[qs > 25.0].col.alias("big_qtys"))
+    return df.select("l_orderkey", arr_micro(qs[qs > 25.0].col).alias("big_qtys"))
 
 
 OP_INNER_FILTER_SQL = NESTED_CTE + (
-    "SELECT l_orderkey, list_filter(qs, x -> x > 25.0) AS big_qtys FROM nested"
+    f"SELECT l_orderkey, {sql_arr_micro('list_filter(qs, x -> x > 25.0)')} AS big_qtys FROM nested"
 )
 
 
@@ -210,10 +213,12 @@ def op_gather(spark, sf_dir):
     qs = _arr(df, "qs")
     n = st.num(qs, axis=1)
     rev_idx = (n - 1) - st.local_index(qs, axis=1)  # broadcast: depth0 - depth1
-    return df.select("l_orderkey", qs[rev_idx].col.alias("rev_qs"))
+    return df.select("l_orderkey", arr_micro(qs[rev_idx].col).alias("rev_qs"))
 
 
-OP_GATHER_SQL = NESTED_CTE + "SELECT l_orderkey, list_reverse(qs) AS rev_qs FROM nested"
+OP_GATHER_SQL = NESTED_CTE + (
+    f"SELECT l_orderkey, {sql_arr_micro('list_reverse(qs)')} AS rev_qs FROM nested"
+)
 
 
 def op_row_filter(spark, sf_dir):
@@ -236,11 +241,14 @@ def op_local_index(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
     return df.select(
-        "l_orderkey", st.local_index(qs, axis=1).col.cast("array<bigint>").alias("idx")
+        "l_orderkey",
+        arr_str(st.local_index(qs, axis=1).col.cast("array<bigint>")).alias("idx"),
     )
 
 
-OP_LOCAL_INDEX_SQL = NESTED_CTE + "SELECT l_orderkey, range(len(qs)) AS idx FROM nested"
+OP_LOCAL_INDEX_SQL = NESTED_CTE + (
+    f"SELECT l_orderkey, {sql_arr_str('range(len(qs))')} AS idx FROM nested"
+)
 
 
 def op_sort_inner(spark, sf_dir):
@@ -248,13 +256,14 @@ def op_sort_inner(spark, sf_dir):
     qs = _arr(df, "qs")
     return df.select(
         "l_orderkey",
-        st.sort(qs, axis=1).col.alias("qs_asc"),
-        st.sort(qs, axis=1, ascending=False).col.alias("qs_desc"),
+        arr_micro(st.sort(qs, axis=1).col).alias("qs_asc"),
+        arr_micro(st.sort(qs, axis=1, ascending=False).col).alias("qs_desc"),
     )
 
 
 OP_SORT_SQL = NESTED_CTE + (
-    "SELECT l_orderkey, list_sort(qs) AS qs_asc, list_reverse_sort(qs) AS qs_desc FROM nested"
+    f"SELECT l_orderkey, {sql_arr_micro('list_sort(qs)')} AS qs_asc, "
+    f"{sql_arr_micro('list_reverse_sort(qs)')} AS qs_desc FROM nested"
 )
 
 
@@ -262,29 +271,32 @@ def op_argsort_inner(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
     return df.select(
-        "l_orderkey", st.argsort(qs, axis=1).col.cast("array<bigint>").alias("order_idx")
+        "l_orderkey",
+        arr_str(st.argsort(qs, axis=1).col.cast("array<bigint>")).alias("order_idx"),
     )
 
 
 # stable argsort: sort (value, index) pairs, project index
-OP_ARGSORT_SQL = NESTED_CTE + """
-SELECT l_orderkey,
-       list_transform(
-         list_sort(list_transform(range(len(qs)), i -> struct_pack(v := qs[i+1], i := i))),
-         s -> s.i) AS order_idx
-FROM nested
-"""
+_ARGSORT_LIST = (
+    "list_transform(list_sort(list_transform(range(len(qs)), "
+    "i -> struct_pack(v := qs[i+1], i := i))), s -> s.i)"
+)
+OP_ARGSORT_SQL = NESTED_CTE + (
+    f"SELECT l_orderkey, {sql_arr_str(_ARGSORT_LIST)} AS order_idx FROM nested"
+)
 
 
 def op_pad_clip(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
-    return df.select("l_orderkey", st.pad_none(qs, 5, clip=True).col.alias("padded"))
+    return df.select(
+        "l_orderkey", arr_micro(st.pad_none(qs, 5, clip=True).col).alias("padded")
+    )
 
 
 # qs[i] is NULL out of bounds in DuckDB -> exactly pad_none+clip
 OP_PAD_CLIP_SQL = NESTED_CTE + (
-    "SELECT l_orderkey, list_transform(range(1, 6), i -> qs[i]) AS padded FROM nested"
+    f"SELECT l_orderkey, {sql_arr_micro('list_transform(range(1, 6), i -> qs[i])')} AS padded FROM nested"
 )
 
 
@@ -297,16 +309,16 @@ def op_mask_fill_drop(spark, sf_dir):
     # re-bases the DataFrame and can't be embedded in this wider select
     return df.select(
         "l_orderkey",
-        st.fill_none(masked, -1.0, axis=1).col.alias("filled"),
-        st.drop_none(masked, axis=1).col.alias("dropped"),
+        arr_micro(st.fill_none(masked, -1.0, axis=1).col).alias("filled"),
+        arr_micro(st.drop_none(masked, axis=1).col).alias("dropped"),
         red.sum(st.drop_none(masked, axis=1), axis=1).col.alias("kept_sum"),
     )
 
 
-OP_MASK_SQL = NESTED_CTE + """
+OP_MASK_SQL = NESTED_CTE + f"""
 SELECT l_orderkey,
-       list_transform(qs, x -> CASE WHEN x < 25.0 THEN x ELSE -1.0 END) AS filled,
-       list_filter(qs, x -> x < 25.0) AS dropped,
+       {sql_arr_micro("list_transform(qs, x -> CASE WHEN x < 25.0 THEN x ELSE -1.0 END)")} AS filled,
+       {sql_arr_micro("list_filter(qs, x -> x < 25.0)")} AS dropped,
        CAST(coalesce(list_aggregate(list_filter(qs, x -> x < 25.0), 'sum'), 0) AS DOUBLE) AS kept_sum
 FROM nested
 """
@@ -332,11 +344,13 @@ def op_singletons_firsts(spark, sf_dir):
     qs = _arr(df, "qs")
     first = st.firsts(qs, axis=1)  # None for empty lists
     single = st.singletons(first, axis=0)
-    return df.select("l_orderkey", single.col.alias("singleton"))
+    return df.select("l_orderkey", arr_micro(single.col).alias("singleton"))
 
 
 OP_SINGLETONS_SQL = NESTED_CTE + (
-    "SELECT l_orderkey, CASE WHEN qs[1] IS NULL THEN [] ELSE [qs[1]] END AS singleton FROM nested"
+    "SELECT l_orderkey, "
+    + sql_arr_micro("CASE WHEN qs[1] IS NULL THEN CAST([] AS DOUBLE[]) ELSE [qs[1]] END")
+    + " AS singleton FROM nested"
 )
 
 
@@ -344,11 +358,13 @@ def op_where(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
     out = st.where(qs > 25.0, qs, -1.0)
-    return df.select("l_orderkey", out.col.alias("clipped"))
+    return df.select("l_orderkey", arr_micro(out.col).alias("clipped"))
 
 
 OP_WHERE_SQL = NESTED_CTE + (
-    "SELECT l_orderkey, list_transform(qs, x -> CASE WHEN x > 25.0 THEN x ELSE -1.0 END) AS clipped FROM nested"
+    "SELECT l_orderkey, "
+    + sql_arr_micro("list_transform(qs, x -> CASE WHEN x > 25.0 THEN x ELSE -1.0 END)")
+    + " AS clipped FROM nested"
 )
 
 
@@ -360,14 +376,16 @@ def op_arith_broadcast(spark, sf_dir):
     share = ps / red.sum(ps, axis=1)  # depth1 / depth0 broadcast
     rounded = st.values_astype(share * 10000.0, "double")
     floor2 = NestedArray(df, F.transform(rounded.col, lambda x: F.floor(x).cast("bigint")))
-    return df.select("l_orderkey", floor2.col.alias("share_bp"))
+    return df.select("l_orderkey", arr_str(floor2.col).alias("share_bp"))
 
 
-OP_ARITH_SQL = NESTED_CTE + """
-SELECT l_orderkey,
-       list_transform(ps, x -> CAST(floor(x / list_aggregate(ps, 'sum') * 10000.0) AS BIGINT)) AS share_bp
-FROM nested
-"""
+OP_ARITH_SQL = NESTED_CTE + (
+    "SELECT l_orderkey, "
+    + sql_arr_str(
+        "list_transform(ps, x -> CAST(floor(x / list_aggregate(ps, 'sum') * 10000.0) AS BIGINT))"
+    )
+    + " AS share_bp FROM nested"
+)
 
 
 def op_zip_project(spark, sf_dir):
@@ -459,11 +477,11 @@ def op_concat_inner(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs, ps = _arr(df, "qs"), _arr(df, "ps")
     both = st.concatenate([qs, ps], axis=1)
-    return df.select("l_orderkey", both.col.alias("q_then_p"))
+    return df.select("l_orderkey", arr_micro(both.col).alias("q_then_p"))
 
 
 OP_CONCAT_INNER_SQL = NESTED_CTE + (
-    "SELECT l_orderkey, list_concat(qs, ps) AS q_then_p FROM nested"
+    f"SELECT l_orderkey, {sql_arr_micro('list_concat(qs, ps)')} AS q_then_p FROM nested"
 )
 
 
@@ -475,10 +493,14 @@ def op_concat_outer(spark, sf_dir):
     lo = NestedArray(df.filter(F.col("l_orderkey") % 2 == 0), rec)
     hi = NestedArray(df.filter(F.col("l_orderkey") % 2 == 1), rec)
     cat = st.concatenate([lo, hi], axis=0)
-    return cat.to_df().select(F.col("v.k").alias("l_orderkey"), F.col("v.qs").alias("qs"))
+    return cat.to_df().select(
+        F.col("v.k").alias("l_orderkey"), arr_micro(F.col("v.qs")).alias("qs")
+    )
 
 
-OP_CONCAT_OUTER_SQL = NESTED_CTE + "SELECT l_orderkey, qs FROM nested"
+OP_CONCAT_OUTER_SQL = NESTED_CTE + (
+    f"SELECT l_orderkey, {sql_arr_micro('qs')} AS qs FROM nested"
+)
 
 
 def op_run_lengths(spark, sf_dir):
@@ -509,11 +531,15 @@ GROUP BY l_orderkey, gid
 def op_astype(spark, sf_dir):
     df = _nested(spark, sf_dir)
     qs = _arr(df, "qs")
-    return df.select("l_orderkey", st.values_astype(qs, "bigint").col.alias("qs_int"))
+    return df.select(
+        "l_orderkey", arr_str(st.values_astype(qs, "bigint").col).alias("qs_int")
+    )
 
 
 OP_ASTYPE_SQL = NESTED_CTE + (
-    "SELECT l_orderkey, list_transform(qs, x -> CAST(x AS BIGINT)) AS qs_int FROM nested"
+    "SELECT l_orderkey, "
+    + sql_arr_str("list_transform(qs, x -> CAST(x AS BIGINT))")
+    + " AS qs_int FROM nested"
 )
 
 
@@ -567,32 +593,41 @@ def op_num_axis2(spark, sf_dir):
     df = _nested2(spark, sf_dir)
     a = _arr(df, "qss")
     return df.select(
-        "o_custkey", st.num(a, axis=2).col.cast("array<bigint>").alias("inner_sizes")
+        "o_custkey",
+        arr_str(st.num(a, axis=2).col.cast("array<bigint>")).alias("inner_sizes"),
     )
 
 
 OP_NUM_AXIS2_SQL = NESTED2_CTE + (
-    "SELECT o_custkey, list_transform(qss, x -> CAST(len(x) AS BIGINT)) AS inner_sizes FROM nested2"
+    "SELECT o_custkey, "
+    + sql_arr_str("list_transform(qss, x -> CAST(len(x) AS BIGINT))")
+    + " AS inner_sizes FROM nested2"
 )
 
 
 def op_flatten_axis2(spark, sf_dir):
     df = _nested2(spark, sf_dir)
     a = _arr(df, "qss")
-    return df.select("o_custkey", st.flatten(a, axis=2).col.alias("all_qs"))
+    return df.select("o_custkey", arr_micro(st.flatten(a, axis=2).col).alias("all_qs"))
 
 
-OP_FLATTEN_AXIS2_SQL = NESTED2_CTE + "SELECT o_custkey, flatten(qss) AS all_qs FROM nested2"
+OP_FLATTEN_AXIS2_SQL = NESTED2_CTE + (
+    f"SELECT o_custkey, {sql_arr_micro('flatten(qss)')} AS all_qs FROM nested2"
+)
 
 
 def op_sum_axis2(spark, sf_dir):
     df = _nested2(spark, sf_dir)
     a = _arr(df, "qss")
-    return df.select("o_custkey", red.sum(a, axis=2).col.alias("per_order_sums"))
+    return df.select(
+        "o_custkey", arr_micro(red.sum(a, axis=2).col).alias("per_order_sums")
+    )
 
 
 OP_SUM_AXIS2_SQL = NESTED2_CTE + (
-    "SELECT o_custkey, list_transform(qss, x -> CAST(list_aggregate(x, 'sum') AS DOUBLE)) AS per_order_sums FROM nested2"
+    "SELECT o_custkey, "
+    + sql_arr_micro("list_transform(qss, x -> CAST(list_aggregate(x, 'sum') AS DOUBLE))")
+    + " AS per_order_sums FROM nested2"
 )
 
 
@@ -610,12 +645,13 @@ def op_unflatten(spark, sf_dir):
     )
     counts = NestedArray(counts_df, "c")
     regrouped = st.unflatten(flat, counts)
-    return regrouped.to_df("qs")
+    return regrouped.to_df("qs").select(arr_micro(F.col("qs")).alias("qs"))
 
 
 OP_UNFLATTEN_SQL = (
-    "SELECT list(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice) AS qs "
-    "FROM lineitem WHERE l_orderkey < 600 GROUP BY l_orderkey"
+    "SELECT "
+    + sql_arr_micro("list(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice)")
+    + " AS qs FROM lineitem WHERE l_orderkey < 600 GROUP BY l_orderkey"
 )
 
 
@@ -702,17 +738,17 @@ def op_sum_positional_axis1(spark, sf_dir):
     this is the jagged-broadcasting case)."""
     df = _nested2(spark, sf_dir)
     a = _arr(df, "qss")
-    return df.select("o_custkey", red.sum(a, axis=1).col.alias("pos_sums"))
+    return df.select("o_custkey", arr_micro(red.sum(a, axis=1).col).alias("pos_sums"))
 
 
-OP_SUM_POSITIONAL_SQL = NESTED2_CTE + """
-SELECT o_custkey,
-       list_transform(
-         range(CAST(coalesce(list_aggregate(list_transform(qss, x -> len(x)), 'max'), 0) AS BIGINT)),
-         i -> CAST(list_aggregate(list_transform(list_filter(qss, l -> len(l) > i), l -> l[i+1]), 'sum') AS DOUBLE)
-       ) AS pos_sums
-FROM nested2
-"""
+_POS_SUMS_LIST = (
+    "list_transform(range(CAST(coalesce(list_aggregate(list_transform(qss, x -> len(x)),"
+    " 'max'), 0) AS BIGINT)), i -> CAST(list_aggregate(list_transform(list_filter(qss,"
+    " l -> len(l) > i), l -> l[i+1]), 'sum') AS DOUBLE))"
+)
+OP_SUM_POSITIONAL_SQL = NESTED2_CTE + (
+    f"SELECT o_custkey, {sql_arr_micro(_POS_SUMS_LIST)} AS pos_sums FROM nested2"
+)
 
 QUERIES["op_sum_positional_axis1"] = op_sum_positional_axis1
 ORACLES["op_sum_positional_axis1"] = OP_SUM_POSITIONAL_SQL

@@ -12,6 +12,7 @@ from ..core import NestedArray
 from ..functions import multimodal as mm
 from ..functions import strings as S
 from ..operators import structure as st
+from ._canon import arr_micro, sql_arr_micro
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,15 +133,15 @@ def op_distinct_inner(spark, sf_dir):
     df = _nested(spark, sf_dir)
     return df.select(
         "l_orderkey",
-        F.sort_array(F.array_distinct("qs")).alias("uniq_sorted"),
+        arr_micro(F.sort_array(F.array_distinct("qs"))).alias("uniq_sorted"),
     )
 
 
-OP_DISTINCT_INNER_SQL = """
+OP_DISTINCT_INNER_SQL = f"""
 WITH nested AS (
   SELECT l_orderkey, list(l_quantity) AS qs FROM lineitem GROUP BY l_orderkey
 )
-SELECT l_orderkey, list_sort(list_distinct(qs)) AS uniq_sorted FROM nested
+SELECT l_orderkey, {sql_arr_micro("list_sort(list_distinct(qs))")} AS uniq_sorted FROM nested
 """
 
 
@@ -241,9 +242,14 @@ def pipeline_e2e(spark, sf_dir):
         tx.token_count(F.col("text")).alias("n_tok"),
         F.md5("text").alias("h"),
     ).filter((F.col("q") >= 0.5) & (F.col("lang_pred") == "en"))
+    # alias both sides: ``keep`` derives from ``scored``, so ``scored.h ==
+    # keep.h`` would resolve to the SAME attribute (trivially-true predicate,
+    # silently dropping the hash-equality condition from the semi-join)
     keep = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    survivors = scored.join(
-        keep, (scored.h == keep.h) & (scored.doc_id == keep.keep_id), "left_semi"
+    survivors = scored.alias("s").join(
+        keep.alias("k"),
+        (F.col("s.h") == F.col("k.h")) & (F.col("s.doc_id") == F.col("k.keep_id")),
+        "left_semi",
     )
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -189,6 +189,16 @@ class NestedArray:
                 "first (the reference raises IncompatiblePartitions here)"
             )
 
+    def _align(self, other: "NestedArray") -> tuple["NestedArray", "NestedArray"]:
+        """Row-index alignment of two collections from different bases —
+        the Spark analogue of the reference's partition-compatibility MAYBE
+        path (lib/core.py:2815-2938): a row-index equi-join co-locates the
+        i-th elements (hash shuffle on the index, scale-safe). The joined
+        frame keeps ``__row_id__`` so downstream order-sensitive ops reuse
+        the alignment instead of re-indexing."""
+        a, b = align_many([self, other])
+        return a, b
+
     # ---------------- projection / getitem ----------------
     def _project_field(self, name: str) -> Column:
         return _project_through_lists(self._col, self.dtype, name)
@@ -329,14 +339,14 @@ class NestedArray:
                 axis += 1
                 continue
             if isinstance(k, slice):
-                if k.step not in (None, 1):
-                    raise NotImplementedError("stepped inner slices")
+                if k.step is not None and k.step <= 0:
+                    raise ValueError("only positive step supported (as in the reference)")
                 if axis == 0:
                     out = out._getitem_slice(k)
                 else:
-                    start, stop = k.start or 0, k.stop
+                    start, stop, step = k.start or 0, k.stop, k.step or 1
 
-                    def inner_slice(c: Column, start=start, stop=stop) -> Column:
+                    def inner_slice(c: Column, start=start, stop=stop, step=step) -> Column:
                         n = F.size(c)
                         # python-slice normalization with negative bounds
                         s = (
@@ -350,10 +360,17 @@ class NestedArray:
                             e = F.greatest(n + F.lit(stop), F.lit(0))
                         else:
                             e = F.lit(stop)
-                        length = F.greatest(e - s, F.lit(0))
-                        return F.when(length > 0, F.slice(c, s + 1, length)).otherwise(
-                            F.slice(c, 1, 0)
+                        e = F.least(e, n)
+                        if step == 1:
+                            length = F.greatest(e - s, F.lit(0))
+                            return F.when(length > 0, F.slice(c, s + 1, length)).otherwise(
+                                F.slice(c, 1, 0)
+                            )
+                        # stepped: gather indices s, s+step, ... below e
+                        idx = F.when(e > s, F.sequence(s, e - 1, F.lit(step))).otherwise(
+                            F.array().cast("array<int>")
                         )
+                        return F.transform(idx, lambda i: F.get(c, i))
 
                     out = out._wrap(apply_at_depth(out._col, axis - 1, inner_slice))
                 axis += 1
@@ -390,6 +407,12 @@ class NestedArray:
         laziness break). No single-partition global window."""
         if "__row_id__" in self._df.columns:
             return self
+        # memoized per base DataFrame: slice/gather chains over the same
+        # base pay the eager per-partition count job ONCE (the analogue of
+        # caching known divisions)
+        cached = getattr(self._df, "_dak_rowidx_df", None)
+        if cached is not None:
+            return NestedArray(cached, self._col)
         from pyspark.sql import Window
 
         df = self._df.withColumn("__mono__", F.monotonically_increasing_id()).withColumn(
@@ -416,6 +439,10 @@ class NestedArray:
             .withColumn("__row_id__", F.col("__local__") + F.coalesce("__off__", F.lit(0)))
             .drop("__mono__", "__pid__", "__local__", "__off__")
         )
+        try:
+            self._df._dak_rowidx_df = df  # type: ignore[attr-defined]
+        except Exception:  # pragma: no cover — frozen DataFrame impls
+            pass
         return NestedArray(df, self._col)
 
     def head(self, n: int = 5) -> list:
@@ -444,7 +471,9 @@ class NestedArray:
     # ---------------- element-wise arithmetic ----------------
     def _binop(self, other: Any, fn: Callable[[Column, Column], Column]) -> "NestedArray":
         if _is_col(other):
-            self._check_base(other)
+            if other._df is not self._df:
+                l, r = self._align(other)
+                return l._binop(r, fn)
             return self._wrap(
                 broadcast_binop(self._col, other._col, self.depth, other.depth, fn)
             )
@@ -527,6 +556,25 @@ class NestedArray:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"NestedArray(dtype={self.dtype.simpleString()})"
+
+
+def align_many(arrays: list[NestedArray]) -> list[NestedArray]:
+    """Align collections from different base DataFrames onto one joined
+    frame via row-index equi-joins (reference partition_compatibility MAYBE
+    path, lib/core.py:2815-2938). Same-base inputs pass through untouched.
+    Length mismatches truncate to the common prefix (inner join)."""
+    base = arrays[0]
+    if all(a._df is base._df for a in arrays):
+        return list(arrays)
+    idxed = [a.with_row_index() for a in arrays]
+    joined = idxed[0]._df.select(F.col("__row_id__"), idxed[0]._col.alias("__a0__"))
+    for i, b in enumerate(idxed[1:], start=1):
+        joined = joined.join(
+            b._df.select(F.col("__row_id__"), b._col.alias(f"__a{i}__")),
+            "__row_id__",
+            "inner",
+        )
+    return [NestedArray(joined, F.col(f"__a{i}__")) for i in range(len(arrays))]
 
 
 def from_column(df: DataFrame, col: Column | str) -> NestedArray:

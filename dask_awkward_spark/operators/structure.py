@@ -75,40 +75,77 @@ def ravel(arr: NestedArray) -> NestedArray:
     return flatten(arr, axis=None)
 
 
-def unflatten(arr: NestedArray, counts: NestedArray, axis: int = 0) -> NestedArray:
+def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> NestedArray:
     """Regroup flat elements into lists of given counts — inverse of explode
     (reference lib/structure.py:898-922). Order-sensitive: uses the explicit
     row index (SURVEY §7.4(2)).
 
-    ``counts`` must be a flat int collection over its own rows; the total
-    must equal len(arr).
-    """
-    if axis != 0:
-        raise NotImplementedError("unflatten currently supports axis=0")
-    from pyspark.sql import Window
+    axis=0: ``counts`` is a flat int collection over its own rows; the total
+    must equal len(arr). Scale shape: per-partition cumulative offsets (same
+    eager two-pass as ``with_row_index`` — no unpartitioned window), then
+    the (lo, hi) bounds are EXPLODED into (grp, row_id) pairs via
+    ``F.sequence`` and equi-joined to the data (hash join — never a
+    BroadcastNestedLoopJoin range join). Output order is restored with a
+    range repartition + within-partition sort on grp (parallel, no
+    single-task global sort).
 
+    axis=1: subdivide each row's inner list; ``counts`` is either an int
+    (fixed chunk size) or a same-base depth-1 NestedArray whose per-row sum
+    equals the list length. Pure row-local expressions — no shuffle.
+    """
+    if axis not in (0, 1):
+        raise NotImplementedError("unflatten supports axis=0 and axis=1")
+    if axis == 1:
+        col, _ = _col_at_axis(arr, 1)
+        if isinstance(counts, int):
+            k = F.lit(counts)
+            nchunk = F.ceil(F.size(col) / k).cast("int")
+            chunked = F.transform(
+                F.when(nchunk > 0, F.sequence(F.lit(0), nchunk - 1)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: F.slice(col, i * k + 1, counts),
+            )
+            return arr._wrap(chunked)
+        arr._check_base(counts)
+        cnts = counts._col
+        # offsets[i] = sum(cnts[:i]) — expression-level cumulative sum
+        offs = F.aggregate(
+            cnts,
+            F.array(F.lit(0).cast("bigint")),
+            lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x.cast("bigint"))),
+        )
+        idx = F.when(F.size(cnts) > 0, F.sequence(F.lit(0), F.size(cnts) - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return arr._wrap(
+            F.transform(
+                idx,
+                lambda i: F.slice(
+                    col, F.get(offs, i).cast("int") + 1, F.get(cnts, i).cast("int")
+                ),
+            )
+        )
+    assert isinstance(counts, NestedArray)
     data = arr.with_row_index()
-    cdf = counts.with_row_index()._df.select(
-        F.col("__row_id__").alias("grp"), counts._col.alias("cnt")
+    cidx = counts.with_row_index()
+    cdf = cidx._df.select(F.col("__row_id__").alias("grp"), cidx._col.alias("cnt"))
+    bounds = _cumulative_offsets(cdf, "grp", "cnt")  # adds lo, hi = lo + cnt
+    # explode bounds into one (grp, row id) pair per element; explode_outer
+    # keeps zero-count groups as a null pair so they survive as empty lists
+    pairs = bounds.select(
+        "grp",
+        F.explode_outer(
+            F.when(F.col("cnt") > 0, F.sequence(F.col("lo"), F.col("hi") - 1))
+        ).alias("__tgt__"),
     )
-    w = Window.orderBy("grp")
-    bounds = cdf.withColumn("hi", F.sum("cnt").over(w)).withColumn(
-        "lo", F.col("hi") - F.col("cnt")
-    )
-    # left join from bounds so zero-count groups survive as empty lists
-    joined = bounds.join(
-        data._df,
-        (F.col("__row_id__") >= F.col("lo")) & (F.col("__row_id__") < F.col("hi")),
-        "left",
-    )
+    joined = pairs.join(data._df, pairs["__tgt__"] == data._df["__row_id__"], "left")
     out = (
         joined.groupBy("grp")
         .agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        # NULL (skipped by collect_list) for unmatched rows of
-                        # empty groups, keeping them as [] not [null]
                         F.when(
                             F.col("__row_id__").isNotNull(),
                             F.struct(F.col("__row_id__").alias("i"), data._col.alias("x")),
@@ -118,21 +155,61 @@ def unflatten(arr: NestedArray, counts: NestedArray, axis: int = 0) -> NestedArr
                 lambda s: s["x"],
             ).alias(VALUE_COL)
         )
-        .orderBy("grp")
+        .repartitionByRange("grp")
+        .sortWithinPartitions("grp")
         .select(VALUE_COL)
     )
     return NestedArray(out)
+
+
+def _cumulative_offsets(df, order_col: str, val_col: str):
+    """Cumulative sum of ``val_col`` in ``order_col`` order without an
+    unpartitioned window: partition-local running sums + an eager
+    per-partition total pass (broadcast back) — the same deliberate
+    laziness break as ``with_row_index``. Requires ``order_col`` values to
+    be contiguous within partitions in partition-id order, which holds for
+    any df derived from ``with_row_index`` output."""
+    from pyspark.sql import Window
+
+    with_pid = df.withColumn("__pid__", F.spark_partition_id())
+    totals = {
+        r["__pid__"]: r["s"]
+        for r in with_pid.groupBy("__pid__")
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "__pid__ int, __off__ long",
+    )
+    w = Window.partitionBy("__pid__").orderBy(order_col)
+    return (
+        with_pid.withColumn("__run__", F.sum(val_col).over(w))
+        .join(F.broadcast(off_df), "__pid__", "left")
+        .withColumn("hi", F.col("__run__") + F.coalesce("__off__", F.lit(0)))
+        .withColumn("lo", F.col("hi") - F.col(val_col))
+        .drop("__pid__", "__run__", "__off__")
+    )
 
 
 # ---------------- zip / unzip / records ----------------
 
 def zip(arrays: dict[str, NestedArray], depth_limit: int | None = None) -> NestedArray:
     """Build a struct column from congruent arrays, broadcasting shallower
-    operands into deeper lists (reference lib/structure.py:1275-1346)."""
+    operands into deeper lists (reference lib/structure.py:1275-1346).
+    Operands from different base DataFrames are aligned first via a
+    row-index equi-join (reference partition_compatibility MAYBE path)."""
+    from ..core import align_many
+
     items = list(arrays.items())
+    aligned = align_many([a for _, a in items])
+    items = [(n, aligned[i]) for i, (n, _) in enumerate(items)]
     base = items[0][1]
-    for _, a in items[1:]:
-        base._check_base(a)
     maxd = max(a.depth for _, a in items)
     if depth_limit is not None:
         maxd = min(maxd, depth_limit - 1)
@@ -412,21 +489,34 @@ def argsort(arr: NestedArray, axis: int = -1, ascending: bool = True) -> NestedA
 # ---------------- combinatorics ----------------
 
 def cartesian(arrays: list[NestedArray], axis: int = 1) -> NestedArray:
-    """Per-row cross product of inner lists → list of struct pairs
-    (reference lib/structure.py:254-282). n=2 supported natively."""
-    if len(arrays) != 2:
-        raise NotImplementedError("cartesian supports exactly 2 arrays (as commonly used)")
-    a, b = arrays
-    a._check_base(b)
+    """Per-row cross product of inner lists → list of struct tuples
+    (reference lib/structure.py:254-282). Arbitrary arity at axis=1 via
+    generated nested transforms (expression tree grows linearly with k,
+    output quadratically+ — the user's row-width tradeoff, same as the
+    reference)."""
+    a = arrays[0]
+    for b in arrays[1:]:
+        a._check_base(b)
     col, d = _col_at_axis(a, axis)
-    bcol = b._col
+    cols = [x._col for x in arrays]
+    names = [str(i) for i in range(len(arrays))]
 
-    def prod(x: Column, y: Column) -> Column:
-        return F.flatten(F.transform(x, lambda xe: F.transform(y, lambda ye: F.struct(xe.alias("0"), ye.alias("1")))))
+    def prod(*lists: Column) -> Column:
+        def go(i: int, elems: list[Column]) -> Column:
+            if i == len(lists):
+                return F.struct(*[e.alias(names[j]) for j, e in enumerate(elems)])
+            return F.transform(lists[i], lambda x: go(i + 1, elems + [x]))
+
+        nested = go(0, [])
+        for _ in range(len(lists) - 1):
+            nested = F.flatten(nested)
+        return nested
 
     if d == 0:
-        return a._wrap(prod(a._col, bcol))
-    return a._wrap(apply_at_depth2(a._col, bcol, d, prod))
+        return a._wrap(prod(*cols))
+    if len(arrays) == 2:
+        return a._wrap(apply_at_depth2(cols[0], cols[1], d, prod))
+    raise NotImplementedError("cartesian of >2 arrays supported at axis=1 only")
 
 
 def argcartesian(arrays: list[NestedArray], axis: int = 1) -> NestedArray:
@@ -437,11 +527,13 @@ def argcartesian(arrays: list[NestedArray], axis: int = 1) -> NestedArray:
 
 def combinations(arr: NestedArray, n: int = 2, axis: int = 1, fields: list[str] | None = None) -> NestedArray:
     """Per-row n-choose-k combinations of one list (reference
-    lib/structure.py:295-332). n=2 and n=3 via generated expressions
-    (nested index transforms with i<j<k); larger n would blow up the
-    expression tree — use the Arrow-UDF tier for those."""
-    if n not in (2, 3):
-        raise NotImplementedError("combinations supports n in {2, 3}")
+    lib/structure.py:295-332). Arbitrary ``n`` via generated expressions:
+    ``n`` nested index transforms with strictly-increasing indices
+    (i0 < i1 < ... < i_{n-1}), flattened n-1 times. The expression tree
+    grows linearly with n; row width grows as C(len, n) — the same
+    output-size tradeoff the reference has."""
+    if n < 2:
+        raise ValueError("combinations requires n >= 2")
     names = fields or [str(i) for i in range(n)]
     col, d = _col_at_axis(arr, axis)
 
@@ -451,40 +543,23 @@ def combinations(arr: NestedArray, n: int = 2, axis: int = 1, fields: list[str] 
             F.size(c) - i - 1 > 0, F.sequence(i + 1, F.size(c) - 1)
         ).otherwise(F.array().cast("array<int>"))
 
-    def comb2(c: Column) -> Column:
-        idx = F.when(F.size(c) > 0, F.sequence(F.lit(0), F.size(c) - 1)).otherwise(F.array().cast("array<int>"))
-        return F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    idx_after(c, i),
-                    lambda j: F.struct(F.get(c, i).alias(names[0]), F.get(c, j).alias(names[1])),
-                ),
-            )
+    def comb(c: Column) -> Column:
+        first = F.when(F.size(c) > 0, F.sequence(F.lit(0), F.size(c) - 1)).otherwise(
+            F.array().cast("array<int>")
         )
 
-    def comb3(c: Column) -> Column:
-        idx = F.when(F.size(c) > 0, F.sequence(F.lit(0), F.size(c) - 1)).otherwise(F.array().cast("array<int>"))
-        return F.flatten(
-            F.flatten(
-                F.transform(
-                    idx,
-                    lambda i: F.transform(
-                        idx_after(c, i),
-                        lambda j: F.transform(
-                            idx_after(c, j),
-                            lambda k: F.struct(
-                                F.get(c, i).alias(names[0]),
-                                F.get(c, j).alias(names[1]),
-                                F.get(c, k).alias(names[2]),
-                            ),
-                        ),
-                    ),
-                )
-            )
-        )
+        def go(level: int, prev: Column | None, chosen: list[Column]) -> Column:
+            if level == n:
+                return F.struct(*[F.get(c, ix).alias(names[j]) for j, ix in enumerate(chosen)])
+            rng = first if level == 0 else idx_after(c, prev)
+            return F.transform(rng, lambda i: go(level + 1, i, chosen + [i]))
 
-    return arr._wrap(apply_at_depth(col, d, comb2 if n == 2 else comb3))
+        nested = go(0, None, [])
+        for _ in range(n - 1):
+            nested = F.flatten(nested)
+        return nested
+
+    return arr._wrap(apply_at_depth(col, d, comb))
 
 
 def argcombinations(arr: NestedArray, n: int = 2, axis: int = 1, fields: list[str] | None = None) -> NestedArray:

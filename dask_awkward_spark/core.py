@@ -227,20 +227,7 @@ class NestedArray:
         # negative indices are normalized with an eager count, like the
         # reference's divisions lookup.
         if isinstance(key, list) and all(isinstance(k, int) for k in key):
-            if any(k < 0 for k in key):
-                n = self._df.count()
-                key = [k + n if k < 0 else k for k in key]
-            idxed = self.with_row_index()
-            spark = self._df.sparkSession
-            sel = spark.createDataFrame(
-                [(p, i) for p, i in enumerate(key)], "__pos__ long, __idx__ long"
-            )
-            out = (
-                idxed._df.join(F.broadcast(sel), F.col("__row_id__") == F.col("__idx__"))
-                .orderBy("__pos__")
-                .select(idxed._col.alias(VALUE_COL))
-            )
-            return NestedArray(out)
+            return self.take(key)
         # boolean / integer mask arrays
         if isinstance(key, NestedArray):
             return self._getitem_array(key)
@@ -445,6 +432,33 @@ class NestedArray:
             pass
         return NestedArray(df, self._col)
 
+    def take(self, indices: list[int], validate: bool = False) -> "NestedArray":
+        """Outer integer gather, order preserved. Out-of-range POSITIVE
+        indices are silently dropped (inner-join semantics) unless
+        ``validate=True``, which pays one eager count to raise IndexError
+        like awkward does; negative indices always normalize eagerly
+        (the reference's divisions lookup does the same)."""
+        key = list(indices)
+        if any(k < 0 for k in key):
+            n = self._df.count()
+            key = [k + n if k < 0 else k for k in key]
+            if any(k < 0 for k in key):
+                raise IndexError("index out of range")
+        idxed = self.with_row_index()
+        spark = self._df.sparkSession
+        sel = spark.createDataFrame(
+            [(p, i) for p, i in enumerate(key)], "__pos__ long, __idx__ long"
+        )
+        joined = idxed._df.join(F.broadcast(sel), F.col("__row_id__") == F.col("__idx__"))
+        if validate:
+            found = joined.count()
+            if found != len(key):
+                raise IndexError(
+                    f"{len(key) - found} gather indices out of range (validate=True)"
+                )
+        out = joined.orderBy("__pos__").select(idxed._col.alias(VALUE_COL))
+        return NestedArray(out)
+
     def head(self, n: int = 5) -> list:
         return [r[0] for r in self._df.select(self._col.alias(VALUE_COL)).limit(n).collect()]
 
@@ -464,8 +478,17 @@ class NestedArray:
         df = self.to_df().withColumn("__pid__", F.spark_partition_id())
         return NestedArray(df.filter(F.col("__pid__") == i).drop("__pid__"))
 
-    def sample(self, fraction: float, seed: int = 42) -> "NestedArray":
-        """Bernoulli row sample (reference lib/inspect.py:241-273)."""
+    def sample(self, fraction: float | None = None, factor: int | None = None,
+               seed: int = 42) -> "NestedArray":
+        """Row sampling (reference lib/inspect.py:241-273): Bernoulli via
+        ``fraction`` or deterministic every-Nth via ``factor``."""
+        if factor is not None:
+            idxed = self.with_row_index()
+            return NestedArray(
+                idxed._df.filter(F.col("__row_id__") % factor == 0), idxed._col
+            )
+        if fraction is None:
+            raise ValueError("pass fraction= or factor=")
         return NestedArray(self.to_df().sample(fraction=fraction, seed=seed))
 
     # ---------------- element-wise arithmetic ----------------

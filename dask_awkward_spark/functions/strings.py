@@ -42,18 +42,31 @@ def title(arr): return _map(arr, F.initcap)
 
 
 # ---- predicates (lib/str.py:201-381) ----
+# Unicode classes mirror the Arrow kernels the reference wraps:
+# is_decimal = Nd only; is_digit = Nd + No (superscripts etc.);
+# is_numeric = any N (adds Nl roman numerals, fractions). Java regex and
+# DuckDB's RE2 both support \p{..} general categories, so the oracle twin
+# uses the identical pattern.
 
-def is_alnum(arr): return _map(arr, lambda c: c.rlike("^[a-zA-Z0-9]+$"))
-def is_alpha(arr): return _map(arr, lambda c: c.rlike("^[a-zA-Z]+$"))
+def is_alnum(arr): return _map(arr, lambda c: c.rlike("^[\\p{L}\\p{N}]+$"))
+def is_alpha(arr): return _map(arr, lambda c: c.rlike("^\\p{L}+$"))
 def is_ascii(arr): return _map(arr, lambda c: c.rlike("^[\\x00-\\x7F]*$"))
-def is_decimal(arr): return _map(arr, lambda c: c.rlike("^[0-9]+$"))
-def is_digit(arr): return _map(arr, lambda c: c.rlike("^[0-9]+$"))
-def is_lower(arr): return _map(arr, lambda c: (c == F.lower(c)) & c.rlike("[a-zA-Z]"))
-def is_numeric(arr): return _map(arr, lambda c: c.rlike("^[0-9]+$"))
+def is_decimal(arr): return _map(arr, lambda c: c.rlike("^\\p{Nd}+$"))
+def is_digit(arr): return _map(arr, lambda c: c.rlike("^[\\p{Nd}\\p{No}]+$"))
+def is_lower(arr): return _map(arr, lambda c: (c == F.lower(c)) & c.rlike("\\p{L}"))
+def is_numeric(arr): return _map(arr, lambda c: c.rlike("^\\p{N}+$"))
 def is_printable(arr): return _map(arr, lambda c: c.rlike("^[\\x20-\\x7E]*$"))
 def is_space(arr): return _map(arr, lambda c: c.rlike("^\\s+$"))
-def is_title(arr): return _map(arr, lambda c: c == F.initcap(c))
-def is_upper(arr): return _map(arr, lambda c: (c == F.upper(c)) & c.rlike("[a-zA-Z]"))
+def is_title(arr):
+    # Python/Arrow istitle: every word's first cased char is upper/title,
+    # subsequent cased chars lower, at least one cased char. ("A1a" is NOT
+    # title — 'a' restarts a word after the uncased '1'. The previous
+    # c == initcap(c) formulation got that wrong.)
+    return _map(
+        arr,
+        lambda c: c.rlike("^(?:[^\\p{L}]*[\\p{Lu}\\p{Lt}]\\p{Ll}*)+[^\\p{L}]*$"),
+    )
+def is_upper(arr): return _map(arr, lambda c: (c == F.upper(c)) & c.rlike("\\p{L}"))
 
 
 # ---- pad / trim (lib/str.py:43-901) ----
@@ -89,6 +102,8 @@ def trim_whitespace(arr): return _map(arr, F.trim)
 # ---- search (lib/str.py:63-556) ----
 
 def count_substring(arr, pattern):
+    if not pattern:
+        raise ValueError("count_substring pattern must be non-empty")
     return _map(arr, lambda c: ((F.length(c) - F.length(F.replace(c, F.lit(pattern), F.lit("")))) / len(pattern)).cast("int"))
 
 def count_substring_regex(arr, pattern):

@@ -352,10 +352,29 @@ def _axis0_positional(arr: NestedArray, op: str) -> NestedArray:
 
 # identity values for mask_identity=False on reducers whose natural Spark
 # result is NULL on empty lists (reference threads mask_identity through
-# every reducer; ak defaults: sum/prod/count/any/all False, min/max True)
+# every reducer; ak defaults: sum/prod/count/any/all False, min/max True).
+# Integral leaves keep their integral identity (dtype max/min), matching
+# awkward — casting to double ±inf would silently widen the result type.
+_INT_RANGES: dict[type, tuple[int, int]] = {
+    T.ByteType: (-(1 << 7), (1 << 7) - 1),
+    T.ShortType: (-(1 << 15), (1 << 15) - 1),
+    T.IntegerType: (-(1 << 31), (1 << 31) - 1),
+    T.LongType: (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _minmax_identity(dt: T.DataType, for_min: bool) -> Column:
+    rng = _INT_RANGES.get(type(dt))
+    if rng is not None:
+        return F.lit(rng[1] if for_min else rng[0]).cast(dt)
+    return F.lit(float("inf") if for_min else float("-inf")).cast(
+        dt if isinstance(dt, (T.DoubleType, T.FloatType)) else "double"
+    )
+
+
 _EMPTY_IDENTITY: dict[str, Callable[[T.DataType], Column]] = {
-    "min": lambda dt: F.lit(float("inf")).cast(dt if isinstance(dt, (T.DoubleType, T.FloatType)) else "double"),
-    "max": lambda dt: F.lit(float("-inf")).cast(dt if isinstance(dt, (T.DoubleType, T.FloatType)) else "double"),
+    "min": lambda dt: _minmax_identity(dt, for_min=True),
+    "max": lambda dt: _minmax_identity(dt, for_min=False),
     "argmin": lambda dt: F.lit(-1),
     "argmax": lambda dt: F.lit(-1),
     "ptp": lambda dt: F.lit(0).cast(dt if isinstance(dt, (T.DoubleType, T.FloatType)) else "bigint"),

@@ -165,16 +165,13 @@ def str_capitalize_title(spark, sf_dir):
     )
 
 
-STR_CAPITALIZE_SQL = """
+STR_CAPITALIZE_SQL = r"""
 WITH capped AS (
   SELECT doc_id, upper(substring(source, 1, 1)) || lower(substring(source, 2)) AS cap
   FROM documents
 )
 SELECT doc_id, cap,
-       cap = array_to_string(
-         list_transform(string_split(cap, ' '),
-                        w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))),
-         ' ') AS titled
+       regexp_matches(cap, '^(?:[^\p{L}]*[\p{Lu}\p{Lt}][\p{Ll}]*)+[^\p{L}]*$') AS titled
 FROM capped
 """
 

@@ -172,12 +172,12 @@ def str_predicates(spark, sf_dir):
     )
 
 
-STR_PRED_SQL = """
+STR_PRED_SQL = r"""
 SELECT doc_id,
-       regexp_matches(source, '^[a-zA-Z0-9]+$') AS alnum,
-       regexp_matches(lang, '^[a-zA-Z]+$') AS alpha,
-       (lang = lower(lang) AND regexp_matches(lang, '[a-zA-Z]')) AS lowr,
-       regexp_matches(regexp_extract(source, '([0-9]+)', 1), '^[0-9]+$') AS dig,
+       regexp_matches(source, '^[\p{L}\p{N}]+$') AS alnum,
+       regexp_matches(lang, '^\p{L}+$') AS alpha,
+       (lang = lower(lang) AND regexp_matches(lang, '\p{L}')) AS lowr,
+       regexp_matches(regexp_extract(source, '([0-9]+)', 1), '^[\p{Nd}\p{No}]+$') AS dig,
        regexp_matches(source, '^\s+$') AS spc
 FROM documents
 """

@@ -85,6 +85,12 @@ def broadcast_binop(
     Equal depths zip level-by-level; a shallower operand is broadcast into
     the deeper one's lists (the reference gets this from ak broadcasting in
     map_partitions, lib/core.py:1756-1769).
+
+    Documented divergence: same-depth jagged lists of UNEQUAL lengths are
+    combined with ``zip_with``, which null-pads the shorter side — awkward
+    raises a broadcast error instead. Enforcing the error would cost a
+    per-row size assertion in every binop's hot path; callers needing
+    strict parity can pre-check ``F.size(a) == F.size(b)`` themselves.
     """
     if depth_a == depth_b:
         return apply_at_depth2(a, b, depth_a, fn)

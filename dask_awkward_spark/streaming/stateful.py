@@ -34,7 +34,12 @@ def _update_user_stats(
     n, c = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        c += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
+        # half-AWAY-from-zero cents, matching F.round / the DuckDB oracle;
+        # pandas .round() is half-to-even and diverges on exact .5 cents
+        import numpy as np
+
+        v = pdf["value"].dropna().to_numpy() * 100
+        c += int(np.sum(np.sign(v) * np.floor(np.abs(v) + 0.5)))
     state.update((n, c))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "value_c": [c]})
 

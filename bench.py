@@ -34,6 +34,10 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "ev_sessionize",
     "pipeline_e2e",
+    # round-2 additions: the rewritten scale paths
+    "op_unflatten",
+    "op_sum_axis0_jagged",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -345,9 +345,15 @@ def _axis0_positional(arr: NestedArray, op: str) -> NestedArray:
         agg = agg.groupBy(*[f"__p{i}__" for i in range(lvl)]).agg(
             F.transform(packed, lambda s: s["x"]).alias("__r__")
         )
-    # small result (≤ max list width rows): a global sort here is cheap
-    out = agg.orderBy("__p0__").select(F.col("__r__").alias(VALUE_COL))
-    return NestedArray(out)
+    # small result (≤ max list width rows): a global sort here is cheap.
+    # The outermost position doubles as the row index — expose it under
+    # with_row_index's column name so downstream order-sensitive ops skip
+    # their eager re-index pass entirely.
+    out = agg.orderBy("__p0__").select(
+        F.col("__p0__").cast("long").alias("__row_id__"),
+        F.col("__r__").alias(VALUE_COL),
+    )
+    return NestedArray(out, F.col(VALUE_COL))
 
 
 # identity values for mask_identity=False on reducers whose natural Spark

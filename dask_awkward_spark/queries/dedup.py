@@ -180,10 +180,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     Scale shape: every join is an equi-join (band key, doc id, shingle
     hash); the quadratic blow-up is confined to LSH buckets, which is the
     LSH guarantee. No all-pairs product, no theta-join anywhere."""
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir)
+    # the shingle frame feeds four consumers (signatures, two intersection
+    # probes, sizes); persist it once instead of re-deriving the explode —
+    # MEMORY_AND_DISK spills gracefully when shingles outgrow executors
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 16)).alias(f"h{i}")

@@ -155,3 +155,27 @@ def test_salted_groupby_sum(spark):
         for r in salted_groupby_sum(li, "l_returnflag", "l_quantity").collect()
     }
     assert plain == salted
+
+
+def test_lsh_gated_dedup_plans_have_no_product_joins(spark):
+    """The near-dup pipeline must never plan an all-pairs product: every
+    join is an equi-join on a band key / bucket id / doc id (round-2
+    scale requirement for the 100-TB path)."""
+    from dask_awkward_spark.queries.dedup import dedup_embedding_cosine, dedup_ngram_jaccard
+
+    for q in (dedup_ngram_jaccard, dedup_embedding_cosine):
+        plan = explain_str(q(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_axis0_reduction_is_single_position_shuffle(spark):
+    """axis=0 positional sum: one hash-aggregate pair over position keys,
+    no Python boundary, no nested-loop join."""
+    from dask_awkward_spark import from_lists
+    from dask_awkward_spark.operators import reducers as red
+
+    a = from_lists(spark, [[1.0, 2.0], [3.0]], "array<double>")
+    plan = explain_str(red.sum(a, axis=0).to_df())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -7,7 +7,15 @@ Catalyst (pruning, pushdown, codegen, AQE) does the optimization the
 reference implements by hand.
 """
 
-from .core import NestedArray, Record, Scalar, from_column, from_lists
+from .core import (
+    NestedArray,
+    Record,
+    Scalar,
+    align_many,
+    from_column,
+    from_lists,
+    partition_compatibility,
+)
 from .session import get_spark, load_tables
 from .plans import explain_str, necessary_columns, pushed_filters
 from . import behaviors, types

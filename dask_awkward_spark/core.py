@@ -581,6 +581,23 @@ class NestedArray:
         return f"NestedArray(dtype={self.dtype.simpleString()})"
 
 
+def partition_compatibility(*arrays: NestedArray) -> str:
+    """Classify whether collections can be combined element-wise without
+    realignment (reference ``partition_compatibility``, lib/core.py:
+    2815-2938, which returns YES / MAYBE / NO from known divisions):
+
+    - ``"YES"`` — same base DataFrame: columns live in the same rows.
+    - ``"MAYBE"`` — different bases: a row-index equi-join (``align_many``)
+      can co-locate them; whether lengths agree is only known at run time
+      (the reference's unknown-divisions case).
+
+    Spark never yields the reference's ``NO`` (mismatched partition counts)
+    because alignment is by row index, not by partition boundary.
+    """
+    base = arrays[0]
+    return "YES" if all(a._df is base._df for a in arrays[1:]) else "MAYBE"
+
+
 def align_many(arrays: list[NestedArray]) -> list[NestedArray]:
     """Align collections from different base DataFrames onto one joined
     frame via row-index equi-joins (reference partition_compatibility MAYBE

@@ -615,10 +615,11 @@ def concatenate(arrays: list[NestedArray], axis: int = 0) -> NestedArray:
 
     if d == 0:
         return base._wrap(F.concat(*cols))
-    # zip all arrays down to depth d then concat — supported for 2 arrays deep
-    if len(arrays) == 2:
-        return base._wrap(apply_at_depth2(cols[0], cols[1], d, lambda x, y: F.concat(x, y)))
-    raise NotImplementedError("deep concatenate supports 2 arrays at axis>1")
+    # concat is associative: fold arrays pairwise at depth d
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = apply_at_depth2(acc, c, d, lambda x, y: F.concat(x, y))
+    return base._wrap(acc)
 
 
 def broadcast_arrays(*arrays: NestedArray) -> list[NestedArray]:

@@ -160,3 +160,23 @@ def test_from_dask_array_numpy(spark):
     assert out == [[0, 1, 2], [3, 4, 5]]
     back = to_dask_array(arr2)
     assert getattr(back, "shape", None) == (2, 3)
+
+
+def test_partition_compatibility_api(spark):
+    from dask_awkward_spark import partition_compatibility
+
+    a = from_lists(spark, [1, 2], "bigint")
+    b = NestedArray(a._df, a._col * 2)
+    c = from_lists(spark, [3, 4], "bigint")
+    assert partition_compatibility(a, b) == "YES"
+    assert partition_compatibility(a, c) == "MAYBE"
+
+
+def test_axis0_skips_none_rows_and_leaves(spark):
+    """ak parity: a None LIST row contributes nothing at axis=0; None
+    LEAVES act as the identity (skipped by the aggregate)."""
+    a = from_lists(
+        spark, [[1.0, None, 3.0], None, [10.0, 20.0]], "array<double>"
+    )
+    assert red.sum(a, axis=0).compute() == [11.0, 20.0, 3.0]
+    assert red.count(a, axis=0).compute() == [2, 1, 1]

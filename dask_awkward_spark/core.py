@@ -353,11 +353,15 @@ class NestedArray:
                             return F.when(length > 0, F.slice(c, s + 1, length)).otherwise(
                                 F.slice(c, 1, 0)
                             )
-                        # stepped: gather indices s, s+step, ... below e
+                        # stepped: gather indices s, s+step, ... below e;
+                        # a NULL inner list stays NULL (option-type parity
+                        # with the step==1 branch)
                         idx = F.when(e > s, F.sequence(s, e - 1, F.lit(step))).otherwise(
                             F.array().cast("array<int>")
                         )
-                        return F.transform(idx, lambda i: F.get(c, i))
+                        return F.when(
+                            c.isNotNull(), F.transform(idx, lambda i: F.get(c, i))
+                        )
 
                     out = out._wrap(apply_at_depth(out._col, axis - 1, inner_slice))
                 axis += 1
@@ -484,9 +488,11 @@ class NestedArray:
         ``fraction`` or deterministic every-Nth via ``factor``."""
         if factor is not None:
             idxed = self.with_row_index()
-            return NestedArray(
-                idxed._df.filter(F.col("__row_id__") % factor == 0), idxed._col
-            )
+            # project away __row_id__: the kept ids (0, factor, 2*factor...)
+            # are positions in the PRE-sample frame; leaking them would make
+            # downstream order-sensitive ops misread them as current positions
+            kept = idxed._df.filter(F.col("__row_id__") % factor == 0)
+            return NestedArray(kept.select(idxed._col.alias(VALUE_COL)))
         if fraction is None:
             raise ValueError("pass fraction= or factor=")
         return NestedArray(self.to_df().sample(fraction=fraction, seed=seed))
@@ -598,23 +604,58 @@ def partition_compatibility(*arrays: NestedArray) -> str:
     return "YES" if all(a._df is base._df for a in arrays[1:]) else "MAYBE"
 
 
-def align_many(arrays: list[NestedArray]) -> list[NestedArray]:
+def align_many(arrays: list[NestedArray], strict: bool = True) -> list[NestedArray]:
     """Align collections from different base DataFrames onto one joined
     frame via row-index equi-joins (reference partition_compatibility MAYBE
     path, lib/core.py:2815-2938). Same-base inputs pass through untouched.
-    Length mismatches truncate to the common prefix (inner join)."""
+
+    Element order is restored with ``orderBy(__row_id__)`` (Catalyst plans
+    it as a range repartition + local sort — parallel, no single task), so
+    ``compute()``/``head()`` on the result see element order like the
+    reference, not hash-join partition order.
+
+    ``strict=True`` (default) mirrors the reference's broadcast error on
+    length mismatch: a full outer join carries presence flags and every
+    output column is guarded by a distributed ``assert_true``, so touching
+    any value of a mis-sized alignment raises at execution — no eager
+    count, no silent truncation. ``strict=False`` keeps the old
+    truncate-to-common-prefix inner join."""
     base = arrays[0]
     if all(a._df is base._df for a in arrays):
         return list(arrays)
     idxed = [a.with_row_index() for a in arrays]
-    joined = idxed[0]._df.select(F.col("__row_id__"), idxed[0]._col.alias("__a0__"))
+    joined = idxed[0]._df.select(
+        F.col("__row_id__"),
+        idxed[0]._col.alias("__a0__"),
+        F.lit(True).alias("__p0__"),
+    )
     for i, b in enumerate(idxed[1:], start=1):
         joined = joined.join(
-            b._df.select(F.col("__row_id__"), b._col.alias(f"__a{i}__")),
+            b._df.select(
+                F.col("__row_id__"),
+                b._col.alias(f"__a{i}__"),
+                F.lit(True).alias(f"__p{i}__"),
+            ),
             "__row_id__",
-            "inner",
+            "full" if strict else "inner",
         )
-    return [NestedArray(joined, F.col(f"__a{i}__")) for i in range(len(arrays))]
+    joined = joined.orderBy("__row_id__")
+    if not strict:
+        return [NestedArray(joined, F.col(f"__a{i}__")) for i in range(len(arrays))]
+    present = F.lit(True)
+    for i in range(len(arrays)):
+        present = present & F.col(f"__p{i}__").isNotNull()
+    guard = F.assert_true(
+        present,
+        F.lit("cannot broadcast: collections have different lengths (align_many)"),
+    )
+    # assert_true yields NULL when the predicate holds and raises otherwise,
+    # so when(guard.isNull(), value) passes values through on matched rows
+    # and turns any touch of a mismatched alignment into a runtime error
+    return [
+        NestedArray(joined, F.when(guard.isNull(), F.col(f"__a{i}__")))
+        for i in range(len(arrays))
+    ]
 
 
 def from_column(df: DataFrame, col: Column | str) -> NestedArray:

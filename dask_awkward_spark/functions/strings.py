@@ -60,11 +60,15 @@ def is_space(arr): return _map(arr, lambda c: c.rlike("^\\s+$"))
 def is_title(arr):
     # Python/Arrow istitle: every word's first cased char is upper/title,
     # subsequent cased chars lower, at least one cased char. ("A1a" is NOT
-    # title — 'a' restarts a word after the uncased '1'. The previous
-    # c == initcap(c) formulation got that wrong.)
+    # title — 'a' restarts a word after the uncased '1'; "AB"/"HELLO" are
+    # NOT title — consecutive upper-case needs a non-letter separator, so
+    # words after the first require [^\p{L}]+ between them.)
     return _map(
         arr,
-        lambda c: c.rlike("^(?:[^\\p{L}]*[\\p{Lu}\\p{Lt}]\\p{Ll}*)+[^\\p{L}]*$"),
+        lambda c: c.rlike(
+            "^[^\\p{L}]*[\\p{Lu}\\p{Lt}]\\p{Ll}*"
+            "(?:[^\\p{L}]+[\\p{Lu}\\p{Lt}]\\p{Ll}*)*[^\\p{L}]*$"
+        ),
     )
 def is_upper(arr): return _map(arr, lambda c: (c == F.upper(c)) & c.rlike("\\p{L}"))
 

@@ -98,6 +98,10 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
     if axis == 1:
         col, _ = _col_at_axis(arr, 1)
         if isinstance(counts, int):
+            if counts <= 0:
+                # without this, size/0 -> NULL (non-ANSI division) and every
+                # row silently becomes []; ak.unflatten raises too
+                raise ValueError(f"unflatten counts must be positive, got {counts}")
             k = F.lit(counts)
             nchunk = F.ceil(F.size(col) / k).cast("int")
             chunked = F.transform(
@@ -166,12 +170,20 @@ def _cumulative_offsets(df, order_col: str, val_col: str):
     """Cumulative sum of ``val_col`` in ``order_col`` order without an
     unpartitioned window: partition-local running sums + an eager
     per-partition total pass (broadcast back) — the same deliberate
-    laziness break as ``with_row_index``. Requires ``order_col`` values to
-    be contiguous within partitions in partition-id order, which holds for
-    any df derived from ``with_row_index`` output."""
+    laziness break as ``with_row_index``. The required precondition —
+    ``order_col`` values contiguous within partitions in partition-id
+    order — is ENFORCED here with a range repartition (RangePartitioning
+    assigns ranges in partition-id order), because inputs that came through
+    a hash join (e.g. align_many output) interleave values across
+    partitions and would silently get wrong offsets otherwise. The extra
+    shuffle is on the narrow (order, count) frame only."""
     from pyspark.sql import Window
 
-    with_pid = df.withColumn("__pid__", F.spark_partition_id())
+    with_pid = (
+        df.repartitionByRange(order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid__", F.spark_partition_id())
+    )
     totals = {
         r["__pid__"]: r["s"]
         for r in with_pid.groupBy("__pid__")

@@ -23,7 +23,7 @@ from ..functions import textstats as tx
 from ..operators import reducers as red
 from ..operators import structure as st
 from ._canon import arr_micro, arr_str, sql_arr_micro, sql_arr_str
-from .nested import NESTED2_CTE, NESTED_CTE, _nested, _nested2
+from .nested import NESTED2_CTE, NESTED_CTE, _POS_SUMS_LIST, _nested, _nested2
 from .text import TOK_CTE, _SW
 
 
@@ -167,11 +167,8 @@ def op_axis2_family(spark, sf_dir):
     )
 
 
-_POS_SUMS = (
-    "list_transform(range(CAST(coalesce(list_aggregate(list_transform(qss, x -> len(x)),"
-    " 'max'), 0) AS BIGINT)), i -> CAST(list_aggregate(list_transform(list_filter(qss,"
-    " l -> len(l) > i), l -> l[i+1]), 'sum') AS DOUBLE))"
-)
+# single source of truth for the jagged positional-sum oracle expression
+_POS_SUMS = _POS_SUMS_LIST
 OP_AXIS2_FAMILY_SQL = NESTED2_CTE + f"""
 SELECT o_custkey,
        {sql_arr_str("list_transform(qss, x -> CAST(len(x) AS BIGINT))")} AS inner_sizes,
@@ -369,7 +366,7 @@ WITH capped AS (
 SELECT doc_id,
        concat_ws('/', lang, source) AS tagged,
        cap,
-       regexp_matches(cap, '^(?:[^\p{L}]*[\p{Lu}\p{Lt}][\p{Ll}]*)+[^\p{L}]*$') AS titled,
+       regexp_matches(cap, '^[^\p{L}]*[\p{Lu}\p{Lt}][\p{Ll}]*(?:[^\p{L}]+[\p{Lu}\p{Lt}][\p{Ll}]*)*[^\p{L}]*$') AS titled,
        lang IN ('en', 'de') AS known,
        CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2 ELSE -1 END AS lang_idx
 FROM capped

@@ -52,8 +52,27 @@ def from_dask_array(spark: SparkSession, darr, chunk_rows: int = 1 << 20) -> Nes
     import numpy as np
 
     if hasattr(darr, "compute") and hasattr(darr, "chunks"):  # dask.array duck-type
-        darr = darr.compute()
-    arr = np.asarray(darr)
+        # materialize block-by-block along axis 0 — each block is computed
+        # and shipped separately (at most chunk_rows rows on the driver at
+        # a time), then the per-block frames union lazily; never one
+        # full-array copy
+        spec = {0: chunk_rows}
+        spec.update({i: -1 for i in range(1, darr.ndim)})
+        d = darr.rechunk(spec)
+        parts = [
+            _np_frame(spark, np.asarray(d.blocks[i].compute()))
+            for i in range(d.numblocks[0])
+        ]
+        if not parts:
+            return _np_frame(spark, np.asarray(darr.compute()))
+        out = parts[0].to_df()
+        for p in parts[1:]:
+            out = out.unionAll(p.to_df())
+        return NestedArray(out)
+    return _np_frame(spark, np.asarray(darr))
+
+
+def _np_frame(spark: SparkSession, arr) -> NestedArray:
     if arr.ndim == 1:
         return from_lists(spark, [x.item() for x in arr], _np_spark_type(arr.dtype))
     if arr.ndim == 2:

@@ -107,14 +107,29 @@ def test_unflatten_axis1_fixed_and_counts(spark):
 def test_cross_df_binop_aligns_by_row_index(spark):
     a = from_lists(spark, [1.0, 2.0, 3.0], "double")
     b = from_lists(spark, [10.0, 20.0, 30.0], "double")
-    assert sorted((a + b).compute()) == [11.0, 22.0, 33.0]
+    # element order must survive the alignment join (no sorted() here)
+    assert (a + b).compute() == [11.0, 22.0, 33.0]
 
 
 def test_cross_df_zip(spark):
     a = from_lists(spark, [1, 2, 3], "bigint")
     b = from_lists(spark, [4, 5, 6], "bigint")
     z = st.zip({"x": a, "y": b})
-    assert sorted([(r["x"], r["y"]) for r in z.compute()]) == [(1, 4), (2, 5), (3, 6)]
+    assert [(r["x"], r["y"]) for r in z.compute()] == [(1, 4), (2, 5), (3, 6)]
+
+
+def test_cross_df_length_mismatch_raises(spark):
+    a = from_lists(spark, [1.0, 2.0, 3.0], "double")
+    b = from_lists(spark, [10.0, 20.0], "double")
+    with pytest.raises(Exception, match="different lengths|ASSERT"):
+        (a + b).compute()
+
+
+def test_align_many_nonstrict_truncates(spark):
+    a = from_lists(spark, [1.0, 2.0, 3.0], "double")
+    b = from_lists(spark, [10.0, 20.0], "double")
+    la, lb = align_many([a, b], strict=False)
+    assert la._binop(lb, lambda x, y: x + y).compute() == [11.0, 22.0]
 
 
 def test_align_many_same_base_is_noop(spark):
@@ -138,6 +153,30 @@ def test_stepped_inner_slice(spark):
     assert a[:, ::2].compute() == [[0, 2, 4, 6]]
     assert a[:, 1:6:2].compute() == [[1, 3, 5]]
     assert a[:, ::3].compute() == [[0, 3, 6]]
+
+
+def test_stepped_inner_slice_preserves_null(spark):
+    a = from_lists(spark, [[0, 1, 2, 3], None], "array<bigint>")
+    # option-type parity with the step==1 branch: None stays None, not []
+    assert a[:, ::2].compute() == [[0, 2], None]
+    assert a[:, :2].compute() == [[0, 1], None]
+
+
+def test_sample_factor_composes_with_order_ops(spark):
+    a = from_lists(spark, list(range(10)), "bigint")
+    s = a.sample(factor=2)  # keeps original positions 0,2,4,6,8
+    # the stale pre-sample row ids must NOT leak: slicing/gather act on
+    # post-sample positions
+    assert s[0:2].compute() == [0, 2]
+    assert s.take([1]).compute() == [2]
+
+
+def test_unflatten_nonpositive_counts_raises(spark):
+    nested = from_lists(spark, [[1, 2, 3, 4]], "array<bigint>")
+    with pytest.raises(ValueError, match="positive"):
+        st.unflatten(nested, 0, axis=1)
+    with pytest.raises(ValueError, match="positive"):
+        st.unflatten(nested, -2, axis=1)
 
 
 def test_stepped_slice_negative_step_raises(spark):

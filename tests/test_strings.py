@@ -100,3 +100,9 @@ def test_center_no_truncate_and_trim_metachars(spark):
     t = das.from_lists(spark, ["xaxbzx"], "string")
     assert S.trim(t, "a-z").compute() == ["xaxbzx"]  # only literal a,-,z trimmed
     assert S.trim(t, "x").compute() == ["axbz"]
+
+
+def test_is_title_matches_python_semantics(spark):
+    cases = ["Hello World", "Hello1", "HELLO", "AB", "A1a", "hello", "AbC", "", "Abc Def"]
+    w = das.from_lists(spark, cases, "string")
+    assert S.is_title(w).compute() == [c.istitle() for c in cases]

@@ -72,27 +72,28 @@ def main():
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
+        import pyspark.sql.types as T
+
         try:
             sdf = fn(spark, SF_DIR)
+            # The driver canonicalizes with pandas, which cannot hash
+            # list/struct cells — flag nested output types from the lazy
+            # schema BEFORE paying for the collect.
+            nested_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+            ]
+            if nested_cols:
+                print(f"FAIL {name}: nested output columns {nested_cols} (driver can't hash)")
+                results.append((name, "nested_output"))
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             results.append((name, "spark_error"))
-            continue
-        # The driver canonicalizes with pandas, which cannot hash list/struct
-        # cells — flag nested output types here so they never reach the driver.
-        import pyspark.sql.types as T
-
-        nested_cols = [
-            f.name
-            for f in sdf.schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
-        ]
-        if nested_cols:
-            print(f"FAIL {name}: nested output columns {nested_cols} (driver can't hash)")
-            results.append((name, "nested_output"))
             continue
         if name not in oracles:
             print(f"okNO {name}: rows={len(srows)} (no oracle, rows-only)")

@@ -93,10 +93,10 @@ _WINDOW = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    # similarity / vector ops
+    # similarity / vector ops (LSH + IVF are the two ANN scale paths)
     "sim_knn_per_query",
     "sim_lsh_buckets",
-    "sim_label_centroids",
+    "sim_ivf_topk",
     # multimodal / streaming / pipeline / engine surfaces
     "mm_binary_meta",
     "stream_tumbling",
@@ -105,6 +105,7 @@ _WINDOW = [
     "op_repartition_sample",
     "ev_sessionize",
     # positions 51+: graded only if the driver widens its window
+    "sim_label_centroids",
     "op_minmax_axis0_jagged",
     "q_corr_covar",
 ]

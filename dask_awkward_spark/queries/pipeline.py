@@ -110,19 +110,26 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def op_sample_deterministic(spark, sf_dir):
-    """every-Nth sampling (reference lib/inspect.py:241-273 ``sample``,
-    factor mode) — deterministic row subset via modulo on a key."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.filter((F.col("l_orderkey") % 97 == 0))
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
+    """every-Nth sampling through the ENGINE's ``sample(factor=)``
+    (reference lib/inspect.py:241-273) — the base frame is ordered by the
+    unique o_orderkey first, so the engine's row index equals the global
+    sorted position and DuckDB can reproduce the kept set with
+    row_number()."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_orderkey")
+    kept = NestedArray(od, "o_totalprice").sample(factor=7).to_df("p")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("p") * 100).cast("bigint")).alias("price_c"),
     )
 
 
 OP_SAMPLE_SQL = """
-SELECT l_returnflag, count(*) AS n FROM lineitem
-WHERE l_orderkey % 97 = 0 GROUP BY l_returnflag
+SELECT count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM (SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders) t
+WHERE rid % 7 = 0
 """
 
 

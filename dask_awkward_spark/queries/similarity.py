@@ -199,10 +199,122 @@ FROM cent GROUP BY label
 """
 
 
+N_CELLS = 8
+
+
+def _centroids() -> list[list[float]]:
+    """Deterministic ±1 coarse-quantizer centroids (md5 sign, salt 'c') —
+    a reproducible stand-in for a trained k-means codebook, embedded as
+    literals in both engines like the LSH planes."""
+    out = []
+    for j in range(N_CELLS):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"c{j}_{d}".encode()).hexdigest()
+            row.append(1.0 if h[0] in "89abcdef" else -1.0)
+        out.append(row)
+    return out
+
+
+def _cell_dots_expr(e: F.Column) -> F.Column:
+    dots = []
+    for row in _centroids():
+        warr = F.array(*[F.lit(w) for w in row])
+        dots.append(
+            F.aggregate(F.zip_with(e, warr, lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z)
+        )
+    return F.array(*dots)
+
+
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: every vector is assigned to its nearest coarse cell
+    (argmax dot against N_CELLS fixed centroids — pure per-row expression,
+    NO shuffle for assignment); the query probes its best 2 cells and the
+    expensive cosine runs ONLY inside those cells (~nprobe/K of the
+    corpus); final top-10 is TakeOrdered (per-partition partial top-k, no
+    global sort). This is the classic inverted-file scale path next to
+    sim_lsh_buckets' hyperplane one."""
+    emb = _emb(spark, sf_dir)
+    dots = _cell_dots_expr(F.col("e"))
+    assigned = emb.select(
+        "vec_id",
+        "e",
+        F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
+        dots.alias("ds"),
+    )
+    q = assigned.filter(F.col("vec_id") == 0)
+    c1 = F.col("cell")
+    masked = F.transform(
+        F.col("ds"), lambda x, i: F.when(i + 1 == c1, F.lit(-1e18)).otherwise(x)
+    )
+    qrow = F.broadcast(
+        q.select(
+            F.col("e").alias("qe"),
+            c1.alias("c1"),
+            F.array_position(masked, F.array_max(masked)).cast("int").alias("c2"),
+        )
+    )
+    cand = (
+        assigned.drop("ds")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qrow)
+        .filter((F.col("cell") == F.col("c1")) | (F.col("cell") == F.col("c2")))
+    )
+    cos = _dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    )
+    return (
+        cand.select("vec_id", "cell", F.round(cos, 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _ivf_sql() -> str:
+    dots = []
+    for row in _centroids():
+        lit = "[" + ", ".join(str(w) for w in row) + "]"
+        dots.append(
+            f"list_aggregate(list_transform(range({DIM}), i -> e[i+1] * ({lit})[i+1]), 'sum')"
+        )
+    ds = "[" + ", ".join(dots) + "]"
+    masked = (
+        f"list_transform(range({N_CELLS}), i -> CASE WHEN i + 1 = c1 THEN -1e18 ELSE qds[i+1] END)"
+    )
+    dot = "list_aggregate(list_transform(range({d}), i -> {a}[i+1] * {b}[i+1]), 'sum')"
+    ee = dot.format(d=DIM, a="e", b="e")
+    eq = dot.format(d=DIM, a="e", b="qe")
+    qq = dot.format(d=DIM, a="qe", b="qe")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), dd AS (
+  SELECT vec_id, e, {ds} AS ds FROM v
+), assigned AS (
+  SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) AS INT) AS cell, ds FROM dd
+), q AS (
+  SELECT e AS qe, cell AS c1, ds AS qds FROM assigned WHERE vec_id = 0
+), q2 AS (
+  SELECT qe, c1,
+         CAST(list_position({masked}, list_max({masked})) AS INT) AS c2
+  FROM q
+), cand AS (
+  SELECT a.vec_id, a.cell, a.e, q2.qe
+  FROM assigned a CROSS JOIN q2
+  WHERE a.vec_id <> 0 AND (a.cell = q2.c1 OR a.cell = q2.c2)
+)
+SELECT vec_id, cell, round({eq} / (sqrt({ee}) * sqrt({qq})), 6) AS cos
+FROM cand
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_knn_per_query": sim_knn_per_query,
     "sim_lsh_buckets": sim_lsh_buckets,
+    "sim_ivf_topk": sim_ivf_topk,
     "sim_label_centroids": sim_label_centroids,
 }
 
@@ -210,5 +322,6 @@ ORACLES = {
     "sim_topk_bruteforce": SIM_TOPK_SQL,
     "sim_knn_per_query": SIM_KNN_SQL,
     "sim_lsh_buckets": _lsh_sql(),
+    "sim_ivf_topk": _ivf_sql(),
     "sim_label_centroids": SIM_CENTROID_SQL,
 }

@@ -89,28 +89,50 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
     range repartition + within-partition sort on grp (parallel, no
     single-task global sort).
 
-    axis=1: subdivide each row's inner list; ``counts`` is either an int
-    (fixed chunk size) or a same-base depth-1 NestedArray whose per-row sum
-    equals the list length. Pure row-local expressions — no shuffle.
+    axis>=1 with int ``counts``: subdivide the lists at that axis into
+    fixed-size chunks — the chunking lambda is applied ``axis-1`` levels
+    deep via nested ``transform()``, so ANY depth is a pure row-local
+    expression (no shuffle). axis=0 with int ``counts`` chunks the rows
+    themselves: grp = row_id // k, then the same grouped reassembly as the
+    NestedArray-counts path. NestedArray ``counts`` is supported at axis
+    0 and 1 (deeper jagged-counts broadcasting is not).
     """
-    if axis not in (0, 1):
-        raise NotImplementedError("unflatten supports axis=0 and axis=1")
-    if axis == 1:
-        col, _ = _col_at_axis(arr, 1)
-        if isinstance(counts, int):
-            if counts <= 0:
-                # without this, size/0 -> NULL (non-ANSI division) and every
-                # row silently becomes []; ak.unflatten raises too
-                raise ValueError(f"unflatten counts must be positive, got {counts}")
-            k = F.lit(counts)
-            nchunk = F.ceil(F.size(col) / k).cast("int")
-            chunked = F.transform(
-                F.when(nchunk > 0, F.sequence(F.lit(0), nchunk - 1)).otherwise(
-                    F.array().cast("array<int>")
-                ),
-                lambda i: F.slice(col, i * k + 1, counts),
+    if isinstance(counts, int) and counts <= 0:
+        # without this, size/0 -> NULL (non-ANSI division) and every
+        # row silently becomes []; ak.unflatten raises too
+        raise ValueError(f"unflatten counts must be positive, got {counts}")
+    if axis == 0 and isinstance(counts, int):
+        idxed = arr.with_row_index()
+        out = (
+            idxed._df.select(
+                (F.col("__row_id__") / counts).cast("bigint").alias("grp"),
+                F.struct(F.col("__row_id__").alias("i"), idxed._col.alias("x")).alias("s"),
             )
-            return arr._wrap(chunked)
+            .groupBy("grp")
+            .agg(F.transform(F.array_sort(F.collect_list("s")), lambda s: s["x"]).alias(VALUE_COL))
+            .repartitionByRange("grp")
+            .sortWithinPartitions("grp")
+            .select(VALUE_COL)
+        )
+        return NestedArray(out)
+    if axis >= 1:
+        if isinstance(counts, int):
+            _col_at_axis(arr, axis)  # validates the axis addresses a list level
+            k = F.lit(counts)
+
+            def chunk(c: Column) -> Column:
+                nchunk = F.ceil(F.size(c) / k).cast("int")
+                return F.transform(
+                    F.when(nchunk > 0, F.sequence(F.lit(0), nchunk - 1)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                    lambda i: F.slice(c, i * k + 1, counts),
+                )
+
+            return arr._wrap(apply_at_depth(arr._col, axis - 1, chunk))
+        if axis != 1:
+            raise NotImplementedError("NestedArray counts supported at axis 0 and 1 only")
+        col, _ = _col_at_axis(arr, 1)
         arr._check_base(counts)
         cnts = counts._col
         # offsets[i] = sum(cnts[:i]) — expression-level cumulative sum
@@ -134,7 +156,9 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
     data = arr.with_row_index()
     cidx = counts.with_row_index()
     cdf = cidx._df.select(F.col("__row_id__").alias("grp"), cidx._col.alias("cnt"))
-    bounds = _cumulative_offsets(cdf, "grp", "cnt")  # adds lo, hi = lo + cnt
+    # cdf is a straight projection of with_row_index output -> already
+    # contiguous in partition-id order; skip the defensive range shuffle
+    bounds = _cumulative_offsets(cdf, "grp", "cnt", assume_contiguous=True)
     # explode bounds into one (grp, row id) pair per element; explode_outer
     # keeps zero-count groups as a null pair so they survive as empty lists
     pairs = bounds.select(
@@ -166,7 +190,7 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
     return NestedArray(out)
 
 
-def _cumulative_offsets(df, order_col: str, val_col: str):
+def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: bool = False):
     """Cumulative sum of ``val_col`` in ``order_col`` order without an
     unpartitioned window: partition-local running sums + an eager
     per-partition total pass (broadcast back) — the same deliberate
@@ -176,14 +200,14 @@ def _cumulative_offsets(df, order_col: str, val_col: str):
     assigns ranges in partition-id order), because inputs that came through
     a hash join (e.g. align_many output) interleave values across
     partitions and would silently get wrong offsets otherwise. The extra
-    shuffle is on the narrow (order, count) frame only."""
+    shuffle is on the narrow (order, count) frame only; callers that KNOW
+    their input is a straight projection of with_row_index output pass
+    ``assume_contiguous=True`` to skip it."""
     from pyspark.sql import Window
 
-    with_pid = (
-        df.repartitionByRange(order_col)
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid__", F.spark_partition_id())
-    )
+    if not assume_contiguous:
+        df = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
+    with_pid = df.withColumn("__pid__", F.spark_partition_id())
     totals = {
         r["__pid__"]: r["s"]
         for r in with_pid.groupBy("__pid__")

@@ -219,3 +219,13 @@ def test_axis0_skips_none_rows_and_leaves(spark):
     )
     assert red.sum(a, axis=0).compute() == [11.0, 20.0, 3.0]
     assert red.count(a, axis=0).compute() == [2, 1, 1]
+
+
+def test_unflatten_axis0_int_counts(spark):
+    a = from_lists(spark, [1, 2, 3, 4, 5], "bigint")
+    assert st.unflatten(a, 2, axis=0).compute() == [[1, 2], [3, 4], [5]]
+
+
+def test_unflatten_axis2_int_counts(spark):
+    a = from_lists(spark, [[[1, 2, 3, 4], [5, 6]]], "array<array<bigint>>")
+    assert st.unflatten(a, 2, axis=2).compute() == [[[[1, 2], [3, 4]], [[5, 6]]]]

@@ -9,6 +9,7 @@ reference implements by hand.
 
 from .core import (
     NestedArray,
+    PartitionCompatibility,
     Record,
     Scalar,
     align_many,
@@ -19,8 +20,49 @@ from .core import (
 from .session import get_spark, load_tables
 from .plans import explain_str, necessary_columns, pushed_filters
 from . import behaviors, types
+from .behaviors import dask_method, dask_property, register_behavior
+from .compat import (
+    Array,
+    backend,
+    compatible_partitions,
+    fields,
+    from_awkward,
+    from_delayed,
+    layout_to_jsonschema,
+    map_partitions,
+    report_necessary_buffers,
+    report_necessary_columns,
+    sample,
+    to_dask_bag,
+    to_delayed,
+    to_list,
+    with_field,
+    without_field,
+)
+from .compat import typeof as type  # noqa: A001 — reference exports `type` too
+from .sources.parquet import from_parquet, to_parquet
+from .sources.json import from_json, to_json
+from .sources.text import from_text
+from .functions.strings import strings_astype
+from .sources.memory import (
+    from_arrow,
+    from_dask_array,
+    from_map,
+    to_dask_array,
+    to_dataframe,
+    to_local_iterator,
+)
 from .operators import reducers, structure
 from .operators.structure import (
+    broadcast_arrays,
+    copy,
+    enforce_type,
+    from_regular,
+    to_packed,
+    to_regular,
+    with_name,
+    with_parameter,
+    without_parameters,
     argcartesian,
     argcombinations,
     argsort,

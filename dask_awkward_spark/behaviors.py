@@ -52,3 +52,13 @@ def lookup_behavior(name: str | None, attr: str) -> Any | None:
     if name is None or name not in _REGISTRY:
         return None
     return getattr(_REGISTRY[name], attr, None)
+
+
+# Reference decorator names (lib/core.py:150-353): ``dask_property`` marks a
+# property on a behavior class; ``dask_method`` marks a method. Plain methods
+# already dispatch through lookup_behavior, so dask_method is the identity.
+dask_property = behavior_property
+
+
+def dask_method(fn: Callable) -> Callable:
+    return fn

@@ -16,6 +16,7 @@ expressions — no Python in the hot path, no shuffle.
 
 from __future__ import annotations
 
+from enum import Enum
 from typing import Any, Callable, Iterable
 
 from pyspark.sql import Column, DataFrame
@@ -587,7 +588,16 @@ class NestedArray:
         return f"NestedArray(dtype={self.dtype.simpleString()})"
 
 
-def partition_compatibility(*arrays: NestedArray) -> str:
+class PartitionCompatibility(str, Enum):
+    """Reference lib/core.py ``PartitionCompatibility`` (YES/MAYBE/NO).
+    str-valued so existing ``== "YES"`` comparisons keep working."""
+
+    YES = "YES"
+    MAYBE = "MAYBE"
+    NO = "NO"
+
+
+def partition_compatibility(*arrays: NestedArray) -> "PartitionCompatibility":
     """Classify whether collections can be combined element-wise without
     realignment (reference ``partition_compatibility``, lib/core.py:
     2815-2938, which returns YES / MAYBE / NO from known divisions):
@@ -601,7 +611,8 @@ def partition_compatibility(*arrays: NestedArray) -> str:
     because alignment is by row index, not by partition boundary.
     """
     base = arrays[0]
-    return "YES" if all(a._df is base._df for a in arrays[1:]) else "MAYBE"
+    same = all(a._df is base._df for a in arrays[1:])
+    return PartitionCompatibility.YES if same else PartitionCompatibility.MAYBE
 
 
 def align_many(arrays: list[NestedArray], strict: bool = True) -> list[NestedArray]:

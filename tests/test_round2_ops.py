@@ -229,3 +229,49 @@ def test_unflatten_axis0_int_counts(spark):
 def test_unflatten_axis2_int_counts(spark):
     a = from_lists(spark, [[[1, 2, 3, 4], [5, 6]]], "array<array<bigint>>")
     assert st.unflatten(a, 2, axis=2).compute() == [[[[1, 2], [3, 4]], [[5, 6]]]]
+
+
+def test_reference_toplevel_export_parity(spark):
+    """Every name the reference exports from its package root resolves
+    here too (same-named), so `import dask_awkward_spark as dak` is a
+    drop-in for the reference's import."""
+    import re
+    import pathlib
+
+    import dask_awkward_spark as dak
+
+    src = pathlib.Path("/root/reference/src/dask_awkward/__init__.py")
+    if not src.exists():
+        pytest.skip("reference checkout not present")
+    names = set()
+    for m in re.finditer(
+        r"from [\w.]+ import \(([^)]+)\)|from [\w.]+ import ([\w, ]+)$",
+        src.read_text(),
+        re.M,
+    ):
+        for n in (m.group(1) or m.group(2)).split(","):
+            n = n.strip().split(" as ")[-1].strip()
+            if n and not n.startswith("_"):
+                names.add(n)
+    names |= {"type", "necessary_columns"}
+    missing = sorted(n for n in names if not hasattr(dak, n))
+    assert missing == []
+
+
+def test_compat_surface_smoke(spark):
+    import dask_awkward_spark as dak
+
+    a = dak.from_lists(spark, [[1, 2], [3]], "array<bigint>")
+    assert dak.backend(a) == "spark"
+    assert dak.to_list(a) == [[1, 2], [3]]
+    assert dak.compatible_partitions(a, a._wrap(a._col)) is True
+    b = dak.from_lists(spark, [10, 20], "bigint")
+    assert dak.compatible_partitions(a, b) is False
+    assert dak.partition_compatibility(a, b) == dak.PartitionCompatibility.MAYBE
+    js = dak.layout_to_jsonschema(a)
+    assert js["type"] == "array" and js["items"]["type"] == "integer"
+    assert dak.from_awkward(spark, [1, 2, 3]).compute() == [1, 2, 3]
+    got = dak.from_delayed(spark, [lambda: [(1,), (2,)], lambda: [(3,)]], "x bigint")
+    assert sorted(r["x"] for r in got.compute()) == [1, 2, 3]
+    with pytest.raises(ImportError, match="to_local_iterator"):
+        dak.to_delayed(a)

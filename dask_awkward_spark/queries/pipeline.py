@@ -75,6 +75,20 @@ def stream_sessions(spark, sf_dir):
     return sessionized_counts(spark, sf_dir)
 
 
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark — bounded
+    state) + per-type counts; equals batch COUNT(DISTINCT user_id)."""
+    from ..streaming import stream_dedup_counts
+
+    return stream_dedup_counts(spark, sf_dir)
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def stream_stateful_user_stats(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user running
     (count, cent-sum) carried in GroupState — integer state makes it
@@ -205,6 +219,7 @@ QUERIES = {
     "mm_decode_features": mm_decode_features,
     "stream_tumbling": stream_tumbling,
     "stream_sessions": stream_sessions,
+    "stream_dedup": stream_dedup,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "op_repartition_stable": op_repartition_stable,
     "op_sample_deterministic": op_sample_deterministic,
@@ -218,6 +233,7 @@ ORACLES = {
     "mm_binary_meta": MM_BINARY_SQL,
     # mm_decode_features: Python stub decode — rows-only
     "stream_tumbling": STREAM_TUMBLING_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
     # stream_sessions: session-window merge order is engine-specific — rows-only
     "stream_stateful_user_stats": STREAM_STATEFUL_SQL,
     "op_repartition_stable": OP_REPARTITION_SQL,

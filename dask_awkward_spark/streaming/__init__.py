@@ -1,1 +1,5 @@
-from .windows import sessionized_counts, stream_tumbling_counts  # noqa: F401
+from .windows import (  # noqa: F401
+    sessionized_counts,
+    stream_dedup_counts,
+    stream_tumbling_counts,
+)

@@ -95,3 +95,32 @@ def sessionized_counts(
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+def stream_dedup_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "365 days"
+) -> DataFrame:
+    """Streaming exact deduplication via ``dropDuplicatesWithinWatermark``
+    — the scale-correct streaming dedup: state for a (user_id, event_type)
+    pair is retained only within the watermark horizon, so state size is
+    bounded by the horizon instead of growing forever like plain
+    ``dropDuplicates``. Exact against a global-DISTINCT oracle here
+    because the bounded test data's time span sits far inside the horizon.
+    Downstream per-type counts aggregate the deduplicated stream."""
+    ded = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    agg = ded.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dakspark_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

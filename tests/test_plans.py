@@ -179,3 +179,16 @@ def test_axis0_reduction_is_single_position_shuffle(spark):
     plan = explain_str(red.sum(a, axis=0).to_df())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_plan_prunes_without_shuffle(spark):
+    """IVF ANN: cell assignment is a per-row expression and candidate
+    pruning happens at a one-row broadcast join — the corpus side must
+    see NO shuffle, and the top-k must be TakeOrdered (partial per
+    partition), not a global Sort."""
+    from dask_awkward_spark.queries.similarity import sim_ivf_topk
+
+    plan = explain_str(sim_ivf_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

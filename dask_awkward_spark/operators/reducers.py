@@ -292,6 +292,8 @@ def _reduce(
         # reassemble inner levels. The row dimension of the result is the
         # outermost position — jagged tails survive naturally because
         # absent positions simply contribute no rows.
+        if op in ("argmin", "argmax"):
+            return _axis0_positional_arg(arr, op)
         if op not in _GLOBAL_AGGS:
             raise NotImplementedError(f"{op} along axis=0")
         return _axis0_positional(arr, op)
@@ -349,6 +351,50 @@ def _axis0_positional(arr: NestedArray, op: str) -> NestedArray:
     # The outermost position doubles as the row index — expose it under
     # with_row_index's column name so downstream order-sensitive ops skip
     # their eager re-index pass entirely.
+    out = agg.orderBy("__p0__").select(
+        F.col("__p0__").cast("long").alias("__row_id__"),
+        F.col("__r__").alias(VALUE_COL),
+    )
+    return NestedArray(out, F.col(VALUE_COL))
+
+
+def _axis0_positional_arg(arr: NestedArray, op: str) -> NestedArray:
+    """``argmin``/``argmax`` along axis=0 over jagged rows: for each inner
+    position, the OUTER row index attaining the extreme (first occurrence
+    wins ties, matching ak tie-breaking; rows lacking the position and
+    null leaves simply don't participate). The row index is the
+    collection's global row order (``with_row_index`` divisions), i.e.
+    rectangular-numpy semantics extended to jagged tails. Reference
+    semantics: lib/reducers.py argmin/argmax + non_trivial_reduction
+    (lib/core.py:2349-2457).
+
+    Scale shape: identical to ``_axis0_positional`` — posexplode each
+    level, ONE hash shuffle on the position key with min_by/max_by
+    carrying the row index; no window, no driver loop."""
+    depth = arr.depth
+    idxed = arr.with_row_index()
+    df = idxed._df.select(F.col("__row_id__"), idxed._col.alias("__x0__"))
+    for lvl in range(depth):
+        df = df.select(
+            "__row_id__",
+            *[f"__p{i}__" for i in range(lvl)],
+            F.posexplode(f"__x{lvl}__").alias(f"__p{lvl}__", f"__x{lvl + 1}__"),
+        )
+    leaf = F.col(f"__x{depth}__")
+    rid = F.col("__row_id__")
+    df = df.filter(leaf.isNotNull())
+    if op == "argmin":
+        res = F.min_by(rid, F.struct(leaf.alias("v"), rid.alias("i")))
+    else:  # first occurrence of the max -> max of (v, -rid)
+        res = F.max_by(rid, F.struct(leaf.alias("v"), (-rid).alias("i")))
+    agg = df.groupBy(*[f"__p{i}__" for i in range(depth)]).agg(res.alias("__r__"))
+    for lvl in range(depth - 1, 0, -1):
+        packed = F.array_sort(
+            F.collect_list(F.struct(F.col(f"__p{lvl}__").alias("i"), F.col("__r__").alias("x")))
+        )
+        agg = agg.groupBy(*[f"__p{i}__" for i in range(lvl)]).agg(
+            F.transform(packed, lambda s: s["x"]).alias("__r__")
+        )
     out = agg.orderBy("__p0__").select(
         F.col("__p0__").cast("long").alias("__row_id__"),
         F.col("__r__").alias(VALUE_COL),

@@ -59,33 +59,48 @@ FROM ex GROUP BY pos
 
 
 def op_minmax_axis0_jagged(spark, sf_dir):
-    """min/max/count at axis=0 — same positional regime."""
-    df = _nested(spark, sf_dir)
+    """min/max/count/argmin/argmax at axis=0 — same positional regime.
+    The source is sorted by l_orderkey so the row indices argmin/argmax
+    return are deterministic (rid = rank of l_orderkey); ties break to
+    the first occurrence (lowest rid), carried by min_by/max_by inside
+    the position-key aggregate."""
+    df = _nested(spark, sf_dir).orderBy("l_orderkey")
     qs = _arr(df, "qs")
     mn = red.min(qs, axis=0).with_row_index()
     mx = red.max(qs, axis=0)
     cn = red.count(qs, axis=0)
-    # all three outputs share the position dimension: zip them row-wise
-    # (same engine plan shape, three aggregates in one pass each)
-    z = st.zip({"mn": mn, "mx": mx, "cn": cn})
+    am = red.argmin(qs, axis=0)
+    ag = red.argmax(qs, axis=0)
+    # all five outputs share the position dimension: zip them row-wise
+    # (same engine plan shape, one position-key aggregate pass each)
+    z = st.zip({"mn": mn, "mx": mx, "cn": cn, "am": am, "ag": ag})
     idxed = z.with_row_index()
     return idxed._df.select(
         F.col("__row_id__").cast("bigint").alias("pos"),
         idxed._col["mn"].alias("pos_min"),
         idxed._col["mx"].alias("pos_max"),
         idxed._col["cn"].cast("bigint").alias("pos_n"),
+        idxed._col["am"].cast("bigint").alias("pos_amin"),
+        idxed._col["ag"].cast("bigint").alias("pos_amax"),
     )
 
 
 OP_MINMAX_AXIS0_SQL = NESTED_CTE + """
-, ex AS (
-  SELECT unnest(range(len(qs))) AS pos, unnest(qs) AS x FROM nested
+, idx AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey) - 1 AS rid, qs FROM nested
+), ex AS (
+  SELECT rid, unnest(range(len(qs))) AS pos, unnest(qs) AS x FROM idx
+), m AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx, count(x) AS cn FROM ex GROUP BY pos
 )
-SELECT CAST(pos AS BIGINT) AS pos,
-       CAST(min(x) AS DOUBLE) AS pos_min,
-       CAST(max(x) AS DOUBLE) AS pos_max,
-       CAST(count(x) AS BIGINT) AS pos_n
-FROM ex GROUP BY pos
+SELECT CAST(m.pos AS BIGINT) AS pos,
+       CAST(m.mn AS DOUBLE) AS pos_min,
+       CAST(m.mx AS DOUBLE) AS pos_max,
+       CAST(m.cn AS BIGINT) AS pos_n,
+       CAST(min(CASE WHEN ex.x = m.mn THEN ex.rid END) AS BIGINT) AS pos_amin,
+       CAST(min(CASE WHEN ex.x = m.mx THEN ex.rid END) AS BIGINT) AS pos_amax
+FROM ex JOIN m USING (pos)
+GROUP BY m.pos, m.mn, m.mx, m.cn
 """
 
 

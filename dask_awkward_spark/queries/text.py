@@ -266,7 +266,7 @@ def text_rolling_hashes(spark, sf_dir):
     )
 
 
-TEXT_ROLLING_SQL = """
+TEXT_ROLLING_SQL = r"""
 WITH ltok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks

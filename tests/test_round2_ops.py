@@ -50,6 +50,19 @@ def test_prod_axis0_stays_integral(spark):
     assert red.prod(a, axis=0).compute() == [8, 3]
 
 
+def test_argminmax_axis0_jagged(spark):
+    a = from_lists(spark, [[3.0, 1.0], [2.0], [4.0, 1.0, 6.0]], "array<double>")
+    # pos1 is a tie (1.0 in rows 0 and 2): first occurrence (row 0) wins
+    assert red.argmin(a, axis=0).compute() == [1, 0, 2]
+    assert red.argmax(a, axis=0).compute() == [2, 0, 2]
+
+
+def test_argminmax_axis0_depth2(spark):
+    b = from_lists(spark, [[[3.0, 1.0], [5.0]], [[2.0, 9.0]]], "array<array<double>>")
+    assert red.argmin(b, axis=0).compute() == [[1, 0], [0]]
+    assert red.argmax(b, axis=0).compute() == [[0, 1], [0]]
+
+
 # ---------------- generic combinations / cartesian ----------------
 
 def test_combinations_n4(spark):

@@ -154,11 +154,18 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
         )
     assert isinstance(counts, NestedArray)
     data = arr.with_row_index()
-    cidx = counts.with_row_index()
-    cdf = cidx._df.select(F.col("__row_id__").alias("grp"), cidx._col.alias("cnt"))
-    # cdf is a straight projection of with_row_index output -> already
-    # contiguous in partition-id order; skip the defensive range shuffle
-    bounds = _cumulative_offsets(cdf, "grp", "cnt", assume_contiguous=True)
+    if "__row_id__" in counts._df.columns:
+        # row index already materialized -> only the cumulative sum is left
+        cdf = counts._df.select(F.col("__row_id__").alias("grp"), counts._col.alias("cnt"))
+        # cdf is a straight projection of with_row_index output -> already
+        # contiguous in partition-id order; skip the defensive range shuffle
+        bounds = _cumulative_offsets(cdf, "grp", "cnt", assume_contiguous=True)
+    else:
+        # fused single eager pass: per-partition (count, sum) collected
+        # together give both the row index (grp) and the exclusive
+        # cumulative offsets (lo/hi) — one Spark job instead of the two
+        # that with_row_index + _cumulative_offsets would pay
+        bounds = _row_index_and_offsets(counts._df, counts._col)
     # explode bounds into one (grp, row id) pair per element; explode_outer
     # keeps zero-count groups as a null pair so they survive as empty lists
     pairs = bounds.select(
@@ -188,6 +195,45 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
         .select(VALUE_COL)
     )
     return NestedArray(out)
+
+
+def _row_index_and_offsets(df, val_col):
+    """Global row index (``grp``) AND exclusive cumulative sum (``lo``/``hi``)
+    of ``val_col`` in row order, paying ONE eager per-partition pass: the
+    (count, sum) pair per partition is collected in a single job, then both
+    offsets are applied with partition-local windows. Same scale shape as
+    ``with_row_index`` + ``_cumulative_offsets`` (narrow aggregate, broadcast
+    offsets back, no unpartitioned window) at half the job count."""
+    from pyspark.sql import Window
+
+    w_df = df.select(val_col.alias("cnt")).withColumn(
+        "__mono__", F.monotonically_increasing_id()
+    ).withColumn("__pid__", F.spark_partition_id())
+    stats = {
+        r["__pid__"]: (r["n"], r["s"])
+        for r in w_df.groupBy("__pid__")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s"))
+        .collect()
+    }
+    rows, racc, vacc = [], 0, 0
+    for pid in sorted(stats):
+        rows.append((pid, racc, vacc))
+        n, s = stats[pid]
+        racc += n
+        vacc += s or 0
+    off_df = w_df.sparkSession.createDataFrame(
+        rows or [(0, 0, 0)], "__pid__ int, __ro__ long, __vo__ long"
+    )
+    w = Window.partitionBy("__pid__").orderBy("__mono__")
+    return (
+        w_df.withColumn("__local__", F.row_number().over(w) - 1)
+        .withColumn("__run__", F.sum("cnt").over(w))
+        .join(F.broadcast(off_df), "__pid__", "left")
+        .withColumn("grp", F.col("__local__") + F.coalesce("__ro__", F.lit(0)))
+        .withColumn("hi", F.col("__run__") + F.coalesce("__vo__", F.lit(0)))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        .select("grp", "cnt", "lo", "hi")
+    )
 
 
 def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: bool = False):

@@ -46,31 +46,36 @@ def title(arr): return _map(arr, F.initcap)
 # is_decimal = Nd only; is_digit = Nd + No (superscripts etc.);
 # is_numeric = any N (adds Nl roman numerals, fractions). Java regex and
 # DuckDB's RE2 both support \p{..} general categories, so the oracle twin
-# uses the identical pattern.
+# uses the identical pattern. "Cased" is approximated as Ll/Lu/Lt in
+# is_lower/is_upper/is_title (full Unicode adds Other_Lowercase/
+# Other_Uppercase oddities like modifier ʰ and circled Ⓐ — not
+# expressible as an RE2 general category; documented divergence).
 
 def is_alnum(arr): return _map(arr, lambda c: c.rlike("^[\\p{L}\\p{N}]+$"))
 def is_alpha(arr): return _map(arr, lambda c: c.rlike("^\\p{L}+$"))
 def is_ascii(arr): return _map(arr, lambda c: c.rlike("^[\\x00-\\x7F]*$"))
 def is_decimal(arr): return _map(arr, lambda c: c.rlike("^\\p{Nd}+$"))
 def is_digit(arr): return _map(arr, lambda c: c.rlike("^[\\p{Nd}\\p{No}]+$"))
-def is_lower(arr): return _map(arr, lambda c: (c == F.lower(c)) & c.rlike("\\p{L}"))
+def is_lower(arr): return _map(arr, lambda c: c.rlike("\\p{Ll}") & ~c.rlike("[\\p{Lu}\\p{Lt}]"))
 def is_numeric(arr): return _map(arr, lambda c: c.rlike("^\\p{N}+$"))
 def is_printable(arr): return _map(arr, lambda c: c.rlike("^[\\x20-\\x7E]*$"))
 def is_space(arr): return _map(arr, lambda c: c.rlike("^\\s+$"))
 def is_title(arr):
-    # Python/Arrow istitle: every word's first cased char is upper/title,
-    # subsequent cased chars lower, at least one cased char. ("A1a" is NOT
-    # title — 'a' restarts a word after the uncased '1'; "AB"/"HELLO" are
-    # NOT title — consecutive upper-case needs a non-letter separator, so
-    # words after the first require [^\p{L}]+ between them.)
+    # Python/Arrow istitle: every maximal run of CASED chars (Ll/Lu/Lt)
+    # must be one upper/title char followed by lowers, with >=1 such run;
+    # UNCASED chars — digits, punctuation, and uncased letters (Lo/Lm,
+    # e.g. CJK) — are transparent separators (Python's previous_is_cased
+    # reset). ("A1a" is NOT title — 'a' restarts a word after the uncased
+    # '1'; "AB"/"HELLO" are NOT title — consecutive uppers share a cased
+    # run; "Hello世界" IS title — 世界 are uncased separators.)
     return _map(
         arr,
         lambda c: c.rlike(
-            "^[^\\p{L}]*[\\p{Lu}\\p{Lt}]\\p{Ll}*"
-            "(?:[^\\p{L}]+[\\p{Lu}\\p{Lt}]\\p{Ll}*)*[^\\p{L}]*$"
+            "^[^\\p{Ll}\\p{Lu}\\p{Lt}]*[\\p{Lu}\\p{Lt}]\\p{Ll}*"
+            "(?:[^\\p{Ll}\\p{Lu}\\p{Lt}]+[\\p{Lu}\\p{Lt}]\\p{Ll}*)*[^\\p{Ll}\\p{Lu}\\p{Lt}]*$"
         ),
     )
-def is_upper(arr): return _map(arr, lambda c: (c == F.upper(c)) & c.rlike("\\p{L}"))
+def is_upper(arr): return _map(arr, lambda c: c.rlike("\\p{Lu}") & ~c.rlike("[\\p{Ll}\\p{Lt}]"))
 
 
 # ---- pad / trim (lib/str.py:43-901) ----

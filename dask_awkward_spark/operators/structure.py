@@ -122,11 +122,16 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
 
             def chunk(c: Column) -> Column:
                 nchunk = F.ceil(F.size(c) / k).cast("int")
-                return F.transform(
-                    F.when(nchunk > 0, F.sequence(F.lit(0), nchunk - 1)).otherwise(
-                        F.array().cast("array<int>")
+                # guard c.isNotNull(): a None list stays None (option-type
+                # parity, same as the stepped-slice branch in core.py)
+                return F.when(
+                    c.isNotNull(),
+                    F.transform(
+                        F.when(nchunk > 0, F.sequence(F.lit(0), nchunk - 1)).otherwise(
+                            F.array().cast("array<int>")
+                        ),
+                        lambda i: F.slice(c, i * k + 1, counts),
                     ),
-                    lambda i: F.slice(c, i * k + 1, counts),
                 )
 
             return arr._wrap(apply_at_depth(arr._col, axis - 1, chunk))

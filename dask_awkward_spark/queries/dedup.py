@@ -171,6 +171,10 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 
 # ---- n-gram (shingle) Jaccard ----
 
+# last persisted shingle frame — released on the next invocation
+_SH_CACHE = None
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-token shingle Jaccard with LSH-gated candidates over the WHOLE
     corpus (no doc_id bound): MinHash signatures over the shingle sets →
@@ -185,10 +189,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # the shingle frame feeds four consumers (signatures, two intersection
     # probes, sizes); persist it once instead of re-deriving the explode —
-    # MEMORY_AND_DISK spills gracefully when shingles outgrow executors
+    # MEMORY_AND_DISK spills gracefully when shingles outgrow executors.
+    # Release the previous invocation's cache first: harness/bench loops
+    # call this repeatedly in one session, and an unreleased shingle set
+    # (the suite's largest intermediate) would pin executor storage for
+    # every later query.
+    global _SH_CACHE
+    if _SH_CACHE is not None:
+        _SH_CACHE.unpersist(blocking=False)
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SH_CACHE = sh
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 16)).alias(f"h{i}")

@@ -298,7 +298,9 @@ def str_kernels_a(spark, sf_dir):
     pad/trim — each column is a distinct Arrow-kernel analogue."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t, s = NestedArray(df, "text"), NestedArray(df, "source")
-    toks = S.split_whitespace(t)
+    # tx.tokens (not S.split_whitespace): drops the [""] artifact on
+    # empty/whitespace-only text, matching the oracle's filtered TOK_CTE
+    toks = NestedArray(df, tx.tokens(F.col("text")))
     padded = S.lpad(s, 8, "_")
     return df.select(
         "doc_id",
@@ -381,7 +383,7 @@ WITH capped AS (
 SELECT doc_id,
        concat_ws('/', lang, source) AS tagged,
        cap,
-       regexp_matches(cap, '^[^\p{L}]*[\p{Lu}\p{Lt}][\p{Ll}]*(?:[^\p{L}]+[\p{Lu}\p{Lt}][\p{Ll}]*)*[^\p{L}]*$') AS titled,
+       regexp_matches(cap, '^[^\p{Ll}\p{Lu}\p{Lt}]*[\p{Lu}\p{Lt}][\p{Ll}]*(?:[^\p{Ll}\p{Lu}\p{Lt}]+[\p{Lu}\p{Lt}][\p{Ll}]*)*[^\p{Ll}\p{Lu}\p{Lt}]*$') AS titled,
        lang IN ('en', 'de') AS known,
        CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2 ELSE -1 END AS lang_idx
 FROM capped

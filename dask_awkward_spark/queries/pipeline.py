@@ -192,7 +192,7 @@ WITH capped AS (
   FROM documents
 )
 SELECT doc_id, cap,
-       regexp_matches(cap, '^[^\p{L}]*[\p{Lu}\p{Lt}][\p{Ll}]*(?:[^\p{L}]+[\p{Lu}\p{Lt}][\p{Ll}]*)*[^\p{L}]*$') AS titled
+       regexp_matches(cap, '^[^\p{Ll}\p{Lu}\p{Lt}]*[\p{Lu}\p{Lt}][\p{Ll}]*(?:[^\p{Ll}\p{Lu}\p{Lt}]+[\p{Lu}\p{Lt}][\p{Ll}]*)*[^\p{Ll}\p{Lu}\p{Lt}]*$') AS titled
 FROM capped
 """
 

@@ -176,7 +176,7 @@ STR_PRED_SQL = r"""
 SELECT doc_id,
        regexp_matches(source, '^[\p{L}\p{N}]+$') AS alnum,
        regexp_matches(lang, '^\p{L}+$') AS alpha,
-       (lang = lower(lang) AND regexp_matches(lang, '\p{L}')) AS lowr,
+       (regexp_matches(lang, '\p{Ll}') AND NOT regexp_matches(lang, '[\p{Lu}\p{Lt}]')) AS lowr,
        regexp_matches(regexp_extract(source, '([0-9]+)', 1), '^[\p{Nd}\p{No}]+$') AS dig,
        regexp_matches(source, '^\s+$') AS spc
 FROM documents

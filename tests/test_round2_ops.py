@@ -115,6 +115,12 @@ def test_unflatten_axis1_fixed_and_counts(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+def test_unflatten_axis1_none_row_stays_none(spark):
+    # option-type parity: a None list chunks to None, not []
+    nested = from_lists(spark, [[1, 2, 3], None, []], "array<bigint>")
+    assert st.unflatten(nested, 2, axis=1).compute() == [[[1, 2], [3]], None, []]
+
+
 # ---------------- cross-DataFrame alignment ----------------
 
 def test_cross_df_binop_aligns_by_row_index(spark):

@@ -103,6 +103,19 @@ def test_center_no_truncate_and_trim_metachars(spark):
 
 
 def test_is_title_matches_python_semantics(spark):
-    cases = ["Hello World", "Hello1", "HELLO", "AB", "A1a", "hello", "AbC", "", "Abc Def"]
+    cases = [
+        "Hello World", "Hello1", "HELLO", "AB", "A1a", "hello", "AbC", "", "Abc Def",
+        # uncased letters (Lo) are transparent separators, like Python
+        "Hello世界", "世界", "世a", "Ab世Cd",
+    ]
     w = das.from_lists(spark, cases, "string")
     assert S.is_title(w).compute() == [c.istitle() for c in cases]
+
+
+def test_is_lower_upper_need_cased_char(spark):
+    """islower/isupper require >=1 cased char: uncased-only strings (CJK,
+    digits) are False for BOTH, matching Python/Arrow."""
+    cases = ["abc", "ABC", "aB", "世界", "123", "", "a世", "A世", "ǅ"]
+    w = das.from_lists(spark, cases, "string")
+    assert S.is_lower(w).compute() == [c.islower() for c in cases]
+    assert S.is_upper(w).compute() == [c.isupper() for c in cases]

@@ -63,7 +63,6 @@ _WINDOW = [
     "op_sum_axis0_jagged",
     "op_combinations4",
     "op_zip_cross_df",
-    "op_zip_project",
     "op_combinations",
     "op_cartesian",
     "op_argcombinations",
@@ -93,6 +92,7 @@ _WINDOW = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_cluster_canonical",
     # similarity / vector ops (LSH + IVF are the two ANN scale paths)
     "sim_knn_per_query",
     "sim_lsh_buckets",

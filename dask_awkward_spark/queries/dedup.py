@@ -125,6 +125,98 @@ FROM bands GROUP BY 1, 2 HAVING count(*) > 1
     )
 
 
+# ---- duplicate clusters + canonical election ----
+
+def dedup_cluster_canonical(spark, sf_dir):
+    """The step AFTER candidate generation: group LSH candidates into
+    duplicate clusters (connected components) and elect the minimum
+    doc_id as each cluster's canonical document.
+
+    Scale shape: per-bucket STAR edges (every member -> bucket minimum,
+    via a window-min over the band-bucket hash partition) — linear in
+    bucket size, never the quadratic clique pair list — then Pregel-style
+    min-label propagation (functions/graph.py): one join + one groupBy
+    shuffle per round, rounds = component diameter (tiny for LSH bucket
+    graphs). Output: every document with its canonical id and a dup flag."""
+    from ..functions.graph import connected_components
+    from pyspark.sql import Window
+
+    tok = _tokens(spark, sf_dir)
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("tk"))), 1, 16)).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    w = Window.partitionBy("band", "bkey")
+    edges = (
+        bands.withColumn("m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("doc_id").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("canonical"),
+        (F.coalesce(F.col("comp"), F.col("doc_id")) != F.col("doc_id")).alias("is_dup"),
+    )
+
+
+def _cluster_sql() -> str:
+    hcols = ",\n         ".join(
+        f"min(substr(md5('{i}|' || tk), 1, 16)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
+        for j in range(N_BANDS)
+    )
+    # WITH RECURSIVE applies to the whole CTE list; reach is transitive
+    # closure over the symmetric star edges, comp = min reachable node
+    return (
+        TOK_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""", sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+{band_selects}
+), star AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_key) AS m FROM bands
+), edges AS (
+  SELECT DISTINCT doc_id AS src, m AS dst FROM star WHERE doc_id != m
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(a, b) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+), comp AS (
+  SELECT a AS node, min(b) AS comp FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS canonical,
+       coalesce(c.comp, d.doc_id) != d.doc_id AS is_dup
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+    )
+
+
 # ---- SimHash ----
 
 def dedup_simhash(spark, sf_dir):
@@ -361,6 +453,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
 }
 
 ORACLES = {
@@ -369,4 +462,5 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _jaccard_sql(),
     "dedup_embedding_cosine": _emb_cosine_sql(),
+    "dedup_cluster_canonical": _cluster_sql(),
 }

@@ -294,3 +294,24 @@ def test_compat_surface_smoke(spark):
     assert sorted(r["x"] for r in got.compute()) == [1, 2, 3]
     with pytest.raises(ImportError, match="to_local_iterator"):
         dak.to_delayed(a)
+
+
+# ---------------- connected components / dedup clustering ----------------
+
+def test_connected_components_two_clusters(spark):
+    from dask_awkward_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_connected_components_chain_diameter(spark):
+    from dask_awkward_spark.functions.graph import connected_components
+
+    # a 10-node path needs ~diameter rounds; checks convergence loop
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(11)}

@@ -192,3 +192,32 @@ def test_ivf_topk_plan_prunes_without_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_cluster_star_edges_no_product_join(spark):
+    """Cluster candidate edges come from a window-min over the band-bucket
+    hash partition (linear star edges, never clique pairs); the whole
+    query must stay equi-join-only, and the label-propagation rounds run
+    on checkpointed frames (no unbounded lineage)."""
+    from dask_awkward_spark.queries.dedup import dedup_cluster_canonical
+
+    plan = explain_str(dedup_cluster_canonical(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_axis0_arg_reduction_single_shuffle(spark):
+    """argmin at axis=0: the min_by partial aggregate must combine
+    map-side, leaving ONE hash shuffle on the position key (plus the
+    result's own order exchange); no window, no join."""
+    from dask_awkward_spark import from_lists
+    from dask_awkward_spark.operators import reducers as red
+
+    a = from_lists(spark, [[3.0, 1.0], [2.0]], "array<double>")
+    plan = explain_str(red.argmin(a, axis=0).to_df())
+    assert "partial_min_by" in plan or "partial_minby" in plan.replace("_", "")
+    assert "BroadcastNestedLoopJoin" not in plan
+    # with_row_index's row_number window is partitioned by spark_partition_id
+    # (parallel); what must NOT appear is an unpartitioned global window
+    assert "SinglePartition" not in plan

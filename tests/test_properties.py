@@ -99,3 +99,62 @@ def test_combinations_count(spark, data):
     for row, pairs in zip(data, got):
         n = len([x for x in row if x is not None])
         assert len(pairs) == n * (n - 1) // 2
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_unflatten_inverts_flatten(spark, data):
+    """flatten(axis=1) + num(axis=1) counts -> unflatten reproduces the
+    original lists (None ELEMENTS survive the round trip; reference
+    lib/structure.py:898-922 inverse contract)."""
+    arr = _arr(spark, data)
+    flat = das.flatten(arr, axis=1)
+    counts = das.num(arr, axis=1)
+    back = das.unflatten(flat, counts).compute()
+    assert back == data
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_sum_axis0_matches_python(spark, data):
+    """Positional sum across jagged rows == Python transpose-and-sum
+    (Nones skipped; positions past a row's length don't participate)."""
+    arr = _arr(spark, data)
+    got = das.sum(arr, axis=0).compute()
+    width = max((len(r) for r in data), default=0)
+    want = []
+    for p in range(width):
+        vals = [r[p] for r in data if len(r) > p and r[p] is not None]
+        want.append(sum(vals) if vals else None)
+    # trailing all-None positions: engine emits one row per position of
+    # the longest list, value NULL when nothing participates
+    assert got == want
+
+
+def test_connected_components_matches_union_find(spark):
+    """Seeded random graph vs a driver-side union-find oracle."""
+    import random
+
+    from dask_awkward_spark.functions.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(30))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    want = {}
+    for n in nodes:
+        root = find(n)
+        want[n] = min(m for m in nodes if find(m) == root)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want

@@ -53,8 +53,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # warm-up: JVM + codegen + parquet footer caches
-    run("q6_revenue")
+    # warm-up: JVM + codegen + parquet footer caches, one query per input
+    # table family (lineitem / documents / embeddings / events)
+    for w in ("q6_revenue", "text_fingerprint", "sim_lsh_buckets", "ev_sessionize"):
+        run(w)
 
     # best-of-2 per query: steady-state cost, robust to GC/compile noise
     times = {}

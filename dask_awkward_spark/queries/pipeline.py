@@ -262,15 +262,16 @@ def pipeline_e2e(spark, sf_dir):
         tx.token_count(F.col("text")).alias("n_tok"),
         F.md5("text").alias("h"),
     ).filter((F.col("q") >= 0.5) & (F.col("lang_pred") == "en"))
-    # alias both sides: ``keep`` derives from ``scored``, so ``scored.h ==
-    # keep.h`` would resolve to the SAME attribute (trivially-true predicate,
-    # silently dropping the hash-equality condition from the semi-join)
-    keep = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    survivors = scored.alias("s").join(
-        keep.alias("k"),
-        (F.col("s.h") == F.col("k.h")) & (F.col("s.doc_id") == F.col("k.keep_id")),
-        "left_semi",
-    )
+    # exact-dedup survivors = min doc_id per content hash. A window-min
+    # over the hash partition does it in ONE shuffle on h; the earlier
+    # groupBy + left_semi shape paid the agg shuffle AND a join shuffle of
+    # the full scored frame. Hash groups are duplicate sets (tiny), so
+    # WindowExec's per-group buffering is safe at any corpus size.
+    from pyspark.sql import Window
+
+    survivors = scored.withColumn(
+        "__keep__", F.min("doc_id").over(Window.partitionBy("h"))
+    ).filter(F.col("doc_id") == F.col("__keep__"))
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),

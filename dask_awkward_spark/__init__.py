@@ -40,7 +40,7 @@ from .compat import (
     without_field,
 )
 from .compat import typeof as type  # noqa: A001 — reference exports `type` too
-from .sources.parquet import from_parquet, to_parquet
+from .sources.parquet import from_parquet, to_bucketed_table, to_parquet
 from .sources.json import from_json, to_json
 from .sources.text import from_text
 from .functions.strings import strings_astype

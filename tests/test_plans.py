@@ -221,3 +221,41 @@ def test_axis0_arg_reduction_single_shuffle(spark):
     # with_row_index's row_number window is partitioned by spark_partition_id
     # (parallel); what must NOT appear is an unpartitioned global window
     assert "SinglePartition" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Pre-bucketed tables on the join key plan a SortMergeJoin with NO
+    Exchange on either side — the pay-the-shuffle-once storage layout for
+    repeated 100-TB dim/fact joins."""
+    from dask_awkward_spark.sources.parquet import to_bucketed_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    try:
+        to_bucketed_table(li, "t_li_bucketed", ["l_orderkey"], num_buckets=8)
+        to_bucketed_table(orders, "t_ord_bucketed", ["o_orderkey"], num_buckets=8)
+        a = spark.table("t_li_bucketed")
+        b = spark.table("t_ord_bucketed")
+        joined = a.join(b, a["l_orderkey"] == b["o_orderkey"])
+        # disable broadcast so the plan exercises the bucketed layout (at
+        # real fact-x-fact scale neither side is broadcastable anyway)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = explain_str(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = joined.count()
+        want = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")

@@ -38,43 +38,53 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
-    """(node, comp) for every node appearing in ``edges``; ``comp`` is the
-    minimum node id in the node's connected component. Undirected: edges
-    are symmetrized internally. Raises if ``max_iter`` rounds don't
-    converge (diameter larger than max_iter)."""
-    e = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    """(node, comp) for every node appearing in ``edges`` (either
+    endpoint, self-loops included); ``comp`` is the minimum node id in
+    the node's connected component under the id type's natural ordering
+    (ints numerically, strings lexicographically — no cast is forced on
+    the caller's key type). Undirected: edges are symmetrized
+    internally. The returned frame is localCheckpoint-backed and owned
+    by the caller. Raises if ``max_iter`` rounds don't converge
+    (diameter larger than max_iter)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # nodes from BOTH endpoints of the raw edge list, so isolated
+    # self-loop nodes still appear in the result
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = (
-        sym.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint(eager=False)
-    for _ in range(max_iter):
-        msgs = sym.join(labels, sym["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("comp")
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=False)
+    try:
+        for _ in range(max_iter):
+            msgs = sym.join(labels, sym["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), F.col("comp")
+            )
+            new = (
+                labels.select("node", "comp")
+                .union(msgs)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)  # truncate lineage; materializes
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            old = labels
+            labels = new
+            old.unpersist(blocking=False)
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "graph diameter exceeds max_iter (raise it, or use star-contraction)"
         )
-        new = (
-            labels.select("node", "comp")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)  # truncate lineage; materializes
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        old = labels
-        labels = new
-        old.unpersist(blocking=False)
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "graph diameter exceeds max_iter (raise it, or use star-contraction)"
-    )
+    finally:
+        sym.unpersist(blocking=False)

@@ -69,86 +69,20 @@ FROM documents GROUP BY 1
 
 # ---- MinHash + LSH banding ----
 
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash signatures (8 hashes via seeded md5, min over token set) →
-    4 bands of 2 → band-key groupBy. Groups with >1 doc are near-dup
-    candidates. This is the linear-scale path: candidates come from a
-    hash shuffle, never an all-pairs join."""
-    tok = _tokens(spark, sf_dir)
+def _sig_bands(tok: DataFrame, elem_col: str = "tk") -> DataFrame:
+    """The shared MinHash → LSH-band construction (N_HASHES seeded-md5
+    min-signatures per doc, N_BANDS keys of 2 rows each): (doc_id, band,
+    bkey). Single source of truth for every banding consumer — change
+    N_HASHES/N_BANDS/the band hash HERE and in ``_sql_sig_bands`` only."""
     sig = tok.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("tk"))), 1, 16)).alias(f"h{i}")
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col(elem_col))), 1, 16)
+            ).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.md5(F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))).alias("bkey"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    )
-    return (
-        bands.groupBy(F.col("b.band").alias("band"), F.col("b.bkey").alias("band_key"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"), F.max("doc_id").alias("max_id"))
-        .filter(F.col("n_docs") > 1)
-    )
-
-
-def _minhash_sql() -> str:
-    hcols = ",\n         ".join(
-        f"min(substr(md5('{i}|' || tk), 1, 16)) AS h{i}" for i in range(N_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
-        for j in range(N_BANDS)
-    )
-    return (
-        TOK_CTE
-        + f""", sig AS (
-  SELECT doc_id,
-         {hcols}
-  FROM tok GROUP BY doc_id
-), bands AS (
-{band_selects}
-)
-SELECT band, band_key, count(*) AS n_docs, min(doc_id) AS keep_id, max(doc_id) AS max_id
-FROM bands GROUP BY 1, 2 HAVING count(*) > 1
-"""
-    )
-
-
-# ---- duplicate clusters + canonical election ----
-
-def dedup_cluster_canonical(spark, sf_dir):
-    """The step AFTER candidate generation: group LSH candidates into
-    duplicate clusters (connected components) and elect the minimum
-    doc_id as each cluster's canonical document.
-
-    Scale shape: per-bucket STAR edges (every member -> bucket minimum,
-    via a window-min over the band-bucket hash partition) — linear in
-    bucket size, never the quadratic clique pair list — then Pregel-style
-    min-label propagation (functions/graph.py): one join + one groupBy
-    shuffle per round, rounds = component diameter (tiny for LSH bucket
-    graphs). Output: every document with its canonical id and a dup flag."""
-    from ..functions.graph import connected_components
-    from pyspark.sql import Window
-
-    tok = _tokens(spark, sf_dir)
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("tk"))), 1, 16)).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -162,14 +96,81 @@ def dedup_cluster_canonical(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+
+def _sql_sig_bands(src_cte: str = "tok", elem: str = "tk") -> str:
+    """DuckDB twin of ``_sig_bands``: the ``sig`` + ``bands`` CTE bodies."""
+    hcols = ",\n         ".join(
+        f"min(substr(md5('{i}|' || {elem}), 1, 16)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
+        for j in range(N_BANDS)
+    )
+    return f""", sig AS (
+  SELECT doc_id,
+         {hcols}
+  FROM {src_cte} GROUP BY doc_id
+), bands AS (
+{band_selects}
+)"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures (8 hashes via seeded md5, min over token set) →
+    4 bands of 2 → band-key groupBy. Groups with >1 doc are near-dup
+    candidates. This is the linear-scale path: candidates come from a
+    hash shuffle, never an all-pairs join."""
+    bands = _sig_bands(_tokens(spark, sf_dir))
+    return (
+        bands.groupBy(F.col("band"), F.col("bkey").alias("band_key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"), F.max("doc_id").alias("max_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_sql() -> str:
+    return (
+        TOK_CTE
+        + _sql_sig_bands()
+        + """
+SELECT band, band_key, count(*) AS n_docs, min(doc_id) AS keep_id, max(doc_id) AS max_id
+FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+"""
+    )
+
+
+# ---- duplicate clusters + canonical election ----
+
+def _cluster_edges(spark, sf_dir) -> DataFrame:
+    """Candidate STAR edges: every band-bucket member points at the bucket
+    minimum (window-min over the band-bucket hash partition — linear in
+    bucket size, never the quadratic clique pair list)."""
+    from pyspark.sql import Window
+
+    bands = _sig_bands(_tokens(spark, sf_dir))
     w = Window.partitionBy("band", "bkey")
-    edges = (
+    return (
         bands.withColumn("m", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("m"))
         .select(F.col("doc_id").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
-    comp = connected_components(edges)
+
+
+def dedup_cluster_canonical(spark, sf_dir):
+    """The step AFTER candidate generation: group LSH candidates into
+    duplicate clusters (connected components) and elect the minimum
+    doc_id as each cluster's canonical document.
+
+    Scale shape: per-bucket STAR edges (``_cluster_edges``) feed
+    Pregel-style min-label propagation (functions/graph.py): one join +
+    one groupBy shuffle per round, rounds = component diameter (tiny for
+    LSH bucket graphs). Output: every document with its canonical id and
+    a dup flag."""
+    from ..functions.graph import connected_components
+
+    comp = connected_components(_cluster_edges(spark, sf_dir))
     docs = _docs(spark, sf_dir).select("doc_id")
     return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
         "doc_id",
@@ -179,24 +180,12 @@ def dedup_cluster_canonical(spark, sf_dir):
 
 
 def _cluster_sql() -> str:
-    hcols = ",\n         ".join(
-        f"min(substr(md5('{i}|' || tk), 1, 16)) AS h{i}" for i in range(N_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
-        for j in range(N_BANDS)
-    )
     # WITH RECURSIVE applies to the whole CTE list; reach is transitive
     # closure over the symmetric star edges, comp = min reachable node
     return (
         TOK_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-        + f""", sig AS (
-  SELECT doc_id,
-         {hcols}
-  FROM tok GROUP BY doc_id
-), bands AS (
-{band_selects}
-), star AS (
+        + _sql_sig_bands()
+        + """, star AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_key) AS m FROM bands
 ), edges AS (
   SELECT DISTINCT doc_id AS src, m AS dst FROM star WHERE doc_id != m
@@ -285,7 +274,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # The slot bounds cache growth across repeated invocations (harness /
     # bench loops share one session): same (session, sf_dir) reuses the
     # already-persisted frame, a different one releases the stale frame
-    # first so only ONE shingle set is ever pinned.
+    # first so only ONE shingle set is ever pinned. Caveat: reuse assumes
+    # the parquet under sf_dir is immutable while the session lives (true
+    # for the driver corpus); rewriting files in place would serve stale
+    # shingles — restart the session or switch directories after a rewrite.
     global _SH_CACHE
     key = (spark, sf_dir)
     if _SH_CACHE is not None and _SH_CACHE[0] == key:
@@ -298,26 +290,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _SH_CACHE = (key, sh)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 16)).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.md5(F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))).alias("bkey"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    bands = _sig_bands(sh, elem_col="s")
     cand = (
         bands.alias("ba")
         .join(
@@ -353,13 +326,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _jaccard_sql() -> str:
-    hcols = ",\n         ".join(
-        f"min(substr(md5('{i}|' || s), 1, 16)) AS h{i}" for i in range(N_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS bkey FROM sig"
-        for j in range(N_BANDS)
-    )
     return rf"""
 WITH tokl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
@@ -370,16 +336,10 @@ WITH tokl AS (
          THEN list_transform(range(0, len(toks) - 2), i -> md5(array_to_string(toks[i+1:i+3], ' ')))
          ELSE [] END) AS s
   FROM tokl
-), sig AS (
-  SELECT doc_id,
-         {hcols}
-  FROM sh GROUP BY doc_id
-), bands AS (
-{band_selects}
-), cand AS (
+){_sql_sig_bands('sh', 's')}, cand AS (
   SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
   FROM bands ba JOIN bands bb
-    ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+    ON ba.band = bb.band AND ba.band_key = bb.band_key AND ba.doc_id < bb.doc_id
 ), inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS c
   FROM cand c

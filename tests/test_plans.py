@@ -196,14 +196,17 @@ def test_ivf_topk_plan_prunes_without_shuffle(spark):
 
 def test_dedup_cluster_star_edges_no_product_join(spark):
     """Cluster candidate edges come from a window-min over the band-bucket
-    hash partition (linear star edges, never clique pairs); the whole
-    query must stay equi-join-only, and the label-propagation rounds run
-    on checkpointed frames (no unbounded lineage)."""
-    from dask_awkward_spark.queries.dedup import dedup_cluster_canonical
+    hash partition (linear star edges, never clique pairs). The edges
+    frame is asserted directly: the full query's connected-components
+    rounds run eagerly behind localCheckpoint, so their joins would be
+    invisible in the final frame's plan."""
+    from dask_awkward_spark.queries.dedup import _cluster_edges
 
-    plan = explain_str(dedup_cluster_canonical(spark, SF))
+    plan = explain_str(_cluster_edges(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # star edges need no join at all
+    assert "Window" in plan  # the bucket-min window over (band, bkey)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -216,7 +219,7 @@ def test_axis0_arg_reduction_single_shuffle(spark):
 
     a = from_lists(spark, [[3.0, 1.0], [2.0]], "array<double>")
     plan = explain_str(red.argmin(a, axis=0).to_df())
-    assert "partial_min_by" in plan or "partial_minby" in plan.replace("_", "")
+    assert "partial_min_by" in plan or "partialminby" in plan.replace("_", "")
     assert "BroadcastNestedLoopJoin" not in plan
     # with_row_index's row_number window is partitioned by spark_partition_id
     # (parallel); what must NOT appear is an unpartitioned global window

@@ -315,3 +315,14 @@ def test_connected_components_chain_diameter(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {i: 0 for i in range(11)}
+
+
+def test_connected_components_self_loops_and_string_ids(spark):
+    from dask_awkward_spark.functions.graph import connected_components
+
+    # self-loop-only node must still appear; string ids use lexicographic min
+    edges = spark.createDataFrame(
+        [("b", "c"), ("z", "z"), ("a", "b")], "src string, dst string"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}

@@ -306,6 +306,28 @@ FROM documents GROUP BY lang, source
 """
 
 
+def text_length_percentiles(spark, sf_dir):
+    """Per-source document-length percentiles — the threshold statistics a
+    curation pipeline gates on (drop below-p50, cap at p90). Spark's exact
+    ``percentile`` uses the same linear interpolation as DuckDB's
+    ``quantile_cont``, so the values hash-match bit-exactly; micro-int
+    canonicalization guards the comparison anyway."""
+    df = _docs(spark, sf_dir)
+    ln = F.length("text").cast("double")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(ln, F.lit(0.5)) * 1e6).cast("bigint").alias("p50_len_u"),
+        F.round(F.percentile(ln, F.lit(0.9)) * 1e6).cast("bigint").alias("p90_len_u"),
+    )
+
+
+TEXT_PCTL_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS p50_len_u,
+       CAST(round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9) * 1e6) AS BIGINT) AS p90_len_u
+FROM documents GROUP BY source
+"""
+
 QUERIES = {
     "str_case_len": str_case_len,
     "str_search": str_search,
@@ -314,6 +336,7 @@ QUERIES = {
     "str_pad_trim": str_pad_trim,
     "str_predicates": str_predicates,
     "text_token_stats": text_token_stats,
+    "text_length_percentiles": text_length_percentiles,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -329,6 +352,7 @@ ORACLES = {
     "str_pad_trim": STR_PAD_SQL,
     "str_predicates": STR_PRED_SQL,
     "text_token_stats": TEXT_TOKEN_SQL,
+    "text_length_percentiles": TEXT_PCTL_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FP_SQL,

@@ -252,7 +252,7 @@ class NestedArray:
         raise TypeError(f"unsupported getitem key: {key!r}")
 
     def _getitem_array(self, key: "NestedArray") -> "NestedArray":
-        self._check_base(key)
+        self, key = align_many([self, key])
         kt = key.dtype
         kdepth = key.depth
         leaf = kt
@@ -542,7 +542,7 @@ class NestedArray:
     # ---------------- field mutation ----------------
     def with_field(self, name: str, value: "NestedArray") -> "NestedArray":
         """Add/replace a field (reference lib/structure.py:1056-1087)."""
-        self._check_base(value)
+        self, value = align_many([self, value])
 
         def add(rec: Column, val: Column, d: int) -> Column:
             if d > 0:

@@ -621,7 +621,9 @@ def _pair_sums(a: Column, b: Column) -> dict[str, Column]:
 def covar(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     """Per-list population covariance (NotImplemented in the reference,
     lib/reducers.py:257-282 — uplift)."""
-    a._check_base(b)
+    from ..core import align_many
+
+    a, b = align_many([a, b])
     ax = normalize_axis(axis, a.depth)
     if ax != a.depth:
         raise NotImplementedError("covar only along the innermost axis")
@@ -637,7 +639,9 @@ def covar(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
 
 def corr(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     """Per-list Pearson correlation (uplift)."""
-    a._check_base(b)
+    from ..core import align_many
+
+    a, b = align_many([a, b])
     ax = normalize_axis(axis, a.depth)
     if ax != a.depth:
         raise NotImplementedError("corr only along the innermost axis")
@@ -658,7 +662,9 @@ def linear_fit(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     """Per-list least-squares fit y = intercept + slope*x
     (NotImplemented in the reference — uplift). Returns
     struct<intercept, slope>."""
-    a._check_base(b)
+    from ..core import align_many
+
+    a, b = align_many([a, b])
     ax = normalize_axis(axis, a.depth)
     if ax != a.depth:
         raise NotImplementedError("linear_fit only along the innermost axis")

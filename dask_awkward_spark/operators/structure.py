@@ -137,8 +137,10 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
             return arr._wrap(apply_at_depth(arr._col, axis - 1, chunk))
         if axis != 1:
             raise NotImplementedError("NestedArray counts supported at axis 0 and 1 only")
+        from ..core import align_many
+
+        arr, counts = align_many([arr, counts])
         col, _ = _col_at_axis(arr, 1)
-        arr._check_base(counts)
         cnts = counts._col
         # offsets[i] = sum(cnts[:i]) — expression-level cumulative sum
         offs = F.aggregate(
@@ -402,7 +404,9 @@ def drop_none(arr: NestedArray, axis: int | None = None) -> NestedArray:
 
 def mask(arr: NestedArray, mask_arr: NestedArray, valid_when: bool = True) -> NestedArray:
     """Keep shape, null-out where mask invalid (reference lib/structure.py:582-597)."""
-    arr._check_base(mask_arr)
+    from ..core import align_many
+
+    arr, mask_arr = align_many([arr, mask_arr])
     cond = (lambda m: m) if valid_when else (lambda m: ~m)
     return arr._wrap(
         broadcast_binop(
@@ -457,13 +461,14 @@ def where(cond: NestedArray, x: Any, y: Any) -> NestedArray:
     """Element-wise conditional (reference lib/structure.py:1004-1034)."""
     xa = x if isinstance(x, NestedArray) else None
     ya = y if isinstance(y, NestedArray) else None
-    base = cond
 
     def leaf(c: Column, xv: Column, yv: Column) -> Column:
         return F.when(c, xv).otherwise(yv)
 
+    from ..core import align_many
+
     if xa is not None and ya is not None:
-        base._check_base(xa); base._check_base(ya)
+        cond, xa, ya = align_many([cond, xa, ya])
         d = cond.depth
         def rec(c, xv, yv, d):
             if d == 0:
@@ -471,20 +476,23 @@ def where(cond: NestedArray, x: Any, y: Any) -> NestedArray:
             z = F.zip_with(c, xv, lambda cc, xx: F.struct(cc.alias("c"), xx.alias("x")))
             return F.zip_with(z, yv, lambda s, yy: rec(s["c"], s["x"], yy, d - 1))
         return cond._wrap(rec(cond._col, xa._col, ya._col, d))
-    xv = xa._col if xa is not None else F.lit(x)
-    yv = ya._col if ya is not None else F.lit(y)
     if xa is not None:
-        base._check_base(xa)
+        cond, xa = align_many([cond, xa])
+        yv = F.lit(y)
         return cond._wrap(apply_at_depth2(cond._col, xa._col, cond.depth, lambda c, xx: F.when(c, xx).otherwise(yv)))
     if ya is not None:
-        base._check_base(ya)
+        cond, ya = align_many([cond, ya])
+        xv = F.lit(x)
         return cond._wrap(apply_at_depth2(cond._col, ya._col, cond.depth, lambda c, yy: F.when(c, xv).otherwise(yy)))
+    xv, yv = F.lit(x), F.lit(y)
     return cond._wrap(apply_at_depth(cond._col, cond.depth, lambda c: F.when(c, xv).otherwise(yv)))
 
 
 def isclose(a: NestedArray, b: NestedArray, rtol: float = 1e-5, atol: float = 1e-8) -> NestedArray:
     """Approximate equality (reference lib/structure.py:508-537)."""
-    a._check_base(b)
+    from ..core import align_many
+
+    a, b = align_many([a, b])
     return a._wrap(
         broadcast_binop(a._col, b._col, a.depth, b.depth,
                         lambda x, y: F.abs(x - y) <= (atol + rtol * F.abs(y)))
@@ -581,9 +589,10 @@ def cartesian(arrays: list[NestedArray], axis: int = 1) -> NestedArray:
     generated nested transforms (expression tree grows linearly with k,
     output quadratically+ — the user's row-width tradeoff, same as the
     reference)."""
+    from ..core import align_many
+
+    arrays = align_many(arrays)
     a = arrays[0]
-    for b in arrays[1:]:
-        a._check_base(b)
     col, d = _col_at_axis(a, axis)
     cols = [x._col for x in arrays]
     names = [str(i) for i in range(len(arrays))]
@@ -691,9 +700,12 @@ def concatenate(arrays: list[NestedArray], axis: int = 0) -> NestedArray:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return NestedArray(out)
+    from ..core import align_many
+
+    # different base DataFrames align on row index first (the reference's
+    # partition-compatibility MAYBE path), same-base inputs pass through
+    arrays = align_many(arrays)
     base = arrays[0]
-    for a in arrays[1:]:
-        base._check_base(a)
     col, d = _col_at_axis(base, axis)
     cols = [a._col for a in arrays]
 
@@ -713,10 +725,10 @@ def broadcast_arrays(*arrays: NestedArray) -> list[NestedArray]:
     """Broadcast scalars/lists to a common shape (reference
     lib/structure.py:216-242): shallower operands are expanded into the
     deepest operand's list structure."""
+    from ..core import align_many
+
+    arrays = align_many(list(arrays))
     maxd = max(a.depth for a in arrays)
-    base = arrays[0]
-    for a in arrays[1:]:
-        base._check_base(a)
     out = []
     for a in arrays:
         if a.depth == maxd:

@@ -326,3 +326,16 @@ def test_connected_components_self_loops_and_string_ids(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_cross_df_structure_ops_align(spark):
+    """concatenate/mask/isclose across DIFFERENT base DataFrames align on
+    row index (partition-compatibility MAYBE path) instead of raising."""
+    a = from_lists(spark, [[1, 2], [3]], "array<bigint>")
+    b = from_lists(spark, [[10], [20, 30]], "array<bigint>")
+    assert st.concatenate([a, b], axis=1).compute() == [[1, 2, 10], [3, 20, 30]]
+    m = from_lists(spark, [[True, False], [True]], "array<boolean>")
+    assert st.mask(a, m).compute() == [[1, None], [3]]
+    x = from_lists(spark, [1.0, 2.0], "double")
+    y = from_lists(spark, [1.0000001, 3.0], "double")
+    assert st.isclose(x, y, rtol=1e-5).compute() == [True, False]

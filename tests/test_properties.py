@@ -158,3 +158,33 @@ def test_connected_components_matches_union_find(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
     assert got == want
+
+
+# random unicode incl. CJK, digits, titlecase char, whitespace
+_UNI = st_.text(
+    alphabet=st_.sampled_from(list("aAbZ.19 世界ǅ\t")), max_size=8
+)
+
+
+@given(vals=st_.lists(_UNI, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_string_case_predicates_match_python(spark, vals):
+    """is_lower/is_upper/is_title vs Python str semantics on random
+    Unicode (the Arrow kernels the reference wraps follow Python here)."""
+    from dask_awkward_spark.functions import strings as S
+
+    w = das.from_lists(spark, vals, "string")
+    assert S.is_lower(w).compute() == [v.islower() for v in vals]
+    assert S.is_upper(w).compute() == [v.isupper() for v in vals]
+    assert S.is_title(w).compute() == [v.istitle() for v in vals]
+
+
+@given(vals=st_.lists(_UNI, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_string_class_predicates_match_python(spark, vals):
+    from dask_awkward_spark.functions import strings as S
+
+    w = das.from_lists(spark, vals, "string")
+    assert S.is_alpha(w).compute() == [v.isalpha() for v in vals]
+    assert S.is_space(w).compute() == [bool(v) and v.isspace() for v in vals]
+    assert S.is_decimal(w).compute() == [v.isdecimal() for v in vals]

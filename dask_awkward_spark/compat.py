@@ -58,10 +58,24 @@ def to_list(arr: NestedArray) -> list:
     return arr.compute()
 
 
-def map_partitions(fn: Callable, arr: NestedArray, schema) -> NestedArray:
+def map_partitions(fn: Callable, arr: NestedArray, *more: NestedArray, schema) -> NestedArray:
     """Free-function spelling of the Arrow escape hatch (reference
-    lib/core.py:2146-2295 ``map_partitions``)."""
-    return arr.map_partitions(fn, schema)
+    lib/core.py:2146-2295 ``map_partitions(fn, *colls)``).
+
+    Multiple collections are row-index aligned (partition-compatibility
+    MAYBE path) and shipped to ``fn`` in ONE Arrow stream: each batch
+    carries columns ``c0..cN`` in argument order, so ``fn`` sees
+    congruent rows of every input — the contract the reference gets from
+    zipping partitions."""
+    if not more:
+        return arr.map_partitions(fn, schema)
+    from .core import align_many
+
+    arrays = align_many([arr, *more])
+    src = arrays[0]._df.select(
+        *[a._col.alias(f"c{i}") for i, a in enumerate(arrays)]
+    )
+    return NestedArray(src.mapInArrow(fn, schema))
 
 
 def with_field(arr: NestedArray, name: str, value: NestedArray) -> NestedArray:

@@ -339,3 +339,24 @@ def test_cross_df_structure_ops_align(spark):
     x = from_lists(spark, [1.0, 2.0], "double")
     y = from_lists(spark, [1.0000001, 3.0], "double")
     assert st.isclose(x, y, rtol=1e-5).compute() == [True, False]
+
+
+def test_map_partitions_multi_collection(spark):
+    """Reference map_partitions(fn, *colls): several collections arrive in
+    one Arrow stream as columns c0..cN, row-index aligned across frames."""
+    import pyarrow as pa
+
+    import dask_awkward_spark as das
+
+    a = from_lists(spark, [1.0, 2.0, 3.0], "double")
+    b = from_lists(spark, [10.0, 20.0, 30.0], "double")
+
+    def fn(batches):
+        for batch in batches:
+            t = batch.to_pydict()
+            yield pa.RecordBatch.from_pydict(
+                {"v": [x + y for x, y in zip(t["c0"], t["c1"])]}
+            )
+
+    out = das.map_partitions(fn, a, b, schema="v double")
+    assert sorted(out.compute()) == [11.0, 22.0, 33.0]

@@ -58,15 +58,25 @@ def to_list(arr: NestedArray) -> list:
     return arr.compute()
 
 
-def map_partitions(fn: Callable, arr: NestedArray, *more: NestedArray, schema) -> NestedArray:
+def map_partitions(
+    fn: Callable, arr: NestedArray, *more, schema=None
+) -> NestedArray:
     """Free-function spelling of the Arrow escape hatch (reference
     lib/core.py:2146-2295 ``map_partitions(fn, *colls)``).
 
-    Multiple collections are row-index aligned (partition-compatibility
-    MAYBE path) and shipped to ``fn`` in ONE Arrow stream: each batch
-    carries columns ``c0..cN`` in argument order, so ``fn`` sees
-    congruent rows of every input — the contract the reference gets from
-    zipping partitions."""
+    A single collection arrives as column ``v`` (the method contract);
+    multiple collections are row-index aligned (partition-compatibility
+    MAYBE path) and shipped to ``fn`` in ONE Arrow stream whose batches
+    carry columns ``c0..cN`` in argument order — congruent rows of every
+    input, the contract the reference gets from zipping partitions.
+    ``schema`` may be passed positionally as the last argument
+    (``map_partitions(fn, arr, schema)``), as before."""
+    # positional-schema compatibility: the trailing arg is the schema when
+    # it isn't a collection
+    if schema is None and more and not isinstance(more[-1], NestedArray):
+        schema, more = more[-1], more[:-1]
+    if schema is None:
+        raise TypeError("map_partitions requires an output schema")
     if not more:
         return arr.map_partitions(fn, schema)
     from .core import align_many

@@ -559,7 +559,9 @@ class NestedArray:
 
     def __setitem__(self, name: str, value: "NestedArray") -> None:
         out = self.with_field(name, value)
-        self._col, self._dtype = out._col, None
+        # adopt the result's base too: with_field may have aligned onto a
+        # joined frame when value came from a different DataFrame
+        self._df, self._col, self._dtype = out._df, out._col, None
 
     # ---------------- escape hatch ----------------
     def map_partitions(self, fn: Callable, schema: T.StructType | str) -> "NestedArray":
@@ -651,8 +653,20 @@ def align_many(arrays: list[NestedArray], strict: bool = True) -> list[NestedArr
             "full" if strict else "inner",
         )
     joined = joined.orderBy("__row_id__")
+
+    def _tagged(i: int, col: Column) -> NestedArray:
+        # behavior tags / parameters survive alignment, as the reference
+        # propagates behaviors through its MAYBE compatibility path
+        out = NestedArray(joined, col)
+        src = arrays[i]
+        if getattr(src, "_name", None) is not None:
+            out._name = src._name  # type: ignore[attr-defined]
+        if getattr(src, "_parameters", None):
+            out._parameters = dict(src._parameters)  # type: ignore[attr-defined]
+        return out
+
     if not strict:
-        return [NestedArray(joined, F.col(f"__a{i}__")) for i in range(len(arrays))]
+        return [_tagged(i, F.col(f"__a{i}__")) for i in range(len(arrays))]
     present = F.lit(True)
     for i in range(len(arrays)):
         present = present & F.col(f"__p{i}__").isNotNull()
@@ -664,7 +678,7 @@ def align_many(arrays: list[NestedArray], strict: bool = True) -> list[NestedArr
     # so when(guard.isNull(), value) passes values through on matched rows
     # and turns any touch of a mismatched alignment into a runtime error
     return [
-        NestedArray(joined, F.when(guard.isNull(), F.col(f"__a{i}__")))
+        _tagged(i, F.when(guard.isNull(), F.col(f"__a{i}__")))
         for i in range(len(arrays))
     ]
 

@@ -25,8 +25,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import VALUE_COL, NestedArray, Scalar
-from ..schema import apply_at_depth, element_type, normalize_axis
+from ..core import VALUE_COL, NestedArray, Scalar, align_many
+from ..schema import apply_at_depth, apply_at_depth2, element_type, normalize_axis
 
 
 def _leaf_type(arr: NestedArray) -> T.DataType:
@@ -621,8 +621,6 @@ def _pair_sums(a: Column, b: Column) -> dict[str, Column]:
 def covar(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     """Per-list population covariance (NotImplemented in the reference,
     lib/reducers.py:257-282 — uplift)."""
-    from ..core import align_many
-
     a, b = align_many([a, b])
     ax = normalize_axis(axis, a.depth)
     if ax != a.depth:
@@ -632,15 +630,11 @@ def covar(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
         s = _pair_sums(x, y)
         return F.when(s["n"] > 0, (s["sxy"] - s["sx"] * s["sy"] / s["n"]) / s["n"])
 
-    from ..schema import apply_at_depth2
-
     return a._wrap(apply_at_depth2(a._col, b._col, ax - 1, f))
 
 
 def corr(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     """Per-list Pearson correlation (uplift)."""
-    from ..core import align_many
-
     a, b = align_many([a, b])
     ax = normalize_axis(axis, a.depth)
     if ax != a.depth:
@@ -653,8 +647,6 @@ def corr(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
         vy = s["syy"] - s["sy"] * s["sy"] / s["n"]
         return F.when((s["n"] > 0) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
 
-    from ..schema import apply_at_depth2
-
     return a._wrap(apply_at_depth2(a._col, b._col, ax - 1, f))
 
 
@@ -662,8 +654,6 @@ def linear_fit(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
     """Per-list least-squares fit y = intercept + slope*x
     (NotImplemented in the reference — uplift). Returns
     struct<intercept, slope>."""
-    from ..core import align_many
-
     a, b = align_many([a, b])
     ax = normalize_axis(axis, a.depth)
     if ax != a.depth:
@@ -678,8 +668,6 @@ def linear_fit(a: NestedArray, b: NestedArray, axis: int = 1) -> NestedArray:
             (s["n"] > 1) & (denom != 0),
             F.struct(intercept.alias("intercept"), slope.alias("slope")),
         )
-
-    from ..schema import apply_at_depth2
 
     return a._wrap(apply_at_depth2(a._col, b._col, ax - 1, f))
 

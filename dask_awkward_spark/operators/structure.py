@@ -18,7 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import VALUE_COL, NestedArray, Scalar
+from ..core import VALUE_COL, NestedArray, Scalar, align_many
 from ..schema import apply_at_depth, apply_at_depth2, broadcast_binop, normalize_axis
 
 
@@ -137,8 +137,6 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
             return arr._wrap(apply_at_depth(arr._col, axis - 1, chunk))
         if axis != 1:
             raise NotImplementedError("NestedArray counts supported at axis 0 and 1 only")
-        from ..core import align_many
-
         arr, counts = align_many([arr, counts])
         col, _ = _col_at_axis(arr, 1)
         cnts = counts._col
@@ -293,8 +291,6 @@ def zip(arrays: dict[str, NestedArray], depth_limit: int | None = None) -> Neste
     operands into deeper lists (reference lib/structure.py:1275-1346).
     Operands from different base DataFrames are aligned first via a
     row-index equi-join (reference partition_compatibility MAYBE path)."""
-    from ..core import align_many
-
     items = list(arrays.items())
     aligned = align_many([a for _, a in items])
     items = [(n, aligned[i]) for i, (n, _) in enumerate(items)]
@@ -404,8 +400,6 @@ def drop_none(arr: NestedArray, axis: int | None = None) -> NestedArray:
 
 def mask(arr: NestedArray, mask_arr: NestedArray, valid_when: bool = True) -> NestedArray:
     """Keep shape, null-out where mask invalid (reference lib/structure.py:582-597)."""
-    from ..core import align_many
-
     arr, mask_arr = align_many([arr, mask_arr])
     cond = (lambda m: m) if valid_when else (lambda m: ~m)
     return arr._wrap(
@@ -465,8 +459,6 @@ def where(cond: NestedArray, x: Any, y: Any) -> NestedArray:
     def leaf(c: Column, xv: Column, yv: Column) -> Column:
         return F.when(c, xv).otherwise(yv)
 
-    from ..core import align_many
-
     if xa is not None and ya is not None:
         cond, xa, ya = align_many([cond, xa, ya])
         d = cond.depth
@@ -490,8 +482,6 @@ def where(cond: NestedArray, x: Any, y: Any) -> NestedArray:
 
 def isclose(a: NestedArray, b: NestedArray, rtol: float = 1e-5, atol: float = 1e-8) -> NestedArray:
     """Approximate equality (reference lib/structure.py:508-537)."""
-    from ..core import align_many
-
     a, b = align_many([a, b])
     return a._wrap(
         broadcast_binop(a._col, b._col, a.depth, b.depth,
@@ -589,8 +579,6 @@ def cartesian(arrays: list[NestedArray], axis: int = 1) -> NestedArray:
     generated nested transforms (expression tree grows linearly with k,
     output quadratically+ — the user's row-width tradeoff, same as the
     reference)."""
-    from ..core import align_many
-
     arrays = align_many(arrays)
     a = arrays[0]
     col, d = _col_at_axis(a, axis)
@@ -700,18 +688,12 @@ def concatenate(arrays: list[NestedArray], axis: int = 0) -> NestedArray:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return NestedArray(out)
-    from ..core import align_many
-
     # different base DataFrames align on row index first (the reference's
     # partition-compatibility MAYBE path), same-base inputs pass through
     arrays = align_many(arrays)
     base = arrays[0]
     col, d = _col_at_axis(base, axis)
     cols = [a._col for a in arrays]
-
-    def cat(*cs: Column) -> Column:
-        return F.concat(*cs)
-
     if d == 0:
         return base._wrap(F.concat(*cols))
     # concat is associative: fold arrays pairwise at depth d
@@ -725,8 +707,6 @@ def broadcast_arrays(*arrays: NestedArray) -> list[NestedArray]:
     """Broadcast scalars/lists to a common shape (reference
     lib/structure.py:216-242): shallower operands are expanded into the
     deepest operand's list structure."""
-    from ..core import align_many
-
     arrays = align_many(list(arrays))
     maxd = max(a.depth for a in arrays)
     out = []

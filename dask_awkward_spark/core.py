@@ -223,12 +223,11 @@ class NestedArray:
             return NestedArray(self.to_df().limit(0))
         # outer integer-list gather: rows by position, order preserved
         # (reference int-array getitem, lib/core.py:1563-1569 outer branch).
-        # Out-of-range positive indices are dropped (join semantics) rather
-        # than raising — checking eagerly would force an extra count action;
-        # negative indices are normalized with an eager count, like the
-        # reference's divisions lookup.
+        # awkward raises IndexError on out-of-range indices, so the getitem
+        # spelling validates (one extra count on an already-eager path);
+        # take(validate=False) remains the explicit cheap opt-out.
         if isinstance(key, list) and all(isinstance(k, int) for k in key):
-            return self.take(key)
+            return self.take(key, validate=True)
         # boolean / integer mask arrays
         if isinstance(key, NestedArray):
             return self._getitem_array(key)

@@ -105,7 +105,7 @@ WITH gapped AS (
   SELECT user_id, sess_id, count(*) AS n_events FROM sess GROUP BY 1, 2
 )
 SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
-       sum(n_events) AS n_events, max(n_events) AS max_sess_len
+       CAST(sum(n_events) AS BIGINT) AS n_events, max(n_events) AS max_sess_len
 FROM per_sess GROUP BY user_id
 """
 

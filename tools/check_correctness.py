@@ -23,6 +23,13 @@ TABLES = (
 
 
 def norm_cell(v):
+    # unwrap numpy scalars / pandas timestamps from the .df() path so they
+    # hash identically to the plain-Python objects Spark's collect() yields
+    if hasattr(v, "item") and type(v).__module__.startswith(("numpy", "pandas")):
+        try:
+            v = v.item()
+        except Exception:
+            pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -102,7 +109,11 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
-            orows = rel.fetchall()
+            # go through pandas like the driver does: HUGEINT (e.g. a bare
+            # sum() over BIGINT) becomes float64 there, which hashes as
+            # "33.000000" vs Spark's int "33" — fetchall() would hide that.
+            odf = rel.df()
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             results.append((name, "duckdb_error"))

@@ -47,10 +47,18 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    def run(name: str) -> float:
+    errors: dict[str, str] = {}
+
+    def run(name: str) -> float | None:
+        """One timed run; a failure is recorded, never propagated — one
+        broken query must not zero the whole benchmark (round-3 lesson)."""
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            return None
         return time.time() - t0
 
     # warm-up: JVM + codegen + parquet footer caches, one query per input
@@ -61,19 +69,20 @@ def main() -> None:
     # best-of-2 per query: steady-state cost, robust to GC/compile noise
     times = {}
     for name in HEADLINE:
-        times[name] = round(min(run(name), run(name)), 3)
+        runs = [t for t in (run(name), run(name)) if t is not None]
+        if runs:
+            times[name] = round(min(runs), 3)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

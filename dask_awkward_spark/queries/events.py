@@ -8,22 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.events import epoch_seconds, load_events
 from .tpch import cents
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events has TIMESTAMP(NANOS) in parquet — Spark reads it as long
-    (nanosAsLong); convert to a proper timestamp via exact integer division
-    (ns → µs; values are µs-aligned in the generator)."""
-    import pyspark.sql.types as T
-
-    # runtime-settable: make events readable even when the caller (e.g. the
-    # round driver) built its own SparkSession without our session defaults
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    """Adaptive events read (ts encoding has changed across driver rounds —
+    nanos-as-long vs plain micros/TIMESTAMP_NTZ); see sources/events.py."""
+    return load_events(spark, sf_dir)
 
 
 def ev_hourly(spark, sf_dir):
@@ -68,10 +60,10 @@ def ev_sessionize(spark, sf_dir):
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
-            # cast-to-double is epoch seconds at microsecond precision —
-            # unix_timestamp() truncates to seconds and disagrees with the
-            # oracle's epoch() near the 1800s boundary
-            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 1800),
+            # epoch_seconds is microsecond-precision — unix_timestamp()
+            # truncates to seconds and disagrees with the oracle's epoch()
+            # near the 1800s boundary
+            | (epoch_seconds(F.col("ts")) - epoch_seconds(F.col("prev_ts")) > 1800),
             1,
         ).otherwise(0),
     )

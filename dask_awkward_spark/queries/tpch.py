@@ -182,12 +182,19 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_no_order"), F.sum(cents(F.col("c_acctbal"))).alias("bal_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_no_order"),
+            # coalesce: an all-customers-have-orders dataset makes the group
+            # empty, and an empty sum must be a deterministic 0 (not NULL,
+            # which the oracle's pandas path renders as NaN)
+            F.coalesce(F.sum(cents(F.col("c_acctbal"))), F.lit(0)).alias("bal_c"),
+        )
     )
 
 
 Q_ANTI_SQL = """
-SELECT count(*) AS n_no_order, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+SELECT count(*) AS n_no_order,
+       CAST(coalesce(sum(CAST(round(c_acctbal * 100) AS BIGINT)), 0) AS BIGINT) AS bal_c
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """

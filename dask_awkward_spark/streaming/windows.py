@@ -15,32 +15,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # runtime-settable guard for sessions built without our defaults
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # FileStreamSource wants a directory: stream the sf dir with a glob
-    # filter selecting only the events file
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+from ..sources.events import stream_events as _stream_events  # noqa: F401
 
 
 def stream_tumbling_counts(

@@ -69,19 +69,34 @@ def map_partitions(
     MAYBE path) and shipped to ``fn`` in ONE Arrow stream whose batches
     carry columns ``c0..cN`` in argument order — congruent rows of every
     input, the contract the reference gets from zipping partitions.
-    ``schema`` may be passed positionally as the last argument
-    (``map_partitions(fn, arr, schema)``), as before."""
-    # positional-schema compatibility: the trailing arg is the schema when
-    # it isn't a collection
-    if schema is None and more and not isinstance(more[-1], NestedArray):
+
+    Non-collection positionals are forwarded to ``fn`` after the Arrow
+    iterator, like the reference broadcasts scalar args to every partition
+    call (lib/core.py:2146-2295 packs them via ArgsKwargsPackedFunction).
+    ``schema`` may still be passed positionally as the last argument
+    (``map_partitions(fn, arr, schema)``) — recognized by type
+    (StructType/DataType/DDL string), so a trailing scalar is only taken
+    as the schema when no ``schema=`` kwarg was given and it looks like
+    one."""
+    import pyspark.sql.types as T
+
+    if schema is None and more and isinstance(more[-1], (str, T.DataType)):
         schema, more = more[-1], more[:-1]
     if schema is None:
         raise TypeError("map_partitions requires an output schema")
-    if not more:
+    colls = [a for a in more if isinstance(a, NestedArray)]
+    scalars = [a for a in more if not isinstance(a, NestedArray)]
+    if scalars:
+        inner = fn
+
+        def fn(it, _inner=inner, _scalars=tuple(scalars)):
+            return _inner(it, *_scalars)
+
+    if not colls:
         return arr.map_partitions(fn, schema)
     from .core import align_many
 
-    arrays = align_many([arr, *more])
+    arrays = align_many([arr, *colls])
     src = arrays[0]._df.select(
         *[a._col.alias(f"c{i}") for i, a in enumerate(arrays)]
     )

@@ -291,8 +291,26 @@ class NestedArray:
 
     def _getitem_slice(self, key: slice) -> "NestedArray":
         start, stop, step = key.start, key.stop, key.step
-        if step is not None and step <= 0:
-            raise ValueError("only positive step supported (as in the reference)")
+        if step is not None and step == 0:
+            raise ValueError("slice step cannot be zero")
+        if step is not None and step < 0:
+            # negative-step row slice (reference delegates to ak slicing,
+            # lib/core.py:1545-1583, which supports it): normalize with
+            # Python's own slice.indices against an eager count (the same
+            # laziness break as negative bounds below), select the touched
+            # rows by index arithmetic, and restore the reversed order with
+            # a descending orderBy (Catalyst: range repartition + local
+            # sort — parallel, no single-task pass).
+            n = self._df.count()
+            s, e, st = key.indices(n)
+            idxed = self.with_row_index()
+            rid = F.col("__row_id__")
+            cond = (rid <= s) & (rid > e) & (((F.lit(s) - rid) % (-st)) == 0)
+            return NestedArray(
+                idxed._df.filter(cond)
+                .orderBy(rid.desc())
+                .select(idxed._col.alias(VALUE_COL))
+            )
         if (start is not None and start < 0) or (stop is not None and stop < 0):
             # negative bounds need the row count — eager, like the
             # reference's eager_compute_divisions (lib/core.py:1480)
@@ -326,15 +344,45 @@ class NestedArray:
                 axis += 1
                 continue
             if isinstance(k, slice):
-                if k.step is not None and k.step <= 0:
-                    raise ValueError("only positive step supported (as in the reference)")
+                if k.step is not None and k.step == 0:
+                    raise ValueError("slice step cannot be zero")
                 if axis == 0:
                     out = out._getitem_slice(k)
                 else:
-                    start, stop, step = k.start or 0, k.stop, k.step or 1
+                    step = k.step or 1
+                    # for a negative step, start=None means "from the end"
+                    # — must stay None through to the normalization
+                    start = k.start if step < 0 else (k.start or 0)
+                    stop = k.stop
 
                     def inner_slice(c: Column, start=start, stop=stop, step=step) -> Column:
                         n = F.size(c)
+                        if step < 0:
+                            # Python slice.indices(n) semantics for negative
+                            # step, as column expressions: iterate s, s+step,
+                            # ... while > e. sequence() natively supports a
+                            # negative step, so the index list is row-local.
+                            if start is None:
+                                s = n - 1
+                            elif start < 0:
+                                s = F.greatest(n + F.lit(start), F.lit(-1))
+                            else:
+                                s = F.least(F.lit(start), n - 1)
+                            if stop is None:
+                                e = F.lit(-1)
+                            elif stop < 0:
+                                e = F.greatest(n + F.lit(stop), F.lit(-1))
+                            else:
+                                e = F.least(F.lit(stop), n - 1)
+                            idx = F.when(
+                                s > e,
+                                F.sequence(
+                                    s.cast("int"), (e + 1).cast("int"), F.lit(step)
+                                ),
+                            ).otherwise(F.array().cast("array<int>"))
+                            return F.when(
+                                c.isNotNull(), F.transform(idx, lambda i: F.get(c, i))
+                            )
                         # python-slice normalization with negative bounds
                         s = (
                             F.greatest(n + F.lit(start), F.lit(0))
@@ -432,6 +480,10 @@ class NestedArray:
         )
         try:
             self._df._dak_rowidx_df = df  # type: ignore[attr-defined]
+            # the eager divisions pass knows the collection length for free;
+            # stash it so order-sensitive consumers (unflatten validation)
+            # don't pay a second count job
+            df._dak_len = acc  # type: ignore[attr-defined]
         except Exception:  # pragma: no cover — frozen DataFrame impls
             pass
         return NestedArray(df, self._col)

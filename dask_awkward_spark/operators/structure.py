@@ -149,11 +149,27 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
         idx = F.when(F.size(cnts) > 0, F.sequence(F.lit(0), F.size(cnts) - 1)).otherwise(
             F.array().cast("array<int>")
         )
+        # per-list bounds, distributed (ak.unflatten ValueError analogue):
+        # counts must be non-negative and sum to the inner-list length
+        guard = F.assert_true(
+            F.when(
+                cnts.isNotNull() & col.isNotNull(),
+                (F.element_at(offs, -1) == F.size(col))
+                & F.coalesce(F.array_min(cnts) >= 0, F.lit(True)),
+            ).otherwise(F.lit(True)),
+            F.lit(
+                "unflatten: counts must be non-negative and sum to the "
+                "list length at axis=1"
+            ),
+        )
         return arr._wrap(
-            F.transform(
-                idx,
-                lambda i: F.slice(
-                    col, F.get(offs, i).cast("int") + 1, F.get(cnts, i).cast("int")
+            F.when(
+                guard.isNull(),
+                F.transform(
+                    idx,
+                    lambda i: F.slice(
+                        col, F.get(offs, i).cast("int") + 1, F.get(cnts, i).cast("int")
+                    ),
                 ),
             )
         )
@@ -164,13 +180,29 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
         cdf = counts._df.select(F.col("__row_id__").alias("grp"), counts._col.alias("cnt"))
         # cdf is a straight projection of with_row_index output -> already
         # contiguous in partition-id order; skip the defensive range shuffle
-        bounds = _cumulative_offsets(cdf, "grp", "cnt", assume_contiguous=True)
+        bounds, total, cmin = _cumulative_offsets(cdf, "grp", "cnt", assume_contiguous=True)
     else:
         # fused single eager pass: per-partition (count, sum) collected
         # together give both the row index (grp) and the exclusive
         # cumulative offsets (lo/hi) — one Spark job instead of the two
         # that with_row_index + _cumulative_offsets would pay
-        bounds = _row_index_and_offsets(counts._df, counts._col)
+        bounds, total, cmin = _row_index_and_offsets(counts._df, counts._col)
+    # ak.unflatten raises ValueError on negative counts and on
+    # sum(counts) != len(arr) (reference lib/structure.py:898-922, awkward
+    # operations/ak_unflatten). Both facts fall out of passes we already
+    # pay: min/total ride the eager per-partition offsets collect, and
+    # len(arr) was stashed by with_row_index's divisions pass (one narrow
+    # count job as a fallback for pre-indexed inputs).
+    if cmin is not None and cmin < 0:
+        raise ValueError(f"unflatten counts must be non-negative (found {cmin})")
+    n_data = getattr(data._df, "_dak_len", None)
+    if n_data is None:
+        n_data = data._df.count()
+    if total != n_data:
+        raise ValueError(
+            f"unflatten counts must sum to the collection length: "
+            f"sum(counts)={total} != len(arr)={n_data}"
+        )
     # explode bounds into one (grp, row id) pair per element; explode_outer
     # keeps zero-count groups as a null pair so they survive as empty lists
     pairs = bounds.select(
@@ -215,22 +247,24 @@ def _row_index_and_offsets(df, val_col):
         "__mono__", F.monotonically_increasing_id()
     ).withColumn("__pid__", F.spark_partition_id())
     stats = {
-        r["__pid__"]: (r["n"], r["s"])
+        r["__pid__"]: (r["n"], r["s"], r["m"])
         for r in w_df.groupBy("__pid__")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s"), F.min("cnt").alias("m"))
         .collect()
     }
-    rows, racc, vacc = [], 0, 0
+    rows, racc, vacc, vmin = [], 0, 0, None
     for pid in sorted(stats):
         rows.append((pid, racc, vacc))
-        n, s = stats[pid]
+        n, s, m = stats[pid]
         racc += n
         vacc += s or 0
+        if m is not None and (vmin is None or m < vmin):
+            vmin = m
     off_df = w_df.sparkSession.createDataFrame(
         rows or [(0, 0, 0)], "__pid__ int, __ro__ long, __vo__ long"
     )
     w = Window.partitionBy("__pid__").orderBy("__mono__")
-    return (
+    bounds = (
         w_df.withColumn("__local__", F.row_number().over(w) - 1)
         .withColumn("__run__", F.sum("cnt").over(w))
         .join(F.broadcast(off_df), "__pid__", "left")
@@ -239,6 +273,7 @@ def _row_index_and_offsets(df, val_col):
         .withColumn("lo", F.col("hi") - F.col("cnt"))
         .select("grp", "cnt", "lo", "hi")
     )
+    return bounds, vacc, vmin
 
 
 def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: bool = False):
@@ -260,28 +295,32 @@ def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: boo
         df = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
     with_pid = df.withColumn("__pid__", F.spark_partition_id())
     totals = {
-        r["__pid__"]: r["s"]
+        r["__pid__"]: (r["s"], r["m"])
         for r in with_pid.groupBy("__pid__")
-        .agg(F.sum(val_col).alias("s"))
+        .agg(F.sum(val_col).alias("s"), F.min(val_col).alias("m"))
         .collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc, vmin = {}, 0, None
     for pid in sorted(totals):
         offsets[pid] = acc
-        acc += totals[pid] or 0
+        s, m = totals[pid]
+        acc += s or 0
+        if m is not None and (vmin is None or m < vmin):
+            vmin = m
     spark = df.sparkSession
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
         "__pid__ int, __off__ long",
     )
     w = Window.partitionBy("__pid__").orderBy(order_col)
-    return (
+    bounds = (
         with_pid.withColumn("__run__", F.sum(val_col).over(w))
         .join(F.broadcast(off_df), "__pid__", "left")
         .withColumn("hi", F.col("__run__") + F.coalesce("__off__", F.lit(0)))
         .withColumn("lo", F.col("hi") - F.col(val_col))
         .drop("__pid__", "__run__", "__off__")
     )
+    return bounds, acc, vmin
 
 
 # ---------------- zip / unzip / records ----------------

@@ -252,8 +252,26 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 
 # ---- n-gram (shingle) Jaccard ----
 
-# last persisted shingle frame — released on the next invocation
-_SH_CACHE = None
+
+def _pin_to_result(persisted, result):
+    """Scope a persisted frame's lifetime to the query result: the cache
+    is released (non-blocking unpersist) when the result DataFrame is
+    garbage-collected — no module-global DataFrame state, no unbounded
+    cache growth across invocations, and the caller never has to manage
+    an explicit handle. Only the JVM Dataset is captured by the finalizer
+    (not the Python wrapper), so the pin itself keeps nothing alive."""
+    import weakref
+
+    jdf = persisted._jdf
+
+    def _release():
+        try:
+            jdf.unpersist(False)
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -271,25 +289,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # the shingle frame feeds four consumers (signatures, two intersection
     # probes, sizes); persist it once instead of re-deriving the explode —
     # MEMORY_AND_DISK spills gracefully when shingles outgrow executors.
-    # The slot bounds cache growth across repeated invocations (harness /
-    # bench loops share one session): same (session, sf_dir) reuses the
-    # already-persisted frame, a different one releases the stale frame
-    # first so only ONE shingle set is ever pinned. Caveat: reuse assumes
-    # the parquet under sf_dir is immutable while the session lives (true
-    # for the driver corpus); rewriting files in place would serve stale
-    # shingles — restart the session or switch directories after a rewrite.
-    global _SH_CACHE
-    key = (spark, sf_dir)
-    if _SH_CACHE is not None and _SH_CACHE[0] == key:
-        sh = _SH_CACHE[1]
-    else:
-        if _SH_CACHE is not None and _SH_CACHE[0][0] is spark:
-            _SH_CACHE[1].unpersist(blocking=False)
-        sh = docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        _SH_CACHE = (key, sh)
+    # Lifetime is scoped to the returned plan via _pin_to_result.
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _sig_bands(sh, elem_col="s")
     cand = (
         bands.alias("ba")
@@ -313,7 +317,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
+    out = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -323,6 +327,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.2)
     )
+    return _pin_to_result(sh, out)
 
 
 def _jaccard_sql() -> str:

@@ -1,0 +1,168 @@
+"""Round-4 additions: negative-step slices, unflatten validation,
+map_partitions scalar-arg forwarding (VERDICT r3 items 5-7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_awkward_spark import from_lists
+from dask_awkward_spark.operators import structure as st
+
+
+# ---------------- negative-step inner slices ----------------
+
+INNER = [0, 1, 2, 3, 4, 5, 6]
+
+
+@pytest.mark.parametrize(
+    "sl",
+    [
+        slice(None, None, -1),
+        slice(None, None, -2),
+        slice(None, None, -3),
+        slice(5, 1, -1),
+        slice(5, 1, -2),
+        slice(-1, -5, -1),
+        slice(-2, None, -2),
+        slice(100, None, -2),
+        slice(1, 5, -1),  # empty: start below stop with negative step
+        slice(0, None, -1),
+        slice(None, 0, -2),
+        slice(-100, None, -1),  # start clamps below 0 -> empty
+    ],
+)
+def test_negative_step_inner_slice_matches_python(spark, sl):
+    a = from_lists(spark, [INNER, [], [7]], "array<bigint>")
+    assert a[:, sl].compute() == [INNER[sl], [][sl], [7][sl]]
+
+
+def test_negative_step_inner_slice_preserves_null(spark):
+    a = from_lists(spark, [[0, 1, 2, 3], None], "array<bigint>")
+    assert a[:, ::-1].compute() == [[3, 2, 1, 0], None]
+
+
+def test_negative_step_axis2(spark):
+    a = from_lists(spark, [[[1, 2, 3], [4, 5]]], "array<array<bigint>>")
+    assert a[:, :, ::-1].compute() == [[[3, 2, 1], [5, 4]]]
+
+
+# ---------------- negative-step outer (row) slices ----------------
+
+ROWS = [10, 11, 12, 13, 14, 15, 16, 17]
+
+
+@pytest.mark.parametrize(
+    "sl",
+    [
+        slice(None, None, -1),
+        slice(None, None, -3),
+        slice(6, 1, -2),
+        slice(-1, -6, -1),
+        slice(2, 6, -1),  # empty
+    ],
+)
+def test_negative_step_row_slice_matches_python(spark, sl):
+    a = from_lists(spark, ROWS, "bigint")
+    assert a[sl].compute() == ROWS[sl]
+
+
+def test_zero_step_row_slice_raises(spark):
+    a = from_lists(spark, ROWS, "bigint")
+    with pytest.raises(ValueError, match="zero"):
+        a[::0]
+
+
+# ---------------- unflatten counts validation ----------------
+
+def test_unflatten_axis0_sum_mismatch_raises(spark):
+    flat = from_lists(spark, [1.0, 2.0, 3.0, 4.0, 5.0], "double")
+    with pytest.raises(ValueError, match="sum"):
+        st.unflatten(flat, from_lists(spark, [2, 2], "bigint"))  # sums to 4
+    with pytest.raises(ValueError, match="sum"):
+        st.unflatten(flat, from_lists(spark, [3, 3], "bigint"))  # sums to 6
+
+
+def test_unflatten_axis0_negative_counts_raise(spark):
+    flat = from_lists(spark, [1.0, 2.0, 3.0], "double")
+    with pytest.raises(ValueError, match="non-negative"):
+        st.unflatten(flat, from_lists(spark, [4, -1], "bigint"))
+
+
+def test_unflatten_axis0_valid_still_works(spark):
+    flat = from_lists(spark, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], "double")
+    cnt = from_lists(spark, [2, 0, 3, 1], "bigint")
+    assert st.unflatten(flat, cnt).compute() == [[1.0, 2.0], [], [3.0, 4.0, 5.0], [6.0]]
+
+
+def test_unflatten_axis1_counts_mismatch_raises_on_compute(spark):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.core import NestedArray
+
+    nested = from_lists(spark, [[1, 2, 3, 4, 5]], "array<bigint>")
+    bad = NestedArray(nested._df, F.expr("array(2, 2)").cast("array<bigint>"))  # sums to 4
+    with pytest.raises(Exception, match="unflatten|ASSERT"):
+        st.unflatten(nested, bad, axis=1).compute()
+
+
+def test_unflatten_axis1_jagged_counts_still_work(spark):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.core import NestedArray
+
+    nested = from_lists(spark, [[1, 2, 3, 4, 5]], "array<bigint>")
+    cnts = NestedArray(nested._df, F.expr("array(2, 3)").cast("array<bigint>"))
+    assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
+
+
+# ---------------- map_partitions scalar extra args ----------------
+
+def test_map_partitions_scalar_args_forwarded(spark):
+    import pyarrow as pa
+
+    from dask_awkward_spark.compat import map_partitions
+
+    def add_k(batches, k):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            col = pa.compute.add(tbl.column("v"), k)
+            yield pa.RecordBatch.from_arrays([col.combine_chunks()], ["v"])
+
+    a = from_lists(spark, [1, 2, 3], "bigint")
+    out = map_partitions(add_k, a, 10, schema="v bigint")
+    assert out.compute() == [11, 12, 13]
+
+
+def test_map_partitions_positional_schema_still_works(spark):
+    import pyarrow as pa
+
+    def double(batches):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            col = pa.compute.multiply(tbl.column("v"), 2)
+            yield pa.RecordBatch.from_arrays([col.combine_chunks()], ["v"])
+
+    from dask_awkward_spark.compat import map_partitions
+
+    a = from_lists(spark, [1, 2, 3], "bigint")
+    out = map_partitions(double, a, "v bigint")  # trailing positional = schema
+    assert out.compute() == [2, 4, 6]
+
+
+def test_map_partitions_scalar_args_multi_collection(spark):
+    import pyarrow as pa
+
+    from dask_awkward_spark.compat import map_partitions
+
+    def combine(batches, k):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            s = pa.compute.add(
+                pa.compute.add(tbl.column("c0"), tbl.column("c1")), k
+            )
+            yield pa.RecordBatch.from_arrays([s.combine_chunks()], ["v"])
+
+    a = from_lists(spark, [1, 2, 3], "bigint")
+    b = from_lists(spark, [10, 20, 30], "bigint")
+    out = map_partitions(combine, a, b, 100, schema="v bigint")
+    assert sorted(out.compute()) == [111, 122, 133]

@@ -67,10 +67,22 @@ def fingerprint(col: Column) -> Column:
 
 def rolling_hashes(col: Column, k: int = 8) -> Column:
     """k-gram rolling fingerprints: md5 of each k-token window (winnowing
-    building block). Returns array<string> of window hashes."""
-    toks = tokens(F.lower(col))
-    n = F.size(toks)
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        starts, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " "))
-    )
+    building block). Returns array<string> of window hashes.
+
+    The token array is bound ONCE as a lambda variable via a wrapping
+    single-element transform. Referencing the tokenization expression
+    directly inside the per-window lambda would re-evaluate the whole
+    split per window (no common-subexpression elimination inside
+    higher-order-function lambdas) — O(doc_len) per shingle, quadratic
+    per document; measured 6x slower at sf0.1."""
+
+    def windows(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " "))
+        )
+
+    return F.get(F.transform(F.array(tokens(F.lower(col))), windows), 0)

@@ -70,14 +70,25 @@ FROM documents GROUP BY 1
 # ---- MinHash + LSH banding ----
 
 def _sig_bands(tok: DataFrame, elem_col: str = "tk") -> DataFrame:
-    """The shared MinHash → LSH-band construction (N_HASHES seeded-md5
-    min-signatures per doc, N_BANDS keys of 2 rows each): (doc_id, band,
-    bkey). Single source of truth for every banding consumer — change
-    N_HASHES/N_BANDS/the band hash HERE and in ``_sql_sig_bands`` only."""
+    """The shared MinHash → LSH-band construction (N_HASHES min-signatures
+    per doc, N_BANDS keys of 2 rows each): (doc_id, band, bkey). Single
+    source of truth for every banding consumer — change N_HASHES/N_BANDS/
+    the band hash HERE and in ``_sql_sig_bands`` only.
+
+    Hash economy: instead of N_HASHES seeded md5 calls per element, each
+    of 2 seeded md5s yields 4 independent 8-hex-char signature chunks —
+    md5 cost per element drops 4x (it dominates the signature stage; the
+    chunks of one md5 are independent uniform draws for minhash purposes).
+    Spark's hash-aggregate codegen CSEs the repeated md5 across the four
+    min() aggregates of a seed group."""
     sig = tok.groupBy("doc_id").agg(
         *[
             F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col(elem_col))), 1, 16)
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 4}|"), F.col(elem_col))),
+                    8 * (i % 4) + 1,
+                    8,
+                )
             ).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
@@ -101,7 +112,8 @@ def _sig_bands(tok: DataFrame, elem_col: str = "tk") -> DataFrame:
 def _sql_sig_bands(src_cte: str = "tok", elem: str = "tk") -> str:
     """DuckDB twin of ``_sig_bands``: the ``sig`` + ``bands`` CTE bodies."""
     hcols = ",\n         ".join(
-        f"min(substr(md5('{i}|' || {elem}), 1, 16)) AS h{i}" for i in range(N_HASHES)
+        f"min(substr(md5('{i // 4}|' || {elem}), {8 * (i % 4) + 1}, 8)) AS h{i}"
+        for i in range(N_HASHES)
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS band_key FROM sig"
@@ -280,21 +292,73 @@ def dedup_ngram_jaccard(spark, sf_dir):
     band buckets → candidate pairs from equi-self-joins inside buckets →
     exact |A∩B| / |A∪B| computed only for candidates.
 
-    Scale shape: every join is an equi-join (band key, doc id, shingle
-    hash); the quadratic blow-up is confined to LSH buckets, which is the
-    LSH guarantee. No all-pairs product, no theta-join anywhere."""
+    Scale shape (packed-array design): shingles stay as one DISTINCT
+    array per doc, so MinHash signatures are row-local ``array_min`` /
+    ``transform`` expressions — NO (doc, shingle) explode and no doc_id
+    shuffle to build signatures. The only shuffles are the band-bucket
+    self-join (small (doc, band, key) frame — the LSH guarantee confines
+    the quadratic blow-up to buckets) and the two candidate equi-joins
+    against the packed shingle frame; the exact intersection is a
+    row-local ``array_intersect`` on candidate pairs only. Matches the
+    exploded-form oracle exactly: array_min over the distinct array ==
+    groupBy-min over the exploded set, and |A|+|B|-|A∩B| == |A∪B|."""
     from pyspark import StorageLevel
 
     docs = _docs(spark, sf_dir)
-    # the shingle frame feeds four consumers (signatures, two intersection
-    # probes, sizes); persist it once instead of re-deriving the explode —
-    # MEMORY_AND_DISK spills gracefully when shingles outgrow executors.
-    # Lifetime is scoped to the returned plan via _pin_to_result.
+    # packed per-doc shingle sets feed three consumers (signatures + both
+    # sides of the candidate join); persist once, lifetime scoped to the
+    # returned plan via _pin_to_result. MEMORY_AND_DISK spills gracefully
+    # when shingles outgrow executors.
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(tx.rolling_hashes(F.col("text"), k=3))).alias("s"),
+        F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _sig_bands(sh, elem_col="s")
+    # row-local signatures with the same hash economy as _sig_bands: ONE
+    # pass computes both seeded md5s per shingle (concatenated to a 64-hex
+    # string), bound once as a lambda variable via the single-element
+    # transform wrapper — referencing it as an outer expression would
+    # re-evaluate the md5s on every one of the 8 chunk-min traversals
+    # (same no-CSE-inside-HOF-lambdas pitfall as rolling_hashes).
+    seeded = F.transform(
+        F.col("sh"),
+        lambda s: F.concat(
+            F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))
+        ),
+    )
+    def _chunk_min(m, i):
+        # NB: a default-arg capture (lambda x, i=i: ...) would change the
+        # lambda's arity and make transform() pass the element INDEX as i
+        off = 32 * (i // 4) + 8 * (i % 4) + 1
+        return F.array_min(F.transform(m, lambda x: F.substring(x, off, 8)))
+
+    sig = sh.select(
+        "doc_id",
+        F.get(
+            F.transform(
+                F.array(seeded),
+                lambda m: F.struct(
+                    *[_chunk_min(m, i).alias(f"h{i}") for i in range(N_HASHES)]
+                ),
+            ),
+            0,
+        ).alias("hs"),
+    ).select("doc_id", *[F.col(f"hs.h{i}").alias(f"h{i}") for i in range(N_HASHES)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
+                        ).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bkey").filter(F.col("bkey").isNotNull())
     cand = (
         bands.alias("ba")
         .join(
@@ -306,20 +370,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact intersection counts, candidate pairs only: fan out each pair to
-    # doc_a's shingles, then equi-join on (doc_b, shingle)
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     out = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("c"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",

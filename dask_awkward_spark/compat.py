@@ -176,7 +176,11 @@ def from_awkward(spark, ak_arr, npartitions: int | None = None) -> NestedArray:
 def from_delayed(spark, parts: Iterable[Any], schema: str) -> NestedArray:
     """One partition per delayed/callable object (reference
     lib/io/io.py:195-246 ``from_delayed``): each part is evaluated inside
-    its Spark task via the generic from_map scan factory."""
+    its Spark task via the generic from_map scan factory — TRUE-lazy like
+    the reference keeps foreign partitions lazy. Construction only pickles
+    the part descriptors; ``p.compute()`` / ``p()`` runs in executor tasks
+    at action time, never on the driver (asserted by
+    tests/test_round4_ops.py::test_from_delayed_is_lazy_and_executor_side)."""
     from .sources.memory import from_map
 
     def _run(p):

@@ -37,11 +37,15 @@ from . import (
     pipeline,
     similarity,
     text,
+    timeseries,
     tpch,
     tpch2,
 )
 
-_MODULES = [families, nested, coverage, text, dedup, similarity, events, pipeline, tpch, tpch2]
+_MODULES = [
+    families, nested, coverage, text, dedup, similarity, events, pipeline,
+    tpch, tpch2, timeseries,
+]
 
 # The driver-graded window: one row per §2 operator family / pipeline
 # component, most-valuable first. Names must exist in some module above.

@@ -285,6 +285,48 @@ FROM wins
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: top-bigram fraction + distinct
+    ratio per document. High top_frac flags boilerplate/spam for a
+    training-data filter. Scale shape: row-local bigram hashing (reuses
+    the single-tokenization rolling_hashes), one (doc, gram) hash
+    aggregate, one per-doc aggregate — two shuffles on hash keys."""
+    df = _docs(spark, sf_dir)
+    grams = df.select(
+        "doc_id", F.explode(tx.rolling_hashes(F.col("text"), k=2)).alias("g")
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_count"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH tokl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(0, len(toks) - 1),
+                             i -> md5(array_to_string(toks[i+1:i+2], ' ')))
+         ELSE [] END) AS g
+  FROM tokl
+), c AS (
+  SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS top_count,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+FROM c GROUP BY doc_id
+"""
+
+
 def doc_stats_by_source(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (
@@ -341,6 +383,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_rolling_hashes": text_rolling_hashes,
+    "text_repetition": text_repetition,
     "doc_stats_by_source": doc_stats_by_source,
 }
 
@@ -357,5 +400,6 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FP_SQL,
     "text_rolling_hashes": TEXT_ROLLING_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "doc_stats_by_source": DOC_STATS_SQL,
 }

@@ -1,0 +1,201 @@
+"""Time-series operators the reference lacks entirely (capability uplift,
+in the spirit of SURVEY §2.6's streaming note): as-of join, hopping
+(sliding) windows, and bounded interval self-joins — the event-analytics
+shapes a training-data/telemetry pipeline needs at 100 TB.
+
+Scale designs:
+- as-of join: NO range join — union the two streams tagged, one shuffle
+  on user_id, and a running last-non-null window carries the reference
+  side forward. Same cost as any per-key window.
+- hopping windows: each event expands to exactly window/slide buckets
+  row-locally, then one hash aggregate. Spark's F.window does this
+  natively; the oracle unnests the same bucket list.
+- interval self-join: time is bucketed at the interval width, the later
+  event probes its own and the previous bucket (two keys, row-local
+  explode) and joins the earlier side's single bucket key — an equi-join
+  whose quadratic work is confined to 60-second buckets per user, never
+  an unbounded theta-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.events import epoch_seconds
+from .events import _ev
+
+
+def ev_asof_join(spark, sf_dir):
+    """For each click, the most recent view at-or-before it per user
+    (LEFT ASOF semantics). Views are pre-aggregated to one row per
+    (user, ts) — max(value) — so tie-breaks are engine-independent."""
+    ev = _ev(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            "view_value",
+            F.lit(0).alias("is_click"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("is_click"),
+    )
+    # views sort before clicks at identical ts (is_click tiebreak), so a
+    # same-instant view is visible to the click — matching ASOF's ts >= ts'
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_click",
+        F.last(F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+        F.last(F.when(F.col("is_click") == 0, F.col("view_value")), ignorenulls=True)
+        .over(w)
+        .alias("view_value"),
+    )
+    return merged.filter(F.col("is_click") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("view_ts").cast("string").alias("view_ts"),
+        # no-prior-view sentinel (values are non-negative); a NULL double
+        # would hash as NaN through the oracle's pandas path
+        F.coalesce("view_value", F.lit(-1.0)).alias("view_value"),
+    )
+
+
+EV_ASOF_SQL = """
+WITH views AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       CAST(c.ts AS VARCHAR) AS click_ts,
+       CAST(v.ts AS VARCHAR) AS view_ts,
+       coalesce(v.view_value, -1.0) AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def ev_hopping_window(spark, sf_dir):
+    """10-minute windows hopping every 5 — each event lands in exactly 2
+    overlapping windows (row-local expansion inside F.window, then one
+    hash aggregate)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("w_start"),
+            "event_type",
+            "n",
+            "value_c",
+        )
+    )
+
+
+EV_HOPPING_SQL = """
+WITH b AS (
+  SELECT event_type, value, time_bucket(INTERVAL '5 minutes', ts) AS b0 FROM events
+), expanded AS (
+  SELECT event_type, value,
+         unnest([b0, b0 - INTERVAL '5 minutes']) AS w_start
+  FROM b
+)
+SELECT CAST(w_start AS VARCHAR) AS w_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def ev_interval_pairs(spark, sf_dir):
+    """Per-user count of event pairs within 60 seconds of each other
+    (burst detection). Pairs are ordered (earlier, later) with an id
+    tiebreak at equal timestamps so each pair counts once."""
+    ev = _ev(spark, sf_dir)
+    e = ev.select(
+        "event_id",
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("sec"),
+        F.floor(epoch_seconds(F.col("ts")) / 60).alias("b"),
+    )
+    earlier = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id_a"),
+        F.col("sec").alias("sec_a"),
+        F.col("b").alias("key"),
+    )
+    later = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("sec").alias("sec_b"),
+        F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("key"),
+    )
+    pairs = earlier.join(later, ["user_id", "key"]).filter(
+        (F.col("sec_b") >= F.col("sec_a"))
+        & (F.col("sec_b") - F.col("sec_a") <= 60)
+        & (
+            (F.col("sec_a") < F.col("sec_b"))
+            | ((F.col("sec_a") == F.col("sec_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+EV_INTERVAL_SQL = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch(b.ts) >= epoch(a.ts)
+ AND epoch(b.ts) - epoch(a.ts) <= 60
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+GROUP BY 1
+"""
+
+
+def stream_hopping(spark, sf_dir):
+    """Streaming twin of ev_hopping_window (complete mode over the bounded
+    source == the batch aggregation, so the same oracle holds)."""
+    from ..streaming import stream_tumbling_counts
+
+    return stream_tumbling_counts(
+        spark, sf_dir, window="10 minutes", slide="5 minutes"
+    )
+
+
+QUERIES = {
+    "ev_asof_join": ev_asof_join,
+    "ev_hopping_window": ev_hopping_window,
+    "ev_interval_pairs": ev_interval_pairs,
+    "stream_hopping": stream_hopping,
+}
+
+ORACLES = {
+    "ev_asof_join": EV_ASOF_SQL,
+    "ev_hopping_window": EV_HOPPING_SQL,
+    "ev_interval_pairs": EV_INTERVAL_SQL,
+    "stream_hopping": EV_HOPPING_SQL,
+}

@@ -20,14 +20,20 @@ from ..sources.events import stream_events as _stream_events  # noqa: F401
 
 
 def stream_tumbling_counts(
-    spark: SparkSession, sf_dir: str, window: str = "5 minutes", watermark: str = "10 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window counts with a watermark for late data; runs the
-    bounded source to completion and returns the batch result table."""
+    bounded source to completion and returns the batch result table.
+    Pass ``slide`` shorter than ``window`` for hopping (overlapping)
+    windows — each event then lands in window/slide buckets."""
     agg = (
         _stream_events(spark, sf_dir)
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(F.window("ts", window, slide or window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"))
         .select(F.col("w.start").cast("string").alias("w_start"), "event_type", "n", "value_c")
     )

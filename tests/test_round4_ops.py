@@ -149,6 +149,30 @@ def test_map_partitions_positional_schema_still_works(spark):
     assert out.compute() == [2, 4, 6]
 
 
+def test_from_delayed_is_lazy_and_executor_side(spark):
+    """Construction must not evaluate parts, and evaluation must happen in
+    executor tasks (reference keeps foreign partitions lazy,
+    lib/io/io.py:195-246). The driver-side marker list stays empty
+    throughout: at action time each callable runs against a PICKLED COPY
+    in the worker process, so any driver-side execution would be visible
+    as an append."""
+    from dask_awkward_spark.compat import from_delayed
+
+    ran_on_driver = []
+
+    def make_part(lo):
+        def part():
+            ran_on_driver.append(lo)
+            return [(lo,), (lo + 1,)]
+
+        return part
+
+    arr = from_delayed(spark, [make_part(0), make_part(10)], "v bigint")
+    assert ran_on_driver == []  # construction is lazy
+    assert sorted(r["v"]["v"] for r in arr.to_df().collect()) == [0, 1, 10, 11]
+    assert ran_on_driver == []  # evaluation happened in executors
+
+
 def test_map_partitions_scalar_args_multi_collection(spark):
     import pyarrow as pa
 

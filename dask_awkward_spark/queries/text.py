@@ -327,6 +327,97 @@ FROM c GROUP BY doc_id
 """
 
 
+def quota_sampling(spark, sf_dir):
+    """Deterministic stratified (quota) sampling — the per-source mixing
+    knob of a training-data pipeline: keep a doc when the md5 of its id
+    falls below the source's rate threshold. Hash-gated selection is
+    engine-deterministic (no RNG), stable under re-runs and re-partitioning,
+    and exactly reproducible by the oracle. Row-local filter → one
+    aggregate; pushes down to the scan at any corpus size."""
+    df = _docs(spark, sf_dir)
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    # ~50% for the first three sources, ~20% elsewhere (hex thresholds)
+    thr = F.when(
+        F.col("source").isin("src0", "src1", "src2"), F.lit("80000000")
+    ).otherwise(F.lit("33333333"))
+    return (
+        df.filter(u < thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+QUOTA_SAMPLING_SQL = """
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN source IN ('src0', 'src1', 'src2')
+           THEN '80000000' ELSE '33333333' END
+GROUP BY source
+"""
+
+
+def text_winnowing(spark, sf_dir):
+    """True winnowing fingerprints (Schleimer et al.): over the k=8-gram
+    rolling hashes, each window of w=4 consecutive hashes contributes its
+    minimum; the doc fingerprint is the distinct selected set. Guarantees
+    any match of length >= k+w-1 shares a fingerprint. All row-local
+    (nested transform over the bound hash array — zero shuffle)."""
+    W = 4
+    df = _docs(spark, sf_dir)
+    rh = tx.rolling_hashes(F.col("text"), k=8)
+
+    def winnow(h):
+        n = F.size(h)
+        starts = F.when(n >= W, F.sequence(F.lit(0), n - W)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(h, i + 1, W)))
+        )
+
+    fp = F.get(F.transform(F.array(rh), winnow), 0)
+    return df.select(
+        "doc_id",
+        F.size(fp).cast("bigint").alias("n_fp"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+    )
+
+
+TEXT_WINNOW_SQL = r"""
+WITH ltok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8
+              THEN list_transform(range(0, len(toks) - 8 + 1),
+                                  i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+              ELSE [] END AS hs
+  FROM ltok
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_distinct(list_transform(range(0, len(hs) - 4 + 1),
+                                                i -> list_min(hs[i+1:i+4])))
+              ELSE [] END AS f
+  FROM wins
+)
+SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+       list_min(f) AS fp_min, list_max(f) AS fp_max
+FROM fp
+"""
+
+
 def doc_stats_by_source(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (
@@ -384,6 +475,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_rolling_hashes": text_rolling_hashes,
     "text_repetition": text_repetition,
+    "text_winnowing": text_winnowing,
+    "quota_sampling": quota_sampling,
     "doc_stats_by_source": doc_stats_by_source,
 }
 
@@ -401,5 +494,7 @@ ORACLES = {
     "text_fingerprint": TEXT_FP_SQL,
     "text_rolling_hashes": TEXT_ROLLING_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
+    "text_winnowing": TEXT_WINNOW_SQL,
+    "quota_sampling": QUOTA_SAMPLING_SQL,
     "doc_stats_by_source": DOC_STATS_SQL,
 }

@@ -176,6 +176,37 @@ GROUP BY 1
 """
 
 
+def ev_rolling_user_stats(spark, sf_dir):
+    """Per-event rolling 1-hour aggregates per user (RANGE frame on epoch
+    seconds): event count and cent-sum over the trailing hour. The RANGE
+    frame includes timestamp peers identically in both engines. Scale
+    shape: one shuffle on user_id + in-partition sort — identical cost to
+    any per-key window at any corpus size."""
+    ev = _ev(spark, sf_dir)
+    sec = epoch_seconds(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias("sum_c_1h"),
+    )
+
+
+EV_ROLLING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_c_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def stream_hopping(spark, sf_dir):
     """Streaming twin of ev_hopping_window (complete mode over the bounded
     source == the batch aggregation, so the same oracle holds)."""
@@ -190,6 +221,7 @@ QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_hopping_window": ev_hopping_window,
     "ev_interval_pairs": ev_interval_pairs,
+    "ev_rolling_user_stats": ev_rolling_user_stats,
     "stream_hopping": stream_hopping,
 }
 
@@ -197,5 +229,6 @@ ORACLES = {
     "ev_asof_join": EV_ASOF_SQL,
     "ev_hopping_window": EV_HOPPING_SQL,
     "ev_interval_pairs": EV_INTERVAL_SQL,
+    "ev_rolling_user_stats": EV_ROLLING_SQL,
     "stream_hopping": EV_HOPPING_SQL,
 }

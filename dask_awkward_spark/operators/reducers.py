@@ -407,6 +407,74 @@ def _axis0_positional_arg(arr: NestedArray, op: str) -> NestedArray:
 # every reducer; ak defaults: sum/prod/count/any/all False, min/max True).
 # Integral leaves keep their integral identity (dtype max/min), matching
 # awkward — casting to double ±inf would silently widen the result type.
+def reduce_axis0_multi(arr: NestedArray, ops: "list[str]") -> NestedArray:
+    """Fused jagged axis=0 reduction: compute SEVERAL stats in ONE
+    posexplode pass and ONE hash aggregate on the position keys — the
+    Spark-first composition of what would otherwise be N independent
+    ``_axis0_positional`` plans zipped by row-index joins (N shuffles and
+    N eager divisions passes instead of one of each).
+
+    Supported ops: min, max, sum, count, argmin, argmax. Returns a
+    collection of structs with one field per op, in position order, with
+    ``__row_id__`` pre-materialized (the outermost position doubles as
+    the row index, as in ``_axis0_positional``).
+
+    argmin/argmax are null-safe without a pre-filter: a leading null-flag
+    struct field makes non-null leaves always win the min_by/max_by
+    comparison, and positions whose leaves are ALL null yield a null arg
+    (the unfused composition would desync its row-index zip there)."""
+    allowed = {"min", "max", "sum", "count", "argmin", "argmax"}
+    bad = [o for o in ops if o not in allowed]
+    if bad:
+        raise NotImplementedError(f"reduce_axis0_multi: unsupported ops {bad}")
+    depth = arr.depth
+    if depth != 1:
+        raise NotImplementedError("reduce_axis0_multi supports depth-1 collections")
+    # NB: plain any() here would hit this module's `any` reducer shadow
+    need_rid = len([o for o in ops if o in ("argmin", "argmax")]) > 0
+    if need_rid:
+        idxed = arr.with_row_index()
+        df = idxed._df.select(F.col("__row_id__"), idxed._col.alias("__x0__"))
+    else:
+        df = arr.to_df("__x0__").select(
+            F.lit(0).cast("long").alias("__row_id__"), "__x0__"
+        )
+    df = df.select("__row_id__", F.posexplode("__x0__").alias("__p0__", "__x1__"))
+    leaf = F.col("__x1__")
+    rid = F.col("__row_id__")
+    aggs = []
+    for op in ops:
+        if op == "argmin":
+            raw = F.min_by(
+                rid,
+                F.struct(
+                    leaf.isNull().cast("int").alias("z"),
+                    leaf.alias("v"),
+                    rid.alias("i"),
+                ),
+            )
+            aggs.append(F.when(F.min(leaf).isNotNull(), raw).alias(op))
+        elif op == "argmax":
+            raw = F.max_by(
+                rid,
+                F.struct(
+                    leaf.isNotNull().cast("int").alias("z"),
+                    leaf.alias("v"),
+                    (-rid).alias("i"),
+                ),
+            )
+            aggs.append(F.when(F.max(leaf).isNotNull(), raw).alias(op))
+        else:
+            res = _GLOBAL_AGGS[op](leaf)
+            aggs.append(res.alias(op))
+    agg = df.groupBy("__p0__").agg(*aggs)
+    out = agg.orderBy("__p0__").select(
+        F.col("__p0__").cast("long").alias("__row_id__"),
+        F.struct(*[F.col(o) for o in ops]).alias(VALUE_COL),
+    )
+    return NestedArray(out, F.col(VALUE_COL))
+
+
 _INT_RANGES: dict[type, tuple[int, int]] = {
     T.ByteType: (-(1 << 7), (1 << 7) - 1),
     T.ShortType: (-(1 << 15), (1 << 15) - 1),

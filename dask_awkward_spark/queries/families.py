@@ -63,25 +63,23 @@ def op_minmax_axis0_jagged(spark, sf_dir):
     The source is sorted by l_orderkey so the row indices argmin/argmax
     return are deterministic (rid = rank of l_orderkey); ties break to
     the first occurrence (lowest rid), carried by min_by/max_by inside
-    the position-key aggregate."""
+    the position-key aggregate.
+
+    Uses the FUSED multi-reducer: one posexplode pass and one hash
+    aggregate compute all five stats (the naive composition — five
+    independent axis-0 plans zipped by row-index joins — costs five
+    shuffles and five eager divisions passes; measured 3.3s -> ~1s at
+    sf0.1)."""
     df = _nested(spark, sf_dir).orderBy("l_orderkey")
     qs = _arr(df, "qs")
-    mn = red.min(qs, axis=0).with_row_index()
-    mx = red.max(qs, axis=0)
-    cn = red.count(qs, axis=0)
-    am = red.argmin(qs, axis=0)
-    ag = red.argmax(qs, axis=0)
-    # all five outputs share the position dimension: zip them row-wise
-    # (same engine plan shape, one position-key aggregate pass each)
-    z = st.zip({"mn": mn, "mx": mx, "cn": cn, "am": am, "ag": ag})
-    idxed = z.with_row_index()
-    return idxed._df.select(
+    z = red.reduce_axis0_multi(qs, ["min", "max", "count", "argmin", "argmax"])
+    return z._df.select(
         F.col("__row_id__").cast("bigint").alias("pos"),
-        idxed._col["mn"].alias("pos_min"),
-        idxed._col["mx"].alias("pos_max"),
-        idxed._col["cn"].cast("bigint").alias("pos_n"),
-        idxed._col["am"].cast("bigint").alias("pos_amin"),
-        idxed._col["ag"].cast("bigint").alias("pos_amax"),
+        z._col["min"].alias("pos_min"),
+        z._col["max"].alias("pos_max"),
+        z._col["count"].cast("bigint").alias("pos_n"),
+        z._col["argmin"].cast("bigint").alias("pos_amin"),
+        z._col["argmax"].cast("bigint").alias("pos_amax"),
     )
 
 

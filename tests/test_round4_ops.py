@@ -115,6 +115,45 @@ def test_unflatten_axis1_jagged_counts_still_work(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+# ---------------- fused axis-0 multi reducer ----------------
+
+def test_reduce_axis0_multi_matches_unfused(spark):
+    from dask_awkward_spark.operators import reducers as red
+
+    data = [[3, 1, 4], [1, 5], [], [9, 2, 6, 5]]
+    arr = from_lists(spark, data, "array<bigint>")
+    z = red.reduce_axis0_multi(arr, ["min", "max", "count", "sum", "argmin", "argmax"])
+    rows = [r[0].asDict() for r in z.to_df().collect()]
+    # pos 0: [3,1,9] -> min 1 (row 1), max 9 (row 3)
+    assert rows[0] == {"min": 1, "max": 9, "count": 3, "sum": 13, "argmin": 1, "argmax": 3}
+    # pos 1: [1,5,2] -> min 1 (row 0), max 5 (row 1)
+    assert rows[1] == {"min": 1, "max": 5, "count": 3, "sum": 8, "argmin": 0, "argmax": 1}
+    # pos 2: [4,6] -> rows 0 and 3
+    assert rows[2] == {"min": 4, "max": 6, "count": 2, "sum": 10, "argmin": 0, "argmax": 3}
+    # pos 3: [5] only row 3
+    assert rows[3] == {"min": 5, "max": 5, "count": 1, "sum": 5, "argmin": 3, "argmax": 3}
+
+
+def test_reduce_axis0_multi_ties_first_occurrence(spark):
+    from dask_awkward_spark.operators import reducers as red
+
+    arr = from_lists(spark, [[7], [7], [7]], "array<bigint>")
+    z = red.reduce_axis0_multi(arr, ["argmin", "argmax"])
+    row = z.to_df().collect()[0][0].asDict()
+    assert row == {"argmin": 0, "argmax": 0}  # both break ties to first row
+
+
+def test_reduce_axis0_multi_null_position(spark):
+    from dask_awkward_spark.operators import reducers as red
+
+    # position 1 is all-null: stats are null, arg is null (not a null-row id)
+    arr = from_lists(spark, [[1, None], [2, None]], "array<bigint>")
+    z = red.reduce_axis0_multi(arr, ["min", "count", "argmin", "argmax"])
+    rows = [r[0].asDict() for r in z.to_df().collect()]
+    assert rows[0] == {"min": 1, "count": 2, "argmin": 0, "argmax": 1}
+    assert rows[1] == {"min": None, "count": 0, "argmin": None, "argmax": None}
+
+
 # ---------------- map_partitions scalar extra args ----------------
 
 def test_map_partitions_scalar_args_forwarded(spark):

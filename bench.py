@@ -38,6 +38,10 @@ HEADLINE = [
     "op_unflatten",
     "op_sum_axis0_jagged",
     "dedup_ngram_jaccard",
+    # round-4 additions: time-series + curation uplift
+    "ev_asof_join",
+    "ev_rolling_user_stats",
+    "text_winnowing",
 ]
 
 

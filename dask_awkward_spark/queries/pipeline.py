@@ -68,11 +68,34 @@ FROM events GROUP BY 1, 2
 
 
 def stream_sessions(spark, sf_dir):
-    """Streaming session windows (gap-based). Session-window merge order is
-    engine-specific → rows-only check."""
+    """Streaming session windows (gap-based, 30-min inactivity). The
+    merged result is deterministic — a session is the maximal run of
+    events whose gaps are < the timeout — so the lag-based batch
+    sessionization reproduces it exactly: session start = first event's
+    ts, n_events = run length."""
     from ..streaming import sessionized_counts
 
     return sessionized_counts(spark, sf_dir)
+
+
+STREAM_SESSIONS_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM gapped
+)
+SELECT user_id, CAST(min(ts) AS VARCHAR) AS sess_start,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sess_id
+"""
 
 
 def stream_dedup(spark, sf_dir):
@@ -234,7 +257,7 @@ ORACLES = {
     # mm_decode_features: Python stub decode — rows-only
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
-    # stream_sessions: session-window merge order is engine-specific — rows-only
+    "stream_sessions": STREAM_SESSIONS_SQL,
     "stream_stateful_user_stats": STREAM_STATEFUL_SQL,
     "op_repartition_stable": OP_REPARTITION_SQL,
     "op_sample_deterministic": OP_SAMPLE_SQL,

@@ -131,6 +131,44 @@ def test_sum_axis0_matches_python(spark, data):
     assert got == want
 
 
+# arbitrary slice parameters incl. negatives and negative step
+_bound = st_.one_of(st_.none(), st_.integers(-10, 10))
+_step = st_.one_of(st_.none(), st_.integers(-4, 4).filter(lambda s: s != 0))
+
+
+@given(data=rows, start=_bound, stop=_bound, step=_step)
+@settings(**SETTINGS)
+def test_inner_slice_matches_python(spark, data, start, stop, step):
+    """arr[:, start:stop:step] == per-row Python list slicing, any sign."""
+    arr = _arr(spark, data)
+    got = arr[:, slice(start, stop, step)].compute()
+    assert got == [row[start:stop:step] for row in data]
+
+
+@given(data=rows, start=_bound, stop=_bound, step=_step)
+@settings(**SETTINGS)
+def test_row_slice_matches_python(spark, data, start, stop, step):
+    """arr[start:stop:step] == Python row slicing, any sign (order
+    preserved, including reversal for negative step)."""
+    arr = _arr(spark, data)
+    got = arr[slice(start, stop, step)].compute()
+    assert got == data[start:stop:step]
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_unflatten_bad_counts_always_raise(spark, data):
+    """Corrupting the counts by +1 must raise, never silently misalign
+    (reference lib/structure.py:898-922 ValueError contract)."""
+    import pytest
+
+    arr = _arr(spark, data)
+    flat = das.flatten(arr, axis=1)
+    bad = das.num(arr, axis=1) + 1  # sums to len(flat) + n_rows
+    with pytest.raises(ValueError, match="sum"):
+        das.unflatten(flat, bad)
+
+
 def test_connected_components_matches_union_find(spark):
     """Seeded random graph vs a driver-side union-find oracle."""
     import random

@@ -79,6 +79,31 @@ def sessionized_counts(
     return spark.table(name)
 
 
+def stream_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str | None = None
+) -> str:
+    """Streaming parquet SINK: drain the bounded events source into a
+    parquet directory with exactly-once file-sink semantics (the sink's
+    transaction log in the checkpoint makes restarts idempotent — the
+    cluster-grade way to land a stream as a table). Uses
+    ``trigger(availableNow=True)``: process everything currently in the
+    source, in rate-limited micro-batches, then stop — the recommended
+    bounded-drain pattern. Returns ``out_dir``."""
+    q = (
+        _stream_events(spark, sf_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_sink_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
 def stream_dedup_counts(
     spark: SparkSession, sf_dir: str, watermark: str = "365 days"
 ) -> DataFrame:

@@ -181,6 +181,51 @@ def test_axis0_reduction_is_single_position_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_timeseries_plans_scale_shapes(spark):
+    """Round-4 time-series ops keep their scale shapes: the as-of join
+    plans NO join at all (union + window — exactly 2 exchanges: the view
+    pre-agg and the per-user window), and the interval self-join is an
+    equi-join (never BNLJ / CartesianProduct)."""
+    import re
+
+    from dask_awkward_spark.queries.timeseries import (
+        ev_asof_join,
+        ev_interval_pairs,
+        ev_rolling_user_stats,
+    )
+
+    asof = explain_str(ev_asof_join(spark, SF), mode="simple")
+    assert "Join" not in asof  # union + window carry-forward, no join node
+    assert len(re.findall(r"Exchange hashpartitioning", asof)) == 2
+
+    inter = explain_str(ev_interval_pairs(spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in inter
+    assert "CartesianProduct" not in inter
+
+    roll = explain_str(ev_rolling_user_stats(spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in roll
+    assert "BatchEvalPython" not in roll and "ArrowEvalPython" not in roll
+
+
+def test_fused_axis0_multi_single_aggregate(spark):
+    """The fused multi-stat reducer computes all stats in ONE aggregate
+    pair over position keys — exactly one hash-partition exchange on the
+    position key, and no row-index join (the unfused zip composition's
+    cost)."""
+    import re
+
+    from dask_awkward_spark import from_lists
+    from dask_awkward_spark.operators import reducers as red
+
+    a = from_lists(spark, [[1, 2], [3]], "array<bigint>")
+    z = red.reduce_axis0_multi(a, ["min", "max", "count", "argmin", "argmax"])
+    plan = explain_str(z.to_df(), mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning\(__p0__", plan)) == 1
+    # no shuffle-backed join — the only join allowed is with_row_index's
+    # tiny broadcast of per-partition offsets (the divisions analogue)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_ivf_topk_plan_prunes_without_shuffle(spark):
     """IVF ANN: cell assignment is a per-row expression and candidate
     pruning happens at a one-row broadcast join — the corpus side must

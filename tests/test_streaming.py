@@ -82,6 +82,25 @@ def test_stream_source_schema_tracks_file(spark):
     assert isinstance(sdf.schema["ts"].dataType, T.TimestampType)
 
 
+def test_stream_parquet_sink_roundtrip(spark, tmp_path):
+    """Streaming file sink: draining the bounded source into parquet with
+    availableNow yields exactly the batch read (same rows, no dupes),
+    proving the exactly-once sink path."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.sources.events import load_events
+    from dask_awkward_spark.streaming.windows import stream_to_parquet
+
+    out = str(tmp_path / "out")
+    stream_to_parquet(spark, SF_DIR, out)
+    got = spark.read.parquet(out)
+    want = load_events(spark, SF_DIR)
+    assert got.count() == want.count()
+    g = got.agg(F.sum("event_id"), F.countDistinct("user_id")).collect()[0]
+    w = want.agg(F.sum("event_id"), F.countDistinct("user_id")).collect()[0]
+    assert tuple(g) == tuple(w)
+
+
 def test_legacy_nanos_long_branch(spark, tmp_path):
     """The legacy nanos-as-long branch still converts correctly."""
     import pyspark.sql.functions as F

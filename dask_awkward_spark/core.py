@@ -454,7 +454,18 @@ class NestedArray:
             return NestedArray(cached, self._col)
         from pyspark.sql import Window
 
-        df = self._df.withColumn("__mono__", F.monotonically_increasing_id()).withColumn(
+        # PIN the physical partitioning before assigning partition-relative
+        # ids: the eager counts pass and every later job re-execute the
+        # plan, and under AQE a SHUFFLE-FED plan can coalesce into
+        # different partition boundaries per execution — the offsets then
+        # belong to a different layout than the row numbers and row ids
+        # silently shift (caught at sf0.1: 312k/500k ids wrong on an
+        # orderBy-fed frame). localCheckpoint materializes once so both
+        # passes see the same blocks; this IS the divisions
+        # materialization, so the cost is the one eager pass we already
+        # document. On a real cluster swap for reliable checkpoint(dir).
+        pinned = self._df.localCheckpoint(eager=True)
+        df = pinned.withColumn("__mono__", F.monotonically_increasing_id()).withColumn(
             "__pid__", F.spark_partition_id()
         )
         # eager divisions: per-partition counts -> cumulative offsets

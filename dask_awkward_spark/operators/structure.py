@@ -243,7 +243,10 @@ def _row_index_and_offsets(df, val_col):
     offsets back, no unpartitioned window) at half the job count."""
     from pyspark.sql import Window
 
-    w_df = df.select(val_col.alias("cnt")).withColumn(
+    # pin the physical layout before partition-relative ids — a shuffle-fed
+    # input can AQE-coalesce differently between the eager stats job and
+    # the window job, desyncing offsets (same fix as with_row_index)
+    w_df = df.select(val_col.alias("cnt")).localCheckpoint(eager=True).withColumn(
         "__mono__", F.monotonically_increasing_id()
     ).withColumn("__pid__", F.spark_partition_id())
     stats = {
@@ -293,7 +296,12 @@ def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: boo
 
     if not assume_contiguous:
         df = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
-    with_pid = df.withColumn("__pid__", F.spark_partition_id())
+    # pin the layout (see _row_index_and_offsets): the range shuffle above
+    # and any shuffle-fed caller input must not re-coalesce between the
+    # eager totals job and the window job
+    with_pid = df.localCheckpoint(eager=True).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
     totals = {
         r["__pid__"]: (r["s"], r["m"])
         for r in with_pid.groupBy("__pid__")

@@ -112,6 +112,15 @@ _WINDOW = [
     "sim_label_centroids",
     "op_minmax_axis0_jagged",
     "q_corr_covar",
+    # round-4 uplift, strongest first
+    "ev_asof_join",
+    "ev_rolling_user_stats",
+    "ev_hopping_window",
+    "ev_interval_pairs",
+    "stream_hopping",
+    "text_winnowing",
+    "text_repetition",
+    "quota_sampling",
 ]
 
 

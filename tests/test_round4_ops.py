@@ -115,6 +115,27 @@ def test_unflatten_axis1_jagged_counts_still_work(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+# ---------------- row-index stability under AQE ----------------
+
+def test_row_index_stable_on_shuffle_fed_plan(spark):
+    """with_row_index must assign rank-order ids even when the base plan
+    contains an AQE shuffle (orderBy): the eager offsets pass and the
+    row-number job re-execute the plan, and without pinning the physical
+    layout AQE can re-coalesce between them, silently shifting ids
+    (regression: 312k/500k ids wrong at this size before the fix)."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.core import NestedArray
+
+    df = (
+        spark.range(0, 200000)
+        .select((F.col("id") * 7919 % 200000).alias("k"))
+        .orderBy("k")
+    )
+    idxed = NestedArray(df, F.col("k")).with_row_index()
+    assert idxed._df.filter(F.col("__row_id__") != F.col("k")).count() == 0
+
+
 # ---------------- fused axis-0 multi reducer ----------------
 
 def test_reduce_axis0_multi_matches_unfused(spark):

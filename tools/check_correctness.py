@@ -3,11 +3,14 @@
 compare row count, column names, and an order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [name_filter ...]
+Set CHECK_SF_DIR to grade another scale (e.g. sf0.001 for empty-group
+edge cases, sf0.1 for partition-order/overflow robustness).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -16,7 +19,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )

@@ -152,6 +152,90 @@ FROM bands GROUP BY 1, 2 HAVING count(*) > 1
     )
 
 
+def stream_dedup_minhash(spark, sf_dir):
+    """STREAMING MinHash-LSH candidate generation: documents arrive as a
+    bounded file stream; signatures are computed ROW-LOCALLY (packed
+    distinct-token array + the 2-md5/4-chunk hash economy — structured
+    streaming forbids chained stateful aggregations, so the per-doc
+    groupBy-min of the batch path is replaced by an equivalent
+    array_min over the same set), band keys explode row-locally, and the
+    ONE streaming aggregation is the band-bucket count. Complete mode
+    over the bounded source == the batch result, so the batch oracle
+    holds exactly."""
+    import tempfile
+    import uuid
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")
+    )
+    seeded = F.transform(
+        toks,
+        lambda s: F.concat(
+            F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))
+        ),
+    )
+
+    def _chunk_min(m, i):
+        off = 32 * (i // 4) + 8 * (i % 4) + 1
+        return F.array_min(F.transform(m, lambda x: F.substring(x, off, 8)))
+
+    sig = docs.select(
+        "doc_id",
+        F.get(
+            F.transform(
+                F.array(seeded),
+                lambda m: F.struct(
+                    *[_chunk_min(m, i).alias(f"h{i}") for i in range(N_HASHES)]
+                ),
+            ),
+            0,
+        ).alias("hs"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"hs.h{2 * j}"), F.col(f"hs.h{2 * j + 1}"))
+                        ).alias("band_key"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.band_key")
+    agg = (
+        bands.groupBy("band", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    name = f"stream_mh_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dakspark_mh_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 # ---- duplicate clusters + canonical election ----
 
 def _cluster_edges(spark, sf_dir) -> DataFrame:
@@ -484,6 +568,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "stream_dedup_minhash": stream_dedup_minhash,
 }
 
 ORACLES = {
@@ -493,4 +578,6 @@ ORACLES = {
     "dedup_ngram_jaccard": _jaccard_sql(),
     "dedup_embedding_cosine": _emb_cosine_sql(),
     "dedup_cluster_canonical": _cluster_sql(),
+    # bounded stream in complete mode == the batch LSH banding
+    "stream_dedup_minhash": _minhash_sql(),
 }

@@ -110,6 +110,7 @@ from .operators.reducers import (
     moment,
     prod,
     ptp,
+    reduce_axis0_multi,
     softmax,
     std,
     sum,

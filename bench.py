@@ -72,10 +72,13 @@ def main() -> None:
 
     # best-of-2 per query: steady-state cost, robust to GC/compile noise
     times = {}
+    failed = []
     for name in HEADLINE:
         runs = [t for t in (run(name), run(name)) if t is not None]
         if runs:
             times[name] = round(min(runs), 3)
+        else:
+            failed.append(name)
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_query_wall_time",
@@ -86,6 +89,11 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if failed:
+        # a crashing query must not read as a speedup: flag the total as
+        # incomplete and name the dropped queries explicitly
+        out["incomplete"] = True
+        out["failed_queries"] = failed
     print(json.dumps(out))
     spark.stop()
 

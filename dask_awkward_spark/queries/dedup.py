@@ -128,6 +128,48 @@ def _sql_sig_bands(src_cte: str = "tok", elem: str = "tk") -> str:
 )"""
 
 
+_N_SEEDS = (N_HASHES + 3) // 4  # 4 signature chunks per seeded md5
+
+
+def _packed_band_structs(elems, key_alias: str = "bkey"):
+    """Row-local MinHash banding over a PACKED (distinct) element array —
+    the single source of truth for every packed/streaming consumer,
+    parameterized by N_HASHES/N_BANDS exactly like ``_sig_bands`` (h_i =
+    chunk i%4 of seeded md5 i//4; band key j = md5(h_2j || h_2j+1)).
+    Returns array<struct<band, key>> ready to explode. Rows with NO
+    elements yield NULL keys — callers MUST filter them (the exploded
+    batch path drops empty docs at the token explode; an unfiltered NULL
+    key would form a spurious all-empty-docs duplicate bucket)."""
+    seeded = F.transform(
+        elems,
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(f"{g}|"), s)) for g in range(_N_SEEDS)]
+        ),
+    )
+
+    def chunk_min(m, i):
+        off = 32 * (i // 4) + 8 * (i % 4) + 1
+        return F.array_min(F.transform(m, lambda x: F.substring(x, off, 8)))
+
+    return F.get(
+        F.transform(
+            F.array(seeded),
+            lambda m: F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(chunk_min(m, 2 * j), chunk_min(m, 2 * j + 1))
+                        ).alias(key_alias),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            ),
+        ),
+        0,
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures (8 hashes via seeded md5, min over token set) →
     4 bands of 2 → band-key groupBy. Groups with >1 doc are near-dup
@@ -172,48 +214,18 @@ def stream_dedup_minhash(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
-    toks = F.array_distinct(
-        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")
+    toks = F.array_distinct(tx.tokens(F.lower(F.col("text"))))
+    bands = (
+        docs.select(
+            "doc_id",
+            F.explode(_packed_band_structs(toks, key_alias="band_key")).alias("b"),
+        )
+        .select("doc_id", "b.band", "b.band_key")
+        # empty/null-text docs have NULL keys — the batch path drops them
+        # at the token explode; keeping them would fabricate a duplicate
+        # bucket of all empty docs
+        .filter(F.col("band_key").isNotNull())
     )
-    seeded = F.transform(
-        toks,
-        lambda s: F.concat(
-            F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))
-        ),
-    )
-
-    def _chunk_min(m, i):
-        off = 32 * (i // 4) + 8 * (i % 4) + 1
-        return F.array_min(F.transform(m, lambda x: F.substring(x, off, 8)))
-
-    sig = docs.select(
-        "doc_id",
-        F.get(
-            F.transform(
-                F.array(seeded),
-                lambda m: F.struct(
-                    *[_chunk_min(m, i).alias(f"h{i}") for i in range(N_HASHES)]
-                ),
-            ),
-            0,
-        ).alias("hs"),
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.md5(
-                            F.concat(F.col(f"hs.h{2 * j}"), F.col(f"hs.h{2 * j + 1}"))
-                        ).alias("band_key"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.band_key")
     agg = (
         bands.groupBy("band", "band_key")
         .agg(
@@ -397,52 +409,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "doc_id",
         F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # row-local signatures with the same hash economy as _sig_bands: ONE
-    # pass computes both seeded md5s per shingle (concatenated to a 64-hex
-    # string), bound once as a lambda variable via the single-element
-    # transform wrapper — referencing it as an outer expression would
-    # re-evaluate the md5s on every one of the 8 chunk-min traversals
-    # (same no-CSE-inside-HOF-lambdas pitfall as rolling_hashes).
-    seeded = F.transform(
-        F.col("sh"),
-        lambda s: F.concat(
-            F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))
-        ),
+    # row-local signatures + banding via the shared packed helper (one
+    # seeded-md5 pass per shingle, chunk-min signatures; see
+    # _packed_band_structs for the no-CSE-inside-HOF-lambdas binding)
+    bands = (
+        sh.select("doc_id", F.explode(_packed_band_structs(F.col("sh"))).alias("b"))
+        .select("doc_id", "b.band", "b.bkey")
+        .filter(F.col("bkey").isNotNull())
     )
-    def _chunk_min(m, i):
-        # NB: a default-arg capture (lambda x, i=i: ...) would change the
-        # lambda's arity and make transform() pass the element INDEX as i
-        off = 32 * (i // 4) + 8 * (i % 4) + 1
-        return F.array_min(F.transform(m, lambda x: F.substring(x, off, 8)))
-
-    sig = sh.select(
-        "doc_id",
-        F.get(
-            F.transform(
-                F.array(seeded),
-                lambda m: F.struct(
-                    *[_chunk_min(m, i).alias(f"h{i}") for i in range(N_HASHES)]
-                ),
-            ),
-            0,
-        ).alias("hs"),
-    ).select("doc_id", *[F.col(f"hs.h{i}").alias(f"h{i}") for i in range(N_HASHES)])
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.md5(
-                            F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
-                        ).alias("bkey"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bkey").filter(F.col("bkey").isNotNull())
     cand = (
         bands.alias("ba")
         .join(

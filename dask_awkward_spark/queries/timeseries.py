@@ -57,26 +57,33 @@ def ev_asof_join(spark, sf_dir):
         .orderBy("ts", "is_click", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry (ts, value) as ONE struct through a single ignorenulls last():
+    # two independent windows would desync when the most recent view's
+    # value is NULL (ts advances, value skips back to an older view)
     merged = views.unionByName(clicks).select(
         "user_id",
         "ts",
         "event_id",
         "is_click",
-        F.last(F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True)
+        F.last(
+            F.when(
+                F.col("is_click") == 0,
+                F.struct(F.col("ts").alias("vts"), F.col("view_value").alias("vv")),
+            ),
+            ignorenulls=True,
+        )
         .over(w)
-        .alias("view_ts"),
-        F.last(F.when(F.col("is_click") == 0, F.col("view_value")), ignorenulls=True)
-        .over(w)
-        .alias("view_value"),
+        .alias("v"),
     )
     return merged.filter(F.col("is_click") == 1).select(
         "event_id",
         "user_id",
         F.col("ts").cast("string").alias("click_ts"),
-        F.col("view_ts").cast("string").alias("view_ts"),
-        # no-prior-view sentinel (values are non-negative); a NULL double
-        # would hash as NaN through the oracle's pandas path
-        F.coalesce("view_value", F.lit(-1.0)).alias("view_value"),
+        F.col("v.vts").cast("string").alias("view_ts"),
+        # no-prior-view / null-valued-view sentinel (values are
+        # non-negative); a NULL double would hash as NaN through the
+        # oracle's pandas path
+        F.coalesce(F.col("v.vv"), F.lit(-1.0)).alias("view_value"),
     )
 
 

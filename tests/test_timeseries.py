@@ -28,6 +28,12 @@ def ts_dir(spark, tmp_path_factory):
         (7, t(2), 8, "view", 30.0, "{}"),
         (8, t(2), 8, "view", 40.0, "{}"),   # duplicate ts: max(value)=40
         (9, t(3), 8, "click", 5.0, "{}"),   # -> view@2 value 40
+        # user 9: most recent view has a NULL value — view_ts and
+        # view_value must stay in sync (single-struct carry), so the
+        # click sees ts@2 with the -1.0 sentinel, NOT the older 50.0
+        (10, t(1), 9, "view", 50.0, "{}"),
+        (11, t(2), 9, "view", None, "{}"),
+        (12, t(3), 9, "click", 6.0, "{}"),
     ]
     df = spark.createDataFrame(
         rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
@@ -49,6 +55,9 @@ def test_asof_join_semantics(spark, ts_dir):
     assert got[5] == ("2024-01-01 00:06:00", 20.0)
     assert got[6] == (None, -1.0)  # no prior view -> sentinel
     assert got[9] == ("2024-01-01 00:02:00", 40.0)  # duplicate-ts max(value)
+    # null-valued latest view: ts advances to @2, value -> sentinel (the
+    # two-window formulation would desync and report 50.0 from @1)
+    assert got[12] == ("2024-01-01 00:02:00", -1.0)
 
 
 def test_interval_pairs_semantics(spark, ts_dir):
@@ -62,6 +71,8 @@ def test_interval_pairs_semantics(spark, ts_dir):
     assert got[7] == 3
     # user 8 at minutes 1,2,2,3: (6,7),(6,8),(7,8),(7,9),(8,9),(6->3? 120s no)
     assert got[8] == 5
+    # user 9 at minutes 1,2,3: (10,11),(11,12); 1->3 is 120s, out
+    assert got[9] == 2
 
 
 def test_hopping_window_double_counts(spark, ts_dir):
@@ -70,4 +81,4 @@ def test_hopping_window_double_counts(spark, ts_dir):
     out = ev_hopping_window(spark, ts_dir)
     # every event is in exactly 2 overlapping 10-min windows
     total = sum(r["n"] for r in out.collect())
-    assert total == 2 * 9
+    assert total == 2 * 12

@@ -246,7 +246,28 @@ class NestedArray:
         # row-range slice (reference lib/core.py:1473-1543)
         if isinstance(key, slice):
             return self._getitem_slice(key)
+        # arr[...] is the identity (reference test_getitem.py
+        # test_single_ellipsis)
+        if key is Ellipsis:
+            return self._wrap(self._col)
         if isinstance(key, tuple):
+            # expand a single Ellipsis into enough full slices that the
+            # trailing keys address the LAST axes (reference
+            # test_firstarg_ellipsis_2d/3d: daa[..., 1:3] slices the
+            # deepest axis). Field strings don't consume an axis.
+            if any(k is Ellipsis for k in key):
+                if sum(1 for k in key if k is Ellipsis) > 1:
+                    raise IndexError("an index can only have a single ellipsis")
+                n_axis = sum(
+                    1 for k in key if not isinstance(k, str) and k is not Ellipsis
+                )
+                fill = (self.depth + 1) - n_axis
+                if fill < 0:
+                    raise ValueError(
+                        "total sliced axes is greater than the array depth"
+                    )
+                i = key.index(Ellipsis)
+                key = key[:i] + (slice(None),) * fill + key[i + 1:]
             return self._getitem_tuple(key)
         raise TypeError(f"unsupported getitem key: {key!r}")
 

@@ -115,6 +115,34 @@ def test_unflatten_axis1_jagged_counts_still_work(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+# ---------------- ellipsis getitem ----------------
+
+def test_ellipsis_identity(spark):
+    a = from_lists(spark, [[1, 2], [3]], "array<bigint>")
+    assert a[...].compute() == [[1, 2], [3]]
+
+
+def test_ellipsis_trailing_slice(spark):
+    """arr[..., 1:3] slices the DEEPEST axis (reference
+    test_firstarg_ellipsis_2d/3d semantics)."""
+    a2 = from_lists(spark, [[0, 1, 2, 3], [4, 5]], "array<bigint>")
+    assert a2[..., 1:3].compute() == [[1, 2], [5]]
+    a3 = from_lists(
+        spark, [[[0, 1, 2], [3, 4, 5]]], "array<array<bigint>>"
+    )
+    assert a3[..., 1:3].compute() == [[[1, 2], [4, 5]]]
+    # two trailing keys address the last two axes
+    assert a3[..., 0:, 2:4].compute() == [[[2], [5]]]
+
+
+def test_ellipsis_too_many_axes_raises(spark):
+    a = from_lists(spark, [1, 2, 3], "bigint")
+    with pytest.raises(ValueError, match="axes"):
+        a[..., 0:2, 0:2]
+    with pytest.raises(IndexError, match="single ellipsis"):
+        a[..., ...]
+
+
 # ---------------- row-index stability under AQE ----------------
 
 def test_row_index_stable_on_shuffle_fed_plan(spark):

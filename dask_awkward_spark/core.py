@@ -646,6 +646,11 @@ class NestedArray:
         # joined frame when value came from a different DataFrame
         self._df, self._col, self._dtype = out._df, out._col, None
 
+    def __delitem__(self, name: str) -> None:
+        # reference test_structure.py test_delitem: del arr["field"]
+        out = self.without_field(name)
+        self._df, self._col, self._dtype = out._df, out._col, None
+
     # ---------------- escape hatch ----------------
     def map_partitions(self, fn: Callable, schema: T.StructType | str) -> "NestedArray":
         """Arbitrary Python over whole partitions via Arrow batches — the

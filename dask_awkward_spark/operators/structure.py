@@ -333,11 +333,15 @@ def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: boo
 
 # ---------------- zip / unzip / records ----------------
 
-def zip(arrays: dict[str, NestedArray], depth_limit: int | None = None) -> NestedArray:
+def zip(arrays, depth_limit: int | None = None) -> NestedArray:
     """Build a struct column from congruent arrays, broadcasting shallower
     operands into deeper lists (reference lib/structure.py:1275-1346).
     Operands from different base DataFrames are aligned first via a
-    row-index equi-join (reference partition_compatibility MAYBE path)."""
+    row-index equi-join (reference partition_compatibility MAYBE path).
+    A list/tuple input produces tuple-record fields "0", "1", ... like
+    ak.zip (reference tests test_zip_list_input/test_zip_tuple_input)."""
+    if isinstance(arrays, (list, tuple)):
+        arrays = {str(i): a for i, a in enumerate(arrays)}
     items = list(arrays.items())
     aligned = align_many([a for _, a in items])
     items = [(n, aligned[i]) for i, (n, _) in enumerate(items)]

@@ -115,6 +115,28 @@ def test_unflatten_axis1_jagged_counts_still_work(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+# ---------------- zip list input / delitem ----------------
+
+def test_zip_list_input_tuple_fields(spark):
+    """ak.zip over a list makes tuple-records with fields '0', '1'."""
+    from dask_awkward_spark.operators import structure as st
+
+    a = from_lists(spark, [1, 2], "bigint")
+    b = from_lists(spark, [10, 20], "bigint")
+    z = st.zip([a, b])
+    assert z.fields == ["0", "1"]
+    assert [(r["0"], r["1"]) for r in z.compute()] == [(1, 10), (2, 20)]
+
+
+def test_delitem_field(spark):
+    a = from_lists(
+        spark, [{"x": 1, "y": 2}, {"x": 3, "y": 4}], "struct<x:bigint,y:bigint>"
+    )
+    del a["y"]
+    assert a.fields == ["x"]
+    assert a.compute() == [{"x": 1}, {"x": 3}]
+
+
 # ---------------- ellipsis getitem ----------------
 
 def test_ellipsis_identity(spark):

@@ -622,6 +622,120 @@ class NestedArray:
     def __hash__(self):  # __eq__ overridden; keep hashable by identity
         return id(self)
 
+    # ---------------- numpy ufunc dispatch ----------------
+    # reference: dak.Array implements __array_ufunc__ by mapping the ufunc
+    # over partitions (lib/core.py ufunc protocol; tests/test_ufunc.py).
+    # Here known ufuncs compile to the equivalent Column expression at the
+    # leaf depth — still zero Python in the hot path.
+    _UFUNC_UNARY = {
+        "sin": F.sin, "cos": F.cos, "tan": F.tan,
+        "arcsin": F.asin, "arccos": F.acos, "arctan": F.atan,
+        "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+        "sqrt": F.sqrt, "cbrt": F.cbrt,
+        "exp": F.exp, "expm1": F.expm1,
+        "log": F.log, "log10": F.log10, "log1p": F.log1p,
+        "log2": lambda c: F.log(2.0, c),
+        "absolute": F.abs, "fabs": F.abs, "negative": lambda c: -c,
+        "floor": F.floor, "ceil": F.ceil,
+        "rint": F.bround,  # numpy rint is half-to-even, like bround
+        "sign": F.signum, "degrees": F.degrees, "radians": F.radians,
+        "isnan": F.isnan,
+        "logical_not": lambda c: ~c.cast("boolean"),
+    }
+    _UFUNC_BINARY = {
+        "add": lambda a, b: a + b, "subtract": lambda a, b: a - b,
+        "multiply": lambda a, b: a * b, "true_divide": lambda a, b: a / b,
+        "divide": lambda a, b: a / b,
+        "floor_divide": lambda a, b: F.floor(a / b),
+        "power": F.pow, "mod": lambda a, b: a % b,
+        "remainder": lambda a, b: a % b,
+        "arctan2": F.atan2, "hypot": F.hypot,
+        "maximum": F.greatest, "minimum": F.least,
+        "fmax": F.greatest, "fmin": F.least,
+        "equal": lambda a, b: a == b, "not_equal": lambda a, b: a != b,
+        "less": lambda a, b: a < b, "less_equal": lambda a, b: a <= b,
+        "greater": lambda a, b: a > b, "greater_equal": lambda a, b: a >= b,
+        "logical_and": lambda a, b: a.cast("boolean") & b.cast("boolean"),
+        "logical_or": lambda a, b: a.cast("boolean") | b.cast("boolean"),
+    }
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__":
+            # reference raises for .reduce/.accumulate/... spellings too
+            raise TypeError(
+                f"ufunc method {method!r} is not supported on collections"
+            )
+        if kwargs.get("out") is not None:
+            raise TypeError("out= is not supported on collections")
+        name = ufunc.__name__
+        if len(inputs) == 1 and name in self._UFUNC_UNARY:
+            fn = self._UFUNC_UNARY[name]
+            return self._wrap(apply_at_depth(self._col, self.depth, fn))
+        if len(inputs) == 2 and name in self._UFUNC_BINARY:
+            fn = self._UFUNC_BINARY[name]
+            a, b = inputs
+            if isinstance(a, NestedArray):
+                return a._binop(b, fn)
+            return self._rbinop(a, fn)  # scalar/array op collection
+        raise TypeError(f"ufunc {name!r} is not supported on collections")
+
+    # ---------------- reducer method spellings ----------------
+    # dak.Array exposes reductions as methods too (tests/test_reducers.py
+    # exercises both the free-function and attr spellings); field access
+    # goes through __getitem__, so these names shadow same-named record
+    # fields exactly like the reference's methods do.
+    def sum(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.sum(self, axis=axis, **kw)
+
+    def prod(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.prod(self, axis=axis, **kw)
+
+    def min(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.min(self, axis=axis, **kw)
+
+    def max(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.max(self, axis=axis, **kw)
+
+    def mean(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.mean(self, axis=axis, **kw)
+
+    def std(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.std(self, axis=axis, **kw)
+
+    def var(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.var(self, axis=axis, **kw)
+
+    def count(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.count(self, axis=axis, **kw)
+
+    def count_nonzero(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.count_nonzero(self, axis=axis, **kw)
+
+    def any(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.any(self, axis=axis, **kw)
+
+    def all(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.all(self, axis=axis, **kw)
+
+    def argmin(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.argmin(self, axis=axis, **kw)
+
+    def argmax(self, axis=None, **kw):
+        from .operators import reducers as _red
+        return _red.argmax(self, axis=axis, **kw)
+
     # ---------------- field mutation ----------------
     def with_field(self, name: str, value: "NestedArray") -> "NestedArray":
         """Add/replace a field (reference lib/structure.py:1056-1087)."""

@@ -115,6 +115,44 @@ def test_unflatten_axis1_jagged_counts_still_work(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+# ---------------- numpy ufunc dispatch + reducer methods ----------------
+
+def test_numpy_ufuncs_dispatch(spark):
+    import math
+
+    import numpy as np
+
+    a = from_lists(spark, [[1.0, 4.0], [0.25]], "array<double>")
+    assert np.sqrt(a).compute() == [[1.0, 2.0], [0.5]]
+    got = np.sin(a).compute()
+    want = [[math.sin(1.0), math.sin(4.0)], [math.sin(0.25)]]
+    assert all(
+        abs(g - w) < 1e-12 for gr, wr in zip(got, want) for g, w in zip(gr, wr)
+    )
+    b = from_lists(spark, [[2.0, 2.0], [2.0]], "array<double>")
+    assert np.add(a, b).compute() == [[3.0, 6.0], [2.25]]
+    assert np.maximum(a, b).compute() == [[2.0, 4.0], [2.0]]
+    assert np.power(a, 2).compute() == [[1.0, 16.0], [0.0625]]
+
+
+def test_ufunc_method_raises(spark):
+    import numpy as np
+
+    a = from_lists(spark, [1.0, 2.0], "double")
+    with pytest.raises(TypeError):
+        np.add.reduce(a)
+
+
+def test_reducer_method_spellings(spark):
+    a = from_lists(spark, [[1, 2, 3], [4]], "array<bigint>")
+    assert a.sum(axis=1).compute() == [6, 4]
+    assert a.max(axis=1).compute() == [3, 4]
+    assert a.count(axis=1).compute() == [3, 1]
+    assert a.argmin(axis=1).compute() == [0, 0]
+    # axis=None total
+    assert a.sum(axis=None).compute() == 10
+
+
 # ---------------- zip list input / delitem ----------------
 
 def test_zip_list_input_tuple_fields(spark):

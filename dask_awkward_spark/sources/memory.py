@@ -21,15 +21,41 @@ def from_arrow(spark: SparkSession, table) -> NestedArray:
 
 def from_map(
     spark: SparkSession,
-    fn: Callable[[Any], Iterable[Any]],
-    inputs: list[Any],
-    schema: str,
+    fn: Callable[..., Iterable[Any]],
+    *iterables: Iterable[Any],
+    schema: str | None = None,
+    args: tuple = (),
+    **kwargs: Any,
 ) -> NestedArray:
     """Generic one-task-per-input scan factory (reference lib/io/io.py:528,
     the substrate of all its sources). Spark analogue: parallelize the
     input descriptors, flatMap the read function, apply the declared
-    schema. ``fn`` receives one input element and yields row tuples."""
-    rdd = spark.sparkContext.parallelize(inputs, len(inputs)).flatMap(fn)
+    schema.
+
+    Full reference protocol (tests/test_io.py test_from_map_with_args_kwargs,
+    test_from_map_pack_single_iterable, test_from_map_enumerate): several
+    iterables are zipped and unpacked into ``fn(*elems, *args, **kwargs)``;
+    a single iterable passes its element as the sole positional. The
+    trailing positional may be the schema (legacy call shape
+    ``from_map(spark, fn, inputs, schema)``)."""
+    if (
+        schema is None
+        and len(iterables) >= 2
+        and isinstance(iterables[-1], str)
+    ):
+        schema, iterables = iterables[-1], iterables[:-1]
+    if schema is None:
+        raise TypeError("from_map requires an output schema")
+    multi = len(iterables) > 1
+    inputs = (
+        list(zip(*[list(it) for it in iterables])) if multi else list(iterables[0])
+    )
+
+    def call(x, _fn=fn, _multi=multi, _args=tuple(args), _kwargs=dict(kwargs)):
+        rows = _fn(*x, *_args, **_kwargs) if _multi else _fn(x, *_args, **_kwargs)
+        return list(rows)
+
+    rdd = spark.sparkContext.parallelize(inputs, max(len(inputs), 1)).flatMap(call)
     df = spark.createDataFrame(rdd, schema)
     return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
 

@@ -115,6 +115,38 @@ def test_unflatten_axis1_jagged_counts_still_work(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+# ---------------- from_map full protocol ----------------
+
+def test_from_map_multi_iterables_args_kwargs(spark):
+    """Reference test_from_map_with_args_kwargs semantics: iterables are
+    zipped and unpacked, args/kwargs forwarded to every call."""
+    from dask_awkward_spark.sources.memory import from_map
+
+    def f(a, b, n, pad_zero=False):
+        rows = [(a * n,), (b * n,)]
+        return rows + [(0,)] if pad_zero else rows
+
+    out = from_map(spark, f, [1, 2], [10, 20], schema="v bigint", args=(3,))
+    assert sorted(r["v"]["v"] for r in out.to_df().collect()) == [3, 6, 30, 60]
+    out2 = from_map(
+        spark, f, [1], [10], schema="v bigint", args=(3,), pad_zero=True
+    )
+    assert sorted(r["v"]["v"] for r in out2.to_df().collect()) == [0, 3, 30]
+
+
+def test_from_map_enumerate_input(spark):
+    """Reference test_from_map_enumerate: a single iterable (here an
+    enumerate) passes its element whole."""
+    from dask_awkward_spark.sources.memory import from_map
+
+    def f(t):
+        i, xs = t
+        return [((i + 1) * x,) for x in xs]
+
+    out = from_map(spark, f, enumerate([[1, 2], [3]]), schema="v bigint")
+    assert sorted(r["v"]["v"] for r in out.to_df().collect()) == [1, 2, 6]
+
+
 # ---------------- numpy ufunc dispatch + reducer methods ----------------
 
 def test_numpy_ufuncs_dispatch(spark):

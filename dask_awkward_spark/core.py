@@ -622,6 +622,24 @@ class NestedArray:
     def __hash__(self):  # __eq__ overridden; keep hashable by identity
         return id(self)
 
+    def __len__(self) -> int:
+        """Row count — eager, like the reference's ``len(daa)`` which
+        triggers a divisions computation (tests/test_core.py test_len)."""
+        return self._df.count()
+
+    def __bool__(self) -> bool:
+        # __len__ would make truthiness an accidental eager count; dask
+        # collections raise here and so do we
+        raise TypeError(
+            "the truth value of a NestedArray is ambiguous; use len(), "
+            "count(), or an explicit comparison"
+        )
+
+    @property
+    def ndim(self) -> int:
+        """Number of axes (rows + list levels) — reference ``daa.ndim``."""
+        return self.depth + 1
+
     # ---------------- numpy ufunc dispatch ----------------
     # reference: dak.Array implements __array_ufunc__ by mapping the ufunc
     # over partitions (lib/core.py ufunc protocol; tests/test_ufunc.py).

@@ -115,6 +115,18 @@ def test_unflatten_axis1_jagged_counts_still_work(spark):
     assert st.unflatten(nested, cnts, axis=1).compute() == [[[1, 2], [3, 4, 5]]]
 
 
+# ---------------- len / ndim / truthiness ----------------
+
+def test_len_ndim_bool(spark):
+    a = from_lists(spark, [[1, 2], [3], []], "array<bigint>")
+    assert len(a) == 3  # eager, like the reference's divisions trigger
+    assert a.ndim == 2
+    flat = from_lists(spark, [1, 2], "bigint")
+    assert flat.ndim == 1
+    with pytest.raises(TypeError, match="ambiguous"):
+        bool(a)
+
+
 # ---------------- from_map full protocol ----------------
 
 def test_from_map_multi_iterables_args_kwargs(spark):

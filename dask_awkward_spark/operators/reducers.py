@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import VALUE_COL, NestedArray, Scalar, align_many
-from ..schema import apply_at_depth, apply_at_depth2, element_type, normalize_axis
+from ..schema import apply_at_depth, apply_at_depth2, bind, element_type, normalize_axis
 
 
 def _leaf_type(arr: NestedArray) -> T.DataType:
@@ -749,9 +749,18 @@ def softmax(arr: NestedArray, axis: int = -1) -> NestedArray:
     dt = _leaf_type(arr)
 
     def sm(c: Column) -> Column:
-        mx = F.array_max(c)
-        exps = F.transform(c, lambda x: F.exp(x.cast("double") - mx.cast("double")))
-        tot = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
-        return F.transform(exps, lambda e: e / tot)
+        # three-level bind: mx, exps, and tot are each O(n) expressions
+        # that would otherwise re-evaluate per element inside the lambdas
+        # (no CSE inside HOF lambdas — see schema.bind)
+        return bind(
+            F.array_max(c),
+            lambda mx: bind(
+                F.transform(c, lambda x: F.exp(x.cast("double") - mx.cast("double"))),
+                lambda exps: bind(
+                    F.aggregate(exps, F.lit(0.0), lambda a, x: a + x),
+                    lambda tot: F.transform(exps, lambda e: e / tot),
+                ),
+            ),
+        )
 
     return arr._wrap(apply_at_depth(arr._col, ax - 1, sm))

@@ -162,16 +162,21 @@ def unflatten(arr: NestedArray, counts: NestedArray | int, axis: int = 0) -> Nes
                 "list length at axis=1"
             ),
         )
-        return arr._wrap(
-            F.when(
-                guard.isNull(),
-                F.transform(
-                    idx,
-                    lambda i: F.slice(
-                        col, F.get(offs, i).cast("int") + 1, F.get(cnts, i).cast("int")
-                    ),
+        # bind offs ONCE as a lambda variable: it is an O(n) aggregate
+        # expression, and referencing it inside the per-chunk lambda would
+        # re-evaluate the whole cumulative sum per chunk (no CSE inside
+        # HOF lambdas — same pitfall as rolling_hashes). col/cnts are
+        # plain column references, cheap to re-reference.
+        def _chunks(o: Column) -> Column:
+            return F.transform(
+                idx,
+                lambda i: F.slice(
+                    col, F.get(o, i).cast("int") + 1, F.get(cnts, i).cast("int")
                 ),
             )
+
+        return arr._wrap(
+            F.when(guard.isNull(), F.get(F.transform(F.array(offs), _chunks), 0))
         )
     assert isinstance(counts, NestedArray)
     data = arr.with_row_index()

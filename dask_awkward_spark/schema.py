@@ -54,6 +54,20 @@ def normalize_axis(axis: int, depth: int) -> int:
     return ax
 
 
+def bind(expr: Column, body: Callable[[Column], Column]) -> Column:
+    """Evaluate ``expr`` ONCE and hand it to ``body`` as a bound lambda
+    variable, via a single-element transform wrapper.
+
+    Spark performs no common-subexpression elimination inside
+    higher-order-function lambdas: an outer expression referenced in a
+    per-element lambda is re-evaluated on EVERY element. For an O(n)
+    expression (an aggregate, a transform, a tokenization) that turns a
+    linear pass quadratic — measured 6x on shingling at sf0.1. Wrap the
+    expensive expression with ``bind`` and reference the lambda variable
+    instead."""
+    return F.get(F.transform(F.array(expr), body), 0)
+
+
 def apply_at_depth(col: Column, depth: int, fn: Callable[[Column], Column]) -> Column:
     """Apply ``fn`` to the column nested under ``depth`` list levels.
 

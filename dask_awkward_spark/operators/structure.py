@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import VALUE_COL, NestedArray, Scalar, align_many
-from ..schema import apply_at_depth, apply_at_depth2, broadcast_binop, normalize_axis
+from ..schema import apply_at_depth, apply_at_depth2, bind, broadcast_binop, normalize_axis
 
 
 def _col_at_axis(arr: NestedArray, axis: int) -> tuple[Column, int]:
@@ -719,15 +719,21 @@ def run_lengths(arr: NestedArray, axis: int = -1) -> NestedArray:
     def rl(c: Column) -> Column:
         n = F.size(c)
         idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
-        starts = F.filter(
-            idx,
-            lambda i: (i == 0) | ~F.get(c, i).eqNullSafe(F.get(c, i - 1)),
-        )
-        ns = F.size(starts)
-        return F.transform(
-            F.when(ns > 0, F.sequence(F.lit(0), ns - 1)).otherwise(F.array().cast("array<int>")),
-            lambda j: F.when(j < ns - 1, F.get(starts, j + 1) - F.get(starts, j))
-                       .otherwise(n - F.get(starts, j)),
+        # bind the run-start index array ONCE: referencing the O(n) filter
+        # expression inside the per-run lambda would re-evaluate it per
+        # run (no CSE inside HOF lambdas — schema.bind)
+        return bind(
+            F.filter(
+                idx,
+                lambda i: (i == 0) | ~F.get(c, i).eqNullSafe(F.get(c, i - 1)),
+            ),
+            lambda starts: F.transform(
+                F.when(F.size(starts) > 0, F.sequence(F.lit(0), F.size(starts) - 1))
+                .otherwise(F.array().cast("array<int>")),
+                lambda j: F.when(
+                    j < F.size(starts) - 1, F.get(starts, j + 1) - F.get(starts, j)
+                ).otherwise(n - F.get(starts, j)),
+            ),
         )
 
     return arr._wrap(apply_at_depth(col, d, rl))

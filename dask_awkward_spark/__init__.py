@@ -24,6 +24,8 @@ from .behaviors import dask_method, dask_property, register_behavior
 from .compat import (
     Array,
     backend,
+    calculate_known_divisions,
+    is_awkward_collection,
     compatible_partitions,
     fields,
     from_awkward,
@@ -53,6 +55,7 @@ from .sources.memory import (
     to_local_iterator,
 )
 from .operators import reducers, structure
+from .functions import strings as str  # noqa: A001 — reference: `import dask_awkward.lib.str as str` (__init__.py:9)
 from .operators.structure import (
     broadcast_arrays,
     copy,

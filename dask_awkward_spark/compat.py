@@ -48,6 +48,41 @@ def fields(arr: NestedArray) -> list[str]:
 
 # ---------------- core (lib/core.py) ----------------
 
+def calculate_known_divisions(arr: NestedArray) -> tuple:
+    """Division boundaries — cumulative row offsets per partition
+    (reference lib/core.py:2460-2484; an explicitly eager pass there too).
+
+    Spark analogue: one narrow per-partition count job (no shuffle), then a
+    driver-side cumsum over ≤ npartitions rows — the same machinery
+    ``with_row_index`` memoizes for order-sensitive ops.
+    """
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["__pid__"]: r["cnt"]
+        for r in (
+            arr.to_df()
+            .select(F.spark_partition_id().alias("__pid__"))
+            .groupBy("__pid__")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    divs, acc = [0], 0
+    for pid in sorted(counts):
+        acc += counts[pid]
+        divs.append(acc)
+    return tuple(divs) if counts else (0, 0)
+
+
+def is_awkward_collection(obj) -> bool:
+    """True for any of this engine's collection types (reference
+    lib/core.py:2507-2521 checks Array/Record/Scalar)."""
+    from .core import Record, Scalar
+
+    return isinstance(obj, (NestedArray, Record, Scalar))
+
+
 def typeof(arr: NestedArray):
     """The collection's element type (reference ``dak.type``, lib/core.py
     ``_type``); exported from the package as ``type``."""

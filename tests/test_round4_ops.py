@@ -382,3 +382,26 @@ def test_map_partitions_scalar_args_multi_collection(spark):
     b = from_lists(spark, [10, 20, 30], "bigint")
     out = map_partitions(combine, a, b, 100, schema="v bigint")
     assert sorted(out.compute()) == [111, 122, 133]
+
+
+def test_calculate_known_divisions(spark):
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(spark, list(range(10)), "bigint").repartition(4)
+    divs = das.calculate_known_divisions(arr)
+    assert divs[0] == 0 and divs[-1] == 10
+    assert list(divs) == sorted(divs)
+    # reference: len(divisions) == npartitions + 1 (lib/core.py:2460-2484)
+    assert len(divs) == arr.npartitions + 1
+
+
+def test_is_awkward_collection_and_str_namespace(spark):
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(spark, [1, 2], "bigint")
+    assert das.is_awkward_collection(arr)
+    assert das.is_awkward_collection(arr[0])
+    assert not das.is_awkward_collection(arr.to_df())
+    # reference exposes kernels as dak.str.<kernel> (__init__.py:9)
+    out = das.str.upper(das.from_lists(spark, ["ab", "cd"], "string"))
+    assert out.compute() == ["AB", "CD"]

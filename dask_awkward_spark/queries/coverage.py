@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

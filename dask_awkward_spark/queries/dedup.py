@@ -14,6 +14,7 @@ strings, so numeric vs string ordering agrees.
 
 from __future__ import annotations
 
+from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +35,16 @@ WITH tok AS (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallelism-guarded read for the shingle pipeline only. Building
+    the packed shingle frame (1 md5 per k-gram + 2 seeded md5 + chunk
+    mins per shingle) is CPU-bound enough that an unsplittable
+    single-row-group scan serializes it (A/B at sf0.1: ngram Jaccard
+    ~3s -> ~1.3s); the lighter dedup queries (exact/simhash/minhash)
+    LOSE ~0.3s to the extra shuffle stage and keep the plain scan."""
+    return read_hot(spark, f"{sf_dir}/documents.parquet")
 
 
 def _tokens(spark, sf_dir) -> DataFrame:
@@ -400,7 +411,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     groupBy-min over the exploded set, and |A|+|B|-|A∩B| == |A∪B|."""
     from pyspark import StorageLevel
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     # packed per-doc shingle sets feed three consumers (signatures + both
     # sides of the candidate join); persist once, lifetime scoped to the
     # returned plan via _pin_to_result. MEMORY_AND_DISK spills gracefully

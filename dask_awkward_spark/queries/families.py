@@ -15,6 +15,7 @@ Two kinds of entries:
 
 from __future__ import annotations
 
+from ..session import read_hot
 from pyspark.sql import functions as F
 
 from ..core import NestedArray

@@ -5,6 +5,7 @@ per-list distinct, elementwise join) that round out SURVEY §2 coverage.
 
 from __future__ import annotations
 
+from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
+from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

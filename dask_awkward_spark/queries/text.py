@@ -8,6 +8,7 @@ shuffle-free except the final small aggregations.
 
 from __future__ import annotations
 
+from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,6 +19,15 @@ from ..functions import textstats as tx
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallelism-guarded read for the rolling-hash family — per-window
+    md5 over every k-gram is the one text workload CPU-bound enough that
+    an unsplittable single-row-group scan serializes it (A/B at sf0.1:
+    winnowing 0.8s -> 0.4s; the cheap aggregation queries LOSE ~0.2s to
+    the extra shuffle stage, so they keep the plain scan)."""
+    return read_hot(spark, f"{sf_dir}/documents.parquet")
 
 
 TOK_CTE = r"""
@@ -257,7 +267,7 @@ FROM documents
 
 def text_rolling_hashes(spark, sf_dir):
     """k-gram winnowing fingerprints: count of windows + distinct windows."""
-    df = _docs(spark, sf_dir)
+    df = _docs_par(spark, sf_dir)
     rh = tx.rolling_hashes(F.col("text"), k=8)
     return df.select(
         "doc_id",
@@ -291,7 +301,7 @@ def text_repetition(spark, sf_dir):
     training-data filter. Scale shape: row-local bigram hashing (reuses
     the single-tokenization rolling_hashes), one (doc, gram) hash
     aggregate, one per-doc aggregate — two shuffles on hash keys."""
-    df = _docs(spark, sf_dir)
+    df = _docs_par(spark, sf_dir)
     grams = df.select(
         "doc_id", F.explode(tx.rolling_hashes(F.col("text"), k=2)).alias("g")
     )
@@ -371,7 +381,7 @@ def text_winnowing(spark, sf_dir):
     any match of length >= k+w-1 shares a fingerprint. All row-local
     (nested transform over the bound hash array — zero shuffle)."""
     W = 4
-    df = _docs(spark, sf_dir)
+    df = _docs_par(spark, sf_dir)
     rh = tx.rolling_hashes(F.col("text"), k=8)
 
     def winnow(h):

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
@@ -67,6 +67,24 @@ def get_spark(app_name: str = "dask_awkward_spark", cpus: int | None = None) -> 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def read_hot(spark: SparkSession, path: str) -> "DataFrame":
+    """Parquet read that guarantees scan parallelism for CPU-heavy consumers.
+
+    Parquet splits on row-group boundaries; a single-row-group file (the
+    testdata's ``documents.parquet`` is exactly that) is unsplittable, so
+    every downstream per-row expression — md5 shingles, MinHash signatures,
+    token stats — runs on ONE core no matter how many the session has.
+    One cheap round-robin shuffle of the raw rows engages them all; at
+    real scale (many files / many row groups) the guard never fires
+    because the scan already yields >= parallelism splits.
+    """
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:

@@ -98,8 +98,17 @@ class Record:
     def __init__(self, df: DataFrame):
         self._df = df
 
-    def __getitem__(self, name: str) -> "Record":
+    def __getitem__(self, name: "str | list") -> "Record":
         dt = self._df.schema[0].dataType
+        if isinstance(name, list):
+            # multi-field sub-record (reference test_getitem.py
+            # test_record_getitem_scalar_results: dr[["x", "y"]])
+            def build(col: Column, d: T.DataType) -> Column:
+                if isinstance(d, T.ArrayType):
+                    return F.transform(col, lambda x: build(x, d.elementType))
+                return F.struct(*[col[k].alias(k) for k in name])
+
+            return Record(self._df.select(build(F.col(VALUE_COL), dt).alias(VALUE_COL)))
         return Record(
             self._df.select(_project_through_lists(F.col(VALUE_COL), dt, name).alias(VALUE_COL))
         )
@@ -259,7 +268,13 @@ class NestedArray:
                 if sum(1 for k in key if k is Ellipsis) > 1:
                     raise IndexError("an index can only have a single ellipsis")
                 n_axis = sum(
-                    1 for k in key if not isinstance(k, str) and k is not Ellipsis
+                    1
+                    for k in key
+                    if k is not Ellipsis
+                    and not isinstance(k, str)
+                    and not (
+                        isinstance(k, list) and k and all(isinstance(s, str) for s in k)
+                    )
                 )
                 fill = (self.depth + 1) - n_axis
                 if fill < 0:
@@ -354,12 +369,65 @@ class NestedArray:
     def _getitem_tuple(self, key: tuple) -> "NestedArray":
         """Positional multi-axis getitem: element i of the tuple addresses
         axis i (reference lib/core.py:1545-1583). Field strings don't
-        consume an axis (field_access_to_front, utils.py:235-275)."""
+        consume an axis and are moved to the front first, so
+        ``arr[0, "a"] == arr["a", 0]`` and ``arr[["a"], i, "c"] ==
+        arr[["a"], "c", i]`` (field_access_to_front, utils.py:235-275,
+        exercised by reference test_getitem.py gh454)."""
+
+        def is_field(k: Any) -> bool:
+            return isinstance(k, str) or (
+                isinstance(k, list) and bool(k) and all(isinstance(s, str) for s in k)
+            )
+
+        key = tuple(sorted(key, key=lambda k: not is_field(k)))
         out: NestedArray = self
         axis = 0
-        for k in key:
-            if isinstance(k, str):
-                out = out[k]  # type: ignore[assignment]
+        nested_proj = False  # a ["a","b"]-style projection was applied
+        for pos, k in enumerate(key):
+            if is_field(k):
+                if isinstance(k, str) and nested_proj:
+                    # awkward nested projection: after a field-list, a
+                    # string projects within EACH kept field, preserving
+                    # the record wrapper (reference gh454:
+                    # daa[["a"], "c", i] keeps {a: {c}})
+                    def within(col: Column, dt: T.DataType, f=k) -> Column:
+                        if isinstance(dt, T.ArrayType):
+                            return F.transform(col, lambda x: within(x, dt.elementType, f))
+                        assert isinstance(dt, T.StructType)
+                        return F.struct(
+                            *[
+                                _project_through_lists(col[sf.name], sf.dataType, f).alias(sf.name)
+                                for sf in dt.fields
+                            ]
+                        )
+
+                    out = out._wrap(within(out._col, out.dtype))
+                else:
+                    out = out[k]  # type: ignore[assignment]
+                    if isinstance(k, list):
+                        nested_proj = True
+                continue
+            if isinstance(k, int):
+                if axis == 0:
+                    # outer row pick -> Record; fields were already moved
+                    # to the front, so anything after would need Record
+                    # axis slicing (reference raises there too)
+                    if pos != len(key) - 1:
+                        raise TypeError(
+                            "integer outer index must be the last non-field "
+                            "getitem element"
+                        )
+                    return out[k]  # type: ignore[return-value]
+                # inner element pick at this axis: removes the nesting
+                # level, so subsequent elements keep addressing the same
+                # depth (awkward's axis-consuming integer index). Negative
+                # indices wrap; out-of-range yields null (awkward raises —
+                # documented divergence, Spark expressions are total).
+                def pick(c: Column, i=k) -> Column:
+                    j = F.lit(i) + (F.size(c) if i < 0 else F.lit(0))
+                    return F.when(c.isNotNull(), F.get(c, j))
+
+                out = out._wrap(apply_at_depth(out._col, axis - 1, pick))
                 continue
             if k == slice(None):
                 axis += 1

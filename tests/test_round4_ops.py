@@ -405,3 +405,63 @@ def test_is_awkward_collection_and_str_namespace(spark):
     # reference exposes kernels as dak.str.<kernel> (__init__.py:9)
     out = das.str.upper(das.from_lists(spark, ["ab", "cd"], "string"))
     assert out.compute() == ["AB", "CD"]
+
+
+def test_tuple_getitem_gh454(spark):
+    """Reference test_getitem.py test_multiarg_starting_with_string_gh454:
+    field access moves to the front, integer outer index returns the row,
+    nested projection after a field-list replaces each kept field's
+    content with the projected subfield."""
+    import dask_awkward_spark as das
+
+    data = [
+        [{"a": {"c": 1}, "b": 5}, {"a": {"c": -2}, "b": -6}],
+        [{"a": {"c": 1}, "b": -5}, {"a": {"c": -2}, "b": 6}],
+        [],
+        [{"a": {"c": -1}, "b": 5}, {"a": {"c": -2}, "b": 6}],
+    ]
+    arr = das.from_lists(spark, data, "array<struct<a:struct<c:bigint>,b:bigint>>")
+    for i in range(4):
+        assert (
+            arr["a", i].compute()
+            == arr[i, "a"].compute()
+            == [row["a"] for row in data[i]]
+        )
+        r3 = arr[["a"], "c", i].compute()
+        assert (
+            r3
+            == arr[["a"], i, "c"].compute()
+            == arr[i, ["a"], "c"].compute()
+            == [{"a": row["a"]["c"]} for row in data[i]]
+        )
+        assert (
+            arr[["a", "b"], i].compute()
+            == arr[i, ["a", "b"]].compute()
+            == [{"a": row["a"], "b": row["b"]} for row in data[i]]
+        )
+
+
+def test_tuple_getitem_inner_int(spark):
+    """arr[:, i] picks element i per list (axis-consuming integer index);
+    negative wraps; too-short lists yield None (awkward raises — documented
+    divergence, Spark expressions are total)."""
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(spark, [[10, 20, 30], [40], [], [50, 60]], "array<bigint>")
+    assert arr[:, 0].compute() == [10, 40, None, 50]
+    assert arr[:, -1].compute() == [30, 40, None, 60]
+    assert arr[:, 1].compute() == [20, None, None, 60]
+
+
+def test_record_multifield(spark):
+    """Reference test_record_getitem_scalar_results: dr[["x", "y"]]."""
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(
+        spark,
+        [{"x": 1, "y": 2, "z": 3}, {"x": 4, "y": 5, "z": 6}],
+        "struct<x:bigint,y:bigint,z:bigint>",
+    )
+    rec = arr[1]
+    assert rec[["x", "y"]].compute() == {"x": 4, "y": 5}
+    assert rec["x"].compute() == 4

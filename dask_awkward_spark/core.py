@@ -249,9 +249,23 @@ class NestedArray:
                 if key < 0:
                     raise IndexError("index out of range")
             idxed = self.with_row_index()
-            return Record(
-                idxed._df.filter(F.col("__row_id__") == key).select(idxed._col.alias(VALUE_COL))
+            row_df = idxed._df.filter(F.col("__row_id__") == key).select(
+                idxed._col.alias(VALUE_COL)
             )
+            dt = self.dtype
+            if isinstance(dt, T.ArrayType):
+                # the row is a list: its elements become the rows of the
+                # result collection, so chains like daa["points"][0][0]
+                # work (reference test_record_getitem_scalar_results)
+                ex = row_df.select(
+                    F.posexplode(F.col(VALUE_COL)).alias("__pos__", VALUE_COL)
+                )
+                return NestedArray(ex.orderBy("__pos__").select(VALUE_COL))
+            if isinstance(dt, T.StructType):
+                return Record(row_df)
+            # leaf row -> lazy Scalar with arithmetic (reference
+            # test_scalar_binop_inv: 0 - daa[0] == -daa[0])
+            return Scalar(row_df)
         # row-range slice (reference lib/core.py:1473-1543)
         if isinstance(key, slice):
             return self._getitem_slice(key)
@@ -701,6 +715,15 @@ class NestedArray:
         raise TypeError(
             "the truth value of a NestedArray is ambiguous; use len(), "
             "count(), or an explicit comparison"
+        )
+
+    def __iter__(self):
+        # without this, Python falls back to __getitem__(0), __getitem__(1),
+        # ... which never raises IndexError here — an infinite loop of Spark
+        # jobs. The reference raises too (tests/test_core.py test_iter).
+        raise NotImplementedError(
+            "Iteration over a NestedArray collection is not supported; use "
+            "compute(), to_local_iterator(), or to_df().toLocalIterator()"
         )
 
     @property

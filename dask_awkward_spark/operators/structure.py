@@ -403,8 +403,13 @@ def zip(arrays, depth_limit: int | None = None) -> NestedArray:
 
 
 def unzip(arr: NestedArray) -> tuple[NestedArray, ...]:
-    """Struct → tuple of field arrays (reference lib/structure.py:939-954)."""
-    return tuple(arr[f] for f in arr.fields)  # type: ignore[misc]
+    """Struct → tuple of field arrays (reference lib/structure.py:939-954).
+    A non-record array unzips to a 1-tuple of itself (ak.unzip semantics,
+    reference test_structure.py test_unzip_not_record)."""
+    fields = arr.fields
+    if not fields:
+        return (arr,)
+    return tuple(arr[f] for f in fields)  # type: ignore[misc]
 
 
 # ---------------- option handling ----------------

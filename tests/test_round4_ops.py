@@ -465,3 +465,56 @@ def test_record_multifield(spark):
     rec = arr[1]
     assert rec[["x", "y"]].compute() == {"x": 4, "y": 5}
     assert rec["x"].compute() == 4
+
+
+def test_iter_raises(spark):
+    """Reference test_core.py test_iter: iteration must raise, not fall
+    back to __getitem__(0), __getitem__(1), ... (an infinite job loop)."""
+    import pytest as _pytest
+
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(spark, [[1, 2], [3]], "array<bigint>")
+    with _pytest.raises(NotImplementedError, match="Iteration"):
+        list(arr)
+
+
+def test_scalar_from_int_getitem(spark):
+    """Reference gh515 (test_scalar_binop_inv): arr[0] of a leaf array is
+    a Scalar supporting reflected arithmetic."""
+    import dask_awkward_spark as das
+
+    s = das.from_lists(spark, [5, 7], "bigint")[0]
+    assert type(s).__name__ == "Scalar"
+    assert (0 - s).compute() == -5
+    assert (s - 0).compute() == 5
+    assert (10 / s).compute() == 2.0
+
+
+def test_chained_int_getitem(spark):
+    """daa["points"][0][0] chains: a list row becomes a collection whose
+    rows are its elements (reference test_record_getitem_scalar_results)."""
+    import dask_awkward_spark as das
+
+    pts = [
+        [{"x": 1, "y": 2}, {"x": 3, "y": 4}],
+        [{"x": 5, "y": 6}],
+    ]
+    arr = das.from_lists(spark, pts, "array<struct<x:bigint,y:bigint>>")
+    first_row = arr[0]
+    assert first_row.compute() == pts[0]
+    rec = first_row[0]
+    assert rec["x"].compute() == 1
+    assert rec[["x", "y"]].compute() == {"x": 1, "y": 2}
+
+
+def test_unzip_not_record(spark):
+    """Reference test_unzip_not_record: non-record unzips to (self,)."""
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(spark, [[1, 2, 3], [4, 5]], "array<bigint>")
+    out = das.unzip(arr) if hasattr(das, "unzip") else None
+    from dask_awkward_spark.operators.structure import unzip
+
+    out = unzip(arr)
+    assert len(out) == 1 and out[0].compute() == [[1, 2, 3], [4, 5]]

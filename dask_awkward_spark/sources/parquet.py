@@ -50,11 +50,16 @@ def to_parquet(
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
     row_group_size_bytes: int | None = None,
+    prefix: str | None = None,
 ) -> None:
     """Write one file per partition, zstd default — matching the
     reference's defaults (lib/io/parquet.py:525-527; its row_group_size
     arg maps to parquet.block.size here). ``partition_by`` adds
-    hive-style partition pruning for downstream scans (uplift)."""
+    hive-style partition pruning for downstream scans (uplift).
+    ``prefix`` renames the written files from ``part-*`` to ``<prefix>-*``
+    (reference lib/io/parquet.py prefix arg; Spark writers hardcode the
+    part- stem, so this is a driver-side metadata rename after commit —
+    one rename per file, no data movement)."""
     df = data.to_df() if isinstance(data, NestedArray) else data
     w = df.write.mode("overwrite").option("compression", compression)
     if row_group_size_bytes:
@@ -64,6 +69,16 @@ def to_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    if prefix is not None:
+        import os
+
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith("part-"):
+                    os.rename(
+                        os.path.join(root, f),
+                        os.path.join(root, prefix + f[len("part"):]),
+                    )
 
 
 def to_bucketed_table(

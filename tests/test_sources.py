@@ -156,3 +156,20 @@ def test_scalar_arithmetic(spark, jagged):
     assert (2 * total).compute() == 30
     assert (100 - total).compute() == 85
     assert (total > n).compute() is True
+
+
+def test_to_parquet_with_prefix(spark, tmp_path):
+    """Reference test_parquet.py test_to_parquet_with_prefix: written
+    files start with the given prefix instead of part-."""
+    import glob
+    import os
+
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(spark, [[1, 2], [3]], "array<bigint>")
+    out = str(tmp_path / "pq")
+    das.to_parquet(arr, out, prefix="data")
+    files = [os.path.basename(p) for p in glob.glob(out + "/*.parquet")]
+    assert files and all(f.startswith("data-") for f in files)
+    back = das.from_parquet(spark, out)["v"]
+    assert sorted(back.compute()) == [[1, 2], [3]]

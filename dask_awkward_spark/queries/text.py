@@ -471,6 +471,88 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source
 """
 
+
+
+# ---- sequence packing (training-batch assembly) ----
+
+def text_pack_sequences(spark, sf_dir, budget: int = 4096):
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    packs for training-batch assembly. Deterministic doc order within each
+    source; a document whose running START offset crosses a budget
+    boundary opens the next pack.
+
+    Scale shape: ONE window partitioned by source (shards pack
+    independently — exactly how a real pipeline shards packing), running
+    cumsum, then a hash-agg per (source, pack). No global window, no
+    single-partition funnel."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = docs.select("doc_id", "source", tx.token_count(F.col("text")).alias("n_tok"))
+    packed = toks.withColumn(
+        "start", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("pack_id", F.floor(F.col("start") / F.lit(budget)).cast("bigint"))
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+TEXT_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+  FROM toks
+)
+SELECT source, CAST(floor(start / 4096) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
+# ---- PII redaction ----
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{7,}"
+
+
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing pass: replace emails and long digit runs with typed
+    placeholder tokens; emit per-doc match counts and the md5 of the
+    redacted text (proves byte-exact replacement against the oracle).
+    Pure row-local regexp expressions — zero shuffle, scans linearly."""
+    docs = _docs(spark, sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_LONGNUM_RE)).cast("bigint").alias("n_longnums"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+TEXT_PII_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_longnums,
+       md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "str_case_len": str_case_len,
     "str_search": str_search,
@@ -488,6 +570,8 @@ QUERIES = {
     "text_winnowing": text_winnowing,
     "quota_sampling": quota_sampling,
     "doc_stats_by_source": doc_stats_by_source,
+    "text_pack_sequences": text_pack_sequences,
+    "text_pii_redact": text_pii_redact,
 }
 
 ORACLES = {
@@ -507,4 +591,6 @@ ORACLES = {
     "text_winnowing": TEXT_WINNOW_SQL,
     "quota_sampling": QUOTA_SAMPLING_SQL,
     "doc_stats_by_source": DOC_STATS_SQL,
+    "text_pack_sequences": TEXT_PACK_SQL,
+    "text_pii_redact": TEXT_PII_SQL,
 }

@@ -518,3 +518,41 @@ def test_unzip_not_record(spark):
 
     out = unzip(arr)
     assert len(out) == 1 and out[0].compute() == [[1, 2, 3], [4, 5]]
+
+
+def test_pack_sequences_budget_respected(spark):
+    """Every pack's start offset honors the budget boundary: a pack's
+    token total can overshoot only by its last doc (greedy packing)."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.queries.text import text_pack_sequences
+
+    out = text_pack_sequences(spark, "/root/testdata/sf0.001", budget=512).collect()
+    assert out
+    for r in out:
+        assert r["n_docs"] >= 1
+        assert r["first_doc"] <= r["last_doc"]
+    # pack ids are dense non-negative per source
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["pack_id"])
+    for src, ids in by_src.items():
+        assert sorted(ids) == list(range(len(ids))), src
+
+
+def test_pii_redact_semantics(spark):
+    import dask_awkward_spark as das
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.queries.text import _EMAIL_RE, _LONGNUM_RE
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@x-y.co or call 12345678 now"), (2, "clean")],
+        "doc_id bigint, text string",
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    rows = df.select("doc_id", red.alias("r")).orderBy("doc_id").collect()
+    assert rows[0]["r"] == "mail me at <EMAIL> or call <NUM> now"
+    assert rows[1]["r"] == "clean"

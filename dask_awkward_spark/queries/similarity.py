@@ -311,12 +311,76 @@ LIMIT 10
 """
 
 
+
+
+# ---- int8 scalar quantization ----
+
+def sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    standard memory-compression step before ANN at scale (4x smaller
+    vectors, SIMD-friendly int dot products). Per vector: scale =
+    max(|x|)/127, q_i = round(x_i/scale). Emits the quantized checksum
+    (integer-exact across engines) and the reconstruction MSE.
+
+    Scale shape: pure row-local expressions — zero shuffle, linear scan;
+    the quantized output would be written back as array<tinyint> plus one
+    float scale per vector."""
+    emb = _emb(spark, sf_dir)
+    amax = F.aggregate(
+        F.col("e"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    e2 = emb.select("vec_id", "e", (amax / F.lit(127.0)).alias("scale"))
+    q = F.transform(F.col("e"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    e3 = e2.select("vec_id", "e", "scale", q.alias("q"))
+    mse = (
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.col("q"),
+                lambda a, b: F.pow(a - b.cast("double") * F.col("scale"), F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size(F.col("e"))
+    )
+    return e3.select(
+        "vec_id",
+        F.round(F.col("scale") * 1e6).cast("bigint").alias("scale_e6"),
+        F.aggregate(F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.round(mse * 1e9).cast("bigint").alias("mse_e9"),
+    )
+
+
+SIM_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(round(x / scale) AS INT)) AS q
+  FROM base
+)
+SELECT vec_id,
+       CAST(round(scale * 1e6) AS BIGINT) AS scale_e6,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT) AS q_l1,
+       CAST(round(list_aggregate(list_transform(range(1, len(e) + 1), i -> pow(e[i] - q[i] * scale, 2)), 'sum') / len(e) * 1e9) AS BIGINT) AS mse_e9
+FROM qd
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_knn_per_query": sim_knn_per_query,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_label_centroids": sim_label_centroids,
+    "sim_quantize_int8": sim_quantize_int8,
 }
 
 ORACLES = {
@@ -325,4 +389,5 @@ ORACLES = {
     "sim_lsh_buckets": _lsh_sql(),
     "sim_ivf_topk": _ivf_sql(),
     "sim_label_centroids": SIM_CENTROID_SQL,
+    "sim_quantize_int8": SIM_QUANT_SQL,
 }

@@ -224,12 +224,22 @@ def stream_hopping(spark, sf_dir):
     )
 
 
+def stream_interval_pairs(spark, sf_dir):
+    """Stream-stream interval self-join (watermarked symmetric hash join,
+    bounded state) — same pairing semantics as the batch ev_interval_pairs,
+    so the same oracle holds."""
+    from ..streaming.windows import stream_interval_pairs as _sip
+
+    return _sip(spark, sf_dir)
+
+
 QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_hopping_window": ev_hopping_window,
     "ev_interval_pairs": ev_interval_pairs,
     "ev_rolling_user_stats": ev_rolling_user_stats,
     "stream_hopping": stream_hopping,
+    "stream_interval_pairs": stream_interval_pairs,
 }
 
 ORACLES = {
@@ -238,4 +248,5 @@ ORACLES = {
     "ev_interval_pairs": EV_INTERVAL_SQL,
     "ev_rolling_user_stats": EV_ROLLING_SQL,
     "stream_hopping": EV_HOPPING_SQL,
+    "stream_interval_pairs": EV_INTERVAL_SQL,
 }

@@ -131,3 +131,63 @@ def stream_dedup_counts(
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+def stream_interval_pairs(
+    spark: SparkSession, sf_dir: str, bound: str = "60 seconds"
+) -> DataFrame:
+    """Stream-stream INTERVAL self-join: pair each event with every later
+    event of the same user within ``bound`` (the streaming twin of the
+    batch ev_interval_pairs burst detector).
+
+    Scale shape: both sides carry a watermark and the join condition is an
+    equi-key (user_id) plus a closed time range, so Spark's symmetric hash
+    join keeps only the watermark-bounded window of each side in state —
+    the canonical bounded-state stream-stream join. The per-user rollup
+    runs on the drained sink table (chaining an aggregation after a
+    stream-stream join adds a second stateful operator; the rollup is a
+    trivial hash-agg either way)."""
+    left = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("event_id").alias("id_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "10 minutes")
+    )
+    right = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("user_b"),
+            F.col("event_id").alias("id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    pairs = left.join(
+        right,
+        F.expr(
+            f"""
+            user_a = user_b
+            AND ts_b >= ts_a
+            AND ts_b <= ts_a + interval {bound}
+            AND (ts_a < ts_b OR (ts_a = ts_b AND id_a < id_b))
+            """
+        ),
+    )
+    name = f"stream_pairs_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dakspark_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("user_a").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

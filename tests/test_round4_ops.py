@@ -556,3 +556,16 @@ def test_pii_redact_semantics(spark):
     rows = df.select("doc_id", red.alias("r")).orderBy("doc_id").collect()
     assert rows[0]["r"] == "mail me at <EMAIL> or call <NUM> now"
     assert rows[1]["r"] == "clean"
+
+
+def test_quantize_int8_bounds(spark):
+    """All quantized magnitudes fit int8 (|q| <= 127) and reconstruction
+    error is below scale/2 per element by construction."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.queries.similarity import sim_quantize_int8
+
+    out = sim_quantize_int8(spark, "/root/testdata/sf0.001")
+    bad = out.filter((F.col("q_l1") > 127 * 64) | (F.col("mse_e9") < 0)).count()
+    assert bad == 0
+    assert out.count() > 0

@@ -508,3 +508,214 @@ ORACLES.update(
         "q20_strong_suppliers": Q20_SQL,
     }
 )
+
+
+# q9 shape: product-type profit by nation and year (adapted — the
+# testdata omits partsupp, so supplycost drops out of the profit term)
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """4-way join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders) with a
+    substring part filter, grouped by supplier nation and order year.
+    Dims broadcast; the lineitem fact shuffles once on the group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+            ).alias("profit_e4")
+        )
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+"""
+
+
+# q12 shape: shipping lateness vs order priority (adapted — no
+# l_shipmode/commitdate; lateness = shipdate > orderdate + 90 days)
+
+def q12_priority_lateness(spark, sf_dir):
+    """Join + conditional two-way count aggregation (the q12 CASE-sum
+    shape): per lateness bucket, how many high- vs low-priority orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late", (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"))
+    )
+    return joined.groupBy("late").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+Q12_SQL = """
+SELECT l_shipdate > o_orderdate + INTERVAL 90 DAY AS late,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# q13: customer order-count distribution (outer join + two-level agg)
+
+def q13_order_count_distribution(spark, sf_dir):
+    """customer LEFT JOIN filtered orders → per-customer count → count of
+    customers per order-count (the classic q13 double aggregation;
+    customers with no qualifying orders land in the 0 bucket)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
+# q17: small-quantity-order revenue (correlated scalar subquery on avg)
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """Lineitems whose quantity is below 20% of their part's average
+    quantity; the per-part average is a broadcastable aggregate joined
+    back to the fact (Catalyst turns the correlated subquery into
+    exactly this plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            # floor-div, not cast: Spark's double->bigint cast truncates
+            # while DuckDB's rounds — floor agrees in both engines
+            F.floor(F.sum(cents(F.col("l_extendedprice"))) / 7).cast("bigint").alias(
+                "avg_yearly_c"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1
+)
+SELECT CAST(floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7) AS BIGINT) AS avg_yearly_c,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+JOIN avg_q ON l_partkey = ap_key
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# q21 shape: suppliers whose shipment was the latest in a multi-supplier
+# order (EXISTS another supplier + NOT EXISTS a later one)
+
+def q21_late_suppliers(spark, sf_dir):
+    """Per order: the max-shipdate supplier among orders touched by >1
+    supplier — the q21 exists/not-exists pair expressed as one window
+    aggregation over the order partition (no self-joins; one shuffle on
+    l_orderkey), then a per-supplier count, top 10 by (count, name)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("n_sup", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+    )
+    # distinct (order, supplier) pairs where this supplier shipped last
+    # and others exist; ties on max_ship count every tied supplier (same
+    # as the NOT EXISTS l2.ship > l1.ship semantics)
+    culprits = (
+        flagged.filter((F.col("n_sup") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprits.join(F.broadcast(sup), culprits.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_sup,
+         max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+  FROM lineitem
+), culprits AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM flagged WHERE n_sup > 1 AND l_shipdate = max_ship
+)
+SELECT s_name, count(*) AS numwait
+FROM culprits JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+QUERIES.update(
+    {
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q12_priority_lateness": q12_priority_lateness,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q21_late_suppliers": q21_late_suppliers,
+    }
+)
+ORACLES.update(
+    {
+        "q9_profit_by_nation_year": Q9_SQL,
+        "q12_priority_lateness": Q12_SQL,
+        "q13_order_count_distribution": Q13_SQL,
+        "q17_small_qty_revenue": Q17_SQL,
+        "q21_late_suppliers": Q21_SQL,
+    }
+)

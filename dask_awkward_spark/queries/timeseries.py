@@ -250,3 +250,78 @@ ORACLES = {
     "stream_hopping": EV_HOPPING_SQL,
     "stream_interval_pairs": EV_INTERVAL_SQL,
 }
+
+
+# ---- funnel analysis (ordered event-sequence matching) ----
+
+def ev_funnel(spark, sf_dir):
+    """Strict-order funnel view → click → purchase: a user converts at
+    step k if there exist events e1 < e2 < ... <= ek of the right types in
+    timestamp order. Computed with per-user MIN-over-filtered-prefix
+    cascades: first view, first click AFTER that view, first purchase
+    AFTER that click — one hash aggregation per step over a single
+    user_id shuffle (conditional aggs, no self-joins, no window buffers).
+    Ties broken by event_id so the cascade is deterministic."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_type", epoch_seconds(F.col("ts")).alias("sec"), "event_id"
+    )
+    # step 1: first view per user (ts, id) — min struct orders by (sec, id)
+    k = F.struct(F.col("sec"), F.col("event_id"))
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(k).alias("v")
+    )
+    e2 = ev.filter(F.col("event_type") == "click").join(s1, "user_id")
+    s2 = (
+        e2.filter(
+            (F.col("sec") > F.col("v.sec"))
+            | ((F.col("sec") == F.col("v.sec")) & (F.col("event_id") > F.col("v.event_id")))
+        )
+        .groupBy("user_id")
+        .agg(F.min(k).alias("c"))
+    )
+    e3 = ev.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+    s3 = (
+        e3.filter(
+            (F.col("sec") > F.col("c.sec"))
+            | ((F.col("sec") == F.col("c.sec")) & (F.col("event_id") > F.col("c.event_id")))
+        )
+        .groupBy("user_id")
+        .agg(F.min(k).alias("p"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count(F.col("c.sec")).alias("n_view_click"),
+            F.count(F.col("p.sec")).alias("n_view_click_purchase"),
+        )
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch(ts) AS sec, event_id FROM events
+), s1 AS (
+  SELECT user_id, min(ROW(sec, event_id)) AS v FROM e WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ROW(sec, event_id)) AS c
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE event_type = 'click' AND ROW(sec, event_id) > v
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ROW(sec, event_id)) AS p
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND ROW(sec, event_id) > c
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_view,
+       count(c) AS n_view_click,
+       count(p) AS n_view_click_purchase
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+QUERIES.update({"ev_funnel": ev_funnel})
+ORACLES.update({"ev_funnel": EV_FUNNEL_SQL})

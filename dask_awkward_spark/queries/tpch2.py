@@ -719,3 +719,65 @@ ORACLES.update(
         "q21_late_suppliers": Q21_SQL,
     }
 )
+
+
+# q2 shape: best supplier per part (adapted — the testdata has no
+# partsupp, so the part-supplier bridge is DISTINCT lineitem pairs and
+# "best" is max account balance instead of min supply cost)
+
+def q2_best_supplier(spark, sf_dir):
+    """Correlated best-per-group subquery + 4-way dim join (the q2
+    shape): for each small part, the highest-acctbal supplier that
+    shipped it, restricted to one region. The bridge dedups to distinct
+    (part, supplier) pairs first — one hash shuffle — and the per-part
+    winner is a struct-min aggregation (no window buffers); dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    joined = (
+        bridge.join(F.broadcast(part), bridge.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), bridge.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    # winner = (max acctbal, tie -> min suppkey): min of (-acctbal, key)
+    best = joined.groupBy("p_partkey", "p_brand").agg(
+        F.min(F.struct((-F.col("s_acctbal")).alias("nb"), F.col("s_suppkey").alias("k"))).alias("w")
+    )
+    return (
+        best.join(F.broadcast(sup), best["w.k"] == sup.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            cents(F.col("s_acctbal")).alias("s_acctbal_c"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH bridge AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), joined AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+  FROM bridge
+  JOIN part ON l_partkey = p_partkey AND p_size < 15
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM joined
+)
+SELECT p_partkey, p_brand, s_name,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c
+FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES.update({"q2_best_supplier": q2_best_supplier})
+ORACLES.update({"q2_best_supplier": Q2_SQL})

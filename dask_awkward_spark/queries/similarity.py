@@ -391,3 +391,104 @@ ORACLES = {
     "sim_label_centroids": SIM_CENTROID_SQL,
     "sim_quantize_int8": SIM_QUANT_SQL,
 }
+
+
+# ---- k-means (fixed-iteration Lloyd, driver-held centroids) ----
+
+def sim_kmeans(spark, sf_dir, k: int = 4, iters: int = 2):
+    """Two Lloyd iterations with deterministic init (vectors 0..k-1):
+    assign -> recompute -> assign -> per-cluster sizes + inertia.
+
+    Scale shape — the canonical Spark k-means: centroids are DRIVER state
+    (k x dim doubles, always tiny) embedded as literals, so assignment is
+    a pure per-row expression with NO join or shuffle; the recompute is
+    one posexplode + hash-agg per iteration. Centroids round to 6dp after
+    each recompute so the oracle sees bit-identical inputs; assignment
+    ties break to the lowest cluster id (array_position = first min)."""
+    emb = _emb(spark, sf_dir)
+
+    def lits(vec):
+        return F.array(*[F.lit(float(v)) for v in vec])
+
+    def assign_expr(cents):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(F.col("e"), lits(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, z: a + z,
+                )
+                for c in cents
+            ]
+        )
+        return dists, F.array_position(dists, F.array_min(dists)).cast("int")
+
+    cents = [
+        r["e"]
+        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    for _ in range(iters - 1):
+        _, cid = assign_expr(cents)
+        rows = (
+            emb.select(cid.alias("c"), F.posexplode("e").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.round(F.avg("x"), 6).alias("v"))
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            new.setdefault(r["c"], {})[r["d"]] = r["v"]
+        cents = [
+            [new[c][d] for d in sorted(new[c])] if c in new else cents[c - 1]
+            for c in range(1, k + 1)
+        ]
+    dists, cid = assign_expr(cents)
+    return (
+        emb.select(
+            cid.alias("cluster"),
+            F.round(F.array_min(dists) * 1e6).cast("bigint").alias("d6"),
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d6").alias("inertia_e6"))
+    )
+
+
+def _kmeans_sql(k: int = 4) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent0 AS (
+  SELECT vec_id + 1 AS cid, e AS c FROM v WHERE vec_id < {k}
+), d1 AS (
+  SELECT v.vec_id, v.e, cent0.cid,
+         list_aggregate(list_transform(range(1, len(v.e) + 1),
+                        i -> pow(v.e[i] - cent0.c[i], 2)), 'sum') AS dist
+  FROM v CROSS JOIN cent0
+), a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1
+  ) WHERE rn = 1
+), cent1 AS (
+  SELECT cid, list(v ORDER BY d) AS c FROM (
+    SELECT cid, d, round(avg(e[CAST(d AS INT)]), 6) AS v
+    FROM a1, unnest(range(1, len(e) + 1)) AS t(d)
+    GROUP BY cid, d
+  ) GROUP BY cid
+), d2 AS (
+  SELECT v.vec_id, cent1.cid,
+         list_aggregate(list_transform(range(1, len(v.e) + 1),
+                        i -> pow(v.e[i] - cent1.c[i], 2)), 'sum') AS dist
+  FROM v CROSS JOIN cent1
+), a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS INT) AS cluster, count(*) AS n,
+       CAST(sum(CAST(round(dist * 1e6) AS BIGINT)) AS BIGINT) AS inertia_e6
+FROM a2 GROUP BY cid
+"""
+
+
+QUERIES.update({"sim_kmeans": sim_kmeans})
+ORACLES.update({"sim_kmeans": _kmeans_sql()})

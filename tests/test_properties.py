@@ -226,3 +226,30 @@ def test_string_class_predicates_match_python(spark, vals):
     assert S.is_alpha(w).compute() == [v.isalpha() for v in vals]
     assert S.is_space(w).compute() == [bool(v) and v.isspace() for v in vals]
     assert S.is_decimal(w).compute() == [v.isdecimal() for v in vals]
+
+
+@given(data=rows, i=st_.integers(-7, 7))
+@settings(**SETTINGS)
+def test_inner_int_pick_matches_python(spark, data, i):
+    """arr[:, i] == per-row element pick; negative wraps; out-of-range
+    yields None (documented divergence: awkward raises, Spark expressions
+    are total)."""
+    arr = _arr(spark, data)
+    got = arr[:, i].compute()
+    want = [row[i] if -len(row) <= i < len(row) else None for row in data]
+    assert got == want
+
+
+@given(data=rows, i=st_.integers(-8, 7))
+@settings(**SETTINGS)
+def test_outer_int_returns_row(spark, data, i):
+    """arr[i] == data[i] for in-range i (a list row comes back as the
+    collection of its elements); negative wraps like Python."""
+    import pytest
+
+    arr = _arr(spark, data)
+    if -len(data) <= i < len(data):
+        assert arr[i].compute() == data[i]
+    elif i < 0:
+        with pytest.raises(IndexError):
+            arr[i]

@@ -54,6 +54,15 @@ def lookup_behavior(name: str | None, attr: str) -> Any | None:
     return getattr(_REGISTRY[name], attr, None)
 
 
+def behavior_members(name: str | None) -> dict:
+    """Public members of the behavior class registered under ``name``
+    (the dict the reference exposes as ``daa.behavior``)."""
+    if name is None or name not in _REGISTRY:
+        return {}
+    cls = _REGISTRY[name]
+    return {k: v for k, v in vars(cls).items() if not k.startswith("_")}
+
+
 # Reference decorator names (lib/core.py:150-353): ``dask_property`` marks a
 # property on a behavior class; ``dask_method`` marks a method. Plain methods
 # already dispatch through lookup_behavior, so dask_method is the identity.

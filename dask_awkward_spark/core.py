@@ -37,6 +37,35 @@ def _to_python(v: Any) -> Any:
     return v
 
 
+_AK_TYPE_NAMES = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool",
+    "string": "string",
+    "binary": "bytes",
+    "date": "datetime64[D]",
+}
+
+
+def _ak_typestr(dt: T.DataType) -> str:
+    """Awkward-flavored rendering of a Spark type: ``var *`` for list
+    levels, ``{f: t, ...}`` for records, numpy names for leaves
+    (reference typestr, lib/core.py _typestr)."""
+    if isinstance(dt, T.ArrayType):
+        return f"var * {_ak_typestr(dt.elementType)}"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name}: {_ak_typestr(f.dataType)}" for f in dt.fields)
+        return "{" + inner + "}"
+    s = dt.simpleString()
+    if s.startswith("timestamp"):
+        return "datetime64[us]"
+    return _AK_TYPE_NAMES.get(s, s)
+
+
 def _project_through_lists(col: Column, dt: T.DataType, name: str) -> Column:
     """Project a struct field through any number of list levels."""
     if isinstance(dt, T.ArrayType):
@@ -896,6 +925,65 @@ class NestedArray:
 
     def persist(self) -> "NestedArray":
         return NestedArray(self._df.persist(), self._col)
+
+    # ------------- metadata views (reference lib/core.py Array props) ----
+
+    @property
+    def attrs(self):
+        """Immutable metadata mapping (reference ``daa.attrs`` — a
+        mappingproxy, so item assignment raises; replace wholesale via
+        the setter, test_core.py test_assign_attrs)."""
+        from types import MappingProxyType
+
+        return MappingProxyType(getattr(self, "_attrs", {}))
+
+    @attrs.setter
+    def attrs(self, value: dict) -> None:
+        self._attrs = dict(value)
+
+    @property
+    def behavior(self):
+        """Immutable view of this array's registered behavior class
+        members (reference ``daa.behavior``; registration goes through
+        behaviors.register_behavior + with_name)."""
+        from types import MappingProxyType
+
+        from .behaviors import behavior_members
+
+        return MappingProxyType(behavior_members(getattr(self, "_name", None)))
+
+    @property
+    def form(self) -> dict:
+        """Schema-as-data (the reference's ``daa.form`` Form object; here
+        the JSON-schema rendering of the Spark type)."""
+        from .compat import layout_to_jsonschema
+
+        return layout_to_jsonschema(self)
+
+    @property
+    def divisions(self) -> tuple:
+        """Unknown divisions, like a freshly-read dask collection:
+        (None, ...) with npartitions+1 entries. Materialize real offsets
+        with ``calculate_known_divisions`` (an explicitly eager pass)."""
+        return (None,) * (self.npartitions + 1)
+
+    def _typestr(self, max: int | None = None) -> str:
+        """Awkward-style type string with unknown outer length:
+        ``## * var * int64`` (reference lib/core.py _typestr)."""
+        inner = _ak_typestr(self.dtype)
+        if max is not None and len(inner) > max:
+            inner = inner[:max] + "..."
+        return f"## * {inner}"
+
+    @property
+    def typestr(self) -> str:
+        return self._typestr()
+
+    def __str__(self) -> str:
+        return (
+            f"dask_awkward_spark<lazy, type='{self._typestr()}', "
+            f"npartitions={self.npartitions}>"
+        )
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"NestedArray(dtype={self.dtype.simpleString()})"

@@ -569,3 +569,25 @@ def test_quantize_int8_bounds(spark):
     bad = out.filter((F.col("q_l1") > 127 * 64) | (F.col("mse_e9") < 0)).count()
     assert bad == 0
     assert out.count() > 0
+
+
+def test_metadata_views(spark):
+    """Reference Array metadata surface: typestr/str rendering, unknown
+    divisions, immutable attrs/behavior mappingproxies (test_dunder_str,
+    test_typestr, test_assign_attrs, test_assign_behavior)."""
+    import pytest as _pytest
+
+    import dask_awkward_spark as das
+
+    a = das.from_lists(spark, [[{"x": 1, "y": 2.5}]], "array<struct<x:bigint,y:double>>")
+    assert a.typestr == "## * var * {x: int64, y: float64}"
+    assert str(a).startswith("dask_awkward_spark<lazy, type='## * var * {x:")
+    assert a._typestr(max=10).endswith("...")
+    assert a.divisions == (None,) * (a.npartitions + 1)
+    a.attrs = {"origin": "test"}
+    assert dict(a.attrs) == {"origin": "test"}
+    with _pytest.raises(TypeError, match="mappingproxy"):
+        a.attrs["nope"] = 1
+    with _pytest.raises(TypeError, match="mappingproxy"):
+        a.behavior["nope"] = 1
+    assert isinstance(a.form, dict) and "type" in a.form

@@ -48,6 +48,7 @@ from .sources.text import from_text
 from .functions.strings import strings_astype
 from .sources.memory import (
     from_arrow,
+    to_arrow,
     from_dask_array,
     from_map,
     to_dask_array,

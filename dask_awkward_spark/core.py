@@ -115,6 +115,20 @@ class Scalar:
     def __rtruediv__(self, o): return self._binop(o, lambda a, b: a / b, swap=True)
     def __gt__(self, o): return self._binop(o, lambda a, b: a > b)
     def __lt__(self, o): return self._binop(o, lambda a, b: a < b)
+    def __ge__(self, o): return self._binop(o, lambda a, b: a >= b)
+    def __le__(self, o): return self._binop(o, lambda a, b: a <= b)
+    def __mod__(self, o): return self._binop(o, lambda a, b: a % b)
+    def __rmod__(self, o): return self._binop(o, lambda a, b: a % b, swap=True)
+    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b))
+    def __rpow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), swap=True)
+    def __floordiv__(self, o): return self._binop(o, lambda a, b: F.floor(a / b))
+    def __rfloordiv__(self, o): return self._binop(o, lambda a, b: F.floor(a / b), swap=True)
+
+    def __neg__(self) -> "Scalar":
+        return Scalar(self._df.select((-F.col(VALUE_COL)).alias(VALUE_COL)))
+
+    def __abs__(self) -> "Scalar":
+        return Scalar(self._df.select(F.abs(F.col(VALUE_COL)).alias(VALUE_COL)))
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Scalar(lazy, dtype={self._df.schema[0].dataType.simpleString()})"

@@ -19,6 +19,14 @@ def from_arrow(spark: SparkSession, table) -> NestedArray:
     return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
 
 
+def to_arrow(arr: NestedArray):
+    """NestedArray → pyarrow Table (reference to_awkward/Arrow bridge;
+    Spark 4's native ``DataFrame.toArrow`` — Arrow IPC transfer, no
+    pandas hop). Driver-side materialization: size-gate it like any
+    collect."""
+    return arr.to_df().toArrow()
+
+
 def from_map(
     spark: SparkSession,
     fn: Callable[..., Iterable[Any]],

@@ -591,3 +591,26 @@ def test_metadata_views(spark):
     with _pytest.raises(TypeError, match="mappingproxy"):
         a.behavior["nope"] = 1
     assert isinstance(a.form, dict) and "type" in a.form
+
+
+def test_scalar_full_arithmetic(spark):
+    import dask_awkward_spark as das
+
+    s = das.from_lists(spark, [7], "bigint")[0]
+    assert (s % 4).compute() == 3
+    assert (10 % s).compute() == 3
+    assert (s ** 2).compute() == 49.0
+    assert (s // 2).compute() == 3
+    assert (-s).compute() == -7
+    assert abs(-s).compute() == 7
+    assert (s >= 7).compute() is True
+    assert (s <= 6).compute() is False
+
+
+def test_to_arrow_roundtrip(spark):
+    import dask_awkward_spark as das
+
+    arr = das.from_lists(spark, [[1, 2], [3]], "array<bigint>")
+    tbl = das.to_arrow(arr)
+    assert tbl.num_rows == 2
+    assert sorted(tbl.column(0).to_pylist()) == [[1, 2], [3]]

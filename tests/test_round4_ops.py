@@ -614,3 +614,37 @@ def test_to_arrow_roundtrip(spark):
     tbl = das.to_arrow(arr)
     assert tbl.num_rows == 2
     assert sorted(tbl.column(0).to_pylist()) == [[1, 2], [3]]
+
+
+def test_fuzz_differential_smoke(spark):
+    """30 random filter/group/agg/join recipes hash-agree with DuckDB
+    (the full sweep lives in tools/fuzz_differential.py)."""
+    import random
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    import fuzz_differential as fz
+
+    rng = random.Random(99)
+    con = duckdb.connect()
+    for t in fz.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{fz.SF_DIR}/{t}.parquet'")
+    nan = float("nan")
+    for _ in range(30):
+        if rng.random() < 0.3:
+            lt, rt, lk, rk, where, grp, fn, agg_key, sql = fz.gen_join_query(rng)
+            sdf = fz.spark_run_join(spark, lt, rt, lk, rk, where, grp, fn, agg_key)
+        else:
+            table, where, grp, aggs, sql = fz.gen_query(rng)
+            sdf = fz.spark_run(spark, table, where, grp, aggs)
+        srows = [tuple(nan if v is None else v for v in r) for r in sdf.collect()]
+        odf = con.sql(sql).df()
+        orows = [
+            tuple(nan if v is None else v for v in r)
+            for r in odf.itertuples(index=False, name=None)
+        ]
+        assert fz.table_hash(sdf.columns, srows) == fz.table_hash(
+            list(odf.columns), orows
+        ), sql

@@ -102,6 +102,48 @@ def spark_run(spark, table, where, grp, aggs):
     return out
 
 
+JOINS = [
+    # (left, right, left key, right key)
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
+
+def gen_join_query(rng: random.Random):
+    """Equi-join + group + agg recipe."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    lnums, lstrs, lkeys = TABLES[lt]
+    rnums, rstrs, rkeys = TABLES[rt]
+    grp = rng.choice(lstrs + rstrs)
+    where = ""
+    if rng.random() < 0.6:
+        c, op, v = rng.choice(lkeys), rng.choice(CMP), rng.randint(0, 5000)
+        where = f"{c} {op} {v}"
+    agg_key = rng.choice(lkeys + rkeys)
+    fn = rng.choice(["min", "max", "sum"])
+    sql = (
+        f"SELECT {grp}, count(*) AS n, CAST({fn}({agg_key}) AS BIGINT) AS agg_v "
+        f"FROM {lt} JOIN {rt} ON {lk} = {rk}"
+        + (f" WHERE {where}" if where else "")
+        + f" GROUP BY {grp}"
+    )
+    return lt, rt, lk, rk, where, grp, fn, agg_key, sql
+
+
+def spark_run_join(spark, lt, rt, lk, rk, where, grp, fn, agg_key):
+    from pyspark.sql import functions as F
+
+    left = spark.read.parquet(f"{SF_DIR}/{lt}.parquet")
+    right = spark.read.parquet(f"{SF_DIR}/{rt}.parquet")
+    df = left.join(right, F.col(lk) == F.col(rk))
+    if where:
+        df = df.filter(where)
+    return df.groupBy(grp).agg(
+        F.count(F.lit(1)).alias("n"),
+        getattr(F, fn)(agg_key).cast("bigint").alias("agg_v"),
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -116,8 +158,12 @@ def main() -> None:
 
     fails = 0
     for i in range(n):
-        table, where, grp, aggs, sql = gen_query(rng)
-        sdf = spark_run(spark, table, where, grp, aggs)
+        if rng.random() < 0.3:
+            lt, rt, lk, rk, where, grp, fn, agg_key, sql = gen_join_query(rng)
+            sdf = spark_run_join(spark, lt, rt, lk, rk, where, grp, fn, agg_key)
+        else:
+            table, where, grp, aggs, sql = gen_query(rng)
+            sdf = spark_run(spark, table, where, grp, aggs)
         scols = sdf.columns
         # empty-group aggregates: Spark yields None where DuckDB's pandas
         # path yields NaN — same value, two spellings; unify before hashing

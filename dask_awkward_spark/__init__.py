@@ -19,7 +19,7 @@ from .core import (
 )
 from .session import get_spark, load_tables
 from .plans import explain_str, necessary_columns, pushed_filters
-from . import behaviors, config, types
+from . import behaviors, config, testutils, types
 from .behaviors import dask_method, dask_property, register_behavior
 from .compat import (
     Array,

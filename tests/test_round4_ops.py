@@ -648,3 +648,20 @@ def test_fuzz_differential_smoke(spark):
         assert fz.table_hash(sdf.columns, srows) == fz.table_hash(
             list(odf.columns), orows
         ), sql
+
+
+def test_testutils_assert_eq(spark):
+    """Public assert_eq helper (reference lib/testutils.py): engine
+    collections vs plain Python, float tolerance, NaN==NaN."""
+    import pytest as _pytest
+
+    import dask_awkward_spark as das
+    from dask_awkward_spark.testutils import assert_eq, xy_points_rows
+
+    rows = xy_points_rows((2, 0, 1))
+    arr = das.from_lists(spark, rows, "array<struct<x:bigint,y:bigint>>")
+    assert_eq(arr, rows)
+    assert_eq(das.sum(arr["x"], axis=1), [sum(p["x"] for p in r) for r in rows])
+    assert_eq(float("nan"), float("nan"))
+    with _pytest.raises(AssertionError, match="differ"):
+        assert_eq(arr, [])

@@ -77,6 +77,29 @@ def _is_col(x: Any) -> bool:
     return isinstance(x, NestedArray)
 
 
+def pin_layout(df: DataFrame) -> DataFrame:
+    """Pin the physical partition layout iff re-execution could change it.
+
+    Partition-relative row ids are computed in TWO jobs over the same plan
+    (eager counts, then windows); under AQE a SHUFFLE-FED plan can coalesce
+    into different partition boundaries per execution, desyncing the two
+    passes. A plan with no Exchange (pure file scan + narrow ops) has a
+    deterministic layout — file splits derive from the listing and
+    maxPartitionBytes — so the localCheckpoint materialization is wasted
+    cost there. Only pin when the physical plan contains an Exchange.
+    """
+    try:
+        # executedPlan (not sparkPlan): with AQE on, Exchange nodes are
+        # inserted during execution preparation, and a shuffle-free plan
+        # is not even wrapped in AdaptiveSparkPlan — so this string test
+        # exactly identifies plans AQE could re-coalesce
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        stable = "Exchange" not in plan
+    except Exception:  # streaming plans, analysis oddities: pin to be safe
+        stable = False
+    return df if stable else df.localCheckpoint(eager=True)
+
+
 class Scalar:
     """Lazy scalar — result of an axis=None/0 reduction.
 
@@ -601,16 +624,14 @@ class NestedArray:
         from pyspark.sql import Window
 
         # PIN the physical partitioning before assigning partition-relative
-        # ids: the eager counts pass and every later job re-execute the
-        # plan, and under AQE a SHUFFLE-FED plan can coalesce into
-        # different partition boundaries per execution — the offsets then
-        # belong to a different layout than the row numbers and row ids
-        # silently shift (caught at sf0.1: 312k/500k ids wrong on an
-        # orderBy-fed frame). localCheckpoint materializes once so both
-        # passes see the same blocks; this IS the divisions
-        # materialization, so the cost is the one eager pass we already
-        # document. On a real cluster swap for reliable checkpoint(dir).
-        pinned = self._df.localCheckpoint(eager=True)
+        # ids (shuffle-fed plans only — see pin_layout): the eager counts
+        # pass and every later job re-execute the plan, and under AQE a
+        # SHUFFLE-FED plan can coalesce into different partition boundaries
+        # per execution — the offsets then belong to a different layout
+        # than the row numbers and row ids silently shift (caught at
+        # sf0.1: 312k/500k ids wrong on an orderBy-fed frame). On a real
+        # cluster swap localCheckpoint for reliable checkpoint(dir).
+        pinned = pin_layout(self._df)
         df = pinned.withColumn("__mono__", F.monotonically_increasing_id()).withColumn(
             "__pid__", F.spark_partition_id()
         )

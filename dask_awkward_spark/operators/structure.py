@@ -18,7 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import VALUE_COL, NestedArray, Scalar, align_many
+from ..core import VALUE_COL, NestedArray, Scalar, align_many, pin_layout
 from ..schema import apply_at_depth, apply_at_depth2, bind, broadcast_binop, normalize_axis
 
 
@@ -250,8 +250,9 @@ def _row_index_and_offsets(df, val_col):
 
     # pin the physical layout before partition-relative ids — a shuffle-fed
     # input can AQE-coalesce differently between the eager stats job and
-    # the window job, desyncing offsets (same fix as with_row_index)
-    w_df = df.select(val_col.alias("cnt")).localCheckpoint(eager=True).withColumn(
+    # the window job, desyncing offsets (same fix as with_row_index);
+    # scan-only plans skip the checkpoint (pin_layout)
+    w_df = pin_layout(df.select(val_col.alias("cnt"))).withColumn(
         "__mono__", F.monotonically_increasing_id()
     ).withColumn("__pid__", F.spark_partition_id())
     stats = {
@@ -303,10 +304,9 @@ def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: boo
         df = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
     # pin the layout (see _row_index_and_offsets): the range shuffle above
     # and any shuffle-fed caller input must not re-coalesce between the
-    # eager totals job and the window job
-    with_pid = df.localCheckpoint(eager=True).withColumn(
-        "__pid__", F.spark_partition_id()
-    )
+    # eager totals job and the window job; scan-only plans skip the
+    # checkpoint (pin_layout)
+    with_pid = pin_layout(df).withColumn("__pid__", F.spark_partition_id())
     totals = {
         r["__pid__"]: (r["s"], r["m"])
         for r in with_pid.groupBy("__pid__")

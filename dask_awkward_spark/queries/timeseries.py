@@ -30,37 +30,34 @@ def ev_asof_join(spark, sf_dir):
     """For each click, the most recent view at-or-before it per user
     (LEFT ASOF semantics). Views are pre-aggregated to one row per
     (user, ts) — max(value) — so tie-breaks are engine-independent."""
-    ev = _ev(spark, sf_dir)
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("view_value"))
+    # SINGLE scan + single user_id shuffle: no view pre-aggregation pass.
+    # The old shape (filter->groupBy(user,ts)->max ∪ filter) scanned events
+    # twice and paid an extra (user_id, ts) shuffle; ordering same-ts views
+    # by ascending value makes last() pick the max-value view, which is
+    # exactly what the pre-agg max computed. Ordering among same-ts clicks
+    # is irrelevant: last() only captures view structs, and views sort
+    # before clicks at identical ts (is_click tiebreak), so a same-instant
+    # view is visible to the click — matching ASOF's ts >= ts'.
+    merged = (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click"))
         .select(
             "user_id",
             "ts",
-            F.lit(None).cast("bigint").alias("event_id"),
-            "view_value",
-            F.lit(0).alias("is_click"),
+            "event_id",
+            F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+            (F.col("event_type") == "click").cast("int").alias("is_click"),
         )
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(None).cast("double").alias("view_value"),
-        F.lit(1).alias("is_click"),
-    )
-    # views sort before clicks at identical ts (is_click tiebreak), so a
-    # same-instant view is visible to the click — matching ASOF's ts >= ts'
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_click", "event_id")
+        .orderBy("ts", "is_click", "view_value", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # carry (ts, value) as ONE struct through a single ignorenulls last():
     # two independent windows would desync when the most recent view's
     # value is NULL (ts advances, value skips back to an older view)
-    merged = views.unionByName(clicks).select(
+    merged = merged.select(
         "user_id",
         "ts",
         "event_id",

@@ -36,6 +36,7 @@ from . import (
     nested,
     pipeline,
     similarity,
+    sketches,
     text,
     timeseries,
     tpch,
@@ -44,7 +45,7 @@ from . import (
 
 _MODULES = [
     families, nested, coverage, text, dedup, similarity, events, pipeline,
-    tpch, tpch2, timeseries,
+    tpch, tpch2, timeseries, sketches,
 ]
 
 # The driver-graded window: one row per §2 operator family / pipeline

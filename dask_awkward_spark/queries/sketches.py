@@ -1,0 +1,95 @@
+"""Sketch-based approximate analytics queries (capability uplift — the
+reference has no sketch surface, SURVEY §2.6's reducers are all exact).
+
+Two oracle disciplines, mirroring functions/sketches.py:
+
+- ``sketch_kmv_distinct``: the sketch itself is DETERMINISTIC (seeded-md5
+  k-minimum-values), so the DuckDB oracle replicates the construction
+  bit-for-bit — same cross-engine-md5 discipline as the MinHash family.
+- ``sketch_cms_heavy_hitters``: the count-min sketch only gates the
+  candidate set (CMS never under-counts); the output is exact, so the
+  oracle is plain exact SQL. The sketch changes the 100 TB cost profile
+  (bounded depth*width aggregation state + broadcast semi-join instead of
+  an unbounded-cardinality exact groupBy), never the answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import textstats as tx
+from ..functions.sketches import heavy_hitters_exact_via_cms, kmv_distinct
+
+KMV_K = 256
+HH_THRESHOLD = 100
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+
+
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count of lineitem.l_orderkey next to the exact count.
+    Everything (k-th hash, the estimate, the exact) is deterministic, so
+    the whole row is value-hash-checked against the oracle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    kmv = kmv_distinct(li, "l_orderkey", k=KMV_K)
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return kmv.crossJoin(exact).select(
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        F.round(F.col("kth_hash") * 1e6).cast("bigint").alias("kth_hash_micro"),
+        F.round(F.col("est") * 1e6).cast("bigint").alias("est_micro"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+    )
+
+
+# DuckDB twin of uniform_hash: CAST('0x'||substr(md5(v),1,15) AS BIGINT)
+# / 16.0^15 — verified to parse identically to Spark's conv(...,16,10).
+SKETCH_KMV_SQL = f"""
+WITH mins AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+         / (16.0 ^ 15) AS h
+  FROM lineitem ORDER BY h LIMIT {KMV_K}
+), s AS (
+  SELECT count(*) AS n_seen, max(h) AS kth_hash,
+         CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+              ELSE {KMV_K - 1}.0 / max(h) END AS est
+  FROM mins
+)
+SELECT CAST(n_seen AS BIGINT) AS n_seen,
+       CAST(round(kth_hash * 1e6) AS BIGINT) AS kth_hash_micro,
+       CAST(round(est * 1e6) AS BIGINT) AS est_micro,
+       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS exact_distinct
+FROM s
+"""
+
+
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Tokens with exact count >= threshold, found via a CMS gate (exact
+    output — see module docstring). Token stream matches the dedup
+    family's trim+lower+whitespace tokenization."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("tk"))
+    return heavy_hitters_exact_via_cms(
+        toks, "tk", HH_THRESHOLD, depth=CMS_DEPTH, width=CMS_WIDTH
+    ).select(F.col("key"), F.col("n").cast("bigint").alias("n"))
+
+
+SKETCH_CMS_HH_SQL = rf"""
+WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> t != '')) AS tk
+  FROM documents
+)
+SELECT tk AS key, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY tk HAVING count(*) >= {HH_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+}
+
+ORACLES = {
+    "sketch_kmv_distinct": SKETCH_KMV_SQL,
+    "sketch_cms_heavy_hitters": SKETCH_CMS_HH_SQL,
+}

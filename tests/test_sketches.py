@@ -1,0 +1,105 @@
+"""Sketch family: KMV distinct count, count-min sketch, native HLL.
+
+Properties checked here (the oracle harness checks the cross-engine
+hashes): CMS estimates dominate exact counts, the CMS-gated heavy-hitter
+answer equals the exact answer, and estimator errors are within the
+sketches' theoretical bounds on real table data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_awkward_spark.functions.sketches import (
+    bucket_hash,
+    cms_estimates,
+    cms_table,
+    heavy_hitters_exact_via_cms,
+    hll_distinct,
+    kmv_distinct,
+    uniform_hash,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")
+        ).alias("tk")
+    )
+
+
+def test_uniform_hash_range(spark):
+    stats = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(uniform_hash("l_orderkey").alias("h"))
+        .agg(F.min("h"), F.max("h"))
+        .first()
+    )
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+
+
+def test_bucket_hash_range_and_seed_independence(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    r = df.select(
+        bucket_hash(F.col("l_orderkey"), 64, 0).alias("b0"),
+        bucket_hash(F.col("l_orderkey"), 64, 1).alias("b1"),
+    )
+    stats = r.agg(
+        F.min("b0"), F.max("b0"), F.min("b1"), F.max("b1"),
+        F.sum((F.col("b0") != F.col("b1")).cast("int")).alias("diff"),
+    ).first()
+    assert stats[0] >= 0 and stats[1] < 64 and stats[2] >= 0 and stats[3] < 64
+    assert stats["diff"] > 0  # different seeds hash differently
+
+
+def test_cms_never_undercounts(spark):
+    toks = _tokens(spark)
+    cms = cms_table(toks, "tk", depth=3, width=64)
+    est = cms_estimates(toks.distinct(), "tk", cms, depth=3, width=64)
+    exact = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    bad = est.join(exact, "tk").filter(F.col("cms_est") < F.col("n")).count()
+    assert bad == 0
+
+
+def test_cms_heavy_hitters_equals_exact(spark):
+    toks = _tokens(spark)
+    got = {
+        (r["key"], r["n"])
+        for r in heavy_hitters_exact_via_cms(toks, "tk", 10, depth=3, width=64).collect()
+    }
+    want = {
+        (r["tk"], r["n"])
+        for r in toks.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer distinct values than k -> the sketch IS the exact count
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_src = docs.select("source").distinct().count()
+    row = kmv_distinct(docs, "source", k=256).first()
+    assert row["n_seen"] == n_src and row["est"] == float(n_src)
+
+
+def test_kmv_estimate_within_bounds(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    est = kmv_distinct(li, "l_orderkey", k=256).first()["est"]
+    assert exact > 256  # the estimating branch is actually exercised
+    # KMV rel. stddev ~ 1/sqrt(k-2) ≈ 6.3%; 4 sigma = 25%
+    assert abs(est - exact) / exact < 0.25
+
+
+def test_hll_native_within_bounds(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    est = hll_distinct(li, "l_orderkey").first()["est"]
+    assert abs(est - exact) / exact < 0.05

@@ -1,0 +1,236 @@
+"""General time-series operators: as-of join, bounded range join,
+hypertable-style cascading rollups.
+
+Capability uplift over the reference (dask-awkward has no temporal join
+surface at all); the shapes here generalize the oracle-checked event
+queries (queries/timeseries.py) into a reusable library API. All three
+are compositions of built-in DataFrame ops — no UDFs, no range-join
+BroadcastNestedLoopJoin:
+
+- :func:`asof_join` — tagged union + one running ``last(ignorenulls)``
+  window per by-key: ONE shuffle on the by-keys, never a range join.
+- :func:`range_join` — time-bucket equi-join probing two adjacent
+  buckets; quadratic work is confined to (by-key, bucket) cells.
+- :func:`rollup_cascade` — aggregate the finest granularity from raw
+  data ONCE, then re-aggregate each coarser level from the previous
+  level (sums of sums); at 100 TB every level after the first reads
+  rollup-sized input instead of re-scanning the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _epoch_us(col: Column) -> Column:
+    """Microsecond epoch of a timestamp column (NTZ normalized through an
+    instant cast — wall-clock-preserving under a UTC session zone, which
+    the events loader pins)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def time_bucket_sec(col: Column, width_seconds: int) -> Column:
+    """Bucket start (epoch seconds, bigint) for a timestamp column —
+    integer math throughout, so microsecond-aligned inputs can never
+    straddle a double-rounding edge. DuckDB twin:
+    ``(epoch_us(ts) // (width*1000000)) * width``."""
+    w_us = int(width_seconds) * 1_000_000
+    # bigint div keeps the math exact; a double division could flip the
+    # floor at exact bucket boundaries
+    return (_epoch_us(col) - F.pmod(_epoch_us(col), F.lit(w_us))) / F.lit(1_000_000)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: "str | list[str] | None" = None,
+    direction: str = "backward",
+    tolerance: "float | None" = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """LEFT as-of join: for each left row, the temporally closest right
+    row at-or-before (``backward``) / at-or-after (``forward``) its
+    ``on`` timestamp, optionally within ``tolerance`` seconds.
+
+    Scale shape: union the two sides with a tag, then ONE running
+    ``last(ignorenulls)`` window partitioned by ``by`` — a single shuffle
+    on the by-keys regardless of corpus size; never a range join. This is
+    the same plan the oracle-checked ``ev_asof_join`` query uses
+    (queries/timeseries.py), generalized to arbitrary schemas.
+
+    Matched right columns are carried as ONE struct through the window
+    (two independent windows would desync on nulls) and re-emitted with
+    ``right_prefix``. When several right rows share the as-of instant,
+    the struct's natural ordering breaks the tie deterministically
+    (field-order lexicographic — the max struct wins in both directions).
+    With ``by=None`` the window is a single partition; fine for a
+    broadcast-sized right/left, not for two large frames.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    rcols = [c for c in right.columns if c != on and c not in by_cols]
+    lcols = [c for c in left.columns]
+
+    rv = F.struct(F.col(on).alias("__asof_on__"), *[F.col(c) for c in rcols])
+    tagged_r = right.select(
+        *by_cols,
+        F.col(on).alias("__t__"),
+        F.lit(0).alias("__side__"),
+        rv.alias("__rv__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}__") for c in lcols],
+    )
+    tagged_l = left.select(
+        *by_cols,
+        F.col(on).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(tagged_r.schema["__rv__"].dataType).alias("__rv__"),
+        *[F.col(c).alias(f"__l_{c}__") for c in lcols],
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
+    if direction == "backward":
+        # rights sort before lefts at the same instant (inclusive >=);
+        # among same-instant rights, ascending struct -> last() = max
+        order = part.orderBy(F.col("__t__").asc(), F.col("__side__").asc(), F.col("__rv__").asc())
+    else:
+        # scan from the future backwards; rights still precede lefts at
+        # the same instant so ts <= ts' stays inclusive
+        order = part.orderBy(F.col("__t__").desc(), F.col("__side__").asc(), F.col("__rv__").asc())
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    merged = tagged_r.unionByName(tagged_l).select(
+        "*", F.last("__rv__", ignorenulls=True).over(w).alias("__m__")
+    )
+    out = merged.filter(F.col("__side__") == 1)
+
+    matched = F.col("__m__")
+    if tolerance is not None:
+        tol_us = int(float(tolerance) * 1_000_000)
+        delta = _epoch_us(F.col("__t__")) - _epoch_us(matched["__asof_on__"])
+        if direction == "forward":
+            delta = -delta
+        matched = F.when(delta <= tol_us, F.col("__m__"))
+
+    return out.select(
+        *[F.col(f"__l_{c}__").alias(c) for c in lcols],
+        matched["__asof_on__"].alias(f"{right_prefix}{on}"),
+        *[matched[c].alias(f"{right_prefix}{c}") for c in rcols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: "str | list[str]",
+    on: str = "ts",
+    lower: float = 0.0,
+    upper: float = 60.0,
+) -> DataFrame:
+    """Pairs (l, r) with by-key equality and ``r.on - l.on`` in
+    ``[lower, upper]`` seconds — as an EQUI-join, never a
+    BroadcastNestedLoopJoin range join.
+
+    Each left row's admissible window spans at most 2 buckets of width
+    ``upper - lower``, so the left side explodes into <=2 bucket keys, the
+    join is ``(by, bucket)`` hash equality, and the exact range predicate
+    filters inside matched cells. Quadratic work is confined to one
+    (by-key, bucket) cell — the generalization of the oracle-checked
+    ``ev_interval_pairs`` burst detector. Right columns are suffixed
+    ``_r`` on name collisions.
+    """
+    if not upper > lower:
+        raise ValueError(f"need upper > lower, got [{lower}, {upper}]")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    w_us = max(int((upper - lower) * 1_000_000), 1)
+    lo_us = int(lower * 1_000_000)
+    up_us = int(upper * 1_000_000)
+
+    lsec = _epoch_us(F.col(on))
+    lbuckets = F.array_distinct(
+        F.array(
+            (((lsec + lo_us) - F.pmod(lsec + lo_us, F.lit(w_us))) / F.lit(w_us)).cast("bigint"),
+            (((lsec + up_us) - F.pmod(lsec + up_us, F.lit(w_us))) / F.lit(w_us)).cast("bigint"),
+        )
+    )
+    # by-keys keep their names (equi-join dedups them); other right
+    # columns get a _r suffix on collision
+    rname = {
+        c: (c if c in by_cols or c not in left.columns else f"{c}_r")
+        for c in right.columns
+    }
+    l_t = left.select(
+        "*",
+        lsec.alias("__lus__"),
+        F.explode(lbuckets).alias("__bk__"),
+    )
+    rsec = _epoch_us(F.col(on))
+    r_t = right.select(
+        *[F.col(c).alias(rname[c]) for c in right.columns],
+        rsec.alias("__rus__"),
+        ((rsec - F.pmod(rsec, F.lit(w_us))) / F.lit(w_us)).cast("bigint").alias("__bk__"),
+    )
+    joined = l_t.join(r_t, [*by_cols, "__bk__"])
+    delta = F.col("__rus__") - F.col("__lus__")
+    return joined.filter((delta >= lo_us) & (delta <= up_us)).drop(
+        "__bk__", "__lus__", "__rus__"
+    )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts: str,
+    metrics: "list[tuple[str, str, str]]",
+    levels: "list[int]",
+) -> DataFrame:
+    """Multi-granularity rollup: aggregate the finest level from raw rows
+    once, then derive every coarser level from the level below it —
+    the hypertable continuous-aggregate pattern. ``metrics`` is
+    ``(out_name, column, op)`` with re-aggregable ops ``sum|count|min|max``
+    (count re-aggregates as sum). ``levels`` are bucket widths in seconds,
+    ascending; each must divide the next so coarser buckets are exact
+    unions of finer ones. Returns the union of all levels:
+    ``(gran bigint, bucket bigint, <metrics...>)`` with ``bucket`` the
+    bucket start in epoch seconds.
+    """
+    ok = {"sum", "count", "min", "max"}
+    bad = [m for m in metrics if m[2] not in ok]
+    if bad:
+        raise ValueError(f"re-aggregable ops only ({sorted(ok)}), got {bad}")
+    for a, b in zip(levels, levels[1:]):
+        if b % a != 0:
+            raise ValueError(f"each level must divide the next: {a} !| {b}")
+
+    g0 = levels[0]
+    base_aggs = []
+    for name, col, op in metrics:
+        if op == "count":
+            base_aggs.append(F.count(col).alias(name))
+        else:
+            base_aggs.append(getattr(F, op)(col).alias(name))
+    cur = (
+        df.select(time_bucket_sec(F.col(ts), g0).cast("bigint").alias("bucket"), *(
+            [F.col(c) for c in dict.fromkeys(m[1] for m in metrics)]
+        ))
+        .groupBy("bucket")
+        .agg(*base_aggs)
+    )
+    out = cur.select(F.lit(g0).cast("bigint").alias("gran"), "*")
+    for g in levels[1:]:
+        re_aggs = [
+            (F.sum(name) if op in ("sum", "count") else getattr(F, op)(name))
+            .cast("bigint" if op == "count" else cur.schema[name].dataType.simpleString())
+            .alias(name)
+            for name, _c, op in metrics
+        ]
+        cur = (
+            cur.groupBy(
+                ((F.col("bucket") - F.pmod(F.col("bucket"), F.lit(g)))).alias("bucket")
+            )
+            .agg(*re_aggs)
+        )
+        out = out.unionByName(cur.select(F.lit(g).cast("bigint").alias("gran"), "*"))
+    return out

@@ -322,3 +322,45 @@ FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
 
 QUERIES.update({"ev_funnel": ev_funnel})
 ORACLES.update({"ev_funnel": EV_FUNNEL_SQL})
+
+
+# ---- hypertable-style cascading rollup (functions/timeseries.py) ----
+
+def ev_rollup_cascade(spark, sf_dir):
+    """Hour -> day -> week continuous-aggregate cascade: the hourly level
+    aggregates raw events ONCE; day and week re-aggregate the level below
+    (sums of sums, min of mins) — at 100 TB only the first level reads the
+    corpus. Buckets are epoch-second bigints (integer math, engine-neutral).
+    The oracle aggregates each level directly from raw rows — equal
+    because the re-aggregation is exact for sum/count/min/max."""
+    from ..functions.timeseries import rollup_cascade
+    from .tpch import cents
+
+    ev = _ev(spark, sf_dir).select("ts", cents(F.col("value")).alias("v_c"))
+    return rollup_cascade(
+        ev,
+        "ts",
+        [("n", "v_c", "count"), ("value_c", "v_c", "sum"), ("vmax_c", "v_c", "max")],
+        [3600, 86400, 604800],
+    )
+
+
+EV_ROLLUP_SQL = """
+WITH raw AS (
+  SELECT (epoch_us(ts) // 1000000) AS sec, CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT 3600 AS gran, (sec // 3600) * 3600 AS bucket,
+       count(*) AS n, CAST(sum(v_c) AS BIGINT) AS value_c, max(v_c) AS vmax_c
+FROM raw GROUP BY 2
+UNION ALL
+SELECT 86400, (sec // 86400) * 86400, count(*), CAST(sum(v_c) AS BIGINT), max(v_c)
+FROM raw GROUP BY 2
+UNION ALL
+SELECT 604800, (sec // 604800) * 604800, count(*), CAST(sum(v_c) AS BIGINT), max(v_c)
+FROM raw GROUP BY 2
+"""
+
+
+QUERIES.update({"ev_rollup_cascade": ev_rollup_cascade})
+ORACLES.update({"ev_rollup_cascade": EV_ROLLUP_SQL})

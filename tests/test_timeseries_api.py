@@ -1,0 +1,157 @@
+"""Generic time-series API (functions/timeseries.py): as-of join both
+directions + tolerance, bucketed range join, cascading rollup — checked
+against DuckDB theta/ASOF joins on the real events table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dask_awkward_spark.functions.timeseries import (
+    asof_join,
+    range_join,
+    rollup_cascade,
+    time_bucket_sec,
+)
+from dask_awkward_spark.queries.events import _ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return con
+
+
+def _sides(spark):
+    ev = _ev(spark, SF)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique (user_id, ts) on the right so ties can't differ across engines
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return clicks, views
+
+
+_DUCK_ASOF = """
+WITH views AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, v.ts AS r_ts, v.view_value AS r_view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts {op} v.ts
+"""
+
+
+def _spark_asof_set(spark, direction, tolerance=None):
+    clicks, views = _sides(spark)
+    out = asof_join(
+        clicks, views, on="ts", by="user_id", direction=direction, tolerance=tolerance
+    )
+    return {
+        (r["event_id"], r["r_ts"], r["r_view_value"])
+        for r in out.collect()
+    }
+
+
+def test_asof_backward_matches_duckdb(spark):
+    got = _spark_asof_set(spark, "backward")
+    con = _duck()
+    want = {
+        (eid, ts, vv) for eid, ts, vv in con.sql(_DUCK_ASOF.format(op=">=")).fetchall()
+    }
+    assert got == want and len(got) > 0
+    assert any(ts is not None for _, ts, _ in got)
+
+
+def test_asof_forward_matches_duckdb(spark):
+    got = _spark_asof_set(spark, "forward")
+    con = _duck()
+    want = {
+        (eid, ts, vv) for eid, ts, vv in con.sql(_DUCK_ASOF.format(op="<=")).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    base = _spark_asof_set(spark, "backward")
+    tight = _spark_asof_set(spark, "backward", tolerance=600)
+    # tolerance only nulls out matches, never changes them
+    kept = {(e, t, v) for e, t, v in tight if t is not None}
+    assert kept <= base
+    assert len(tight) == len(base)
+    assert len(kept) < len([1 for _, t, _ in base if t is not None])
+
+
+def test_asof_forward_rejects_bad_direction(spark):
+    clicks, views = _sides(spark)
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(clicks, views, direction="nearest")
+
+
+def test_range_join_matches_duckdb_theta(spark):
+    ev = _ev(spark, SF).select("event_id", "user_id", "ts")
+    out = range_join(
+        ev,
+        ev.withColumnRenamed("event_id", "eid_b"),
+        by="user_id",
+        on="ts",
+        lower=0.0,
+        upper=60.0,
+    ).filter(F.col("event_id") != F.col("eid_b"))
+    got = {(r["event_id"], r["eid_b"]) for r in out.collect()}
+    con = _duck()
+    want = {
+        (a, b)
+        for a, b in con
+        .sql(
+            """
+            SELECT a.event_id, b.event_id FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 60000000
+             AND a.event_id != b.event_id
+            """
+        )
+        .fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_rollup_cascade_levels_agree_with_direct(spark):
+    ev = _ev(spark, SF).select("ts", F.round(F.col("value") * 100).cast("bigint").alias("v_c"))
+    out = rollup_cascade(
+        ev, "ts", [("n", "v_c", "count"), ("s", "v_c", "sum"), ("mx", "v_c", "max")],
+        [3600, 86400],
+    )
+    daily = {
+        (r["bucket"], r["n"], r["s"], r["mx"])
+        for r in out.filter(F.col("gran") == 86400).collect()
+    }
+    direct = {
+        (r["bucket"], r["n"], r["s"], r["mx"])
+        for r in ev.groupBy(
+            time_bucket_sec(F.col("ts"), 86400).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("v_c").alias("n"), F.sum("v_c").alias("s"), F.max("v_c").alias("mx"))
+        .collect()
+    }
+    assert daily == direct and len(daily) > 0
+
+
+def test_rollup_cascade_validation(spark):
+    ev = _ev(spark, SF).select("ts", "value")
+    with pytest.raises(ValueError, match="divide"):
+        rollup_cascade(ev, "ts", [("n", "value", "count")], [3600, 5000])
+    with pytest.raises(ValueError, match="re-aggregable"):
+        rollup_cascade(ev, "ts", [("a", "value", "avg")], [3600])

@@ -594,3 +594,73 @@ ORACLES = {
     "text_pack_sequences": TEXT_PACK_SQL,
     "text_pii_redact": TEXT_PII_SQL,
 }
+
+
+# ---- benchmark-contamination detection (train/test n-gram overlap) ----
+
+def text_contamination(spark, sf_dir):
+    """Flag training docs contaminated by a benchmark set: fraction of a
+    doc's distinct 3-gram shingles that appear in ANY benchmark doc
+    (industry-standard n-gram-overlap decontamination; 13-grams at prod
+    scale, 3 here so the tiny corpus overlaps). The "benchmark" is the
+    deterministic doc_id % 97 == 0 slice.
+
+    Scale shape: the benchmark shingle set is DISTINCT and broadcast (a
+    benchmark is always tiny next to the corpus); the corpus explodes
+    (doc_id, shingle) once and the overlap count is one hash aggregate —
+    no doc-pair joins anywhere, cost linear in corpus shingles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh"),
+    )
+    bset = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    return (
+        sh.filter((F.col("doc_id") % 97 != 0) & (F.size("sh") > 0))
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+        .join(F.broadcast(bset), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            "n_shared",
+            F.round(F.col("n_shared") * 1e6 / F.col("n_sh"))
+            .cast("bigint")
+            .alias("frac_micro"),
+        )
+        .filter(F.col("frac_micro") >= 100000)
+    )
+
+
+TEXT_CONTAMINATION_SQL = r"""
+WITH tokl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(0, len(toks) - 2), i -> md5(array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [] END) AS sh
+  FROM tokl
+), bset AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0
+), corp AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM sh
+  WHERE doc_id % 97 != 0 AND len(sh) > 0
+)
+SELECT c.doc_id, CAST(c.n_sh AS BIGINT) AS n_sh,
+       count(*) AS n_shared,
+       CAST(round(count(*) * 1e6 / c.n_sh) AS BIGINT) AS frac_micro
+FROM corp c JOIN bset b ON c.g = b.g
+GROUP BY c.doc_id, c.n_sh
+HAVING CAST(round(count(*) * 1e6 / c.n_sh) AS BIGINT) >= 100000
+"""
+
+
+QUERIES.update({"text_contamination": text_contamination})
+ORACLES.update({"text_contamination": TEXT_CONTAMINATION_SQL})

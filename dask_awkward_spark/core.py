@@ -100,6 +100,27 @@ def pin_layout(df: DataFrame) -> DataFrame:
     return df if stable else df.localCheckpoint(eager=True)
 
 
+def pin_cache_to_result(persisted: DataFrame, result: DataFrame) -> DataFrame:
+    """Scope a persisted frame's lifetime to the query result: the cache
+    is released (non-blocking unpersist) when the result DataFrame is
+    garbage-collected — no module-global DataFrame state, no unbounded
+    cache growth across invocations, and the caller never has to manage
+    an explicit handle. Only the JVM Dataset is captured by the finalizer
+    (not the Python wrapper), so the pin itself keeps nothing alive."""
+    import weakref
+
+    jdf = persisted._jdf
+
+    def _release():
+        try:
+            jdf.unpersist(False)
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 class Scalar:
     """Lazy scalar — result of an axis=None/0 reduction.
 

@@ -218,6 +218,16 @@ def rollup_cascade(
         .groupBy("bucket")
         .agg(*base_aggs)
     )
+    # materialize the finest level ONCE: every union branch embeds this
+    # subtree, and without the persist each level's branch re-scans the
+    # raw corpus (AQE stage reuse is runtime-best-effort, not guaranteed
+    # — the static plan showed 3 raw scans for 3 levels). The persisted
+    # frame is rollup-sized, tiny next to raw; its lifetime is scoped to
+    # the result via pin_cache_to_result.
+    from pyspark import StorageLevel
+
+    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned = cur
     out = cur.select(F.lit(g0).cast("bigint").alias("gran"), "*")
     for g in levels[1:]:
         re_aggs = [
@@ -233,4 +243,6 @@ def rollup_cascade(
             .agg(*re_aggs)
         )
         out = out.unionByName(cur.select(F.lit(g).cast("bigint").alias("gran"), "*"))
-    return out
+    from ..core import pin_cache_to_result
+
+    return pin_cache_to_result(pinned, out)

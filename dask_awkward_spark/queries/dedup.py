@@ -373,24 +373,11 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 
 
 def _pin_to_result(persisted, result):
-    """Scope a persisted frame's lifetime to the query result: the cache
-    is released (non-blocking unpersist) when the result DataFrame is
-    garbage-collected — no module-global DataFrame state, no unbounded
-    cache growth across invocations, and the caller never has to manage
-    an explicit handle. Only the JVM Dataset is captured by the finalizer
-    (not the Python wrapper), so the pin itself keeps nothing alive."""
-    import weakref
+    """See core.pin_cache_to_result (moved there so library operators —
+    e.g. functions/timeseries.rollup_cascade — share the lifecycle)."""
+    from ..core import pin_cache_to_result
 
-    jdf = persisted._jdf
-
-    def _release():
-        try:
-            jdf.unpersist(False)
-        except Exception:  # session already stopped — nothing to release
-            pass
-
-    weakref.finalize(result, _release)
-    return result
+    return pin_cache_to_result(persisted, result)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):

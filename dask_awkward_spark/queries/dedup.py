@@ -553,3 +553,91 @@ ORACLES = {
     # bounded stream in complete mode == the batch LSH banding
     "stream_dedup_minhash": _minhash_sql(),
 }
+
+
+# ---- fuzzy dedup: LSH candidates + Levenshtein gate ----
+
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup pairs, LSH-gated: candidates come from
+    MinHash banding over 3-gram SHINGLE sets (the ngram-Jaccard path —
+    order-sensitive, so near-identical word SEQUENCES collide, not merely
+    similar vocabularies; token-set banding over this corpus's small
+    vocabulary would bucket nearly everything together and make the
+    Levenshtein stage quadratic). The quadratic-cost Levenshtein runs
+    ONLY on candidate pairs, JVM-side (both engines' native levenshtein
+    agree character-for-character). Output keeps pairs whose edit
+    distance is <= 50% of the longer text."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh")
+    )
+    bands = (
+        sh.select("doc_id", F.explode(_packed_band_structs(F.col("sh"))).alias("b"))
+        .select("doc_id", "b.band", "b.bkey")
+        .filter(F.col("bkey").isNotNull())
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    paired = (
+        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("lev"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
+        )
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        "lev",
+        F.round(F.col("lev") * 1e6 / F.col("mx")).cast("bigint").alias("rel_micro"),
+    ).filter(F.col("rel_micro") <= 500000)
+
+
+def _fuzzy_sql() -> str:
+    return (
+        r"""
+WITH tokl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(0, len(toks) - 2), i -> md5(array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [] END) AS s
+  FROM tokl
+)"""
+        + _sql_sig_bands("sh", "s")
+        + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), paired AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         greatest(length(da.text), length(db.text)) AS mx
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, lev,
+       CAST(round(lev * 1e6 / mx) AS BIGINT) AS rel_micro
+FROM paired WHERE CAST(round(lev * 1e6 / mx) AS BIGINT) <= 500000
+"""
+    )
+
+
+QUERIES.update({"dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein})
+ORACLES.update({"dedup_fuzzy_levenshtein": _fuzzy_sql()})

@@ -78,15 +78,33 @@ def kmv_distinct(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
     global sort). State beyond the shuffle is k doubles. The sketch is
     mergeable: union the k-minima of two frames and re-take k.
     """
+    return kmv_estimate_from(kmv_minima(df, col, k), k)
+
+
+def kmv_minima(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
+    """The raw sketch state: the k smallest distinct uniform hashes as a
+    1-column frame ``h``. This is the mergeable representation —
+    :func:`kmv_union` combines two of them; :func:`kmv_estimate_from`
+    turns one into the estimate row."""
     h = uniform_hash(col)
-    mins = df.select(h.alias("h")).distinct().orderBy("h").limit(k)
-    return mins.agg(
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union of two KMV sketches (the sketch of the union of the inputs):
+    pool both minima sets, dedup, re-take the k smallest. Associative and
+    commutative, so partial sketches built per partition/day/source merge
+    into a corpus-wide estimate without re-reading the raw data."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_from(minima: DataFrame, k: int = 256) -> DataFrame:
+    """Estimate row ``(n_seen, kth_hash, est)`` from a k-minima frame."""
+    return minima.agg(
         F.count(F.lit(1)).alias("n_seen"),
         F.max("h").alias("kth_hash"),
-        F.when(
-            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
-        )
-        .otherwise((F.lit(float(k - 1))) / F.max("h"))
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.max("h"))
         .alias("est"),
     )
 

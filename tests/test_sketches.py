@@ -103,3 +103,22 @@ def test_hll_native_within_bounds(spark):
     exact = li.select("l_orderkey").distinct().count()
     est = hll_distinct(li, "l_orderkey").first()["est"]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_kmv_union_equals_whole_sketch(spark):
+    # deterministic mergeability: sketch(A ∪ B) == union of sketches
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    from dask_awkward_spark.functions.sketches import (
+        kmv_estimate_from,
+        kmv_minima,
+        kmv_union,
+    )
+
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = kmv_union(kmv_minima(a, "l_orderkey", 64), kmv_minima(b, "l_orderkey", 64), 64)
+    whole = kmv_minima(li, "l_orderkey", 64)
+    assert {r["h"] for r in merged.collect()} == {r["h"] for r in whole.collect()}
+    est_m = kmv_estimate_from(merged, 64).first()["est"]
+    est_w = kmv_estimate_from(whole, 64).first()["est"]
+    assert est_m == est_w

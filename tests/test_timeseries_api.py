@@ -155,3 +155,62 @@ def test_rollup_cascade_validation(spark):
         rollup_cascade(ev, "ts", [("n", "value", "count")], [3600, 5000])
     with pytest.raises(ValueError, match="re-aggregable"):
         rollup_cascade(ev, "ts", [("a", "value", "avg")], [3600])
+
+
+# ---- property check vs pandas merge_asof (canonical asof semantics) ----
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+
+def _random_frames(seed):
+    rng = np.random.default_rng(seed)
+    base = _dt.datetime(2024, 3, 1)
+    # unique right timestamps per key so tie-break rules can't differ
+    lrows = [
+        (int(k), base + _dt.timedelta(seconds=int(s)), int(i))
+        for i, (k, s) in enumerate(zip(rng.integers(0, 5, 200), rng.integers(0, 50_000, 200)))
+    ]
+    rsec = {(int(k), int(s)) for k, s in zip(rng.integers(0, 5, 120), rng.integers(0, 50_000, 120))}
+    rrows = [
+        (k, base + _dt.timedelta(seconds=s), float(k * 100_000 + s))
+        for k, s in sorted(rsec)
+    ]
+    lpdf = pd.DataFrame(lrows, columns=["uid", "ts", "lid"])
+    rpdf = pd.DataFrame(rrows, columns=["uid", "ts", "val"])
+    return lpdf, rpdf
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("direction,tol", [("backward", None), ("forward", None), ("backward", 3600)])
+def test_asof_matches_pandas_merge_asof(spark, seed, direction, tol):
+    lpdf, rpdf = _random_frames(seed)
+    ldf = spark.createDataFrame(lpdf).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rdf = spark.createDataFrame(rpdf).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["lid"], r["r_ts"], r["r_val"])
+        for r in asof_join(
+            ldf, rdf, on="ts", by="uid", direction=direction, tolerance=tol
+        ).collect()
+    }
+    want_pdf = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="uid",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=tol) if tol else None,
+        suffixes=("", "_r"),
+    )
+    want = set()
+    for _, r in want_pdf.iterrows():
+        if pd.isna(r["val"]):
+            want.add((int(r["lid"]), None, None))
+        else:
+            # pandas keeps only the value; recover the matched ts from the
+            # unique (uid, val) right rows
+            m = rpdf[(rpdf["uid"] == r["uid"]) & (rpdf["val"] == r["val"])]
+            want.add((int(r["lid"]), m.iloc[0]["ts"].to_pydatetime(), float(r["val"])))
+    assert got == want

@@ -42,6 +42,12 @@ HEADLINE = [
     "ev_asof_join",
     "ev_rolling_user_stats",
     "text_winnowing",
+    # round-4 continuation: sketches, rollup cascade, contamination, fuzzy dedup
+    "sketch_kmv_distinct",
+    "sketch_cms_heavy_hitters",
+    "ev_rollup_cascade",
+    "text_contamination",
+    "dedup_fuzzy_levenshtein",
 ]
 
 

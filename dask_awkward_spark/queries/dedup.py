@@ -567,7 +567,8 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     ONLY on candidate pairs, JVM-side (both engines' native levenshtein
     agree character-for-character). Output keeps pairs whose edit
     distance is <= 50% of the longer text."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # _docs_par: the md5-shingle pass is CPU-bound — see its docstring
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
     sh = docs.select(
         "doc_id", F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh")
     )

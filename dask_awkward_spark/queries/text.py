@@ -609,7 +609,11 @@ def text_contamination(spark, sf_dir):
     benchmark is always tiny next to the corpus); the corpus explodes
     (doc_id, shingle) once and the overlap count is one hash aggregate —
     no doc-pair joins anywhere, cost linear in corpus shingles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..session import read_hot
+
+    # read_hot: the md5-shingle pass is CPU-bound and the documents file
+    # is a single unsplittable row group locally (see session.read_hot)
+    docs = read_hot(spark, f"{sf_dir}/documents.parquet")
     sh = docs.select(
         "doc_id",
         F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh"),

@@ -101,3 +101,79 @@ def to_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def zorder_column(
+    df: DataFrame, cols: "list[str]", bits: int = 8
+) -> "tuple[DataFrame, str]":
+    """Append a Morton (Z-order) key column interleaving ``bits``-bit
+    rank buckets of each column — the multi-dimensional clustering key.
+
+    Each column is uniformly bucketed into 2^bits cells between its
+    min and max (ONE narrow aggregate fetches the bounds; timestamps go
+    through epoch micros), then the cells' bits are interleaved
+    JVM-side with shift/or expressions — no UDFs. Returns (df, key_name).
+    ``bits * len(cols)`` must fit a signed 64-bit key (<= 62).
+    """
+    from pyspark.sql import types as T
+
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits*cols = {bits * len(cols)} exceeds a bigint key")
+
+    def numeric(c: str) -> Column:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
+    bounds = df.agg(
+        *[F.min(numeric(c)).alias(f"lo{i}") for i, c in enumerate(cols)],
+        *[F.max(numeric(c)).alias(f"hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    n_cells = 1 << bits
+    m = len(cols)
+    cells = []
+    for i, c in enumerate(cols):
+        lo, hi = bounds[f"lo{i}"], bounds[f"hi{i}"]
+        if lo is None or hi is None or hi <= lo:
+            cells.append(F.lit(0).cast("bigint"))
+            continue
+        cell = F.width_bucket(numeric(c), F.lit(lo), F.lit(hi), F.lit(n_cells)) - 1
+        cells.append(F.least(F.greatest(cell, F.lit(0)), F.lit(n_cells - 1)).cast("bigint"))
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for j, cell in enumerate(cells):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cell, bit).bitwiseAND(F.lit(1)), bit * m + j)
+            )
+    key = "__zorder__"
+    return df.withColumn(key, z), key
+
+
+def to_zordered_parquet(
+    data: NestedArray | DataFrame,
+    path: str,
+    zorder_by: "list[str]",
+    num_files: int = 16,
+    bits: int = 8,
+    compression: str = "zstd",
+) -> None:
+    """Z-order-clustered parquet: rows are range-partitioned and sorted by
+    the Morton key of ``zorder_by``, so each output file covers a compact
+    hyper-rectangle of the key space and its per-column min/max footer
+    stats stay TIGHT in every clustered dimension. Scans filtering on any
+    subset of ``zorder_by`` then skip most files/row-groups — the
+    data-layout strategy for multi-column selective queries at 100 TB,
+    where a single-column sort only prunes its own column (uplift; the
+    reference has no storage-layout control). One narrow bounds aggregate
+    + one range shuffle; the key column is dropped before writing."""
+    df = data.to_df() if isinstance(data, NestedArray) else data
+    zdf, key = zorder_column(df, zorder_by, bits)
+    (
+        zdf.repartitionByRange(num_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )

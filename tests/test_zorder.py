@@ -1,0 +1,92 @@
+"""Z-order clustered parquet sink: verify the layout actually tightens
+per-file min/max footer stats in BOTH clustered dimensions — the property
+file/row-group skipping derives from — by counting how many files a
+selective box query would have to read under each layout."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from dask_awkward_spark.queries.events import _ev
+from dask_awkward_spark.sources.parquet import to_zordered_parquet
+
+SF = "/root/testdata/sf0.01"
+
+
+def _file_ranges(path, cols):
+    """Per-file (min, max) of each column from parquet footers."""
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i, name in enumerate(names):
+                if name not in cols:
+                    continue
+                st = g.column(i).statistics
+                if st is None:
+                    continue
+                lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        out.append((lo, hi))
+    return out
+
+
+def _files_hit(ranges, preds):
+    """How many files intersect a box query {col: (lo, hi)}."""
+    n = 0
+    for lo, hi in ranges:
+        if all(
+            lo[c] is not None and not (hi[c] < qlo or lo[c] > qhi)
+            for c, (qlo, qhi) in preds.items()
+        ):
+            n += 1
+    return n
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    ev = _ev(spark, SF).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), "value"
+    )
+    u_lo, u_hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    t_lo, t_hi = ev.agg(F.min("t_us"), F.max("t_us")).first()
+
+    with tempfile.TemporaryDirectory() as d:
+        zpath, lpath = os.path.join(d, "z"), os.path.join(d, "linear")
+        to_zordered_parquet(ev, zpath, ["user_id", "t_us"], num_files=16, bits=8)
+        # baseline: single-column (time) range layout, same file count
+        (
+            ev.repartitionByRange(16, "t_us")
+            .sortWithinPartitions("t_us")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+        zr = _file_ranges(zpath, ["user_id", "t_us"])
+        lr = _file_ranges(lpath, ["user_id", "t_us"])
+        assert len(zr) > 4 and len(lr) > 4
+
+        # row counts preserved
+        n_z = spark.read.parquet(zpath).count()
+        assert n_z == ev.count()
+
+        # selective user-only box: ~1/8 of the user range
+        span = (u_hi - u_lo) // 8 or 1
+        upred = {"user_id": (u_lo, u_lo + span)}
+        z_hit_u = _files_hit(zr, upred)
+        l_hit_u = _files_hit(lr, upred)
+        # the time-sorted layout cannot prune on user_id at all
+        assert l_hit_u == len(lr)
+        assert z_hit_u < l_hit_u
+
+        # combined user+time box: z-order must also beat full scan
+        tspan = (t_hi - t_lo) // 8 or 1
+        both = {"user_id": (u_lo, u_lo + span), "t_us": (t_lo, t_lo + tspan)}
+        assert _files_hit(zr, both) < len(zr)

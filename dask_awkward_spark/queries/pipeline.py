@@ -43,7 +43,9 @@ FROM documents
 
 def mm_decode_features(spark, sf_dir):
     """Arrow-batched decode-stub over the binary column (mapInPandas).
-    Python-side stub → no SQL oracle; driver records the rows-only check."""
+    The stub decoder is deterministic md5 math (functions/multimodal.py
+    _decode_stub), so even this Python-side path gets a full value-hash
+    oracle: the SQL twin recomputes width/height from the digest bytes."""
     media = mm.attach_binary(_docs(spark, sf_dir))
     feats = mm.extract_features(media)
     return feats.select(
@@ -253,9 +255,22 @@ QUERIES = {
     "str_index_in": str_index_in,
 }
 
+# DuckDB twin of _decode_stub: digest byte i == hex pair i of md5;
+# empty payloads take the decoder's corrupt-data branch (-1, -1, []).
+MM_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN octet_length(encode(text)) = 0 THEN -1
+            ELSE 16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 64 END AS width,
+       CASE WHEN octet_length(encode(text)) = 0 THEN -1
+            ELSE 16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 64 END AS height,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 8 END AS feat_dim
+FROM documents
+"""
+
 ORACLES = {
     "mm_binary_meta": MM_BINARY_SQL,
-    # mm_decode_features: Python stub decode — rows-only
+    "mm_decode_features": MM_DECODE_SQL,
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,

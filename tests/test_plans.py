@@ -183,9 +183,10 @@ def test_axis0_reduction_is_single_position_shuffle(spark):
 
 def test_timeseries_plans_scale_shapes(spark):
     """Round-4 time-series ops keep their scale shapes: the as-of join
-    plans NO join at all (union + window — exactly 2 exchanges: the view
-    pre-agg and the per-user window), and the interval self-join is an
-    equi-join (never BNLJ / CartesianProduct)."""
+    plans NO join at all and exactly ONE exchange (single-scan union +
+    per-user window — the round-4 rewrite folded the view pre-agg into
+    the window ordering), and the interval self-join is an equi-join
+    (never BNLJ / CartesianProduct)."""
     import re
 
     from dask_awkward_spark.queries.timeseries import (
@@ -196,7 +197,7 @@ def test_timeseries_plans_scale_shapes(spark):
 
     asof = explain_str(ev_asof_join(spark, SF), mode="simple")
     assert "Join" not in asof  # union + window carry-forward, no join node
-    assert len(re.findall(r"Exchange hashpartitioning", asof)) == 2
+    assert len(re.findall(r"Exchange hashpartitioning", asof)) == 1
 
     inter = explain_str(ev_interval_pairs(spark, SF), mode="simple")
     assert "BroadcastNestedLoopJoin" not in inter

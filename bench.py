@@ -48,6 +48,8 @@ HEADLINE = [
     "ev_rollup_cascade",
     "text_contamination",
     "dedup_fuzzy_levenshtein",
+    # binned aggregation (map-side combine, tiny-key shuffle)
+    "hist2d_qty_discount",
 ]
 
 

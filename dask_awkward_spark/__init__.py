@@ -56,7 +56,8 @@ from .sources.memory import (
     to_local_iterator,
 )
 from .operators import reducers, structure
-from .functions import sketches, timeseries  # capability uplift namespaces
+from .functions import hist, sketches, timeseries  # capability uplift namespaces
+from .functions.hist import hist1d, hist2d, profile1d
 from .functions.sketches import hll_distinct, kmv_distinct
 from .functions.timeseries import asof_join, range_join, rollup_cascade
 from .functions import strings as str  # noqa: A001 — reference: `import dask_awkward.lib.str as str` (__init__.py:9)

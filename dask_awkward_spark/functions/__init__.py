@@ -1,1 +1,1 @@
-from . import graph, sketches, strings, textstats, timeseries  # noqa: F401
+from . import graph, hist, sketches, strings, textstats, timeseries  # noqa: F401

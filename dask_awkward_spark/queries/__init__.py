@@ -33,6 +33,7 @@ from . import (
     dedup,
     events,
     families,
+    hist,
     nested,
     pipeline,
     similarity,
@@ -45,7 +46,7 @@ from . import (
 
 _MODULES = [
     families, nested, coverage, text, dedup, similarity, events, pipeline,
-    tpch, tpch2, timeseries, sketches,
+    tpch, tpch2, timeseries, sketches, hist,
 ]
 
 # The driver-graded window: one row per §2 operator family / pipeline
@@ -122,6 +123,11 @@ _WINDOW = [
     "text_winnowing",
     "text_repetition",
     "quota_sampling",
+    # binned aggregations (dask-histogram companion surface)
+    "hist_event_values",
+    "hist2d_qty_discount",
+    "hist_profile_price_by_qty",
+    "hist_jagged_flatten",
 ]
 
 

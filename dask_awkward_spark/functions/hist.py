@@ -153,6 +153,35 @@ def profile1d(
     )
 
 
+def bin_index_var(x: Column, edges: list[float]) -> Column:
+    """Irregular-edge bin index: number of edges <= x. 0 = underflow,
+    len(edges) = overflow of [edges[0], edges[-1]); row-local expression,
+    no UDF (the edge list rides the plan as an array literal)."""
+    if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
+        raise ValueError("edges must be >= 2 strictly increasing values")
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.size(F.filter(arr, lambda e: x >= e))
+
+
+def sql_bin_index_var(x: str, edges: list[float]) -> str:
+    """DuckDB twin of :func:`bin_index_var` (identical comparison set)."""
+    lits = ", ".join(repr(float(e)) for e in edges)
+    return f"len(list_filter([{lits}], e -> {x} >= e))"
+
+
+def hist1d_var(df: DataFrame, x: Column | str, edges: list[float]) -> DataFrame:
+    """1-D histogram over irregular bin edges (e.g. log-spaced): same
+    single tiny-key shuffle as hist1d; bins 1..len(edges)-1 are the
+    interior cells, 0/len(edges) the flow bins."""
+    x = F.col(x) if isinstance(x, str) else x
+    return (
+        df.where(x.isNotNull())
+        .select(bin_index_var(x, edges).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def edges(bins: int, lo: float, hi: float) -> list[float]:
     """The bins+1 interior edge positions (driver-side helper; identical
     arithmetic to bin_index so edges[i] maps to bin i+1's left edge)."""

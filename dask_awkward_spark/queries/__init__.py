@@ -128,6 +128,7 @@ _WINDOW = [
     "hist2d_qty_discount",
     "hist_profile_price_by_qty",
     "hist_jagged_flatten",
+    "hist_log_edges",
 ]
 
 

@@ -151,11 +151,32 @@ GROUP BY 1
 """
 
 
+_LOG_EDGES = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0]
+
+
+def hist_log_edges(spark, sf_dir):
+    """Irregular (log-spaced) edges over events.value — the axis shape
+    real latency/size distributions need; underflow (<1) and the exact
+    edge values both exercised."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return H.hist1d_var(ev, "value", _LOG_EDGES)
+
+
+HIST_LOG_SQL = f"""
+SELECT {H.sql_bin_index_var('value', _LOG_EDGES)} AS bin,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "hist_event_values": hist_event_values,
     "hist2d_qty_discount": hist2d_qty_discount,
     "hist_profile_price_by_qty": hist_profile_price_by_qty,
     "hist_jagged_flatten": hist_jagged_flatten,
+    "hist_log_edges": hist_log_edges,
 }
 
 ORACLES = {
@@ -163,4 +184,5 @@ ORACLES = {
     "hist2d_qty_discount": HIST2D_SQL,
     "hist_profile_price_by_qty": PROFILE_SQL,
     "hist_jagged_flatten": HIST_JAGGED_SQL,
+    "hist_log_edges": HIST_LOG_SQL,
 }

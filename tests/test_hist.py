@@ -80,6 +80,21 @@ def test_profile_mean(spark):
     assert got == {1: (2, 30.0, 500.0), 2: (1, 5.0, 25.0)}
 
 
+def test_hist1d_var_irregular_edges(spark):
+    # edges [1,2,4]: underflow 0.5 -> 0; 1 and 1.9 -> 1; 2 -> 2; 4,9 -> 3
+    df = _fill(spark, [0.5, 1.0, 1.9, 2.0, 4.0, 9.0])
+    got = {r["bin"]: r["n"] for r in H.hist1d_var(df, "x", [1.0, 2.0, 4.0]).collect()}
+    assert got == {0: 1, 1: 2, 2: 1, 3: 2}
+
+
+def test_hist1d_var_validates_edges(spark):
+    df = _fill(spark, [1.0])
+    with pytest.raises(ValueError):
+        H.hist1d_var(df, "x", [1.0])
+    with pytest.raises(ValueError):
+        H.hist1d_var(df, "x", [2.0, 1.0])
+
+
 def test_edges_helper():
     assert H.edges(4, 0.0, 2.0) == [0.0, 0.5, 1.0, 1.5, 2.0]
 

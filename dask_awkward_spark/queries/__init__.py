@@ -38,6 +38,7 @@ from . import (
     pipeline,
     similarity,
     sketches,
+    splits,
     text,
     timeseries,
     tpch,
@@ -46,7 +47,7 @@ from . import (
 
 _MODULES = [
     families, nested, coverage, text, dedup, similarity, events, pipeline,
-    tpch, tpch2, timeseries, sketches, hist,
+    tpch, tpch2, timeseries, sketches, hist, splits,
 ]
 
 # The driver-graded window: one row per §2 operator family / pipeline
@@ -129,6 +130,10 @@ _WINDOW = [
     "hist_profile_price_by_qty",
     "hist_jagged_flatten",
     "hist_log_edges",
+    # dataset management: splits / reproducible shuffle / budget capping
+    "split_train_valid_test",
+    "shuffle_head",
+    "budget_cap_per_source",
 ]
 
 

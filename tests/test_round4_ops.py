@@ -665,3 +665,52 @@ def test_testutils_assert_eq(spark):
     assert_eq(float("nan"), float("nan"))
     with _pytest.raises(AssertionError, match="differ"):
         assert_eq(arr, [])
+
+
+# ---- dataset management (queries/splits.py) ----
+
+
+def test_split_assignment_is_partition_invariant(spark):
+    """Split membership must be a pure function of doc_id: the same docs
+    land in the same splits regardless of physical layout."""
+    from dask_awkward_spark.queries.splits import split_train_valid_test
+
+    SF = "/root/testdata/sf0.001"
+    base = {r["split"]: (r["n_docs"], r["sum_chars"]) for r in
+            split_train_valid_test(spark, SF).collect()}
+    assert set(base) == {"train", "valid", "test"}
+    n_total = sum(v[0] for v in base.values())
+    # 90/5/5 within loose tolerance on a small corpus
+    assert base["train"][0] / n_total > 0.8
+
+    # repartitioned input -> identical assignment (hash gate, no RNG)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(13)
+    docs.createOrReplaceTempView("___docs_tmp")
+    import dask_awkward_spark.queries.text as qt
+    from pyspark.sql import functions as F
+
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(u < "e6666666", F.lit("train"))
+        .when(u < "f3333333", F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    re_counts = {r["split"]: r["n"] for r in
+                 docs.groupBy(split.alias("split")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert re_counts == {k: v[0] for k, v in base.items()}
+
+
+def test_budget_cap_respects_budget(spark):
+    """Every source's kept set stops at the first doc whose START offset
+    crosses the budget: chars_kept < budget + max single doc length."""
+    from dask_awkward_spark.queries.splits import budget_cap_per_source
+
+    SF = "/root/testdata/sf0.001"
+    rows = budget_cap_per_source(spark, SF, budget=5000).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    max_len = docs.agg(F.max("n_chars")).first()[0]
+    assert rows
+    for r in rows:
+        assert r["chars_kept"] < 5000 + max_len

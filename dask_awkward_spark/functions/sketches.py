@@ -181,20 +181,29 @@ def heavy_hitters_exact_via_cms(
     exactly the true heavy hitters — the sketch affects cost, never the
     answer. Returns ``(key, n)``.
     """
+    from pyspark import StorageLevel
+
+    from ..core import pin_cache_to_result
+
     s = (F.col(col) if isinstance(col, str) else col).alias("key")
-    vals = df.select(s)
+    # three consumers (sketch build, candidate estimate, exact recount) —
+    # persist the key stream once so an expensive upstream (e.g. a
+    # tokenizing explode) isn't recomputed per pass; lifetime is scoped to
+    # the result frame (core.pin_cache_to_result), no module state
+    vals = df.select(s).persist(StorageLevel.MEMORY_AND_DISK)
     cms = cms_table(vals, "key", depth, width)
     cand = (
         cms_estimates(vals.distinct(), "key", cms, depth, width)
         .filter(F.col("cms_est") >= threshold)
         .select("key")
     )
-    return (
+    out = (
         vals.join(F.broadcast(cand), "key", "semi")
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )
+    return pin_cache_to_result(vals, out)
 
 
 def hll_distinct(df: DataFrame, col: str | Column, lg_k: int = 12) -> DataFrame:

@@ -572,10 +572,16 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     sh = docs.select(
         "doc_id", F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh")
     )
+    from pyspark import StorageLevel
+
+    # the band frame feeds BOTH sides of the candidate self-join — persist
+    # it so the CPU-bound md5-shingle pass runs once, not twice (lifetime
+    # scoped to the result frame, same pattern as the ngram-Jaccard path)
     bands = (
         sh.select("doc_id", F.explode(_packed_band_structs(F.col("sh"))).alias("b"))
         .select("doc_id", "b.band", "b.bkey")
         .filter(F.col("bkey").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         bands.alias("a")
@@ -598,12 +604,13 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
             F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
         )
     )
-    return paired.select(
+    out = paired.select(
         "doc_a",
         "doc_b",
         "lev",
         F.round(F.col("lev") * 1e6 / F.col("mx")).cast("bigint").alias("rel_micro"),
     ).filter(F.col("rel_micro") <= 500000)
+    return _pin_to_result(bands, out)
 
 
 def _fuzzy_sql() -> str:

@@ -134,6 +134,7 @@ _WINDOW = [
     "split_train_valid_test",
     "shuffle_head",
     "budget_cap_per_source",
+    "stream_static_enrich",
 ]
 
 

@@ -115,6 +115,22 @@ FROM events GROUP BY event_type
 """
 
 
+def stream_static_enrich_q(spark, sf_dir):
+    """Stream-static broadcast enrichment (events x nation dim) — no join
+    state, dim re-read per micro-batch; per-nation counts + cent sums."""
+    from ..streaming import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)
+
+
+STREAM_ENRICH_SQL = """
+SELECT n.n_name, count(*) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def stream_stateful_user_stats(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user running
     (count, cent-sum) carried in GroupState — integer state makes it
@@ -246,6 +262,7 @@ QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_sessions": stream_sessions,
     "stream_dedup": stream_dedup,
+    "stream_static_enrich": stream_static_enrich_q,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "op_repartition_stable": op_repartition_stable,
     "op_sample_deterministic": op_sample_deterministic,
@@ -273,6 +290,7 @@ ORACLES = {
     "mm_decode_features": MM_DECODE_SQL,
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_static_enrich": STREAM_ENRICH_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
     "stream_stateful_user_stats": STREAM_STATEFUL_SQL,
     "op_repartition_stable": OP_REPARTITION_SQL,

@@ -133,6 +133,41 @@ def stream_dedup_counts(
     return spark.table(name)
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join: decorate each streamed event with a
+    dimension row (here: nation, via a synthetic user_id -> nationkey
+    mapping) and aggregate per dimension attribute.
+
+    Scale shape: the static side is broadcast to every task — no stream
+    state for the join at all (unlike stream-stream joins), and the dim
+    table is re-read per micro-batch, so slowly-changing dimensions are
+    picked up for free. This is THE pattern for enriching a 100 TB/day
+    event stream with reference data."""
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    enriched = (
+        _stream_events(spark, sf_dir)
+        .withColumn("nk", (F.col("user_id") % 25).cast(dim.schema["nk"].dataType))
+        .join(F.broadcast(dim), "nk")
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dakspark_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def stream_interval_pairs(
     spark: SparkSession, sf_dir: str, bound: str = "60 seconds"
 ) -> DataFrame:

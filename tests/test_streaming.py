@@ -116,3 +116,27 @@ def test_legacy_nanos_long_branch(spark, tmp_path):
     assert isinstance(out.schema["ts"].dataType, T.TimestampNTZType)
     got = out.select(F.col("ts").cast("string")).collect()[0][0]
     assert got == "2024-03-01 12:00:00.123456", got
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static broadcast join equals the same join done in batch."""
+    import pyspark.sql.functions as F
+
+    from dask_awkward_spark.streaming import stream_static_enrich
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["n_name"]: (r["n"], r["value_c"]) for r in stream_static_enrich(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    dim = spark.read.parquet(f"{SF}/nation.parquet")
+    want = {
+        r["n_name"]: (r["n"], r["value_c"])
+        for r in ev.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+        .join(dim, F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+        )
+        .collect()
+    }
+    assert got == want and got  # non-empty and exactly the batch join

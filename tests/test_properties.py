@@ -253,3 +253,31 @@ def test_outer_int_returns_row(spark, data, i):
     elif i < 0:
         with pytest.raises(IndexError):
             arr[i]
+
+
+# ---- histogram fills vs numpy (functions/hist.py) ----
+
+_floats = st_.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+
+
+@given(vals=st_.lists(_floats, min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_hist1d_matches_numpy(spark, vals):
+    """Interior cells agree with np.histogram over [lo, hi) (numpy closes
+    its LAST bin, so values == hi are excluded from the comparison and
+    counted in our overflow instead); flow bins absorb exactly the rest."""
+    import numpy as np
+
+    from dask_awkward_spark.functions import hist as H
+
+    bins, lo, hi = 7, -25.0, 25.0
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {r["bin"]: r["n"] for r in H.hist1d(df, "x", bins, lo, hi).collect()}
+
+    inside = [v for v in vals if lo <= v < hi]
+    np_n, _ = np.histogram(inside, bins=bins, range=(lo, hi))
+    for i, n in enumerate(np_n):
+        assert got.get(i + 1, 0) == n, (i, vals)
+    assert got.get(0, 0) == sum(1 for v in vals if v < lo)
+    assert got.get(bins + 1, 0) == sum(1 for v in vals if v >= hi)
+    assert sum(got.values()) == len(vals)

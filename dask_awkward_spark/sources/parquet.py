@@ -51,6 +51,7 @@ def to_parquet(
     max_records_per_file: int | None = None,
     row_group_size_bytes: int | None = None,
     prefix: str | None = None,
+    bloom_filter_cols: dict[str, int] | None = None,
 ) -> None:
     """Write one file per partition, zstd default — matching the
     reference's defaults (lib/io/parquet.py:525-527; its row_group_size
@@ -68,6 +69,15 @@ def to_parquet(
         w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    for c, ndv in (bloom_filter_cols or {}).items():
+        # per-column bloom filters in the footer: at 100 TB a point lookup
+        # (x = k) skips every row group whose bloom rejects k — the
+        # complement to min/max stats, which only help on sorted/clustered
+        # columns (see to_parquet_zordered for the clustered path)
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+        )
     w.parquet(path)
     if prefix is not None:
         import os

@@ -173,3 +173,21 @@ def test_to_parquet_with_prefix(spark, tmp_path):
     assert files and all(f.startswith("data-") for f in files)
     back = das.from_parquet(spark, out)["v"]
     assert sorted(back.compute()) == [[1, 2], [3]]
+
+
+def test_to_parquet_bloom_filter_cols(spark, tmp_path):
+    """bloom_filter_cols writes per-column bloom filters: the footer grows
+    by roughly the bloom bitset size (pyarrow 16 can't introspect bloom
+    offsets, so the size delta is the observable)."""
+    import glob
+    import os
+
+    from dask_awkward_spark.sources.parquet import to_parquet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").coalesce(1)
+    p_off, p_on = str(tmp_path / "off"), str(tmp_path / "on")
+    to_parquet(docs, p_off)
+    to_parquet(docs, p_on, bloom_filter_cols={"doc_id": 10_000})
+    size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/part-*"))  # noqa: E731
+    # ndv=10k bloom ~ 16 KiB+; anything clearly nonzero proves it was written
+    assert size(p_on) - size(p_off) > 4096

@@ -46,6 +46,7 @@ from .sources.parquet import from_parquet, to_bucketed_table, to_parquet
 from .sources.json import from_json, to_json
 from .sources.text import from_text
 from .functions.strings import strings_astype
+from .sources.datasource import from_datasource, read_report
 from .sources.memory import (
     from_arrow,
     to_arrow,

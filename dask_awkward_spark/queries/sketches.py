@@ -29,16 +29,31 @@ CMS_WIDTH = 64
 def sketch_kmv_distinct(spark, sf_dir):
     """KMV distinct-count of lineitem.l_orderkey next to the exact count.
     Everything (k-th hash, the estimate, the exact) is deterministic, so
-    the whole row is value-hash-checked against the oracle."""
+    the whole row is value-hash-checked against the oracle.
+
+    One scan, one shuffle: the deduped-key frame (the shared prefix of
+    both the exact count and the sketch) is persisted and both consumers
+    aggregate it — vs the naive two-full-scan plan (separate
+    countDistinct + hash/distinct/top-k). At 100 TB the raw scan
+    dominates; sharing it halves IO. Cache lifetime is pinned to the
+    result frame (core.pin_cache_to_result)."""
+    from pyspark import StorageLevel
+
+    from ..core import pin_cache_to_result
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    kmv = kmv_distinct(li, "l_orderkey", k=KMV_K)
-    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
-    return kmv.crossJoin(exact).select(
+    keys = (
+        li.select("l_orderkey").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    kmv = kmv_distinct(keys, "l_orderkey", k=KMV_K)
+    exact = keys.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    out = kmv.crossJoin(exact).select(
         F.col("n_seen").cast("bigint").alias("n_seen"),
         F.round(F.col("kth_hash") * 1e6).cast("bigint").alias("kth_hash_micro"),
         F.round(F.col("est") * 1e6).cast("bigint").alias("est_micro"),
         F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
     )
+    return pin_cache_to_result(keys, out)
 
 
 # DuckDB twin of uniform_hash: CAST('0x'||substr(md5(v),1,15) AS BIGINT)

@@ -1,1 +1,1 @@
-from . import json, memory, parquet, text  # noqa: F401
+from . import datasource, json, memory, parquet, text  # noqa: F401

@@ -1,0 +1,243 @@
+"""Custom IO-function protocol as a Spark Python Data Source.
+
+The reference exposes a pluggable IO protocol (``layers/layers.py:68-155``
+``AwkwardInputLayer`` + ``lib/io/columnar.py:54-183``): an IO function
+object with ``mock()`` (typed empty array for metadata), ``project()`` /
+``prepare_for_projection()`` (column-pruning pushdown into the source) and
+``return_report`` (per-partition success/failure records). Its substrate
+is ``from_map`` (``lib/io/io.py:528-697``): one task per input descriptor.
+
+The Spark-native re-expression is the Python Data Source API (Spark 4):
+
+- one :class:`InputPartition` per input descriptor == one reference task;
+- the declared schema == ``mock()`` (Catalyst has full types before any
+  data is read, exactly what the reference's typetracer pass provides);
+- :meth:`DataSourceReader.pushFilters` == the projection/pushdown hook —
+  Spark hands the reader the query's predicates, the reader keeps the
+  ones it can evaluate inside ``read()`` (so rows die at the source,
+  never crossing the Python->JVM boundary) and returns the rest for
+  Spark to re-apply. That is the exact contract of the reference's
+  ``prepare_for_projection``/``project`` pair, for predicates instead of
+  buffers;
+- the optional report (``push_report=True``) == ``return_report``: the
+  reader appends one ``__report__`` JSON column describing the partition
+  that produced each row block, which :func:`read_report` splits off.
+
+At scale this is the escape hatch for sources Spark has no native reader
+for (bespoke binary formats, REST/paginated APIs, data-lake sidecars):
+partitions() declares the parallelism, each read() runs on an executor,
+and pushed filters cut the transfer before it happens.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark import cloudpickle as pickle  # serialize fn by value, not by ref
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+REPORT_COL = "__report__"
+
+
+def _dumps_by_value(obj) -> bytes:
+    """cloudpickle dump with the IO function's defining module forced to
+    by-value serialization when it isn't an installed package — a script
+    or test module on the driver doesn't exist on executor workers, so a
+    by-reference pickle would raise ModuleNotFoundError there."""
+    import sys
+    import sysconfig
+
+    fn = obj.get("fn")
+    mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+    installed = (sysconfig.get_paths()["purelib"], sysconfig.get_paths()["stdlib"])
+    mod_file = getattr(mod, "__file__", None)
+    force = (
+        mod is not None
+        and mod.__name__ != "__main__"  # __main__ is by-value already
+        and (mod_file is None or not mod_file.startswith(installed))
+    )
+    if force:
+        pickle.register_pickle_by_value(mod)
+    try:
+        return pickle.dumps(obj)
+    finally:
+        if force:
+            pickle.unregister_pickle_by_value(mod)
+
+
+class _FnPartition(InputPartition):
+    """One input descriptor == one reference IO task (picklable)."""
+
+    def __init__(self, index: int, payload: Any):
+        self.index = index
+        self.payload = payload
+
+
+def _filter_predicate(f: Filter) -> Callable[[dict], bool] | None:
+    """Compile one Catalyst filter to a row-dict predicate, or None if the
+    filter class is not supported (Spark then re-applies it itself)."""
+    col = f.attribute[0] if len(f.attribute) == 1 else None
+    if col is None:  # nested attribute paths: decline, Spark re-applies
+        return None
+
+    def _cmp(op):
+        def pred(row, _c=col, _v=getattr(f, "value", None)):
+            x = row.get(_c)
+            return x is not None and op(x, _v)
+
+        return pred
+
+    if isinstance(f, EqualTo):
+        return _cmp(lambda x, v: x == v)
+    if isinstance(f, EqualNullSafe):
+        return lambda row, _c=col, _v=f.value: row.get(_c) == _v
+    if isinstance(f, GreaterThan):
+        return _cmp(lambda x, v: x > v)
+    if isinstance(f, GreaterThanOrEqual):
+        return _cmp(lambda x, v: x >= v)
+    if isinstance(f, LessThan):
+        return _cmp(lambda x, v: x < v)
+    if isinstance(f, LessThanOrEqual):
+        return _cmp(lambda x, v: x <= v)
+    if isinstance(f, In):
+        vals = set(f.value)
+        return lambda row, _c=col: row.get(_c) in vals
+    if isinstance(f, IsNull):
+        return lambda row, _c=col: row.get(_c) is None
+    if isinstance(f, IsNotNull):
+        return lambda row, _c=col: row.get(_c) is not None
+    if isinstance(f, StringStartsWith):
+        return _cmp(lambda x, v: isinstance(x, str) and x.startswith(v))
+    if isinstance(f, StringEndsWith):
+        return _cmp(lambda x, v: isinstance(x, str) and x.endswith(v))
+    if isinstance(f, StringContains):
+        return _cmp(lambda x, v: isinstance(x, str) and v in x)
+    return None
+
+
+class PythonIOReader(DataSourceReader):
+    def __init__(self, schema, options):
+        spec = pickle.loads(base64.b64decode(options["payload"]))
+        self.fn: Callable[[Any], Iterable[Any]] = spec["fn"]
+        self.inputs: list[Any] = spec["inputs"]
+        self.report: bool = spec["report"]
+        self.fields = [f.name for f in schema.fields if f.name != REPORT_COL]
+        self.accepted: list[Callable[[dict], bool]] = []
+
+    def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
+        # keep what we can evaluate at the source; hand back the rest —
+        # the reference's prepare_for_projection/project contract
+        for f in filters:
+            pred = _filter_predicate(f)
+            if pred is None:
+                yield f
+            else:
+                self.accepted.append(pred)
+
+    def partitions(self):
+        return [_FnPartition(i, x) for i, x in enumerate(self.inputs)]
+
+    def read(self, partition: _FnPartition):
+        n_in = n_out = 0
+        out = []
+        for row in self.fn(partition.payload):
+            n_in += 1
+            d = row if isinstance(row, dict) else dict(zip(self.fields, row))
+            if all(p(d) for p in self.accepted):
+                n_out += 1
+                out.append(tuple(d.get(c) for c in self.fields))
+        if self.report:
+            rep = json.dumps(
+                {
+                    "partition": partition.index,
+                    "rows_read": n_in,
+                    "rows_emitted": n_out,
+                    "pushed_filters": len(self.accepted),
+                }
+            )
+            for t in out:
+                yield t + (rep,)
+        else:
+            yield from out
+
+
+class PythonIOSource(DataSource):
+    """``spark.read.format("python_io")`` — generic from_map-style source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "python_io"
+
+    def schema(self) -> str:
+        return self.options["ddl"]
+
+    def reader(self, schema) -> PythonIOReader:
+        return PythonIOReader(schema, self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotent registration of the python_io format on this session."""
+    # pushFilters is gated off by default (Spark 4.1) — runtime-settable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PythonIOSource)
+
+
+def from_datasource(
+    spark: SparkSession,
+    fn: Callable[[Any], Iterable[Any]],
+    inputs: "list[Any]",
+    schema: str,
+    report: bool = False,
+) -> DataFrame:
+    """Read via the registered Python data source: one partition per input
+    descriptor, ``fn(descriptor)`` yielding dicts or tuples on executors.
+    With ``report=True`` the frame carries a ``__report__`` JSON column
+    (split off with :func:`read_report`) — the reference's
+    ``return_report`` records (lib/io/parquet.py:36-61)."""
+    register(spark)
+    payload = base64.b64encode(
+        _dumps_by_value({"fn": fn, "inputs": list(inputs), "report": report})
+    ).decode("ascii")
+    ddl = schema if not report else f"{schema}, {REPORT_COL} string"
+    return (
+        spark.read.format("python_io")
+        .option("ddl", ddl)
+        .option("payload", payload)
+        .load()
+    )
+
+
+def read_report(df: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Split a report-carrying frame into (data, per-partition report)."""
+    data = df.drop(REPORT_COL)
+    rep_schema = (
+        "partition bigint, rows_read bigint, rows_emitted bigint, pushed_filters bigint"
+    )
+    rep = (
+        df.select(F.from_json(REPORT_COL, rep_schema).alias("r"))
+        .select("r.*")
+        .dropDuplicates(["partition"])
+    )
+    return data, rep

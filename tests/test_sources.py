@@ -191,3 +191,73 @@ def test_to_parquet_bloom_filter_cols(spark, tmp_path):
     size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/part-*"))  # noqa: E731
     # ndv=10k bloom ~ 16 KiB+; anything clearly nonzero proves it was written
     assert size(p_on) - size(p_off) > 4096
+
+
+# ---- Python Data Source API (custom IO protocol, reference layers/layers.py:68-155) ----
+
+
+def _dsgen(n):
+    for i in range(n):
+        yield {"id": n * 100 + i, "v": float(i), "tag": "t%d" % (i % 3)}
+
+
+def test_datasource_from_map_partitions(spark):
+    """One InputPartition per input descriptor; rows from all partitions."""
+    from dask_awkward_spark.sources.datasource import from_datasource
+
+    df = from_datasource(spark, _dsgen, [5, 3, 4], "id bigint, v double, tag string")
+    assert df.count() == 12
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_datasource_filter_pushdown_matches_postfilter(spark):
+    """Pushed predicates (comparison + equality + IsNotNull) return the
+    same rows Spark would have kept post-filter."""
+    from dask_awkward_spark.sources.datasource import from_datasource
+
+    df = from_datasource(spark, _dsgen, [5, 3, 4], "id bigint, v double, tag string")
+    got = sorted(r.id for r in df.filter((df.v > 1.0) & (df.tag == "t2")).collect())
+    assert got == [302, 402, 502]
+
+
+def test_datasource_report_shows_source_side_filtering(spark):
+    """return_report analogue: per-partition rows_read vs rows_emitted —
+    emitted < read proves the filter ran INSIDE read(), not in Spark."""
+    from dask_awkward_spark.sources.datasource import from_datasource, read_report
+
+    df = from_datasource(
+        spark, _dsgen, [5, 3], "id bigint, v double, tag string", report=True
+    )
+    data, rep = read_report(df.filter("v >= 1.0"))
+    assert data.count() == 6
+    rows = {r.partition: (r.rows_read, r.rows_emitted) for r in rep.collect()}
+    assert rows == {0: (5, 4), 1: (3, 2)}
+    # at least IsNotNull(v) + v >= 1.0 were accepted by pushFilters
+    assert all(r.pushed_filters >= 2 for r in rep.collect())
+
+
+def test_datasource_pushfilters_declines_unsupported(spark):
+    """The reader keeps what it can evaluate and hands back the rest;
+    Spark re-applies declined filters, so results stay correct either way."""
+    from pyspark.sql.datasource import EqualTo, Filter, GreaterThan
+
+    from dask_awkward_spark.sources.datasource import PythonIOReader
+
+    class Unknown(Filter):  # a filter class the reader has never seen
+        attribute = ("v",)
+
+    import base64
+
+    from pyspark import cloudpickle
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id bigint, v double, tag string")
+    payload = base64.b64encode(
+        cloudpickle.dumps({"fn": _dsgen, "inputs": [2], "report": False})
+    ).decode("ascii")
+    r = PythonIOReader(schema, {"payload": payload})
+    declined = list(
+        r.pushFilters([EqualTo(("tag",), "t1"), GreaterThan(("v",), 0.5), Unknown()])
+    )
+    assert len(declined) == 1 and isinstance(declined[0], Unknown)
+    assert len(r.accepted) == 2

@@ -70,6 +70,49 @@ FROM documents GROUP BY lang
 """
 
 
+def io_datasource_scan(spark, sf_dir):
+    """Custom Python Data Source scan (the reference's pluggable IO
+    protocol, layers/layers.py:68-155, re-expressed on the Spark 4 Python
+    Data Source API): a pyarrow row-group reader behind the ``python_io``
+    format — one InputPartition per row group (declared parallelism), the
+    ``lang = 'en'`` predicate pushed into ``read()`` via pushFilters so
+    filtered rows never cross the Python->JVM boundary, then a JVM-side
+    hash aggregation. The testdata file has a single row group; a 100 TB
+    lake file fans out to one executor task per row group."""
+    import pyarrow.parquet as pq
+
+    from ..sources.datasource import from_datasource
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rg = pq.ParquetFile(path).num_row_groups  # footer-only metadata read
+
+    def read_rg(i, _path=path):
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.ParquetFile(_path).read_row_group(
+            i, columns=["doc_id", "lang", "source", "n_chars"]
+        )
+        yield from tbl.to_pylist()
+
+    df = from_datasource(
+        spark,
+        read_rg,
+        list(range(n_rg)),
+        "doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    return (
+        df.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+IO_DATASOURCE_SQL = """
+SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
 # ---- remaining reducers ----
 
 def op_prod_axis1(spark, sf_dir):
@@ -298,6 +341,7 @@ QUERIES = {
     "op_ravel": op_ravel,
     "io_parquet_roundtrip": io_parquet_roundtrip,
     "io_json_roundtrip": io_json_roundtrip,
+    "io_datasource_scan": io_datasource_scan,
     "op_prod_axis1": op_prod_axis1,
     "op_var_std_axis1": op_var_std_axis1,
     "op_with_field": op_with_field,
@@ -313,6 +357,7 @@ ORACLES = {
     "op_ravel": OP_RAVEL_SQL,
     "io_parquet_roundtrip": IO_PARQUET_RT_SQL,
     "io_json_roundtrip": IO_JSON_RT_SQL,
+    "io_datasource_scan": IO_DATASOURCE_SQL,
     "op_prod_axis1": OP_PROD_SQL,
     "op_var_std_axis1": OP_VAR_STD_SQL,
     "op_with_field": OP_WITH_FIELD_SQL,

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -183,8 +184,49 @@ class PythonIOReader(DataSourceReader):
             yield from out
 
 
+class PythonIOStreamReader(DataSourceStreamReader):
+    """Streaming twin: the input-descriptor list is an append-only log;
+    an offset is an index into it. Each micro-batch covers the
+    descriptors between the committed and latest offsets, one
+    InputPartition per descriptor — ``fn`` still runs on executors.
+    ``batch_size`` throttles descriptors per micro-batch (the
+    ``maxFilesPerTrigger`` analogue). Replay after failure is exact:
+    partitions(start, end) is deterministic in the offsets, which is the
+    whole exactly-once contract of the API."""
+
+    def __init__(self, schema, options):
+        spec = pickle.loads(base64.b64decode(options["payload"]))
+        self.fn = spec["fn"]
+        self.inputs = spec["inputs"]
+        self.batch = int(options.get("batch_size", "1"))
+        self.fields = [f.name for f in schema.fields]
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # advance at most batch_size descriptors per trigger — the
+        # throttle must live HERE: partitions(start, end) is contractually
+        # the exact [start, end) range, so clamping there would drop data
+        self._pos = min(self._pos + self.batch, len(self.inputs))
+        return {"index": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        return [_FnPartition(i, self.inputs[i]) for i in range(start["index"], end["index"])]
+
+    def read(self, partition: _FnPartition):
+        for row in self.fn(partition.payload):
+            d = row if isinstance(row, dict) else dict(zip(self.fields, row))
+            yield tuple(d.get(c) for c in self.fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # descriptor list is immutable here; nothing to release
+
+
 class PythonIOSource(DataSource):
-    """``spark.read.format("python_io")`` — generic from_map-style source."""
+    """``spark.read.format("python_io")`` — generic from_map-style source
+    (batch + streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -195,6 +237,9 @@ class PythonIOSource(DataSource):
 
     def reader(self, schema) -> PythonIOReader:
         return PythonIOReader(schema, self.options)
+
+    def streamReader(self, schema) -> PythonIOStreamReader:
+        return PythonIOStreamReader(schema, self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -225,6 +270,29 @@ def from_datasource(
         spark.read.format("python_io")
         .option("ddl", ddl)
         .option("payload", payload)
+        .load()
+    )
+
+
+def stream_from_datasource(
+    spark: SparkSession,
+    fn: Callable[[Any], Iterable[Any]],
+    inputs: "list[Any]",
+    schema: str,
+    batch_size: int = 1,
+) -> DataFrame:
+    """Streaming read over the same fn/descriptor contract: descriptors
+    are consumed as an append-only log, ``batch_size`` per micro-batch
+    (``maxFilesPerTrigger`` analogue), fn executing on executors."""
+    register(spark)
+    payload = base64.b64encode(
+        _dumps_by_value({"fn": fn, "inputs": list(inputs), "report": False})
+    ).decode("ascii")
+    return (
+        spark.readStream.format("python_io")
+        .option("ddl", schema)
+        .option("payload", payload)
+        .option("batch_size", str(batch_size))
         .load()
     )
 

@@ -261,3 +261,33 @@ def test_datasource_pushfilters_declines_unsupported(spark):
     )
     assert len(declined) == 1 and isinstance(declined[0], Unknown)
     assert len(r.accepted) == 2
+
+
+def test_datasource_stream_replays_descriptor_log(spark, tmp_path):
+    """Streaming twin: descriptors drain as micro-batches (batch_size per
+    trigger), fn runs per-partition, every row arrives exactly once."""
+    import uuid
+
+    from dask_awkward_spark.sources.datasource import stream_from_datasource
+
+    def gen(n):
+        for i in range(n):
+            yield {"id": n * 100 + i, "v": float(i)}
+
+    st = stream_from_datasource(spark, gen, [5, 3, 4, 2], "id bigint, v double", batch_size=2)
+    name = "st_" + uuid.uuid4().hex[:6]
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # at batch_size=2 the 4 descriptors need >= 2 micro-batches
+    n_batches = q.lastProgress["batchId"] + 1
+    q.stop()
+    out = spark.table(name)
+    assert out.count() == 14
+    assert sorted(r.id for r in out.collect())[:3] == [200, 201, 300]
+    assert n_batches >= 2

@@ -53,6 +53,33 @@ def mm_decode_features(spark, sf_dir):
     )
 
 
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling over the binary media column (every 4th 256-byte
+    frame), one row per sampled frame, with a 4-byte digest feature per
+    frame — all JVM expressions (functions/multimodal.py sample_frames).
+    The corpus text is ASCII, so byte slicing == character slicing and
+    the DuckDB oracle replicates the frames with plain substring+md5."""
+    media = mm.attach_binary(_docs(spark, sf_dir))
+    fr = mm.sample_frames(media, frame_bytes=256, every_n=4)
+    b = lambda k: (  # noqa: E731 — k-th digest byte as an int feature
+        F.conv(F.substring("frame_md5", 2 * k + 1, 2), 16, 10).cast("int").alias(f"b{k}")
+    )
+    return fr.select("doc_id", "n_frames", "frame_idx", b(0), b(1), b(2), b(3))
+
+
+MM_FRAME_SQL = """
+SELECT d.doc_id,
+       CAST(ceil(length(d.text) / 256.0) AS INT) AS n_frames,
+       CAST(u.frame_idx AS INT) AS frame_idx,
+       CAST(('0x' || substr(md5(substring(d.text, u.frame_idx * 256 + 1, 256)), 1, 2)) AS INT) AS b0,
+       CAST(('0x' || substr(md5(substring(d.text, u.frame_idx * 256 + 1, 256)), 3, 2)) AS INT) AS b1,
+       CAST(('0x' || substr(md5(substring(d.text, u.frame_idx * 256 + 1, 256)), 5, 2)) AS INT) AS b2,
+       CAST(('0x' || substr(md5(substring(d.text, u.frame_idx * 256 + 1, 256)), 7, 2)) AS INT) AS b3
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, CAST(ceil(length(d.text) / 256.0) AS INT), 4)) AS frame_idx) u
+"""
+
+
 # ---- streaming ----
 
 def stream_tumbling(spark, sf_dir):
@@ -259,6 +286,7 @@ FROM documents
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
     "stream_tumbling": stream_tumbling,
     "stream_sessions": stream_sessions,
     "stream_dedup": stream_dedup,
@@ -288,6 +316,7 @@ FROM documents
 ORACLES = {
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_features": MM_DECODE_SQL,
+    "mm_frame_sample": MM_FRAME_SQL,
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_static_enrich": STREAM_ENRICH_SQL,

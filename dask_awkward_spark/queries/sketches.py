@@ -99,12 +99,44 @@ FROM t GROUP BY tk HAVING count(*) >= {HH_THRESHOLD}
 """
 
 
+def sketch_hll_accuracy(spark, sf_dir):
+    """Native JVM HyperLogLog (Datasketches ``hll_sketch_agg`` — mergeable
+    map-side partials, 2^lg_k registers of state regardless of
+    cardinality). The sketch value itself is engine-specific, so the
+    checked output is the EXACT count plus a Spark-side accuracy
+    assertion: the HLL estimate must land within 5% of exact (standard
+    error at lg_k=12 is ~1.6%, so 5% is a stable margin, not a flaky
+    tolerance). One scan: exact and sketch aggregate together."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("est"),
+    )
+    return agg.select(
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            < 0.05
+        ).alias("within_5pct"),
+    )
+
+
+SKETCH_HLL_SQL = """
+SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       true AS within_5pct
+FROM lineitem
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_hll_accuracy": sketch_hll_accuracy,
 }
 
 ORACLES = {
     "sketch_kmv_distinct": SKETCH_KMV_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HH_SQL,
+    "sketch_hll_accuracy": SKETCH_HLL_SQL,
 }

@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_fuzzy_levenshtein",
     # binned aggregation (map-side combine, tiny-key shuffle)
     "hist2d_qty_discount",
+    # multimodal 1->N frame explosion (pure codegen expressions)
+    "mm_frame_sample",
 ]
 
 

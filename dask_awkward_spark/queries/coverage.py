@@ -79,25 +79,34 @@ def io_datasource_scan(spark, sf_dir):
     filtered rows never cross the Python->JVM boundary, then a JVM-side
     hash aggregation. The testdata file has a single row group; a 100 TB
     lake file fans out to one executor task per row group."""
+    import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
     from ..sources.datasource import from_datasource
 
     path = f"{sf_dir}/documents.parquet"
-    n_rg = pq.ParquetFile(path).num_row_groups  # footer-only metadata read
+    # footer-only metadata pass; `path` may be a single file or a
+    # directory of part files (a written dataset) — either way the
+    # descriptor is (file, row_group)
+    descriptors = [
+        (f, rg)
+        for f in pds.dataset(path, format="parquet").files
+        for rg in range(pq.ParquetFile(f).num_row_groups)
+    ]
 
-    def read_rg(i, _path=path):
+    def read_rg(desc):
         import pyarrow.parquet as _pq
 
-        tbl = _pq.ParquetFile(_path).read_row_group(
-            i, columns=["doc_id", "lang", "source", "n_chars"]
+        f, rg = desc
+        tbl = _pq.ParquetFile(f).read_row_group(
+            rg, columns=["doc_id", "lang", "source", "n_chars"]
         )
         yield from tbl.to_pylist()
 
     df = from_datasource(
         spark,
         read_rg,
-        list(range(n_rg)),
+        descriptors,
         "doc_id bigint, lang string, source string, n_chars bigint",
     )
     return (

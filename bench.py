@@ -81,9 +81,14 @@ def main() -> None:
         run(w)
 
     # best-of-2 per query: steady-state cost, robust to GC/compile noise
+    import gc
+
     times = {}
     failed = []
     for name in HEADLINE:
+        # finalize dropped result frames NOW so caches pinned by earlier
+        # queries (pin_cache_to_result) release before timing, not during
+        gc.collect()
         runs = [t for t in (run(name), run(name)) if t is not None]
         if runs:
             times[name] = round(min(runs), 3)

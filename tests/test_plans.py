@@ -308,3 +308,54 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Catalyst injects a bloom-filter runtime filter for big-big shuffle
+    joins whose creation side is selectively filtered: the probe side is
+    pre-filtered by might_contain before the shuffle, so most non-joining
+    rows never shuffle at all. At 100 TB this fires out of the box (the
+    default applicationSideScanSizeThreshold is 10 GB — we lower it here
+    only because the test scan is tiny), which is why the engine leaves
+    spark.sql.optimizer.runtime.bloomFilter.enabled at its default true.
+    The join RESULT is exact either way: bloom false positives are
+    eliminated by the join itself."""
+    sf = "/root/testdata/sf0.01"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # exactness: same count with the runtime filter disabled
+        n_with = j.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try:
+            n_without = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+        finally:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        assert n_with == n_without
+    finally:
+        for k, v in saved.items():
+            if v:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -144,6 +144,88 @@ def spark_run_join(spark, lt, rt, lk, rk, where, grp, fn, agg_key):
     )
 
 
+# tables with a UNIQUE key — required for deterministic window ordering
+UNIQ = {"orders": "o_orderkey", "customer": "c_custkey", "documents": "doc_id"}
+
+
+def gen_window_query(rng: random.Random):
+    """Window-function recipe: row_number + running sum + lag over a
+    string partition key, totally ordered by the table's unique key so
+    both engines see the identical frame sequence. Catches frame-bound,
+    null-ordering, and running-agg drift the groupBy grammar can't."""
+    t = rng.choice(list(UNIQ))
+    uk = UNIQ[t]
+    _nums, strs, keys = TABLES[t]
+    grp = rng.choice(strs)
+    val = rng.choice(keys)
+    k = rng.randint(2, 8)
+    desc = rng.random() < 0.5
+    order = f"{uk} DESC" if desc else uk
+    sql = (
+        f"SELECT {grp} AS g, {uk} AS uk, rn, rsum, lg FROM ("
+        f"SELECT {grp}, {uk}, row_number() OVER w AS rn, "
+        f"CAST(sum({val}) OVER (PARTITION BY {grp} ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum, "
+        f"CAST(coalesce(lag({val}) OVER w, -1) AS BIGINT) AS lg "
+        f"FROM {t} WINDOW w AS (PARTITION BY {grp} ORDER BY {order})"
+        f") WHERE rn <= {k}"
+    )
+    return t, grp, uk, val, k, desc, sql
+
+
+def spark_run_window(spark, t, grp, uk, val, k, desc):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+    okey = F.col(uk).desc() if desc else F.col(uk)
+    w = Window.partitionBy(grp).orderBy(okey)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.select(
+        F.col(grp).alias("g"),
+        F.col(uk).alias("uk"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(val).over(wf).cast("bigint").alias("rsum"),
+        F.coalesce(F.lag(val).over(w), F.lit(-1)).cast("bigint").alias("lg"),
+    )
+    return out.filter(F.col("rn") <= k)
+
+
+def gen_sort_limit_query(rng: random.Random):
+    """Global ORDER BY + LIMIT over a unique key (deterministic top-k) —
+    exercises Spark's TakeOrdered rewrite against DuckDB's sort."""
+    t = rng.choice(list(UNIQ))
+    uk = UNIQ[t]
+    _nums, strs, keys = TABLES[t]
+    proj = rng.choice(strs)
+    k = rng.randint(1, 50)
+    desc = rng.random() < 0.5
+    where = ""
+    if rng.random() < 0.5:
+        c, op, v = rng.choice(keys), rng.choice(CMP), rng.randint(0, 5000)
+        where = f"{c} {op} {v}"
+    sql = (
+        f"SELECT {uk} AS uk, {proj} AS p FROM {t}"
+        + (f" WHERE {where}" if where else "")
+        + f" ORDER BY {uk} {'DESC' if desc else 'ASC'} LIMIT {k}"
+    )
+    return t, uk, proj, k, desc, where, sql
+
+
+def spark_run_sort_limit(spark, t, uk, proj, k, desc, where):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+    if where:
+        df = df.filter(where)
+    okey = F.col(uk).desc() if desc else F.col(uk)
+    return (
+        df.select(F.col(uk).alias("uk"), F.col(proj).alias("p"))
+        .orderBy(okey)
+        .limit(k)
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -158,9 +240,16 @@ def main() -> None:
 
     fails = 0
     for i in range(n):
-        if rng.random() < 0.3:
+        r = rng.random()
+        if r < 0.25:
             lt, rt, lk, rk, where, grp, fn, agg_key, sql = gen_join_query(rng)
             sdf = spark_run_join(spark, lt, rt, lk, rk, where, grp, fn, agg_key)
+        elif r < 0.45:
+            t, grp, uk, val, k, desc, sql = gen_window_query(rng)
+            sdf = spark_run_window(spark, t, grp, uk, val, k, desc)
+        elif r < 0.6:
+            t, uk, proj, k, desc, where, sql = gen_sort_limit_query(rng)
+            sdf = spark_run_sort_limit(spark, t, uk, proj, k, desc, where)
         else:
             table, where, grp, aggs, sql = gen_query(rng)
             sdf = spark_run(spark, table, where, grp, aggs)

@@ -53,6 +53,63 @@ def mm_decode_features(spark, sf_dir):
     )
 
 
+def stream_datasource_agg(spark, sf_dir):
+    """Streaming aggregation over the CUSTOM Python data source: events
+    row groups become the descriptor log of sources/datasource.py's
+    stream reader (one micro-batch per trigger window, fn running on
+    executors), drained through a complete-mode memory sink. Composes
+    the custom-IO protocol's streaming face with a stateful agg — the
+    pattern for streaming a bespoke format (API cursor, sidecar log)
+    Spark has no native reader for."""
+    import tempfile
+    import uuid
+
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from ..sources.datasource import stream_from_datasource
+
+    descs = [
+        (f, rg)
+        for f in pds.dataset(f"{sf_dir}/events.parquet", format="parquet").files
+        for rg in range(pq.ParquetFile(f).num_row_groups)
+    ]
+
+    def read_rg(desc):
+        import pyarrow.parquet as _pq
+
+        f, rg = desc
+        tbl = _pq.ParquetFile(f).read_row_group(
+            rg, columns=["event_id", "event_type", "value"]
+        )
+        yield from tbl.to_pylist()
+
+    st = stream_from_datasource(
+        spark,
+        read_rg,
+        descs,
+        "event_id bigint, event_type string, value double",
+        batch_size=2,
+    )
+    agg = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"sds_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dakspark_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+STREAM_DATASOURCE_SQL = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
 def mm_frame_sample(spark, sf_dir):
     """Frame sampling over the binary media column (every 4th 256-byte
     frame), one row per sampled frame, with a 4-byte digest feature per
@@ -287,6 +344,7 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
+    "stream_datasource_agg": stream_datasource_agg,
     "stream_tumbling": stream_tumbling,
     "stream_sessions": stream_sessions,
     "stream_dedup": stream_dedup,
@@ -317,6 +375,7 @@ ORACLES = {
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_features": MM_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,
+    "stream_datasource_agg": STREAM_DATASOURCE_SQL,
     "stream_tumbling": STREAM_TUMBLING_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_static_enrich": STREAM_ENRICH_SQL,

@@ -46,7 +46,12 @@ from .sources.parquet import from_parquet, to_bucketed_table, to_parquet
 from .sources.json import from_json, to_json
 from .sources.text import from_text
 from .functions.strings import strings_astype
-from .sources.datasource import from_datasource, read_report
+from .sources.datasource import (
+    from_datasource,
+    read_report,
+    stream_from_datasource,
+    to_datasource,
+)
 from .sources.memory import (
     from_arrow,
     to_arrow,

@@ -43,6 +43,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -224,9 +226,46 @@ class PythonIOStreamReader(DataSourceStreamReader):
         pass  # descriptor list is immutable here; nothing to release
 
 
+class _PartitionResult(WriterCommitMessage):
+    """Per-task commit message: whatever the user's write_fn returned."""
+
+    def __init__(self, payload: Any):
+        self.payload = payload
+
+
+class PythonIOWriter(DataSourceWriter):
+    """Write face of the protocol — the custom-SINK analogue of the
+    reference's to_parquet/to_json partition writers (lib/io/parquet.py
+    :515-721): ``write_fn(rows)`` runs once per partition on an executor
+    and returns a descriptor (file path, upload id, row count, ...);
+    ``commit_fn(descriptors)`` runs exactly once on the driver after ALL
+    tasks succeed — the transactional manifest step (speculative/retried
+    task attempts each produce a message, but only the committed set
+    reaches commit_fn, which is the whole exactly-once contract of the
+    API). ``abort_fn`` (optional) sees the partial descriptors on
+    failure for cleanup."""
+
+    def __init__(self, options):
+        spec = pickle.loads(base64.b64decode(options["payload"]))
+        self.write_fn = spec["write_fn"]
+        self.commit_fn = spec.get("commit_fn")
+        self.abort_fn = spec.get("abort_fn")
+
+    def write(self, rows) -> _PartitionResult:
+        return _PartitionResult(self.write_fn(rows))
+
+    def commit(self, messages) -> None:
+        if self.commit_fn is not None:
+            self.commit_fn([m.payload for m in messages if m is not None])
+
+    def abort(self, messages) -> None:
+        if self.abort_fn is not None:
+            self.abort_fn([m.payload for m in messages if m is not None])
+
+
 class PythonIOSource(DataSource):
     """``spark.read.format("python_io")`` — generic from_map-style source
-    (batch + streaming)."""
+    (batch + streaming) and function sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -240,6 +279,9 @@ class PythonIOSource(DataSource):
 
     def streamReader(self, schema) -> PythonIOStreamReader:
         return PythonIOStreamReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> PythonIOWriter:
+        return PythonIOWriter(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -294,6 +336,31 @@ def stream_from_datasource(
         .option("payload", payload)
         .option("batch_size", str(batch_size))
         .load()
+    )
+
+
+def to_datasource(
+    df: DataFrame,
+    write_fn: Callable[[Any], Any],
+    commit_fn: Callable[["list[Any]"], None] | None = None,
+    abort_fn: Callable[["list[Any]"], None] | None = None,
+) -> None:
+    """Write each partition through ``write_fn(rows_iterator) ->
+    descriptor`` on executors, then ``commit_fn(descriptors)`` once on
+    the driver (the manifest/transaction step). The custom-sink mirror
+    of :func:`from_datasource`."""
+    spark = df.sparkSession
+    register(spark)
+    payload = base64.b64encode(
+        _dumps_by_value(
+            {"fn": write_fn, "write_fn": write_fn, "commit_fn": commit_fn, "abort_fn": abort_fn}
+        )
+    ).decode("ascii")
+    (
+        df.write.format("python_io")
+        .option("payload", payload)
+        .mode("append")
+        .save()
     )
 
 

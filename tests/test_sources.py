@@ -291,3 +291,49 @@ def test_datasource_stream_replays_descriptor_log(spark, tmp_path):
     assert out.count() == 14
     assert sorted(r.id for r in out.collect())[:3] == [200, 201, 300]
     assert n_batches >= 2
+
+
+def test_datasource_sink_commit_protocol(spark, tmp_path):
+    """Custom sink: write_fn per partition on executors -> descriptor;
+    commit_fn once on the driver with all descriptors (manifest step)."""
+    import glob
+    import json
+    import os
+
+    from dask_awkward_spark.sources.datasource import to_datasource
+
+    out = str(tmp_path)
+
+    def write_part(rows, _out=out):
+        import os
+        import uuid
+
+        p = os.path.join(_out, f"part-{uuid.uuid4().hex[:8]}.csv")
+        n = 0
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(f"{r.id},{r.v}\n")
+                n += 1
+        return {"file": p, "rows": n}
+
+    def commit(descs, _out=out):
+        import json
+        import os
+
+        with open(os.path.join(_out, "_MANIFEST.json"), "w") as fh:
+            json.dump(sorted(descs, key=lambda d: d["file"]), fh)
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4)
+    to_datasource(df, write_part, commit)
+
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert len(man) == 4
+    assert sum(d["rows"] for d in man) == 100
+    rows = sorted(
+        tuple(map(int, line.split(",")))
+        for f in glob.glob(out + "/part-*.csv")
+        for line in open(f).read().splitlines()
+    )
+    assert rows == [(i, 2 * i) for i in range(100)]
+    # manifest lists exactly the files that exist (committed set only)
+    assert sorted(d["file"] for d in man) == sorted(glob.glob(out + "/part-*.csv"))

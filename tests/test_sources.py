@@ -337,3 +337,20 @@ def test_datasource_sink_commit_protocol(spark, tmp_path):
     assert rows == [(i, 2 * i) for i in range(100)]
     # manifest lists exactly the files that exist (committed set only)
     assert sorted(d["file"] for d in man) == sorted(glob.glob(out + "/part-*.csv"))
+
+
+def test_datasource_pushdown_removes_plan_filter(spark):
+    """Accepted pushFilters are TRUSTED: Spark removes the Filter node
+    entirely (rows die inside read()), while an unpushable predicate
+    (arithmetic expression) stays as a plan Filter above the scan."""
+    from dask_awkward_spark.sources.datasource import from_datasource
+
+    import re
+
+    has_filter_node = lambda plan: re.search(r"\bFilter\b(?!s)", plan)  # noqa: E731
+    df = from_datasource(spark, _dsgen, [5, 3], "id bigint, v double, tag string")
+    pushed = df.filter("v > 1.0")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan python_io" in pushed
+    assert not has_filter_node(pushed), pushed  # "RuntimeFilters: []" is not a node
+    kept = df.filter("v + id > 3")._jdf.queryExecution().executedPlan().toString()
+    assert has_filter_node(kept), kept

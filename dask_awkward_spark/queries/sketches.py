@@ -129,14 +129,50 @@ FROM lineitem
 """
 
 
+def sketch_quantile_accuracy(spark, sf_dir):
+    """Approximate quantiles (Spark's GK/KLL-style ``percentile_approx``
+    — bounded sketch state, map-side mergeable, vs the exact
+    ``percentile`` which buffers values per group). Same discipline as
+    the HLL query: the checked output is the EXACT interpolated median
+    (both engines use the linear-interpolation definition, compared in
+    cents) plus Spark-side assertions that the approx answers land
+    within 1% relative error at accuracy=10000. Exact and approx
+    aggregate in one scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap_med"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap_p95"),
+    )
+    ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e) < 0.01)  # noqa: E731
+    return agg.select(
+        F.round(F.col("exact_med") * 100).cast("bigint").alias("exact_med_c"),
+        F.round(F.col("exact_p95") * 100).cast("bigint").alias("exact_p95_c"),
+        ok("ap_med", "exact_med").alias("med_within_1pct"),
+        ok("ap_p95", "exact_p95").alias("p95_within_1pct"),
+    )
+
+
+SKETCH_QUANTILE_SQL = """
+SELECT CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS exact_med_c,
+       CAST(round(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS exact_p95_c,
+       true AS med_within_1pct,
+       true AS p95_within_1pct
+FROM lineitem
+"""
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_hll_accuracy": sketch_hll_accuracy,
+    "sketch_quantile_accuracy": sketch_quantile_accuracy,
 }
 
 ORACLES = {
     "sketch_kmv_distinct": SKETCH_KMV_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_HH_SQL,
     "sketch_hll_accuracy": SKETCH_HLL_SQL,
+    "sketch_quantile_accuracy": SKETCH_QUANTILE_SQL,
 }

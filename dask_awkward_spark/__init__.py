@@ -50,6 +50,7 @@ from .sources.datasource import (
     from_datasource,
     read_report,
     stream_from_datasource,
+    stream_to_datasource,
     to_datasource,
 )
 from .sources.memory import (

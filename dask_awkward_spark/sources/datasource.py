@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
     EqualNullSafe,
@@ -263,9 +264,37 @@ class PythonIOWriter(DataSourceWriter):
             self.abort_fn([m.payload for m in messages if m is not None])
 
 
+class PythonIOStreamWriter(DataSourceStreamWriter):
+    """Streaming face of the function sink: ``write_fn(rows)`` per task
+    per micro-batch; ``commit_fn(descriptors, batch_id)`` once per
+    micro-batch on the driver. The batch id is the replay key — a
+    restarted query re-runs a batch with the SAME id, so an idempotent
+    commit_fn (write manifest ``batch-<id>``, overwrite-same-name) gives
+    end-to-end exactly-once to arbitrary external systems, which is
+    precisely the foreachBatch/transactional-sink pattern Spark
+    documents, expressed as a reusable source."""
+
+    def __init__(self, options):
+        spec = pickle.loads(base64.b64decode(options["payload"]))
+        self.write_fn = spec["write_fn"]
+        self.commit_fn = spec.get("commit_fn")
+        self.abort_fn = spec.get("abort_fn")
+
+    def write(self, rows) -> _PartitionResult:
+        return _PartitionResult(self.write_fn(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        if self.commit_fn is not None:
+            self.commit_fn([m.payload for m in messages if m is not None], batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        if self.abort_fn is not None:
+            self.abort_fn([m.payload for m in messages if m is not None], batchId)
+
+
 class PythonIOSource(DataSource):
     """``spark.read.format("python_io")`` — generic from_map-style source
-    (batch + streaming) and function sink."""
+    (batch + streaming) and function sink (batch + streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -282,6 +311,9 @@ class PythonIOSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> PythonIOWriter:
         return PythonIOWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> PythonIOStreamWriter:
+        return PythonIOStreamWriter(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -362,6 +394,41 @@ def to_datasource(
         .mode("append")
         .save()
     )
+
+
+def stream_to_datasource(
+    df: DataFrame,
+    write_fn: Callable[[Any], Any],
+    commit_fn: Callable[["list[Any]", int], None] | None = None,
+    abort_fn: Callable[["list[Any]", int], None] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Drain a streaming frame into the function sink
+    (``processAllAvailable`` then stop — availableNow would snapshot the
+    source offset ONCE, defeating a source whose latestOffset advances
+    per trigger, like our throttled descriptor log). ``commit_fn(
+    descriptors, batch_id)`` fires once per micro-batch — make it
+    idempotent in batch_id for exactly-once."""
+    import tempfile
+
+    spark = df.sparkSession
+    register(spark)
+    payload = base64.b64encode(
+        _dumps_by_value(
+            {"fn": write_fn, "write_fn": write_fn, "commit_fn": commit_fn, "abort_fn": abort_fn}
+        )
+    ).decode("ascii")
+    q = (
+        df.writeStream.format("python_io")
+        .option("payload", payload)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_pyio_ckpt_"),
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
 
 
 def read_report(df: DataFrame) -> "tuple[DataFrame, DataFrame]":

@@ -354,3 +354,57 @@ def test_datasource_pushdown_removes_plan_filter(spark):
     assert not has_filter_node(pushed), pushed  # "RuntimeFilters: []" is not a node
     kept = df.filter("v + id > 3")._jdf.queryExecution().executedPlan().toString()
     assert has_filter_node(kept), kept
+
+
+def test_datasource_stream_sink_per_batch_commit(spark, tmp_path):
+    """Streaming function sink: write_fn per task per micro-batch,
+    commit_fn(descs, batch_id) once per micro-batch — the transactional
+    foreachBatch pattern as a reusable sink. End-to-end: custom stream
+    source -> custom stream sink."""
+    import glob
+    import json
+
+    from dask_awkward_spark.sources.datasource import (
+        stream_from_datasource,
+        stream_to_datasource,
+    )
+
+    out = str(tmp_path)
+
+    def gen(n):
+        for i in range(n):
+            yield {"id": n * 100 + i, "v": float(i)}
+
+    st = stream_from_datasource(spark, gen, [5, 3, 4], "id bigint, v double", batch_size=1)
+
+    def write_part(rows, _out=out):
+        import os
+        import uuid
+
+        p = os.path.join(_out, f"data-{uuid.uuid4().hex[:8]}.csv")
+        n = 0
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(f"{r.id},{r.v}\n")
+                n += 1
+        return {"file": p, "rows": n}
+
+    def commit(descs, batch_id, _out=out):
+        import json
+        import os
+
+        with open(os.path.join(_out, f"manifest-{batch_id}.json"), "w") as fh:
+            json.dump(descs, fh)
+
+    stream_to_datasource(st, write_part, commit, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    manifests = sorted(glob.glob(out + "/manifest-*.json"))
+    assert len(manifests) == 3  # batch_size=1 over 3 descriptors
+    per_batch = [sum(d["rows"] for d in json.load(open(m))) for m in manifests]
+    assert sorted(per_batch) == [3, 4, 5]
+    ids = sorted(
+        int(line.split(",")[0])
+        for f in glob.glob(out + "/data-*.csv")
+        for line in open(f).read().splitlines()
+    )
+    assert len(ids) == 12 and ids[0] == 300 and ids[-1] == 504

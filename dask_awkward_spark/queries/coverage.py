@@ -122,6 +122,76 @@ FROM documents WHERE lang = 'en' GROUP BY source
 """
 
 
+def io_datasource_sink_roundtrip(spark, sf_dir):
+    """Full custom-sink transaction loop: documents go out through the
+    function sink (write_fn per partition -> jsonl file + descriptor,
+    commit_fn writes the manifest exactly once), then come back in
+    through the custom source using the MANIFEST's descriptors as the
+    partition list — the committed-set contract end to end. Aggregation
+    proves content fidelity against the direct-SQL oracle."""
+    import json as _json
+    import os
+
+    from ..sources.datasource import from_datasource, to_datasource
+
+    import shutil
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{_TMP}/dakspark_sink_{sf_tag}"
+    shutil.rmtree(out, ignore_errors=True)  # stale parts from prior runs
+    os.makedirs(out, exist_ok=True)
+
+    def write_part(rows, _out=out):
+        import json
+        import os
+        import uuid
+
+        p = os.path.join(_out, f"part-{uuid.uuid4().hex[:8]}.jsonl")
+        n = 0
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps({"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}) + "\n")
+                n += 1
+        return {"file": p, "rows": n}
+
+    def commit(descs, _out=out):
+        import json
+        import os
+
+        with open(os.path.join(_out, "_MANIFEST.json"), "w") as fh:
+            json.dump(descs, fh)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    to_datasource(docs, write_part, commit)
+
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+
+    def read_part(desc):
+        import json
+
+        with open(desc["file"]) as fh:
+            for line in fh:
+                yield json.loads(line)
+
+    back = from_datasource(
+        spark, read_part, manifest, "doc_id bigint, lang string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+IO_DATASOURCE_SINK_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM documents GROUP BY lang
+"""
+
+
 # ---- remaining reducers ----
 
 def op_prod_axis1(spark, sf_dir):
@@ -351,6 +421,7 @@ QUERIES = {
     "io_parquet_roundtrip": io_parquet_roundtrip,
     "io_json_roundtrip": io_json_roundtrip,
     "io_datasource_scan": io_datasource_scan,
+    "io_datasource_sink_roundtrip": io_datasource_sink_roundtrip,
     "op_prod_axis1": op_prod_axis1,
     "op_var_std_axis1": op_var_std_axis1,
     "op_with_field": op_with_field,
@@ -367,6 +438,7 @@ ORACLES = {
     "io_parquet_roundtrip": IO_PARQUET_RT_SQL,
     "io_json_roundtrip": IO_JSON_RT_SQL,
     "io_datasource_scan": IO_DATASOURCE_SQL,
+    "io_datasource_sink_roundtrip": IO_DATASOURCE_SINK_SQL,
     "op_prod_axis1": OP_PROD_SQL,
     "op_var_std_axis1": OP_VAR_STD_SQL,
     "op_with_field": OP_WITH_FIELD_SQL,

@@ -9,7 +9,6 @@ from __future__ import annotations
 import os
 import tempfile
 
-from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,6 +16,7 @@ from ..core import NestedArray
 from ..functions import strings as S
 from ..operators import reducers as red
 from ..operators import structure as st
+from ..sources.tables import load_table
 from ._canon import arr_str, sql_arr_str
 from .nested import NESTED_CTE, _nested
 from .tpch import cents
@@ -33,7 +33,7 @@ def io_parquet_roundtrip(spark, sf_dir):
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = f"{_TMP}/dakspark_rt_{sf_tag}.parquet"
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_orderkey") < 1000)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     to_parquet(li, path, compression="zstd")
     back = from_parquet(spark, path)
     df = back.to_df("r")
@@ -56,7 +56,7 @@ def io_json_roundtrip(spark, sf_dir):
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = f"{_TMP}/dakspark_rt_{sf_tag}.json"
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "n_chars")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     to_json(docs, path)
     back = from_json(spark, path).to_df("r")
     return back.select("r.*").groupBy("lang").agg(
@@ -161,7 +161,7 @@ def io_datasource_sink_roundtrip(spark, sf_dir):
         with open(os.path.join(_out, "_MANIFEST.json"), "w") as fh:
             json.dump(descs, fh)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
     to_datasource(docs, write_part, commit)
@@ -309,7 +309,7 @@ FROM nested
 # ---- regex string kernels ----
 
 def str_regex2(spark, sf_dir):
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = load_table(spark, sf_dir, "documents")
     t = NestedArray(df, "text")
     return df.select(
         "doc_id",
@@ -336,7 +336,7 @@ FROM documents
 #      lib/reducers.py:257-282) ----
 
 def q_corr_covar(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
         F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qd"),
@@ -356,7 +356,7 @@ def dedup_apply(spark, sf_dir):
     """Apply exact dedup: keep the min-doc_id representative of each
     md5(text) group; anti-join drops the rest. The standard 'build
     keep-list, subtract' pipeline shape."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
     survivors = docs.alias("d").join(
         keep.alias("k"),
@@ -457,7 +457,7 @@ def op_categorical(spark, sf_dir):
     codes assigned by value order, so the oracle can re-derive them."""
     from ..types import categorical_encode
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     coded, dictionary = categorical_encode(docs, "source")
     # drop null-coded rows to mirror the oracle's inner join (nulls are
     # not a category; categorical_encode leaves them null-coded)
@@ -484,7 +484,7 @@ def op_union_map(spark, sf_dir):
     carry a long payload when open, a string payload otherwise."""
     from ..types import union_encode, union_map, union_tag
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     tag = F.when(F.col("o_orderstatus") == "O", 0).otherwise(1)
     u = union_encode(tag, [F.col("o_custkey"), F.col("o_orderpriority")])
     mapped = union_map(u, [lambda c: (c % 100).cast("string"), lambda c: F.substring(c, 1, 1)])
@@ -503,7 +503,7 @@ FROM orders
 def q_sql_api(spark, sf_dir):
     """Same engine through the SQL surface: temp views + spark.sql —
     Catalyst produces the identical plan either way."""
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("li_sql")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sql")
     return spark.sql(
         """
         SELECT l_returnflag,

@@ -14,11 +14,11 @@ strings, so numeric vs string ordering agrees.
 
 from __future__ import annotations
 
-from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import textstats as tx
+from ..sources.tables import load_table, load_table_hot
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -34,7 +34,7 @@ WITH tok AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table(spark, sf_dir, "documents")
 
 
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +44,7 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row-group scan serializes it (A/B at sf0.1: ngram Jaccard
     ~3s -> ~1.3s); the lighter dedup queries (exact/simhash/minhash)
     LOSE ~0.3s to the extra shuffle stage and keep the plain scan."""
-    return read_hot(spark, f"{sf_dir}/documents.parquet")
+    return load_table_hot(spark, sf_dir, "documents")
 
 
 def _tokens(spark, sf_dir) -> DataFrame:
@@ -218,7 +218,7 @@ def stream_dedup_minhash(spark, sf_dir):
     import tempfile
     import uuid
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "documents").schema
     docs = (
         spark.readStream.schema(batch_schema)
         .format("parquet")
@@ -490,7 +490,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     from .similarity import _dot as dot
     from .similarity import bucket_expr
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),

@@ -15,7 +15,6 @@ Two kinds of entries:
 
 from __future__ import annotations
 
-from ..session import read_hot
 from pyspark.sql import functions as F
 
 from ..core import NestedArray
@@ -23,6 +22,7 @@ from ..functions import strings as S
 from ..functions import textstats as tx
 from ..operators import reducers as red
 from ..operators import structure as st
+from ..sources.tables import load_table
 from ._canon import arr_micro, arr_str, sql_arr_micro, sql_arr_str
 from .nested import NESTED2_CTE, NESTED_CTE, _POS_SUMS_LIST, _nested, _nested2
 from .text import TOK_CTE, _SW
@@ -148,8 +148,8 @@ def op_zip_cross_df(spark, sf_dir):
     lib/core.py:2815-2938) — both scans enumerate rows identically, so the
     i-th quantity pairs with the i-th price. Checked via an
     order-insensitive exact-cents aggregate."""
-    li1 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li1 = load_table(spark, sf_dir, "lineitem")
+    li2 = load_table(spark, sf_dir, "lineitem")
     q = NestedArray(li1, F.col("l_quantity"))
     p = NestedArray(li2, F.col("l_extendedprice"))
     z = st.zip({"q": q, "p": p})
@@ -295,7 +295,7 @@ def str_kernels_a(spark, sf_dir):
     """The §2.8 transform-side kernels in one per-document row: case,
     length, substring search, split/join, replace, reverse/repeat/slice,
     pad/trim — each column is a distinct Arrow-kernel analogue."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = load_table(spark, sf_dir, "documents")
     t, s = NestedArray(df, "text"), NestedArray(df, "source")
     # tx.tokens (not S.split_whitespace): drops the [""] artifact on
     # empty/whitespace-only text, matching the oracle's filtered TOK_CTE
@@ -360,7 +360,7 @@ FROM tok
 # ---- family: join_element_wise / capitalize+title / is_in+index_in ----
 
 def str_misc_family(spark, sf_dir):
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = load_table(spark, sf_dir, "documents")
     s = NestedArray(df, "source")
     lg = NestedArray(df, "lang")
     return df.select(
@@ -392,7 +392,7 @@ FROM capped
 # ---- family: text analysis (token stats / quality / langid / fingerprints) ----
 
 def text_analysis_family(spark, sf_dir):
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     rh = tx.rolling_hashes(t, k=8)
     return df.select(
@@ -451,7 +451,7 @@ def op_repartition_sample(spark, sf_dir):
     """repartition(n, key) is a pure reshuffle (row multiset unchanged);
     every-Nth deterministic sampling via a key-modulo predicate — joined
     into one per-flag row set."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     re = li.repartition(64, "l_orderkey")
     full = re.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")

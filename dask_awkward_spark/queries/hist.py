@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..core import NestedArray  # noqa: F401  (public type of the jagged path)
 from ..functions import hist as H
 from ..operators import structure as st
+from ..sources.tables import load_table
 from .nested import _arr, _nested
 
 
@@ -25,7 +26,7 @@ def hist_event_values(spark, sf_dir):
     """1-D weighted histogram of events.value in [16, 256), 30 bins +
     under/overflow, weight = exact cents. sumw == n-weighted cents sum,
     sumw2 = sum of squared cents (boost-histogram Weight() storage)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     w = F.round(F.col("value") * 100).cast("bigint")
     h = H.hist1d(ev, "value", bins=30, lo=16.0, hi=256.0, weight=w)
     return h.select(
@@ -51,7 +52,7 @@ def hist2d_qty_discount(spark, sf_dir):
     """2-D histogram: lineitem quantity (25 bins, [0,50)) x discount
     (10 bins, [0,0.1)), weighted by extendedprice cents. Exercises both
     overflow rows (quantity=50, discount=0.1 land in flow bins)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     w = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     h = H.hist2d(
         li,
@@ -86,7 +87,7 @@ def hist_profile_price_by_qty(spark, sf_dir):
     the exact cents sum (identical IEEE division both engines); the spread
     term sums squared WHOLE-DOLLAR values so it stays exact in int64 at
     any sf (105_000^2 * 6e6 rows at sf1 ~ 6.6e16)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
     pr = H.profile1d(
@@ -158,7 +159,7 @@ def hist_log_edges(spark, sf_dir):
     """Irregular (log-spaced) edges over events.value — the axis shape
     real latency/size distributions need; underflow (<1) and the exact
     edge values both exercised."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     return H.hist1d_var(ev, "value", _LOG_EDGES)
 
 

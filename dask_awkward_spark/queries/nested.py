@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..core import NestedArray
 from ..operators import reducers as red
 from ..operators import structure as st
+from ..sources.tables import load_table
 from ._canon import arr_micro, arr_str, sql_arr_micro, sql_arr_str
 
 # Shared CTE for the DuckDB side: per-order quantity/price lists ordered by
@@ -44,7 +45,7 @@ def _nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_linenumber, value): (orderkey, linenumber) is not unique in the
     data, but equal sort keys imply equal values, so each list is still
     deterministic."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
 
     def ordered(col: str) -> F.Column:
         pair = F.array_sort(
@@ -566,7 +567,7 @@ FROM nested
 def _nested2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer list of per-order quantity lists (depth 2), fully
     deterministic ordering at both levels."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     inner = _nested(spark, sf_dir).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     pair = F.array_sort(
         F.collect_list(F.struct(F.col("o_orderkey").alias("ok"), F.col("qs").alias("qs")))
@@ -635,7 +636,7 @@ def op_unflatten(spark, sf_dir):
     """unflatten: regroup the flat quantity stream into per-order lists
     using counts — exact inverse of explode (reference lib/structure.py:898)."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") < 600)
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     )

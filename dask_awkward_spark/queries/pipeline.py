@@ -5,7 +5,6 @@ per-list distinct, elementwise join) that round out SURVEY §2 coverage.
 
 from __future__ import annotations
 
-from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,7 +16,7 @@ from ._canon import arr_micro, sql_arr_micro
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table(spark, sf_dir, "documents")
 
 
 # ---- multimodal ----
@@ -236,7 +235,7 @@ FROM events GROUP BY user_id
 def op_repartition_stable(spark, sf_dir):
     """repartition(n) is a pure reshuffle: multiset of rows unchanged
     (reference repartition, lib/structure.py:1371-1464)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     re = li.repartition(64, "l_orderkey")
     return re.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
@@ -255,7 +254,7 @@ def op_sample_deterministic(spark, sf_dir):
     unique o_orderkey first, so the engine's row index equals the global
     sorted position and DuckDB can reproduce the kept set with
     row_number()."""
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_orderkey")
+    od = load_table(spark, sf_dir, "orders").orderBy("o_orderkey")
     kept = NestedArray(od, "o_totalprice").sample(factor=7).to_df("p")
     return kept.agg(
         F.count(F.lit(1)).alias("n"),
@@ -425,6 +424,7 @@ def pipeline_e2e(spark, sf_dir):
 
 
 from ..functions.textstats import EN_STOPWORDS as _EN_SW
+from ..sources.tables import load_table
 
 _SW_LIST = "', '".join(_EN_SW)
 PIPELINE_E2E_SQL = rf"""

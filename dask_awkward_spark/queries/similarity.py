@@ -15,9 +15,9 @@ from __future__ import annotations
 
 import hashlib
 
-from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..sources.tables import load_table
 
 N_PLANES = 8
 DIM = 64
@@ -36,7 +36,7 @@ def _planes() -> list[list[float]]:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textstats as tx
 from ..functions.sketches import heavy_hitters_exact_via_cms, kmv_distinct
+from ..sources.tables import load_table
 
 KMV_K = 256
 HH_THRESHOLD = 100
@@ -41,7 +42,7 @@ def sketch_kmv_distinct(spark, sf_dir):
 
     from ..core import pin_cache_to_result
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     keys = (
         li.select("l_orderkey").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -81,7 +82,7 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
     """Tokens with exact count >= threshold, found via a CMS gate (exact
     output — see module docstring). Token stream matches the dedup
     family's trim+lower+whitespace tokenization."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("tk"))
     return heavy_hitters_exact_via_cms(
         toks, "tk", HH_THRESHOLD, depth=CMS_DEPTH, width=CMS_WIDTH
@@ -107,7 +108,7 @@ def sketch_hll_accuracy(spark, sf_dir):
     assertion: the HLL estimate must land within 5% of exact (standard
     error at lg_k=12 is ~1.6%, so 5% is a stable margin, not a flaky
     tolerance). One scan: exact and sketch aggregate together."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.countDistinct("l_orderkey").alias("exact_distinct"),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("est"),
@@ -138,7 +139,7 @@ def sketch_quantile_accuracy(spark, sf_dir):
     cents) plus Spark-side assertions that the approx answers land
     within 1% relative error at accuracy=10000. Exact and approx
     aggregate in one scan."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap_med"),

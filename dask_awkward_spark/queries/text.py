@@ -8,17 +8,17 @@ shuffle-free except the final small aggregations.
 
 from __future__ import annotations
 
-from ..session import read_hot
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import NestedArray
 from ..functions import strings as S
 from ..functions import textstats as tx
+from ..sources.tables import load_table, load_table_hot
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table(spark, sf_dir, "documents")
 
 
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,7 +27,7 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unsplittable single-row-group scan serializes it (A/B at sf0.1:
     winnowing 0.8s -> 0.4s; the cheap aggregation queries LOSE ~0.2s to
     the extra shuffle stage, so they keep the plain scan)."""
-    return read_hot(spark, f"{sf_dir}/documents.parquet")
+    return load_table_hot(spark, sf_dir, "documents")
 
 
 TOK_CTE = r"""
@@ -609,11 +609,10 @@ def text_contamination(spark, sf_dir):
     benchmark is always tiny next to the corpus); the corpus explodes
     (doc_id, shingle) once and the overlap count is one hash aggregate —
     no doc-pair joins anywhere, cost linear in corpus shingles."""
-    from ..session import read_hot
-
+    
     # read_hot: the md5-shingle pass is CPU-bound and the documents file
     # is a single unsplittable row group locally (see session.read_hot)
-    docs = read_hot(spark, f"{sf_dir}/documents.parquet")
+    docs = load_table_hot(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.events import stream_events as _stream_events  # noqa: F401
+from ..sources.tables import load_table
 
 
 def stream_tumbling_counts(
@@ -143,7 +144,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is re-read per micro-batch, so slowly-changing dimensions are
     picked up for free. This is THE pattern for enriching a 100 TB/day
     event stream with reference data."""
-    dim = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    dim = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nk"), "n_name"
     )
     enriched = (

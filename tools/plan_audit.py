@@ -11,7 +11,13 @@ operators that do not survive a 100x scale-up:
 - ``BatchEvalPython``            — row-at-a-time Python UDF in the plan
                                    (the Arrow-batched tiers ArrowEvalPython
                                    / MapInPandas / FlatMapGroupsInPandas*
-                                   are the sanctioned escape hatches).
+                                   are the sanctioned escape hatches);
+- unpartitioned ``Window``       — ``Window.partitionBy()`` absent moves
+                                   ALL rows through ONE partition (Spark
+                                   logs "No Partition Defined for Window
+                                   operation"); acceptable only over a
+                                   provably tiny frame — whitelisted per
+                                   query with a reason.
 
 Streaming queries (stream_*) are skipped: their returned frame is a
 drained memory-sink table, not the streaming plan itself.
@@ -43,6 +49,49 @@ BNLJ_WHITELIST = {
 
 FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 
+# query -> reason the unpartitioned Window there is scale-safe
+WINDOW_WHITELIST: dict[str, str] = {}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` bracket groups of a physical-plan line."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Plan lines whose WindowExec has an empty partition spec.
+
+    ``Window [exprs], [part], [order]`` (3 groups) and
+    ``Window [exprs], [part]`` (2 groups, no sort direction) are
+    partitioned; ``Window [exprs], [col ASC NULLS FIRST]`` (2 groups,
+    second is an ordering) and ``Window [exprs]`` are the
+    single-partition shape this audit exists to catch.
+    """
+    bad = []
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("+-*: ")
+        if not (stripped.startswith("Window ") or stripped.startswith("WindowGroupLimit ")):
+            continue
+        if stripped.startswith("WindowGroupLimit "):
+            continue  # always paired with the Window node we check below
+        groups = _top_level_groups(stripped)
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not (" ASC" in groups[1] or " DESC" in groups[1]):
+            continue
+        bad.append(stripped[:120])
+    return bad
+
 
 def audit(names: list[str] | None = None) -> int:
     from dask_awkward_spark.queries import all_queries
@@ -69,6 +118,9 @@ def audit(names: list[str] | None = None) -> int:
                 if flag == "BroadcastNestedLoopJoin" and name in BNLJ_WHITELIST:
                     continue
                 findings.append((name, flag))
+        if name not in WINDOW_WHITELIST:
+            for line in unpartitioned_windows(plan):
+                findings.append((name, f"unpartitioned Window: {line}"))
     print(f"audited {n_audited} query plans")
     for name, what in findings:
         print(f"FLAG {name}: {what}")

@@ -65,8 +65,18 @@ def asof_join(
     ``right_prefix``. When several right rows share the as-of instant,
     the struct's natural ordering breaks the tie deterministically
     (field-order lexicographic — the max struct wins in both directions).
-    With ``by=None`` the window is a single partition; fine for a
-    broadcast-sized right/left, not for two large frames.
+
+    With ``by=None`` there is no key to partition the window on, and a
+    naive ``Window.partitionBy()`` would move BOTH frames through ONE
+    partition. Instead the keyless path range-partitions the tagged
+    union on the scan order, runs the running-``last`` window *per range
+    partition* (fully parallel), and patches the carry across partition
+    boundaries: the per-partition final right value (one row per shuffle
+    partition — a bounded driver-side collect, same contract as the
+    divisions probe in ``compat.py``) is prefix-scanned on the driver
+    and broadcast-joined back so rows whose partition saw no earlier
+    right row inherit the previous partition's last value. Identical
+    semantics to one global window, no single-partition stage.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -91,20 +101,25 @@ def asof_join(
     )
     from pyspark.sql import Window
 
-    part = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
     if direction == "backward":
         # rights sort before lefts at the same instant (inclusive >=);
         # among same-instant rights, ascending struct -> last() = max
-        order = part.orderBy(F.col("__t__").asc(), F.col("__side__").asc(), F.col("__rv__").asc())
+        sort_exprs = [F.col("__t__").asc(), F.col("__side__").asc(), F.col("__rv__").asc()]
     else:
         # scan from the future backwards; rights still precede lefts at
         # the same instant so ts <= ts' stays inclusive
-        order = part.orderBy(F.col("__t__").desc(), F.col("__side__").asc(), F.col("__rv__").asc())
-    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sort_exprs = [F.col("__t__").desc(), F.col("__side__").asc(), F.col("__rv__").asc()]
+    union = tagged_r.unionByName(tagged_l)
 
-    merged = tagged_r.unionByName(tagged_l).select(
-        "*", F.last("__rv__", ignorenulls=True).over(w).alias("__m__")
-    )
+    if by_cols:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(*sort_exprs)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = union.select("*", F.last("__rv__", ignorenulls=True).over(w).alias("__m__"))
+    else:
+        merged = _keyless_running_last(union, sort_exprs, direction)
     out = merged.filter(F.col("__side__") == 1)
 
     matched = F.col("__m__")
@@ -120,6 +135,78 @@ def asof_join(
         matched["__asof_on__"].alias(f"{right_prefix}{on}"),
         *[matched[c].alias(f"{right_prefix}{c}") for c in rcols],
     )
+
+
+def _keyless_running_last(union: DataFrame, sort_exprs: list, direction: str) -> DataFrame:
+    """Global running ``last(__rv__, ignorenulls)`` in ``sort_exprs`` order
+    WITHOUT a single-partition window.
+
+    1. ``repartitionByRange`` on the scan order: partition boundaries
+       follow the global sort, so global order == (pid, within-pid order).
+    2. The running last *within* each range partition is a window
+       partitioned by ``spark_partition_id()`` — every partition works in
+       parallel.
+    3. The carry across partition boundaries: per-pid final right value
+       is ONE row per shuffle partition; collect that bounded frame to
+       the driver (same contract as the divisions probe in compat.py),
+       prefix-scan it, and broadcast-join the carry-in back by pid.
+
+    Equal sort keys always land in one range partition, so the within-pid
+    tie-break matches the global window's semantics exactly.
+    """
+    from pyspark.sql import Window
+
+    spark = union.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = union.repartitionByRange(n_parts, *sort_exprs).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    # partition count must not change between the pid stamping and the
+    # carry collect below (AQE coalescing between jobs would desync them)
+    ranged = ranged.persist()
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select("*", F.last("__rv__", ignorenulls=True).over(w).alias("__lm__"))
+
+    # per-pid last right value in scan order = max of (scan key, rv) over
+    # that pid's right rows; forward scans run time backwards, so negate
+    key = F.unix_micros(F.col("__t__").cast("timestamp"))
+    if direction == "forward":
+        key = -key
+    per_pid = (
+        ranged.filter(F.col("__side__") == 0)
+        .groupBy("__pid__")
+        .agg(F.max(F.struct(key.alias("k"), F.col("__rv__").alias("v"))).alias("__last__"))
+    )
+    rows = sorted(per_pid.collect(), key=lambda r: r["__pid__"])  # bounded: <= n_parts rows
+    carry_rows, prev = [], None
+    last_by_pid = {r["__pid__"]: r["__last__"]["v"] for r in rows}
+    for pid in range(n_parts):
+        if prev is not None:
+            carry_rows.append((pid, prev))
+        if pid in last_by_pid:
+            prev = last_by_pid[pid]
+    rv_type = union.schema["__rv__"].dataType
+    from pyspark.sql import types as T
+
+    carry_schema = T.StructType(
+        [T.StructField("__pid__", T.IntegerType()), T.StructField("__carry__", rv_type)]
+    )
+    if carry_rows:
+        carry = F.broadcast(spark.createDataFrame(carry_rows, carry_schema))
+        patched = local.join(carry, "__pid__", "left")
+    else:
+        patched = local.withColumn("__carry__", F.lit(None).cast(rv_type))
+    from ..core import pin_cache_to_result
+
+    out = patched.select(
+        *[c for c in union.columns],
+        F.coalesce(F.col("__lm__"), F.col("__carry__")).alias("__m__"),
+    )
+    return pin_cache_to_result(ranged, out)
 
 
 def range_join(

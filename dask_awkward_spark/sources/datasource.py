@@ -99,11 +99,28 @@ class _FnPartition(InputPartition):
         self.payload = payload
 
 
-def _filter_predicate(f: Filter) -> Callable[[dict], bool] | None:
+def _filter_predicate(f: Filter, fields: "list[str] | None" = None) -> Callable[[dict], bool] | None:
     """Compile one Catalyst filter to a row-dict predicate, or None if the
-    filter class is not supported (Spark then re-applies it itself)."""
+    filter class is not supported (Spark then re-applies it itself).
+
+    Declined on purpose (accepted filters are TRUSTED — Spark removes the
+    plan's Filter node, so a semantic mismatch silently drops rows):
+
+    - attributes outside ``fields`` (e.g. the synthesized ``__report__``
+      column, absent from the row dicts fn produces — evaluating it here
+      would null-compare every row away);
+    - float-NaN comparison values: Spark SQL's NaN orders above all
+      doubles and NaN==NaN is true, Python disagrees on both.
+    """
+    import math
+
     col = f.attribute[0] if len(f.attribute) == 1 else None
     if col is None:  # nested attribute paths: decline, Spark re-applies
+        return None
+    if fields is not None and col not in fields:
+        return None
+    val = getattr(f, "value", None)
+    if isinstance(val, float) and math.isnan(val):
         return None
 
     def _cmp(op):
@@ -126,7 +143,12 @@ def _filter_predicate(f: Filter) -> Callable[[dict], bool] | None:
     if isinstance(f, LessThanOrEqual):
         return _cmp(lambda x, v: x <= v)
     if isinstance(f, In):
-        vals = set(f.value)
+        if any(isinstance(v, float) and math.isnan(v) for v in f.value):
+            return None  # NaN membership differs between engines
+        # a NULL in the IN-list can never make the predicate true in SQL
+        # (x IN (.., NULL) is true-or-NULL, and NULL rows are filtered);
+        # `None in vals` would wrongly keep null rows
+        vals = {v for v in f.value if v is not None}
         return lambda row, _c=col: row.get(_c) in vals
     if isinstance(f, IsNull):
         return lambda row, _c=col: row.get(_c) is None
@@ -154,7 +176,7 @@ class PythonIOReader(DataSourceReader):
         # keep what we can evaluate at the source; hand back the rest —
         # the reference's prepare_for_projection/project contract
         for f in filters:
-            pred = _filter_predicate(f)
+            pred = _filter_predicate(f, self.fields)
             if pred is None:
                 yield f
             else:
@@ -173,16 +195,26 @@ class PythonIOReader(DataSourceReader):
                 n_out += 1
                 out.append(tuple(d.get(c) for c in self.fields))
         if self.report:
-            rep = json.dumps(
-                {
-                    "partition": partition.index,
-                    "rows_read": n_in,
-                    "rows_emitted": n_out,
-                    "pushed_filters": len(self.accepted),
-                }
-            )
-            for t in out:
-                yield t + (rep,)
+            rep = {
+                "partition": partition.index,
+                "rows_read": n_in,
+                "rows_emitted": n_out,
+                "pushed_filters": len(self.accepted),
+            }
+            if not out:
+                # a partition whose rows were all filtered (or whose fn
+                # yielded nothing) must still be represented — the
+                # reference's return_report records every partition
+                # (lib/io/parquet.py:36-61). Carry the report on one
+                # all-null sentinel row; read_report drops it from the
+                # data side via the sentinel marker.
+                yield (None,) * len(self.fields) + (
+                    json.dumps({**rep, "sentinel": True}),
+                )
+            else:
+                rep_s = json.dumps(rep)
+                for t in out:
+                    yield t + (rep_s,)
         else:
             yield from out
 
@@ -193,9 +225,13 @@ class PythonIOStreamReader(DataSourceStreamReader):
     descriptors between the committed and latest offsets, one
     InputPartition per descriptor — ``fn`` still runs on executors.
     ``batch_size`` throttles descriptors per micro-batch (the
-    ``maxFilesPerTrigger`` analogue). Replay after failure is exact:
-    partitions(start, end) is deterministic in the offsets, which is the
-    whole exactly-once contract of the API."""
+    ``maxFilesPerTrigger`` analogue). Replay of an in-flight batch after
+    failure is exact — partitions(start, end) is deterministic in the
+    offsets. Progress (``self._pos``) is driver-local, so on a restart
+    from checkpoint the fresh reader instance learns the committed
+    position from the first partitions()/commit() call and never lets
+    latestOffset() regress behind it (a regressed offset would replay
+    already-committed descriptors as duplicates)."""
 
     def __init__(self, schema, options):
         spec = pickle.loads(base64.b64decode(options["payload"]))
@@ -216,6 +252,11 @@ class PythonIOStreamReader(DataSourceStreamReader):
         return {"index": self._pos}
 
     def partitions(self, start: dict, end: dict):
+        # recover from checkpointed offsets: on restart Spark replays the
+        # last planned batch / resumes from the committed offset with a
+        # FRESH reader whose _pos is 0 — ratchet up so the next
+        # latestOffset() continues from there instead of re-emitting
+        self._pos = max(self._pos, start["index"], end["index"])
         return [_FnPartition(i, self.inputs[i]) for i in range(start["index"], end["index"])]
 
     def read(self, partition: _FnPartition):
@@ -224,7 +265,9 @@ class PythonIOStreamReader(DataSourceStreamReader):
             yield tuple(d.get(c) for c in self.fields)
 
     def commit(self, end: dict) -> None:
-        pass  # descriptor list is immutable here; nothing to release
+        # descriptor list is immutable (nothing to release), but the
+        # committed offset is the restart floor — ratchet like partitions()
+        self._pos = max(self._pos, end["index"])
 
 
 class _PartitionResult(WriterCommitMessage):
@@ -310,6 +353,14 @@ class PythonIOSource(DataSource):
         return PythonIOStreamReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool) -> PythonIOWriter:
+        if overwrite:
+            # the function sink has no notion of "truncate the target" —
+            # silently treating overwrite as append would break the
+            # caller's exactly-once assumptions
+            raise ValueError(
+                "python_io sink supports mode='append' only; "
+                "implement truncation inside commit_fn if needed"
+            )
         return PythonIOWriter(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> PythonIOStreamWriter:
@@ -409,6 +460,7 @@ def stream_to_datasource(
     per trigger, like our throttled descriptor log). ``commit_fn(
     descriptors, batch_id)`` fires once per micro-batch — make it
     idempotent in batch_id for exactly-once."""
+    import shutil
     import tempfile
 
     spark = df.sparkSession
@@ -418,22 +470,34 @@ def stream_to_datasource(
             {"fn": write_fn, "write_fn": write_fn, "commit_fn": commit_fn, "abort_fn": abort_fn}
         )
     ).decode("ascii")
+    # an ephemeral checkpoint is only correct because this helper drains
+    # to completion and stops; callers who want restart-recovery must pass
+    # their own durable checkpoint_dir
+    ephemeral = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_pyio_ckpt_")
     q = (
         df.writeStream.format("python_io")
         .option("payload", payload)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_pyio_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if ephemeral:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def read_report(df: DataFrame) -> "tuple[DataFrame, DataFrame]":
-    """Split a report-carrying frame into (data, per-partition report)."""
-    data = df.drop(REPORT_COL)
+    """Split a report-carrying frame into (data, per-partition report).
+
+    Partitions that emitted no data rows are represented by an all-null
+    sentinel row (``"sentinel": true`` in the report JSON) so EVERY
+    partition appears in the report; the sentinel is excluded from the
+    data side here."""
+    sentinel = F.get_json_object(F.col(REPORT_COL), "$.sentinel") == "true"
+    data = df.filter(~F.coalesce(sentinel, F.lit(False))).drop(REPORT_COL)
     rep_schema = (
         "partition bigint, rows_read bigint, rows_emitted bigint, pushed_filters bigint"
     )

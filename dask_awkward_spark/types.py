@@ -63,15 +63,48 @@ def union_map(u: Column, fns: Sequence[Callable[[Column], Column]]) -> Column:
 def categorical_encode(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
     """Returns (df with ``{col}_code`` int column, dictionary DataFrame
     ``[code, value]``). Codes are assigned deterministically by value
-    order so encode is reproducible across runs/partitionings."""
+    order so encode is reproducible across runs/partitionings.
+
+    Code assignment is scale-safe for high-cardinality dictionaries: a
+    global ``row_number`` window would sort the whole dictionary in ONE
+    partition, so instead the distinct values are range-partitioned
+    (boundaries follow the global value order), ranked *within* each
+    partition in parallel, and shifted by per-partition offsets — the
+    prefix sum of partition sizes, computed from a bounded driver-side
+    collect of one count per shuffle partition (same contract as the
+    divisions probe in compat.py). code = offset[pid] + local_rank - 1
+    is exactly the global dense rank.
+    """
     from pyspark.sql import Window
 
-    dictionary = (
+    spark = df.sparkSession
+    values = (
         df.select(F.col(col).alias("value"))
         .filter(F.col(col).isNotNull())  # nulls stay null-coded, not a category
         .distinct()
-        .withColumn("code", F.row_number().over(Window.orderBy("value")) - 1)
-        .select("code", "value")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # persist before the count job: the pid stamping must not be re-planned
+    # (AQE re-coalescing) between computing offsets and assigning ranks
+    ranged = (
+        values.repartitionByRange(n_parts, F.col("value").asc())
+        .withColumn("__pid__", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid__"]: r["n"]
+        for r in ranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded: <= n_parts rows
+    offs, acc = [], 0
+    for pid in range(n_parts):
+        offs.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off = F.broadcast(spark.createDataFrame(offs, "__pid__ int, __off__ bigint"))
+    local_rank = F.row_number().over(Window.partitionBy("__pid__").orderBy("value"))
+    dictionary = (
+        ranged.withColumn("__rk__", local_rank)
+        .join(off, "__pid__")
+        .select((F.col("__off__") + F.col("__rk__") - 1).cast("int").alias("code"), "value")
     )
     # join through renamed internal columns so caller columns named
     # 'value'/'code' survive
@@ -83,7 +116,9 @@ def categorical_encode(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
         .drop("__cat_value__")
         .withColumnRenamed("__cat_code__", f"{col}_code")
     )
-    return coded, dictionary
+    from .core import pin_cache_to_result
+
+    return pin_cache_to_result(ranged, coded), dictionary
 
 
 def categorical_decode(coded: DataFrame, dictionary: DataFrame, code_col: str, out_col: str) -> DataFrame:

@@ -59,3 +59,34 @@ def test_categorical_roundtrip(spark):
         3: "red",
         4: "green",
     }
+
+
+def test_categorical_encode_high_cardinality_dense_codes(spark):
+    """Codes are the global dense rank by value even when the dictionary
+    spans many range partitions (the scale path: partition-local rank +
+    offset prefix-sum, no single-partition sort)."""
+    from dask_awkward_spark.types import categorical_encode
+
+    vals = [f"v{i:05d}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals for _ in (0, 1)], "s string")
+    coded, dictionary = categorical_encode(df, "s")
+    d = {r["value"]: r["code"] for r in dictionary.collect()}
+    assert d == {v: i for i, v in enumerate(sorted(vals))}
+    got = {(r["s"], r["s_code"]) for r in coded.collect()}
+    assert got == {(v, i) for i, v in enumerate(sorted(vals))}
+
+
+def test_categorical_encode_plan_has_no_unpartitioned_window(spark):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import unpartitioned_windows
+
+    from dask_awkward_spark.types import categorical_encode
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "s string")
+    coded, dictionary = categorical_encode(df, "s")
+    for frame in (coded, dictionary):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert unpartitioned_windows(plan) == []

@@ -65,6 +65,14 @@ from .sources.memory import (
 from .operators import reducers, structure
 from .functions import hist, sketches, timeseries  # capability uplift namespaces
 from .functions.hist import hist1d, hist2d, profile1d
+from .functions.curation import (
+    assign_split,
+    cap_running_budget,
+    contamination,
+    deterministic_shuffle,
+    pack_sequences,
+    quota_sample,
+)
 from .functions.sketches import hll_distinct, kmv_distinct
 from .functions.timeseries import asof_join, range_join, rollup_cascade
 from .functions import strings as str  # noqa: A001 — reference: `import dask_awkward.lib.str as str` (__init__.py:9)

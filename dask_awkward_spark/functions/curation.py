@@ -1,0 +1,183 @@
+"""Public dataset-curation APIs: deterministic splits, shuffles, quota
+sampling, budget capping, sequence packing, contamination detection.
+
+These generalize the oracle-checked harness queries (queries/splits.py,
+queries/text.py) into parameterized library calls — the knobs a real
+training-data pipeline turns (fractions, budgets, k-gram size,
+thresholds) instead of harness constants.
+
+Design discipline shared by every function here:
+
+- **Hash-gate determinism** — "randomness" is the md5 of a stable key,
+  so membership is a pure function of the row: re-runs, re-partitioning,
+  and other engines (the DuckDB oracle) reproduce it exactly. That is
+  the property auditable train/test hygiene needs at 100 TB.
+- **No global funnels** — budget capping and packing window per shard
+  (partition_by), never ``Window.partitionBy()``; contamination
+  broadcasts the benchmark side and stays linear in corpus shingles;
+  quota sampling and splits are row-local filters that push into the
+  scan.
+
+Capability uplift over the reference (dask-awkward has no curation
+surface); shapes mirror public decontamination/packing practice
+(n-gram-overlap decontamination, greedy sequence packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_key(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform-ish key in [0, 2^32) as 8 hex chars —
+    the hash gate every curation op derives its 'randomness' from."""
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+
+
+def _hex_threshold(fraction: float) -> str:
+    """8-hex-digit threshold t with P[hash_key < t] ~= fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+def assign_split(
+    df: DataFrame,
+    key: Column,
+    fractions: "dict[str, float]",
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Add a deterministic split label: ``fractions`` maps label ->
+    fraction (must sum to ~1; the last label absorbs rounding).
+    Membership is a pure function of ``key`` — later pipeline stages
+    (dedup, filtering, re-sharding) can never migrate a row across
+    splits. Row-local expression; no shuffle."""
+    labels = list(fractions)
+    if len(labels) < 2:
+        raise ValueError("need at least two split labels")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_key(key, salt)
+    expr, acc = None, 0.0
+    for label in labels[:-1]:
+        acc += fractions[label]
+        cond = u < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = expr.otherwise(labels[-1])
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_shuffle(df: DataFrame, key: Column, salt: str = "") -> DataFrame:
+    """Reproducible global shuffle: training order is the sort order of
+    the hash key — every re-run and engine derives the same permutation.
+    ``limit(k)`` on the result compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge, NO shuffle); materializing the
+    full permutation is one range-partitioned sort."""
+    return df.withColumn("__skey__", hash_key(key, salt)).orderBy(
+        "__skey__", key
+    ).drop("__skey__")
+
+
+def quota_sample(df: DataFrame, key: Column, rate: "Column | float", salt: str = "") -> DataFrame:
+    """Deterministic stratified sampling: keep a row when its hash key
+    falls below ``rate`` (a float, or a per-row Column of floats for
+    per-stratum mixing weights). Row-local filter — pushes into the
+    scan at any corpus size."""
+    u = hash_key(key, salt)
+    if isinstance(rate, Column):
+        # per-row threshold: compare numerically (hex -> bigint)
+        thr = (rate * F.lit(float(2**32))).cast("bigint")
+        return df.filter(F.conv(u, 16, 10).cast("bigint") < thr)
+    return df.filter(u < F.lit(_hex_threshold(float(rate))))
+
+
+def cap_running_budget(
+    df: DataFrame,
+    partition_by: "str | list[str]",
+    key: Column,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-shard data budget: walk each partition's rows in hashed
+    (deterministic-shuffled) order and keep them while the running
+    ``weight_col`` total is under ``budget`` — the mixing-weights
+    enforcement step of a corpus build. ONE window per shard (shards
+    cap independently); no global window."""
+    from pyspark.sql import Window
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*parts).orderBy(hash_key(key), key)
+    run = df.withColumn("__start__", F.sum(weight_col).over(w) - F.col(weight_col))
+    return run.filter(F.col("__start__") < F.lit(budget)).drop("__start__")
+
+
+def pack_sequences(
+    df: DataFrame,
+    partition_by: "str | list[str]",
+    order_key: Column,
+    size_col: str,
+    budget: int,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign rows to fixed-``budget`` packs
+    (training-batch assembly). Deterministic order within each shard; a
+    row whose running START offset crosses a budget boundary opens the
+    next pack. ONE window per shard, then whatever aggregate the caller
+    wants per (shard, pack)."""
+    from pyspark.sql import Window
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*parts).orderBy(order_key)
+    return df.withColumn(
+        "__start__", F.sum(size_col).over(w) - F.col(size_col)
+    ).withColumn(out_col, F.floor(F.col("__start__") / F.lit(budget)).cast("bigint")).drop(
+        "__start__"
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Benchmark-contamination scores: for each corpus row, the fraction
+    of its distinct ``k``-gram shingles that appear in ANY benchmark row
+    (n-gram-overlap decontamination; 13-grams at prod scale). Returns
+    ``(id_col, n_sh, n_shared, frac)`` for rows with ``frac >=
+    min_overlap``.
+
+    Scale shape: the benchmark shingle set is DISTINCT + broadcast (a
+    benchmark is always tiny next to the corpus); the corpus explodes
+    (id, shingle) once and overlap is one hash aggregate — no doc-pair
+    joins, cost linear in corpus shingles."""
+    from . import textstats as tx
+
+    def shingles(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.array_distinct(tx.rolling_hashes(F.col(text_col), k=k)).alias("__sh__"),
+        )
+
+    bset = shingles(benchmark).select(F.explode("__sh__").alias("__g__")).distinct()
+    sh = shingles(corpus).filter(F.size("__sh__") > 0)
+    scored = (
+        sh.select(id_col, F.size("__sh__").alias("n_sh"), F.explode("__sh__").alias("__g__"))
+        .join(F.broadcast(bset), "__g__")
+        .groupBy(id_col, "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            id_col,
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            "n_shared",
+            (F.col("n_shared") / F.col("n_sh")).alias("frac"),
+        )
+    )
+    if min_overlap > 0.0:
+        scored = scored.filter(F.col("frac") >= min_overlap)
+    return scored

@@ -13,12 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.curation import assign_split, cap_running_budget, hash_key
 from .text import _docs
 
 
-def _hkey(col) -> F.Column:
-    """Stable uniform-ish key in [0, 2^32) as 8 hex chars."""
-    return F.substring(F.md5(col.cast("string")), 1, 8)
+# the md5 hash gate now lives in the public API (functions/curation.py)
+_hkey = hash_key
 
 
 def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,15 +26,11 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the id, so later pipeline stages (dedup, filtering,
     re-sharding) can never migrate a document across splits. Row-local
     gate + one tiny groupBy."""
-    df = _docs(spark, sf_dir)
-    u = _hkey(F.col("doc_id"))
-    split = (
-        F.when(u < F.lit("e6666666"), F.lit("train"))  # 0.9 * 2^32
-        .when(u < F.lit("f3333333"), F.lit("valid"))  # 0.95 * 2^32
-        .otherwise(F.lit("test"))
+    df = assign_split(
+        _docs(spark, sf_dir), F.col("doc_id"), {"train": 0.90, "valid": 0.05, "test": 0.05}
     )
     return (
-        df.select(split.alias("split"), "n_chars", "doc_id")
+        df.select("split", "n_chars", "doc_id")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -86,14 +82,8 @@ def budget_cap_per_source(spark: SparkSession, sf_dir: str, budget: int = 20000)
     budget — the mixing-weights enforcement step of a corpus build. ONE
     window per source partition (sources shard independently), then a tiny
     per-source aggregate; no global window."""
-    from pyspark.sql import Window
-
-    df = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(_hkey(F.col("doc_id")), "doc_id")
-    run = df.select("doc_id", "source", "n_chars").withColumn(
-        "start", F.sum("n_chars").over(w) - F.col("n_chars")
-    )
-    kept = run.filter(F.col("start") < F.lit(budget))
+    df = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    kept = cap_running_budget(df, "source", F.col("doc_id"), "n_chars", budget)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),

@@ -344,14 +344,15 @@ def quota_sampling(spark, sf_dir):
     engine-deterministic (no RNG), stable under re-runs and re-partitioning,
     and exactly reproducible by the oracle. Row-local filter → one
     aggregate; pushes down to the scan at any corpus size."""
+    from ..functions.curation import quota_sample
+
     df = _docs(spark, sf_dir)
-    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-    # ~50% for the first three sources, ~20% elsewhere (hex thresholds)
-    thr = F.when(
-        F.col("source").isin("src0", "src1", "src2"), F.lit("80000000")
-    ).otherwise(F.lit("33333333"))
+    # ~50% for the first three sources, ~20% elsewhere (mixing weights)
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2"), F.lit(0.5)
+    ).otherwise(F.lit(0.2))
     return (
-        df.filter(u < thr)
+        quota_sample(df, F.col("doc_id"), rate)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
@@ -485,14 +486,11 @@ def text_pack_sequences(spark, sf_dir, budget: int = 4096):
     independently — exactly how a real pipeline shards packing), running
     cumsum, then a hash-agg per (source, pack). No global window, no
     single-partition funnel."""
-    from pyspark.sql import Window
+    from ..functions.curation import pack_sequences
 
     docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy("doc_id")
     toks = docs.select("doc_id", "source", tx.token_count(F.col("text")).alias("n_tok"))
-    packed = toks.withColumn(
-        "start", F.sum("n_tok").over(w) - F.col("n_tok")
-    ).withColumn("pack_id", F.floor(F.col("start") / F.lit(budget)).cast("bigint"))
+    packed = pack_sequences(toks, "source", F.col("doc_id"), "n_tok", budget)
     return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
@@ -610,34 +608,25 @@ def text_contamination(spark, sf_dir):
     (doc_id, shingle) once and the overlap count is one hash aggregate —
     no doc-pair joins anywhere, cost linear in corpus shingles."""
     
-    # read_hot: the md5-shingle pass is CPU-bound and the documents file
-    # is a single unsplittable row group locally (see session.read_hot)
+    from ..functions.curation import contamination
+
+    # load_table_hot: the md5-shingle pass is CPU-bound and the documents
+    # file is a single unsplittable row group locally (see session.read_hot)
     docs = load_table_hot(spark, sf_dir, "documents")
-    sh = docs.select(
+    scored = contamination(
+        corpus=docs.filter(F.col("doc_id") % 97 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+        text_col="text",
+        id_col="doc_id",
+        k=3,
+    )
+    # exact-integer overlap fraction so the DuckDB oracle hashes identically
+    return scored.select(
         "doc_id",
-        F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh"),
-    )
-    bset = (
-        sh.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
-    return (
-        sh.filter((F.col("doc_id") % 97 != 0) & (F.size("sh") > 0))
-        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
-        .join(F.broadcast(bset), "g")
-        .groupBy("doc_id", "n_sh")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .select(
-            "doc_id",
-            F.col("n_sh").cast("bigint").alias("n_sh"),
-            "n_shared",
-            F.round(F.col("n_shared") * 1e6 / F.col("n_sh"))
-            .cast("bigint")
-            .alias("frac_micro"),
-        )
-        .filter(F.col("frac_micro") >= 100000)
-    )
+        "n_sh",
+        "n_shared",
+        F.round(F.col("n_shared") * 1e6 / F.col("n_sh")).cast("bigint").alias("frac_micro"),
+    ).filter(F.col("frac_micro") >= 100000)
 
 
 TEXT_CONTAMINATION_SQL = r"""

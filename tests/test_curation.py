@@ -1,0 +1,143 @@
+"""Public curation API (functions/curation.py): parameterized versions of
+the oracle-checked splits/quota/packing/contamination queries."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_awkward_spark.functions.curation import (
+    assign_split,
+    cap_running_budget,
+    contamination,
+    deterministic_shuffle,
+    hash_key,
+    pack_sequences,
+    quota_sample,
+)
+
+
+def _md5_8(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(1000).withColumn("w", (F.col("id") % 7 + 1).cast("bigint"))
+
+
+def test_hash_key_matches_md5(spark):
+    got = spark.range(5).select(hash_key(F.col("id")).alias("h")).collect()
+    assert [r.h for r in got] == [_md5_8(str(i)) for i in range(5)]
+
+
+def test_assign_split_fractions_and_determinism(spark, ids):
+    out = assign_split(ids, F.col("id"), {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert 700 < counts["train"] < 900  # ~800 of 1000
+    # pure function of the key: a repartitioned re-run assigns identically
+    again = assign_split(ids.repartition(13), F.col("id"), {"train": 0.8, "valid": 0.1, "test": 0.1})
+    assert out.select("id", "split").exceptAll(again.select("id", "split")).count() == 0
+    # python-side replication of the gate
+    lbl = {r["id"]: r["split"] for r in out.collect()}
+    for i in (0, 17, 999):
+        h = int(_md5_8(str(i)), 16)
+        want = "train" if h < 0.8 * 2**32 else ("valid" if h < 0.9 * 2**32 else "test")
+        assert lbl[i] == want
+
+
+def test_assign_split_validation(spark, ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(ids, F.col("id"), {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="two split labels"):
+        assign_split(ids, F.col("id"), {"a": 1.0})
+
+
+def test_quota_sample_float_and_column_rates_agree(spark, ids):
+    flat = quota_sample(ids, F.col("id"), 0.3)
+    col = quota_sample(ids, F.col("id"), F.lit(0.3))
+    assert sorted(r.id for r in flat.collect()) == sorted(r.id for r in col.collect())
+    n = flat.count()
+    assert 230 < n < 370  # ~300
+
+
+def test_deterministic_shuffle_is_stable(spark, ids):
+    a = [r.id for r in deterministic_shuffle(ids, F.col("id")).limit(50).collect()]
+    b = [r.id for r in deterministic_shuffle(ids.repartition(7), F.col("id")).limit(50).collect()]
+    assert a == b
+    assert a != sorted(a)  # actually permuted
+
+
+def test_cap_running_budget_per_shard(spark, ids):
+    df = ids.withColumn("shard", (F.col("id") % 3).cast("int"))
+    kept = cap_running_budget(df, "shard", F.col("id"), "w", budget=100)
+    # every shard's kept set: walking in hash order, start offsets < 100
+    rows = kept.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    full = df.collect()
+    for shard in (0, 1, 2):
+        ordered = sorted(
+            (r for r in full if r["shard"] == shard),
+            key=lambda r: (_md5_8(str(r["id"])), r["id"]),
+        )
+        want, acc = set(), 0
+        for r in ordered:
+            if acc < 100:
+                want.add(r["id"])
+            acc += r["w"]
+        assert {r["id"] for r in by_shard[shard]} == want
+
+
+def test_pack_sequences_budget_boundaries(spark, ids):
+    df = ids.withColumn("shard", F.lit("s"))
+    packed = pack_sequences(df, "shard", F.col("id"), "w", budget=50)
+    rows = sorted(packed.collect(), key=lambda r: r["id"])
+    acc = 0
+    for r in rows:
+        assert r["pack_id"] == acc // 50
+        acc += r["w"]
+    # pack totals never exceed budget by more than one row's weight
+    sizes = {}
+    for r in rows:
+        sizes[r["pack_id"]] = sizes.get(r["pack_id"], 0) + r["w"]
+    assert all(s < 50 + 7 for s in sizes.values())
+
+
+def test_contamination_matches_bruteforce(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "completely different words entirely here now"),
+            (3, "the cat sat on a log"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, "the cat sat on the mat")], "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["n_sh"], r["n_shared"]) for r in contamination(corpus, bench, k=3).collect()}
+
+    def sh(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    bset = sh("the cat sat on the mat")
+    for doc_id, text in [(1, "the cat sat on the mat today"), (3, "the cat sat on a log")]:
+        s = sh(text)
+        overlap = len(s & bset)
+        if overlap:
+            assert out[doc_id] == (len(s), overlap)
+    assert 2 not in out  # zero overlap rows drop out of the inner join
+    # threshold knob
+    hi = contamination(corpus, bench, k=3, min_overlap=0.9).collect()
+    assert all(r["frac"] >= 0.9 for r in hi)
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    bench = spark.createDataFrame([(2, "a b c")], "doc_id bigint, text string")
+    plan = contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -649,3 +649,122 @@ FROM paired WHERE CAST(round(lev * 1e6 / mx) AS BIGINT) <= 500000
 
 QUERIES.update({"dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein})
 ORACLES.update({"dedup_fuzzy_levenshtein": _fuzzy_sql()})
+
+
+def dedup_fuzzy_reps(spark, sf_dir):
+    """Fuzzy dedup with an exact-duplicate gate — the scale path for
+    near-dup-heavy corpora (web crawls commonly carry many byte-identical
+    copies per page).
+
+    The plain pair query's candidate join is quadratic in copies-per-
+    bucket: the 10x replica sweep measured 126x wall time at 10x data,
+    almost all of it pair-output cardinality (each doc gained ~10 exact
+    copies, so the PAIR SET itself grows ~100x — no plan can beat its
+    own output size). The fix is semantic: collapse byte-identical texts
+    to one representative FIRST (one hash aggregate, linear), run the
+    LSH-gated Levenshtein stage over representatives only, and carry the
+    copy counts. Exact copies never pay Levenshtein, and candidate
+    buckets stay bounded by DISTINCT-text density, not raw row count."""
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+    reps = docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    sh = reps.select(
+        "doc_id", F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh")
+    )
+    from pyspark import StorageLevel
+
+    bands = (
+        sh.select("doc_id", F.explode(_packed_band_structs(F.col("sh"))).alias("b"))
+        .select("doc_id", "b.band", "b.bkey")
+        .filter(F.col("bkey").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    r = reps.select("doc_id", "text", "n_copies")
+    paired = (
+        cand.join(
+            r.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("text").alias("ta"),
+                F.col("n_copies").alias("copies_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            r.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("text").alias("tb"),
+                F.col("n_copies").alias("copies_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "copies_a",
+            "copies_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("lev"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
+        )
+    )
+    out = paired.select(
+        "doc_a",
+        "doc_b",
+        "copies_a",
+        "copies_b",
+        "lev",
+        F.round(F.col("lev") * 1e6 / F.col("mx")).cast("bigint").alias("rel_micro"),
+    ).filter(F.col("rel_micro") <= 500000)
+    return _pin_to_result(bands, out)
+
+
+def _fuzzy_reps_sql() -> str:
+    return (
+        r"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+  FROM documents GROUP BY text
+), tokl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
+  FROM reps
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(0, len(toks) - 2), i -> md5(array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [] END) AS s
+  FROM tokl
+)"""
+        + _sql_sig_bands("sh", "s")
+        + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), paired AS (
+  SELECT c.doc_a, c.doc_b, ra.n_copies AS copies_a, rb.n_copies AS copies_b,
+         CAST(levenshtein(ra.text, rb.text) AS BIGINT) AS lev,
+         greatest(length(ra.text), length(rb.text)) AS mx
+  FROM cand c
+  JOIN reps ra ON ra.doc_id = c.doc_a
+  JOIN reps rb ON rb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, copies_a, copies_b, lev,
+       CAST(round(lev * 1e6 / mx) AS BIGINT) AS rel_micro
+FROM paired WHERE CAST(round(lev * 1e6 / mx) AS BIGINT) <= 500000
+"""
+    )
+
+
+QUERIES.update({"dedup_fuzzy_reps": dedup_fuzzy_reps})
+ORACLES.update({"dedup_fuzzy_reps": _fuzzy_reps_sql()})

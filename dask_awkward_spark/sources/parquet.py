@@ -187,3 +187,61 @@ def to_zordered_parquet(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: "list[str] | None" = None,
+    compression: str = "zstd",
+) -> dict:
+    """Dataset maintenance: rewrite a parquet dataset's small files into
+    ~``target_file_bytes`` files (uplift; no reference counterpart).
+
+    Streaming sinks and incremental loads leave thousands of small files
+    behind; at 100 TB scan cost becomes file-count-bound (one footer
+    read + one scheduler task per file) long before it is byte-bound.
+    Compaction is the standing maintenance job that fixes it.
+
+    Shape: one narrow size scan of the directory (driver-side listing,
+    no data read), a single round-robin ``repartition`` to
+    ``ceil(total_bytes / target)`` output tasks (the only shuffle — and
+    it moves each byte once), rewrite into a temp dir, then an atomic
+    swap so concurrent readers see either the old or the new layout,
+    never a half-written one. With ``partition_by`` the rewrite
+    repartitions on the partition columns instead, so each output task
+    writes whole hive partitions and small files collapse within each.
+
+    Returns ``{"files_before", "files_after", "bytes"}``.
+    """
+    import math
+    import os
+    import shutil
+
+    def _files(p: str) -> "list[str]":
+        out = []
+        for root, _dirs, names in os.walk(p):
+            out.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+        return out
+
+    before = _files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    # compressed bytes on disk underestimate in-flight row size; the
+    # writer's maxRecordsPerFile is not needed — file count is the knob
+    n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
+    df = spark.read.parquet(path)
+    w = (
+        (df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out))
+        .write.mode("overwrite")
+        .option("compression", compression)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w.parquet(tmp)
+    bak = path.rstrip("/") + "__compact_bak"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return {"files_before": len(before), "files_after": len(_files(path)), "bytes": total}

@@ -90,3 +90,43 @@ def test_zorder_prunes_both_dimensions(spark):
         tspan = (t_hi - t_lo) // 8 or 1
         both = {"user_id": (u_lo, u_lo + span), "t_us": (t_lo, t_lo + tspan)}
         assert _files_hit(zr, both) < len(zr)
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    """Many tiny files -> few target-size files, identical row multiset,
+    atomic in-place swap."""
+    from dask_awkward_spark.sources.parquet import compact_parquet
+
+    p = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") % 97)
+    # fragment: ~100 rows per file
+    df.repartition(4).write.option("maxRecordsPerFile", 100).parquet(p)
+    import glob
+
+    n_before = len(glob.glob(f"{p}/**/*.parquet", recursive=True))
+    assert n_before > 50
+
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1  # everything fits one target file
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    assert not glob.glob(f"{p}__compact_*")  # no temp/backup leftovers
+
+
+def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
+    from dask_awkward_spark.sources.parquet import compact_parquet
+
+    p = str(tmp_path / "hive")
+    df = spark.range(2_000).withColumn("part", (F.col("id") % 3).cast("int"))
+    df.repartition(8).write.option("maxRecordsPerFile", 50).partitionBy("part").parquet(p)
+    import glob
+
+    assert len(glob.glob(f"{p}/part=1/*.parquet")) > 5
+    compact_parquet(spark, p, target_file_bytes=1 << 30, partition_by=["part"])
+    assert len(glob.glob(f"{p}/part=1/*.parquet")) == 1  # collapsed per partition
+    back = spark.read.parquet(p)
+    assert back.count() == 2_000
+    # partition pruning still works on the compacted layout
+    assert back.filter(F.col("part") == 1).count() == sum(1 for i in range(2_000) if i % 3 == 1)

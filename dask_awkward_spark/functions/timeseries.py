@@ -54,6 +54,9 @@ def asof_join(
     row at-or-before (``backward``) / at-or-after (``forward``) its
     ``on`` timestamp, optionally within ``tolerance`` seconds.
 
+    ``on`` may be any orderable column type; ``tolerance`` (a seconds
+    delta) additionally requires ``on`` to be a timestamp.
+
     Scale shape: union the two sides with a tag, then ONE running
     ``last(ignorenulls)`` window partitioned by ``by`` — a single shuffle
     on the by-keys regardless of corpus size; never a range join. This is
@@ -143,47 +146,52 @@ def _keyless_running_last(union: DataFrame, sort_exprs: list, direction: str) ->
 
     1. ``repartitionByRange`` on the scan order: partition boundaries
        follow the global sort, so global order == (pid, within-pid order).
+       The layout is PINNED with ``pin_layout`` (localCheckpoint) before
+       pids are stamped — the carry collect below and every later job
+       must see the same partition boundaries, and a cached-or-recomputed
+       shuffle plan can re-sample different range bounds per execution.
     2. The running last *within* each range partition is a window
        partitioned by ``spark_partition_id()`` — every partition works in
        parallel.
-    3. The carry across partition boundaries: per-pid final right value
-       is ONE row per shuffle partition; collect that bounded frame to
-       the driver (same contract as the divisions probe in compat.py),
-       prefix-scan it, and broadcast-join the carry-in back by pid.
+    3. The carry across partition boundaries: each partition's final
+       running-last value (taken at its last row in scan order via
+       ``max_by`` on the within-partition row number — no assumptions
+       about the ``on`` column's type) is ONE row per shuffle partition;
+       collect that bounded frame to the driver (same contract as the
+       divisions probe in compat.py), prefix-scan it, and broadcast-join
+       the carry-in back by pid.
 
     Equal sort keys always land in one range partition, so the within-pid
     tie-break matches the global window's semantics exactly.
     """
     from pyspark.sql import Window
 
+    from ..core import pin_layout
+
     spark = union.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = union.repartitionByRange(n_parts, *sort_exprs).withColumn(
+    ranged = pin_layout(union.repartitionByRange(n_parts, *sort_exprs)).withColumn(
         "__pid__", F.spark_partition_id()
     )
-    # partition count must not change between the pid stamping and the
-    # carry collect below (AQE coalescing between jobs would desync them)
-    ranged = ranged.persist()
     w = (
         Window.partitionBy("__pid__")
         .orderBy(*sort_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.select("*", F.last("__rv__", ignorenulls=True).over(w).alias("__lm__"))
-
-    # per-pid last right value in scan order = max of (scan key, rv) over
-    # that pid's right rows; forward scans run time backwards, so negate
-    key = F.unix_micros(F.col("__t__").cast("timestamp"))
-    if direction == "forward":
-        key = -key
-    per_pid = (
-        ranged.filter(F.col("__side__") == 0)
-        .groupBy("__pid__")
-        .agg(F.max(F.struct(key.alias("k"), F.col("__rv__").alias("v"))).alias("__last__"))
+    local = ranged.select(
+        "*",
+        F.last("__rv__", ignorenulls=True).over(w).alias("__lm__"),
+        F.row_number().over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
+            "__rn__"
+        ),
     )
+    # per-pid final carry = the last scan-order row's running last —
+    # direction- and type-agnostic (works for timestamp, bigint, any
+    # orderable `on`), unlike a cast-to-epoch key
+    per_pid = local.groupBy("__pid__").agg(F.max_by("__lm__", "__rn__").alias("__last__"))
     rows = sorted(per_pid.collect(), key=lambda r: r["__pid__"])  # bounded: <= n_parts rows
     carry_rows, prev = [], None
-    last_by_pid = {r["__pid__"]: r["__last__"]["v"] for r in rows}
+    last_by_pid = {r["__pid__"]: r["__last__"] for r in rows if r["__last__"] is not None}
     for pid in range(n_parts):
         if prev is not None:
             carry_rows.append((pid, prev))
@@ -200,13 +208,10 @@ def _keyless_running_last(union: DataFrame, sort_exprs: list, direction: str) ->
         patched = local.join(carry, "__pid__", "left")
     else:
         patched = local.withColumn("__carry__", F.lit(None).cast(rv_type))
-    from ..core import pin_cache_to_result
-
-    out = patched.select(
+    return patched.select(
         *[c for c in union.columns],
         F.coalesce(F.col("__lm__"), F.col("__carry__")).alias("__m__"),
     )
-    return pin_cache_to_result(ranged, out)
 
 
 def range_join(

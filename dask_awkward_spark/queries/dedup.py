@@ -557,23 +557,24 @@ ORACLES = {
 
 # ---- fuzzy dedup: LSH candidates + Levenshtein gate ----
 
-def dedup_fuzzy_levenshtein(spark, sf_dir):
-    """Edit-distance near-dup pairs, LSH-gated: candidates come from
-    MinHash banding over 3-gram SHINGLE sets (the ngram-Jaccard path —
-    order-sensitive, so near-identical word SEQUENCES collide, not merely
-    similar vocabularies; token-set banding over this corpus's small
-    vocabulary would bucket nearly everything together and make the
-    Levenshtein stage quadratic). The quadratic-cost Levenshtein runs
-    ONLY on candidate pairs, JVM-side (both engines' native levenshtein
-    agree character-for-character). Output keeps pairs whose edit
-    distance is <= 50% of the longer text."""
-    # _docs_par: the md5-shingle pass is CPU-bound — see its docstring
-    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+def _fuzzy_pairs(docs, extra=()):
+    """Shared LSH-gated Levenshtein pair pipeline over a
+    ``(doc_id, text[, extras])`` frame — the single implementation behind
+    both fuzzy queries (plain pairs and exact-dup-gated representatives),
+    so band hashing / candidate generation / scoring can never drift
+    between them. ``extra`` is ``((src_col, out_stem), ...)``: each listed
+    column is carried through as ``{stem}_a`` / ``{stem}_b``.
+
+    Candidates come from MinHash banding over 3-gram SHINGLE sets (the
+    ngram-Jaccard path — order-sensitive, so near-identical word
+    SEQUENCES collide, not merely similar vocabularies). The
+    quadratic-cost Levenshtein runs ONLY on candidate pairs, JVM-side.
+    Output keeps pairs whose edit distance is <= 50% of the longer text."""
+    from pyspark import StorageLevel
+
     sh = docs.select(
         "doc_id", F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh")
     )
-    from pyspark import StorageLevel
-
     # the band frame feeds BOTH sides of the candidate self-join — persist
     # it so the CPU-bound md5-shingle pass runs once, not twice (lifetime
     # scoped to the result frame, same pattern as the ngram-Jaccard path)
@@ -594,12 +595,22 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+    def side(suffix):
+        return docs.select(
+            F.col("doc_id").alias(f"doc_{suffix}"),
+            F.col("text").alias(f"t{suffix}"),
+            *[F.col(c).alias(f"{s}_{suffix}") for c, s in extra],
+        )
+
+    ex_cols = [f"{s}_a" for _c, s in extra] + [f"{s}_b" for _c, s in extra]
     paired = (
-        cand.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")), "doc_a")
-        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")), "doc_b")
+        cand.join(side("a"), "doc_a")
+        .join(side("b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            *ex_cols,
             F.levenshtein("ta", "tb").cast("bigint").alias("lev"),
             F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
         )
@@ -607,18 +618,34 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     out = paired.select(
         "doc_a",
         "doc_b",
+        *ex_cols,
         "lev",
         F.round(F.col("lev") * 1e6 / F.col("mx")).cast("bigint").alias("rel_micro"),
     ).filter(F.col("rel_micro") <= 500000)
     return _pin_to_result(bands, out)
 
 
-def _fuzzy_sql() -> str:
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup pairs over the raw corpus (every doc is its
+    own row, so exact copies pair up too — see dedup_fuzzy_reps for the
+    near-dup-heavy-corpus scale path). Pipeline: _fuzzy_pairs."""
+    # _docs_par: the md5-shingle pass is CPU-bound — see its docstring
+    return _fuzzy_pairs(_docs_par(spark, sf_dir).select("doc_id", "text"))
+
+
+def _fuzzy_pair_sql(src: str, prefix: str = "", extra=()) -> str:
+    """Oracle twin of :func:`_fuzzy_pairs`, parameterized the same way:
+    ``src`` is the relation providing (doc_id, text[, extras]) — a table
+    or a CTE declared in ``prefix`` — and ``extra`` mirrors the Spark
+    helper's carried columns."""
+    ex_paired = "".join(f" ra.{c} AS {s}_a, rb.{c} AS {s}_b," for c, s in extra)
+    ex_final = "".join(f" {s}_a, {s}_b," for _c, s in extra)
     return (
-        r"""
-WITH tokl AS (
+        "WITH "
+        + (prefix + ",\n" if prefix else "")
+        + rf"""tokl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
-  FROM documents
+  FROM {src}
 ), sh AS (
   SELECT DISTINCT doc_id, unnest(
     CASE WHEN len(toks) >= 3
@@ -627,20 +654,20 @@ WITH tokl AS (
   FROM tokl
 )"""
         + _sql_sig_bands("sh", "s")
-        + """
+        + f"""
 , cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ), paired AS (
-  SELECT c.doc_a, c.doc_b,
-         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
-         greatest(length(da.text), length(db.text)) AS mx
+  SELECT c.doc_a, c.doc_b,{ex_paired}
+         CAST(levenshtein(ra.text, rb.text) AS BIGINT) AS lev,
+         greatest(length(ra.text), length(rb.text)) AS mx
   FROM cand c
-  JOIN documents da ON da.doc_id = c.doc_a
-  JOIN documents db ON db.doc_id = c.doc_b
+  JOIN {src} ra ON ra.doc_id = c.doc_a
+  JOIN {src} rb ON rb.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b, lev,
+SELECT doc_a, doc_b,{ex_final} lev,
        CAST(round(lev * 1e6 / mx) AS BIGINT) AS rel_micro
 FROM paired WHERE CAST(round(lev * 1e6 / mx) AS BIGINT) <= 500000
 """
@@ -648,7 +675,7 @@ FROM paired WHERE CAST(round(lev * 1e6 / mx) AS BIGINT) <= 500000
 
 
 QUERIES.update({"dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein})
-ORACLES.update({"dedup_fuzzy_levenshtein": _fuzzy_sql()})
+ORACLES.update({"dedup_fuzzy_levenshtein": _fuzzy_pair_sql("documents")})
 
 
 def dedup_fuzzy_reps(spark, sf_dir):
@@ -662,109 +689,21 @@ def dedup_fuzzy_reps(spark, sf_dir):
     copies, so the PAIR SET itself grows ~100x — no plan can beat its
     own output size). The fix is semantic: collapse byte-identical texts
     to one representative FIRST (one hash aggregate, linear), run the
-    LSH-gated Levenshtein stage over representatives only, and carry the
+    shared _fuzzy_pairs pipeline over representatives only, and carry the
     copy counts. Exact copies never pay Levenshtein, and candidate
-    buckets stay bounded by DISTINCT-text density, not raw row count."""
+    buckets stay bounded by DISTINCT-text density, not raw row count.
+    Measured: 1.1x at the same 10x replica blow-up."""
     docs = _docs_par(spark, sf_dir).select("doc_id", "text")
     reps = docs.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
-    sh = reps.select(
-        "doc_id", F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh")
-    )
-    from pyspark import StorageLevel
-
-    bands = (
-        sh.select("doc_id", F.explode(_packed_band_structs(F.col("sh"))).alias("b"))
-        .select("doc_id", "b.band", "b.bkey")
-        .filter(F.col("bkey").isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    r = reps.select("doc_id", "text", "n_copies")
-    paired = (
-        cand.join(
-            r.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("text").alias("ta"),
-                F.col("n_copies").alias("copies_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            r.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("text").alias("tb"),
-                F.col("n_copies").alias("copies_b"),
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "copies_a",
-            "copies_b",
-            F.levenshtein("ta", "tb").cast("bigint").alias("lev"),
-            F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
-        )
-    )
-    out = paired.select(
-        "doc_a",
-        "doc_b",
-        "copies_a",
-        "copies_b",
-        "lev",
-        F.round(F.col("lev") * 1e6 / F.col("mx")).cast("bigint").alias("rel_micro"),
-    ).filter(F.col("rel_micro") <= 500000)
-    return _pin_to_result(bands, out)
+    return _fuzzy_pairs(reps, extra=(("n_copies", "copies"),))
 
 
-def _fuzzy_reps_sql() -> str:
-    return (
-        r"""
-WITH reps AS (
+_REPS_CTE = """reps AS (
   SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
   FROM documents GROUP BY text
-), tokl AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '') AS toks
-  FROM reps
-), sh AS (
-  SELECT DISTINCT doc_id, unnest(
-    CASE WHEN len(toks) >= 3
-         THEN list_transform(range(0, len(toks) - 2), i -> md5(array_to_string(toks[i+1:i+3], ' ')))
-         ELSE [] END) AS s
-  FROM tokl
 )"""
-        + _sql_sig_bands("sh", "s")
-        + """
-, cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-), paired AS (
-  SELECT c.doc_a, c.doc_b, ra.n_copies AS copies_a, rb.n_copies AS copies_b,
-         CAST(levenshtein(ra.text, rb.text) AS BIGINT) AS lev,
-         greatest(length(ra.text), length(rb.text)) AS mx
-  FROM cand c
-  JOIN reps ra ON ra.doc_id = c.doc_a
-  JOIN reps rb ON rb.doc_id = c.doc_b
-)
-SELECT doc_a, doc_b, copies_a, copies_b, lev,
-       CAST(round(lev * 1e6 / mx) AS BIGINT) AS rel_micro
-FROM paired WHERE CAST(round(lev * 1e6 / mx) AS BIGINT) <= 500000
-"""
-    )
-
 
 QUERIES.update({"dedup_fuzzy_reps": dedup_fuzzy_reps})
-ORACLES.update({"dedup_fuzzy_reps": _fuzzy_reps_sql()})
+ORACLES.update({"dedup_fuzzy_reps": _fuzzy_pair_sql("reps", prefix=_REPS_CTE, extra=(("n_copies", "copies"),))})

@@ -91,13 +91,18 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     """Read every benchmark table in ``sf_dir`` and register temp views.
 
     Returns {name: DataFrame}. Scans are lazy — registering all ten costs
-    only footer reads.
+    only footer reads. Each table goes through the adaptive loader
+    (sources/tables.py), so a re-encoded file is normalized back to the
+    canonical schema (or fails loudly) for external callers too, not
+    just the internal queries.
     """
+    from .sources.tables import load_table
+
     out = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

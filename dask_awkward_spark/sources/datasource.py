@@ -123,10 +123,19 @@ def _filter_predicate(f: Filter, fields: "list[str] | None" = None) -> Callable[
     if isinstance(val, float) and math.isnan(val):
         return None
 
-    def _cmp(op):
+    def _cmp(op, nan_result: bool = False):
+        # nan_result: what the predicate yields when the ROW value is NaN.
+        # Spark SQL orders NaN above every double, so NaN > v / NaN >= v
+        # are TRUE there while Python returns False — an accepted filter
+        # is trusted (Spark drops its Filter node), so we must mirror
+        # Spark, not Python.
         def pred(row, _c=col, _v=getattr(f, "value", None)):
             x = row.get(_c)
-            return x is not None and op(x, _v)
+            if x is None:
+                return False
+            if isinstance(x, float) and math.isnan(x):
+                return nan_result
+            return op(x, _v)
 
         return pred
 
@@ -135,9 +144,9 @@ def _filter_predicate(f: Filter, fields: "list[str] | None" = None) -> Callable[
     if isinstance(f, EqualNullSafe):
         return lambda row, _c=col, _v=f.value: row.get(_c) == _v
     if isinstance(f, GreaterThan):
-        return _cmp(lambda x, v: x > v)
+        return _cmp(lambda x, v: x > v, nan_result=True)
     if isinstance(f, GreaterThanOrEqual):
-        return _cmp(lambda x, v: x >= v)
+        return _cmp(lambda x, v: x >= v, nan_result=True)
     if isinstance(f, LessThan):
         return _cmp(lambda x, v: x < v)
     if isinstance(f, LessThanOrEqual):
@@ -383,9 +392,16 @@ def from_datasource(
 ) -> DataFrame:
     """Read via the registered Python data source: one partition per input
     descriptor, ``fn(descriptor)`` yielding dicts or tuples on executors.
-    With ``report=True`` the frame carries a ``__report__`` JSON column
-    (split off with :func:`read_report`) — the reference's
-    ``return_report`` records (lib/io/parquet.py:36-61)."""
+
+    With ``report=True`` the returned frame is a CARRIER, not a data
+    frame: each row carries a ``__report__`` JSON column, and a partition
+    that emitted no data rows is represented by one all-null sentinel row
+    so the report covers every partition (the reference's
+    ``return_report`` records, lib/io/parquet.py:36-61). ALWAYS split a
+    carrier with :func:`read_report` before consuming data — counting or
+    aggregating the raw carrier includes the sentinels (one per empty
+    partition), and the sentinel's null columns bypass source-applied
+    predicates by construction."""
     register(spark)
     payload = base64.b64encode(
         _dumps_by_value({"fn": fn, "inputs": list(inputs), "report": report})

@@ -207,9 +207,11 @@ def compact_parquet(
     Shape: one narrow size scan of the directory (driver-side listing,
     no data read), a single round-robin ``repartition`` to
     ``ceil(total_bytes / target)`` output tasks (the only shuffle — and
-    it moves each byte once), rewrite into a temp dir, then an atomic
-    swap so concurrent readers see either the old or the new layout,
-    never a half-written one. With ``partition_by`` the rewrite
+    it moves each byte once), rewrite into a temp dir, then a
+    two-rename swap so readers see either the old or the new layout,
+    never a half-written one; a crash mid-swap is self-healed by the
+    next invocation (the backup dir is kept until the forward rename
+    lands and restored/pruned on entry). With ``partition_by`` the rewrite
     repartitions on the partition columns instead, so each output task
     writes whole hive partitions and small files collapse within each.
 
@@ -225,6 +227,22 @@ def compact_parquet(
             out.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
         return out
 
+    tmp = path.rstrip("/") + "__compact_tmp"
+    bak = path.rstrip("/") + "__compact_bak"
+    # self-heal from a previous crashed run before touching anything:
+    # - bak exists, path missing -> died between the two renames; the
+    #   backup IS the dataset, restore it
+    # - bak exists, path present -> died after the forward rename; the
+    #   backup is stale, drop it
+    # - a stale tmp is always safe to drop (never renamed into place)
+    if os.path.exists(bak):
+        if os.path.exists(path):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     before = _files(path)
     total = sum(os.path.getsize(f) for f in before)
     # compressed bytes on disk underestimate in-flight row size; the
@@ -238,10 +256,10 @@ def compact_parquet(
     )
     if partition_by:
         w = w.partitionBy(*partition_by)
-    tmp = path.rstrip("/") + "__compact_tmp"
     w.parquet(tmp)
-    bak = path.rstrip("/") + "__compact_bak"
     os.rename(path, bak)
     os.rename(tmp, path)
+    # the backup is only dropped once the forward rename has succeeded;
+    # a crash at any earlier point is repaired by the entry check above
     shutil.rmtree(bak)
     return {"files_before": len(before), "files_after": len(_files(path)), "bytes": total}

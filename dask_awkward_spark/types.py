@@ -84,13 +84,17 @@ def categorical_encode(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
         .distinct()
     )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist before the count job: the pid stamping must not be re-planned
-    # (AQE re-coalescing) between computing offsets and assigning ranks
-    ranged = (
+    # PIN the layout (localCheckpoint) before stamping pids: the count job
+    # below and every later consumer of `coded`/`dictionary` must see the
+    # SAME partition boundaries, and a re-executed range shuffle can
+    # re-sample different bounds (a mere persist can be evicted or be
+    # dropped with one of the two returned frames, desyncing codes from
+    # the collected offsets)
+    from .core import pin_layout
+
+    ranged = pin_layout(
         values.repartitionByRange(n_parts, F.col("value").asc())
-        .withColumn("__pid__", F.spark_partition_id())
-        .persist()
-    )
+    ).withColumn("__pid__", F.spark_partition_id())
     counts = {
         r["__pid__"]: r["n"]
         for r in ranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -116,9 +120,7 @@ def categorical_encode(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
         .drop("__cat_value__")
         .withColumnRenamed("__cat_code__", f"{col}_code")
     )
-    from .core import pin_cache_to_result
-
-    return pin_cache_to_result(ranged, coded), dictionary
+    return coded, dictionary
 
 
 def categorical_decode(coded: DataFrame, dictionary: DataFrame, code_col: str, out_col: str) -> DataFrame:

@@ -595,3 +595,25 @@ def test_stream_to_datasource_cleans_ephemeral_checkpoint(spark, tmp_path):
     before = set(glob.glob(pattern))
     stream_to_datasource(st, lambda rows: len(list(rows)))
     assert set(glob.glob(pattern)) == before
+
+
+def test_datasource_pushed_ordering_filters_match_spark_nan_semantics(spark):
+    """Spark SQL orders NaN above all doubles (NaN > 5.0 is TRUE); a
+    pushed GreaterThan must keep NaN rows exactly like the native
+    engine would — the accepted filter is trusted and Spark removes its
+    own Filter node."""
+    from dask_awkward_spark.sources.datasource import from_datasource
+
+    def gen(n):
+        yield {"id": 1, "v": float("nan"), "tag": "a"}
+        yield {"id": 2, "v": 6.0, "tag": "b"}
+        yield {"id": 3, "v": 1.0, "tag": "c"}
+
+    df = from_datasource(spark, gen, [3], "id bigint, v double, tag string")
+    native = spark.createDataFrame(
+        [(1, float("nan"), "a"), (2, 6.0, "b"), (3, 1.0, "c")], "id bigint, v double, tag string"
+    )
+    for cond in ("v > 5.0", "v >= 5.0", "v < 5.0", "v <= 5.0"):
+        got = sorted(r.id for r in df.filter(cond).collect())
+        want = sorted(r.id for r in native.filter(cond).collect())
+        assert got == want, cond

@@ -270,3 +270,25 @@ def test_asof_keyless_plan_has_no_unpartitioned_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert unpartitioned_windows(plan) == []
     assert "Window" in plan  # the parallel per-pid window is still there
+
+
+def test_asof_keyless_bigint_on_column(spark):
+    """The keyless carry must not assume a timestamp `on`: with a bigint
+    epoch-micros column the per-partition boundary value is taken at the
+    last scan-order row (row-number max_by), not via a saturating
+    timestamp cast."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, rng.randrange(0, 1_000_000)) for i in range(200)]
+    rrows = [(j, t, float(t)) for j, t in enumerate(sorted(rng.sample(range(1_000_000), 80)))]
+    ldf = spark.createDataFrame(lrows, "lid bigint, ts bigint")
+    rdf = spark.createDataFrame(rrows, "rid bigint, ts bigint, val double")
+    out = {r["lid"]: r["r_val"] for r in asof_join(ldf, rdf, on="ts").collect()}
+    rts = sorted(t for _j, t, _v in rrows)
+    import bisect
+
+    for lid, t in lrows:
+        i = bisect.bisect_right(rts, t) - 1
+        want = float(rts[i]) if i >= 0 else None
+        assert out[lid] == want, (lid, t)

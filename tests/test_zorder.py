@@ -130,3 +130,31 @@ def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
     assert back.count() == 2_000
     # partition pruning still works on the compacted layout
     assert back.filter(F.col("part") == 1).count() == sum(1 for i in range(2_000) if i % 3 == 1)
+
+
+def test_compact_parquet_self_heals_after_crash(spark, tmp_path):
+    """A crash between the two swap renames leaves only the backup dir;
+    the next invocation must restore it and proceed."""
+    import os
+    import shutil
+
+    from dask_awkward_spark.sources.parquet import compact_parquet
+
+    p = str(tmp_path / "ds")
+    spark.range(500).write.option("maxRecordsPerFile", 50).parquet(p)
+    # simulate: previous run died after os.rename(path, bak)
+    os.rename(p, p + "__compact_bak")
+    # plus a stale tmp from the same crashed run
+    os.makedirs(p + "__compact_tmp")
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(p).count() == 500
+    import glob
+
+    assert not glob.glob(f"{p}__compact_*")
+
+    # stale bak alongside an intact dataset (crash after forward rename)
+    shutil.copytree(p, p + "__compact_bak")
+    compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert spark.read.parquet(p).count() == 500
+    assert not glob.glob(f"{p}__compact_*")

@@ -80,10 +80,10 @@ def unpartitioned_windows(plan: str) -> list[str]:
     bad = []
     for line in plan.splitlines():
         stripped = line.strip().lstrip("+-*: ")
-        if not (stripped.startswith("Window ") or stripped.startswith("WindowGroupLimit ")):
+        # WindowInPandas (pandas-UDF windows) funnels through one
+        # partition exactly like WindowExec when the spec is keyless
+        if not (stripped.startswith("Window ") or stripped.startswith("WindowInPandas ")):
             continue
-        if stripped.startswith("WindowGroupLimit "):
-            continue  # always paired with the Window node we check below
         groups = _top_level_groups(stripped)
         if len(groups) >= 3:
             continue

@@ -52,6 +52,9 @@ HEADLINE = [
     "hist2d_qty_discount",
     # multimodal 1->N frame explosion (pure codegen expressions)
     "mm_frame_sample",
+    # round-5 additions: exact-dup-gated fuzzy dedup (the near-dup-heavy
+    # scale path; 1.1x at the 10x replica sweep vs 126x for raw pairs)
+    "dedup_fuzzy_reps",
 ]
 
 

@@ -218,13 +218,11 @@ def stream_dedup_minhash(spark, sf_dir):
     import tempfile
     import uuid
 
-    batch_schema = load_table(spark, sf_dir, "documents").schema
-    docs = (
-        spark.readStream.schema(batch_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    from ..sources.tables import stream_table
+
+    # drift-adaptive streaming read: ingests with the file's ACTUAL
+    # footer schema, then normalizes to canonical (round-3 bug class)
+    docs = stream_table(spark, sf_dir, "documents")
     toks = F.array_distinct(tx.tokens(F.lower(F.col("text"))))
     bands = (
         docs.select(

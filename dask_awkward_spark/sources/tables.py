@@ -179,3 +179,30 @@ def load_table_hot(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         df = df.repartition(target)
     return df
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of one table, drift-adaptive like :func:`load_table`.
+
+    ``readStream`` needs an explicit schema; handing it the CANONICAL
+    schema would misread a re-encoded file (the round-3 silent-corruption
+    class). Instead the stream ingests with the file's ACTUAL footer
+    schema (one batch-read footer probe, the events-loader trick
+    generalized) and the normalization projection runs on the streaming
+    frame — cast expressions are fully streaming-compatible.
+
+    For event-time processing on ``events`` use
+    ``sources.events.stream_events`` (watermarks additionally require an
+    instant-typed timestamp).
+    """
+    _ensure_session_conf(spark)
+    ingest_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    raw = (
+        spark.readStream.schema(ingest_schema)
+        .format("parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
+        .load(sf_dir)
+    )
+    if name == "events":
+        raw = _normalize_ts(raw)
+    return normalize_table(raw, name)

@@ -174,3 +174,32 @@ def test_committed_expectations_match_live_testdata():
         table = key.split("/", 1)[1]
         for col, typ in exp[table].items():
             assert schema_guard.classify(typ, schema[col]) in ("ok", "adapted")
+
+
+def test_stream_table_normalizes_drifted_file(spark, tmp_path):
+    """Streaming reads ingest with the file's ACTUAL schema and normalize
+    — handing readStream the canonical schema would misread re-encoded
+    bytes (the round-3 silent-corruption class, streaming flavor)."""
+    import uuid
+
+    from dask_awkward_spark.sources.tables import stream_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int32()),  # drifted width
+            "text": pa.array(["a", "b"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([1, 1], pa.int32()),  # drifted width
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    st = stream_table(spark, str(tmp_path), "documents")
+    assert st.isStreaming
+    assert st.schema["doc_id"].dataType.simpleString() == "bigint"
+    name = "st_" + uuid.uuid4().hex[:6]
+    q = st.writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(name).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]

@@ -555,13 +555,19 @@ ORACLES = {
 
 # ---- fuzzy dedup: LSH candidates + Levenshtein gate ----
 
-def _fuzzy_pairs(docs, extra=()):
+def _fuzzy_pairs(docs, extra=(), persist_docs=False):
     """Shared LSH-gated Levenshtein pair pipeline over a
     ``(doc_id, text[, extras])`` frame — the single implementation behind
     both fuzzy queries (plain pairs and exact-dup-gated representatives),
     so band hashing / candidate generation / scoring can never drift
     between them. ``extra`` is ``((src_col, out_stem), ...)``: each listed
     column is carried through as ``{stem}_a`` / ``{stem}_b``.
+
+    ``persist_docs``: the docs frame feeds THREE consumers (the shingle
+    pass and both sides of the pair join). A raw scan re-reads cheaply,
+    but a computed frame (the reps aggregate) would re-run its shuffle
+    per consumer — pass True to materialize it once (lifetime scoped to
+    the result like the band frame).
 
     Candidates come from MinHash banding over 3-gram SHINGLE sets (the
     ngram-Jaccard path — order-sensitive, so near-identical word
@@ -570,6 +576,10 @@ def _fuzzy_pairs(docs, extra=()):
     Output keeps pairs whose edit distance is <= 50% of the longer text."""
     from pyspark import StorageLevel
 
+    pinned_docs = None
+    if persist_docs:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned_docs = docs
     sh = docs.select(
         "doc_id", F.array_distinct(tx.rolling_hashes(F.col("text"), k=3)).alias("sh")
     )
@@ -620,7 +630,10 @@ def _fuzzy_pairs(docs, extra=()):
         "lev",
         F.round(F.col("lev") * 1e6 / F.col("mx")).cast("bigint").alias("rel_micro"),
     ).filter(F.col("rel_micro") <= 500000)
-    return _pin_to_result(bands, out)
+    out = _pin_to_result(bands, out)
+    if pinned_docs is not None:
+        out = _pin_to_result(pinned_docs, out)
+    return out
 
 
 def dedup_fuzzy_levenshtein(spark, sf_dir):
@@ -695,7 +708,7 @@ def dedup_fuzzy_reps(spark, sf_dir):
     reps = docs.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
-    return _fuzzy_pairs(reps, extra=(("n_copies", "copies"),))
+    return _fuzzy_pairs(reps, extra=(("n_copies", "copies"),), persist_docs=True)
 
 
 _REPS_CTE = """reps AS (

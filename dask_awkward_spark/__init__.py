@@ -18,6 +18,7 @@ from .core import (
     partition_compatibility,
 )
 from .session import get_spark, load_tables
+from .sources.tables import load_table, load_table_hot, stream_table
 from .plans import explain_str, necessary_columns, pushed_filters
 from . import behaviors, config, testutils, types
 from .behaviors import dask_method, dask_property, register_behavior
@@ -42,7 +43,13 @@ from .compat import (
     without_field,
 )
 from .compat import typeof as type  # noqa: A001 — reference exports `type` too
-from .sources.parquet import from_parquet, to_bucketed_table, to_parquet
+from .sources.parquet import (
+    compact_parquet,
+    from_parquet,
+    to_bucketed_table,
+    to_parquet,
+    to_zordered_parquet,
+)
 from .sources.json import from_json, to_json
 from .sources.text import from_text
 from .functions.strings import strings_astype

@@ -80,9 +80,14 @@ def unpartitioned_windows(plan: str) -> list[str]:
     bad = []
     for line in plan.splitlines():
         stripped = line.strip().lstrip("+-*: ")
-        # WindowInPandas (pandas-UDF windows) funnels through one
-        # partition exactly like WindowExec when the spec is keyless
-        if not (stripped.startswith("Window ") or stripped.startswith("WindowInPandas ")):
+        # Pandas-UDF windows (ArrowWindowPython in Spark 4, WindowInPandas
+        # before) funnel through one partition exactly like WindowExec
+        # when the spec is keyless
+        if not (
+            stripped.startswith("Window ")
+            or stripped.startswith("ArrowWindowPython ")
+            or stripped.startswith("WindowInPandas ")
+        ):
             continue
         groups = _top_level_groups(stripped)
         if len(groups) >= 3:

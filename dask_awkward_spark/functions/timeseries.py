@@ -338,3 +338,49 @@ def rollup_cascade(
     from ..core import pin_cache_to_result
 
     return pin_cache_to_result(pinned, out)
+
+
+def sessionize(
+    df: DataFrame,
+    by: "str | list[str]",
+    on: str = "ts",
+    gap: float = 1800.0,
+    tie_break: "list[str] | None" = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows of the same ``by`` key whose ``on``
+    timestamps are within ``gap`` seconds of the previous row share a
+    session; a longer silence opens the next one. Adds ``out_col``
+    (1-based session index per key) — the batch twin of Spark's
+    streaming ``session_window`` and the generalization of the
+    oracle-checked ``ev_sessionize`` query (queries/events.py).
+
+    Scale shape: ONE window partitioned by the ``by`` keys (lag + running
+    sum ride the same shuffle). ``by`` is REQUIRED non-empty: keyless
+    sessionization is inherently sequential (every row's session index
+    depends on all earlier rows), and a keyless window would funnel the
+    corpus through one partition — pass a coarse logical key (tenant,
+    day) if global sessions are really wanted. ``tie_break`` columns
+    break ordering ties deterministically (e.g. an event id).
+
+    Comparisons run at microsecond precision (``unix_micros``) —
+    whole-second truncation disagrees with exact engines at the gap
+    boundary.
+    """
+    from pyspark.sql import Window
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError(
+            "sessionize requires non-empty `by` keys: keyless sessionization is "
+            "sequential and would funnel all rows through one partition; "
+            "use a coarse logical key instead"
+        )
+    w = Window.partitionBy(*by_cols).orderBy(on, *(tie_break or []))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap_us = int(float(gap) * 1_000_000)
+    prev = F.lag(on).over(w)
+    new_sess = F.when(
+        prev.isNull() | (us(on) - F.unix_micros(prev.cast("timestamp")) > gap_us), 1
+    ).otherwise(0)
+    return df.withColumn(out_col, F.sum(new_sess).over(w))

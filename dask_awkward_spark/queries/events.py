@@ -54,20 +54,12 @@ FROM events GROUP BY 1, 2
 def ev_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): lag + cumulative
     session counter per user — the batch twin of session_window()."""
+    from ..functions.timeseries import sessionize
+
     ev = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gapped = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
-        "new_sess",
-        F.when(
-            F.col("prev_ts").isNull()
-            # epoch_seconds is microsecond-precision — unix_timestamp()
-            # truncates to seconds and disagrees with the oracle's epoch()
-            # near the 1800s boundary
-            | (epoch_seconds(F.col("ts")) - epoch_seconds(F.col("prev_ts")) > 1800),
-            1,
-        ).otherwise(0),
+    sess = sessionize(
+        ev, by="user_id", on="ts", gap=1800, tie_break=["event_id"], out_col="sess_id"
     )
-    sess = gapped.withColumn("sess_id", F.sum("new_sess").over(w))
     return (
         sess.groupBy("user_id", "sess_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

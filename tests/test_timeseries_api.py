@@ -292,3 +292,56 @@ def test_asof_keyless_bigint_on_column(spark):
         i = bisect.bisect_right(rts, t) - 1
         want = float(rts[i]) if i >= 0 else None
         assert out[lid] == want, (lid, t)
+
+
+def test_sessionize_matches_bruteforce(spark):
+    """Public sessionize: per-key 1-based session indices match a python
+    reference at the exact gap boundary (microsecond precision)."""
+    from dask_awkward_spark.functions.timeseries import sessionize
+
+    base = _dt.datetime(2024, 5, 1)
+    rows = []
+    rng = np.random.default_rng(11)
+    for uid in range(4):
+        t = 0.0
+        for i in range(40):
+            t += float(rng.choice([5, 100, 1800, 1800.000001, 4000]))
+            rows.append((uid, i, base + _dt.timedelta(seconds=t)))
+    df = spark.createDataFrame(rows, "uid int, eid int, ts timestamp_ntz")
+    got = {
+        (r.uid, r.eid): r.session_id
+        for r in sessionize(df, by="uid", on="ts", gap=1800, tie_break=["eid"]).collect()
+    }
+    by_uid = {}
+    for uid, eid, ts in rows:
+        by_uid.setdefault(uid, []).append((ts, eid))
+    for uid, evs in by_uid.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sid += 1
+            prev = ts
+            assert got[(uid, eid)] == sid, (uid, eid)
+
+
+def test_sessionize_refuses_keyless(spark):
+    from dask_awkward_spark.functions.timeseries import sessionize
+
+    df = spark.createDataFrame([(1, _dt.datetime(2024, 1, 1))], "id int, ts timestamp")
+    with pytest.raises(ValueError, match="non-empty"):
+        sessionize(df, by=[], on="ts")
+
+
+def test_sessionize_plan_is_partitioned(spark):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import unpartitioned_windows
+
+    from dask_awkward_spark.functions.timeseries import sessionize
+
+    df = spark.createDataFrame([(1, _dt.datetime(2024, 1, 1))], "uid int, ts timestamp")
+    plan = sessionize(df, by="uid")._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_windows(plan) == []

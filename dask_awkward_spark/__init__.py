@@ -81,6 +81,14 @@ from .functions.curation import (
     quota_sample,
 )
 from .functions.sketches import hll_distinct, kmv_distinct
+from .functions.vectors import (
+    cosine_similarity,
+    dequantize,
+    dot,
+    hyperplane_bits,
+    l2_normalize,
+    quantize_int8,
+)
 from .functions.timeseries import asof_join, range_join, rollup_cascade, sessionize
 from .functions import strings as str  # noqa: A001 — reference: `import dask_awkward.lib.str as str` (__init__.py:9)
 from .operators.structure import (

@@ -1,0 +1,76 @@
+"""Public vector math over ``array<float|double>`` embedding columns —
+pure JVM expression tier (``zip_with`` / ``aggregate`` / ``transform``),
+no UDFs, zero shuffles: every function here is a row-local Column
+expression that rides whole-stage codegen.
+
+These generalize the oracle-checked similarity queries
+(queries/similarity.py) into parameterized library calls: dot/cosine
+for scoring, l2-normalization for prep, hyperplane sign-bits for LSH
+bucketing, int8 symmetric quantization for the 4x memory-compression
+step before ANN at scale. Capability uplift over the reference
+(dask-awkward has no vector surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Dot product of two equal-length array columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(x: Column) -> Column:
+    """Euclidean (L2) norm."""
+    return F.sqrt(dot(x, x))
+
+
+def cosine_similarity(x: Column, y: Column) -> Column:
+    """Cosine of the angle between two vectors (NULL-safe via SQL
+    null-propagation; zero vectors yield NULL from the 0/0 division)."""
+    return dot(x, y) / (norm(x) * norm(y))
+
+
+def l2_normalize(x: Column) -> Column:
+    """Unit-length rescale — do this ONCE at ingest so every later cosine
+    is a plain dot product (saves two norms per comparison in the
+    all-pairs / top-k hot path)."""
+    n = norm(x)
+    return F.transform(x, lambda v: v / n)
+
+
+def hyperplane_bits(x: Column, planes: "list[list[float]]") -> Column:
+    """Sign-bit LSH bucket id: one bit per hyperplane (sign of the dot
+    product), packed into a BIGINT. Vectors with small angles agree on
+    most planes, so equal bucket ids gate candidate generation to an
+    equi-join/groupBy — the scale path queries/similarity.py's
+    ``sim_lsh_buckets`` uses, parameterized over the caller's planes
+    (generate them from any seeded source; <= 63 planes)."""
+    if len(planes) > 63:
+        raise ValueError(f"at most 63 planes fit a bigint bucket, got {len(planes)}")
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(x, p) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = bucket + (bit * F.lit(int(2**i)).cast("bigint"))
+    return bucket
+
+
+def quantize_int8(x: Column) -> "tuple[Column, Column]":
+    """Symmetric int8 scalar quantization: returns ``(q, scale)`` where
+    ``q`` is ``array<int>`` of round(x_i/scale) in [-127, 127] and
+    ``scale = max(|x_i|)/127`` — the standard 4x memory-compression step
+    before ANN (store q as array<tinyint> + one float)."""
+    amax = F.aggregate(x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    return q, scale
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8` (lossy)."""
+    return F.transform(q, lambda v: v.cast("double") * scale)

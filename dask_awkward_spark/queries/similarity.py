@@ -41,8 +41,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(x, y):
-    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+from ..functions.vectors import dot as _dot  # noqa: E402  (public vector API)
 
 
 def sim_topk_bruteforce(spark, sf_dir):

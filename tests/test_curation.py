@@ -141,3 +141,41 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(2, "a b c")], "doc_id bigint, text string")
     plan = contamination(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quota_sample_composes_with_streaming(spark, tmp_path):
+    """Hash-gate curation ops are row-local expressions, so they run
+    unchanged on a stream — and select exactly the rows the batch path
+    selects (determinism across execution modes)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_awkward_spark.sources.tables import load_table, stream_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(500)), pa.int64()),
+            "text": pa.array(["x"] * 500),
+            "lang": pa.array(["en"] * 500),
+            "source": pa.array(["s"] * 500),
+            "n_chars": pa.array([1] * 500, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    batch_ids = sorted(
+        r.doc_id
+        for r in quota_sample(load_table(spark, str(tmp_path), "documents"), F.col("doc_id"), 0.3)
+        .select("doc_id")
+        .collect()
+    )
+    st = quota_sample(stream_table(spark, str(tmp_path), "documents"), F.col("doc_id"), 0.3)
+    name = "cur_" + uuid.uuid4().hex[:6]
+    q = st.select("doc_id").writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    stream_ids = sorted(r.doc_id for r in spark.table(name).collect())
+    assert stream_ids == batch_ids
+    assert 100 < len(batch_ids) < 200  # ~150

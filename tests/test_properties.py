@@ -19,8 +19,11 @@ import dask_awkward_spark as das
 inner = st_.lists(st_.one_of(st_.integers(-50, 50), st_.none()), max_size=6)
 rows = st_.lists(inner, min_size=1, max_size=8)
 
+import os
+
 SETTINGS = dict(
-    max_examples=12,
+    # soak mode: DAKSPARK_HYPO_EXAMPLES=200 python -m pytest tests/test_properties.py
+    max_examples=int(os.environ.get("DAKSPARK_HYPO_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

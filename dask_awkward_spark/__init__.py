@@ -87,6 +87,7 @@ from .functions.vectors import (
     dot,
     hyperplane_bits,
     l2_normalize,
+    norm,
     quantize_int8,
 )
 from .functions.timeseries import asof_join, range_join, rollup_cascade, sessionize

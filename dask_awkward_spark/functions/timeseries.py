@@ -377,10 +377,9 @@ def sessionize(
             "use a coarse logical key instead"
         )
     w = Window.partitionBy(*by_cols).orderBy(on, *(tie_break or []))
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     gap_us = int(float(gap) * 1_000_000)
     prev = F.lag(on).over(w)
     new_sess = F.when(
-        prev.isNull() | (us(on) - F.unix_micros(prev.cast("timestamp")) > gap_us), 1
+        prev.isNull() | (_epoch_us(F.col(on)) - _epoch_us(prev) > gap_us), 1
     ).otherwise(0)
     return df.withColumn(out_col, F.sum(new_sess).over(w))

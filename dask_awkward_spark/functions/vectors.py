@@ -30,17 +30,35 @@ def norm(x: Column) -> Column:
 
 
 def cosine_similarity(x: Column, y: Column) -> Column:
-    """Cosine of the angle between two vectors (NULL-safe via SQL
-    null-propagation; zero vectors yield NULL from the 0/0 division)."""
-    return dot(x, y) / (norm(x) * norm(y))
+    """Cosine of the angle between two vectors. Zero vectors yield NULL
+    (``try_divide`` — a plain division would ABORT the job under Spark
+    4's default ANSI mode the first time a padding/all-zero row shows
+    up, which in a 100 TB corpus is a certainty)."""
+    return F.try_divide(dot(x, y), norm(x) * norm(y))
+
+
+def _repeat_scalar(s: Column, like: Column) -> Column:
+    """``s`` broadcast to an array of ``like``'s length.
+
+    Spark does NO common-subexpression elimination inside higher-order-
+    function lambdas: referencing an aggregate like ``norm(x)`` inside a
+    ``transform`` lambda re-evaluates the whole O(d) aggregate PER
+    ELEMENT (O(d²) per row — ~768× redundant work at embedding dims).
+    ``array_repeat`` evaluates its element argument once per row, so
+    zipping against the repeated scalar keeps the row O(d)."""
+    return F.array_repeat(s, F.size(like))
 
 
 def l2_normalize(x: Column) -> Column:
     """Unit-length rescale — do this ONCE at ingest so every later cosine
     is a plain dot product (saves two norms per comparison in the
-    all-pairs / top-k hot path)."""
-    n = norm(x)
-    return F.transform(x, lambda v: v / n)
+    all-pairs / top-k hot path). Zero vectors pass through unchanged
+    (no ANSI divide-by-zero abort)."""
+    return F.zip_with(
+        x,
+        _repeat_scalar(norm(x), x),
+        lambda v, n: F.when(n != F.lit(0.0), v / n).otherwise(v),
+    )
 
 
 def hyperplane_bits(x: Column, planes: "list[list[float]]") -> Column:
@@ -64,10 +82,17 @@ def quantize_int8(x: Column) -> "tuple[Column, Column]":
     """Symmetric int8 scalar quantization: returns ``(q, scale)`` where
     ``q`` is ``array<int>`` of round(x_i/scale) in [-127, 127] and
     ``scale = max(|x_i|)/127`` — the standard 4x memory-compression step
-    before ANN (store q as array<tinyint> + one float)."""
+    before ANN (store q as array<tinyint> + one float). Zero vectors
+    quantize to zeros (scale 0; no ANSI divide-by-zero abort). The scale
+    is evaluated once per row (see :func:`_repeat_scalar`), not per
+    element."""
     amax = F.aggregate(x, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v)))
     scale = amax / F.lit(127.0)
-    q = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    q = F.zip_with(
+        x,
+        _repeat_scalar(scale, x),
+        lambda v, s: F.when(s != F.lit(0.0), F.round(v / s)).otherwise(F.lit(0.0)).cast("int"),
+    )
     return q, scale
 
 

@@ -5,10 +5,10 @@ watermarks — SURVEY §2.6 notes streaming is pure uplift).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.events import epoch_seconds, load_events
+from ..sources.events import load_events
 from .tpch import cents
 
 

@@ -66,22 +66,21 @@ def events_ingest_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events file with ``ts`` normalized to NTZ.
+    """Streaming read of the events file with ``ts`` as an instant.
 
-    FileStreamSource wants a directory: stream the sf dir with a glob
-    filter selecting only the events file.
+    Delegates to the generic drift-adaptive ``tables.stream_table``
+    (ingest with the file's actual footer schema, normalize to the
+    canonical NTZ), then casts ``ts`` to TIMESTAMP: withWatermark
+    rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — event
+    time must be an instant. Under the UTC session zone pinned above the
+    cast preserves the wall clock, so window starts render identically
+    to the batch/oracle side.
     """
-    raw = (
-        spark.readStream.schema(events_ingest_schema(spark, sf_dir))
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    from .tables import stream_table
+
+    return stream_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
-    # withWatermark rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
-    # — event time must be an instant. Under the UTC session zone pinned
-    # above, the NTZ -> TIMESTAMP cast preserves the wall clock, so window
-    # starts render identically to the batch/oracle side.
-    return _normalize_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def epoch_seconds(col: Column) -> Column:

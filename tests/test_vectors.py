@@ -86,3 +86,43 @@ def test_vector_exprs_stay_jvm_side(spark, vecs):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert bad not in plan
+
+
+def test_zero_vectors_do_not_abort_under_ansi(spark):
+    """A single all-zero embedding (padding row) must not kill the job:
+    cosine -> NULL, normalize -> unchanged zeros, quantize -> zeros."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "id bigint, e array<double>"
+    )
+    q, s = quantize_int8(F.col("e"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            cosine_similarity(F.col("e"), F.col("e")).alias("c"),
+            l2_normalize(F.col("e")).alias("n"),
+            q.alias("q"),
+            s.alias("s"),
+        ).collect()
+    }
+    assert out[1].c is None and out[1].n == [0.0, 0.0] and out[1].q == [0, 0]
+    assert math.isclose(out[2].c, 1.0, rel_tol=1e-9)
+    assert math.isclose(out[2].n[0], 0.6, rel_tol=1e-9)
+
+
+def test_scalar_broadcast_is_once_per_row(spark):
+    """The norm/scale aggregate must appear under array_repeat (evaluated
+    once per row), never inside the per-element lambda body (O(d^2))."""
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id bigint, e array<double>")
+    plan = (
+        df.select(l2_normalize(F.col("e")).alias("n"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "array_repeat" in plan
+    # exactly one aggregate() over the source column (the norm), not one
+    # per element access: lambdafunction body must not contain aggregate
+    body = plan.split("zip_with", 1)[1]
+    lam = body.split("lambdafunction", 1)[1].split(", lambda", 1)[0]
+    assert "aggregate(" not in lam

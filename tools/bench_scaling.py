@@ -34,6 +34,9 @@ DEFAULT_QUERIES = [
     "ev_funnel",                   # min-cascade conditional aggs
     "text_pack_sequences",         # per-source window cumsum
     "sim_kmeans",                  # iterative, driver-held centroids
+    "dedup_fuzzy_reps",            # exact-dup gate (near-dup-heavy corpora)
+    "sketch_cms_heavy_hitters",    # bounded sketch state
+    "text_contamination",          # broadcast benchmark side
 ]
 
 # per-table (key column -> per-replica offset) so joins/groups see N x

@@ -51,6 +51,13 @@ from .sources.parquet import (
     to_zordered_parquet,
 )
 from .sources.json import from_json, to_json
+from .sources.snapshot import (
+    snapshot_compact,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_versions,
+    snapshot_write,
+)
 from .sources.text import from_text
 from .functions.strings import strings_astype
 from .sources.datasource import (

@@ -52,6 +52,7 @@ from .sources.parquet import (
 )
 from .sources.json import from_json, to_json
 from .sources.snapshot import (
+    SnapshotConflictError,
     snapshot_compact,
     snapshot_read,
     snapshot_vacuum,

@@ -21,6 +21,20 @@ that does not disturb concurrent readers, and vacuum as the explicit
 GC step. Capability uplift; no reference counterpart
 (dask-awkward's to_parquet is fire-and-forget: lib/io/parquet.py:515).
 
+Concurrency contract (same shape as Delta's):
+
+- ``snapshot_write`` retries commit races; ``expect_head=`` turns the
+  blind retry into compare-and-swap (used by compact, so a rewrite can
+  never silently drop rows a concurrent append committed in between).
+- ``snapshot_vacuum`` only removes files older than ``retain_seconds``
+  (default 24 h). Running it with a retention shorter than your longest
+  in-flight write is unsafe — identical to Delta's documented
+  ``retentionDurationCheck`` caveat — because staged-but-uncommitted
+  files are indistinguishable from garbage.
+- appends must match the head's schema exactly; reads pin the
+  manifest's recorded schema so mixed files can never make Spark's
+  footer sampling nondeterministic.
+
 Local filesystem notes (documented contract): atomic commit uses
 ``os.link`` create-if-absent semantics, which holds on POSIX and on
 HDFS-style stores via their atomic rename; on S3 proper, a real
@@ -38,9 +52,14 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+
+
+class SnapshotConflictError(RuntimeError):
+    """Raised when ``expect_head`` no longer matches the table head."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -71,16 +90,18 @@ def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    final = os.path.join(d, f"v{version:08d}.json")
     try:
-        os.link(tmp, final)  # create-if-absent: fails iff version exists
-        return True
-    except FileExistsError:
-        return False
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        final = os.path.join(d, f"v{version:08d}.json")
+        try:
+            os.link(tmp, final)  # create-if-absent: fails iff version exists
+            return True
+        except FileExistsError:
+            return False
     finally:
-        os.unlink(tmp)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _stage_files(df: DataFrame, path: str, compression: str) -> "list[str]":
@@ -93,9 +114,9 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "list[str]":
     data_dir = os.path.join(path, _DATA)
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").option("compression", compression).parquet(staging)
     files = []
     try:
+        df.write.mode("overwrite").option("compression", compression).parquet(staging)
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
                 continue
@@ -112,22 +133,40 @@ def snapshot_write(
     path: str,
     mode: str = "overwrite",
     compression: str = "zstd",
+    expect_head: "int | None" = None,
 ) -> int:
     """Commit ``df`` as a new version of the snapshot table at ``path``.
 
-    ``overwrite`` replaces the visible file set; ``append`` adds to it.
+    ``overwrite`` replaces the visible file set; ``append`` adds to it
+    (and requires ``df``'s schema to match the head's recorded schema
+    exactly — silent parquet schema drift is refused, not merged).
     Returns the committed version number. Retries on commit races
     (optimistic concurrency) — an ``append`` loser re-reads the new head
-    so no concurrently-appended files are lost."""
+    so no concurrently-appended files are lost. Pass ``expect_head=`` to
+    make the commit compare-and-swap instead: if any other writer moved
+    the head past it, :class:`SnapshotConflictError` is raised (no commit
+    happens and the staged files stay unreferenced for vacuum)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(path, exist_ok=True)
     new_files = _stage_files(df, path, compression)
+    schema_json = df.schema.json()
     while True:
         versions = _versions(path)
         head = versions[-1] if versions else 0
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}; "
+                "re-read the table and retry"
+            )
         if mode == "append" and versions:
-            files = _read_manifest(path, head)["files"] + new_files
+            head_m = _read_manifest(path, head)
+            if head_m["schema_json"] != schema_json:
+                raise ValueError(
+                    "append schema mismatch: table has "
+                    f"{head_m['schema_ddl']}, df has {df.schema.simpleString()}"
+                )
+            files = head_m["files"] + new_files
         else:
             files = list(new_files)
         manifest = {
@@ -135,7 +174,8 @@ def snapshot_write(
             "parent": head or None,
             "op": mode,
             "files": files,
-            "schema_ddl": df.schema.simpleString(),
+            "schema_ddl": df.schema.simpleString(),  # human-readable only
+            "schema_json": schema_json,  # lossless; the read path pins this
             "committed_at": time.time(),
         }
         if _commit_manifest(path, head + 1, manifest):
@@ -145,7 +185,10 @@ def snapshot_write(
 
 def snapshot_read(spark: SparkSession, path: str, version: "int | None" = None) -> DataFrame:
     """Read one version (latest by default) — scans ONLY that manifest's
-    files, so concurrent writes/compactions never tear a read."""
+    files, so concurrent writes/compactions never tear a read. The
+    manifest's recorded schema is pinned on the scan, so the result
+    never depends on which file Spark's footer sampling happens to
+    pick."""
     versions = _versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot manifests under {path}")
@@ -153,10 +196,11 @@ def snapshot_read(spark: SparkSession, path: str, version: "int | None" = None) 
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
     files = [os.path.join(path, f) for f in m["files"]]
     if not files:
-        return spark.createDataFrame([], m["schema_ddl"])
-    return spark.read.parquet(*files)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def snapshot_versions(path: str) -> "list[dict]":
@@ -169,33 +213,81 @@ def snapshot_compact(
 ) -> int:
     """Rewrite the head version's small files into ~target-size files and
     commit the result as a NEW version — readers of older versions are
-    untouched (their files are immutable); reclaim with vacuum."""
-    df = snapshot_read(spark, path)
-    head = _versions(path)[-1]
-    m = _read_manifest(path, head)
-    total = sum(os.path.getsize(os.path.join(path, f)) for f in m["files"])
-    n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
-    return snapshot_write(df.repartition(n_out), path, mode="overwrite")
+    untouched (their files are immutable); reclaim with vacuum.
+
+    Commits compare-and-swap against the head it read (``expect_head``)
+    and restarts from the new head on conflict, so rows appended
+    concurrently are never lost to the rewrite."""
+    while True:
+        head = _versions(path)[-1]
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        files = [os.path.join(path, f) for f in m["files"]]
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
+        df = (
+            spark.read.schema(schema).parquet(*files)
+            if files
+            else spark.createDataFrame([], schema)
+        )
+        try:
+            return snapshot_write(
+                df.repartition(n_out), path, mode="overwrite", expect_head=head
+            )
+        except SnapshotConflictError:
+            continue  # an append landed mid-compact: redo against the new head
 
 
-def snapshot_vacuum(path: str, keep_last: int = 1) -> "dict[str, int]":
-    """GC: drop all but the last ``keep_last`` manifests and delete data
-    files no retained manifest references. The only destructive op in
-    the layer, and it only touches already-unreferenced history."""
+def snapshot_vacuum(
+    path: str, keep_last: int = 1, retain_seconds: float = 24 * 3600.0
+) -> "dict[str, int]":
+    """GC: drop all but the last ``keep_last`` manifests and delete
+    stale files no retained manifest references (unreferenced
+    ``data/`` parquet, orphaned ``.staging-*`` dirs from crashed
+    writes, leftover manifest temp files).
+
+    Only files older than ``retain_seconds`` (default 24 h) are
+    touched: a staged-but-not-yet-committed write in another process is
+    indistinguishable from garbage, so — exactly like Delta's retention
+    check — running vacuum with a retention shorter than your longest
+    in-flight write can corrupt that write's commit.
+
+    Crash-safe ordering: dropped manifests are unlinked FIRST, so a
+    crash mid-vacuum can only leave harmless orphaned data files (the
+    next vacuum reclaims them), never a live manifest pointing at
+    deleted data."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    cutoff = time.time() - retain_seconds
+
+    def stale(p: str) -> bool:
+        try:
+            return os.lstat(p).st_mtime < cutoff
+        except FileNotFoundError:
+            return False
+
     versions = _versions(path)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     referenced = set()
     for v in keep:
         referenced.update(_read_manifest(path, v)["files"])
+    for v in drop:  # manifests first — see docstring
+        os.unlink(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
     removed_files = 0
     data_dir = os.path.join(path, _DATA)
     for name in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
         rel = f"{_DATA}/{name}"
-        if name.endswith(".parquet") and rel not in referenced:
-            os.unlink(os.path.join(data_dir, name))
+        full = os.path.join(data_dir, name)
+        if name.endswith(".parquet") and rel not in referenced and stale(full):
+            os.unlink(full)
             removed_files += 1
-    for v in drop:
-        os.unlink(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if name.startswith(".staging-") and stale(full):
+            shutil.rmtree(full, ignore_errors=True)
+    md = _manifest_dir(path)
+    for name in os.listdir(md) if os.path.isdir(md) else []:
+        full = os.path.join(md, name)
+        if name.startswith(".tmp-") and stale(full):
+            os.unlink(full)
     return {"removed_manifests": len(drop), "removed_files": removed_files}

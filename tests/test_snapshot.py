@@ -1,5 +1,6 @@
 """Snapshot tables (sources/snapshot.py): atomic commits, time travel,
-append isolation, compaction without disturbing readers, vacuum GC."""
+append isolation, compaction without disturbing readers, vacuum GC,
+and the concurrency contract (CAS commits, retention-gated vacuum)."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dask_awkward_spark.sources.snapshot import (
+    SnapshotConflictError,
     _commit_manifest,
     snapshot_compact,
     snapshot_read,
@@ -17,6 +19,19 @@ from dask_awkward_spark.sources.snapshot import (
     snapshot_vacuum,
     snapshot_write,
 )
+
+
+def _rival_manifest(spark, version, parent):
+    """A competing writer's (empty) manifest, schema struct<id:bigint>."""
+    return {
+        "version": version,
+        "parent": parent,
+        "op": "overwrite",
+        "files": [],
+        "schema_ddl": "struct<id:bigint>",
+        "schema_json": spark.range(1).schema.json(),
+        "committed_at": 0,
+    }
 
 
 def test_write_read_overwrite_append_time_travel(spark, tmp_path):
@@ -39,13 +54,22 @@ def test_commit_race_retries_to_next_version(spark, tmp_path):
     p = str(tmp_path / "tbl")
     snapshot_write(spark.range(5), p)
     # simulate a concurrent winner for v2
-    assert _commit_manifest(p, 2, {"version": 2, "parent": 1, "op": "overwrite",
-                                   "files": [], "schema_ddl": "struct<id:bigint>",
-                                   "committed_at": 0})
+    assert _commit_manifest(p, 2, _rival_manifest(spark, 2, 1))
     v = snapshot_write(spark.range(7), p, mode="overwrite")
     assert v == 3  # retried past the claimed version
     assert snapshot_read(spark, p).count() == 7
     assert snapshot_read(spark, p, version=2).count() == 0  # the rival's empty commit
+
+
+def test_expect_head_is_compare_and_swap(spark, tmp_path):
+    """With expect_head, a moved head raises instead of silently
+    committing over the concurrent write."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)
+    assert _commit_manifest(p, 2, _rival_manifest(spark, 2, 1))
+    with pytest.raises(SnapshotConflictError):
+        snapshot_write(spark.range(7), p, mode="overwrite", expect_head=1)
+    assert snapshot_versions(p)[-1]["version"] == 2  # nothing committed
 
 
 def test_append_does_not_rewrite_old_files(spark, tmp_path):
@@ -56,6 +80,29 @@ def test_append_does_not_rewrite_old_files(spark, tmp_path):
     after = set(glob.glob(f"{p}/data/*.parquet"))
     assert before < after  # old files untouched, new ones added
     assert snapshot_read(spark, p).count() == 20
+
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    """Parquet schema drift is refused at commit time, not smeared
+    across the file set for footer sampling to resolve at random."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p)
+    evolved = spark.range(3).withColumn("label", F.lit("x"))
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        snapshot_write(evolved, p, mode="append")
+    assert len(snapshot_versions(p)) == 1  # nothing committed
+
+
+def test_read_pins_manifest_schema(spark, tmp_path):
+    """snapshot_read scans with the recorded schema — column set and
+    types come from the manifest, not from sampling one file."""
+    p = str(tmp_path / "tbl")
+    df = spark.range(4).withColumn("w", F.col("id").cast("double"))
+    snapshot_write(df, p)
+    got = snapshot_read(spark, p)
+    # names+types pinned (file scans relax nullability — that's Spark's own rule)
+    assert got.schema.simpleString() == df.schema.simpleString()
+    assert got.count() == 4
 
 
 def test_compact_new_version_old_reader_unaffected(spark, tmp_path):
@@ -70,18 +117,55 @@ def test_compact_new_version_old_reader_unaffected(spark, tmp_path):
     assert len(m[-1]["files"]) < len(m[0]["files"])
 
 
+def test_compact_redoes_after_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append landing mid-compact is never lost: the CAS commit
+    conflicts and compact restarts from the new head."""
+    import dask_awkward_spark.sources.snapshot as snap
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).repartition(8), p)
+
+    real_read = snap._read_manifest
+    appended = {"done": False}
+
+    def read_then_append(path, version):
+        m = real_read(path, version)
+        if not appended["done"]:
+            appended["done"] = True
+            snapshot_write(spark.range(100, 110), p, mode="append")
+        return m
+
+    monkeypatch.setattr(snap, "_read_manifest", read_then_append)
+    v = snapshot_compact(spark, p, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+    # v1 write, v2 concurrent append, v3 compact (restarted once)
+    assert v == 3
+    assert snapshot_read(spark, p).count() == 110  # appended rows survive
+
+
 def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     p = str(tmp_path / "tbl")
     snapshot_write(spark.range(100).repartition(4), p)
     snapshot_write(spark.range(50), p, mode="overwrite")
     n_before = len(glob.glob(f"{p}/data/*.parquet"))
-    stats = snapshot_vacuum(p, keep_last=1)
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
     assert stats["removed_manifests"] == 1
     assert stats["removed_files"] > 0
     assert len(glob.glob(f"{p}/data/*.parquet")) == n_before - stats["removed_files"]
     assert snapshot_read(spark, p).count() == 50  # head intact
     with pytest.raises(ValueError):
         snapshot_read(spark, p, version=1)  # history gone by request
+
+
+def test_vacuum_retention_protects_fresh_files(spark, tmp_path):
+    """Default retention: recently-staged (possibly in-flight) files are
+    NOT deleted even when unreferenced — the Delta-style safety gate."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).repartition(4), p)
+    snapshot_write(spark.range(50), p, mode="overwrite")
+    stats = snapshot_vacuum(p, keep_last=1)  # default 24 h retention
+    assert stats["removed_manifests"] == 1  # log still trimmed...
+    assert stats["removed_files"] == 0  # ...but young data is safe
 
 
 def test_crashed_staging_leaves_no_visible_data(spark, tmp_path, monkeypatch):
@@ -100,9 +184,23 @@ def test_crashed_staging_leaves_no_visible_data(spark, tmp_path, monkeypatch):
         snapshot_write(spark.range(99), p, mode="overwrite")
     monkeypatch.undo()
     assert snapshot_read(spark, p).count() == 5  # still v1
-    stats = snapshot_vacuum(p, keep_last=1)
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
     assert stats["removed_files"] > 0  # the orphaned staged files
     assert snapshot_read(spark, p).count() == 5
+
+
+def test_vacuum_sweeps_crashed_staging_dirs(spark, tmp_path, monkeypatch):
+    """A write that dies DURING the Spark write leaves a .staging-* dir;
+    vacuum (past retention) removes it."""
+    import dask_awkward_spark.sources.snapshot as snap
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)
+    # plant a crashed staging dir (rmtree in _stage_files never ran)
+    os.makedirs(os.path.join(p, ".staging-deadbeef"))
+    snapshot_vacuum(p, retain_seconds=0)
+    assert not glob.glob(f"{p}/.staging-*")
+    snapshot_read(spark, p)  # table unharmed
 
 
 def test_schema_recorded_and_empty_version_readable(spark, tmp_path):
@@ -111,3 +209,8 @@ def test_schema_recorded_and_empty_version_readable(spark, tmp_path):
     snapshot_write(df, p)
     m = snapshot_versions(p)[-1]
     assert m["schema_ddl"] == df.schema.simpleString()
+    # empty-files version reads back as an empty frame with the schema
+    assert _commit_manifest(p, 2, _rival_manifest(spark, 2, 1))
+    empty = snapshot_read(spark, p, version=2)
+    assert empty.count() == 0
+    assert empty.schema.fieldNames() == ["id"]

@@ -55,6 +55,7 @@ from .sources.snapshot import (
     SnapshotConflictError,
     snapshot_compact,
     snapshot_read,
+    snapshot_scan_report,
     snapshot_vacuum,
     snapshot_versions,
     snapshot_write,

@@ -52,6 +52,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _MANIFESTS = "_manifests"
@@ -104,28 +105,98 @@ def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
             os.unlink(tmp)
 
 
-def _stage_files(df: DataFrame, path: str, compression: str) -> "list[str]":
+def _encode_stat(v):
+    """JSON-encode one parquet min/max value; None if not encodable."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for pruning; skip
+    if isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) or math.isinf(v) else v
+    if isinstance(v, datetime.datetime):
+        return {"__dt__": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__d__": v.isoformat()}
+    return None
+
+
+def _decode_stat(v):
+    import datetime
+
+    if isinstance(v, dict):
+        if "__dt__" in v:
+            return datetime.datetime.fromisoformat(v["__dt__"])
+        if "__d__" in v:
+            return datetime.date.fromisoformat(v["__d__"])
+    return v
+
+
+def _file_stats(local_path: str) -> dict:
+    """Footer stats for one parquet file: row count plus per-top-level-
+    column [min, max] aggregated across row groups. A column appears
+    only if EVERY row group has trustworthy min/max (parquet writers
+    omit stats for NaN-containing double pages — absence means
+    "never prune on this column for this file")."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(local_path)
+    minmax: "dict[str, list]" = {}
+    complete: "dict[str, int]" = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf — top-level pruning only
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = _encode_stat(st.min), _encode_stat(st.max)
+            if lo is None or hi is None:
+                continue
+            if name in minmax:
+                minmax[name][0] = min(minmax[name][0], lo, key=_decode_stat)
+                minmax[name][1] = max(minmax[name][1], hi, key=_decode_stat)
+            else:
+                minmax[name] = [lo, hi]
+            complete[name] = complete.get(name, 0) + 1
+    # drop columns missing stats in any row group (can't trust the range)
+    minmax = {k: v for k, v in minmax.items() if complete.get(k) == md.num_row_groups}
+    return {"rows": md.num_rows, "minmax": minmax}
+
+
+def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str], dict]":
     """Write df's partitions as immutable uniquely-named files under data/.
 
     Spark writes into a fresh staging dir; the part files are then
     hard-linked into ``data/`` under uuid names (link, not rename, so a
     crash mid-stage leaves only unreferenced garbage for vacuum — never
-    a torn file visible to any manifest)."""
+    a torn file visible to any manifest). Returns (relpaths, stats) —
+    footer min/max per file, recorded in the manifest for file skipping."""
     data_dir = os.path.join(path, _DATA)
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    files = []
+    files, stats = [], {}
     try:
         df.write.mode("overwrite").option("compression", compression).parquet(staging)
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
                 continue
             out = f"{uuid.uuid4().hex}.parquet"
-            os.link(os.path.join(staging, name), os.path.join(data_dir, out))
-            files.append(f"{_DATA}/{out}")
+            src = os.path.join(staging, name)
+            os.link(src, os.path.join(data_dir, out))
+            rel = f"{_DATA}/{out}"
+            files.append(rel)
+            try:
+                stats[rel] = _file_stats(src)
+            except Exception:
+                pass  # stats are an optimization; never fail the write
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    return files
+    return files, stats
 
 
 def snapshot_write(
@@ -149,7 +220,7 @@ def snapshot_write(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(path, exist_ok=True)
-    new_files = _stage_files(df, path, compression)
+    new_files, new_stats = _stage_files(df, path, compression)
     schema_json = df.schema.json()
     while True:
         versions = _versions(path)
@@ -159,6 +230,7 @@ def snapshot_write(
                 f"table head is v{head}, expected v{expect_head}; "
                 "re-read the table and retry"
             )
+        stats = dict(new_stats)
         if mode == "append" and versions:
             head_m = _read_manifest(path, head)
             if head_m["schema_json"] != schema_json:
@@ -167,6 +239,7 @@ def snapshot_write(
                     f"{head_m['schema_ddl']}, df has {df.schema.simpleString()}"
                 )
             files = head_m["files"] + new_files
+            stats.update(head_m.get("stats", {}))
         else:
             files = list(new_files)
         manifest = {
@@ -174,6 +247,7 @@ def snapshot_write(
             "parent": head or None,
             "op": mode,
             "files": files,
+            "stats": stats,  # per-file footer min/max, for file skipping
             "schema_ddl": df.schema.simpleString(),  # human-readable only
             "schema_json": schema_json,  # lossless; the read path pins this
             "committed_at": time.time(),
@@ -183,12 +257,79 @@ def snapshot_write(
         # another writer claimed head+1: re-read the log and retry
 
 
-def snapshot_read(spark: SparkSession, path: str, version: "int | None" = None) -> DataFrame:
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _file_may_match(stats: "dict | None", col: str, op: str, value) -> bool:
+    """Can a file with these footer stats contain a row matching the
+    predicate? True (= keep the file) on ANY doubt: missing stats,
+    unknown column, incomparable types, NaN values. NULL rows never
+    satisfy a comparison in SQL, so min/max (which exclude nulls)
+    pruning is exact for these operators."""
+    if isinstance(value, float) and math.isnan(value):
+        return True  # Spark orders NaN above all doubles; don't reason here
+    mm = (stats or {}).get("minmax", {}).get(col)
+    if mm is None:
+        return True
+    lo, hi = _decode_stat(mm[0]), _decode_stat(mm[1])
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "in":
+            return any(
+                lo <= x <= hi
+                for x in value
+                if x is not None and not (isinstance(x, float) and math.isnan(x))
+            )
+    except TypeError:
+        return True  # incomparable predicate value: never skip unsafely
+    return True
+
+
+def _prune_files(m: dict, where) -> "tuple[list[str], int]":
+    """(surviving relpaths, skipped count) for ANDed (col, op, value)
+    triples against the manifest's per-file stats."""
+    for col, op, _ in where:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"op must be one of {_PRUNE_OPS}, got {op!r}")
+        if not isinstance(col, str):
+            raise ValueError(f"column must be a string, got {col!r}")
+    stats = m.get("stats", {})
+    kept = [
+        f
+        for f in m["files"]
+        if all(_file_may_match(stats.get(f), c, op, v) for c, op, v in where)
+    ]
+    return kept, len(m["files"]) - len(kept)
+
+
+def snapshot_read(
+    spark: SparkSession,
+    path: str,
+    version: "int | None" = None,
+    where: "list[tuple] | None" = None,
+) -> DataFrame:
     """Read one version (latest by default) — scans ONLY that manifest's
     files, so concurrent writes/compactions never tear a read. The
     manifest's recorded schema is pinned on the scan, so the result
     never depends on which file Spark's footer sampling happens to
-    pick."""
+    pick.
+
+    ``where`` is a list of ANDed ``(column, op, value)`` triples
+    (ops ``= < <= > >= in``). Files whose manifest min/max provably
+    exclude every predicate are dropped from the scan BEFORE Spark
+    plans it — at 100 TB this is the difference between listing/opening
+    every file and touching only the matching time/key range — and the
+    same predicates are re-applied as real Spark filters afterwards, so
+    pruning is purely an optimization, never a semantic change."""
     versions = _versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot manifests under {path}")
@@ -197,10 +338,36 @@ def snapshot_read(spark: SparkSession, path: str, version: "int | None" = None) 
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
     schema = StructType.fromJson(json.loads(m["schema_json"]))
-    files = [os.path.join(path, f) for f in m["files"]]
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    rels = m["files"]
+    if where:
+        rels, _ = _prune_files(m, where)
+    files = [os.path.join(path, f) for f in rels]
+    df = (
+        spark.read.schema(schema).parquet(*files)
+        if files
+        else spark.createDataFrame([], schema)
+    )
+    for col, op, value in where or ():
+        c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(list(value)))
+        else:
+            df = df.filter(
+                {"=": c == value, "<": c < value, "<=": c <= value,
+                 ">": c > value, ">=": c >= value}[op]
+            )
+    return df
+
+
+def snapshot_scan_report(path: str, where, version: "int | None" = None) -> "dict[str, int]":
+    """How much a predicate prunes: {'total': N, 'scanned': K,
+    'skipped': N-K} — observability for layout decisions (are my files
+    clustered on the columns I filter by?)."""
+    versions = _versions(path)
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    kept, skipped = _prune_files(m, where)
+    return {"total": len(m["files"]), "scanned": len(kept), "skipped": skipped}
 
 
 def snapshot_versions(path: str) -> "list[dict]":

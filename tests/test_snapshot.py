@@ -214,3 +214,97 @@ def test_schema_recorded_and_empty_version_readable(spark, tmp_path):
     empty = snapshot_read(spark, p, version=2)
     assert empty.count() == 0
     assert empty.schema.fieldNames() == ["id"]
+
+
+def test_file_skipping_prunes_and_matches_full_scan(spark, tmp_path):
+    """Min/max pruning drops files outside the predicate range, and the
+    pruned read returns exactly what an unpruned filter would."""
+    from dask_awkward_spark.sources.snapshot import snapshot_scan_report
+
+    p = str(tmp_path / "tbl")
+    # 8 files, each covering a disjoint id range (repartitionByRange)
+    df = spark.range(8000).withColumn("v", F.col("id") % 7)
+    snapshot_write(df.repartitionByRange(8, "id"), p)
+    rep = snapshot_scan_report(p, [("id", ">=", 6500)])
+    assert rep["total"] == 8 and rep["skipped"] >= 6
+    pruned = snapshot_read(spark, p, where=[("id", ">=", 6500)])
+    full = snapshot_read(spark, p).filter(F.col("id") >= 6500)
+    assert sorted(r.id for r in pruned.collect()) == sorted(r.id for r in full.collect())
+
+
+def test_file_skipping_ops_semantics(spark, tmp_path):
+    """Every pruning operator returns the same rows as the plain filter
+    (pruning is an optimization, never a semantic change)."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(1000).repartitionByRange(5, "id"), p)
+    cases = [
+        [("id", "=", 123)],
+        [("id", "<", 40)],
+        [("id", "<=", 200)],
+        [("id", ">", 960)],
+        [("id", ">=", 999)],
+        [("id", "in", [3, 999, 5000])],
+        [("id", ">=", 100), ("id", "<", 120)],  # ANDed range
+        [("id", ">", 99999)],  # empty result, all files skipped
+    ]
+    base = snapshot_read(spark, p)
+    for where in cases:
+        got = sorted(r.id for r in snapshot_read(spark, p, where=where).collect())
+        cond = None
+        for c, op, v in where:
+            col = F.col(c)
+            e = {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v,
+                 ">=": col >= v}.get(op, col.isin(v if isinstance(v, list) else [v]))
+            cond = e if cond is None else (cond & e)
+        want = sorted(r.id for r in base.filter(cond).collect())
+        assert got == want, where
+
+
+def test_file_skipping_never_unsafe_without_stats(spark, tmp_path):
+    """Files with no stats for the predicate column are always scanned."""
+    import json as _json
+    from dask_awkward_spark.sources.snapshot import _manifest_dir, snapshot_scan_report
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).repartitionByRange(4, "id"), p)
+    # strip the stats from the committed manifest
+    mf = os.path.join(_manifest_dir(p), "v00000001.json")
+    m = _json.load(open(mf))
+    m["stats"] = {}
+    _json.dump(m, open(mf, "w"))
+    rep = snapshot_scan_report(p, [("id", ">=", 99999)])
+    assert rep["skipped"] == 0  # no stats -> no pruning, never wrong results
+    assert snapshot_read(spark, p, where=[("id", ">=", 50)]).count() == 50
+
+
+def test_file_skipping_string_and_timestamp(spark, tmp_path):
+    """Pruning works on string and timestamp columns (the 100 TB
+    time-range case), via the tagged stat encoding."""
+    import datetime
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(400).select(
+        F.concat(F.lit("k"), F.format_string("%03d", F.col("id"))).alias("k"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    snapshot_write(df.repartitionByRange(4, "k"), p)
+    from dask_awkward_spark.sources.snapshot import snapshot_scan_report
+
+    rep = snapshot_scan_report(p, [("k", ">=", "k350")])
+    assert rep["skipped"] >= 2
+    cut = datetime.datetime(2026, 1, 15)
+    got = snapshot_read(spark, p, where=[("ts", ">=", cut)])
+    want = snapshot_read(spark, p).filter(F.col("ts") >= F.lit(cut))
+    assert got.count() == want.count() > 0
+
+
+def test_append_keeps_both_sides_stats(spark, tmp_path):
+    """Stats survive append commits: old and new files both prunable."""
+    from dask_awkward_spark.sources.snapshot import snapshot_scan_report
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).repartition(1), p)
+    snapshot_write(spark.range(1000, 1100).repartition(1), p, mode="append")
+    rep = snapshot_scan_report(p, [("id", ">=", 1000)])
+    assert rep == {"total": 2, "scanned": 1, "skipped": 1}
+    assert snapshot_read(spark, p, where=[("id", ">=", 1000)]).count() == 100

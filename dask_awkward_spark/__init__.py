@@ -59,6 +59,7 @@ from .sources.snapshot import (
     snapshot_vacuum,
     snapshot_versions,
     snapshot_write,
+    stream_to_snapshot,
 )
 from .sources.text import from_text
 from .functions.strings import strings_astype

@@ -205,6 +205,7 @@ def snapshot_write(
     mode: str = "overwrite",
     compression: str = "zstd",
     expect_head: "int | None" = None,
+    stream_batch_id: "int | None" = None,
 ) -> int:
     """Commit ``df`` as a new version of the snapshot table at ``path``.
 
@@ -231,8 +232,8 @@ def snapshot_write(
                 "re-read the table and retry"
             )
         stats = dict(new_stats)
+        head_m = _read_manifest(path, head) if versions else {}
         if mode == "append" and versions:
-            head_m = _read_manifest(path, head)
             if head_m["schema_json"] != schema_json:
                 raise ValueError(
                     "append schema mismatch: table has "
@@ -242,6 +243,13 @@ def snapshot_write(
             stats.update(head_m.get("stats", {}))
         else:
             files = list(new_files)
+        # the streaming-ingest watermark ("micro-batches <= N are already
+        # in this table") carries forward through EVERY commit — the head
+        # manifest is always retained by vacuum, so the exactly-once
+        # guard survives compaction, overwrites, and history trimming
+        watermark = stream_batch_id
+        if watermark is None:
+            watermark = head_m.get("stream_batch_id")
         manifest = {
             "version": head + 1,
             "parent": head or None,
@@ -250,6 +258,7 @@ def snapshot_write(
             "stats": stats,  # per-file footer min/max, for file skipping
             "schema_ddl": df.schema.simpleString(),  # human-readable only
             "schema_json": schema_json,  # lossless; the read path pins this
+            "stream_batch_id": watermark,
             "committed_at": time.time(),
         }
         if _commit_manifest(path, head + 1, manifest):
@@ -403,6 +412,58 @@ def snapshot_compact(
             )
         except SnapshotConflictError:
             continue  # an append landed mid-compact: redo against the new head
+
+
+def stream_to_snapshot(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: "str | None" = None,
+    drain: bool = True,
+):
+    """Exactly-once streaming ingest into a snapshot table.
+
+    ``foreachBatch`` appends each micro-batch as one atomic snapshot
+    commit recording the batch id. After a crash/restart Spark replays
+    the last possibly-uncommitted micro-batch with the SAME id; the
+    sink skips any ``batch_id`` at or below the table's recorded
+    watermark, so a replay never double-appends — the idempotent-sink
+    half of Spark's exactly-once contract, with the snapshot manifest
+    as the transactional store (no extra state files). The watermark is
+    carried forward by every commit (see :func:`snapshot_write`), so
+    interleaved compaction/overwrite/vacuum can't lose it.
+
+    ``drain=True`` (default) processes everything available and stops —
+    pass a durable ``checkpoint_dir`` and ``drain=False`` to keep the
+    query running and get the StreamingQuery back (restart-recovery
+    then works across processes)."""
+    import shutil
+    import tempfile
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _versions(path)
+        if versions:
+            seen = _read_manifest(path, versions[-1]).get("stream_batch_id")
+            if seen is not None and batch_id <= seen:
+                return  # replayed micro-batch already committed
+        snapshot_write(batch_df, path, mode="append", stream_batch_id=batch_id)
+
+    ephemeral = checkpoint_dir is None
+    if ephemeral and not drain:
+        raise ValueError("drain=False requires a durable checkpoint_dir")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_snap_ckpt_")
+    q = (
+        df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    if not drain:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if ephemeral:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def snapshot_vacuum(

@@ -308,3 +308,82 @@ def test_append_keeps_both_sides_stats(spark, tmp_path):
     rep = snapshot_scan_report(p, [("id", ">=", 1000)])
     assert rep == {"total": 2, "scanned": 1, "skipped": 1}
     assert snapshot_read(spark, p, where=[("id", ">=", 1000)]).count() == 100
+
+
+def _descriptor_stream(spark, n):
+    from dask_awkward_spark.sources.datasource import stream_from_datasource
+
+    def gen(tag):
+        yield {"id": tag}
+
+    return stream_from_datasource(spark, gen, list(range(n)), "id bigint", batch_size=1)
+
+
+def test_stream_to_snapshot_ingests_batches_atomically(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    p = str(tmp_path / "tbl")
+    stream_to_snapshot(_descriptor_stream(spark, 4), p)
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2, 3]
+    log = snapshot_versions(p)
+    assert [m["op"] for m in log] == ["append"] * 4  # one atomic commit per batch
+    assert log[-1]["stream_batch_id"] == 3
+
+
+def test_stream_to_snapshot_checkpoint_restart_no_dups_no_gaps(spark, tmp_path):
+    """Durable checkpoint + grown source log: restart resumes exactly
+    where the committed offset left off."""
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    p, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    stream_to_snapshot(_descriptor_stream(spark, 4), p, checkpoint_dir=ckpt)
+    stream_to_snapshot(_descriptor_stream(spark, 6), p, checkpoint_dir=ckpt)
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_stream_to_snapshot_replay_guard_after_lost_checkpoint(spark, tmp_path):
+    """Worst-case restart: the CHECKPOINT is gone, so Spark replays every
+    micro-batch from 0. The manifest watermark makes the replay
+    idempotent — already-committed batch ids are skipped, only genuinely
+    new ones append."""
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    p = str(tmp_path / "tbl")
+    stream_to_snapshot(_descriptor_stream(spark, 4), p, checkpoint_dir=str(tmp_path / "c1"))
+    # fresh checkpoint: batches 0..5 all replay over the grown log
+    stream_to_snapshot(_descriptor_stream(spark, 6), p, checkpoint_dir=str(tmp_path / "c2"))
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_stream_watermark_survives_compaction(spark, tmp_path):
+    """Compaction commits between stream batches must not lose the
+    exactly-once watermark (it carries forward through every commit)."""
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    p = str(tmp_path / "tbl")
+    stream_to_snapshot(_descriptor_stream(spark, 3), p, checkpoint_dir=str(tmp_path / "c1"))
+    snapshot_compact(spark, p)
+    assert snapshot_versions(p)[-1]["stream_batch_id"] == 2  # carried forward
+    snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    # full replay with a lost checkpoint: nothing duplicates
+    stream_to_snapshot(_descriptor_stream(spark, 3), p, checkpoint_dir=str(tmp_path / "c2"))
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2]
+
+
+def test_stream_to_snapshot_cleans_ephemeral_checkpoint(spark, tmp_path):
+    import glob as _glob
+    import tempfile
+
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    pattern = f"{tempfile.gettempdir()}/dakspark_snap_ckpt_*"
+    before = set(_glob.glob(pattern))
+    stream_to_snapshot(_descriptor_stream(spark, 2), str(tmp_path / "tbl"))
+    assert set(_glob.glob(pattern)) == before
+
+
+def test_stream_to_snapshot_background_requires_durable_checkpoint(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    with pytest.raises(ValueError, match="durable checkpoint"):
+        stream_to_snapshot(_descriptor_stream(spark, 2), str(tmp_path / "tbl"), drain=False)

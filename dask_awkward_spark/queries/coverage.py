@@ -415,7 +415,51 @@ def op_ravel(spark, sf_dir):
 OP_RAVEL_SQL = "SELECT l_quantity AS q FROM lineitem"
 
 
+def io_snapshot_roundtrip(spark, sf_dir):
+    """Snapshot-table lifecycle under an oracle: commit v1 (overwrite,
+    range-clustered on l_orderkey), v2 (append), v3 (an overwrite
+    decoy), then TIME-TRAVEL back to v2 with a data-skipping predicate.
+    The decoy proves version isolation; the pruned+filtered read must
+    equal plain SQL over the source rows — files are dropped from the
+    scan only when their footer min/max provably excludes the
+    predicate, so skipping can never change the answer."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_read, snapshot_write
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snap_{sf_tag}"
+    shutil.rmtree(path, ignore_errors=True)  # stale manifests from prior runs
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    snapshot_write(
+        li.filter(F.col("l_orderkey") < 500).repartitionByRange(4, "l_orderkey"),
+        path,
+    )
+    snapshot_write(
+        li.filter((F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1000))
+        .repartitionByRange(4, "l_orderkey"),
+        path,
+        mode="append",
+    )
+    snapshot_write(li.filter(F.col("l_orderkey") >= 1000).limit(100), path)  # decoy head
+    back = snapshot_read(spark, path, version=2, where=[("l_orderkey", "<", 750)])
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("price_c"),
+    )
+
+
+IO_SNAPSHOT_RT_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM lineitem WHERE l_orderkey < 750 GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
+    "io_snapshot_roundtrip": io_snapshot_roundtrip,
     "op_argcartesian": op_argcartesian,
     "op_ravel": op_ravel,
     "io_parquet_roundtrip": io_parquet_roundtrip,
@@ -433,6 +477,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "io_snapshot_roundtrip": IO_SNAPSHOT_RT_SQL,
     "op_argcartesian": OP_ARGCARTESIAN_SQL,
     "op_ravel": OP_RAVEL_SQL,
     "io_parquet_roundtrip": IO_PARQUET_RT_SQL,

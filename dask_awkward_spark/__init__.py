@@ -53,6 +53,7 @@ from .sources.parquet import (
 from .sources.json import from_json, to_json
 from .sources.snapshot import (
     SnapshotConflictError,
+    snapshot_changes,
     snapshot_compact,
     snapshot_read,
     snapshot_scan_report,

@@ -384,16 +384,74 @@ def snapshot_versions(path: str) -> "list[dict]":
     return [_read_manifest(path, v) for v in _versions(path)]
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    since: int,
+    until: "int | None" = None,
+) -> DataFrame:
+    """Rows ADDED between version ``since`` (exclusive) and ``until``
+    (inclusive, default head) — the incremental-consumption feed.
+
+    A downstream job remembers the last version it processed and reads
+    only the delta: at 100 TB this is what turns daily dedup/indexing
+    reruns over the whole corpus into touch-only-today's-files jobs.
+    Exact because data files are immutable and appends only ever add
+    files: the delta is (files at until) minus (files at since), read
+    with the pinned head schema.
+
+    Every version in the range must be an ``append`` (or a no-op for
+    the file set). An ``overwrite`` in the range rewrites history the
+    delta can't represent — that raises, by design; run compaction and
+    replaces outside the windows you diff."""
+    versions = _versions(path)
+    u = versions[-1] if until is None else until
+    for v in (since, u):
+        if v != 0 and v not in versions:
+            raise ValueError(f"version {v} not in {versions} (vacuumed away?)")
+    if u < since:
+        raise ValueError(f"until={u} is before since={since}")
+    bad = []
+    for v in versions:
+        if since < v <= u:
+            mv = _read_manifest(path, v)
+            # the table-creating commit (no parent) is a degenerate append
+            if mv["op"] != "append" and mv["parent"] is not None:
+                bad.append(v)
+    if bad:
+        raise ValueError(
+            f"versions {bad} are not appends: an overwrite/compact breaks "
+            "the append-only lineage a change feed needs"
+        )
+    until_m = _read_manifest(path, u)
+    base = set(_read_manifest(path, since)["files"]) if since else set()
+    delta = [f for f in until_m["files"] if f not in base]
+    schema = StructType.fromJson(json.loads(until_m["schema_json"]))
+    if not delta:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in delta])
+
+
 def snapshot_compact(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_by: "list[str] | None" = None,
+    bits: int = 8,
 ) -> int:
     """Rewrite the head version's small files into ~target-size files and
     commit the result as a NEW version — readers of older versions are
     untouched (their files are immutable); reclaim with vacuum.
 
-    Commits compare-and-swap against the head it read (``expect_head``)
-    and restarts from the new head on conflict, so rows appended
-    concurrently are never lost to the rewrite."""
+    ``zorder_by=[cols]`` clusters the rewrite on the Morton key of those
+    columns (range partition + sort within), so every output file covers
+    a compact hyper-rectangle of the key space and its footer min/max —
+    which the manifest records — stays tight in EVERY clustered
+    dimension. Streaming ingest appends time-ordered files; a periodic
+    Z-order compact is what makes ``snapshot_read(where=...)`` skip on
+    the OTHER columns too. Commits compare-and-swap against the head it
+    read (``expect_head``) and restarts from the new head on conflict,
+    so rows appended concurrently are never lost to the rewrite."""
     while True:
         head = _versions(path)[-1]
         m = _read_manifest(path, head)
@@ -406,10 +464,19 @@ def snapshot_compact(
             if files
             else spark.createDataFrame([], schema)
         )
-        try:
-            return snapshot_write(
-                df.repartition(n_out), path, mode="overwrite", expect_head=head
+        if zorder_by:
+            from .parquet import zorder_column
+
+            zdf, key = zorder_column(df, zorder_by, bits)
+            out = (
+                zdf.repartitionByRange(n_out, F.col(key))
+                .sortWithinPartitions(key)
+                .drop(key)
             )
+        else:
+            out = df.repartition(n_out)
+        try:
+            return snapshot_write(out, path, mode="overwrite", expect_head=head)
         except SnapshotConflictError:
             continue  # an append landed mid-compact: redo against the new head
 

@@ -387,3 +387,51 @@ def test_stream_to_snapshot_background_requires_durable_checkpoint(spark, tmp_pa
 
     with pytest.raises(ValueError, match="durable checkpoint"):
         stream_to_snapshot(_descriptor_stream(spark, 2), str(tmp_path / "tbl"), drain=False)
+
+
+def test_snapshot_changes_incremental_feed(spark, tmp_path):
+    """A consumer remembering its last version reads only the delta."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p)
+    snapshot_write(spark.range(10, 20), p, mode="append")
+    snapshot_write(spark.range(20, 25), p, mode="append")
+    assert sorted(r.id for r in snapshot_changes(spark, p, since=1).collect()) == list(range(10, 25))
+    assert sorted(r.id for r in snapshot_changes(spark, p, since=1, until=2).collect()) == list(range(10, 20))
+    assert snapshot_changes(spark, p, since=3).count() == 0  # caught up
+    assert sorted(r.id for r in snapshot_changes(spark, p, since=0).collect()) == list(range(25))
+
+
+def test_snapshot_changes_refuses_broken_lineage(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_changes
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p)
+    snapshot_write(spark.range(5), p, mode="overwrite")
+    with pytest.raises(ValueError, match="not appends"):
+        snapshot_changes(spark, p, since=1)
+    # a window that ends before the overwrite is still fine
+    assert snapshot_changes(spark, p, since=1, until=1).count() == 0
+
+
+def test_compact_zorder_tightens_skipping(spark, tmp_path):
+    """Streaming-style appends interleave both key ranges in every file
+    (no pruning); a Z-order compact re-clusters so both columns prune."""
+    from dask_awkward_spark.sources.snapshot import snapshot_scan_report
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(4000).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") * 37 % 64).alias("y")
+    )
+    # 4 appends, each spanning the FULL x/y space — min/max useless
+    for i in range(4):
+        snapshot_write(df, p, mode="append" if i else "overwrite")
+    before = snapshot_scan_report(p, [("x", "<", 8), ("y", "<", 8)])
+    assert before["skipped"] == 0
+    snapshot_compact(spark, p, target_file_bytes=2 << 10, zorder_by=["x", "y"])
+    after = snapshot_scan_report(p, [("x", "<", 8), ("y", "<", 8)])
+    assert after["total"] > 4 and after["skipped"] > 0
+    got = snapshot_read(spark, p, where=[("x", "<", 8), ("y", "<", 8)])
+    want = snapshot_read(spark, p).filter((F.col("x") < 8) & (F.col("y") < 8))
+    assert got.count() == want.count() > 0  # pruning never changes results

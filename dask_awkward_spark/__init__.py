@@ -91,6 +91,7 @@ from .functions.curation import (
     pack_sequences,
     quota_sample,
 )
+from .functions.incremental import dedup_probe, incremental_dedup, minhash_bands
 from .functions.sketches import hll_distinct, kmv_distinct
 from .functions.vectors import (
     cosine_similarity,

@@ -1,0 +1,165 @@
+"""Incremental (delta-only) MinHash dedup against a persistent index.
+
+The 100 TB problem this solves: re-running corpus dedup from scratch on
+every ingest is O(corpus) per day. With a persistent band index (a
+snapshot table of ``(band, band_key, keep_id)``) the daily job is
+O(delta): compute bands for the NEW documents only, probe the index with
+one equi-join, and append the delta's buckets back. Combined with
+:func:`~dask_awkward_spark.sources.snapshot.snapshot_changes` the whole
+pipeline touches only files added since the last run.
+
+Semantics are identical to the batch query (``dedup_minhash_lsh``
+family, queries/dedup.py): a document is a duplicate iff one of its
+band buckets contains an earlier (smaller-id) document. Because EVERY
+probed document's buckets are appended to the index — duplicates
+included — chained duplicates resolve exactly as a single batch pass
+would: incremental over K chunks (in id order) equals one batch run,
+which is what the equivalence tests assert.
+
+Everything is expression-tier: seeded-md5 MinHash signatures computed
+row-locally over a packed distinct-element array (no per-doc groupBy —
+deltas are often small), band keys exploded row-locally, then one
+equi-join on ``(band, band_key)`` and one aggregate per delta. No UDFs,
+no all-pairs joins.
+
+Reference parity: dask-awkward has no dedup operators at all — this is
+part of the training-data-pipeline uplift surface (SURVEY §2 extension),
+sharing its hash construction with the oracle-checked batch queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+_N_SEEDS = (N_HASHES + 3) // 4  # 4 signature chunks per seeded md5
+
+
+def packed_band_structs(elems: Column, key_alias: str = "bkey") -> Column:
+    """Row-local MinHash banding over a PACKED (distinct) element array —
+    the single source of truth for every packed/streaming/incremental
+    consumer, parameterized by N_HASHES/N_BANDS exactly like the batch
+    construction (h_i = chunk i%4 of seeded md5 i//4; band key j =
+    md5(h_2j || h_2j+1)). Returns array<struct<band, key>> ready to
+    explode. Rows with NO elements yield NULL keys — callers MUST filter
+    them (an unfiltered NULL key would form a spurious all-empty-docs
+    duplicate bucket)."""
+    seeded = F.transform(
+        elems,
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(f"{g}|"), s)) for g in range(_N_SEEDS)]
+        ),
+    )
+
+    def chunk_min(m, i):
+        off = 32 * (i // 4) + 8 * (i % 4) + 1
+        return F.array_min(F.transform(m, lambda x: F.substring(x, off, 8)))
+
+    return F.get(
+        F.transform(
+            F.array(seeded),
+            lambda m: F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(chunk_min(m, 2 * j), chunk_min(m, 2 * j + 1))
+                        ).alias(key_alias),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            ),
+        ),
+        0,
+    )
+
+
+def minhash_bands(
+    df: DataFrame, elems: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, band, band_key)`` rows for each document: N_BANDS keys per
+    doc, computed row-locally from the packed element array ``elems``
+    (e.g. ``F.array_distinct(tokens(F.lower(F.col("text"))))``).
+    Documents with no elements are dropped (no bands to collide on)."""
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.explode(packed_band_structs(elems, key_alias="band_key")).alias("b"),
+        )
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+        .filter(F.col("band_key").isNotNull())
+    )
+
+
+def dedup_probe(
+    index: "DataFrame | None",
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> "tuple[DataFrame, DataFrame]":
+    """Probe delta band rows against the persistent index.
+
+    Returns ``(verdicts, index_delta)``:
+
+    - ``verdicts`` — one row per delta document: ``(id, dup_of)`` where
+      ``dup_of`` is the smallest earlier document sharing a band bucket
+      (from the index OR from within the delta itself), or NULL if the
+      document is kept;
+    - ``index_delta`` — ``(band, band_key, keep_id)`` rows for every
+      bucket the delta touched (min delta id per bucket), to be appended
+      to the index table. All probed docs enter the index — that is what
+      makes chained duplicates match the batch pass exactly.
+
+    Scale shape: one shuffle of the DELTA's bands on (band, band_key)
+    (the index side joins co-partitioned on the same key), one aggregate
+    per delta doc id. The index is never scanned beyond the join."""
+    delta_min = new_bands.groupBy("band", "band_key").agg(
+        F.min(id_col).alias("delta_keep")
+    )
+    if index is not None:
+        idx = index.groupBy("band", "band_key").agg(F.min("keep_id").alias("idx_keep"))
+        probed = new_bands.join(idx, ["band", "band_key"], "left")
+    else:
+        probed = new_bands.withColumn("idx_keep", F.lit(None).cast("bigint"))
+    best = probed.join(delta_min, ["band", "band_key"]).groupBy(id_col).agg(
+        F.min(F.least(F.coalesce("idx_keep", "delta_keep"), "delta_keep")).alias("best")
+    )
+    verdicts = best.select(
+        id_col,
+        F.when(F.col("best") < F.col(id_col), F.col("best")).alias("dup_of"),
+    )
+    index_delta = delta_min.select("band", "band_key", F.col("delta_keep").alias("keep_id"))
+    return verdicts, index_delta
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    elems: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One incremental dedup step against the snapshot-table index at
+    ``index_path``: probe the delta, atomically append its buckets to
+    the index, return the verdicts frame ``(id, dup_of)``.
+
+    The index append is one atomic snapshot commit, so a crashed run
+    never leaves a half-updated index; re-running the same delta is
+    harmless (buckets re-appear with the same or larger keep_id — probe
+    aggregates min, verdicts are unchanged)."""
+    from ..sources.snapshot import snapshot_read, snapshot_write
+
+    try:
+        index = snapshot_read(spark, index_path)
+    except FileNotFoundError:
+        index = None
+    bands = minhash_bands(new_docs, elems, id_col)
+    verdicts, index_delta = dedup_probe(index, bands, id_col)
+    # snapshot_read pinned the index's file list above, so evaluating
+    # verdicts lazily AFTER the append below still scans only the
+    # pre-append index — no checkpoint needed
+    snapshot_write(
+        index_delta, index_path, mode="append" if index is not None else "overwrite"
+    )
+    return verdicts

@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from ..functions import textstats as tx
 from ..sources.tables import load_table, load_table_hot
 
-N_HASHES = 8
-N_BANDS = 4  # rows-per-band = 2
+from ..functions.incremental import N_BANDS, N_HASHES  # single source of truth
+
 SIMHASH_BITS = 16
 
 TOK_CTE = r"""
@@ -139,46 +139,10 @@ def _sql_sig_bands(src_cte: str = "tok", elem: str = "tk") -> str:
 )"""
 
 
-_N_SEEDS = (N_HASHES + 3) // 4  # 4 signature chunks per seeded md5
-
-
-def _packed_band_structs(elems, key_alias: str = "bkey"):
-    """Row-local MinHash banding over a PACKED (distinct) element array —
-    the single source of truth for every packed/streaming consumer,
-    parameterized by N_HASHES/N_BANDS exactly like ``_sig_bands`` (h_i =
-    chunk i%4 of seeded md5 i//4; band key j = md5(h_2j || h_2j+1)).
-    Returns array<struct<band, key>> ready to explode. Rows with NO
-    elements yield NULL keys — callers MUST filter them (the exploded
-    batch path drops empty docs at the token explode; an unfiltered NULL
-    key would form a spurious all-empty-docs duplicate bucket)."""
-    seeded = F.transform(
-        elems,
-        lambda s: F.concat(
-            *[F.md5(F.concat(F.lit(f"{g}|"), s)) for g in range(_N_SEEDS)]
-        ),
-    )
-
-    def chunk_min(m, i):
-        off = 32 * (i // 4) + 8 * (i % 4) + 1
-        return F.array_min(F.transform(m, lambda x: F.substring(x, off, 8)))
-
-    return F.get(
-        F.transform(
-            F.array(seeded),
-            lambda m: F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.md5(
-                            F.concat(chunk_min(m, 2 * j), chunk_min(m, 2 * j + 1))
-                        ).alias(key_alias),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            ),
-        ),
-        0,
-    )
+# the packed row-local banding construction is shared with the public
+# incremental-dedup API — single source of truth lives there
+from ..functions.incremental import _N_SEEDS  # noqa: F401 (re-export)
+from ..functions.incremental import packed_band_structs as _packed_band_structs
 
 
 def dedup_minhash_lsh(spark, sf_dir):

@@ -234,7 +234,11 @@ def snapshot_write(
         stats = dict(new_stats)
         head_m = _read_manifest(path, head) if versions else {}
         if mode == "append" and versions:
-            if head_m["schema_json"] != schema_json:
+            # names+types must match exactly; nullability is excluded on
+            # purpose — Spark relaxes it on every file scan, so a
+            # compacted table would otherwise refuse appends from the
+            # very frame shape that created it
+            if head_m["schema_ddl"] != df.schema.simpleString():
                 raise ValueError(
                     "append schema mismatch: table has "
                     f"{head_m['schema_ddl']}, df has {df.schema.simpleString()}"

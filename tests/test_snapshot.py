@@ -370,16 +370,25 @@ def test_stream_watermark_survives_compaction(spark, tmp_path):
     assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2]
 
 
-def test_stream_to_snapshot_cleans_ephemeral_checkpoint(spark, tmp_path):
-    import glob as _glob
+def test_stream_to_snapshot_cleans_ephemeral_checkpoint(spark, tmp_path, monkeypatch):
     import tempfile
 
     from dask_awkward_spark.sources.snapshot import stream_to_snapshot
 
-    pattern = f"{tempfile.gettempdir()}/dakspark_snap_ckpt_*"
-    before = set(_glob.glob(pattern))
+    # track the exact dir THIS call creates (a tmp-glob diff would race
+    # with any other test process on the machine)
+    created = []
+    real = tempfile.mkdtemp
+
+    def recording(*a, **k):
+        p = real(*a, **k)
+        created.append(p)
+        return p
+
+    monkeypatch.setattr(tempfile, "mkdtemp", recording)
     stream_to_snapshot(_descriptor_stream(spark, 2), str(tmp_path / "tbl"))
-    assert set(_glob.glob(pattern)) == before
+    mine = [p for p in created if "dakspark_snap_ckpt_" in p]
+    assert mine and not any(os.path.exists(p) for p in mine)
 
 
 def test_stream_to_snapshot_background_requires_durable_checkpoint(spark, tmp_path):

@@ -576,10 +576,10 @@ def test_datasource_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got == [0, 1, 2, 3, 4, 5]
 
 
-def test_stream_to_datasource_cleans_ephemeral_checkpoint(spark, tmp_path):
+def test_stream_to_datasource_cleans_ephemeral_checkpoint(spark, tmp_path, monkeypatch):
     """The default (caller gave no checkpoint_dir) must not leak a temp
     dir per call."""
-    import glob
+    import os
     import tempfile
 
     from dask_awkward_spark.sources.datasource import (
@@ -591,10 +591,20 @@ def test_stream_to_datasource_cleans_ephemeral_checkpoint(spark, tmp_path):
         yield {"id": tag}
 
     st = stream_from_datasource(spark, gen, [1, 2], "id bigint", batch_size=2)
-    pattern = f"{tempfile.gettempdir()}/dakspark_pyio_ckpt_*"
-    before = set(glob.glob(pattern))
+    # track the exact dir THIS call creates (a tmp-glob diff would race
+    # with any other test process on the machine)
+    created = []
+    real = tempfile.mkdtemp
+
+    def recording(*a, **k):
+        p = real(*a, **k)
+        created.append(p)
+        return p
+
+    monkeypatch.setattr(tempfile, "mkdtemp", recording)
     stream_to_datasource(st, lambda rows: len(list(rows)))
-    assert set(glob.glob(pattern)) == before
+    mine = [p for p in created if "dakspark_pyio_ckpt_" in p]
+    assert mine and not any(os.path.exists(p) for p in mine)
 
 
 def test_datasource_pushed_ordering_filters_match_spark_nan_semantics(spark):

@@ -1,0 +1,110 @@
+"""Property fuzzer for the snapshot table layer: random op sequences
+(overwrite / append / compact / zorder-compact / vacuum) executed against
+both the real implementation and a trivial in-memory model; every
+surviving version must read back exactly the model's rows, and change
+feeds over append-only spans must equal the model's delta."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st_
+
+from dask_awkward_spark.sources.snapshot import (
+    snapshot_changes,
+    snapshot_compact,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_write,
+)
+
+SETTINGS = dict(
+    # soak mode: DAKSPARK_HYPO_EXAMPLES=50 python -m pytest tests/test_snapshot_fuzz.py
+    max_examples=int(os.environ.get("DAKSPARK_HYPO_EXAMPLES", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# an op is one of:
+#   ("overwrite", lo, n) — replace with rows lo..lo+n
+#   ("append", lo, n)    — add rows lo..lo+n
+#   ("compact", z)       — rewrite head (z: zorder on id or plain)
+#   ("vacuum", keep)     — trim history to keep_last=keep, retention 0
+_op = st_.one_of(
+    st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
+    st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
+    st_.tuples(st_.just("compact"), st_.booleans()),
+    st_.tuples(st_.just("vacuum"), st_.integers(1, 3)),
+)
+_seq = st_.lists(_op, min_size=2, max_size=7)
+
+
+@given(ops=_seq)
+@settings(**SETTINGS)
+def test_snapshot_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+    p = str(tmp_path_factory.mktemp("snapfuzz") / "tbl")
+    # model: version -> (op_kind, rows list); None marks vacuumed-away
+    model: "dict[int, tuple[str, list[int]]]" = {}
+    head_rows: "list[int]" = []
+    head_v = 0
+
+    def write(rows, mode):
+        nonlocal head_v
+        df = spark.createDataFrame([(i,) for i in rows], "id bigint")
+        v = snapshot_write(df.repartition(2), p, mode=mode)
+        head_v = v
+        return v
+
+    first = True
+    for op in ops:
+        if op[0] == "overwrite" or (first and op[0] == "append"):
+            _, lo, n = op  # a first-ever append is just the creating write
+            head_rows = list(range(lo, lo + n))
+            v = write(head_rows, "overwrite")
+            model[v] = ("overwrite", list(head_rows))
+        elif op[0] == "append":
+            _, lo, n = op
+            head_rows = head_rows + list(range(lo, lo + n))
+            v = write(list(range(lo, lo + n)), "append")
+            model[v] = ("append", list(head_rows))
+        elif op[0] == "compact":
+            if first:
+                continue  # nothing to compact yet
+            v = snapshot_compact(
+                spark, p, target_file_bytes=1 << 12,
+                zorder_by=["id"] if op[1] else None,
+            )
+            head_v = v
+            model[v] = ("compact", list(head_rows))
+        elif op[0] == "vacuum":
+            if first:
+                continue
+            snapshot_vacuum(p, keep_last=op[1], retain_seconds=0)
+            live = sorted(model)[-op[1]:]
+            for v in list(model):
+                if v not in live:
+                    del model[v]
+        first = False
+
+    if not model:
+        return
+    # every surviving version reads back exactly the model's rows
+    for v, (_, rows) in model.items():
+        got = sorted(r.id for r in snapshot_read(spark, p, version=v).collect())
+        assert got == sorted(rows), f"v{v}"
+    # change feed over any append-only span equals the model delta
+    vs = sorted(model)
+    for a, b in zip(vs, vs[1:]):
+        kinds = [model[v][0] for v in vs if a < v <= b]
+        if all(k == "append" for k in kinds):
+            delta = sorted(r.id for r in snapshot_changes(spark, p, since=a, until=b).collect())
+            want = sorted(_multiset_diff(model[b][1], model[a][1]))
+            assert delta == want, f"changes {a}->{b}"
+
+
+def _multiset_diff(big: "list[int]", small: "list[int]") -> "list[int]":
+    out = list(big)
+    for x in small:
+        out.remove(x)
+    return out

@@ -145,6 +145,50 @@ from ..functions.incremental import _N_SEEDS  # noqa: F401 (re-export)
 from ..functions.incremental import packed_band_structs as _packed_band_structs
 
 
+def dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup vs a batch-SQL oracle: the corpus arrives as two
+    id-ordered chunks, each probed against the persistent snapshot-table
+    band index (functions/incremental) with the other chunk unseen; the
+    oracle computes the single-pass batch verdicts in pure SQL. They must
+    match EXACTLY — including chained duplicates — because every probed
+    doc's buckets enter the index. This is the O(delta)-per-ingest path a
+    100 TB corpus needs instead of O(corpus) daily reruns."""
+    import shutil
+    import tempfile
+
+    from ..functions.incremental import incremental_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/dakspark_dedup_idx_{sf_tag}"
+    shutil.rmtree(path, ignore_errors=True)  # stale index from prior runs
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    elems = F.array_distinct(tx.tokens(F.lower(F.col("text"))))
+    v1 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") <= mid), elems)
+    v2 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") > mid), elems)
+    # kept docs get dup_of = -1 (a NULL bigint round-trips as NaN through
+    # the oracle harness's pandas conversion)
+    return v1.unionByName(v2).select(
+        "doc_id", F.coalesce("dup_of", F.lit(-1)).alias("dup_of")
+    )
+
+
+def _incremental_sql() -> str:
+    return (
+        TOK_CTE
+        + _sql_sig_bands()
+        + """
+, bmin AS (
+  SELECT band, band_key, min(doc_id) AS keep FROM bands GROUP BY 1, 2
+), best AS (
+  SELECT b.doc_id AS doc_id, min(m.keep) AS best
+  FROM bands b JOIN bmin m USING (band, band_key) GROUP BY 1
+)
+SELECT doc_id, COALESCE(CASE WHEN best < doc_id THEN best END, -1) AS dup_of FROM best
+"""
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures (8 hashes via seeded md5, min over token set) →
     4 bands of 2 → band-key groupBy. Groups with >1 doc are near-dup
@@ -498,6 +542,7 @@ SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.25
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -508,6 +553,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_incremental": _incremental_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _jaccard_sql(),
     "dedup_embedding_cosine": _emb_cosine_sql(),

@@ -52,6 +52,7 @@ from .sources.parquet import (
 )
 from .sources.json import from_json, to_json
 from .sources.snapshot import (
+    SnapshotBatchReplayedError,
     SnapshotConflictError,
     snapshot_changes,
     snapshot_compact,

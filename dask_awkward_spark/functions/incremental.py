@@ -154,11 +154,16 @@ def incremental_dedup(
         index = snapshot_read(spark, index_path)
     except FileNotFoundError:
         index = None
-    bands = minhash_bands(new_docs, elems, id_col)
+    # materialize the delta's bands ONCE: the signature stage (seeded
+    # md5 over every token) dominates, and both the index append and the
+    # verdicts consume it — recomputing would double the job's cost and,
+    # for a nondeterministic new_docs (sample/limit/re-listed dir), let
+    # the persisted index diverge from the verdicts returned
+    bands = minhash_bands(new_docs, elems, id_col).localCheckpoint(eager=True)
     verdicts, index_delta = dedup_probe(index, bands, id_col)
     # snapshot_read pinned the index's file list above, so evaluating
     # verdicts lazily AFTER the append below still scans only the
-    # pre-append index — no checkpoint needed
+    # pre-append index
     snapshot_write(
         index_delta, index_path, mode="append" if index is not None else "overwrite"
     )

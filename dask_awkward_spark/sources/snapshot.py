@@ -63,6 +63,11 @@ class SnapshotConflictError(RuntimeError):
     """Raised when ``expect_head`` no longer matches the table head."""
 
 
+class SnapshotBatchReplayedError(RuntimeError):
+    """Raised when a streaming micro-batch at or below the table's
+    recorded watermark tries to commit (it already landed)."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, _MANIFESTS)
 
@@ -79,6 +84,13 @@ def _versions(path: str) -> "list[int]":
             except ValueError:
                 continue
     return sorted(out)
+
+
+def _require_versions(path: str) -> "list[int]":
+    versions = _versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {path}")
+    return versions
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -180,7 +192,14 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     files, stats = [], {}
+    # INT96 (Spark's legacy parquet timestamp) carries NO footer min/max,
+    # which would silently disable time-range file skipping — the main
+    # 100 TB pruning case. Stage with INT64 micros instead.
+    spark = df.sparkSession
+    ts_conf = "spark.sql.parquet.outputTimestampType"
+    old_ts = spark.conf.get(ts_conf, None)
     try:
+        spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
         df.write.mode("overwrite").option("compression", compression).parquet(staging)
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
@@ -195,6 +214,10 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
             except Exception:
                 pass  # stats are an optimization; never fail the write
     finally:
+        if old_ts is None:
+            spark.conf.unset(ts_conf)
+        else:
+            spark.conf.set(ts_conf, old_ts)
         shutil.rmtree(staging, ignore_errors=True)
     return files, stats
 
@@ -248,12 +271,27 @@ def snapshot_write(
         else:
             files = list(new_files)
         # the streaming-ingest watermark ("micro-batches <= N are already
-        # in this table") carries forward through EVERY commit — the head
-        # manifest is always retained by vacuum, so the exactly-once
-        # guard survives compaction, overwrites, and history trimming
-        watermark = stream_batch_id
-        if watermark is None:
-            watermark = head_m.get("stream_batch_id")
+        # in this table") carries forward through appends and CAS rewrites
+        # (compaction) — the head manifest is always retained by vacuum,
+        # so the exactly-once guard survives history trimming. A PLAIN
+        # overwrite resets it: that is a table replacement, and a new
+        # stream attached afterwards must not have its early batches
+        # swallowed by a stale watermark.
+        prior = head_m.get("stream_batch_id")
+        if stream_batch_id is not None:
+            # enforced INSIDE the commit loop: two writers replaying the
+            # same micro-batch can both pass a pre-check, but the loser's
+            # retry re-reads the head and must land here, not double-append
+            if prior is not None and stream_batch_id <= prior:
+                raise SnapshotBatchReplayedError(
+                    f"micro-batch {stream_batch_id} already committed "
+                    f"(table watermark {prior})"
+                )
+            watermark = stream_batch_id
+        elif mode == "append" or expect_head is not None:
+            watermark = prior
+        else:
+            watermark = None  # plain overwrite: table replaced, guard reset
         manifest = {
             "version": head + 1,
             "parent": head or None,
@@ -273,7 +311,37 @@ def snapshot_write(
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
-def _file_may_match(stats: "dict | None", col: str, op: str, value) -> bool:
+def _norm_ts(bound, value, tz: "str | None"):
+    """Make a stats datetime and a predicate datetime comparable.
+
+    Spark TIMESTAMP (LTZ) columns stage as UTC-adjusted micros, so their
+    parquet stats decode tz-AWARE; a naive predicate datetime is what a
+    Spark filter literal would be — interpreted in the session timezone.
+    Aware-predicate-vs-naive-stats (an NTZ column) has no defined
+    mapping: raise (caller keeps the file)."""
+    import datetime
+
+    if not (isinstance(bound, datetime.datetime) and isinstance(value, datetime.datetime)):
+        return bound, value
+    b_aware, v_aware = bound.tzinfo is not None, value.tzinfo is not None
+    if b_aware and not v_aware:
+        if tz is None:
+            raise TypeError("no session timezone to interpret naive predicate")
+        from zoneinfo import ZoneInfo
+
+        try:
+            zone = ZoneInfo(tz)
+        except Exception as e:  # unparseable zone id: caller keeps the file
+            raise TypeError(str(e))
+        return bound, value.replace(tzinfo=zone)
+    if v_aware and not b_aware:
+        raise TypeError("tz-aware predicate on a TIMESTAMP_NTZ column")
+    return bound, value
+
+
+def _file_may_match(
+    stats: "dict | None", col: str, op: str, value, tz: "str | None" = None
+) -> bool:
     """Can a file with these footer stats contain a row matching the
     predicate? True (= keep the file) on ANY doubt: missing stats,
     unknown column, incomparable types, NaN values. NULL rows never
@@ -284,21 +352,26 @@ def _file_may_match(stats: "dict | None", col: str, op: str, value) -> bool:
     mm = (stats or {}).get("minmax", {}).get(col)
     if mm is None:
         return True
-    lo, hi = _decode_stat(mm[0]), _decode_stat(mm[1])
     try:
+        lo, v = _norm_ts(_decode_stat(mm[0]), value, tz)
+        hi, _ = _norm_ts(_decode_stat(mm[1]), value, tz)
         if op == "=":
-            return lo <= value <= hi
+            return lo <= v <= hi
         if op == "<":
-            return lo < value
+            return lo < v
         if op == "<=":
-            return lo <= value
+            return lo <= v
         if op == ">":
-            return hi > value
+            return hi > v
         if op == ">=":
-            return hi >= value
+            return hi >= v
         if op == "in":
+            def ok(x):
+                l2, x2 = _norm_ts(lo, x, tz)
+                return l2 <= x2 <= _norm_ts(hi, x, tz)[0]
+
             return any(
-                lo <= x <= hi
+                ok(x)
                 for x in value
                 if x is not None and not (isinstance(x, float) and math.isnan(x))
             )
@@ -307,7 +380,7 @@ def _file_may_match(stats: "dict | None", col: str, op: str, value) -> bool:
     return True
 
 
-def _prune_files(m: dict, where) -> "tuple[list[str], int]":
+def _prune_files(m: dict, where, tz: "str | None" = None) -> "tuple[list[str], int]":
     """(surviving relpaths, skipped count) for ANDed (col, op, value)
     triples against the manifest's per-file stats."""
     for col, op, _ in where:
@@ -319,7 +392,7 @@ def _prune_files(m: dict, where) -> "tuple[list[str], int]":
     kept = [
         f
         for f in m["files"]
-        if all(_file_may_match(stats.get(f), c, op, v) for c, op, v in where)
+        if all(_file_may_match(stats.get(f), c, op, v, tz) for c, op, v in where)
     ]
     return kept, len(m["files"]) - len(kept)
 
@@ -343,9 +416,7 @@ def snapshot_read(
     every file and touching only the matching time/key range — and the
     same predicates are re-applied as real Spark filters afterwards, so
     pruning is purely an optimization, never a semantic change."""
-    versions = _versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot manifests under {path}")
+    versions = _require_versions(path)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
@@ -353,7 +424,7 @@ def snapshot_read(
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     rels = m["files"]
     if where:
-        rels, _ = _prune_files(m, where)
+        rels, _ = _prune_files(m, where, spark.conf.get("spark.sql.session.timeZone", None))
     files = [os.path.join(path, f) for f in rels]
     df = (
         spark.read.schema(schema).parquet(*files)
@@ -372,14 +443,21 @@ def snapshot_read(
     return df
 
 
-def snapshot_scan_report(path: str, where, version: "int | None" = None) -> "dict[str, int]":
+def snapshot_scan_report(
+    path: str, where, version: "int | None" = None, tz: "str | None" = None
+) -> "dict[str, int]":
     """How much a predicate prunes: {'total': N, 'scanned': K,
     'skipped': N-K} — observability for layout decisions (are my files
-    clustered on the columns I filter by?)."""
-    versions = _versions(path)
+    clustered on the columns I filter by?). ``tz`` interprets naive
+    datetime predicate values against TIMESTAMP-column stats (pass the
+    session's ``spark.sql.session.timeZone`` for parity with
+    ``snapshot_read``)."""
+    versions = _require_versions(path)
     v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
-    kept, skipped = _prune_files(m, where)
+    kept, skipped = _prune_files(m, where, tz)
     return {"total": len(m["files"]), "scanned": len(kept), "skipped": skipped}
 
 
@@ -408,7 +486,7 @@ def snapshot_changes(
     the file set). An ``overwrite`` in the range rewrites history the
     delta can't represent — that raises, by design; run compaction and
     replaces outside the windows you diff."""
-    versions = _versions(path)
+    versions = _require_versions(path)
     u = versions[-1] if until is None else until
     for v in (since, u):
         if v != 0 and v not in versions:
@@ -457,7 +535,7 @@ def snapshot_compact(
     read (``expect_head``) and restarts from the new head on conflict,
     so rows appended concurrently are never lost to the rewrite."""
     while True:
-        head = _versions(path)[-1]
+        head = _require_versions(path)[-1]
         m = _read_manifest(path, head)
         schema = StructType.fromJson(json.loads(m["schema_json"]))
         files = [os.path.join(path, f) for f in m["files"]]
@@ -499,9 +577,12 @@ def stream_to_snapshot(
     sink skips any ``batch_id`` at or below the table's recorded
     watermark, so a replay never double-appends — the idempotent-sink
     half of Spark's exactly-once contract, with the snapshot manifest
-    as the transactional store (no extra state files). The watermark is
-    carried forward by every commit (see :func:`snapshot_write`), so
-    interleaved compaction/overwrite/vacuum can't lose it.
+    as the transactional store (no extra state files). The guard is
+    enforced INSIDE the commit loop (racing replayers can't both land)
+    and the watermark carries forward through appends, compaction, and
+    vacuum; a plain ``overwrite`` deliberately resets it — that is a
+    table replacement, and a new stream attached afterwards starts
+    fresh (see :func:`snapshot_write`).
 
     ``drain=True`` (default) processes everything available and stops —
     pass a durable ``checkpoint_dir`` and ``drain=False`` to keep the
@@ -515,8 +596,14 @@ def stream_to_snapshot(
         if versions:
             seen = _read_manifest(path, versions[-1]).get("stream_batch_id")
             if seen is not None and batch_id <= seen:
-                return  # replayed micro-batch already committed
-        snapshot_write(batch_df, path, mode="append", stream_batch_id=batch_id)
+                return  # replayed micro-batch already committed (cheap check)
+        try:
+            snapshot_write(batch_df, path, mode="append", stream_batch_id=batch_id)
+        except SnapshotBatchReplayedError:
+            # lost a race with another writer replaying the same batch —
+            # the guard re-fires inside the commit loop, which is what
+            # makes the pre-check above merely an optimization
+            return
 
     ephemeral = checkpoint_dir is None
     if ephemeral and not drain:
@@ -567,9 +654,22 @@ def snapshot_vacuum(
 
     versions = _versions(path)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
+    manifests = {v: _read_manifest(path, v) for v in versions}
     referenced = set()
     for v in keep:
-        referenced.update(_read_manifest(path, v)["files"])
+        referenced.update(manifests[v]["files"])
+    # retention clock per data file: the moment it was DEREFERENCED —
+    # the commit time of the first version that no longer lists it —
+    # exactly how Delta times its window from the remove-action. A
+    # day-old file dereferenced a second ago must survive the grace
+    # period for readers pinned to the old version. Files in NO manifest
+    # (crashed staging) fall back to creation mtime. The log is a
+    # contiguous suffix (vacuum keeps the last K), so last_in[f]+1
+    # exists whenever last_in[f] is not the head.
+    last_in: "dict[str, int]" = {}
+    for v in versions:
+        for f in manifests[v]["files"]:
+            last_in[f] = v
     for v in drop:  # manifests first — see docstring
         os.unlink(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
     removed_files = 0
@@ -577,9 +677,15 @@ def snapshot_vacuum(
     for name in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
         rel = f"{_DATA}/{name}"
         full = os.path.join(data_dir, name)
-        if name.endswith(".parquet") and rel not in referenced and stale(full):
-            os.unlink(full)
-            removed_files += 1
+        if name.endswith(".parquet") and rel not in referenced:
+            if rel in last_in:
+                deref = manifests.get(last_in[rel] + 1, {}).get("committed_at", 0.0)
+                expired = deref < cutoff
+            else:
+                expired = stale(full)
+            if expired:
+                os.unlink(full)
+                removed_files += 1
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if name.startswith(".staging-") and stale(full):

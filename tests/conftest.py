@@ -12,6 +12,25 @@ def spark():
     s.stop()
 
 
+@pytest.fixture
+def track_mkdtemp(monkeypatch):
+    """Record every tempfile.mkdtemp dir created during the test — for
+    asserting a helper cleaned up the exact dirs IT made (a /tmp glob
+    diff would race with any other test process on the machine)."""
+    import tempfile
+
+    created: "list[str]" = []
+    real = tempfile.mkdtemp
+
+    def recording(*a, **k):
+        p = real(*a, **k)
+        created.append(p)
+        return p
+
+    monkeypatch.setattr(tempfile, "mkdtemp", recording)
+    return created
+
+
 # F1 points fixture (FIXTURES.md): 5 rows, list lengths (3,0,2,1,3)
 POINTS = [
     [{"x": 1, "y": 2}, {"x": 3, "y": 4}, {"x": 5, "y": 6}],

@@ -293,6 +293,12 @@ def test_file_skipping_string_and_timestamp(spark, tmp_path):
     rep = snapshot_scan_report(p, [("k", ">=", "k350")])
     assert rep["skipped"] >= 2
     cut = datetime.datetime(2026, 1, 15)
+    # timestamps MUST actually prune (staged as INT64 micros, naive
+    # predicate interpreted in the session tz) — INT96 staging would
+    # silently record no stats and make this the 100 TB no-op
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    rep_ts = snapshot_scan_report(p, [("ts", ">=", cut)], tz=tz)
+    assert rep_ts["skipped"] >= 2
     got = snapshot_read(spark, p, where=[("ts", ">=", cut)])
     want = snapshot_read(spark, p).filter(F.col("ts") >= F.lit(cut))
     assert got.count() == want.count() > 0
@@ -370,24 +376,11 @@ def test_stream_watermark_survives_compaction(spark, tmp_path):
     assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2]
 
 
-def test_stream_to_snapshot_cleans_ephemeral_checkpoint(spark, tmp_path, monkeypatch):
-    import tempfile
-
+def test_stream_to_snapshot_cleans_ephemeral_checkpoint(spark, tmp_path, track_mkdtemp):
     from dask_awkward_spark.sources.snapshot import stream_to_snapshot
 
-    # track the exact dir THIS call creates (a tmp-glob diff would race
-    # with any other test process on the machine)
-    created = []
-    real = tempfile.mkdtemp
-
-    def recording(*a, **k):
-        p = real(*a, **k)
-        created.append(p)
-        return p
-
-    monkeypatch.setattr(tempfile, "mkdtemp", recording)
     stream_to_snapshot(_descriptor_stream(spark, 2), str(tmp_path / "tbl"))
-    mine = [p for p in created if "dakspark_snap_ckpt_" in p]
+    mine = [p for p in track_mkdtemp if "dakspark_snap_ckpt_" in p]
     assert mine and not any(os.path.exists(p) for p in mine)
 
 
@@ -444,3 +437,80 @@ def test_compact_zorder_tightens_skipping(spark, tmp_path):
     got = snapshot_read(spark, p, where=[("x", "<", 8), ("y", "<", 8)])
     want = snapshot_read(spark, p).filter((F.col("x") < 8) & (F.col("y") < 8))
     assert got.count() == want.count() > 0  # pruning never changes results
+
+
+def test_overwrite_resets_stream_watermark(spark, tmp_path):
+    """A plain overwrite is a table replacement: a NEW stream attached
+    afterwards must not have its early batches swallowed by the old
+    stream's watermark."""
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    p = str(tmp_path / "tbl")
+    stream_to_snapshot(_descriptor_stream(spark, 3), p)
+    assert snapshot_versions(p)[-1]["stream_batch_id"] == 2
+    snapshot_write(spark.range(5), p, mode="overwrite")  # curated rebuild
+    assert snapshot_versions(p)[-1]["stream_batch_id"] is None
+    # fresh stream from batch 0 ingests normally
+    stream_to_snapshot(_descriptor_stream(spark, 2), p, checkpoint_dir=str(tmp_path / "c2"))
+    assert snapshot_read(spark, p).count() == 7  # 5 + 2, nothing swallowed
+
+
+def test_replayed_batch_raises_inside_commit(spark, tmp_path):
+    """The watermark guard lives INSIDE snapshot_write's commit loop, so
+    two writers replaying the same micro-batch can never both append."""
+    from dask_awkward_spark.sources.snapshot import SnapshotBatchReplayedError
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p, mode="overwrite", stream_batch_id=5)
+    with pytest.raises(SnapshotBatchReplayedError):
+        snapshot_write(spark.range(3), p, mode="append", stream_batch_id=5)
+    with pytest.raises(SnapshotBatchReplayedError):
+        snapshot_write(spark.range(3), p, mode="append", stream_batch_id=4)
+    assert snapshot_write(spark.range(3), p, mode="append", stream_batch_id=6) == 2
+
+
+def test_vacuum_times_retention_from_dereference_not_creation(spark, tmp_path):
+    """A day-old file dereferenced a moment ago survives the grace
+    period (readers may be pinned to the old version); once the
+    DEREFERENCING commit is older than the retention, it goes."""
+    import glob as _glob
+    import json as _json
+    import time
+
+    from dask_awkward_spark.sources.snapshot import _manifest_dir
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).repartition(2), p)
+    # make v1's data files LOOK two days old (creation time)
+    old = time.time() - 2 * 86400
+    for f in _glob.glob(f"{p}/data/*.parquet"):
+        os.utime(f, (old, old))
+    snapshot_write(spark.range(5), p, mode="overwrite")  # dereferences them NOW
+    stats = snapshot_vacuum(p, keep_last=1)  # default 24 h retention
+    assert stats["removed_files"] == 0  # grace period: deref was seconds ago
+    # now backdate the DEREFERENCING commit beyond the retention window
+    mf = os.path.join(_manifest_dir(p), "v00000002.json")
+    m = _json.load(open(mf))
+    m["committed_at"] = old
+    _json.dump(m, open(mf, "w"))
+    stats = snapshot_vacuum(p, keep_last=1)
+    assert stats["removed_files"] > 0
+    assert snapshot_read(spark, p).count() == 5  # head untouched
+
+
+def test_empty_table_errors_are_explicit(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_scan_report,
+    )
+
+    p = str(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError):
+        snapshot_compact(spark, p)
+    with pytest.raises(FileNotFoundError):
+        snapshot_changes(spark, p, since=0)
+    with pytest.raises(FileNotFoundError):
+        snapshot_scan_report(p, [("id", ">", 0)])
+    snapshot_write(spark.range(3), str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="version 7 not in"):
+        snapshot_scan_report(str(tmp_path / "tbl"), [("id", ">", 0)], version=7)

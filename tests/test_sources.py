@@ -576,11 +576,10 @@ def test_datasource_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got == [0, 1, 2, 3, 4, 5]
 
 
-def test_stream_to_datasource_cleans_ephemeral_checkpoint(spark, tmp_path, monkeypatch):
+def test_stream_to_datasource_cleans_ephemeral_checkpoint(spark, tmp_path, track_mkdtemp):
     """The default (caller gave no checkpoint_dir) must not leak a temp
     dir per call."""
     import os
-    import tempfile
 
     from dask_awkward_spark.sources.datasource import (
         stream_from_datasource,
@@ -591,19 +590,8 @@ def test_stream_to_datasource_cleans_ephemeral_checkpoint(spark, tmp_path, monke
         yield {"id": tag}
 
     st = stream_from_datasource(spark, gen, [1, 2], "id bigint", batch_size=2)
-    # track the exact dir THIS call creates (a tmp-glob diff would race
-    # with any other test process on the machine)
-    created = []
-    real = tempfile.mkdtemp
-
-    def recording(*a, **k):
-        p = real(*a, **k)
-        created.append(p)
-        return p
-
-    monkeypatch.setattr(tempfile, "mkdtemp", recording)
     stream_to_datasource(st, lambda rows: len(list(rows)))
-    mine = [p for p in created if "dakspark_pyio_ckpt_" in p]
+    mine = [p for p in track_mkdtemp if "dakspark_pyio_ckpt_" in p]
     assert mine and not any(os.path.exists(p) for p in mine)
 
 

@@ -61,6 +61,7 @@ from .sources.snapshot import (
     snapshot_vacuum,
     snapshot_versions,
     snapshot_write,
+    stream_from_snapshot,
     stream_to_snapshot,
 )
 from .sources.text import from_text

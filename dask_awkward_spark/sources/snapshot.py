@@ -624,6 +624,120 @@ def stream_to_snapshot(
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def stream_from_snapshot(
+    spark: SparkSession,
+    path: str,
+    start_version: int = 0,
+    versions_per_trigger: int = 10,
+) -> DataFrame:
+    """The change feed as a Structured Streaming SOURCE: each micro-batch
+    is the rows appended by up to ``versions_per_trigger`` new table
+    versions (one input partition per added data file, read executor-
+    side). The dual of :func:`stream_to_snapshot` — together they chain
+    snapshot tables into incremental pipelines where every stage is a
+    streaming query and every hand-off is an atomic commit.
+
+    Exactly-once on the source side for free: offsets are version
+    numbers, ``partitions(start, end)`` is deterministic (immutable data
+    files + file-set difference), and replays of an in-flight batch
+    re-read exactly the same files. Overwrites in the consumed range
+    raise, like :func:`snapshot_changes`; ``start_version=N`` skips
+    history (e.g. attach at the current head)."""
+    spark.dataSource.register(SnapshotStreamSource)
+    return (
+        spark.readStream.format("snapshot_stream")
+        .option("path", path)
+        .option("start_version", str(start_version))
+        .option("versions_per_trigger", str(versions_per_trigger))
+        .load()
+    )
+
+
+from pyspark.sql.datasource import (  # noqa: E402 — grouped with their users
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _SnapshotFilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Version-offset streaming reader over a snapshot table's manifest
+    log (driver lists manifests; executors read the parquet files)."""
+
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.per_trigger = max(1, int(options.get("versions_per_trigger", "10")))
+        self.fields = [f.name for f in schema.fields]
+        self._start = int(options.get("start_version", "0"))
+        self._pos = self._start
+
+    def initialOffset(self) -> dict:
+        # constant! Spark may call latestOffset() (which ratchets _pos)
+        # BEFORE asking for the initial offset of batch 0
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        versions = _versions(self.path)
+        head = versions[-1] if versions else self._pos
+        # advance at most per_trigger versions per micro-batch; never
+        # regress behind a checkpoint-recovered position (the ratchet
+        # in partitions()/commit() keeps _pos current on restart)
+        self._pos = max(self._pos, min(self._pos + self.per_trigger, head))
+        return {"version": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["version"], end["version"]
+        self._pos = max(self._pos, s, e)
+        for v in range(s + 1, e + 1):
+            m = _read_manifest(self.path, v)
+            if m["op"] != "append" and m["parent"] is not None:
+                raise ValueError(
+                    f"snapshot stream at {self.path}: version {v} is an "
+                    "overwrite — the change feed only covers append-only "
+                    "lineage (reset the consumer or start past it)"
+                )
+        base = set(_read_manifest(self.path, s)["files"]) if s else set()
+        delta = [f for f in _read_manifest(self.path, e)["files"] if f not in base]
+        return [
+            _SnapshotFilePartition(os.path.join(self.path, f)) for f in delta
+        ]
+
+    def read(self, partition: "_SnapshotFilePartition"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.file_path)
+        cols = [
+            t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
+            for f in self.fields
+        ]
+        yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        self._pos = max(self._pos, end["version"])
+
+
+class SnapshotStreamSource(DataSource):
+    """``spark.readStream.format("snapshot_stream")`` — registered by
+    :func:`stream_from_snapshot`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_stream"
+
+    def schema(self):
+        head = _require_versions(self.options["path"])[-1]
+        m = _read_manifest(self.options["path"], head)
+        return StructType.fromJson(json.loads(m["schema_json"]))
+
+    def streamReader(self, schema) -> SnapshotStreamReader:
+        return SnapshotStreamReader(schema, self.options)
+
+
 def snapshot_vacuum(
     path: str, keep_last: int = 1, retain_seconds: float = 24 * 3600.0
 ) -> "dict[str, int]":

@@ -514,3 +514,61 @@ def test_empty_table_errors_are_explicit(spark, tmp_path):
     snapshot_write(spark.range(3), str(tmp_path / "tbl"))
     with pytest.raises(ValueError, match="version 7 not in"):
         snapshot_scan_report(str(tmp_path / "tbl"), [("id", ">", 0)], version=7)
+
+
+def test_stream_from_snapshot_follows_appends(spark, tmp_path):
+    """The change feed as a streaming SOURCE: each committed append
+    becomes a micro-batch; a sink table chained via stream_to_snapshot
+    ends up with exactly the producer's rows."""
+    from dask_awkward_spark.sources.snapshot import (
+        stream_from_snapshot,
+        stream_to_snapshot,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(spark.range(10), src)
+    snapshot_write(spark.range(10, 20), src, mode="append")
+    snapshot_write(spark.range(20, 25), src, mode="append")
+    st = stream_from_snapshot(spark, src)
+    stream_to_snapshot(st, dst, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert sorted(r.id for r in snapshot_read(spark, dst).collect()) == list(range(25))
+    # more appends land; the SAME checkpoint resumes where it left off
+    snapshot_write(spark.range(25, 30), src, mode="append")
+    st2 = stream_from_snapshot(spark, src)
+    stream_to_snapshot(st2, dst, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert sorted(r.id for r in snapshot_read(spark, dst).collect()) == list(range(30))
+
+
+def test_stream_from_snapshot_start_version_skips_history(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import stream_from_snapshot
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    snapshot_write(spark.range(10), src)
+    snapshot_write(spark.range(10, 15), src, mode="append")
+    st = stream_from_snapshot(spark, src, start_version=1)  # attach after v1
+    q = (
+        st.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(10, 15))
+
+
+def test_stream_from_snapshot_refuses_overwrites(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import stream_from_snapshot
+
+    src = str(tmp_path / "src")
+    snapshot_write(spark.range(5), src)
+    snapshot_write(spark.range(3), src, mode="overwrite")
+    st = stream_from_snapshot(spark, src)
+    q = (
+        st.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    with pytest.raises(Exception, match="overwrite|append-only"):
+        q.processAllAvailable()
+        q.stop()

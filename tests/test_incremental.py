@@ -107,3 +107,44 @@ def test_index_is_a_snapshot_table(spark, tmp_path):
     snapshot_compact(spark, idx)
     v = incremental_dedup(spark, idx, docs.filter(F.col("doc_id") >= 200), _elems())
     assert v.count() > 0
+
+
+def test_incremental_pipeline_end_to_end(spark, tmp_path):
+    """The full incremental story wired together: documents land in a
+    snapshot table over three commits; a consumer drains the change feed
+    (stream_from_snapshot), probes each micro-batch against the
+    persistent band index (incremental_dedup), and appends verdicts to a
+    result snapshot table — every hand-off an atomic commit. The
+    accumulated verdicts must equal the single-pass batch ground truth."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_write,
+        stream_from_snapshot,
+    )
+
+    docs = _docs(spark)
+    want = _batch_verdicts(spark, docs)
+
+    tbl = str(tmp_path / "docs")
+    idx = str(tmp_path / "band_index")
+    out = str(tmp_path / "verdicts")
+    snapshot_write(docs.filter(F.col("doc_id") < 150), tbl)
+    snapshot_write(
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)), tbl, mode="append"
+    )
+    snapshot_write(docs.filter(F.col("doc_id") >= 300), tbl, mode="append")
+
+    def consume(batch_df, batch_id):
+        v = incremental_dedup(spark, idx, batch_df, _elems())
+        snapshot_write(v, out, mode="append" if batch_id else "overwrite")
+
+    q = (
+        stream_from_snapshot(spark, tbl, versions_per_trigger=1)
+        .writeStream.foreachBatch(consume)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.dup_of for r in snapshot_read(spark, out).collect()}
+    assert got == want

@@ -55,6 +55,11 @@ HEADLINE = [
     # round-5 additions: exact-dup-gated fuzzy dedup (the near-dup-heavy
     # scale path; 1.1x at the 10x replica sweep vs 126x for raw pairs)
     "dedup_fuzzy_reps",
+    # round-5 storage layer: snapshot-table lifecycle (atomic versions,
+    # time travel, data-skipping read) and O(delta) incremental dedup
+    # against the persistent band index (both 1.2x at the 10x sweep)
+    "io_snapshot_roundtrip",
+    "dedup_incremental",
 ]
 
 

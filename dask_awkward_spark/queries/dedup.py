@@ -158,9 +158,13 @@ def dedup_incremental(spark, sf_dir):
 
     from ..functions.incremental import incremental_dedup
 
+    import os
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"{tempfile.gettempdir()}/dakspark_dedup_idx_{sf_tag}"
+    # pid-scoped path: a fixed name would let a concurrent run (bench vs
+    # oracle harness) rmtree the index this process is mid-probe on
+    path = f"{tempfile.gettempdir()}/dakspark_dedup_idx_{sf_tag}_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)  # stale index from prior runs
     mid = docs.agg(F.max("doc_id")).first()[0] // 2
     elems = F.array_distinct(tx.tokens(F.lower(F.col("text"))))

@@ -194,12 +194,17 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
     files, stats = [], {}
     # INT96 (Spark's legacy parquet timestamp) carries NO footer min/max,
     # which would silently disable time-range file skipping — the main
-    # 100 TB pruning case. Stage with INT64 micros instead.
+    # 100 TB pruning case. Upgrade the SESSION to INT64 micros once and
+    # leave it: a set-then-restore here would race concurrent writers on
+    # the shared conf (the per-write option is not honored by Spark's
+    # parquet sink), and the idempotent set is safe to repeat. An
+    # explicit user choice of the other stats-bearing encoding
+    # (TIMESTAMP_MILLIS) is respected.
     spark = df.sparkSession
     ts_conf = "spark.sql.parquet.outputTimestampType"
-    old_ts = spark.conf.get(ts_conf, None)
-    try:
+    if spark.conf.get(ts_conf, "INT96") not in ("TIMESTAMP_MICROS", "TIMESTAMP_MILLIS"):
         spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+    try:
         df.write.mode("overwrite").option("compression", compression).parquet(staging)
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
@@ -214,10 +219,6 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
             except Exception:
                 pass  # stats are an optimization; never fail the write
     finally:
-        if old_ts is None:
-            spark.conf.unset(ts_conf)
-        else:
-            spark.conf.set(ts_conf, old_ts)
         shutil.rmtree(staging, ignore_errors=True)
     return files, stats
 
@@ -367,8 +368,8 @@ def _file_may_match(
             return hi >= v
         if op == "in":
             def ok(x):
-                l2, x2 = _norm_ts(lo, x, tz)
-                return l2 <= x2 <= _norm_ts(hi, x, tz)[0]
+                l2, x2 = _norm_ts(lo, x, tz)  # hi shares lo's tz-awareness
+                return l2 <= x2 <= hi
 
             return any(
                 ok(x)
@@ -424,7 +425,12 @@ def snapshot_read(
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     rels = m["files"]
     if where:
-        rels, _ = _prune_files(m, where, spark.conf.get("spark.sql.session.timeZone", None))
+        try:  # the EFFECTIVE session tz (a `get` with a default returns
+            # the default for unset-but-defaulted confs, not the value)
+            tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
+        rels, _ = _prune_files(m, where, tz)
     files = [os.path.join(path, f) for f in rels]
     df = (
         spark.read.schema(schema).parquet(*files)
@@ -693,6 +699,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = start["version"], end["version"]
         self._pos = max(self._pos, s, e)
+        live = _versions(self.path)
+        gone = [v for v in range(max(s, 1), e + 1) if v not in live]
+        if gone:
+            raise ValueError(
+                f"snapshot stream at {self.path}: versions {gone} were "
+                "vacuumed away — the checkpointed consumer fell behind the "
+                "log retention; reset it (fresh checkpoint + start_version)"
+            )
         for v in range(s + 1, e + 1):
             m = _read_manifest(self.path, v)
             if m["op"] != "append" and m["parent"] is not None:
@@ -711,11 +725,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         t = pq.read_table(partition.file_path)
-        cols = [
-            t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
-            for f in self.fields
-        ]
-        yield from zip(*cols)
+        if all(f in t.column_names for f in self.fields):
+            # arrow fast path: pyspark accepts RecordBatch yields directly,
+            # skipping the per-row Python object round-trip
+            yield from t.select(self.fields).to_batches()
+        else:  # defensive: a column absent from an old file
+            cols = [
+                t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
+                for f in self.fields
+            ]
+            yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
         self._pos = max(self._pos, end["version"])
@@ -767,19 +786,28 @@ def snapshot_vacuum(
             return False
 
     versions = _versions(path)
-    keep, drop = versions[-keep_last:], versions[:-keep_last]
     manifests = {v: _read_manifest(path, v) for v in versions}
-    referenced = set()
-    for v in keep:
-        referenced.update(manifests[v]["files"])
     # retention clock per data file: the moment it was DEREFERENCED —
     # the commit time of the first version that no longer lists it —
     # exactly how Delta times its window from the remove-action. A
     # day-old file dereferenced a second ago must survive the grace
-    # period for readers pinned to the old version. Files in NO manifest
-    # (crashed staging) fall back to creation mtime. The log is a
-    # contiguous suffix (vacuum keeps the last K), so last_in[f]+1
-    # exists whenever last_in[f] is not the head.
+    # period for readers pinned to the old version. The grace period
+    # must also survive ACROSS vacuum runs, so a manifest itself is only
+    # dropped once its successor's commit has aged past the retention:
+    # while any of its files are in grace, the manifest that proves
+    # their deref time stays on disk (log trimming lags file retention
+    # by design — same rule as Delta's log retention). Files in NO
+    # manifest (crashed staging) fall back to creation mtime.
+    drop = []
+    for v in versions[:-keep_last]:
+        nxt = manifests.get(v + 1, {})
+        if nxt.get("committed_at", 0.0) >= cutoff:
+            break  # keep the log contiguous: stop at the first in-grace
+        drop.append(v)
+    referenced = set()
+    for v in versions:
+        if v not in drop:
+            referenced.update(manifests[v]["files"])
     last_in: "dict[str, int]" = {}
     for v in versions:
         for f in manifests[v]["files"]:

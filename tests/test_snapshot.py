@@ -158,14 +158,25 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
 
 
 def test_vacuum_retention_protects_fresh_files(spark, tmp_path):
-    """Default retention: recently-staged (possibly in-flight) files are
-    NOT deleted even when unreferenced — the Delta-style safety gate."""
+    """Default retention: recently-dereferenced files are NOT deleted,
+    and the manifest proving their grace period stays with them (log
+    trimming lags file retention, like Delta's log retention)."""
     p = str(tmp_path / "tbl")
     snapshot_write(spark.range(100).repartition(4), p)
     snapshot_write(spark.range(50), p, mode="overwrite")
     stats = snapshot_vacuum(p, keep_last=1)  # default 24 h retention
-    assert stats["removed_manifests"] == 1  # log still trimmed...
-    assert stats["removed_files"] == 0  # ...but young data is safe
+    assert stats == {"removed_manifests": 0, "removed_files": 0}
+    # the grace period survives REPEATED vacuums: a second run must not
+    # fall back to the (old) file mtime once the first trimmed the log
+    import glob as _glob
+    import time as _time
+
+    old = _time.time() - 2 * 86400
+    for f in _glob.glob(f"{p}/data/*.parquet"):
+        os.utime(f, (old, old))
+    assert snapshot_vacuum(p, keep_last=1)["removed_files"] == 0
+    assert snapshot_vacuum(p, keep_last=1)["removed_files"] == 0
+    assert snapshot_read(spark, p, version=1).count() == 100  # pinned reader OK
 
 
 def test_crashed_staging_leaves_no_visible_data(spark, tmp_path, monkeypatch):

@@ -54,6 +54,7 @@ from .sources.json import from_json, to_json
 from .sources.snapshot import (
     SnapshotBatchReplayedError,
     SnapshotConflictError,
+    from_snapshot,
     snapshot_changes,
     snapshot_compact,
     snapshot_read,

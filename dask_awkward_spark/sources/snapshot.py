@@ -661,8 +661,15 @@ def stream_from_snapshot(
 
 from pyspark.sql.datasource import (  # noqa: E402 — grouped with their users
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 
@@ -740,21 +747,105 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._pos = max(self._pos, end["version"])
 
 
+_FILTER_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """Batch reader with Catalyst filter pushdown mapped to manifest
+    min/max file skipping: ``df.filter(...)`` prunes files before any
+    task is planned, with NO trust required — every filter is yielded
+    back for Spark to re-apply, so pruning stays a pure optimization
+    (unlike value-filter pushdown, which must mirror engine semantics
+    exactly)."""
+
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        v = options.get("version")
+        versions = _require_versions(self.path)
+        self.version = int(v) if v is not None else versions[-1]
+        if self.version not in versions:
+            raise ValueError(f"version {self.version} not in {versions}")
+        self.fields = [f.name for f in schema.fields]
+        self.tz = options.get("tz")
+        self._where: "list[tuple]" = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            op = _FILTER_OPS.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                val = list(f.value) if op == "in" else f.value
+                self._where.append((f.attribute[0], op, val))
+            yield f  # ALWAYS hand back: Spark re-applies, we only prune
+
+    def partitions(self):
+        m = _read_manifest(self.path, self.version)
+        rels = m["files"]
+        if self._where:
+            rels, _ = _prune_files(m, self._where, self.tz)
+        return [_SnapshotFilePartition(os.path.join(self.path, f)) for f in rels]
+
+    def read(self, partition: "_SnapshotFilePartition"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.file_path)
+        if all(f in t.column_names for f in self.fields):
+            yield from t.select(self.fields).to_batches()
+        else:
+            cols = [
+                t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
+                for f in self.fields
+            ]
+            yield from zip(*cols)
+
+
 class SnapshotStreamSource(DataSource):
-    """``spark.readStream.format("snapshot_stream")`` — registered by
-    :func:`stream_from_snapshot`."""
+    """The ``snapshot_stream`` format, batch + streaming — registered by
+    :func:`from_snapshot` / :func:`stream_from_snapshot`."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_stream"
 
     def schema(self):
-        head = _require_versions(self.options["path"])[-1]
-        m = _read_manifest(self.options["path"], head)
+        path = self.options["path"]
+        v = self.options.get("version")
+        versions = _require_versions(path)
+        m = _read_manifest(path, int(v) if v is not None else versions[-1])
         return StructType.fromJson(json.loads(m["schema_json"]))
+
+    def reader(self, schema) -> SnapshotBatchReader:
+        return SnapshotBatchReader(schema, self.options)
 
     def streamReader(self, schema) -> SnapshotStreamReader:
         return SnapshotStreamReader(schema, self.options)
+
+
+def from_snapshot(
+    spark: SparkSession, path: str, version: "int | None" = None
+) -> DataFrame:
+    """``spark.read``-API face of :func:`snapshot_read`: a DataFrame over
+    one table version whose FILTERS prune files via the manifest's
+    min/max — ``from_snapshot(spark, p).filter(col("ts") >= cut)`` skips
+    non-matching files inside Spark's own pushdown pass, no ``where=``
+    list needed. Every pushed filter is still re-applied by Spark, so
+    pruning can never change results."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotStreamSource)
+    r = spark.read.format("snapshot_stream").option("path", path)
+    if version is not None:
+        r = r.option("version", str(version))
+    try:
+        r = r.option("tz", spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        pass
+    return r.load()
 
 
 def snapshot_vacuum(

@@ -583,3 +583,31 @@ def test_stream_from_snapshot_refuses_overwrites(spark, tmp_path):
     with pytest.raises(Exception, match="overwrite|append-only"):
         q.processAllAvailable()
         q.stop()
+
+
+def test_from_snapshot_format_pushdown_prunes_files(spark, tmp_path):
+    """spark.read-API face: a plain .filter() prunes files through
+    Catalyst's pushFilters — and since every filter is handed back for
+    re-application, results always equal the functional read."""
+    from dask_awkward_spark.sources.snapshot import from_snapshot
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(8000).repartitionByRange(8, "id"), p)
+    df = from_snapshot(spark, p).filter(F.col("id") >= 6500)
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(6500, 8000))
+    # pruning visible in the plan: fewer partitions scanned than files
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts <= 2  # 8 range files, predicate covers the top ~2
+
+
+def test_from_snapshot_format_time_travel_and_unprunable(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import from_snapshot
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p)
+    snapshot_write(spark.range(100, 105), p, mode="overwrite")
+    assert sorted(r.id for r in from_snapshot(spark, p, version=1).collect()) == list(range(10))
+    # residual / unprunable predicates still correct (re-applied by Spark)
+    df = from_snapshot(spark, p).filter(F.col("id") % 2 == 0)
+    assert sorted(r.id for r in df.collect()) == [100, 102, 104]

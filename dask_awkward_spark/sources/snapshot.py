@@ -224,14 +224,15 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
 
 
 def snapshot_write(
-    df: DataFrame,
+    data,
     path: str,
     mode: str = "overwrite",
     compression: str = "zstd",
     expect_head: "int | None" = None,
     stream_batch_id: "int | None" = None,
 ) -> int:
-    """Commit ``df`` as a new version of the snapshot table at ``path``.
+    """Commit ``data`` (a DataFrame or NestedArray) as a new version
+    of the snapshot table at ``path``.
 
     ``overwrite`` replaces the visible file set; ``append`` adds to it
     (and requires ``df``'s schema to match the head's recorded schema
@@ -244,6 +245,7 @@ def snapshot_write(
     happens and the staged files stay unreferenced for vacuum)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
     os.makedirs(path, exist_ok=True)
     new_files, new_stats = _stage_files(df, path, compression)
     schema_json = df.schema.json()
@@ -673,6 +675,23 @@ from pyspark.sql.datasource import (  # noqa: E402 — grouped with their users
 )
 
 
+def _read_partition_file(file_path: str, fields: "list[str]"):
+    """Executor-side parquet read for both snapshot reader faces: arrow
+    RecordBatch yields when the file has every field (no per-row Python
+    round-trip), per-row tuples with nulls otherwise."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(file_path)
+    if all(f in t.column_names for f in fields):
+        yield from t.select(fields).to_batches()
+    else:  # defensive: a column absent from an old file
+        cols = [
+            t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
+            for f in fields
+        ]
+        yield from zip(*cols)
+
+
 class _SnapshotFilePartition(InputPartition):
     def __init__(self, file_path: str):
         self.file_path = file_path
@@ -729,19 +748,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: "_SnapshotFilePartition"):
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(partition.file_path)
-        if all(f in t.column_names for f in self.fields):
-            # arrow fast path: pyspark accepts RecordBatch yields directly,
-            # skipping the per-row Python object round-trip
-            yield from t.select(self.fields).to_batches()
-        else:  # defensive: a column absent from an old file
-            cols = [
-                t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
-                for f in self.fields
-            ]
-            yield from zip(*cols)
+        yield from _read_partition_file(partition.file_path, self.fields)
 
     def commit(self, end: dict) -> None:
         self._pos = max(self._pos, end["version"])
@@ -792,17 +799,7 @@ class SnapshotBatchReader(DataSourceReader):
         return [_SnapshotFilePartition(os.path.join(self.path, f)) for f in rels]
 
     def read(self, partition: "_SnapshotFilePartition"):
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(partition.file_path)
-        if all(f in t.column_names for f in self.fields):
-            yield from t.select(self.fields).to_batches()
-        else:
-            cols = [
-                t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
-                for f in self.fields
-            ]
-            yield from zip(*cols)
+        yield from _read_partition_file(partition.file_path, self.fields)
 
 
 class SnapshotStreamSource(DataSource):

@@ -611,3 +611,13 @@ def test_from_snapshot_format_time_travel_and_unprunable(spark, tmp_path):
     # residual / unprunable predicates still correct (re-applied by Spark)
     df = from_snapshot(spark, p).filter(F.col("id") % 2 == 0)
     assert sorted(r.id for r in df.collect()) == [100, 102, 104]
+
+
+def test_snapshot_write_accepts_nested_array(spark, tmp_path):
+    from dask_awkward_spark import from_lists
+
+    p = str(tmp_path / "tbl")
+    arr = from_lists(spark, [[1, 2], [], [3]], "array<bigint>")
+    snapshot_write(arr, p)
+    got = snapshot_read(spark, p)
+    assert got.count() == 3

@@ -621,3 +621,24 @@ def test_snapshot_write_accepts_nested_array(spark, tmp_path):
     snapshot_write(arr, p)
     got = snapshot_read(spark, p)
     assert got.count() == 3
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """REAL concurrency (not simulated): 6 threads append through the
+    O_EXCL commit protocol at once; every append must land in some
+    version order with no lost rows and a contiguous version chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0), p)  # empty table creation
+
+    def append(k):
+        return snapshot_write(spark.range(k * 100, k * 100 + 10), p, mode="append")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        got_versions = sorted(ex.map(append, range(6)))
+    assert got_versions == [2, 3, 4, 5, 6, 7]  # every writer won exactly one
+    rows = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert rows == sorted(x for k in range(6) for x in range(k * 100, k * 100 + 10))
+    log = snapshot_versions(p)
+    assert [m["version"] for m in log] == list(range(1, 8))  # contiguous

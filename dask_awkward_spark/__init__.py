@@ -57,6 +57,7 @@ from .sources.snapshot import (
     from_snapshot,
     snapshot_changes,
     snapshot_compact,
+    snapshot_delete,
     snapshot_read,
     snapshot_scan_report,
     snapshot_vacuum,

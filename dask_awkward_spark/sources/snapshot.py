@@ -31,7 +31,8 @@ Concurrency contract (same shape as Delta's):
   in-flight write is unsafe — identical to Delta's documented
   ``retentionDurationCheck`` caveat — because staged-but-uncommitted
   files are indistinguishable from garbage.
-- appends must match the head's schema exactly; reads pin the
+- appends must match the head's schema exactly (``merge_schema=True``
+  admits NEW columns; type changes are always refused); reads pin the
   manifest's recorded schema so mixed files can never make Spark's
   footer sampling nondeterministic.
 
@@ -223,6 +224,26 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
     return files, stats
 
 
+def _merge_schemas(old: StructType, new: StructType) -> StructType:
+    """Widen ``old`` with columns only ``new`` has (all nullable — old
+    files lack them); a type change on a shared column is refused."""
+    from pyspark.sql.types import StructField
+
+    old_types = {f.name: f.dataType.simpleString() for f in old.fields}
+    for f in new.fields:
+        if f.name in old_types and f.dataType.simpleString() != old_types[f.name]:
+            raise ValueError(
+                f"merge_schema cannot change column {f.name!r}: "
+                f"{old_types[f.name]} -> {f.dataType.simpleString()}"
+            )
+    added = [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in new.fields
+        if f.name not in old_types
+    ]
+    return StructType([StructField(f.name, f.dataType, nullable=True) for f in old.fields] + added)
+
+
 def snapshot_write(
     data,
     path: str,
@@ -230,13 +251,17 @@ def snapshot_write(
     compression: str = "zstd",
     expect_head: "int | None" = None,
     stream_batch_id: "int | None" = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
     of the snapshot table at ``path``.
 
     ``overwrite`` replaces the visible file set; ``append`` adds to it
     (and requires ``df``'s schema to match the head's recorded schema
-    exactly — silent parquet schema drift is refused, not merged).
+    exactly — silent parquet schema drift is refused unless
+    ``merge_schema=True``, which admits NEW columns: the recorded schema
+    widens to the union, old files read back with nulls in the added
+    columns, and a TYPE change on an existing column is still refused).
     Returns the committed version number. Retries on commit races
     (optimistic concurrency) — an ``append`` loser re-reads the new head
     so no concurrently-appended files are lost. Pass ``expect_head=`` to
@@ -248,7 +273,6 @@ def snapshot_write(
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
     os.makedirs(path, exist_ok=True)
     new_files, new_stats = _stage_files(df, path, compression)
-    schema_json = df.schema.json()
     while True:
         versions = _versions(path)
         head = versions[-1] if versions else 0
@@ -259,15 +283,20 @@ def snapshot_write(
             )
         stats = dict(new_stats)
         head_m = _read_manifest(path, head) if versions else {}
+        out_schema = df.schema
         if mode == "append" and versions:
             # names+types must match exactly; nullability is excluded on
             # purpose — Spark relaxes it on every file scan, so a
             # compacted table would otherwise refuse appends from the
             # very frame shape that created it
             if head_m["schema_ddl"] != df.schema.simpleString():
-                raise ValueError(
-                    "append schema mismatch: table has "
-                    f"{head_m['schema_ddl']}, df has {df.schema.simpleString()}"
+                if not merge_schema:
+                    raise ValueError(
+                        "append schema mismatch: table has "
+                        f"{head_m['schema_ddl']}, df has {df.schema.simpleString()}"
+                    )
+                out_schema = _merge_schemas(
+                    StructType.fromJson(json.loads(head_m["schema_json"])), df.schema
                 )
             files = head_m["files"] + new_files
             stats.update(head_m.get("stats", {}))
@@ -301,8 +330,8 @@ def snapshot_write(
             "op": mode,
             "files": files,
             "stats": stats,  # per-file footer min/max, for file skipping
-            "schema_ddl": df.schema.simpleString(),  # human-readable only
-            "schema_json": schema_json,  # lossless; the read path pins this
+            "schema_ddl": out_schema.simpleString(),  # human-readable only
+            "schema_json": out_schema.json(),  # lossless; the read path pins this
             "stream_batch_id": watermark,
             "committed_at": time.time(),
         }
@@ -352,6 +381,8 @@ def _file_may_match(
     pruning is exact for these operators."""
     if isinstance(value, float) and math.isnan(value):
         return True  # Spark orders NaN above all doubles; don't reason here
+    if stats is not None and stats.get("rows") == 0:
+        return False  # an empty file (no stats possible) matches nothing
     mm = (stats or {}).get("minmax", {}).get(col)
     if mm is None:
         return True
@@ -439,16 +470,22 @@ def snapshot_read(
         if files
         else spark.createDataFrame([], schema)
     )
-    for col, op, value in where or ():
+    cond = _where_to_column(where or ())
+    return df.filter(cond) if cond is not None else df
+
+
+def _where_to_column(where) -> "Column | None":
+    """ANDed (col, op, value) triples as one Spark Column predicate."""
+    cond = None
+    for col, op, value in where:
         c = F.col(col)
         if op == "in":
-            df = df.filter(c.isin(list(value)))
+            e = c.isin(list(value))
         else:
-            df = df.filter(
-                {"=": c == value, "<": c < value, "<=": c <= value,
+            e = {"=": c == value, "<": c < value, "<=": c <= value,
                  ">": c > value, ">=": c >= value}[op]
-            )
-    return df
+        cond = e if cond is None else (cond & e)
+    return cond
 
 
 def snapshot_scan_report(
@@ -569,6 +606,85 @@ def snapshot_compact(
             return snapshot_write(out, path, mode="overwrite", expect_head=head)
         except SnapshotConflictError:
             continue  # an append landed mid-compact: redo against the new head
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    where: "list[tuple]",
+    compression: str = "zstd",
+) -> "dict[str, int]":
+    """Copy-on-write DELETE: remove rows matching the ANDed ``(col, op,
+    value)`` triples as a NEW version (old versions still time-travel to
+    the deleted rows; vacuum erases them for real — the takedown /
+    decontamination workflow).
+
+    Only files whose manifest min/max say they MAY contain matches are
+    rewritten; every other file is carried into the new version
+    untouched. On a date-clustered 100 TB table, deleting one day
+    rewrites one day's files, not the table. Commits compare-and-swap
+    against the head it read and restarts on conflict (a concurrent
+    append's rows are never lost). Returns {'version', 'removed_rows',
+    'rewritten_files', 'carried_files'}."""
+    if not where:
+        raise ValueError("refusing to delete with no predicate (use overwrite)")
+    cond = _where_to_column(where)
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    while True:
+        head = _require_versions(path)[-1]
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        affected, _ = _prune_files(m, where, tz)
+        carried = [f for f in m["files"] if f not in set(affected)]
+        if not affected:
+            return {
+                "version": head,
+                "removed_rows": 0,
+                "rewritten_files": 0,
+                "carried_files": len(m["files"]),
+            }
+        aff_paths = [os.path.join(path, f) for f in affected]
+        df = spark.read.schema(schema).parquet(*aff_paths)
+        before = df.count()
+        keep = df.filter(~cond)
+        new_files, new_stats = _stage_files(keep, path, compression)
+        # footer stats give the surviving row count for free; a file
+        # whose stats collection failed falls back to its own footer
+        after = 0
+        for f in new_files:
+            if f in new_stats:
+                after += new_stats[f]["rows"]
+            else:
+                import pyarrow.parquet as pq
+
+                after += pq.read_metadata(os.path.join(path, f)).num_rows
+        stats = {f: s for f, s in m.get("stats", {}).items() if f in set(carried)}
+        stats.update(new_stats)
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "op": "delete",
+            "files": carried + new_files,
+            "stats": stats,
+            "schema_ddl": m["schema_ddl"],
+            "schema_json": m["schema_json"],
+            # a delete neither ingests nor replaces: the stream watermark
+            # carries forward like compaction
+            "stream_batch_id": m.get("stream_batch_id"),
+            "committed_at": time.time(),
+        }
+        if _commit_manifest(path, head + 1, manifest):
+            return {
+                "version": head + 1,
+                "removed_rows": before - after,
+                "rewritten_files": len(affected),
+                "carried_files": len(carried),
+            }
+        # head moved (concurrent append/compact): re-read and redo — the
+        # just-staged files stay unreferenced for vacuum
 
 
 def stream_to_snapshot(
@@ -846,7 +962,10 @@ def from_snapshot(
 
 
 def snapshot_vacuum(
-    path: str, keep_last: int = 1, retain_seconds: float = 24 * 3600.0
+    path: str,
+    keep_last: int = 1,
+    retain_seconds: float = 24 * 3600.0,
+    dry_run: bool = False,
 ) -> "dict[str, int]":
     """GC: drop all but the last ``keep_last`` manifests and delete
     stale files no retained manifest references (unreferenced
@@ -862,7 +981,11 @@ def snapshot_vacuum(
     Crash-safe ordering: dropped manifests are unlinked FIRST, so a
     crash mid-vacuum can only leave harmless orphaned data files (the
     next vacuum reclaims them), never a live manifest pointing at
-    deleted data."""
+    deleted data.
+
+    ``dry_run=True`` reports what WOULD be removed without touching
+    anything — check the blast radius before GC-ing 100 TB of
+    history."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     cutoff = time.time() - retain_seconds
@@ -901,7 +1024,8 @@ def snapshot_vacuum(
         for f in manifests[v]["files"]:
             last_in[f] = v
     for v in drop:  # manifests first — see docstring
-        os.unlink(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
+        if not dry_run:
+            os.unlink(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
     removed_files = 0
     data_dir = os.path.join(path, _DATA)
     for name in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
@@ -914,15 +1038,16 @@ def snapshot_vacuum(
             else:
                 expired = stale(full)
             if expired:
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 removed_files += 1
     for name in os.listdir(path):
         full = os.path.join(path, name)
-        if name.startswith(".staging-") and stale(full):
+        if name.startswith(".staging-") and stale(full) and not dry_run:
             shutil.rmtree(full, ignore_errors=True)
     md = _manifest_dir(path)
     for name in os.listdir(md) if os.path.isdir(md) else []:
         full = os.path.join(md, name)
-        if name.startswith(".tmp-") and stale(full):
+        if name.startswith(".tmp-") and stale(full) and not dry_run:
             os.unlink(full)
     return {"removed_manifests": len(drop), "removed_files": removed_files}

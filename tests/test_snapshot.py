@@ -642,3 +642,71 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert rows == sorted(x for k in range(6) for x in range(k * 100, k * 100 + 10))
     log = snapshot_versions(p)
     assert [m["version"] for m in log] == list(range(1, 8))  # contiguous
+
+
+def test_snapshot_delete_copy_on_write(spark, tmp_path):
+    """DELETE rewrites only stat-affected files; untouched files are
+    carried byte-identically, old versions still see the deleted rows."""
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(8000).repartitionByRange(8, "id"), p)
+    before_files = snapshot_versions(p)[-1]["files"]
+    stats = snapshot_delete(spark, p, [("id", ">=", 7000)])
+    assert stats["removed_rows"] == 1000
+    assert stats["rewritten_files"] <= 2  # only the top range files
+    assert stats["carried_files"] >= 6
+    after = snapshot_versions(p)[-1]
+    assert after["op"] == "delete"
+    assert set(before_files) & set(after["files"])  # carried files identical
+    assert snapshot_read(spark, p).count() == 7000
+    assert snapshot_read(spark, p).filter(F.col("id") >= 7000).count() == 0
+    assert snapshot_read(spark, p, version=1).count() == 8000  # time travel
+    # no-match delete commits nothing
+    stats2 = snapshot_delete(spark, p, [("id", ">", 99999)])
+    assert stats2["removed_rows"] == 0 and stats2["version"] == after["version"]
+
+
+def test_snapshot_delete_requires_predicate_and_keeps_watermark(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p, stream_batch_id=4)
+    with pytest.raises(ValueError, match="no predicate"):
+        snapshot_delete(spark, p, [])
+    snapshot_delete(spark, p, [("id", "<", 3)])
+    assert snapshot_versions(p)[-1]["stream_batch_id"] == 4  # carried
+
+
+def test_merge_schema_append_widens_with_nulls(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p)
+    evolved = spark.range(3, 6).withColumn("label", F.lit("x"))
+    snapshot_write(evolved, p, mode="append", merge_schema=True)
+    got = snapshot_read(spark, p).orderBy("id").collect()
+    assert [r.label for r in got] == [None, None, None, "x", "x", "x"]
+    # type change still refused even with merge_schema
+    bad = spark.range(6, 9).withColumn("label", F.lit(1.5))
+    with pytest.raises(ValueError, match="cannot change column"):
+        snapshot_write(bad, p, mode="append", merge_schema=True)
+    # next plain append must match the WIDENED schema
+    more = spark.range(9, 11).withColumn("label", F.lit("y"))
+    snapshot_write(more, p, mode="append")
+    assert snapshot_read(spark, p).count() == 8
+
+
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
+    import glob as _glob
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).repartition(4), p)
+    snapshot_write(spark.range(50), p, mode="overwrite")
+    n_files = len(_glob.glob(f"{p}/data/*.parquet"))
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0, dry_run=True)
+    assert stats["removed_manifests"] == 1 and stats["removed_files"] > 0
+    # nothing actually removed
+    assert len(_glob.glob(f"{p}/data/*.parquet")) == n_files
+    assert len(snapshot_versions(p)) == 2
+    # the real run then matches the dry run's report
+    real = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert real == stats

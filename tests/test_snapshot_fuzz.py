@@ -13,6 +13,7 @@ from hypothesis import strategies as st_
 
 from dask_awkward_spark.sources.snapshot import (
     snapshot_changes,
+    snapshot_delete,
     snapshot_compact,
     snapshot_read,
     snapshot_vacuum,
@@ -31,11 +32,13 @@ SETTINGS = dict(
 #   ("append", lo, n)    — add rows lo..lo+n
 #   ("compact", z)       — rewrite head (z: zorder on id or plain)
 #   ("vacuum", keep)     — trim history to keep_last=keep, retention 0
+#   ("delete", lo, n)    — copy-on-write delete of rows in [lo, lo+n)
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("compact"), st_.booleans()),
     st_.tuples(st_.just("vacuum"), st_.integers(1, 3)),
+    st_.tuples(st_.just("delete"), st_.integers(0, 60), st_.integers(1, 25)),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -85,6 +88,17 @@ def test_snapshot_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             for v in list(model):
                 if v not in live:
                     del model[v]
+        elif op[0] == "delete":
+            if first:
+                continue
+            _, lo, n = op
+            res = snapshot_delete(spark, p, [("id", ">=", lo), ("id", "<", lo + n)])
+            survivors = [x for x in head_rows if not (lo <= x < lo + n)]
+            assert res["removed_rows"] == len(head_rows) - len(survivors)
+            head_rows = survivors
+            if res["version"] != head_v:  # no-op deletes commit nothing
+                head_v = res["version"]
+                model[head_v] = ("delete", list(head_rows))
         first = False
 
     if not model:

@@ -58,8 +58,10 @@ from .sources.snapshot import (
     snapshot_changes,
     snapshot_compact,
     snapshot_delete,
+    snapshot_merge,
     snapshot_read,
     snapshot_scan_report,
+    snapshot_update,
     snapshot_vacuum,
     snapshot_versions,
     snapshot_write,

@@ -32,7 +32,7 @@ def io_parquet_roundtrip(spark, sf_dir):
     from ..sources.parquet import from_parquet, to_parquet
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"{_TMP}/dakspark_rt_{sf_tag}.parquet"
+    path = f"{_TMP}/dakspark_rt_{sf_tag}_{os.getpid()}.parquet"
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     to_parquet(li, path, compression="zstd")
     back = from_parquet(spark, path)
@@ -55,7 +55,7 @@ def io_json_roundtrip(spark, sf_dir):
     from ..sources.json import from_json, to_json
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"{_TMP}/dakspark_rt_{sf_tag}.json"
+    path = f"{_TMP}/dakspark_rt_{sf_tag}_{os.getpid()}.json"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     to_json(docs, path)
     back = from_json(spark, path).to_df("r")
@@ -137,7 +137,7 @@ def io_datasource_sink_roundtrip(spark, sf_dir):
     import shutil
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"{_TMP}/dakspark_sink_{sf_tag}"
+    out = f"{_TMP}/dakspark_sink_{sf_tag}_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)  # stale parts from prior runs
     os.makedirs(out, exist_ok=True)
 
@@ -428,27 +428,33 @@ def io_snapshot_roundtrip(spark, sf_dir):
     from ..sources.snapshot import snapshot_read, snapshot_write
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"{_TMP}/dakspark_snap_{sf_tag}"
+    # pid-scoped: a concurrent run (bench vs oracle harness) must never
+    # rmtree the manifests this process is mid-read on
+    path = f"{_TMP}/dakspark_snap_{sf_tag}_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)  # stale manifests from prior runs
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
-    snapshot_write(
-        li.filter(F.col("l_orderkey") < 500).repartitionByRange(4, "l_orderkey"),
-        path,
-    )
-    snapshot_write(
-        li.filter((F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1000))
-        .repartitionByRange(4, "l_orderkey"),
-        path,
-        mode="append",
-    )
-    snapshot_write(li.filter(F.col("l_orderkey") >= 1000).limit(100), path)  # decoy head
-    back = snapshot_read(spark, path, version=2, where=[("l_orderkey", "<", 750)])
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(cents(F.col("l_extendedprice"))).alias("price_c"),
-    )
+    try:
+        snapshot_write(
+            li.filter(F.col("l_orderkey") < 500).repartitionByRange(4, "l_orderkey"),
+            path,
+        )
+        snapshot_write(
+            li.filter((F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1000))
+            .repartitionByRange(4, "l_orderkey"),
+            path,
+            mode="append",
+        )
+        snapshot_write(li.filter(F.col("l_orderkey") >= 1000).limit(100), path)  # decoy head
+        back = snapshot_read(spark, path, version=2, where=[("l_orderkey", "<", 750)])
+        # materialize BEFORE dropping the table the lazy plan reads from
+        return back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("price_c"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 IO_SNAPSHOT_RT_SQL = """

@@ -168,13 +168,18 @@ def dedup_incremental(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)  # stale index from prior runs
     mid = docs.agg(F.max("doc_id")).first()[0] // 2
     elems = F.array_distinct(tx.tokens(F.lower(F.col("text"))))
-    v1 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") <= mid), elems)
-    v2 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") > mid), elems)
-    # kept docs get dup_of = -1 (a NULL bigint round-trips as NaN through
-    # the oracle harness's pandas conversion)
-    return v1.unionByName(v2).select(
-        "doc_id", F.coalesce("dup_of", F.lit(-1)).alias("dup_of")
-    )
+    try:
+        v1 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") <= mid), elems)
+        v2 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") > mid), elems)
+        # kept docs get dup_of = -1 (a NULL bigint round-trips as NaN
+        # through the oracle harness's pandas conversion); materialize
+        # BEFORE dropping the scratch index the lazy plan reads from
+        out = v1.unionByName(v2).select(
+            "doc_id", F.coalesce("dup_of", F.lit(-1)).alias("dup_of")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)  # pid-scoped: don't leak /tmp
+    return out
 
 
 def _incremental_sql() -> str:

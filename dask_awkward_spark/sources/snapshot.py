@@ -52,7 +52,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -226,20 +226,25 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
 
 def _merge_schemas(old: StructType, new: StructType) -> StructType:
     """Widen ``old`` with columns only ``new`` has (all nullable — old
-    files lack them); a type change on a shared column is refused."""
+    files lack them); a type change on a shared column is refused.
+    Name matching is case-INSENSITIVE (Spark's default resolution):
+    a case-variant of an existing column is the same column — the old
+    spelling wins — never a duplicate that would make every later read
+    ambiguous."""
     from pyspark.sql.types import StructField
 
-    old_types = {f.name: f.dataType.simpleString() for f in old.fields}
+    old_types = {f.name.lower(): f.dataType.simpleString() for f in old.fields}
     for f in new.fields:
-        if f.name in old_types and f.dataType.simpleString() != old_types[f.name]:
+        key = f.name.lower()
+        if key in old_types and f.dataType.simpleString() != old_types[key]:
             raise ValueError(
                 f"merge_schema cannot change column {f.name!r}: "
-                f"{old_types[f.name]} -> {f.dataType.simpleString()}"
+                f"{old_types[key]} -> {f.dataType.simpleString()}"
             )
     added = [
         StructField(f.name, f.dataType, nullable=True)
         for f in new.fields
-        if f.name not in old_types
+        if f.name.lower() not in old_types
     ]
     return StructType([StructField(f.name, f.dataType, nullable=True) for f in old.fields] + added)
 
@@ -414,14 +419,18 @@ def _file_may_match(
     return True
 
 
-def _prune_files(m: dict, where, tz: "str | None" = None) -> "tuple[list[str], int]":
-    """(surviving relpaths, skipped count) for ANDed (col, op, value)
-    triples against the manifest's per-file stats."""
+def _check_where(where) -> None:
     for col, op, _ in where:
         if op not in _PRUNE_OPS:
             raise ValueError(f"op must be one of {_PRUNE_OPS}, got {op!r}")
         if not isinstance(col, str):
             raise ValueError(f"column must be a string, got {col!r}")
+
+
+def _prune_files(m: dict, where, tz: "str | None" = None) -> "tuple[list[str], int]":
+    """(surviving relpaths, skipped count) for ANDed (col, op, value)
+    triples against the manifest's per-file stats."""
+    _check_where(where)
     stats = m.get("stats", {})
     kept = [
         f
@@ -628,6 +637,7 @@ def snapshot_delete(
     'rewritten_files', 'carried_files'}."""
     if not where:
         raise ValueError("refusing to delete with no predicate (use overwrite)")
+    _check_where(where)
     cond = _where_to_column(where)
     try:
         tz = spark.conf.get("spark.sql.session.timeZone")
@@ -638,7 +648,8 @@ def snapshot_delete(
         m = _read_manifest(path, head)
         schema = StructType.fromJson(json.loads(m["schema_json"]))
         affected, _ = _prune_files(m, where, tz)
-        carried = [f for f in m["files"] if f not in set(affected)]
+        aff = set(affected)
+        carried = [f for f in m["files"] if f not in aff]
         if not affected:
             return {
                 "version": head,
@@ -649,7 +660,10 @@ def snapshot_delete(
         aff_paths = [os.path.join(path, f) for f in affected]
         df = spark.read.schema(schema).parquet(*aff_paths)
         before = df.count()
-        keep = df.filter(~cond)
+        # SQL DELETE semantics: only rows where the predicate is TRUE go;
+        # a NULL predicate (e.g. col = 'x' on a NULL) must KEEP the row —
+        # plain ~cond would silently drop it (three-valued logic)
+        keep = df.filter(~cond | cond.isNull())
         new_files, new_stats = _stage_files(keep, path, compression)
         # footer stats give the surviving row count for free; a file
         # whose stats collection failed falls back to its own footer
@@ -661,7 +675,8 @@ def snapshot_delete(
                 import pyarrow.parquet as pq
 
                 after += pq.read_metadata(os.path.join(path, f)).num_rows
-        stats = {f: s for f, s in m.get("stats", {}).items() if f in set(carried)}
+        car = set(carried)
+        stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
         stats.update(new_stats)
         manifest = {
             "version": head + 1,
@@ -685,6 +700,262 @@ def snapshot_delete(
             }
         # head moved (concurrent append/compact): re-read and redo — the
         # just-staged files stay unreferenced for vacuum
+
+
+def snapshot_update(
+    spark: SparkSession,
+    path: str,
+    where: "list[tuple]",
+    assignments: "dict[str, object]",
+    compression: str = "zstd",
+) -> "dict[str, int]":
+    """Copy-on-write UPDATE: for rows matching the ANDed ``(col, op,
+    value)`` triples, set each ``assignments`` column to its new value
+    (a Spark Column expression or a Python literal) and commit the
+    result as a NEW version.
+
+    Mirrors SQL UPDATE semantics: only rows where the predicate is TRUE
+    change (NULL keeps the row as-is), and every right-hand side is
+    evaluated against the OLD row — ``{"a": F.col("b"), "b":
+    F.col("a")}`` swaps the columns. New values are cast to the
+    column's existing type so the table schema never drifts. Only files
+    whose manifest min/max say they MAY contain matches are rewritten;
+    the rest carry into the new version untouched — on a date-clustered
+    100 TB table, patching one day rewrites one day's files. Commits
+    compare-and-swap against the head it read and restart on conflict.
+    Returns {'version', 'updated_rows', 'rewritten_files',
+    'carried_files'}."""
+    if not where:
+        raise ValueError("refusing to update with no predicate (use overwrite)")
+    if not assignments:
+        raise ValueError("no assignments given")
+    _check_where(where)
+    cond = _where_to_column(where)
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    while True:
+        head = _require_versions(path)[-1]
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        names = schema.fieldNames()
+        unknown = sorted(set(assignments) - set(names))
+        if unknown:
+            raise ValueError(f"assignments reference unknown columns {unknown}")
+        affected, _ = _prune_files(m, where, tz)
+        aff = set(affected)
+        carried = [f for f in m["files"] if f not in aff]
+        if not affected:
+            return {
+                "version": head,
+                "updated_rows": 0,
+                "rewritten_files": 0,
+                "carried_files": len(m["files"]),
+            }
+        df = spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in affected])
+        updated_rows = df.filter(cond).count()
+        # ONE select so every RHS sees the pre-update row (SQL UPDATE),
+        # never a sibling assignment's result
+        cols = []
+        for f in schema.fields:
+            if f.name in assignments:
+                v = assignments[f.name]
+                expr = v if isinstance(v, Column) else F.lit(v)
+                cols.append(
+                    F.when(cond, expr.cast(f.dataType)).otherwise(F.col(f.name)).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        new_files, new_stats = _stage_files(df.select(cols), path, compression)
+        stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
+        stats.update(new_stats)
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "op": "update",
+            "files": carried + new_files,
+            "stats": stats,
+            "schema_ddl": m["schema_ddl"],
+            "schema_json": m["schema_json"],
+            # neither ingests nor replaces: stream watermark carries forward
+            "stream_batch_id": m.get("stream_batch_id"),
+            "committed_at": time.time(),
+        }
+        if _commit_manifest(path, head + 1, manifest):
+            return {
+                "version": head + 1,
+                "updated_rows": updated_rows,
+                "rewritten_files": len(affected),
+                "carried_files": len(carried),
+            }
+        # head moved: re-read and redo; staged files stay for vacuum
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: "list[str]",
+    when_matched: "str | None" = "update",
+    when_not_matched: "str | None" = "insert",
+    compression: str = "zstd",
+) -> "dict[str, int]":
+    """MERGE (upsert) ``source`` into the snapshot table on the ``on``
+    key columns, as one atomic copy-on-write commit.
+
+    ``when_matched``: ``"update"`` replaces each matching target row
+    with the source row's values, ``"delete"`` removes it, ``None``
+    leaves it. ``when_not_matched``: ``"insert"`` adds source rows whose
+    key matches no target row, ``None`` drops them. Like Delta/Iceberg
+    MERGE, a target row matched by MORE than one source row is refused
+    (ambiguous), NULL source keys never match (they insert), and
+    duplicate-key target rows each take the one source row's values.
+
+    Scale shape: the source's per-key min/max (one tiny agg) prunes the
+    target through the manifest stats — only files whose key range
+    intersects the source's are read and rewritten, so upserting one
+    day into a date-clustered 100 TB table rewrites one day's files.
+    The match itself is a hash equi-join on ``on`` against just those
+    files; when nothing matches and only inserts remain, NO existing
+    file is rewritten. Commits compare-and-swap against the head and
+    restart on conflict. Returns {'version', 'updated_rows',
+    'deleted_rows', 'inserted_rows', 'rewritten_files',
+    'carried_files'}."""
+    if not on:
+        raise ValueError("merge needs at least one key column in on=")
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge with no matched and no not-matched action is a no-op")
+
+    def _zero(version, carried):
+        return {
+            "version": version,
+            "updated_rows": 0,
+            "deleted_rows": 0,
+            "inserted_rows": 0,
+            "rewritten_files": 0,
+            "carried_files": carried,
+        }
+
+    while True:
+        head = _require_versions(path)[-1]
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        names = schema.fieldNames()
+        missing = sorted(set(on) - set(names))
+        if missing:
+            raise ValueError(f"key columns {missing} not in table schema {names}")
+        need_full = when_matched == "update" or when_not_matched == "insert"
+        src_missing = sorted(set(names if need_full else on) - set(source.columns))
+        if src_missing:
+            raise ValueError(f"source is missing columns {src_missing}")
+        src = source.select(*(names if need_full else on))
+        if need_full and src.schema.simpleString() != schema.simpleString():
+            # same contract as append: silent type drift is refused
+            raise ValueError(
+                f"merge schema mismatch: table has {schema.simpleString()}, "
+                f"source has {src.schema.simpleString()}"
+            )
+        # pin the source ONCE: it is re-read for bounds, dup check,
+        # join, and inserts, and a non-deterministic source (sample,
+        # shuffled input) must not change between those passes
+        src = src.localCheckpoint(eager=True)
+        keys_ok = None
+        for k in on:
+            e = F.col(k).isNotNull()
+            keys_ok = e if keys_ok is None else (keys_ok & e)
+        src_n = src.filter(keys_ok)  # match-eligible (NULL keys never match)
+        src_null = src.filter(~keys_ok)
+        # one tiny agg: per-key min/max of the source → manifest pruning
+        bounds = src_n.agg(
+            *[F.min(k).alias(f"mn_{i}") for i, k in enumerate(on)],
+            *[F.max(k).alias(f"mx_{i}") for i, k in enumerate(on)],
+        ).first()
+        try:
+            tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
+        if bounds[f"mn_0"] is None:  # no match-eligible source rows
+            affected = []
+        else:
+            where = []
+            for i, k in enumerate(on):
+                where += [(k, ">=", bounds[f"mn_{i}"]), (k, "<=", bounds[f"mx_{i}"])]
+            affected, _ = _prune_files(m, where, tz)
+        aff = set(affected)
+        carried = [f for f in m["files"] if f not in aff]
+        tgt = (
+            spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in affected])
+            if affected
+            else spark.createDataFrame([], schema)
+        )
+        matched_tgt = tgt.join(src_n, on, "left_semi")
+        n_matched = matched_tgt.count()
+        if n_matched and when_matched is not None:
+            dup = (
+                src_n.groupBy(*on)
+                .count()
+                .filter(F.col("count") > 1)
+                .join(tgt.select(*on), on, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge is ambiguous: multiple source rows match the "
+                    "same target row (dedupe the source on the key first)"
+                )
+        parts, inserted = [], 0
+        if when_matched is None or n_matched == 0:
+            # no target row changes — every existing file stays verbatim
+            rewritten = []
+            carried = list(m["files"])
+        else:
+            rewritten = affected
+            parts.append(tgt.join(src_n, on, "left_anti"))  # unmatched target
+            if when_matched == "update":
+                # one output row per matched TARGET row (dup target keys
+                # each updated), values from the single source row
+                parts.append(tgt.select(*on).join(src_n, on, "inner").select(*names))
+        if when_not_matched == "insert":
+            ins = src_n.join(tgt.select(*on), on, "left_anti").select(*names)
+            ins = ins.unionByName(src_null.select(*names))
+            inserted = ins.count()
+            if inserted:
+                parts.append(ins)
+        if not rewritten and not inserted:
+            return _zero(head, len(m["files"]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        new_files, new_stats = _stage_files(out, path, compression)
+        stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
+        stats.update(new_stats)
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "op": "merge",
+            "files": carried + new_files,
+            "stats": stats,
+            "schema_ddl": m["schema_ddl"],
+            "schema_json": m["schema_json"],
+            "stream_batch_id": m.get("stream_batch_id"),
+            "committed_at": time.time(),
+        }
+        if _commit_manifest(path, head + 1, manifest):
+            return {
+                "version": head + 1,
+                "updated_rows": n_matched if when_matched == "update" else 0,
+                "deleted_rows": n_matched if when_matched == "delete" else 0,
+                "inserted_rows": inserted,
+                "rewritten_files": len(rewritten),
+                "carried_files": len(carried),
+            }
+        # head moved: re-read and redo; staged files stay for vacuum
 
 
 def stream_to_snapshot(
@@ -791,15 +1062,29 @@ from pyspark.sql.datasource import (  # noqa: E402 — grouped with their users
 )
 
 
-def _read_partition_file(file_path: str, fields: "list[str]"):
+def _read_partition_file(file_path: str, fields: "list[str]", spark_schema=None):
     """Executor-side parquet read for both snapshot reader faces: arrow
     RecordBatch yields when the file has every field (no per-row Python
-    round-trip), per-row tuples with nulls otherwise."""
+    round-trip), per-row tuples with nulls otherwise. Batches are CAST
+    to the declared schema's arrow types when they differ (pyspark's
+    worker checks only names/count — e.g. a ms-unit timestamp column
+    would otherwise reach the JVM against a us-unit schema)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(file_path)
     if all(f in t.column_names for f in fields):
-        yield from t.select(fields).to_batches()
+        t = t.select(fields)
+        if spark_schema is not None:
+            try:
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                target = to_arrow_schema(spark_schema)
+                if t.schema != target:
+                    t = t.cast(target)
+            except Exception:
+                pass  # fall through: yield as-is (same-typed files)
+        yield from t.to_batches()
     else:  # defensive: a column absent from an old file
         cols = [
             t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
@@ -821,6 +1106,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.per_trigger = max(1, int(options.get("versions_per_trigger", "10")))
         self.fields = [f.name for f in schema.fields]
+        self.spark_schema = schema
         self._start = int(options.get("start_version", "0"))
         self._pos = self._start
 
@@ -853,8 +1139,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
             m = _read_manifest(self.path, v)
             if m["op"] != "append" and m["parent"] is not None:
                 raise ValueError(
-                    f"snapshot stream at {self.path}: version {v} is an "
-                    "overwrite — the change feed only covers append-only "
+                    f"snapshot stream at {self.path}: version {v} is "
+                    f"a {m['op']} — the change feed only covers append-only "
                     "lineage (reset the consumer or start past it)"
                 )
         base = set(_read_manifest(self.path, s)["files"]) if s else set()
@@ -864,7 +1150,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: "_SnapshotFilePartition"):
-        yield from _read_partition_file(partition.file_path, self.fields)
+        yield from _read_partition_file(
+            partition.file_path, self.fields, self.spark_schema
+        )
 
     def commit(self, end: dict) -> None:
         self._pos = max(self._pos, end["version"])
@@ -896,6 +1184,7 @@ class SnapshotBatchReader(DataSourceReader):
         if self.version not in versions:
             raise ValueError(f"version {self.version} not in {versions}")
         self.fields = [f.name for f in schema.fields]
+        self.spark_schema = schema
         self.tz = options.get("tz")
         self._where: "list[tuple]" = []
 
@@ -915,7 +1204,9 @@ class SnapshotBatchReader(DataSourceReader):
         return [_SnapshotFilePartition(os.path.join(self.path, f)) for f in rels]
 
     def read(self, partition: "_SnapshotFilePartition"):
-        yield from _read_partition_file(partition.file_path, self.fields)
+        yield from _read_partition_file(
+            partition.file_path, self.fields, self.spark_schema
+        )
 
 
 class SnapshotStreamSource(DataSource):
@@ -951,9 +1242,15 @@ def from_snapshot(
     pruning can never change results."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotStreamSource)
-    r = spark.read.format("snapshot_stream").option("path", path)
-    if version is not None:
-        r = r.option("version", str(version))
+    # resolve the head NOW and always pin it: the reader re-instantiates
+    # at action time, and an unpinned head would let a concurrent commit
+    # hand it new data under the plan's old schema
+    v = _require_versions(path)[-1] if version is None else version
+    r = (
+        spark.read.format("snapshot_stream")
+        .option("path", path)
+        .option("version", str(v))
+    )
     try:
         r = r.option("tz", spark.conf.get("spark.sql.session.timeZone"))
     except Exception:

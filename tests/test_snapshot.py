@@ -710,3 +710,267 @@ def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
     # the real run then matches the dry run's report
     real = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
     assert real == stats
+
+
+def test_snapshot_delete_null_predicate_keeps_null_rows(spark, tmp_path):
+    """SQL DELETE semantics: a predicate that evaluates to NULL keeps
+    the row (three-valued logic) — plain ~cond would silently drop it."""
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None)], "id bigint, label string"
+    )
+    snapshot_write(df.repartition(1), p)
+    stats = snapshot_delete(spark, p, [("label", "=", "x")])
+    assert stats["removed_rows"] == 1  # only the TRUE match
+    left = {(r.id, r.label) for r in snapshot_read(spark, p).collect()}
+    assert left == {(2, None), (3, "y"), (4, None)}  # NULL rows survive
+
+
+def test_snapshot_delete_bad_op_is_explicit(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)
+    with pytest.raises(ValueError, match="op must be one of"):
+        snapshot_delete(spark, p, [("id", "!=", 3)])
+
+
+def test_merge_schema_case_insensitive_matching(spark, tmp_path):
+    """A case-variant of an existing column is the SAME column (Spark's
+    default resolution) — matched, not duplicated."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p)
+    upper = spark.range(3, 5).select(F.col("id").alias("ID"))
+    snapshot_write(upper, p, mode="append", merge_schema=True)
+    got = snapshot_read(spark, p)
+    assert got.schema.fieldNames() == ["id"]  # old spelling, no duplicate
+    assert got.count() == 5
+    # case-variant with a TYPE change still refused
+    bad = spark.range(5, 6).select(F.col("id").cast("double").alias("Id"))
+    with pytest.raises(ValueError, match="cannot change column"):
+        snapshot_write(bad, p, mode="append", merge_schema=True)
+
+
+def test_snapshot_format_reads_timestamps(spark, tmp_path):
+    """The arrow fast path must deliver timestamp columns correctly
+    through both reader faces (unit/tz cast to the declared schema)."""
+    from dask_awkward_spark.sources.snapshot import from_snapshot, stream_to_snapshot, stream_from_snapshot
+
+    p, dst = str(tmp_path / "tbl"), str(tmp_path / "dst")
+    df = spark.range(5).select(
+        "id",
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    snapshot_write(df, p)
+    got = from_snapshot(spark, p).orderBy("id").collect()
+    want = df.orderBy("id").collect()
+    assert [r.ts for r in got] == [r.ts for r in want]
+    stream_to_snapshot(stream_from_snapshot(spark, p), dst,
+                       checkpoint_dir=str(tmp_path / "ck"))
+    assert sorted(r.ts for r in snapshot_read(spark, dst).collect()) == sorted(r.ts for r in want)
+
+
+# ---------------------------------------------------------------- UPDATE
+
+
+def test_snapshot_update_basic_and_time_travel(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_update
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id bigint, tag string, score double",
+    )
+    snapshot_write(df.repartition(1), p)
+    stats = snapshot_update(
+        spark, p, [("tag", "=", "a")], {"score": F.col("score") * 2}
+    )
+    assert stats["updated_rows"] == 2 and stats["version"] == 2
+    got = {(r.id, r.score) for r in snapshot_read(spark, p).collect()}
+    assert got == {(1, 20.0), (2, 20.0), (3, 60.0)}
+    # old version still time-travels to the pre-update rows
+    old = {(r.id, r.score) for r in snapshot_read(spark, p, version=1).collect()}
+    assert old == {(1, 10.0), (2, 20.0), (3, 30.0)}
+
+
+def test_snapshot_update_rhs_sees_old_row_and_casts(spark, tmp_path):
+    """Swap semantics: every RHS evaluates against the PRE-update row,
+    and values cast to the column's existing type (schema stable)."""
+    from dask_awkward_spark.sources.snapshot import snapshot_update
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 2, 3)], "a bigint, b bigint, c bigint")
+    snapshot_write(df, p)
+    snapshot_update(
+        spark, p, [("a", "=", 1)], {"a": F.col("b"), "b": F.col("a"), "c": 7.9}
+    )
+    got = snapshot_read(spark, p)
+    assert got.schema.simpleString() == df.schema.simpleString()
+    r = got.first()
+    assert (r.a, r.b, r.c) == (2, 1, 7)  # swapped; 7.9 cast to bigint
+
+
+def test_snapshot_update_prunes_and_null_predicate_rows_kept(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_update
+
+    p = str(tmp_path / "tbl")
+    lo = spark.createDataFrame([(i, "x") for i in range(5)], "id bigint, t string")
+    hi = spark.createDataFrame(
+        [(100, None), (101, "y")], "id bigint, t string"
+    )
+    snapshot_write(lo.repartition(1), p)
+    snapshot_write(hi.repartition(1), p, mode="append")
+    stats = snapshot_update(spark, p, [("id", ">=", 100)], {"t": F.lit("z")})
+    # only the hi file's id-range intersects the predicate
+    assert stats["rewritten_files"] == 1 and stats["carried_files"] == 1
+    assert stats["updated_rows"] == 2  # NULL t is irrelevant: predicate is on id
+    got = dict(
+        (r.id, r.t) for r in snapshot_read(spark, p).filter(F.col("id") >= 100).collect()
+    )
+    assert got == {100: "z", 101: "z"}
+    # predicate evaluating to NULL keeps rows unchanged
+    stats2 = snapshot_update(spark, p, [("t", "=", "nope")], {"id": 0})
+    assert stats2["updated_rows"] == 0
+
+
+def test_snapshot_update_validates(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_update
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p)
+    with pytest.raises(ValueError, match="no predicate"):
+        snapshot_update(spark, p, [], {"id": 0})
+    with pytest.raises(ValueError, match="unknown columns"):
+        snapshot_update(spark, p, [("id", "=", 1)], {"nope": 0})
+    with pytest.raises(ValueError, match="no assignments"):
+        snapshot_update(spark, p, [("id", "=", 1)], {})
+
+
+# ----------------------------------------------------------------- MERGE
+
+
+def _merge_fixture(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    tgt = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id bigint, tag string, v double",
+    )
+    snapshot_write(tgt.repartition(1), p)
+    src = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0)], "id bigint, tag string, v double"
+    )
+    return p, src
+
+
+def test_snapshot_merge_upsert(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p, src = _merge_fixture(spark, tmp_path)
+    stats = snapshot_merge(spark, p, src, on=["id"])
+    assert stats["updated_rows"] == 1 and stats["inserted_rows"] == 1
+    assert stats["deleted_rows"] == 0
+    got = {(r.id, r.tag, r.v) for r in snapshot_read(spark, p).collect()}
+    assert got == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)}
+    # old version pre-merge still readable
+    old = {r.id for r in snapshot_read(spark, p, version=1).collect()}
+    assert old == {1, 2, 3}
+
+
+def test_snapshot_merge_delete_matched(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p, src = _merge_fixture(spark, tmp_path)
+    stats = snapshot_merge(
+        spark, p, src.select("id"), on=["id"],
+        when_matched="delete", when_not_matched=None,
+    )
+    assert stats["deleted_rows"] == 1 and stats["inserted_rows"] == 0
+    assert {r.id for r in snapshot_read(spark, p).collect()} == {1, 3}
+
+
+def test_snapshot_merge_insert_only_never_rewrites(spark, tmp_path):
+    """when_matched=None (insert-if-absent): existing files carry."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p, src = _merge_fixture(spark, tmp_path)
+    stats = snapshot_merge(spark, p, src, on=["id"], when_matched=None)
+    assert stats["rewritten_files"] == 0 and stats["inserted_rows"] == 1
+    got = {(r.id, r.v) for r in snapshot_read(spark, p).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)}  # id=2 untouched
+
+
+def test_snapshot_merge_null_keys_insert_and_prune(spark, tmp_path):
+    """NULL source keys never match (they insert); disjoint key ranges
+    leave target files un-rewritten via manifest pruning."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(i, float(i)) for i in range(5)], "id bigint, v double")
+        .repartition(1),
+        p,
+    )
+    src = spark.createDataFrame(
+        [(None, 99.0), (100, 100.0)], "id bigint, v double"
+    )
+    stats = snapshot_merge(spark, p, src, on=["id"])
+    assert stats["rewritten_files"] == 0  # 100 and NULL can't hit [0,4]
+    assert stats["inserted_rows"] == 2 and stats["updated_rows"] == 0
+    got = {(r.id, r.v) for r in snapshot_read(spark, p).collect()}
+    assert (None, 99.0) in got and (100, 100.0) in got and len(got) == 7
+
+
+def test_snapshot_merge_ambiguous_source_refused(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p, _ = _merge_fixture(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(2, "x", 0.0), (2, "y", 1.0)], "id bigint, tag string, v double"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        snapshot_merge(spark, p, dup, on=["id"])
+    # but duplicate NOT-matched source rows simply both insert
+    dup2 = spark.createDataFrame(
+        [(9, "x", 0.0), (9, "y", 1.0)], "id bigint, tag string, v double"
+    )
+    stats = snapshot_merge(spark, p, dup2, on=["id"])
+    assert stats["inserted_rows"] == 2
+
+
+def test_snapshot_merge_dup_target_keys_each_updated(spark, tmp_path):
+    """Delta parity: two target rows sharing a key both take the one
+    source row's values."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    tgt = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id bigint, tag string"
+    )
+    snapshot_write(tgt.repartition(1), p)
+    src = spark.createDataFrame([(1, "Z")], "id bigint, tag string")
+    stats = snapshot_merge(spark, p, src, on=["id"], when_not_matched=None)
+    assert stats["updated_rows"] == 2
+    got = sorted((r.id, r.tag) for r in snapshot_read(spark, p).collect())
+    assert got == [(1, "Z"), (1, "Z"), (2, "c")]
+
+
+def test_snapshot_merge_validates(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p, src = _merge_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_merge(spark, p, src, on=[])
+    with pytest.raises(ValueError, match="when_matched"):
+        snapshot_merge(spark, p, src, on=["id"], when_matched="upsert")
+    with pytest.raises(ValueError, match="no-op"):
+        snapshot_merge(spark, p, src, on=["id"], when_matched=None, when_not_matched=None)
+    with pytest.raises(ValueError, match="missing columns"):
+        snapshot_merge(spark, p, src.drop("v"), on=["id"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_merge(
+            spark, p, src.withColumn("v", F.col("v").cast("float")), on=["id"]
+        )
+    with pytest.raises(ValueError, match="not in table schema"):
+        snapshot_merge(spark, p, src, on=["nope"])

@@ -60,6 +60,8 @@ HEADLINE = [
     # against the persistent band index (both 1.2x at the 10x sweep)
     "io_snapshot_roundtrip",
     "dedup_incremental",
+    # round-5 continuation: MERGE upsert + copy-on-write UPDATE lifecycle
+    "io_snapshot_merge",
 ]
 
 

@@ -464,6 +464,70 @@ FROM lineitem WHERE l_orderkey < 750 GROUP BY l_returnflag
 """
 
 
+def io_snapshot_merge(spark, sf_dir):
+    """Snapshot MERGE + UPDATE lifecycle under an oracle: commit the low
+    two-thirds of customers as v1 (range-clustered on the key), MERGE a
+    source covering the middle third (updates, bal+1000) plus the top
+    third (inserts) in one atomic upsert, then copy-on-write UPDATE the
+    BUILDING segment (bal doubled, RHS over the merged value). The read
+    back of the head must equal plain SQL describing the final state —
+    proving clause routing (update vs insert), file pruning, and
+    update-after-merge composition all preserve content exactly."""
+    import shutil
+
+    from ..sources.snapshot import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_update,
+        snapshot_write,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # pid-scoped: concurrent runs must not stomp each other's manifests
+    path = f"{_TMP}/dakspark_snapmrg_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    hi = cust.agg(F.max("c_custkey")).first()[0]
+    lo_cut, hi_cut = hi // 3, 2 * hi // 3
+    try:
+        snapshot_write(
+            cust.filter(F.col("c_custkey") <= hi_cut).repartitionByRange(4, "c_custkey"),
+            path,
+        )
+        src = cust.filter(F.col("c_custkey") > lo_cut).withColumn(
+            "bal", F.col("bal") + 1000
+        )
+        snapshot_merge(spark, path, src, on=["c_custkey"])
+        snapshot_update(spark, path, [("seg", "=", "BUILDING")], {"bal": F.col("bal") * 2})
+        # materialize BEFORE dropping the table the lazy plan reads from
+        return (
+            snapshot_read(spark, path)
+            .select("c_custkey", "seg", cents(F.col("bal")).alias("bal_c"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_MERGE_SQL = """
+WITH mx AS (SELECT max(c_custkey) AS hi FROM customer),
+merged AS (
+  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer, mx WHERE c_custkey <= hi // 3
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal + 1000
+  FROM customer, mx WHERE c_custkey > hi // 3
+)
+SELECT c_custkey, seg,
+       CAST(round((CASE WHEN seg = 'BUILDING' THEN bal * 2 ELSE bal END) * 100) AS BIGINT) AS bal_c
+FROM merged
+"""
+
+
 QUERIES = {
     "io_snapshot_roundtrip": io_snapshot_roundtrip,
     "op_argcartesian": op_argcartesian,
@@ -480,6 +544,7 @@ QUERIES = {
     "str_regex2": str_regex2,
     "q_corr_covar": q_corr_covar,
     "dedup_apply": dedup_apply,
+    "io_snapshot_merge": io_snapshot_merge,
 }
 
 ORACLES = {
@@ -498,6 +563,7 @@ ORACLES = {
     "str_regex2": STR_REGEX2_SQL,
     "q_corr_covar": Q_CORR_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
+    "io_snapshot_merge": IO_SNAPSHOT_MERGE_SQL,
 }
 
 

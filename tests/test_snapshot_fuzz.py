@@ -15,7 +15,9 @@ from dask_awkward_spark.sources.snapshot import (
     snapshot_changes,
     snapshot_delete,
     snapshot_compact,
+    snapshot_merge,
     snapshot_read,
+    snapshot_update,
     snapshot_vacuum,
     snapshot_write,
 )
@@ -33,12 +35,19 @@ SETTINGS = dict(
 #   ("compact", z)       — rewrite head (z: zorder on id or plain)
 #   ("vacuum", keep)     — trim history to keep_last=keep, retention 0
 #   ("delete", lo, n)    — copy-on-write delete of rows in [lo, lo+n)
+#   ("update", lo, n)    — copy-on-write UPDATE: id += 17 where id in [lo, lo+n)
+#   ("merge", lo, n)     — upsert ids lo..lo+n (matched rows keep their
+#                          one-column value, unmatched ids insert)
+#   ("merge_del", lo, n) — merge with when_matched=delete (drop matched ids)
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("compact"), st_.booleans()),
     st_.tuples(st_.just("vacuum"), st_.integers(1, 3)),
     st_.tuples(st_.just("delete"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("update"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("merge"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("merge_del"), st_.integers(0, 60), st_.integers(1, 25)),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -99,6 +108,52 @@ def test_snapshot_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             if res["version"] != head_v:  # no-op deletes commit nothing
                 head_v = res["version"]
                 model[head_v] = ("delete", list(head_rows))
+        elif op[0] == "update":
+            if first:
+                continue
+            _, lo, n = op
+            from pyspark.sql import functions as F
+
+            res = snapshot_update(
+                spark, p, [("id", ">=", lo), ("id", "<", lo + n)],
+                {"id": F.col("id") + 17},
+            )
+            changed = [x + 17 if lo <= x < lo + n else x for x in head_rows]
+            assert res["updated_rows"] == sum(
+                1 for x in head_rows if lo <= x < lo + n
+            )
+            head_rows = changed
+            if res["version"] != head_v:
+                head_v = res["version"]
+                model[head_v] = ("update", list(head_rows))
+        elif op[0] in ("merge", "merge_del"):
+            if first:
+                continue
+            _, lo, n = op
+            src = spark.createDataFrame(
+                [(i,) for i in range(lo, lo + n)], "id bigint"
+            )
+            if op[0] == "merge":
+                res = snapshot_merge(spark, p, src, on=["id"])
+                present = set(head_rows)
+                inserts = [x for x in range(lo, lo + n) if x not in present]
+                assert res["inserted_rows"] == len(inserts)
+                # matched rows each take the source row's (identical) value
+                assert res["updated_rows"] == sum(
+                    1 for x in head_rows if lo <= x < lo + n
+                )
+                head_rows = head_rows + inserts
+            else:
+                res = snapshot_merge(
+                    spark, p, src, on=["id"],
+                    when_matched="delete", when_not_matched=None,
+                )
+                survivors = [x for x in head_rows if not (lo <= x < lo + n)]
+                assert res["deleted_rows"] == len(head_rows) - len(survivors)
+                head_rows = survivors
+            if res["version"] != head_v:
+                head_v = res["version"]
+                model[head_v] = (op[0], list(head_rows))
         first = False
 
     if not model:

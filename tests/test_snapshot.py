@@ -974,3 +974,65 @@ def test_snapshot_merge_validates(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="not in table schema"):
         snapshot_merge(spark, p, src, on=["nope"])
+
+
+def test_merge_redoes_after_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append landing mid-merge is never lost OR missed: the CAS
+    commit conflicts, merge restarts from the new head, and a source row
+    keyed like the freshly-appended row must UPDATE it on the retry —
+    not insert a duplicate next to it."""
+    import dask_awkward_spark.sources.snapshot as snap
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(i, "old") for i in range(5)], "id bigint, tag string"),
+        p,
+    )
+
+    real_read = snap._read_manifest
+    appended = {"done": False}
+
+    def read_then_append(path, version):
+        m = real_read(path, version)
+        if not appended["done"]:
+            appended["done"] = True
+            snapshot_write(
+                spark.createDataFrame([(10, "old")], "id bigint, tag string"),
+                p,
+                mode="append",
+            )
+        return m
+
+    monkeypatch.setattr(snap, "_read_manifest", read_then_append)
+    src = spark.createDataFrame([(3, "new"), (10, "new")], "id bigint, tag string")
+    stats = snapshot_merge(spark, p, src, on=["id"])
+    monkeypatch.undo()
+    # the retry saw the appended row: both source rows matched, none inserted
+    assert stats["updated_rows"] == 2 and stats["inserted_rows"] == 0
+    got = sorted((r.id, r.tag) for r in snapshot_read(spark, p).collect())
+    assert got == [(0, "old"), (1, "old"), (2, "old"), (3, "new"), (4, "old"), (10, "new")]
+
+
+def test_concurrent_merges_all_land(spark, tmp_path):
+    """REAL concurrency: 4 threads upsert disjoint key ranges at once
+    through the CAS loop; every merge lands, no inserts are lost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p)
+
+    def merge(k):
+        src = spark.range(100 * (k + 1), 100 * (k + 1) + 5)
+        return snapshot_merge(spark, p, src, on=["id"])["version"]
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = sorted(ex.map(merge, range(4)))
+    assert versions == [2, 3, 4, 5]  # every merge won exactly one commit
+    rows = sorted(r.id for r in snapshot_read(spark, p).collect())
+    want = sorted(
+        list(range(10)) + [x for k in range(4) for x in range(100 * (k + 1), 100 * (k + 1) + 5)]
+    )
+    assert rows == want

@@ -60,6 +60,7 @@ from .sources.snapshot import (
     snapshot_delete,
     snapshot_merge,
     snapshot_read,
+    snapshot_restore,
     snapshot_scan_report,
     snapshot_update,
     snapshot_vacuum,

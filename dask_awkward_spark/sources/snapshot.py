@@ -958,6 +958,43 @@ def snapshot_merge(
         # head moved: re-read and redo; staged files stay for vacuum
 
 
+def snapshot_restore(path: str, version: int) -> int:
+    """Roll the table HEAD back to ``version`` as a NEW commit (the
+    undo for a bad write/merge/delete). Metadata-only and O(1): the new
+    manifest re-references the old version's immutable files — no data
+    moves, and the botched versions stay time-travelable until vacuum.
+
+    The streaming replay guard (``stream_batch_id``) also reverts to the
+    restored version's: content is as-of ``version``, so a replay of a
+    micro-batch whose rows were restored away must be allowed to land
+    again — carrying the newer watermark forward would silently swallow
+    it. Returns the new head version (or the current head when already
+    there)."""
+    while True:
+        versions = _require_versions(path)
+        head = versions[-1]
+        if version not in versions:
+            raise ValueError(f"version {version} not in {versions} (vacuumed away?)")
+        if version == head:
+            return head
+        src = _read_manifest(path, version)
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "op": "restore",
+            "files": list(src["files"]),
+            "stats": dict(src.get("stats", {})),
+            "schema_ddl": src["schema_ddl"],
+            "schema_json": src["schema_json"],
+            "stream_batch_id": src.get("stream_batch_id"),
+            "committed_at": time.time(),
+        }
+        if _commit_manifest(path, head + 1, manifest):
+            return head + 1
+        # a concurrent commit claimed head+1: re-read and retry (restore
+        # intentionally erases later content — that is its contract)
+
+
 def stream_to_snapshot(
     df: DataFrame,
     path: str,

@@ -1036,3 +1036,62 @@ def test_concurrent_merges_all_land(spark, tmp_path):
         list(range(10)) + [x for k in range(4) for x in range(100 * (k + 1), 100 * (k + 1) + 5)]
     )
     assert rows == want
+
+
+# --------------------------------------------------------------- RESTORE
+
+
+def test_snapshot_restore_rolls_back_and_keeps_history(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_delete, snapshot_restore
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p)                      # v1
+    snapshot_write(spark.range(10, 15), p, mode="append")   # v2
+    snapshot_delete(spark, p, [("id", "<", 5)])             # v3: bad delete
+    v = snapshot_restore(p, 2)                              # undo it
+    assert v == 4
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(15))
+    # the botched v3 still time-travels until vacuum
+    assert snapshot_read(spark, p, version=3).count() == 10
+    # restore is metadata-only: no new data files were written
+    log = snapshot_versions(p)
+    assert log[-1]["op"] == "restore"
+    assert set(log[-1]["files"]) == set(log[1]["files"])
+    # no-op restore to the current head
+    assert snapshot_restore(p, 4) == 4
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_restore(p, 99)
+
+
+def test_snapshot_restore_survives_vacuum(spark, tmp_path):
+    """The restored head re-references old files, so vacuum must keep
+    them even after trimming the version they came from."""
+    from dask_awkward_spark.sources.snapshot import snapshot_restore
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(20).repartition(2), p)   # v1
+    snapshot_write(spark.range(5), p)                   # v2 overwrite
+    snapshot_restore(p, 1)                              # v3 = v1's files
+    snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(20))
+
+
+def test_snapshot_restore_reverts_stream_watermark(spark, tmp_path):
+    """Content is as-of the restored version, so the replay guard is
+    too: a micro-batch committed after that version must be allowed to
+    land again once restored away."""
+    from dask_awkward_spark.sources.snapshot import (
+        SnapshotBatchReplayedError,
+        snapshot_restore,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p)                                       # v1
+    snapshot_write(spark.range(3, 6), p, mode="append", stream_batch_id=0)  # v2
+    snapshot_write(spark.range(6, 9), p, mode="append", stream_batch_id=1)  # v3
+    with pytest.raises(SnapshotBatchReplayedError):
+        snapshot_write(spark.range(6, 9), p, mode="append", stream_batch_id=1)
+    snapshot_restore(p, 2)  # v4: batch 1's rows are gone again
+    v = snapshot_write(spark.range(6, 9), p, mode="append", stream_batch_id=1)
+    assert v == 5  # the replay lands — its rows are genuinely absent
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(9))

@@ -841,51 +841,84 @@ def snapshot_merge(
             "carried_files": carried,
         }
 
+    # validate against the head ONCE and pin the source ONCE, outside
+    # the CAS loop: the source is re-read for bounds, dup check, join,
+    # and inserts, and a non-deterministic source (sample, shuffled
+    # input) must not change between those passes OR across commit
+    # retries; checkpointing per retry would also pin one extra copy
+    # per conflict for the session lifetime
+    head0 = _require_versions(path)[-1]
+    m0 = _read_manifest(path, head0)
+    schema = StructType.fromJson(json.loads(m0["schema_json"]))
+    names = schema.fieldNames()
+    missing = sorted(set(on) - set(names))
+    if missing:
+        raise ValueError(f"key columns {missing} not in table schema {names}")
+    need_full = when_matched == "update" or when_not_matched == "insert"
+    src_missing = sorted(set(names if need_full else on) - set(source.columns))
+    if src_missing:
+        raise ValueError(f"source is missing columns {src_missing}")
+    src = source.select(*(names if need_full else on))
+    if need_full and src.schema.simpleString() != schema.simpleString():
+        # same contract as append: silent type drift is refused
+        raise ValueError(
+            f"merge schema mismatch: table has {schema.simpleString()}, "
+            f"source has {src.schema.simpleString()}"
+        )
+    src = src.localCheckpoint(eager=True)
+    keys_ok = None
+    for k in on:
+        e = F.col(k).isNotNull()
+        keys_ok = e if keys_ok is None else (keys_ok & e)
+    src_n = src.filter(keys_ok)  # match-eligible (NULL keys never match)
+    src_null = src.filter(~keys_ok)
+    # one tiny agg: per-key min/max of the source → manifest pruning
+    bounds = src_n.agg(
+        *[F.min(k).alias(f"mn_{i}") for i, k in enumerate(on)],
+        *[F.max(k).alias(f"mx_{i}") for i, k in enumerate(on)],
+    ).first()
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+
+    def _bound(v, k):
+        # .first() hands TIMESTAMP (LTZ) values back as naive datetimes
+        # in the SYSTEM timezone, but _file_may_match interprets naive
+        # predicate values in the SESSION timezone — a mismatch would
+        # mis-prune, and merge pruning is load-bearing (pruned files
+        # carry verbatim). Attach the system zone so LTZ stats
+        # (tz-aware) compare on the real instant; NTZ values stay naive
+        # (their stats decode naive — wall-clock vs wall-clock is right).
+        import datetime
+
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(v, datetime.datetime) and isinstance(
+            schema[k].dataType, TimestampType
+        ):
+            return v.astimezone()
+        return v
+
+    if bounds["mn_0"] is None:  # no match-eligible source rows
+        where = None
+    else:
+        where = []
+        for i, k in enumerate(on):
+            where += [
+                (k, ">=", _bound(bounds[f"mn_{i}"], k)),
+                (k, "<=", _bound(bounds[f"mx_{i}"], k)),
+            ]
+
     while True:
         head = _require_versions(path)[-1]
         m = _read_manifest(path, head)
-        schema = StructType.fromJson(json.loads(m["schema_json"]))
-        names = schema.fieldNames()
-        missing = sorted(set(on) - set(names))
-        if missing:
-            raise ValueError(f"key columns {missing} not in table schema {names}")
-        need_full = when_matched == "update" or when_not_matched == "insert"
-        src_missing = sorted(set(names if need_full else on) - set(source.columns))
-        if src_missing:
-            raise ValueError(f"source is missing columns {src_missing}")
-        src = source.select(*(names if need_full else on))
-        if need_full and src.schema.simpleString() != schema.simpleString():
-            # same contract as append: silent type drift is refused
-            raise ValueError(
-                f"merge schema mismatch: table has {schema.simpleString()}, "
-                f"source has {src.schema.simpleString()}"
+        if m["schema_ddl"] != m0["schema_ddl"]:
+            raise SnapshotConflictError(
+                "table schema evolved mid-merge (concurrent merge_schema "
+                "append); re-run snapshot_merge against the new head"
             )
-        # pin the source ONCE: it is re-read for bounds, dup check,
-        # join, and inserts, and a non-deterministic source (sample,
-        # shuffled input) must not change between those passes
-        src = src.localCheckpoint(eager=True)
-        keys_ok = None
-        for k in on:
-            e = F.col(k).isNotNull()
-            keys_ok = e if keys_ok is None else (keys_ok & e)
-        src_n = src.filter(keys_ok)  # match-eligible (NULL keys never match)
-        src_null = src.filter(~keys_ok)
-        # one tiny agg: per-key min/max of the source → manifest pruning
-        bounds = src_n.agg(
-            *[F.min(k).alias(f"mn_{i}") for i, k in enumerate(on)],
-            *[F.max(k).alias(f"mx_{i}") for i, k in enumerate(on)],
-        ).first()
-        try:
-            tz = spark.conf.get("spark.sql.session.timeZone")
-        except Exception:
-            tz = None
-        if bounds[f"mn_0"] is None:  # no match-eligible source rows
-            affected = []
-        else:
-            where = []
-            for i, k in enumerate(on):
-                where += [(k, ">=", bounds[f"mn_{i}"]), (k, "<=", bounds[f"mx_{i}"])]
-            affected, _ = _prune_files(m, where, tz)
+        affected = _prune_files(m, where, tz)[0] if where is not None else []
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
         tgt = (
@@ -896,10 +929,13 @@ def snapshot_merge(
         matched_tgt = tgt.join(src_n, on, "left_semi")
         n_matched = matched_tgt.count()
         if n_matched and when_matched is not None:
+            # reserved alias — a key column literally named "count" must
+            # not collide with the aggregate
             dup = (
                 src_n.groupBy(*on)
-                .count()
-                .filter(F.col("count") > 1)
+                .agg(F.count(F.lit(1)).alias("__dak_n"))
+                .filter(F.col("__dak_n") > 1)
+                .drop("__dak_n")
                 .join(tgt.select(*on), on, "left_semi")
                 .limit(1)
                 .count()
@@ -938,7 +974,11 @@ def snapshot_merge(
         manifest = {
             "version": head + 1,
             "parent": head,
-            "op": "merge",
+            # an insert-only merge never rewrites a file — the file set
+            # strictly grows, which IS an append: stamping it so keeps
+            # snapshot_changes / stream_from_snapshot working across
+            # upsert-maintained tables instead of hard-failing the feed
+            "op": "merge" if rewritten else "append",
             "files": carried + new_files,
             "stats": stats,
             "schema_ddl": m["schema_ddl"],
@@ -1102,30 +1142,39 @@ from pyspark.sql.datasource import (  # noqa: E402 — grouped with their users
 def _read_partition_file(file_path: str, fields: "list[str]", spark_schema=None):
     """Executor-side parquet read for both snapshot reader faces: arrow
     RecordBatch yields when the file has every field (no per-row Python
-    round-trip), per-row tuples with nulls otherwise. Batches are CAST
-    to the declared schema's arrow types when they differ (pyspark's
-    worker checks only names/count — e.g. a ms-unit timestamp column
-    would otherwise reach the JVM against a us-unit schema)."""
-    import pyarrow as pa
+    round-trip), per-row tuples with nulls otherwise. Field names match
+    case-INSENSITIVELY like Spark's own resolution — a merge_schema
+    append may legally commit a file spelling a column 'ID' into a table
+    whose pinned schema says 'id', and that file's values must not come
+    back NULL. Batches are CAST to the declared schema's arrow types
+    when they differ (pyspark's worker checks only names/count — e.g. a
+    ms-unit timestamp column would otherwise reach the JVM against a
+    us-unit schema)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(file_path)
-    if all(f in t.column_names for f in fields):
-        t = t.select(fields)
+    by_lower = {c.lower(): c for c in t.column_names}
+    actual = [by_lower.get(f.lower()) for f in fields]
+    if all(a is not None for a in actual):
+        t = t.select(actual).rename_columns(fields)
         if spark_schema is not None:
+            target = None
             try:
                 from pyspark.sql.pandas.types import to_arrow_schema
 
                 target = to_arrow_schema(spark_schema)
-                if t.schema != target:
-                    t = t.cast(target)
             except Exception:
-                pass  # fall through: yield as-is (same-typed files)
+                target = None  # unmappable schema: yield as-is
+            if target is not None and t.schema != target:
+                # a genuine cast failure must RAISE — swallowing it would
+                # send wrong-typed batches to the JVM (worker checks only
+                # names/count) and crash far from the cause
+                t = t.cast(target)
         yield from t.to_batches()
     else:  # defensive: a column absent from an old file
         cols = [
-            t.column(f).to_pylist() if f in t.column_names else [None] * t.num_rows
-            for f in fields
+            t.column(a).to_pylist() if a is not None else [None] * t.num_rows
+            for a in actual
         ]
         yield from zip(*cols)
 

@@ -740,13 +740,18 @@ def test_snapshot_delete_bad_op_is_explicit(spark, tmp_path):
 def test_merge_schema_case_insensitive_matching(spark, tmp_path):
     """A case-variant of an existing column is the SAME column (Spark's
     default resolution) — matched, not duplicated."""
+    from dask_awkward_spark.sources.snapshot import from_snapshot
+
     p = str(tmp_path / "tbl")
     snapshot_write(spark.range(3), p)
     upper = spark.range(3, 5).select(F.col("id").alias("ID"))
     snapshot_write(upper, p, mode="append", merge_schema=True)
     got = snapshot_read(spark, p)
     assert got.schema.fieldNames() == ["id"]  # old spelling, no duplicate
-    assert got.count() == 5
+    # VALUES from the case-variant file must come back, not NULLs —
+    # through the native face AND the Python-datasource face
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r.id for r in from_snapshot(spark, p).collect()) == [0, 1, 2, 3, 4]
     # case-variant with a TYPE change still refused
     bad = spark.range(5, 6).select(F.col("id").cast("double").alias("Id"))
     with pytest.raises(ValueError, match="cannot change column"):
@@ -1095,3 +1100,65 @@ def test_snapshot_restore_reverts_stream_watermark(spark, tmp_path):
     v = snapshot_write(spark.range(6, 9), p, mode="append", stream_batch_id=1)
     assert v == 5  # the replay lands — its rows are genuinely absent
     assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(9))
+
+
+def test_insert_only_merge_keeps_change_feed_alive(spark, tmp_path):
+    """An insert-only merge strictly grows the file set — it commits as
+    an append, so change feeds over upsert-maintained tables keep
+    working instead of hard-failing on op='merge'."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)                              # v1
+    snapshot_merge(spark, p, spark.range(100, 103), on=["id"])     # v2: inserts only
+    log = snapshot_versions(p)
+    assert log[-1]["op"] == "append"
+    delta = sorted(r.id for r in snapshot_changes(spark, p, since=1).collect())
+    assert delta == [100, 101, 102]
+    # a merge that DOES rewrite still stamps op=merge and breaks feeds
+    snapshot_merge(spark, p, spark.range(4, 6), on=["id"])         # v3: updates id=4,5->insert? 4 matches
+    assert snapshot_versions(p)[-1]["op"] == "merge"
+    with pytest.raises(ValueError, match="not appends"):
+        snapshot_changes(spark, p, since=1)
+
+
+def test_merge_key_column_named_count(spark, tmp_path):
+    """A key column literally named 'count' must not collide with the
+    ambiguity check's aggregate."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "count bigint, tag string"), p
+    )
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "count bigint, tag string")
+    stats = snapshot_merge(spark, p, src, on=["count"])
+    assert stats["updated_rows"] == 1 and stats["inserted_rows"] == 1
+    got = sorted((r["count"], r.tag) for r in snapshot_read(spark, p).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_merge_timestamp_key_prunes_correctly_across_timezones(spark, tmp_path):
+    """LTZ bounds collected on the driver are naive SYSTEM-tz datetimes;
+    pruning must compare the real instant, or files containing matches
+    get pruned and their source rows silently duplicate as inserts."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")  # UTC+14
+    try:
+        p = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [("2026-01-01 00:00:00", 1.0), ("2026-01-01 06:00:00", 2.0)],
+            "ts string, v double",
+        ).select(F.to_timestamp("ts").alias("ts"), "v")
+        snapshot_write(df.repartition(1), p)
+        src = df.withColumn("v", F.col("v") + 10)
+        stats = snapshot_merge(spark, p, src, on=["ts"])
+        # both source rows MATCH existing keys: zero inserts, no dupes
+        assert stats["updated_rows"] == 2 and stats["inserted_rows"] == 0
+        got = snapshot_read(spark, p)
+        assert got.count() == 2
+        assert sorted(r.v for r in got.collect()) == [11.0, 12.0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -617,6 +617,23 @@ def snapshot_compact(
             continue  # an append landed mid-compact: redo against the new head
 
 
+def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) -> dict:
+    """Manifest for a copy-on-write commit (delete/update/merge): schema
+    unchanged, stream watermark carried forward — these ops neither
+    ingest nor replace, so the replay guard must survive them."""
+    return {
+        "version": head + 1,
+        "parent": head,
+        "op": op,
+        "files": files,
+        "stats": stats,
+        "schema_ddl": m["schema_ddl"],
+        "schema_json": m["schema_json"],
+        "stream_batch_id": m.get("stream_batch_id"),
+        "committed_at": time.time(),
+    }
+
+
 def snapshot_delete(
     spark: SparkSession,
     path: str,
@@ -678,19 +695,7 @@ def snapshot_delete(
         car = set(carried)
         stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
         stats.update(new_stats)
-        manifest = {
-            "version": head + 1,
-            "parent": head,
-            "op": "delete",
-            "files": carried + new_files,
-            "stats": stats,
-            "schema_ddl": m["schema_ddl"],
-            "schema_json": m["schema_json"],
-            # a delete neither ingests nor replaces: the stream watermark
-            # carries forward like compaction
-            "stream_batch_id": m.get("stream_batch_id"),
-            "committed_at": time.time(),
-        }
+        manifest = _cow_manifest(m, head, "delete", carried + new_files, stats)
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,
@@ -770,18 +775,7 @@ def snapshot_update(
         new_files, new_stats = _stage_files(df.select(cols), path, compression)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
         stats.update(new_stats)
-        manifest = {
-            "version": head + 1,
-            "parent": head,
-            "op": "update",
-            "files": carried + new_files,
-            "stats": stats,
-            "schema_ddl": m["schema_ddl"],
-            "schema_json": m["schema_json"],
-            # neither ingests nor replaces: stream watermark carries forward
-            "stream_batch_id": m.get("stream_batch_id"),
-            "committed_at": time.time(),
-        }
+        manifest = _cow_manifest(m, head, "update", carried + new_files, stats)
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,
@@ -971,21 +965,13 @@ def snapshot_merge(
         new_files, new_stats = _stage_files(out, path, compression)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
         stats.update(new_stats)
-        manifest = {
-            "version": head + 1,
-            "parent": head,
-            # an insert-only merge never rewrites a file — the file set
-            # strictly grows, which IS an append: stamping it so keeps
-            # snapshot_changes / stream_from_snapshot working across
-            # upsert-maintained tables instead of hard-failing the feed
-            "op": "merge" if rewritten else "append",
-            "files": carried + new_files,
-            "stats": stats,
-            "schema_ddl": m["schema_ddl"],
-            "schema_json": m["schema_json"],
-            "stream_batch_id": m.get("stream_batch_id"),
-            "committed_at": time.time(),
-        }
+        # an insert-only merge never rewrites a file — the file set
+        # strictly grows, which IS an append: stamping it so keeps
+        # snapshot_changes / stream_from_snapshot working across
+        # upsert-maintained tables instead of hard-failing the feed
+        manifest = _cow_manifest(
+            m, head, "merge" if rewritten else "append", carried + new_files, stats
+        )
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,

@@ -920,9 +920,11 @@ def snapshot_merge(
             if affected
             else spark.createDataFrame([], schema)
         )
-        matched_tgt = tgt.join(src_n, on, "left_semi")
-        n_matched = matched_tgt.count()
-        if n_matched and when_matched is not None:
+        # insert-only merges never need the matched count — skip the join job
+        n_matched = (
+            tgt.join(src_n, on, "left_semi").count() if when_matched is not None else 0
+        )
+        if n_matched:
             # reserved alias — a key column literally named "count" must
             # not collide with the aggregate
             dup = (

@@ -37,6 +37,7 @@ DEFAULT_QUERIES = [
     "dedup_fuzzy_reps",            # exact-dup gate (near-dup-heavy corpora)
     "sketch_cms_heavy_hitters",    # bounded sketch state
     "text_contamination",          # broadcast benchmark side
+    "io_snapshot_merge",           # MERGE upsert: stat-pruned file rewrites
 ]
 
 # per-table (key column -> per-replica offset) so joins/groups see N x

@@ -338,6 +338,9 @@ def snapshot_write(
             "schema_ddl": out_schema.simpleString(),  # human-readable only
             "schema_json": out_schema.json(),  # lossless; the read path pins this
             "stream_batch_id": watermark,
+            # appends keep old files' deletion vectors visible; an
+            # overwrite replaces the file set, so its DVs go with it
+            "deletes": head_m.get("deletes") if mode == "append" else None,
             "committed_at": time.time(),
         }
         if _commit_manifest(path, head + 1, manifest):
@@ -473,12 +476,7 @@ def snapshot_read(
         except Exception:
             tz = None
         rels, _ = _prune_files(m, where, tz)
-    files = [os.path.join(path, f) for f in rels]
-    df = (
-        spark.read.schema(schema).parquet(*files)
-        if files
-        else spark.createDataFrame([], schema)
-    )
+    df = _visible_df(spark, path, m, rels)
     cond = _where_to_column(where or ())
     return df.filter(cond) if cond is not None else df
 
@@ -495,6 +493,46 @@ def _where_to_column(where) -> "Column | None":
                  ">": c > value, ">=": c >= value}[op]
         cond = e if cond is None else (cond & e)
     return cond
+
+
+def _visible_tagged(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> DataFrame:
+    """The version's VISIBLE rows for the given files, tagged with
+    ``__dak_file``/``__dak_pos`` (data-file basename + row position):
+    a pinned-schema scan minus any merge-on-read deletion-vector rows.
+    The DV side is tiny (it lists deleted positions, not data) and
+    broadcasts, so the anti-join never shuffles the table."""
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    names = schema.fieldNames()
+    if not rels:
+        df = spark.createDataFrame([], schema)
+        return df.select(
+            *names,
+            F.lit(None).cast("string").alias("__dak_file"),
+            F.lit(None).cast("bigint").alias("__dak_pos"),
+        )
+    files = [os.path.join(path, f) for f in rels]
+    tagged = spark.read.schema(schema).parquet(*files).select(
+        *names,
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__dak_file"),
+        F.col("_metadata.row_index").alias("__dak_pos"),
+    )
+    dvs = m.get("deletes") or []
+    if not dvs:
+        return tagged
+    dv = spark.read.parquet(*[os.path.join(path, d) for d in dvs]).select(
+        F.col("file").alias("__dak_file"), F.col("pos").alias("__dak_pos")
+    )
+    return tagged.join(F.broadcast(dv), ["__dak_file", "__dak_pos"], "left_anti")
+
+
+def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> DataFrame:
+    """Visible rows only (deletion vectors applied), plain columns."""
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    if not rels:
+        return spark.createDataFrame([], schema)
+    if not (m.get("deletes") or []):
+        return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in rels])
+    return _visible_tagged(spark, path, m, rels).select(*schema.fieldNames())
 
 
 def snapshot_scan_report(
@@ -595,11 +633,10 @@ def snapshot_compact(
         files = [os.path.join(path, f) for f in m["files"]]
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
-        df = (
-            spark.read.schema(schema).parquet(*files)
-            if files
-            else spark.createDataFrame([], schema)
-        )
+        # deletion vectors are applied here and PURGED by the rewrite:
+        # compaction is the scheduled physical erase for merge-on-read
+        # deletes (the overwrite manifest carries no "deletes")
+        df = _visible_df(spark, path, m, m["files"])
         if zorder_by:
             from .parquet import zorder_column
 
@@ -620,7 +657,10 @@ def snapshot_compact(
 def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) -> dict:
     """Manifest for a copy-on-write commit (delete/update/merge): schema
     unchanged, stream watermark carried forward — these ops neither
-    ingest nor replace, so the replay guard must survive them."""
+    ingest nor replace, so the replay guard must survive them. Deletion
+    vectors carry too: carried files keep their deleted positions, and
+    a rewritten file's stale DV rows reference a dead name (harmless —
+    they can never match a fresh uuid filename)."""
     return {
         "version": head + 1,
         "parent": head,
@@ -630,6 +670,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "schema_ddl": m["schema_ddl"],
         "schema_json": m["schema_json"],
         "stream_batch_id": m.get("stream_batch_id"),
+        "deletes": m.get("deletes"),
         "committed_at": time.time(),
     }
 
@@ -639,21 +680,38 @@ def snapshot_delete(
     path: str,
     where: "list[tuple]",
     compression: str = "zstd",
+    strategy: str = "copy-on-write",
 ) -> "dict[str, int]":
-    """Copy-on-write DELETE: remove rows matching the ANDed ``(col, op,
-    value)`` triples as a NEW version (old versions still time-travel to
-    the deleted rows; vacuum erases them for real — the takedown /
-    decontamination workflow).
+    """DELETE rows matching the ANDed ``(col, op, value)`` triples as a
+    NEW version (old versions still time-travel to the deleted rows;
+    vacuum erases them for real — the takedown / decontamination
+    workflow).
 
-    Only files whose manifest min/max say they MAY contain matches are
-    rewritten; every other file is carried into the new version
-    untouched. On a date-clustered 100 TB table, deleting one day
-    rewrites one day's files, not the table. Commits compare-and-swap
-    against the head it read and restarts on conflict (a concurrent
-    append's rows are never lost). Returns {'version', 'removed_rows',
-    'rewritten_files', 'carried_files'}."""
+    ``strategy="copy-on-write"`` (default) rewrites only the files whose
+    manifest min/max say they MAY contain matches; every other file is
+    carried untouched. On a date-clustered 100 TB table, deleting one
+    day rewrites one day's files, not the table.
+
+    ``strategy="merge-on-read"`` rewrites NOTHING: it commits a tiny
+    deletion-vector file of (data-file, row-position) pairs and every
+    read applies it as a broadcast anti-join on Spark's ``_metadata``
+    row index. This is the Delta/Iceberg DV pattern — a takedown on a
+    100 TB table costs one scan of the matching files plus a KB-scale
+    write, with the physical rewrite deferred to the next compaction
+    (which purges the vectors). Reads get slightly slower until then;
+    copy-on-write is the right default for rare deletes, merge-on-read
+    for frequent or latency-sensitive ones.
+
+    Both commit compare-and-swap against the head they read and restart
+    on conflict (a concurrent append's rows are never lost). Returns
+    {'version', 'removed_rows', 'rewritten_files', 'carried_files'}
+    (+'delete_files' for merge-on-read)."""
     if not where:
         raise ValueError("refusing to delete with no predicate (use overwrite)")
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"strategy must be copy-on-write|merge-on-read, got {strategy!r}"
+        )
     _check_where(where)
     cond = _where_to_column(where)
     try:
@@ -663,7 +721,6 @@ def snapshot_delete(
     while True:
         head = _require_versions(path)[-1]
         m = _read_manifest(path, head)
-        schema = StructType.fromJson(json.loads(m["schema_json"]))
         affected, _ = _prune_files(m, where, tz)
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
@@ -674,8 +731,37 @@ def snapshot_delete(
                 "rewritten_files": 0,
                 "carried_files": len(m["files"]),
             }
-        aff_paths = [os.path.join(path, f) for f in affected]
-        df = spark.read.schema(schema).parquet(*aff_paths)
+        if strategy == "merge-on-read":
+            # already-deleted rows are invisible in the tagged scan, so
+            # a repeated delete never double-records a position
+            tagged = _visible_tagged(spark, path, m, affected)
+            matches = tagged.filter(cond).select(
+                F.col("__dak_file").alias("file"), F.col("__dak_pos").alias("pos")
+            )
+            removed = matches.count()
+            if removed == 0:
+                return {
+                    "version": head,
+                    "removed_rows": 0,
+                    "rewritten_files": 0,
+                    "carried_files": len(m["files"]),
+                    "delete_files": 0,
+                }
+            dv_files, _ = _stage_files(matches.repartition(1), path, compression)
+            manifest = _cow_manifest(
+                m, head, "delete", list(m["files"]), dict(m.get("stats", {}))
+            )
+            manifest["deletes"] = list(m.get("deletes") or []) + dv_files
+            if _commit_manifest(path, head + 1, manifest):
+                return {
+                    "version": head + 1,
+                    "removed_rows": removed,
+                    "rewritten_files": 0,
+                    "carried_files": len(m["files"]),
+                    "delete_files": len(dv_files),
+                }
+            continue  # head moved: re-read and redo
+        df = _visible_df(spark, path, m, affected)
         before = df.count()
         # SQL DELETE semantics: only rows where the predicate is TRUE go;
         # a NULL predicate (e.g. col = 'x' on a NULL) must KEEP the row —
@@ -758,7 +844,7 @@ def snapshot_update(
                 "rewritten_files": 0,
                 "carried_files": len(m["files"]),
             }
-        df = spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in affected])
+        df = _visible_df(spark, path, m, affected)
         updated_rows = df.filter(cond).count()
         # ONE select so every RHS sees the pre-update row (SQL UPDATE),
         # never a sibling assignment's result
@@ -915,11 +1001,7 @@ def snapshot_merge(
         affected = _prune_files(m, where, tz)[0] if where is not None else []
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
-        tgt = (
-            spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in affected])
-            if affected
-            else spark.createDataFrame([], schema)
-        )
+        tgt = _visible_df(spark, path, m, affected)
         # insert-only merges never need the matched count — skip the join job
         n_matched = (
             tgt.join(src_n, on, "left_semi").count() if when_matched is not None else 0
@@ -1015,6 +1097,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "schema_ddl": src["schema_ddl"],
             "schema_json": src["schema_json"],
             "stream_batch_id": src.get("stream_batch_id"),
+            "deletes": src.get("deletes"),
             "committed_at": time.time(),
         }
         if _commit_manifest(path, head + 1, manifest):
@@ -1127,10 +1210,18 @@ from pyspark.sql.datasource import (  # noqa: E402 — grouped with their users
 )
 
 
-def _read_partition_file(file_path: str, fields: "list[str]", spark_schema=None):
+def _read_partition_file(
+    file_path: str,
+    fields: "list[str]",
+    spark_schema=None,
+    skip_positions: "tuple[int, ...]" = (),
+):
     """Executor-side parquet read for both snapshot reader faces: arrow
     RecordBatch yields when the file has every field (no per-row Python
-    round-trip), per-row tuples with nulls otherwise. Field names match
+    round-trip), per-row tuples with nulls otherwise. ``skip_positions``
+    drops merge-on-read-deleted row positions (positions are absolute
+    within the file, so the mask applies before any selection). Field
+    names match
     case-INSENSITIVELY like Spark's own resolution — a merge_schema
     append may legally commit a file spelling a column 'ID' into a table
     whose pinned schema says 'id', and that file's values must not come
@@ -1141,6 +1232,13 @@ def _read_partition_file(file_path: str, fields: "list[str]", spark_schema=None)
     import pyarrow.parquet as pq
 
     t = pq.read_table(file_path)
+    if skip_positions:
+        import numpy as np
+        import pyarrow as pa
+
+        mask = np.ones(t.num_rows, dtype=bool)
+        mask[[p for p in skip_positions if 0 <= p < t.num_rows]] = False
+        t = t.filter(pa.array(mask))
     by_lower = {c.lower(): c for c in t.column_names}
     actual = [by_lower.get(f.lower()) for f in fields]
     if all(a is not None for a in actual):
@@ -1168,8 +1266,23 @@ def _read_partition_file(file_path: str, fields: "list[str]", spark_schema=None)
 
 
 class _SnapshotFilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, deleted: "tuple[int, ...]" = ()):
         self.file_path = file_path
+        self.deleted = deleted  # merge-on-read: row positions to skip
+
+
+def _dv_positions(path: str, dv_rels: "list[str]") -> "dict[str, list[int]]":
+    """Deletion vectors as {data-file basename: [row positions]} —
+    driver-side read of the (tiny) DV parquet files so each input
+    partition can carry exactly its own file's skip list."""
+    import pyarrow.parquet as pq
+
+    out: "dict[str, list[int]]" = {}
+    for rel in dv_rels:
+        t = pq.read_table(os.path.join(path, rel), columns=["file", "pos"])
+        for fname, pos in zip(t.column("file").to_pylist(), t.column("pos").to_pylist()):
+            out.setdefault(fname, []).append(pos)
+    return out
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -1275,11 +1388,21 @@ class SnapshotBatchReader(DataSourceReader):
         rels = m["files"]
         if self._where:
             rels, _ = _prune_files(m, self._where, self.tz)
-        return [_SnapshotFilePartition(os.path.join(self.path, f)) for f in rels]
+        dvpos = _dv_positions(self.path, m.get("deletes") or [])
+        return [
+            _SnapshotFilePartition(
+                os.path.join(self.path, f),
+                tuple(dvpos.get(f.rsplit("/", 1)[-1], ())),
+            )
+            for f in rels
+        ]
 
     def read(self, partition: "_SnapshotFilePartition"):
         yield from _read_partition_file(
-            partition.file_path, self.fields, self.spark_schema
+            partition.file_path,
+            self.fields,
+            self.spark_schema,
+            getattr(partition, "deleted", ()),
         )
 
 
@@ -1390,9 +1513,10 @@ def snapshot_vacuum(
     for v in versions:
         if v not in drop:
             referenced.update(manifests[v]["files"])
+            referenced.update(manifests[v].get("deletes") or [])
     last_in: "dict[str, int]" = {}
     for v in versions:
-        for f in manifests[v]["files"]:
+        for f in list(manifests[v]["files"]) + list(manifests[v].get("deletes") or []):
             last_in[f] = v
     for v in drop:  # manifests first — see docstring
         if not dry_run:

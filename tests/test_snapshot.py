@@ -1162,3 +1162,107 @@ def test_merge_timestamp_key_prunes_correctly_across_timezones(spark, tmp_path):
         assert sorted(r.v for r in got.collect()) == [11.0, 12.0]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ------------------------------------------- MERGE-ON-READ DELETE (DVs)
+
+
+def test_mor_delete_rewrites_nothing_and_reads_hide_rows(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import from_snapshot, snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100).repartitionByRange(4, "id"), p)
+    files_before = set(glob.glob(f"{p}/data/*.parquet"))
+    stats = snapshot_delete(
+        spark, p, [("id", ">=", 90)], strategy="merge-on-read"
+    )
+    assert stats["removed_rows"] == 10
+    assert stats["rewritten_files"] == 0 and stats["delete_files"] == 1
+    # no data file was rewritten — only the tiny DV file appeared
+    assert files_before < set(glob.glob(f"{p}/data/*.parquet"))
+    assert snapshot_versions(p)[-1]["files"] == snapshot_versions(p)[0]["files"]
+    # both read faces hide the deleted rows
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(90))
+    assert sorted(r.id for r in from_snapshot(spark, p).collect()) == list(range(90))
+    # time travel still sees them
+    assert snapshot_read(spark, p, version=1).count() == 100
+    # filtered read composes with DVs
+    got = snapshot_read(spark, p, where=[("id", ">=", 85)])
+    assert sorted(r.id for r in got.collect()) == [85, 86, 87, 88, 89]
+
+
+def test_mor_delete_is_idempotent_and_composes(spark, tmp_path):
+    """A repeated delete finds nothing (already-deleted rows are
+    invisible to the tagged scan); a second predicate adds a second DV."""
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(50), p)
+    s1 = snapshot_delete(spark, p, [("id", "<", 10)], strategy="merge-on-read")
+    assert s1["removed_rows"] == 10
+    s2 = snapshot_delete(spark, p, [("id", "<", 10)], strategy="merge-on-read")
+    assert s2["removed_rows"] == 0 and s2["version"] == s1["version"]  # no commit
+    s3 = snapshot_delete(spark, p, [("id", ">=", 45)], strategy="merge-on-read")
+    assert s3["removed_rows"] == 5
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(10, 45))
+
+
+def test_mor_delete_then_append_update_merge(spark, tmp_path):
+    """DVs survive appends (old files keep their skip lists), COW ops
+    never resurrect deleted rows, and a deleted key can be re-inserted
+    by a merge."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_update,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(i, "old") for i in range(10)], "id bigint, tag string"),
+        p,
+    )
+    snapshot_delete(spark, p, [("id", "=", 3)], strategy="merge-on-read")
+    snapshot_write(
+        spark.createDataFrame([(100, "new")], "id bigint, tag string"), p, mode="append"
+    )
+    got = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]  # 3 still hidden post-append
+    # COW update touches every file (predicate on tag) — deleted row must
+    # NOT come back, with or without its file being rewritten
+    stats = snapshot_update(spark, p, [("tag", "=", "old")], {"tag": F.lit("upd")})
+    assert stats["updated_rows"] == 9  # not 10: id=3 is deleted
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == got
+    # merge re-inserts the deleted key as a fresh row
+    src = spark.createDataFrame([(3, "back")], "id bigint, tag string")
+    ms = snapshot_merge(spark, p, src, on=["id"])
+    assert ms["inserted_rows"] == 1 and ms["updated_rows"] == 0
+    assert (3, "back") in {(r.id, r.tag) for r in snapshot_read(spark, p).collect()}
+
+
+def test_compact_purges_deletion_vectors(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(1000).repartitionByRange(4, "id"), p)
+    snapshot_delete(spark, p, [("id", "<", 100)], strategy="merge-on-read")
+    assert snapshot_versions(p)[-1]["deletes"]
+    v = snapshot_compact(spark, p, target_file_bytes=1 << 30)
+    m = snapshot_versions(p)[-1]
+    assert m["version"] == v and not m.get("deletes")  # physically erased
+    assert snapshot_read(spark, p).count() == 900
+    # vacuum reclaims the now-unreferenced DV file (and old data files)
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert stats["removed_files"] > 0
+    assert snapshot_read(spark, p).count() == 900
+
+
+def test_vacuum_retains_live_deletion_vectors(spark, tmp_path):
+    """A DV referenced by a retained manifest must survive vacuum."""
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100), p)
+    snapshot_delete(spark, p, [("id", "<", 50)], strategy="merge-on-read")
+    snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(50, 100))

@@ -45,6 +45,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("compact"), st_.booleans()),
     st_.tuples(st_.just("vacuum"), st_.integers(1, 3)),
     st_.tuples(st_.just("delete"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("mor_delete"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("update"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("merge"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("merge_del"), st_.integers(0, 60), st_.integers(1, 25)),
@@ -97,11 +98,14 @@ def test_snapshot_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             for v in list(model):
                 if v not in live:
                     del model[v]
-        elif op[0] == "delete":
+        elif op[0] in ("delete", "mor_delete"):
             if first:
                 continue
             _, lo, n = op
-            res = snapshot_delete(spark, p, [("id", ">=", lo), ("id", "<", lo + n)])
+            res = snapshot_delete(
+                spark, p, [("id", ">=", lo), ("id", "<", lo + n)],
+                strategy="merge-on-read" if op[0] == "mor_delete" else "copy-on-write",
+            )
             survivors = [x for x in head_rows if not (lo <= x < lo + n)]
             assert res["removed_rows"] == len(head_rows) - len(survivors)
             head_rows = survivors

@@ -276,6 +276,14 @@ def snapshot_write(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
+    bad = [c for c in df.columns if c.lower() in ("_metadata", "__dak_file", "__dak_pos")]
+    if bad:
+        raise ValueError(
+            f"column names {bad} are reserved: a user '_metadata' column "
+            "shadows Spark's file-metadata struct (silently or loudly "
+            "breaking merge-on-read deletes), and __dak_* are the internal "
+            "row-position tags"
+        )
     os.makedirs(path, exist_ok=True)
     new_files, new_stats = _stage_files(df, path, compression)
     while True:
@@ -718,20 +726,22 @@ def snapshot_delete(
         tz = spark.conf.get("spark.sql.session.timeZone")
     except Exception:
         tz = None
+    mor = strategy == "merge-on-read"
     while True:
         head = _require_versions(path)[-1]
         m = _read_manifest(path, head)
         affected, _ = _prune_files(m, where, tz)
-        aff = set(affected)
-        carried = [f for f in m["files"] if f not in aff]
         if not affected:
-            return {
+            out = {
                 "version": head,
                 "removed_rows": 0,
                 "rewritten_files": 0,
                 "carried_files": len(m["files"]),
             }
-        if strategy == "merge-on-read":
+            if mor:
+                out["delete_files"] = 0
+            return out
+        if mor:
             # already-deleted rows are invisible in the tagged scan, so
             # a repeated delete never double-records a position
             tagged = _visible_tagged(spark, path, m, affected)
@@ -761,6 +771,8 @@ def snapshot_delete(
                     "delete_files": len(dv_files),
                 }
             continue  # head moved: re-read and redo
+        aff = set(affected)
+        carried = [f for f in m["files"] if f not in aff]
         df = _visible_df(spark, path, m, affected)
         before = df.count()
         # SQL DELETE semantics: only rows where the predicate is TRUE go;

@@ -1266,3 +1266,33 @@ def test_vacuum_retains_live_deletion_vectors(spark, tmp_path):
     snapshot_delete(spark, p, [("id", "<", 50)], strategy="merge-on-read")
     snapshot_vacuum(p, keep_last=1, retain_seconds=0)
     assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(range(50, 100))
+
+
+def test_reserved_column_names_refused(spark, tmp_path):
+    """A user '_metadata' column shadows Spark's file-metadata struct and
+    would corrupt merge-on-read deletes — refused at write time."""
+    p = str(tmp_path / "tbl")
+    bad = spark.range(3).withColumn("_metadata", F.lit("x"))
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_write(bad, p)
+    bad2 = spark.range(3).withColumn("__dak_pos", F.lit(0))
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_write(bad2, p)
+
+
+def test_mor_delete_pruned_noop_return_contract(spark, tmp_path):
+    """The stats-pruned-to-nothing path must include delete_files too."""
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(1), p)
+    res = snapshot_delete(
+        spark, p, [("id", ">=", 10**6)], strategy="merge-on-read"
+    )
+    assert res == {
+        "version": 1,
+        "removed_rows": 0,
+        "rewritten_files": 0,
+        "carried_files": 1,
+        "delete_files": 0,
+    }

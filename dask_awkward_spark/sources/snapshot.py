@@ -534,13 +534,34 @@ def _visible_tagged(spark: SparkSession, path: str, m: dict, rels: "list[str]") 
 
 
 def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> DataFrame:
-    """Visible rows only (deletion vectors applied), plain columns."""
+    """Visible rows only (deletion vectors applied), plain columns.
+
+    Only files that actually appear in a DV pay the row-tagging
+    anti-join; every clean file scans plain — so after deleting one
+    day from a 10 000-file table, 9 999 files read at full native
+    speed and one carries the (broadcast) join."""
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     if not rels:
         return spark.createDataFrame([], schema)
-    if not (m.get("deletes") or []):
+    dvs = m.get("deletes") or []
+    if not dvs:
         return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in rels])
-    return _visible_tagged(spark, path, m, rels).select(*schema.fieldNames())
+    dv_names = set(_dv_positions(path, dvs))  # driver-side tiny read
+    hit = [f for f in rels if f.rsplit("/", 1)[-1] in dv_names]
+    clean = [f for f in rels if f.rsplit("/", 1)[-1] not in dv_names]
+    parts = []
+    if clean:
+        parts.append(
+            spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in clean])
+        )
+    if hit:
+        parts.append(_visible_tagged(spark, path, m, hit).select(*schema.fieldNames()))
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snapshot_scan_report(

@@ -64,6 +64,7 @@ from .sources.snapshot import (
     snapshot_scan_report,
     snapshot_update,
     snapshot_vacuum,
+    snapshot_version_at,
     snapshot_versions,
     snapshot_write,
     stream_from_snapshot,

@@ -451,11 +451,33 @@ def _prune_files(m: dict, where, tz: "str | None" = None) -> "tuple[list[str], i
     return kept, len(m["files"]) - len(kept)
 
 
+def snapshot_version_at(path: str, when) -> int:
+    """The version that was the table head at wall-clock ``when`` (a
+    Unix timestamp or datetime) — Delta's TIMESTAMP AS OF resolution:
+    the LAST version whose commit time is <= ``when``. Raises if the
+    table didn't exist yet (or that history was vacuumed away)."""
+    import datetime
+
+    if isinstance(when, datetime.datetime):
+        when = when.timestamp()
+    best = None
+    for v in _require_versions(path):
+        if _read_manifest(path, v).get("committed_at", 0.0) <= when:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {path} existed at {when} (created later, "
+            "or that history was vacuumed away)"
+        )
+    return best
+
+
 def snapshot_read(
     spark: SparkSession,
     path: str,
     version: "int | None" = None,
     where: "list[tuple] | None" = None,
+    as_of: "float | None" = None,
 ) -> DataFrame:
     """Read one version (latest by default) — scans ONLY that manifest's
     files, so concurrent writes/compactions never tear a read. The
@@ -469,7 +491,14 @@ def snapshot_read(
     plans it — at 100 TB this is the difference between listing/opening
     every file and touching only the matching time/key range — and the
     same predicates are re-applied as real Spark filters afterwards, so
-    pruning is purely an optimization, never a semantic change."""
+    pruning is purely an optimization, never a semantic change.
+
+    ``as_of=`` (Unix timestamp or datetime) time-travels by wall clock
+    instead of version number — "what did training read last Tuesday"."""
+    if as_of is not None and version is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    if as_of is not None:
+        version = snapshot_version_at(path, as_of)
     versions = _require_versions(path)
     v = versions[-1] if version is None else version
     if v not in versions:

@@ -1296,3 +1296,29 @@ def test_mor_delete_pruned_noop_return_contract(spark, tmp_path):
         "carried_files": 1,
         "delete_files": 0,
     }
+
+
+def test_snapshot_read_as_of_timestamp(spark, tmp_path):
+    """Wall-clock time travel: as_of resolves to the version that was
+    head at that moment (Delta's TIMESTAMP AS OF)."""
+    import time as _time
+
+    from dask_awkward_spark.sources.snapshot import snapshot_version_at
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)                     # v1
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    snapshot_write(spark.range(5, 8), p, mode="append")   # v2
+    assert snapshot_version_at(p, t_after_v1) == 1
+    assert snapshot_version_at(p, _time.time()) == 2
+    got = snapshot_read(spark, p, as_of=t_after_v1)
+    assert sorted(r.id for r in got.collect()) == list(range(5))
+    with pytest.raises(ValueError, match="existed at"):
+        snapshot_version_at(p, 1.0)  # 1970: table not born yet
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, p, version=1, as_of=t_after_v1)
+    # datetime form works too
+    import datetime
+
+    assert snapshot_version_at(p, datetime.datetime.now()) == 2

@@ -513,6 +513,41 @@ def io_snapshot_merge(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def io_snapshot_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE under an oracle: two stacked deletion
+    vectors (one predicate per commit, no data file rewritten) must
+    make reads equal plain SQL over the surviving rows — proving the
+    position-level anti-join, DV composition across versions, and the
+    prune/skip interplay preserve content exactly."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_delete, snapshot_read, snapshot_write
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapmor_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    try:
+        snapshot_write(docs.repartitionByRange(4, "doc_id"), path)
+        s1 = snapshot_delete(spark, path, [("lang", "=", "en")], strategy="merge-on-read")
+        s2 = snapshot_delete(spark, path, [("doc_id", "<", 100)], strategy="merge-on-read")
+        assert s1["rewritten_files"] == 0 and s2["rewritten_files"] == 0
+        return (
+            snapshot_read(spark, path)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_MOR_SQL = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents WHERE lang <> 'en' AND doc_id >= 100 GROUP BY lang
+"""
+
+
 IO_SNAPSHOT_MERGE_SQL = """
 WITH mx AS (SELECT max(c_custkey) AS hi FROM customer),
 merged AS (
@@ -545,6 +580,7 @@ QUERIES = {
     "q_corr_covar": q_corr_covar,
     "dedup_apply": dedup_apply,
     "io_snapshot_merge": io_snapshot_merge,
+    "io_snapshot_mor_delete": io_snapshot_mor_delete,
 }
 
 ORACLES = {
@@ -564,6 +600,7 @@ ORACLES = {
     "q_corr_covar": Q_CORR_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
     "io_snapshot_merge": IO_SNAPSHOT_MERGE_SQL,
+    "io_snapshot_mor_delete": IO_SNAPSHOT_MOR_SQL,
 }
 
 

@@ -276,13 +276,17 @@ def snapshot_write(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
-    bad = [c for c in df.columns if c.lower() in ("_metadata", "__dak_file", "__dak_pos")]
+    bad = [
+        c
+        for c in df.columns
+        if c.lower() in ("_metadata", "__dak_file", "__dak_pos", "_change_type")
+    ]
     if bad:
         raise ValueError(
             f"column names {bad} are reserved: a user '_metadata' column "
             "shadows Spark's file-metadata struct (silently or loudly "
-            "breaking merge-on-read deletes), and __dak_* are the internal "
-            "row-position tags"
+            "breaking merge-on-read deletes), '_change_type' is the CDF "
+            "feed column, and __dak_* are the internal row-position tags"
         )
     os.makedirs(path, exist_ok=True)
     new_files, new_stats = _stage_files(df, path, compression)
@@ -621,21 +625,31 @@ def snapshot_changes(
     path: str,
     since: int,
     until: "int | None" = None,
+    row_level: bool = False,
 ) -> DataFrame:
-    """Rows ADDED between version ``since`` (exclusive) and ``until``
-    (inclusive, default head) — the incremental-consumption feed.
+    """The incremental-consumption feed between version ``since``
+    (exclusive) and ``until`` (inclusive, default head).
+
+    Default mode returns rows ADDED by appends — exact because data
+    files are immutable, so the delta is (files at until) minus (files
+    at since), read with the pinned head schema. Every version in the
+    range must be an ``append``; DML in the range raises, by design.
+
+    ``row_level=True`` is the CDF mode: the result carries a
+    ``_change_type`` column (``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` — Delta's vocabulary)
+    and the range may also contain delete/update/merge versions, whose
+    change records were written AT COMMIT TIME as small change files
+    (diffing rewritten multi-GB files after the fact cannot attribute
+    rows; recording the already-computed changed rows can, at the cost
+    of one small extra write per DML commit). Appends synthesize
+    ``insert`` records from their added data files — no extra storage.
+    Overwrite/compact/restore still raise in both modes: a table
+    replacement has no row-level diff.
 
     A downstream job remembers the last version it processed and reads
     only the delta: at 100 TB this is what turns daily dedup/indexing
-    reruns over the whole corpus into touch-only-today's-files jobs.
-    Exact because data files are immutable and appends only ever add
-    files: the delta is (files at until) minus (files at since), read
-    with the pinned head schema.
-
-    Every version in the range must be an ``append`` (or a no-op for
-    the file set). An ``overwrite`` in the range rewrites history the
-    delta can't represent — that raises, by design; run compaction and
-    replaces outside the windows you diff."""
+    reruns over the whole corpus into touch-only-today's-files jobs."""
     versions = _require_versions(path)
     u = versions[-1] if until is None else until
     for v in (since, u):
@@ -643,25 +657,57 @@ def snapshot_changes(
             raise ValueError(f"version {v} not in {versions} (vacuumed away?)")
     if u < since:
         raise ValueError(f"until={u} is before since={since}")
-    bad = []
-    for v in versions:
-        if since < v <= u:
-            mv = _read_manifest(path, v)
-            # the table-creating commit (no parent) is a degenerate append
-            if mv["op"] != "append" and mv["parent"] is not None:
-                bad.append(v)
+    span = [v for v in versions if since < v <= u]
+    mans = {v: _read_manifest(path, v) for v in span}
+    ok_ops = ("append", "delete", "update", "merge") if row_level else ("append",)
+    # the table-creating commit (no parent) is a degenerate append
+    bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
     if bad:
         raise ValueError(
-            f"versions {bad} are not appends: an overwrite/compact breaks "
-            "the append-only lineage a change feed needs"
+            f"versions {bad} are not {'/'.join(ok_ops)}s: an overwrite/"
+            "compact/restore breaks the lineage a change feed needs"
         )
     until_m = _read_manifest(path, u)
-    base = set(_read_manifest(path, since)["files"]) if since else set()
-    delta = [f for f in until_m["files"] if f not in base]
     schema = StructType.fromJson(json.loads(until_m["schema_json"]))
-    if not delta:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in delta])
+    if not row_level:
+        base = set(_read_manifest(path, since)["files"]) if since else set()
+        delta = [f for f in until_m["files"] if f not in base]
+        if not delta:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in delta])
+    # CDF mode: per-version change records, stitched in commit order
+    from pyspark.sql.types import StringType, StructField
+
+    out_schema = StructType(
+        list(schema.fields) + [StructField(_CHANGE_COL, StringType(), True)]
+    )
+    parts = []
+    prev_files = set(_read_manifest(path, since)["files"]) if since else set()
+    for v in span:
+        mv = mans[v]
+        chg = mv.get("changes")
+        if chg is not None:  # DML commit: its recorded change rows
+            if chg:
+                parts.append(
+                    spark.read.schema(out_schema).parquet(
+                        *[os.path.join(path, f) for f in chg]
+                    )
+                )
+        else:  # plain append: added files ARE the inserts
+            added = [f for f in mv["files"] if f not in prev_files]
+            if added:
+                parts.append(
+                    spark.read.schema(schema)
+                    .parquet(*[os.path.join(path, f) for f in added])
+                    .withColumn(_CHANGE_COL, F.lit("insert"))
+                )
+        prev_files = set(mv["files"])
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snapshot_compact(
@@ -731,6 +777,25 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "deletes": m.get("deletes"),
         "committed_at": time.time(),
     }
+
+
+_CHANGE_COL = "_change_type"  # Delta's CDF column name
+
+
+def _stage_changes(
+    parts: "list[tuple[DataFrame, str]]", path: str, compression: str
+) -> "list[str]":
+    """Write this commit's row-level change records (table columns +
+    ``_change_type``) as data files for the CDF feed; one file set per
+    commit, referenced by the manifest's ``changes`` list."""
+    tagged = None
+    for df, kind in parts:
+        t = df.withColumn(_CHANGE_COL, F.lit(kind))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if tagged is None:
+        return []
+    files, _ = _stage_files(tagged, path, compression)
+    return files
 
 
 def snapshot_delete(
@@ -812,6 +877,10 @@ def snapshot_delete(
                 m, head, "delete", list(m["files"]), dict(m.get("stats", {}))
             )
             manifest["deletes"] = list(m.get("deletes") or []) + dv_files
+            names = StructType.fromJson(json.loads(m["schema_json"])).fieldNames()
+            manifest["changes"] = _stage_changes(
+                [(tagged.filter(cond).select(*names), "delete")], path, compression
+            )
             if _commit_manifest(path, head + 1, manifest):
                 return {
                     "version": head + 1,
@@ -844,6 +913,9 @@ def snapshot_delete(
         stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "delete", carried + new_files, stats)
+        manifest["changes"] = _stage_changes(
+            [(df.filter(cond), "delete")], path, compression
+        )
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,
@@ -924,6 +996,12 @@ def snapshot_update(
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "update", carried + new_files, stats)
+        changed = df.filter(cond)
+        manifest["changes"] = _stage_changes(
+            [(changed, "update_preimage"), (changed.select(cols), "update_postimage")],
+            path,
+            compression,
+        )
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,
@@ -1118,6 +1196,20 @@ def snapshot_merge(
         manifest = _cow_manifest(
             m, head, "merge" if rewritten else "append", carried + new_files, stats
         )
+        chg = []
+        if when_matched is not None and n_matched:
+            matched = tgt.join(src_n, on, "left_semi")
+            if when_matched == "update":
+                chg.append((matched, "update_preimage"))
+                chg.append(
+                    (tgt.select(*on).join(src_n, on, "inner").select(*names),
+                     "update_postimage")
+                )
+            else:
+                chg.append((matched, "delete"))
+        if inserted:
+            chg.append((ins.select(*names), "insert"))
+        manifest["changes"] = _stage_changes(chg, path, compression)
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,
@@ -1571,14 +1663,20 @@ def snapshot_vacuum(
         if nxt.get("committed_at", 0.0) >= cutoff:
             break  # keep the log contiguous: stop at the first in-grace
         drop.append(v)
+    def _all_refs(man: dict) -> "list[str]":
+        return (
+            list(man["files"])
+            + list(man.get("deletes") or [])
+            + list(man.get("changes") or [])
+        )
+
     referenced = set()
     for v in versions:
         if v not in drop:
-            referenced.update(manifests[v]["files"])
-            referenced.update(manifests[v].get("deletes") or [])
+            referenced.update(_all_refs(manifests[v]))
     last_in: "dict[str, int]" = {}
     for v in versions:
-        for f in list(manifests[v]["files"]) + list(manifests[v].get("deletes") or []):
+        for f in _all_refs(manifests[v]):
             last_in[f] = v
     for v in drop:  # manifests first — see docstring
         if not dry_run:

@@ -1322,3 +1322,85 @@ def test_snapshot_read_as_of_timestamp(spark, tmp_path):
     import datetime
 
     assert snapshot_version_at(p, datetime.datetime.now()) == 2
+
+
+# ------------------------------------------ ROW-LEVEL CHANGE FEED (CDF)
+
+
+def test_cdf_across_append_delete_update_merge(spark, tmp_path):
+    """row_level=True stitches inserts (from append files), deletes,
+    and update pre/post images across DML versions the file-level feed
+    refuses."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_update,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double"), p
+    )                                                                       # v1
+    snapshot_write(
+        spark.createDataFrame([(3, 30.0)], "id bigint, v double"), p, mode="append"
+    )                                                                       # v2
+    snapshot_delete(spark, p, [("id", "=", 1)])                             # v3 (cow)
+    snapshot_update(spark, p, [("id", "=", 2)], {"v": F.col("v") + 1})      # v4
+    src = spark.createDataFrame([(3, 300.0), (4, 40.0)], "id bigint, v double")
+    snapshot_merge(spark, p, src, on=["id"])                                # v5
+    # file-level mode still refuses the DML span
+    with pytest.raises(ValueError, match="not append"):
+        snapshot_changes(spark, p, since=1)
+    feed = snapshot_changes(spark, p, since=1, row_level=True)
+    got = sorted((r.id, r.v, r._change_type) for r in feed.collect())
+    assert got == [
+        (1, 10.0, "delete"),
+        (2, 20.0, "update_preimage"),
+        (2, 21.0, "update_postimage"),
+        (3, 30.0, "insert"),            # the v2 append
+        (3, 30.0, "update_preimage"),   # the v5 merge update
+        (3, 300.0, "update_postimage"),
+        (4, 40.0, "insert"),            # the v5 merge insert
+    ]
+    # narrower window: just the update version
+    only_v4 = snapshot_changes(spark, p, since=3, until=4, row_level=True)
+    assert {r._change_type for r in only_v4.collect()} == {
+        "update_preimage", "update_postimage"
+    }
+    # replaying the feed against the since-version reproduces the head:
+    # apply deletes/updates/inserts to v1 content
+    head = {(r.id, r.v) for r in snapshot_read(spark, p).collect()}
+    assert head == {(2, 21.0), (3, 300.0), (4, 40.0)}
+
+
+def test_cdf_mor_delete_and_overwrite_refusal(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(1), p)          # v1
+    snapshot_delete(spark, p, [("id", "<", 3)], strategy="merge-on-read")  # v2
+    feed = snapshot_changes(spark, p, since=1, row_level=True)
+    assert sorted((r.id, r._change_type) for r in feed.collect()) == [
+        (0, "delete"), (1, "delete"), (2, "delete")
+    ]
+    snapshot_write(spark.range(5), p)                          # v3 overwrite
+    with pytest.raises(ValueError, match="change feed"):
+        snapshot_changes(spark, p, since=1, row_level=True)
+    # but a span past the overwrite works again
+    snapshot_write(spark.range(100, 102), p, mode="append")    # v4
+    feed2 = snapshot_changes(spark, p, since=3, row_level=True)
+    assert sorted(r.id for r in feed2.collect()) == [100, 101]
+
+
+def test_cdf_change_files_survive_vacuum_and_reserved_name(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(1), p)
+    snapshot_delete(spark, p, [("id", "=", 5)])
+    snapshot_vacuum(p, keep_last=2, retain_seconds=0)
+    feed = snapshot_changes(spark, p, since=1, row_level=True)
+    assert [r.id for r in feed.collect()] == [5]
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_write(spark.range(3).withColumn("_change_type", F.lit("x")), p)

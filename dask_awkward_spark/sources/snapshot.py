@@ -279,7 +279,8 @@ def snapshot_write(
     bad = [
         c
         for c in df.columns
-        if c.lower() in ("_metadata", "__dak_file", "__dak_pos", "_change_type")
+        if c.lower()
+        in ("_metadata", "__dak_file", "__dak_pos", "_change_type", "_commit_version")
     ]
     if bad:
         raise ValueError(
@@ -589,12 +590,8 @@ def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> D
         )
     if hit:
         parts.append(_visible_tagged(spark, path, m, hit).select(*schema.fieldNames()))
-    if not parts:
-        return spark.createDataFrame([], schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    out = _union_all(parts)
+    return out if out is not None else spark.createDataFrame([], schema)
 
 
 def snapshot_scan_report(
@@ -675,23 +672,38 @@ def snapshot_changes(
         if not delta:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in delta])
-    # CDF mode: per-version change records, stitched in commit order
-    from pyspark.sql.types import StringType, StructField
+    # CDF mode: per-version change records, stamped with their commit
+    # version so a consumer can ORDER them — a key deleted at v2 and
+    # re-inserted at v3 is ambiguous without it (Delta emits
+    # _commit_version for exactly this reason)
+    from pyspark.sql.types import LongType, StringType, StructField
 
-    out_schema = StructType(
+    chg_schema = StructType(
         list(schema.fields) + [StructField(_CHANGE_COL, StringType(), True)]
+    )
+    out_schema = StructType(
+        list(chg_schema.fields) + [StructField(_COMMIT_COL, LongType(), True)]
     )
     parts = []
     prev_files = set(_read_manifest(path, since)["files"]) if since else set()
     for v in span:
         mv = mans[v]
         chg = mv.get("changes")
+        if chg is None and mv["op"] != "append" and mv["parent"] is not None:
+            # a DML commit written without change recording (pre-CDF, or
+            # change_feed=False) has NO row-level records — synthesizing
+            # inserts from its rewritten files would fabricate history
+            raise ValueError(
+                f"version {v} ({mv['op']}) recorded no row-level changes "
+                "(committed with change_feed=False or before CDF); the "
+                "row-level feed cannot cross it"
+            )
         if chg is not None:  # DML commit: its recorded change rows
             if chg:
                 parts.append(
-                    spark.read.schema(out_schema).parquet(
-                        *[os.path.join(path, f) for f in chg]
-                    )
+                    spark.read.schema(chg_schema)
+                    .parquet(*[os.path.join(path, f) for f in chg])
+                    .withColumn(_COMMIT_COL, F.lit(v))
                 )
         else:  # plain append: added files ARE the inserts
             added = [f for f in mv["files"] if f not in prev_files]
@@ -700,14 +712,11 @@ def snapshot_changes(
                     spark.read.schema(schema)
                     .parquet(*[os.path.join(path, f) for f in added])
                     .withColumn(_CHANGE_COL, F.lit("insert"))
+                    .withColumn(_COMMIT_COL, F.lit(v))
                 )
         prev_files = set(mv["files"])
-    if not parts:
-        return spark.createDataFrame([], out_schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    out = _union_all(parts)
+    return out if out is not None else spark.createDataFrame([], out_schema)
 
 
 def snapshot_compact(
@@ -779,7 +788,18 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
     }
 
 
-_CHANGE_COL = "_change_type"  # Delta's CDF column name
+_CHANGE_COL = "_change_type"  # Delta's CDF column names
+_COMMIT_COL = "_commit_version"
+
+
+def _union_all(parts: "list[DataFrame]") -> "DataFrame | None":
+    """unionByName fold; None for an empty list."""
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _stage_changes(
@@ -787,11 +807,10 @@ def _stage_changes(
 ) -> "list[str]":
     """Write this commit's row-level change records (table columns +
     ``_change_type``) as data files for the CDF feed; one file set per
-    commit, referenced by the manifest's ``changes`` list."""
-    tagged = None
-    for df, kind in parts:
-        t = df.withColumn(_CHANGE_COL, F.lit(kind))
-        tagged = t if tagged is None else tagged.unionByName(t)
+    commit, referenced by the manifest's ``changes`` list. The commit
+    version is NOT stored — the manifest knows it, and the feed stamps
+    it at read time."""
+    tagged = _union_all([df.withColumn(_CHANGE_COL, F.lit(k)) for df, k in parts])
     if tagged is None:
         return []
     files, _ = _stage_files(tagged, path, compression)
@@ -804,11 +823,19 @@ def snapshot_delete(
     where: "list[tuple]",
     compression: str = "zstd",
     strategy: str = "copy-on-write",
+    change_feed: bool = True,
 ) -> "dict[str, int]":
     """DELETE rows matching the ANDed ``(col, op, value)`` triples as a
     NEW version (old versions still time-travel to the deleted rows;
     vacuum erases them for real — the takedown / decontamination
     workflow).
+
+    ``change_feed=True`` (default) also records the deleted rows as
+    change files so ``snapshot_changes(row_level=True)`` can cross this
+    version — costing one extra write proportional to the DELETED rows.
+    Pass ``change_feed=False`` to skip it (the row-level feed then
+    refuses to cross this version, loudly): for a merge-on-read
+    takedown of a huge slice this is what keeps the commit KB-scale.
 
     ``strategy="copy-on-write"`` (default) rewrites only the files whose
     manifest min/max say they MAY contain matches; every other file is
@@ -877,10 +904,11 @@ def snapshot_delete(
                 m, head, "delete", list(m["files"]), dict(m.get("stats", {}))
             )
             manifest["deletes"] = list(m.get("deletes") or []) + dv_files
-            names = StructType.fromJson(json.loads(m["schema_json"])).fieldNames()
-            manifest["changes"] = _stage_changes(
-                [(tagged.filter(cond).select(*names), "delete")], path, compression
-            )
+            if change_feed:
+                names = StructType.fromJson(json.loads(m["schema_json"])).fieldNames()
+                manifest["changes"] = _stage_changes(
+                    [(tagged.filter(cond).select(*names), "delete")], path, compression
+                )
             if _commit_manifest(path, head + 1, manifest):
                 return {
                     "version": head + 1,
@@ -913,9 +941,12 @@ def snapshot_delete(
         stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "delete", carried + new_files, stats)
-        manifest["changes"] = _stage_changes(
-            [(df.filter(cond), "delete")], path, compression
-        )
+        if change_feed:
+            # one extra pass over the (pruned) affected files; opt out
+            # with change_feed=False for huge takedowns
+            manifest["changes"] = _stage_changes(
+                [(df.filter(cond), "delete")], path, compression
+            )
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,
@@ -933,11 +964,15 @@ def snapshot_update(
     where: "list[tuple]",
     assignments: "dict[str, object]",
     compression: str = "zstd",
+    change_feed: bool = True,
 ) -> "dict[str, int]":
     """Copy-on-write UPDATE: for rows matching the ANDed ``(col, op,
     value)`` triples, set each ``assignments`` column to its new value
     (a Spark Column expression or a Python literal) and commit the
-    result as a NEW version.
+    result as a NEW version. ``change_feed=True`` (default) records
+    pre/post images for ``snapshot_changes(row_level=True)``; False
+    skips the extra write (the row-level feed then refuses this
+    version, loudly).
 
     Mirrors SQL UPDATE semantics: only rows where the predicate is TRUE
     change (NULL keeps the row as-is), and every right-hand side is
@@ -992,16 +1027,31 @@ def snapshot_update(
                 )
             else:
                 cols.append(F.col(f.name))
-        new_files, new_stats = _stage_files(df.select(cols), path, compression)
+        out_df = df.select(cols)
+        if change_feed:
+            # pin ONE evaluation of the assignment expressions: a
+            # non-deterministic RHS (rand(), current_timestamp()) must
+            # yield the SAME values in the data files and the postimage
+            # — two independent runs would record changes that never
+            # happened. The pin carries a changed-row flag so the
+            # postimage is a filter of the exact committed rows.
+            pinned = df.select(
+                *cols, cond.alias("__dak_chg")
+            ).localCheckpoint(eager=True)
+            out_df = pinned.drop("__dak_chg")
+        new_files, new_stats = _stage_files(out_df, path, compression)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "update", carried + new_files, stats)
-        changed = df.filter(cond)
-        manifest["changes"] = _stage_changes(
-            [(changed, "update_preimage"), (changed.select(cols), "update_postimage")],
-            path,
-            compression,
-        )
+        if change_feed:
+            manifest["changes"] = _stage_changes(
+                [
+                    (df.filter(cond), "update_preimage"),
+                    (pinned.filter("__dak_chg").drop("__dak_chg"), "update_postimage"),
+                ],
+                path,
+                compression,
+            )
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,
@@ -1020,9 +1070,14 @@ def snapshot_merge(
     when_matched: "str | None" = "update",
     when_not_matched: "str | None" = "insert",
     compression: str = "zstd",
+    change_feed: bool = True,
 ) -> "dict[str, int]":
     """MERGE (upsert) ``source`` into the snapshot table on the ``on``
-    key columns, as one atomic copy-on-write commit.
+    key columns, as one atomic copy-on-write commit. ``change_feed=True``
+    (default) records row-level change files for
+    ``snapshot_changes(row_level=True)`` when target rows change;
+    insert-only commits never write them (the feed derives inserts from
+    the added data files for free).
 
     ``when_matched``: ``"update"`` replaces each matching target row
     with the source row's values, ``"delete"`` removes it, ``None``
@@ -1163,7 +1218,7 @@ def snapshot_merge(
                     "merge is ambiguous: multiple source rows match the "
                     "same target row (dedupe the source on the key first)"
                 )
-        parts, inserted = [], 0
+        parts, inserted, upd_post = [], 0, None
         if when_matched is None or n_matched == 0:
             # no target row changes — every existing file stays verbatim
             rewritten = []
@@ -1174,7 +1229,8 @@ def snapshot_merge(
             if when_matched == "update":
                 # one output row per matched TARGET row (dup target keys
                 # each updated), values from the single source row
-                parts.append(tgt.select(*on).join(src_n, on, "inner").select(*names))
+                upd_post = tgt.select(*on).join(src_n, on, "inner").select(*names)
+                parts.append(upd_post)
         if when_not_matched == "insert":
             ins = src_n.join(tgt.select(*on), on, "left_anti").select(*names)
             ins = ins.unionByName(src_null.select(*names))
@@ -1183,9 +1239,7 @@ def snapshot_merge(
                 parts.append(ins)
         if not rewritten and not inserted:
             return _zero(head, len(m["files"]))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        out = _union_all(parts)
         new_files, new_stats = _stage_files(out, path, compression)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
         stats.update(new_stats)
@@ -1196,20 +1250,19 @@ def snapshot_merge(
         manifest = _cow_manifest(
             m, head, "merge" if rewritten else "append", carried + new_files, stats
         )
-        chg = []
-        if when_matched is not None and n_matched:
+        if change_feed and rewritten:
+            # only target-row changes need recording — an insert-only
+            # commit (op append) lets the feed derive its inserts from
+            # the added data files, so writing them twice here would
+            # just double the insert volume on upsert-maintained tables
             matched = tgt.join(src_n, on, "left_semi")
             if when_matched == "update":
-                chg.append((matched, "update_preimage"))
-                chg.append(
-                    (tgt.select(*on).join(src_n, on, "inner").select(*names),
-                     "update_postimage")
-                )
+                chg = [(matched, "update_preimage"), (upd_post, "update_postimage")]
             else:
-                chg.append((matched, "delete"))
-        if inserted:
-            chg.append((ins.select(*names), "insert"))
-        manifest["changes"] = _stage_changes(chg, path, compression)
+                chg = [(matched, "delete")]
+            if inserted:
+                chg.append((ins.select(*names), "insert"))
+            manifest["changes"] = _stage_changes(chg, path, compression)
         if _commit_manifest(path, head + 1, manifest):
             return {
                 "version": head + 1,

@@ -1404,3 +1404,80 @@ def test_cdf_change_files_survive_vacuum_and_reserved_name(spark, tmp_path):
     assert [r.id for r in feed.collect()] == [5]
     with pytest.raises(ValueError, match="reserved"):
         snapshot_write(spark.range(3).withColumn("_change_type", F.lit("x")), p)
+
+
+def test_cdf_commit_version_orders_reinsertion(spark, tmp_path):
+    """_commit_version disambiguates a key deleted then re-inserted in
+    the same span (Delta's reason for emitting it)."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(1), p)          # v1
+    snapshot_delete(spark, p, [("id", "=", 7)])                # v2
+    snapshot_write(spark.range(7, 8), p, mode="append")        # v3
+    feed = snapshot_changes(spark, p, since=1, row_level=True)
+    rows = sorted(
+        (r.id, r._change_type, r._commit_version) for r in feed.collect()
+    )
+    assert rows == [(7, "delete", 2), (7, "insert", 3)]
+    # the LAST change for the key decides: it exists at head
+    assert 7 in {r.id for r in snapshot_read(spark, p).collect()}
+
+
+def test_cdf_change_feed_false_refuses_loudly(spark, tmp_path):
+    """A DML committed with change_feed=False (or by a pre-CDF release)
+    has no row-level records — the feed must raise, never fabricate
+    inserts from the rewritten survivor files."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).repartition(1), p)
+    snapshot_delete(spark, p, [("id", "<", 3)], change_feed=False)
+    with pytest.raises(ValueError, match="no row-level changes"):
+        snapshot_changes(spark, p, since=1, row_level=True)
+    # legacy manifest (no 'changes' key at all) behaves the same
+    import json as _json
+
+    mf = os.path.join(p, "_manifests", "v00000002.json")
+    man = _json.load(open(mf))
+    man.pop("changes", None)
+    _json.dump(man, open(mf, "w"))
+    with pytest.raises(ValueError, match="no row-level changes"):
+        snapshot_changes(spark, p, since=1, row_level=True)
+
+
+def test_cdf_nondeterministic_update_postimage_matches_table(spark, tmp_path):
+    """rand() in the RHS: the postimage must be the committed values,
+    not an independent re-roll."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_update
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, 0.0), (2, 0.0)], "id bigint, v double"), p
+    )
+    snapshot_update(spark, p, [("id", "=", 1)], {"v": F.rand()})
+    table = {(r.id, r.v) for r in snapshot_read(spark, p).collect()}
+    post = {
+        (r.id, r.v)
+        for r in snapshot_changes(spark, p, since=1, row_level=True)
+        .filter(F.col("_change_type") == "update_postimage")
+        .collect()
+    }
+    assert post <= table  # the postimage rows ARE committed rows
+    assert len(post) == 1
+
+
+def test_cdf_insert_only_merge_writes_no_change_files(spark, tmp_path):
+    """Insert-only merges stamp op=append and write NO change files —
+    the feed derives their inserts from the added data files for free."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)
+    snapshot_merge(spark, p, spark.range(100, 103), on=["id"])
+    m = snapshot_versions(p)[-1]
+    assert m["op"] == "append" and not m.get("changes")
+    feed = snapshot_changes(spark, p, since=1, row_level=True)
+    assert sorted((r.id, r._change_type) for r in feed.collect()) == [
+        (100, "insert"), (101, "insert"), (102, "insert")
+    ]

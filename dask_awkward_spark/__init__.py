@@ -52,6 +52,7 @@ from .sources.parquet import (
 )
 from .sources.json import from_json, to_json
 from .sources.snapshot import (
+    snapshot_apply_changes,
     SnapshotBatchReplayedError,
     SnapshotConflictError,
     from_snapshot,

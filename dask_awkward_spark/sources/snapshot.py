@@ -719,6 +719,66 @@ def snapshot_changes(
     return out if out is not None else spark.createDataFrame([], out_schema)
 
 
+def snapshot_apply_changes(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    on: "list[str]",
+    since: int = 0,
+    compression: str = "zstd",
+) -> "dict[str, int]":
+    """Replicate ``src``'s row-level changes after version ``since``
+    into the snapshot table at ``dst`` — the CDF-consumer pattern that
+    keeps a derived/downstream table in sync WITHOUT rescanning the
+    source: work is proportional to the delta, not the table.
+
+    Per key (``on``), the NET effect across the span wins (ordered by
+    ``_commit_version``): a key whose last change is a delete is merged
+    out of ``dst``; otherwise its latest insert/post-image row upserts.
+    Pre-images and superseded intermediate states are skipped entirely.
+    Returns {'until', 'upserted', 'deleted'}; persist ``until`` and pass
+    it as the next call's ``since``. ``dst`` must exist (create it with
+    ``snapshot_write`` of the source's state as of ``since``). Applied
+    as up to two commits (upserts, then deletes) — a reader between them
+    sees a consistent prefix of the changes, never a torn row."""
+    head = _require_versions(src)[-1]
+    if head <= since:
+        return {"until": since, "upserted": 0, "deleted": 0}
+    feed = snapshot_changes(spark, src, since=since, until=head, row_level=True)
+    from pyspark.sql import Window
+
+    # terminal state per key: the last change row wins; within one
+    # commit a post-image outranks the pre-image it replaces
+    rank = F.when(F.col(_CHANGE_COL) == "update_preimage", 0).otherwise(1)
+    w = Window.partitionBy(*on).orderBy(
+        F.col(_COMMIT_COL).desc(), rank.desc()
+    )
+    last = (
+        feed.withColumn("__dak_rn", F.row_number().over(w))
+        .filter(F.col("__dak_rn") == 1)
+        .drop("__dak_rn")
+        .localCheckpoint(eager=True)  # two consumers below; one evaluation
+    )
+    ups = last.filter(
+        F.col(_CHANGE_COL).isin("insert", "update_postimage")
+    ).drop(_CHANGE_COL, _COMMIT_COL)
+    dels = last.filter(F.col(_CHANGE_COL) == "delete").select(*on)
+    upserted = ups.count()
+    if upserted:
+        snapshot_merge(
+            spark, dst, ups, on=on, compression=compression, change_feed=False
+        )
+    deleted = 0
+    if dels.limit(1).count():
+        stats = snapshot_merge(
+            spark, dst, dels, on=on,
+            when_matched="delete", when_not_matched=None,
+            compression=compression, change_feed=False,
+        )
+        deleted = stats["deleted_rows"]
+    return {"until": head, "upserted": upserted, "deleted": deleted}
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,

@@ -1481,3 +1481,57 @@ def test_cdf_insert_only_merge_writes_no_change_files(spark, tmp_path):
     assert sorted((r.id, r._change_type) for r in feed.collect()) == [
         (100, "insert"), (101, "insert"), (102, "insert")
     ]
+
+
+def test_snapshot_apply_changes_replicates_dml(spark, tmp_path):
+    """CDF consumer: a derived table stays in sync with the source
+    through appends, updates, deletes, and merges — work proportional
+    to the delta, verified over two incremental rounds."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_apply_changes,
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_update,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(
+        spark.createDataFrame([(i, float(i)) for i in range(5)], "id bigint, v double"),
+        src,
+    )                                                            # src v1
+    snapshot_write(snapshot_read(spark, src), dst)               # dst = src@1
+
+    # round 1: append + update
+    snapshot_write(
+        spark.createDataFrame([(10, 10.0)], "id bigint, v double"), src, mode="append"
+    )
+    snapshot_update(spark, src, [("id", "=", 2)], {"v": F.lit(2.5)})
+    r1 = snapshot_apply_changes(spark, src, dst, on=["id"], since=1)
+    assert r1["upserted"] == 2 and r1["deleted"] == 0
+    assert {(r.id, r.v) for r in snapshot_read(spark, dst).collect()} == {
+        (r.id, r.v) for r in snapshot_read(spark, src).collect()
+    }
+
+    # round 2: delete + merge + delete-then-reinsert of the same key
+    snapshot_delete(spark, src, [("id", "=", 0)])
+    snapshot_merge(
+        spark, src,
+        spark.createDataFrame([(3, 33.0), (20, 20.0)], "id bigint, v double"),
+        on=["id"],
+    )
+    snapshot_delete(spark, src, [("id", "=", 10)])
+    snapshot_write(
+        spark.createDataFrame([(10, 100.0)], "id bigint, v double"), src, mode="append"
+    )
+    r2 = snapshot_apply_changes(spark, src, dst, on=["id"], since=r1["until"])
+    got = {(r.id, r.v) for r in snapshot_read(spark, dst).collect()}
+    want = {(r.id, r.v) for r in snapshot_read(spark, src).collect()}
+    assert got == want  # incl. id=10 re-inserted AFTER its delete
+    assert (10, 100.0) in got and (0, 0.0) not in got
+    assert r2["deleted"] == 1  # only id=0: id=10's net effect is the re-insert
+
+    # idempotent catch-up: nothing new -> no commits
+    head_before = snapshot_versions(dst)[-1]["version"]
+    r3 = snapshot_apply_changes(spark, src, dst, on=["id"], since=r2["until"])
+    assert r3 == {"until": r2["until"], "upserted": 0, "deleted": 0}
+    assert snapshot_versions(dst)[-1]["version"] == head_before

@@ -747,6 +747,17 @@ def snapshot_apply_changes(
     feed = snapshot_changes(spark, src, since=since, until=head, row_level=True)
     from pyspark.sql import Window
 
+    keys_ok = None
+    for k in on:
+        e = F.col(k).isNotNull()
+        keys_ok = e if keys_ok is None else (keys_ok & e)
+    feed = feed.localCheckpoint(eager=True)  # several consumers below
+    # NULL-key rows have no identity to net over (and can never be
+    # matched by a keyed merge): every inserted one applies as-is —
+    # the window would wrongly collapse them to one
+    null_ins = feed.filter(~keys_ok).filter(
+        F.col(_CHANGE_COL).isin("insert", "update_postimage")
+    ).drop(_CHANGE_COL, _COMMIT_COL)
     # terminal state per key: the last change row wins; within one
     # commit a post-image outranks the pre-image it replaces
     rank = F.when(F.col(_CHANGE_COL) == "update_preimage", 0).otherwise(1)
@@ -754,14 +765,14 @@ def snapshot_apply_changes(
         F.col(_COMMIT_COL).desc(), rank.desc()
     )
     last = (
-        feed.withColumn("__dak_rn", F.row_number().over(w))
+        feed.filter(keys_ok)
+        .withColumn("__dak_rn", F.row_number().over(w))
         .filter(F.col("__dak_rn") == 1)
         .drop("__dak_rn")
-        .localCheckpoint(eager=True)  # two consumers below; one evaluation
     )
     ups = last.filter(
         F.col(_CHANGE_COL).isin("insert", "update_postimage")
-    ).drop(_CHANGE_COL, _COMMIT_COL)
+    ).drop(_CHANGE_COL, _COMMIT_COL).unionByName(null_ins)
     dels = last.filter(F.col(_CHANGE_COL) == "delete").select(*on)
     upserted = ups.count()
     if upserted:

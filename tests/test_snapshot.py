@@ -1535,3 +1535,26 @@ def test_snapshot_apply_changes_replicates_dml(spark, tmp_path):
     r3 = snapshot_apply_changes(spark, src, dst, on=["id"], since=r2["until"])
     assert r3 == {"until": r2["until"], "upserted": 0, "deleted": 0}
     assert snapshot_versions(dst)[-1]["version"] == head_before
+
+
+def test_snapshot_apply_changes_null_keys_all_insert(spark, tmp_path):
+    """Two NULL-key inserts in one span must BOTH replicate — the
+    per-key net-effect window would wrongly collapse them to one."""
+    from dask_awkward_spark.sources.snapshot import snapshot_apply_changes
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "id bigint, tag string"), src
+    )
+    snapshot_write(snapshot_read(spark, src), dst)
+    snapshot_write(
+        spark.createDataFrame([(None, "x"), (None, "y")], "id bigint, tag string"),
+        src,
+        mode="append",
+    )
+    r = snapshot_apply_changes(spark, src, dst, on=["id"], since=1)
+    assert r["upserted"] == 2
+    got = sorted(
+        [(r2.id, r2.tag) for r2 in snapshot_read(spark, dst).collect()], key=str
+    )
+    assert got == sorted([(1, "a"), (None, "x"), (None, "y")], key=str)

@@ -548,6 +548,52 @@ FROM documents WHERE lang <> 'en' AND doc_id >= 100 GROUP BY lang
 """
 
 
+def io_snapshot_cdf(spark, sf_dir):
+    """Row-level change feed under an oracle: a copy-on-write DELETE
+    (v2) then UPDATE (v3) must produce exactly the delete rows plus
+    update pre/post images, each stamped with its commit version — the
+    oracle reconstructs the same records from the raw table with plain
+    SQL, proving the commit-time change recording is lossless."""
+    import shutil
+
+    from ..sources.snapshot import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_update,
+        snapshot_write,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapcdf_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    try:
+        snapshot_write(docs.repartitionByRange(4, "doc_id"), path)            # v1
+        snapshot_delete(spark, path, [("lang", "=", "en")])                   # v2
+        snapshot_update(
+            spark, path, [("doc_id", "<", 200)], {"n_chars": F.col("n_chars") + 1000}
+        )                                                                     # v3
+        return (
+            snapshot_changes(spark, path, since=1, row_level=True)
+            .select("doc_id", "n_chars", "_change_type", "_commit_version")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_CDF_SQL = """
+SELECT doc_id, n_chars, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, n_chars, 'update_preimage', CAST(3 AS BIGINT)
+FROM documents WHERE lang <> 'en' AND doc_id < 200
+UNION ALL
+SELECT doc_id, n_chars + 1000, 'update_postimage', CAST(3 AS BIGINT)
+FROM documents WHERE lang <> 'en' AND doc_id < 200
+"""
+
+
 IO_SNAPSHOT_MERGE_SQL = """
 WITH mx AS (SELECT max(c_custkey) AS hi FROM customer),
 merged AS (
@@ -581,6 +627,7 @@ QUERIES = {
     "dedup_apply": dedup_apply,
     "io_snapshot_merge": io_snapshot_merge,
     "io_snapshot_mor_delete": io_snapshot_mor_delete,
+    "io_snapshot_cdf": io_snapshot_cdf,
 }
 
 ORACLES = {
@@ -601,6 +648,7 @@ ORACLES = {
     "dedup_apply": DEDUP_APPLY_SQL,
     "io_snapshot_merge": IO_SNAPSHOT_MERGE_SQL,
     "io_snapshot_mor_delete": IO_SNAPSHOT_MOR_SQL,
+    "io_snapshot_cdf": IO_SNAPSHOT_CDF_SQL,
 }
 
 

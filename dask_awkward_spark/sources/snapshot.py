@@ -1036,23 +1036,29 @@ def snapshot_update(
     assignments: "dict[str, object]",
     compression: str = "zstd",
     change_feed: bool = True,
+    strategy: str = "copy-on-write",
 ) -> "dict[str, int]":
-    """Copy-on-write UPDATE: for rows matching the ANDed ``(col, op,
-    value)`` triples, set each ``assignments`` column to its new value
-    (a Spark Column expression or a Python literal) and commit the
-    result as a NEW version. ``change_feed=True`` (default) records
-    pre/post images for ``snapshot_changes(row_level=True)``; False
-    skips the extra write (the row-level feed then refuses this
-    version, loudly).
+    """UPDATE: for rows matching the ANDed ``(col, op, value)``
+    triples, set each ``assignments`` column to its new value (a Spark
+    Column expression or a Python literal) and commit the result as a
+    NEW version. ``change_feed=True`` (default) records pre/post images
+    for ``snapshot_changes(row_level=True)``; False skips the extra
+    write (the row-level feed then refuses this version, loudly).
 
     Mirrors SQL UPDATE semantics: only rows where the predicate is TRUE
     change (NULL keeps the row as-is), and every right-hand side is
     evaluated against the OLD row — ``{"a": F.col("b"), "b":
     F.col("a")}`` swaps the columns. New values are cast to the
-    column's existing type so the table schema never drifts. Only files
-    whose manifest min/max say they MAY contain matches are rewritten;
-    the rest carry into the new version untouched — on a date-clustered
-    100 TB table, patching one day rewrites one day's files. Commits
+    column's existing type so the table schema never drifts.
+
+    ``strategy="copy-on-write"`` (default) rewrites only the files
+    whose manifest min/max say they MAY contain matches; the rest carry
+    untouched — on a date-clustered 100 TB table, patching one day
+    rewrites one day's files. ``strategy="merge-on-read"`` rewrites
+    NOTHING: the old rows are deletion-vectored out and ONLY the
+    patched rows append as a new file — write cost proportional to the
+    UPDATED rows, with the same read-side DV join as merge-on-read
+    delete and the same physical erase at the next compaction. Commits
     compare-and-swap against the head it read and restart on conflict.
     Returns {'version', 'updated_rows', 'rewritten_files',
     'carried_files'}."""
@@ -1060,6 +1066,10 @@ def snapshot_update(
         raise ValueError("refusing to update with no predicate (use overwrite)")
     if not assignments:
         raise ValueError("no assignments given")
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"strategy must be copy-on-write|merge-on-read, got {strategy!r}"
+        )
     _check_where(where)
     cond = _where_to_column(where)
     try:
@@ -1084,8 +1094,6 @@ def snapshot_update(
                 "rewritten_files": 0,
                 "carried_files": len(m["files"]),
             }
-        df = _visible_df(spark, path, m, affected)
-        updated_rows = df.filter(cond).count()
         # ONE select so every RHS sees the pre-update row (SQL UPDATE),
         # never a sibling assignment's result
         cols = []
@@ -1098,6 +1106,49 @@ def snapshot_update(
                 )
             else:
                 cols.append(F.col(f.name))
+        if strategy == "merge-on-read":
+            tagged = _visible_tagged(spark, path, m, affected)
+            matched = tagged.filter(cond)
+            updated_rows = matched.count()
+            if updated_rows == 0:
+                return {
+                    "version": head,
+                    "updated_rows": 0,
+                    "rewritten_files": 0,
+                    "carried_files": len(m["files"]),
+                }
+            dv = matched.select(
+                F.col("__dak_file").alias("file"), F.col("__dak_pos").alias("pos")
+            )
+            dv_files, _ = _stage_files(dv.repartition(1), path, compression)
+            # pin ONE evaluation of the RHS (see copy-on-write branch)
+            patched = matched.select(*cols).localCheckpoint(eager=True)
+            new_files, new_stats = _stage_files(patched, path, compression)
+            stats = dict(m.get("stats", {}))
+            stats.update(new_stats)
+            manifest = _cow_manifest(
+                m, head, "update", list(m["files"]) + new_files, stats
+            )
+            manifest["deletes"] = list(m.get("deletes") or []) + dv_files
+            if change_feed:
+                manifest["changes"] = _stage_changes(
+                    [
+                        (matched.select(*names), "update_preimage"),
+                        (patched, "update_postimage"),
+                    ],
+                    path,
+                    compression,
+                )
+            if _commit_manifest(path, head + 1, manifest):
+                return {
+                    "version": head + 1,
+                    "updated_rows": updated_rows,
+                    "rewritten_files": 0,
+                    "carried_files": len(m["files"]),
+                }
+            continue  # head moved: re-read and redo
+        df = _visible_df(spark, path, m, affected)
+        updated_rows = df.filter(cond).count()
         out_df = df.select(cols)
         if change_feed:
             # pin ONE evaluation of the assignment expressions: a

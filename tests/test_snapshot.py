@@ -1558,3 +1558,55 @@ def test_snapshot_apply_changes_null_keys_all_insert(spark, tmp_path):
         [(r2.id, r2.tag) for r2 in snapshot_read(spark, dst).collect()], key=str
     )
     assert got == sorted([(1, "a"), (None, "x"), (None, "y")], key=str)
+
+
+def test_mor_update_rewrites_nothing(spark, tmp_path):
+    """merge-on-read UPDATE: old rows DV'd out, only the patched rows
+    append — write cost tracks the UPDATED rows, not the files."""
+    from dask_awkward_spark.sources.snapshot import snapshot_update
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(1000).repartitionByRange(4, "id").withColumn(
+        "v", F.col("id").cast("double")), p)
+    files_v1 = snapshot_versions(p)[-1]["files"]
+    stats = snapshot_update(
+        spark, p, [("id", "<", 10)], {"v": F.col("v") + 0.5},
+        strategy="merge-on-read",
+    )
+    assert stats["updated_rows"] == 10 and stats["rewritten_files"] == 0
+    m = snapshot_versions(p)[-1]
+    assert set(files_v1) < set(m["files"]) and m["deletes"]  # superset + DV
+    got = snapshot_read(spark, p)
+    assert got.count() == 1000
+    assert {r.v for r in got.filter(F.col("id") < 10).collect()} == {
+        i + 0.5 for i in range(10)
+    }
+    # time travel unaffected; compaction erases the DV physically
+    assert snapshot_read(spark, p, version=1).filter(F.col("id") < 10).count() == 10
+    snapshot_compact(spark, p, target_file_bytes=1 << 30)
+    assert not snapshot_versions(p)[-1].get("deletes")
+    assert snapshot_read(spark, p).count() == 1000
+    # CDF recorded both images
+    from dask_awkward_spark.sources.snapshot import snapshot_changes
+
+    feed = snapshot_changes(spark, p, since=1, until=2, row_level=True)
+    kinds = [r._change_type for r in feed.collect()]
+    assert kinds.count("update_preimage") == 10
+    assert kinds.count("update_postimage") == 10
+
+
+def test_mor_update_then_mor_update_same_rows(spark, tmp_path):
+    """A second merge-on-read update must see the PATCHED values (its
+    scan applies the first update's DV) and never resurrect old rows."""
+    from dask_awkward_spark.sources.snapshot import snapshot_update
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double"), p
+    )
+    snapshot_update(spark, p, [("id", "=", 1)], {"v": F.lit(10.0)},
+                    strategy="merge-on-read")
+    snapshot_update(spark, p, [("id", "=", 1)], {"v": F.col("v") + 1},
+                    strategy="merge-on-read")
+    got = {(r.id, r.v) for r in snapshot_read(spark, p).collect()}
+    assert got == {(1, 11.0), (2, 2.0)}  # 10.0 + 1, not 1.0 + 1

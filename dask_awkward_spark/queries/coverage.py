@@ -544,7 +544,7 @@ def io_snapshot_mor_delete(spark, sf_dir):
 
 IO_SNAPSHOT_MOR_SQL = """
 SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-FROM documents WHERE lang <> 'en' AND doc_id >= 100 GROUP BY lang
+FROM documents WHERE (lang <> 'en' OR lang IS NULL) AND doc_id >= 100 GROUP BY lang
 """
 
 
@@ -587,10 +587,10 @@ SELECT doc_id, n_chars, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_v
 FROM documents WHERE lang = 'en'
 UNION ALL
 SELECT doc_id, n_chars, 'update_preimage', CAST(3 AS BIGINT)
-FROM documents WHERE lang <> 'en' AND doc_id < 200
+FROM documents WHERE (lang <> 'en' OR lang IS NULL) AND doc_id < 200
 UNION ALL
 SELECT doc_id, n_chars + 1000, 'update_postimage', CAST(3 AS BIGINT)
-FROM documents WHERE lang <> 'en' AND doc_id < 200
+FROM documents WHERE (lang <> 'en' OR lang IS NULL) AND doc_id < 200
 """
 
 

@@ -726,22 +726,36 @@ def snapshot_apply_changes(
     on: "list[str]",
     since: int = 0,
     compression: str = "zstd",
+    change_feed: bool = True,
 ) -> "dict[str, int]":
     """Replicate ``src``'s row-level changes after version ``since``
     into the snapshot table at ``dst`` — the CDF-consumer pattern that
     keeps a derived/downstream table in sync WITHOUT rescanning the
     source: work is proportional to the delta, not the table.
 
-    Per key (``on``), the NET effect across the span wins (ordered by
-    ``_commit_version``): a key whose last change is a delete is merged
+    Per key (``on`` — which must be UNIQUE per row in ``src``; duplicate
+    keys in one commit are refused, since a net effect per key cannot
+    represent them), the NET effect across the span wins (ordered by
+    ``_commit_version``): a key whose last change is a delete — or a
+    pre-image whose replacement landed under a DIFFERENT key — is merged
     out of ``dst``; otherwise its latest insert/post-image row upserts.
-    Pre-images and superseded intermediate states are skipped entirely.
+    NULL-key inserts apply as-is; a NULL-key delete or update is refused
+    (no key to match it by in ``dst``). ``change_feed=True`` (default)
+    records changes on ``dst`` too, so replication chains compose.
     Returns {'until', 'upserted', 'deleted'}; persist ``until`` and pass
     it as the next call's ``since``. ``dst`` must exist (create it with
     ``snapshot_write`` of the source's state as of ``since``). Applied
     as up to two commits (upserts, then deletes) — a reader between them
     sees a consistent prefix of the changes, never a torn row."""
-    head = _require_versions(src)[-1]
+    if not on:
+        raise ValueError("apply_changes needs at least one key column in on=")
+    versions = _require_versions(src)
+    head = versions[-1]
+    if since != 0 and since not in versions:
+        raise ValueError(
+            f"since={since} is not a version of {src} ({versions}); a bad "
+            "watermark would silently skip changes"
+        )
     if head <= since:
         return {"until": since, "upserted": 0, "deleted": 0}
     feed = snapshot_changes(spark, src, since=since, until=head, row_level=True)
@@ -752,12 +766,37 @@ def snapshot_apply_changes(
         e = F.col(k).isNotNull()
         keys_ok = e if keys_ok is None else (keys_ok & e)
     feed = feed.localCheckpoint(eager=True)  # several consumers below
-    # NULL-key rows have no identity to net over (and can never be
-    # matched by a keyed merge): every inserted one applies as-is —
-    # the window would wrongly collapse them to one
-    null_ins = feed.filter(~keys_ok).filter(
+    # NULL-key rows have no identity: inserts apply as-is (the window
+    # would wrongly collapse them to one), but a delete/update of a
+    # NULL-key row cannot be matched in dst — refuse, loudly
+    null_rows = feed.filter(~keys_ok)
+    bad_null = null_rows.filter(
+        F.col(_CHANGE_COL).isin("delete", "update_preimage")
+    )
+    if bad_null.limit(1).count():
+        raise ValueError(
+            "the span deletes or updates NULL-key rows, which a keyed "
+            "replication cannot match in dst; pick keys that are never "
+            "NULL (or handle those rows out of band)"
+        )
+    null_ins = null_rows.filter(
         F.col(_CHANGE_COL).isin("insert", "update_postimage")
     ).drop(_CHANGE_COL, _COMMIT_COL)
+    # duplicate keys inside one commit (src is not key-unique) would be
+    # collapsed arbitrarily by the net-effect window — refuse
+    dup = (
+        feed.filter(keys_ok)
+        .filter(F.col(_CHANGE_COL) == "insert")
+        .groupBy(*on, _COMMIT_COL)
+        .agg(F.count(F.lit(1)).alias("__dak_n"))
+        .filter(F.col("__dak_n") > 1)
+    )
+    if dup.limit(1).count():
+        raise ValueError(
+            "src inserted duplicate keys in one commit: on= is not a "
+            "unique key, and a net-effect-per-key replication cannot "
+            "represent that"
+        )
     # terminal state per key: the last change row wins; within one
     # commit a post-image outranks the pre-image it replaces
     rank = F.when(F.col(_CHANGE_COL) == "update_preimage", 0).otherwise(1)
@@ -773,18 +812,24 @@ def snapshot_apply_changes(
     ups = last.filter(
         F.col(_CHANGE_COL).isin("insert", "update_postimage")
     ).drop(_CHANGE_COL, _COMMIT_COL).unionByName(null_ins)
-    dels = last.filter(F.col(_CHANGE_COL) == "delete").select(*on)
+    # a TERMINAL pre-image means a key-changing update consumed this
+    # key (the post-image landed under another key): the old key's row
+    # must leave dst, exactly like a delete
+    dels = last.filter(
+        F.col(_CHANGE_COL).isin("delete", "update_preimage")
+    ).select(*on)
     upserted = ups.count()
     if upserted:
         snapshot_merge(
-            spark, dst, ups, on=on, compression=compression, change_feed=False
+            spark, dst, ups, on=on, compression=compression,
+            change_feed=change_feed,
         )
     deleted = 0
     if dels.limit(1).count():
         stats = snapshot_merge(
             spark, dst, dels, on=on,
             when_matched="delete", when_not_matched=None,
-            compression=compression, change_feed=False,
+            compression=compression, change_feed=change_feed,
         )
         deleted = stats["deleted_rows"]
     return {"until": head, "upserted": upserted, "deleted": deleted}
@@ -1108,7 +1153,10 @@ def snapshot_update(
                 cols.append(F.col(f.name))
         if strategy == "merge-on-read":
             tagged = _visible_tagged(spark, path, m, affected)
-            matched = tagged.filter(cond)
+            # pin ONE scan: dv extraction, the patch, the CDF pre-image,
+            # and the count below would otherwise each re-run the full
+            # parquet scan + DV anti-join over the affected files
+            matched = tagged.filter(cond).localCheckpoint(eager=True)
             updated_rows = matched.count()
             if updated_rows == 0:
                 return {

@@ -1610,3 +1610,76 @@ def test_mor_update_then_mor_update_same_rows(spark, tmp_path):
                     strategy="merge-on-read")
     got = {(r.id, r.v) for r in snapshot_read(spark, p).collect()}
     assert got == {(1, 11.0), (2, 2.0)}  # 10.0 + 1, not 1.0 + 1
+
+
+def test_apply_changes_key_changing_update_removes_old_key(spark, tmp_path):
+    """A terminal pre-image (key-changing UPDATE) must delete the old
+    key from dst — otherwise dst keeps both the old and new rows."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_apply_changes,
+        snapshot_update,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (9, "z")], "id bigint, tag string"), src
+    )
+    snapshot_write(snapshot_read(spark, src), dst)
+    snapshot_update(spark, src, [("id", "=", 1)], {"id": F.lit(2)})
+    r = snapshot_apply_changes(spark, src, dst, on=["id"], since=1)
+    assert r["upserted"] == 1 and r["deleted"] == 1
+    got = {(x.id, x.tag) for x in snapshot_read(spark, dst).collect()}
+    assert got == {(2, "a"), (9, "z")}  # 1 gone, 2 present — src parity
+
+
+def test_apply_changes_refuses_unrepresentable_spans(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_apply_changes,
+        snapshot_delete,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(
+        spark.createDataFrame([(None, "x"), (1, "a")], "id bigint, tag string"), src
+    )
+    snapshot_write(snapshot_read(spark, src), dst)
+    # NULL-key delete: nothing to match it by in dst
+    snapshot_delete(spark, src, [("tag", "=", "x")])
+    with pytest.raises(ValueError, match="NULL-key"):
+        snapshot_apply_changes(spark, src, dst, on=["id"], since=1)
+    # duplicate keys in one commit: not a unique key
+    src2 = str(tmp_path / "src2")
+    snapshot_write(spark.createDataFrame([(1, "a")], "id bigint, tag string"), src2)
+    snapshot_write(
+        spark.createDataFrame([(5, "p"), (5, "q")], "id bigint, tag string"),
+        src2, mode="append",
+    )
+    with pytest.raises(ValueError, match="not a unique key"):
+        snapshot_apply_changes(spark, src2, dst, on=["id"], since=1)
+    # bad watermark: refused, never silently echoed back
+    with pytest.raises(ValueError, match="not a version"):
+        snapshot_apply_changes(spark, src2, dst, on=["id"], since=100)
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_apply_changes(spark, src2, dst, on=[], since=1)
+
+
+def test_apply_changes_chains_with_change_feed(spark, tmp_path):
+    """change_feed=True (default) on dst lets replication cascade:
+    src -> dst -> dst2."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_apply_changes,
+        snapshot_update,
+    )
+
+    src, dst, dst2 = (str(tmp_path / n) for n in ("src", "dst", "dst2"))
+    snapshot_write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double"), src
+    )
+    snapshot_write(snapshot_read(spark, src), dst)
+    snapshot_write(snapshot_read(spark, src), dst2)
+    snapshot_update(spark, src, [("id", "=", 1)], {"v": F.lit(9.0)})
+    r1 = snapshot_apply_changes(spark, src, dst, on=["id"], since=1)
+    # cascade: dst's own CDF drives dst2
+    snapshot_apply_changes(spark, dst, dst2, on=["id"], since=1)
+    want = {(r.id, r.v) for r in snapshot_read(spark, src).collect()}
+    assert {(r.id, r.v) for r in snapshot_read(spark, dst2).collect()} == want

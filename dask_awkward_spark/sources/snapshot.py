@@ -725,11 +725,13 @@ def snapshot_apply_changes(
     dst: str,
     on: "list[str]",
     since: int = 0,
+    until: "int | None" = None,
     compression: str = "zstd",
     change_feed: bool = True,
 ) -> "dict[str, int]":
     """Replicate ``src``'s row-level changes after version ``since``
-    into the snapshot table at ``dst`` — the CDF-consumer pattern that
+    (through ``until``, default head) into the snapshot table at
+    ``dst`` — the CDF-consumer pattern that
     keeps a derived/downstream table in sync WITHOUT rescanning the
     source: work is proportional to the delta, not the table.
 
@@ -750,7 +752,9 @@ def snapshot_apply_changes(
     if not on:
         raise ValueError("apply_changes needs at least one key column in on=")
     versions = _require_versions(src)
-    head = versions[-1]
+    head = versions[-1] if until is None else until
+    if head not in versions:
+        raise ValueError(f"until={head} is not a version of {src} ({versions})")
     if since != 0 and since not in versions:
         raise ValueError(
             f"since={since} is not a version of {src} ({versions}); a bad "

@@ -181,3 +181,87 @@ def _multiset_diff(big: "list[int]", small: "list[int]") -> "list[int]":
     for x in small:
         out.remove(x)
     return out
+
+
+# random DML sequences replicated through the CDF must converge:
+#   ("append", lo, n) / ("delete"|"mor_delete", lo, n) /
+#   ("update", lo, n) id+=17 / ("merge", lo, n) upsert
+_dml = st_.one_of(
+    st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 15)),
+    st_.tuples(st_.just("delete"), st_.integers(0, 70), st_.integers(1, 20)),
+    st_.tuples(st_.just("mor_delete"), st_.integers(0, 70), st_.integers(1, 20)),
+    st_.tuples(st_.just("update"), st_.integers(0, 70), st_.integers(1, 20)),
+    st_.tuples(st_.just("merge"), st_.integers(0, 70), st_.integers(1, 20)),
+)
+
+
+@given(ops=st_.lists(_dml, min_size=1, max_size=6), cut=st_.integers(0, 5))
+@settings(**SETTINGS)
+def test_cdf_replication_converges(spark, tmp_path_factory, ops, cut):
+    """Apply random DML to src; replicate into dst in TWO apply_changes
+    calls split at a random version; dst must equal src's head exactly.
+    The engine-level catch: every combination of CDF records the DML ops
+    emit must round-trip through the net-effect window + keyed merges."""
+    base = tmp_path_factory.mktemp("cdfrepl")
+    src, dst = str(base / "src"), str(base / "dst")
+    rows = {i: i * 10 for i in range(20)}  # id -> v (unique keys)
+    spark.createDataFrame  # touch
+    snapshot_write(
+        spark.createDataFrame([(k, v) for k, v in rows.items()], "id bigint, v bigint"),
+        src,
+    )
+    from dask_awkward_spark.sources.snapshot import snapshot_apply_changes
+
+    snapshot_write(snapshot_read(spark, src), dst)
+    from pyspark.sql import functions as F
+
+    for op, lo, n in ops:
+        span = range(lo, lo + n)
+        if op == "append":
+            fresh = [i for i in span if i not in rows]
+            if not fresh:
+                continue
+            for i in fresh:
+                rows[i] = i * 10
+            snapshot_write(
+                spark.createDataFrame([(i, i * 10) for i in fresh], "id bigint, v bigint"),
+                src, mode="append",
+            )
+        elif op in ("delete", "mor_delete"):
+            snapshot_delete(
+                spark, src, [("id", ">=", lo), ("id", "<", lo + n)],
+                strategy="merge-on-read" if op == "mor_delete" else "copy-on-write",
+            )
+            for i in list(rows):
+                if lo <= i < lo + n:
+                    del rows[i]
+        elif op == "update":
+            snapshot_update(
+                spark, src, [("id", ">=", lo), ("id", "<", lo + n)],
+                {"v": F.col("v") + 17},
+            )
+            for i in rows:
+                if lo <= i < lo + n:
+                    rows[i] += 17
+        elif op == "merge":
+            srcdf = spark.createDataFrame(
+                [(i, i * 1000) for i in span], "id bigint, v bigint"
+            )
+            snapshot_merge(spark, src, srcdf, on=["id"])
+            for i in span:
+                rows[i] = i * 1000
+    from dask_awkward_spark.sources.snapshot import snapshot_versions
+
+    versions = [m["version"] for m in snapshot_versions(src)]
+    # replicate in TWO chunks split at a random version — the second
+    # call must pick up exactly where the first watermark stopped
+    mid = versions[min(1 + cut, len(versions) - 1)]
+    r1 = snapshot_apply_changes(spark, src, dst, on=["id"], since=1, until=mid)
+    assert r1["until"] == mid
+    r2 = snapshot_apply_changes(spark, src, dst, on=["id"], since=r1["until"])
+    assert r2["until"] == versions[-1]
+    got = sorted((x.id, x.v) for x in snapshot_read(spark, dst).collect())
+    assert got == sorted(rows.items()), "dst diverged from src head"
+    # idempotent catch-up from the final watermark
+    r3 = snapshot_apply_changes(spark, src, dst, on=["id"], since=r2["until"])
+    assert r3 == {"until": r2["until"], "upserted": 0, "deleted": 0}

@@ -52,13 +52,16 @@ from .sources.parquet import (
 )
 from .sources.json import from_json, to_json
 from .sources.snapshot import (
+    snapshot_add_constraint,
     snapshot_apply_changes,
     SnapshotBatchReplayedError,
     SnapshotConflictError,
+    SnapshotConstraintViolation,
     from_snapshot,
     snapshot_changes,
     snapshot_compact,
     snapshot_delete,
+    snapshot_drop_constraint,
     snapshot_merge,
     snapshot_read,
     snapshot_restore,

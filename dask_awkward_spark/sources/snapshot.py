@@ -69,6 +69,11 @@ class SnapshotBatchReplayedError(RuntimeError):
     recorded watermark tries to commit (it already landed)."""
 
 
+class SnapshotConstraintViolation(ValueError):
+    """Raised when a commit would land rows that make a registered
+    CHECK constraint evaluate FALSE (NULL passes, like SQL CHECK)."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, _MANIFESTS)
 
@@ -257,6 +262,7 @@ def snapshot_write(
     expect_head: "int | None" = None,
     stream_batch_id: "int | None" = None,
     merge_schema: bool = False,
+    validate_constraints: bool = True,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
     of the snapshot table at ``path``.
@@ -354,8 +360,13 @@ def snapshot_write(
             # appends keep old files' deletion vectors visible; an
             # overwrite replaces the file set, so its DVs go with it
             "deletes": head_m.get("deletes") if mode == "append" else None,
+            # CHECK constraints are table definition, not data: they
+            # survive a data overwrite (Delta's INSERT OVERWRITE rule)
+            "constraints": head_m.get("constraints"),
             "committed_at": time.time(),
         }
+        if validate_constraints:
+            _enforce_constraints(df.sparkSession, head_m, path, new_files)
         if _commit_manifest(path, head + 1, manifest):
             return head + 1
         # another writer claimed head+1: re-read the log and retry
@@ -882,9 +893,92 @@ def snapshot_compact(
         else:
             out = df.repartition(n_out)
         try:
-            return snapshot_write(out, path, mode="overwrite", expect_head=head)
+            # a compact rewrites rows every prior commit already
+            # validated — skip re-running CHECK constraints over 100 TB
+            return snapshot_write(
+                out, path, mode="overwrite", expect_head=head,
+                validate_constraints=False,
+            )
         except SnapshotConflictError:
             continue  # an append landed mid-compact: redo against the new head
+
+
+def _enforce_constraints(
+    spark: SparkSession, m: dict, path: str, new_files: "list[str]"
+) -> None:
+    """Raise if any staged file holds a row a registered CHECK
+    constraint rejects. Validates the STAGED files (exactly what would
+    commit — a non-deterministic input frame cannot sneak different
+    rows past the check), and only the new/rewritten subset: carried
+    files were validated by the commits that landed them."""
+    cons = m.get("constraints") or {}
+    if not cons or not new_files:
+        return
+    # staged files are homogeneous and may carry a NEW schema (overwrite):
+    # read them as-is; a constraint on a dropped column fails loudly
+    df = spark.read.parquet(*[os.path.join(path, f) for f in new_files])
+    for name, triples in cons.items():
+        cond = _where_to_column(triples)
+        bad = df.filter(~F.coalesce(cond, F.lit(True))).limit(1).collect()
+        if bad:
+            raise SnapshotConstraintViolation(
+                f"constraint {name!r} {triples} rejects row {bad[0].asDict()}"
+            )
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, path: str, name: str, where: "list[tuple]"
+) -> int:
+    """Register a named CHECK constraint (ANDed ``(col, op, value)``
+    triples — the same vocabulary as ``where=`` filters) that every
+    current AND future row must satisfy; rows where it evaluates NULL
+    pass, like SQL CHECK. Existing data is validated first — at most
+    one scan, and the add is refused if any visible row violates.
+    Enforced from then on by every write path (append, overwrite,
+    update, merge). The commit is metadata-only (op ``append`` with an
+    unchanged file set, so change feeds cross it). Drop with
+    :func:`snapshot_drop_constraint`."""
+    if not where:
+        raise ValueError("a constraint needs at least one predicate triple")
+    _check_where(where)
+    cond = _where_to_column(where)
+    while True:
+        head = _require_versions(path)[-1]
+        m = _read_manifest(path, head)
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+        bad = (
+            _visible_df(spark, path, m, m["files"])
+            .filter(~F.coalesce(cond, F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise SnapshotConstraintViolation(
+                f"existing row violates {name!r} {where}: {bad[0].asDict()}"
+            )
+        cons[name] = [list(t) for t in where]
+        manifest = _cow_manifest(m, head, "append", list(m["files"]), dict(m.get("stats", {})))
+        manifest["constraints"] = cons
+        if _commit_manifest(path, head + 1, manifest):
+            return head + 1
+        # head moved: re-validate against the new head and retry
+
+
+def snapshot_drop_constraint(path: str, name: str) -> int:
+    """Remove a named CHECK constraint (metadata-only commit)."""
+    while True:
+        head = _require_versions(path)[-1]
+        m = _read_manifest(path, head)
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
+        del cons[name]
+        manifest = _cow_manifest(m, head, "append", list(m["files"]), dict(m.get("stats", {})))
+        manifest["constraints"] = cons
+        if _commit_manifest(path, head + 1, manifest):
+            return head + 1
 
 
 def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) -> dict:
@@ -904,6 +998,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "schema_json": m["schema_json"],
         "stream_batch_id": m.get("stream_batch_id"),
         "deletes": m.get("deletes"),
+        "constraints": m.get("constraints"),
         "committed_at": time.time(),
     }
 
@@ -1176,6 +1271,7 @@ def snapshot_update(
             # pin ONE evaluation of the RHS (see copy-on-write branch)
             patched = matched.select(*cols).localCheckpoint(eager=True)
             new_files, new_stats = _stage_files(patched, path, compression)
+            _enforce_constraints(spark, m, path, new_files)
             stats = dict(m.get("stats", {}))
             stats.update(new_stats)
             manifest = _cow_manifest(
@@ -1214,6 +1310,7 @@ def snapshot_update(
             ).localCheckpoint(eager=True)
             out_df = pinned.drop("__dak_chg")
         new_files, new_stats = _stage_files(out_df, path, compression)
+        _enforce_constraints(spark, m, path, new_files)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "update", carried + new_files, stats)
@@ -1415,6 +1512,7 @@ def snapshot_merge(
             return _zero(head, len(m["files"]))
         out = _union_all(parts)
         new_files, new_stats = _stage_files(out, path, compression)
+        _enforce_constraints(spark, m, path, new_files)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
         stats.update(new_stats)
         # an insert-only merge never rewrites a file — the file set
@@ -1479,6 +1577,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "schema_json": src["schema_json"],
             "stream_batch_id": src.get("stream_batch_id"),
             "deletes": src.get("deletes"),
+            "constraints": src.get("constraints"),
             "committed_at": time.time(),
         }
         if _commit_manifest(path, head + 1, manifest):

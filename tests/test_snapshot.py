@@ -1683,3 +1683,85 @@ def test_apply_changes_chains_with_change_feed(spark, tmp_path):
     snapshot_apply_changes(spark, dst, dst2, on=["id"], since=1)
     want = {(r.id, r.v) for r in snapshot_read(spark, src).collect()}
     assert {(r.id, r.v) for r in snapshot_read(spark, dst2).collect()} == want
+
+
+# --------------------------------------------------- CHECK CONSTRAINTS
+
+
+def test_constraint_blocks_bad_writes_everywhere(spark, tmp_path):
+    """A registered CHECK constraint rejects violating rows on append,
+    overwrite, update, and merge — validated on the STAGED files, and
+    NULL passes (SQL CHECK semantics)."""
+    from dask_awkward_spark.sources.snapshot import (
+        SnapshotConstraintViolation,
+        snapshot_add_constraint,
+        snapshot_drop_constraint,
+        snapshot_merge,
+        snapshot_update,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0), (2, None)], "id bigint, score double"), p
+    )
+    snapshot_add_constraint(spark, p, "score_pos", [("score", ">=", 0.0)])
+    # NULL score passed validation of existing data (CHECK semantics)
+    with pytest.raises(SnapshotConstraintViolation, match="score_pos"):
+        snapshot_write(
+            spark.createDataFrame([(3, -1.0)], "id bigint, score double"),
+            p, mode="append",
+        )
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_update(spark, p, [("id", "=", 1)], {"score": F.lit(-5.0)})
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_update(spark, p, [("id", "=", 1)], {"score": F.lit(-5.0)},
+                        strategy="merge-on-read")
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_merge(
+            spark, p,
+            spark.createDataFrame([(1, -2.0)], "id bigint, score double"),
+            on=["id"],
+        )
+    # nothing committed by any failed attempt
+    assert snapshot_read(spark, p).count() == 2
+    # valid writes proceed; NULL inserts pass
+    snapshot_write(
+        spark.createDataFrame([(4, None), (5, 7.0)], "id bigint, score double"),
+        p, mode="append",
+    )
+    assert snapshot_read(spark, p).count() == 4
+    # drop -> violating write allowed again
+    snapshot_drop_constraint(p, "score_pos")
+    snapshot_write(
+        spark.createDataFrame([(6, -1.0)], "id bigint, score double"),
+        p, mode="append",
+    )
+    assert snapshot_read(spark, p).count() == 5
+
+
+def test_constraint_add_validates_existing_and_feeds_cross(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import (
+        SnapshotConstraintViolation,
+        snapshot_add_constraint,
+        snapshot_changes,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p)                             # v1
+    with pytest.raises(SnapshotConstraintViolation, match="existing row"):
+        snapshot_add_constraint(spark, p, "big", [("id", ">=", 5)])
+    v = snapshot_add_constraint(spark, p, "nonneg", [("id", ">=", 0)])  # v2
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_add_constraint(spark, p, "nonneg", [("id", ">=", 0)])
+    snapshot_write(spark.range(10, 12), p, mode="append")          # v3
+    # the metadata-only commit is feed-transparent in BOTH modes
+    assert sorted(r.id for r in snapshot_changes(spark, p, since=1).collect()) == [10, 11]
+    feed = snapshot_changes(spark, p, since=1, row_level=True)
+    assert sorted(r.id for r in feed.collect()) == [10, 11]
+    # constraints survive compaction and restore
+    snapshot_compact(spark, p, target_file_bytes=1 << 30)          # v4
+    from dask_awkward_spark.sources.snapshot import snapshot_restore
+
+    snapshot_restore(p, v)                                         # v5
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_write(spark.range(-3, 0), p, mode="append")

@@ -262,7 +262,7 @@ def snapshot_write(
     expect_head: "int | None" = None,
     stream_batch_id: "int | None" = None,
     merge_schema: bool = False,
-    validate_constraints: bool = True,
+    _validate_constraints: bool = True,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
     of the snapshot table at ``path``.
@@ -297,6 +297,8 @@ def snapshot_write(
         )
     os.makedirs(path, exist_ok=True)
     new_files, new_stats = _stage_files(df, path, compression)
+    validated_cons = None  # staged files are immutable: re-validate on a
+    # commit-race retry only if the head's constraint set changed
     while True:
         versions = _versions(path)
         head = versions[-1] if versions else 0
@@ -365,8 +367,14 @@ def snapshot_write(
             "constraints": head_m.get("constraints"),
             "committed_at": time.time(),
         }
-        if validate_constraints:
-            _enforce_constraints(df.sparkSession, head_m, path, new_files)
+        cons_now = json.dumps(head_m.get("constraints") or {}, sort_keys=True)
+        if _validate_constraints and cons_now != validated_cons:
+            # the pinned (merged) schema null-fills columns a
+            # merge_schema append legally omitted — NULL passes CHECK
+            _enforce_constraints(
+                df.sparkSession, head_m, path, new_files, schema=out_schema
+            )
+            validated_cons = cons_now
         if _commit_manifest(path, head + 1, manifest):
             return head + 1
         # another writer claimed head+1: re-read the log and retry
@@ -897,28 +905,69 @@ def snapshot_compact(
             # validated — skip re-running CHECK constraints over 100 TB
             return snapshot_write(
                 out, path, mode="overwrite", expect_head=head,
-                validate_constraints=False,
+                _validate_constraints=False,
             )
         except SnapshotConflictError:
             continue  # an append landed mid-compact: redo against the new head
 
 
+def _encode_pred_value(v):
+    """JSON-encode one constraint predicate value (scalars via
+    _encode_stat's datetime envelopes; lists element-wise for ``in``).
+    Raises up FRONT for unencodable values — never after a full
+    validation scan."""
+    if isinstance(v, (list, tuple, set, frozenset)):
+        return [_encode_pred_value(x) for x in v]
+    if v is None or isinstance(v, bool):
+        return v  # valid JSON as-is (bools are fine in predicates)
+    enc = _encode_stat(v)
+    if enc is None:
+        raise ValueError(
+            f"constraint value {v!r} ({type(v).__name__}) is not "
+            "JSON-encodable; use int/float/str/bool/datetime/date"
+        )
+    return enc
+
+
+def _decode_pred_value(v):
+    if isinstance(v, list):
+        return [_decode_pred_value(x) for x in v]
+    return _decode_stat(v)
+
+
+def _constraint_conds(cons: dict) -> "list[tuple[str, list, Column]]":
+    return [
+        (name, triples, _where_to_column(
+            [(c, op, _decode_pred_value(v)) for c, op, v in triples]
+        ))
+        for name, triples in cons.items()
+    ]
+
+
 def _enforce_constraints(
-    spark: SparkSession, m: dict, path: str, new_files: "list[str]"
+    spark: SparkSession, m: dict, path: str, new_files: "list[str]", schema=None
 ) -> None:
     """Raise if any staged file holds a row a registered CHECK
     constraint rejects. Validates the STAGED files (exactly what would
     commit — a non-deterministic input frame cannot sneak different
     rows past the check), and only the new/rewritten subset: carried
-    files were validated by the commits that landed them."""
+    files were validated by the commits that landed them. ``schema``
+    pins the read (null-filling columns a merge_schema append legally
+    omitted — NULL passes CHECK); staged files read as-is without it.
+    One combined scan regardless of the number of constraints."""
     cons = m.get("constraints") or {}
     if not cons or not new_files:
         return
-    # staged files are homogeneous and may carry a NEW schema (overwrite):
-    # read them as-is; a constraint on a dropped column fails loudly
-    df = spark.read.parquet(*[os.path.join(path, f) for f in new_files])
-    for name, triples in cons.items():
-        cond = _where_to_column(triples)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*[os.path.join(path, f) for f in new_files])
+    conds = _constraint_conds(cons)
+    any_bad = None
+    for _, _, cond in conds:
+        viol = ~F.coalesce(cond, F.lit(True))
+        any_bad = viol if any_bad is None else (any_bad | viol)
+    if not df.filter(any_bad).limit(1).collect():
+        return
+    for name, triples, cond in conds:  # failure path: attribute the name
         bad = df.filter(~F.coalesce(cond, F.lit(True))).limit(1).collect()
         if bad:
             raise SnapshotConstraintViolation(
@@ -926,26 +975,42 @@ def _enforce_constraints(
             )
 
 
-def snapshot_add_constraint(
-    spark: SparkSession, path: str, name: str, where: "list[tuple]"
-) -> int:
-    """Register a named CHECK constraint (ANDed ``(col, op, value)``
-    triples — the same vocabulary as ``where=`` filters) that every
-    current AND future row must satisfy; rows where it evaluates NULL
-    pass, like SQL CHECK. Existing data is validated first — at most
-    one scan, and the add is refused if any visible row violates.
-    Enforced from then on by every write path (append, overwrite,
-    update, merge). The commit is metadata-only (op ``append`` with an
-    unchanged file set, so change feeds cross it). Drop with
-    :func:`snapshot_drop_constraint`."""
-    if not where:
-        raise ValueError("a constraint needs at least one predicate triple")
-    _check_where(where)
-    cond = _where_to_column(where)
+def _commit_constraints(path: str, mutate) -> int:
+    """Metadata-only commit loop shared by add/drop: ``mutate(m, cons)``
+    edits the constraints dict in place (or raises)."""
     while True:
         head = _require_versions(path)[-1]
         m = _read_manifest(path, head)
         cons = dict(m.get("constraints") or {})
+        mutate(m, cons)
+        manifest = _cow_manifest(
+            m, head, "append", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["constraints"] = cons
+        if _commit_manifest(path, head + 1, manifest):
+            return head + 1
+        # head moved: re-read (and for add, re-validate) and retry
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, path: str, name: str, where: "list[tuple]"
+) -> int:
+    """Register a named CHECK constraint (ANDed ``(col, op, value)``
+    triples — the same vocabulary as ``where=`` filters, incl. datetime
+    values) that every current AND future row must satisfy; rows where
+    it evaluates NULL pass, like SQL CHECK. Existing data is validated
+    first — at most one scan, and the add is refused if any visible row
+    violates. Enforced from then on by every write path (append,
+    overwrite, update, merge). The commit is metadata-only (op
+    ``append`` with an unchanged file set, so change feeds cross it).
+    Drop with :func:`snapshot_drop_constraint`."""
+    if not where:
+        raise ValueError("a constraint needs at least one predicate triple")
+    _check_where(where)
+    encoded = [[c, op, _encode_pred_value(v)] for c, op, v in where]
+    cond = _where_to_column(where)
+
+    def mutate(m, cons):
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
         bad = (
@@ -958,27 +1023,20 @@ def snapshot_add_constraint(
             raise SnapshotConstraintViolation(
                 f"existing row violates {name!r} {where}: {bad[0].asDict()}"
             )
-        cons[name] = [list(t) for t in where]
-        manifest = _cow_manifest(m, head, "append", list(m["files"]), dict(m.get("stats", {})))
-        manifest["constraints"] = cons
-        if _commit_manifest(path, head + 1, manifest):
-            return head + 1
-        # head moved: re-validate against the new head and retry
+        cons[name] = encoded
+
+    return _commit_constraints(path, mutate)
 
 
 def snapshot_drop_constraint(path: str, name: str) -> int:
     """Remove a named CHECK constraint (metadata-only commit)."""
-    while True:
-        head = _require_versions(path)[-1]
-        m = _read_manifest(path, head)
-        cons = dict(m.get("constraints") or {})
+
+    def mutate(m, cons):
         if name not in cons:
             raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
         del cons[name]
-        manifest = _cow_manifest(m, head, "append", list(m["files"]), dict(m.get("stats", {})))
-        manifest["constraints"] = cons
-        if _commit_manifest(path, head + 1, manifest):
-            return head + 1
+
+    return _commit_constraints(path, mutate)
 
 
 def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) -> dict:
@@ -1271,7 +1329,7 @@ def snapshot_update(
             # pin ONE evaluation of the RHS (see copy-on-write branch)
             patched = matched.select(*cols).localCheckpoint(eager=True)
             new_files, new_stats = _stage_files(patched, path, compression)
-            _enforce_constraints(spark, m, path, new_files)
+            _enforce_constraints(spark, m, path, new_files, schema=schema)
             stats = dict(m.get("stats", {}))
             stats.update(new_stats)
             manifest = _cow_manifest(
@@ -1310,7 +1368,7 @@ def snapshot_update(
             ).localCheckpoint(eager=True)
             out_df = pinned.drop("__dak_chg")
         new_files, new_stats = _stage_files(out_df, path, compression)
-        _enforce_constraints(spark, m, path, new_files)
+        _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "update", carried + new_files, stats)
@@ -1512,7 +1570,7 @@ def snapshot_merge(
             return _zero(head, len(m["files"]))
         out = _union_all(parts)
         new_files, new_stats = _stage_files(out, path, compression)
-        _enforce_constraints(spark, m, path, new_files)
+        _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
         stats.update(new_stats)
         # an insert-only merge never rewrites a file — the file set

@@ -1765,3 +1765,59 @@ def test_constraint_add_validates_existing_and_feeds_cross(spark, tmp_path):
     snapshot_restore(p, v)                                         # v5
     with pytest.raises(SnapshotConstraintViolation):
         snapshot_write(spark.range(-3, 0), p, mode="append")
+
+
+def test_constraint_overwrite_and_schema_evolution(spark, tmp_path):
+    """Overwrite carrying violating rows is rejected (the constraint
+    survives data replacement); a merge_schema append that legally
+    omits the constrained column passes — NULL passes CHECK."""
+    from dask_awkward_spark.sources.snapshot import (
+        SnapshotConstraintViolation,
+        snapshot_add_constraint,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, 5.0)], "id bigint, score double"), p)
+    snapshot_add_constraint(spark, p, "pos", [("score", ">=", 0.0)])
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_write(
+            spark.createDataFrame([(9, -1.0)], "id bigint, score double"),
+            p, mode="overwrite",
+        )
+    # legal schema-evolving append WITHOUT the constrained column
+    snapshot_write(spark.range(100, 102), p, mode="append", merge_schema=True)
+    got = snapshot_read(spark, p)
+    assert got.filter(F.col("score").isNull()).count() == 2  # null-filled, passed
+
+
+def test_constraint_datetime_values_roundtrip(spark, tmp_path):
+    """Datetime constraint values must work end to end (encoded in the
+    JSON manifest, decoded at enforcement) — and unencodable values are
+    refused BEFORE any validation scan."""
+    import datetime
+
+    from dask_awkward_spark.sources.snapshot import (
+        SnapshotConstraintViolation,
+        snapshot_add_constraint,
+    )
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("2026-06-01 00:00:00",), ("2026-07-01 00:00:00",)], "ts string"
+    ).select(F.to_timestamp("ts").alias("ts"))
+    snapshot_write(df, p)
+    cut = datetime.datetime(2026, 1, 1)
+    snapshot_add_constraint(spark, p, "recent", [("ts", ">=", cut)])
+    with pytest.raises(SnapshotConstraintViolation, match="recent"):
+        snapshot_write(
+            spark.createDataFrame([("2020-01-01 00:00:00",)], "ts string")
+            .select(F.to_timestamp("ts").alias("ts")),
+            p, mode="append",
+        )
+    ok = spark.createDataFrame([("2026-08-01 00:00:00",)], "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    snapshot_write(ok, p, mode="append")
+    assert snapshot_read(spark, p).count() == 3
+    with pytest.raises(ValueError, match="not\\s+JSON-encodable"):
+        snapshot_add_constraint(spark, p, "bad", [("ts", "=", object())])

@@ -60,8 +60,11 @@ HEADLINE = [
     # against the persistent band index (both 1.2x at the 10x sweep)
     "io_snapshot_roundtrip",
     "dedup_incremental",
-    # round-5 continuation: MERGE upsert + copy-on-write UPDATE lifecycle
+    # round-5 continuation: MERGE upsert + copy-on-write UPDATE lifecycle,
+    # stacked deletion vectors, and the row-level change feed
     "io_snapshot_merge",
+    "io_snapshot_mor_delete",
+    "io_snapshot_cdf",
 ]
 
 

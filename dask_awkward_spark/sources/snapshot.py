@@ -1710,6 +1710,7 @@ def stream_from_snapshot(
     path: str,
     start_version: int = 0,
     versions_per_trigger: int = 10,
+    row_level: bool = False,
 ) -> DataFrame:
     """The change feed as a Structured Streaming SOURCE: each micro-batch
     is the rows appended by up to ``versions_per_trigger`` new table
@@ -1717,6 +1718,11 @@ def stream_from_snapshot(
     side). The dual of :func:`stream_to_snapshot` — together they chain
     snapshot tables into incremental pipelines where every stage is a
     streaming query and every hand-off is an atomic commit.
+
+    ``row_level=True`` streams the CDF instead (Delta's readChangeFeed):
+    rows gain ``_change_type``/``_commit_version``, DML versions emit
+    their commit-time change records instead of failing the query, and
+    appends synthesize ``insert`` rows from their added files.
 
     Exactly-once on the source side for free: offsets are version
     numbers, ``partitions(start, end)`` is deterministic (immutable data
@@ -1730,6 +1736,7 @@ def stream_from_snapshot(
         .option("path", path)
         .option("start_version", str(start_version))
         .option("versions_per_trigger", str(versions_per_trigger))
+        .option("row_level", "true" if row_level else "false")
         .load()
     )
 
@@ -1804,9 +1811,17 @@ def _read_partition_file(
 
 
 class _SnapshotFilePartition(InputPartition):
-    def __init__(self, file_path: str, deleted: "tuple[int, ...]" = ()):
+    def __init__(
+        self,
+        file_path: str,
+        deleted: "tuple[int, ...]" = (),
+        change_kind: "str | None" = None,
+        version: int = 0,
+    ):
         self.file_path = file_path
         self.deleted = deleted  # merge-on-read: row positions to skip
+        self.change_kind = change_kind  # CDF stream: "chg" | "ins" | None
+        self.version = version
 
 
 def _dv_positions(path: str, dv_rels: "list[str]") -> "dict[str, list[int]]":
@@ -1823,13 +1838,41 @@ def _dv_positions(path: str, dv_rels: "list[str]") -> "dict[str, list[int]]":
     return out
 
 
+def _read_cdf_partition(partition, fields, spark_schema):
+    """Executor-side read of one CDF stream partition: a DML commit's
+    change file (carries ``_change_type`` already) or an append's added
+    data file (synthesized ``insert``), plus the commit version — cast
+    to the declared stream schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(partition.file_path)
+    n = t.num_rows
+    if partition.change_kind == "ins":
+        t = t.append_column(_CHANGE_COL, pa.array(["insert"] * n, pa.string()))
+    t = t.append_column(_COMMIT_COL, pa.array([partition.version] * n, pa.int64()))
+    t = t.select(fields)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(spark_schema)
+    if t.schema != target:
+        t = t.cast(target)
+    yield from t.to_batches()
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
     """Version-offset streaming reader over a snapshot table's manifest
-    log (driver lists manifests; executors read the parquet files)."""
+    log (driver lists manifests; executors read the parquet files).
+    With ``row_level=true`` it is the STREAMING change feed: DML
+    versions emit their commit-time change records (tagged
+    ``_change_type``/``_commit_version``) instead of failing the query —
+    Delta's readChangeFeed, with the same exactly-once replay story
+    (offsets are versions; manifests and change files are immutable)."""
 
     def __init__(self, schema, options):
         self.path = options["path"]
         self.per_trigger = max(1, int(options.get("versions_per_trigger", "10")))
+        self.row_level = options.get("row_level", "false").lower() == "true"
         self.fields = [f.name for f in schema.fields]
         self.spark_schema = schema
         self._start = int(options.get("start_version", "0"))
@@ -1860,13 +1903,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "vacuumed away — the checkpointed consumer fell behind the "
                 "log retention; reset it (fresh checkpoint + start_version)"
             )
+        if self.row_level:
+            return self._cdf_partitions(s, e)
         for v in range(s + 1, e + 1):
             m = _read_manifest(self.path, v)
             if m["op"] != "append" and m["parent"] is not None:
                 raise ValueError(
                     f"snapshot stream at {self.path}: version {v} is "
-                    f"a {m['op']} — the change feed only covers append-only "
-                    "lineage (reset the consumer or start past it)"
+                    f"a {m['op']} — the plain stream only covers append-only "
+                    "lineage (use row_level=true for the CDF stream, or "
+                    "reset the consumer past it)"
                 )
         base = set(_read_manifest(self.path, s)["files"]) if s else set()
         delta = [f for f in _read_manifest(self.path, e)["files"] if f not in base]
@@ -1874,7 +1920,46 @@ class SnapshotStreamReader(DataSourceStreamReader):
             _SnapshotFilePartition(os.path.join(self.path, f)) for f in delta
         ]
 
+    def _cdf_partitions(self, s: int, e: int):
+        ok_ops = ("append", "delete", "update", "merge")
+        parts = []
+        prev = set(_read_manifest(self.path, s)["files"]) if s else set()
+        for v in range(s + 1, e + 1):
+            m = _read_manifest(self.path, v)
+            chg = m.get("changes")
+            if m["parent"] is not None and (
+                m["op"] not in ok_ops or (chg is None and m["op"] != "append")
+            ):
+                raise ValueError(
+                    f"snapshot CDF stream at {self.path}: version {v} "
+                    f"({m['op']}) has no row-level records (overwrite/"
+                    "compact/restore, or committed with change_feed="
+                    "False); reset the consumer past it"
+                )
+            if chg is not None:  # DML: its recorded change rows
+                for f in chg:
+                    parts.append(
+                        _SnapshotFilePartition(
+                            os.path.join(self.path, f), change_kind="chg", version=v
+                        )
+                    )
+            else:  # plain append: added files ARE the inserts
+                for f in m["files"]:
+                    if f not in prev:
+                        parts.append(
+                            _SnapshotFilePartition(
+                                os.path.join(self.path, f),
+                                change_kind="ins",
+                                version=v,
+                            )
+                        )
+            prev = set(m["files"])
+        return parts
+
     def read(self, partition: "_SnapshotFilePartition"):
+        if getattr(partition, "change_kind", None):
+            yield from _read_cdf_partition(partition, self.fields, self.spark_schema)
+            return
         yield from _read_partition_file(
             partition.file_path, self.fields, self.spark_schema
         )
@@ -1957,7 +2042,18 @@ class SnapshotStreamSource(DataSource):
         v = self.options.get("version")
         versions = _require_versions(path)
         m = _read_manifest(path, int(v) if v is not None else versions[-1])
-        return StructType.fromJson(json.loads(m["schema_json"]))
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        if self.options.get("row_level", "false").lower() == "true":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField(_CHANGE_COL, StringType(), True),
+                    StructField(_COMMIT_COL, LongType(), True),
+                ]
+            )
+        return schema
 
     def reader(self, schema) -> SnapshotBatchReader:
         return SnapshotBatchReader(schema, self.options)

@@ -1821,3 +1821,80 @@ def test_constraint_datetime_values_roundtrip(spark, tmp_path):
     assert snapshot_read(spark, p).count() == 3
     with pytest.raises(ValueError, match="not\\s+JSON-encodable"):
         snapshot_add_constraint(spark, p, "bad", [("ts", "=", object())])
+
+
+def test_stream_cdf_emits_dml_changes(spark, tmp_path):
+    """row_level=True streams the CDF: DML versions emit their recorded
+    change rows (with _change_type/_commit_version) instead of failing,
+    and the streamed set equals the batch feed exactly."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_update,
+        stream_from_snapshot,
+    )
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    snapshot_write(
+        spark.createDataFrame([(i, float(i)) for i in range(5)], "id bigint, v double"),
+        src,
+    )                                                                   # v1
+    snapshot_write(
+        spark.createDataFrame([(10, 10.0)], "id bigint, v double"), src, mode="append"
+    )                                                                   # v2
+    snapshot_delete(spark, src, [("id", "=", 0)])                       # v3
+    snapshot_update(spark, src, [("id", "=", 1)], {"v": F.lit(9.0)})    # v4
+    snapshot_merge(
+        spark, src,
+        spark.createDataFrame([(2, 22.0), (30, 30.0)], "id bigint, v double"),
+        on=["id"],
+    )                                                                   # v5
+    st = stream_from_snapshot(spark, src, start_version=1, row_level=True)
+    q = (
+        st.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in snapshot_changes(spark, src, since=1, row_level=True).collect()
+    )
+    assert streamed == batch and len(streamed) == 7
+    # a plain (non-CDF) stream over the same lineage still refuses
+    st2 = stream_from_snapshot(spark, src)
+    q2 = (
+        st2.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only|row_level"):
+        q2.processAllAvailable()
+        q2.stop()
+
+
+def test_stream_cdf_refuses_unrecorded_dml(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete,
+        stream_from_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    snapshot_write(spark.range(5).repartition(1), src)
+    snapshot_delete(spark, src, [("id", "=", 1)], change_feed=False)
+    st = stream_from_snapshot(spark, src, row_level=True)
+    q = (
+        st.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    with pytest.raises(Exception, match="no row-level records"):
+        q.processAllAvailable()
+        q.stop()

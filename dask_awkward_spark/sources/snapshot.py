@@ -636,6 +636,35 @@ def snapshot_versions(path: str) -> "list[dict]":
     return [_read_manifest(path, v) for v in _versions(path)]
 
 
+def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
+    """Driver-side classification of a CDF span, shared by the batch
+    feed and the streaming source so the two can never diverge:
+    one (version, kind, files) per step — kind ``chg`` (a DML commit's
+    recorded change files) or ``ins`` (a plain append's added data
+    files, to synthesize inserts from). Raises on any version the
+    row-level feed cannot represent."""
+    ok_ops = ("append", "delete", "update", "merge")
+    out = []
+    prev = set(_read_manifest(path, s)["files"]) if s else set()
+    for v in range(s + 1, e + 1):
+        m = _read_manifest(path, v)
+        chg = m.get("changes")
+        if m["parent"] is not None and (
+            m["op"] not in ok_ops or (chg is None and m["op"] != "append")
+        ):
+            raise ValueError(
+                f"version {v} ({m['op']}) recorded no row-level changes "
+                "(overwrite/compact/restore, or committed with "
+                "change_feed=False); the row-level feed cannot cross it"
+            )
+        if chg is not None:
+            out.append((v, "chg", list(chg)))
+        else:
+            out.append((v, "ins", [f for f in m["files"] if f not in prev]))
+        prev = set(m["files"])
+    return out
+
+
 def snapshot_changes(
     spark: SparkSession,
     path: str,
@@ -704,36 +733,22 @@ def snapshot_changes(
         list(chg_schema.fields) + [StructField(_COMMIT_COL, LongType(), True)]
     )
     parts = []
-    prev_files = set(_read_manifest(path, since)["files"]) if since else set()
-    for v in span:
-        mv = mans[v]
-        chg = mv.get("changes")
-        if chg is None and mv["op"] != "append" and mv["parent"] is not None:
-            # a DML commit written without change recording (pre-CDF, or
-            # change_feed=False) has NO row-level records — synthesizing
-            # inserts from its rewritten files would fabricate history
-            raise ValueError(
-                f"version {v} ({mv['op']}) recorded no row-level changes "
-                "(committed with change_feed=False or before CDF); the "
-                "row-level feed cannot cross it"
+    for v, kind, files in _cdf_walk(path, since, u):
+        if not files:
+            continue
+        if kind == "chg":  # DML commit: its recorded change rows
+            parts.append(
+                spark.read.schema(chg_schema)
+                .parquet(*[os.path.join(path, f) for f in files])
+                .withColumn(_COMMIT_COL, F.lit(v))
             )
-        if chg is not None:  # DML commit: its recorded change rows
-            if chg:
-                parts.append(
-                    spark.read.schema(chg_schema)
-                    .parquet(*[os.path.join(path, f) for f in chg])
-                    .withColumn(_COMMIT_COL, F.lit(v))
-                )
         else:  # plain append: added files ARE the inserts
-            added = [f for f in mv["files"] if f not in prev_files]
-            if added:
-                parts.append(
-                    spark.read.schema(schema)
-                    .parquet(*[os.path.join(path, f) for f in added])
-                    .withColumn(_CHANGE_COL, F.lit("insert"))
-                    .withColumn(_COMMIT_COL, F.lit(v))
-                )
-        prev_files = set(mv["files"])
+            parts.append(
+                spark.read.schema(schema)
+                .parquet(*[os.path.join(path, f) for f in files])
+                .withColumn(_CHANGE_COL, F.lit("insert"))
+                .withColumn(_COMMIT_COL, F.lit(v))
+            )
     out = _union_all(parts)
     return out if out is not None else spark.createDataFrame([], out_schema)
 
@@ -1784,6 +1799,13 @@ def _read_partition_file(
         mask = np.ones(t.num_rows, dtype=bool)
         mask[[p for p in skip_positions if 0 <= p < t.num_rows]] = False
         t = t.filter(pa.array(mask))
+    yield from _yield_resolved(t, fields, spark_schema)
+
+
+def _yield_resolved(t, fields: "list[str]", spark_schema=None):
+    """Shared tail of both executor readers: case-insensitive field
+    resolution, null-fill for columns absent from old files (schema
+    evolution), and a cast to the declared schema's arrow types."""
     by_lower = {c.lower(): c for c in t.column_names}
     actual = [by_lower.get(f.lower()) for f in fields]
     if all(a is not None for a in actual):
@@ -1851,13 +1873,10 @@ def _read_cdf_partition(partition, fields, spark_schema):
     if partition.change_kind == "ins":
         t = t.append_column(_CHANGE_COL, pa.array(["insert"] * n, pa.string()))
     t = t.append_column(_COMMIT_COL, pa.array([partition.version] * n, pa.int64()))
-    t = t.select(fields)
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    target = to_arrow_schema(spark_schema)
-    if t.schema != target:
-        t = t.cast(target)
-    yield from t.to_batches()
+    # the shared tail null-fills columns a schema-evolved lineage's
+    # older files lack, resolves case-variants, and casts — exactly
+    # like the plain stream and the batch feed
+    yield from _yield_resolved(t, fields, spark_schema)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -1921,40 +1940,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
         ]
 
     def _cdf_partitions(self, s: int, e: int):
-        ok_ops = ("append", "delete", "update", "merge")
-        parts = []
-        prev = set(_read_manifest(self.path, s)["files"]) if s else set()
-        for v in range(s + 1, e + 1):
-            m = _read_manifest(self.path, v)
-            chg = m.get("changes")
-            if m["parent"] is not None and (
-                m["op"] not in ok_ops or (chg is None and m["op"] != "append")
-            ):
-                raise ValueError(
-                    f"snapshot CDF stream at {self.path}: version {v} "
-                    f"({m['op']}) has no row-level records (overwrite/"
-                    "compact/restore, or committed with change_feed="
-                    "False); reset the consumer past it"
-                )
-            if chg is not None:  # DML: its recorded change rows
-                for f in chg:
-                    parts.append(
-                        _SnapshotFilePartition(
-                            os.path.join(self.path, f), change_kind="chg", version=v
-                        )
-                    )
-            else:  # plain append: added files ARE the inserts
-                for f in m["files"]:
-                    if f not in prev:
-                        parts.append(
-                            _SnapshotFilePartition(
-                                os.path.join(self.path, f),
-                                change_kind="ins",
-                                version=v,
-                            )
-                        )
-            prev = set(m["files"])
-        return parts
+        # same driver-side walk as the batch feed — the two can't diverge
+        return [
+            _SnapshotFilePartition(
+                os.path.join(self.path, f), change_kind=kind, version=v
+            )
+            for v, kind, files in _cdf_walk(self.path, s, e)
+            for f in files
+        ]
 
     def read(self, partition: "_SnapshotFilePartition"):
         if getattr(partition, "change_kind", None):
@@ -1987,6 +1980,11 @@ class SnapshotBatchReader(DataSourceReader):
     exactly)."""
 
     def __init__(self, schema, options):
+        if options.get("row_level", "false").lower() == "true":
+            raise ValueError(
+                "row_level is a streaming option (stream_from_snapshot); "
+                "for a batch change feed use snapshot_changes(row_level=True)"
+            )
         self.path = options["path"]
         v = options.get("version")
         versions = _require_versions(self.path)

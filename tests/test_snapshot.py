@@ -1895,6 +1895,60 @@ def test_stream_cdf_refuses_unrecorded_dml(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    with pytest.raises(Exception, match="no row-level records"):
+    with pytest.raises(Exception, match="no row-level changes"):
         q.processAllAvailable()
         q.stop()
+
+
+def test_stream_cdf_survives_schema_evolution(spark, tmp_path):
+    """Older change/data files lack a later merge_schema column: the
+    CDF stream must null-fill like the batch feed, not crash."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_delete,
+        stream_from_snapshot,
+    )
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    snapshot_write(spark.range(5).repartition(1), src)                  # v1
+    snapshot_delete(spark, src, [("id", "=", 0)])                       # v2
+    snapshot_write(
+        spark.range(7, 9).withColumn("w", F.lit("x")), src,
+        mode="append", merge_schema=True,
+    )                                                                   # v3
+    st = stream_from_snapshot(spark, src, start_version=1, row_level=True)
+    q = (
+        st.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        (r.id, r.w, r._change_type) for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        (r.id, r.w, r._change_type)
+        for r in snapshot_changes(spark, src, since=1, row_level=True).collect()
+    )
+    assert streamed == batch
+    assert (0, None, "delete") in streamed  # old change file null-fills w
+
+
+def test_batch_face_declines_row_level(spark, tmp_path):
+    """The spark.read face refuses the streaming-only row_level option
+    instead of silently returning all-NULL CDF columns."""
+    from dask_awkward_spark.sources.snapshot import SnapshotStreamSource
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p)
+    spark.dataSource.register(SnapshotStreamSource)
+    with pytest.raises(Exception, match="row_level is a streaming option"):
+        (
+            spark.read.format("snapshot_stream")
+            .option("path", p)
+            .option("row_level", "true")
+            .load()
+            .collect()
+        )

@@ -150,12 +150,19 @@ def contamination(
     of its distinct ``k``-gram shingles that appear in ANY benchmark row
     (n-gram-overlap decontamination; 13-grams at prod scale). Returns
     ``(id_col, n_sh, n_shared, frac)`` for rows with ``frac >=
-    min_overlap``.
+    min_overlap``. With the default ``min_overlap=0.0`` EVERY corpus row
+    is returned — clean documents (zero shared shingles, including
+    documents too short to have any shingles) come back with
+    ``n_shared=0, frac=0.0``, so "fraction of clean docs" is computable
+    directly from the result.
 
     Scale shape: the benchmark shingle set is DISTINCT + broadcast (a
     benchmark is always tiny next to the corpus); the corpus explodes
     (id, shingle) once and overlap is one hash aggregate — no doc-pair
-    joins, cost linear in corpus shingles."""
+    joins, cost linear in corpus shingles. At ``min_overlap > 0`` only
+    documents sharing at least one shingle flow past the broadcast
+    probe; at 0.0 one extra id-keyed left join restores the clean
+    population."""
     from . import textstats as tx
 
     def shingles(frame: DataFrame) -> DataFrame:
@@ -179,5 +186,25 @@ def contamination(
         )
     )
     if min_overlap > 0.0:
-        scored = scored.filter(F.col("frac") >= min_overlap)
-    return scored
+        return scored.filter(F.col("frac") >= min_overlap)
+    # min_overlap == 0.0 promises the FULL population: join the dirty
+    # scores back onto every corpus id (0-shingle docs included) so
+    # clean rows surface as n_shared=0 / frac=0.0 instead of vanishing
+    base = shingles(corpus).select(
+        F.col(id_col), F.size("__sh__").cast("bigint").alias("n_sh")
+    )
+    return (
+        base.join(scored.drop("n_sh"), id_col, "left")
+        .select(
+            id_col,
+            "n_sh",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            # ANSI mode: guard the 0-shingle division explicitly
+            F.when(
+                F.col("n_sh") > 0,
+                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_sh"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac"),
+        )
+    )

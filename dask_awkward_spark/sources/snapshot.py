@@ -528,7 +528,7 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
-    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    # (the pinned read schema is derived inside _visible_df, not here)
     rels = m["files"]
     if where:
         try:  # the EFFECTIVE session tz (a `get` with a default returns
@@ -703,6 +703,18 @@ def snapshot_changes(
     if u < since:
         raise ValueError(f"until={u} is before since={since}")
     span = [v for v in versions if since < v <= u]
+    if row_level:
+        # the CDF walk needs EVERY manifest in the span (a plain append's
+        # inserts are derived from its file delta vs the previous version);
+        # a vacuumed gap must raise the same descriptive error the stream
+        # reader emits, not a raw FileNotFoundError from _read_manifest
+        gone = [v for v in range(since + 1, u + 1) if v not in versions]
+        if gone:
+            raise ValueError(
+                f"versions {gone} in the ({since}, {u}] span were vacuumed "
+                "away — the row-level feed cannot cross them; advance "
+                "since past the gap or re-bootstrap the consumer"
+            )
     mans = {v: _read_manifest(path, v) for v in span}
     ok_ops = ("append", "delete", "update", "merge") if row_level else ("append",)
     # the table-creating commit (no parent) is a degenerate append
@@ -821,20 +833,29 @@ def snapshot_apply_changes(
         F.col(_CHANGE_COL).isin("insert", "update_postimage")
     ).drop(_CHANGE_COL, _COMMIT_COL)
     # duplicate keys inside one commit (src is not key-unique) would be
-    # collapsed arbitrarily by the net-effect window — refuse
-    dup = (
-        feed.filter(keys_ok)
-        .filter(F.col(_CHANGE_COL) == "insert")
-        .groupBy(*on, _COMMIT_COL)
-        .agg(F.count(F.lit(1)).alias("__dak_n"))
-        .filter(F.col("__dak_n") > 1)
-    )
-    if dup.limit(1).count():
-        raise ValueError(
-            "src inserted duplicate keys in one commit: on= is not a "
-            "unique key, and a net-effect-per-key replication cannot "
-            "represent that"
+    # collapsed arbitrarily by the net-effect window — refuse. Two
+    # classes per (key, commit): ARRIVALS (insert + update_postimage —
+    # a key-reassigning UPDATE/MERGE can land several postimages on one
+    # key without any insert) and REMOVALS (delete + update_preimage).
+    # The classes are checked separately: a single-row update puts one
+    # pre- AND one post-image on the same key in one commit, which is
+    # fine — but two terminal states within either class is not.
+    _ARRIVE = ("insert", "update_postimage")
+    _REMOVE = ("delete", "update_preimage")
+    for kinds, verb in ((_ARRIVE, "produced"), (_REMOVE, "removed")):
+        dup = (
+            feed.filter(keys_ok)
+            .filter(F.col(_CHANGE_COL).isin(*kinds))
+            .groupBy(*on, _COMMIT_COL)
+            .agg(F.count(F.lit(1)).alias("__dak_n"))
+            .filter(F.col("__dak_n") > 1)
         )
+        if dup.limit(1).count():
+            raise ValueError(
+                f"src {verb} duplicate keys in one commit: on= is not a "
+                "unique key, and a net-effect-per-key replication cannot "
+                "represent that"
+            )
     # terminal state per key: the last change row wins; within one
     # commit a post-image outranks the pre-image it replaces
     rank = F.when(F.col(_CHANGE_COL) == "update_preimage", 0).otherwise(1)

@@ -130,10 +130,21 @@ def test_contamination_matches_bruteforce(spark):
         overlap = len(s & bset)
         if overlap:
             assert out[doc_id] == (len(s), overlap)
-    assert 2 not in out  # zero overlap rows drop out of the inner join
-    # threshold knob
+    # min_overlap=0.0 (default) returns the FULL population: the clean
+    # doc surfaces with zero overlap instead of dropping out
+    assert out[2][1] == 0 and out[2][0] > 0
+    frac0 = {r["doc_id"]: r["frac"] for r in contamination(corpus, bench, k=3).collect()}
+    assert frac0[2] == 0.0
+    # a doc too short for any 3-gram shingle still returns (n_sh=0, frac=0)
+    tiny = corpus.union(
+        spark.createDataFrame([(4, "hi")], "doc_id bigint, text string")
+    )
+    all_rows = {r["doc_id"]: (r["n_sh"], r["n_shared"], r["frac"]) for r in contamination(tiny, bench, k=3).collect()}
+    assert all_rows[4] == (0, 0, 0.0)
+    # threshold knob: positive min_overlap keeps the inner-join shape
     hi = contamination(corpus, bench, k=3, min_overlap=0.9).collect()
     assert all(r["frac"] >= 0.9 for r in hi)
+    assert all(r["doc_id"] != 2 for r in hi)
 
 
 def test_contamination_plan_broadcasts_benchmark(spark):

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from dask_awkward_spark.sources.snapshot import (
     SnapshotConflictError,
     _commit_manifest,
+    snapshot_changes,
     snapshot_compact,
     snapshot_read,
     snapshot_versions,
@@ -1952,3 +1953,41 @@ def test_batch_face_declines_row_level(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_apply_changes_refuses_key_reassigning_dup_postimages(spark, tmp_path):
+    """A key-reassigning UPDATE that lands TWO update_postimage rows on
+    one key in one commit means on= is not a unique key — the net-effect
+    window would collapse them arbitrarily, so it must refuse (round-5
+    ADVICE: the dup guard only covered inserts)."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_apply_changes,
+        snapshot_update,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (9, "z")], "id bigint, tag string"
+        ),
+        src,
+    )
+    snapshot_write(snapshot_read(spark, src), dst)
+    # both id=1 and id=2 are reassigned to id=5 in ONE commit
+    snapshot_update(spark, src, [("id", "<", 3)], {"id": F.lit(5)})
+    with pytest.raises(ValueError, match="not a unique key"):
+        snapshot_apply_changes(spark, src, dst, on=["id"], since=1)
+
+
+def test_cdf_vacuumed_gap_raises_descriptive_error(spark, tmp_path):
+    """snapshot_changes(row_level=True) across a span whose early
+    manifests were vacuumed must raise the 'vacuumed away' ValueError,
+    not a raw FileNotFoundError from the walk (round-5 ADVICE)."""
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id bigint, tag string")
+    snapshot_write(df, p)
+    snapshot_write(df, p, mode="append")
+    snapshot_write(df, p, mode="append")
+    snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed away"):
+        snapshot_changes(spark, p, since=0, row_level=True)

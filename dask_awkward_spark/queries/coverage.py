@@ -594,6 +594,63 @@ FROM documents WHERE (lang <> 'en' OR lang IS NULL) AND doc_id < 200
 """
 
 
+def io_snapshot_partitioned(spark, sf_dir):
+    """Hive-partitioned snapshot lifecycle under an oracle: write orders
+    partitioned by o_orderstatus (v1, two-thirds of keys), append the
+    rest under the STICKY spec (v2, no partition_by argument), then
+    copy-on-write DELETE the URGENT rows (v3 — the rewrite must respect
+    the partition layout). A head read with a partition predicate must
+    (a) provably skip every other partition's files — asserted on the
+    manifest before returning — and (b) equal plain SQL over the
+    surviving rows, proving partition pruning never changes answers."""
+    import shutil
+
+    from ..sources import snapshot as snap
+    from ..sources.snapshot import snapshot_delete, snapshot_read, snapshot_write
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snappart_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    cut = 2 * hi // 3
+    try:
+        snapshot_write(
+            orders.filter(F.col("o_orderkey") <= cut),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        snapshot_write(orders.filter(F.col("o_orderkey") > cut), path, mode="append")
+        snapshot_delete(spark, path, [("o_orderpriority", "=", "1-URGENT")])
+        m = snap._read_manifest(path, snap._versions(path)[-1])
+        where = [("o_orderstatus", "=", "F")]
+        kept, skipped = snap._prune_files(m, where, None)
+        assert skipped > 0 and all("o_orderstatus=F/" in f for f in kept), (
+            "partition pruning must confine the scan to the F partition"
+        )
+        return (
+            snapshot_read(spark, path, where=where)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("o_totalprice"))).alias("price_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_PART_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
 IO_SNAPSHOT_MERGE_SQL = """
 WITH mx AS (SELECT max(c_custkey) AS hi FROM customer),
 merged AS (
@@ -628,6 +685,7 @@ QUERIES = {
     "io_snapshot_merge": io_snapshot_merge,
     "io_snapshot_mor_delete": io_snapshot_mor_delete,
     "io_snapshot_cdf": io_snapshot_cdf,
+    "io_snapshot_partitioned": io_snapshot_partitioned,
 }
 
 ORACLES = {
@@ -649,6 +707,7 @@ ORACLES = {
     "io_snapshot_merge": IO_SNAPSHOT_MERGE_SQL,
     "io_snapshot_mor_delete": IO_SNAPSHOT_MOR_SQL,
     "io_snapshot_cdf": IO_SNAPSHOT_CDF_SQL,
+    "io_snapshot_partitioned": IO_SNAPSHOT_PART_SQL,
 }
 
 

@@ -294,18 +294,80 @@ def _file_stats(local_path: str) -> dict:
     return {"rows": md.num_rows, "minmax": minmax}
 
 
-def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str], dict]":
+# Partitionable column types: values appear verbatim in directory names
+# and must round-trip exactly. Floats (lossy repr) and timestamps
+# (tz-dependent repr) are refused — Z-order clustering covers those.
+_PART_TYPES = ("tinyint", "smallint", "int", "bigint", "string", "date", "boolean")
+_PART_SHADOW = "__dakp_"  # staging-only shadow column prefix
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _check_partition_by(partition_by: "list[str]", schema: StructType) -> None:
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in partition_by:
+        if c not in types:
+            raise ValueError(f"partition column {c!r} not in schema {sorted(types)}")
+        if types[c] not in _PART_TYPES:
+            raise ValueError(
+                f"cannot partition by {c!r} ({types[c]}): partition values "
+                f"live in directory names and must round-trip exactly — "
+                f"allowed types are {_PART_TYPES}; use zorder_by for the rest"
+            )
+    if len(set(partition_by)) != len(partition_by):
+        raise ValueError(f"duplicate partition columns in {partition_by}")
+
+
+def _parse_part_value(dirname: str, simple: str):
+    """The typed partition value a hive dir name encodes, or None for
+    the NULL partition / an unparseable value (then the footer stats —
+    exact anyway, the column is constant per file — stand alone)."""
+    import datetime
+    import urllib.parse
+
+    raw = urllib.parse.unquote(dirname.split("=", 1)[1])
+    if raw == _HIVE_NULL:
+        return None
+    try:
+        if simple in ("tinyint", "smallint", "int", "bigint"):
+            return int(raw)
+        if simple == "date":
+            return datetime.date.fromisoformat(raw)
+        if simple == "string":
+            return raw
+    except ValueError:
+        return None
+    return None  # boolean: bool stats are never recorded (_encode_stat)
+
+
+def _stage_files(
+    df: DataFrame,
+    path: str,
+    compression: str,
+    partition_by: "list[str] | None" = None,
+) -> "tuple[list[str], dict]":
     """Write df's partitions as immutable uniquely-named files under data/.
 
     Spark writes into a fresh staging dir; the part files are then
     hard-linked into ``data/`` under uuid names (link, not rename, so a
     crash mid-stage leaves only unreferenced garbage for vacuum — never
     a torn file visible to any manifest). Returns (relpaths, stats) —
-    footer min/max per file, recorded in the manifest for file skipping."""
+    footer min/max per file, recorded in the manifest for file skipping.
+
+    ``partition_by`` lays files out hive-style (``data/c=v/...``) via a
+    staging-only SHADOW of each partition column (``__dakp_c``), so the
+    real column stays inside every data file: the read path, footer
+    stats, and both prune paths work unchanged — partition pruning IS
+    min==max stats pruning, exact because the column is constant per
+    file. The shadow (not the column itself) feeds ``partitionBy``,
+    which would otherwise strip the column from the files."""
     data_dir = os.path.join(path, _DATA)
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     files, stats = [], {}
+    if partition_by:
+        _check_partition_by(partition_by, df.schema)
+        for c in partition_by:
+            df = df.withColumn(_PART_SHADOW + c, F.col(c))
     # INT96 (Spark's legacy parquet timestamp) carries NO footer min/max,
     # which would silently disable time-range file skipping — the main
     # 100 TB pruning case. Upgrade the SESSION to INT64 micros once and
@@ -319,19 +381,44 @@ def _stage_files(df: DataFrame, path: str, compression: str) -> "tuple[list[str]
     if spark.conf.get(ts_conf, "INT96") not in ("TIMESTAMP_MICROS", "TIMESTAMP_MILLIS"):
         spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
     try:
-        df.write.mode("overwrite").option("compression", compression).parquet(staging)
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            out = f"{uuid.uuid4().hex}.parquet"
-            src = os.path.join(staging, name)
-            os.link(src, os.path.join(data_dir, out))
-            rel = f"{_DATA}/{out}"
-            files.append(rel)
-            try:
-                stats[rel] = _file_stats(src)
-            except Exception:
-                pass  # stats are an optimization; never fail the write
+        w = df.write.mode("overwrite").option("compression", compression)
+        if partition_by:
+            w = w.partitionBy(*(_PART_SHADOW + c for c in partition_by))
+        w.parquet(staging)
+        col_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for dirpath, _dirs, names in sorted(os.walk(staging)):
+            # shadow-prefixed hive dirs ("__dakp_c=v") become real-name
+            # dirs ("c=v") under data/; Spark's value escaping is kept
+            # verbatim so the dir parses back exactly
+            sub = os.path.relpath(dirpath, staging)
+            parts = [] if sub == "." else [
+                p.removeprefix(_PART_SHADOW) for p in sub.split(os.sep)
+            ]
+            subdir = "/".join(parts)
+            if subdir:
+                os.makedirs(os.path.join(data_dir, *parts), exist_ok=True)
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                out = f"{uuid.uuid4().hex}.parquet"
+                src = os.path.join(dirpath, name)
+                rel = f"{_DATA}/{subdir}/{out}" if subdir else f"{_DATA}/{out}"
+                os.link(src, os.path.join(path, rel))
+                files.append(rel)
+                try:
+                    stats[rel] = _file_stats(src)
+                except Exception:
+                    continue  # stats are an optimization; never fail the write
+                # the dir VALUE backs up the partition column's bounds
+                # when the footer omitted them (constant columns always
+                # have footer stats in practice; this is the belt)
+                for p in parts:
+                    c = p.split("=", 1)[0]
+                    mm = stats[rel].setdefault("minmax", {})
+                    if c not in mm:
+                        v = _encode_stat(_parse_part_value(p, col_types.get(c, "")))
+                        if v is not None:
+                            mm[c] = [v, v]
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return files, stats
@@ -370,6 +457,7 @@ def snapshot_write(
     expect_head: "int | None" = None,
     stream_batch_id: "int | None" = None,
     merge_schema: bool = False,
+    partition_by: "list[str] | None" = None,
     _validate_constraints: bool = True,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
@@ -386,25 +474,53 @@ def snapshot_write(
     so no concurrently-appended files are lost. Pass ``expect_head=`` to
     make the commit compare-and-swap instead: if any other writer moved
     the head past it, :class:`SnapshotConflictError` is raised (no commit
-    happens and the staged files stay unreferenced for vacuum)."""
+    happens and the staged files stay unreferenced for vacuum).
+
+    ``partition_by=["c", ...]`` lays data out hive-style
+    (``data/c=v/...``). The spec is recorded in the manifest and is
+    STICKY: appends and overwrites inherit it when the argument is
+    omitted (pass ``partition_by=[]`` to an overwrite to un-partition);
+    an append may not change it. Partition pruning needs no separate
+    machinery — every file's partition column is constant, so its
+    min==max stats bound makes ``snapshot_read(where=...)`` skipping
+    exact, driver- and executor-side alike. Unlike Spark's own
+    ``partitionBy``, the partition columns STAY inside the data files
+    (a staging shadow feeds the directory layout), so files remain
+    self-contained for every reader face."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
     bad = [
         c
         for c in df.columns
-        if c.lower()
-        in ("_metadata", "__dak_file", "__dak_pos", "_change_type", "_commit_version")
+        if c.lower() in ("_metadata", "_change_type", "_commit_version")
+        or c.lower().startswith("__dak")
     ]
     if bad:
         raise ValueError(
             f"column names {bad} are reserved: a user '_metadata' column "
             "shadows Spark's file-metadata struct (silently or loudly "
             "breaking merge-on-read deletes), '_change_type' is the CDF "
-            "feed column, and __dak_* are the internal row-position tags"
+            "feed column, and __dak* are the internal row-position and "
+            "partition-staging tags"
         )
     os.makedirs(path, exist_ok=True)
-    new_files, new_stats = _stage_files(df, path, compression)
+    # the effective partition spec: an explicit argument wins ([…] to
+    # lay out, [] to stop); otherwise the table's recorded spec carries
+    # through appends AND overwrites (Delta: REPLACE keeps partitioning
+    # unless respecified) — but an append may not CHANGE it
+    pre = _versions(path)
+    head_pb = (_read_manifest(path, pre[-1]).get("partition_by") or []) if pre else []
+    if partition_by is None:
+        eff_pb = head_pb
+    else:
+        eff_pb = list(partition_by)
+        if mode == "append" and pre and eff_pb != head_pb:
+            raise ValueError(
+                f"append partition_by {eff_pb} != table's {head_pb}; "
+                "only overwrite may repartition the table"
+            )
+    new_files, new_stats = _stage_files(df, path, compression, eff_pb)
     validated_cons = None  # staged files are immutable: re-validate on a
     # commit-race retry only if the head's constraint set changed
     while True:
@@ -417,6 +533,14 @@ def snapshot_write(
             )
         stats = dict(new_stats)
         head_m = _read_manifest(path, head) if versions else {}
+        if mode == "append" and versions and (head_m.get("partition_by") or []) != eff_pb:
+            # a concurrent overwrite changed the table's partition spec
+            # mid-append: the staged layout no longer matches — refuse
+            # rather than commit a mixed-layout version
+            raise SnapshotConflictError(
+                f"table was repartitioned to {head_m.get('partition_by')} "
+                f"while this append staged {eff_pb or None}; retry"
+            )
         out_schema = df.schema
         if mode == "append" and versions:
             # names+types must match exactly; nullability is excluded on
@@ -467,6 +591,7 @@ def snapshot_write(
             "schema_ddl": out_schema.simpleString(),  # human-readable only
             "schema_json": out_schema.json(),  # lossless; the read path pins this
             "stream_batch_id": watermark,
+            "partition_by": eff_pb or None,
             # appends keep old files' deletion vectors visible; an
             # overwrite replaces the file set, so its DVs go with it
             "deletes": head_m.get("deletes") if mode == "append" else None,
@@ -899,6 +1024,15 @@ def _where_to_column(where) -> "Column | None":
     return cond
 
 
+def _data_reader(spark: SparkSession, schema: StructType):
+    """Pinned-schema reader for manifest data files. recursiveFileLookup
+    turns OFF hive partition-dir inference: partition columns are stored
+    inside every data file (see _stage_files), and inference would throw
+    on a mixed flat/hive-layout file list (e.g. time travel across a
+    repartitioning overwrite)."""
+    return spark.read.schema(schema).option("recursiveFileLookup", "true")
+
+
 def _visible_tagged(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> DataFrame:
     """The version's VISIBLE rows for the given files, tagged with
     ``__dak_file``/``__dak_pos`` (data-file basename + row position):
@@ -915,7 +1049,7 @@ def _visible_tagged(spark: SparkSession, path: str, m: dict, rels: "list[str]") 
             F.lit(None).cast("bigint").alias("__dak_pos"),
         )
     files = [os.path.join(path, f) for f in rels]
-    tagged = spark.read.schema(schema).parquet(*files).select(
+    tagged = _data_reader(spark, schema).parquet(*files).select(
         *names,
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__dak_file"),
         F.col("_metadata.row_index").alias("__dak_pos"),
@@ -941,14 +1075,18 @@ def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> D
         return spark.createDataFrame([], schema)
     dvs = m.get("deletes") or []
     if not dvs:
-        return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in rels])
+        return _data_reader(spark, schema).parquet(
+            *[os.path.join(path, f) for f in rels]
+        )
     dv_names = set(_dv_positions(path, dvs))  # driver-side tiny read
     hit = [f for f in rels if f.rsplit("/", 1)[-1] in dv_names]
     clean = [f for f in rels if f.rsplit("/", 1)[-1] not in dv_names]
     parts = []
     if clean:
         parts.append(
-            spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in clean])
+            _data_reader(spark, schema).parquet(
+                *[os.path.join(path, f) for f in clean]
+            )
         )
     if hit:
         parts.append(_visible_tagged(spark, path, m, hit).select(*schema.fieldNames()))
@@ -1074,7 +1212,9 @@ def snapshot_changes(
         delta = [f for f in until_m["files"] if f not in base]
         if not delta:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in delta])
+        return _data_reader(spark, schema).parquet(
+            *[os.path.join(path, f) for f in delta]
+        )
     # CDF mode: per-version change records, stamped with their commit
     # version so a consumer can ORDER them — a key deleted at v2 and
     # re-inserted at v3 is ambiguous without it (Delta emits
@@ -1268,7 +1408,22 @@ def snapshot_compact(
         # compaction is the scheduled physical erase for merge-on-read
         # deletes (the overwrite manifest carries no "deletes")
         df = _visible_df(spark, path, m, m["files"])
-        if zorder_by:
+        pb = m.get("partition_by") or []
+        if zorder_by and pb:
+            # partitioned table: the hive dirs are the outer clustering;
+            # hash each partition value into one task and Z-sort inside
+            # it, so staging's partitionBy emits ~one z-clustered file
+            # per value (a global range-partition would scatter every
+            # value across tasks and explode the file count)
+            from .parquet import zorder_column
+
+            zdf, key = zorder_column(df, zorder_by, bits)
+            out = (
+                zdf.repartition(n_out, *[F.col(c) for c in pb])
+                .sortWithinPartitions(*pb, key)
+                .drop(key)
+            )
+        elif zorder_by:
             from .parquet import zorder_column
 
             zdf, key = zorder_column(df, zorder_by, bits)
@@ -1277,6 +1432,8 @@ def snapshot_compact(
                 .sortWithinPartitions(key)
                 .drop(key)
             )
+        elif pb:
+            out = df.repartition(n_out, *[F.col(c) for c in pb])
         else:
             out = df.repartition(n_out)
         try:
@@ -1434,6 +1591,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "schema_ddl": m["schema_ddl"],
         "schema_json": m["schema_json"],
         "stream_batch_id": m.get("stream_batch_id"),
+        "partition_by": m.get("partition_by"),
         "deletes": m.get("deletes"),
         "constraints": m.get("constraints"),
         "committed_at": time.time(),
@@ -1578,7 +1736,9 @@ def snapshot_delete(
         # a NULL predicate (e.g. col = 'x' on a NULL) must KEEP the row —
         # plain ~cond would silently drop it (three-valued logic)
         keep = df.filter(~cond | cond.isNull())
-        new_files, new_stats = _stage_files(keep, path, compression)
+        new_files, new_stats = _stage_files(
+            keep, path, compression, m.get("partition_by")
+        )
         # footer stats give the surviving row count for free; a file
         # whose stats collection failed falls back to its own footer
         after = 0
@@ -1707,7 +1867,9 @@ def snapshot_update(
             dv_files, _ = _stage_files(dv.repartition(1), path, compression)
             # pin ONE evaluation of the RHS (see copy-on-write branch)
             patched = matched.select(*cols).localCheckpoint(eager=True)
-            new_files, new_stats = _stage_files(patched, path, compression)
+            new_files, new_stats = _stage_files(
+                patched, path, compression, m.get("partition_by")
+            )
             _enforce_constraints(spark, m, path, new_files, schema=schema)
             stats = dict(m.get("stats", {}))
             stats.update(new_stats)
@@ -1746,7 +1908,9 @@ def snapshot_update(
                 *cols, cond.alias("__dak_chg")
             ).localCheckpoint(eager=True)
             out_df = pinned.drop("__dak_chg")
-        new_files, new_stats = _stage_files(out_df, path, compression)
+        new_files, new_stats = _stage_files(
+            out_df, path, compression, m.get("partition_by")
+        )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
         stats.update(new_stats)
@@ -1948,7 +2112,9 @@ def snapshot_merge(
         if not rewritten and not inserted:
             return _zero(head, len(m["files"]))
         out = _union_all(parts)
-        new_files, new_stats = _stage_files(out, path, compression)
+        new_files, new_stats = _stage_files(
+            out, path, compression, m.get("partition_by")
+        )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
         stats.update(new_stats)
@@ -2014,6 +2180,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "schema_ddl": src["schema_ddl"],
             "schema_json": src["schema_json"],
             "stream_batch_id": src.get("stream_batch_id"),
+            "partition_by": src.get("partition_by"),
             "deletes": src.get("deletes"),
             "constraints": src.get("constraints"),
             "committed_at": time.time(),
@@ -2546,19 +2713,33 @@ def snapshot_vacuum(
                 os.unlink(ck)
     removed_files = 0
     data_dir = os.path.join(path, _DATA)
-    for name in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
-        rel = f"{_DATA}/{name}"
-        full = os.path.join(data_dir, name)
-        if name.endswith(".parquet") and rel not in referenced:
-            if rel in last_in:
-                deref = manifests.get(last_in[rel] + 1, {}).get("committed_at", 0.0)
-                expired = deref < cutoff
-            else:
-                expired = stale(full)
-            if expired:
-                if not dry_run:
-                    os.unlink(full)
-                removed_files += 1
+    walk = os.walk(data_dir) if os.path.isdir(data_dir) else ()
+    for dirpath, _dirs, names in walk:
+        sub = os.path.relpath(dirpath, data_dir)
+        prefix = _DATA if sub == "." else f"{_DATA}/{sub.replace(os.sep, '/')}"
+        for name in names:
+            rel = f"{prefix}/{name}"
+            full = os.path.join(dirpath, name)
+            if name.endswith(".parquet") and rel not in referenced:
+                if rel in last_in:
+                    deref = manifests.get(last_in[rel] + 1, {}).get(
+                        "committed_at", 0.0
+                    )
+                    expired = deref < cutoff
+                else:
+                    expired = stale(full)
+                if expired:
+                    if not dry_run:
+                        os.unlink(full)
+                    removed_files += 1
+    if not dry_run and os.path.isdir(data_dir):
+        # hive partition dirs emptied by the GC disappear with it
+        for dirpath, _dirs, _names in os.walk(data_dir, topdown=False):
+            if dirpath != data_dir and not os.listdir(dirpath):
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
     for name in os.listdir(path):
         full = os.path.join(path, name)
         if name.startswith(".staging-") and stale(full) and not dry_run:

@@ -1,0 +1,213 @@
+"""Partition columns on snapshot tables (VERDICT r5 missing item 2).
+
+Hive-style layout (``data/c=v/...``) where — unlike Spark's own
+``partitionBy`` — the partition column STAYS inside every data file
+(a staging-only shadow feeds the directory split). Partition pruning is
+therefore exact min==max stats pruning with zero extra machinery, the
+spec is sticky across appends/DML/compact, and every reader face works
+unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import dask_awkward_spark.sources.snapshot as snap
+from dask_awkward_spark.sources.snapshot import (
+    SnapshotConflictError,
+    snapshot_changes,
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_restore,
+    snapshot_update,
+    snapshot_vacuum,
+    snapshot_write,
+)
+
+
+def _days(spark, lo, hi, n_days=5):
+    return (
+        spark.range(lo, hi)
+        .withColumn("day", (F.col("id") % n_days).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+    )
+
+
+def test_partitioned_write_layout_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 100), p, partition_by=["day"])
+    m = snap._read_manifest(p, 1)
+    assert m["partition_by"] == ["day"]
+    # hive dirs on disk, every manifest relpath routed through them
+    assert sorted(os.listdir(f"{p}/data")) == [f"day={d}" for d in range(5)]
+    assert all(f.startswith("data/day=") for f in m["files"])
+    # partition pruning IS stats pruning: day=3 keeps only that dir's files
+    kept, skipped = snap._prune_files(m, [("day", "=", 3)], None)
+    assert skipped > 0 and all("day=3/" in f for f in kept)
+    got = snapshot_read(spark, p, where=[("day", "=", 3)])
+    assert sorted(r.id for r in got.collect()) == [i for i in range(100) if i % 5 == 3]
+    # the partition column is INSIDE the files: a plain pyarrow read of
+    # one file sees it (self-contained files, unlike Spark partitionBy)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(p, kept[0]))
+    assert "day" in t.column_names and set(t["day"].to_pylist()) == {3}
+
+
+def test_partition_spec_is_sticky_and_append_cannot_change_it(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 50), p, partition_by=["day"])
+    snapshot_write(_days(spark, 50, 70), p, mode="append")  # inherits
+    m = snap._read_manifest(p, 2)
+    assert m["partition_by"] == ["day"]
+    assert all(f.startswith("data/day=") for f in m["files"])
+    with pytest.raises(ValueError, match="only overwrite may repartition"):
+        snapshot_write(_days(spark, 70, 80), p, mode="append", partition_by=["v"])
+    # overwrite also inherits when omitted; explicit [] un-partitions
+    snapshot_write(_days(spark, 0, 20), p, mode="overwrite")
+    assert snap._read_manifest(p, 3)["partition_by"] == ["day"]
+    snapshot_write(_days(spark, 0, 20), p, mode="overwrite", partition_by=[])
+    m = snap._read_manifest(p, 4)
+    assert m["partition_by"] is None
+    assert all("/" not in f[len("data/") :] for f in m["files"])
+
+
+def test_partition_by_validation(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    df = _days(spark, 0, 10).withColumn("f", F.col("id") * 0.5)
+    with pytest.raises(ValueError, match="not in schema"):
+        snapshot_write(df, p, partition_by=["nope"])
+    with pytest.raises(ValueError, match="round-trip exactly"):
+        snapshot_write(df, p, partition_by=["f"])  # float: refused
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_write(df, p, partition_by=["day", "day"])
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_write(df.withColumn("__dakp_x", F.lit(1)), p)
+
+
+def test_dml_preserves_partition_layout(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 100), p, partition_by=["day"])
+    snapshot_delete(spark, p, [("day", "=", 1)])
+    snapshot_update(spark, p, [("day", "=", 2)], {"v": F.lit(0).cast("bigint")})
+    src = (
+        spark.range(200, 210)
+        .withColumn("day", F.lit(0).cast("int"))
+        .withColumn("v", F.lit(1).cast("bigint"))
+    )
+    snapshot_merge(spark, p, src, on=["id"])
+    m = snap._read_manifest(p, snap._versions(p)[-1])
+    assert m["partition_by"] == ["day"]
+    assert all(f.startswith("data/day=") for f in m["files"])
+    got = snapshot_read(spark, p)
+    assert got.filter(F.col("day") == 1).count() == 0
+    assert got.filter((F.col("day") == 2) & (F.col("v") != 0)).count() == 0
+    assert got.filter(F.col("id") >= 200).count() == 10
+    # change feed survives partitioned DML
+    ch = snapshot_changes(spark, p, since=1, row_level=True)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 20
+
+
+def test_compact_partitioned_one_file_per_value(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 50), p, partition_by=["day"])
+    snapshot_write(_days(spark, 50, 100), p, mode="append")
+    before = len(snap._read_manifest(p, 2)["files"])
+    v = snapshot_compact(spark, p)
+    m = snap._read_manifest(p, v)
+    assert m["partition_by"] == ["day"]
+    assert all(f.startswith("data/day=") for f in m["files"])
+    assert len(m["files"]) == 5 < before  # one per partition value
+    assert snapshot_read(spark, p).count() == 100
+    # z-order within partitions keeps the layout too
+    v = snapshot_compact(spark, p, zorder_by=["v"])
+    m = snap._read_manifest(p, v)
+    assert all(f.startswith("data/day=") for f in m["files"])
+    assert snapshot_read(spark, p).count() == 100
+
+
+def test_vacuum_gcs_emptied_partition_dirs(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 50), p, partition_by=["day"])
+    snapshot_write(
+        _days(spark, 0, 10, n_days=2), p, mode="overwrite", partition_by=["day"]
+    )
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert stats["removed_files"] > 0
+    assert sorted(os.listdir(f"{p}/data")) == ["day=0", "day=1"]
+    assert snapshot_read(spark, p).count() == 10
+
+
+def test_restore_across_repartitioning_overwrite(spark, tmp_path):
+    """Time travel and RESTORE across a layout change: v1 flat, v2
+    hive — both must read, and restore brings the old layout's files
+    (and its recorded spec) back."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 30), p)  # flat
+    snapshot_write(_days(spark, 0, 100), p, mode="overwrite", partition_by=["day"])
+    assert snapshot_read(spark, p, version=1).count() == 30
+    assert snapshot_read(spark, p, version=2).count() == 100
+    snapshot_restore(p, 1)
+    m = snap._read_manifest(p, 3)
+    assert m["partition_by"] is None
+    assert snapshot_read(spark, p).count() == 30
+    # appends after the restore follow the restored (flat) spec
+    snapshot_write(_days(spark, 30, 40), p, mode="append")
+    assert all("/" not in f[len("data/") :] for f in snap._read_manifest(p, 4)["files"])
+
+
+def test_partitioned_null_and_string_values(spark, tmp_path):
+    """NULL partition values land in the hive default dir and read back
+    as NULL; string values with URL-escaped characters round-trip."""
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "us east"), (2, None), (3, "a/b:c"), (4, "us east")],
+        "id int, region string",
+    )
+    snapshot_write(df, p, partition_by=["region"])
+    got = {(r.id, r.region) for r in snapshot_read(spark, p).collect()}
+    assert got == {(1, "us east"), (2, None), (3, "a/b:c"), (4, "us east")}
+    # pruning on the string partition keeps only that dir (+ no stats
+    # files) and never loses the NULL row from full reads
+    kept, skipped = snap._prune_files(
+        snap._read_manifest(p, 1), [("region", "=", "us east")], None
+    )
+    assert skipped >= 1
+    assert snapshot_read(spark, p, where=[("region", "=", "us east")]).count() == 2
+
+
+def test_partitioned_stream_and_cdf_faces(spark, tmp_path):
+    """The exactly-once batch feed and row-level CDF read partitioned
+    commits like flat ones (basename-keyed DVs, subdir relpaths)."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 40), p, partition_by=["day"])
+    snapshot_write(_days(spark, 40, 60), p, mode="append")
+    delta = snapshot_changes(spark, p, since=1)
+    assert sorted(r.id for r in delta.collect()) == list(range(40, 60))
+    # merge-on-read delete: DV anti-join against partitioned files
+    snapshot_delete(spark, p, [("day", "=", 0)], strategy="merge-on-read")
+    m = snap._read_manifest(p, 3)
+    assert m.get("deletes")
+    got = snapshot_read(spark, p)
+    assert got.filter(F.col("day") == 0).count() == 0
+    assert got.count() == 48
+
+
+def test_partitioned_dist_prune_agrees(spark, tmp_path, monkeypatch):
+    """The executor-side prune path sees partition bounds through the
+    checkpoint stats parquet exactly like the driver loop."""
+    monkeypatch.setattr(snap, "_CKPT_EVERY", 1)
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 100), p, partition_by=["day"])
+    head = snap._versions(p)[-1]
+    m = snap._read_manifest(p, head)
+    for where in ([("day", "=", 3)], [("day", ">=", 4)], [("day", "in", [0, 2])]):
+        driver, _ = snap._prune_files(m, where, None)
+        dist = snap._dist_prune_files(spark, p, head, m, where)
+        assert dist == driver and len(driver) < len(m["files"])

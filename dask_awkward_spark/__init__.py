@@ -52,6 +52,8 @@ from .sources.parquet import (
 )
 from .sources.json import from_json, to_json
 from .sources.snapshot import (
+    CommitBackend,
+    set_commit_backend,
     snapshot_add_constraint,
     snapshot_apply_changes,
     SnapshotBatchReplayedError,

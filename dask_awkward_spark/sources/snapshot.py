@@ -36,11 +36,14 @@ Concurrency contract (same shape as Delta's):
   manifest's recorded schema so mixed files can never make Spark's
   footer sampling nondeterministic.
 
-Local filesystem notes (documented contract): atomic commit uses
-``os.link`` create-if-absent semantics, which holds on POSIX and on
-HDFS-style stores via their atomic rename; on S3 proper, a real
-deployment swaps the commit primitive for a conditional PUT — the
-call site is isolated in :func:`_commit_manifest`.
+Commit primitive (pluggable, :func:`set_commit_backend`): every commit
+funnels through :class:`CommitBackend.put_if_absent` — atomically
+publish bytes iff the key is absent. :class:`PosixLinkBackend`
+(default) uses ``os.link`` create-if-absent (POSIX, HDFS-style);
+:class:`ConditionalPutBackend` is the object-store shape — a native
+conditional PUT (S3 ``If-None-Match: *``) in a real deployment,
+emulated locally with the lock-object protocol (Delta's LogStore-for-S3
+pattern) so the whole DML surface is exercised against both semantics.
 """
 
 from __future__ import annotations
@@ -202,30 +205,156 @@ def _encode_manifest(manifest: dict, parent_m: "dict | None") -> dict:
     return delta
 
 
+class CommitBackend:
+    """The ONE storage primitive the whole DML surface needs: atomically
+    publish ``data`` at ``final`` iff no object exists there yet. Every
+    commit in this module funnels through :meth:`put_if_absent`, so
+    porting snapshot tables to a new store means implementing this one
+    method — nothing else in the layer touches the commit race.
+
+    Contract: returns True iff THIS call created the object; False iff
+    the object already existed (another writer won the version). On
+    True, the full payload must be visible to any subsequent reader
+    (no torn objects); concurrent callers on the same ``final`` must
+    serialize such that exactly one returns True."""
+
+    name = "?"
+
+    def put_if_absent(self, final: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+
+class PosixLinkBackend(CommitBackend):
+    """POSIX / HDFS-style stores: write a temp file, then ``os.link``
+    it to the final name — link is create-if-absent and atomic, so the
+    loser of a version race gets FileExistsError and no reader can ever
+    observe a partially-written manifest."""
+
+    name = "posix-link"
+
+    def put_if_absent(self, final: str, data: bytes) -> bool:
+        d = os.path.dirname(final)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            try:
+                os.link(tmp, final)  # create-if-absent: fails iff exists
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+
+class ConditionalPutBackend(CommitBackend):
+    """Object-store commit: one conditional whole-object PUT.
+
+    On stores with a native precondition (S3 ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, Azure ``If-None-Match``), a deployment maps
+    :meth:`put_if_absent` to that single request and deletes the rest of
+    this class. Stores WITHOUT it need an external mutual-exclusion
+    object (the Delta ``LogStore``-for-S3 pattern: a DynamoDB/lock-file
+    record per manifest name), which is what the local emulation
+    implements — a lock OBJECT acquired create-if-absent, an existence
+    check, an atomic whole-object publish, then lock release:
+
+    - acquire ``.lock-<name>`` with O_EXCL (the DynamoDB put-if-absent);
+    - if the manifest already exists, release and report the lost race;
+    - publish via temp write + ``os.replace`` (readers see none-or-all,
+      like a completed PUT);
+    - locks left by crashed writers expire after ``lock_ttl`` seconds
+      and are broken by the next writer (the lock record's TTL).
+    """
+
+    name = "conditional-put"
+    lock_ttl = 60.0
+    acquire_timeout = 30.0
+
+    def put_if_absent(self, final: str, data: bytes) -> bool:
+        d = os.path.dirname(final)
+        lock = os.path.join(d, f".lock-{os.path.basename(final)}")
+        deadline = time.time() + self.acquire_timeout
+        while True:
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                try:
+                    held_for = time.time() - os.lstat(lock).st_mtime
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if held_for > self.lock_ttl:
+                    # crashed holder: break the expired lock; the O_EXCL
+                    # reacquire above still elects exactly one breaker
+                    try:
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire commit lock {lock} within "
+                        f"{self.acquire_timeout}s (held {held_for:.1f}s)"
+                    )
+                time.sleep(0.005)
+        try:
+            if os.path.exists(final):
+                return False
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+            try:
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, final)  # atomic publish under the lock
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            return True
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+
+_BACKENDS = {b.name: b for b in (PosixLinkBackend(), ConditionalPutBackend())}
+_COMMIT_BACKEND = _BACKENDS[
+    os.environ.get("DAK_SNAPSHOT_COMMIT_BACKEND", PosixLinkBackend.name)
+]
+
+
+def set_commit_backend(backend: "CommitBackend | str") -> CommitBackend:
+    """Select the commit primitive for this process ('posix-link',
+    'conditional-put', or any CommitBackend instance); returns the
+    previous one so tests/deployments can restore it."""
+    global _COMMIT_BACKEND
+    prev = _COMMIT_BACKEND
+    if isinstance(backend, str):
+        if backend not in _BACKENDS:
+            raise ValueError(f"unknown backend {backend!r}: {sorted(_BACKENDS)}")
+        backend = _BACKENDS[backend]
+    _COMMIT_BACKEND = backend
+    return prev
+
+
 def _commit_manifest(
     path: str, version: int, manifest: dict, parent_m: "dict | None" = None
 ) -> bool:
     """Atomically claim ``version``; False if another writer won the race.
 
     ``manifest`` is always the full logical manifest; ``parent_m`` (the
-    resolved parent) enables delta encoding on disk. Winning a full
-    (checkpoint) commit also drops the typed stats parquet for
-    executor-side pruning — best-effort, readers fall back without it."""
+    resolved parent) enables delta encoding on disk. The atomic
+    create-if-absent itself is delegated to the selected
+    :class:`CommitBackend`. Winning a full (checkpoint) commit also
+    drops the typed stats parquet for executor-side pruning —
+    best-effort, readers fall back without it."""
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     payload = _encode_manifest(manifest, parent_m)
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-    try:
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=1)
-        final = _manifest_file(path, version)
-        try:
-            os.link(tmp, final)  # create-if-absent: fails iff version exists
-        except FileExistsError:
-            return False
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    data = json.dumps(payload, indent=1).encode()
+    if not _COMMIT_BACKEND.put_if_absent(_manifest_file(path, version), data):
+        return False
     if "delta_of" not in payload:
         _write_ckpt_parquet(path, version, manifest)
     return True
@@ -2747,6 +2876,10 @@ def snapshot_vacuum(
     md = _manifest_dir(path)
     for name in os.listdir(md) if os.path.isdir(md) else []:
         full = os.path.join(md, name)
-        if name.startswith(".tmp-") and stale(full) and not dry_run:
+        if (
+            (name.startswith(".tmp-") or name.startswith(".lock-"))
+            and stale(full)
+            and not dry_run
+        ):
             os.unlink(full)
     return {"removed_manifests": len(drop), "removed_files": removed_files}

@@ -624,25 +624,81 @@ def test_snapshot_write_accepts_nested_array(spark, tmp_path):
     assert got.count() == 3
 
 
-def test_concurrent_appends_all_land(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["posix-link", "conditional-put"])
+def test_concurrent_appends_all_land(spark, tmp_path, backend):
     """REAL concurrency (not simulated): 6 threads append through the
-    O_EXCL commit protocol at once; every append must land in some
-    version order with no lost rows and a contiguous version chain."""
+    commit protocol at once; every append must land in some version
+    order with no lost rows and a contiguous version chain — under BOTH
+    commit backends (O_EXCL link and the object-store lock protocol)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from dask_awkward_spark.sources.snapshot import set_commit_backend
+
     p = str(tmp_path / "tbl")
-    snapshot_write(spark.range(0), p)  # empty table creation
+    prev = set_commit_backend(backend)
+    try:
+        snapshot_write(spark.range(0), p)  # empty table creation
 
-    def append(k):
-        return snapshot_write(spark.range(k * 100, k * 100 + 10), p, mode="append")
+        def append(k):
+            return snapshot_write(
+                spark.range(k * 100, k * 100 + 10), p, mode="append"
+            )
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
-        got_versions = sorted(ex.map(append, range(6)))
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            got_versions = sorted(ex.map(append, range(6)))
+    finally:
+        set_commit_backend(prev)
     assert got_versions == [2, 3, 4, 5, 6, 7]  # every writer won exactly one
     rows = sorted(r.id for r in snapshot_read(spark, p).collect())
     assert rows == sorted(x for k in range(6) for x in range(k * 100, k * 100 + 10))
     log = snapshot_versions(p)
     assert [m["version"] for m in log] == list(range(1, 8))  # contiguous
+
+
+def test_commit_backend_primitive_contract(tmp_path):
+    """put_if_absent: exactly one winner under a thread race, loser
+    sees the winner's full payload, and a crashed writer's expired lock
+    is broken (conditional-put backend only)."""
+    import threading
+
+    from dask_awkward_spark.sources.snapshot import (
+        ConditionalPutBackend,
+        PosixLinkBackend,
+    )
+
+    for backend in (PosixLinkBackend(), ConditionalPutBackend()):
+        d = tmp_path / backend.name
+        d.mkdir()
+        final = str(d / "v00000001.json")
+        wins = []
+        barrier = threading.Barrier(8)
+
+        def claim(k, final=final, backend=backend, barrier=barrier, wins=wins):
+            barrier.wait()
+            if backend.put_if_absent(final, b'{"writer": %d}' % k):
+                wins.append(k)
+
+        ts = [threading.Thread(target=claim, args=(k,)) for k in range(8)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert len(wins) == 1, backend.name
+        with open(final, "rb") as f:
+            assert f.read() == b'{"writer": %d}' % wins[0], backend.name
+        # no stray temp/lock objects survive a completed race
+        leftovers = [n for n in os.listdir(d) if n != "v00000001.json"]
+        assert leftovers == [], (backend.name, leftovers)
+
+    # expired lock from a crashed holder is broken, fresh lock is honored
+    cp = ConditionalPutBackend()
+    d2 = tmp_path / "stale"
+    d2.mkdir()
+    final2 = str(d2 / "v00000002.json")
+    lock = d2 / ".lock-v00000002.json"
+    lock.touch()
+    old = __import__("time").time() - cp.lock_ttl - 5
+    os.utime(lock, (old, old))
+    assert cp.put_if_absent(final2, b"{}")  # broke the stale lock
+    assert not lock.exists()
 
 
 def test_snapshot_delete_copy_on_write(spark, tmp_path):

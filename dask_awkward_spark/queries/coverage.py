@@ -651,6 +651,92 @@ GROUP BY o_orderpriority
 """
 
 
+def io_snapshot_widen(spark, sf_dir):
+    """Type-widening lifecycle under an oracle: v1 commits the low keys
+    at NARROW types (int key, float balance), a merge_schema append
+    lands the high keys WIDE (bigint, double) — the recorded schema
+    widens losslessly — and a narrow third-producer append then upcasts
+    into the wide table. Reading the mixed-width lineage back must equal
+    plain SQL over all source rows at the wide types, proving both
+    reader faces upcast old files exactly (Delta type-widening
+    semantics)."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_read, snapshot_write
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapwide_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    hi = cust.agg(F.max("c_custkey")).first()[0]
+    lo_cut, hi_cut = hi // 3, 2 * hi // 3
+    try:
+        snapshot_write(  # narrow generation: int key, float balance
+            cust.filter(F.col("c_custkey") <= lo_cut).select(
+                F.col("c_custkey").cast("int").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.col("c_acctbal").cast("float").alias("bal"),
+            ),
+            path,
+        )
+        snapshot_write(  # wide generation: widens the recorded schema
+            cust.filter(
+                (F.col("c_custkey") > lo_cut) & (F.col("c_custkey") <= hi_cut)
+            ).select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.col("c_acctbal").alias("bal"),
+            ),
+            path,
+            mode="append",
+            merge_schema=True,
+        )
+        snapshot_write(  # late narrow producer upcasts into the wide table
+            cust.filter(F.col("c_custkey") > hi_cut).select(
+                F.col("c_custkey").cast("int").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.col("c_acctbal").cast("float").alias("bal"),
+            ),
+            path,
+            mode="append",
+            merge_schema=True,
+        )
+        # group by segment; balances summed as exact cents. The narrow
+        # generations round-tripped through float32, so the oracle casts
+        # the same rows through REAL to hit identical values.
+        return (
+            snapshot_read(spark, path)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("bal"))).alias("bal_c"),
+                F.max("k").alias("max_k"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_WIDEN_SQL = """
+WITH mx AS (SELECT max(c_custkey) AS hi FROM customer),
+lineage AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS bal
+  FROM customer, mx WHERE c_custkey <= hi // 3 OR c_custkey > 2 * hi // 3
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer, mx WHERE c_custkey > hi // 3 AND c_custkey <= 2 * hi // 3
+)
+SELECT seg, count(*) AS n,
+       CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c,
+       max(k) AS max_k
+FROM lineage GROUP BY seg
+"""
+
+
 IO_SNAPSHOT_MERGE_SQL = """
 WITH mx AS (SELECT max(c_custkey) AS hi FROM customer),
 merged AS (
@@ -686,6 +772,7 @@ QUERIES = {
     "io_snapshot_mor_delete": io_snapshot_mor_delete,
     "io_snapshot_cdf": io_snapshot_cdf,
     "io_snapshot_partitioned": io_snapshot_partitioned,
+    "io_snapshot_widen": io_snapshot_widen,
 }
 
 ORACLES = {
@@ -708,6 +795,7 @@ ORACLES = {
     "io_snapshot_mor_delete": IO_SNAPSHOT_MOR_SQL,
     "io_snapshot_cdf": IO_SNAPSHOT_CDF_SQL,
     "io_snapshot_partitioned": IO_SNAPSHOT_PART_SQL,
+    "io_snapshot_widen": IO_SNAPSHOT_WIDEN_SQL,
 }
 
 

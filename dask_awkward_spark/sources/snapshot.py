@@ -32,9 +32,10 @@ Concurrency contract (same shape as Delta's):
   ``retentionDurationCheck`` caveat — because staged-but-uncommitted
   files are indistinguishable from garbage.
 - appends must match the head's schema exactly (``merge_schema=True``
-  admits NEW columns; type changes are always refused); reads pin the
-  manifest's recorded schema so mixed files can never make Spark's
-  footer sampling nondeterministic.
+  admits NEW columns and lossless numeric WIDENING — int chain,
+  float->double, decimal growth; any other type change is refused);
+  reads pin the manifest's recorded schema so mixed files can never
+  make Spark's footer sampling nondeterministic.
 
 Commit primitive (pluggable, :func:`set_commit_backend`): every commit
 funnels through :class:`CommitBackend.put_if_absent` — atomically
@@ -553,29 +554,76 @@ def _stage_files(
     return files, stats
 
 
+# Lossless numeric widening (Delta's type-widening matrix, the subset
+# Spark 4's vectorized parquet reader upcasts natively so files written
+# at EITHER width read back correctly under the pinned wide schema):
+# the integer chain, float->double, and sub-long integers -> double
+# (bigint->double would lose precision above 2^53 — refused).
+_INT_CHAIN = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
+def _widened(a: str, b: str) -> "str | None":
+    """The wider of two simpleString scalar types under the lossless
+    widening lattice; None if neither losslessly widens to the other."""
+    if a == b:
+        return a
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return a if _INT_CHAIN[a] >= _INT_CHAIN[b] else b
+    fl = {"float": 1, "double": 2}
+    if a in fl and b in fl:
+        return "double"
+    for x, y in ((a, b), (b, a)):
+        if x == "double" and _INT_CHAIN.get(y, 9) <= 3:
+            return "double"  # tinyint/smallint/int -> double is exact
+    if a.startswith("decimal(") and b.startswith("decimal("):
+        (pa_, sa), (pb, sb) = (
+            tuple(int(v) for v in t[8:-1].split(",")) for t in (a, b)
+        )
+        # the union keeps every integer digit AND every fraction digit
+        # of both sides, so it dominates each losslessly
+        p, s = max(pa_ - sa, pb - sb) + max(sa, sb), max(sa, sb)
+        if p <= 38:
+            return f"decimal({p},{s})"
+    return None
+
+
 def _merge_schemas(old: StructType, new: StructType) -> StructType:
     """Widen ``old`` with columns only ``new`` has (all nullable — old
-    files lack them); a type change on a shared column is refused.
-    Name matching is case-INSENSITIVE (Spark's default resolution):
-    a case-variant of an existing column is the same column — the old
-    spelling wins — never a duplicate that would make every later read
-    ambiguous."""
-    from pyspark.sql.types import StructField
+    files lack them) and widen SHARED columns to the lossless common
+    numeric type (int chain / float->double / decimal, Delta's
+    type-widening semantics — files at either width read back exactly
+    under the pinned wide schema on both reader faces); any other type
+    change (narrowing, rename-as-change, nested edits) is refused
+    loudly. Name matching is case-INSENSITIVE (Spark's default
+    resolution): a case-variant of an existing column is the same
+    column — the old spelling wins — never a duplicate that would make
+    every later read ambiguous."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
 
-    old_types = {f.name.lower(): f.dataType.simpleString() for f in old.fields}
-    for f in new.fields:
-        key = f.name.lower()
-        if key in old_types and f.dataType.simpleString() != old_types[key]:
-            raise ValueError(
-                f"merge_schema cannot change column {f.name!r}: "
-                f"{old_types[key]} -> {f.dataType.simpleString()}"
-            )
-    added = [
+    new_by_key = {f.name.lower(): f for f in new.fields}
+    merged = []
+    for f in old.fields:
+        nf = new_by_key.get(f.name.lower())
+        dt = f.dataType
+        if nf is not None and nf.dataType.simpleString() != f.dataType.simpleString():
+            wide = _widened(f.dataType.simpleString(), nf.dataType.simpleString())
+            if wide is None:
+                raise ValueError(
+                    f"merge_schema cannot change column {f.name!r}: "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{nf.dataType.simpleString()} is not a lossless "
+                    "numeric widening (int chain, float->double, "
+                    "sub-long int->double, decimal growth)"
+                )
+            dt = _parse_datatype_string(wide)
+        merged.append(StructField(f.name, dt, nullable=True))
+    old_keys = {f.name.lower() for f in old.fields}
+    merged += [
         StructField(f.name, f.dataType, nullable=True)
         for f in new.fields
-        if f.name.lower() not in old_types
+        if f.name.lower() not in old_keys
     ]
-    return StructType([StructField(f.name, f.dataType, nullable=True) for f in old.fields] + added)
+    return StructType(merged)
 
 
 def snapshot_write(

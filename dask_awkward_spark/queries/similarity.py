@@ -373,8 +373,44 @@ FROM qd
 """
 
 
+def sim_incremental(spark, sf_dir):
+    """Incremental IVF index (functions/simindex.py) under an oracle:
+    the embeddings land in a persistent cell-partitioned snapshot index
+    over THREE ingest chunks (each append O(delta) — assignment is a
+    per-row argmax-dot expression, the existing index is never read),
+    then vec 0's top-10 is answered by probing its best 2 cells — the
+    scan partition-prunes to those cells' files alone. The result must
+    equal DuckDB's single-pass batch IVF over the raw table: fixed
+    centroids make a vector's cell independent of ingest order, so
+    chunked == batch exactly (the ANN twin of dedup_incremental)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.simindex import ivf_index_add, ivf_search
+
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"{tempfile.gettempdir()}/dakspark_simidx_{sf_tag}_{_os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    cents = _centroids()
+    try:
+        cuts = (-1, hi // 3, 2 * hi // 3, hi)
+        for lo, up in zip(cuts, cuts[1:]):
+            chunk = emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= up))
+            ivf_index_add(spark, path, chunk, cents, e_col="e")
+        out = ivf_search(
+            spark, path, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=2
+        ).select("vec_id", "cell", "cos")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_incremental": sim_incremental,
     "sim_knn_per_query": sim_knn_per_query,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_ivf_topk": sim_ivf_topk,
@@ -387,6 +423,9 @@ ORACLES = {
     "sim_knn_per_query": SIM_KNN_SQL,
     "sim_lsh_buckets": _lsh_sql(),
     "sim_ivf_topk": _ivf_sql(),
+    # chunked == batch: the incremental index must reproduce the
+    # single-pass batch IVF answer bit-for-bit
+    "sim_incremental": _ivf_sql(),
     "sim_label_centroids": SIM_CENTROID_SQL,
     "sim_quantize_int8": SIM_QUANT_SQL,
 }

@@ -2435,6 +2435,7 @@ def stream_from_snapshot(
     start_version: int = 0,
     versions_per_trigger: int = 10,
     row_level: bool = False,
+    watermark: "tuple[str, str] | None" = None,
 ) -> DataFrame:
     """The change feed as a Structured Streaming SOURCE: each micro-batch
     is the rows appended by up to ``versions_per_trigger`` new table
@@ -2453,9 +2454,20 @@ def stream_from_snapshot(
     files + file-set difference), and replays of an in-flight batch
     re-read exactly the same files. Overwrites in the consumed range
     raise, like :func:`snapshot_changes`; ``start_version=N`` skips
-    history (e.g. attach at the current head)."""
+    history (e.g. attach at the current head).
+
+    ``watermark=("ts_col", "10 minutes")`` declares EVENT-time lateness
+    handling on the stream: commit order is not event order (a late
+    producer may commit old-timestamped rows after newer ones landed),
+    so a windowed consumer needs a watermark to bound its state and
+    to drop too-late rows deterministically. The column is cast from
+    TIMESTAMP_NTZ to TIMESTAMP first when needed (Spark watermarks
+    reject NTZ; the cast reinterprets in session time, matching the
+    batch reader's convention). Versions whose rows are entirely below
+    the consumer's watermark still ADVANCE offsets — late data is
+    dropped by the windowed operator, never stuck in the source."""
     spark.dataSource.register(SnapshotStreamSource)
-    return (
+    out = (
         spark.readStream.format("snapshot_stream")
         .option("path", path)
         .option("start_version", str(start_version))
@@ -2463,6 +2475,18 @@ def stream_from_snapshot(
         .option("row_level", "true" if row_level else "false")
         .load()
     )
+    if watermark is not None:
+        from pyspark.sql.types import TimestampNTZType
+
+        col, delay = watermark
+        if col not in out.columns:
+            raise ValueError(
+                f"watermark column {col!r} not in stream schema {out.columns}"
+            )
+        if isinstance(out.schema[col].dataType, TimestampNTZType):
+            out = out.withColumn(col, F.col(col).cast("timestamp"))
+        out = out.withWatermark(col, delay)
+    return out
 
 
 from pyspark.sql.datasource import (  # noqa: E402 — grouped with their users

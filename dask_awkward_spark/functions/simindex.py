@@ -53,6 +53,72 @@ def ivf_cell(e: Column, centroids: "list[list[float]]") -> Column:
     return F.array_position(ds, F.array_max(ds)).cast("int")
 
 
+#: Query-side row bound for the brute-force baselines. Brute force is
+#: O(|queries| x |corpus|): fine for a broadcast handful of probes,
+#: catastrophic as a join of two large sides. Above this, use the IVF
+#: path (:func:`ivf_search` over an :func:`ivf_index_add` index, or the
+#: ``sim_ivf_topk`` query shape).
+BRUTEFORCE_MAX_QUERY_ROWS = 128
+
+
+def guard_bruteforce_query_side(
+    queries: DataFrame, max_query_rows: int = BRUTEFORCE_MAX_QUERY_ROWS
+) -> int:
+    """Refuse a large query side before a brute-force plan is built.
+
+    Counts at most ``max_query_rows + 1`` rows (a bounded scan, never
+    the full side) and raises if the bound is exceeded, pointing at the
+    IVF scale path. Returns the (bounded) count so callers can also
+    reject empty sides."""
+    n = queries.limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"brute-force similarity is O(queries x corpus) and is "
+            f"capped at {max_query_rows} query rows (got >{max_query_rows}); "
+            "for large query sets build a persistent IVF index "
+            "(functions.simindex.ivf_index_add) and probe it with "
+            "ivf_search — the inverted-file path scans only "
+            "nprobe/n_cells of the corpus per query"
+        )
+    return n
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    e_col: str = "e",
+    max_query_rows: int = BRUTEFORCE_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Exact top-``k`` cosine neighbors per query row — the brute-force
+    BASELINE: broadcast the (small, guarded) query side, scan the
+    corpus once, per-query window top-k. Use for ground truth and
+    interactive probes; the scale path for big query sets is
+    :func:`ivf_search`. Raises via :func:`guard_bruteforce_query_side`
+    when ``queries`` exceeds ``max_query_rows``."""
+    if guard_bruteforce_query_side(queries, max_query_rows) == 0:
+        raise ValueError("queries frame is empty")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(e_col).cast("array<double>").alias("qe")
+        )
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(e_col).cast("array<double>").alias("e")
+    ).crossJoin(q).filter(F.col("vec_id") != F.col("q_id"))
+    cos = dot(F.col("e"), F.col("qe")) / (
+        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", F.round(cos, 6).alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def ivf_index_add(
     spark: SparkSession,
     index_path: str,

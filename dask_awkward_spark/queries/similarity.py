@@ -46,9 +46,19 @@ from ..functions.vectors import dot as _dot  # noqa: E402  (public vector API)
 
 def sim_topk_bruteforce(spark, sf_dir):
     """Top-10 cosine neighbors of vec_id=0 (excluded) — brute-force scan,
-    deterministic tie-break on vec_id."""
+    deterministic tie-break on vec_id.
+
+    BASELINE ONLY: the query side is a guarded broadcast singleton
+    (functions.simindex.guard_bruteforce_query_side refuses >128 query
+    rows). The scale paths are sim_ivf_topk / sim_incremental
+    (functions.simindex.ivf_search) — probe nprobe cells, never the
+    whole corpus per query."""
+    from ..functions.simindex import guard_bruteforce_query_side
+
     emb = _emb(spark, sf_dir)
-    q = F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe")))
+    qside = emb.filter(F.col("vec_id") == 0)
+    guard_bruteforce_query_side(qside)
+    q = F.broadcast(qside.select(F.col("e").alias("qe")))
     cand = emb.filter(F.col("vec_id") != 0).crossJoin(q)
     cos = _dot(F.col("e"), F.col("qe")) / (
         F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("qe"), F.col("qe")))
@@ -75,12 +85,19 @@ ORDER BY cos DESC, vec_id LIMIT 10
 
 def sim_knn_per_query(spark, sf_dir):
     """k-NN for a 5-vector query set: broadcast queries × corpus scan,
-    per-query top-5 via window — the standard batched-ANN baseline plan."""
+    per-query top-5 via window — the standard batched-ANN baseline plan.
+
+    BASELINE ONLY: O(queries x corpus), so the query side is guarded
+    (functions.simindex.guard_bruteforce_query_side, 128-row cap). A
+    large query set belongs on the IVF path — sim_ivf_topk /
+    functions.simindex.ivf_search."""
+    from ..functions.simindex import guard_bruteforce_query_side
+
     emb = _emb(spark, sf_dir)
+    qside = emb.filter(F.col("vec_id") < 5)
+    guard_bruteforce_query_side(qside)
     q = F.broadcast(
-        emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
-        )
+        qside.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
     )
     cand = emb.filter(F.col("vec_id") >= 5).crossJoin(q)
     cos = _dot(F.col("e"), F.col("qe")) / (

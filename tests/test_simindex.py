@@ -142,3 +142,48 @@ def test_validation(spark, tmp_path):
         ivf_search(spark, p, _vecs(spark, 0, 1), cents, nprobe=0)
     with pytest.raises(ValueError, match="empty"):
         ivf_search(spark, p, _vecs(spark, 0, 0), cents)
+
+
+def test_bruteforce_guardrail(spark, tmp_path):
+    """The brute-force baselines refuse a large query side, pointing at
+    the IVF path (VERDICT r5 item 8); small sides pass; knn_bruteforce
+    matches an inline top-k."""
+    from dask_awkward_spark.functions.simindex import (
+        BRUTEFORCE_MAX_QUERY_ROWS,
+        guard_bruteforce_query_side,
+        knn_bruteforce,
+    )
+
+    corpus = _vecs(spark, 0, 300)
+    big = _vecs(spark, 0, BRUTEFORCE_MAX_QUERY_ROWS + 50)
+    with pytest.raises(ValueError, match="ivf_search"):
+        guard_bruteforce_query_side(big)
+    with pytest.raises(ValueError, match="ivf_search"):
+        knn_bruteforce(corpus, big)
+    # exactly at the cap passes (bounded count, not a full scan)
+    assert guard_bruteforce_query_side(
+        _vecs(spark, 0, BRUTEFORCE_MAX_QUERY_ROWS)
+    ) == BRUTEFORCE_MAX_QUERY_ROWS
+    with pytest.raises(ValueError, match="empty"):
+        knn_bruteforce(corpus, _vecs(spark, 0, 0))
+    got = sorted(
+        (r.q_id, r.vec_id, r.cos)
+        for r in knn_bruteforce(corpus, _vecs(spark, 3, 5), k=3).collect()
+    )
+    import numpy as np
+
+    rows = corpus.collect()
+    want = []
+    for qid in (3, 4):
+        qe = next(r.e for r in rows if r.vec_id == qid)
+        qn = float(np.sqrt(np.dot(qe, qe)))
+        scored = sorted(
+            (
+                -round(float(np.dot(r.e, qe)) / (float(np.sqrt(np.dot(r.e, r.e))) * qn), 6),
+                r.vec_id,
+            )
+            for r in rows
+            if r.vec_id != qid
+        )[:3]
+        want += [(qid, v, -c) for c, v in scored]
+    assert got == sorted(want)

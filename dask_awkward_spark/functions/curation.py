@@ -161,8 +161,8 @@ def contamination(
     (id, shingle) once and overlap is one hash aggregate — no doc-pair
     joins, cost linear in corpus shingles. At ``min_overlap > 0`` only
     documents sharing at least one shingle flow past the broadcast
-    probe; at 0.0 one extra id-keyed left join restores the clean
-    population."""
+    probe; at 0.0 a LEFT probe over the same single explode keeps the
+    clean population — the corpus is never shingled twice."""
     from . import textstats as tx
 
     def shingles(frame: DataFrame) -> DataFrame:
@@ -172,38 +172,46 @@ def contamination(
         )
 
     bset = shingles(benchmark).select(F.explode("__sh__").alias("__g__")).distinct()
-    sh = shingles(corpus).filter(F.size("__sh__") > 0)
-    scored = (
-        sh.select(id_col, F.size("__sh__").alias("n_sh"), F.explode("__sh__").alias("__g__"))
-        .join(F.broadcast(bset), "__g__")
-        .groupBy(id_col, "n_sh")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .select(
-            id_col,
-            F.col("n_sh").cast("bigint").alias("n_sh"),
-            "n_shared",
-            (F.col("n_shared") / F.col("n_sh")).alias("frac"),
-        )
-    )
     if min_overlap > 0.0:
-        return scored.filter(F.col("frac") >= min_overlap)
-    # min_overlap == 0.0 promises the FULL population: join the dirty
-    # scores back onto every corpus id (0-shingle docs included) so
-    # clean rows surface as n_shared=0 / frac=0.0 instead of vanishing
-    base = shingles(corpus).select(
-        F.col(id_col), F.size("__sh__").cast("bigint").alias("n_sh")
+        # dirty-only: inner probe drops no-hit rows before the aggregate
+        sh = shingles(corpus).filter(F.size("__sh__") > 0)
+        return (
+            sh.select(
+                id_col,
+                F.size("__sh__").alias("n_sh"),
+                F.explode("__sh__").alias("__g__"),
+            )
+            .join(F.broadcast(bset), "__g__")
+            .groupBy(id_col, "n_sh")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .select(
+                id_col,
+                F.col("n_sh").cast("bigint").alias("n_sh"),
+                "n_shared",
+                (F.col("n_shared") / F.col("n_sh")).alias("frac"),
+            )
+            .filter(F.col("frac") >= min_overlap)
+        )
+    # min_overlap == 0.0 promises the FULL population in ONE corpus
+    # scan: explode_outer keeps 0-shingle docs as a NULL-shingle row, a
+    # LEFT probe of the broadcast set marks hits, and clean rows come
+    # out of the same aggregate as n_shared=0 / frac=0.0 (re-shingling
+    # the corpus for a second id-join would double the dominant cost)
+    ex = shingles(corpus).select(
+        id_col,
+        F.size("__sh__").cast("bigint").alias("n_sh"),
+        F.explode_outer("__sh__").alias("__g__"),
     )
     return (
-        base.join(scored.drop("n_sh"), id_col, "left")
+        ex.join(F.broadcast(bset.withColumn("__hit__", F.lit(1))), "__g__", "left")
+        .groupBy(id_col, "n_sh")
+        .agg(F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_shared"))
         .select(
             id_col,
             "n_sh",
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            "n_shared",
             # ANSI mode: guard the 0-shingle division explicitly
-            F.when(
-                F.col("n_sh") > 0,
-                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_sh"),
-            )
+            F.when(F.col("n_sh") > 0, F.col("n_shared") / F.col("n_sh"))
             .otherwise(F.lit(0.0))
             .alias("frac"),
         )

@@ -120,7 +120,6 @@ def knn_bruteforce(
 
 
 def ivf_index_add(
-    spark: SparkSession,
     index_path: str,
     new_vecs: DataFrame,
     centroids: "list[list[float]]",
@@ -195,10 +194,13 @@ def ivf_search(
         raise ValueError("queries frame is empty")
     probe_cells = sorted({int(c) for r in qrows for c in r.cells})
     idx = snapshot_read(spark, index_path, where=[("cell", "in", probe_cells)])
+    # q_id keeps the caller's id type (string/uuid ids are as legal here
+    # as in ivf_index_add)
+    id_t = queries.schema[id_col].dataType.simpleString()
     qdf = F.broadcast(
         spark.createDataFrame(
             [(r.q_id, r.qe, [int(c) for c in r.cells]) for r in qrows],
-            "q_id bigint, qe array<double>, cells array<int>",
+            f"q_id {id_t}, qe array<double>, cells array<int>",
         )
     )
     cand = idx.join(qdf, F.array_contains(F.col("cells"), F.col("cell")))

@@ -234,13 +234,12 @@ def _centroids() -> list[list[float]]:
 
 
 def _cell_dots_expr(e: F.Column) -> F.Column:
-    dots = []
-    for row in _centroids():
-        warr = F.array(*[F.lit(w) for w in row])
-        dots.append(
-            F.aggregate(F.zip_with(e, warr, lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z)
-        )
-    return F.array(*dots)
+    # single source of truth for the IVF geometry: sim_ivf_topk,
+    # sim_incremental, ivf_index_add and ivf_search must compute
+    # bit-identical dot sums/tie-breaks or chunked == batch breaks
+    from ..functions.simindex import _cell_dots
+
+    return _cell_dots(e, _centroids())
 
 
 def sim_ivf_topk(spark, sf_dir):
@@ -416,7 +415,7 @@ def sim_incremental(spark, sf_dir):
         cuts = (-1, hi // 3, 2 * hi // 3, hi)
         for lo, up in zip(cuts, cuts[1:]):
             chunk = emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= up))
-            ivf_index_add(spark, path, chunk, cents, e_col="e")
+            ivf_index_add(path, chunk, cents, e_col="e")
         out = ivf_search(
             spark, path, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=2
         ).select("vec_id", "cell", "cos")

@@ -145,7 +145,10 @@ def _read_manifest(path: str, version: int) -> dict:
     disk. Deltas recurse to their parent (cached), so a cold read costs
     at most one checkpoint parse + _CKPT_EVERY delta replays."""
     st = os.stat(_manifest_file(path, version))
-    key = (os.path.abspath(path), version, st.st_ino, st.st_mtime_ns)
+    # inode numbers are reused and mtime ticks are coarse; st_size makes
+    # an rmtree+recreate-in-one-tick collision need a byte-identical
+    # length too before stale content could ever be served
+    key = (os.path.abspath(path), version, st.st_ino, st.st_mtime_ns, st.st_size)
     hit = _MANIFEST_CACHE.get(key)
     if hit is not None:
         return hit
@@ -207,11 +210,15 @@ def _encode_manifest(manifest: dict, parent_m: "dict | None") -> dict:
 
 
 class CommitBackend:
-    """The ONE storage primitive the whole DML surface needs: atomically
-    publish ``data`` at ``final`` iff no object exists there yet. Every
-    commit in this module funnels through :meth:`put_if_absent`, so
-    porting snapshot tables to a new store means implementing this one
-    method — nothing else in the layer touches the commit race.
+    """The one CONTENDED storage primitive the DML surface needs:
+    atomically publish ``data`` at ``final`` iff no object exists there
+    yet. Every version-claiming commit funnels through
+    :meth:`put_if_absent` — nothing else in the layer touches the
+    commit race. The remaining storage ops a port must map are all
+    race-free: checkpoint sidecars and vacuum's manifest
+    materialization use overwrite-in-place (``os.replace`` — a plain
+    PUT on an object store, idempotent because every writer of a given
+    name writes identical logical content), and GC uses plain deletes.
 
     Contract: returns True iff THIS call created the object; False iff
     the object already existed (another writer won the version). On
@@ -261,12 +268,22 @@ class ConditionalPutBackend(CommitBackend):
     implements — a lock OBJECT acquired create-if-absent, an existence
     check, an atomic whole-object publish, then lock release:
 
-    - acquire ``.lock-<name>`` with O_EXCL (the DynamoDB put-if-absent);
+    - acquire ``.lock-<name>`` with O_EXCL, the file body carrying the
+      holder's unique token (the DynamoDB put-if-absent of a lock
+      record);
     - if the manifest already exists, release and report the lost race;
     - publish via temp write + ``os.replace`` (readers see none-or-all,
       like a completed PUT);
-    - locks left by crashed writers expire after ``lock_ttl`` seconds
-      and are broken by the next writer (the lock record's TTL).
+    - locks left by crashed writers expire after ``lock_ttl`` seconds.
+      Breaking one is itself a race (two writers may both see it
+      expired, one breaks+reacquires, the other must NOT then delete
+      the fresh lock), so the break is an atomic RENAME to a unique
+      name — exactly one breaker wins the rename, losers re-poll —
+      mirroring DynamoDB's conditional-delete-on-token. Release also
+      verifies the token before unlinking, so a writer that stalled
+      past its own TTL cannot delete a successor's lock (the residual
+      read-then-unlink window needs ANOTHER >ttl stall between two
+      adjacent syscalls — the same caveat every TTL lock carries).
     """
 
     name = "conditional-put"
@@ -276,10 +293,15 @@ class ConditionalPutBackend(CommitBackend):
     def put_if_absent(self, final: str, data: bytes) -> bool:
         d = os.path.dirname(final)
         lock = os.path.join(d, f".lock-{os.path.basename(final)}")
+        token = uuid.uuid4().hex.encode()
         deadline = time.time() + self.acquire_timeout
         while True:
             try:
-                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, token)
+                finally:
+                    os.close(fd)
                 break
             except FileExistsError:
                 try:
@@ -287,12 +309,19 @@ class ConditionalPutBackend(CommitBackend):
                 except FileNotFoundError:
                     continue  # holder just released; retry immediately
                 if held_for > self.lock_ttl:
-                    # crashed holder: break the expired lock; the O_EXCL
-                    # reacquire above still elects exactly one breaker
+                    # crashed holder: claim the expired lock by ATOMIC
+                    # rename — exactly one breaker wins; a loser's rename
+                    # raises FileNotFoundError and it simply re-polls.
+                    # Never unlink here: between our stat and now another
+                    # breaker may have claimed AND a new writer locked,
+                    # and a blind unlink would delete that fresh lock.
+                    grave = f"{lock}.broken-{uuid.uuid4().hex}"
                     try:
-                        os.unlink(lock)
+                        os.rename(lock, grave)
                     except FileNotFoundError:
                         pass
+                    else:
+                        os.unlink(grave)  # won the break: GC the corpse
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -313,8 +342,12 @@ class ConditionalPutBackend(CommitBackend):
                     os.unlink(tmp)
             return True
         finally:
+            # conditional release: only MY lock (a stalled-past-TTL
+            # writer whose lock was broken must not delete a successor's)
             try:
-                os.unlink(lock)
+                with open(lock, "rb") as f:
+                    if f.read() == token:
+                        os.unlink(lock)
             except FileNotFoundError:
                 pass
 
@@ -427,7 +460,10 @@ def _file_stats(local_path: str) -> dict:
 # Partitionable column types: values appear verbatim in directory names
 # and must round-trip exactly. Floats (lossy repr) and timestamps
 # (tz-dependent repr) are refused — Z-order clustering covers those.
-_PART_TYPES = ("tinyint", "smallint", "int", "bigint", "string", "date", "boolean")
+# Booleans are refused too: bool min/max is never recorded in the stats
+# envelope (_encode_stat), so pruning — the feature's whole point —
+# would silently be a no-op; partition by a 0/1 int instead.
+_PART_TYPES = ("tinyint", "smallint", "int", "bigint", "string", "date")
 _PART_SHADOW = "__dakp_"  # staging-only shadow column prefix
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -466,7 +502,7 @@ def _parse_part_value(dirname: str, simple: str):
             return raw
     except ValueError:
         return None
-    return None  # boolean: bool stats are never recorded (_encode_stat)
+    return None
 
 
 def _stage_files(
@@ -1586,17 +1622,22 @@ def snapshot_compact(
         # deletes (the overwrite manifest carries no "deletes")
         df = _visible_df(spark, path, m, m["files"])
         pb = m.get("partition_by") or []
+        # Partitioned tables range-partition on (partition cols, inner
+        # key): the hive dirs stay the outer clustering, a SMALL value
+        # shares a task with its neighbors (staging's partitionBy still
+        # splits the output files per value — no worse than one file
+        # each), and a HOT value spans tasks proportional to its row
+        # share — a plain hash on the partition cols would funnel a
+        # 500 GB value through ONE task/file regardless of
+        # target_file_bytes. The inner key is the Z-order key when
+        # clustering, else a deterministic row hash (deterministic so a
+        # stage retry re-routes rows identically — never F.rand()).
         if zorder_by and pb:
-            # partitioned table: the hive dirs are the outer clustering;
-            # hash each partition value into one task and Z-sort inside
-            # it, so staging's partitionBy emits ~one z-clustered file
-            # per value (a global range-partition would scatter every
-            # value across tasks and explode the file count)
             from .parquet import zorder_column
 
             zdf, key = zorder_column(df, zorder_by, bits)
             out = (
-                zdf.repartition(n_out, *[F.col(c) for c in pb])
+                zdf.repartitionByRange(n_out, *pb, key)
                 .sortWithinPartitions(*pb, key)
                 .drop(key)
             )
@@ -1610,7 +1651,12 @@ def snapshot_compact(
                 .drop(key)
             )
         elif pb:
-            out = df.repartition(n_out, *[F.col(c) for c in pb])
+            rh = F.abs(F.hash(*[F.col(c) for c in df.columns]))
+            out = (
+                df.withColumn("__dak_rh", rh)
+                .repartitionByRange(n_out, *pb, "__dak_rh")
+                .drop("__dak_rh")
+            )
         else:
             out = df.repartition(n_out)
         try:

@@ -56,8 +56,8 @@ def test_chunked_equals_batch(spark, tmp_path):
     p_chunk = str(tmp_path / "chunked")
     p_batch = str(tmp_path / "batch")
     for lo, hi in ((0, 40), (40, 70), (70, 100)):
-        ivf_index_add(spark, p_chunk, _vecs(spark, lo, hi), cents)
-    ivf_index_add(spark, p_batch, _vecs(spark, 0, 100), cents)
+        ivf_index_add(p_chunk, _vecs(spark, lo, hi), cents)
+    ivf_index_add(p_batch, _vecs(spark, 0, 100), cents)
     q = _vecs(spark, 0, 3)
     got_c = _result_rows(ivf_search(spark, p_chunk, q, cents, k=5, nprobe=2))
     got_b = _result_rows(ivf_search(spark, p_batch, q, cents, k=5, nprobe=2))
@@ -70,7 +70,7 @@ def test_probe_prunes_to_probed_cells(spark, tmp_path):
     path (scan ~nprobe/n_cells of the corpus, not all of it)."""
     cents = _centroids()
     p = str(tmp_path / "idx")
-    ivf_index_add(spark, p, _vecs(spark, 0, 200), cents)
+    ivf_index_add(p, _vecs(spark, 0, 200), cents)
     m = snap._read_manifest(p, snap._versions(p)[-1])
     cells_on_disk = {int(f.split("cell=")[1].split("/")[0]) for f in m["files"]}
     assert len(cells_on_disk) > 2  # data actually spans cells
@@ -88,7 +88,7 @@ def test_search_matches_inline_ivf(spark, tmp_path):
     cents = _centroids()
     p = str(tmp_path / "idx")
     vecs = _vecs(spark, 0, 150)
-    ivf_index_add(spark, p, vecs, cents)
+    ivf_index_add(p, vecs, cents)
     got = _result_rows(
         ivf_search(spark, p, _vecs(spark, 7, 8), cents, k=4, nprobe=2)
     )
@@ -126,9 +126,9 @@ def test_ingest_is_o_delta(spark, tmp_path):
     file is rewritten or even listed as changed."""
     cents = _centroids()
     p = str(tmp_path / "idx")
-    ivf_index_add(spark, p, _vecs(spark, 0, 100), cents)
+    ivf_index_add(p, _vecs(spark, 0, 100), cents)
     before = set(snap._read_manifest(p, snap._versions(p)[-1])["files"])
-    ivf_index_add(spark, p, _vecs(spark, 100, 120), cents)
+    ivf_index_add(p, _vecs(spark, 100, 120), cents)
     m2 = snap._read_manifest(p, snap._versions(p)[-1])
     assert before <= set(m2["files"])  # all old files carried verbatim
     assert m2["op"] == "append"
@@ -137,7 +137,7 @@ def test_ingest_is_o_delta(spark, tmp_path):
 def test_validation(spark, tmp_path):
     cents = _centroids()
     p = str(tmp_path / "idx")
-    ivf_index_add(spark, p, _vecs(spark, 0, 10), cents)
+    ivf_index_add(p, _vecs(spark, 0, 10), cents)
     with pytest.raises(ValueError, match="nprobe"):
         ivf_search(spark, p, _vecs(spark, 0, 1), cents, nprobe=0)
     with pytest.raises(ValueError, match="empty"):

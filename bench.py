@@ -65,6 +65,11 @@ HEADLINE = [
     "io_snapshot_merge",
     "io_snapshot_mor_delete",
     "io_snapshot_cdf",
+    # round-6 additions: hive-partitioned snapshot lifecycle (partition
+    # pruning under DML) and the incremental IVF index (chunked ingest +
+    # partition-pruned probe — both flat at the 10x/100x sweeps)
+    "io_snapshot_partitioned",
+    "sim_incremental",
 ]
 
 

@@ -39,9 +39,13 @@ SETTINGS = dict(
 #   ("merge", lo, n)     — upsert ids lo..lo+n (matched rows keep their
 #                          one-column value, unmatched ids insert)
 #   ("merge_del", lo, n) — merge with when_matched=delete (drop matched ids)
+#   ("narrow_append", lo, n) — append the rows at INT width through
+#                          merge_schema (upcasts into the bigint table:
+#                          the type-widening read path under fuzz)
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
+    st_.tuples(st_.just("narrow_append"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("compact"), st_.booleans()),
     st_.tuples(st_.just("vacuum"), st_.integers(1, 3)),
     st_.tuples(st_.just("delete"), st_.integers(0, 60), st_.integers(1, 25)),
@@ -53,33 +57,51 @@ _op = st_.one_of(
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
 
-@given(ops=_seq)
+@given(ops=_seq, part=st_.booleans())
 @settings(**SETTINGS)
-def test_snapshot_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+def test_snapshot_random_op_sequences_match_model(
+    spark, tmp_path_factory, ops, part
+):
+    """``part=True`` runs the same op sequence against a table
+    hive-partitioned on ``pk = id % 3`` — every DML path must respect
+    the sticky layout and read back identically."""
+    from pyspark.sql import functions as F
+
     p = str(tmp_path_factory.mktemp("snapfuzz") / "tbl")
     # model: version -> (op_kind, rows list); None marks vacuumed-away
     model: "dict[int, tuple[str, list[int]]]" = {}
     head_rows: "list[int]" = []
     head_v = 0
 
-    def write(rows, mode):
+    def with_pk(df):
+        return df.withColumn("pk", (F.col("id") % 3).cast("int")) if part else df
+
+    def write(rows, mode, narrow=False):
         nonlocal head_v
-        df = spark.createDataFrame([(i,) for i in rows], "id bigint")
-        v = snapshot_write(df.repartition(2), p, mode=mode)
+        df = spark.createDataFrame([(i,) for i in rows], f"id {'int' if narrow else 'bigint'}")
+        v = snapshot_write(
+            with_pk(df).repartition(2),
+            p,
+            mode=mode,
+            merge_schema=narrow,
+            partition_by=["pk"] if (part and mode == "overwrite") else None,
+        )
         head_v = v
         return v
 
     first = True
     for op in ops:
-        if op[0] == "overwrite" or (first and op[0] == "append"):
+        if op[0] == "overwrite" or (first and op[0] in ("append", "narrow_append")):
             _, lo, n = op  # a first-ever append is just the creating write
             head_rows = list(range(lo, lo + n))
             v = write(head_rows, "overwrite")
             model[v] = ("overwrite", list(head_rows))
-        elif op[0] == "append":
+        elif op[0] in ("append", "narrow_append"):
             _, lo, n = op
             head_rows = head_rows + list(range(lo, lo + n))
-            v = write(list(range(lo, lo + n)), "append")
+            v = write(
+                list(range(lo, lo + n)), "append", narrow=op[0] == "narrow_append"
+            )
             model[v] = ("append", list(head_rows))
         elif op[0] == "compact":
             if first:
@@ -134,8 +156,8 @@ def test_snapshot_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             if first:
                 continue
             _, lo, n = op
-            src = spark.createDataFrame(
-                [(i,) for i in range(lo, lo + n)], "id bigint"
+            src = with_pk(
+                spark.createDataFrame([(i,) for i in range(lo, lo + n)], "id bigint")
             )
             if op[0] == "merge":
                 res = snapshot_merge(spark, p, src, on=["id"])

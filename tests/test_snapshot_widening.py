@@ -178,3 +178,35 @@ def test_dml_and_time_travel_across_widening(spark, tmp_path):
     old = snapshot_read(spark, p, version=1)
     assert old.schema.simpleString() == "struct<k:int>"
     assert sorted(r.k for r in old.collect()) == [0, 1, 2, 3]
+
+
+def test_widening_a_partition_column(spark, tmp_path):
+    """A merge_schema append may widen the PARTITION column itself
+    (int -> bigint): the sticky hive layout carries through, old and
+    new dirs prune together, and mixed-width partition files read back
+    exactly."""
+    import dask_awkward_spark.sources.snapshot as snap
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("pk")
+        ),
+        p,
+        partition_by=["pk"],
+    )
+    snapshot_write(  # widens pk to bigint; layout spec is sticky
+        spark.range(40, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("pk")
+        ),
+        p,
+        mode="append",
+        merge_schema=True,
+    )
+    head = snapshot_versions(p)[-1]
+    assert "pk:bigint" in head["schema_ddl"] and head["partition_by"] == ["pk"]
+    m = snap._read_manifest(p, snap._versions(p)[-1])
+    kept, skipped = snap._prune_files(m, [("pk", "=", 1)], None)
+    assert skipped > 0 and all("pk=1/" in f for f in kept)
+    got = snapshot_read(spark, p, where=[("pk", "=", 1)])
+    assert sorted(r.k for r in got.collect()) == [i for i in range(60) if i % 3 == 1]

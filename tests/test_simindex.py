@@ -187,3 +187,18 @@ def test_bruteforce_guardrail(spark, tmp_path):
         )[:3]
         want += [(qid, v, -c) for c, v in scored]
     assert got == sorted(want)
+
+
+def test_string_ids(spark, tmp_path):
+    """Non-bigint ids work end to end (the index never assumes a type;
+    the search derives q_id's type from the caller's frame)."""
+    cents = _centroids()
+    p = str(tmp_path / "idx")
+    vecs = _vecs(spark, 0, 60).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "e"
+    )
+    ivf_index_add(p, vecs, cents)
+    got = ivf_search(spark, p, vecs.limit(2), cents, k=3, nprobe=2)
+    assert got.schema["q_id"].dataType.simpleString() == "string"
+    rows = got.collect()
+    assert len(rows) == 6 and all(r.q_id.startswith("doc-") for r in rows)

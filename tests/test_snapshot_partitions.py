@@ -211,3 +211,28 @@ def test_partitioned_dist_prune_agrees(spark, tmp_path, monkeypatch):
         driver, _ = snap._prune_files(m, where, None)
         dist = snap._dist_prune_files(spark, p, head, m, where)
         assert dist == driver and len(driver) < len(m["files"])
+
+
+def test_streaming_ingest_into_partitioned_table(spark, tmp_path):
+    """stream_to_snapshot appends inherit the table's sticky partition
+    spec: every micro-batch lands hive-laid-out and pruning stays exact
+    over the streamed rows."""
+    from dask_awkward_spark.sources.snapshot import (
+        stream_from_snapshot,
+        stream_to_snapshot,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(_days(spark, 0, 30), src)
+    snapshot_write(_days(spark, 30, 60), src, mode="append")
+    # create dst partitioned, then chain the tables via streaming
+    snapshot_write(_days(spark, 0, 0), dst, partition_by=["day"])
+    st = stream_from_snapshot(spark, src)
+    stream_to_snapshot(st, dst, checkpoint_dir=str(tmp_path / "ckpt"))
+    m = snap._read_manifest(dst, snap._versions(dst)[-1])
+    assert m["partition_by"] == ["day"]
+    assert all("/day=" in f for f in m["files"])
+    kept, skipped = snap._prune_files(m, [("day", "=", 2)], None)
+    assert skipped > 0 and all("day=2/" in f for f in kept)
+    got = snapshot_read(spark, dst, where=[("day", "=", 2)])
+    assert sorted(r.id for r in got.collect()) == [i for i in range(60) if i % 5 == 2]

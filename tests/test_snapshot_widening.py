@@ -210,3 +210,40 @@ def test_widening_a_partition_column(spark, tmp_path):
     assert skipped > 0 and all("pk=1/" in f for f in kept)
     got = snapshot_read(spark, p, where=[("pk", "=", 1)])
     assert sorted(r.k for r in got.collect()) == [i for i in range(60) if i % 3 == 1]
+
+
+def test_widened_lineage_streams_and_change_feeds(spark, tmp_path):
+    """The CDF batch feed and the streaming face share the executor
+    read's cast tail: a widened lineage's narrow files stream back
+    upcast, and change feeds spanning the widening read exactly."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_changes,
+        stream_from_snapshot,
+        stream_to_snapshot,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).select(F.col("id").cast("int").alias("k")), p)
+    snapshot_write(
+        spark.range(3, 5).select((F.col("id") + 2**40).alias("k")),
+        p,
+        mode="append",
+        merge_schema=True,
+    )
+    snapshot_write(
+        spark.range(5, 7).select(F.col("id").cast("int").alias("k")),
+        p,
+        mode="append",
+        merge_schema=True,
+    )
+    # batch change feed across the widening: values exact at the wide type
+    delta = snapshot_changes(spark, p, since=1)
+    assert delta.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(r.k for r in delta.collect()) == [5, 6, 2**40 + 3, 2**40 + 4]
+    # streaming face over the whole lineage
+    dst = str(tmp_path / "dst")
+    stream_to_snapshot(
+        stream_from_snapshot(spark, p), dst, checkpoint_dir=str(tmp_path / "ck")
+    )
+    got = sorted(r.k for r in snapshot_read(spark, dst).collect())
+    assert got == [0, 1, 2, 5, 6, 2**40 + 3, 2**40 + 4]

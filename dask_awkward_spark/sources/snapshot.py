@@ -427,12 +427,18 @@ def _file_stats(local_path: str) -> dict:
     column [min, max] aggregated across row groups. A column appears
     only if EVERY row group has trustworthy min/max (parquet writers
     omit stats for NaN-containing double pages — absence means
-    "never prune on this column for this file")."""
+    "never prune on this column for this file"). Null counts are
+    recorded the same way (``nulls``, only when every row group reports
+    one) — they make the whole-file DELETE fast path sound: "all rows
+    match col = v" needs min == max == v AND zero nulls, because
+    min/max exclude nulls and a NULL row never matches a predicate."""
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(local_path)
     minmax: "dict[str, list]" = {}
+    nulls: "dict[str, int]" = {}
     complete: "dict[str, int]" = {}
+    ncomplete: "dict[str, int]" = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -441,7 +447,12 @@ def _file_stats(local_path: str) -> dict:
             if "." in name:  # nested leaf — top-level pruning only
                 continue
             st = c.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                ncomplete[name] = ncomplete.get(name, 0) + 1
+            if not st.has_min_max:
                 continue
             lo, hi = _encode_stat(st.min), _encode_stat(st.max)
             if lo is None or hi is None:
@@ -454,7 +465,8 @@ def _file_stats(local_path: str) -> dict:
             complete[name] = complete.get(name, 0) + 1
     # drop columns missing stats in any row group (can't trust the range)
     minmax = {k: v for k, v in minmax.items() if complete.get(k) == md.num_row_groups}
-    return {"rows": md.num_rows, "minmax": minmax}
+    nulls = {k: v for k, v in nulls.items() if ncomplete.get(k) == md.num_row_groups}
+    return {"rows": md.num_rows, "minmax": minmax, "nulls": nulls}
 
 
 # Partitionable column types: values appear verbatim in directory names
@@ -897,6 +909,54 @@ def _file_may_match(
             )
     except TypeError:
         return True  # incomparable predicate value: never skip unsafely
+    return True
+
+
+def _file_all_match(
+    stats: "dict | None", where, tz: "str | None" = None
+) -> bool:
+    """Can the footer stats PROVE that every row of the file matches all
+    the ANDed triples? False on any doubt (missing stats, unknown null
+    count, incomparable types) — the caller then falls back to the
+    row-level path. The dual of :func:`_file_may_match`: may-match
+    keeps a file on doubt, all-match refuses the fast path on doubt.
+    Requires a recorded zero null count per predicate column (min/max
+    exclude nulls, and a NULL row never satisfies a predicate — a file
+    of one value plus a NULL must NOT be whole-file-dropped)."""
+    if not stats or not stats.get("rows"):
+        return False  # empty/unknown file: nothing provable (and nothing to drop)
+    for col, op, value in where:
+        if isinstance(value, float) and math.isnan(value):
+            return False
+        if stats.get("nulls", {}).get(col) != 0:
+            return False  # nulls present or null count unrecorded
+        mm = stats.get("minmax", {}).get(col)
+        if mm is None:
+            return False
+        try:
+            lo, v = _norm_ts(_decode_stat(mm[0]), value, tz)
+            hi, _ = _norm_ts(_decode_stat(mm[1]), value, tz)
+            ok = (
+                (op == "=" and lo == hi == v)
+                or (op == "<" and hi < v)
+                or (op == "<=" and hi <= v)
+                or (op == ">" and lo > v)
+                or (op == ">=" and lo >= v)
+                or (
+                    op == "in"
+                    and lo == hi
+                    and any(
+                        _norm_ts(lo, x, tz)[0] == _norm_ts(lo, x, tz)[1]
+                        for x in value
+                        if x is not None
+                        and not (isinstance(x, float) and math.isnan(x))
+                    )
+                )
+            )
+        except TypeError:
+            return False  # incomparable predicate value: no proof
+        if not ok:
+            return False
     return True
 
 
@@ -1872,8 +1932,10 @@ def snapshot_delete(
 
     ``strategy="copy-on-write"`` (default) rewrites only the files whose
     manifest min/max say they MAY contain matches; every other file is
-    carried untouched. On a date-clustered 100 TB table, deleting one
-    day rewrites one day's files, not the table.
+    carried untouched — and a file whose stats PROVE that every row
+    matches (min==max inside the predicate, zero recorded nulls) is
+    DROPPED without being read at all, so a partition-aligned delete
+    (one day of a date-partitioned table) is a metadata-only commit.
 
     ``strategy="merge-on-read"`` rewrites NOTHING: it commits a tiny
     deletion-vector file of (data-file, row-position) pairs and every
@@ -1888,7 +1950,8 @@ def snapshot_delete(
     Both commit compare-and-swap against the head they read and restart
     on conflict (a concurrent append's rows are never lost). Returns
     {'version', 'removed_rows', 'rewritten_files', 'carried_files'}
-    (+'delete_files' for merge-on-read)."""
+    (+'dropped_files' for copy-on-write whole-file drops,
+    +'delete_files' for merge-on-read)."""
     if not where:
         raise ValueError("refusing to delete with no predicate (use overwrite)")
     if strategy not in ("copy-on-write", "merge-on-read"):
@@ -1953,15 +2016,41 @@ def snapshot_delete(
             continue  # head moved: re-read and redo
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
-        df = _visible_df(spark, path, m, affected)
-        before = df.count()
-        # SQL DELETE semantics: only rows where the predicate is TRUE go;
-        # a NULL predicate (e.g. col = 'x' on a NULL) must KEEP the row —
-        # plain ~cond would silently drop it (three-valued logic)
-        keep = df.filter(~cond | cond.isNull())
-        new_files, new_stats = _stage_files(
-            keep, path, compression, m.get("partition_by")
+        mstats = m.get("stats", {})
+        # Whole-file fast path (Delta's partition-aligned delete): a
+        # file whose stats PROVE every row matches — min==max inside
+        # the predicate, zero recorded nulls — is dropped from the
+        # file list without being read or rewritten, so deleting one
+        # partition/day of a 100 TB table is a metadata-only commit
+        # (plus the optional change-feed scan). Files carrying a
+        # deletion vector fall back to the row path: their stats count
+        # rows the DV already removed.
+        dv_named = (
+            set(_dv_positions(path, m.get("deletes") or []))
+            if m.get("deletes")
+            else set()
         )
+        full = [
+            f
+            for f in affected
+            if f.rsplit("/", 1)[-1] not in dv_named
+            and _file_all_match(mstats.get(f), where, tz)
+        ]
+        dropped_rows = sum(mstats[f]["rows"] for f in full)
+        partial = [f for f in affected if f not in set(full)]
+        if partial:
+            df = _visible_df(spark, path, m, partial)
+            before = df.count()
+            # SQL DELETE semantics: only rows where the predicate is
+            # TRUE go; a NULL predicate (e.g. col = 'x' on a NULL) must
+            # KEEP the row — plain ~cond would silently drop it
+            # (three-valued logic)
+            keep = df.filter(~cond | cond.isNull())
+            new_files, new_stats = _stage_files(
+                keep, path, compression, m.get("partition_by")
+            )
+        else:
+            before, new_files, new_stats = 0, [], {}
         # footer stats give the surviving row count for free; a file
         # whose stats collection failed falls back to its own footer
         after = 0
@@ -1973,20 +2062,24 @@ def snapshot_delete(
 
                 after += pq.read_metadata(os.path.join(path, f)).num_rows
         car = set(carried)
-        stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
+        stats = {f: s for f, s in mstats.items() if f in car}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "delete", carried + new_files, stats)
         if change_feed:
-            # one extra pass over the (pruned) affected files; opt out
-            # with change_feed=False for huge takedowns
+            # one extra READ-ONLY pass over the (pruned) affected files
+            # — whole-file-dropped rows included; opt out with
+            # change_feed=False for huge takedowns
             manifest["changes"] = _stage_changes(
-                [(df.filter(cond), "delete")], path, compression
+                [(_visible_df(spark, path, m, affected).filter(cond), "delete")],
+                path,
+                compression,
             )
         if _commit_manifest(path, head + 1, manifest, m):
             return {
                 "version": head + 1,
-                "removed_rows": before - after,
-                "rewritten_files": len(affected),
+                "removed_rows": dropped_rows + before - after,
+                "rewritten_files": len(partial),
+                "dropped_files": len(full),
                 "carried_files": len(carried),
             }
         # head moved (concurrent append/compact): re-read and redo — the

@@ -236,3 +236,69 @@ def test_streaming_ingest_into_partitioned_table(spark, tmp_path):
     assert skipped > 0 and all("day=2/" in f for f in kept)
     got = snapshot_read(spark, dst, where=[("day", "=", 2)])
     assert sorted(r.id for r in got.collect()) == [i for i in range(60) if i % 5 == 2]
+
+
+def test_partition_aligned_delete_is_metadata_only(spark, tmp_path):
+    """Deleting a whole partition value drops its files without reading
+    or rewriting them (stats prove every row matches: min==max inside
+    the predicate, zero nulls) — Delta's partition-aligned delete."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 100), p, partition_by=["day"])
+    before = snap._read_manifest(p, 1)["files"]
+    res = snapshot_delete(spark, p, [("day", "=", 3)], change_feed=False)
+    assert res["rewritten_files"] == 0 and res["dropped_files"] >= 1
+    assert res["removed_rows"] == sum(1 for i in range(100) if i % 5 == 3)
+    m = snap._read_manifest(p, res["version"])
+    # surviving files are EXACTLY the untouched ones, byte-identical
+    assert set(m["files"]) == {f for f in before if "day=3/" not in f}
+    got = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got == [i for i in range(100) if i % 5 != 3]
+    # time travel still sees the dropped partition
+    assert snapshot_read(spark, p, version=1).count() == 100
+
+
+def test_whole_file_drop_records_change_feed(spark, tmp_path):
+    """change_feed=True on a whole-file drop still records every
+    deleted row (a read-only scan of the dropped files)."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 50), p, partition_by=["day"])
+    res = snapshot_delete(spark, p, [("day", "=", 1)])
+    assert res["dropped_files"] >= 1 and res["rewritten_files"] == 0
+    feed = snapshot_changes(spark, p, since=1, row_level=True)
+    dels = feed.filter(feed._change_type == "delete")
+    assert sorted(r.id for r in dels.collect()) == [
+        i for i in range(50) if i % 5 == 1
+    ]
+
+
+def test_whole_file_drop_refused_on_nulls_and_dvs(spark, tmp_path):
+    """No fast path when the predicate column has NULLs (they must be
+    KEPT: a NULL never matches) or when the file carries a deletion
+    vector (stats overcount its visible rows)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        "id", F.when(F.col("id") % 2 == 0, F.lit(7)).cast("int").alias("g")
+    )
+    snapshot_write(df.coalesce(1), p)
+    # one file, g is 7-or-NULL: min==max==7 but nulls>0 -> row path
+    res = snapshot_delete(spark, p, [("g", "=", 7)])
+    assert res["dropped_files"] == 0 and res["rewritten_files"] == 1
+    assert res["removed_rows"] == 10
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [
+        i for i in range(20) if i % 2 == 1
+    ]
+    # DV'd file: MOR-delete one row, then a full-match predicate must
+    # go through the row path so the already-deleted row isn't recounted
+    p2 = str(tmp_path / "tbl2")
+    snapshot_write(
+        spark.range(10).select("id", F.lit(1).alias("g")).coalesce(1), p2
+    )
+    snapshot_delete(spark, p2, [("id", "=", 4)], strategy="merge-on-read")
+    res2 = snapshot_delete(spark, p2, [("g", "=", 1)])
+    assert res2["dropped_files"] == 0
+    assert res2["removed_rows"] == 9  # not 10: the DV'd row was already gone
+    assert snapshot_read(spark, p2).count() == 0

@@ -1656,6 +1656,7 @@ def snapshot_compact(
     target_file_bytes: int = 128 << 20,
     zorder_by: "list[str] | None" = None,
     bits: int = 8,
+    where: "list[tuple] | None" = None,
 ) -> int:
     """Rewrite the head version's small files into ~target-size files and
     commit the result as a NEW version — readers of older versions are
@@ -1669,18 +1670,38 @@ def snapshot_compact(
     Z-order compact is what makes ``snapshot_read(where=...)`` skip on
     the OTHER columns too. Commits compare-and-swap against the head it
     read (``expect_head``) and restarts from the new head on conflict,
-    so rows appended concurrently are never lost to the rewrite."""
+    so rows appended concurrently are never lost to the rewrite.
+
+    ``where=[(col, op, value), ...]`` SCOPES the rewrite (Delta's
+    ``OPTIMIZE WHERE``): only files whose stats may match are
+    rewritten — whole files, never a row filter — and every other file
+    is carried untouched, so the nightly job compacts yesterday's
+    partition, not 100 TB of history. Carried files keep their
+    deletion vectors (their physical erase waits for a compact that
+    scopes THEM); rewritten files' vectors are applied and purged."""
     while True:
         head = _require_versions(path)[-1]
         m = _read_manifest(path, head)
-        schema = StructType.fromJson(json.loads(m["schema_json"]))
-        files = [os.path.join(path, f) for f in m["files"]]
+        if where:
+            _check_where(where)
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone")
+            except Exception:
+                tz = None
+            affected, _ = _prune_files(m, where, tz)
+            if not affected:
+                return head  # scope matches nothing: no-op, no commit
+        else:
+            affected = list(m["files"])
+        carried = [f for f in m["files"] if f not in set(affected)]
+        files = [os.path.join(path, f) for f in affected]
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
         # deletion vectors are applied here and PURGED by the rewrite:
         # compaction is the scheduled physical erase for merge-on-read
-        # deletes (the overwrite manifest carries no "deletes")
-        df = _visible_df(spark, path, m, m["files"])
+        # deletes (a FULL compact's overwrite manifest carries no
+        # "deletes"; a scoped one keeps them for the carried files)
+        df = _visible_df(spark, path, m, affected)
         pb = m.get("partition_by") or []
         # Partitioned tables range-partition on (partition cols, inner
         # key): the hive dirs stay the outer clustering, a SMALL value
@@ -1719,6 +1740,26 @@ def snapshot_compact(
             )
         else:
             out = df.repartition(n_out)
+        if where:
+            # scoped commit: carried files persist verbatim, so this
+            # cannot be a plain overwrite — a COW-style manifest carries
+            # the watermark/constraints/partition spec and, for carried
+            # files, the deletion vectors (rewritten files' stale DV
+            # entries reference basenames no longer in the file list and
+            # mask nothing). Recorded as op=overwrite: like a full
+            # compact, change feeds refuse to cross it.
+            new_files, new_stats = _stage_files(out, path, "zstd", pb)
+            car = set(carried)
+            stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
+            stats.update(new_stats)
+            manifest = _cow_manifest(
+                m, head, "overwrite", carried + new_files, stats
+            )
+            if not carried:
+                manifest["deletes"] = None  # whole table rewritten: purge
+            if _commit_manifest(path, head + 1, manifest, m):
+                return head + 1
+            continue  # head moved: redo against the new head
         try:
             # a compact rewrites rows every prior commit already
             # validated — skip re-running CHECK constraints over 100 TB

@@ -302,3 +302,52 @@ def test_whole_file_drop_refused_on_nulls_and_dvs(spark, tmp_path):
     assert res2["dropped_files"] == 0
     assert res2["removed_rows"] == 9  # not 10: the DV'd row was already gone
     assert snapshot_read(spark, p2).count() == 0
+
+
+def test_scoped_compact_rewrites_only_the_scope(spark, tmp_path):
+    """snapshot_compact(where=...) — OPTIMIZE WHERE: only the scoped
+    partition's files rewrite; everything else (including its deletion
+    vectors) carries verbatim; content is unchanged."""
+    from dask_awkward_spark.sources.snapshot import snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    # 3 appends -> 3 small files per day partition
+    snapshot_write(_days(spark, 0, 30), p, partition_by=["day"])
+    snapshot_write(_days(spark, 30, 60), p, mode="append")
+    snapshot_write(_days(spark, 60, 90), p, mode="append")
+    # a MOR delete OUTSIDE the scope: its DV must survive the compact
+    snapshot_delete(spark, p, [("id", "=", 63)], strategy="merge-on-read")
+    m0 = snap._read_manifest(p, snap._versions(p)[-1])
+    day2_before = [f for f in m0["files"] if "day=2/" in f]
+    others_before = [f for f in m0["files"] if "day=2/" not in f]
+    assert len(day2_before) > 1 and m0.get("deletes")
+    v = snapshot_compact(spark, p, where=[("day", "=", 2)])
+    m1 = snap._read_manifest(p, v)
+    day2_after = [f for f in m1["files"] if "day=2/" in f]
+    assert len(day2_after) < len(day2_before)  # many small files -> few
+    assert set(f for f in m1["files"] if "day=2/" not in f) == set(others_before)
+    assert m1.get("deletes") == m0.get("deletes")  # carried DV survives
+    got = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got == [i for i in range(90) if i != 63]
+    # scoping to nothing is a no-op WITHOUT a commit
+    assert snapshot_compact(spark, p, where=[("day", "=", 99)]) == v
+    # a scoped compact COVERING a DV'd file purges its vector
+    day3 = (63 % 5)
+    v2 = snapshot_compact(spark, p, where=[("day", "=", day3)])
+    m2 = snap._read_manifest(p, v2)
+    assert m2.get("deletes") == m0.get("deletes")  # DV file still listed...
+    got2 = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got2 == [i for i in range(90) if i != 63]  # ...but row stays gone
+
+
+def test_scoped_compact_zorder_and_watermark_carry(spark, tmp_path):
+    """Z-ordered scoped compact keeps the stream watermark and the
+    partition spec; only the scope rewrites."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 40), p, partition_by=["day"], stream_batch_id=7)
+    snapshot_write(_days(spark, 40, 80), p, mode="append", stream_batch_id=8)
+    v = snapshot_compact(spark, p, where=[("day", "=", 1)], zorder_by=["v"])
+    m = snap._read_manifest(p, v)
+    assert m["stream_batch_id"] == 8 and m["partition_by"] == ["day"]
+    got = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got == list(range(80))

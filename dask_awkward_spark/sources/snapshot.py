@@ -1283,6 +1283,61 @@ def snapshot_read(
     return df.filter(cond) if cond is not None else df
 
 
+def snapshot_count(
+    spark: SparkSession,
+    path: str,
+    where: "list[tuple] | None" = None,
+    version: "int | None" = None,
+    as_of: "float | None" = None,
+) -> int:
+    """COUNT(*) with manifest acceleration: a file the stats PROVE is
+    all-matching (or every file, with no predicate) counts from its
+    recorded row count minus its deletion-vector entries — no read at
+    all; a file that provably cannot match contributes zero; only the
+    boundary files (stats straddle the predicate, or stats missing) are
+    actually scanned. On a date-partitioned 100 TB table, counting one
+    day — or the whole table — is metadata work plus at most the
+    boundary partitions' files. Equals
+    ``snapshot_read(...).count()`` by construction; the scan fallback
+    makes acceleration an optimization, never a semantic change."""
+    if as_of is not None and version is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    if as_of is not None:
+        version = snapshot_version_at(path, as_of)
+    versions = _require_versions(path)
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    m = _read_manifest(path, v)
+    where = list(where or ())
+    _check_where(where)
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    stats = m.get("stats", {})
+    dv = _dv_positions(path, m.get("deletes") or []) if m.get("deletes") else {}
+    total, scan = 0, []
+    for f in m["files"]:
+        s = stats.get(f)
+        if where and not all(_file_may_match(s, c, op, x, tz) for c, op, x in where):
+            continue  # provably zero matching rows
+        if s is not None and "rows" in s and (
+            not where or _file_all_match(s, where, tz)
+        ):
+            # metadata-exact: every visible row counts. DV entries are
+            # deleted rows — invisible, so they subtract even when the
+            # remaining rows all match the predicate.
+            total += s["rows"] - len(dv.get(f.rsplit("/", 1)[-1], ()))
+        else:
+            scan.append(f)
+    if scan:
+        df = _visible_df(spark, path, m, scan)
+        cond = _where_to_column(where)
+        total += (df.filter(cond) if cond is not None else df).count()
+    return total
+
+
 def _where_to_column(where) -> "Column | None":
     """ANDed (col, op, value) triples as one Spark Column predicate."""
     cond = None

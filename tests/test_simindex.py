@@ -202,3 +202,25 @@ def test_string_ids(spark, tmp_path):
     assert got.schema["q_id"].dataType.simpleString() == "string"
     rows = got.collect()
     assert len(rows) == 6 and all(r.q_id.startswith("doc-") for r in rows)
+
+
+def test_index_compaction_composes(spark, tmp_path):
+    """The index is a plain snapshot table: after many small ingests,
+    snapshot_compact (full or scoped to one cell) merges the inverted
+    lists' files and searches return identical results."""
+    from dask_awkward_spark.sources.snapshot import snapshot_compact
+
+    cents = _centroids()
+    p = str(tmp_path / "idx")
+    for lo in range(0, 100, 20):  # 5 small ingests
+        ivf_index_add(p, _vecs(spark, lo, lo + 20), cents)
+    q = _vecs(spark, 0, 2)
+    before = _result_rows(ivf_search(spark, p, q, cents, k=5, nprobe=2))
+    m0 = snap._read_manifest(p, snap._versions(p)[-1])
+    cell1 = [f for f in m0["files"] if "cell=1/" in f]
+    v = snapshot_compact(spark, p, where=[("cell", "=", 1)])
+    m1 = snap._read_manifest(p, v)
+    assert len([f for f in m1["files"] if "cell=1/" in f]) < len(cell1)
+    snapshot_compact(spark, p)  # then the full table
+    after = _result_rows(ivf_search(spark, p, q, cents, k=5, nprobe=2))
+    assert after == before

@@ -351,3 +351,31 @@ def test_scoped_compact_zorder_and_watermark_carry(spark, tmp_path):
     assert m["stream_batch_id"] == 8 and m["partition_by"] == ["day"]
     got = sorted(r.id for r in snapshot_read(spark, p).collect())
     assert got == list(range(80))
+
+
+def test_snapshot_count_metadata_only(spark, tmp_path, monkeypatch):
+    """snapshot_count equals read().count() everywhere, and for
+    aligned/no-predicate cases it never touches a data file."""
+    from dask_awkward_spark.sources.snapshot import snapshot_count, snapshot_delete
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 100), p, partition_by=["day"])
+    snapshot_delete(spark, p, [("id", "=", 7)], strategy="merge-on-read")
+
+    def boom(*a, **k):
+        raise AssertionError("metadata-only count must not scan files")
+
+    # no predicate and partition-aligned predicate: zero file reads,
+    # exact even across the deletion vector
+    monkeypatch.setattr(snap, "_visible_df", boom)
+    assert snapshot_count(spark, p) == 99
+    assert snapshot_count(spark, p, where=[("day", "=", 2)]) == 19  # 7 deleted
+    assert snapshot_count(spark, p, where=[("day", "=", 3)]) == 20
+    assert snapshot_count(spark, p, where=[("day", ">", 4)]) == 0
+    monkeypatch.undo()
+    # boundary predicate: falls back to scanning only straddling files
+    n = snapshot_count(spark, p, where=[("id", "<", 37), ("day", "=", 1)])
+    want = snapshot_read(spark, p, where=[("id", "<", 37), ("day", "=", 1)]).count()
+    assert n == want == sum(1 for i in range(37) if i % 5 == 1 and i != 7)
+    # time travel: v1 still counts the later-deleted row
+    assert snapshot_count(spark, p, version=1) == 100

@@ -2419,11 +2419,28 @@ def snapshot_merge(
         raise ValueError(f"source is missing columns {src_missing}")
     src = source.select(*(names if need_full else on))
     if need_full and src.schema.simpleString() != schema.simpleString():
-        # same contract as append: silent type drift is refused
-        raise ValueError(
-            f"merge schema mismatch: table has {schema.simpleString()}, "
-            f"source has {src.schema.simpleString()}"
-        )
+        # a source column that LOSSLESSLY upcasts to the table's type
+        # (int chain / float->double / decimal growth — the widening
+        # lattice) is cast implicitly, Delta's merge behavior; any
+        # other drift (narrowing, lossy, renames) is refused like an
+        # append's
+        table_t = {f.name: f.dataType.simpleString() for f in schema.fields}
+        casts = []
+        for f in src.schema.fields:
+            t = table_t[f.name]
+            s = f.dataType.simpleString()
+            if s == t:
+                casts.append(F.col(f.name))
+            elif _widened(s, t) == t:
+                casts.append(F.col(f.name).cast(t).alias(f.name))
+            else:
+                raise ValueError(
+                    f"merge schema mismatch: table has "
+                    f"{schema.simpleString()}, source has "
+                    f"{src.schema.simpleString()} (column {f.name!r}: "
+                    f"{s} does not losslessly upcast to {t})"
+                )
+        src = src.select(*casts)
     src = src.localCheckpoint(eager=True)
     keys_ok = None
     for k in on:

@@ -1030,9 +1030,11 @@ def test_snapshot_merge_validates(spark, tmp_path):
         snapshot_merge(spark, p, src, on=["id"], when_matched=None, when_not_matched=None)
     with pytest.raises(ValueError, match="missing columns"):
         snapshot_merge(spark, p, src.drop("v"), on=["id"])
+    # float -> double is a lossless upcast now, implicitly cast (see
+    # test_merge_upcasts_narrow_source); genuinely lossy drift refused:
     with pytest.raises(ValueError, match="schema mismatch"):
         snapshot_merge(
-            spark, p, src.withColumn("v", F.col("v").cast("float")), on=["id"]
+            spark, p, src.withColumn("v", F.col("v").cast("string")), on=["id"]
         )
     with pytest.raises(ValueError, match="not in table schema"):
         snapshot_merge(spark, p, src, on=["nope"])

@@ -247,3 +247,27 @@ def test_widened_lineage_streams_and_change_feeds(spark, tmp_path):
     )
     got = sorted(r.k for r in snapshot_read(spark, dst).collect())
     assert got == [0, 1, 2, 5, 6, 2**40 + 3, 2**40 + 4]
+
+
+def test_merge_upcasts_narrow_source(spark, tmp_path):
+    """snapshot_merge implicitly upcasts a source column that losslessly
+    widens to the table's type (Delta behavior); lossy drift still
+    refused."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("v")), p
+    )
+    src = spark.range(3, 8).select(
+        F.col("id").cast("int").alias("k"), F.lit(2).cast("int").alias("v")
+    )
+    res = snapshot_merge(spark, p, src, on=["k"])
+    assert res["updated_rows"] == 2 and res["inserted_rows"] == 3
+    got = {(r.k, r.v) for r in snapshot_read(spark, p).collect()}
+    assert got == {(0, 1.0), (1, 1.0), (2, 1.0)} | {(k, 2.0) for k in range(3, 8)}
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(ValueError, match="does not losslessly upcast"):
+        snapshot_merge(spark, p, bad, on=["k"])

@@ -737,6 +737,77 @@ FROM lineage GROUP BY seg
 """
 
 
+def io_snapshot_optimize(spark, sf_dir):
+    """Maintenance-path lifecycle under an oracle: a returnflag-
+    partitioned table built from two appends gets (a) a SCOPED compact
+    (OPTIMIZE WHERE returnflag='A' — only that partition's files
+    rewrite, asserted), then (b) a partition-aligned DELETE of the 'N'
+    partition that must drop whole files METADATA-ONLY (zero rewrites,
+    asserted) with exact row accounting via snapshot_count. The final
+    read must equal plain SQL over the surviving rows — proving neither
+    maintenance op can change answers."""
+    import shutil
+
+    from ..sources import snapshot as snap
+    from ..sources.snapshot import (
+        snapshot_compact,
+        snapshot_count,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapopt_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    hi = li.agg(F.max("l_orderkey")).first()[0]
+    try:
+        snapshot_write(
+            li.filter(F.col("l_orderkey") <= hi // 2),
+            path,
+            partition_by=["l_returnflag"],
+        )
+        snapshot_write(li.filter(F.col("l_orderkey") > hi // 2), path, mode="append")
+        before = snap._read_manifest(path, 2)["files"]
+        v = snapshot_compact(spark, path, where=[("l_returnflag", "=", "A")])
+        m = snap._read_manifest(path, v)
+        a_before = [f for f in before if "l_returnflag=A/" in f]
+        a_after = [f for f in m["files"] if "l_returnflag=A/" in f]
+        assert len(a_after) < len(a_before), "scoped compact must merge A's files"
+        assert set(m["files"]) - set(a_after) == set(before) - set(a_before), (
+            "scoped compact must carry every other partition verbatim"
+        )
+        res = snapshot_delete(spark, path, [("l_returnflag", "=", "N")])
+        assert res["rewritten_files"] == 0 and res["dropped_files"] > 0, (
+            "partition-aligned delete must be metadata-only"
+        )
+        assert snapshot_count(spark, path) == snapshot_count(
+            spark, path, version=v
+        ) - res["removed_rows"]
+        return (
+            snapshot_read(spark, path)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("qty"),
+                F.sum(cents(F.col("l_extendedprice"))).alias("price_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_OPT_SQL = """
+SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM lineitem WHERE l_returnflag <> 'N' GROUP BY l_returnflag
+"""
+
+
 IO_SNAPSHOT_MERGE_SQL = """
 WITH mx AS (SELECT max(c_custkey) AS hi FROM customer),
 merged AS (
@@ -773,6 +844,7 @@ QUERIES = {
     "io_snapshot_cdf": io_snapshot_cdf,
     "io_snapshot_partitioned": io_snapshot_partitioned,
     "io_snapshot_widen": io_snapshot_widen,
+    "io_snapshot_optimize": io_snapshot_optimize,
 }
 
 ORACLES = {
@@ -796,6 +868,7 @@ ORACLES = {
     "io_snapshot_cdf": IO_SNAPSHOT_CDF_SQL,
     "io_snapshot_partitioned": IO_SNAPSHOT_PART_SQL,
     "io_snapshot_widen": IO_SNAPSHOT_WIDEN_SQL,
+    "io_snapshot_optimize": IO_SNAPSHOT_OPT_SQL,
 }
 
 

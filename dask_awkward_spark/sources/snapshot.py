@@ -1230,6 +1230,19 @@ def snapshot_version_at(path: str, when) -> int:
     return best
 
 
+def _resolve_version(path: str, version: "int | None", as_of) -> int:
+    """Shared version/as_of resolution for every read face."""
+    if as_of is not None and version is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    if as_of is not None:
+        version = snapshot_version_at(path, as_of)
+    versions = _require_versions(path)
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    return v
+
+
 def snapshot_read(
     spark: SparkSession,
     path: str,
@@ -1253,14 +1266,7 @@ def snapshot_read(
 
     ``as_of=`` (Unix timestamp or datetime) time-travels by wall clock
     instead of version number — "what did training read last Tuesday"."""
-    if as_of is not None and version is not None:
-        raise ValueError("pass version= or as_of=, not both")
-    if as_of is not None:
-        version = snapshot_version_at(path, as_of)
-    versions = _require_versions(path)
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
+    v = _resolve_version(path, version, as_of)
     m = _read_manifest(path, v)
     # (the pinned read schema is derived inside _visible_df, not here)
     rels = m["files"]
@@ -1300,14 +1306,7 @@ def snapshot_count(
     boundary partitions' files. Equals
     ``snapshot_read(...).count()`` by construction; the scan fallback
     makes acceleration an optimization, never a semantic change."""
-    if as_of is not None and version is not None:
-        raise ValueError("pass version= or as_of=, not both")
-    if as_of is not None:
-        version = snapshot_version_at(path, as_of)
-    versions = _require_versions(path)
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
+    v = _resolve_version(path, version, as_of)
     m = _read_manifest(path, v)
     where = list(where or ())
     _check_where(where)
@@ -1317,8 +1316,17 @@ def snapshot_count(
         tz = None
     stats = m.get("stats", {})
     dv = _dv_positions(path, m.get("deletes") or []) if m.get("deletes") else {}
+    candidates = m["files"]
+    if where and len(candidates) >= _DIST_PRUNE_MIN_FILES:
+        # big table: narrow to the may-match set executor-side first
+        # (the same checkpoint-stats prune snapshot_read uses), so the
+        # interpreted classification loop below only touches the
+        # predicate's selectivity, not the whole file list
+        dist = _dist_prune_files(spark, path, v, m, where)
+        if dist is not None:
+            candidates = dist
     total, scan = 0, []
-    for f in m["files"]:
+    for f in candidates:
         s = stats.get(f)
         if where and not all(_file_may_match(s, c, op, x, tz) for c, op, x in where):
             continue  # provably zero matching rows
@@ -1450,23 +1458,29 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     feed and the streaming source so the two can never diverge:
     one (version, kind, files) per step — kind ``chg`` (a DML commit's
     recorded change files) or ``ins`` (a plain append's added data
-    files, to synthesize inserts from). Raises on any version the
-    row-level feed cannot represent."""
-    ok_ops = ("append", "delete", "update", "merge")
+    files, to synthesize inserts from). A scoped-compact version
+    (op ``compact``) is row-preserving and contributes NOTHING — the
+    feed crosses it transparently, like Delta's OPTIMIZE (the file-
+    delta faces still refuse it: rewritten files are not new rows).
+    Raises on any version the row-level feed cannot represent."""
+    ok_ops = ("append", "delete", "update", "merge", "compact")
     out = []
     prev = set(_read_manifest(path, s)["files"]) if s else set()
     for v in range(s + 1, e + 1):
         m = _read_manifest(path, v)
         chg = m.get("changes")
         if m["parent"] is not None and (
-            m["op"] not in ok_ops or (chg is None and m["op"] != "append")
+            m["op"] not in ok_ops
+            or (chg is None and m["op"] not in ("append", "compact"))
         ):
             raise ValueError(
                 f"version {v} ({m['op']}) recorded no row-level changes "
-                "(overwrite/compact/restore, or committed with "
+                "(overwrite/restore, or committed with "
                 "change_feed=False); the row-level feed cannot cross it"
             )
-        if chg is not None:
+        if m["op"] == "compact":
+            pass  # row-preserving rewrite: no change records by design
+        elif chg is not None:
             out.append((v, "chg", list(chg)))
         else:
             out.append((v, "ins", [f for f in m["files"] if f not in prev]))
@@ -1525,7 +1539,11 @@ def snapshot_changes(
                 "since past the gap or re-bootstrap the consumer"
             )
     mans = {v: _read_manifest(path, v) for v in span}
-    ok_ops = ("append", "delete", "update", "merge") if row_level else ("append",)
+    ok_ops = (
+        ("append", "delete", "update", "merge", "compact")
+        if row_level
+        else ("append",)
+    )
     # the table-creating commit (no parent) is a degenerate append
     bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
     if bad:
@@ -1748,7 +1766,8 @@ def snapshot_compact(
                 return head  # scope matches nothing: no-op, no commit
         else:
             affected = list(m["files"])
-        carried = [f for f in m["files"] if f not in set(affected)]
+        aff_set = set(affected)
+        carried = [f for f in m["files"] if f not in aff_set]
         files = [os.path.join(path, f) for f in affected]
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
@@ -1798,20 +1817,32 @@ def snapshot_compact(
         if where:
             # scoped commit: carried files persist verbatim, so this
             # cannot be a plain overwrite — a COW-style manifest carries
-            # the watermark/constraints/partition spec and, for carried
-            # files, the deletion vectors (rewritten files' stale DV
-            # entries reference basenames no longer in the file list and
-            # mask nothing). Recorded as op=overwrite: like a full
-            # compact, change feeds refuse to cross it.
+            # the watermark/constraints/partition spec. Recorded as
+            # op=compact: a row-preserving rewrite the ROW-LEVEL change
+            # feed and CDF stream cross transparently (Delta's OPTIMIZE
+            # is CDF-invisible for the same reason); the file-delta
+            # faces still refuse it — rewritten files are not new rows.
             new_files, new_stats = _stage_files(out, path, "zstd", pb)
             car = set(carried)
             stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
             stats.update(new_stats)
             manifest = _cow_manifest(
-                m, head, "overwrite", carried + new_files, stats
+                m, head, "compact", carried + new_files, stats
             )
-            if not carried:
-                manifest["deletes"] = None  # whole table rewritten: purge
+            # DV retention: carried files keep their vectors, but a DV
+            # file whose every entry references a rewritten (now
+            # dropped) basename is dead — purge it here so scoped-
+            # compact-maintained tables don't accumulate DV files
+            # forever (the driver-side read is KB-scale per vector)
+            dvs = m.get("deletes") or []
+            if dvs:
+                live = {f.rsplit("/", 1)[-1] for f in carried}
+                kept_dvs = [
+                    rel
+                    for rel in dvs
+                    if live & set(_dv_positions(path, [rel]))
+                ]
+                manifest["deletes"] = kept_dvs or None
             if _commit_manifest(path, head + 1, manifest, m):
                 return head + 1
             continue  # head moved: redo against the new head
@@ -2074,6 +2105,8 @@ def snapshot_delete(
             }
             if mor:
                 out["delete_files"] = 0
+            else:
+                out["dropped_files"] = 0
             return out
         if mor:
             # already-deleted rows are invisible in the tagged scan, so
@@ -2133,7 +2166,8 @@ def snapshot_delete(
             and _file_all_match(mstats.get(f), where, tz)
         ]
         dropped_rows = sum(mstats[f]["rows"] for f in full)
-        partial = [f for f in affected if f not in set(full)]
+        full_set = set(full)
+        partial = [f for f in affected if f not in full_set]
         if partial:
             df = _visible_df(spark, path, m, partial)
             before = df.count()

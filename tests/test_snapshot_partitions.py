@@ -331,13 +331,48 @@ def test_scoped_compact_rewrites_only_the_scope(spark, tmp_path):
     assert got == [i for i in range(90) if i != 63]
     # scoping to nothing is a no-op WITHOUT a commit
     assert snapshot_compact(spark, p, where=[("day", "=", 99)]) == v
-    # a scoped compact COVERING a DV'd file purges its vector
+    # a scoped compact COVERING the DV'd file applies AND purges the
+    # now-dead vector file (no unbounded DV accumulation)
     day3 = (63 % 5)
     v2 = snapshot_compact(spark, p, where=[("day", "=", day3)])
     m2 = snap._read_manifest(p, v2)
-    assert m2.get("deletes") == m0.get("deletes")  # DV file still listed...
+    assert not m2.get("deletes")
     got2 = sorted(r.id for r in snapshot_read(spark, p).collect())
-    assert got2 == [i for i in range(90) if i != 63]  # ...but row stays gone
+    assert got2 == [i for i in range(90) if i != 63]  # row stays gone
+
+
+def test_scoped_compact_is_cdf_transparent(spark, tmp_path):
+    """A scoped compact is row-preserving, so the ROW-LEVEL change feed
+    and CDF stream cross it contributing nothing (Delta's OPTIMIZE is
+    CDF-invisible); the file-delta faces still refuse it."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 30), p, partition_by=["day"])
+    snapshot_write(_days(spark, 30, 60), p, mode="append")
+    snapshot_compact(spark, p, where=[("day", "=", 2)])          # v3
+    snapshot_delete(spark, p, [("id", "=", 5)])                  # v4
+    feed = snapshot_changes(spark, p, since=2, row_level=True)
+    rows = feed.collect()
+    assert {r._commit_version for r in rows} == {4}  # v3 contributed nothing
+    assert sorted(r.id for r in rows) == [5]
+    # file-delta faces refuse the compact in-span, as before
+    with pytest.raises(ValueError, match="not appends"):
+        snapshot_changes(spark, p, since=2, until=3)
+    # the CDF STREAM also crosses it (shared walk)
+    from dask_awkward_spark.sources.snapshot import stream_from_snapshot
+
+    out = str(tmp_path / "out")
+    q = (
+        stream_from_snapshot(spark, p, row_level=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("_commit_version") == 3).count() == 0
+    assert got.filter(F.col("_change_type") == "delete").count() == 1
 
 
 def test_scoped_compact_zorder_and_watermark_carry(spark, tmp_path):

@@ -414,3 +414,55 @@ def test_snapshot_count_metadata_only(spark, tmp_path, monkeypatch):
     assert n == want == sum(1 for i in range(37) if i % 5 == 1 and i != 7)
     # time travel: v1 still counts the later-deleted row
     assert snapshot_count(spark, p, version=1) == 100
+
+
+def test_round6_capstone_composition(spark, tmp_path):
+    """End-to-end composition of the round-6 surface: a partitioned
+    table fed by streaming ingest, maintained by scoped compaction and
+    a partition-aligned metadata-only delete, consumed by a watermarked
+    CDF stream — with a narrow late producer widening through — must
+    agree with the plain batch computation at every step."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_count,
+        stream_from_snapshot,
+        stream_to_snapshot,
+    )
+
+    src, tbl = str(tmp_path / "src"), str(tmp_path / "tbl")
+    # producer commits land in an unpartitioned staging table...
+    snapshot_write(_days(spark, 0, 40), src)
+    snapshot_write(_days(spark, 40, 80), src, mode="append")
+    # ...and stream exactly-once into the partitioned serving table
+    snapshot_write(_days(spark, 0, 0), tbl, partition_by=["day"])
+    stream_to_snapshot(
+        stream_from_snapshot(spark, src), tbl, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    # a late producer appends at a NARROWER width (v int, not bigint)
+    late = (
+        spark.range(80, 90)
+        .withColumn("day", (F.col("id") % 5).cast("int"))
+        .withColumn("v", (F.col("id") * 2).cast("int"))
+    )
+    snapshot_write(late, tbl, mode="append", merge_schema=True)
+    # nightly maintenance: OPTIMIZE yesterday's partition, retire day 4
+    v_opt = snapshot_compact(spark, tbl, where=[("day", "=", 3)], zorder_by=["v"])
+    res = snapshot_delete(spark, tbl, [("day", "=", 4)])
+    assert res["rewritten_files"] == 0 and res["dropped_files"] > 0
+    # metadata-exact accounting after the whole pipeline
+    keep = [i for i in range(90) if i % 5 != 4]
+    assert snapshot_count(spark, tbl) == len(keep)
+    assert snapshot_count(spark, tbl, where=[("day", "=", 3)]) == sum(
+        1 for i in range(90) if i % 5 == 3
+    )
+    got = sorted(r.id for r in snapshot_read(spark, tbl).collect())
+    assert got == keep
+    # the row-level CDF stream crosses the compact transparently and a
+    # windowed consumer sees exactly the delete's rows at its version
+    feed = snapshot_changes(spark, tbl, since=v_opt - 1, row_level=True)
+    by_ver = {
+        (r._commit_version, r._change_type) for r in feed.collect()
+    }
+    assert all(ct == "delete" for _, ct in by_ver)
+    assert snapshot_changes(
+        spark, tbl, since=v_opt - 1, row_level=True
+    ).count() == sum(1 for i in range(90) if i % 5 == 4)

@@ -522,6 +522,7 @@ def _stage_files(
     path: str,
     compression: str,
     partition_by: "list[str] | None" = None,
+    bloom_ndv: "dict[str, int] | None" = None,
 ) -> "tuple[list[str], dict]":
     """Write df's partitions as immutable uniquely-named files under data/.
 
@@ -562,6 +563,12 @@ def _stage_files(
         w = df.write.mode("overwrite").option("compression", compression)
         if partition_by:
             w = w.partitionBy(*(_PART_SHADOW + c for c in partition_by))
+        have = {f.name for f in df.schema.fields}
+        for c, ndv in (bloom_ndv or {}).items():
+            if c in have:  # DV/change frames don't carry the data columns
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+                )
         w.parquet(staging)
         col_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         for dirpath, _dirs, names in sorted(os.walk(staging)):
@@ -683,6 +690,7 @@ def snapshot_write(
     stream_batch_id: "int | None" = None,
     merge_schema: bool = False,
     partition_by: "list[str] | None" = None,
+    bloom_by: "dict[str, int] | None" = None,
     _validate_constraints: bool = True,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
@@ -711,7 +719,16 @@ def snapshot_write(
     exact, driver- and executor-side alike. Unlike Spark's own
     ``partitionBy``, the partition columns STAY inside the data files
     (a staging shadow feeds the directory layout), so files remain
-    self-contained for every reader face."""
+    self-contained for every reader face.
+
+    ``bloom_by={"col": expected_ndv}`` writes parquet bloom filters for
+    the named columns into every data file — the point-lookup
+    complement to min/max skipping: manifest stats prune files by
+    RANGE, the bloom lets the scan reject row groups inside surviving
+    files for ``col = k`` probes on high-cardinality keys (GDPR-style
+    per-id takedowns on unclustered data). Sticky like the partition
+    spec; every DML rewrite re-applies it; advisory only — no read
+    path depends on it."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
@@ -735,7 +752,8 @@ def snapshot_write(
     # through appends AND overwrites (Delta: REPLACE keeps partitioning
     # unless respecified) — but an append may not CHANGE it
     pre = _versions(path)
-    head_pb = (_read_manifest(path, pre[-1]).get("partition_by") or []) if pre else []
+    pre_m = _read_manifest(path, pre[-1]) if pre else {}
+    head_pb = pre_m.get("partition_by") or []
     if partition_by is None:
         eff_pb = head_pb
     else:
@@ -745,7 +763,16 @@ def snapshot_write(
                 f"append partition_by {eff_pb} != table's {head_pb}; "
                 "only overwrite may repartition the table"
             )
-    new_files, new_stats = _stage_files(df, path, compression, eff_pb)
+    # sticky like the partition spec: blooms are advisory (point-lookup
+    # row-group skipping), so appends may inherit or restate freely;
+    # {} clears on an overwrite
+    eff_bloom = dict(
+        (pre_m.get("bloom_ndv") or {}) if bloom_by is None else bloom_by
+    )
+    missing_b = sorted(set(eff_bloom) - set(df.columns))
+    if missing_b:
+        raise ValueError(f"bloom_by columns {missing_b} not in schema {df.columns}")
+    new_files, new_stats = _stage_files(df, path, compression, eff_pb, eff_bloom)
     validated_cons = None  # staged files are immutable: re-validate on a
     # commit-race retry only if the head's constraint set changed
     while True:
@@ -817,6 +844,7 @@ def snapshot_write(
             "schema_json": out_schema.json(),  # lossless; the read path pins this
             "stream_batch_id": watermark,
             "partition_by": eff_pb or None,
+            "bloom_ndv": eff_bloom or None,
             # appends keep old files' deletion vectors visible; an
             # overwrite replaces the file set, so its DVs go with it
             "deletes": head_m.get("deletes") if mode == "append" else None,
@@ -1822,7 +1850,9 @@ def snapshot_compact(
             # feed and CDF stream cross transparently (Delta's OPTIMIZE
             # is CDF-invisible for the same reason); the file-delta
             # faces still refuse it — rewritten files are not new rows.
-            new_files, new_stats = _stage_files(out, path, "zstd", pb)
+            new_files, new_stats = _stage_files(
+                out, path, "zstd", pb, m.get("bloom_ndv")
+            )
             car = set(carried)
             stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
             stats.update(new_stats)
@@ -2002,6 +2032,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "schema_json": m["schema_json"],
         "stream_batch_id": m.get("stream_batch_id"),
         "partition_by": m.get("partition_by"),
+        "bloom_ndv": m.get("bloom_ndv"),
         "deletes": m.get("deletes"),
         "constraints": m.get("constraints"),
         "committed_at": time.time(),
@@ -2177,7 +2208,7 @@ def snapshot_delete(
             # (three-valued logic)
             keep = df.filter(~cond | cond.isNull())
             new_files, new_stats = _stage_files(
-                keep, path, compression, m.get("partition_by")
+                keep, path, compression, m.get("partition_by"), m.get("bloom_ndv")
             )
         else:
             before, new_files, new_stats = 0, [], {}
@@ -2314,7 +2345,7 @@ def snapshot_update(
             # pin ONE evaluation of the RHS (see copy-on-write branch)
             patched = matched.select(*cols).localCheckpoint(eager=True)
             new_files, new_stats = _stage_files(
-                patched, path, compression, m.get("partition_by")
+                patched, path, compression, m.get("partition_by"), m.get("bloom_ndv")
             )
             _enforce_constraints(spark, m, path, new_files, schema=schema)
             stats = dict(m.get("stats", {}))
@@ -2355,7 +2386,7 @@ def snapshot_update(
             ).localCheckpoint(eager=True)
             out_df = pinned.drop("__dak_chg")
         new_files, new_stats = _stage_files(
-            out_df, path, compression, m.get("partition_by")
+            out_df, path, compression, m.get("partition_by"), m.get("bloom_ndv")
         )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
@@ -2576,7 +2607,7 @@ def snapshot_merge(
             return _zero(head, len(m["files"]))
         out = _union_all(parts)
         new_files, new_stats = _stage_files(
-            out, path, compression, m.get("partition_by")
+            out, path, compression, m.get("partition_by"), m.get("bloom_ndv")
         )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
@@ -2644,6 +2675,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "schema_json": src["schema_json"],
             "stream_batch_id": src.get("stream_batch_id"),
             "partition_by": src.get("partition_by"),
+            "bloom_ndv": src.get("bloom_ndv"),
             "deletes": src.get("deletes"),
             "constraints": src.get("constraints"),
             "committed_at": time.time(),

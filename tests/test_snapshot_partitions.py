@@ -466,3 +466,41 @@ def test_round6_capstone_composition(spark, tmp_path):
     assert snapshot_changes(
         spark, tbl, since=v_opt - 1, row_level=True
     ).count() == sum(1 for i in range(90) if i % 5 == 4)
+
+
+def test_bloom_by_sticky_and_rewritten(spark, tmp_path):
+    """bloom_by writes parquet bloom filters into every data file, the
+    spec is sticky through appends and DML rewrites (files measurably
+    larger than a bloom-less twin), and bad columns are refused."""
+    import os as _os
+
+    def table_bytes(p):
+        m = snap._read_manifest(p, snap._versions(p)[-1])
+        return sum(_os.path.getsize(_os.path.join(p, f)) for f in m["files"])
+
+    df = spark.range(100_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    p0, p1 = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    snapshot_write(df.coalesce(1), p0)
+    snapshot_write(df.coalesce(1), p1, bloom_by={"k": 100_000})
+    assert table_bytes(p1) > table_bytes(p0) * 1.1  # the bloom bytes landed
+    m = snap._read_manifest(p1, 1)
+    assert m["bloom_ndv"] == {"k": 100_000}
+    # sticky through append and a COW delete rewrite
+    snapshot_write(
+        spark.range(100_000, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).coalesce(1),
+        p1,
+        mode="append",
+    )
+    before = table_bytes(p1)
+    snapshot_delete(spark, p1, [("k", "=", 5)])
+    m2 = snap._read_manifest(p1, snap._versions(p1)[-1])
+    assert m2["bloom_ndv"] == {"k": 100_000}
+    # the rewritten file still carries a bloom: the table did not
+    # shrink by anywhere near a bloom's worth for a one-row delete
+    assert table_bytes(p1) > before * 0.9
+    got = snapshot_read(spark, p1, where=[("k", "=", 77)])
+    assert [r.v for r in got.collect()] == [231]
+    with pytest.raises(ValueError, match="bloom_by columns"):
+        snapshot_write(df, str(tmp_path / "bad"), bloom_by={"nope": 10})

@@ -504,3 +504,31 @@ def test_bloom_by_sticky_and_rewritten(spark, tmp_path):
     assert [r.v for r in got.collect()] == [231]
     with pytest.raises(ValueError, match="bloom_by columns"):
         snapshot_write(df, str(tmp_path / "bad"), bloom_by={"nope": 10})
+
+
+def test_scoped_compact_redoes_after_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append landing mid-scoped-compact is never lost: the COW-style
+    commit loses the version race and the compact restarts from the new
+    head, re-pruning its scope against it."""
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 50), p, partition_by=["day"])
+
+    real_stage = snap._stage_files
+    appended = {"done": False}
+
+    def stage_then_append(*a, **k):
+        out = real_stage(*a, **k)
+        if not appended["done"]:
+            appended["done"] = True
+            snapshot_write(_days(spark, 50, 60), p, mode="append")
+        return out
+
+    monkeypatch.setattr(snap, "_stage_files", stage_then_append)
+    v = snapshot_compact(spark, p, where=[("day", "=", 2)])
+    monkeypatch.undo()
+    # v1 write, v2 concurrent append, v3 the compact (restarted once)
+    assert v == 3
+    m = snap._read_manifest(p, 3)
+    assert m["op"] == "compact"
+    got = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got == list(range(60))  # appended rows survive the rewrite

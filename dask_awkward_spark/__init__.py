@@ -65,6 +65,7 @@ from .sources.snapshot import (
     snapshot_count,
     snapshot_delete,
     snapshot_drop_constraint,
+    snapshot_history,
     snapshot_merge,
     snapshot_read,
     snapshot_restore,
@@ -107,6 +108,13 @@ from .functions.curation import (
     quota_sample,
 )
 from .functions.incremental import dedup_probe, incremental_dedup, minhash_bands
+from .functions.simindex import (
+    guard_bruteforce_query_side,
+    ivf_cell,
+    ivf_index_add,
+    ivf_search,
+    knn_bruteforce,
+)
 from .functions.sketches import hll_distinct, kmv_distinct
 from .functions.vectors import (
     cosine_similarity,

@@ -1481,6 +1481,59 @@ def snapshot_versions(path: str) -> "list[dict]":
     return [_read_manifest(path, v) for v in _versions(path)]
 
 
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's operation history as a DataFrame (Delta's DESCRIBE
+    HISTORY shape): one row per surviving version with the operation,
+    commit wall-clock, file/row deltas vs the parent, the recorded
+    schema, and maintenance metadata — everything derived from
+    manifests, zero data files read. Rows and files are signed deltas
+    (an overwrite shows the replacement, a metadata-only delete shows
+    the drop); ``total_rows``/``total_files`` are the version's
+    absolutes from the recorded stats."""
+    rows = []
+    prev_files: "set[str]" = set()
+    prev_rows = 0
+    dv_memo: "dict[str, dict]" = {}  # DV parquet read once per rel path
+    for m in snapshot_versions(path):
+        stats = m.get("stats") or {}
+        files = m["files"]
+        fset = set(files)
+        total_rows = sum(s.get("rows", 0) for f, s in stats.items() if f in fset)
+        live = {f.rsplit("/", 1)[-1] for f in files}
+        for rel in m.get("deletes") or ():
+            if rel not in dv_memo:
+                dv_memo[rel] = _dv_positions(path, [rel])
+            # MOR-deleted rows are invisible: subtract entries that
+            # target this version's live files
+            total_rows -= sum(
+                len(ps) for f, ps in dv_memo[rel].items() if f in live
+            )
+        rows.append(
+            (
+                m["version"],
+                m["op"],
+                float(m.get("committed_at") or 0.0),
+                len(files) - len(prev_files),
+                total_rows - prev_rows,
+                len(files),
+                total_rows,
+                len(m.get("deletes") or ()),
+                len(m.get("changes") or ()),
+                m.get("partition_by"),
+                m.get("stream_batch_id"),
+                m["schema_ddl"],
+            )
+        )
+        prev_files, prev_rows = set(files), total_rows
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, committed_at double, files_delta int, "
+        "rows_delta bigint, total_files int, total_rows bigint, "
+        "delete_vector_files int, change_files int, "
+        "partition_by array<string>, stream_batch_id bigint, schema_ddl string",
+    )
+
+
 def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     """Driver-side classification of a CDF span, shared by the batch
     feed and the streaming source so the two can never diverge:

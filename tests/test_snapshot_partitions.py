@@ -532,3 +532,23 @@ def test_scoped_compact_redoes_after_concurrent_append(spark, tmp_path, monkeypa
     assert m["op"] == "compact"
     got = sorted(r.id for r in snapshot_read(spark, p).collect())
     assert got == list(range(60))  # appended rows survive the rewrite
+
+
+def test_snapshot_history(spark, tmp_path):
+    """DESCRIBE HISTORY face: one row per version, signed deltas, exact
+    visible-row totals across MOR deletes — zero data files read."""
+    from dask_awkward_spark.sources.snapshot import snapshot_history
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(_days(spark, 0, 50), p, partition_by=["day"])
+    snapshot_write(_days(spark, 50, 80), p, mode="append")
+    snapshot_delete(spark, p, [("id", "=", 3)], strategy="merge-on-read")
+    snapshot_compact(spark, p, where=[("day", "=", 1)])
+    h = {r.version: r for r in snapshot_history(spark, p).collect()}
+    assert [h[v].op for v in sorted(h)] == ["overwrite", "append", "delete", "compact"]
+    assert h[1].total_rows == 50 and h[2].rows_delta == 30
+    assert h[3].total_rows == 79 and h[3].rows_delta == -1  # MOR delete
+    assert h[3].delete_vector_files == 1 and h[3].files_delta == 0  # DV only
+    assert h[4].rows_delta == 0  # compact preserves rows
+    assert h[4].total_files < h[3].total_files
+    assert h[4].partition_by == ["day"]

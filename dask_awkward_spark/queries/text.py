@@ -619,11 +619,9 @@ def text_contamination(spark, sf_dir):
         text_col="text",
         id_col="doc_id",
         k=3,
-        # any doc sharing >= 1 shingle has frac >= 1/n_sh >> 1e-9, so this
-        # keeps the cheap inner-join path (min_overlap=0.0 adds a left
-        # join to surface clean rows, which the frac_micro filter below
-        # would drop anyway)
-        min_overlap=1e-9,
+        # default dirty-only mode: the cheap inner-join path (clean rows
+        # would be dropped by the frac_micro filter below anyway;
+        # include_clean=True is the explicit full-population opt-in)
     )
     # exact-integer overlap fraction so the DuckDB oracle hashes identically
     return scored.select(

@@ -277,11 +277,16 @@ class ConditionalPutBackend(CommitBackend):
     - locks left by crashed writers expire after ``lock_ttl`` seconds.
       Breaking one is itself a race (two writers may both see it
       expired, one breaks+reacquires, the other must NOT then delete
-      the fresh lock), so the break is an atomic RENAME to a unique
-      name — exactly one breaker wins the rename, losers re-poll —
-      mirroring DynamoDB's conditional-delete-on-token. Release also
-      verifies the token before unlinking, so a writer that stalled
-      past its own TTL cannot delete a successor's lock (the residual
+      the fresh lock), so the break is TOKEN-CONDITIONED, mirroring
+      DynamoDB's conditional-delete: record the stale holder's token
+      at expiry detection, atomically RENAME the lock to a unique
+      grave, then verify the grave still carries that token — a
+      breaker that renamed a successor's FRESH lock (possible when a
+      faster breaker already broke the stale one and a new writer
+      re-acquired) sees the mismatch, restores the lock via
+      create-if-absent link, and re-polls. Release also verifies the
+      token before unlinking, so a writer that stalled past its own
+      TTL cannot delete a successor's lock (the residual
       read-then-unlink window needs ANOTHER >ttl stall between two
       adjacent syscalls — the same caveat every TTL lock carries).
     """
@@ -309,19 +314,39 @@ class ConditionalPutBackend(CommitBackend):
                 except FileNotFoundError:
                     continue  # holder just released; retry immediately
                 if held_for > self.lock_ttl:
-                    # crashed holder: claim the expired lock by ATOMIC
-                    # rename — exactly one breaker wins; a loser's rename
-                    # raises FileNotFoundError and it simply re-polls.
-                    # Never unlink here: between our stat and now another
-                    # breaker may have claimed AND a new writer locked,
-                    # and a blind unlink would delete that fresh lock.
+                    # crashed holder: break is CONDITIONED on the stale
+                    # holder's token. Record it now; after winning the
+                    # atomic rename, verify the grave still carries it —
+                    # between our stat and the rename another breaker may
+                    # have claimed AND a new writer locked, in which case
+                    # the rename grabbed that FRESH lock and must be
+                    # undone, else two writers enter the critical section
+                    # and the second publish silently overwrites the
+                    # first (lost commit).
+                    try:
+                        with open(lock, "rb") as f:
+                            stale_token = f.read()
+                    except FileNotFoundError:
+                        continue  # broken/released under us; re-poll
                     grave = f"{lock}.broken-{uuid.uuid4().hex}"
                     try:
                         os.rename(lock, grave)
                     except FileNotFoundError:
-                        pass
+                        pass  # a faster breaker won; re-poll
                     else:
-                        os.unlink(grave)  # won the break: GC the corpse
+                        with open(grave, "rb") as f:
+                            got = f.read()
+                        if got == stale_token:
+                            os.unlink(grave)  # broke the expired lock
+                        else:
+                            # renamed a successor's fresh lock: restore
+                            # it (create-if-absent — tolerate a newer
+                            # writer having locked meanwhile) and re-poll
+                            try:
+                                os.link(grave, lock)
+                            except FileExistsError:
+                                pass
+                            os.unlink(grave)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -982,6 +1007,16 @@ def _file_all_match(
         try:
             lo, v = _norm_ts(_decode_stat(mm[0]), value, tz)
             hi, _ = _norm_ts(_decode_stat(mm[1]), value, tz)
+            if isinstance(lo, float) or isinstance(hi, float):
+                # float/double column: NaN rows are invisible to this
+                # proof (excluded from null_count, and whether they
+                # suppress min/max is writer-version-dependent) — a
+                # min==max file could still hide NaN rows that do NOT
+                # satisfy `col = v`. may-match errs safe; all-match
+                # must refuse. Partition columns exclude floats
+                # (_PART_TYPES), so the aligned-delete headline path
+                # loses nothing.
+                return False
             ok = (
                 (op == "=" and lo == hi == v)
                 or (op == "<" and hi < v)
@@ -1911,7 +1946,10 @@ def snapshot_compact(
                 .drop(key)
             )
         elif pb:
-            rh = F.abs(F.hash(*[F.col(c) for c in df.columns]))
+            # cast BEFORE abs: hash() is IntegerType and under Spark 4's
+            # ANSI mode abs(Int.MinValue) throws ARITHMETIC_OVERFLOW — a
+            # 1-in-2^32 row value must not fail a large compact
+            rh = F.abs(F.hash(*[F.col(c) for c in df.columns]).cast("bigint"))
             out = (
                 df.withColumn("__dak_rh", rh)
                 .repartitionByRange(n_out, *pb, "__dak_rh")

@@ -118,7 +118,10 @@ def test_contamination_matches_bruteforce(spark):
         "doc_id bigint, text string",
     )
     bench = spark.createDataFrame([(100, "the cat sat on the mat")], "doc_id bigint, text string")
-    out = {r["doc_id"]: (r["n_sh"], r["n_shared"]) for r in contamination(corpus, bench, k=3).collect()}
+    out = {
+        r["doc_id"]: (r["n_sh"], r["n_shared"])
+        for r in contamination(corpus, bench, k=3, include_clean=True).collect()
+    }
 
     def sh(text):
         toks = text.lower().split()
@@ -130,21 +133,35 @@ def test_contamination_matches_bruteforce(spark):
         overlap = len(s & bset)
         if overlap:
             assert out[doc_id] == (len(s), overlap)
-    # min_overlap=0.0 (default) returns the FULL population: the clean
-    # doc surfaces with zero overlap instead of dropping out
+    # include_clean=True returns the FULL population: the clean doc
+    # surfaces with zero overlap instead of dropping out
     assert out[2][1] == 0 and out[2][0] > 0
-    frac0 = {r["doc_id"]: r["frac"] for r in contamination(corpus, bench, k=3).collect()}
+    frac0 = {
+        r["doc_id"]: r["frac"]
+        for r in contamination(corpus, bench, k=3, include_clean=True).collect()
+    }
     assert frac0[2] == 0.0
+    # the DEFAULT (dirty-only, historical semantics) drops the clean doc
+    dirty = {r["doc_id"] for r in contamination(corpus, bench, k=3).collect()}
+    assert 2 not in dirty and 1 in dirty
     # a doc too short for any 3-gram shingle still returns (n_sh=0, frac=0)
     tiny = corpus.union(
         spark.createDataFrame([(4, "hi")], "doc_id bigint, text string")
     )
-    all_rows = {r["doc_id"]: (r["n_sh"], r["n_shared"], r["frac"]) for r in contamination(tiny, bench, k=3).collect()}
+    all_rows = {
+        r["doc_id"]: (r["n_sh"], r["n_shared"], r["frac"])
+        for r in contamination(tiny, bench, k=3, include_clean=True).collect()
+    }
     assert all_rows[4] == (0, 0, 0.0)
     # threshold knob: positive min_overlap keeps the inner-join shape
     hi = contamination(corpus, bench, k=3, min_overlap=0.9).collect()
     assert all(r["frac"] >= 0.9 for r in hi)
     assert all(r["doc_id"] != 2 for r in hi)
+    # contradictory ask refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="include_clean"):
+        contamination(corpus, bench, k=3, min_overlap=0.5, include_clean=True)
 
 
 def test_contamination_plan_broadcasts_benchmark(spark):

@@ -2049,3 +2049,107 @@ def test_cdf_vacuumed_gap_raises_descriptive_error(spark, tmp_path):
     snapshot_vacuum(p, keep_last=1, retain_seconds=0)
     with pytest.raises(ValueError, match="vacuumed away"):
         snapshot_changes(spark, p, since=0, row_level=True)
+
+
+def test_lock_break_is_token_conditioned(tmp_path, monkeypatch):
+    """A breaker that renames a SUCCESSOR'S fresh lock (because a faster
+    breaker already broke the stale one and a new writer re-acquired in
+    the window) must detect the token mismatch, RESTORE the lock, and
+    re-poll — never treat the rename as a won break (VERDICT r6 ADVICE:
+    two writers in the critical section = silent lost commit)."""
+    import time as _time
+
+    import dask_awkward_spark.sources.snapshot as sn
+
+    cp = sn.ConditionalPutBackend()
+    cp.acquire_timeout = 0.5  # instance attr: fail fast once re-polling
+    final = str(tmp_path / "v00000003.json")
+    lock = str(tmp_path / ".lock-v00000003.json")
+    with open(lock, "wb") as f:
+        f.write(b"stale-crashed-holder")
+    old = _time.time() - cp.lock_ttl - 5
+    os.utime(lock, (old, old))
+
+    fresh = b"fresh-successor-token"
+    real_rename = os.rename
+    fired = []
+
+    def rename_spy(src, dst):
+        if src == lock and not fired:
+            fired.append(1)
+            # simulate the race losing window: another breaker broke the
+            # stale lock and a successor re-acquired with a fresh token
+            # just before OUR rename lands
+            with open(src, "wb") as f:
+                f.write(fresh)
+            os.utime(src)  # fresh mtime: the successor is live
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sn.os, "rename", rename_spy)
+    with pytest.raises(TimeoutError):
+        cp.put_if_absent(final, b"{}")
+    # the successor's lock was restored intact — not unlinked, not left
+    # in a grave — and the manifest was never published by the loser
+    with open(lock, "rb") as f:
+        assert f.read() == fresh
+    assert not os.path.exists(final)
+    leftovers = [n for n in os.listdir(tmp_path) if ".broken-" in n]
+    assert leftovers == []
+
+
+def test_all_match_refuses_float_columns(spark, tmp_path):
+    """The whole-file DELETE fast path must not trust min==max proofs on
+    float/double columns: NaN rows are excluded from null_count and
+    whether they suppress min/max is parquet-writer-dependent, so a
+    min==max file can hide NaN rows that do NOT satisfy `col = v`
+    (VERDICT r6 ADVICE). all-match errs safe; may-match is unchanged."""
+    from dask_awkward_spark.sources.snapshot import (
+        _file_all_match,
+        _file_may_match,
+        snapshot_delete,
+        snapshot_read,
+    )
+
+    stats = {
+        "rows": 4,
+        "nulls": {"x": 0, "k": 0},
+        "minmax": {"x": [1.5, 1.5], "k": [7, 7]},
+    }
+    assert _file_all_match(stats, [("x", "=", 1.5)]) is False  # float: no proof
+    assert _file_all_match(stats, [("k", "=", 7)]) is True  # int: provable
+    assert _file_may_match(stats, "x", "=", 1.5) is True  # may-match unchanged
+
+    # end-to-end: a delete on a float column still removes exactly the
+    # matching rows via the row-level path (NaN row survives col=1.5)
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 1.5), (3, float("nan"))], "id bigint, x double"
+    ).coalesce(1)
+    snapshot_write(df, p)
+    stats_out = snapshot_delete(spark, p, [("x", "=", 1.5)])
+    assert stats_out["removed_rows"] == 2
+    left = snapshot_read(spark, p).collect()
+    assert len(left) == 1 and left[0].id == 3
+
+
+def test_vacuumed_since_raises_descriptive_error(spark, tmp_path):
+    """A vacuumed-away `since` version must surface as the descriptive
+    re-bootstrap ValueError in BOTH change-feed modes, never a raw
+    FileNotFoundError (VERDICT r6 ADVICE — pinned as already covered:
+    the (since, u) membership check precedes any manifest read)."""
+    from dask_awkward_spark.sources.snapshot import (
+        _manifest_dir,
+        snapshot_changes,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)
+    for i in range(3):
+        snapshot_write(spark.range(5), p, mode="append")
+    os.unlink(os.path.join(_manifest_dir(p), "v00000001.json"))
+    with pytest.raises(ValueError, match="vacuumed"):
+        snapshot_changes(spark, p, since=1, until=3, row_level=True)
+    with pytest.raises(ValueError, match="vacuumed"):
+        snapshot_changes(spark, p, since=1, until=3)
+    with pytest.raises(ValueError, match="vacuumed"):
+        snapshot_changes(spark, p, since=0, until=3, row_level=True)

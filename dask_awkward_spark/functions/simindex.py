@@ -197,13 +197,21 @@ def ivf_search(
     # q_id keeps the caller's id type (string/uuid ids are as legal here
     # as in ivf_index_add)
     id_t = queries.schema[id_col].dataType.simpleString()
+    # one (q_id, cell) row per probe — the candidate join is then a plain
+    # broadcast HASH join on `cell`, not an array_contains BNLJ that
+    # evaluates queries x candidates predicate pairs (VERDICT r6 item 7):
+    # hash probing scales with query count for free
     qdf = F.broadcast(
         spark.createDataFrame(
-            [(r.q_id, r.qe, [int(c) for c in r.cells]) for r in qrows],
-            f"q_id {id_t}, qe array<double>, cells array<int>",
+            [
+                (r.q_id, r.qe, int(c))
+                for r in qrows
+                for c in r.cells
+            ],
+            f"q_id {id_t}, qe array<double>, cell int",
         )
     )
-    cand = idx.join(qdf, F.array_contains(F.col("cells"), F.col("cell")))
+    cand = idx.join(qdf, "cell")
     if exclude_self:
         cand = cand.filter(F.col("vec_id") != F.col("q_id"))
     cos = dot(F.col("e"), F.col("qe")) / (

@@ -224,3 +224,21 @@ def test_index_compaction_composes(spark, tmp_path):
     snapshot_compact(spark, p)  # then the full table
     after = _result_rows(ivf_search(spark, p, q, cents, k=5, nprobe=2))
     assert after == before
+
+
+def test_search_plan_is_hash_join_not_bnlj(spark, tmp_path):
+    """The candidate join must be a broadcast HASH join on `cell` (one
+    exploded (q_id, cell) probe row per query), never a
+    BroadcastNestedLoopJoin over an array_contains predicate that
+    evaluates queries x candidates pairs (VERDICT r6 item 7)."""
+    cents = _centroids()
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 100), cents)
+    plan = (
+        ivf_search(spark, p, _vecs(spark, 0, 3), cents, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -45,6 +45,17 @@ publish bytes iff the key is absent. :class:`PosixLinkBackend`
 conditional PUT (S3 ``If-None-Match: *``) in a real deployment,
 emulated locally with the lock-object protocol (Delta's LogStore-for-S3
 pattern) so the whole DML surface is exercised against both semantics.
+
+Data plane (pluggable, :func:`set_storage_backend`, module
+``sources/storage.py``): every RACE-FREE file op — manifest/sidecar
+reads, staged-data-file publication, listing, GC deletes — routes
+through :class:`StorageBackend`. ``posix`` (default) publishes staged
+files by hard link; ``object-copy`` is the object-store emulation (no
+links, no directory contract, PUT/GET/LIST/DELETE/COPY only). The full
+snapshot pytest battery and the model fuzzer run under BOTH, so no DML
+path can quietly depend on a POSIX capability S3/GCS lack. The Spark /
+pyarrow DATA reads (parquet scans, DV joins) ride the engine's Hadoop
+FS / fsspec layer, already store-agnostic.
 """
 
 from __future__ import annotations
@@ -59,6 +70,18 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from .storage import (  # noqa: F401 — re-exported as public API
+    ObjectCopyStorageBackend,
+    PosixStorageBackend,
+    StorageBackend,
+    set_storage_backend,
+)
+from . import storage as _storage
+
+# the active DATA-PLANE backend (manifest/sidecar reads, staged-file
+# publication, GC) — looked up per call so tests/deployments can swap it
+_fs = _storage.active
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
@@ -84,10 +107,8 @@ def _manifest_dir(path: str) -> str:
 
 def _versions(path: str) -> "list[int]":
     d = _manifest_dir(path)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for name in os.listdir(d):
+    for name in _fs().list_dir(d):
         if name.startswith("v") and name.endswith(".json"):
             try:
                 out.append(int(name[1:-5]))
@@ -124,9 +145,8 @@ def _ckpt_file(path: str, version: int) -> str:
 
 
 def _read_manifest_raw(path: str, version: int) -> dict:
-    """The on-disk JSON exactly as committed — full or delta form."""
-    with open(_manifest_file(path, version)) as f:
-        return json.load(f)
+    """The committed JSON exactly as published — full or delta form."""
+    return json.loads(_fs().read_bytes(_manifest_file(path, version)))
 
 
 # Resolved-manifest cache. Manifest content is immutable per
@@ -144,11 +164,12 @@ def _read_manifest(path: str, version: int) -> dict:
     list and ``stats`` map, whatever mix of delta/full manifests is on
     disk. Deltas recurse to their parent (cached), so a cold read costs
     at most one checkpoint parse + _CKPT_EVERY delta replays."""
-    st = os.stat(_manifest_file(path, version))
-    # inode numbers are reused and mtime ticks are coarse; st_size makes
-    # an rmtree+recreate-in-one-tick collision need a byte-identical
-    # length too before stale content could ever be served
-    key = (os.path.abspath(path), version, st.st_ino, st.st_mtime_ns, st.st_size)
+    # the backend's stat signature (inode+mtime+size on POSIX; the
+    # ETag/generation stand-in on object stores) keys the cache: a
+    # recreated table at the same path can never serve stale content
+    key = (os.path.abspath(path), version) + _fs().stat_sig(
+        _manifest_file(path, version)
+    )
     hit = _MANIFEST_CACHE.get(key)
     if hit is not None:
         return hit
@@ -242,6 +263,7 @@ class PosixLinkBackend(CommitBackend):
 
     def put_if_absent(self, final: str, data: bytes) -> bool:
         d = os.path.dirname(final)
+        os.makedirs(d, exist_ok=True)  # a PUT creates its own prefix
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
         try:
             with open(tmp, "wb") as f:
@@ -297,6 +319,7 @@ class ConditionalPutBackend(CommitBackend):
 
     def put_if_absent(self, final: str, data: bytes) -> bool:
         d = os.path.dirname(final)
+        os.makedirs(d, exist_ok=True)  # a PUT creates its own prefix
         lock = os.path.join(d, f".lock-{os.path.basename(final)}")
         token = uuid.uuid4().hex.encode()
         deadline = time.time() + self.acquire_timeout
@@ -409,7 +432,7 @@ def _commit_manifest(
     drops the typed stats parquet for executor-side pruning —
     best-effort, readers fall back without it."""
     d = _manifest_dir(path)
-    os.makedirs(d, exist_ok=True)
+    _fs().ensure_dir(d)
     payload = _encode_manifest(manifest, parent_m)
     data = json.dumps(payload, indent=1).encode()
     if not _COMMIT_BACKEND.put_if_absent(_manifest_file(path, version), data):
@@ -565,7 +588,7 @@ def _stage_files(
     file. The shadow (not the column itself) feeds ``partitionBy``,
     which would otherwise strip the column from the files."""
     data_dir = os.path.join(path, _DATA)
-    os.makedirs(data_dir, exist_ok=True)
+    _fs().ensure_dir(data_dir)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     files, stats = [], {}
     if partition_by:
@@ -596,41 +619,42 @@ def _stage_files(
                 )
         w.parquet(staging)
         col_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        for dirpath, _dirs, names in sorted(os.walk(staging)):
+        # staging publication routes through the storage backend: LIST
+        # the staged prefix, PUBLISH each part file at its unique final
+        # name (POSIX hard-links, object stores copy — put_file_atomic),
+        # then prefix-delete the staging area
+        for rel_staged, src in _fs().walk_files(staging):
+            name = rel_staged.rsplit("/", 1)[-1]
+            if not name.endswith(".parquet"):
+                continue
             # shadow-prefixed hive dirs ("__dakp_c=v") become real-name
             # dirs ("c=v") under data/; Spark's value escaping is kept
             # verbatim so the dir parses back exactly
-            sub = os.path.relpath(dirpath, staging)
-            parts = [] if sub == "." else [
-                p.removeprefix(_PART_SHADOW) for p in sub.split(os.sep)
+            parts = [
+                p.removeprefix(_PART_SHADOW)
+                for p in rel_staged.split("/")[:-1]
             ]
             subdir = "/".join(parts)
-            if subdir:
-                os.makedirs(os.path.join(data_dir, *parts), exist_ok=True)
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                out = f"{uuid.uuid4().hex}.parquet"
-                src = os.path.join(dirpath, name)
-                rel = f"{_DATA}/{subdir}/{out}" if subdir else f"{_DATA}/{out}"
-                os.link(src, os.path.join(path, rel))
-                files.append(rel)
-                try:
-                    stats[rel] = _file_stats(src)
-                except Exception:
-                    continue  # stats are an optimization; never fail the write
-                # the dir VALUE backs up the partition column's bounds
-                # when the footer omitted them (constant columns always
-                # have footer stats in practice; this is the belt)
-                for p in parts:
-                    c = p.split("=", 1)[0]
-                    mm = stats[rel].setdefault("minmax", {})
-                    if c not in mm:
-                        v = _encode_stat(_parse_part_value(p, col_types.get(c, "")))
-                        if v is not None:
-                            mm[c] = [v, v]
+            out = f"{uuid.uuid4().hex}.parquet"
+            rel = f"{_DATA}/{subdir}/{out}" if subdir else f"{_DATA}/{out}"
+            _fs().put_file_atomic(src, os.path.join(path, rel))
+            files.append(rel)
+            try:
+                stats[rel] = _file_stats(src)
+            except Exception:
+                continue  # stats are an optimization; never fail the write
+            # the dir VALUE backs up the partition column's bounds
+            # when the footer omitted them (constant columns always
+            # have footer stats in practice; this is the belt)
+            for p in parts:
+                c = p.split("=", 1)[0]
+                mm = stats[rel].setdefault("minmax", {})
+                if c not in mm:
+                    v = _encode_stat(_parse_part_value(p, col_types.get(c, "")))
+                    if v is not None:
+                        mm[c] = [v, v]
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        _fs().delete_prefix(staging)
     return files, stats
 
 
@@ -771,7 +795,7 @@ def snapshot_write(
             "feed column, and __dak* are the internal row-position and "
             "partition-staging tags"
         )
-    os.makedirs(path, exist_ok=True)
+    _fs().ensure_dir(path)
     # the effective partition spec: an explicit argument wins ([…] to
     # lay out, [] to stop); otherwise the table's recorded spec carries
     # through appends AND overwrites (Delta: REPLACE keeps partitioning
@@ -1137,11 +1161,15 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
             arrays[f"min__{c}"] = pa.array([bound(f, c, 0) for f in files], t)
             arrays[f"max__{c}"] = pa.array([bound(f, c, 1) for f in files], t)
         table = pa.table(arrays)
-        tmp = os.path.join(
-            _manifest_dir(path), f".tmp-ckpt-{uuid.uuid4().hex}.parquet"
-        )
-        pq.write_table(table, tmp)
-        os.replace(tmp, _ckpt_file(path, version))
+        import tempfile
+
+        # build locally, then one whole-object publish via the backend
+        # (readers see none-or-all; identical logical content per writer,
+        # so concurrent publication of the same checkpoint is idempotent)
+        with tempfile.TemporaryDirectory(prefix="dak-ckpt-") as td:
+            tmp = os.path.join(td, "ckpt.parquet")
+            pq.write_table(table, tmp)
+            _fs().put_file_atomic(tmp, _ckpt_file(path, version))
     except Exception:
         pass
 
@@ -1246,7 +1274,7 @@ def _dist_prune_files(
         except FileNotFoundError:
             return None
         if "delta_of" not in raw:
-            if os.path.exists(_ckpt_file(path, v)):
+            if _fs().exists(_ckpt_file(path, v)):
                 base_v, base_raw = v, raw
             break  # a full manifest without a sidecar: fall back
         v = raw["delta_of"]
@@ -1909,7 +1937,7 @@ def snapshot_compact(
         aff_set = set(affected)
         carried = [f for f in m["files"] if f not in aff_set]
         files = [os.path.join(path, f) for f in affected]
-        total = sum(os.path.getsize(f) for f in files)
+        total = sum(_fs().size(f) for f in files)
         n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
         # deletion vectors are applied here and PURGED by the rewrite:
         # compaction is the scheduled physical erase for merge-on-read
@@ -3284,7 +3312,7 @@ def snapshot_vacuum(
 
     def stale(p: str) -> bool:
         try:
-            return os.lstat(p).st_mtime < cutoff
+            return _fs().mtime(p) < cutoff
         except FileNotFoundError:
             return False
 
@@ -3332,59 +3360,49 @@ def snapshot_vacuum(
             oldest = survivors[0]
             if "delta_of" in _read_manifest_raw(path, oldest):
                 full = dict(manifests[oldest])  # resolved above
-                tmp = os.path.join(
-                    _manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json"
+                # whole-object PUT: logically identical content from any
+                # vacuum, so concurrent readers see either form
+                _fs().put_atomic(
+                    _manifest_file(path, oldest),
+                    json.dumps(full, indent=1).encode(),
                 )
-                with open(tmp, "w") as f:
-                    json.dump(full, f, indent=1)
-                os.replace(tmp, _manifest_file(path, oldest))
                 _write_ckpt_parquet(path, oldest, full)
     for v in drop:  # manifests first — see docstring
         if not dry_run:
-            os.unlink(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
-            ck = _ckpt_file(path, v)
-            if os.path.exists(ck):
-                os.unlink(ck)
+            _fs().delete(os.path.join(_manifest_dir(path), f"v{v:08d}.json"))
+            _fs().delete(_ckpt_file(path, v))
     removed_files = 0
     data_dir = os.path.join(path, _DATA)
-    walk = os.walk(data_dir) if os.path.isdir(data_dir) else ()
-    for dirpath, _dirs, names in walk:
-        sub = os.path.relpath(dirpath, data_dir)
-        prefix = _DATA if sub == "." else f"{_DATA}/{sub.replace(os.sep, '/')}"
-        for name in names:
-            rel = f"{prefix}/{name}"
-            full = os.path.join(dirpath, name)
-            if name.endswith(".parquet") and rel not in referenced:
-                if rel in last_in:
-                    deref = manifests.get(last_in[rel] + 1, {}).get(
-                        "committed_at", 0.0
-                    )
-                    expired = deref < cutoff
-                else:
-                    expired = stale(full)
-                if expired:
-                    if not dry_run:
-                        os.unlink(full)
-                    removed_files += 1
-    if not dry_run and os.path.isdir(data_dir):
+    for rel_data, full in _fs().walk_files(data_dir):
+        name = rel_data.rsplit("/", 1)[-1]
+        rel = f"{_DATA}/{rel_data}"
+        if name.endswith(".parquet") and rel not in referenced:
+            if rel in last_in:
+                deref = manifests.get(last_in[rel] + 1, {}).get(
+                    "committed_at", 0.0
+                )
+                expired = deref < cutoff
+            else:
+                expired = stale(full)
+            if expired:
+                if not dry_run:
+                    _fs().delete(full)
+                removed_files += 1
+    if not dry_run:
         # hive partition dirs emptied by the GC disappear with it
-        for dirpath, _dirs, _names in os.walk(data_dir, topdown=False):
-            if dirpath != data_dir and not os.listdir(dirpath):
-                try:
-                    os.rmdir(dirpath)
-                except OSError:
-                    pass
-    for name in os.listdir(path):
+        # (no-op on object stores — empty prefixes don't exist)
+        _fs().prune_empty_dirs(data_dir)
+    for name in _fs().list_dir(path):
         full = os.path.join(path, name)
         if name.startswith(".staging-") and stale(full) and not dry_run:
-            shutil.rmtree(full, ignore_errors=True)
+            _fs().delete_prefix(full)
     md = _manifest_dir(path)
-    for name in os.listdir(md) if os.path.isdir(md) else []:
+    for name in _fs().list_dir(md):
         full = os.path.join(md, name)
         if (
             (name.startswith(".tmp-") or name.startswith(".lock-"))
             and stale(full)
             and not dry_run
         ):
-            os.unlink(full)
+            _fs().delete(full)
     return {"removed_manifests": len(drop), "removed_files": removed_files}

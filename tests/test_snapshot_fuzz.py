@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st_
 
@@ -21,6 +22,10 @@ from dask_awkward_spark.sources.snapshot import (
     snapshot_vacuum,
     snapshot_write,
 )
+
+# the model fuzzer runs under BOTH data-plane backends (posix /
+# object-store copy emulation) — VERDICT r6 item 1
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
 
 SETTINGS = dict(
     # soak mode: DAKSPARK_HYPO_EXAMPLES=50 python -m pytest tests/test_snapshot_fuzz.py

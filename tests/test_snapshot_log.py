@@ -16,6 +16,10 @@ import os
 import shutil
 
 import pytest
+
+# every test in this module runs under BOTH data-plane backends
+# (posix hard-link / object-store copy emulation) — VERDICT r6 item 1
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
 from pyspark.sql import functions as F
 
 import dask_awkward_spark.sources.snapshot as snap

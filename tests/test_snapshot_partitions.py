@@ -14,6 +14,10 @@ import glob
 import os
 
 import pytest
+
+# every test in this module runs under BOTH data-plane backends
+# (posix hard-link / object-store copy emulation) — VERDICT r6 item 1
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
 from pyspark.sql import functions as F
 
 import dask_awkward_spark.sources.snapshot as snap
@@ -132,7 +136,7 @@ def test_compact_partitioned_one_file_per_value(spark, tmp_path):
     assert snapshot_read(spark, p).count() == 100
 
 
-def test_vacuum_gcs_emptied_partition_dirs(spark, tmp_path):
+def test_vacuum_gcs_emptied_partition_dirs(spark, tmp_path, snapshot_storage_backend):
     p = str(tmp_path / "tbl")
     snapshot_write(_days(spark, 0, 50), p, partition_by=["day"])
     snapshot_write(
@@ -140,7 +144,18 @@ def test_vacuum_gcs_emptied_partition_dirs(spark, tmp_path):
     )
     stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
     assert stats["removed_files"] > 0
-    assert sorted(os.listdir(f"{p}/data")) == ["day=0", "day=1"]
+    if snapshot_storage_backend == "posix":
+        # POSIX housekeeping removes the emptied hive dirs outright
+        assert sorted(os.listdir(f"{p}/data")) == ["day=0", "day=1"]
+    else:
+        # object stores have no directories to prune — the emulation
+        # leaves empty local dirs, but no data OBJECT may survive
+        # outside the live partitions
+        live = {"day=0", "day=1"}
+        for root, _dirs, names in os.walk(f"{p}/data"):
+            for n in names:
+                rel = os.path.relpath(os.path.join(root, n), f"{p}/data")
+                assert rel.split(os.sep)[0] in live, rel
     assert snapshot_read(spark, p).count() == 10
 
 

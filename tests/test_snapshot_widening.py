@@ -11,6 +11,10 @@ loudly refused.
 from __future__ import annotations
 
 import pytest
+
+# every test in this module runs under BOTH data-plane backends
+# (posix hard-link / object-store copy emulation) — VERDICT r6 item 1
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
 from pyspark.sql import functions as F
 
 from dask_awkward_spark.sources.snapshot import (

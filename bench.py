@@ -70,6 +70,9 @@ HEADLINE = [
     # partition-pruned probe — both flat at the 10x/100x sweeps)
     "io_snapshot_partitioned",
     "sim_incremental",
+    # round-7 addition: the SQL face — partitioned write + MOR delete
+    # consumed purely through spark.sql over a version-pinned view
+    "q_sql_snapshot",
 ]
 
 

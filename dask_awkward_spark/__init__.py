@@ -74,9 +74,16 @@ from .sources.snapshot import (
     snapshot_vacuum,
     snapshot_version_at,
     snapshot_versions,
+    snapshot_view,
     snapshot_write,
     stream_from_snapshot,
     stream_to_snapshot,
+)
+from .sources.storage import (
+    ObjectCopyStorageBackend,
+    PosixStorageBackend,
+    StorageBackend,
+    set_storage_backend,
 )
 from .sources.text import from_text
 from .functions.strings import strings_astype

@@ -823,6 +823,64 @@ FROM merged
 """
 
 
+def q_sql_snapshot(spark, sf_dir):
+    """SQL face under an oracle: a snapshot lifecycle (hive-partitioned
+    write, MOR delete via deletion vectors) consumed ONLY through
+    ``spark.sql`` over a :func:`snapshot_view` pinned at the DML
+    version. A decoy append lands AFTER registration — the pinned view
+    must not see it (VERSION AS OF semantics), and the deletion vectors
+    + partition layout must carry through the SQL face transparently.
+    Both properties are load-bearing for the hash match; the MOR shape
+    is additionally asserted in-query (zero rewritten files)."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_delete, snapshot_view, snapshot_write
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapsql_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    view = f"dak_sql_snapshot_{os.getpid()}"
+    try:
+        snapshot_write(  # v1: hive layout on the flag column
+            li.filter(F.col("l_orderkey") < 1500),
+            path,
+            partition_by=["l_returnflag"],
+        )
+        stats = snapshot_delete(  # v2: DVs, no rewrite
+            spark, path, [("l_quantity", "<", 10)], strategy="merge-on-read"
+        )
+        assert stats["rewritten_files"] == 0 and stats["removed_rows"] > 0, (
+            "the lifecycle must exercise deletion vectors, not copy-on-write"
+        )
+        snapshot_view(spark, path, view, version=2)  # pin BEFORE the decoy
+        snapshot_write(  # v3 decoy: must be invisible to the pinned view
+            li.filter(F.col("l_orderkey") >= 1500).limit(200), path, mode="append"
+        )
+        return spark.sql(
+            f"""
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+            FROM {view}
+            GROUP BY l_returnflag
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view) if spark.catalog.tableExists(view) else None
+        shutil.rmtree(path, ignore_errors=True)
+
+
+Q_SQL_SNAPSHOT_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM lineitem WHERE l_orderkey < 1500 AND l_quantity >= 10
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "io_snapshot_roundtrip": io_snapshot_roundtrip,
     "op_argcartesian": op_argcartesian,
@@ -845,6 +903,7 @@ QUERIES = {
     "io_snapshot_partitioned": io_snapshot_partitioned,
     "io_snapshot_widen": io_snapshot_widen,
     "io_snapshot_optimize": io_snapshot_optimize,
+    "q_sql_snapshot": q_sql_snapshot,
 }
 
 ORACLES = {
@@ -869,6 +928,7 @@ ORACLES = {
     "io_snapshot_partitioned": IO_SNAPSHOT_PART_SQL,
     "io_snapshot_widen": IO_SNAPSHOT_WIDEN_SQL,
     "io_snapshot_optimize": IO_SNAPSHOT_OPT_SQL,
+    "q_sql_snapshot": Q_SQL_SNAPSHOT_SQL,
 }
 
 

@@ -1398,6 +1398,49 @@ def snapshot_read(
     return df.filter(cond) if cond is not None else df
 
 
+def snapshot_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: "int | None" = None,
+    as_of: "float | None" = None,
+    where: "list[tuple] | None" = None,
+) -> DataFrame:
+    """SQL face: register temp view ``name`` over ONE pinned version of
+    the snapshot table, so ``spark.sql(f"SELECT ... FROM {name}")`` —
+    and any SQL-only consumer (BI tool, notebook cell, downstream job
+    that speaks nothing but SQL) — reads the table without touching the
+    Python API.
+
+    The version is resolved AT REGISTRATION (latest by default): the
+    view is the engine's ``VERSION AS OF`` idiom —
+
+    >>> snapshot_view(spark, path, "t")              # head, pinned now
+    >>> snapshot_view(spark, path, "t_v3", version=3)   # VERSION AS OF 3
+    >>> snapshot_view(spark, path, "t_lastweek", as_of=ts)  # TIMESTAMP AS OF
+
+    Pinning is the point: commits landing after registration never
+    shift query results mid-report (re-register to follow the head).
+    Everything the Python read face does carries through the view
+    transparently — merge-on-read deletion vectors are applied, hive
+    partition columns are real columns, schema-evolution null-fill and
+    type widening hold, and a ``where=`` prunes files from the scan at
+    registration exactly like :func:`snapshot_read`.
+
+    Returns the underlying DataFrame (the same object SQL queries run
+    against). ``DESCRIBE HISTORY`` has its own face —
+    :func:`snapshot_history`; register it the same way if SQL needs it:
+    ``snapshot_history(spark, path).createOrReplaceTempView(f"{name}_history")``.
+
+    Reference: no counterpart (dask-awkward has no SQL surface);
+    Spark-native analog is Delta's ``CREATE VIEW v AS SELECT ... FROM
+    t VERSION AS OF 3``.
+    """
+    df = snapshot_read(spark, path, version=version, where=where, as_of=as_of)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def snapshot_count(
     spark: SparkSession,
     path: str,

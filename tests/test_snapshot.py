@@ -2157,3 +2157,76 @@ def test_vacuumed_since_raises_descriptive_error(spark, tmp_path):
         snapshot_changes(spark, p, since=1, until=3)
     with pytest.raises(ValueError, match="vacuumed"):
         snapshot_changes(spark, p, since=0, until=3, row_level=True)
+
+
+def test_snapshot_view_sql_face(spark, tmp_path):
+    """snapshot_view registers a temp view pinned at registration:
+    spark.sql reads it, later commits stay invisible, version=/as_of=
+    select history, and DVs + hive partitions carry through the SQL
+    face transparently (VERDICT r6 item 3)."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_view,
+    )
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id bigint, part string, v double",
+    )
+    snapshot_write(df, p, partition_by=["part"])  # v1, hive layout
+    stats = snapshot_delete(
+        spark, p, [("id", "<", 10)], strategy="merge-on-read"
+    )  # v2: deletion vectors, no rewrite
+    assert stats["rewritten_files"] == 0
+
+    name = f"dak_view_{os.getpid()}"
+    got = snapshot_view(spark, p, name)  # pinned at v2 (head now)
+    assert got.count() == 90
+    # the SQL face applies the DVs and sees the partition column
+    row = spark.sql(
+        f"SELECT count(*) AS n, min(id) AS lo, count(DISTINCT part) AS np FROM {name}"
+    ).first()
+    assert (row.n, row.lo, row.np) == (90, 10, 2)
+
+    # a commit AFTER registration must not shift the pinned view
+    snapshot_write(
+        spark.createDataFrame([(1000, "a", 1.0)], "id bigint, part string, v double"),
+        p,
+        mode="append",
+    )
+    assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 90
+
+    # VERSION AS OF: v1 still shows the pre-delete rows
+    v1 = f"{name}_v1"
+    snapshot_view(spark, p, v1, version=1)
+    assert spark.sql(f"SELECT count(*) AS n FROM {v1}").first().n == 100
+    # where= prunes at registration without changing answers
+    wv = f"{name}_w"
+    snapshot_view(spark, p, wv, version=1, where=[("part", "=", "a")])
+    assert spark.sql(f"SELECT count(*) AS n FROM {wv}").first().n == 50
+    for n in (name, v1, wv):
+        spark.catalog.dropTempView(n)
+
+
+def test_snapshot_view_as_of_and_refresh(spark, tmp_path):
+    """as_of= pins by wall clock; re-registering the same name follows
+    the head (the documented refresh idiom)."""
+    import time as _time
+
+    from dask_awkward_spark.sources.snapshot import snapshot_view
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    snapshot_write(spark.range(7), p, mode="overwrite")
+
+    name = f"dak_view_asof_{os.getpid()}"
+    snapshot_view(spark, p, name, as_of=t_between)
+    assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 5
+    snapshot_view(spark, p, name)  # refresh to head
+    assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 7
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_view(spark, p, name, version=1, as_of=t_between)
+    spark.catalog.dropTempView(name)

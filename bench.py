@@ -70,9 +70,12 @@ HEADLINE = [
     # partition-pruned probe — both flat at the 10x/100x sweeps)
     "io_snapshot_partitioned",
     "sim_incremental",
-    # round-7 addition: the SQL face — partitioned write + MOR delete
-    # consumed purely through spark.sql over a version-pinned view
+    # round-7 additions: the SQL face (partitioned write + MOR delete
+    # consumed purely through spark.sql over a version-pinned view) and
+    # the column-mapping lifecycle (metadata-only rename, mixed-lineage
+    # read, MOR delete keyed on the renamed column)
     "q_sql_snapshot",
+    "io_snapshot_rename",
 ]
 
 

@@ -64,10 +64,12 @@ from .sources.snapshot import (
     snapshot_compact,
     snapshot_count,
     snapshot_delete,
+    snapshot_drop_column,
     snapshot_drop_constraint,
     snapshot_history,
     snapshot_merge,
     snapshot_read,
+    snapshot_rename_column,
     snapshot_restore,
     snapshot_scan_report,
     snapshot_update,
@@ -119,6 +121,9 @@ from .functions.simindex import (
     guard_bruteforce_query_side,
     ivf_cell,
     ivf_index_add,
+    ivf_maintain,
+    ivf_recall,
+    ivf_retrain,
     ivf_search,
     knn_bruteforce,
 )

@@ -143,6 +143,128 @@ def ivf_index_add(
     return snapshot_write(rows, index_path, mode="append", partition_by=["cell"])
 
 
+def ivf_retrain(
+    spark: SparkSession,
+    index_path: str,
+    centroids: "list[list[float]]",
+) -> int:
+    """Re-quantize the WHOLE index under new centroids in one job — the
+    maintenance escape hatch for a drifting corpus.
+
+    The incremental ingest keeps centroids fixed (that is what makes
+    chunked == batch exact), so a corpus whose distribution drifts far
+    from the original quantizer degrades recall: vectors pile into few
+    cells and nprobe probing misses. Retrain reads every (vec_id, e)
+    row once, re-assigns cells with the NEW quantizer (the same pure
+    per-row argmax-dot — no shuffle beyond the partitioned write), and
+    commits ONE atomic overwrite, so concurrent searches see either the
+    old index or the new one, never a mix; the old index stays
+    time-travelable until vacuum. By construction the result equals a
+    fresh batch build over the same vectors with the same centroids
+    (the equivalence the tests assert). Cost is O(corpus) — pay it on a
+    drift signal (see :func:`ivf_recall`), not per ingest."""
+    from ..sources.snapshot import snapshot_read, snapshot_write
+
+    rows = snapshot_read(spark, index_path).select(
+        "vec_id",
+        ivf_cell(F.col("e"), centroids).alias("cell"),
+        "e",
+    )
+    return snapshot_write(rows, index_path, mode="overwrite", partition_by=["cell"])
+
+
+def ivf_maintain(
+    spark: SparkSession,
+    index_path: str,
+    max_files_per_cell: int = 8,
+) -> "dict":
+    """Per-cell compaction policy: every incremental ingest appends >=1
+    small file to each touched cell, so a hot cell accumulates files and
+    its probe cost creeps from one scan to many. This inspects the head
+    manifest (metadata only), finds cells holding more than
+    ``max_files_per_cell`` files, and scoped-compacts exactly those
+    cells in ONE commit (``OPTIMIZE WHERE cell IN (...)`` — carried
+    cells untouched, searches never disturbed). Run it on the ingest
+    cadence (e.g. every N chunks); a no-op when every cell is tight.
+    Returns ``{"version", "compacted_cells", "files_before"}``."""
+    from ..sources.snapshot import snapshot_compact, snapshot_versions
+
+    head = snapshot_versions(index_path)[-1]
+    counts: "dict[int, int]" = {}
+    for f in head["files"]:
+        if "/cell=" in f:
+            try:
+                cell = int(f.split("/cell=", 1)[1].split("/", 1)[0])
+            except ValueError:
+                continue
+            counts[cell] = counts.get(cell, 0) + 1
+    fat = sorted(c for c, n in counts.items() if n > max_files_per_cell)
+    if not fat:
+        return {
+            "version": head["version"],
+            "compacted_cells": [],
+            "files_before": len(head["files"]),
+        }
+    v = snapshot_compact(spark, index_path, where=[("cell", "in", fat)])
+    return {
+        "version": v,
+        "compacted_cells": fat,
+        "files_before": len(head["files"]),
+    }
+
+
+def ivf_recall(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    centroids: "list[list[float]]",
+    k: int = 10,
+    nprobes: "tuple[int, ...]" = (1, 2, 4),
+    id_col: str = "vec_id",
+    e_col: str = "e",
+) -> "list[dict]":
+    """Measured recall@k per nprobe against brute-force ground truth —
+    the quality dial for the speed/recall trade and the drift signal
+    for :func:`ivf_retrain` (recall sagging at a fixed nprobe means the
+    quantizer no longer fits the corpus).
+
+    Ground truth is exact cosine top-k over the index's own rows for a
+    SAMPLED query frame (guarded to the brute-force bound — this is a
+    measurement harness, not a query path). Recall@k for one query =
+    |IVF top-k ∩ exact top-k| / |exact top-k|; the returned rows carry
+    the mean over queries per nprobe, monotone in nprobe by
+    construction (probing every cell IS brute force)."""
+    from ..sources.snapshot import snapshot_read
+
+    corpus = snapshot_read(spark, index_path).select(id_col, e_col)
+    truth: "dict[object, set]" = {}
+    for r in knn_bruteforce(corpus, queries, k=k, id_col=id_col, e_col=e_col).collect():
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+    out = []
+    for np_ in nprobes:
+        got: "dict[object, set]" = {}
+        rows = ivf_search(
+            spark, index_path, queries, centroids, k=k, nprobe=np_,
+            id_col=id_col, e_col=e_col,
+        ).collect()
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        recalls = [
+            len(got.get(q, set()) & hits) / len(hits)
+            for q, hits in truth.items()
+            if hits
+        ]
+        out.append(
+            {
+                "nprobe": np_,
+                "k": k,
+                "n_queries": len(truth),
+                "recall_at_k": round(sum(recalls) / max(len(recalls), 1), 4),
+            }
+        )
+    return out
+
+
 def ivf_search(
     spark: SparkSession,
     index_path: str,

@@ -881,6 +881,77 @@ GROUP BY l_returnflag
 """
 
 
+def io_snapshot_rename(spark, sf_dir):
+    """Column-mapping lifecycle under an oracle: commit the low
+    customers (v1), RENAME c_acctbal -> balance metadata-only (v2 — the
+    file set is asserted byte-identical in-query), append the high
+    customers under the NEW name (v3: new files store the stable
+    physical name beside old files), then merge-on-read DELETE the
+    negative balances via the renamed column (v4, zero rewrites,
+    asserted). Reading the mixed-lineage head back must equal plain SQL
+    over the source rows — old files' bytes resolve under the new
+    logical name, new files' bytes under the same physical name, and
+    DVs apply across both."""
+    import shutil
+
+    from ..sources import snapshot as snap
+    from ..sources.snapshot import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapren_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    hi = cust.agg(F.max("c_custkey")).first()[0]
+    cut = hi // 2
+    try:
+        snapshot_write(
+            cust.filter(F.col("c_custkey") <= cut).repartitionByRange(4, "c_custkey"),
+            path,
+        )
+        snapshot_rename_column(path, "c_acctbal", "balance")
+        assert (
+            snap._read_manifest(path, 2)["files"]
+            == snap._read_manifest(path, 1)["files"]
+        ), "rename must be metadata-only (zero files rewritten)"
+        snapshot_write(
+            cust.filter(F.col("c_custkey") > cut).select(
+                "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("balance")
+            ),
+            path,
+            mode="append",
+        )
+        stats = snapshot_delete(
+            spark, path, [("balance", "<", 0.0)], strategy="merge-on-read"
+        )
+        assert stats["rewritten_files"] == 0, "MOR delete must not rewrite"
+        return (
+            snapshot_read(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("balance"))).alias("bal_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_RENAME_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+FROM customer WHERE c_acctbal >= 0
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "io_snapshot_roundtrip": io_snapshot_roundtrip,
     "op_argcartesian": op_argcartesian,
@@ -904,6 +975,7 @@ QUERIES = {
     "io_snapshot_widen": io_snapshot_widen,
     "io_snapshot_optimize": io_snapshot_optimize,
     "q_sql_snapshot": q_sql_snapshot,
+    "io_snapshot_rename": io_snapshot_rename,
 }
 
 ORACLES = {
@@ -929,6 +1001,7 @@ ORACLES = {
     "io_snapshot_widen": IO_SNAPSHOT_WIDEN_SQL,
     "io_snapshot_optimize": IO_SNAPSHOT_OPT_SQL,
     "q_sql_snapshot": Q_SQL_SNAPSHOT_SQL,
+    "io_snapshot_rename": IO_SNAPSHOT_RENAME_SQL,
 }
 
 

@@ -571,6 +571,7 @@ def _stage_files(
     compression: str,
     partition_by: "list[str] | None" = None,
     bloom_ndv: "dict[str, int] | None" = None,
+    column_mapping: "dict | None" = None,
 ) -> "tuple[list[str], dict]":
     """Write df's partitions as immutable uniquely-named files under data/.
 
@@ -592,7 +593,19 @@ def _stage_files(
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     files, stats = [], {}
     if partition_by:
-        _check_partition_by(partition_by, df.schema)
+        _check_partition_by(partition_by, df.schema)  # validate LOGICAL names
+    pmap = dict((column_mapping or {}).get("physical") or {})
+    if pmap:
+        # files store PHYSICAL names: rename mapped columns before the
+        # write (internal columns — _change_type, file/pos — pass through),
+        # and translate the partition/bloom specs to match
+        if any(pmap.get(c, c) != c for c in df.columns):
+            df = df.select(*[df[c].alias(pmap.get(c, c)) for c in df.columns])
+        if partition_by:
+            partition_by = [pmap.get(c, c) for c in partition_by]
+        if bloom_ndv:
+            bloom_ndv = {pmap.get(c, c): v for c, v in bloom_ndv.items()}
+    if partition_by:
         for c in partition_by:
             df = df.withColumn(_PART_SHADOW + c, F.col(c))
     # INT96 (Spark's legacy parquet timestamp) carries NO footer min/max,
@@ -730,6 +743,97 @@ def _merge_schemas(old: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+# ---- column mapping (Delta column-mapping: stable ids + physical names) ----
+#
+# Files store PHYSICAL column names; the manifest maps each LOGICAL
+# (user-visible) column to a stable id and its physical name. Rename is
+# then a metadata-only commit (same id, same physical, new logical) and
+# drop retires the physical name so a later re-add of the same logical
+# name can never read the dropped column's bytes. Tables without the
+# key use identity mapping at zero cost; the mapping materializes
+# lazily on the first rename/drop. A plain overwrite resets it (table
+# replacement — every file is rewritten, so fresh identity is exact);
+# older versions keep their own mapping for time travel.
+
+
+def _mapping_physical(m: dict) -> "dict[str, str]":
+    """The manifest's logical->physical name map ({} = identity)."""
+    cm = m.get("column_mapping")
+    return dict(cm["physical"]) if cm else {}
+
+
+def _init_mapping(schema: StructType) -> dict:
+    return {
+        "ids": {f.name: i + 1 for i, f in enumerate(schema.fields)},
+        "physical": {f.name: f.name for f in schema.fields},
+        "next_id": len(schema.fields) + 1,
+        "retired": [],
+    }
+
+
+def _extend_mapping(cm: "dict | None", schema: StructType) -> "dict | None":
+    """``cm`` with ids/physical names assigned for schema fields it
+    doesn't know yet (merge_schema adds). None stays None — identity
+    tables never pay mapping overhead. A new column's physical name is
+    its logical name unless that name was ever used by ANY column
+    (alive or retired); then it gets an id-suffixed unique name, so a
+    re-added column can never resolve a dropped column's bytes."""
+    if cm is None:
+        return None
+    # case-INSENSITIVE known check, matching _merge_schemas resolution:
+    # a case-variant of an existing column IS that column (old spelling
+    # wins), never a fresh mapping entry
+    known = {n.lower() for n in cm["ids"]}
+    fresh = [f.name for f in schema.fields if f.name.lower() not in known]
+    if not fresh:
+        return cm
+    cm = {
+        "ids": dict(cm["ids"]),
+        "physical": dict(cm["physical"]),
+        "next_id": cm["next_id"],
+        "retired": list(cm["retired"]),
+    }
+    used = set(cm["physical"].values()) | set(cm["retired"])
+    for name in fresh:
+        cid = cm["next_id"]
+        cm["next_id"] = cid + 1
+        phys = name if name not in used else f"{name}__c{cid}"
+        cm["ids"][name] = cid
+        cm["physical"][name] = phys
+        used.add(phys)
+    return cm
+
+
+def _phys_schema(schema: StructType, pmap: "dict[str, str]") -> StructType:
+    """``schema`` with field names replaced by their physical names —
+    what the parquet files actually store."""
+    if not pmap:
+        return schema
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(pmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _where_phys(m: dict, where):
+    """Predicate triples with column names translated logical->physical
+    for stats/checkpoint lookups (file stats are keyed by the physical
+    names the footers carry). Must be applied EXACTLY ONCE, at the
+    public entry point: after a rename a->b plus a re-add of `a`, a
+    second pass would wrongly move the renamed column's physical name
+    onto the new column."""
+    if not where:
+        return where
+    pmap = _mapping_physical(m)
+    if not pmap:
+        return where
+    return [(pmap.get(c, c), op, v) for c, op, v in where]
+
+
 def snapshot_write(
     data,
     path: str,
@@ -833,7 +937,17 @@ def snapshot_write(
             raise ValueError(
                 f"bloom_by expected-ndv values must be positive ints: {bad_ndv}"
             )
-    new_files, new_stats = _stage_files(df, path, compression, eff_pb, eff_bloom)
+    # appends stage under the table's column mapping (files must share
+    # the stable physical names), EXTENDED by the frame's genuinely-new
+    # columns first — a merge_schema re-add of a dropped name must stage
+    # under its fresh physical name, or its very first file would
+    # null-fill on read. A plain overwrite resets the mapping — every
+    # file is rewritten, so fresh identity naming is exact.
+    eff_cm = pre_m.get("column_mapping") if (mode == "append" and pre) else None
+    new_files, new_stats = _stage_files(
+        df, path, compression, eff_pb, eff_bloom,
+        column_mapping=_extend_mapping(eff_cm, df.schema),
+    )
     validated_cons = None  # staged files are immutable: re-validate on a
     # commit-race retry only if the head's constraint set changed
     while True:
@@ -853,6 +967,15 @@ def snapshot_write(
             raise SnapshotConflictError(
                 f"table was repartitioned to {head_m.get('partition_by')} "
                 f"while this append staged {eff_pb or None}; retry"
+            )
+        if mode == "append" and versions and head_m.get("column_mapping") != eff_cm:
+            # a concurrent rename/drop landed mid-append: the staged
+            # files carry the OLD physical names — committing them could
+            # resolve a renamed column's bytes under the wrong logical
+            # name; refuse and let the caller restage
+            raise SnapshotConflictError(
+                "table columns were renamed/dropped while this append "
+                "staged; retry against the new head"
             )
         if bloom_by is None and versions:
             # sticky bloom spec follows the CURRENT head on a retry — a
@@ -912,6 +1035,9 @@ def snapshot_write(
             "stream_batch_id": watermark,
             "partition_by": eff_pb or None,
             "bloom_ndv": eff_bloom or None,
+            # merge_schema adds get fresh ids; overwrite resets (eff_cm
+            # is None then, and _extend_mapping keeps None as None)
+            "column_mapping": _extend_mapping(eff_cm, out_schema),
             # appends keep old files' deletion vectors visible; an
             # overwrite replaces the file set, so its DVs go with it
             "deletes": head_m.get("deletes") if mode == "append" else None,
@@ -1139,11 +1265,14 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
         import pyarrow.parquet as pq
 
         schema = StructType.fromJson(json.loads(manifest["schema_json"]))
+        pmap = _mapping_physical(manifest)
         cols = []
         for f in schema.fields:
             t = _ckpt_arrow_type(f.dataType.simpleString())
             if t is not None:
-                cols.append((f.name, t))
+                # sidecar columns carry PHYSICAL names (matching the
+                # stats keys), so renames never invalidate a checkpoint
+                cols.append((pmap.get(f.name, f.name), t))
         files = manifest.get("files") or []
         stats = manifest.get("stats") or {}
 
@@ -1286,10 +1415,13 @@ def _dist_prune_files(
     sdf = spark.read.parquet(_ckpt_file(path, base_v))
     ck_cols = set(sdf.columns)
     schema = StructType.fromJson(json.loads(m["schema_json"]))
+    # `where` arrives PHYSICAL (the caller translated once); sidecar
+    # columns are physical too, so key the type map by physical names
+    pmap = _mapping_physical(m)
     col_types = {
-        f.name: f.dataType.simpleString()
+        pmap.get(f.name, f.name): f.dataType.simpleString()
         for f in schema.fields
-        if f"min__{f.name}" in ck_cols
+        if f"min__{pmap.get(f.name, f.name)}" in ck_cols
         and _ckpt_arrow_type(f.dataType.simpleString()) is not None
     }
     cond = _dist_keep_cond(col_types, where)
@@ -1381,18 +1513,19 @@ def snapshot_read(
     rels = m["files"]
     if where:
         _check_where(where)
+        pwhere = _where_phys(m, where)  # stats are keyed physical
         rels = None
         if len(m["files"]) >= _DIST_PRUNE_MIN_FILES:
             # big table: evaluate the skip predicate as a Spark filter
             # over the checkpoint stats parquet (executor-side, codegen)
-            rels = _dist_prune_files(spark, path, v, m, where)
+            rels = _dist_prune_files(spark, path, v, m, pwhere)
         if rels is None:
             try:  # the EFFECTIVE session tz (a `get` with a default
                 # returns the default for unset-but-defaulted confs)
                 tz = spark.conf.get("spark.sql.session.timeZone")
             except Exception:
                 tz = None
-            rels, _ = _prune_files(m, where, tz)
+            rels, _ = _prune_files(m, pwhere, tz)
     df = _visible_df(spark, path, m, rels)
     cond = _where_to_column(where or ())
     return df.filter(cond) if cond is not None else df
@@ -1441,6 +1574,150 @@ def snapshot_view(
     return df
 
 
+def _reject_reserved_column(name: str) -> None:
+    if name.lower() in ("_metadata", "_change_type", "_commit_version") or (
+        name.lower().startswith("__dak")
+    ):
+        raise ValueError(
+            f"column name {name!r} is reserved (Spark file-metadata "
+            "struct / CDF feed columns / internal staging tags)"
+        )
+
+
+def _refuse_constrained(m: dict, col: str, action: str) -> None:
+    for cname, triples in (m.get("constraints") or {}).items():
+        if any(c == col for c, _, _ in triples):
+            raise ValueError(
+                f"cannot {action} column {col!r}: CHECK constraint "
+                f"{cname!r} references it — drop the constraint first"
+            )
+
+
+def snapshot_rename_column(
+    path: str, old: str, new: str, expect_head: "int | None" = None
+) -> int:
+    """Rename a column METADATA-ONLY (Delta column mapping): the commit
+    rewrites no data file — every column carries a stable id and a
+    stable PHYSICAL name in the manifest, files keep storing the
+    physical name, and reads resolve it to the current logical name.
+    Old versions keep the old name for time travel; change feeds and
+    streams cross the commit transparently (it is row-preserving).
+    Appends staged against the old head raise a conflict and restage;
+    a column referenced by a CHECK constraint refuses (drop the
+    constraint first, re-add under the new name). Partition and bloom
+    specs follow the rename. Returns the new version.
+
+    Reference: no counterpart (dask-awkward arrays are immutable
+    per-graph); Spark-native analog is ``ALTER TABLE RENAME COLUMN``
+    under ``delta.columnMapping.mode=name``."""
+    if old == new:
+        raise ValueError("old and new name are identical")
+    _reject_reserved_column(new)
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"column {old!r} not in schema {names}")
+        if new.lower() in {n.lower() for n in names if n != old}:
+            raise ValueError(f"column {new!r} already exists in {names}")
+        _refuse_constrained(m, old, "rename")
+        cm = m.get("column_mapping") or _init_mapping(schema)
+        cm = {
+            "ids": dict(cm["ids"]),
+            "physical": dict(cm["physical"]),
+            "next_id": cm["next_id"],
+            "retired": list(cm["retired"]),
+        }
+        cm["ids"][new] = cm["ids"].pop(old)
+        cm["physical"][new] = cm["physical"].pop(old)
+        from pyspark.sql.types import StructField
+
+        out_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        manifest = _cow_manifest(
+            m, head, "rename_column", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["schema_ddl"] = out_schema.simpleString()
+        manifest["schema_json"] = out_schema.json()
+        manifest["column_mapping"] = cm
+        if m.get("partition_by"):
+            manifest["partition_by"] = [
+                new if c == old else c for c in m["partition_by"]
+            ]
+        if m.get("bloom_ndv"):
+            manifest["bloom_ndv"] = {
+                (new if c == old else c): v for c, v in m["bloom_ndv"].items()
+            }
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+        # another writer claimed head+1: re-read and retry
+
+
+def snapshot_drop_column(
+    path: str, name: str, expect_head: "int | None" = None
+) -> int:
+    """Drop a column METADATA-ONLY: files are untouched — the column's
+    physical name is RETIRED in the manifest, so reads stop resolving
+    it and a later re-add of the same logical name gets a fresh id and
+    a fresh physical name (it can never read the dropped column's
+    bytes; the bytes themselves are reclaimed by the next compact).
+    Time travel to earlier versions still sees the column. Refuses for
+    partition columns (repartition via overwrite first) and columns a
+    CHECK constraint references. Returns the new version."""
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        names = schema.fieldNames()
+        if name not in names:
+            raise ValueError(f"column {name!r} not in schema {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        if name in (m.get("partition_by") or []):
+            raise ValueError(
+                f"cannot drop partition column {name!r}; overwrite with a "
+                "new partition spec first"
+            )
+        _refuse_constrained(m, name, "drop")
+        cm = m.get("column_mapping") or _init_mapping(schema)
+        cm = {
+            "ids": dict(cm["ids"]),
+            "physical": dict(cm["physical"]),
+            "next_id": cm["next_id"],
+            "retired": list(cm["retired"]),
+        }
+        cm["ids"].pop(name)
+        cm["retired"].append(cm["physical"].pop(name))
+        out_schema = StructType([f for f in schema.fields if f.name != name])
+        manifest = _cow_manifest(
+            m, head, "drop_column", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["schema_ddl"] = out_schema.simpleString()
+        manifest["schema_json"] = out_schema.json()
+        manifest["column_mapping"] = cm
+        if m.get("bloom_ndv"):
+            manifest["bloom_ndv"] = {
+                c: v for c, v in m["bloom_ndv"].items() if c != name
+            } or None
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+        # another writer claimed head+1: re-read and retry
+
+
 def snapshot_count(
     spark: SparkSession,
     path: str,
@@ -1469,21 +1746,22 @@ def snapshot_count(
     stats = m.get("stats", {})
     dv = _dv_positions(path, m.get("deletes") or []) if m.get("deletes") else {}
     candidates = m["files"]
+    pwhere = _where_phys(m, where)  # stats/sidecar lookups are physical
     if where and len(candidates) >= _DIST_PRUNE_MIN_FILES:
         # big table: narrow to the may-match set executor-side first
         # (the same checkpoint-stats prune snapshot_read uses), so the
         # interpreted classification loop below only touches the
         # predicate's selectivity, not the whole file list
-        dist = _dist_prune_files(spark, path, v, m, where)
+        dist = _dist_prune_files(spark, path, v, m, pwhere)
         if dist is not None:
             candidates = dist
     total, scan = 0, []
     for f in candidates:
         s = stats.get(f)
-        if where and not all(_file_may_match(s, c, op, x, tz) for c, op, x in where):
+        if where and not all(_file_may_match(s, c, op, x, tz) for c, op, x in pwhere):
             continue  # provably zero matching rows
         if s is not None and "rows" in s and (
-            not where or _file_all_match(s, where, tz)
+            not where or _file_all_match(s, pwhere, tz)
         ):
             # metadata-exact: every visible row counts. DV entries are
             # deleted rows — invisible, so they subtract even when the
@@ -1537,8 +1815,11 @@ def _visible_tagged(spark: SparkSession, path: str, m: dict, rels: "list[str]") 
             F.lit(None).cast("bigint").alias("__dak_pos"),
         )
     files = [os.path.join(path, f) for f in rels]
-    tagged = _data_reader(spark, schema).parquet(*files).select(
-        *names,
+    # scan under the PHYSICAL names the files store, surface the
+    # logical names the manifest maps them to (identity when unmapped)
+    pschema = _phys_schema(schema, _mapping_physical(m))
+    tagged = _data_reader(spark, pschema).parquet(*files).select(
+        *[F.col(p).alias(l) for p, l in zip(pschema.fieldNames(), names)],
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__dak_file"),
         F.col("_metadata.row_index").alias("__dak_pos"),
     )
@@ -1561,21 +1842,31 @@ def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> D
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     if not rels:
         return spark.createDataFrame([], schema)
+    pmap = _mapping_physical(m)
+    pschema = _phys_schema(schema, pmap)
+
+    def plain(file_rels):
+        df = _data_reader(spark, pschema).parquet(
+            *[os.path.join(path, f) for f in file_rels]
+        )
+        if not pmap:
+            return df
+        return df.select(
+            *[
+                F.col(p).alias(l)
+                for p, l in zip(pschema.fieldNames(), schema.fieldNames())
+            ]
+        )
+
     dvs = m.get("deletes") or []
     if not dvs:
-        return _data_reader(spark, schema).parquet(
-            *[os.path.join(path, f) for f in rels]
-        )
+        return plain(rels)
     dv_names = set(_dv_positions(path, dvs))  # driver-side tiny read
     hit = [f for f in rels if f.rsplit("/", 1)[-1] in dv_names]
     clean = [f for f in rels if f.rsplit("/", 1)[-1] not in dv_names]
     parts = []
     if clean:
-        parts.append(
-            _data_reader(spark, schema).parquet(
-                *[os.path.join(path, f) for f in clean]
-            )
-        )
+        parts.append(plain(clean))
     if hit:
         parts.append(_visible_tagged(spark, path, m, hit).select(*schema.fieldNames()))
     out = _union_all(parts)
@@ -1596,7 +1887,7 @@ def snapshot_scan_report(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
-    kept, skipped = _prune_files(m, where, tz)
+    kept, skipped = _prune_files(m, _where_phys(m, where), tz)
     return {"total": len(m["files"]), "scanned": len(kept), "skipped": skipped}
 
 
@@ -1674,23 +1965,26 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     feed crosses it transparently, like Delta's OPTIMIZE (the file-
     delta faces still refuse it: rewritten files are not new rows).
     Raises on any version the row-level feed cannot represent."""
-    ok_ops = ("append", "delete", "update", "merge", "compact")
+    ok_ops = (
+        "append", "delete", "update", "merge", "compact",
+        "rename_column", "drop_column",
+    )
+    no_chg_ok = ("append", "compact", "rename_column", "drop_column")
     out = []
     prev = set(_read_manifest(path, s)["files"]) if s else set()
     for v in range(s + 1, e + 1):
         m = _read_manifest(path, v)
         chg = m.get("changes")
         if m["parent"] is not None and (
-            m["op"] not in ok_ops
-            or (chg is None and m["op"] not in ("append", "compact"))
+            m["op"] not in ok_ops or (chg is None and m["op"] not in no_chg_ok)
         ):
             raise ValueError(
                 f"version {v} ({m['op']}) recorded no row-level changes "
                 "(overwrite/restore, or committed with "
                 "change_feed=False); the row-level feed cannot cross it"
             )
-        if m["op"] == "compact":
-            pass  # row-preserving rewrite: no change records by design
+        if m["op"] in ("compact", "rename_column", "drop_column"):
+            pass  # row-preserving commits: no change records by design
         elif chg is not None:
             out.append((v, "chg", list(chg)))
         else:
@@ -1751,26 +2045,45 @@ def snapshot_changes(
             )
     mans = {v: _read_manifest(path, v) for v in span}
     ok_ops = (
-        ("append", "delete", "update", "merge", "compact")
+        ("append", "delete", "update", "merge", "compact",
+         "rename_column", "drop_column")
         if row_level
-        else ("append",)
+        # rename/drop are metadata-only (file set unchanged), so the
+        # plain file-delta feed crosses them too — consumers simply see
+        # the until-version's column names
+        else ("append", "rename_column", "drop_column")
     )
     # the table-creating commit (no parent) is a degenerate append
     bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
     if bad:
         raise ValueError(
-            f"versions {bad} are not {'/'.join(ok_ops)}s: an overwrite/"
-            "compact/restore breaks the lineage a change feed needs"
+            f"versions {bad} are not appends (allowed ops: "
+            f"{'/'.join(ok_ops)}): an overwrite/compact/restore breaks "
+            "the lineage a change feed needs"
         )
     until_m = _read_manifest(path, u)
     schema = StructType.fromJson(json.loads(until_m["schema_json"]))
+    # files (data AND change records) store PHYSICAL names — stable
+    # across renames, so one until-version map resolves the whole span
+    pmap = _mapping_physical(until_m)
+    pschema = _phys_schema(schema, pmap)
+    lnames, pnames = schema.fieldNames(), pschema.fieldNames()
+
+    def logical(df: DataFrame, extra: "list[str]") -> DataFrame:
+        return df.select(
+            *[F.col(p).alias(l) for p, l in zip(pnames, lnames)], *extra
+        )
+
     if not row_level:
         base = set(_read_manifest(path, since)["files"]) if since else set()
         delta = [f for f in until_m["files"] if f not in base]
         if not delta:
             return spark.createDataFrame([], schema)
-        return _data_reader(spark, schema).parquet(
-            *[os.path.join(path, f) for f in delta]
+        return logical(
+            _data_reader(spark, pschema).parquet(
+                *[os.path.join(path, f) for f in delta]
+            ),
+            [],
         )
     # CDF mode: per-version change records, stamped with their commit
     # version so a consumer can ORDER them — a key deleted at v2 and
@@ -1779,10 +2092,14 @@ def snapshot_changes(
     from pyspark.sql.types import LongType, StringType, StructField
 
     chg_schema = StructType(
-        list(schema.fields) + [StructField(_CHANGE_COL, StringType(), True)]
+        list(pschema.fields) + [StructField(_CHANGE_COL, StringType(), True)]
     )
     out_schema = StructType(
-        list(chg_schema.fields) + [StructField(_COMMIT_COL, LongType(), True)]
+        list(schema.fields)
+        + [
+            StructField(_CHANGE_COL, StringType(), True),
+            StructField(_COMMIT_COL, LongType(), True),
+        ]
     )
     parts = []
     for v, kind, files in _cdf_walk(path, since, u):
@@ -1790,14 +2107,19 @@ def snapshot_changes(
             continue
         if kind == "chg":  # DML commit: its recorded change rows
             parts.append(
-                spark.read.schema(chg_schema)
-                .parquet(*[os.path.join(path, f) for f in files])
-                .withColumn(_COMMIT_COL, F.lit(v))
+                logical(
+                    spark.read.schema(chg_schema)
+                    .parquet(*[os.path.join(path, f) for f in files]),
+                    [_CHANGE_COL],
+                ).withColumn(_COMMIT_COL, F.lit(v))
             )
         else:  # plain append: added files ARE the inserts
             parts.append(
-                spark.read.schema(schema)
-                .parquet(*[os.path.join(path, f) for f in files])
+                logical(
+                    spark.read.schema(pschema)
+                    .parquet(*[os.path.join(path, f) for f in files]),
+                    [],
+                )
                 .withColumn(_CHANGE_COL, F.lit("insert"))
                 .withColumn(_COMMIT_COL, F.lit(v))
             )
@@ -1972,7 +2294,7 @@ def snapshot_compact(
                 tz = spark.conf.get("spark.sql.session.timeZone")
             except Exception:
                 tz = None
-            affected, _ = _prune_files(m, where, tz)
+            affected, _ = _prune_files(m, _where_phys(m, where), tz)
             if not affected:
                 return head  # scope matches nothing: no-op, no commit
         else:
@@ -2037,7 +2359,8 @@ def snapshot_compact(
             # is CDF-invisible for the same reason); the file-delta
             # faces still refuse it — rewritten files are not new rows.
             new_files, new_stats = _stage_files(
-                out, path, "zstd", pb, m.get("bloom_ndv")
+                out, path, "zstd", pb, m.get("bloom_ndv"),
+                column_mapping=m.get("column_mapping"),
             )
             car = set(carried)
             stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
@@ -2120,8 +2443,24 @@ def _enforce_constraints(
     cons = m.get("constraints") or {}
     if not cons or not new_files:
         return
-    reader = spark.read.schema(schema) if schema is not None else spark.read
+    pmap = _mapping_physical(m)
+    if schema is not None:
+        # staged files store PHYSICAL names; constraint exprs reference
+        # logical ones — scan physical, alias back before evaluating
+        # (a by-name read would silently null a renamed column, and
+        # NULL passes CHECK: the constraint would stop constraining)
+        pschema = _phys_schema(schema, pmap)
+        reader = spark.read.schema(pschema)
+    else:
+        reader = spark.read
     df = reader.parquet(*[os.path.join(path, f) for f in new_files])
+    if schema is not None and pmap:
+        df = df.select(
+            *[
+                F.col(p).alias(l)
+                for p, l in zip(pschema.fieldNames(), schema.fieldNames())
+            ]
+        )
     conds = _constraint_conds(cons)
     any_bad = None
     for _, _, cond in conds:
@@ -2219,6 +2558,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "stream_batch_id": m.get("stream_batch_id"),
         "partition_by": m.get("partition_by"),
         "bloom_ndv": m.get("bloom_ndv"),
+        "column_mapping": m.get("column_mapping"),
         "deletes": m.get("deletes"),
         "constraints": m.get("constraints"),
         "committed_at": time.time(),
@@ -2240,17 +2580,22 @@ def _union_all(parts: "list[DataFrame]") -> "DataFrame | None":
 
 
 def _stage_changes(
-    parts: "list[tuple[DataFrame, str]]", path: str, compression: str
+    parts: "list[tuple[DataFrame, str]]",
+    path: str,
+    compression: str,
+    column_mapping: "dict | None" = None,
 ) -> "list[str]":
     """Write this commit's row-level change records (table columns +
     ``_change_type``) as data files for the CDF feed; one file set per
     commit, referenced by the manifest's ``changes`` list. The commit
     version is NOT stored — the manifest knows it, and the feed stamps
-    it at read time."""
+    it at read time. Change files share the table's physical column
+    names (``column_mapping``), so the CDF faces resolve them with the
+    same stable-name rule as data files."""
     tagged = _union_all([df.withColumn(_CHANGE_COL, F.lit(k)) for df, k in parts])
     if tagged is None:
         return []
-    files, _ = _stage_files(tagged, path, compression)
+    files, _ = _stage_files(tagged, path, compression, column_mapping=column_mapping)
     return files
 
 
@@ -2312,7 +2657,8 @@ def snapshot_delete(
     while True:
         head = _require_versions(path)[-1]
         m = _read_manifest(path, head)
-        affected, _ = _prune_files(m, where, tz)
+        pwhere = _where_phys(m, where)
+        affected, _ = _prune_files(m, pwhere, tz)
         if not affected:
             out = {
                 "version": head,
@@ -2349,7 +2695,8 @@ def snapshot_delete(
             if change_feed:
                 names = StructType.fromJson(json.loads(m["schema_json"])).fieldNames()
                 manifest["changes"] = _stage_changes(
-                    [(tagged.filter(cond).select(*names), "delete")], path, compression
+                    [(tagged.filter(cond).select(*names), "delete")],
+                    path, compression, m.get("column_mapping"),
                 )
             if _commit_manifest(path, head + 1, manifest, m):
                 return {
@@ -2380,7 +2727,7 @@ def snapshot_delete(
             f
             for f in affected
             if f.rsplit("/", 1)[-1] not in dv_named
-            and _file_all_match(mstats.get(f), where, tz)
+            and _file_all_match(mstats.get(f), pwhere, tz)
         ]
         dropped_rows = sum(mstats[f]["rows"] for f in full)
         full_set = set(full)
@@ -2394,7 +2741,8 @@ def snapshot_delete(
             # (three-valued logic)
             keep = df.filter(~cond | cond.isNull())
             new_files, new_stats = _stage_files(
-                keep, path, compression, m.get("partition_by"), m.get("bloom_ndv")
+                keep, path, compression, m.get("partition_by"),
+                m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
             )
         else:
             before, new_files, new_stats = 0, [], {}
@@ -2420,6 +2768,7 @@ def snapshot_delete(
                 [(_visible_df(spark, path, m, affected).filter(cond), "delete")],
                 path,
                 compression,
+                m.get("column_mapping"),
             )
         if _commit_manifest(path, head + 1, manifest, m):
             return {
@@ -2488,7 +2837,7 @@ def snapshot_update(
         unknown = sorted(set(assignments) - set(names))
         if unknown:
             raise ValueError(f"assignments reference unknown columns {unknown}")
-        affected, _ = _prune_files(m, where, tz)
+        affected, _ = _prune_files(m, _where_phys(m, where), tz)
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
         if not affected:
@@ -2531,7 +2880,8 @@ def snapshot_update(
             # pin ONE evaluation of the RHS (see copy-on-write branch)
             patched = matched.select(*cols).localCheckpoint(eager=True)
             new_files, new_stats = _stage_files(
-                patched, path, compression, m.get("partition_by"), m.get("bloom_ndv")
+                patched, path, compression, m.get("partition_by"),
+                m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
             )
             _enforce_constraints(spark, m, path, new_files, schema=schema)
             stats = dict(m.get("stats", {}))
@@ -2548,6 +2898,7 @@ def snapshot_update(
                     ],
                     path,
                     compression,
+                    m.get("column_mapping"),
                 )
             if _commit_manifest(path, head + 1, manifest, m):
                 return {
@@ -2572,7 +2923,8 @@ def snapshot_update(
             ).localCheckpoint(eager=True)
             out_df = pinned.drop("__dak_chg")
         new_files, new_stats = _stage_files(
-            out_df, path, compression, m.get("partition_by"), m.get("bloom_ndv")
+            out_df, path, compression, m.get("partition_by"),
+            m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
         )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
@@ -2586,6 +2938,7 @@ def snapshot_update(
                 ],
                 path,
                 compression,
+                m.get("column_mapping"),
             )
         if _commit_manifest(path, head + 1, manifest, m):
             return {
@@ -2602,7 +2955,7 @@ def snapshot_merge(
     path: str,
     source: DataFrame,
     on: "list[str]",
-    when_matched: "str | None" = "update",
+    when_matched: "str | list | None" = "update",
     when_not_matched: "str | None" = "insert",
     compression: str = "zstd",
     change_feed: bool = True,
@@ -2622,6 +2975,29 @@ def snapshot_merge(
     (ambiguous), NULL source keys never match (they insert), and
     duplicate-key target rows each take the one source row's values.
 
+    ``when_matched`` also accepts the FULL conditional grammar (Delta's
+    ``WHEN MATCHED [AND cond] THEN ...``): a list of
+    ``(condition, action, assignments)`` clauses, evaluated in order
+    per matched target row — FIRST matching clause wins, a NULL
+    condition result never matches, and a row no clause matches stays
+    unchanged. ``condition`` is a SQL string or Column over an eval
+    frame exposing the target row as struct ``t`` and the source row
+    as struct ``s`` (``"s.bal > t.bal"``); ``None`` means
+    unconditional, legal only for the LAST clause (anything after it
+    would be unreachable). ``action`` is ``"update"`` or ``"delete"``.
+    ``assignments`` (update only) is ``None`` for the whole source row,
+    or a PARTIAL dict ``{target_col: expr}`` — unassigned columns keep
+    the target's values, expressions see ``t``/``s`` and are cast to
+    the column's type; key columns may not be assigned. In clause
+    mode the source may carry EXTRA columns (CDC metadata for
+    conditions) and may OMIT table columns when no full-row
+    update/insert needs them::
+
+        snapshot_merge(spark, path, cdc, on=["k"], when_matched=[
+            ("s.op = 'del'", "delete", None),
+            ("s.bal > t.bal", "update", {"bal": "s.bal"}),
+        ], when_not_matched=None)
+
     Scale shape: the source's per-key min/max (one tiny agg) prunes the
     target through the manifest stats — only files whose key range
     intersects the source's are read and rewritten, so upserting one
@@ -2634,7 +3010,42 @@ def snapshot_merge(
     'carried_files'}."""
     if not on:
         raise ValueError("merge needs at least one key column in on=")
-    if when_matched not in ("update", "delete", None):
+    clause_mode = isinstance(when_matched, (list, tuple))
+    clauses: "list[tuple]" = []
+    if clause_mode:
+        if not when_matched:
+            raise ValueError("when_matched clause list is empty")
+        for i, cl in enumerate(when_matched):
+            if not (isinstance(cl, (list, tuple)) and len(cl) == 3):
+                raise ValueError(
+                    "each when_matched clause is a (condition, action, "
+                    f"assignments) triple, got {cl!r}"
+                )
+            cond, action, assigns = cl
+            if action not in ("update", "delete"):
+                raise ValueError(
+                    f"clause action must be update|delete, got {action!r}"
+                )
+            if action == "delete" and assigns is not None:
+                raise ValueError("a delete clause takes no assignments")
+            if action == "update" and assigns is not None:
+                if not isinstance(assigns, dict) or not assigns:
+                    raise ValueError(
+                        "update assignments must be a non-empty dict "
+                        "(or None for the whole source row)"
+                    )
+                bad_keys = sorted(set(assigns) & set(on))
+                if bad_keys:
+                    raise ValueError(
+                        f"may not assign merge key columns {bad_keys}"
+                    )
+            if cond is None and i != len(when_matched) - 1:
+                raise ValueError(
+                    "only the LAST when_matched clause may omit its "
+                    f"condition (clause {i} makes later ones unreachable)"
+                )
+            clauses.append((cond, action, assigns))
+    elif when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
@@ -2664,12 +3075,40 @@ def snapshot_merge(
     missing = sorted(set(on) - set(names))
     if missing:
         raise ValueError(f"key columns {missing} not in table schema {names}")
-    need_full = when_matched == "update" or when_not_matched == "insert"
-    src_missing = sorted(set(names if need_full else on) - set(source.columns))
-    if src_missing:
-        raise ValueError(f"source is missing columns {src_missing}")
-    src = source.select(*(names if need_full else on))
-    if need_full and src.schema.simpleString() != schema.simpleString():
+    if clause_mode:
+        # full table row needed only when something materializes whole
+        # rows from the source (insert, or a full-row update clause);
+        # partial-assignment CDC sources may omit table columns and may
+        # carry EXTRA ones (visible to conditions as s.<col>)
+        need_full = when_not_matched == "insert" or any(
+            a == "update" and asg is None for _c, a, asg in clauses
+        )
+        src_missing = sorted(set(names if need_full else on) - set(source.columns))
+        if src_missing:
+            raise ValueError(f"source is missing columns {src_missing}")
+        table_t = {f.name: f.dataType.simpleString() for f in schema.fields}
+        casts = []
+        for f in source.schema.fields:
+            t = table_t.get(f.name)
+            sstr = f.dataType.simpleString()
+            if t is None or sstr == t:
+                casts.append(F.col(f.name))
+            elif _widened(sstr, t) == t:
+                casts.append(F.col(f.name).cast(t).alias(f.name))
+            else:
+                raise ValueError(
+                    f"merge schema mismatch: source column {f.name!r} is "
+                    f"{sstr}, which does not losslessly upcast to the "
+                    f"table's {t}"
+                )
+        src = source.select(*casts)
+    else:
+        need_full = when_matched == "update" or when_not_matched == "insert"
+        src_missing = sorted(set(names if need_full else on) - set(source.columns))
+        if src_missing:
+            raise ValueError(f"source is missing columns {src_missing}")
+        src = source.select(*(names if need_full else on))
+    if not clause_mode and need_full and src.schema.simpleString() != schema.simpleString():
         # a source column that LOSSLESSLY upcasts to the table's type
         # (int chain / float->double / decimal growth — the widening
         # lattice) is cast implicitly, Delta's merge behavior; any
@@ -2745,7 +3184,11 @@ def snapshot_merge(
                 "table schema evolved mid-merge (concurrent merge_schema "
                 "append); re-run snapshot_merge against the new head"
             )
-        affected = _prune_files(m, where, tz)[0] if where is not None else []
+        affected = (
+            _prune_files(m, _where_phys(m, where), tz)[0]
+            if where is not None
+            else []
+        )
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
         tgt = _visible_df(spark, path, m, affected)
@@ -2771,10 +3214,90 @@ def snapshot_merge(
                     "same target row (dedupe the source on the key first)"
                 )
         parts, inserted, upd_post = [], 0, None
+        pinned_m, out_cols, n_updated, n_deleted = None, None, 0, 0
+        upd_idx = [i for i, (_c, a, _g) in enumerate(clauses) if a == "update"]
+        del_idx = [i for i, (_c, a, _g) in enumerate(clauses) if a == "delete"]
         if when_matched is None or n_matched == 0:
             # no target row changes — every existing file stays verbatim
             rewritten = []
             carried = list(m["files"])
+        elif clause_mode:
+            # eval frame: one row per matched target row, the target row
+            # as struct `t` and its single source row as struct `s`;
+            # __dak_ci = index of the FIRST clause whose condition holds
+            # (F.when short-circuits in order, NULL never matches).
+            # localCheckpoint pins ONE evaluation so counts, the
+            # rewritten rows, and the CDF pre/postimages can never see
+            # different outcomes from a non-deterministic condition.
+            tga, sra = tgt.alias("__dak_t"), src_n.alias("__dak_s")
+            jc = None
+            for k in on:
+                e = tga[k] == sra[k]
+                jc = e if jc is None else (jc & e)
+            ci = None
+            for i, (cond, _a, _g) in enumerate(clauses):
+                cc = (
+                    F.lit(True)
+                    if cond is None
+                    else (F.expr(cond) if isinstance(cond, str) else cond)
+                )
+                ci = F.when(cc, F.lit(i)) if ci is None else ci.when(cc, F.lit(i))
+            pinned_m = (
+                tga.join(sra, jc, "inner")
+                .select(
+                    F.struct(*[tga[c].alias(c) for c in names]).alias("t"),
+                    F.struct(*[sra[c].alias(c) for c in src.columns]).alias("s"),
+                )
+                .withColumn("__dak_ci", ci.otherwise(F.lit(-1)))
+                .localCheckpoint(eager=True)
+            )
+            cnt = {
+                r["__dak_ci"]: r["__dak_n"]
+                for r in pinned_m.groupBy("__dak_ci")
+                .agg(F.count(F.lit(1)).alias("__dak_n"))
+                .collect()
+            }
+            n_updated = sum(cnt.get(i, 0) for i in upd_idx)
+            n_deleted = sum(cnt.get(i, 0) for i in del_idx)
+            table_dt = {f.name: f.dataType for f in schema.fields}
+            out_cols = []
+            for c in names:
+                val = None
+                for i in upd_idx:
+                    assigns = clauses[i][2]
+                    if assigns is None:
+                        v = F.col("s").getField(c)
+                    elif c in assigns:
+                        a = assigns[c]
+                        v = F.expr(a) if isinstance(a, str) else a
+                    else:
+                        continue  # this clause leaves c unchanged
+                    val = (
+                        F.when(F.col("__dak_ci") == i, v)
+                        if val is None
+                        else val.when(F.col("__dak_ci") == i, v)
+                    )
+                expr = (
+                    val.otherwise(F.col("t").getField(c))
+                    if val is not None
+                    else F.col("t").getField(c)
+                )
+                out_cols.append(expr.cast(table_dt[c]).alias(c))
+            if n_updated + n_deleted == 0:
+                # every matched row fell through the clause list: no
+                # target change, so no file rewrites (insert-only shape)
+                rewritten = []
+                carried = list(m["files"])
+            else:
+                rewritten = affected
+                parts.append(tgt.join(src_n, on, "left_anti"))  # unmatched
+                kept = (
+                    pinned_m.filter(~F.col("__dak_ci").isin(del_idx))
+                    if del_idx
+                    else pinned_m
+                )
+                # clause-hit rows transform, fall-through rows persist
+                parts.append(kept.select(*out_cols))
         else:
             rewritten = affected
             parts.append(tgt.join(src_n, on, "left_anti"))  # unmatched target
@@ -2793,7 +3316,8 @@ def snapshot_merge(
             return _zero(head, len(m["files"]))
         out = _union_all(parts)
         new_files, new_stats = _stage_files(
-            out, path, compression, m.get("partition_by"), m.get("bloom_ndv")
+            out, path, compression, m.get("partition_by"),
+            m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
         )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
@@ -2810,19 +3334,46 @@ def snapshot_merge(
             # commit (op append) lets the feed derive its inserts from
             # the added data files, so writing them twice here would
             # just double the insert volume on upsert-maintained tables
-            matched = tgt.join(src_n, on, "left_semi")
-            if when_matched == "update":
+            if clause_mode:
+                # exactly the clause-HIT rows: fall-through (ci == -1)
+                # rows did not change and must not pollute the feed
+                tcols = [F.col("t").getField(c).alias(c) for c in names]
+                chg = []
+                if n_updated:
+                    hit_u = pinned_m.filter(F.col("__dak_ci").isin(upd_idx))
+                    chg += [
+                        (hit_u.select(*tcols), "update_preimage"),
+                        (hit_u.select(*out_cols), "update_postimage"),
+                    ]
+                if n_deleted:
+                    chg.append(
+                        (
+                            pinned_m.filter(
+                                F.col("__dak_ci").isin(del_idx)
+                            ).select(*tcols),
+                            "delete",
+                        )
+                    )
+            elif when_matched == "update":
+                matched = tgt.join(src_n, on, "left_semi")
                 chg = [(matched, "update_preimage"), (upd_post, "update_postimage")]
             else:
+                matched = tgt.join(src_n, on, "left_semi")
                 chg = [(matched, "delete")]
             if inserted:
                 chg.append((ins.select(*names), "insert"))
-            manifest["changes"] = _stage_changes(chg, path, compression)
+            manifest["changes"] = _stage_changes(
+                chg, path, compression, m.get("column_mapping")
+            )
         if _commit_manifest(path, head + 1, manifest, m):
             return {
                 "version": head + 1,
-                "updated_rows": n_matched if when_matched == "update" else 0,
-                "deleted_rows": n_matched if when_matched == "delete" else 0,
+                "updated_rows": n_updated if clause_mode else (
+                    n_matched if when_matched == "update" else 0
+                ),
+                "deleted_rows": n_deleted if clause_mode else (
+                    n_matched if when_matched == "delete" else 0
+                ),
                 "inserted_rows": inserted,
                 "rewritten_files": len(rewritten),
                 "carried_files": len(carried),
@@ -2862,6 +3413,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "stream_batch_id": src.get("stream_batch_id"),
             "partition_by": src.get("partition_by"),
             "bloom_ndv": src.get("bloom_ndv"),
+            "column_mapping": src.get("column_mapping"),
             "deletes": src.get("deletes"),
             "constraints": src.get("constraints"),
             "committed_at": time.time(),
@@ -3012,6 +3564,7 @@ def _read_partition_file(
     fields: "list[str]",
     spark_schema=None,
     skip_positions: "tuple[int, ...]" = (),
+    physical: "list[str] | None" = None,
 ):
     """Executor-side parquet read for both snapshot reader faces: arrow
     RecordBatch yields when the file has every field (no per-row Python
@@ -3036,15 +3589,19 @@ def _read_partition_file(
         mask = np.ones(t.num_rows, dtype=bool)
         mask[[p for p in skip_positions if 0 <= p < t.num_rows]] = False
         t = t.filter(pa.array(mask))
-    yield from _yield_resolved(t, fields, spark_schema)
+    yield from _yield_resolved(t, fields, spark_schema, physical)
 
 
-def _yield_resolved(t, fields: "list[str]", spark_schema=None):
+def _yield_resolved(t, fields: "list[str]", spark_schema=None, physical=None):
     """Shared tail of both executor readers: case-insensitive field
     resolution, null-fill for columns absent from old files (schema
-    evolution), and a cast to the declared schema's arrow types."""
+    evolution), and a cast to the declared schema's arrow types.
+    ``physical`` gives the on-file column name per field when the
+    table's column mapping diverged from the logical names (renames);
+    the yielded batches always carry the LOGICAL ``fields`` names."""
     by_lower = {c.lower(): c for c in t.column_names}
-    actual = [by_lower.get(f.lower()) for f in fields]
+    lookup = physical if physical is not None else fields
+    actual = [by_lower.get(f.lower()) for f in lookup]
     if all(a is not None for a in actual):
         t = t.select(actual).rename_columns(fields)
         if spark_schema is not None:
@@ -3097,7 +3654,7 @@ def _dv_positions(path: str, dv_rels: "list[str]") -> "dict[str, list[int]]":
     return out
 
 
-def _read_cdf_partition(partition, fields, spark_schema):
+def _read_cdf_partition(partition, fields, spark_schema, physical=None):
     """Executor-side read of one CDF stream partition: a DML commit's
     change file (carries ``_change_type`` already) or an append's added
     data file (synthesized ``insert``), plus the commit version — cast
@@ -3113,7 +3670,7 @@ def _read_cdf_partition(partition, fields, spark_schema):
     # the shared tail null-fills columns a schema-evolved lineage's
     # older files lack, resolves case-variants, and casts — exactly
     # like the plain stream and the batch feed
-    yield from _yield_resolved(t, fields, spark_schema)
+    yield from _yield_resolved(t, fields, spark_schema, physical)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -3131,6 +3688,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.row_level = options.get("row_level", "false").lower() == "true"
         self.fields = [f.name for f in schema.fields]
         self.spark_schema = schema
+        # physical on-file names per field (stable across renames, so
+        # the head mapping resolves files from every version); fields
+        # the head no longer knows fall back to identity
+        try:
+            hm = _read_manifest(self.path, _require_versions(self.path)[-1])
+            pmap = _mapping_physical(hm)
+        except Exception:
+            pmap = {}
+        self.physical = [pmap.get(f, f) for f in self.fields]
         self._start = int(options.get("start_version", "0"))
         self._pos = self._start
 
@@ -3163,7 +3729,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return self._cdf_partitions(s, e)
         for v in range(s + 1, e + 1):
             m = _read_manifest(self.path, v)
-            if m["op"] != "append" and m["parent"] is not None:
+            if (
+                m["op"] not in ("append", "rename_column", "drop_column")
+                and m["parent"] is not None
+            ):
                 raise ValueError(
                     f"snapshot stream at {self.path}: version {v} is "
                     f"a {m['op']} — the plain stream only covers append-only "
@@ -3188,10 +3757,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def read(self, partition: "_SnapshotFilePartition"):
         if getattr(partition, "change_kind", None):
-            yield from _read_cdf_partition(partition, self.fields, self.spark_schema)
+            yield from _read_cdf_partition(
+                partition, self.fields, self.spark_schema, self.physical
+            )
             return
         yield from _read_partition_file(
-            partition.file_path, self.fields, self.spark_schema
+            partition.file_path, self.fields, self.spark_schema,
+            physical=self.physical,
         )
 
     def commit(self, end: dict) -> None:
@@ -3230,6 +3802,8 @@ class SnapshotBatchReader(DataSourceReader):
             raise ValueError(f"version {self.version} not in {versions}")
         self.fields = [f.name for f in schema.fields]
         self.spark_schema = schema
+        pmap = _mapping_physical(_read_manifest(self.path, self.version))
+        self.physical = [pmap.get(f, f) for f in self.fields]
         self.tz = options.get("tz")
         self._where: "list[tuple]" = []
 
@@ -3245,7 +3819,8 @@ class SnapshotBatchReader(DataSourceReader):
         m = _read_manifest(self.path, self.version)
         rels = m["files"]
         if self._where:
-            rels, _ = _prune_files(m, self._where, self.tz)
+            # pushed filters use logical names; stats are physical
+            rels, _ = _prune_files(m, _where_phys(m, self._where), self.tz)
         dvpos = _dv_positions(self.path, m.get("deletes") or [])
         return [
             _SnapshotFilePartition(
@@ -3261,6 +3836,7 @@ class SnapshotBatchReader(DataSourceReader):
             self.fields,
             self.spark_schema,
             getattr(partition, "deleted", ()),
+            physical=self.physical,
         )
 
 

@@ -242,3 +242,103 @@ def test_search_plan_is_hash_join_not_bnlj(spark, tmp_path):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _alt_centroids():
+    """A second deterministic quantizer, disjoint from _centroids()."""
+    import hashlib as _h
+
+    out = []
+    for j in range(N_CELLS):
+        row = []
+        for d in range(DIM):
+            h = _h.md5(f"alt{j}_{d}".encode()).hexdigest()
+            row.append(0.5 if h[1] in "89abcdef" else -0.5)
+        out.append(row)
+    return out
+
+
+def test_retrain_equals_fresh_build(spark, tmp_path):
+    """chunked ingests under quantizer A, then ivf_retrain(B) == a fresh
+    single-batch build under B: identical (vec_id, cell) rows and
+    identical search results (VERDICT r6 item 5a)."""
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    a, b = _centroids(), _alt_centroids()
+    p_drift = str(tmp_path / "drift")
+    p_fresh = str(tmp_path / "fresh")
+    for lo, hi in ((0, 30), (30, 80), (80, 120)):
+        ivf_index_add(p_drift, _vecs(spark, lo, hi), a)
+    v = ivf_retrain(spark, p_drift, b)
+    ivf_index_add(p_fresh, _vecs(spark, 0, 120), b)
+    rows_d = sorted(
+        (r.vec_id, r.cell) for r in snapshot_read(spark, p_drift).collect()
+    )
+    rows_f = sorted(
+        (r.vec_id, r.cell) for r in snapshot_read(spark, p_fresh).collect()
+    )
+    assert rows_d == rows_f
+    q = _vecs(spark, 5, 8)
+    assert _result_rows(ivf_search(spark, p_drift, q, b, k=5, nprobe=2)) == (
+        _result_rows(ivf_search(spark, p_fresh, q, b, k=5, nprobe=2))
+    )
+    # retrain is one atomic overwrite; the old index is time-travelable
+    assert snapshot_read(spark, p_drift, version=v - 1).count() == 120
+    # ingest continues under the NEW quantizer seamlessly
+    ivf_index_add(p_drift, _vecs(spark, 120, 130), b)
+    assert snapshot_read(spark, p_drift).count() == 130
+
+
+def test_maintain_compacts_fat_cells_only(spark, tmp_path):
+    """ivf_maintain scoped-compacts exactly the cells whose file count
+    exceeds the policy; searches are byte-identical before/after
+    (VERDICT r6 item 5b)."""
+    from dask_awkward_spark.functions.simindex import ivf_maintain
+
+    cents = _centroids()
+    p = str(tmp_path / "idx")
+    for i in range(6):  # many small ingests: every touched cell gains files
+        ivf_index_add(p, _vecs(spark, i * 20, (i + 1) * 20), cents)
+    q = _vecs(spark, 3, 6)
+    before = _result_rows(ivf_search(spark, p, q, cents, k=5, nprobe=2))
+    head = snap._read_manifest(p, snap._versions(p)[-1])
+    per_cell: dict = {}
+    for f in head["files"]:
+        c = int(f.split("/cell=", 1)[1].split("/", 1)[0])
+        per_cell[c] = per_cell.get(c, 0) + 1
+    assert max(per_cell.values()) > 3  # the policy has something to do
+    out = ivf_maintain(spark, p, max_files_per_cell=3)
+    assert out["compacted_cells"] == sorted(
+        c for c, n in per_cell.items() if n > 3
+    )
+    m2 = snap._read_manifest(p, out["version"])
+    per_cell2: dict = {}
+    for f in m2["files"]:
+        c = int(f.split("/cell=", 1)[1].split("/", 1)[0])
+        per_cell2[c] = per_cell2.get(c, 0) + 1
+    assert all(n <= 3 or c not in out["compacted_cells"] for c, n in per_cell2.items())
+    assert all(per_cell2[c] < per_cell[c] for c in out["compacted_cells"])
+    after = _result_rows(ivf_search(spark, p, q, cents, k=5, nprobe=2))
+    assert after == before
+    # tight index: second pass is a metadata-only no-op
+    out2 = ivf_maintain(spark, p, max_files_per_cell=3)
+    assert out2["compacted_cells"] == [] and out2["version"] == out["version"]
+
+
+def test_recall_monotone_and_exact_at_full_probe(spark, tmp_path):
+    """recall@k grows with nprobe and reaches 1.0 when every cell is
+    probed (probing all cells IS brute force) — VERDICT r6 item 5c."""
+    from dask_awkward_spark.functions.simindex import ivf_recall
+
+    cents = _centroids()
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 200), cents)
+    q = _vecs(spark, 10, 18)
+    rows = ivf_recall(
+        spark, p, q, cents, k=5, nprobes=(1, 2, N_CELLS)
+    )
+    recs = [r["recall_at_k"] for r in rows]
+    assert recs == sorted(recs)  # monotone non-decreasing
+    assert recs[-1] == 1.0  # full probe == exact
+    assert all(r["n_queries"] == 8 for r in rows)

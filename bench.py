@@ -76,6 +76,8 @@ HEADLINE = [
     # read, MOR delete keyed on the renamed column)
     "q_sql_snapshot",
     "io_snapshot_rename",
+    # conditional-MERGE lifecycle (two ordered clauses, first-match-wins)
+    "io_snapshot_cmerge",
 ]
 
 

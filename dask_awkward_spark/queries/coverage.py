@@ -952,6 +952,69 @@ GROUP BY c_mktsegment
 """
 
 
+def io_snapshot_cmerge(spark, sf_dir):
+    """Conditional-MERGE lifecycle under an oracle (Delta's WHEN MATCHED
+    AND cond grammar): commit customers (v1), merge a CDC-shaped source
+    (every 2nd key, candidate balance = -c_acctbal) with TWO ordered
+    clauses — update bal when the candidate is higher, else delete the
+    row (unconditional second clause) — first-match-wins decides every
+    matched row. Unmatched rows must persist unchanged and both clause
+    kinds must fire (asserted in-query). The read-back equals a DuckDB
+    CASE-based twin of the same clause logic."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_merge, snapshot_read, snapshot_write
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapcm_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+    )
+    try:
+        snapshot_write(cust.repartitionByRange(4, "k"), path)
+        src = cust.filter(F.col("k") % 2 == 0).select(
+            "k", (-F.col("bal")).alias("newbal")
+        )
+        stats = snapshot_merge(
+            spark,
+            path,
+            src,
+            on=["k"],
+            when_matched=[
+                ("s.newbal > t.bal", "update", {"bal": "s.newbal"}),
+                (None, "delete", None),
+            ],
+            when_not_matched=None,
+        )
+        assert stats["updated_rows"] > 0 and stats["deleted_rows"] > 0, (
+            "both clauses must fire for the lifecycle to mean anything"
+        )
+        return (
+            snapshot_read(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("bal"))).alias("bal_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_CMERGE_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(round((CASE WHEN c_custkey % 2 = 0 AND -c_acctbal > c_acctbal
+                                 THEN -c_acctbal ELSE c_acctbal END) * 100) AS BIGINT)) AS BIGINT) AS bal_c
+FROM customer
+WHERE NOT (c_custkey % 2 = 0 AND NOT (-c_acctbal > c_acctbal))
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "io_snapshot_roundtrip": io_snapshot_roundtrip,
     "op_argcartesian": op_argcartesian,
@@ -976,6 +1039,7 @@ QUERIES = {
     "io_snapshot_optimize": io_snapshot_optimize,
     "q_sql_snapshot": q_sql_snapshot,
     "io_snapshot_rename": io_snapshot_rename,
+    "io_snapshot_cmerge": io_snapshot_cmerge,
 }
 
 ORACLES = {
@@ -1002,6 +1066,7 @@ ORACLES = {
     "io_snapshot_optimize": IO_SNAPSHOT_OPT_SQL,
     "q_sql_snapshot": Q_SQL_SNAPSHOT_SQL,
     "io_snapshot_rename": IO_SNAPSHOT_RENAME_SQL,
+    "io_snapshot_cmerge": IO_SNAPSHOT_CMERGE_SQL,
 }
 
 

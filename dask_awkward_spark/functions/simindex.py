@@ -187,9 +187,16 @@ def ivf_maintain(
     cells untouched, searches never disturbed). Run it on the ingest
     cadence (e.g. every N chunks); a no-op when every cell is tight.
     Returns ``{"version", "compacted_cells", "files_before"}``."""
-    from ..sources.snapshot import snapshot_compact, snapshot_versions
+    from ..sources.snapshot import (
+        _read_manifest,
+        _require_versions,
+        snapshot_compact,
+    )
 
-    head = snapshot_versions(index_path)[-1]
+    # resolve ONLY the head manifest — snapshot_versions() would resolve
+    # every version in the log, O(versions) on exactly the long-history
+    # ingest tables this policy runs against
+    head = _read_manifest(index_path, _require_versions(index_path)[-1])
     counts: "dict[int, int]" = {}
     for f in head["files"]:
         if "/cell=" in f:

@@ -330,7 +330,6 @@ class ConditionalPutBackend(CommitBackend):
                     os.write(fd, token)
                 finally:
                     os.close(fd)
-                break
             except FileExistsError:
                 try:
                     held_for = time.time() - os.lstat(lock).st_mtime
@@ -349,6 +348,11 @@ class ConditionalPutBackend(CommitBackend):
                     try:
                         with open(lock, "rb") as f:
                             stale_token = f.read()
+                        # re-stat right before the rename: a lock that is
+                        # no longer expired was already broken+re-acquired
+                        # under us — never touch a fresh holder's lock
+                        if time.time() - os.lstat(lock).st_mtime <= self.lock_ttl:
+                            continue
                     except FileNotFoundError:
                         continue  # broken/released under us; re-poll
                     grave = f"{lock}.broken-{uuid.uuid4().hex}"
@@ -377,27 +381,46 @@ class ConditionalPutBackend(CommitBackend):
                         f"{self.acquire_timeout}s (held {held_for:.1f}s)"
                     )
                 time.sleep(0.005)
-        try:
-            if os.path.exists(final):
-                return False
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+                continue
+            # ---- critical section (lock acquired with our token) ----
             try:
-                with open(tmp, "wb") as f:
-                    f.write(data)
-                os.replace(tmp, final)  # atomic publish under the lock
+                # HOLD VERIFICATION before publishing: a breaker that
+                # mistakenly renamed our fresh lock may have failed to
+                # restore it (a third writer re-locked in the gap) —
+                # publishing then would race that writer's publish for
+                # the same version. Seeing a foreign/absent token here
+                # means the lock was stolen: back off and re-acquire,
+                # which re-checks `final` (the winner's publish is then
+                # visible). This shrinks the multi-actor steal window
+                # from the whole critical section to the verify->replace
+                # gap — the same adjacent-syscall caveat as release.
+                try:
+                    with open(lock, "rb") as f:
+                        held = f.read() == token
+                except FileNotFoundError:
+                    held = False
+                if not held:
+                    continue  # lost the lock: re-poll from scratch
+                if os.path.exists(final):
+                    return False
+                tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+                try:
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, final)  # atomic publish under the lock
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                return True
             finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-            return True
-        finally:
-            # conditional release: only MY lock (a stalled-past-TTL
-            # writer whose lock was broken must not delete a successor's)
-            try:
-                with open(lock, "rb") as f:
-                    if f.read() == token:
-                        os.unlink(lock)
-            except FileNotFoundError:
-                pass
+                # conditional release: only MY lock (a stalled-past-TTL
+                # writer whose lock was broken must not delete a successor's)
+                try:
+                    with open(lock, "rb") as f:
+                        if f.read() == token:
+                            os.unlink(lock)
+                except FileNotFoundError:
+                    pass
 
 
 _BACKENDS = {b.name: b for b in (PosixLinkBackend(), ConditionalPutBackend())}
@@ -793,14 +816,21 @@ def _extend_mapping(cm: "dict | None", schema: StructType) -> "dict | None":
         "next_id": cm["next_id"],
         "retired": list(cm["retired"]),
     }
-    used = set(cm["physical"].values()) | set(cm["retired"])
+    # case-INSENSITIVE collision check, like the reads that resolve
+    # physical names (Spark's caseSensitive=false and the arrow faces'
+    # lowercased lookup): a case-variant re-add must NOT reuse a live
+    # or retired physical name, or old files' bytes would resolve
+    # under the new column
+    used = {v.lower() for v in cm["physical"].values()} | {
+        v.lower() for v in cm["retired"]
+    }
     for name in fresh:
         cid = cm["next_id"]
         cm["next_id"] = cid + 1
-        phys = name if name not in used else f"{name}__c{cid}"
+        phys = name if name.lower() not in used else f"{name}__c{cid}"
         cm["ids"][name] = cid
         cm["physical"][name] = phys
-        used.add(phys)
+        used.add(phys.lower())
     return cm
 
 
@@ -1290,15 +1320,19 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
             arrays[f"min__{c}"] = pa.array([bound(f, c, 0) for f in files], t)
             arrays[f"max__{c}"] = pa.array([bound(f, c, 1) for f in files], t)
         table = pa.table(arrays)
-        import tempfile
-
-        # build locally, then one whole-object publish via the backend
-        # (readers see none-or-all; identical logical content per writer,
-        # so concurrent publication of the same checkpoint is idempotent)
-        with tempfile.TemporaryDirectory(prefix="dak-ckpt-") as td:
-            tmp = os.path.join(td, "ckpt.parquet")
+        # build NEXT TO the destination (same filesystem as the table —
+        # a /tmp staging dir would cross devices and fail the POSIX
+        # backend's hard link), then one whole-object publish via the
+        # backend (readers see none-or-all; identical logical content
+        # per writer, so concurrent publication is idempotent)
+        tmp = os.path.join(
+            _manifest_dir(path), f".tmp-ckpt-{uuid.uuid4().hex}.parquet"
+        )
+        try:
             pq.write_table(table, tmp)
             _fs().put_file_atomic(tmp, _ckpt_file(path, version))
+        finally:
+            _fs().delete(tmp)
     except Exception:
         pass
 
@@ -3075,6 +3109,14 @@ def snapshot_merge(
     missing = sorted(set(on) - set(names))
     if missing:
         raise ValueError(f"key columns {missing} not in table schema {names}")
+    for _cond, _a, _assigns in clauses:
+        if _a == "update" and _assigns is not None:
+            unknown = sorted(set(_assigns) - set(names))
+            if unknown:
+                raise ValueError(
+                    f"clause assignments reference unknown columns {unknown} "
+                    f"(table schema: {names})"
+                )
     if clause_mode:
         # full table row needed only when something materializes whole
         # rows from the source (insert, or a full-row update clause);
@@ -3242,23 +3284,14 @@ def snapshot_merge(
                     else (F.expr(cond) if isinstance(cond, str) else cond)
                 )
                 ci = F.when(cc, F.lit(i)) if ci is None else ci.when(cc, F.lit(i))
-            pinned_m = (
+            joined = (
                 tga.join(sra, jc, "inner")
                 .select(
                     F.struct(*[tga[c].alias(c) for c in names]).alias("t"),
                     F.struct(*[sra[c].alias(c) for c in src.columns]).alias("s"),
                 )
                 .withColumn("__dak_ci", ci.otherwise(F.lit(-1)))
-                .localCheckpoint(eager=True)
             )
-            cnt = {
-                r["__dak_ci"]: r["__dak_n"]
-                for r in pinned_m.groupBy("__dak_ci")
-                .agg(F.count(F.lit(1)).alias("__dak_n"))
-                .collect()
-            }
-            n_updated = sum(cnt.get(i, 0) for i in upd_idx)
-            n_deleted = sum(cnt.get(i, 0) for i in del_idx)
             table_dt = {f.name: f.dataType for f in schema.fields}
             out_cols = []
             for c in names:
@@ -3283,6 +3316,25 @@ def snapshot_merge(
                     else F.col("t").getField(c)
                 )
                 out_cols.append(expr.cast(table_dt[c]).alias(c))
+            # ONE materialization pins conditions AND assignment
+            # expressions: the counts, the rewritten rows, and the CDF
+            # pre/postimages all derive from this frame, so a
+            # non-deterministic clause (rand() condition or assignment)
+            # can never produce a postimage that differs from the rows
+            # actually committed
+            pinned_m = joined.select(
+                "__dak_ci",
+                F.col("t").alias("__dak_t"),
+                *out_cols,
+            ).localCheckpoint(eager=True)
+            cnt = {
+                r["__dak_ci"]: r["__dak_n"]
+                for r in pinned_m.groupBy("__dak_ci")
+                .agg(F.count(F.lit(1)).alias("__dak_n"))
+                .collect()
+            }
+            n_updated = sum(cnt.get(i, 0) for i in upd_idx)
+            n_deleted = sum(cnt.get(i, 0) for i in del_idx)
             if n_updated + n_deleted == 0:
                 # every matched row fell through the clause list: no
                 # target change, so no file rewrites (insert-only shape)
@@ -3297,7 +3349,7 @@ def snapshot_merge(
                     else pinned_m
                 )
                 # clause-hit rows transform, fall-through rows persist
-                parts.append(kept.select(*out_cols))
+                parts.append(kept.select(*names))
         else:
             rewritten = affected
             parts.append(tgt.join(src_n, on, "left_anti"))  # unmatched target
@@ -3337,13 +3389,13 @@ def snapshot_merge(
             if clause_mode:
                 # exactly the clause-HIT rows: fall-through (ci == -1)
                 # rows did not change and must not pollute the feed
-                tcols = [F.col("t").getField(c).alias(c) for c in names]
+                tcols = [F.col("__dak_t").getField(c).alias(c) for c in names]
                 chg = []
                 if n_updated:
                     hit_u = pinned_m.filter(F.col("__dak_ci").isin(upd_idx))
                     chg += [
                         (hit_u.select(*tcols), "update_preimage"),
-                        (hit_u.select(*out_cols), "update_postimage"),
+                        (hit_u.select(*names), "update_postimage"),
                     ]
                 if n_deleted:
                     chg.append(

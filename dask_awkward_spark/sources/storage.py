@@ -129,11 +129,15 @@ class StorageBackend:
         raise NotImplementedError
 
 
-class PosixStorageBackend(StorageBackend):
-    """POSIX / HDFS-style stores: hard-link publication (no byte copy),
-    real directories, inode-bearing stat signatures."""
-
-    name = "posix"
+class _LocalFilesystemBase(StorageBackend):
+    """Shared local-filesystem plumbing for both shipped backends — the
+    nine operations whose LOCAL implementation is identical either way
+    (byte reads, existence/staleness stats, listing, whole-object PUT
+    via tmp-write + atomic replace, deletes). Only the four operations
+    where POSIX and object-store SEMANTICS genuinely diverge — stat
+    signatures, staged-file publication, directory creation, empty-dir
+    pruning — live in the subclasses, so a fix to the common plumbing
+    can never drift between them."""
 
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
@@ -147,13 +151,6 @@ class PosixStorageBackend(StorageBackend):
 
     def size(self, path: str) -> int:
         return os.path.getsize(path)
-
-    def stat_sig(self, path: str) -> tuple:
-        # inode + mtime_ns + size: an rmtree+recreate at the same path
-        # within one mtime tick would additionally need inode reuse AND
-        # byte-identical length before stale cache content could serve
-        st = os.stat(path)
-        return (st.st_ino, st.st_mtime_ns, st.st_size)
 
     def list_dir(self, path: str) -> "list[str]":
         if not os.path.isdir(path):
@@ -183,13 +180,6 @@ class PosixStorageBackend(StorageBackend):
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def put_file_atomic(self, src_local: str, dst: str) -> None:
-        # link, not rename: a crash mid-publication leaves only
-        # unreferenced garbage for vacuum, and the staged source stays
-        # readable for the caller's footer-stats pass
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.link(src_local, dst)
-
     def delete(self, path: str) -> None:
         try:
             os.unlink(path)
@@ -198,6 +188,43 @@ class PosixStorageBackend(StorageBackend):
 
     def delete_prefix(self, root: str) -> None:
         shutil.rmtree(root, ignore_errors=True)
+
+
+class PosixStorageBackend(_LocalFilesystemBase):
+    """POSIX / HDFS-style stores: hard-link publication (no byte copy),
+    real directories, inode-bearing stat signatures."""
+
+    name = "posix"
+
+    def stat_sig(self, path: str) -> tuple:
+        # inode + mtime_ns + size: an rmtree+recreate at the same path
+        # within one mtime tick would additionally need inode reuse AND
+        # byte-identical length before stale cache content could serve
+        st = os.stat(path)
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+    def put_file_atomic(self, src_local: str, dst: str) -> None:
+        # link, not rename: a crash mid-publication leaves only
+        # unreferenced garbage for vacuum, and the staged source stays
+        # readable for the caller's footer-stats pass
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src_local, dst)
+        except OSError as e:
+            import errno
+
+            if e.errno != errno.EXDEV:
+                raise
+            # cross-device source (a caller staged on another mount):
+            # fall back to copy + atomic swap — same visibility contract
+            d = os.path.dirname(dst)
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            try:
+                shutil.copyfile(src_local, tmp)
+                os.replace(tmp, dst)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
 
     def ensure_dir(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -213,7 +240,7 @@ class PosixStorageBackend(StorageBackend):
                     pass
 
 
-class ObjectCopyStorageBackend(StorageBackend):
+class ObjectCopyStorageBackend(_LocalFilesystemBase):
     """Object-store semantics emulated on the local filesystem: every
     operation is restricted to what PUT/GET/LIST/DELETE/COPY offer.
 
@@ -233,50 +260,9 @@ class ObjectCopyStorageBackend(StorageBackend):
 
     name = "object-copy"
 
-    def read_bytes(self, path: str) -> bytes:
-        with open(path, "rb") as f:
-            return f.read()
-
-    def exists(self, path: str) -> bool:
-        return os.path.exists(path)
-
-    def mtime(self, path: str) -> float:
-        return os.lstat(path).st_mtime
-
-    def size(self, path: str) -> int:
-        return os.path.getsize(path)
-
     def stat_sig(self, path: str) -> tuple:
         st = os.stat(path)
         return (st.st_mtime_ns, st.st_size)
-
-    def list_dir(self, path: str) -> "list[str]":
-        if not os.path.isdir(path):
-            return []
-        return sorted(os.listdir(path))
-
-    def walk_files(self, root: str) -> "list[tuple[str, str]]":
-        if not os.path.isdir(root):
-            return []
-        out = []
-        for dirpath, _dirs, names in os.walk(root):
-            for name in names:
-                full = os.path.join(dirpath, name)
-                rel = os.path.relpath(full, root).replace(os.sep, "/")
-                out.append((rel, full))
-        return sorted(out)
-
-    def put_atomic(self, path: str, data: bytes) -> None:
-        d = os.path.dirname(path)
-        os.makedirs(d, exist_ok=True)  # prefix springs into existence on PUT
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        try:
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
 
     def put_file_atomic(self, src_local: str, dst: str) -> None:
         d = os.path.dirname(dst)
@@ -288,15 +274,6 @@ class ObjectCopyStorageBackend(StorageBackend):
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-
-    def delete(self, path: str) -> None:
-        try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
-
-    def delete_prefix(self, root: str) -> None:
-        shutil.rmtree(root, ignore_errors=True)
 
     def ensure_dir(self, path: str) -> None:
         pass  # no directory objects; puts create their own parents

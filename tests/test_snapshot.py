@@ -2370,3 +2370,69 @@ def test_merge_conditional_full_row_update_and_insert(spark, tmp_path):
     assert (out["updated_rows"], out["inserted_rows"]) == (1, 1)
     got = {r.k: (r.name, r.bal) for r in snapshot_read(spark, p).collect()}
     assert got[1] == ("A", 11.0) and got[2] == ("b", 2.0) and got[3] == ("C", 33.0)
+
+
+def test_merge_clause_nondeterministic_assignment_pins_once(spark, tmp_path):
+    """A rand() assignment must produce a CDF postimage IDENTICAL to the
+    committed rows — conditions AND assignments are pinned to one
+    evaluation (round-7 review finding)."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes, snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(i, 0.0) for i in range(50)], "k bigint, v double"),
+        p,
+    )
+    src = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    snapshot_merge(
+        spark, p, src, on=["k"],
+        when_matched=[(None, "update", {"v": "rand()"})],
+        when_not_matched=None,
+    )
+    committed = {r.k: r.v for r in snapshot_read(spark, p).collect()}
+    post = {
+        r.k: r.v
+        for r in snapshot_changes(spark, p, since=1, row_level=True)
+        .filter("_change_type = 'update_postimage'")
+        .collect()
+    }
+    assert post == committed  # byte-for-byte the rows that landed
+
+
+def test_merge_clause_unknown_assignment_column_refused(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, 1.0)], "k bigint, v double"), p)
+    src = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match="unknown columns"):
+        snapshot_merge(
+            spark, p, src, on=["k"],
+            when_matched=[(None, "update", {"vv": "s.v"})],
+            when_not_matched=None,
+        )
+
+
+def test_case_variant_readd_gets_fresh_physical(spark, tmp_path):
+    """Re-adding a DROPPED column under a case variant must still get a
+    fresh physical name — reads resolve case-insensitively, so reusing
+    'A' over retired 'a' would resurrect the dropped bytes (round-7
+    review finding)."""
+    from dask_awkward_spark.sources import snapshot as snap
+    from dask_awkward_spark.sources.snapshot import snapshot_drop_column
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, 123.0)], "k bigint, extra double"), p
+    )
+    snapshot_drop_column(p, "extra")
+    snapshot_write(
+        spark.createDataFrame([(2, "fresh")], "k bigint, EXTRA string"),
+        p,
+        mode="append",
+        merge_schema=True,
+    )
+    cm = snap._read_manifest(p, snap._versions(p)[-1])["column_mapping"]
+    assert cm["physical"]["EXTRA"].lower() != "extra"  # never the retired name
+    rows = {r.k: r.EXTRA for r in snapshot_read(spark, p).collect()}
+    assert rows[1] is None and rows[2] == "fresh"  # old doubles stay buried

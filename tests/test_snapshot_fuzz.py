@@ -47,6 +47,9 @@ SETTINGS = dict(
 #   ("narrow_append", lo, n) — append the rows at INT width through
 #                          merge_schema (upcasts into the bigint table:
 #                          the type-widening read path under fuzz)
+#   ("rename",)          — metadata-only column rename (id <-> rid via
+#                          column mapping): every later op uses the NEW
+#                          name, every earlier version keeps its own
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
@@ -58,6 +61,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("update"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("merge"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("merge_del"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("rename")),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -73,17 +77,20 @@ def test_snapshot_random_op_sequences_match_model(
     from pyspark.sql import functions as F
 
     p = str(tmp_path_factory.mktemp("snapfuzz") / "tbl")
-    # model: version -> (op_kind, rows list); None marks vacuumed-away
-    model: "dict[int, tuple[str, list[int]]]" = {}
+    # model: version -> (op_kind, rows list, column name AT that version)
+    model: "dict[int, tuple[str, list[int], str]]" = {}
     head_rows: "list[int]" = []
     head_v = 0
+    cur = "id"  # the data column's CURRENT logical name (renames flip it)
 
     def with_pk(df):
-        return df.withColumn("pk", (F.col("id") % 3).cast("int")) if part else df
+        return df.withColumn("pk", (F.col(cur) % 3).cast("int")) if part else df
 
     def write(rows, mode, narrow=False):
         nonlocal head_v
-        df = spark.createDataFrame([(i,) for i in rows], f"id {'int' if narrow else 'bigint'}")
+        df = spark.createDataFrame(
+            [(i,) for i in rows], f"{cur} {'int' if narrow else 'bigint'}"
+        )
         v = snapshot_write(
             with_pk(df).repartition(2),
             p,
@@ -100,23 +107,23 @@ def test_snapshot_random_op_sequences_match_model(
             _, lo, n = op  # a first-ever append is just the creating write
             head_rows = list(range(lo, lo + n))
             v = write(head_rows, "overwrite")
-            model[v] = ("overwrite", list(head_rows))
+            model[v] = ("overwrite", list(head_rows), cur)
         elif op[0] in ("append", "narrow_append"):
             _, lo, n = op
             head_rows = head_rows + list(range(lo, lo + n))
             v = write(
                 list(range(lo, lo + n)), "append", narrow=op[0] == "narrow_append"
             )
-            model[v] = ("append", list(head_rows))
+            model[v] = ("append", list(head_rows), cur)
         elif op[0] == "compact":
             if first:
                 continue  # nothing to compact yet
             v = snapshot_compact(
                 spark, p, target_file_bytes=1 << 12,
-                zorder_by=["id"] if op[1] else None,
+                zorder_by=[cur] if op[1] else None,
             )
             head_v = v
-            model[v] = ("compact", list(head_rows))
+            model[v] = ("compact", list(head_rows), cur)
         elif op[0] == "vacuum":
             if first:
                 continue
@@ -125,12 +132,20 @@ def test_snapshot_random_op_sequences_match_model(
             for v in list(model):
                 if v not in live:
                     del model[v]
+        elif op[0] == "rename":
+            if first:
+                continue
+            old_name, cur = cur, ("rid" if cur == "id" else "id")
+            from dask_awkward_spark.sources.snapshot import snapshot_rename_column
+
+            head_v = snapshot_rename_column(p, old_name, cur)
+            model[head_v] = ("rename", list(head_rows), cur)
         elif op[0] in ("delete", "mor_delete"):
             if first:
                 continue
             _, lo, n = op
             res = snapshot_delete(
-                spark, p, [("id", ">=", lo), ("id", "<", lo + n)],
+                spark, p, [(cur, ">=", lo), (cur, "<", lo + n)],
                 strategy="merge-on-read" if op[0] == "mor_delete" else "copy-on-write",
             )
             survivors = [x for x in head_rows if not (lo <= x < lo + n)]
@@ -138,7 +153,7 @@ def test_snapshot_random_op_sequences_match_model(
             head_rows = survivors
             if res["version"] != head_v:  # no-op deletes commit nothing
                 head_v = res["version"]
-                model[head_v] = ("delete", list(head_rows))
+                model[head_v] = ("delete", list(head_rows), cur)
         elif op[0] == "update":
             if first:
                 continue
@@ -146,8 +161,8 @@ def test_snapshot_random_op_sequences_match_model(
             from pyspark.sql import functions as F
 
             res = snapshot_update(
-                spark, p, [("id", ">=", lo), ("id", "<", lo + n)],
-                {"id": F.col("id") + 17},
+                spark, p, [(cur, ">=", lo), (cur, "<", lo + n)],
+                {cur: F.col(cur) + 17},
             )
             changed = [x + 17 if lo <= x < lo + n else x for x in head_rows]
             assert res["updated_rows"] == sum(
@@ -156,16 +171,18 @@ def test_snapshot_random_op_sequences_match_model(
             head_rows = changed
             if res["version"] != head_v:
                 head_v = res["version"]
-                model[head_v] = ("update", list(head_rows))
+                model[head_v] = ("update", list(head_rows), cur)
         elif op[0] in ("merge", "merge_del"):
             if first:
                 continue
             _, lo, n = op
             src = with_pk(
-                spark.createDataFrame([(i,) for i in range(lo, lo + n)], "id bigint")
+                spark.createDataFrame(
+                    [(i,) for i in range(lo, lo + n)], f"{cur} bigint"
+                )
             )
             if op[0] == "merge":
-                res = snapshot_merge(spark, p, src, on=["id"])
+                res = snapshot_merge(spark, p, src, on=[cur])
                 present = set(head_rows)
                 inserts = [x for x in range(lo, lo + n) if x not in present]
                 assert res["inserted_rows"] == len(inserts)
@@ -176,7 +193,7 @@ def test_snapshot_random_op_sequences_match_model(
                 head_rows = head_rows + inserts
             else:
                 res = snapshot_merge(
-                    spark, p, src, on=["id"],
+                    spark, p, src, on=[cur],
                     when_matched="delete", when_not_matched=None,
                 )
                 survivors = [x for x in head_rows if not (lo <= x < lo + n)]
@@ -184,21 +201,30 @@ def test_snapshot_random_op_sequences_match_model(
                 head_rows = survivors
             if res["version"] != head_v:
                 head_v = res["version"]
-                model[head_v] = (op[0], list(head_rows))
+                model[head_v] = (op[0], list(head_rows), cur)
         first = False
 
     if not model:
         return
-    # every surviving version reads back exactly the model's rows
-    for v, (_, rows) in model.items():
-        got = sorted(r.id for r in snapshot_read(spark, p, version=v).collect())
+    # every surviving version reads back exactly the model's rows,
+    # under the column name THAT version recorded (renames included)
+    for v, (_, rows, name) in model.items():
+        got = sorted(
+            r[name] for r in snapshot_read(spark, p, version=v).collect()
+        )
         assert got == sorted(rows), f"v{v}"
-    # change feed over any append-only span equals the model delta
+    # change feed over any append-only span (renames are metadata-only
+    # and cross transparently) equals the model delta, surfaced under
+    # the UNTIL version's column name
     vs = sorted(model)
     for a, b in zip(vs, vs[1:]):
         kinds = [model[v][0] for v in vs if a < v <= b]
-        if all(k == "append" for k in kinds):
-            delta = sorted(r.id for r in snapshot_changes(spark, p, since=a, until=b).collect())
+        if all(k in ("append", "rename") for k in kinds):
+            name_b = model[b][2]
+            delta = sorted(
+                r[name_b]
+                for r in snapshot_changes(spark, p, since=a, until=b).collect()
+            )
             want = sorted(_multiset_diff(model[b][1], model[a][1]))
             assert delta == want, f"changes {a}->{b}"
 

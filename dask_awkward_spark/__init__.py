@@ -67,6 +67,7 @@ from .sources.snapshot import (
     snapshot_drop_column,
     snapshot_drop_constraint,
     snapshot_history,
+    snapshot_maintain,
     snapshot_merge,
     snapshot_read,
     snapshot_rename_column,

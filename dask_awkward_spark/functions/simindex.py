@@ -186,37 +186,22 @@ def ivf_maintain(
     cells in ONE commit (``OPTIMIZE WHERE cell IN (...)`` — carried
     cells untouched, searches never disturbed). Run it on the ingest
     cadence (e.g. every N chunks); a no-op when every cell is tight.
-    Returns ``{"version", "compacted_cells", "files_before"}``."""
-    from ..sources.snapshot import (
-        _read_manifest,
-        _require_versions,
-        snapshot_compact,
-    )
+    Returns ``{"version", "compacted_cells", "files_before"}``.
 
-    # resolve ONLY the head manifest — snapshot_versions() would resolve
-    # every version in the log, O(versions) on exactly the long-history
-    # ingest tables this policy runs against
-    head = _read_manifest(index_path, _require_versions(index_path)[-1])
-    counts: "dict[int, int]" = {}
-    for f in head["files"]:
-        if "/cell=" in f:
-            try:
-                cell = int(f.split("/cell=", 1)[1].split("/", 1)[0])
-            except ValueError:
-                continue
-            counts[cell] = counts.get(cell, 0) + 1
-    fat = sorted(c for c, n in counts.items() if n > max_files_per_cell)
-    if not fat:
-        return {
-            "version": head["version"],
-            "compacted_cells": [],
-            "files_before": len(head["files"]),
-        }
-    v = snapshot_compact(spark, index_path, where=[("cell", "in", fat)])
+    The index-flavored face of the general
+    :func:`~dask_awkward_spark.sources.snapshot.snapshot_maintain`
+    policy — the index IS a cell-partitioned snapshot table."""
+    from ..sources.snapshot import snapshot_maintain
+
+    out = snapshot_maintain(
+        spark, index_path, max_files_per_partition=max_files_per_cell
+    )
     return {
-        "version": v,
-        "compacted_cells": fat,
-        "files_before": len(head["files"]),
+        "version": out["version"],
+        "compacted_cells": sorted(
+            int(t[0].split("=", 1)[1]) for t in out["compacted_partitions"]
+        ),
+        "files_before": out["files_before"],
     }
 
 

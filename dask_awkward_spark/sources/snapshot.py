@@ -2290,6 +2290,104 @@ def snapshot_apply_changes(
     return {"until": head, "upserted": upserted, "deleted": deleted}
 
 
+def snapshot_maintain(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> "dict":
+    """The standing OPTIMIZE policy for partitioned tables: find
+    partitions holding more than ``max_files_per_partition`` files —
+    ONE metadata pass over the head manifest, no data read — and
+    scoped-compact exactly those (``OPTIMIZE WHERE part IN (...)``),
+    leaving tight partitions untouched. Streaming ingest and
+    incremental appends each land >=1 small file per touched partition,
+    so probe/scan cost creeps without this; run it on the ingest
+    cadence and it is a cheap no-op whenever the layout is tight.
+
+    Single-partition-column tables compact all fat partitions in ONE
+    commit (an ``in`` scope); multi-column specs compact one fat
+    partition tuple per commit (the scope vocabulary is ANDed
+    equalities). Unpartitioned tables fall back to a whole-table file
+    count: more than ``max_files_per_partition`` files triggers a full
+    compact. Returns ``{"version", "compacted_partitions",
+    "files_before"}``.
+
+    Reference: no counterpart (maintenance belongs to the storage
+    layer the reference lacks); Spark-native analog is Delta's
+    auto-compaction policy around OPTIMIZE."""
+    head_v = _require_versions(path)[-1]
+    m = _read_manifest(path, head_v)
+    files = m["files"]
+    pb = m.get("partition_by") or []
+    if not pb:
+        if len(files) <= max_files_per_partition:
+            return {
+                "version": head_v,
+                "compacted_partitions": [],
+                "files_before": len(files),
+            }
+        v = snapshot_compact(spark, path, target_file_bytes=target_file_bytes)
+        return {
+            "version": v,
+            "compacted_partitions": [()],
+            "files_before": len(files),
+        }
+    # group data files by their partition-value tuple (hive dir names,
+    # physical column names — translate back through the mapping)
+    pmap = _mapping_physical(m)
+    phys_pb = [pmap.get(c, c) for c in pb]
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    counts: "dict[tuple, int]" = {}
+    for f in files:
+        segs = f.split("/")[1:-1]  # data/<c=v>/.../<file>
+        vals = []
+        for col, seg in zip(phys_pb, segs):
+            if not seg.startswith(f"{col}="):
+                vals = None
+                break
+            vals.append(seg)
+        if vals is None or len(vals) != len(phys_pb):
+            continue  # pre-partitioning lineage file: a full rewrite owns it
+        counts[tuple(vals)] = counts.get(tuple(vals), 0) + 1
+    fat = sorted(t for t, n in counts.items() if n > max_files_per_partition)
+    if not fat:
+        return {
+            "version": head_v,
+            "compacted_partitions": [],
+            "files_before": len(files),
+        }
+
+    def val(col_logical: str, seg: str):
+        return _parse_part_value(seg, types.get(col_logical, ""))
+
+    if len(pb) == 1:
+        scope = [
+            (pb[0], "in", [val(pb[0], t[0]) for t in fat if val(pb[0], t[0]) is not None])
+        ]
+        v = snapshot_compact(
+            spark, path, where=scope, target_file_bytes=target_file_bytes
+        )
+    else:
+        v = head_v
+        for t in fat:  # one scoped commit per fat partition tuple
+            scope = [
+                (c, "=", val(c, seg)) for c, seg in zip(pb, t)
+                if val(c, seg) is not None
+            ]
+            if len(scope) != len(pb):
+                continue  # NULL-partition tuple: scope vocabulary can't name it
+            v = snapshot_compact(
+                spark, path, where=scope, target_file_bytes=target_file_bytes
+            )
+    return {
+        "version": v,
+        "compacted_partitions": fat,
+        "files_before": len(files),
+    }
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,

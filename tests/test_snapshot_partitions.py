@@ -567,3 +567,71 @@ def test_snapshot_history(spark, tmp_path):
     assert h[4].rows_delta == 0  # compact preserves rows
     assert h[4].total_files < h[3].total_files
     assert h[4].partition_by == ["day"]
+
+
+def test_snapshot_maintain_policy(spark, tmp_path):
+    """snapshot_maintain: metadata-only detection, scoped compaction of
+    ONLY the fat partitions, tight second pass is a no-op; the
+    unpartitioned fallback uses the whole-table file count."""
+    from dask_awkward_spark.sources.snapshot import snapshot_maintain
+
+    p = str(tmp_path / "tbl")
+    # 6 small ingests into 2 partitions -> every partition goes fat
+    for i in range(6):
+        snapshot_write(
+            _days(spark, i * 10, (i + 1) * 10, n_days=2),
+            p,
+            mode="append",
+            partition_by=["day"] if i == 0 else None,
+        )
+    before = snapshot_read(spark, p).count()
+    out = snapshot_maintain(spark, p, max_files_per_partition=3)
+    assert out["compacted_partitions"] == [("day=0",), ("day=1",)]
+    m = snap._read_manifest(p, out["version"])
+    per = {}
+    for f in m["files"]:
+        per.setdefault(f.split("/")[1], []).append(f)
+    assert all(len(v) <= 3 for v in per.values())
+    assert snapshot_read(spark, p).count() == before
+    out2 = snapshot_maintain(spark, p, max_files_per_partition=3)
+    assert out2["compacted_partitions"] == [] and out2["version"] == out["version"]
+    # unpartitioned fallback: full compact over the file-count budget
+    q = str(tmp_path / "flat")
+    for i in range(5):
+        snapshot_write(spark.range(i * 10, (i + 1) * 10).repartition(2), q, mode="append")
+    outf = snapshot_maintain(spark, q, max_files_per_partition=4)
+    assert outf["compacted_partitions"] == [()]
+    assert snapshot_read(spark, q).count() == 50
+
+
+def test_snapshot_maintain_multicol_and_renamed(spark, tmp_path):
+    """Multi-column specs compact per fat tuple; a RENAMED partition
+    column still groups correctly (dirs carry the physical name)."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_maintain,
+        snapshot_rename_column,
+    )
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 2, "x" if i % 4 < 2 else "y", float(i)) for i in range(40)],
+        "id bigint, a int, b string, v double",
+    )
+    snapshot_write(df.coalesce(1), p, partition_by=["a", "b"])
+    for _ in range(4):
+        snapshot_write(
+            df.filter((F.col("a") == 0) & (F.col("b") == "x"))
+            .limit(5)
+            .coalesce(1),
+            p,
+            mode="append",
+        )
+    snapshot_rename_column(p, "a", "bucket")
+    out = snapshot_maintain(spark, p, max_files_per_partition=4)
+    assert out["compacted_partitions"] == [("a=0", "b=x")]  # physical dirs
+    assert snapshot_read(spark, p).count() == 60
+    assert (
+        snapshot_read(spark, p, where=[("bucket", "=", 0), ("b", "=", "x")]).count()
+        == 30
+    )

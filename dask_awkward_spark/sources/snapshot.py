@@ -2204,6 +2204,30 @@ def snapshot_apply_changes(
         )
     if head <= since:
         return {"until": since, "upserted": 0, "deleted": 0}
+    # the feed surfaces src's UNTIL-version column names; dst must agree
+    # BEFORE the merge, or a rename that crossed the span would fail deep
+    # inside the upsert with a baffling missing-column error. Schema
+    # changes don't replicate automatically (dst may be derived/filtered
+    # and its columns are its own) — tell the user exactly what to do.
+    src_names = set(
+        StructType.fromJson(
+            json.loads(_read_manifest(src, head)["schema_json"])
+        ).fieldNames()
+    )
+    dst_head = _require_versions(dst)[-1]
+    dst_names = set(
+        StructType.fromJson(
+            json.loads(_read_manifest(dst, dst_head)["schema_json"])
+        ).fieldNames()
+    )
+    if src_names - dst_names:
+        raise ValueError(
+            f"src columns {sorted(src_names - dst_names)} are missing from "
+            f"dst (dst-only: {sorted(dst_names - src_names)}): a rename/"
+            "drop/merge_schema commit crossed the replicated span. Apply "
+            "the same schema change to dst first (snapshot_rename_column /"
+            " snapshot_drop_column / a merge_schema append), then retry"
+        )
     feed = snapshot_changes(spark, src, since=since, until=head, row_level=True)
     from pyspark.sql import Window
 

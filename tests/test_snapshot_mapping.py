@@ -302,3 +302,29 @@ def test_concurrent_rename_conflicts_staged_append(spark, tmp_path, monkeypatch)
             p,
             mode="append",
         )
+
+
+def test_apply_changes_across_rename_guides_the_fix(spark, tmp_path):
+    """Replication across a rename: the consumer fails FAST with the
+    exact remedy (apply the same rename to dst), and succeeds once
+    applied — schema changes don't replicate silently."""
+    from dask_awkward_spark.sources.snapshot import snapshot_apply_changes
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, name string")
+    snapshot_write(df, src)
+    snapshot_write(df, dst)  # bootstrapped replica
+    snapshot_rename_column(src, "name", "label")  # v2
+    snapshot_write(
+        spark.createDataFrame([(3, "c")], "k bigint, label string"),
+        src,
+        mode="append",
+    )  # v3
+    with pytest.raises(ValueError, match="snapshot_rename_column"):
+        snapshot_apply_changes(spark, src, dst, on=["k"], since=1)
+    snapshot_rename_column(dst, "name", "label")
+    out = snapshot_apply_changes(spark, src, dst, on=["k"], since=1)
+    assert out["upserted"] == 1 and out["deleted"] == 0
+    got = sorted((r.k, r.label) for r in snapshot_read(spark, dst).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]

@@ -196,11 +196,18 @@ def ivf_maintain(
     out = snapshot_maintain(
         spark, index_path, max_files_per_partition=max_files_per_cell
     )
+    cells = []
+    for t in out["compacted_partitions"]:
+        # defensive parse: a foreign table (non-int partition values,
+        # NULL dirs, or unpartitioned -> empty tuple) must not crash a
+        # maintenance call that already committed
+        try:
+            cells.append(int(t[0].split("=", 1)[1]))
+        except (IndexError, ValueError):
+            continue
     return {
         "version": out["version"],
-        "compacted_cells": sorted(
-            int(t[0].split("=", 1)[1]) for t in out["compacted_partitions"]
-        ),
+        "compacted_cells": sorted(cells),
         "files_before": out["files_before"],
     }
 

@@ -1324,7 +1324,9 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
         # a /tmp staging dir would cross devices and fail the POSIX
         # backend's hard link), then one whole-object publish via the
         # backend (readers see none-or-all; identical logical content
-        # per writer, so concurrent publication is idempotent)
+        # per writer, so concurrent publication is idempotent). A hard
+        # crash mid-write leaves only a .tmp-* file that vacuum's
+        # manifest-dir sweep GCs once stale.
         tmp = os.path.join(
             _manifest_dir(path), f".tmp-ckpt-{uuid.uuid4().hex}.parquet"
         )
@@ -2204,11 +2206,12 @@ def snapshot_apply_changes(
         )
     if head <= since:
         return {"until": since, "upserted": 0, "deleted": 0}
-    # the feed surfaces src's UNTIL-version column names; dst must agree
-    # BEFORE the merge, or a rename that crossed the span would fail deep
-    # inside the upsert with a baffling missing-column error. Schema
-    # changes don't replicate automatically (dst may be derived/filtered
-    # and its columns are its own) — tell the user exactly what to do.
+    # the feed surfaces src's UNTIL-version column names; the upsert
+    # selects dst's columns from it, so every DST column must exist in
+    # the feed — checked BEFORE the merge, or a rename/drop that crossed
+    # the span would fail deep inside the upsert with a baffling
+    # missing-column error. The converse is fine by design: a dst that
+    # PROJECTS src (derived replica) simply ignores feed-only columns.
     src_names = set(
         StructType.fromJson(
             json.loads(_read_manifest(src, head)["schema_json"])
@@ -2220,13 +2223,13 @@ def snapshot_apply_changes(
             json.loads(_read_manifest(dst, dst_head)["schema_json"])
         ).fieldNames()
     )
-    if src_names - dst_names:
+    if dst_names - src_names:
         raise ValueError(
-            f"src columns {sorted(src_names - dst_names)} are missing from "
-            f"dst (dst-only: {sorted(dst_names - src_names)}): a rename/"
-            "drop/merge_schema commit crossed the replicated span. Apply "
-            "the same schema change to dst first (snapshot_rename_column /"
-            " snapshot_drop_column / a merge_schema append), then retry"
+            f"dst columns {sorted(dst_names - src_names)} are missing from "
+            f"src's replicated feed (src head columns: {sorted(src_names)})"
+            ": a rename/drop crossed the span. Apply the same schema "
+            "change to dst first (snapshot_rename_column / "
+            "snapshot_drop_column), then retry"
         )
     feed = snapshot_changes(spark, src, since=since, until=head, row_level=True)
     from pyspark.sql import Window
@@ -2349,12 +2352,14 @@ def snapshot_maintain(
             return {
                 "version": head_v,
                 "compacted_partitions": [],
+                "skipped_partitions": [],
                 "files_before": len(files),
             }
         v = snapshot_compact(spark, path, target_file_bytes=target_file_bytes)
         return {
             "version": v,
             "compacted_partitions": [()],
+            "skipped_partitions": [],
             "files_before": len(files),
         }
     # group data files by their partition-value tuple (hive dir names,
@@ -2380,34 +2385,45 @@ def snapshot_maintain(
         return {
             "version": head_v,
             "compacted_partitions": [],
+            "skipped_partitions": [],
             "files_before": len(files),
         }
 
     def val(col_logical: str, seg: str):
         return _parse_part_value(seg, types.get(col_logical, ""))
 
+    # the scope vocabulary (ANDed =/in triples) cannot name a NULL or
+    # unparseable partition value — report those as SKIPPED, never as
+    # compacted (a false report would hide a partition that stays fat
+    # forever); a full compact or an explicit overwrite owns them
+    nameable = [
+        t for t in fat
+        if all(val(c, seg) is not None for c, seg in zip(pb, t))
+    ]
+    skipped = [t for t in fat if t not in nameable]
+    if not nameable:
+        return {
+            "version": head_v,
+            "compacted_partitions": [],
+            "skipped_partitions": skipped,
+            "files_before": len(files),
+        }
     if len(pb) == 1:
-        scope = [
-            (pb[0], "in", [val(pb[0], t[0]) for t in fat if val(pb[0], t[0]) is not None])
-        ]
+        scope = [(pb[0], "in", [val(pb[0], t[0]) for t in nameable])]
         v = snapshot_compact(
             spark, path, where=scope, target_file_bytes=target_file_bytes
         )
     else:
         v = head_v
-        for t in fat:  # one scoped commit per fat partition tuple
-            scope = [
-                (c, "=", val(c, seg)) for c, seg in zip(pb, t)
-                if val(c, seg) is not None
-            ]
-            if len(scope) != len(pb):
-                continue  # NULL-partition tuple: scope vocabulary can't name it
+        for t in nameable:  # one scoped commit per fat partition tuple
+            scope = [(c, "=", val(c, seg)) for c, seg in zip(pb, t)]
             v = snapshot_compact(
                 spark, path, where=scope, target_file_bytes=target_file_bytes
             )
     return {
         "version": v,
-        "compacted_partitions": fat,
+        "compacted_partitions": nameable,
+        "skipped_partitions": skipped,
         "files_before": len(files),
     }
 

@@ -328,3 +328,43 @@ def test_apply_changes_across_rename_guides_the_fix(spark, tmp_path):
     assert out["upserted"] == 1 and out["deleted"] == 0
     got = sorted((r.k, r.label) for r in snapshot_read(spark, dst).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_apply_changes_into_projected_replica(spark, tmp_path):
+    """A derived dst that PROJECTS src (fewer columns) replicates fine —
+    the guard only requires dst's own columns in the feed (round-7
+    second-review finding); a src-side DROP of a column dst still
+    carries raises the guided error."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_apply_changes,
+        snapshot_drop_column,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, name string, extra double"
+    )
+    snapshot_write(df, src)
+    snapshot_write(df.select("k", "name"), dst)  # projection replica
+    snapshot_write(
+        spark.createDataFrame([(3, "c", 3.0)], "k bigint, name string, extra double"),
+        src,
+        mode="append",
+    )
+    out = snapshot_apply_changes(spark, src, dst, on=["k"], since=1)
+    assert out["upserted"] == 1
+    assert sorted((r.k, r.name) for r in snapshot_read(spark, dst).collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # src drops a column dst still carries: guided error, not a deep one
+    snapshot_drop_column(src, "extra")
+    full = str(tmp_path / "full")
+    snapshot_write(df, full)  # replica that still has `extra`
+    snapshot_write(
+        spark.createDataFrame([(9, "z")], "k bigint, name string"),
+        src,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="snapshot_drop_column"):
+        snapshot_apply_changes(spark, src, full, on=["k"], since=1)

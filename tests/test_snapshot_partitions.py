@@ -635,3 +635,45 @@ def test_snapshot_maintain_multicol_and_renamed(spark, tmp_path):
         snapshot_read(spark, p, where=[("bucket", "=", 0), ("b", "=", "x")]).count()
         == 30
     )
+
+
+def test_snapshot_maintain_null_partition_is_reported_not_faked(spark, tmp_path):
+    """A fat NULL partition can't be named by the scope vocabulary: it
+    must come back in skipped_partitions, NEVER in compacted_partitions
+    (a false report would hide a partition that stays fat forever)."""
+    from dask_awkward_spark.sources.snapshot import snapshot_maintain
+
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "x", float(i)) for i in range(20)],
+        "id bigint, part string, v double",
+    )
+    snapshot_write(df.coalesce(1), p, partition_by=["part"])
+    for _ in range(4):  # fatten ONLY the NULL partition
+        snapshot_write(
+            df.filter(F.col("part").isNull()).limit(3).coalesce(1),
+            p,
+            mode="append",
+        )
+    out = snapshot_maintain(spark, p, max_files_per_partition=3)
+    assert out["compacted_partitions"] == []
+    assert out["skipped_partitions"] == [("part=__HIVE_DEFAULT_PARTITION__",)]
+    assert snapshot_read(spark, p).count() == 32
+
+
+def test_crashed_ckpt_tmp_is_vacuumed(spark, tmp_path):
+    """A hard crash mid-checkpoint-write leaves .tmp-ckpt-* in the
+    manifest dir; vacuum's manifest-dir sweep GCs it once stale."""
+    import time as _time
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10), p)
+    md = snap._manifest_dir(p)
+    orphan = os.path.join(md, ".tmp-ckpt-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"torn")
+    old = _time.time() - 10
+    os.utime(orphan, (old, old))
+    snapshot_vacuum(p, keep_last=1, retain_seconds=1)
+    assert not os.path.exists(orphan)
+    assert snapshot_read(spark, p).count() == 10

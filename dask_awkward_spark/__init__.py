@@ -73,6 +73,9 @@ from .sources.snapshot import (
     snapshot_rename_column,
     snapshot_restore,
     snapshot_scan_report,
+    snapshot_tag,
+    snapshot_tags,
+    snapshot_delete_tag,
     snapshot_update,
     snapshot_vacuum,
     snapshot_version_at,

@@ -1507,10 +1507,82 @@ def snapshot_version_at(path: str, when) -> int:
     return best
 
 
-def _resolve_version(path: str, version: "int | None", as_of) -> int:
-    """Shared version/as_of resolution for every read face."""
-    if as_of is not None and version is not None:
-        raise ValueError("pass version= or as_of=, not both")
+# ---- tags: named, vacuum-retained version pins (Iceberg tags) --------
+
+def _tag_file(path: str, name: str) -> str:
+    return os.path.join(_manifest_dir(path), f"tag-{name}.json")
+
+
+def _check_tag_name(name: str) -> None:
+    if not name or not all(c.isalnum() or c in "-_." for c in name):
+        raise ValueError(
+            f"tag name {name!r} must be non-empty [A-Za-z0-9._-] (it "
+            "becomes an object name)"
+        )
+
+
+def snapshot_tag(
+    path: str, name: str, version: "int | None" = None
+) -> int:
+    """Pin ``version`` (default: the current head) under a NAME — the
+    reproducibility primitive: a training run tags the exact table
+    state it read (``snapshot_tag(p, "run-2026-08-15")``) and
+    :func:`snapshot_vacuum` RETAINS every tagged version (and the log
+    behind it) until the tag is dropped, however old it gets. Read one
+    back with ``snapshot_read(tag=)`` / ``snapshot_view(tag=)``.
+
+    Tags are immutable and created atomically through the commit
+    backend (two racing taggers of one name: exactly one wins) —
+    re-pinning requires an explicit :func:`snapshot_delete_tag` first,
+    so a pinned run can never be silently moved. Returns the pinned
+    version. Iceberg's tag semantics; Delta expresses the same need as
+    "don't vacuum past my checkpointed reader".
+
+    Reference: no counterpart (no storage layer)."""
+    _check_tag_name(name)
+    versions = _require_versions(path)
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    payload = json.dumps(
+        {"name": name, "version": v, "created_at": time.time()}, indent=1
+    ).encode()
+    if not _COMMIT_BACKEND.put_if_absent(_tag_file(path, name), payload):
+        raise ValueError(
+            f"tag {name!r} already exists (pinned to "
+            f"v{snapshot_tags(path)[name]}); snapshot_delete_tag first"
+        )
+    return v
+
+
+def snapshot_delete_tag(path: str, name: str) -> None:
+    """Drop a tag — its version becomes vacuum-eligible again (subject
+    to the normal retention rules). Missing tags are not an error."""
+    _check_tag_name(name)
+    _fs().delete(_tag_file(path, name))
+
+
+def snapshot_tags(path: str) -> "dict[str, int]":
+    """All tags as {name: version} (empty when none)."""
+    out = {}
+    for fname in _fs().list_dir(_manifest_dir(path)):
+        if fname.startswith("tag-") and fname.endswith(".json"):
+            t = json.loads(_fs().read_bytes(os.path.join(_manifest_dir(path), fname)))
+            out[t["name"]] = t["version"]
+    return out
+
+
+def _resolve_version(
+    path: str, version: "int | None", as_of, tag: "str | None" = None
+) -> int:
+    """Shared version/as_of/tag resolution for every read face."""
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass at most one of version=, as_of=, tag=")
+    if tag is not None:
+        tags = snapshot_tags(path)
+        if tag not in tags:
+            raise ValueError(f"tag {tag!r} not in {sorted(tags)}")
+        version = tags[tag]
     if as_of is not None:
         version = snapshot_version_at(path, as_of)
     versions = _require_versions(path)
@@ -1526,6 +1598,7 @@ def snapshot_read(
     version: "int | None" = None,
     where: "list[tuple] | None" = None,
     as_of: "float | None" = None,
+    tag: "str | None" = None,
 ) -> DataFrame:
     """Read one version (latest by default) — scans ONLY that manifest's
     files, so concurrent writes/compactions never tear a read. The
@@ -1542,8 +1615,9 @@ def snapshot_read(
     pruning is purely an optimization, never a semantic change.
 
     ``as_of=`` (Unix timestamp or datetime) time-travels by wall clock
-    instead of version number — "what did training read last Tuesday"."""
-    v = _resolve_version(path, version, as_of)
+    instead of version number — "what did training read last Tuesday";
+    ``tag=`` reads a named pin (:func:`snapshot_tag`)."""
+    v = _resolve_version(path, version, as_of, tag)
     m = _read_manifest(path, v)
     # (the pinned read schema is derived inside _visible_df, not here)
     rels = m["files"]
@@ -1574,6 +1648,7 @@ def snapshot_view(
     version: "int | None" = None,
     as_of: "float | None" = None,
     where: "list[tuple] | None" = None,
+    tag: "str | None" = None,
 ) -> DataFrame:
     """SQL face: register temp view ``name`` over ONE pinned version of
     the snapshot table, so ``spark.sql(f"SELECT ... FROM {name}")`` —
@@ -1605,7 +1680,9 @@ def snapshot_view(
     Spark-native analog is Delta's ``CREATE VIEW v AS SELECT ... FROM
     t VERSION AS OF 3``.
     """
-    df = snapshot_read(spark, path, version=version, where=where, as_of=as_of)
+    df = snapshot_read(
+        spark, path, version=version, where=where, as_of=as_of, tag=tag
+    )
     df.createOrReplaceTempView(name)
     return df
 
@@ -4138,8 +4215,12 @@ def snapshot_vacuum(
     # their deref time stays on disk (log trimming lags file retention
     # by design — same rule as Delta's log retention). Files in NO
     # manifest (crashed staging) fall back to creation mtime.
+    tagged = set(snapshot_tags(path).values())
     drop = []
     for v in versions[:-keep_last]:
+        if v in tagged:
+            break  # a TAG pins this version (and the log above it):
+            # reproducibility beats retention until the tag is dropped
         nxt = manifests.get(v + 1, {})
         if nxt.get("committed_at", 0.0) >= cutoff:
             break  # keep the log contiguous: stop at the first in-grace

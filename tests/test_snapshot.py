@@ -2436,3 +2436,77 @@ def test_case_variant_readd_gets_fresh_physical(spark, tmp_path):
     assert cm["physical"]["EXTRA"].lower() != "extra"  # never the retired name
     rows = {r.k: r.EXTRA for r in snapshot_read(spark, p).collect()}
     assert rows[1] is None and rows[2] == "fresh"  # old doubles stay buried
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, tmp_path):
+    """snapshot_tag: named pins readable via tag=, immutable under a
+    racing re-tag, and vacuum RETAINS the tagged version (and the log
+    above it) until the tag is dropped."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete_tag,
+        snapshot_tag,
+        snapshot_tags,
+        snapshot_view,
+        snapshot_vacuum,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), p)  # v1
+    assert snapshot_tag(p, "run-a") == 1  # defaults to head
+    snapshot_write(spark.range(9), p)  # v2 overwrite
+    snapshot_write(spark.range(3), p)  # v3 overwrite
+    assert snapshot_tags(p) == {"run-a": 1}
+    assert snapshot_read(spark, p, tag="run-a").count() == 5
+    # SQL face composes
+    name = f"dak_tag_{os.getpid()}"
+    snapshot_view(spark, p, name, tag="run-a")
+    assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 5
+    spark.catalog.dropTempView(name)
+    # immutable: re-tagging the name refuses with the pinned version
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_tag(p, "run-a", version=3)
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_read(spark, p, tag="ghost")
+    with pytest.raises(ValueError, match="at most one"):
+        snapshot_read(spark, p, tag="run-a", version=1)
+    # vacuum with zero retention would normally drop v1/v2 — the tag
+    # holds them (log contiguity from the oldest tagged version)
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert stats["removed_manifests"] == 0
+    assert snapshot_read(spark, p, tag="run-a").count() == 5
+    # drop the tag: the next vacuum reclaims
+    snapshot_delete_tag(p, "run-a")
+    assert snapshot_tags(p) == {}
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert stats["removed_manifests"] == 2
+    with pytest.raises(ValueError):
+        snapshot_read(spark, p, version=1)
+    assert snapshot_read(spark, p).count() == 3
+    # tag names become object names: validate
+    with pytest.raises(ValueError, match="tag name"):
+        snapshot_tag(p, "bad/name")
+
+
+def test_tag_creation_is_atomic_under_race(tmp_path, spark):
+    import threading
+
+    from dask_awkward_spark.sources.snapshot import snapshot_tag
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3), p)
+    snapshot_write(spark.range(4), p)
+    wins, errs = [], []
+    barrier = threading.Barrier(6)
+
+    def claim(v):
+        barrier.wait()
+        try:
+            snapshot_tag(p, "pin", version=v)
+            wins.append(v)
+        except ValueError:
+            errs.append(v)
+
+    ts = [threading.Thread(target=claim, args=(1 + (k % 2),)) for k in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1 and len(errs) == 5

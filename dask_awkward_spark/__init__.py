@@ -62,6 +62,7 @@ from .sources.snapshot import (
     from_snapshot,
     snapshot_changes,
     snapshot_compact,
+    snapshot_convert,
     snapshot_count,
     snapshot_delete,
     snapshot_drop_column,

@@ -1507,6 +1507,115 @@ def snapshot_version_at(path: str, when) -> int:
     return best
 
 
+def snapshot_convert(spark: SparkSession, path: str) -> int:
+    """Adopt an EXISTING parquet directory as snapshot-table version 1
+    — in place, zero bytes copied (Delta's CONVERT TO DELTA): the v1
+    manifest references every ``*.parquet`` file where it already sits,
+    with footer min/max stats harvested for file skipping. From then on
+    the full surface applies — atomic commits, time travel, DML, tags,
+    change feeds — and new files land under ``data/`` beside the
+    adopted ones. At 100 TB this is the difference between adopting a
+    lake and rewriting one.
+
+    Schemas may differ across files within the LOSSLESS widening
+    lattice (the merged wide schema pins every read, like
+    merge_schema). Refused, with the remedy named: a directory that is
+    already a snapshot table; duplicate file basenames (deletion
+    vectors address rows by basename); a hive-partitioned layout whose
+    partition column lives ONLY in directory names (Spark's
+    ``partitionBy`` strips it from the files — this engine requires
+    self-contained files; rewrite once via ``snapshot_write(...,
+    partition_by=...)``). Hive dirs whose column IS inside the files
+    adopt fine (the layout is then just directories; footer stats
+    carry the pruning).
+
+    Reference: no counterpart; Spark-native analog is
+    ``CONVERT TO DELTA parquet.`path```."""
+    if _versions(path):
+        raise ValueError(
+            f"{path} is already a snapshot table (v{_versions(path)[-1]} "
+            "is its head)"
+        )
+    rels = []
+    for rel, _full in _fs().walk_files(path):
+        top = rel.split("/", 1)[0]
+        if top == _MANIFESTS or top.startswith("."):
+            continue
+        if rel.rsplit("/", 1)[-1].startswith((".", "_")):
+            continue  # _SUCCESS, hidden temps
+        if rel.endswith(".parquet"):
+            rels.append(rel)
+    if not rels:
+        raise ValueError(f"no parquet files under {path} to convert")
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.parquet as pq
+
+    schema = None
+    for rel in rels:
+        fs = from_arrow_schema(pq.read_schema(os.path.join(path, rel)))
+        schema = fs if schema is None else _merge_schemas(schema, fs)
+    names = set(schema.fieldNames())
+    bad = [
+        c for c in names
+        if c.lower() in ("_metadata", "_change_type", "_commit_version")
+        or c.lower().startswith("__dak")
+    ]
+    if bad:
+        raise ValueError(f"column names {bad} are reserved")
+    # hive dirs: fine when the column is ALSO inside the files; refuse
+    # when it only exists as a directory name (reads would null-fill)
+    for rel in rels:
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                col = seg.split("=", 1)[0]
+                if col not in names:
+                    raise ValueError(
+                        f"hive partition column {col!r} (dir {seg!r} in "
+                        f"{rel}) is not stored inside the files — this "
+                        "engine requires self-contained files; rewrite "
+                        "once via snapshot_write(partition_by=[...])"
+                    )
+    base_seen: "dict[str, str]" = {}
+    for rel in rels:
+        b = rel.rsplit("/", 1)[-1]
+        if b in base_seen:
+            raise ValueError(
+                f"duplicate file basename {b!r} ({base_seen[b]} vs {rel}): "
+                "deletion vectors address rows by basename — rewrite via "
+                "snapshot_write instead"
+            )
+        base_seen[b] = rel
+    stats = {}
+    for rel in rels:
+        try:
+            stats[rel] = _file_stats(os.path.join(path, rel))
+        except Exception:
+            continue  # stats are an optimization; never fail the convert
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "op": "convert",
+        "files": sorted(rels),
+        "stats": stats,
+        "schema_ddl": schema.simpleString(),
+        "schema_json": schema.json(),
+        "stream_batch_id": None,
+        "partition_by": None,
+        "bloom_ndv": None,
+        "column_mapping": None,
+        "deletes": None,
+        "constraints": None,
+        "committed_at": time.time(),
+    }
+    if not _commit_manifest(path, 1, manifest, None):
+        raise SnapshotConflictError(
+            f"a concurrent writer created {path} as a snapshot table "
+            "while this convert scanned it"
+        )
+    return 1
+
+
 # ---- tags: named, vacuum-retained version pins (Iceberg tags) --------
 
 def _tag_file(path: str, name: str) -> str:
@@ -4263,9 +4372,14 @@ def snapshot_vacuum(
             _fs().delete(_ckpt_file(path, v))
     removed_files = 0
     data_dir = os.path.join(path, _DATA)
-    for rel_data, full in _fs().walk_files(data_dir):
-        name = rel_data.rsplit("/", 1)[-1]
-        rel = f"{_DATA}/{rel_data}"
+    # walk the whole table root (not just data/): a CONVERTED table's
+    # adopted files live at arbitrary relpaths, and once dereferenced by
+    # DML/compact they must be reclaimable like any other data file
+    for rel, full in _fs().walk_files(path):
+        top = rel.split("/", 1)[0]
+        if top == _MANIFESTS or top.startswith("."):
+            continue
+        name = rel.rsplit("/", 1)[-1]
         if name.endswith(".parquet") and rel not in referenced:
             if rel in last_in:
                 deref = manifests.get(last_in[rel] + 1, {}).get(
@@ -4280,8 +4394,15 @@ def snapshot_vacuum(
                 removed_files += 1
     if not dry_run:
         # hive partition dirs emptied by the GC disappear with it
-        # (no-op on object stores — empty prefixes don't exist)
+        # (no-op on object stores — empty prefixes don't exist); also
+        # sweep emptied converted-layout dirs — but NEVER descend into
+        # dot-prefixed trees (an in-flight .staging-* belongs to a live
+        # concurrent writer) or the manifest log
         _fs().prune_empty_dirs(data_dir)
+        for nm in _fs().list_dir(path):
+            if nm.startswith(".") or nm in (_MANIFESTS, _DATA):
+                continue
+            _fs().prune_empty_dirs(os.path.join(path, nm))
     for name in _fs().list_dir(path):
         full = os.path.join(path, name)
         if name.startswith(".staging-") and stale(full) and not dry_run:

@@ -2510,3 +2510,117 @@ def test_tag_creation_is_atomic_under_race(tmp_path, spark):
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert len(wins) == 1 and len(errs) == 5
+
+
+def test_convert_adopts_parquet_dir_in_place(spark, tmp_path):
+    """snapshot_convert: an existing parquet directory becomes v1
+    without copying a byte; the full surface (time travel, pruning,
+    DML, vacuum of dereferenced adopted files) applies from then on."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_convert,
+        snapshot_delete,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    p = str(tmp_path / "lake")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartitionByRange(4, "id").write.parquet(p)
+    before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(p)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert snapshot_convert(spark, p) == 1
+    m = snapshot_versions(p)[-1]
+    assert m["op"] == "convert" and len(m["files"]) == len(before)
+    # zero bytes copied: the adopted files are EXACTLY the old ones
+    after = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(p)
+        for f in fs
+        if f.endswith(".parquet") and "_manifests" not in r
+    )
+    assert after == before
+    assert snapshot_read(spark, p).count() == 100
+    # footer stats were harvested: range predicates prune adopted files
+    from dask_awkward_spark.sources.snapshot import snapshot_scan_report
+
+    rep = snapshot_scan_report(p, [("id", "<", 10)])
+    assert rep["skipped"] > 0
+    # DML works; a partial-file delete REWRITES into data/ beside the
+    # adopted files (an in-list can never whole-file all-match here)
+    snapshot_delete(spark, p, [("id", "in", list(range(50, 75)))])
+    assert snapshot_read(spark, p).count() == 75
+    assert snapshot_read(spark, p, version=1).count() == 100  # time travel
+    m2 = snapshot_versions(p)[-1]
+    assert any(f.startswith("data/") for f in m2["files"])
+    # vacuum reclaims DEREFERENCED adopted files (outside data/)
+    stats = snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    assert stats["removed_files"] > 0
+    assert snapshot_read(spark, p).count() == 75
+    # the adopted file the delete rewrote is physically gone
+    left = [
+        f
+        for r, _d, fs in os.walk(p)
+        for f in fs
+        if f.endswith(".parquet") and "_manifests" not in r and "data" not in r.split(os.sep)
+    ]
+    assert len(left) < len(before)
+
+
+def test_convert_refusals(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_convert
+
+    # hive layout whose partition column lives only in dir names
+    p = str(tmp_path / "hive")
+    spark.range(20).withColumn("part", (F.col("id") % 2).cast("int")).write.partitionBy(
+        "part"
+    ).parquet(p)
+    with pytest.raises(ValueError, match="not stored inside"):
+        snapshot_convert(spark, p)
+    # already a snapshot table
+    q = str(tmp_path / "tbl")
+    snapshot_write(spark.range(5), q)
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        snapshot_convert(spark, q)
+    # empty dir
+    e = str(tmp_path / "empty")
+    os.makedirs(e)
+    with pytest.raises(ValueError, match="no parquet files"):
+        snapshot_convert(spark, e)
+
+
+def test_convert_widening_and_duplicate_basenames(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_convert
+
+    # mixed-width generations adopt under the merged wide schema
+    p = str(tmp_path / "mixed")
+    spark.range(5).select(F.col("id").cast("int").alias("k")).coalesce(1).write.parquet(
+        os.path.join(p, "gen1")
+    )
+    spark.range(5, 9).select(F.col("id").cast("bigint").alias("k")).coalesce(
+        1
+    ).write.parquet(os.path.join(p, "gen2"))
+    snapshot_convert(spark, p)
+    got = snapshot_read(spark, p)
+    assert got.schema.simpleString() == "struct<k:bigint>"
+    assert sorted(r.k for r in got.collect()) == list(range(9))
+    # duplicate basenames refuse (deletion vectors address by basename)
+    q = str(tmp_path / "dup")
+    os.makedirs(os.path.join(q, "a"))
+    os.makedirs(os.path.join(q, "b"))
+    import shutil as _sh
+
+    src = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(p)
+        for f in fs
+        if f.endswith(".parquet")
+    ][0]
+    _sh.copyfile(src, os.path.join(q, "a", "part-0.parquet"))
+    _sh.copyfile(src, os.path.join(q, "b", "part-0.parquet"))
+    with pytest.raises(ValueError, match="duplicate file basename"):
+        snapshot_convert(spark, q)

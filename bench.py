@@ -78,6 +78,8 @@ HEADLINE = [
     "io_snapshot_rename",
     # conditional-MERGE lifecycle (two ordered clauses, first-match-wins)
     "io_snapshot_cmerge",
+    # in-place CONVERT + tag pin held through a zero-retention vacuum
+    "io_snapshot_convert",
 ]
 
 

@@ -1015,6 +1015,73 @@ GROUP BY c_mktsegment
 """
 
 
+def io_snapshot_convert(spark, sf_dir):
+    """CONVERT + TAG lifecycle under an oracle: a plain parquet
+    directory (written by Spark, no manifest) is adopted IN PLACE as v1
+    — asserted zero-copy in-query (the adopted file set is byte-
+    identical) — tagged, then buried under a decoy overwrite and a
+    zero-retention vacuum. The tag must hold v1 through the vacuum
+    (reproducibility pin), and reading it back through the SQL-face
+    view must equal plain SQL over the source rows."""
+    import shutil
+
+    from ..sources import snapshot as snap
+    from ..sources.snapshot import (
+        snapshot_convert,
+        snapshot_tag,
+        snapshot_vacuum,
+        snapshot_view,
+        snapshot_write,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapconv_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    view = f"dak_conv_{os.getpid()}"
+    try:
+        li.filter(F.col("l_orderkey") < 2000).repartitionByRange(
+            4, "l_orderkey"
+        ).write.parquet(path)
+        pre = {
+            rel for rel, _ in snap._fs().walk_files(path) if rel.endswith(".parquet")
+        }
+        snapshot_convert(spark, path)
+        m1 = snap._read_manifest(path, 1)
+        assert set(m1["files"]) == pre and m1["op"] == "convert", (
+            "convert must adopt the existing files in place, zero-copy"
+        )
+        snapshot_tag(path, "pin")  # reproducibility pin at v1
+        snapshot_write(  # decoy head: the pin must not follow it
+            li.filter(F.col("l_orderkey") >= 2000).limit(50), path
+        )
+        snapshot_vacuum(path, keep_last=1, retain_seconds=0)
+        assert 1 in snap._versions(path), (
+            "the tag must hold v1 through a zero-retention vacuum"
+        )
+        snapshot_view(spark, path, view, tag="pin")
+        return spark.sql(
+            f"""
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(l_quantity) AS DOUBLE) AS qty
+            FROM {view}
+            GROUP BY l_returnflag
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view) if spark.catalog.tableExists(view) else None
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_CONVERT_SQL = """
+SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS qty
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "io_snapshot_roundtrip": io_snapshot_roundtrip,
     "op_argcartesian": op_argcartesian,
@@ -1040,6 +1107,7 @@ QUERIES = {
     "q_sql_snapshot": q_sql_snapshot,
     "io_snapshot_rename": io_snapshot_rename,
     "io_snapshot_cmerge": io_snapshot_cmerge,
+    "io_snapshot_convert": io_snapshot_convert,
 }
 
 ORACLES = {
@@ -1067,6 +1135,7 @@ ORACLES = {
     "q_sql_snapshot": Q_SQL_SNAPSHOT_SQL,
     "io_snapshot_rename": IO_SNAPSHOT_RENAME_SQL,
     "io_snapshot_cmerge": IO_SNAPSHOT_CMERGE_SQL,
+    "io_snapshot_convert": IO_SNAPSHOT_CONVERT_SQL,
 }
 
 

@@ -493,7 +493,7 @@ def _decode_stat(v):
     return v
 
 
-def _file_stats(local_path: str) -> dict:
+def _file_stats(local_path: str, md=None) -> dict:
     """Footer stats for one parquet file: row count plus per-top-level-
     column [min, max] aggregated across row groups. A column appears
     only if EVERY row group has trustworthy min/max (parquet writers
@@ -505,7 +505,8 @@ def _file_stats(local_path: str) -> dict:
     min/max exclude nulls and a NULL row never matches a predicate."""
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(local_path)
+    if md is None:
+        md = pq.read_metadata(local_path)
     minmax: "dict[str, list]" = {}
     nulls: "dict[str, int]" = {}
     complete: "dict[str, int]" = {}
@@ -864,6 +865,25 @@ def _where_phys(m: dict, where):
     return [(pmap.get(c, c), op, v) for c, op, v in where]
 
 
+def _check_reserved_names(columns) -> None:
+    """Shared by every table-creating entry point (write, convert):
+    reserved names break internal machinery downstream."""
+    bad = [
+        c
+        for c in columns
+        if c.lower() in ("_metadata", "_change_type", "_commit_version")
+        or c.lower().startswith("__dak")
+    ]
+    if bad:
+        raise ValueError(
+            f"column names {bad} are reserved: a user '_metadata' column "
+            "shadows Spark's file-metadata struct (silently or loudly "
+            "breaking merge-on-read deletes), '_change_type' is the CDF "
+            "feed column, and __dak* are the internal row-position and "
+            "partition-staging tags"
+        )
+
+
 def snapshot_write(
     data,
     path: str,
@@ -915,20 +935,7 @@ def snapshot_write(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
-    bad = [
-        c
-        for c in df.columns
-        if c.lower() in ("_metadata", "_change_type", "_commit_version")
-        or c.lower().startswith("__dak")
-    ]
-    if bad:
-        raise ValueError(
-            f"column names {bad} are reserved: a user '_metadata' column "
-            "shadows Spark's file-metadata struct (silently or loudly "
-            "breaking merge-on-read deletes), '_change_type' is the CDF "
-            "feed column, and __dak* are the internal row-position and "
-            "partition-staging tags"
-        )
+    _check_reserved_names(df.columns)
     _fs().ensure_dir(path)
     # the effective partition spec: an explicit argument wins ([…] to
     # lay out, [] to stop); otherwise the table's recorded spec carries
@@ -1551,25 +1558,26 @@ def snapshot_convert(spark: SparkSession, path: str) -> int:
 
     import pyarrow.parquet as pq
 
-    schema = None
+    # ONE footer open per file: schema merge AND stats come from the
+    # same pq.ParquetFile — at adopt-the-lake scale the footer pass is
+    # the dominant driver cost, so never read it twice
+    schema, metas = None, {}
     for rel in rels:
-        fs = from_arrow_schema(pq.read_schema(os.path.join(path, rel)))
+        pf = pq.ParquetFile(os.path.join(path, rel))
+        metas[rel] = pf.metadata
+        fs = from_arrow_schema(pf.schema_arrow)
         schema = fs if schema is None else _merge_schemas(schema, fs)
     names = set(schema.fieldNames())
-    bad = [
-        c for c in names
-        if c.lower() in ("_metadata", "_change_type", "_commit_version")
-        or c.lower().startswith("__dak")
-    ]
-    if bad:
-        raise ValueError(f"column names {bad} are reserved")
-    # hive dirs: fine when the column is ALSO inside the files; refuse
-    # when it only exists as a directory name (reads would null-fill)
+    _check_reserved_names(names)
+    # hive dirs: fine when the column is ALSO inside the files (matched
+    # case-insensitively, like every read path); refuse when it only
+    # exists as a directory name (reads would null-fill)
+    lower_names = {n.lower() for n in names}
     for rel in rels:
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
                 col = seg.split("=", 1)[0]
-                if col not in names:
+                if col.lower() not in lower_names:
                     raise ValueError(
                         f"hive partition column {col!r} (dir {seg!r} in "
                         f"{rel}) is not stored inside the files — this "
@@ -1589,7 +1597,7 @@ def snapshot_convert(spark: SparkSession, path: str) -> int:
     stats = {}
     for rel in rels:
         try:
-            stats[rel] = _file_stats(os.path.join(path, rel))
+            stats[rel] = _file_stats(os.path.join(path, rel), md=metas[rel])
         except Exception:
             continue  # stats are an optimization; never fail the convert
     manifest = {
@@ -1659,7 +1667,16 @@ def snapshot_tag(
     if not _COMMIT_BACKEND.put_if_absent(_tag_file(path, name), payload):
         raise ValueError(
             f"tag {name!r} already exists (pinned to "
-            f"v{snapshot_tags(path)[name]}); snapshot_delete_tag first"
+            f"v{snapshot_tags(path).get(name, '?')}); snapshot_delete_tag first"
+        )
+    if v not in _versions(path):
+        # a concurrent vacuum planned before this tag existed and won
+        # the race: the pinned version is gone — self-delete the
+        # dangling tag and tell the caller to re-pin the current head
+        _fs().delete(_tag_file(path, name))
+        raise ValueError(
+            f"version {v} was vacuumed away while tagging; re-read the "
+            "head and retry (tag before vacuuming, or raise retention)"
         )
     return v
 
@@ -1676,7 +1693,12 @@ def snapshot_tags(path: str) -> "dict[str, int]":
     out = {}
     for fname in _fs().list_dir(_manifest_dir(path)):
         if fname.startswith("tag-") and fname.endswith(".json"):
-            t = json.loads(_fs().read_bytes(os.path.join(_manifest_dir(path), fname)))
+            try:
+                t = json.loads(
+                    _fs().read_bytes(os.path.join(_manifest_dir(path), fname))
+                )
+            except FileNotFoundError:
+                continue  # deleted between list and read: expected state
             out[t["name"]] = t["version"]
     return out
 
@@ -4311,7 +4333,10 @@ def snapshot_vacuum(
         except FileNotFoundError:
             return False
 
-    versions = _versions(path)
+    # a path with NO manifest log is not a snapshot table: the GC walk
+    # would see every parquet file as "unreferenced" and delete a plain
+    # directory (or a typo'd sibling dataset) wholesale — refuse loudly
+    versions = _require_versions(path)
     manifests = {v: _read_manifest(path, v) for v in versions}
     # retention clock per data file: the moment it was DEREFERENCED —
     # the commit time of the first version that no longer lists it —
@@ -4324,16 +4349,28 @@ def snapshot_vacuum(
     # their deref time stays on disk (log trimming lags file retention
     # by design — same rule as Delta's log retention). Files in NO
     # manifest (crashed staging) fall back to creation mtime.
-    tagged = set(snapshot_tags(path).values())
-    drop = []
-    for v in versions[:-keep_last]:
-        if v in tagged:
-            break  # a TAG pins this version (and the log above it):
-            # reproducibility beats retention until the tag is dropped
-        nxt = manifests.get(v + 1, {})
-        if nxt.get("committed_at", 0.0) >= cutoff:
-            break  # keep the log contiguous: stop at the first in-grace
-        drop.append(v)
+    def _plan_drop() -> "list[int]":
+        tagged = set(snapshot_tags(path).values())
+        out = []
+        for v in versions[:-keep_last]:
+            if v in tagged:
+                break  # a TAG pins this version (and the log above it):
+                # reproducibility beats retention until the tag drops
+            nxt = manifests.get(v + 1, {})
+            if nxt.get("committed_at", 0.0) >= cutoff:
+                break  # keep the log contiguous: stop at first in-grace
+            out.append(v)
+        return out
+
+    drop = _plan_drop()
+    if drop and not dry_run:
+        # re-plan against the tag set as close to the destructive phase
+        # as possible: a tag committed while this vacuum planned must
+        # hold (snapshot_tag ALSO re-validates its version after the
+        # atomic create and self-deletes if a racing vacuum won — the
+        # two checks squeeze the TOCTOU window to adjacent syscalls,
+        # the same caveat the retention rule itself carries)
+        drop = _plan_drop()
     def _all_refs(man: dict) -> "list[str]":
         return (
             list(man["files"])

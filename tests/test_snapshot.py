@@ -2624,3 +2624,43 @@ def test_convert_widening_and_duplicate_basenames(spark, tmp_path):
     _sh.copyfile(src, os.path.join(q, "b", "part-0.parquet"))
     with pytest.raises(ValueError, match="duplicate file basename"):
         snapshot_convert(spark, q)
+
+
+def test_vacuum_refuses_non_table_directory(spark, tmp_path):
+    """Vacuum on a plain parquet directory (no manifest log) must raise,
+    never GC the user's files as 'unreferenced' (round-7 third-review
+    finding: the whole-root walk made this a mass-delete)."""
+    p = str(tmp_path / "plain")
+    spark.range(50).write.parquet(p)
+    n_before = sum(
+        1 for _r, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    )
+    with pytest.raises(FileNotFoundError, match="no snapshot manifests"):
+        snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+    n_after = sum(
+        1 for _r, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    )
+    assert n_after == n_before  # nothing touched
+
+
+def test_convert_case_variant_hive_column_adopts(spark, tmp_path):
+    """A hive dir whose column is stored inside the files under a case
+    VARIANT adopts fine — presence is matched case-insensitively, like
+    every read path."""
+    from dask_awkward_spark.sources.snapshot import snapshot_convert
+
+    p = str(tmp_path / "lake")
+    os.makedirs(os.path.join(p, "part=0"))
+    spark.createDataFrame(
+        [(1, 0), (2, 0)], "id bigint, Part int"
+    ).coalesce(1).write.parquet(os.path.join(p, "part=0", "inner"))
+    # move the files up so the layout is part=0/*.parquet
+    inner = os.path.join(p, "part=0", "inner")
+    for f in os.listdir(inner):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(inner, f), os.path.join(p, "part=0", f))
+    import shutil as _sh
+
+    _sh.rmtree(inner)
+    snapshot_convert(spark, p)
+    assert snapshot_read(spark, p).count() == 2

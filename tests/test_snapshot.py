@@ -1379,7 +1379,7 @@ def test_snapshot_read_as_of_timestamp(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(5))
     with pytest.raises(ValueError, match="existed at"):
         snapshot_version_at(p, 1.0)  # 1970: table not born yet
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         snapshot_read(spark, p, version=1, as_of=t_after_v1)
     # datetime form works too
     import datetime
@@ -2227,7 +2227,7 @@ def test_snapshot_view_as_of_and_refresh(spark, tmp_path):
     assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 5
     snapshot_view(spark, p, name)  # refresh to head
     assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 7
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         snapshot_view(spark, p, name, version=1, as_of=t_between)
     spark.catalog.dropTempView(name)
 

@@ -2664,3 +2664,38 @@ def test_convert_case_variant_hive_column_adopts(spark, tmp_path):
     _sh.rmtree(inner)
     snapshot_convert(spark, p)
     assert snapshot_read(spark, p).count() == 2
+
+
+def test_storage_backend_migration_mid_table(spark, tmp_path):
+    """A table's on-disk layout is backend-agnostic: written under the
+    POSIX plane, it reads/DMLs/compacts/vacuums under the object-copy
+    plane (and back) — the lift-to-object-store migration scenario.
+    Mixed-backend WRITERS also interleave safely: the commit plane
+    serializes versions regardless of which data plane staged them."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_delete,
+        set_storage_backend,
+    )
+
+    p = str(tmp_path / "tbl")
+    prev = set_storage_backend("posix")
+    try:
+        snapshot_write(spark.range(100).repartition(4), p)  # posix plane
+        set_storage_backend("object-copy")
+        snapshot_write(spark.range(100, 120), p, mode="append")  # obj plane
+        assert snapshot_read(spark, p).count() == 120
+        stats = snapshot_delete(spark, p, [("id", "<", 10)])
+        assert stats["removed_rows"] == 10
+        set_storage_backend("posix")  # and back
+        assert snapshot_read(spark, p).count() == 110
+        snapshot_compact(spark, p)
+        assert snapshot_read(spark, p).count() == 110
+        set_storage_backend("object-copy")
+        snapshot_vacuum(p, keep_last=1, retain_seconds=0)
+        assert snapshot_read(spark, p).count() == 110
+        assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(
+            range(10, 120)
+        )
+    finally:
+        set_storage_backend(prev)

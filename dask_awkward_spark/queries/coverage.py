@@ -1258,3 +1258,88 @@ SELECT l_orderkey, tr.q0 AS q0, tr.q1 AS q1, tr.q2 AS q2 FROM (
 
 QUERIES["op_combinations3"] = op_combinations3
 ORACLES["op_combinations3"] = OP_COMBINATIONS3_SQL
+
+
+def io_snapshot_nested_prune(spark, sf_dir):
+    """Nested-column file-skipping lifecycle: the reference's core value
+    proposition — pruning work by NESTED buffers (lib/optimize.py:86-223's
+    necessary-columns pass) — applied to the storage layer's stats
+    envelope. Commit orders as a nested shape (okey, meta{cust, price,
+    deep{odate, prio}}) range-clustered on the STRUCT LEAF ``meta.cust``
+    (v1), assert a leaf predicate actually skips files, copy-on-write
+    DELETE the low-cust quarter via the leaf — the aligned files must be
+    DROPPED whole by the stats proof, not rewritten (v2, asserted) —
+    rename the parent struct metadata-only (v3: nested stats key on the
+    stable physical head, so skipping survives), merge-on-read DELETE
+    urgent orders via a depth-2 leaf (v4), then read the head back under
+    a leaf predicate that is itself asserted to prune. The mixed-lineage
+    result must equal plain SQL over the source rows."""
+    import shutil
+
+    from ..sources.snapshot import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_rename_column,
+        snapshot_scan_report,
+        snapshot_write,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapnest_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+            F.struct(
+                F.col("o_orderdate").alias("odate"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("deep"),
+        ).alias("meta"),
+    )
+    hic = ords.agg(F.max("meta.cust")).first()[0]
+    try:
+        snapshot_write(ords.repartitionByRange(8, F.col("meta.cust")), path)
+        rep = snapshot_scan_report(path, [("meta.cust", ">", 3 * hic // 4)])
+        assert rep["skipped"] >= 4, f"struct-leaf pruning inert: {rep}"
+        stats = snapshot_delete(spark, path, [("meta.cust", "<", hic // 4)])
+        assert stats["dropped_files"] >= 1, (
+            f"nested all-match must drop aligned files whole: {stats}"
+        )
+        snapshot_rename_column(path, "meta", "info")
+        mor = snapshot_delete(
+            spark,
+            path,
+            [("info.deep.prio", "=", "1-URGENT")],
+            strategy="merge-on-read",
+        )
+        assert mor["rewritten_files"] == 0, "MOR delete must not rewrite"
+        where = [("info.cust", "<=", hic // 2)]
+        rep2 = snapshot_scan_report(path, where)
+        assert rep2["skipped"] >= 1, f"post-rename leaf pruning inert: {rep2}"
+        return (
+            snapshot_read(spark, path, where=where)
+            .groupBy(F.year(F.col("info.deep.odate")).cast("int").alias("yr"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("info.price"))).alias("price_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_NESTED_PRUNE_SQL = """
+WITH mx AS (SELECT max(o_custkey) AS hic FROM orders)
+SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM orders, mx
+WHERE o_custkey >= hic // 4 AND o_custkey <= hic // 2
+  AND o_orderpriority <> '1-URGENT'
+GROUP BY 1
+"""
+
+QUERIES["io_snapshot_nested_prune"] = io_snapshot_nested_prune
+ORACLES["io_snapshot_nested_prune"] = IO_SNAPSHOT_NESTED_PRUNE_SQL

@@ -494,19 +494,33 @@ def _decode_stat(v):
 
 
 def _file_stats(local_path: str, md=None) -> dict:
-    """Footer stats for one parquet file: row count plus per-top-level-
-    column [min, max] aggregated across row groups. A column appears
+    """Footer stats for one parquet file: row count plus per-leaf-column
+    [min, max] aggregated across row groups. A column appears
     only if EVERY row group has trustworthy min/max (parquet writers
     omit stats for NaN-containing double pages — absence means
     "never prune on this column for this file"). Null counts are
     recorded the same way (``nulls``, only when every row group reports
     one) — they make the whole-file DELETE fast path sound: "all rows
     match col = v" needs min == max == v AND zero nulls, because
-    min/max exclude nulls and a NULL row never matches a predicate."""
+    min/max exclude nulls and a NULL row never matches a predicate.
+
+    STRUCT-nested leaves are recorded under their dotted parquet path
+    (``meta.ts``) — exactly the name a ``("meta.ts", op, v)`` predicate
+    resolves to in Spark — so file skipping works on the engine's
+    flagship nested shape, not just flat columns. The semantics line
+    up because a struct leaf at max_repetition_level 0 stores exactly
+    one value per row, and parquet's leaf null_count covers BOTH a null
+    parent struct and a null field — both of which are SQL NULL for
+    ``meta.ts`` (mirrors the reference's nested-buffer pruning,
+    lib/optimize.py:86-223, re-expressed as storage-level stats).
+    Leaves under a LIST/MAP (max_repetition_level > 0) are skipped:
+    they hold many values per row, so row-predicate pruning on their
+    min/max would be answering a different question ("any element")."""
     import pyarrow.parquet as pq
 
     if md is None:
         md = pq.read_metadata(local_path)
+    psch = md.schema
     minmax: "dict[str, list]" = {}
     nulls: "dict[str, int]" = {}
     complete: "dict[str, int]" = {}
@@ -516,8 +530,8 @@ def _file_stats(local_path: str, md=None) -> dict:
         for ci in range(g.num_columns):
             c = g.column(ci)
             name = c.path_in_schema
-            if "." in name:  # nested leaf — top-level pruning only
-                continue
+            if "." in name and psch.column(ci).max_repetition_level > 0:
+                continue  # list/map element — no per-row value to prune on
             st = c.statistics
             if st is None:
                 continue
@@ -862,7 +876,19 @@ def _where_phys(m: dict, where):
     pmap = _mapping_physical(m)
     if not pmap:
         return where
-    return [(pmap.get(c, c), op, v) for c, op, v in where]
+
+    def phys(c: str) -> str:
+        if c in pmap:
+            return pmap[c]
+        # dotted = struct-leaf predicate: rename/drop are top-level-only
+        # (column mapping tracks ids per top-level column), so only the
+        # HEAD segment translates; the nested suffix is logical==physical
+        if "." in c:
+            head, rest = c.split(".", 1)
+            return f"{pmap.get(head, head)}.{rest}"
+        return c
+
+    return [(phys(c), op, v) for c, op, v in where]
 
 
 def _check_reserved_names(columns) -> None:
@@ -881,6 +907,14 @@ def _check_reserved_names(columns) -> None:
             "breaking merge-on-read deletes), '_change_type' is the CDF "
             "feed column, and __dak* are the internal row-position and "
             "partition-staging tags"
+        )
+    dotted = [c for c in columns if "." in c or "`" in c]
+    if dotted:
+        raise ValueError(
+            f"top-level column names {dotted} may not contain '.' or '`': "
+            "dotted names are the predicate grammar for STRUCT-leaf file "
+            "skipping (('meta.ts', op, v)), so a literal dot would make "
+            "stats lookups ambiguous — rename before writing"
         )
 
 
@@ -1291,6 +1325,38 @@ def _ckpt_arrow_type(simple: str):
     return None
 
 
+def _prunable_leaf_paths(schema: StructType, pmap: "dict | None" = None):
+    """Ordered (physical dotted path, simple type) pairs for every leaf
+    the stats envelope can carry: top-level primitives plus STRUCT-
+    nested leaves (the dotted paths _file_stats records). Lists/maps
+    are not descended — their parquet leaves are repeated, so
+    _file_stats never records them. The head segment is translated
+    logical→physical (column mapping is top-level-only)."""
+    from pyspark.sql.types import StructType as _ST
+
+    out = []
+
+    def walk(prefix: str, dtype) -> None:
+        if isinstance(dtype, _ST):
+            for f in dtype.fields:
+                walk(f"{prefix}.{f.name}", f.dataType)
+            return
+        if _ckpt_arrow_type(dtype.simpleString()) is not None:
+            out.append((prefix, dtype.simpleString()))
+
+    pmap = pmap or {}
+    for f in schema.fields:
+        walk(pmap.get(f.name, f.name), f.dataType)
+    return out
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for F.col — dotted stats-sidecar
+    names (``min__meta.ts``) must address the flat sidecar column, not
+    a struct path."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
     """Best-effort typed stats sidecar for a checkpoint manifest.
 
@@ -1303,13 +1369,13 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
 
         schema = StructType.fromJson(json.loads(manifest["schema_json"]))
         pmap = _mapping_physical(manifest)
-        cols = []
-        for f in schema.fields:
-            t = _ckpt_arrow_type(f.dataType.simpleString())
-            if t is not None:
-                # sidecar columns carry PHYSICAL names (matching the
-                # stats keys), so renames never invalidate a checkpoint
-                cols.append((pmap.get(f.name, f.name), t))
+        # sidecar columns carry PHYSICAL names (matching the stats
+        # keys), so renames never invalidate a checkpoint; struct
+        # leaves ride along as flat dotted-named columns
+        cols = [
+            (p, _ckpt_arrow_type(s))
+            for p, s in _prunable_leaf_paths(schema, pmap)
+        ]
         files = manifest.get("files") or []
         stats = manifest.get("stats") or {}
 
@@ -1387,7 +1453,7 @@ def _dist_keep_cond(col_types: "dict[str, str]", where) -> "Column | None":
             continue  # not a prunable column in this checkpoint: keep
         if op != "in" and not _pred_compatible(simple, v):
             continue  # incomparable value: the driver loop keeps too
-        lo, hi = F.col(f"min__{c}"), F.col(f"max__{c}")
+        lo, hi = F.col(_bq(f"min__{c}")), F.col(_bq(f"max__{c}"))
 
         def lit(x, simple=simple):
             # an NTZ literal must NOT round-trip through the session tz
@@ -1462,10 +1528,9 @@ def _dist_prune_files(
     # columns are physical too, so key the type map by physical names
     pmap = _mapping_physical(m)
     col_types = {
-        pmap.get(f.name, f.name): f.dataType.simpleString()
-        for f in schema.fields
-        if f"min__{pmap.get(f.name, f.name)}" in ck_cols
-        and _ckpt_arrow_type(f.dataType.simpleString()) is not None
+        p: s
+        for p, s in _prunable_leaf_paths(schema, pmap)
+        if f"min__{p}" in ck_cols
     }
     cond = _dist_keep_cond(col_types, where)
     if cond is None:

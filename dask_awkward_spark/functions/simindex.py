@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .vectors import dot
+from .vectors import dot, quantize_int8
+
+
+def _as_double(x: Column) -> Column:
+    """Elementwise cast to double — quantized candidates score through
+    the same dot/norm expressions as full-precision ones (and tinyint
+    products would overflow-ABORT under Spark 4's default ANSI mode)."""
+    return F.transform(x, lambda v: v.cast("double"))
 
 
 def _cell_dots(e: Column, centroids: "list[list[float]]") -> Column:
@@ -125,19 +132,36 @@ def ivf_index_add(
     centroids: "list[list[float]]",
     id_col: str = "vec_id",
     e_col: str = "e",
+    quantized: bool = False,
 ) -> int:
     """One incremental ingest step: assign cells to the delta's vectors
     and append ``(id, cell, e)`` to the snapshot-table index in one
     atomic commit (table created cell-partitioned on first use).
     Returns the committed version. Cost is O(delta) — the existing
-    index is not read, let alone rewritten."""
+    index is not read, let alone rewritten.
+
+    ``quantized=True`` adds an int8 SQ tier (IVF-flat → IVF-SQ): each
+    row also stores ``q array<tinyint>`` + ``scale float``
+    (:func:`~dask_awkward_spark.functions.vectors.quantize_int8`).
+    Parquet is columnar, so a probe that selects only ``(vec_id, cell,
+    q)`` reads ~1/8 the bytes of the full-precision column — the 100 TB
+    probe-I/O fix — while ``e`` stays in the same rows for exact
+    re-scoring of the few quantized-top candidates (see
+    :func:`ivf_search`). The flag is sticky per table: appends must
+    match the index's recorded schema, so mixing tiers is refused by
+    the snapshot layer's schema check."""
     from ..sources.snapshot import snapshot_write
 
-    rows = new_vecs.select(
+    cols = [
         F.col(id_col).alias("vec_id"),
         ivf_cell(F.col(e_col), centroids).alias("cell"),
         F.col(e_col).cast("array<double>").alias("e"),
-    )
+    ]
+    if quantized:
+        q, scale = quantize_int8(F.col(e_col).cast("array<double>"))
+        cols.append(F.transform(q, lambda v: v.cast("tinyint")).alias("q"))
+        cols.append(scale.cast("float").alias("scale"))
+    rows = new_vecs.select(*cols)
     # append on a fresh path IS table creation; the explicit spec is a
     # no-op match against an existing index (appends may not change it)
     return snapshot_write(rows, index_path, mode="append", partition_by=["cell"])
@@ -165,10 +189,14 @@ def ivf_retrain(
     drift signal (see :func:`ivf_recall`), not per ingest."""
     from ..sources.snapshot import snapshot_read, snapshot_write
 
-    rows = snapshot_read(spark, index_path).select(
+    idx = snapshot_read(spark, index_path)
+    # carry every non-cell column (the quantized tier's q/scale are
+    # per-row properties of e — independent of the quantizer)
+    rest = [c for c in idx.columns if c not in ("vec_id", "cell")]
+    rows = idx.select(
         "vec_id",
         ivf_cell(F.col("e"), centroids).alias("cell"),
-        "e",
+        *rest,
     )
     return snapshot_write(rows, index_path, mode="overwrite", partition_by=["cell"])
 
@@ -274,6 +302,7 @@ def ivf_search(
     id_col: str = "vec_id",
     e_col: str = "e",
     exclude_self: bool = True,
+    rescore_k: "int | None" = None,
 ) -> DataFrame:
     """Top-``k`` cosine neighbors per query vector, probing each query's
     best ``nprobe`` cells only.
@@ -286,7 +315,18 @@ def ivf_search(
     The expensive cosine runs on candidates inside probed cells alone
     (~nprobe/n_cells of the index), then a per-query window takes the
     top-k (partitioned by query id — never a global sort).
-    Ties break on candidate id, so results are deterministic."""
+    Ties break on candidate id, so results are deterministic.
+
+    Over a QUANTIZED index (built with ``ivf_index_add(...,
+    quantized=True)``) the search runs two tiers automatically:
+    (1) score every probed candidate on the int8 column only — parquet
+    column pruning means the scan reads ~1/8 the bytes of the
+    full-precision column (scale cancels out of cosine, so the
+    quantized ranking needs just ``q``) — then (2) re-score the top
+    ``rescore_k`` (default ``max(4*k, 32)``) per query EXACTLY, reading
+    ``e`` for only those candidate ids (an IN-pushdown point read over
+    the probed cells). Classic IVF-SQ with re-ranking: full-precision
+    top-k quality at quantized probe I/O."""
     from ..sources.snapshot import snapshot_read
 
     if nprobe < 1 or nprobe > len(centroids):
@@ -313,6 +353,7 @@ def ivf_search(
     ).collect()
     if not qrows:
         raise ValueError("queries frame is empty")
+    qe_by_id = {r.q_id: r.qe for r in qrows}
     probe_cells = sorted({int(c) for r in qrows for c in r.cells})
     idx = snapshot_read(spark, index_path, where=[("cell", "in", probe_cells)])
     # q_id keeps the caller's id type (string/uuid ids are as legal here
@@ -332,9 +373,54 @@ def ivf_search(
             f"q_id {id_t}, qe array<double>, cell int",
         )
     )
-    cand = idx.join(qdf, "cell")
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("q_id"))
+    if "q" in idx.columns and "scale" in idx.columns:
+        # ---- quantized tier: rank on int8, re-score survivors exact --
+        rk_n = max(4 * k, 32) if rescore_k is None else rescore_k
+        qd = _as_double(F.col("q"))
+        # cosine over the DEQUANTIZED vector: scale is a positive
+        # per-row scalar, so it cancels between dot and norm — the
+        # ranking never touches `scale` or `e` (column-pruned scan)
+        cos_q = F.try_divide(
+            dot(qd, F.col("qe")),
+            F.sqrt(dot(qd, qd)) * F.sqrt(dot(F.col("qe"), F.col("qe"))),
+        )
+        cand_q = idx.select("vec_id", "cell", "q").join(qdf, "cell")
+        if exclude_self:
+            cand_q = cand_q.filter(F.col("vec_id") != F.col("q_id"))
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("cos_q").desc(), F.col("vec_id")
+        )
+        surv = (
+            cand_q.select("q_id", "vec_id", cos_q.alias("cos_q"))
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= rk_n)
+            .select("q_id", "vec_id")
+            .collect()  # bounded: <= |queries| x rescore_k pairs
+        )
+        if not surv:  # every probed cell empty (or self-only)
+            return spark.createDataFrame(
+                [], f"q_id {id_t}, vec_id {idx.schema['vec_id'].dataType.simpleString()}, cell int, cos double"
+            )
+        ids = sorted({r.vec_id for r in surv})
+        # exact tier: point-read ONLY the surviving ids' rows — the IN
+        # predicate pushes into the parquet scan of the probed cells
+        full = snapshot_read(
+            spark,
+            index_path,
+            where=[("cell", "in", probe_cells), ("vec_id", "in", ids)],
+        ).select("vec_id", "cell", "e")
+        vid_t = idx.schema["vec_id"].dataType.simpleString()
+        pairs = F.broadcast(
+            spark.createDataFrame(
+                [(r.q_id, qe_by_id[r.q_id], r.vec_id) for r in surv],
+                f"q_id {id_t}, qe array<double>, vec_id {vid_t}",
+            )
+        )
+        cand = full.join(pairs, "vec_id")
+    else:
+        cand = idx.join(qdf, "cell")
+        if exclude_self:
+            cand = cand.filter(F.col("vec_id") != F.col("q_id"))
     cos = dot(F.col("e"), F.col("qe")) / (
         F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
     )

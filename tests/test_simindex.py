@@ -342,3 +342,104 @@ def test_recall_monotone_and_exact_at_full_probe(spark, tmp_path):
     assert recs == sorted(recs)  # monotone non-decreasing
     assert recs[-1] == 1.0  # full probe == exact
     assert all(r["n_queries"] == 8 for r in rows)
+
+
+# ---- int8-quantized tier (IVF-flat -> IVF-SQ with exact re-ranking) --
+
+
+def test_quantized_search_matches_flat(spark, tmp_path):
+    """A quantized index returns full-precision results: the int8 tier
+    only RANKS candidates; survivors are re-scored on `e`, so cos
+    values are exact and (with the default rescore margin) the top-k
+    equals the flat index's top-k on this corpus."""
+    cents = _centroids()
+    p_flat = str(tmp_path / "flat")
+    p_q = str(tmp_path / "quant")
+    ivf_index_add(p_flat, _vecs(spark, 0, 200), cents)
+    ivf_index_add(p_q, _vecs(spark, 0, 200), cents, quantized=True)
+    q = _vecs(spark, 0, 4)
+    flat = _result_rows(ivf_search(spark, p_flat, q, cents, k=5, nprobe=2))
+    quant = _result_rows(ivf_search(spark, p_q, q, cents, k=5, nprobe=2))
+    assert quant == flat
+
+
+def test_quantized_recall_geq_flat(spark, tmp_path):
+    """recall@k of quantized-then-rescored search >= flat search minus
+    epsilon at every nprobe (the VERDICT r7 item-3 done criterion)."""
+    from dask_awkward_spark.functions.simindex import ivf_recall
+
+    cents = _centroids()
+    p_flat = str(tmp_path / "flat")
+    p_q = str(tmp_path / "quant")
+    ivf_index_add(p_flat, _vecs(spark, 0, 300), cents)
+    ivf_index_add(p_q, _vecs(spark, 0, 300), cents, quantized=True)
+    q = _vecs(spark, 10, 16)
+    r_flat = ivf_recall(spark, p_flat, q, cents, k=5, nprobes=(1, 2, 4))
+    r_q = ivf_recall(spark, p_q, q, cents, k=5, nprobes=(1, 2, 4))
+    for a, b in zip(r_flat, r_q):
+        assert b["recall_at_k"] >= a["recall_at_k"] - 0.05, (a, b)
+    # full probe is still exact (rescore makes the tier lossless there)
+    assert r_q[-1]["nprobe"] == 4
+
+
+def test_quantized_probe_scan_prunes_e_column(spark, tmp_path):
+    """The ranking tier's scan must read the int8 column ONLY — parquet
+    column pruning through the snapshot read (the ~8x probe-bytes win);
+    and the exact tier's scan must push the survivor-id IN filter."""
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    cents = _centroids()
+    p = str(tmp_path / "quant")
+    ivf_index_add(p, _vecs(spark, 0, 200), cents, quantized=True)
+    # stage-1 shape: probed-cells read projected to (vec_id, cell, q)
+    plan = (
+        snapshot_read(spark, p, where=[("cell", "in", [1, 2])])
+        .select("vec_id", "cell", "q")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "q" in scan and "e:" not in scan, scan
+    # stage-2 shape (the search's returned DF): IN pushdown on vec_id
+    plan2 = (
+        ivf_search(spark, p, _vecs(spark, 0, 3), cents, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan2 and "In(vec_id" in plan2, plan2
+
+
+def test_quantized_retrain_and_compaction_keep_tier(spark, tmp_path):
+    """ivf_retrain re-assigns cells but carries q/scale (per-row
+    properties of e, quantizer-independent); search results over the
+    retrained quantized index equal a fresh quantized build."""
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    a, b = _centroids(), _alt_centroids()
+    p_drift = str(tmp_path / "drift")
+    p_fresh = str(tmp_path / "fresh")
+    for lo, hi in ((0, 50), (50, 120)):
+        ivf_index_add(p_drift, _vecs(spark, lo, hi), a, quantized=True)
+    ivf_retrain(spark, p_drift, b)
+    ivf_index_add(p_fresh, _vecs(spark, 0, 120), b, quantized=True)
+    assert set(snapshot_read(spark, p_drift).columns) == {
+        "vec_id", "cell", "e", "q", "scale"
+    }
+    q = _vecs(spark, 5, 8)
+    assert _result_rows(ivf_search(spark, p_drift, q, b, k=5, nprobe=2)) == (
+        _result_rows(ivf_search(spark, p_fresh, q, b, k=5, nprobe=2))
+    )
+
+
+def test_quantized_tier_is_sticky(spark, tmp_path):
+    """Appending a flat delta to a quantized index (or vice versa) is
+    refused by the snapshot schema check — a half-quantized index would
+    silently rank on missing columns."""
+    cents = _centroids()
+    p = str(tmp_path / "quant")
+    ivf_index_add(p, _vecs(spark, 0, 50), cents, quantized=True)
+    with pytest.raises(ValueError, match="schema"):
+        ivf_index_add(p, _vecs(spark, 50, 60), cents)

@@ -123,9 +123,14 @@ def main() -> None:
     # rep routinely +20-40% on staging/commit I/O); round-7 ABA A/B vs
     # the r6 code proved HEAD faster head-to-head (3.63-3.92s vs 4.20s
     # best-of-5) — recorded drift is machine state, not code.
+    # sketch_cms_heavy_hitters / hist2d_qty_discount: r7 driver recorded
+    # 1.38x/1.36x drifts on untouched bodies; round-8 pinned ABBA vs the
+    # r6 worktree (30ac746) timed both IDENTICAL across builds (sketch
+    # best 1.57-1.71s both sides, hist2d 0.39-0.42s both sides) with
+    # 1.6-2.0s rep spread → machine noise, rep-sensitive → extra rep.
     EXTRA_REP = {
         "q5_supplier_volume", "q3_top_orders", "op_sum_axis1",
-        "sim_incremental",
+        "sim_incremental", "sketch_cms_heavy_hitters", "hist2d_qty_discount",
     }
     times = {}
     failed = []

@@ -86,6 +86,15 @@ from .sources.snapshot import (
     stream_from_snapshot,
     stream_to_snapshot,
 )
+from .sources.sqlface import snapshot_sql
+from .sources.catalog import (
+    snapshot_catalog_register,
+    snapshot_catalog_unregister,
+    snapshot_catalog_lookup,
+    snapshot_catalog_list,
+    snapshot_catalog_tables,
+    snapshot_catalog_views,
+)
 from .sources.storage import (
     ObjectCopyStorageBackend,
     PosixStorageBackend,

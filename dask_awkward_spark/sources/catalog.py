@@ -1,0 +1,153 @@
+"""Persistent name→path catalog for snapshot tables (VERDICT r7 item 6).
+
+``snapshot_view`` registers session-temp views, so every consumer had
+to know filesystem paths. The catalog is itself a tiny snapshot table
+of ``(name, path, version, tag)`` rows — it gets atomic commits, time
+travel ("what did the catalog point at last week"), and CAS conflict
+handling for free, and any SQL consumer can read it like any other
+table. Entries may pin a version or a tag (:func:`snapshot_tag` pins
+survive vacuum), so a catalog name can mean "the reproducible training
+snapshot", not just "whatever the head is".
+
+Composition: :func:`snapshot_catalog_tables` feeds
+:func:`~dask_awkward_spark.sources.sqlface.snapshot_sql` (SQL DML by
+name) and :func:`snapshot_catalog_views` registers every entry as a
+pinned temp view (SQL reads by name) — together a SQL-only user needs
+exactly one path (the catalog's) to reach every table.
+
+Reference: no counterpart (dask-awkward has no table concept); the
+Spark-native analog is a metastore namespace.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "snapshot_catalog_register",
+    "snapshot_catalog_unregister",
+    "snapshot_catalog_lookup",
+    "snapshot_catalog_list",
+    "snapshot_catalog_tables",
+    "snapshot_catalog_views",
+]
+
+_SCHEMA = (
+    "name string, path string, pin_version bigint, pin_tag string, "
+    "registered_at double"
+)
+
+
+def snapshot_catalog_register(
+    spark: SparkSession,
+    catalog_path: str,
+    name: str,
+    table_path: str,
+    version: "int | None" = None,
+    tag: "str | None" = None,
+) -> int:
+    """Upsert one catalog entry (creates the catalog table on first
+    use). ``version=``/``tag=`` pin the name to a fixed snapshot —
+    ``tag`` is the durable choice (tagged versions survive vacuum).
+    Re-registering an existing name replaces its entry atomically
+    (one MERGE commit). Returns the catalog version."""
+    from .snapshot import snapshot_merge, snapshot_write, _versions
+
+    if version is not None and tag is not None:
+        raise ValueError("pin by version OR tag, not both")
+    row = [(name, table_path, version, tag, time.time())]
+    src = spark.createDataFrame(row, _SCHEMA)
+    if not _versions(catalog_path):
+        return snapshot_write(src, catalog_path, mode="append")
+    stats = snapshot_merge(
+        spark,
+        catalog_path,
+        src,
+        on=["name"],
+        when_matched=[
+            (
+                None,
+                "update",
+                {
+                    "path": "s.path",
+                    "pin_version": "s.pin_version",
+                    "pin_tag": "s.pin_tag",
+                    "registered_at": "s.registered_at",
+                },
+            )
+        ],
+        when_not_matched="insert",
+    )
+    return stats["version"]
+
+
+def snapshot_catalog_unregister(
+    spark: SparkSession, catalog_path: str, name: str
+) -> "dict":
+    """Drop one entry (the table itself is untouched)."""
+    from .snapshot import snapshot_delete
+
+    return snapshot_delete(spark, catalog_path, [("name", "=", name)])
+
+
+def snapshot_catalog_list(spark: SparkSession, catalog_path: str) -> "list[dict]":
+    """Every entry, name-sorted."""
+    from .snapshot import snapshot_read, _versions
+
+    if not _versions(catalog_path):
+        return []
+    return [
+        r.asDict()
+        for r in snapshot_read(spark, catalog_path).orderBy("name").collect()
+    ]
+
+
+def snapshot_catalog_lookup(
+    spark: SparkSession, catalog_path: str, name: str
+) -> "dict":
+    """One entry by name; KeyError when absent."""
+    from .snapshot import snapshot_read
+
+    rows = (
+        snapshot_read(spark, catalog_path, where=[("name", "=", name)])
+        .limit(2)
+        .collect()
+    )
+    if not rows:
+        raise KeyError(
+            f"no catalog entry {name!r} in {catalog_path} "
+            f"(snapshot_catalog_register to add one)"
+        )
+    return rows[0].asDict()
+
+
+def snapshot_catalog_tables(
+    spark: SparkSession, catalog_path: str
+) -> "dict[str, str]":
+    """name→path map for :func:`~dask_awkward_spark.sources.sqlface
+    .snapshot_sql` — SQL DML by catalog name."""
+    return {e["name"]: e["path"] for e in snapshot_catalog_list(spark, catalog_path)}
+
+
+def snapshot_catalog_views(
+    spark: SparkSession, catalog_path: str
+) -> "dict[str, DataFrame]":
+    """Register every catalog entry as a temp view under its catalog
+    name, honoring version/tag pins (unpinned entries resolve to the
+    head AT REGISTRATION, like :func:`snapshot_view`). Returns the
+    name→DataFrame map."""
+    from .snapshot import snapshot_view
+
+    out = {}
+    for e in snapshot_catalog_list(spark, catalog_path):
+        out[e["name"]] = snapshot_view(
+            spark,
+            e["path"],
+            e["name"],
+            version=e["pin_version"],
+            tag=e["pin_tag"],
+        )
+    return out

@@ -1,0 +1,348 @@
+"""SQL write path for snapshot tables (VERDICT r7 item 4).
+
+:func:`snapshot_view` gave SQL-only consumers reads with time travel;
+this module gives SQL-only PRODUCERS the mutations: one dispatcher,
+:func:`snapshot_sql`, accepts an ``INSERT INTO`` / ``INSERT OVERWRITE``
+/ ``DELETE FROM`` / ``UPDATE`` statement string plus a name→path table
+map and routes it into the existing atomic commit paths
+(``snapshot_write`` / ``snapshot_delete`` / ``snapshot_update``) — so a
+SQL string gets exactly the same optimistic-concurrency commit,
+stats-based file pruning (nested leaves included: ``WHERE meta.ts <
+100`` prunes), change feed, and constraint enforcement as the Python
+API. Nothing here re-implements DML; the SQL face is a FRONT.
+
+The accepted grammar is deliberately tight and refusal-based — the
+predicate vocabulary is the same ANDed ``(column, op, value)`` triple
+set the whole storage layer speaks (ops ``= < <= > >= IN``, literals:
+numbers, ``'strings'``, ``DATE '...'``, ``TIMESTAMP '...'``). Anything
+beyond it (OR, IS NULL, functions, subqueries in WHERE) raises with a
+message naming the Python call that can express it. INSERT bodies are
+full Spark SQL (any SELECT the session can run, or a VALUES list);
+UPDATE right-hand sides are full Spark SQL expressions over the OLD
+row. MERGE has no string form here — ``snapshot_merge`` already takes
+its ON / WHEN-AND conditions and assignments AS SQL strings, so the
+MERGE-from-SQL recipe is one Python call wrapping the caller's SQL
+fragments (see ``snapshot_merge``'s docstring and EXAMPLES.md).
+
+Reference: no counterpart (dask-awkward has no SQL surface); the
+Spark-native analog is Delta's SQL DML under a catalog. The table map
+argument is the catalog hook — :mod:`~dask_awkward_spark.sources
+.catalog` resolves names to paths persistently.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["snapshot_sql"]
+
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*"
+
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(\([^)]*\))?\s*(.+)$",
+    re.I | re.S,
+)
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)\s*;?\s*$", re.I | re.S
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+# WHERE tokenizer: string literal ('' escapes), number, identifier
+# (dotted = struct leaf, welcome — nested stats prune on it), operator,
+# parens/commas for IN lists
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^']|'')*')
+      | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<word>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
+      | (?P<op><=|>=|==|=|<|>)
+      | (?P<punct>[(),])
+    )""",
+    re.X,
+)
+
+_REFUSE = (
+    "the SQL face accepts ANDed `col op literal` / `col IN (...)` "
+    "predicates only (ops = < <= > >= IN; literals: numbers, 'strings', "
+    "DATE '...', TIMESTAMP '...') — for anything richer call the Python "
+    "API (snapshot_delete/snapshot_update take the same triples; "
+    "arbitrary row logic belongs in snapshot_merge or a read-transform-"
+    "overwrite)"
+)
+
+
+def _tokenize(s: str) -> "list[tuple[str, str]]":
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(
+                f"cannot tokenize WHERE clause at {s[pos:pos+20]!r}: {_REFUSE}"
+            )
+        pos = m.end()
+        for kind in ("str", "num", "word", "op", "punct"):
+            if m.group(kind) is not None:
+                out.append((kind, m.group(kind)))
+                break
+    return out
+
+
+def _unquote(tok: str):
+    return tok[1:-1].replace("''", "'")
+
+
+def _literal(toks: "list", i: int):
+    """(value, next_i) for one literal starting at token i."""
+    kind, tok = toks[i]
+    if kind == "str":
+        return _unquote(tok), i + 1
+    if kind == "num":
+        return (float(tok) if any(c in tok for c in ".eE") else int(tok)), i + 1
+    if kind == "word" and tok.upper() in ("DATE", "TIMESTAMP"):
+        if i + 1 >= len(toks) or toks[i + 1][0] != "str":
+            raise ValueError(f"{tok.upper()} must be followed by a quoted literal")
+        raw = _unquote(toks[i + 1][1])
+        try:
+            if tok.upper() == "DATE":
+                return datetime.date.fromisoformat(raw), i + 2
+            return datetime.datetime.fromisoformat(raw), i + 2
+        except ValueError as e:
+            raise ValueError(f"bad {tok.upper()} literal {raw!r}: {e}")
+    raise ValueError(f"expected a literal, got {tok!r}: {_REFUSE}")
+
+
+def parse_where(s: str) -> "list[tuple]":
+    """Parse a conjunctive SQL WHERE clause into the storage layer's
+    ``(column, op, value)`` triples — the exact vocabulary every prune
+    and DML path speaks, so SQL-face mutations get identical file
+    skipping and whole-file proofs. Refuses anything it cannot map
+    EXACTLY (OR, NOT, IS NULL, BETWEEN, functions, column-vs-column)."""
+    toks = _tokenize(s)
+    triples, i = [], 0
+    while i < len(toks):
+        kind, col = toks[i]
+        if kind != "word" or col.upper() in ("AND", "OR", "NOT"):
+            raise ValueError(f"expected a column name, got {col!r}: {_REFUSE}")
+        i += 1
+        if i >= len(toks):
+            raise ValueError(f"dangling column {col!r}: {_REFUSE}")
+        kind, op = toks[i]
+        if kind == "word" and op.upper() == "IN":
+            i += 1
+            if i >= len(toks) or toks[i] != ("punct", "("):
+                raise ValueError("IN must be followed by a parenthesized list")
+            i += 1
+            vals = []
+            while True:
+                v, i = _literal(toks, i)
+                vals.append(v)
+                if i < len(toks) and toks[i] == ("punct", ","):
+                    i += 1
+                    continue
+                if i < len(toks) and toks[i] == ("punct", ")"):
+                    i += 1
+                    break
+                raise ValueError("IN list must be comma-separated literals")
+            triples.append((col, "in", vals))
+        elif kind == "op":
+            i += 1
+            v, i = _literal(toks, i)
+            triples.append((col, "=" if op == "==" else op, v))
+        else:
+            raise ValueError(f"expected an operator after {col!r}: {_REFUSE}")
+        if i < len(toks):
+            kind, tok = toks[i]
+            if kind == "word" and tok.upper() == "AND":
+                i += 1
+                if i >= len(toks):
+                    raise ValueError("dangling AND at end of WHERE clause")
+                continue
+            raise ValueError(f"expected AND, got {tok!r}: {_REFUSE}")
+    if not triples:
+        raise ValueError("empty WHERE clause")
+    return triples
+
+
+def _split_top_level(s: str) -> "list[str]":
+    """Split on commas outside parens/quotes (the SET list)."""
+    out, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'" and not (i + 1 < n and s[i + 1] == "'"):
+                    break
+                i += 2 if s[i] == "'" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _resolve(table: str, tables: "dict[str, str]") -> str:
+    if table not in tables:
+        raise ValueError(
+            f"unknown table {table!r}: the statement's target must appear "
+            f"in the tables map (got {sorted(tables)}); register names "
+            "persistently with sources.catalog.snapshot_catalog_register"
+        )
+    return tables[table]
+
+
+def snapshot_sql(
+    spark: SparkSession, sql: str, tables: "dict[str, str]"
+) -> "dict | int":
+    """Run one SQL DML statement against a snapshot table.
+
+    ``tables`` maps the statement's target table name to its snapshot
+    path (get a persistent map from
+    :func:`~dask_awkward_spark.sources.catalog.snapshot_catalog_tables`).
+    Supported statements:
+
+    - ``INSERT INTO t [(cols)] SELECT ...`` — the SELECT is full Spark
+      SQL (any registered view may appear); appended in one atomic
+      commit. With a column list, unnamed columns fill NULL.
+    - ``INSERT INTO t [(cols)] VALUES (...), (...)`` — literal rows.
+    - ``INSERT OVERWRITE t SELECT ...`` — replaces the visible file set.
+    - ``DELETE FROM t WHERE <triples>`` — same pruning/whole-file
+      proofs as :func:`snapshot_delete`.
+    - ``UPDATE t SET c = <spark sql expr>, ... WHERE <triples>`` —
+      right-hand sides evaluate against the OLD row, like
+      :func:`snapshot_update`.
+
+    MERGE: there is no string form — call :func:`snapshot_merge`, whose
+    ``on=``, ``when_matched=[(cond, action, assigns)]`` conditions and
+    assignment values are ALREADY Spark SQL strings; the "MERGE from
+    SQL" recipe is running ``spark.sql(...)`` for the source frame and
+    passing the ON / WHEN fragments through verbatim (EXAMPLES.md).
+
+    Returns the new version number (INSERTs) or the DML stats dict
+    (DELETE/UPDATE). Raises ``ValueError`` with a pointer at the Python
+    API for any statement outside the grammar."""
+    from .snapshot import snapshot_delete, snapshot_update, snapshot_write
+
+    m = _DELETE_RE.match(sql)
+    if m:
+        table, where_sql = m.group(1), m.group(2)
+        return snapshot_delete(
+            spark, _resolve(table, tables), parse_where(where_sql)
+        )
+
+    m = _UPDATE_RE.match(sql)
+    if m:
+        table, set_sql, where_sql = m.group(1), m.group(2), m.group(3)
+        assignments = {}
+        for part in _split_top_level(set_sql):
+            cm = re.match(rf"^({_IDENT})\s*=\s*(.+)$", part, re.S)
+            if cm is None:
+                raise ValueError(f"cannot parse SET item {part!r}")
+            assignments[cm.group(1)] = F.expr(cm.group(2))
+        return snapshot_update(
+            spark, _resolve(table, tables), parse_where(where_sql), assignments
+        )
+
+    m = _INSERT_RE.match(sql)
+    if m:
+        verb, table, collist, body = (
+            m.group(1).upper(),
+            m.group(2),
+            m.group(3),
+            m.group(4).strip().rstrip(";").strip(),
+        )
+        path = _resolve(table, tables)
+        if re.match(r"^VALUES\b", body, re.I):
+            df = spark.sql(f"SELECT * FROM ({body})")
+        elif re.match(r"^\(?\s*SELECT\b|^\(?\s*WITH\b", body, re.I):
+            df = spark.sql(body)
+        else:
+            raise ValueError(
+                f"INSERT body must be SELECT/WITH/VALUES, got {body[:40]!r}"
+            )
+        if collist:
+            names = [c.strip() for c in collist[1:-1].split(",") if c.strip()]
+            if len(names) != len(df.columns):
+                raise ValueError(
+                    f"column list {names} has {len(names)} names but the "
+                    f"body produced {len(df.columns)} columns"
+                )
+            df = df.select(
+                *[F.col(c).alias(n) for c, n in zip(df.columns, names)]
+            )
+            df = _fill_missing(spark, path, df)
+        else:
+            df = _name_positionally(spark, path, df)
+        return snapshot_write(
+            df, path, mode="append" if verb == "INTO" else "overwrite"
+        )
+
+    raise ValueError(
+        f"unsupported statement {sql.strip()[:60]!r}: the SQL face speaks "
+        "INSERT INTO/OVERWRITE, DELETE FROM ... WHERE, UPDATE ... SET ... "
+        "WHERE; MERGE goes through snapshot_merge (its conditions and "
+        "assignments are already SQL strings)"
+    )
+
+
+def _head_schema(path: str):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from .snapshot import _read_manifest, _require_versions
+
+    m = _read_manifest(path, _require_versions(path)[-1])
+    return StructType.fromJson(_json.loads(m["schema_json"]))
+
+
+def _name_positionally(spark, path: str, df: DataFrame) -> DataFrame:
+    """SQL INSERT without a column list is positional: rename the body's
+    columns to the table's schema order and cast each to the table's
+    type (SQL store-assignment — VALUES literals arrive as int/decimal;
+    under ANSI an out-of-range value still aborts, never truncates)."""
+    schema = _head_schema(path)
+    if len(df.columns) != len(schema.fields):
+        raise ValueError(
+            f"INSERT body produced {len(df.columns)} columns but the table "
+            f"has {len(schema.fields)} ({schema.fieldNames()}); add a "
+            "column list to insert a subset"
+        )
+    return df.select(
+        *[
+            F.col(c).cast(f.dataType).alias(f.name)
+            for c, f in zip(df.columns, schema.fields)
+        ]
+    )
+
+
+def _fill_missing(spark, path: str, df: DataFrame) -> DataFrame:
+    """Column-list INSERT: absent columns become typed NULLs, order is
+    normalized to the table schema. Unknown names are refused."""
+    schema = _head_schema(path)
+    types = {f.name: f.dataType for f in schema.fields}
+    unknown = sorted(set(df.columns) - set(types))
+    if unknown:
+        raise ValueError(f"column list names unknown columns {unknown}")
+    return df.select(
+        *[
+            F.col(n).cast(types[n]) if n in df.columns
+            else F.lit(None).cast(types[n]).alias(n)
+            for n in schema.fieldNames()
+        ]
+    )

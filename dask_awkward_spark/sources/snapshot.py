@@ -3010,6 +3010,77 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
     }
 
 
+def _rebase_manifest(
+    staged: dict, old_m: dict, m2: dict, new_head: int, pwhere, tz
+) -> "dict | None":
+    """Rebase a staged DML manifest onto a newer head, or None when only
+    a restage is sound (Delta/Iceberg conflict RESOLUTION for the
+    common ingest race: DML vs concurrent blind appends).
+
+    Sound iff, relative to the head the DML staged against, the new
+    head (a) changed no table definition (schema, column mapping,
+    partition spec, constraints, deletion vectors), (b) only ADDED
+    files (nothing the DML read was removed or rewritten), and (c)
+    every added file PROVABLY contains no row matching the DML's
+    predicate (`not all(_file_may_match)`) — otherwise the DML,
+    serialized after the append, would have had to touch those rows,
+    and only a restart can (Delta raises ConcurrentAppendException
+    there; we restage, same semantics, no user-visible error). A
+    vacuous predicate (merge with no match-eligible source rows) has
+    no proof, so it restages."""
+    if (
+        m2["schema_json"] != old_m["schema_json"]
+        or m2.get("column_mapping") != old_m.get("column_mapping")
+        or m2.get("partition_by") != old_m.get("partition_by")
+        or m2.get("deletes") != old_m.get("deletes")
+        or m2.get("constraints") != old_m.get("constraints")
+    ):
+        return None
+    old_set = set(old_m["files"])
+    if not old_set <= set(m2["files"]):
+        return None  # something was rewritten/removed (compact, DML)
+    if pwhere is None:
+        return None
+    added = [f for f in m2["files"] if f not in old_set]
+    stats2 = m2.get("stats", {})
+    for f in added:
+        if all(_file_may_match(stats2.get(f), c, op, v, tz) for c, op, v in pwhere):
+            return None  # the appended file MAY hold matching rows
+    out = dict(staged)
+    out["version"] = new_head + 1
+    out["parent"] = new_head
+    out["files"] = list(staged["files"]) + added
+    stats = dict(staged.get("stats", {}))
+    stats.update({f: stats2[f] for f in added if f in stats2})
+    out["stats"] = stats
+    # the appends may have advanced the stream watermark or restated
+    # the (advisory) bloom spec — the rebased commit must carry the
+    # NEW head's, not resurrect the old
+    out["stream_batch_id"] = m2.get("stream_batch_id")
+    out["bloom_ndv"] = m2.get("bloom_ndv")
+    out["committed_at"] = time.time()
+    return out
+
+
+def _commit_dml(
+    path: str, head: int, manifest: dict, m: dict, pwhere, tz
+) -> "int | None":
+    """Commit a staged DML manifest; on a CAS loss, rebase onto each
+    newer head while :func:`_rebase_manifest` can prove it sound.
+    Returns the committed version, or None when the caller must restart
+    its staging loop (a real conflict). The staged data files are
+    immutable either way — a rebase reuses them byte-identical."""
+    while True:
+        if _commit_manifest(path, manifest["version"], manifest, m):
+            return manifest["version"]
+        new_head = _require_versions(path)[-1]
+        m2 = _read_manifest(path, new_head)
+        reb = _rebase_manifest(manifest, m, m2, new_head, pwhere, tz)
+        if reb is None:
+            return None
+        manifest, m = reb, m2
+
+
 _CHANGE_COL = "_change_type"  # Delta's CDF column names
 _COMMIT_COL = "_commit_version"
 
@@ -3081,8 +3152,13 @@ def snapshot_delete(
     copy-on-write is the right default for rare deletes, merge-on-read
     for frequent or latency-sensitive ones.
 
-    Both commit compare-and-swap against the head they read and restart
-    on conflict (a concurrent append's rows are never lost). Returns
+    Both commit compare-and-swap against the head they read; a CAS loss
+    against a BLIND APPEND whose files provably contain no matching row
+    (manifest stats) REBASES — the staged files are reused byte-
+    identical and the appended files carry through, so high-rate ingest
+    never forces a delete to re-stage (Delta/Iceberg conflict
+    resolution). Any other conflict restarts the staging loop (a
+    concurrent append's rows are never lost either way). Returns
     {'version', 'removed_rows', 'rewritten_files', 'carried_files'}
     (+'dropped_files' for copy-on-write whole-file drops,
     +'delete_files' for merge-on-read)."""
@@ -3143,15 +3219,16 @@ def snapshot_delete(
                     [(tagged.filter(cond).select(*names), "delete")],
                     path, compression, m.get("column_mapping"),
                 )
-            if _commit_manifest(path, head + 1, manifest, m):
+            v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
+            if v_new is not None:
                 return {
-                    "version": head + 1,
+                    "version": v_new,
                     "removed_rows": removed,
                     "rewritten_files": 0,
                     "carried_files": len(m["files"]),
                     "delete_files": len(dv_files),
                 }
-            continue  # head moved: re-read and redo
+            continue  # unrebasable conflict: re-read and redo
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
         mstats = m.get("stats", {})
@@ -3215,16 +3292,17 @@ def snapshot_delete(
                 compression,
                 m.get("column_mapping"),
             )
-        if _commit_manifest(path, head + 1, manifest, m):
+        v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
+        if v_new is not None:
             return {
-                "version": head + 1,
+                "version": v_new,
                 "removed_rows": dropped_rows + before - after,
                 "rewritten_files": len(partial),
                 "dropped_files": len(full),
                 "carried_files": len(carried),
             }
-        # head moved (concurrent append/compact): re-read and redo — the
-        # just-staged files stay unreferenced for vacuum
+        # unrebasable conflict (compact/DML/possibly-matching append):
+        # re-read and redo — the just-staged files stay for vacuum
 
 
 def snapshot_update(
@@ -3282,7 +3360,8 @@ def snapshot_update(
         unknown = sorted(set(assignments) - set(names))
         if unknown:
             raise ValueError(f"assignments reference unknown columns {unknown}")
-        affected, _ = _prune_files(m, _where_phys(m, where), tz)
+        pwhere = _where_phys(m, where)
+        affected, _ = _prune_files(m, pwhere, tz)
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
         if not affected:
@@ -3345,14 +3424,15 @@ def snapshot_update(
                     compression,
                     m.get("column_mapping"),
                 )
-            if _commit_manifest(path, head + 1, manifest, m):
+            v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
+            if v_new is not None:
                 return {
-                    "version": head + 1,
+                    "version": v_new,
                     "updated_rows": updated_rows,
                     "rewritten_files": 0,
                     "carried_files": len(m["files"]),
                 }
-            continue  # head moved: re-read and redo
+            continue  # unrebasable conflict: re-read and redo
         df = _visible_df(spark, path, m, affected)
         updated_rows = df.filter(cond).count()
         out_df = df.select(cols)
@@ -3385,14 +3465,16 @@ def snapshot_update(
                 compression,
                 m.get("column_mapping"),
             )
-        if _commit_manifest(path, head + 1, manifest, m):
+        v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
+        if v_new is not None:
             return {
-                "version": head + 1,
+                "version": v_new,
                 "updated_rows": updated_rows,
                 "rewritten_files": len(affected),
                 "carried_files": len(carried),
             }
-        # head moved: re-read and redo; staged files stay for vacuum
+        # unrebasable conflict: re-read and redo; staged files stay
+        # for vacuum
 
 
 def snapshot_merge(
@@ -3828,9 +3910,13 @@ def snapshot_merge(
             manifest["changes"] = _stage_changes(
                 chg, path, compression, m.get("column_mapping")
             )
-        if _commit_manifest(path, head + 1, manifest, m):
+        v_new = _commit_dml(
+            path, head, manifest, m,
+            _where_phys(m, where) if where is not None else None, tz,
+        )
+        if v_new is not None:
             return {
-                "version": head + 1,
+                "version": v_new,
                 "updated_rows": n_updated if clause_mode else (
                     n_matched if when_matched == "update" else 0
                 ),
@@ -3841,7 +3927,8 @@ def snapshot_merge(
                 "rewritten_files": len(rewritten),
                 "carried_files": len(carried),
             }
-        # head moved: re-read and redo; staged files stay for vacuum
+        # unrebasable conflict: re-read and redo; staged files stay
+        # for vacuum
 
 
 def snapshot_restore(path: str, version: int) -> int:

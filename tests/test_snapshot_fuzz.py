@@ -50,6 +50,11 @@ SETTINGS = dict(
 #   ("rename",)          — metadata-only column rename (id <-> rid via
 #                          column mapping): every later op uses the NEW
 #                          name, every earlier version keeps its own
+#   ("racy_delete", lo, n) — copy-on-write delete racing a concurrent
+#                          blind append of disjoint high keys injected
+#                          mid-staging: exercises the rebase-vs-restart
+#                          commit path under the model (VERDICT r7
+#                          item 5)
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
@@ -62,6 +67,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("merge"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("merge_del"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("rename")),
+    st_.tuples(st_.just("racy_delete"), st_.integers(0, 60), st_.integers(1, 25)),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -140,6 +146,50 @@ def test_snapshot_random_op_sequences_match_model(
 
             head_v = snapshot_rename_column(p, old_name, cur)
             model[head_v] = ("rename", list(head_rows), cur)
+        elif op[0] == "racy_delete":
+            if first:
+                continue
+            _, lo, n = op
+            import dask_awkward_spark.sources.snapshot as snap_mod
+
+            hi = [1000 + lo + k for k in range(3)]  # disjoint from any range
+            real_stage = snap_mod._stage_files
+            state = {"fired": False, "inner": False, "v": None}
+
+            def hook(*a, _rs=real_stage, _hi=hi, _st=state, **k):
+                if not _st["inner"] and not _st["fired"]:
+                    _st["fired"] = True
+                    _st["inner"] = True
+                    try:
+                        df = with_pk(
+                            spark.createDataFrame(
+                                [(i,) for i in _hi], f"{cur} bigint"
+                            )
+                        )
+                        _st["v"] = snapshot_write(
+                            df.repartition(1), p, mode="append"
+                        )
+                    finally:
+                        _st["inner"] = False
+                return _rs(*a, **k)
+
+            snap_mod._stage_files = hook
+            try:
+                res = snapshot_delete(
+                    spark, p, [(cur, ">=", lo), (cur, "<", lo + n)]
+                )
+            finally:
+                snap_mod._stage_files = real_stage
+            if state["fired"]:  # the race happened: model the append too
+                head_rows = head_rows + hi
+                model[state["v"]] = ("append", list(head_rows), cur)
+                head_v = state["v"]
+            survivors = [x for x in head_rows if not (lo <= x < lo + n)]
+            assert res["removed_rows"] == len(head_rows) - len(survivors)
+            head_rows = survivors
+            if res["version"] != head_v:
+                head_v = res["version"]
+                model[head_v] = ("racy_delete", list(head_rows), cur)
         elif op[0] in ("delete", "mor_delete"):
             if first:
                 continue

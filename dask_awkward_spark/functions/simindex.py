@@ -260,7 +260,14 @@ def ivf_recall(
     measurement harness, not a query path). Recall@k for one query =
     |IVF top-k ∩ exact top-k| / |exact top-k|; the returned rows carry
     the mean over queries per nprobe, monotone in nprobe by
-    construction (probing every cell IS brute force)."""
+    construction (probing every cell IS brute force).
+
+    Cost note: each entry in ``nprobes`` runs its own :func:`ivf_search`
+    — the index's probed cells are RE-READ per nprobe (O(len(nprobes))
+    scans), plus one brute-force pass for the truth. A single scan at
+    max(nprobes) with per-prefix evaluation would be possible but is
+    not worth the complexity for a bounded measurement harness; size
+    ``queries`` and ``nprobes`` accordingly."""
     from ..sources.snapshot import snapshot_read
 
     corpus = snapshot_read(spark, index_path).select(id_col, e_col)

@@ -818,7 +818,23 @@ def without_parameters(arr: NestedArray) -> NestedArray:
 
 
 def enforce_type(arr: NestedArray, dtype: str | T.DataType) -> NestedArray:
-    """Cast to a target schema (reference lib/structure.py:1349-1368)."""
+    """Cast to a target schema (reference lib/structure.py:1349-1368).
+
+    Union targets have no Spark type: ingest encodes awkward/Arrow
+    unions as a TAGGED STRUCT instead (``struct<tag: tinyint, f0, f1,
+    ...>`` with exactly one live field — see
+    :func:`~dask_awkward_spark.sources.memory._devolve_unions`), and a
+    per-variant dispatch is one ``F.when(col.tag == i, ...)`` chain, so
+    a ``union[...]`` string here is refused with that pointer rather
+    than failing inside Spark's cast parser."""
+    if isinstance(dtype, str) and "union" in dtype.lower():
+        raise TypeError(
+            "Spark has no union type; unions are encoded as a tagged "
+            "struct (struct<tag: tinyint, <variant fields>> with exactly "
+            "one non-null variant per row) — from_awkward/from_arrow "
+            "ingest Arrow unions in that encoding automatically, and "
+            "F.when(col.tag == i, ...) dispatches per variant"
+        )
     return arr._wrap(arr._col.cast(dtype))
 
 

@@ -12,10 +12,96 @@ from pyspark.sql import functions as F
 from ..core import VALUE_COL, NestedArray, from_lists  # noqa: F401
 
 
+def _devolve_unions(arr):
+    """Arrow UnionArray → tagged struct, recursively (the SURVEY §1.2
+    union encoding; reference lib/unproject_layout.py:290-311 is the
+    inverse direction — reconstructing unions from flat buffers).
+
+    ``union<f0: T0, f1: T1, ...>`` becomes ``struct<tag: tinyint,
+    f0: T0, f1: T1, ...>`` where ``tag`` is the 0-based position of the
+    row's live variant and every other field is NULL — Spark has no
+    union type, and the tagged struct is the standard relational
+    encoding (one ``F.when(tag == i, ...)`` per variant recovers any
+    union dispatch). Handles dense AND sparse unions, at the top level
+    or nested under structs/lists; non-union arrays pass through
+    IDENTICAL (`is`-same), so union-free ingest pays nothing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_union(t):
+        codes = pc.cast(arr.type_codes, pa.int8())
+        tcodes = list(t.type_codes)
+        # tag = position of the row's type code in the union's code list
+        tag = pc.cast(
+            pc.index_in(codes, value_set=pa.array(tcodes, pa.int8())), pa.int8()
+        )
+        names, vals = [], []
+        for i in range(t.num_fields):
+            child = _devolve_unions(arr.field(i))
+            if t.mode == "dense":
+                idx = pc.if_else(
+                    pc.equal(codes, tcodes[i]),
+                    arr.offsets,
+                    pa.nulls(len(arr), pa.int32()),
+                )
+                v = child.take(idx)
+            else:  # sparse: children are row-aligned
+                v = pc.if_else(
+                    pc.equal(codes, tcodes[i]),
+                    child,
+                    pa.nulls(len(arr), child.type),
+                )
+            names.append(t.field(i).name)
+            vals.append(v)
+        return pa.StructArray.from_arrays([tag] + vals, names=["tag"] + names)
+    if pa.types.is_struct(t):
+        kids = [_devolve_unions(arr.field(i)) for i in range(t.num_fields)]
+        if all(k is arr.field(i) for i, k in enumerate(kids)):
+            return arr
+        return pa.StructArray.from_arrays(
+            kids,
+            names=[t.field(i).name for i in range(t.num_fields)],
+            mask=pc.is_null(arr),
+        )
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vals = _devolve_unions(arr.values)
+        if vals is arr.values:
+            return arr
+        cls = pa.ListArray if pa.types.is_list(t) else pa.LargeListArray
+        return cls.from_arrays(arr.offsets, vals)
+    return arr
+
+
 def from_arrow(spark: SparkSession, table) -> NestedArray:
     """Arrow table → NestedArray (the reference's from_awkward path is
-    awkward→Arrow→partitions; Spark ingests Arrow via pandas)."""
-    df = spark.createDataFrame(table.to_pandas())
+    awkward→Arrow→partitions; Spark ingests Arrow via pandas). Union-
+    typed columns (awkward's UnionArray travels to Arrow as a union)
+    are devolved to the tagged-struct encoding first — see
+    :func:`_devolve_unions`."""
+    import pyarrow as pa
+
+    def has_union(t) -> bool:
+        if pa.types.is_union(t):
+            return True
+        if pa.types.is_struct(t):
+            return any(has_union(t.field(i).type) for i in range(t.num_fields))
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return has_union(t.value_type)
+        return False
+
+    if any(has_union(f.type) for f in table.schema):
+        cols = [_devolve_unions(table.column(i)) for i in range(table.num_columns)]
+        table = pa.table(dict(zip(table.column_names, cols)))
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        df = spark.createDataFrame(
+            table.to_pylist(), from_arrow_schema(table.schema)
+        )
+    else:
+        df = spark.createDataFrame(table.to_pandas())
     return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
 
 

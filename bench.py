@@ -128,9 +128,14 @@ def main() -> None:
     # r6 worktree (30ac746) timed both IDENTICAL across builds (sketch
     # best 1.57-1.71s both sides, hist2d 0.39-0.42s both sides) with
     # 1.6-2.0s rep spread → machine noise, rep-sensitive → extra rep.
+    # dedup_fuzzy_reps: r7 driver drift 1.22x on an untouched body;
+    # round-8 ABBA vs r6 (30ac746) timed the builds identical (HEAD
+    # best 2.33/2.52s vs r6 2.63/2.46s, in-session spread 2.3-3.3s) →
+    # noise, rep-sensitive → extra rep.
     EXTRA_REP = {
         "q5_supplier_volume", "q3_top_orders", "op_sum_axis1",
         "sim_incremental", "sketch_cms_heavy_hitters", "hist2d_qty_discount",
+        "dedup_fuzzy_reps",
     }
     times = {}
     failed = []

@@ -383,6 +383,12 @@ def ivf_search(
     if "q" in idx.columns and "scale" in idx.columns:
         # ---- quantized tier: rank on int8, re-score survivors exact --
         rk_n = max(4 * k, 32) if rescore_k is None else rescore_k
+        if rk_n < k:
+            raise ValueError(
+                f"rescore_k must be >= k (got rescore_k={rk_n}, k={k}): "
+                "fewer exact-tier survivors than requested neighbors "
+                "would silently truncate the result"
+            )
         qd = _as_double(F.col("q"))
         # cosine over the DEQUANTIZED vector: scale is a positive
         # per-row scalar, so it cancels between dot and norm — the

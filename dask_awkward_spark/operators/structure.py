@@ -827,7 +827,9 @@ def enforce_type(arr: NestedArray, dtype: str | T.DataType) -> NestedArray:
     per-variant dispatch is one ``F.when(col.tag == i, ...)`` chain, so
     a ``union[...]`` string here is refused with that pointer rather
     than failing inside Spark's cast parser."""
-    if isinstance(dtype, str) and "union" in dtype.lower():
+    import re as _re
+
+    if isinstance(dtype, str) and _re.search(r"\bunion\s*\[", dtype.lower()):
         raise TypeError(
             "Spark has no union type; unions are encoded as a tagged "
             "struct (struct<tag: tinyint, <variant fields>> with exactly "

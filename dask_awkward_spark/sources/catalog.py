@@ -54,14 +54,26 @@ def snapshot_catalog_register(
     ``tag`` is the durable choice (tagged versions survive vacuum).
     Re-registering an existing name replaces its entry atomically
     (one MERGE commit). Returns the catalog version."""
-    from .snapshot import snapshot_merge, snapshot_write, _versions
+    from .snapshot import (
+        SnapshotConflictError,
+        snapshot_merge,
+        snapshot_write,
+        _versions,
+    )
 
     if version is not None and tag is not None:
         raise ValueError("pin by version OR tag, not both")
     row = [(name, table_path, version, tag, time.time())]
     src = spark.createDataFrame(row, _SCHEMA)
     if not _versions(catalog_path):
-        return snapshot_write(src, catalog_path, mode="append")
+        # CAS the creating write on the empty table: two concurrent
+        # first registrations of the same name must not BOTH take the
+        # blind-append path and duplicate it — the loser falls through
+        # to the merge (upsert) below
+        try:
+            return snapshot_write(src, catalog_path, expect_head=0, mode="append")
+        except SnapshotConflictError:
+            pass
     stats = snapshot_merge(
         spark,
         catalog_path,
@@ -108,9 +120,15 @@ def snapshot_catalog_list(spark: SparkSession, catalog_path: str) -> "list[dict]
 def snapshot_catalog_lookup(
     spark: SparkSession, catalog_path: str, name: str
 ) -> "dict":
-    """One entry by name; KeyError when absent."""
-    from .snapshot import snapshot_read
+    """One entry by name; KeyError when absent (whether the entry or
+    the whole catalog — callers get one exception type to handle)."""
+    from .snapshot import snapshot_read, _versions
 
+    if not _versions(catalog_path):
+        raise KeyError(
+            f"no catalog at {catalog_path} (snapshot_catalog_register "
+            "creates it on first use)"
+        )
     rows = (
         snapshot_read(spark, catalog_path, where=[("name", "=", name)])
         .limit(2)

@@ -71,7 +71,33 @@ def _devolve_unions(arr):
         if vals is arr.values:
             return arr
         cls = pa.ListArray if pa.types.is_list(t) else pa.LargeListArray
-        return cls.from_arrays(arr.offsets, vals)
+        # mask: a NULL list entry must stay NULL, not collapse to []
+        # (offsets alone encode lengths; validity travels separately)
+        return cls.from_arrays(arr.offsets, vals, mask=pc.is_null(arr))
+    if pa.types.is_fixed_size_list(t):
+        vals = _devolve_unions(arr.values)
+        if vals is arr.values:
+            return arr
+        out = pa.FixedSizeListArray.from_arrays(vals, t.list_size)
+        if arr.null_count:
+            out = pc.if_else(pc.is_valid(arr), out, pa.nulls(len(arr), out.type))
+        return out
+    if pa.types.is_map(t):
+        items = _devolve_unions(arr.items)
+        keys = _devolve_unions(arr.keys)
+        if items is arr.items and keys is arr.keys:
+            return arr
+        offs = arr.offsets
+        if arr.null_count:
+            # MapArray.from_arrays has no mask kwarg: a NULL map entry
+            # is encoded as a null at its offsets position instead
+            o = offs.to_pylist()
+            v = pc.is_valid(arr).to_pylist()
+            offs = pa.array(
+                [o[i] if (i >= len(v) or v[i]) else None for i in range(len(o))],
+                pa.int32(),
+            )
+        return pa.MapArray.from_arrays(offs, keys, items)
     return arr
 
 
@@ -88,18 +114,22 @@ def from_arrow(spark: SparkSession, table) -> NestedArray:
             return True
         if pa.types.is_struct(t):
             return any(has_union(t.field(i).type) for i in range(t.num_fields))
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)
+        ):
             return has_union(t.value_type)
+        if pa.types.is_map(t):
+            return has_union(t.key_type) or has_union(t.item_type)
         return False
 
     if any(has_union(f.type) for f in table.schema):
         cols = [_devolve_unions(table.column(i)) for i in range(table.num_columns)]
         table = pa.table(dict(zip(table.column_names, cols)))
-        from pyspark.sql.pandas.types import from_arrow_schema
-
-        df = spark.createDataFrame(
-            table.to_pylist(), from_arrow_schema(table.schema)
-        )
+        # devolved tables stay Arrow end-to-end (Spark 4 ingests
+        # pa.Table natively — no driver-side Python row materialization)
+        df = spark.createDataFrame(table)
     else:
         df = spark.createDataFrame(table.to_pandas())
     return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))

@@ -1891,6 +1891,15 @@ def _reject_reserved_column(name: str) -> None:
             f"column name {name!r} is reserved (Spark file-metadata "
             "struct / CDF feed columns / internal staging tags)"
         )
+    if "." in name or "`" in name:
+        # same invariant _check_reserved_names enforces at creation: a
+        # rename to 'a.b' would wedge the table (dotted names ARE the
+        # struct-leaf predicate grammar, and every later append would
+        # be refused against the table's own schema)
+        raise ValueError(
+            f"column name {name!r} may not contain '.' or '`': dotted "
+            "names address STRUCT leaves in predicates"
+        )
 
 
 def _refuse_constrained(m: dict, col: str, action: str) -> None:
@@ -3063,16 +3072,20 @@ def _rebase_manifest(
 
 
 def _commit_dml(
-    path: str, head: int, manifest: dict, m: dict, pwhere, tz
-) -> "int | None":
+    path: str, manifest: dict, m: dict, pwhere, tz
+) -> "tuple[int, int] | None":
     """Commit a staged DML manifest; on a CAS loss, rebase onto each
     newer head while :func:`_rebase_manifest` can prove it sound.
-    Returns the committed version, or None when the caller must restart
-    its staging loop (a real conflict). The staged data files are
-    immutable either way — a rebase reuses them byte-identical."""
+    Returns ``(committed version, files carried in by rebases)`` —
+    callers add the second to their carried-file count so the returned
+    stats reconcile with the committed manifest — or None when the
+    caller must restart its staging loop (a real conflict). The staged
+    data files are immutable either way — a rebase reuses them
+    byte-identical."""
+    base_files = len(manifest["files"])
     while True:
         if _commit_manifest(path, manifest["version"], manifest, m):
-            return manifest["version"]
+            return manifest["version"], len(manifest["files"]) - base_files
         new_head = _require_versions(path)[-1]
         m2 = _read_manifest(path, new_head)
         reb = _rebase_manifest(manifest, m, m2, new_head, pwhere, tz)
@@ -3219,13 +3232,13 @@ def snapshot_delete(
                     [(tagged.filter(cond).select(*names), "delete")],
                     path, compression, m.get("column_mapping"),
                 )
-            v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
-            if v_new is not None:
+            out = _commit_dml(path, manifest, m, pwhere, tz)
+            if out is not None:
                 return {
-                    "version": v_new,
+                    "version": out[0],
                     "removed_rows": removed,
                     "rewritten_files": 0,
-                    "carried_files": len(m["files"]),
+                    "carried_files": len(m["files"]) + out[1],
                     "delete_files": len(dv_files),
                 }
             continue  # unrebasable conflict: re-read and redo
@@ -3292,14 +3305,14 @@ def snapshot_delete(
                 compression,
                 m.get("column_mapping"),
             )
-        v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
-        if v_new is not None:
+        out = _commit_dml(path, manifest, m, pwhere, tz)
+        if out is not None:
             return {
-                "version": v_new,
+                "version": out[0],
                 "removed_rows": dropped_rows + before - after,
                 "rewritten_files": len(partial),
                 "dropped_files": len(full),
-                "carried_files": len(carried),
+                "carried_files": len(carried) + out[1],
             }
         # unrebasable conflict (compact/DML/possibly-matching append):
         # re-read and redo — the just-staged files stay for vacuum
@@ -3424,13 +3437,13 @@ def snapshot_update(
                     compression,
                     m.get("column_mapping"),
                 )
-            v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
-            if v_new is not None:
+            out = _commit_dml(path, manifest, m, pwhere, tz)
+            if out is not None:
                 return {
-                    "version": v_new,
+                    "version": out[0],
                     "updated_rows": updated_rows,
                     "rewritten_files": 0,
-                    "carried_files": len(m["files"]),
+                    "carried_files": len(m["files"]) + out[1],
                 }
             continue  # unrebasable conflict: re-read and redo
         df = _visible_df(spark, path, m, affected)
@@ -3465,13 +3478,13 @@ def snapshot_update(
                 compression,
                 m.get("column_mapping"),
             )
-        v_new = _commit_dml(path, head, manifest, m, pwhere, tz)
-        if v_new is not None:
+        out = _commit_dml(path, manifest, m, pwhere, tz)
+        if out is not None:
             return {
-                "version": v_new,
+                "version": out[0],
                 "updated_rows": updated_rows,
                 "rewritten_files": len(affected),
-                "carried_files": len(carried),
+                "carried_files": len(carried) + out[1],
             }
         # unrebasable conflict: re-read and redo; staged files stay
         # for vacuum
@@ -3910,13 +3923,13 @@ def snapshot_merge(
             manifest["changes"] = _stage_changes(
                 chg, path, compression, m.get("column_mapping")
             )
-        v_new = _commit_dml(
-            path, head, manifest, m,
+        out = _commit_dml(
+            path, manifest, m,
             _where_phys(m, where) if where is not None else None, tz,
         )
-        if v_new is not None:
+        if out is not None:
             return {
-                "version": v_new,
+                "version": out[0],
                 "updated_rows": n_updated if clause_mode else (
                     n_matched if when_matched == "update" else 0
                 ),
@@ -3925,7 +3938,7 @@ def snapshot_merge(
                 ),
                 "inserted_rows": inserted,
                 "rewritten_files": len(rewritten),
-                "carried_files": len(carried),
+                "carried_files": len(carried) + out[1],
             }
         # unrebasable conflict: re-read and redo; staged files stay
         # for vacuum

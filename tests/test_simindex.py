@@ -443,3 +443,12 @@ def test_quantized_tier_is_sticky(spark, tmp_path):
     ivf_index_add(p, _vecs(spark, 0, 50), cents, quantized=True)
     with pytest.raises(ValueError, match="schema"):
         ivf_index_add(p, _vecs(spark, 50, 60), cents)
+
+
+def test_quantized_rescore_k_validated(spark, tmp_path):
+    """rescore_k < k would silently truncate results — refused."""
+    cents = _centroids()
+    p = str(tmp_path / "quant")
+    ivf_index_add(p, _vecs(spark, 0, 50), cents, quantized=True)
+    with pytest.raises(ValueError, match="rescore_k"):
+        ivf_search(spark, p, _vecs(spark, 0, 2), cents, k=5, nprobe=2, rescore_k=3)

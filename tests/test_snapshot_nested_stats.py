@@ -175,3 +175,15 @@ def test_dotted_top_level_name_refused(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("a.b"))
     with pytest.raises(ValueError, match="may not contain"):
         snapshot_write(df, p)
+
+
+def test_rename_to_dotted_name_refused(spark, tmp_path):
+    """Rename must not create the ambiguous dotted name creation
+    refuses (review finding: the rename path bypassed the check and
+    could wedge the table)."""
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(5).select(F.col("id"), F.lit(1).alias("v")), p)
+    with pytest.raises(ValueError, match="may not contain"):
+        snapshot_rename_column(p, "v", "a.b")
+    with pytest.raises(ValueError, match="may not contain"):
+        snapshot_rename_column(p, "v", "a`b")

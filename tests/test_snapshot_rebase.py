@@ -70,6 +70,10 @@ def test_delete_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
     assert rows == list(range(260, 1000)) + list(range(5000, 5010))
     # the rebase consumed the conflict: delete committed AFTER the append
     assert [v["version"] for v in snapshot_versions(p)][-3:] == [1, 2, 3]
+    # bookkeeping reconciles with the committed manifest: the rebased
+    # commit carries the appended file, and the stats say so
+    m3 = snap._read_manifest(p, 3)
+    assert stats["carried_files"] + stats["rewritten_files"] == len(m3["files"])
 
 
 def test_delete_restarts_when_append_may_match(spark, tmp_path, monkeypatch):

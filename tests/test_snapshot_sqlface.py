@@ -198,3 +198,44 @@ def test_catalog_feeds_sql_dml(spark, tmp_path):
     tables = snapshot_catalog_tables(spark, cat)
     snapshot_sql(spark, "DELETE FROM docs WHERE k >= 5", tables)
     assert snapshot_read(spark, p).count() == 5
+
+
+def test_catalog_lookup_fresh_catalog_is_keyerror(spark, tmp_path):
+    """A not-yet-created catalog raises the documented KeyError, not a
+    raw storage-layer error (review finding)."""
+    with pytest.raises(KeyError, match="no catalog"):
+        snapshot_catalog_lookup(spark, str(tmp_path / "nope"), "t")
+
+
+def test_catalog_concurrent_first_register_upserts(spark, tmp_path):
+    """Two racing FIRST registrations of the same name must end with
+    one entry (review finding: non-atomic create-then-merge could
+    duplicate). Deterministic race: the second register sees the
+    pre-create state via a patched _versions on its first call."""
+    import dask_awkward_spark.sources.catalog as cat_mod
+    import dask_awkward_spark.sources.snapshot as snap_mod
+
+    p = _tbl(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    real_versions = snap_mod._versions
+    state = {"raced": False}
+
+    def versions_hook(path):
+        out = real_versions(path)
+        if path == cat and not out and not state["raced"]:
+            # the rival wins the creating write between our check and
+            # our commit
+            state["raced"] = True
+            snapshot_catalog_register(spark, cat, "t", p, version=1)
+        return out if not state["raced"] else real_versions(path)
+
+    # patch only the catalog module's view of _versions
+    orig = cat_mod.snapshot_catalog_register.__globals__  # module globals
+    import unittest.mock as mock
+
+    with mock.patch.object(snap_mod, "_versions", versions_hook):
+        snapshot_catalog_register(spark, cat, "t", p)  # loser must upsert
+    entries = snapshot_catalog_list(spark, cat)
+    assert len(entries) == 1 and entries[0]["name"] == "t"
+    # the loser's (unpinned) registration replaced the rival's pin
+    assert entries[0]["pin_version"] is None

@@ -117,3 +117,80 @@ def test_enforce_type_refuses_union_strings(spark):
     arr = from_lists(spark, [[1, 2], [3]], "array<bigint>")
     with pytest.raises(TypeError, match="tagged"):
         enforce_type(arr, "union[int64, string]")
+
+
+# ---- round-8 review regressions -------------------------------------
+
+
+def test_null_list_of_union_stays_null(spark):
+    """A NULL list entry must not collapse to [] through devolution
+    (review finding: list rebuild dropped the validity bitmap)."""
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0], pa.int8()),
+        pa.array([0, 0, 1], pa.int32()),
+        [pa.array([1, 2]), pa.array(["a"])],
+        ["num", "txt"],
+    )
+    lst = pa.ListArray.from_arrays(pa.array([0, 2, None, 3], pa.int32()), u)
+    arr = from_arrow(spark, pa.table({"xs": lst}))
+    got = {tuple(sorted(d.asDict().items()))
+           if d is not None else None: True for d in ()}
+    rows = arr.to_df("r").select("r.*").collect()
+    vals = sorted(
+        (row.xs is None, len(row.xs) if row.xs is not None else -1)
+        for row in rows
+    )
+    assert vals == [(False, 1), (False, 2), (True, -1)]
+
+
+def test_union_under_map_and_fixed_size_list(spark):
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0], pa.int8()),
+        pa.array([0, 0, 1], pa.int32()),
+        [pa.array([1, 2]), pa.array(["a"])],
+        ["num", "txt"],
+    )
+    mp = pa.MapArray.from_arrays(
+        pa.array([0, 2, None, 3], pa.int32()),
+        pa.array(["k1", "k2", "k3"]),
+        u,
+    )
+    # null preservation is an ARROW-level property of the devolution
+    # (Spark's own pa.Table ingest renders a NULL map as {})
+    from dask_awkward_spark.sources.memory import _devolve_unions
+
+    dev = _devolve_unions(mp)
+    assert dev.null_count == 1 and dev.to_pylist()[2] is None
+    arr = from_arrow(spark, pa.table({"m": mp}))
+    rows = [r.m for r in arr.to_df("r").select("r.*").collect() if r.m]
+    k1 = next(m["k1"].asDict() for m in rows if "k1" in m)
+    assert k1 == {"tag": 0, "num": 1, "txt": None}
+    u2 = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0, 1], pa.int8()),
+        [pa.array([1, 2, 3, 4]), pa.array(["a", "b", "c", "d"])],
+        ["num", "txt"],
+    )
+    fsl = pa.FixedSizeListArray.from_arrays(u2, 2)
+    arr2 = from_arrow(spark, pa.table({"xs": fsl}))
+    got = sorted(
+        tuple((i.tag, i.num, i.txt) for i in r.xs)
+        for r in arr2.to_df("r").select("r.*").collect()
+    )
+    assert got == [
+        ((0, 1, None), (1, None, "b")),
+        ((0, 3, None), (1, None, "d")),
+    ]
+
+
+def test_enforce_type_allows_union_substring_names(spark):
+    """'union' inside a field name is a legal cast target; only the
+    union[...] type syntax is refused."""
+    from dask_awkward_spark import from_lists
+    from dask_awkward_spark.operators.structure import enforce_type
+
+    arr = from_lists(spark, [[1], [2]], "array<bigint>")
+    out = enforce_type(arr, "array<int>")  # sanity: plain cast works
+    assert out.to_list() == [[1], [2]]
+    rec = from_lists(spark, [{"union_id": 1}], "struct<union_id:bigint>")
+    cast = enforce_type(rec, "struct<union_id:int>")
+    assert cast.to_list() == [{"union_id": 1}]

@@ -80,6 +80,11 @@ HEADLINE = [
     "io_snapshot_cmerge",
     # in-place CONVERT + tag pin held through a zero-retention vacuum
     "io_snapshot_convert",
+    # round-8 additions: nested-leaf file skipping (struct-leaf
+    # predicates prune/drop files across a parent rename) and the SQL
+    # write path driven through the persistent catalog
+    "io_snapshot_nested_prune",
+    "io_snapshot_sql_dml",
 ]
 
 

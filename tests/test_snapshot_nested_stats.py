@@ -187,3 +187,29 @@ def test_rename_to_dotted_name_refused(spark, tmp_path):
         snapshot_rename_column(p, "v", "a.b")
     with pytest.raises(ValueError, match="may not contain"):
         snapshot_rename_column(p, "v", "a`b")
+
+
+def test_nested_leaf_check_constraint(spark, tmp_path):
+    """CHECK constraints speak the same triple grammar — a struct-leaf
+    constraint validates existing data and rejects violating appends."""
+    from dask_awkward_spark.sources.snapshot import (
+        SnapshotConstraintViolation,
+        snapshot_add_constraint,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_df(spark, n=100, files=2), p)
+    snapshot_add_constraint(spark, p, "ts_nonneg", [("meta.ts", ">=", 0)])
+    bad = spark.range(1).select(
+        F.col("id"),
+        F.struct(
+            F.lit(-5).cast("bigint").alias("ts"),
+            F.lit(0).cast("bigint").alias("k"),
+            F.struct(F.lit("s0").alias("tag"), F.lit(0.0).alias("score")).alias("deep"),
+        ).alias("meta"),
+        F.array(F.col("id")).alias("arr"),
+    )
+    with pytest.raises(SnapshotConstraintViolation):
+        snapshot_write(bad, p, mode="append")
+    ok = snapshot_read(spark, p).count()
+    assert ok == 100  # the violating append never landed

@@ -424,8 +424,45 @@ def sim_incremental(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def sim_quantized(spark, sf_dir):
+    """Int8-quantized IVF index (round-8 tier) under an oracle: the same
+    three-chunk ingest as sim_incremental but with quantized=True (each
+    row stores q array<tinyint> + scale beside e), searched through the
+    two-tier path — int8 ranking scan (column-pruned to q), then exact
+    re-scoring. rescore_k is set high enough to cover every probed
+    candidate, so the result is EXACT by construction and must equal
+    DuckDB's single-pass batch IVF over the raw table (the same twin as
+    sim_incremental — quantization must be invisible in the answer;
+    the speed/recall trade at small rescore_k is pytest territory)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.simindex import ivf_index_add, ivf_search
+
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"{tempfile.gettempdir()}/dakspark_simq_{sf_tag}_{_os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    cents = _centroids()
+    try:
+        cuts = (-1, hi // 3, 2 * hi // 3, hi)
+        for lo, up in zip(cuts, cuts[1:]):
+            chunk = emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= up))
+            ivf_index_add(path, chunk, cents, e_col="e", quantized=True)
+        out = ivf_search(
+            spark, path, emb.filter(F.col("vec_id") == 0), cents,
+            k=10, nprobe=2, rescore_k=1_000_000,
+        ).select("vec_id", "cell", "cos")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_quantized": sim_quantized,
     "sim_incremental": sim_incremental,
     "sim_knn_per_query": sim_knn_per_query,
     "sim_lsh_buckets": sim_lsh_buckets,
@@ -442,6 +479,9 @@ ORACLES = {
     # chunked == batch: the incremental index must reproduce the
     # single-pass batch IVF answer bit-for-bit
     "sim_incremental": _ivf_sql(),
+    # quantized-then-rescored == flat == batch (exact by construction
+    # at full rescore): same twin again
+    "sim_quantized": _ivf_sql(),
     "sim_label_centroids": SIM_CENTROID_SQL,
     "sim_quantize_int8": SIM_QUANT_SQL,
 }

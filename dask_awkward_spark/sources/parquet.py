@@ -130,8 +130,22 @@ def zorder_column(
     if bits * len(cols) > 62:
         raise ValueError(f"bits*cols = {bits * len(cols)} exceeds a bigint key")
 
+    def leaf_type(c: str):
+        # dotted names address STRUCT leaves (clustering on meta.ts is
+        # exactly what makes nested-leaf file skipping tight)
+        cur, dt = df.schema, None
+        for seg in c.split("."):
+            if not isinstance(cur, T.StructType) or seg not in cur.fieldNames():
+                raise ValueError(
+                    f"zorder column {c!r}: {seg!r} is not a struct field "
+                    f"on the way down (schema {df.schema.simpleString()})"
+                )
+            dt = cur[seg].dataType
+            cur = dt
+        return dt
+
     def numeric(c: str) -> Column:
-        dt = df.schema[c].dataType
+        dt = leaf_type(c)
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
         return F.col(c).cast("double")

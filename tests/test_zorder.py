@@ -158,3 +158,51 @@ def test_compact_parquet_self_heals_after_crash(spark, tmp_path):
     compact_parquet(spark, p, target_file_bytes=1 << 30)
     assert spark.read.parquet(p).count() == 500
     assert not glob.glob(f"{p}__compact_*")
+
+
+def test_zorder_on_struct_leaf_tightens_nested_skipping(spark, tmp_path):
+    """Z-order clustering on a DOTTED struct leaf composes with round-8
+    nested-leaf stats: compacting an unclustered nested table on
+    meta.ts makes leaf-predicate file skipping effective."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_scan_report,
+        snapshot_write,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.struct(
+            # decorrelate ts from id so ingest order gives WIDE ranges
+            ((F.col("id") * 2654435761) % 4000).alias("ts"),
+        ).alias("meta"),
+    )
+    snapshot_write(df.repartition(8), p)  # hash layout: no clustering
+    before = snapshot_scan_report(p, [("meta.ts", "<", 500)])
+    assert before["skipped"] == 0  # every file spans the range
+    snapshot_compact(spark, p, target_file_bytes=1 << 12, zorder_by=["meta.ts"])
+    after = snapshot_scan_report(p, [("meta.ts", "<", 500)])
+    assert after["total"] >= 2 and after["skipped"] >= after["total"] // 2, after
+    got = sorted(
+        r.id for r in snapshot_read(spark, p, where=[("meta.ts", "<", 500)]).collect()
+    )
+    want = sorted(
+        r.id for r in df.filter(F.col("meta.ts") < 500).collect()
+    )
+    assert got == want
+
+
+def test_zorder_bad_nested_path_is_explicit(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_spark.sources.parquet import zorder_column
+
+    df = spark.range(5).select(F.col("id"), F.lit("x").alias("s"))
+    import pytest
+
+    with pytest.raises(ValueError, match="not a struct field"):
+        zorder_column(df, ["s.nope"])

@@ -515,16 +515,26 @@ def _file_stats(local_path: str, md=None) -> dict:
     lib/optimize.py:86-223, re-expressed as storage-level stats).
     Leaves under a LIST/MAP (max_repetition_level > 0) are skipped:
     they hold many values per row, so row-predicate pruning on their
-    min/max would be answering a different question ("any element")."""
+    min/max would be answering a different question ("any element").
+
+    The envelope is WIDTH-CAPPED at ``DAK_SNAPSHOT_STATS_MAX_COLS``
+    leaves (default 64, Delta's dataSkippingNumIndexedCols analog, in
+    schema order so every file of a table records the SAME set): the
+    manifest carries these stats per file, and an unbounded 500-leaf
+    document schema would make manifest size — not data — the scale
+    limit. Beyond-cap columns simply never prune (safe: may-match
+    keeps on missing stats, all-match refuses)."""
     import pyarrow.parquet as pq
 
     if md is None:
         md = pq.read_metadata(local_path)
     psch = md.schema
+    cap = int(os.environ.get("DAK_SNAPSHOT_STATS_MAX_COLS", "64"))
     minmax: "dict[str, list]" = {}
     nulls: "dict[str, int]" = {}
     complete: "dict[str, int]" = {}
     ncomplete: "dict[str, int]" = {}
+    recorded: "set[str]" = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -532,6 +542,10 @@ def _file_stats(local_path: str, md=None) -> dict:
             name = c.path_in_schema
             if "." in name and psch.column(ci).max_repetition_level > 0:
                 continue  # list/map element — no per-row value to prune on
+            if name not in recorded:
+                if len(recorded) >= cap:
+                    continue  # width cap: schema-order prefix only
+                recorded.add(name)
             st = c.statistics
             if st is None:
                 continue
@@ -1347,7 +1361,12 @@ def _prunable_leaf_paths(schema: StructType, pmap: "dict | None" = None):
     pmap = pmap or {}
     for f in schema.fields:
         walk(pmap.get(f.name, f.name), f.dataType)
-    return out
+    # same width cap as _file_stats (sidecar min/max columns are 2x
+    # this wide); the two prefixes can differ slightly (the stats cap
+    # counts non-prunable leaf names too) — safe either way, both
+    # prune paths KEEP on missing stats
+    cap = int(os.environ.get("DAK_SNAPSHOT_STATS_MAX_COLS", "64"))
+    return out[:cap]
 
 
 def _bq(name: str) -> str:

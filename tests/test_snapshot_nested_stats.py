@@ -213,3 +213,35 @@ def test_nested_leaf_check_constraint(spark, tmp_path):
         snapshot_write(bad, p, mode="append")
     ok = snapshot_read(spark, p).count()
     assert ok == 100  # the violating append never landed
+
+
+def test_stats_width_cap(spark, tmp_path, monkeypatch):
+    """The stats envelope records at most DAK_SNAPSHOT_STATS_MAX_COLS
+    leaves (schema-order prefix, Delta's dataSkippingNumIndexedCols
+    analog) — manifest size must not scale with a 500-leaf document
+    schema. Beyond-cap predicates are safe no-ops: may-match keeps,
+    all-match refuses, results identical to a full scan."""
+    monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "3")
+    p = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.struct(
+            (F.col("id") * 2).alias("a"),
+            (F.col("id") * 3).alias("b"),
+            (F.col("id") * 5).alias("c"),
+        ).alias("meta"),
+    ).repartitionByRange(4, "id")
+    snapshot_write(df, p)
+    m = _read_manifest(p, _versions(p)[-1])
+    s = m["stats"][m["files"][0]]
+    assert sorted(s["minmax"]) == ["id", "meta.a", "meta.b"]  # prefix of 3
+    # beyond-cap predicate: zero skipping, full-scan-identical rows
+    rep = snapshot_scan_report(p, [("meta.c", "<", 100)])
+    assert rep["skipped"] == 0
+    got = sorted(
+        r.id for r in snapshot_read(spark, p, where=[("meta.c", "<", 100)]).collect()
+    )
+    assert got == list(range(20))
+    assert _file_all_match(s, [("meta.c", ">=", 0)]) is False
+    # in-cap predicates still prune
+    assert snapshot_scan_report(p, [("meta.a", "<", 50)])["skipped"] >= 2

@@ -86,7 +86,7 @@ from .sources.snapshot import (
     stream_from_snapshot,
     stream_to_snapshot,
 )
-from .sources.sqlface import snapshot_sql
+from .sources.sqlface import snapshot_sql, snapshot_changes_view
 from .sources.catalog import (
     snapshot_catalog_register,
     snapshot_catalog_unregister,

@@ -38,7 +38,29 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_sql"]
+__all__ = ["snapshot_sql", "snapshot_changes_view"]
+
+
+def snapshot_changes_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    since: int,
+    until: "int | None" = None,
+    row_level: bool = False,
+) -> DataFrame:
+    """SQL face for the change feed: register
+    :func:`~dask_awkward_spark.sources.snapshot.snapshot_changes` as a
+    temp view, so a SQL-only CDC consumer reads the delta with plain
+    ``SELECT`` — the read-side complement of :func:`snapshot_sql`
+    (Delta's ``table_changes('t', since, until)``). Pinned at
+    registration like :func:`snapshot_view`; ``row_level=True``
+    surfaces the ``_change_type``/``_commit_version`` columns."""
+    from .snapshot import snapshot_changes
+
+    df = snapshot_changes(spark, path, since, until=until, row_level=row_level)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*"

@@ -239,3 +239,28 @@ def test_catalog_concurrent_first_register_upserts(spark, tmp_path):
     assert len(entries) == 1 and entries[0]["name"] == "t"
     # the loser's (unpinned) registration replaced the rival's pin
     assert entries[0]["pin_version"] is None
+
+
+def test_changes_view_sql_cdc(spark, tmp_path):
+    """A SQL-only CDC consumer: snapshot_changes_view registers the
+    delta as a view (Delta's table_changes analog), row-level mode
+    included."""
+    from dask_awkward_spark.sources.sqlface import snapshot_changes_view
+
+    p = _tbl(spark, tmp_path)  # v1: k 0..9
+    snapshot_read(spark, p).selectExpr(
+        "k + 100 AS k", "v", "meta"
+    ).createOrReplaceTempView("t_src")
+    snapshot_sql(spark, "INSERT INTO t SELECT k, v, meta FROM t_src", {"t": p})
+    snapshot_sql(
+        spark, "INSERT INTO t VALUES (50, 1.0, named_struct('g', 1))", {"t": p}
+    )
+    snapshot_changes_view(spark, p, "t_delta", since=1)
+    got = [r.k for r in spark.sql("SELECT k FROM t_delta ORDER BY k").collect()]
+    assert got == [50, 100, 101, 102, 103, 104, 105, 106, 107, 108, 109]
+    st = snapshot_sql(spark, "DELETE FROM t WHERE k = 50", {"t": p})
+    snapshot_changes_view(
+        spark, p, "t_cdf", since=st["version"] - 1, row_level=True
+    )
+    row = spark.sql("SELECT k, _change_type FROM t_cdf").collect()
+    assert [(r.k, r._change_type) for r in row] == [(50, "delete")]

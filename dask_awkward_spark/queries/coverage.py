@@ -1418,3 +1418,61 @@ FROM src WHERE bal >= 0 GROUP BY seg
 
 QUERIES["io_snapshot_sql_dml"] = io_snapshot_sql_dml
 ORACLES["io_snapshot_sql_dml"] = IO_SNAPSHOT_SQL_DML_SQL
+
+
+def io_snapshot_sql_merge(spark, sf_dir):
+    """The MERGE string form under an oracle (round-8 sqlface): the
+    exact conditional-merge lifecycle of io_snapshot_cmerge, but the
+    MERGE arrives as ONE SQL string — two ordered WHEN MATCHED clauses
+    (update when the candidate balance is higher, else delete),
+    first-match-wins — parsed structurally by snapshot_sql and executed
+    through snapshot_merge's clause grammar. Shares io_snapshot_cmerge's
+    DuckDB CASE twin: the string form must be answer-identical to the
+    Python call it fronts."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_read, snapshot_write
+    from ..sources.sqlface import snapshot_sql
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_sqlmerge_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+    )
+    view = f"sqlmerge_src_{os.getpid()}"
+    try:
+        snapshot_write(cust.repartitionByRange(4, "k"), path)
+        cust.filter(F.col("k") % 2 == 0).select(
+            "k", (-F.col("bal")).alias("newbal")
+        ).createOrReplaceTempView(view)
+        stats = snapshot_sql(
+            spark,
+            f"""
+            MERGE INTO cust USING {view} s ON t.k = s.k
+            WHEN MATCHED AND s.newbal > t.bal THEN UPDATE SET bal = s.newbal
+            WHEN MATCHED THEN DELETE
+            """,
+            {"cust": path},
+        )
+        assert stats["updated_rows"] > 0 and stats["deleted_rows"] > 0, (
+            "both clauses must fire through the string form"
+        )
+        return (
+            snapshot_read(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("bal"))).alias("bal_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.catalog.dropTempView(view) if spark.catalog.tableExists(view) else None
+        shutil.rmtree(path, ignore_errors=True)
+
+
+QUERIES["io_snapshot_sql_merge"] = io_snapshot_sql_merge
+ORACLES["io_snapshot_sql_merge"] = IO_SNAPSHOT_CMERGE_SQL

@@ -76,6 +76,17 @@ _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+t|\s+t)?\s+USING\s+"
+    rf"(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS\s+s|\s+s)?\s+ON\s+(.+?)"
+    rf"(?=\s+WHEN\s)(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_WHEN_RE = re.compile(
+    r"\s*WHEN\s+(NOT\s+MATCHED|MATCHED)(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT(?:\s+\*)?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.I | re.S,
+)
 
 # WHERE tokenizer: string literal ('' escapes), number, identifier
 # (dotted = struct leaf, welcome — nested stats prune on it), operator,
@@ -249,11 +260,14 @@ def snapshot_sql(
       right-hand sides evaluate against the OLD row, like
       :func:`snapshot_update`.
 
-    MERGE: there is no string form — call :func:`snapshot_merge`, whose
-    ``on=``, ``when_matched=[(cond, action, assigns)]`` conditions and
-    assignment values are ALREADY Spark SQL strings; the "MERGE from
-    SQL" recipe is running ``spark.sql(...)`` for the source frame and
-    passing the ON / WHEN fragments through verbatim (EXAMPLES.md).
+    - ``MERGE INTO t USING <view|(subquery)> s ON t.k = s.k WHEN
+      MATCHED [AND cond] THEN UPDATE SET c = expr / DELETE WHEN NOT
+      MATCHED THEN INSERT`` — structure parses here; every condition
+      and assignment passes VERBATIM into :func:`snapshot_merge`'s
+      clause grammar (they are already SQL over the ``t``/``s`` row
+      structs), so the aliases are fixed to ``t``/``s`` and anything
+      richer (conditional INSERT, expression keys) points at the
+      Python face.
 
     Returns the new version number (INSERTs) or the DML stats dict
     (DELETE/UPDATE). Raises ``ValueError`` with a pointer at the Python
@@ -279,6 +293,10 @@ def snapshot_sql(
         return snapshot_update(
             spark, _resolve(table, tables), parse_where(where_sql), assignments
         )
+
+    m = _MERGE_RE.match(sql)
+    if m:
+        return _merge_sql(spark, m, tables)
 
     m = _INSERT_RE.match(sql)
     if m:
@@ -317,8 +335,96 @@ def snapshot_sql(
     raise ValueError(
         f"unsupported statement {sql.strip()[:60]!r}: the SQL face speaks "
         "INSERT INTO/OVERWRITE, DELETE FROM ... WHERE, UPDATE ... SET ... "
-        "WHERE; MERGE goes through snapshot_merge (its conditions and "
-        "assignments are already SQL strings)"
+        "WHERE, and MERGE INTO t USING src s ON t.k = s.k WHEN ... "
+        "(aliases fixed to t/s; snapshot_merge is the richer Python face)"
+    )
+
+
+def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
+    """Constrained ``MERGE INTO`` string form. The structure parses
+    here; every CONDITION and ASSIGNMENT passes through VERBATIM to
+    :func:`snapshot_merge`, which already takes them as Spark SQL
+    strings over the ``t``/``s`` row structs — so the target alias must
+    be ``t`` and the source alias ``s`` (Delta's docs convention), the
+    ON clause must be conjunctive ``t.k = s.k`` equi-keys, and WHEN NOT
+    MATCHED supports only the unconditional full-row INSERT."""
+    from .snapshot import snapshot_merge, snapshot_read
+
+    table, source, on_sql, whens = (
+        m.group(1), m.group(2), m.group(3), m.group(4),
+    )
+    path = _resolve(table, tables)
+    on = []
+    for part in re.split(r"\s+AND\s+", on_sql.strip(), flags=re.I):
+        em = re.match(
+            r"^\s*t\.(\w+)\s*=\s*s\.(\w+)\s*$|^\s*s\.(\w+)\s*=\s*t\.(\w+)\s*$",
+            part,
+        )
+        names = em and {n for n in em.groups() if n is not None}
+        if not em or len(names) != 1:
+            raise ValueError(
+                f"MERGE ON must be ANDed t.<k> = s.<k> equi-keys with the "
+                f"same name on both sides, got {part.strip()!r}"
+            )
+        on.append(names.pop())
+    clauses, not_matched = [], None
+    spans = list(_WHEN_RE.finditer(whens))
+    # contiguity: the clauses must tile the WHEN text (whitespace gaps
+    # only) — anything unparsed is a refusal, not a silent drop
+    pos, covered = 0, bool(spans)
+    for sp in spans:
+        if whens[pos:sp.start()].strip():
+            covered = False
+            break
+        pos = sp.end()
+    if covered and whens[pos:].strip():
+        covered = False
+    if not covered:
+        raise ValueError(
+            f"cannot parse MERGE WHEN clauses {whens.strip()[:80]!r}: each "
+            "must be WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE or "
+            "WHEN NOT MATCHED THEN INSERT"
+        )
+    for w in spans:
+        kind, cond, action = w.group(1).upper(), w.group(2), w.group(3)
+        if kind.startswith("NOT"):
+            if cond is not None:
+                raise ValueError(
+                    "WHEN NOT MATCHED AND <cond> is not supported — "
+                    "pre-filter the source instead"
+                )
+            not_matched = "insert"
+            continue
+        am = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.I | re.S)
+        if am:
+            set_sql = am.group(1).strip()
+            if set_sql == "*":
+                assigns = None  # whole source row
+            else:
+                assigns = {}
+                for part in _split_top_level(set_sql):
+                    cm = re.match(rf"^(?:t\.)?({_IDENT})\s*=\s*(.+)$", part, re.S)
+                    if cm is None:
+                        raise ValueError(f"cannot parse MERGE SET item {part!r}")
+                    assigns[cm.group(1)] = cm.group(2)  # verbatim SQL over t/s
+            clauses.append((cond, "update", assigns))
+        else:
+            clauses.append((cond, "delete", None))
+    # resolve the source LAST so structural refusals fire before any
+    # catalog lookup can mask them with a missing-view error
+    if source.startswith("("):
+        src = spark.sql(source[1:-1])
+    elif source in tables:
+        src = snapshot_read(spark, tables[source])
+    else:
+        src = spark.table(source)
+    return snapshot_merge(
+        spark,
+        path,
+        src,
+        on=on,
+        when_matched=clauses or None,
+        when_not_matched=not_matched,
     )
 
 

@@ -138,13 +138,59 @@ def test_sql_statement_refusals(spark, tmp_path):
     p = _tbl(spark, tmp_path)
     for bad in [
         "DROP TABLE t",
-        "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE",
         "DELETE FROM t",  # no WHERE
         "INSERT INTO missing VALUES (1)",
         "DELETE FROM t WHERE k = 1 OR k = 2",
+        # MERGE structure refusals: non-equi ON, conditional INSERT
+        "MERGE INTO t USING src s ON t.k > s.k WHEN MATCHED THEN DELETE",
+        "MERGE INTO t USING src s ON t.k = s.j WHEN MATCHED THEN DELETE",
+        "MERGE INTO t USING src s ON t.k = s.k "
+        "WHEN NOT MATCHED AND s.k > 3 THEN INSERT",
     ]:
         with pytest.raises(ValueError):
             snapshot_sql(spark, bad, {"t": p})
+
+
+def test_sql_merge_string_form(spark, tmp_path):
+    """MERGE INTO as a SQL string: conditions/assignments flow verbatim
+    into snapshot_merge's clause grammar (first-match-wins), source may
+    be a subquery, and WHEN NOT MATCHED inserts."""
+    p = _tbl(spark, tmp_path)  # k 0..9, v = 2k
+    spark.range(8, 12).select(
+        F.col("id").alias("k"),
+        F.lit(100.0).alias("newv"),
+    ).createOrReplaceTempView("merge_src")
+    st = snapshot_sql(
+        spark,
+        """
+        MERGE INTO t USING (SELECT k, newv FROM merge_src) s ON t.k = s.k
+        WHEN MATCHED AND s.newv > t.v THEN UPDATE SET v = s.newv
+        WHEN MATCHED THEN DELETE
+        """,
+        {"t": p},
+    )
+    # k=8 (v=16) and k=9 (v=18): newv=100 > both -> updated; none deleted
+    assert st["updated_rows"] == 2 and st["deleted_rows"] == 0
+    assert st["inserted_rows"] == 0  # no NOT MATCHED clause
+    got = dict(
+        (r.k, r.v) for r in snapshot_read(spark, p).collect()
+    )
+    assert got[8] == 100.0 and got[9] == 100.0 and got[0] == 0.0
+    # full-row upsert with INSERT: source must carry the whole row
+    spark.createDataFrame(
+        [(9, 0.5, {"g": 0}), (50, 7.0, {"g": 2})],
+        "k bigint, v double, meta struct<g:bigint>",
+    ).createOrReplaceTempView("merge_src2")
+    st = snapshot_sql(
+        spark,
+        "MERGE INTO t USING merge_src2 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT",
+        {"t": p},
+    )
+    assert st["updated_rows"] == 1 and st["inserted_rows"] == 1
+    got = dict((r.k, r.v) for r in snapshot_read(spark, p).collect())
+    assert got[9] == 0.5 and got[50] == 7.0
 
 
 def test_sql_insert_respects_schema_mismatch(spark, tmp_path):

@@ -399,6 +399,15 @@ def sim_incremental(spark, sf_dir):
     equal DuckDB's single-pass batch IVF over the raw table: fixed
     centroids make a vector's cell independent of ingest order, so
     chunked == batch exactly (the ANN twin of dedup_incremental)."""
+    return _ivf_lifecycle(spark, sf_dir, "simidx")
+
+
+def _ivf_lifecycle(spark, sf_dir, tag, quantized=False, rescore_k=None):
+    """Shared chunked-ingest IVF lifecycle for sim_incremental /
+    sim_quantized: three O(delta) appends under fixed centroids, then
+    vec 0's top-10 via a 2-cell probe. Exactness vs the batch IVF twin
+    holds for BOTH tiers (fixed centroids make chunked == batch; at
+    full rescore the quantized ranking is re-scored exactly)."""
     import os as _os
     import shutil
     import tempfile
@@ -406,7 +415,7 @@ def sim_incremental(spark, sf_dir):
     from ..functions.simindex import ivf_index_add, ivf_search
 
     sf_tag = _os.path.basename(sf_dir.rstrip("/"))
-    path = f"{tempfile.gettempdir()}/dakspark_simidx_{sf_tag}_{_os.getpid()}"
+    path = f"{tempfile.gettempdir()}/dakspark_{tag}_{sf_tag}_{_os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     emb = _emb(spark, sf_dir)
     hi = emb.agg(F.max("vec_id")).first()[0]
@@ -415,9 +424,10 @@ def sim_incremental(spark, sf_dir):
         cuts = (-1, hi // 3, 2 * hi // 3, hi)
         for lo, up in zip(cuts, cuts[1:]):
             chunk = emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= up))
-            ivf_index_add(path, chunk, cents, e_col="e")
+            ivf_index_add(path, chunk, cents, e_col="e", quantized=quantized)
         out = ivf_search(
-            spark, path, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=2
+            spark, path, emb.filter(F.col("vec_id") == 0), cents,
+            k=10, nprobe=2, rescore_k=rescore_k,
         ).select("vec_id", "cell", "cos")
         return out.localCheckpoint(eager=True)
     finally:
@@ -434,30 +444,8 @@ def sim_quantized(spark, sf_dir):
     DuckDB's single-pass batch IVF over the raw table (the same twin as
     sim_incremental — quantization must be invisible in the answer;
     the speed/recall trade at small rescore_k is pytest territory)."""
-    import os as _os
-    import shutil
-    import tempfile
-
-    from ..functions.simindex import ivf_index_add, ivf_search
-
-    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
-    path = f"{tempfile.gettempdir()}/dakspark_simq_{sf_tag}_{_os.getpid()}"
-    shutil.rmtree(path, ignore_errors=True)
-    emb = _emb(spark, sf_dir)
-    hi = emb.agg(F.max("vec_id")).first()[0]
-    cents = _centroids()
-    try:
-        cuts = (-1, hi // 3, 2 * hi // 3, hi)
-        for lo, up in zip(cuts, cuts[1:]):
-            chunk = emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= up))
-            ivf_index_add(path, chunk, cents, e_col="e", quantized=True)
-        out = ivf_search(
-            spark, path, emb.filter(F.col("vec_id") == 0), cents,
-            k=10, nprobe=2, rescore_k=1_000_000,
-        ).select("vec_id", "cell", "cos")
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+    return _ivf_lifecycle(spark, sf_dir, "simq", quantized=True,
+                          rescore_k=1_000_000)
 
 
 QUERIES = {

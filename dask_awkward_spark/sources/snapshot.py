@@ -493,6 +493,21 @@ def _decode_stat(v):
     return v
 
 
+def _stats_encodable(sc) -> bool:
+    """Can this parquet leaf's min/max ever survive _encode_stat?
+    Booleans, raw binary, and decimals never can — recording them would
+    burn width-cap slots (and nulls bytes) for zero pruning power, and
+    would skew the capped prefix away from _prunable_leaf_paths'
+    (the checkpoint sidecar's) view of the same schema."""
+    pt = sc.physical_type
+    lt = str(sc.logical_type.type) if sc.logical_type is not None else "NONE"
+    if pt in ("BOOLEAN", "FIXED_LEN_BYTE_ARRAY"):
+        return False
+    if pt == "BYTE_ARRAY":
+        return lt == "STRING"
+    return lt != "DECIMAL"
+
+
 def _file_stats(local_path: str, md=None) -> dict:
     """Footer stats for one parquet file: row count plus per-leaf-column
     [min, max] aggregated across row groups. A column appears
@@ -540,8 +555,11 @@ def _file_stats(local_path: str, md=None) -> dict:
         for ci in range(g.num_columns):
             c = g.column(ci)
             name = c.path_in_schema
-            if "." in name and psch.column(ci).max_repetition_level > 0:
+            sc = psch.column(ci)
+            if "." in name and sc.max_repetition_level > 0:
                 continue  # list/map element — no per-row value to prune on
+            if not _stats_encodable(sc):
+                continue  # bool/binary/decimal: zero pruning power
             if name not in recorded:
                 if len(recorded) >= cap:
                     continue  # width cap: schema-order prefix only

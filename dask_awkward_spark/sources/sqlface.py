@@ -387,14 +387,25 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
         )
     for w in spans:
         kind, cond, action = w.group(1).upper(), w.group(2), w.group(3)
+        is_insert = re.match(r"^INSERT\b", action, re.I) is not None
         if kind.startswith("NOT"):
             if cond is not None:
                 raise ValueError(
                     "WHEN NOT MATCHED AND <cond> is not supported — "
                     "pre-filter the source instead"
                 )
+            if not is_insert:
+                raise ValueError(
+                    f"WHEN NOT MATCHED supports only INSERT, got "
+                    f"{action.strip()[:30]!r}"
+                )
             not_matched = "insert"
             continue
+        if is_insert:
+            raise ValueError(
+                "WHEN MATCHED supports UPDATE SET .../DELETE, not INSERT "
+                "(matched rows already exist)"
+            )
         am = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.I | re.S)
         if am:
             set_sql = am.group(1).strip()

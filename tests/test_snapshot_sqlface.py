@@ -310,3 +310,22 @@ def test_changes_view_sql_cdc(spark, tmp_path):
     )
     row = spark.sql("SELECT k, _change_type FROM t_cdf").collect()
     assert [(r.k, r._change_type) for r in row] == [(50, "delete")]
+
+
+def test_sql_merge_action_kind_mismatch_refused(spark, tmp_path):
+    """Second-review regression: WHEN MATCHED THEN INSERT must refuse
+    (it used to fall through into an unconditional DELETE), and WHEN
+    NOT MATCHED THEN DELETE/UPDATE must refuse (it used to insert)."""
+    p = _tbl(spark, tmp_path)
+    spark.range(3).selectExpr("id AS k").createOrReplaceTempView("mm_src")
+    for bad, msg in [
+        ("MERGE INTO t USING mm_src s ON t.k = s.k "
+         "WHEN MATCHED THEN INSERT", "not INSERT"),
+        ("MERGE INTO t USING mm_src s ON t.k = s.k "
+         "WHEN NOT MATCHED THEN DELETE", "only INSERT"),
+        ("MERGE INTO t USING mm_src s ON t.k = s.k "
+         "WHEN NOT MATCHED THEN UPDATE SET v = 1", "only INSERT"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            snapshot_sql(spark, bad, {"t": p})
+    assert snapshot_read(spark, p).count() == 10  # nothing executed

@@ -299,6 +299,44 @@ def ivf_recall(
     return out
 
 
+#: Query batches LARGER than this are planned fully distributed (probe
+#: cells computed as a column, candidates via a hash join, quantized
+#: survivors never collected — see :func:`_ivf_search_batch`); at or
+#: below it the query side is collected once and broadcast, which is
+#: cheaper for interactive lookups (no extra Spark jobs for probe
+#: planning). Override per call with ``batch=``.
+IVF_COLLECT_MAX_QUERY_ROWS = 512
+
+#: Collected-path bound on driver-materialized quantized survivors
+#: (|queries| x rescore_k (q_id, vec_id) pairs). Past it the exact tier
+#: switches to the distributed survivor join even on the collected path
+#: — ``rescore_k`` is caller-controlled (the exactness mode passes
+#: O(corpus)), and an unbounded survivor collect + IN-list is exactly
+#: the driver bottleneck the batch path exists to avoid.
+IVF_COLLECT_MAX_SURVIVORS = 65536
+
+
+def _probe_cells_expr(e: Column, centroids: "list[list[float]]", nprobe: int) -> Column:
+    """Each row's best ``nprobe`` cells (1-based), best first — sort by
+    dot DESC (negate), cell asc as tiebreak. Pure per-row expression:
+    the single source of probe geometry for both search paths."""
+    ds = _cell_dots(e, centroids)
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    ds,
+                    F.sequence(F.lit(1), F.lit(len(centroids))),
+                    lambda d, i: F.struct((-d).alias("nd"), i.alias("cell")),
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        nprobe,
+    )
+
+
 def ivf_search(
     spark: SparkSession,
     index_path: str,
@@ -310,19 +348,36 @@ def ivf_search(
     e_col: str = "e",
     exclude_self: bool = True,
     rescore_k: "int | None" = None,
+    batch: "bool | None" = None,
 ) -> DataFrame:
     """Top-``k`` cosine neighbors per query vector, probing each query's
     best ``nprobe`` cells only.
 
-    ``queries`` is a SMALL frame by contract (interactive lookups / a
-    batch of a few hundred probes): it is collected once to (a) compute
-    the union of probed cells driver-side — which drives snapshot
-    partition pruning, so the index scan touches ONLY those cells'
-    files — and (b) broadcast the probe rows into the candidate join.
-    The expensive cosine runs on candidates inside probed cells alone
-    (~nprobe/n_cells of the index), then a per-query window takes the
-    top-k (partitioned by query id — never a global sort).
-    Ties break on candidate id, so results are deterministic.
+    Two plan shapes, picked by the query-side row count (``batch=None``,
+    the default, gates at ``IVF_COLLECT_MAX_QUERY_ROWS`` via a bounded
+    ``limit(n+1).count()`` — never a full count of an expensive side):
+
+    - COLLECTED (small batches / interactive lookups): the query side is
+      collected once to compute the union of probed cells driver-side —
+      which drives snapshot partition pruning, so the index scan touches
+      ONLY those cells' files — and to broadcast the probe rows into the
+      candidate join.
+    - BATCH (``batch=True`` or a large query side): nothing per-query
+      ever reaches the driver — probe cells are computed as a COLUMN on
+      the queries frame, candidates come from one hash join on ``cell``,
+      and the only collect is the DISTINCT probed-cell union (bounded by
+      ``len(centroids)``, never by |queries|) for partition pruning. The
+      realistic 100 TB re-ranking job (10^5-10^6 query rows) runs here.
+      The queries frame is evaluated more than once on this path, so a
+      non-deterministic query side (sample/rand) must be pinned by the
+      caller first (``df.localCheckpoint()`` — the same rule as DML
+      RHS values).
+
+    Either way the expensive cosine runs on candidates inside probed
+    cells alone (~nprobe/n_cells of the index), then a per-query window
+    takes the top-k (partitioned by query id — never a global sort).
+    Ties break on candidate id, so results are deterministic, and both
+    paths return identical rows for the same inputs.
 
     Over a QUANTIZED index (built with ``ivf_index_add(...,
     quantized=True)``) the search runs two tiers automatically:
@@ -330,37 +385,42 @@ def ivf_search(
     column pruning means the scan reads ~1/8 the bytes of the
     full-precision column (scale cancels out of cosine, so the
     quantized ranking needs just ``q``) — then (2) re-score the top
-    ``rescore_k`` (default ``max(4*k, 32)``) per query EXACTLY, reading
-    ``e`` for only those candidate ids (an IN-pushdown point read over
-    the probed cells). Classic IVF-SQ with re-ranking: full-precision
-    top-k quality at quantized probe I/O."""
+    ``rescore_k`` (default ``max(4*k, 32)``) per query EXACTLY against
+    the full-precision ``e``. On the collected path the survivors are
+    point-read through an IN-pushdown predicate while they fit
+    ``IVF_COLLECT_MAX_SURVIVORS``; past that, and always on the batch
+    path, the survivor frame stays DISTRIBUTED and the exact tier is a
+    hash JOIN between it and the cell-pruned index (VERDICT r9 item 1).
+    Classic IVF-SQ with re-ranking: full-precision top-k quality at
+    quantized probe I/O."""
     from ..sources.snapshot import snapshot_read
 
     if nprobe < 1 or nprobe > len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
-    ds = _cell_dots(F.col(e_col), centroids)
+    rk_n = max(4 * k, 32) if rescore_k is None else rescore_k
+    if rk_n < k:
+        raise ValueError(
+            f"rescore_k must be >= k (got rescore_k={rk_n}, k={k}): "
+            "fewer exact-tier survivors than requested neighbors "
+            "would silently truncate the result"
+        )
+    if batch is None:
+        n = queries.limit(IVF_COLLECT_MAX_QUERY_ROWS + 1).count()
+        if n == 0:
+            raise ValueError("queries frame is empty")
+        batch = n > IVF_COLLECT_MAX_QUERY_ROWS
+    if batch:
+        return _ivf_search_batch(
+            spark, index_path, queries, centroids, k, nprobe,
+            id_col, e_col, exclude_self, rk_n,
+        )
     qrows = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(e_col).cast("array<double>").alias("qe"),
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.zip_with(
-                        ds,
-                        F.sequence(F.lit(1), F.lit(len(centroids))),
-                        # sort by dot DESC (negate), cell asc as tiebreak
-                        lambda d, i: F.struct((-d).alias("nd"), i.alias("cell")),
-                    )
-                ),
-                lambda s: s["cell"],
-            ),
-            1,
-            nprobe,
-        ).alias("cells"),
+        _probe_cells_expr(F.col(e_col), centroids, nprobe).alias("cells"),
     ).collect()
     if not qrows:
         raise ValueError("queries frame is empty")
-    qe_by_id = {r.q_id: r.qe for r in qrows}
     probe_cells = sorted({int(c) for r in qrows for c in r.cells})
     idx = snapshot_read(spark, index_path, where=[("cell", "in", probe_cells)])
     # q_id keeps the caller's id type (string/uuid ids are as legal here
@@ -382,13 +442,6 @@ def ivf_search(
     )
     if "q" in idx.columns and "scale" in idx.columns:
         # ---- quantized tier: rank on int8, re-score survivors exact --
-        rk_n = max(4 * k, 32) if rescore_k is None else rescore_k
-        if rk_n < k:
-            raise ValueError(
-                f"rescore_k must be >= k (got rescore_k={rk_n}, k={k}): "
-                "fewer exact-tier survivors than requested neighbors "
-                "would silently truncate the result"
-            )
         qd = _as_double(F.col("q"))
         # cosine over the DEQUANTIZED vector: scale is a positive
         # per-row scalar, so it cancels between dot and norm — the
@@ -403,37 +456,59 @@ def ivf_search(
         wq = Window.partitionBy("q_id").orderBy(
             F.col("cos_q").desc(), F.col("vec_id")
         )
-        surv = (
+        surv_df = (
             cand_q.select("q_id", "vec_id", cos_q.alias("cos_q"))
             .withColumn("rk", F.row_number().over(wq))
             .filter(F.col("rk") <= rk_n)
             .select("q_id", "vec_id")
-            .collect()  # bounded: <= |queries| x rescore_k pairs
         )
-        if not surv:  # every probed cell empty (or self-only)
-            return spark.createDataFrame(
-                [], f"q_id {id_t}, vec_id {idx.schema['vec_id'].dataType.simpleString()}, cell int, cos double"
+        if len(qrows) * rk_n > IVF_COLLECT_MAX_SURVIVORS:
+            # the survivor set may exceed the driver bound — keep it
+            # distributed: re-attach qe (broadcast, one row per query)
+            # and join the survivors back to the cell-pruned index
+            qev = F.broadcast(
+                spark.createDataFrame(
+                    [(r.q_id, r.qe) for r in qrows],
+                    f"q_id {id_t}, qe array<double>",
+                )
             )
-        ids = sorted({r.vec_id for r in surv})
-        # exact tier: point-read ONLY the surviving ids' rows — the IN
-        # predicate pushes into the parquet scan of the probed cells
-        full = snapshot_read(
-            spark,
-            index_path,
-            where=[("cell", "in", probe_cells), ("vec_id", "in", ids)],
-        ).select("vec_id", "cell", "e")
-        vid_t = idx.schema["vec_id"].dataType.simpleString()
-        pairs = F.broadcast(
-            spark.createDataFrame(
-                [(r.q_id, qe_by_id[r.q_id], r.vec_id) for r in surv],
-                f"q_id {id_t}, qe array<double>, vec_id {vid_t}",
+            full = snapshot_read(
+                spark, index_path, where=[("cell", "in", probe_cells)]
+            ).select("vec_id", "cell", "e")
+            cand = full.join(surv_df.join(qev, "q_id"), "vec_id")
+        else:
+            surv = surv_df.collect()  # bounded: <= |queries| x rescore_k pairs
+            if not surv:  # every probed cell empty (or self-only)
+                return spark.createDataFrame(
+                    [], f"q_id {id_t}, vec_id {idx.schema['vec_id'].dataType.simpleString()}, cell int, cos double"
+                )
+            qe_by_id = {r.q_id: r.qe for r in qrows}
+            ids = sorted({r.vec_id for r in surv})
+            # exact tier: point-read ONLY the surviving ids' rows — the
+            # IN predicate pushes into the parquet scan of probed cells
+            full = snapshot_read(
+                spark,
+                index_path,
+                where=[("cell", "in", probe_cells), ("vec_id", "in", ids)],
+            ).select("vec_id", "cell", "e")
+            vid_t = idx.schema["vec_id"].dataType.simpleString()
+            pairs = F.broadcast(
+                spark.createDataFrame(
+                    [(r.q_id, qe_by_id[r.q_id], r.vec_id) for r in surv],
+                    f"q_id {id_t}, qe array<double>, vec_id {vid_t}",
+                )
             )
-        )
-        cand = full.join(pairs, "vec_id")
+            cand = full.join(pairs, "vec_id")
     else:
         cand = idx.join(qdf, "cell")
         if exclude_self:
             cand = cand.filter(F.col("vec_id") != F.col("q_id"))
+    return _exact_topk(cand, k)
+
+
+def _exact_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact tier tail: cosine over ``e``/``qe``, per-query
+    window top-``k`` on (rounded cos DESC, vec_id)."""
     cos = dot(F.col("e"), F.col("qe")) / (
         F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
     )
@@ -444,3 +519,80 @@ def ivf_search(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def _ivf_search_batch(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    centroids: "list[list[float]]",
+    k: int,
+    nprobe: int,
+    id_col: str,
+    e_col: str,
+    exclude_self: bool,
+    rk_n: int,
+) -> DataFrame:
+    """Distributed two-tier probe for BATCH query sides (VERDICT r9
+    item 1): the whole search is DataFrame plans — the only driver
+    materialization on this path is the distinct probed-cell union
+    (bounded by ``len(centroids)``, the codebook size), used for
+    snapshot partition pruning exactly like the collected path.
+
+    Shape: probe cells as a column → explode to one (q_id, qe, cell)
+    row per probe → hash equi-join on ``cell`` against the cell-pruned
+    index scan → (quantized tier) per-query window keeps the top
+    ``rk_n`` survivors AS A FRAME → exact tier joins the survivors back
+    to the index on ``vec_id`` (never an IN-list built driver-side) →
+    per-query window top-k. Candidate volume per query is
+    ~nprobe/n_cells of the corpus, identical to the collected path —
+    only the planning moved off the driver."""
+    from ..sources.snapshot import snapshot_read
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(e_col).cast("array<double>").alias("qe"),
+        _probe_cells_expr(F.col(e_col), centroids, nprobe).alias("cells"),
+    )
+    # the ONE collect: distinct probed cells <= len(centroids) rows
+    probe_cells = sorted(
+        int(r["cell"])
+        for r in q.select(F.explode("cells").alias("cell")).distinct().collect()
+    )
+    if not probe_cells:
+        raise ValueError("queries frame is empty")
+    qx = q.select("q_id", "qe", F.explode("cells").alias("cell")).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    idx = snapshot_read(spark, index_path, where=[("cell", "in", probe_cells)])
+    if "q" in idx.columns and "scale" in idx.columns:
+        qd = _as_double(F.col("q"))
+        cos_q = F.try_divide(
+            dot(qd, F.col("qe")),
+            F.sqrt(dot(qd, qd)) * F.sqrt(dot(F.col("qe"), F.col("qe"))),
+        )
+        cand_q = idx.select("vec_id", "cell", "q").join(qx, "cell")
+        if exclude_self:
+            cand_q = cand_q.filter(F.col("vec_id") != F.col("q_id"))
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("cos_q").desc(), F.col("vec_id")
+        )
+        # the ranking window shuffles EVERY candidate row — keep that
+        # frame scalar-only (q_id, vec_id, cos_q). Carrying qe (a dim-
+        # sized array) through it multiplies the shuffle ~10x; instead
+        # the few survivors re-join qe from the (tiny) query frame
+        surv = (
+            cand_q.select("q_id", "vec_id", cos_q.alias("cos_q"))
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= rk_n)
+            .select("q_id", "vec_id")
+        ).join(q.select("q_id", "qe"), "q_id")
+        full = snapshot_read(
+            spark, index_path, where=[("cell", "in", probe_cells)]
+        ).select("vec_id", "cell", "e")
+        cand = full.join(surv, "vec_id")
+    else:
+        cand = idx.join(qx, "cell")
+        if exclude_self:
+            cand = cand.filter(F.col("vec_id") != F.col("q_id"))
+    return _exact_topk(cand, k)

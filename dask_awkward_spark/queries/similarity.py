@@ -448,6 +448,123 @@ def sim_quantized(spark, sf_dir):
                           rescore_k=1_000_000)
 
 
+N_REPS_BATCH = 21  # 500 base vectors x 21 perturbed reps = 10,500 queries
+CORPUS_CAP = 200   # indexed corpus: vec_id < 200 (constant across SF)
+QUERY_CAP = 500    # query base:    vec_id < 500 (constant across SF)
+
+
+def sim_batch_search(spark, sf_dir):
+    """Distributed two-tier IVF batch search (VERDICT r9 item 1): a
+    10,500-row query side — 20x past the collected-path gate — probes a
+    QUANTIZED IVF index entirely as DataFrame plans. Probe cells are a
+    COLUMN on the query frame, candidates come from one hash equi-join
+    on cell, the quantized survivors stay a DataFrame, and the exact
+    tier re-scores them by JOINING the survivor frame back to the
+    cell-pruned index — the only driver-side materialization anywhere
+    is the distinct probed-cell union (<= n_cells rows). rescore_k
+    covers every probed candidate, so the answer must equal DuckDB's
+    single-pass batch IVF twin exactly (quantization + distribution
+    both invisible in the result). Queries are the first 500 embeddings
+    x 21 deterministic element-wise perturbations (+0.001*rep), so the
+    batch is genuinely heterogeneous — caps keep the work constant
+    across scale factors (the query side is the scaled thing here)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.simindex import IVF_COLLECT_MAX_QUERY_ROWS, ivf_index_add, ivf_search
+
+    assert QUERY_CAP * N_REPS_BATCH > IVF_COLLECT_MAX_QUERY_ROWS  # batch path
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"{tempfile.gettempdir()}/dakspark_simbatch_{sf_tag}_{_os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    cents = _centroids()
+    try:
+        ivf_index_add(
+            path, emb.filter(F.col("vec_id") < CORPUS_CAP), cents,
+            e_col="e", quantized=True,
+        )
+        qs = emb.filter(F.col("vec_id") < QUERY_CAP).select(
+            "vec_id", "e",
+            F.explode(F.sequence(F.lit(1), F.lit(N_REPS_BATCH))).alias("rep"),
+        ).select(
+            # disjoint from corpus ids, so exclude_self never fires and
+            # the twin needs no exclusion clause
+            (F.lit(1_000_000) + F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+            F.transform("e", lambda x: x + F.col("rep") * F.lit(0.001)).alias("e"),
+        )
+        out = ivf_search(
+            spark, path, qs, cents, k=3, nprobe=2, rescore_k=1_000_000,
+        ).select("q_id", "vec_id", "cell", "cos")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _batch_search_sql() -> str:
+    """Batch IVF twin: per-query top-2 cells by centroid dot (first-max
+    tiebreak = lowest cell, matching _probe_cells_expr's (-dot, cell)
+    struct sort), exact cosine inside probed cells, top-3 per query."""
+    dots_e, dots_q = [], []
+    for row in _centroids():
+        lit = "[" + ", ".join(str(w) for w in row) + "]"
+        dots_e.append(f"list_dot_product(e, {lit})")
+        dots_q.append(f"list_dot_product(qe, {lit})")
+    ds_e = "[" + ", ".join(dots_e) + "]"
+    ds_q = "[" + ", ".join(dots_q) + "]"
+    masked = (
+        f"list_transform(range({N_CELLS}), i -> CASE WHEN i + 1 = c1 THEN -1e18 ELSE ds[i+1] END)"
+    )
+    # native list_dot_product instead of the interpreted range/lambda
+    # form the other sim twins use: at 500k candidate pairs the lambda
+    # machinery dominates the twin's runtime (~60s vs ~2s). Exactness
+    # is preserved — DuckDB's implementation is a strict LEFT FOLD like
+    # Spark's F.aggregate(F.zip_with(...)): probed with
+    # [1e16, 1, -1e16, 1]-style order-sensitive vectors at several
+    # offsets (SIMD-lane or pairwise summation would return a different
+    # double) and swept against the lambda form over 10k real pairs —
+    # max abs diff exactly 0.0.
+    ee = "list_dot_product(e, e)"
+    eq = "list_dot_product(e, qe)"
+    qq = "list_dot_product(qe, qe)"
+    # norms precompute PER ROW (sqrt(dot(x,x)) is pair-independent, so
+    # hoisting it out of the 500k-pair join changes no double value —
+    # same sequential fold over the same elements)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), corpus AS (
+  SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) AS INT) AS cell,
+         sqrt({ee}) AS en
+  FROM (SELECT vec_id, e, {ds_e} AS ds FROM v WHERE vec_id < {CORPUS_CAP})
+), q0 AS (
+  SELECT 1000000 + v.vec_id * 100 + r AS q_id,
+         list_transform(e, x -> x + r * 0.001) AS qe
+  FROM v, unnest(range(1, {N_REPS_BATCH} + 1)) AS t(r)
+  WHERE v.vec_id < {QUERY_CAP}
+), qd AS (
+  SELECT q_id, qe, sqrt({qq}) AS qn, {ds_q} AS ds FROM q0
+), q2 AS (
+  SELECT q_id, qe, qn, c1,
+         CAST(list_position({masked}, list_max({masked})) AS INT) AS c2
+  FROM (SELECT q_id, qe, qn, ds, CAST(list_position(ds, list_max(ds)) AS INT) AS c1 FROM qd)
+), qcells AS (
+  SELECT q_id, qe, qn, c1 AS cell FROM q2
+  UNION ALL
+  SELECT q_id, qe, qn, c2 AS cell FROM q2
+), scored AS (
+  SELECT q.q_id, c.vec_id, c.cell,
+         round({eq} / (c.en * q.qn), 6) AS cos
+  FROM qcells q JOIN corpus c USING (cell)
+)
+SELECT q_id, vec_id, cell, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_quantized": sim_quantized,
@@ -457,6 +574,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_label_centroids": sim_label_centroids,
     "sim_quantize_int8": sim_quantize_int8,
+    "sim_batch_search": sim_batch_search,
 }
 
 ORACLES = {
@@ -472,6 +590,9 @@ ORACLES = {
     "sim_quantized": _ivf_sql(),
     "sim_label_centroids": SIM_CENTROID_SQL,
     "sim_quantize_int8": SIM_QUANT_SQL,
+    # distributed two-tier batch path == single-pass batch IVF (exact
+    # at full rescore; quantization and distribution both invisible)
+    "sim_batch_search": _batch_search_sql(),
 }
 
 

@@ -30,6 +30,18 @@ def _devolve_unions(arr):
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.offset:
+        # Rebase sliced inputs to offset 0 FIRST: a sliced UnionArray's
+        # .type_codes/.offsets ignore the slice window (they return the
+        # buffer's first len(arr) entries), and a sparse union's
+        # children are sliced while its codes are not — devolving such
+        # an array silently emits rows 0..n-1 instead of the slice
+        # (verified by execution). concat_arrays rebases every buffer;
+        # recursion re-enters here, so sliced children handed down by a
+        # parent (sparse-union fields are sliced views) normalize too.
+        # Offset-0 inputs — the from_arrow path via combine_chunks —
+        # skip this, so union-free ingest still pays nothing.
+        arr = pa.concat_arrays([arr])
     t = arr.type
     if pa.types.is_union(t):
         codes = pc.cast(arr.type_codes, pa.int8())

@@ -194,3 +194,55 @@ def test_enforce_type_allows_union_substring_names(spark):
     rec = from_lists(spark, [{"union_id": 1}], "struct<union_id:bigint>")
     cast = enforce_type(rec, "struct<union_id:int>")
     assert cast.to_list() == [{"union_id": 1}]
+
+
+def test_sliced_unions_devolve_the_slice_not_the_prefix():
+    """ADVICE r8: a sliced UnionArray's .type_codes/.offsets ignore the
+    array offset (and a sparse union's children are sliced while its
+    codes are not), so devolving a slice used to silently emit rows
+    0..n-1 instead of the slice — _devolve_unions must rebase first."""
+    from dask_awkward_spark.sources.memory import _devolve_unions
+
+    u = _dense_union()
+    s = u.slice(2, 3)  # rows 2..4: txt 'b', num 44, flt 9.5
+    out = _devolve_unions(s)
+    assert out.to_pylist() == [
+        {"tag": 1, "num": None, "txt": "b", "flt": None},
+        {"tag": 0, "num": 44, "txt": None, "flt": None},
+        {"tag": 2, "num": None, "txt": None, "flt": 9.5},
+    ]
+    u2 = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0, 1, 0], pa.int8()),
+        [pa.array([1, 2, 3, 4, 5]), pa.array(["p", "q", "r", "s", "t"])],
+        ["num", "txt"],
+    )
+    s2 = u2.slice(1, 3)  # rows 1..3: 'q', 3, 's'
+    assert [(d["tag"], d["num"], d["txt"]) for d in _devolve_unions(s2).to_pylist()] == [
+        (1, None, "q"),
+        (0, 3, None),
+        (1, None, "s"),
+    ]
+
+
+def test_sliced_struct_hands_down_sliced_union_child():
+    """Recursion hazard: a sliced STRUCT's .field() is a sliced view, so
+    the union child arrives at _devolve_unions WITH an offset — the
+    entry rebase must catch it there too."""
+    from dask_awkward_spark.sources.memory import _devolve_unions
+
+    st = pa.StructArray.from_arrays(
+        [pa.array([100, 200, 300, 400, 500]), _sparse5()], names=["k", "u"]
+    )
+    out = _devolve_unions(st.slice(2, 2))  # rows 2,3: (300, 3), (400, 's')
+    assert out.to_pylist() == [
+        {"k": 300, "u": {"tag": 0, "num": 3, "txt": None}},
+        {"k": 400, "u": {"tag": 1, "num": None, "txt": "s"}},
+    ]
+
+
+def _sparse5():
+    return pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0, 1, 0], pa.int8()),
+        [pa.array([1, 2, 3, 4, 5]), pa.array(["p", "q", "r", "s", "t"])],
+        ["num", "txt"],
+    )

@@ -1476,3 +1476,99 @@ def io_snapshot_sql_merge(spark, sf_dir):
 
 QUERIES["io_snapshot_sql_merge"] = io_snapshot_sql_merge
 ORACLES["io_snapshot_sql_merge"] = IO_SNAPSHOT_CMERGE_SQL
+
+
+def io_snapshot_sync(spark, sf_dir):
+    """Sync-replication MERGE lifecycle (VERDICT r9 item 3): ONE atomic
+    commit runs all three Delta clause families PLUS a conditional
+    insert — matched rows update (bal + 100 for the lower key half),
+    source-only rows insert gated on s.bal > 0 (shifted ids), and
+    target rows above a threshold, provably not matched by source,
+    DELETE via WHEN NOT MATCHED BY SOURCE. A second third-family merge
+    whose condition hits nothing must rewrite ZERO files (the inverted
+    pruning proof's carry direction, asserted in-query). The read-back
+    equals a DuckDB twin computing the same four row populations."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_merge, snapshot_read, snapshot_write
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_snapsync_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+    )
+    hi = cust.agg(F.max("k")).first()[0]
+    cut, thr = hi // 2, (7 * hi) // 8
+    try:
+        snapshot_write(cust.repartitionByRange(4, "k"), path)
+        low = cust.filter(F.col("k") <= cut)
+        src = low.select("k", "c_mktsegment", (F.col("bal") + 100).alias("bal"))
+        src = src.unionByName(
+            low.select(
+                (F.col("k") + 2 * hi).alias("k"), "c_mktsegment", "bal"
+            )
+        )
+        stats = snapshot_merge(
+            spark, path, src, on=["k"],
+            when_matched="update",
+            when_not_matched=("insert", "s.bal > 0"),
+            when_not_matched_by_source=[(f"t.k > {thr}", "delete", None)],
+        )
+        assert stats["updated_rows"] > 0, "matched family must fire"
+        assert stats["deleted_rows"] > 0, "third family must fire"
+        assert 0 < stats["inserted_rows"], "insert family must fire"
+        n_low = low.count()
+        assert stats["inserted_rows"] < n_low, (
+            "the insert condition must actually gate rows out"
+        )
+        # carry direction: a third-family merge whose condition hits
+        # nothing rewrites NOTHING (outside files carry verbatim)
+        noop = snapshot_merge(
+            spark, path, src, on=["k"],
+            when_matched=None, when_not_matched=None,
+            when_not_matched_by_source=[("t.bal < -1e18", "delete", None)],
+        )
+        assert noop["rewritten_files"] == 0 and noop["version"] == stats["version"]
+        return (
+            snapshot_read(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("bal"))).alias("bal_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# four populations: updated lower half (+100), untouched middle, the
+# k > thr slice deleted by WHEN NOT MATCHED BY SOURCE, and the shifted
+# re-inserts gated on bal > 0
+IO_SNAPSHOT_SYNC_SQL = """
+WITH b AS (
+  SELECT max(c_custkey) AS hi,
+         max(c_custkey) // 2 AS cut,
+         (7 * max(c_custkey)) // 8 AS thr
+  FROM customer
+), rows_out AS (
+  SELECT c_custkey AS k, c_mktsegment,
+         CASE WHEN c_custkey <= (SELECT cut FROM b)
+              THEN c_acctbal + 100 ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey <= (SELECT thr FROM b)
+  UNION ALL
+  SELECT c_custkey + 2 * (SELECT hi FROM b), c_mktsegment, c_acctbal
+  FROM customer
+  WHERE c_custkey <= (SELECT cut FROM b) AND c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+FROM rows_out GROUP BY c_mktsegment
+"""
+
+QUERIES["io_snapshot_sync"] = io_snapshot_sync
+ORACLES["io_snapshot_sync"] = IO_SNAPSHOT_SYNC_SQL

@@ -1380,9 +1380,12 @@ def _prunable_leaf_paths(schema: StructType, pmap: "dict | None" = None):
     for f in schema.fields:
         walk(pmap.get(f.name, f.name), f.dataType)
     # same width cap as _file_stats (sidecar min/max columns are 2x
-    # this wide); the two prefixes can differ slightly (the stats cap
-    # counts non-prunable leaf names too) — safe either way, both
-    # prune paths KEEP on missing stats
+    # this wide); neither side burns cap slots on ineligible leaves,
+    # but the two capped prefixes can still diverge where the
+    # eligibility predicates disagree (_stats_encodable reads parquet
+    # physical/logical types, _ckpt_arrow_type reads Spark simple
+    # strings — e.g. a type one maps and the other refuses) — safe
+    # either way, both prune paths KEEP on missing stats
     cap = int(os.environ.get("DAK_SNAPSHOT_STATS_MAX_COLS", "64"))
     return out[:cap]
 
@@ -3534,6 +3537,7 @@ def snapshot_merge(
     on: "list[str]",
     when_matched: "str | list | None" = "update",
     when_not_matched: "str | None" = "insert",
+    when_not_matched_by_source: "str | list | None" = None,
     compression: str = "zstd",
     change_feed: bool = True,
 ) -> "dict[str, int]":
@@ -3547,7 +3551,11 @@ def snapshot_merge(
     ``when_matched``: ``"update"`` replaces each matching target row
     with the source row's values, ``"delete"`` removes it, ``None``
     leaves it. ``when_not_matched``: ``"insert"`` adds source rows whose
-    key matches no target row, ``None`` drops them. Like Delta/Iceberg
+    key matches no target row, ``("insert", condition)`` adds only those
+    of them the condition accepts (SQL string or Column over the source
+    row as struct ``s`` — Delta's ``WHEN NOT MATCHED AND cond THEN
+    INSERT``; matched clauses still see every source row), ``None``
+    drops them. Like Delta/Iceberg
     MERGE, a target row matched by MORE than one source row is refused
     (ambiguous), NULL source keys never match (they insert), and
     duplicate-key target rows each take the one source row's values.
@@ -3575,10 +3583,32 @@ def snapshot_merge(
             ("s.bal > t.bal", "update", {"bal": "s.bal"}),
         ], when_not_matched=None)
 
+    ``when_not_matched_by_source`` (Delta's third clause family, the
+    sync/replication idiom) acts on TARGET rows no match-eligible
+    source row keys to: ``"delete"`` removes them all (mirror the
+    source in one atomic commit), or a clause list
+    ``(condition, action, assignments)`` evaluated first-match-wins
+    exactly like ``when_matched`` — except there is NO source row, so
+    conditions and assignment expressions see only the target struct
+    ``t`` (an ``s.`` reference fails analysis, loudly), update
+    assignments must be an explicit dict (no source row to copy), and
+    a NULL condition never matches. Rows no clause hits stay unchanged.
+
     Scale shape: the source's per-key min/max (one tiny agg) prunes the
     target through the manifest stats — only files whose key range
     intersects the source's are read and rewritten, so upserting one
     day into a date-clustered 100 TB table rewrites one day's files.
+    With ``when_not_matched_by_source`` the pruning proof INVERTS for
+    the third clause family: a file OUTSIDE the source's key bounds
+    provably holds only not-matched-by-source rows, but that makes it
+    a rewrite CANDIDATE, not a skip — it still carries verbatim when no
+    clause hits any of its region's rows (checked with one aggregation,
+    so a conditional sync that touches nothing outside the upsert range
+    rewrites nothing extra; an unconditional ``"delete"`` sync is
+    inherently O(unmatched rows)). Conflict handling also inverts: a
+    concurrent blind append may add rows the third clause family would
+    have had to touch, so these merges never REBASE over appends — they
+    restage against the new head (same CAS loop, one extra pass).
     The match itself is a hash equi-join on ``on`` against just those
     files; when nothing matches and only inserts remain, NO existing
     file is rewritten. Commits compare-and-swap against the head and
@@ -3624,9 +3654,68 @@ def snapshot_merge(
             clauses.append((cond, action, assigns))
     elif when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
+    nm_cond = None
+    if isinstance(when_not_matched, (list, tuple)):
+        # ("insert", condition): Delta's WHEN NOT MATCHED AND cond THEN
+        # INSERT — the condition gates INSERTION ONLY (matched clauses
+        # still see every source row), sees the source row as struct
+        # ``s``, and a NULL result never inserts
+        if len(when_not_matched) != 2 or when_not_matched[0] != "insert":
+            raise ValueError(
+                "when_not_matched must be 'insert', ('insert', condition), "
+                f"or None, got {when_not_matched!r}"
+            )
+        nm_cond = when_not_matched[1]
+        when_not_matched = "insert"
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
-    if when_matched is None and when_not_matched is None:
+    nms_clauses: "list[tuple]" = []
+    if when_not_matched_by_source is not None:
+        if when_not_matched_by_source == "delete":
+            nms_clauses = [(None, "delete", None)]
+        elif isinstance(when_not_matched_by_source, (list, tuple)):
+            if not when_not_matched_by_source:
+                raise ValueError("when_not_matched_by_source clause list is empty")
+            for i, cl in enumerate(when_not_matched_by_source):
+                if not (isinstance(cl, (list, tuple)) and len(cl) == 3):
+                    raise ValueError(
+                        "each when_not_matched_by_source clause is a "
+                        f"(condition, action, assignments) triple, got {cl!r}"
+                    )
+                cond, action, assigns = cl
+                if action not in ("update", "delete"):
+                    raise ValueError(
+                        f"clause action must be update|delete, got {action!r}"
+                    )
+                if action == "delete" and assigns is not None:
+                    raise ValueError("a delete clause takes no assignments")
+                if action == "update":
+                    # no source row exists for these target rows, so
+                    # "whole source row" (None) has nothing to copy
+                    if not isinstance(assigns, dict) or not assigns:
+                        raise ValueError(
+                            "a when_not_matched_by_source update needs an "
+                            "explicit non-empty assignments dict (there is "
+                            "no source row to copy)"
+                        )
+                    bad_keys = sorted(set(assigns) & set(on))
+                    if bad_keys:
+                        raise ValueError(
+                            f"may not assign merge key columns {bad_keys}"
+                        )
+                if cond is None and i != len(when_not_matched_by_source) - 1:
+                    raise ValueError(
+                        "only the LAST when_not_matched_by_source clause may "
+                        f"omit its condition (clause {i} makes later ones "
+                        "unreachable)"
+                    )
+                nms_clauses.append((cond, action, assigns))
+        else:
+            raise ValueError(
+                "when_not_matched_by_source must be 'delete', a clause "
+                f"list, or None, got {when_not_matched_by_source!r}"
+            )
+    if when_matched is None and when_not_matched is None and not nms_clauses:
         raise ValueError("merge with no matched and no not-matched action is a no-op")
 
     def _zero(version, carried):
@@ -3652,7 +3741,7 @@ def snapshot_merge(
     missing = sorted(set(on) - set(names))
     if missing:
         raise ValueError(f"key columns {missing} not in table schema {names}")
-    for _cond, _a, _assigns in clauses:
+    for _cond, _a, _assigns in list(clauses) + nms_clauses:
         if _a == "update" and _assigns is not None:
             unknown = sorted(set(_assigns) - set(names))
             if unknown:
@@ -3802,10 +3891,102 @@ def snapshot_merge(
         pinned_m, out_cols, n_updated, n_deleted = None, None, 0, 0
         upd_idx = [i for i, (_c, a, _g) in enumerate(clauses) if a == "update"]
         del_idx = [i for i, (_c, a, _g) in enumerate(clauses) if a == "delete"]
+        # ---- WHEN NOT MATCHED BY SOURCE (VERDICT r9 item 3) ----------
+        # The third clause family's candidates are the inside files'
+        # left_anti rows PLUS every row of the outside (bounds-disjoint,
+        # provably source-unmatched) files; __dak_out tags the region so
+        # the rewrite decision stays per-region — outside files carry
+        # verbatim when no clause hits any of their rows. One pinned
+        # evaluation (like pinned_m) fixes non-deterministic conditions
+        # and assignments for counts, rewrites, and the change feed.
+        pinned_nm, nms_upd, nms_del = None, 0, 0
+        hits_in = hits_out = 0
+        nm_upd_idx = [i for i, (_c, a, _g) in enumerate(nms_clauses) if a == "update"]
+        nm_del_idx = [i for i, (_c, a, _g) in enumerate(nms_clauses) if a == "delete"]
+        if nms_clauses:
+            tgt_out = _visible_df(spark, path, m, carried)
+            nm_all = (
+                tgt.join(src_n, on, "left_anti")
+                .select(*names)
+                .withColumn("__dak_out", F.lit(False))
+                .unionByName(
+                    tgt_out.select(*names).withColumn("__dak_out", F.lit(True))
+                )
+            )
+            nci = None
+            for i, (cond, _a, _g) in enumerate(nms_clauses):
+                cc = (
+                    F.lit(True)
+                    if cond is None
+                    else (F.expr(cond) if isinstance(cond, str) else cond)
+                )
+                nci = F.when(cc, F.lit(i)) if nci is None else nci.when(cc, F.lit(i))
+            nmf = nm_all.select(
+                F.struct(*[F.col(c).alias(c) for c in names]).alias("t"),
+                "__dak_out",
+            ).withColumn("__dak_nci", nci.otherwise(F.lit(-1)))
+            nm_dt = {f.name: f.dataType for f in schema.fields}
+            nm_cols = []
+            for c in names:
+                val = None
+                for i in nm_upd_idx:
+                    assigns = nms_clauses[i][2]
+                    if c not in assigns:
+                        continue  # this clause leaves c unchanged
+                    a = assigns[c]
+                    v = F.expr(a) if isinstance(a, str) else a
+                    val = (
+                        F.when(F.col("__dak_nci") == i, v)
+                        if val is None
+                        else val.when(F.col("__dak_nci") == i, v)
+                    )
+                expr = (
+                    val.otherwise(F.col("t").getField(c))
+                    if val is not None
+                    else F.col("t").getField(c)
+                )
+                nm_cols.append(expr.cast(nm_dt[c]).alias(c))
+            pinned_nm = nmf.select(
+                "__dak_out", "__dak_nci", F.col("t").alias("__dak_t"), *nm_cols
+            ).localCheckpoint(eager=True)
+            cnt_nm = {
+                (r["__dak_out"], r["__dak_nci"]): r["__dak_n"]
+                for r in pinned_nm.groupBy("__dak_out", "__dak_nci")
+                .agg(F.count(F.lit(1)).alias("__dak_n"))
+                .collect()
+            }
+            hits_in = sum(v for (o, i), v in cnt_nm.items() if not o and i >= 0)
+            hits_out = sum(v for (o, i), v in cnt_nm.items() if o and i >= 0)
+            _u, _d = set(nm_upd_idx), set(nm_del_idx)
+            nms_upd = sum(v for (_o, i), v in cnt_nm.items() if i in _u)
+            nms_del = sum(v for (_o, i), v in cnt_nm.items() if i in _d)
+
+        def _nm_keep(out_flag: bool) -> DataFrame:
+            keep = (
+                ~F.col("__dak_nci").isin(nm_del_idx) if nm_del_idx else F.lit(True)
+            )
+            return pinned_nm.filter(
+                (F.col("__dak_out") == F.lit(out_flag)) & keep
+            ).select(*names)
+
+        def _unmatched_in() -> DataFrame:
+            # inside rows with no source match: third-family-transformed
+            # when it is active, verbatim otherwise
+            return (
+                _nm_keep(False) if nms_clauses else tgt.join(src_n, on, "left_anti")
+            )
+
         if when_matched is None or n_matched == 0:
-            # no target row changes — every existing file stays verbatim
-            rewritten = []
-            carried = list(m["files"])
+            if nms_clauses and hits_in:
+                # no matched-clause changes, but the third family hits
+                # inside rows: rewrite the inside files — source-matched
+                # rows (if any) pass verbatim, unmatched rows transform
+                rewritten = list(affected)
+                parts.append(tgt.join(src_n, on, "left_semi"))
+                parts.append(_unmatched_in())
+            else:
+                # no target row changes inside — inside files stay verbatim
+                rewritten = []
         elif clause_mode:
             # eval frame: one row per matched target row, the target row
             # as struct `t` and its single source row as struct `s`;
@@ -3878,14 +4059,13 @@ def snapshot_merge(
             }
             n_updated = sum(cnt.get(i, 0) for i in upd_idx)
             n_deleted = sum(cnt.get(i, 0) for i in del_idx)
-            if n_updated + n_deleted == 0:
+            if n_updated + n_deleted == 0 and not (nms_clauses and hits_in):
                 # every matched row fell through the clause list: no
                 # target change, so no file rewrites (insert-only shape)
                 rewritten = []
-                carried = list(m["files"])
             else:
-                rewritten = affected
-                parts.append(tgt.join(src_n, on, "left_anti"))  # unmatched
+                rewritten = list(affected)
+                parts.append(_unmatched_in())
                 kept = (
                     pinned_m.filter(~F.col("__dak_ci").isin(del_idx))
                     if del_idx
@@ -3894,16 +4074,38 @@ def snapshot_merge(
                 # clause-hit rows transform, fall-through rows persist
                 parts.append(kept.select(*names))
         else:
-            rewritten = affected
-            parts.append(tgt.join(src_n, on, "left_anti"))  # unmatched target
+            rewritten = list(affected)
+            parts.append(_unmatched_in())  # unmatched target
             if when_matched == "update":
                 # one output row per matched TARGET row (dup target keys
                 # each updated), values from the single source row
                 upd_post = tgt.select(*on).join(src_n, on, "inner").select(*names)
                 parts.append(upd_post)
+        if hits_out:
+            # the third family hit outside-region rows: those files are
+            # rewrite candidates after all (kept rows pass verbatim)
+            rewritten = rewritten + carried
+            parts.append(_nm_keep(True))
+        carried = [f for f in m["files"] if f not in set(rewritten)]
         if when_not_matched == "insert":
-            ins = src_n.join(tgt.select(*on), on, "left_anti").select(*names)
-            ins = ins.unionByName(src_null.select(*names))
+            # keep ALL source columns until the insert condition (it may
+            # reference clause-mode extra columns), then project
+            ins = src_n.join(tgt.select(*on), on, "left_anti")
+            ins = ins.unionByName(src_null)
+            if nm_cond is not None:
+                cc = F.expr(nm_cond) if isinstance(nm_cond, str) else nm_cond
+                ins = (
+                    ins.select(
+                        F.struct(*[F.col(c).alias(c) for c in ins.columns]).alias("s")
+                    )
+                    .filter(cc)
+                    .select("s.*")
+                )
+            ins = ins.select(*names)
+            if nm_cond is not None:
+                # one evaluation: a non-deterministic condition must not
+                # let the counted rows differ from the written rows
+                ins = ins.localCheckpoint(eager=True)
             inserted = ins.count()
             if inserted:
                 parts.append(ins)
@@ -3929,11 +4131,11 @@ def snapshot_merge(
             # commit (op append) lets the feed derive its inserts from
             # the added data files, so writing them twice here would
             # just double the insert volume on upsert-maintained tables
-            if clause_mode:
+            chg = []
+            if clause_mode and (n_updated or n_deleted):
                 # exactly the clause-HIT rows: fall-through (ci == -1)
                 # rows did not change and must not pollute the feed
                 tcols = [F.col("__dak_t").getField(c).alias(c) for c in names]
-                chg = []
                 if n_updated:
                     hit_u = pinned_m.filter(F.col("__dak_ci").isin(upd_idx))
                     chg += [
@@ -3949,12 +4151,31 @@ def snapshot_merge(
                             "delete",
                         )
                     )
-            elif when_matched == "update":
+            elif when_matched == "update" and n_matched:
                 matched = tgt.join(src_n, on, "left_semi")
-                chg = [(matched, "update_preimage"), (upd_post, "update_postimage")]
-            else:
+                chg += [(matched, "update_preimage"), (upd_post, "update_postimage")]
+            elif when_matched == "delete" and n_matched:
                 matched = tgt.join(src_n, on, "left_semi")
-                chg = [(matched, "delete")]
+                chg.append((matched, "delete"))
+            if pinned_nm is not None and (nms_upd or nms_del):
+                # third-family hits: same pre/postimage discipline, from
+                # the pinned frame (a hit row's region is always rewritten)
+                tcols_n = [F.col("__dak_t").getField(c).alias(c) for c in names]
+                if nms_upd:
+                    hit_n = pinned_nm.filter(F.col("__dak_nci").isin(nm_upd_idx))
+                    chg += [
+                        (hit_n.select(*tcols_n), "update_preimage"),
+                        (hit_n.select(*names), "update_postimage"),
+                    ]
+                if nms_del:
+                    chg.append(
+                        (
+                            pinned_nm.filter(
+                                F.col("__dak_nci").isin(nm_del_idx)
+                            ).select(*tcols_n),
+                            "delete",
+                        )
+                    )
             if inserted:
                 chg.append((ins.select(*names), "insert"))
             manifest["changes"] = _stage_changes(
@@ -3962,17 +4183,23 @@ def snapshot_merge(
             )
         out = _commit_dml(
             path, manifest, m,
-            _where_phys(m, where) if where is not None else None, tz,
+            # a concurrent blind append adds rows the third clause family
+            # would have had to touch — with it active there is NO sound
+            # rebase predicate, so pass None (= restage on conflict)
+            None if nms_clauses else (
+                _where_phys(m, where) if where is not None else None
+            ),
+            tz,
         )
         if out is not None:
             return {
                 "version": out[0],
-                "updated_rows": n_updated if clause_mode else (
+                "updated_rows": (n_updated if clause_mode else (
                     n_matched if when_matched == "update" else 0
-                ),
-                "deleted_rows": n_deleted if clause_mode else (
+                )) + nms_upd,
+                "deleted_rows": (n_deleted if clause_mode else (
                     n_matched if when_matched == "delete" else 0
-                ),
+                )) + nms_del,
                 "inserted_rows": inserted,
                 "rewritten_files": len(rewritten),
                 "carried_files": len(carried) + out[1],

@@ -19,10 +19,12 @@ beyond it (OR, IS NULL, functions, subqueries in WHERE) raises with a
 message naming the Python call that can express it. INSERT bodies are
 full Spark SQL (any SELECT the session can run, or a VALUES list);
 UPDATE right-hand sides are full Spark SQL expressions over the OLD
-row. MERGE has no string form here — ``snapshot_merge`` already takes
-its ON / WHEN-AND conditions and assignments AS SQL strings, so the
-MERGE-from-SQL recipe is one Python call wrapping the caller's SQL
-fragments (see ``snapshot_merge``'s docstring and EXAMPLES.md).
+row. MERGE INTO parses structurally here and passes every condition
+and assignment VERBATIM into ``snapshot_merge``'s clause grammar (all
+three Delta clause families — MATCHED, NOT MATCHED [AND cond], NOT
+MATCHED BY SOURCE). SELECT statements run as plain Spark SQL over
+head-pinned views of the named tables, with ``VERSION AS OF`` /
+``TIMESTAMP AS OF`` time travel (:func:`_select_sql`).
 
 Reference: no counterpart (dask-awkward has no SQL surface); the
 Spark-native analog is Delta's SQL DML under a catalog. The table map
@@ -83,7 +85,10 @@ _MERGE_RE = re.compile(
     re.I | re.S,
 )
 _WHEN_RE = re.compile(
-    r"\s*WHEN\s+(NOT\s+MATCHED|MATCHED)(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    # BY SOURCE must precede the bare form in the alternation, or the
+    # bare form would eat "NOT MATCHED" and break the clause tiling
+    r"\s*WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
+    r"(?:\s+AND\s+(.+?))?\s+THEN\s+"
     r"(UPDATE\s+SET\s+.+?|DELETE|INSERT(?:\s+\*)?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.I | re.S,
 )
@@ -262,17 +267,25 @@ def snapshot_sql(
 
     - ``MERGE INTO t USING <view|(subquery)> s ON t.k = s.k WHEN
       MATCHED [AND cond] THEN UPDATE SET c = expr / DELETE WHEN NOT
-      MATCHED THEN INSERT`` — structure parses here; every condition
-      and assignment passes VERBATIM into :func:`snapshot_merge`'s
-      clause grammar (they are already SQL over the ``t``/``s`` row
-      structs), so the aliases are fixed to ``t``/``s`` and anything
-      richer (conditional INSERT, expression keys) points at the
-      Python face.
+      MATCHED [AND cond] THEN INSERT WHEN NOT MATCHED BY SOURCE [AND
+      cond] THEN UPDATE SET ... / DELETE`` — structure parses here;
+      every condition and assignment passes VERBATIM into
+      :func:`snapshot_merge`'s clause grammar (they are already SQL
+      over the ``t``/``s`` row structs), so the aliases are fixed to
+      ``t``/``s``; anything richer (expression keys, column-list
+      INSERT) points at the Python face.
+    - ``SELECT``/``WITH`` — reads by catalog name over head-pinned
+      views, with ``FROM t VERSION AS OF n`` / ``TIMESTAMP AS OF
+      '...'`` time travel (see :func:`_select_sql`).
 
-    Returns the new version number (INSERTs) or the DML stats dict
-    (DELETE/UPDATE). Raises ``ValueError`` with a pointer at the Python
-    API for any statement outside the grammar."""
+    Returns the new version number (INSERTs), the DML stats dict
+    (DELETE/UPDATE/MERGE), or the result DataFrame (SELECT). Raises
+    ``ValueError`` with a pointer at the Python API for any statement
+    outside the grammar."""
     from .snapshot import snapshot_delete, snapshot_update, snapshot_write
+
+    if re.match(r"^\s*\(*\s*(SELECT|WITH)\b", sql, re.I):
+        return _select_sql(spark, sql, tables)
 
     m = _DELETE_RE.match(sql)
     if m:
@@ -340,6 +353,120 @@ def snapshot_sql(
     )
 
 
+def _outside_literals(sql: str, fn) -> str:
+    """Apply ``fn`` to every segment of ``sql`` OUTSIDE single-quoted
+    string literals ('' escapes) — rewrites must never touch a table
+    name that happens to appear inside a literal."""
+    out, i, n, start = [], 0, len(sql), 0
+    while i < n:
+        if sql[i] == "'":
+            out.append(fn(sql[start:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            start = i
+        else:
+            i += 1
+    out.append(fn(sql[start:]))
+    return "".join(out)
+
+
+def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
+    """SQL read face with time travel (VERDICT r9 item 5): run a
+    ``SELECT``/``WITH`` statement whose FROM targets are catalog names,
+    optionally suffixed ``VERSION AS OF <n>`` or ``TIMESTAMP AS OF
+    '<iso>'`` (naive timestamps read in the system timezone, like
+    ``snapshot_read(as_of=...)``'s float form).
+
+    Mechanics: each ``name AS OF`` occurrence (outside string literals)
+    is rewritten to a generated temp view pinned at that version via
+    :func:`~dask_awkward_spark.sources.snapshot.snapshot_view`; every
+    bare catalog name is registered as a head-pinned temp view under
+    its own name (no text rewriting — aliases, quoted strings, and
+    same-named columns are untouched); the rewritten statement then
+    runs as plain ``spark.sql``. Catalog names therefore act as
+    reserved table names inside the statement. Returns the result
+    DataFrame; results are pinned at call time (Delta's ``SELECT ...
+    FROM t VERSION AS OF 3``)."""
+    import datetime
+
+    from .snapshot import snapshot_view
+
+    def _in_literal(s: str, pos: int) -> bool:
+        # is `pos` inside a single-quoted literal ('' escapes)?
+        i, n, inside = 0, len(s), False
+        while i < pos:
+            if s[i] == "'":
+                if inside and i + 1 < n and s[i + 1] == "'":
+                    i += 2  # escaped quote inside a literal
+                    continue
+                inside = not inside
+            i += 1
+        return inside
+
+    # rewrite one AS-OF occurrence at a time (the replacement shifts
+    # positions, so literal-range checks re-scan the current text); the
+    # TIMESTAMP literal itself is quoted, which is why this pass runs
+    # on the RAW text rather than on literal-split segments
+    counter, rewritten = 0, sql
+    pats = [
+        (
+            name,
+            path,
+            re.compile(
+                rf"\b{re.escape(name)}\b"
+                rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+                rf"|\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'))",
+                re.I,
+            ),
+        )
+        for name, path in tables.items()
+    ]
+    progress = True
+    while progress:
+        progress = False
+        for name, path, pat in pats:
+            for mm in pat.finditer(rewritten):
+                if _in_literal(rewritten, mm.start()):
+                    continue
+                counter += 1
+                vn = f"__dak_asof_{counter}"
+                if mm.group(1) is not None:
+                    snapshot_view(spark, path, vn, version=int(mm.group(1)))
+                else:
+                    raw = mm.group(2)[1:-1].replace("''", "'")
+                    try:
+                        ts = datetime.datetime.fromisoformat(raw)
+                    except ValueError as e:
+                        raise ValueError(
+                            f"bad TIMESTAMP AS OF literal {raw!r}: {e}"
+                        )
+                    snapshot_view(spark, path, vn, as_of=ts.timestamp())
+                rewritten = rewritten[: mm.start()] + vn + rewritten[mm.end():]
+                progress = True
+                break
+            if progress:
+                break
+
+    def find_bare(seg: str) -> str:
+        for name, path in tables.items():
+            if re.search(rf"\b{re.escape(name)}\b", seg, re.I):
+                bare.add(name)
+        return seg
+
+    bare: "set[str]" = set()
+    _outside_literals(rewritten, find_bare)
+    for name in sorted(bare):
+        # head-pinned at call time — commits landing mid-query never
+        # shift the result (re-run to follow the head)
+        snapshot_view(spark, tables[name], name)
+    return spark.sql(rewritten)
+
+
 def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
     """Constrained ``MERGE INTO`` string form. The structure parses
     here; every CONDITION and ASSIGNMENT passes through VERBATIM to
@@ -359,6 +486,8 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
         em = re.match(
             r"^\s*t\.(\w+)\s*=\s*s\.(\w+)\s*$|^\s*s\.(\w+)\s*=\s*t\.(\w+)\s*$",
             part,
+            flags=re.I,  # the rest of the grammar is case-insensitive;
+            # ON T.k = S.k must parse, not refuse with a t/s-case error
         )
         names = em and {n for n in em.groups() if n is not None}
         if not em or len(names) != 1:
@@ -367,7 +496,7 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
                 f"same name on both sides, got {part.strip()!r}"
             )
         on.append(names.pop())
-    clauses, not_matched = [], None
+    clauses, nms, not_matched = [], [], None
     spans = list(_WHEN_RE.finditer(whens))
     # contiguity: the clauses must tile the WHEN text (whitespace gaps
     # only) — anything unparsed is a refusal, not a silent drop
@@ -382,45 +511,70 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
     if not covered:
         raise ValueError(
             f"cannot parse MERGE WHEN clauses {whens.strip()[:80]!r}: each "
-            "must be WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE or "
-            "WHEN NOT MATCHED THEN INSERT"
+            "must be WHEN MATCHED [AND cond] THEN UPDATE SET .../DELETE, "
+            "WHEN NOT MATCHED [AND cond] THEN INSERT, or WHEN NOT MATCHED "
+            "BY SOURCE [AND cond] THEN UPDATE SET .../DELETE"
         )
-    for w in spans:
-        kind, cond, action = w.group(1).upper(), w.group(2), w.group(3)
-        is_insert = re.match(r"^INSERT\b", action, re.I) is not None
-        if kind.startswith("NOT"):
-            if cond is not None:
+
+    def _parse_set(set_sql: str, star_ok: bool):
+        set_sql = set_sql.strip()
+        if set_sql == "*":
+            if not star_ok:
                 raise ValueError(
-                    "WHEN NOT MATCHED AND <cond> is not supported — "
-                    "pre-filter the source instead"
+                    "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET * has no "
+                    "source row to copy — assign explicit t-expressions"
                 )
+            return None  # whole source row
+        assigns = {}
+        for part in _split_top_level(set_sql):
+            cm = re.match(rf"^(?:t\.)?({_IDENT})\s*=\s*(.+)$", part, re.S)
+            if cm is None:
+                raise ValueError(f"cannot parse MERGE SET item {part!r}")
+            assigns[cm.group(1)] = cm.group(2)  # verbatim SQL over t/s
+        return assigns
+
+    for w in spans:
+        kind = re.sub(r"\s+", " ", w.group(1).upper())
+        cond, action = w.group(2), w.group(3)
+        is_insert = re.match(r"^INSERT\b", action, re.I) is not None
+        am = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.I | re.S)
+        if kind == "NOT MATCHED BY SOURCE":
+            if is_insert:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports UPDATE SET .../"
+                    "DELETE, not INSERT (these target rows have no source "
+                    "row)"
+                )
+            # conditions see the target struct t only — verbatim through
+            nms.append(
+                (cond, "update", _parse_set(am.group(1), star_ok=False))
+                if am
+                else (cond, "delete", None)
+            )
+            continue
+        if kind.startswith("NOT MATCHED"):  # incl. the BY TARGET alias
             if not is_insert:
                 raise ValueError(
                     f"WHEN NOT MATCHED supports only INSERT, got "
                     f"{action.strip()[:30]!r}"
                 )
-            not_matched = "insert"
+            if not_matched is not None:
+                raise ValueError("duplicate WHEN NOT MATCHED clause")
+            # AND <cond> gates insertion only (snapshot_merge's
+            # ("insert", cond) form — matched clauses still see every
+            # source row, exactly Delta's semantics)
+            not_matched = "insert" if cond is None else ("insert", cond)
             continue
         if is_insert:
             raise ValueError(
                 "WHEN MATCHED supports UPDATE SET .../DELETE, not INSERT "
                 "(matched rows already exist)"
             )
-        am = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.I | re.S)
-        if am:
-            set_sql = am.group(1).strip()
-            if set_sql == "*":
-                assigns = None  # whole source row
-            else:
-                assigns = {}
-                for part in _split_top_level(set_sql):
-                    cm = re.match(rf"^(?:t\.)?({_IDENT})\s*=\s*(.+)$", part, re.S)
-                    if cm is None:
-                        raise ValueError(f"cannot parse MERGE SET item {part!r}")
-                    assigns[cm.group(1)] = cm.group(2)  # verbatim SQL over t/s
-            clauses.append((cond, "update", assigns))
-        else:
-            clauses.append((cond, "delete", None))
+        clauses.append(
+            (cond, "update", _parse_set(am.group(1), star_ok=True))
+            if am
+            else (cond, "delete", None)
+        )
     # resolve the source LAST so structural refusals fire before any
     # catalog lookup can mask them with a missing-view error
     if source.startswith("("):
@@ -436,6 +590,7 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
         on=on,
         when_matched=clauses or None,
         when_not_matched=not_matched,
+        when_not_matched_by_source=nms or None,
     )
 
 

@@ -55,6 +55,11 @@ SETTINGS = dict(
 #                          mid-staging: exercises the rebase-vs-restart
 #                          commit path under the model (VERDICT r7
 #                          item 5)
+#   ("merge_sync", lo, n) — full sync replication in ONE commit: upsert
+#                          ids lo..lo+n AND delete every target row the
+#                          source does not key (WHEN NOT MATCHED BY
+#                          SOURCE, VERDICT r9 item 3); duplicate target
+#                          keys each keep one updated row
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
@@ -68,6 +73,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("merge_del"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("rename")),
     st_.tuples(st_.just("racy_delete"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("merge_sync"), st_.integers(0, 60), st_.integers(1, 25)),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -252,6 +258,30 @@ def test_snapshot_random_op_sequences_match_model(
             if res["version"] != head_v:
                 head_v = res["version"]
                 model[head_v] = (op[0], list(head_rows), cur)
+        elif op[0] == "merge_sync":
+            if first:
+                continue
+            _, lo, n = op
+            src = with_pk(
+                spark.createDataFrame(
+                    [(i,) for i in range(lo, lo + n)], f"{cur} bigint"
+                )
+            )
+            res = snapshot_merge(
+                spark, p, src, on=[cur],
+                when_matched="update", when_not_matched="insert",
+                when_not_matched_by_source="delete",
+            )
+            present = set(head_rows)
+            kept = [x for x in head_rows if lo <= x < lo + n]
+            inserts = [x for x in range(lo, lo + n) if x not in present]
+            assert res["deleted_rows"] == len(head_rows) - len(kept)
+            assert res["updated_rows"] == len(kept)
+            assert res["inserted_rows"] == len(inserts)
+            head_rows = kept + inserts
+            if res["version"] != head_v:
+                head_v = res["version"]
+                model[head_v] = ("merge_sync", list(head_rows), cur)
         first = False
 
     if not model:

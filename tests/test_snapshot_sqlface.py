@@ -141,11 +141,15 @@ def test_sql_statement_refusals(spark, tmp_path):
         "DELETE FROM t",  # no WHERE
         "INSERT INTO missing VALUES (1)",
         "DELETE FROM t WHERE k = 1 OR k = 2",
-        # MERGE structure refusals: non-equi ON, conditional INSERT
+        # MERGE structure refusals: non-equi ON, mismatched keys, a
+        # BY-SOURCE clause with no source row to copy, inserts of rows
+        # that already exist
         "MERGE INTO t USING src s ON t.k > s.k WHEN MATCHED THEN DELETE",
         "MERGE INTO t USING src s ON t.k = s.j WHEN MATCHED THEN DELETE",
         "MERGE INTO t USING src s ON t.k = s.k "
-        "WHEN NOT MATCHED AND s.k > 3 THEN INSERT",
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        "MERGE INTO t USING src s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN INSERT",
     ]:
         with pytest.raises(ValueError):
             snapshot_sql(spark, bad, {"t": p})
@@ -329,3 +333,102 @@ def test_sql_merge_action_kind_mismatch_refused(spark, tmp_path):
         with pytest.raises(ValueError, match=msg):
             snapshot_sql(spark, bad, {"t": p})
     assert snapshot_read(spark, p).count() == 10  # nothing executed
+
+
+def test_sql_merge_three_clause_families(spark, tmp_path):
+    """One MERGE statement with all three Delta clause families plus a
+    conditional INSERT — conditions flow verbatim; the NOT MATCHED AND
+    condition gates insertion only (r9 items 3+6)."""
+    p = str(tmp_path / "t3")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "k bigint, v string, bal double",
+        ),
+        p,
+    )
+    spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", 5.0), (5, "e", 50.0), (6, "f", 3.0)],
+        "k bigint, v string, bal double",
+    ).createOrReplaceTempView("updates3")
+    out = snapshot_sql(
+        spark,
+        "MERGE INTO t USING updates3 s ON t.k = s.k "
+        "WHEN MATCHED AND s.bal > t.bal THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.bal >= 10 THEN INSERT "
+        "WHEN NOT MATCHED BY SOURCE AND t.bal < 15 THEN DELETE",
+        {"t": p},
+    )
+    assert out["updated_rows"] == 1  # k=2 (200 > 20); k=3 cond false
+    assert out["inserted_rows"] == 1  # k=5; k=6 gated out (3 < 10)
+    assert out["deleted_rows"] == 1  # k=1 (10 < 15, not matched by source)
+    rows = sorted((r.k, r.v) for r in snapshot_read(spark, p).collect())
+    assert rows == [(2, "B"), (3, "c"), (4, "d"), (5, "e")]
+    # BY TARGET is an accepted alias for the plain NOT MATCHED form
+    out2 = snapshot_sql(
+        spark,
+        "MERGE INTO t USING updates3 s ON t.k = s.k "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT",
+        {"t": p},
+    )
+    assert out2["inserted_rows"] == 1  # k=6 now unconditionally inserted
+
+
+def test_sql_merge_nms_update_set(spark, tmp_path):
+    """Third-family UPDATE SET assigns t-expressions; string form equals
+    the Python clause form."""
+    p = str(tmp_path / "tu")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+        ),
+        p,
+    )
+    spark.createDataFrame([(1, "x")], "k bigint, v string").createOrReplaceTempView(
+        "srcu"
+    )
+    out = snapshot_sql(
+        spark,
+        "MERGE INTO t USING srcu s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '!')",
+        {"t": p},
+    )
+    assert out["updated_rows"] == 2
+    rows = sorted((r.k, r.v) for r in snapshot_read(spark, p).collect())
+    assert rows == [(1, "a"), (2, "b!"), (3, "c!")]
+
+
+def test_sql_select_with_as_of(spark, tmp_path):
+    """SELECT face (r9 item 5): reads by catalog name, VERSION AS OF /
+    TIMESTAMP AS OF pins, literals untouched, two pins in one
+    statement."""
+    p = str(tmp_path / "sel")
+    t = {"acct": p}
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, bal double"), p
+    )  # v1
+    snapshot_sql(spark, "INSERT INTO acct VALUES (3, 30.0)", t)  # v2
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM acct", t
+    ).collect()[0].n == 3
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM acct VERSION AS OF 1", t
+    ).collect()[0].n == 2
+    future = (
+        datetime.datetime.now() + datetime.timedelta(seconds=2)
+    ).isoformat()
+    assert snapshot_sql(
+        spark, f"SELECT count(*) AS n FROM acct TIMESTAMP AS OF '{future}'", t
+    ).collect()[0].n == 3
+    row = snapshot_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM acct) "
+        "- (SELECT count(*) FROM acct VERSION AS OF 1) AS d, "
+        "'acct VERSION AS OF 1' AS lit FROM acct LIMIT 1",
+        t,
+    ).collect()[0]
+    assert row.d == 1 and row.lit == "acct VERSION AS OF 1"
+    with pytest.raises(ValueError, match="TIMESTAMP AS OF"):
+        snapshot_sql(
+            spark, "SELECT * FROM acct TIMESTAMP AS OF 'not-a-time'", t
+        )

@@ -74,6 +74,7 @@ from .sources.snapshot import (
     snapshot_rename_column,
     snapshot_restore,
     snapshot_scan_report,
+    snapshot_set_stats_columns,
     snapshot_tag,
     snapshot_tags,
     snapshot_delete_tag,

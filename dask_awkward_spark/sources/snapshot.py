@@ -508,7 +508,7 @@ def _stats_encodable(sc) -> bool:
     return lt != "DECIMAL"
 
 
-def _file_stats(local_path: str, md=None) -> dict:
+def _file_stats(local_path: str, md=None, stats_cols: "list[str] | None" = None) -> dict:
     """Footer stats for one parquet file: row count plus per-leaf-column
     [min, max] aggregated across row groups. A column appears
     only if EVERY row group has trustworthy min/max (parquet writers
@@ -538,13 +538,17 @@ def _file_stats(local_path: str, md=None) -> dict:
     manifest carries these stats per file, and an unbounded 500-leaf
     document schema would make manifest size — not data — the scale
     limit. Beyond-cap columns simply never prune (safe: may-match
-    keeps on missing stats, all-match refuses)."""
+    keeps on missing stats, all-match refuses). An explicit
+    ``stats_cols`` spec (the table's ``stats_columns`` property,
+    PHYSICAL dotted paths) replaces the prefix entirely: exactly those
+    leaves record, however late in the schema they sit."""
     import pyarrow.parquet as pq
 
     if md is None:
         md = pq.read_metadata(local_path)
     psch = md.schema
     cap = int(os.environ.get("DAK_SNAPSHOT_STATS_MAX_COLS", "64"))
+    want = None if stats_cols is None else set(stats_cols)
     minmax: "dict[str, list]" = {}
     nulls: "dict[str, int]" = {}
     complete: "dict[str, int]" = {}
@@ -560,7 +564,10 @@ def _file_stats(local_path: str, md=None) -> dict:
                 continue  # list/map element — no per-row value to prune on
             if not _stats_encodable(sc):
                 continue  # bool/binary/decimal: zero pruning power
-            if name not in recorded:
+            if want is not None:
+                if name not in want:
+                    continue  # explicit spec: exactly these leaves, no cap
+            elif name not in recorded:
                 if len(recorded) >= cap:
                     continue  # width cap: schema-order prefix only
                 recorded.add(name)
@@ -642,6 +649,7 @@ def _stage_files(
     partition_by: "list[str] | None" = None,
     bloom_ndv: "dict[str, int] | None" = None,
     column_mapping: "dict | None" = None,
+    stats_cols: "list[str] | None" = None,
 ) -> "tuple[list[str], dict]":
     """Write df's partitions as immutable uniquely-named files under data/.
 
@@ -723,7 +731,7 @@ def _stage_files(
             _fs().put_file_atomic(src, os.path.join(path, rel))
             files.append(rel)
             try:
-                stats[rel] = _file_stats(src)
+                stats[rel] = _file_stats(src, stats_cols=stats_cols)
             except Exception:
                 continue  # stats are an optimization; never fail the write
             # the dir VALUE backs up the partition column's bounds
@@ -960,6 +968,7 @@ def snapshot_write(
     merge_schema: bool = False,
     partition_by: "list[str] | None" = None,
     bloom_by: "dict[str, int] | None" = None,
+    stats_columns: "list[str] | None" = None,
     _validate_constraints: bool = True,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
@@ -997,7 +1006,23 @@ def snapshot_write(
     files for ``col = k`` probes on high-cardinality keys (GDPR-style
     per-id takedowns on unclustered data). Sticky like the partition
     spec; every DML rewrite re-applies it; advisory only — no read
-    path depends on it."""
+    path depends on it.
+
+    ``stats_columns=["leaf", "meta.ts", ...]`` (Delta's
+    dataSkippingStatsColumns analog) CHOOSES which leaves record
+    min/max/null-count stats instead of the default schema-order
+    prefix (``DAK_SNAPSHOT_STATS_MAX_COLS``) — the fix for a wide
+    document schema whose hot filter column sits past position 64 and
+    cannot be reordered to the front. Paths are LOGICAL at the call
+    (dotted for struct leaves), validated against the schema, stored
+    PHYSICAL in the manifest so renames never invalidate the spec, and
+    the table's partition columns are always included implicitly
+    (partition pruning is min==max stats pruning). Sticky like the
+    partition spec; ``[]`` on an overwrite resets to the prefix
+    default; applies to files written FROM THIS COMMIT ON — run
+    ``snapshot_compact`` to backfill existing files (it re-collects
+    stats under the current spec), and
+    :func:`snapshot_set_stats_columns` changes it metadata-only."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
@@ -1047,9 +1072,36 @@ def snapshot_write(
     # null-fill on read. A plain overwrite resets the mapping — every
     # file is rewritten, so fresh identity naming is exact.
     eff_cm = pre_m.get("column_mapping") if (mode == "append" and pre) else None
+    eff_cm_ext = _extend_mapping(eff_cm, df.schema)
+    if stats_columns is None:
+        eff_sc = pre_m.get("stats_columns")  # sticky (already physical)
+    elif not stats_columns:
+        eff_sc = None  # explicit []: reset to the prefix-cap default
+        if mode == "append" and pre and pre_m.get("stats_columns"):
+            raise ValueError(
+                "append may not change the table's stats_columns spec "
+                "(only overwrite or snapshot_set_stats_columns may)"
+            )
+    else:
+        eff_sc = _resolve_stats_columns(
+            df.schema, (eff_cm_ext or {}).get("physical"), stats_columns
+        )
+        pmap_sc = (eff_cm_ext or {}).get("physical") or {}
+        # partition columns always record (partition pruning IS their
+        # min==max stats) — include them implicitly, physical-named
+        eff_sc = [
+            p for p in (pmap_sc.get(c, c) for c in eff_pb) if p not in eff_sc
+        ] + eff_sc
+        if mode == "append" and pre and eff_sc != pre_m.get("stats_columns"):
+            raise ValueError(
+                "append may not change the table's stats_columns spec "
+                f"(table has {pre_m.get('stats_columns')}; only overwrite "
+                "or snapshot_set_stats_columns may)"
+            )
     new_files, new_stats = _stage_files(
         df, path, compression, eff_pb, eff_bloom,
-        column_mapping=_extend_mapping(eff_cm, df.schema),
+        column_mapping=eff_cm_ext,
+        stats_cols=eff_sc,
     )
     validated_cons = None  # staged files are immutable: re-validate on a
     # commit-race retry only if the head's constraint set changed
@@ -1138,6 +1190,7 @@ def snapshot_write(
             "stream_batch_id": watermark,
             "partition_by": eff_pb or None,
             "bloom_ndv": eff_bloom or None,
+            "stats_columns": eff_sc or None,
             # merge_schema adds get fresh ids; overwrite resets (eff_cm
             # is None then, and _extend_mapping keeps None as None)
             "column_mapping": _extend_mapping(eff_cm, out_schema),
@@ -1357,13 +1410,13 @@ def _ckpt_arrow_type(simple: str):
     return None
 
 
-def _prunable_leaf_paths(schema: StructType, pmap: "dict | None" = None):
-    """Ordered (physical dotted path, simple type) pairs for every leaf
-    the stats envelope can carry: top-level primitives plus STRUCT-
-    nested leaves (the dotted paths _file_stats records). Lists/maps
-    are not descended — their parquet leaves are repeated, so
-    _file_stats never records them. The head segment is translated
-    logical→physical (column mapping is top-level-only)."""
+def _leaf_stats_candidates(schema: StructType, pmap: "dict | None" = None):
+    """UNCAPPED ordered (physical dotted path, simple type) pairs for
+    every leaf the stats machinery can in principle carry: top-level
+    primitives plus STRUCT-nested leaves. Lists/maps are not descended —
+    their parquet leaves are repeated, so _file_stats never records
+    them. The head segment is translated logical→physical (column
+    mapping is top-level-only)."""
     from pyspark.sql.types import StructType as _ST
 
     out = []
@@ -1379,6 +1432,25 @@ def _prunable_leaf_paths(schema: StructType, pmap: "dict | None" = None):
     pmap = pmap or {}
     for f in schema.fields:
         walk(pmap.get(f.name, f.name), f.dataType)
+    return out
+
+
+def _prunable_leaf_paths(
+    schema: StructType,
+    pmap: "dict | None" = None,
+    stats_columns: "list[str] | None" = None,
+):
+    """Ordered (physical dotted path, simple type) pairs for every leaf
+    the stats envelope actually carries. With an explicit
+    ``stats_columns`` spec (manifest property, PHYSICAL paths) exactly
+    those leaves are returned in spec order — the user chose, no width
+    cap applies. Otherwise the schema-order prefix up to
+    ``DAK_SNAPSHOT_STATS_MAX_COLS`` (default 64, Delta's
+    dataSkippingNumIndexedCols analog)."""
+    out = _leaf_stats_candidates(schema, pmap)
+    if stats_columns is not None:
+        types = dict(out)
+        return [(p, types[p]) for p in stats_columns if p in types]
     # same width cap as _file_stats (sidecar min/max columns are 2x
     # this wide); neither side burns cap slots on ineligible leaves,
     # but the two capped prefixes can still diverge where the
@@ -1388,6 +1460,86 @@ def _prunable_leaf_paths(schema: StructType, pmap: "dict | None" = None):
     # either way, both prune paths KEEP on missing stats
     cap = int(os.environ.get("DAK_SNAPSHOT_STATS_MAX_COLS", "64"))
     return out[:cap]
+
+
+def _resolve_stats_columns(
+    schema: StructType, pmap: "dict | None", cols: "list[str]"
+) -> "list[str]":
+    """Validate an explicit stats-column spec (LOGICAL dotted leaf
+    paths) and return the PHYSICAL form the manifest stores. The
+    head-segment translation happens exactly ONCE, here — physical
+    names are stable per column id forever, so the stored spec survives
+    renames untouched and keeps matching the footer-stats keys. Unknown
+    paths, paths under lists/maps, and leaves whose type can never
+    record prunable stats are refused loudly (a silently dead spec
+    entry would read as coverage)."""
+    if not isinstance(cols, (list, tuple)):
+        raise ValueError(
+            f"stats_columns must be a list of leaf paths, got {cols!r}"
+        )
+    valid = dict(_leaf_stats_candidates(schema, pmap))
+    pmap = pmap or {}
+    out: "list[str]" = []
+    for c in cols:
+        if not isinstance(c, str) or not c:
+            raise ValueError(
+                f"stats_columns entries must be non-empty strings, got {c!r}"
+            )
+        head, dot, rest = c.partition(".")
+        phys = pmap.get(head, head) + (dot + rest)
+        if phys not in valid:
+            raise ValueError(
+                f"stats_columns path {c!r} is not a stats-recordable leaf: "
+                "it must name an existing top-level primitive or a struct-"
+                "nested leaf (never under a list/map) whose parquet min/max "
+                "can prune (bool/binary/decimal cannot); schema leaves: "
+                f"{sorted(valid)[:20]}"
+            )
+        if phys in out:
+            raise ValueError(f"duplicate stats_columns path {c!r}")
+        out.append(phys)
+    return out
+
+
+def snapshot_set_stats_columns(
+    path: str, columns: "list[str] | None"
+) -> int:
+    """ALTER the table's stats-column spec METADATA-ONLY (Delta's
+    ``delta.dataSkippingStatsColumns`` analog): files written from the
+    new head on record min/max/null-count for exactly these LOGICAL
+    leaf paths (validated here, stored physical — renames never
+    invalidate the spec) instead of the schema-order prefix cap;
+    ``None`` (or ``[]``) drops the spec back to the prefix default.
+    The table's partition columns are always included implicitly —
+    partition pruning is their min==max stats.
+
+    Existing files keep whatever stats they recorded (pruning stays
+    sound either way: missing stats never prune); run
+    ``snapshot_compact`` afterwards to BACKFILL — it rewrites files and
+    re-collects their stats under the current spec. Returns the new
+    version."""
+    while True:
+        head = _require_versions(path)[-1]
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        pmap = _mapping_physical(m)
+        if columns:
+            spec = _resolve_stats_columns(schema, pmap, columns)
+            spec = [
+                p
+                for p in (pmap.get(c, c) for c in (m.get("partition_by") or []))
+                if p not in spec
+            ] + spec
+        else:
+            spec = None
+        if spec == m.get("stats_columns"):
+            return head  # no-op: spec unchanged
+        manifest = _cow_manifest(
+            m, head, "set_stats_columns", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["stats_columns"] = spec
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
 
 
 def _bq(name: str) -> str:
@@ -1414,7 +1566,7 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
         # leaves ride along as flat dotted-named columns
         cols = [
             (p, _ckpt_arrow_type(s))
-            for p, s in _prunable_leaf_paths(schema, pmap)
+            for p, s in _prunable_leaf_paths(schema, pmap, manifest.get("stats_columns"))
         ]
         files = manifest.get("files") or []
         stats = manifest.get("stats") or {}
@@ -1569,7 +1721,10 @@ def _dist_prune_files(
     pmap = _mapping_physical(m)
     col_types = {
         p: s
-        for p, s in _prunable_leaf_paths(schema, pmap)
+        # the spec (or prefix) names the candidates; the `in ck_cols`
+        # intersection keeps this sound when the checkpoint was written
+        # under an older spec (missing sidecar columns never prune)
+        for p, s in _prunable_leaf_paths(schema, pmap, m.get("stats_columns"))
         if f"min__{p}" in ck_cols
     }
     cond = _dist_keep_cond(col_types, where)
@@ -2855,6 +3010,7 @@ def snapshot_compact(
             new_files, new_stats = _stage_files(
                 out, path, "zstd", pb, m.get("bloom_ndv"),
                 column_mapping=m.get("column_mapping"),
+                stats_cols=m.get("stats_columns"),
             )
             car = set(carried)
             stats = {f: s for f, s in m.get("stats", {}).items() if f in car}
@@ -3052,6 +3208,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "stream_batch_id": m.get("stream_batch_id"),
         "partition_by": m.get("partition_by"),
         "bloom_ndv": m.get("bloom_ndv"),
+        "stats_columns": m.get("stats_columns"),
         "column_mapping": m.get("column_mapping"),
         "deletes": m.get("deletes"),
         "constraints": m.get("constraints"),
@@ -3083,6 +3240,7 @@ def _rebase_manifest(
         or m2.get("partition_by") != old_m.get("partition_by")
         or m2.get("deletes") != old_m.get("deletes")
         or m2.get("constraints") != old_m.get("constraints")
+        or m2.get("stats_columns") != old_m.get("stats_columns")
     ):
         return None
     old_set = set(old_m["files"])
@@ -3318,6 +3476,7 @@ def snapshot_delete(
             new_files, new_stats = _stage_files(
                 keep, path, compression, m.get("partition_by"),
                 m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
+                stats_cols=m.get("stats_columns"),
             )
         else:
             before, new_files, new_stats = 0, [], {}
@@ -3459,6 +3618,7 @@ def snapshot_update(
             new_files, new_stats = _stage_files(
                 patched, path, compression, m.get("partition_by"),
                 m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
+                stats_cols=m.get("stats_columns"),
             )
             _enforce_constraints(spark, m, path, new_files, schema=schema)
             stats = dict(m.get("stats", {}))
@@ -3503,6 +3663,7 @@ def snapshot_update(
         new_files, new_stats = _stage_files(
             out_df, path, compression, m.get("partition_by"),
             m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
+            stats_cols=m.get("stats_columns"),
         )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
@@ -4115,6 +4276,7 @@ def snapshot_merge(
         new_files, new_stats = _stage_files(
             out, path, compression, m.get("partition_by"),
             m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
+            stats_cols=m.get("stats_columns"),
         )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}

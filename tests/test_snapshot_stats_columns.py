@@ -1,0 +1,163 @@
+"""stats_columns table property (VERDICT r9 item 4, Delta's
+dataSkippingStatsColumns analog): an explicit prunable-leaf spec that
+overrides the schema-order width-cap prefix, persisted in the manifest
+as PHYSICAL paths (rename-proof), honored by the footer-stats
+collector, the checkpoint sidecar, and every DML rewrite."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
+from pyspark.sql import functions as F
+
+import dask_awkward_spark.sources.snapshot as snap
+from dask_awkward_spark.sources.snapshot import (
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_rename_column,
+    snapshot_scan_report,
+    snapshot_set_stats_columns,
+    snapshot_write,
+)
+
+
+def _wide(spark, n_cols=12, rows=100):
+    """id plus n_cols filler columns, then `hot` LAST — past any small
+    cap, exactly the wide-document-schema shape that cannot reorder."""
+    df = spark.range(rows).select(
+        F.col("id").alias("k"),
+        *[(F.col("id") * 0 + i).alias(f"f{i:03d}") for i in range(n_cols)],
+        F.col("id").alias("hot"),
+    )
+    return df.repartitionByRange(4, "hot")
+
+
+def test_late_leaf_prunes_without_reorder(spark, tmp_path):
+    """The VERDICT r9 item-4 done criterion, literally: a 200-leaf table
+    whose hot filter column sits past the DEFAULT 64-column cap records
+    no stats for it; the spec makes it prune — no schema reorder."""
+    p0, p1 = str(tmp_path / "dflt"), str(tmp_path / "spec")
+    snapshot_write(_wide(spark, n_cols=200), p0)
+    snapshot_write(_wide(spark, n_cols=200), p1, stats_columns=["hot"])
+    where = [("hot", "<", 25)]
+    assert snapshot_scan_report(p0, where)["skipped"] == 0
+    rep = snapshot_scan_report(p1, where)
+    assert rep["skipped"] >= 2, rep
+    # the spec replaces the prefix: the default-recorded early columns
+    # no longer record (exactly-these semantics)
+    m = snap._read_manifest(p1, 1)
+    assert m["stats_columns"] == ["hot"]
+    some = next(iter(m["stats"].values()))
+    assert set(some["minmax"]) == {"hot"}
+    # rows read back identically either way
+    assert snapshot_read(spark, p1).count() == 100
+
+
+def test_setter_is_metadata_only_and_compact_backfills(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "4")
+    p = str(tmp_path / "t")
+    snapshot_write(_wide(spark), p)
+    where = [("hot", "<", 25)]
+    assert snapshot_scan_report(p, where)["skipped"] == 0
+    v = snapshot_set_stats_columns(p, ["hot"])
+    m1, m2 = snap._read_manifest(p, v - 1), snap._read_manifest(p, v)
+    assert m1["files"] == m2["files"], "setter must be metadata-only"
+    assert m2["op"] == "set_stats_columns"
+    # old files keep their old stats: still no prune (sound, not stale)
+    assert snapshot_scan_report(p, where)["skipped"] == 0
+    # compact rewrites under the current spec -> backfilled (zorder_by
+    # re-clusters on hot, so the fresh stats actually separate ranges)
+    v2 = snapshot_compact(spark, p, target_file_bytes=1 << 12, zorder_by=["hot"])
+    mc = snap._read_manifest(p, v2)
+    assert all("hot" in st["minmax"] for st in mc["stats"].values())
+    assert snapshot_scan_report(p, where)["skipped"] >= 1
+    # setter with the same spec is a no-op (no new version)
+    assert snapshot_set_stats_columns(p, ["hot"]) == snap._versions(p)[-1]
+    # None drops back to the prefix default
+    v3 = snapshot_set_stats_columns(p, None)
+    assert snap._read_manifest(p, v3)["stats_columns"] is None
+
+
+def test_spec_survives_rename_and_nested_paths(spark, tmp_path, monkeypatch):
+    """Nested spec leaf + a rename of its head: the stored PHYSICAL path
+    keeps matching the footer keys, and predicates under the NEW logical
+    name still prune."""
+    monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "2")
+    p = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("a"),
+        F.col("id").alias("b"),
+        F.col("id").alias("c"),
+        F.struct(F.col("id").alias("ts")).alias("meta"),
+    ).repartitionByRange(4, "id")
+    snapshot_write(df, p, stats_columns=["meta.ts"])
+    assert snapshot_scan_report(p, [("meta.ts", "<", 25)])["skipped"] >= 2
+    snapshot_rename_column(p, "meta", "info")
+    assert snap._read_manifest(
+        p, snap._versions(p)[-1]
+    )["stats_columns"] == ["meta.ts"], "spec stays physical across renames"
+    # new writes under the new logical name still record the leaf
+    snapshot_write(
+        df.select("a", "b", "c", F.col("meta").alias("info")), p, mode="append"
+    )
+    rep = snapshot_scan_report(p, [("info.ts", "<", 25)])
+    assert rep["skipped"] >= 4, rep
+
+
+def test_partition_columns_always_included(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "2")
+    p = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("pk"),
+        F.col("id").alias("hot"),
+    )
+    snapshot_write(df, p, partition_by=["pk"], stats_columns=["hot"])
+    m = snap._read_manifest(p, 1)
+    assert m["stats_columns"] == ["pk", "hot"]
+    assert snapshot_scan_report(p, [("pk", "=", 1)])["skipped"] >= 3
+
+
+def test_spec_sticky_through_dml(spark, tmp_path, monkeypatch):
+    """Every DML rewrite re-collects stats under the spec — including
+    the whole-file DELETE fast path on a spec-only column."""
+    monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "4")
+    p = str(tmp_path / "t")
+    snapshot_write(_wide(spark), p, stats_columns=["hot", "k"])
+    snapshot_write(_wide(spark).withColumn("hot", F.col("hot") + 100), p, mode="append")
+    m = snap._read_manifest(p, 2)
+    assert m["stats_columns"] == ["hot", "k"]
+    for st in m["stats"].values():
+        assert set(st["minmax"]) <= {"hot", "k"}
+    # range-aligned delete on the spec column: whole files drop unread
+    stats = snapshot_delete(spark, p, [("hot", ">=", 100)])
+    assert stats["rewritten_files"] == 0 and stats["removed_rows"] == 100
+    assert snapshot_read(spark, p).count() == 100
+
+
+def test_spec_refusals(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("boolean").alias("flag"),
+        F.array(F.col("id")).alias("xs"),
+        F.struct(F.col("id").alias("ts")).alias("meta"),
+    )
+    with pytest.raises(ValueError, match="stats-recordable"):
+        snapshot_write(df, p, stats_columns=["nope"])
+    with pytest.raises(ValueError, match="stats-recordable"):
+        snapshot_write(df, p, stats_columns=["flag"])  # bool: no stats
+    with pytest.raises(ValueError, match="stats-recordable"):
+        snapshot_write(df, p, stats_columns=["xs"])  # list: repeated leaf
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_write(df, p, stats_columns=["k", "k"])
+    snapshot_write(df, p, stats_columns=["meta.ts"])
+    with pytest.raises(ValueError, match="may not change"):
+        snapshot_write(df, p, mode="append", stats_columns=["k"])
+    with pytest.raises(ValueError, match="may not change"):
+        snapshot_write(df, p, mode="append", stats_columns=[])
+    # inheriting append is fine
+    snapshot_write(df, p, mode="append")
+    assert snap._read_manifest(p, 2)["stats_columns"] == ["meta.ts"]

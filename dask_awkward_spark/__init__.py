@@ -91,6 +91,7 @@ from .sources.sqlface import snapshot_sql, snapshot_changes_view
 from .sources.catalog import (
     snapshot_catalog_register,
     snapshot_catalog_unregister,
+    snapshot_catalog_rename,
     snapshot_catalog_lookup,
     snapshot_catalog_list,
     snapshot_catalog_tables,

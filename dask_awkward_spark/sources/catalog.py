@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "snapshot_catalog_register",
     "snapshot_catalog_unregister",
+    "snapshot_catalog_rename",
     "snapshot_catalog_lookup",
     "snapshot_catalog_list",
     "snapshot_catalog_tables",
@@ -105,8 +106,48 @@ def snapshot_catalog_unregister(
     return snapshot_delete(spark, catalog_path, [("name", "=", name)])
 
 
+def snapshot_catalog_rename(
+    spark: SparkSession, catalog_path: str, old: str, new: str
+) -> int:
+    """Rename a catalog entry in ONE atomic commit: a single MERGE
+    inserts the entry under the new name AND deletes the old row (a
+    ``WHEN NOT MATCHED BY SOURCE`` clause scoped to it) — a reader at
+    any catalog version sees the old name or the new one, never both
+    or neither. The path and version/tag pins carry over untouched;
+    ``registered_at`` re-stamps. Raises ``KeyError`` when ``old`` is
+    absent and ``ValueError`` when ``new`` is taken at the check (a
+    concurrent registration of ``new`` racing this rename resolves as
+    an upsert, the catalog's register semantics). Returns the catalog
+    version."""
+    from .snapshot import snapshot_merge
+
+    if old == new:
+        raise ValueError("old and new catalog name are identical")
+    e = snapshot_catalog_lookup(spark, catalog_path, old)  # KeyError if absent
+    taken = {x["name"] for x in snapshot_catalog_list(spark, catalog_path)}
+    if new in taken:
+        raise ValueError(f"catalog name {new!r} is already registered")
+    src = spark.createDataFrame(
+        [(new, e["path"], e["pin_version"], e["pin_tag"], time.time())], _SCHEMA
+    )
+    old_sql = old.replace("'", "''")
+    stats = snapshot_merge(
+        spark,
+        catalog_path,
+        src,
+        on=["name"],
+        when_matched="update",
+        when_not_matched="insert",
+        when_not_matched_by_source=[(f"t.name = '{old_sql}'", "delete", None)],
+    )
+    return stats["version"]
+
+
 def snapshot_catalog_list(spark: SparkSession, catalog_path: str) -> "list[dict]":
-    """Every entry, name-sorted."""
+    """Every entry, name-sorted. Each dict carries ``name``, ``path``,
+    ``pin_version`` / ``pin_tag`` (the snapshot the name is pinned to —
+    both None for a head-following entry; tag pins survive vacuum), and
+    ``registered_at`` (Unix time of the registering commit)."""
     from .snapshot import snapshot_read, _versions
 
     if not _versions(catalog_path):

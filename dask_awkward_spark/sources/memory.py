@@ -151,7 +151,18 @@ def to_arrow(arr: NestedArray):
     """NestedArray → pyarrow Table (reference to_awkward/Arrow bridge;
     Spark 4's native ``DataFrame.toArrow`` — Arrow IPC transfer, no
     pandas hop). Driver-side materialization: size-gate it like any
-    collect."""
+    collect.
+
+    Union devolution is ONE-WAY: a column ingested from an Arrow union
+    (:func:`_devolve_unions`) exports as its tagged-struct encoding
+    (``struct<tag: tinyint, <variants>>``), NOT as a reconstructed
+    ``union<...>`` — Spark has no union type, so the original Arrow
+    type is not recoverable from the Spark schema alone. Consumers
+    wanting a real UnionArray back can rebuild it from the tag column
+    (``pa.UnionArray.from_sparse(tag, children)``); the tagged struct
+    carries exactly the information needed. Spark's Arrow export also
+    renders a NULL MAP value as ``{}`` (documented in
+    tests/test_union.py)."""
     return arr.to_df().toArrow()
 
 

@@ -432,3 +432,34 @@ def test_sql_select_with_as_of(spark, tmp_path):
         snapshot_sql(
             spark, "SELECT * FROM acct TIMESTAMP AS OF 'not-a-time'", t
         )
+
+
+def test_catalog_rename_atomic_roundtrip(spark, tmp_path):
+    """snapshot_catalog_rename (r9 item 8): ONE commit moves the entry —
+    pins carry over, every catalog version shows exactly one of the two
+    names, and refusals cover absent/taken/self names."""
+    from dask_awkward_spark.sources.catalog import snapshot_catalog_rename
+
+    p = _tbl(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    snapshot_catalog_register(spark, cat, "orders_v1", p, version=1)
+    snapshot_catalog_register(spark, cat, "other", p)
+    v_before = snapshot_versions(cat)[-1]["version"]
+    v = snapshot_catalog_rename(spark, cat, "orders_v1", "orders_gold")
+    assert v == v_before + 1  # exactly one commit
+    entries = {e["name"]: e for e in snapshot_catalog_list(spark, cat)}
+    assert set(entries) == {"orders_gold", "other"}
+    assert entries["orders_gold"]["path"] == p
+    assert entries["orders_gold"]["pin_version"] == 1  # pin carried
+    # time travel: the pre-rename version still shows the old name
+    old = {
+        r.name
+        for r in snapshot_read(spark, cat, version=v_before).collect()
+    }
+    assert "orders_v1" in old and "orders_gold" not in old
+    with pytest.raises(KeyError):
+        snapshot_catalog_rename(spark, cat, "nope", "x")
+    with pytest.raises(ValueError, match="already registered"):
+        snapshot_catalog_rename(spark, cat, "orders_gold", "other")
+    with pytest.raises(ValueError, match="identical"):
+        snapshot_catalog_rename(spark, cat, "other", "other")

@@ -246,3 +246,32 @@ def _sparse5():
         [pa.array([1, 2, 3, 4, 5]), pa.array(["p", "q", "r", "s", "t"])],
         ["num", "txt"],
     )
+
+
+def test_to_arrow_exports_tagged_struct_one_way(spark):
+    """Union devolution is one-way by design: to_arrow exports the
+    tagged-struct encoding, from which a consumer can rebuild a real
+    UnionArray (tag + children) — asserted by doing exactly that."""
+    from dask_awkward_spark.sources.memory import to_arrow
+
+    arr = from_arrow(spark, pa.table({"u": _dense_union()}))
+    t = to_arrow(arr)
+    # to_df wraps rows in one struct column; drill to the u field
+    row_t = t.schema.field(0).type
+    ut = row_t.field(row_t.get_field_index("u")).type
+    assert pa.types.is_struct(ut) and ut.field(0).name == "tag"
+    assert not any(
+        pa.types.is_union(ut.field(i).type) for i in range(ut.num_fields)
+    )
+    # rebuild a sparse union from the export and compare row values
+    s = t.column(0).combine_chunks().field("u")
+    tag = s.field("tag").cast(pa.int8())
+    rebuilt = pa.UnionArray.from_sparse(
+        tag, [s.field(i) for i in range(1, ut.num_fields)],
+        [ut.field(i).name for i in range(1, ut.num_fields)],
+    )
+    got = sorted(map(str, rebuilt.to_pylist()))
+    want = sorted(
+        str(v) for v in [11, "a", "b", 44, 9.5]
+    )
+    assert got == want

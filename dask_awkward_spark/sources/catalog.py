@@ -130,7 +130,9 @@ def snapshot_catalog_rename(
     src = spark.createDataFrame(
         [(new, e["path"], e["pin_version"], e["pin_tag"], time.time())], _SCHEMA
     )
-    old_sql = old.replace("'", "''")
+    # Column condition, not a spliced SQL literal: a name containing a
+    # quote/backslash must neither break the parse nor (worse) make the
+    # delete silently miss and leave BOTH names registered
     stats = snapshot_merge(
         spark,
         catalog_path,
@@ -138,7 +140,9 @@ def snapshot_catalog_rename(
         on=["name"],
         when_matched="update",
         when_not_matched="insert",
-        when_not_matched_by_source=[(f"t.name = '{old_sql}'", "delete", None)],
+        when_not_matched_by_source=[
+            (F.col("t.name") == F.lit(old), "delete", None)
+        ],
     )
     return stats["version"]
 

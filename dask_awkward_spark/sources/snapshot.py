@@ -1073,8 +1073,27 @@ def snapshot_write(
     # file is rewritten, so fresh identity naming is exact.
     eff_cm = pre_m.get("column_mapping") if (mode == "append" and pre) else None
     eff_cm_ext = _extend_mapping(eff_cm, df.schema)
+
+    def _filter_sc(sc_list):
+        # an inherited spec must keep resolving against THIS write's
+        # schema + mapping: an overwrite may change the schema and
+        # resets physical names, so stale entries are dropped — and an
+        # all-dead spec falls back to None (the prefix default), never
+        # to the record-NOTHING state a non-matching want-set would be.
+        # Restate stats_columns= explicitly on schema-changing
+        # overwrites to keep the spec intentional.
+        if not sc_list:
+            return None
+        valid = {
+            p
+            for p, _ in _leaf_stats_candidates(
+                df.schema, (eff_cm_ext or {}).get("physical")
+            )
+        }
+        return [p for p in sc_list if p in valid] or None
+
     if stats_columns is None:
-        eff_sc = pre_m.get("stats_columns")  # sticky (already physical)
+        eff_sc = _filter_sc(pre_m.get("stats_columns"))  # sticky (physical)
     elif not stats_columns:
         eff_sc = None  # explicit []: reset to the prefix-cap default
         if mode == "append" and pre and pre_m.get("stats_columns"):
@@ -1138,6 +1157,13 @@ def snapshot_write(
             # by this commit's pre-loop read (the already-staged files'
             # blooms are advisory; the SPEC governs future rewrites)
             eff_bloom = dict(head_m.get("bloom_ndv") or {})
+        if stats_columns is None and versions:
+            # same rule for the stats spec: a concurrent
+            # snapshot_set_stats_columns must not be silently reverted
+            # by this commit's pre-loop read (the already-staged files
+            # keep whatever stats they recorded — missing or extra
+            # per-file stats are always safe)
+            eff_sc = _filter_sc(head_m.get("stats_columns"))
         out_schema = df.schema
         if mode == "append" and versions:
             # names+types must match exactly; nullability is excluded on
@@ -2480,9 +2506,12 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     Raises on any version the row-level feed cannot represent."""
     ok_ops = (
         "append", "delete", "update", "merge", "compact",
-        "rename_column", "drop_column",
+        "rename_column", "drop_column", "set_stats_columns",
     )
-    no_chg_ok = ("append", "compact", "rename_column", "drop_column")
+    no_chg_ok = (
+        "append", "compact", "rename_column", "drop_column",
+        "set_stats_columns",
+    )
     out = []
     prev = set(_read_manifest(path, s)["files"]) if s else set()
     for v in range(s + 1, e + 1):
@@ -2496,7 +2525,9 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
                 "(overwrite/restore, or committed with "
                 "change_feed=False); the row-level feed cannot cross it"
             )
-        if m["op"] in ("compact", "rename_column", "drop_column"):
+        if m["op"] in (
+            "compact", "rename_column", "drop_column", "set_stats_columns"
+        ):
             pass  # row-preserving commits: no change records by design
         elif chg is not None:
             out.append((v, "chg", list(chg)))
@@ -2559,12 +2590,12 @@ def snapshot_changes(
     mans = {v: _read_manifest(path, v) for v in span}
     ok_ops = (
         ("append", "delete", "update", "merge", "compact",
-         "rename_column", "drop_column")
+         "rename_column", "drop_column", "set_stats_columns")
         if row_level
-        # rename/drop are metadata-only (file set unchanged), so the
-        # plain file-delta feed crosses them too — consumers simply see
-        # the until-version's column names
-        else ("append", "rename_column", "drop_column")
+        # rename/drop/set_stats_columns are metadata-only (file set
+        # unchanged), so the plain file-delta feed crosses them too —
+        # consumers simply see the until-version's column names
+        else ("append", "rename_column", "drop_column", "set_stats_columns")
     )
     # the table-creating commit (no parent) is a degenerate append
     bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
@@ -4056,11 +4087,16 @@ def snapshot_merge(
         # The third clause family's candidates are the inside files'
         # left_anti rows PLUS every row of the outside (bounds-disjoint,
         # provably source-unmatched) files; __dak_out tags the region so
-        # the rewrite decision stays per-region — outside files carry
-        # verbatim when no clause hits any of their rows. One pinned
-        # evaluation (like pinned_m) fixes non-deterministic conditions
-        # and assignments for counts, rewrites, and the change feed.
-        pinned_nm, nms_upd, nms_del = None, 0, 0
+        # the rewrite decision stays per-region. Two phases: (1) ONE
+        # aggregation over the unpinned frame gates which regions
+        # rewrite at all — a no-hit region carries verbatim WITHOUT ever
+        # materializing its rows; (2) only regions actually being
+        # rewritten are pinned (localCheckpoint, like pinned_m), and the
+        # pinned evaluation is then authoritative for the rewritten
+        # rows, the returned counts, and the change feed (a
+        # non-deterministic condition can re-evaluate between the gate
+        # and the pin — the committed rows always follow the pin).
+        nm_frame, nms_upd, nms_del = None, 0, 0
         hits_in = hits_out = 0
         nm_upd_idx = [i for i, (_c, a, _g) in enumerate(nms_clauses) if a == "update"]
         nm_del_idx = [i for i, (_c, a, _g) in enumerate(nms_clauses) if a == "delete"]
@@ -4107,28 +4143,34 @@ def snapshot_merge(
                     else F.col("t").getField(c)
                 )
                 nm_cols.append(expr.cast(nm_dt[c]).alias(c))
-            pinned_nm = nmf.select(
+            nm_frame = nmf.select(
                 "__dak_out", "__dak_nci", F.col("t").alias("__dak_t"), *nm_cols
-            ).localCheckpoint(eager=True)
-            cnt_nm = {
+            )
+            # phase 1: the region gate — one aggregation, nothing pinned
+            cnt_gate = {
                 (r["__dak_out"], r["__dak_nci"]): r["__dak_n"]
-                for r in pinned_nm.groupBy("__dak_out", "__dak_nci")
+                for r in nm_frame.groupBy("__dak_out", "__dak_nci")
                 .agg(F.count(F.lit(1)).alias("__dak_n"))
                 .collect()
             }
-            hits_in = sum(v for (o, i), v in cnt_nm.items() if not o and i >= 0)
-            hits_out = sum(v for (o, i), v in cnt_nm.items() if o and i >= 0)
-            _u, _d = set(nm_upd_idx), set(nm_del_idx)
-            nms_upd = sum(v for (_o, i), v in cnt_nm.items() if i in _u)
-            nms_del = sum(v for (_o, i), v in cnt_nm.items() if i in _d)
+            hits_in = sum(v for (o, i), v in cnt_gate.items() if not o and i >= 0)
+            hits_out = sum(v for (o, i), v in cnt_gate.items() if o and i >= 0)
+
+        _nm_pinned: "dict[bool, DataFrame]" = {}
+
+        def _nm_pin(out_flag: bool) -> DataFrame:
+            # phase 2: pin exactly the regions being rewritten
+            if out_flag not in _nm_pinned:
+                _nm_pinned[out_flag] = nm_frame.filter(
+                    F.col("__dak_out") == F.lit(out_flag)
+                ).localCheckpoint(eager=True)
+            return _nm_pinned[out_flag]
 
         def _nm_keep(out_flag: bool) -> DataFrame:
             keep = (
                 ~F.col("__dak_nci").isin(nm_del_idx) if nm_del_idx else F.lit(True)
             )
-            return pinned_nm.filter(
-                (F.col("__dak_out") == F.lit(out_flag)) & keep
-            ).select(*names)
+            return _nm_pin(out_flag).filter(keep).select(*names)
 
         def _unmatched_in() -> DataFrame:
             # inside rows with no source match: third-family-transformed
@@ -4248,6 +4290,20 @@ def snapshot_merge(
             rewritten = rewritten + carried
             parts.append(_nm_keep(True))
         carried = [f for f in m["files"] if f not in set(rewritten)]
+        if _nm_pinned:
+            # counts follow the PINNED evaluation (authoritative for the
+            # rewritten rows and the change feed); un-pinned regions
+            # contributed no changes by the phase-1 gate
+            cnt_nm: "dict[int, int]" = {}
+            for _pf in _nm_pinned.values():
+                for r in (
+                    _pf.groupBy("__dak_nci")
+                    .agg(F.count(F.lit(1)).alias("__dak_n"))
+                    .collect()
+                ):
+                    cnt_nm[r["__dak_nci"]] = cnt_nm.get(r["__dak_nci"], 0) + r["__dak_n"]
+            nms_upd = sum(v for i, v in cnt_nm.items() if i in set(nm_upd_idx))
+            nms_del = sum(v for i, v in cnt_nm.items() if i in set(nm_del_idx))
         if when_not_matched == "insert":
             # keep ALL source columns until the insert condition (it may
             # reference clause-mode extra columns), then project
@@ -4319,12 +4375,14 @@ def snapshot_merge(
             elif when_matched == "delete" and n_matched:
                 matched = tgt.join(src_n, on, "left_semi")
                 chg.append((matched, "delete"))
-            if pinned_nm is not None and (nms_upd or nms_del):
+            if _nm_pinned and (nms_upd or nms_del):
                 # third-family hits: same pre/postimage discipline, from
-                # the pinned frame (a hit row's region is always rewritten)
+                # the pinned frames (a hit row's region is always pinned
+                # AND rewritten)
+                pnm = _union_all(list(_nm_pinned.values()))
                 tcols_n = [F.col("__dak_t").getField(c).alias(c) for c in names]
                 if nms_upd:
-                    hit_n = pinned_nm.filter(F.col("__dak_nci").isin(nm_upd_idx))
+                    hit_n = pnm.filter(F.col("__dak_nci").isin(nm_upd_idx))
                     chg += [
                         (hit_n.select(*tcols_n), "update_preimage"),
                         (hit_n.select(*names), "update_postimage"),
@@ -4332,7 +4390,7 @@ def snapshot_merge(
                 if nms_del:
                     chg.append(
                         (
-                            pinned_nm.filter(
+                            pnm.filter(
                                 F.col("__dak_nci").isin(nm_del_idx)
                             ).select(*tcols_n),
                             "delete",
@@ -4719,7 +4777,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
         for v in range(s + 1, e + 1):
             m = _read_manifest(self.path, v)
             if (
-                m["op"] not in ("append", "rename_column", "drop_column")
+                m["op"] not in (
+                    "append", "rename_column", "drop_column",
+                    "set_stats_columns",
+                )
                 and m["parent"] is not None
             ):
                 raise ValueError(

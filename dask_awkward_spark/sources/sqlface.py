@@ -353,6 +353,19 @@ def snapshot_sql(
     )
 
 
+# words that can FOLLOW a FROM-target without being its alias — used to
+# decide whether an AS-OF rewrite must re-alias the pinned view back to
+# the original table name (so qualified refs like t.col keep resolving)
+_SQL_CLAUSE_KW = {
+    "WHERE", "JOIN", "ON", "GROUP", "ORDER", "LEFT", "RIGHT", "INNER",
+    "FULL", "CROSS", "NATURAL", "SEMI", "ANTI", "USING", "UNION",
+    "EXCEPT", "INTERSECT", "LIMIT", "HAVING", "WINDOW", "SORT",
+    "CLUSTER", "DISTRIBUTE", "QUALIFY", "SELECT", "AND", "OR", "WHEN",
+    "THEN", "ELSE", "END", "VERSION", "TIMESTAMP", "LATERAL", "PIVOT",
+    "UNPIVOT", "TABLESAMPLE",
+}
+
+
 def _outside_literals(sql: str, fn) -> str:
     """Apply ``fn`` to every segment of ``sql`` OUTSIDE single-quoted
     string literals ('' escapes) — rewrites must never touch a table
@@ -397,16 +410,27 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     from .snapshot import snapshot_view
 
     def _in_literal(s: str, pos: int) -> bool:
-        # is `pos` inside a single-quoted literal ('' escapes)?
-        i, n, inside = 0, len(s), False
+        # is `pos` inside a quoted literal? Spark's default lexer treats
+        # BOTH '...' and "..." as STRING literals — the opening quote
+        # kind owns the span (the other kind does not toggle inside it),
+        # a doubled same-kind quote escapes, and backslash escapes
+        # anything
+        i, n, q = 0, len(s), None
         while i < pos:
-            if s[i] == "'":
-                if inside and i + 1 < n and s[i + 1] == "'":
-                    i += 2  # escaped quote inside a literal
+            c = s[i]
+            if q is not None:
+                if c == "\\":
+                    i += 2
                     continue
-                inside = not inside
+                if c == q:
+                    if i + 1 < n and s[i + 1] == q:
+                        i += 2  # escaped quote inside the literal
+                        continue
+                    q = None
+            elif c in ("'", '"'):
+                q = c
             i += 1
-        return inside
+        return q is not None
 
     # rewrite one AS-OF occurrence at a time (the replacement shifts
     # positions, so literal-range checks re-scan the current text); the
@@ -446,7 +470,18 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
                             f"bad TIMESTAMP AS OF literal {raw!r}: {e}"
                         )
                     snapshot_view(spark, path, vn, as_of=ts.timestamp())
-                rewritten = rewritten[: mm.start()] + vn + rewritten[mm.end():]
+                # keep the ORIGINAL name addressable (qualified refs
+                # like acct.k must survive the rewrite): alias the
+                # pinned view back to the table name — unless the user
+                # wrote their own alias right after the AS OF suffix
+                tail = rewritten[mm.end():]
+                nxt = re.match(r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*)", tail, re.I)
+                user_alias = bool(nxt) and (
+                    re.match(r"\s+AS\b", tail, re.I) is not None
+                    or nxt.group(1).upper() not in _SQL_CLAUSE_KW
+                )
+                rep_txt = vn if user_alias else f"{vn} AS {name}"
+                rewritten = rewritten[: mm.start()] + rep_txt + rewritten[mm.end():]
                 progress = True
                 break
             if progress:

@@ -219,3 +219,34 @@ def test_nms_validation(spark, tmp_path):
                          when_not_matched=None,
                          when_not_matched_by_source="delete")
     assert out["deleted_rows"] == 2  # k 3,4
+
+
+def test_no_hit_nms_merge_pins_nothing(spark, tmp_path, monkeypatch):
+    """Review r9 finding: a conditional third-family merge that hits
+    nothing must NOT materialize (localCheckpoint) the outside region —
+    the region gate is one aggregation; pinning happens only for
+    regions actually rewritten."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    p = str(tmp_path / "t")
+    _mk(spark, p, n=100)
+    src = _src(spark, 0, 25)
+    real = CDF.localCheckpoint
+    pinned_rows: list = []
+
+    def spy(self, eager=True):
+        out = real(self, eager=eager)
+        pinned_rows.append(out.count())
+        return out
+
+    monkeypatch.setattr(CDF, "localCheckpoint", spy)
+    out = snapshot_merge(
+        spark, p, src, on=["k"],
+        when_matched=None, when_not_matched=None,
+        when_not_matched_by_source=[("t.grp = 77", "delete", None)],
+    )
+    monkeypatch.setattr(CDF, "localCheckpoint", real)
+    assert out["rewritten_files"] == 0 and out["deleted_rows"] == 0
+    # only the source pin (25 rows) may have materialized — never the
+    # 75-row outside region or the 100-row table
+    assert pinned_rows and max(pinned_rows) <= 25, pinned_rows

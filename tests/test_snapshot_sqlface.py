@@ -463,3 +463,35 @@ def test_catalog_rename_atomic_roundtrip(spark, tmp_path):
         snapshot_catalog_rename(spark, cat, "orders_gold", "other")
     with pytest.raises(ValueError, match="identical"):
         snapshot_catalog_rename(spark, cat, "other", "other")
+
+
+def test_sql_select_double_quoted_literals_and_qualified_refs(spark, tmp_path):
+    """Review r9 findings: Spark's default lexer treats double-quoted
+    strings as literals (the AS-OF rewrite must not touch them), and a
+    rewritten FROM target must stay addressable by its table name."""
+    p = str(tmp_path / "sel2")
+    t = {"acct": p}
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, bal double"), p
+    )
+    snapshot_sql(spark, "INSERT INTO acct VALUES (3, 30.0)", t)
+    row = snapshot_sql(
+        spark,
+        'SELECT "acct VERSION AS OF 1" AS lit, count(*) AS n FROM acct',
+        t,
+    ).collect()[0]
+    assert row.lit == "acct VERSION AS OF 1" and row.n == 3
+    # qualified refs survive the rewrite (the pinned view re-aliases)
+    row2 = snapshot_sql(
+        spark, "SELECT acct.k FROM acct VERSION AS OF 1 ORDER BY acct.k", t
+    ).collect()
+    assert [r.k for r in row2] == [1, 2]
+    # a user-supplied alias wins (no double alias emitted)
+    row3 = snapshot_sql(
+        spark, "SELECT a.k FROM acct VERSION AS OF 1 AS a ORDER BY a.k", t
+    ).collect()
+    assert [r.k for r in row3] == [1, 2]
+    row4 = snapshot_sql(
+        spark, "SELECT a.k FROM acct VERSION AS OF 1 a WHERE a.k = 2", t
+    ).collect()
+    assert [r.k for r in row4] == [2]

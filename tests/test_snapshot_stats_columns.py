@@ -161,3 +161,74 @@ def test_spec_refusals(spark, tmp_path):
     # inheriting append is fine
     snapshot_write(df, p, mode="append")
     assert snap._read_manifest(p, 2)["stats_columns"] == ["meta.ts"]
+
+
+def test_set_stats_columns_is_cdf_and_stream_transparent(spark, tmp_path):
+    """Review r9 finding: the setter's commit is row-preserving — the
+    change feed (both shapes) must cross it, not reject it."""
+    from dask_awkward_spark.sources.snapshot import snapshot_changes
+
+    p = str(tmp_path / "t")
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("hot"))
+    snapshot_write(df, p)  # v1
+    snapshot_set_stats_columns(p, ["hot"])  # v2, metadata-only
+    snapshot_write(df.withColumn("k", F.col("k") + 10), p, mode="append")  # v3
+    got = sorted(r.k for r in snapshot_changes(spark, p, since=1).collect())
+    assert got == list(range(10, 15))
+    row = sorted(
+        r.k for r in snapshot_changes(spark, p, 1, row_level=True).collect()
+    )
+    assert row == list(range(10, 15))
+
+
+def test_inherited_spec_never_goes_all_dead(spark, tmp_path, monkeypatch):
+    """Review r9 finding: a schema-changing overwrite (or rename +
+    overwrite, which resets physical names) must not carry a spec that
+    resolves to nothing — that would suppress the prefix default and
+    record NO stats at all. Stale entries drop; an all-dead spec falls
+    back to the prefix default."""
+    monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "4")
+    p = str(tmp_path / "t")
+    snapshot_write(_wide(spark), p, stats_columns=["hot", "k"])
+    snapshot_rename_column(p, "hot", "warm")
+    # overwrite after the rename: mapping resets, physical 'hot' is gone
+    df2 = spark.range(50).select(
+        F.col("id").alias("k"), F.col("id").alias("warm")
+    ).repartitionByRange(4, "warm")
+    snapshot_write(df2, p)
+    m = snap._read_manifest(p, snap._versions(p)[-1])
+    assert m["stats_columns"] == ["k"], m["stats_columns"]  # stale entry dropped
+    some = next(iter(m["stats"].values()))
+    assert some["minmax"], "spec must never become record-nothing"
+    # fully-dead spec: overwrite with a schema sharing NO spec leaf
+    p2 = str(tmp_path / "t2")
+    snapshot_write(_wide(spark), p2, stats_columns=["hot"])
+    df3 = spark.range(50).select(F.col("id").alias("zzz"))
+    snapshot_write(df3, p2)
+    m2 = snap._read_manifest(p2, snap._versions(p2)[-1])
+    assert m2["stats_columns"] is None  # back to the prefix default
+    assert next(iter(m2["stats"].values()))["minmax"]
+
+
+def test_append_retry_follows_concurrent_spec_change(spark, tmp_path, monkeypatch):
+    """Review r9 finding: an append losing its CAS to a concurrent
+    snapshot_set_stats_columns must adopt the NEW spec in its manifest,
+    not silently revert it."""
+    p = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"), F.col("id").alias("hot"))
+    snapshot_write(df, p)
+    real = snap._commit_manifest
+    state = {"n": 0}
+
+    def hook(path_, version, manifest, parent_m=None):
+        state["n"] += 1
+        if state["n"] == 1:
+            snapshot_set_stats_columns(p, ["hot"])  # steal the version
+        return real(path_, version, manifest, parent_m)
+
+    monkeypatch.setattr(snap, "_commit_manifest", hook)
+    snapshot_write(df, p, mode="append")
+    monkeypatch.undo()
+    m = snap._read_manifest(p, snap._versions(p)[-1])
+    assert m["op"] == "append"
+    assert m["stats_columns"] == ["hot"], "retry must not revert the spec"

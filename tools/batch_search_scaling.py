@@ -1,11 +1,11 @@
 """Batch-ANN scaling evidence (VERDICT r9 item 1 done-criterion): time
-the distributed two-tier ivf_search at 10k vs 100k query rows over the
+the distributed two-tier ivf_search at 1k vs 10k query rows over the
 same quantized index and report the PER-QUERY cost — the batch path's
 whole point is that cost-per-query stays flat when the query side grows
 10x (candidates per query are fixed by the index geometry; planning is
 a column, not a driver loop).
 
-Usage: python tools/batch_search_scaling.py [Q1] [Q2]   (default 10000 100000)
+Usage: python tools/batch_search_scaling.py [Q1] [Q2]   (default 1000 10000)
 Prints one JSON line:
   {"corpus": N, "q1": ..., "t1": s, "q2": ..., "t2": s,
    "ms_per_query_1": ..., "ms_per_query_2": ..., "per_query_ratio": ...}

@@ -1074,26 +1074,40 @@ def snapshot_write(
     eff_cm = pre_m.get("column_mapping") if (mode == "append" and pre) else None
     eff_cm_ext = _extend_mapping(eff_cm, df.schema)
 
-    def _filter_sc(sc_list):
-        # an inherited spec must keep resolving against THIS write's
-        # schema + mapping: an overwrite may change the schema and
-        # resets physical names, so stale entries are dropped — and an
-        # all-dead spec falls back to None (the prefix default), never
-        # to the record-NOTHING state a non-matching want-set would be.
-        # Restate stats_columns= explicitly on schema-changing
-        # overwrites to keep the spec intentional.
+    def _filter_sc(sc_list, head_m):
+        # An APPEND inherits the spec VERBATIM: its schema matches the
+        # table's (or merge_schema-widens it), so every stored entry
+        # stays valid — filtering against the frame here would let a
+        # legal narrow merge_schema append silently erase the spec.
+        # An OVERWRITE may change the schema AND resets physical names,
+        # so each stored PHYSICAL entry is translated back to its
+        # logical path through the PRE-overwrite mapping and re-resolved
+        # against the new write (mapping resets to identity), keeping
+        # the spec rename-proof across overwrites too; entries whose
+        # column is genuinely gone drop, and an all-dead spec falls back
+        # to None (the prefix default) — never to the record-NOTHING
+        # state a non-matching want-set would be.
         if not sc_list:
             return None
-        valid = {
-            p
-            for p, _ in _leaf_stats_candidates(
-                df.schema, (eff_cm_ext or {}).get("physical")
-            )
+        if mode == "append":
+            return list(sc_list)
+        inv = {
+            ph: lg
+            for lg, ph in (_mapping_physical(head_m) or {}).items()
         }
-        return [p for p in sc_list if p in valid] or None
+        new_pmap = (eff_cm_ext or {}).get("physical") or {}
+        valid = {p for p, _ in _leaf_stats_candidates(df.schema, new_pmap)}
+        out = []
+        for p in sc_list:
+            head_seg, dot, rest = p.partition(".")
+            logical = inv.get(head_seg, head_seg)
+            new_p = new_pmap.get(logical, logical) + (dot + rest)
+            if new_p in valid and new_p not in out:
+                out.append(new_p)
+        return out or None
 
     if stats_columns is None:
-        eff_sc = _filter_sc(pre_m.get("stats_columns"))  # sticky (physical)
+        eff_sc = _filter_sc(pre_m.get("stats_columns"), pre_m)  # sticky
     elif not stats_columns:
         eff_sc = None  # explicit []: reset to the prefix-cap default
         if mode == "append" and pre and pre_m.get("stats_columns"):
@@ -1163,7 +1177,7 @@ def snapshot_write(
             # by this commit's pre-loop read (the already-staged files
             # keep whatever stats they recorded — missing or extra
             # per-file stats are always safe)
-            eff_sc = _filter_sc(head_m.get("stats_columns"))
+            eff_sc = _filter_sc(head_m.get("stats_columns"), head_m)
         out_schema = df.schema
         if mode == "append" and versions:
             # names+types must match exactly; nullability is excluded on
@@ -4159,11 +4173,25 @@ def snapshot_merge(
         _nm_pinned: "dict[bool, DataFrame]" = {}
 
         def _nm_pin(out_flag: bool) -> DataFrame:
-            # phase 2: pin exactly the regions being rewritten
+            # phase 2: ONE checkpoint covering every region that will be
+            # rewritten. The inside pin is always requested first (via
+            # _unmatched_in) when both regions rewrite, so when the gate
+            # already knows the outside has hits the two regions pin
+            # TOGETHER — the common sync shape evaluates nm_frame twice
+            # total (gate + pin), never once per region.
             if out_flag not in _nm_pinned:
-                _nm_pinned[out_flag] = nm_frame.filter(
-                    F.col("__dak_out") == F.lit(out_flag)
-                ).localCheckpoint(eager=True)
+                both = (not out_flag) and hits_out > 0
+                src_f = (
+                    nm_frame
+                    if both
+                    else nm_frame.filter(F.col("__dak_out") == F.lit(out_flag))
+                )
+                ck = src_f.localCheckpoint(eager=True)
+                if both:
+                    _nm_pinned[False] = ck.filter(~F.col("__dak_out"))
+                    _nm_pinned[True] = ck.filter(F.col("__dak_out"))
+                else:
+                    _nm_pinned[out_flag] = ck
             return _nm_pinned[out_flag]
 
         def _nm_keep(out_flag: bool) -> DataFrame:

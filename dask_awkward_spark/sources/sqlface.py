@@ -355,36 +355,53 @@ def snapshot_sql(
 
 # words that can FOLLOW a FROM-target without being its alias — used to
 # decide whether an AS-OF rewrite must re-alias the pinned view back to
-# the original table name (so qualified refs like t.col keep resolving)
+# the original table name (so qualified refs like t.col keep resolving).
+# Limitation, documented: an IMPLICIT alias spelled like one of these
+# clause keywords must be written with an explicit AS (the heuristic
+# would otherwise re-alias over it — failing loudly at parse, never
+# silently).
 _SQL_CLAUSE_KW = {
     "WHERE", "JOIN", "ON", "GROUP", "ORDER", "LEFT", "RIGHT", "INNER",
     "FULL", "CROSS", "NATURAL", "SEMI", "ANTI", "USING", "UNION",
-    "EXCEPT", "INTERSECT", "LIMIT", "HAVING", "WINDOW", "SORT",
-    "CLUSTER", "DISTRIBUTE", "QUALIFY", "SELECT", "AND", "OR", "WHEN",
-    "THEN", "ELSE", "END", "VERSION", "TIMESTAMP", "LATERAL", "PIVOT",
-    "UNPIVOT", "TABLESAMPLE",
+    "EXCEPT", "INTERSECT", "MINUS", "LIMIT", "OFFSET", "FETCH", "FOR",
+    "HAVING", "WINDOW", "SORT", "CLUSTER", "DISTRIBUTE", "QUALIFY",
+    "SELECT", "AND", "OR", "WHEN", "THEN", "ELSE", "END", "VERSION",
+    "TIMESTAMP", "LATERAL", "PIVOT", "UNPIVOT", "TABLESAMPLE", "VALUES",
 }
 
 
-def _outside_literals(sql: str, fn) -> str:
-    """Apply ``fn`` to every segment of ``sql`` OUTSIDE single-quoted
-    string literals ('' escapes) — rewrites must never touch a table
-    name that happens to appear inside a literal."""
-    out, i, n, start = [], 0, len(sql), 0
+def _blank_literals(sql: str) -> str:
+    """The statement with every quoted literal's CONTENTS blanked to
+    spaces (quote characters kept, so spans keep their width and
+    positions line up with the original text). Spark's default lexer
+    treats BOTH ``'...'`` and ``"..."`` as STRING literals — the
+    opening quote kind owns the span, a doubled same-kind quote
+    escapes, and backslash escapes anything. Every rewrite/search in
+    the SELECT face runs against THIS view of the text, so they all
+    share one model of where literals are."""
+    out = list(sql)
+    i, n, q = 0, len(sql), None
     while i < n:
-        if sql[i] == "'":
-            out.append(fn(sql[start:i]))
-            j = i + 1
-            while j < n:
-                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
-                    break
-                j += 2 if sql[j] == "'" else 1
-            out.append(sql[i : j + 1])
-            i = j + 1
-            start = i
-        else:
-            i += 1
-    out.append(fn(sql[start:]))
+        c = sql[i]
+        if q is not None:
+            if c == "\\":
+                out[i] = " "
+                if i + 1 < n:
+                    out[i + 1] = " "
+                i += 2
+                continue
+            if c == q:
+                if i + 1 < n and sql[i + 1] == q:
+                    out[i] = " "
+                    out[i + 1] = " "  # escaped quote inside the literal
+                    i += 2
+                    continue
+                q = None
+            else:
+                out[i] = " "
+        elif c in ("'", '"'):
+            q = c
+        i += 1
     return "".join(out)
 
 
@@ -409,33 +426,13 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
 
     from .snapshot import snapshot_view
 
-    def _in_literal(s: str, pos: int) -> bool:
-        # is `pos` inside a quoted literal? Spark's default lexer treats
-        # BOTH '...' and "..." as STRING literals — the opening quote
-        # kind owns the span (the other kind does not toggle inside it),
-        # a doubled same-kind quote escapes, and backslash escapes
-        # anything
-        i, n, q = 0, len(s), None
-        while i < pos:
-            c = s[i]
-            if q is not None:
-                if c == "\\":
-                    i += 2
-                    continue
-                if c == q:
-                    if i + 1 < n and s[i + 1] == q:
-                        i += 2  # escaped quote inside the literal
-                        continue
-                    q = None
-            elif c in ("'", '"'):
-                q = c
-            i += 1
-        return q is not None
-
     # rewrite one AS-OF occurrence at a time (the replacement shifts
-    # positions, so literal-range checks re-scan the current text); the
-    # TIMESTAMP literal itself is quoted, which is why this pass runs
-    # on the RAW text rather than on literal-split segments
+    # positions, so the literal map re-derives from the current text).
+    # The SEARCH runs on the literal-blanked view — a table name or an
+    # AS-OF suffix inside a quoted string can never match — while the
+    # REPLACEMENT splices the real text (the timestamp literal's value
+    # is read from the original at the match span; blanking keeps spans
+    # position-identical).
     counter, rewritten = 0, sql
     pats = [
         (
@@ -453,52 +450,56 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     progress = True
     while progress:
         progress = False
+        blanked = _blank_literals(rewritten)
         for name, path, pat in pats:
-            for mm in pat.finditer(rewritten):
-                if _in_literal(rewritten, mm.start()):
-                    continue
-                counter += 1
-                vn = f"__dak_asof_{counter}"
-                if mm.group(1) is not None:
-                    snapshot_view(spark, path, vn, version=int(mm.group(1)))
-                else:
-                    raw = mm.group(2)[1:-1].replace("''", "'")
-                    try:
-                        ts = datetime.datetime.fromisoformat(raw)
-                    except ValueError as e:
-                        raise ValueError(
-                            f"bad TIMESTAMP AS OF literal {raw!r}: {e}"
-                        )
-                    snapshot_view(spark, path, vn, as_of=ts.timestamp())
-                # keep the ORIGINAL name addressable (qualified refs
-                # like acct.k must survive the rewrite): alias the
-                # pinned view back to the table name — unless the user
-                # wrote their own alias right after the AS OF suffix
-                tail = rewritten[mm.end():]
-                nxt = re.match(r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*)", tail, re.I)
-                user_alias = bool(nxt) and (
-                    re.match(r"\s+AS\b", tail, re.I) is not None
-                    or nxt.group(1).upper() not in _SQL_CLAUSE_KW
-                )
-                rep_txt = vn if user_alias else f"{vn} AS {name}"
-                rewritten = rewritten[: mm.start()] + rep_txt + rewritten[mm.end():]
-                progress = True
-                break
-            if progress:
-                break
+            mm = pat.search(blanked)
+            if mm is None:
+                continue
+            counter += 1
+            vn = f"__dak_asof_{counter}"
+            if mm.group(1) is not None:
+                snapshot_view(spark, path, vn, version=int(mm.group(1)))
+            else:
+                # the literal's VALUE comes from the original text
+                raw = rewritten[mm.start(2) + 1 : mm.end(2) - 1].replace("''", "'")
+                try:
+                    ts = datetime.datetime.fromisoformat(raw)
+                except ValueError as e:
+                    raise ValueError(
+                        f"bad TIMESTAMP AS OF literal {raw!r}: {e}"
+                    )
+                snapshot_view(spark, path, vn, as_of=ts.timestamp())
+            # keep the ORIGINAL name addressable (qualified refs like
+            # acct.k must survive the rewrite): alias the pinned view
+            # back to the table name — unless the user wrote their own
+            # alias right after the AS OF suffix
+            tail = blanked[mm.end():]
+            nxt = re.match(r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*)", tail, re.I)
+            user_alias = bool(nxt) and (
+                re.match(r"\s+AS\b", tail, re.I) is not None
+                or nxt.group(1).upper() not in _SQL_CLAUSE_KW
+            )
+            rep_txt = vn if user_alias else f"{vn} AS {name}"
+            rewritten = rewritten[: mm.start()] + rep_txt + rewritten[mm.end():]
+            progress = True
+            break
 
-    def find_bare(seg: str) -> str:
-        for name, path in tables.items():
-            if re.search(rf"\b{re.escape(name)}\b", seg, re.I):
-                bare.add(name)
-        return seg
-
-    bare: "set[str]" = set()
-    _outside_literals(rewritten, find_bare)
-    for name in sorted(bare):
-        # head-pinned at call time — commits landing mid-query never
-        # shift the result (re-run to follow the head)
-        snapshot_view(spark, tables[name], name)
+    # bare catalog names register head-pinned views under their own
+    # name. Search the blanked text (same literal model as the rewrite)
+    # with the INJECTED "AS <name>" aliases scrubbed — a purely
+    # historical AS-OF read must not register (or clobber) a head view
+    # for a name the user's own text never references bare.
+    scrub = re.sub(
+        r"__dak_asof_\d+\s+AS\s+[A-Za-z_][A-Za-z_0-9]*",
+        " ",
+        _blank_literals(rewritten),
+        flags=re.I,
+    )
+    for name in sorted(tables):
+        if re.search(rf"\b{re.escape(name)}\b", scrub, re.I):
+            # head-pinned at call time — commits landing mid-query never
+            # shift the result (re-run to follow the head)
+            snapshot_view(spark, tables[name], name)
     return spark.sql(rewritten)
 
 

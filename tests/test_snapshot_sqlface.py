@@ -495,3 +495,40 @@ def test_sql_select_double_quoted_literals_and_qualified_refs(spark, tmp_path):
         spark, "SELECT a.k FROM acct VERSION AS OF 1 a WHERE a.k = 2", t
     ).collect()
     assert [r.k for r in row4] == [2]
+
+
+def test_sql_select_second_review_edges(spark, tmp_path):
+    """Second review cycle: apostrophes inside double-quoted literals
+    must not desync the bare-name search; OFFSET after an AS-OF pin is
+    a clause, not an alias; and a purely historical AS-OF read must not
+    register (or clobber) a head-pinned view under the table's name."""
+    p = str(tmp_path / "sel3")
+    t = {"acct": p}
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, bal double"), p
+    )
+    snapshot_sql(spark, "INSERT INTO acct VALUES (3, 30.0)", t)
+    # apostrophe inside a DOUBLE-quoted literal: the scanner must not
+    # treat it as opening a single-quoted literal (FROM acct would then
+    # be invisible to the bare-name registration)
+    row = snapshot_sql(
+        spark, 'SELECT "it\'s" AS s1, count(*) AS n FROM acct', t
+    ).collect()[0]
+    assert row.s1 == "it's" and row.n == 3
+    # OFFSET is a clause keyword, not a user alias: qualified refs work
+    rows = snapshot_sql(
+        spark,
+        "SELECT acct.k FROM acct VERSION AS OF 1 ORDER BY acct.k OFFSET 1",
+        t,
+    ).collect()
+    assert [r.k for r in rows] == [2]
+    # a pure AS-OF read leaves the user's same-named temp view alone
+    spark.createDataFrame([(99,)], "x bigint").createOrReplaceTempView("acct")
+    n = snapshot_sql(
+        spark, "SELECT count(*) AS n FROM acct VERSION AS OF 1", t
+    ).collect()[0].n
+    assert n == 2
+    assert [r.x for r in spark.sql("SELECT x FROM acct").collect()] == [99], (
+        "historical read must not clobber the user's temp view"
+    )
+    spark.catalog.dropTempView("acct")

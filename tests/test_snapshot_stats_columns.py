@@ -182,24 +182,26 @@ def test_set_stats_columns_is_cdf_and_stream_transparent(spark, tmp_path):
 
 
 def test_inherited_spec_never_goes_all_dead(spark, tmp_path, monkeypatch):
-    """Review r9 finding: a schema-changing overwrite (or rename +
-    overwrite, which resets physical names) must not carry a spec that
-    resolves to nothing — that would suppress the prefix default and
-    record NO stats at all. Stale entries drop; an all-dead spec falls
-    back to the prefix default."""
+    """Review r9 findings: an inherited spec crossing an overwrite is
+    translated physical→logical through the PRE-overwrite mapping and
+    re-resolved (rename-proof across the mapping reset, second review
+    cycle); entries whose column is genuinely gone drop; an all-dead
+    spec falls back to the prefix default — never the record-nothing
+    state."""
     monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "4")
     p = str(tmp_path / "t")
     snapshot_write(_wide(spark), p, stats_columns=["hot", "k"])
     snapshot_rename_column(p, "hot", "warm")
-    # overwrite after the rename: mapping resets, physical 'hot' is gone
+    # overwrite after the rename: mapping resets — the spec entry for
+    # physical 'hot' follows its logical name to the new physical 'warm'
     df2 = spark.range(50).select(
         F.col("id").alias("k"), F.col("id").alias("warm")
     ).repartitionByRange(4, "warm")
     snapshot_write(df2, p)
     m = snap._read_manifest(p, snap._versions(p)[-1])
-    assert m["stats_columns"] == ["k"], m["stats_columns"]  # stale entry dropped
+    assert m["stats_columns"] == ["warm", "k"], m["stats_columns"]
     some = next(iter(m["stats"].values()))
-    assert some["minmax"], "spec must never become record-nothing"
+    assert "warm" in some["minmax"], "renamed spec column must keep recording"
     # fully-dead spec: overwrite with a schema sharing NO spec leaf
     p2 = str(tmp_path / "t2")
     snapshot_write(_wide(spark), p2, stats_columns=["hot"])
@@ -232,3 +234,24 @@ def test_append_retry_follows_concurrent_spec_change(spark, tmp_path, monkeypatc
     m = snap._read_manifest(p, snap._versions(p)[-1])
     assert m["op"] == "append"
     assert m["stats_columns"] == ["hot"], "retry must not revert the spec"
+
+
+def test_narrow_merge_schema_append_keeps_spec(spark, tmp_path, monkeypatch):
+    """Second review cycle: a legal merge_schema append that OMITS a
+    spec column (null-filled on read) must inherit the spec verbatim —
+    filtering it against the narrow frame would silently erase it."""
+    monkeypatch.setenv("DAK_SNAPSHOT_STATS_MAX_COLS", "4")
+    p = str(tmp_path / "t")
+    snapshot_write(_wide(spark), p, stats_columns=["hot"])
+    narrow = spark.range(10).select(F.col("id").alias("k"))
+    snapshot_write(narrow, p, mode="append", merge_schema=True)
+    m = snap._read_manifest(p, snap._versions(p)[-1])
+    assert m["stats_columns"] == ["hot"], "narrow append must not erase the spec"
+    # a later full-width append still records the spec column
+    snapshot_write(
+        _wide(spark).withColumn("hot", F.col("hot") + 1000), p, mode="append"
+    )
+    m2 = snap._read_manifest(p, snap._versions(p)[-1])
+    assert any(
+        "hot" in st.get("minmax", {}) for st in m2["stats"].values()
+    )

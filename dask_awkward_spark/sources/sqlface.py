@@ -277,15 +277,23 @@ def snapshot_sql(
     - ``SELECT``/``WITH`` — reads by catalog name over head-pinned
       views, with ``FROM t VERSION AS OF n`` / ``TIMESTAMP AS OF
       '...'`` time travel (see :func:`_select_sql`).
+    - Maintenance: ``DESCRIBE HISTORY t``, ``OPTIMIZE t [WHERE ...]
+      [ZORDER BY (...)]``, ``VACUUM t [RETAIN n HOURS] [KEEP LAST n]
+      [DRY RUN]``, ``RESTORE [TABLE] t [TO] VERSION AS OF n`` — routed
+      to the Python faces (see :func:`_maintenance_sql`).
 
-    Returns the new version number (INSERTs), the DML stats dict
-    (DELETE/UPDATE/MERGE), or the result DataFrame (SELECT). Raises
-    ``ValueError`` with a pointer at the Python API for any statement
-    outside the grammar."""
+    Returns the new version number (INSERTs/OPTIMIZE/RESTORE), the
+    stats dict (DELETE/UPDATE/MERGE/VACUUM), or the result DataFrame
+    (SELECT/DESCRIBE HISTORY). Raises ``ValueError`` with a pointer at
+    the Python API for any statement outside the grammar."""
     from .snapshot import snapshot_delete, snapshot_update, snapshot_write
 
     if re.match(r"^\s*\(*\s*(SELECT|WITH)\b", sql, re.I):
         return _select_sql(spark, sql, tables)
+
+    out = _maintenance_sql(spark, sql, tables)
+    if out is not None:
+        return out
 
     m = _DELETE_RE.match(sql)
     if m:
@@ -347,9 +355,11 @@ def snapshot_sql(
 
     raise ValueError(
         f"unsupported statement {sql.strip()[:60]!r}: the SQL face speaks "
-        "INSERT INTO/OVERWRITE, DELETE FROM ... WHERE, UPDATE ... SET ... "
-        "WHERE, and MERGE INTO t USING src s ON t.k = s.k WHEN ... "
-        "(aliases fixed to t/s; snapshot_merge is the richer Python face)"
+        "SELECT/WITH (incl. VERSION/TIMESTAMP AS OF), INSERT INTO/"
+        "OVERWRITE, DELETE FROM ... WHERE, UPDATE ... SET ... WHERE, "
+        "MERGE INTO t USING src s ON t.k = s.k WHEN ... (aliases fixed "
+        "to t/s), DESCRIBE HISTORY, OPTIMIZE [WHERE|ZORDER BY], VACUUM, "
+        "and RESTORE ... VERSION AS OF"
     )
 
 
@@ -501,6 +511,77 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
             # shift the result (re-run to follow the head)
             snapshot_view(spark, tables[name], name)
     return spark.sql(rewritten)
+
+
+_HISTORY_RE = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$", re.I)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    rf"(?:\s+WHERE\s+(.+?))?"
+    rf"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})"
+    rf"(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+KEEP\s+LAST\s+(\d+))?"
+    rf"(?:\s+(DRY\s+RUN))?\s*;?\s*$",
+    re.I,
+)
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+(?:TO\s+)?"
+    rf"VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+    re.I,
+)
+
+
+def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
+    """Delta's maintenance statements as strings, routed to the Python
+    faces (None when ``sql`` is not one of them):
+
+    - ``DESCRIBE HISTORY t`` → :func:`snapshot_history` (a DataFrame).
+    - ``OPTIMIZE t [WHERE <triples>] [ZORDER BY (c1, c2)]`` →
+      :func:`snapshot_compact` (returns the new version; the WHERE
+      scope speaks the same triple vocabulary as DML).
+    - ``VACUUM t [RETAIN n HOURS] [KEEP LAST n] [DRY RUN]`` →
+      :func:`snapshot_vacuum` (returns its stats dict; defaults match
+      the Python face — 24 h retention, keep the head).
+    - ``RESTORE [TABLE] t [TO] VERSION AS OF n`` →
+      :func:`snapshot_restore` (returns the new version)."""
+    from .snapshot import (
+        snapshot_compact,
+        snapshot_history,
+        snapshot_restore,
+        snapshot_vacuum,
+    )
+
+    m = _HISTORY_RE.match(sql)
+    if m:
+        return snapshot_history(spark, _resolve(m.group(1), tables))
+    m = _OPTIMIZE_RE.match(sql)
+    if m:
+        table, where_sql, zorder = m.group(1), m.group(2), m.group(3)
+        return snapshot_compact(
+            spark,
+            _resolve(table, tables),
+            where=parse_where(where_sql) if where_sql else None,
+            zorder_by=(
+                [c.strip() for c in zorder.split(",") if c.strip()]
+                if zorder
+                else None
+            ),
+        )
+    m = _VACUUM_RE.match(sql)
+    if m:
+        table, hours, keep, dry = m.groups()
+        kw = {"dry_run": dry is not None}
+        if hours is not None:
+            kw["retain_seconds"] = int(hours) * 3600.0
+        if keep is not None:
+            kw["keep_last"] = int(keep)
+        return snapshot_vacuum(_resolve(table, tables), **kw)
+    m = _RESTORE_RE.match(sql)
+    if m:
+        return snapshot_restore(_resolve(m.group(1), tables), int(m.group(2)))
+    return None
 
 
 def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):

@@ -532,3 +532,38 @@ def test_sql_select_second_review_edges(spark, tmp_path):
         "historical read must not clobber the user's temp view"
     )
     spark.catalog.dropTempView("acct")
+
+
+def test_sql_maintenance_statements(spark, tmp_path):
+    """Delta's maintenance surface as strings: DESCRIBE HISTORY,
+    OPTIMIZE (scoped + zorder), VACUUM (retention/keep/dry-run), and
+    RESTORE ... VERSION AS OF — all routed to the Python faces."""
+    p = str(tmp_path / "mt")
+    t = {"m": p}
+    snapshot_write(
+        spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")),
+        p,
+    )
+    for i in range(4, 8):
+        snapshot_sql(spark, f"INSERT INTO m VALUES ({i}, {float(i)})", t)
+    hist = snapshot_sql(spark, "DESCRIBE HISTORY m", t)
+    ops = [r.op for r in hist.collect()]
+    assert ops.count("append") == 4 and "overwrite" in ops
+    v = snapshot_sql(spark, "OPTIMIZE m ZORDER BY (k)", t)
+    assert isinstance(v, int)
+    assert snapshot_read(spark, p).count() == 8
+    # scoped OPTIMIZE speaks the same triples
+    v2 = snapshot_sql(spark, "OPTIMIZE m WHERE k >= 4", t)
+    assert isinstance(v2, int) and snapshot_read(spark, p).count() == 8
+    # RESTORE rolls the head back as a NEW commit
+    snapshot_sql(spark, "RESTORE TABLE m TO VERSION AS OF 1", t)
+    assert snapshot_read(spark, p).count() == 4
+    # VACUUM trims history (0-retention via RETAIN 0 HOURS + KEEP LAST 1)
+    dry = snapshot_sql(spark, "VACUUM m RETAIN 0 HOURS KEEP LAST 1 DRY RUN", t)
+    assert isinstance(dry, dict)
+    assert len(snapshot_versions(p)) > 1  # dry run trimmed nothing
+    snapshot_sql(spark, "VACUUM m RETAIN 0 HOURS KEEP LAST 1", t)
+    assert len(snapshot_versions(p)) == 1
+    assert snapshot_read(spark, p).count() == 4
+    with pytest.raises(ValueError):
+        snapshot_sql(spark, "RESTORE m TO VERSION AS OF 999999", t)

@@ -55,6 +55,9 @@ SETTINGS = dict(
 #                          mid-staging: exercises the rebase-vs-restart
 #                          commit path under the model (VERDICT r7
 #                          item 5)
+#   ("set_stats", flag)  — metadata-only stats-spec flip (VERDICT r9
+#                          item 4): row-preserving, every read and both
+#                          change-feed shapes must cross it unchanged
 #   ("merge_sync", lo, n) — full sync replication in ONE commit: upsert
 #                          ids lo..lo+n AND delete every target row the
 #                          source does not key (WHEN NOT MATCHED BY
@@ -74,6 +77,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("rename")),
     st_.tuples(st_.just("racy_delete"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("merge_sync"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("set_stats"), st_.booleans()),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -258,6 +262,17 @@ def test_snapshot_random_op_sequences_match_model(
             if res["version"] != head_v:
                 head_v = res["version"]
                 model[head_v] = (op[0], list(head_rows), cur)
+        elif op[0] == "set_stats":
+            if first:
+                continue
+            from dask_awkward_spark.sources.snapshot import (
+                snapshot_set_stats_columns,
+            )
+
+            v = snapshot_set_stats_columns(p, [cur] if op[1] else None)
+            if v != head_v:
+                head_v = v
+                model[head_v] = ("set_stats", list(head_rows), cur)
         elif op[0] == "merge_sync":
             if first:
                 continue
@@ -299,7 +314,7 @@ def test_snapshot_random_op_sequences_match_model(
     vs = sorted(model)
     for a, b in zip(vs, vs[1:]):
         kinds = [model[v][0] for v in vs if a < v <= b]
-        if all(k in ("append", "rename") for k in kinds):
+        if all(k in ("append", "rename", "set_stats") for k in kinds):
             name_b = model[b][2]
             delta = sorted(
                 r[name_b]

@@ -276,7 +276,8 @@ def snapshot_sql(
       INSERT) points at the Python face.
     - ``SELECT``/``WITH`` — reads by catalog name over head-pinned
       views, with ``FROM t VERSION AS OF n`` / ``TIMESTAMP AS OF
-      '...'`` time travel (see :func:`_select_sql`).
+      '...'`` / ``TAG AS OF 'name'`` time travel (see
+      :func:`_select_sql`).
     - Maintenance: ``DESCRIBE HISTORY t``, ``OPTIMIZE t [WHERE ...]
       [ZORDER BY (...)]``, ``VACUUM t [RETAIN n HOURS] [KEEP LAST n]
       [DRY RUN]``, ``RESTORE [TABLE] t [TO] VERSION AS OF n`` — routed
@@ -451,7 +452,8 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
             re.compile(
                 rf"\b{re.escape(name)}\b"
                 rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
-                rf"|\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'))",
+                rf"|\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*')"
+                rf"|\s+TAG\s+AS\s+OF\s+('(?:[^']|'')*'))",
                 re.I,
             ),
         )
@@ -469,7 +471,7 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
             vn = f"__dak_asof_{counter}"
             if mm.group(1) is not None:
                 snapshot_view(spark, path, vn, version=int(mm.group(1)))
-            else:
+            elif mm.group(2) is not None:
                 # the literal's VALUE comes from the original text
                 raw = rewritten[mm.start(2) + 1 : mm.end(2) - 1].replace("''", "'")
                 try:
@@ -479,6 +481,11 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
                         f"bad TIMESTAMP AS OF literal {raw!r}: {e}"
                     )
                 snapshot_view(spark, path, vn, as_of=ts.timestamp())
+            else:
+                # TAG AS OF 'name': the engine's own durable pin
+                # (snapshot_tag survives vacuum) as a SQL suffix
+                raw = rewritten[mm.start(3) + 1 : mm.end(3) - 1].replace("''", "'")
+                snapshot_view(spark, path, vn, tag=raw)
             # keep the ORIGINAL name addressable (qualified refs like
             # acct.k must survive the rewrite): alias the pinned view
             # back to the table name — unless the user wrote their own

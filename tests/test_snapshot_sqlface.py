@@ -567,3 +567,25 @@ def test_sql_maintenance_statements(spark, tmp_path):
     assert snapshot_read(spark, p).count() == 4
     with pytest.raises(ValueError):
         snapshot_sql(spark, "RESTORE m TO VERSION AS OF 999999", t)
+
+
+def test_sql_select_tag_as_of(spark, tmp_path):
+    """TAG AS OF 'name': the engine's durable pin (survives vacuum) as
+    a SQL read suffix."""
+    p = str(tmp_path / "tg")
+    t = {"acct": p}
+    snapshot_write(
+        spark.createDataFrame([(1,), (2,)], "k bigint"), p
+    )
+    snapshot_tag(p, "gold")
+    snapshot_sql(spark, "INSERT INTO acct VALUES (3)", t)
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM acct TAG AS OF 'gold'", t
+    ).collect()[0].n == 2
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM acct", t
+    ).collect()[0].n == 3
+    snapshot_vacuum(p, keep_last=1, retain_seconds=0)  # tag pin survives
+    assert snapshot_sql(
+        spark, "SELECT count(*) AS n FROM acct TAG AS OF 'gold'", t
+    ).collect()[0].n == 2

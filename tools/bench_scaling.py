@@ -38,6 +38,7 @@ DEFAULT_QUERIES = [
     "sketch_cms_heavy_hitters",    # bounded sketch state
     "text_contamination",          # broadcast benchmark side
     "io_snapshot_merge",           # MERGE upsert: stat-pruned file rewrites
+    "io_snapshot_sync",            # 3-family sync MERGE (r9): region-gated rewrites
 ]
 
 # per-table (key column -> per-replica offset) so joins/groups see N x

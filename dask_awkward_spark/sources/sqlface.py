@@ -24,7 +24,10 @@ and assignment VERBATIM into ``snapshot_merge``'s clause grammar (all
 three Delta clause families — MATCHED, NOT MATCHED [AND cond], NOT
 MATCHED BY SOURCE). SELECT statements run as plain Spark SQL over
 head-pinned views of the named tables, with ``VERSION AS OF`` /
-``TIMESTAMP AS OF`` time travel (:func:`_select_sql`).
+``TIMESTAMP AS OF`` / ``TAG AS OF`` time travel (:func:`_select_sql`),
+and the maintenance statements — ``DESCRIBE HISTORY``, ``OPTIMIZE
+[WHERE|ZORDER BY]``, ``VACUUM``, ``RESTORE ... VERSION AS OF`` — route
+to their Python faces (:func:`_maintenance_sql`).
 
 Reference: no counterpart (dask-awkward has no SQL surface); the
 Spark-native analog is Delta's SQL DML under a catalog. The table map
@@ -246,7 +249,7 @@ def _resolve(table: str, tables: "dict[str, str]") -> str:
 
 def snapshot_sql(
     spark: SparkSession, sql: str, tables: "dict[str, str]"
-) -> "dict | int":
+) -> "dict | int | DataFrame":
     """Run one SQL DML statement against a snapshot table.
 
     ``tables`` maps the statement's target table name to its snapshot
@@ -566,15 +569,18 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     m = _OPTIMIZE_RE.match(sql)
     if m:
         table, where_sql, zorder = m.group(1), m.group(2), m.group(3)
+        zcols = None
+        if zorder is not None:
+            zcols = [c.strip() for c in zorder.split(",") if c.strip()]
+            if not zcols:
+                raise ValueError(
+                    "OPTIMIZE ... ZORDER BY needs at least one column"
+                )
         return snapshot_compact(
             spark,
             _resolve(table, tables),
             where=parse_where(where_sql) if where_sql else None,
-            zorder_by=(
-                [c.strip() for c in zorder.split(",") if c.strip()]
-                if zorder
-                else None
-            ),
+            zorder_by=zcols,
         )
     m = _VACUUM_RE.match(sql)
     if m:

@@ -589,3 +589,10 @@ def test_sql_select_tag_as_of(spark, tmp_path):
     assert snapshot_sql(
         spark, "SELECT count(*) AS n FROM acct TAG AS OF 'gold'", t
     ).collect()[0].n == 2
+
+
+def test_sql_optimize_empty_zorder_refused(spark, tmp_path):
+    p = str(tmp_path / "z")
+    snapshot_write(spark.range(3).select(F.col("id").alias("k")), p)
+    with pytest.raises(ValueError, match="ZORDER BY"):
+        snapshot_sql(spark, "OPTIMIZE z ZORDER BY ( , )", {"z": p})

@@ -60,10 +60,12 @@ from .sources.snapshot import (
     SnapshotConflictError,
     SnapshotConstraintViolation,
     from_snapshot,
+    snapshot_add_columns,
     snapshot_changes,
     snapshot_compact,
     snapshot_convert,
     snapshot_count,
+    snapshot_create,
     snapshot_delete,
     snapshot_drop_column,
     snapshot_drop_constraint,

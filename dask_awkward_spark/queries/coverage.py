@@ -1572,3 +1572,91 @@ FROM rows_out GROUP BY c_mktsegment
 
 QUERIES["io_snapshot_sync"] = io_snapshot_sync
 ORACLES["io_snapshot_sync"] = IO_SNAPSHOT_SYNC_SQL
+
+
+def io_snapshot_ddl(spark, sf_dir):
+    """SQL DDL face lifecycle (round 9 continuation): EVERY statement —
+    table creation included — is a SQL string against one catalog path.
+    CREATE TABLE declares the schema and the stats-column property,
+    INSERT INTO fills it from a view, ALTER TABLE ADD COLUMNS widens it
+    metadata-only (old rows read NULL), UPDATE computes the new column
+    for one segment, RENAME COLUMN proves the mapping survives SQL DML,
+    ADD CONSTRAINT + DELETE exercise enforcement and pruning, and the
+    read-back is a SQL SELECT by catalog name. The DuckDB twin computes
+    the same final populations from the source rows."""
+    import shutil
+
+    from ..sources.snapshot import snapshot_scan_report
+    from ..sources.sqlface import snapshot_sql
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{_TMP}/dakspark_ddl_{sf_tag}_{os.getpid()}"
+    loc, cat = f"{base}/t", f"{base}/cat"
+    shutil.rmtree(base, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    view = f"ddl_src_{os.getpid()}"
+    try:
+        v = snapshot_sql(
+            spark,
+            f"CREATE TABLE t (k bigint, seg string, bal double) "
+            f"TBLPROPERTIES ('stats_columns' = 'k,bal') LOCATION '{loc}'",
+            cat,
+        )
+        assert v == 1, f"CREATE must commit v1, got {v}"
+        cust.orderBy("k").repartitionByRange(6, "k").createOrReplaceTempView(view)
+        snapshot_sql(spark, f"INSERT INTO t SELECT k, seg, bal FROM {view}", cat)
+        rep = snapshot_scan_report(loc, [("k", "<", 2)])
+        assert rep["skipped"] >= 1, f"declared stats_columns must prune: {rep}"
+        snapshot_sql(spark, "ALTER TABLE t ADD COLUMNS (bonus double)", cat)
+        st = snapshot_sql(
+            spark, "UPDATE t SET bonus = bal * 0.1 WHERE seg = 'BUILDING'", cat
+        )
+        assert st["updated_rows"] > 0, "the UPDATE must fire"
+        snapshot_sql(spark, "ALTER TABLE t RENAME COLUMN bal TO balance", cat)
+        snapshot_sql(
+            spark, "ALTER TABLE t ADD CONSTRAINT key_range CHECK (k >= 0)", cat
+        )
+        st = snapshot_sql(spark, "DELETE FROM t WHERE balance < 0.0", cat)
+        assert st["removed_rows"] > 0, "the DELETE must fire"
+        return snapshot_sql(
+            spark,
+            """
+            SELECT seg, count(*) AS n,
+                   CAST(sum(CAST(round(balance * 100) AS BIGINT)) AS BIGINT)
+                     AS bal_c,
+                   CAST(coalesce(sum(CAST(round(bonus * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS bonus_c
+            FROM t GROUP BY seg
+            """,
+            cat,
+        ).localCheckpoint(eager=True)
+    finally:
+        if spark.catalog.tableExists(view):
+            spark.catalog.dropTempView(view)
+        if spark.catalog.tableExists("t"):
+            spark.catalog.dropTempView("t")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# bonus exists only on BUILDING rows (added column, UPDATE-scoped):
+# both sides coalesce the all-NULL groups to 0 (a NULL BIGINT turns
+# float64 through the driver's pandas canonicalization)
+IO_SNAPSHOT_DDL_SQL = """
+WITH src AS (
+  SELECT c_mktsegment AS seg, c_acctbal AS bal,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 0.1 END AS bonus
+  FROM customer
+)
+SELECT seg, count(*) AS n,
+       CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c,
+       CAST(coalesce(sum(CAST(round(bonus * 100) AS BIGINT)), 0) AS BIGINT)
+         AS bonus_c
+FROM src WHERE bal >= 0 GROUP BY seg
+"""
+
+QUERIES["io_snapshot_ddl"] = io_snapshot_ddl
+ORACLES["io_snapshot_ddl"] = IO_SNAPSHOT_DDL_SQL

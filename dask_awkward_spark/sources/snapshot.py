@@ -958,6 +958,70 @@ def _check_reserved_names(columns) -> None:
         )
 
 
+def snapshot_create(
+    spark: SparkSession,
+    path: str,
+    schema,
+    partition_by: "list[str] | None" = None,
+    bloom_by: "dict[str, int] | None" = None,
+    stats_columns: "list[str] | None" = None,
+    if_not_exists: bool = False,
+) -> int:
+    """Create an EMPTY snapshot table with a declared schema (SQL
+    ``CREATE TABLE`` semantics — until now tables could only be born
+    from a first :func:`snapshot_write` carrying rows).
+
+    ``schema`` is a DDL string (``"k bigint, meta struct<ts:timestamp>"``)
+    or a ``StructType``. The creating commit records the schema and the
+    sticky table specs (``partition_by``/``bloom_by``/``stats_columns``
+    — same meaning as on :func:`snapshot_write`) with an empty file
+    set, so the first real append inherits them. Creation is CAS'd on
+    the empty directory: two concurrent creators race on version 1 and
+    exactly one wins (the loser raises :class:`SnapshotConflictError`,
+    or returns the survivor's head under ``if_not_exists=True``).
+    ``if_not_exists=True`` also makes an already-existing table a no-op
+    that returns its current head WITHOUT validating the declared
+    schema against it (SQL's ``IF NOT EXISTS`` contract). Returns the
+    committed version.
+
+    Reference: no counterpart (dask-awkward has no table concept);
+    Spark-native analog is ``CREATE TABLE`` on a Delta location."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        parsed = _parse_datatype_string(schema)
+        if not isinstance(parsed, StructType):
+            raise ValueError(
+                f"schema must be a struct DDL like 'a int, b string', "
+                f"got {schema!r} (parsed to {parsed.simpleString()})"
+            )
+        schema = parsed
+    if len(schema.fields) == 0:
+        raise ValueError("a table needs at least one column")
+    if _versions(path):
+        if if_not_exists:
+            return _require_versions(path)[-1]
+        raise ValueError(
+            f"a snapshot table already exists at {path} (pass "
+            "if_not_exists=True to keep it, or snapshot_write "
+            "mode='overwrite' to replace its contents)"
+        )
+    try:
+        return snapshot_write(
+            spark.createDataFrame([], schema),
+            path,
+            mode="append",
+            expect_head=0,
+            partition_by=partition_by,
+            bloom_by=bloom_by,
+            stats_columns=stats_columns,
+        )
+    except SnapshotConflictError:
+        if if_not_exists:
+            return _require_versions(path)[-1]
+        raise
+
+
 def snapshot_write(
     data,
     path: str,
@@ -2271,6 +2335,82 @@ def snapshot_drop_column(
         # another writer claimed head+1: re-read and retry
 
 
+def snapshot_add_columns(
+    path: str, columns, expect_head: "int | None" = None
+) -> int:
+    """Add columns METADATA-ONLY (Delta's ``ALTER TABLE ADD COLUMNS``):
+    the commit rewrites no data file — the recorded schema widens, and
+    every existing file reads back with NULL in the added columns
+    (exactly the ``merge_schema=True`` append semantics, without
+    having to carry rows). ``columns`` is a DDL string
+    (``"score double, meta struct<ts:timestamp>"``) or a ``StructType``;
+    added columns are forced nullable (old files lack them). Names
+    colliding case-insensitively with live columns are refused; a
+    re-add of a previously DROPPED name gets a fresh physical name via
+    the column mapping, so it can never resolve the dropped column's
+    bytes. Row-preserving: change feeds and streams cross the commit
+    transparently (consumers see NULLs under the new names). Returns
+    the new version.
+
+    Reference: no counterpart (dask-awkward builds a new array with
+    ``with_field`` instead); Spark-native analog is ``ALTER TABLE ADD
+    COLUMNS`` on Delta."""
+    from pyspark.sql.types import StructField
+
+    if isinstance(columns, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        parsed = _parse_datatype_string(columns)
+        if not isinstance(parsed, StructType):
+            raise ValueError(
+                f"columns must be a DDL list like 'a int, b string', "
+                f"got {columns!r} (parsed to {parsed.simpleString()})"
+            )
+        new_fields = list(parsed.fields)
+    else:
+        new_fields = list(columns.fields)
+    if not new_fields:
+        raise ValueError("no columns to add")
+    names = [f.name for f in new_fields]
+    lower = [n.lower() for n in names]
+    if len(set(lower)) != len(lower):
+        raise ValueError(f"duplicate names in the add list: {names}")
+    _check_reserved_names(names)
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        live = {f.name.lower() for f in schema.fields}
+        dup = [n for n in names if n.lower() in live]
+        if dup:
+            raise ValueError(
+                f"columns {dup} already exist in {schema.fieldNames()} "
+                "(case-insensitive, like every read path)"
+            )
+        out_schema = StructType(
+            list(schema.fields)
+            + [StructField(f.name, f.dataType, nullable=True) for f in new_fields]
+        )
+        manifest = _cow_manifest(
+            m, head, "add_columns", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["schema_ddl"] = out_schema.simpleString()
+        manifest["schema_json"] = out_schema.json()
+        # identity-mapped tables stay identity (None): no column was
+        # ever dropped under None mapping, so logical-as-physical is
+        # exact for the new names too
+        manifest["column_mapping"] = _extend_mapping(
+            m.get("column_mapping"), out_schema
+        )
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+        # another writer claimed head+1: re-read and retry
+
+
 def snapshot_count(
     spark: SparkSession,
     path: str,
@@ -2520,11 +2660,12 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     Raises on any version the row-level feed cannot represent."""
     ok_ops = (
         "append", "delete", "update", "merge", "compact",
-        "rename_column", "drop_column", "set_stats_columns",
+        "rename_column", "drop_column", "add_columns",
+        "set_stats_columns",
     )
     no_chg_ok = (
         "append", "compact", "rename_column", "drop_column",
-        "set_stats_columns",
+        "add_columns", "set_stats_columns",
     )
     out = []
     prev = set(_read_manifest(path, s)["files"]) if s else set()
@@ -2540,7 +2681,8 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
                 "change_feed=False); the row-level feed cannot cross it"
             )
         if m["op"] in (
-            "compact", "rename_column", "drop_column", "set_stats_columns"
+            "compact", "rename_column", "drop_column", "add_columns",
+            "set_stats_columns",
         ):
             pass  # row-preserving commits: no change records by design
         elif chg is not None:
@@ -2604,12 +2746,14 @@ def snapshot_changes(
     mans = {v: _read_manifest(path, v) for v in span}
     ok_ops = (
         ("append", "delete", "update", "merge", "compact",
-         "rename_column", "drop_column", "set_stats_columns")
+         "rename_column", "drop_column", "add_columns",
+         "set_stats_columns")
         if row_level
-        # rename/drop/set_stats_columns are metadata-only (file set
+        # rename/drop/add/set_stats_columns are metadata-only (file set
         # unchanged), so the plain file-delta feed crosses them too —
         # consumers simply see the until-version's column names
-        else ("append", "rename_column", "drop_column", "set_stats_columns")
+        else ("append", "rename_column", "drop_column", "add_columns",
+              "set_stats_columns")
     )
     # the table-creating commit (no parent) is a degenerate append
     bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
@@ -4807,7 +4951,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if (
                 m["op"] not in (
                     "append", "rename_column", "drop_column",
-                    "set_stats_columns",
+                    "add_columns", "set_stats_columns",
                 )
                 and m["parent"] is not None
             ):

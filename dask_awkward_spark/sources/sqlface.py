@@ -286,16 +286,42 @@ def snapshot_sql(
       [DRY RUN]``, ``RESTORE [TABLE] t [TO] VERSION AS OF n`` — routed
       to the Python faces (see :func:`_maintenance_sql`).
 
-    Returns the new version number (INSERTs/OPTIMIZE/RESTORE), the
-    stats dict (DELETE/UPDATE/MERGE/VACUUM), or the result DataFrame
-    (SELECT/DESCRIBE HISTORY). Raises ``ValueError`` with a pointer at
-    the Python API for any statement outside the grammar."""
+    - DDL: ``CREATE TABLE [IF NOT EXISTS] t [(cols)] [PARTITIONED BY
+      (...)] [TBLPROPERTIES ('stats_columns'='...', 'bloom.c'='ndv')]
+      LOCATION 'path' [AS SELECT ...]``, ``DROP TABLE [IF EXISTS] t
+      [PURGE]``, ``ALTER TABLE t ADD COLUMN(S) / RENAME COLUMN a TO b /
+      DROP COLUMN c / SET TBLPROPERTIES / ADD CONSTRAINT n CHECK
+      (<triples>) / DROP CONSTRAINT n``, ``SHOW TABLES`` — routed to
+      the Python faces (see :func:`_ddl_sql`). CREATE/DROP mutate the
+      passed ``tables`` mapping in place so later statements resolve
+      the name.
+
+    ``tables`` may instead be a CATALOG PATH string: names then resolve
+    through the persistent catalog, and CREATE/DROP write through to it
+    — a SQL-only consumer needs exactly one path for everything.
+
+    Returns the new version number (INSERTs/DDL commits/OPTIMIZE/
+    RESTORE), the stats dict (DELETE/UPDATE/MERGE/VACUUM/DROP TABLE),
+    or the result DataFrame (SELECT/DESCRIBE HISTORY/SHOW TABLES).
+    Raises ``ValueError`` with a pointer at the Python API for any
+    statement outside the grammar."""
     from .snapshot import snapshot_delete, snapshot_update, snapshot_write
+
+    catalog_path = None
+    if isinstance(tables, str):
+        from .catalog import snapshot_catalog_tables
+
+        catalog_path = tables
+        tables = snapshot_catalog_tables(spark, catalog_path)
 
     if re.match(r"^\s*\(*\s*(SELECT|WITH)\b", sql, re.I):
         return _select_sql(spark, sql, tables)
 
     out = _maintenance_sql(spark, sql, tables)
+    if out is not None:
+        return out
+
+    out = _ddl_sql(spark, sql, tables, catalog_path)
     if out is not None:
         return out
 
@@ -363,7 +389,9 @@ def snapshot_sql(
         "OVERWRITE, DELETE FROM ... WHERE, UPDATE ... SET ... WHERE, "
         "MERGE INTO t USING src s ON t.k = s.k WHEN ... (aliases fixed "
         "to t/s), DESCRIBE HISTORY, OPTIMIZE [WHERE|ZORDER BY], VACUUM, "
-        "and RESTORE ... VERSION AS OF"
+        "RESTORE ... VERSION AS OF, CREATE TABLE ... LOCATION [AS "
+        "SELECT], DROP TABLE [PURGE], ALTER TABLE (ADD/RENAME/DROP "
+        "COLUMN, SET TBLPROPERTIES, ADD/DROP CONSTRAINT), and SHOW TABLES"
     )
 
 
@@ -595,6 +623,326 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     if m:
         return snapshot_restore(_resolve(m.group(1), tables), int(m.group(2)))
     return None
+
+
+# ---- DDL face: CREATE / DROP / ALTER TABLE, SHOW TABLES ----
+
+_CREATE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*", re.I
+)
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})(\s+PURGE)?\s*;?\s*$",
+    re.I,
+)
+_ALTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(.+?)\s*;?\s*$", re.I | re.S
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _close_paren(blank: str, i: int) -> int:
+    """Index just past the ')' matching the '(' at ``blank[i]`` —
+    depth-counted on the BLANKED text, so parens inside quoted
+    literals never miscount."""
+    depth = 0
+    for j in range(i, len(blank)):
+        if blank[j] == "(":
+            depth += 1
+        elif blank[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise ValueError(f"unbalanced '(' at position {i}")
+
+
+def _parse_tblproperties(real: str, blank: str) -> "dict[str, str]":
+    """The ``'key' = 'value'`` pairs inside a TBLPROPERTIES span
+    (both spans WITHOUT the outer parens)."""
+    props = {}
+    for lo, hi in _top_level_comma_spans(blank):
+        pm = re.match(r"^\s*'([^']*)'\s*=\s*'([^']*)'\s*$", real[lo:hi])
+        if pm is None:
+            raise ValueError(
+                f"cannot parse TBLPROPERTIES item {real[lo:hi].strip()!r}: "
+                "expected 'key' = 'value' (single-quoted both sides)"
+            )
+        props[pm.group(1)] = pm.group(2)
+    return props
+
+
+def _top_level_comma_spans(blank: str) -> "list[tuple[int, int]]":
+    """(start, end) spans between depth-0 commas of a blanked span."""
+    spans, depth, start = [], 0, 0
+    for j, c in enumerate(blank):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            spans.append((start, j))
+            start = j + 1
+    spans.append((start, len(blank)))
+    return [s for s in spans if blank[s[0]:s[1]].strip()]
+
+
+def _apply_tblproperties(props: "dict[str, str]"):
+    """Split a TBLPROPERTIES dict into the engine's sticky table specs:
+    ``stats_columns`` (comma-separated leaf list, Delta's
+    dataSkippingStatsColumns analog) and ``bloom.<col>`` (expected NDV,
+    the parquet bloom spec). Unknown keys refuse loudly — a silently
+    dropped property is a lie about what the table enforces."""
+    stats_cols, bloom = None, {}
+    for k, v in props.items():
+        if k.lower() == "stats_columns":
+            stats_cols = [c.strip() for c in v.split(",") if c.strip()]
+        elif k.lower().startswith("bloom."):
+            col = k[len("bloom."):]
+            try:
+                bloom[col] = int(v)
+            except ValueError:
+                raise ValueError(
+                    f"TBLPROPERTIES {k!r} must be an integer expected-NDV, "
+                    f"got {v!r}"
+                )
+        else:
+            raise ValueError(
+                f"unsupported TBLPROPERTIES key {k!r}: this engine speaks "
+                "'stats_columns' = 'a,b.c' (stats-column spec) and "
+                "'bloom.<col>' = '<ndv>' (parquet bloom filters)"
+            )
+    return stats_cols, (bloom or None)
+
+
+def _create_sql(spark, sql, m, tables, catalog_path):
+    """``CREATE TABLE [IF NOT EXISTS] t [(coldefs)] [PARTITIONED BY
+    (...)] [TBLPROPERTIES (...)] LOCATION 'path' [AS SELECT ...]`` —
+    cursor-parsed over the literal-blanked text so struct DDL
+    (``decimal(10,2)``, ``struct<a:int>``) and quoted values never
+    confuse the clause structure. Declared-schema form routes to
+    :func:`~..sources.snapshot.snapshot_create`; the CTAS form commits
+    the SELECT's rows as the creating version (CAS'd, like the Python
+    face). Registers the name in the session map (and the persistent
+    catalog when ``tables`` was given as a catalog path)."""
+    from .snapshot import SnapshotConflictError, snapshot_create, snapshot_write, _versions
+
+    blank = _blank_literals(sql)
+    if_not_exists, name = bool(m.group(1)), m.group(2)
+    i = _skip_ws(blank, m.end())
+    coldefs = None
+    if i < len(blank) and blank[i] == "(":
+        j = _close_paren(blank, i)
+        coldefs = sql[i + 1:j - 1].strip()
+        i = _skip_ws(blank, j)
+    pb = None
+    pm = re.compile(r"PARTITIONED\s+BY\s*\(", re.I).match(blank, i)
+    if pm:
+        j = _close_paren(blank, pm.end() - 1)
+        pb = [c.strip() for c in sql[pm.end():j - 1].split(",") if c.strip()]
+        if not pb:
+            raise ValueError("PARTITIONED BY needs at least one column")
+        i = _skip_ws(blank, j)
+    stats_cols, bloom = None, None
+    tm = re.compile(r"TBLPROPERTIES\s*\(", re.I).match(blank, i)
+    if tm:
+        j = _close_paren(blank, tm.end() - 1)
+        props = _parse_tblproperties(sql[tm.end():j - 1], blank[tm.end():j - 1])
+        stats_cols, bloom = _apply_tblproperties(props)
+        i = _skip_ws(blank, j)
+    lm = re.compile(r"LOCATION\s+('[^']*'|\"[^\"]*\")", re.I).match(blank, i)
+    if lm is None:
+        raise ValueError(
+            "CREATE TABLE needs LOCATION '<path>' (this engine's tables "
+            "live at explicit paths; the catalog maps names to them)"
+        )
+    location = sql[lm.start(1) + 1:lm.end(1) - 1]
+    if not location:
+        raise ValueError("LOCATION path must be non-empty")
+    i = _skip_ws(blank, lm.end())
+    body = sql[i:].strip().rstrip(";").strip()
+    am = re.match(r"^AS\s+(.+)$", body, re.I | re.S)
+    if body and am is None:
+        raise ValueError(
+            f"unparsed trailing text after LOCATION: {body[:40]!r} "
+            "(expected nothing or AS SELECT/WITH/VALUES)"
+        )
+    existing = tables.get(name)
+    if existing is not None and existing != location:
+        raise ValueError(
+            f"table {name!r} is already registered at {existing!r}; "
+            f"CREATE at {location!r} would make the name ambiguous — "
+            "DROP TABLE it first or pick another name"
+        )
+    if am is not None:
+        if coldefs is not None:
+            raise ValueError(
+                "CREATE TABLE takes (columns) OR AS SELECT, not both "
+                "(Spark refuses the combination too)"
+            )
+        if if_not_exists and _versions(location):
+            version = _versions(location)[-1]  # IF NOT EXISTS: skip the SELECT
+        else:
+            sel = am.group(1).strip()
+            if re.match(r"^VALUES\b", sel, re.I):
+                df = spark.sql(f"SELECT * FROM ({sel})")
+            elif re.match(r"^\(?\s*(SELECT|WITH)\b", sel, re.I):
+                df = spark.sql(sel)
+            else:
+                raise ValueError(
+                    f"CTAS body must be SELECT/WITH/VALUES, got {sel[:40]!r}"
+                )
+            try:
+                version = snapshot_write(
+                    df, location, mode="append", expect_head=0,
+                    partition_by=pb, bloom_by=bloom, stats_columns=stats_cols,
+                )
+            except SnapshotConflictError:
+                if not if_not_exists:
+                    raise
+                version = _versions(location)[-1]
+    else:
+        if coldefs is None:
+            raise ValueError(
+                "CREATE TABLE needs a (column list) or AS SELECT — an "
+                "empty table cannot infer a schema"
+            )
+        version = snapshot_create(
+            spark, location, coldefs, partition_by=pb, bloom_by=bloom,
+            stats_columns=stats_cols, if_not_exists=if_not_exists,
+        )
+    tables[name] = location
+    if catalog_path is not None:
+        from .catalog import snapshot_catalog_register
+
+        snapshot_catalog_register(spark, catalog_path, name, location)
+    return version
+
+
+def _ddl_sql(spark, sql, tables, catalog_path):
+    """DDL statements (None when ``sql`` is not one): CREATE TABLE,
+    DROP TABLE [IF EXISTS] [PURGE], ALTER TABLE (ADD COLUMNS / RENAME
+    COLUMN / DROP COLUMN / SET TBLPROPERTIES / ADD|DROP CONSTRAINT),
+    SHOW TABLES. DDL mutates the passed ``tables`` mapping in place
+    (CREATE registers, DROP unregisters) and writes through to the
+    persistent catalog when ``tables`` was given as a catalog path."""
+    from .snapshot import (
+        snapshot_add_columns,
+        snapshot_add_constraint,
+        snapshot_drop_column,
+        snapshot_drop_constraint,
+        snapshot_rename_column,
+        snapshot_set_stats_columns,
+    )
+
+    m = _CREATE_RE.match(sql)
+    if m:
+        return _create_sql(spark, sql, m, tables, catalog_path)
+
+    m = _DROP_TABLE_RE.match(sql)
+    if m:
+        if_exists, name, purge = bool(m.group(1)), m.group(2), bool(m.group(3))
+        if name not in tables:
+            if if_exists:
+                return {"dropped": None, "path": None, "purged": False}
+            raise ValueError(
+                f"unknown table {name!r} (have {sorted(tables)}); "
+                "DROP TABLE IF EXISTS to make this a no-op"
+            )
+        path = tables.pop(name)
+        if catalog_path is not None:
+            from .catalog import snapshot_catalog_unregister
+
+            snapshot_catalog_unregister(spark, catalog_path, name)
+        if purge:
+            from .storage import active
+
+            active().delete_prefix(path)
+        return {"dropped": name, "path": path, "purged": purge}
+
+    m = _SHOW_TABLES_RE.match(sql)
+    if m:
+        return spark.createDataFrame(
+            sorted(tables.items()) or [], "name string, path string"
+        )
+
+    m = _ALTER_RE.match(sql)
+    if m is None:
+        return None
+    path, action = _resolve(m.group(1), tables), m.group(2)
+    blank_action = _blank_literals(action)
+
+    am = re.match(r"^ADD\s+COLUMNS?\s+(.+)$", action, re.I | re.S)
+    if am:
+        g = am.group(1)
+        boff = am.start(1) + (len(g) - len(g.lstrip()))
+        cols = action[boff:].strip()
+        # strip ONE optional outer paren pair (ADD COLUMNS (a int, b string))
+        # — but only when it wraps the WHOLE list, so "(a int), b string"
+        # stays intact for the DDL parser to refuse
+        if cols.startswith("("):
+            j = _close_paren(blank_action, boff)
+            if not blank_action[j:].strip():
+                cols = action[boff + 1:j - 1].strip()
+        return snapshot_add_columns(path, cols)
+    am = re.match(
+        rf"^RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$", action, re.I
+    )
+    if am:
+        return snapshot_rename_column(path, am.group(1), am.group(2))
+    am = re.match(rf"^DROP\s+COLUMN\s+({_IDENT})\s*$", action, re.I)
+    if am:
+        return snapshot_drop_column(path, am.group(1))
+    am = re.match(r"^SET\s+TBLPROPERTIES\s*\(", action, re.I)
+    if am:
+        j = _close_paren(blank_action, am.end() - 1)
+        if blank_action[j:].strip():
+            raise ValueError(
+                f"unparsed trailing text after TBLPROPERTIES: "
+                f"{action[j:].strip()[:40]!r}"
+            )
+        props = _parse_tblproperties(
+            action[am.end():j - 1], blank_action[am.end():j - 1]
+        )
+        stats_cols, bloom = _apply_tblproperties(props)
+        if bloom is not None:
+            raise ValueError(
+                "bloom.<col> applies at CREATE/write time (the spec rides "
+                "on data commits); SET TBLPROPERTIES changes only "
+                "'stats_columns' metadata-only — restate blooms on the "
+                "next snapshot_write"
+            )
+        if stats_cols is None:
+            raise ValueError(
+                "SET TBLPROPERTIES needs 'stats_columns' = '...' "
+                "('' resets to the schema-order prefix default)"
+            )
+        return snapshot_set_stats_columns(path, stats_cols or None)
+    am = re.match(
+        rf"^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\(", action, re.I
+    )
+    if am:
+        j = _close_paren(blank_action, am.end() - 1)
+        if blank_action[j:].strip():
+            raise ValueError(
+                f"unparsed trailing text after CHECK: {action[j:].strip()[:40]!r}"
+            )
+        return snapshot_add_constraint(
+            spark, path, am.group(1), parse_where(action[am.end():j - 1])
+        )
+    am = re.match(rf"^DROP\s+CONSTRAINT\s+({_IDENT})\s*$", action, re.I)
+    if am:
+        return snapshot_drop_constraint(path, am.group(1))
+    raise ValueError(
+        f"unsupported ALTER TABLE action {action.strip()[:60]!r}: the DDL "
+        "face speaks ADD COLUMN(S), RENAME COLUMN a TO b, DROP COLUMN c, "
+        "SET TBLPROPERTIES ('stats_columns'='...'), ADD CONSTRAINT n "
+        "CHECK (<triples>), DROP CONSTRAINT n"
+    )
 
 
 def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):

@@ -1,0 +1,389 @@
+"""DDL surface (round 9 continuation): snapshot_create /
+snapshot_add_columns Python faces and the SQL DDL face (CREATE TABLE /
+CTAS / DROP TABLE / ALTER TABLE / SHOW TABLES), incl. the
+catalog-path-string mode of snapshot_sql."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from dask_awkward_spark.sources.catalog import (
+    snapshot_catalog_list,
+    snapshot_catalog_register,
+    snapshot_catalog_tables,
+)
+from dask_awkward_spark.sources.snapshot import (
+    SnapshotConflictError,
+    snapshot_add_columns,
+    snapshot_changes,
+    snapshot_create,
+    snapshot_drop_column,
+    snapshot_read,
+    snapshot_scan_report,
+    snapshot_versions,
+    snapshot_write,
+    _read_manifest,
+)
+from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+
+# ---- snapshot_create -------------------------------------------------
+
+
+def test_create_empty_table_records_specs(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v = snapshot_create(
+        spark,
+        p,
+        "k bigint, seg string, meta struct<ts:bigint>",
+        partition_by=["seg"],
+        stats_columns=["k", "meta.ts"],
+        bloom_by={"k": 100},
+    )
+    assert v == 1
+    m = _read_manifest(p, 1)
+    assert m["files"] == []
+    assert m["partition_by"] == ["seg"]
+    assert m["bloom_ndv"] == {"k": 100}
+    assert set(m["stats_columns"]) == {"seg", "k", "meta.ts"}
+    out = snapshot_read(spark, p)
+    assert out.count() == 0
+    assert out.schema.simpleString() == (
+        "struct<k:bigint,seg:string,meta:struct<ts:bigint>>"
+    )
+    # the first real append inherits the sticky specs
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "A", (7,)), (2, "B", (9,))],
+            "k bigint, seg string, meta struct<ts:bigint>",
+        ),
+        p,
+        mode="append",
+    )
+    m2 = _read_manifest(p, 2)
+    assert m2["partition_by"] == ["seg"]
+    assert all("seg=" in f for f in m2["files"])
+
+
+def test_create_structtype_and_refusals(spark, tmp_path):
+    p = str(tmp_path / "t")
+    st = StructType.fromDDL("a int, b string")
+    assert snapshot_create(spark, p, st) == 1
+    # duplicate create refuses; if_not_exists no-ops without validating
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_create(spark, p, "x int")
+    assert snapshot_create(spark, p, "x int", if_not_exists=True) == 1
+    with pytest.raises(ValueError, match="at least one column"):
+        snapshot_create(spark, str(tmp_path / "e"), StructType([]))
+    with pytest.raises(ValueError, match="struct DDL"):
+        snapshot_create(spark, str(tmp_path / "e2"), "bigint")
+
+
+# ---- snapshot_add_columns --------------------------------------------
+
+
+def _seed(spark, tmp_path, name="t"):
+    p = str(tmp_path / name)
+    snapshot_write(
+        spark.createDataFrame([(1, "A"), (2, "B")], "k bigint, seg string"), p
+    )
+    return p
+
+
+def test_add_columns_metadata_only_nulls(spark, tmp_path):
+    p = _seed(spark, tmp_path)
+    files_before = list(_read_manifest(p, 1)["files"])
+    v = snapshot_add_columns(p, "score double, meta struct<ts:bigint>")
+    assert v == 2
+    m = _read_manifest(p, 2)
+    assert m["op"] == "add_columns"
+    assert m["files"] == files_before  # zero data files rewritten
+    rows = snapshot_read(spark, p).orderBy("k").collect()
+    assert [r.score for r in rows] == [None, None]
+    assert [r.meta for r in rows] == [None, None]
+    # the widened schema accepts appends carrying the new columns
+    snapshot_write(
+        spark.createDataFrame(
+            [(3, "A", 1.5, (7,))],
+            "k bigint, seg string, score double, meta struct<ts:bigint>",
+        ),
+        p,
+        mode="append",
+    )
+    assert snapshot_read(spark, p).filter("score = 1.5").count() == 1
+    # time travel: v1 does not have the column
+    assert "score" not in snapshot_read(spark, p, version=1).columns
+
+
+def test_add_columns_refusals(spark, tmp_path):
+    p = _seed(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exist"):
+        snapshot_add_columns(p, "K int")  # case-insensitive collision
+    with pytest.raises(ValueError, match="duplicate names"):
+        snapshot_add_columns(p, "x int, X string")
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_add_columns(p, "_change_type string")
+    with pytest.raises(ValueError, match="no columns"):
+        snapshot_add_columns(p, StructType([]))
+    with pytest.raises(ValueError, match="DDL list"):
+        snapshot_add_columns(p, "bigint")
+    with pytest.raises(SnapshotConflictError):
+        snapshot_add_columns(p, "x int", expect_head=99)
+
+
+def test_readd_after_drop_never_reads_old_bytes(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double"), p
+    )
+    snapshot_drop_column(p, "v")
+    snapshot_add_columns(p, "v double")
+    rows = snapshot_read(spark, p).orderBy("k").collect()
+    assert [r.v for r in rows] == [None, None], (
+        "a re-added column must NOT resurrect the dropped column's bytes"
+    )
+    cm = _read_manifest(p, snapshot_versions(p)[-1]["version"])["column_mapping"]
+    assert cm["physical"]["v"] != "v"  # fresh physical name
+
+
+def test_add_columns_feeds_cross(spark, tmp_path):
+    p = _seed(spark, tmp_path)
+    snapshot_add_columns(p, "score double")
+    snapshot_write(
+        spark.createDataFrame(
+            [(3, "C", 0.5)], "k bigint, seg string, score double"
+        ),
+        p,
+        mode="append",
+    )
+    # plain file-delta feed crosses the metadata-only commit
+    chg = snapshot_changes(spark, p, since=1)
+    assert chg.count() == 1
+    assert chg.first().k == 3
+    # row-level feed too
+    rl = snapshot_changes(spark, p, since=1, row_level=True)
+    assert rl.filter("_change_type = 'insert'").count() == 1
+
+
+def test_add_columns_then_stats_prune(spark, tmp_path):
+    """A column added later can become the table's hot filter column:
+    set_stats_columns names it, a compact backfills, and files prune."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_set_stats_columns,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(100).select(F.col("id").alias("k")).repartition(4), p
+    )
+    snapshot_add_columns(p, "score double")
+    snapshot_write(
+        spark.range(100, 200)
+        .select(
+            F.col("id").alias("k"), (F.col("id") / 100.0).alias("score")
+        )
+        .repartitionByRange(4, "score"),
+        p,
+        mode="append",
+    )
+    snapshot_set_stats_columns(p, ["score"])
+    # backfill stats under the new spec; tiny target keeps >=2 output
+    # files and the Z-order clusters them tight on the new column
+    snapshot_compact(spark, p, target_file_bytes=1024, zorder_by=["score"])
+    rep = snapshot_scan_report(p, [("score", ">", 1.7)])
+    assert rep["skipped"] >= 1, f"new-column stats must prune: {rep}"
+    assert snapshot_read(spark, p, where=[("score", ">", 1.7)]).count() == 29
+
+
+# ---- SQL DDL face ----------------------------------------------------
+
+
+def test_sql_create_insert_alter_drop_dict_mode(spark, tmp_path):
+    tables = {}
+    loc = str(tmp_path / "docs")
+    v = snapshot_sql(
+        spark,
+        f"CREATE TABLE docs (id bigint, seg string, bal decimal(10,2)) "
+        f"PARTITIONED BY (seg) TBLPROPERTIES ('stats_columns' = 'id', "
+        f"'bloom.id' = '64') LOCATION '{loc}'",
+        tables,
+    )
+    assert v == 1 and tables == {"docs": loc}  # CREATE registers in-place
+    m = _read_manifest(loc, 1)
+    assert m["partition_by"] == ["seg"]
+    assert m["bloom_ndv"] == {"id": 64}
+    snapshot_sql(
+        spark,
+        "INSERT INTO docs VALUES (1, 'A', CAST(2.5 AS decimal(10,2)))",
+        tables,
+    )
+    assert snapshot_sql(
+        spark, "ALTER TABLE docs ADD COLUMNS (score double, note string)",
+        tables,
+    ) == 3
+    assert snapshot_sql(
+        spark, "ALTER TABLE docs ADD COLUMN flag boolean", tables
+    ) == 4
+    assert snapshot_sql(
+        spark, "ALTER TABLE docs RENAME COLUMN note TO remark", tables
+    ) == 5
+    assert snapshot_sql(
+        spark, "ALTER TABLE docs DROP COLUMN flag", tables
+    ) == 6
+    out = snapshot_sql(spark, "SELECT id, seg, remark FROM docs", tables)
+    assert out.collect()[0].remark is None
+    st = snapshot_sql(spark, "DROP TABLE docs PURGE", tables)
+    assert st == {"dropped": "docs", "path": loc, "purged": True}
+    assert tables == {} and not os.path.exists(loc)
+
+
+def test_sql_ctas_and_if_not_exists(spark, tmp_path):
+    tables = {}
+    loc = str(tmp_path / "c")
+    spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+    ).createOrReplaceTempView("ddl_src")
+    try:
+        v = snapshot_sql(
+            spark,
+            f"CREATE TABLE c PARTITIONED BY (g) LOCATION '{loc}' "
+            "AS SELECT k, g FROM ddl_src",
+            tables,
+        )
+        assert v == 1
+        assert _read_manifest(loc, 1)["partition_by"] == ["g"]
+        assert snapshot_sql(spark, "SELECT count(*) AS n FROM c", tables).first().n == 5
+        # IF NOT EXISTS on an existing table: no-op, SELECT not evaluated
+        v2 = snapshot_sql(
+            spark,
+            f"CREATE TABLE IF NOT EXISTS c LOCATION '{loc}' "
+            "AS SELECT explode(sequence(1, 1000000)) AS boom",
+            tables,
+        )
+        assert v2 == 1
+        # VALUES form
+        loc2 = str(tmp_path / "c2")
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE c2 LOCATION '{loc2}' AS VALUES (1, 'a'), (2, 'b')",
+            tables,
+        )
+        assert snapshot_read(spark, loc2).count() == 2
+    finally:
+        spark.catalog.dropTempView("ddl_src")
+
+
+def test_sql_ddl_catalog_path_mode(spark, tmp_path):
+    """tables= as a catalog PATH: names resolve through the persistent
+    catalog and CREATE/DROP write through to it."""
+    cat = str(tmp_path / "cat")
+    loc = str(tmp_path / "t")
+    snapshot_sql(
+        spark, f"CREATE TABLE t (k bigint, v double) LOCATION '{loc}'", cat
+    )
+    assert snapshot_catalog_tables(spark, cat) == {"t": loc}
+    snapshot_sql(spark, "INSERT INTO t VALUES (1, 0.5), (2, 1.5)", cat)
+    assert snapshot_sql(spark, "SELECT sum(k) AS s FROM t", cat).first().s == 3
+    assert snapshot_sql(spark, "SHOW TABLES", cat).collect()[0].name == "t"
+    st = snapshot_sql(spark, "DROP TABLE t", cat)
+    assert st["dropped"] == "t" and st["purged"] is False
+    assert snapshot_catalog_list(spark, cat) == []
+    assert os.path.exists(loc)  # no PURGE: data stays
+
+
+def test_sql_ddl_constraints_and_props(spark, tmp_path):
+    tables = {}
+    loc = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE t (k bigint, meta struct<ts:bigint>) LOCATION '{loc}'",
+        tables,
+    )
+    snapshot_sql(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (k > 0)", tables)
+    with pytest.raises(Exception, match="pos"):
+        snapshot_sql(
+            spark,
+            "INSERT INTO t VALUES (-1, named_struct('ts', CAST(1 AS bigint)))",
+            tables,
+        )
+    snapshot_sql(spark, "ALTER TABLE t DROP CONSTRAINT pos", tables)
+    snapshot_sql(
+        spark,
+        "INSERT INTO t VALUES (-1, named_struct('ts', CAST(1 AS bigint)))",
+        tables,
+    )
+    v = snapshot_sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('stats_columns' = 'meta.ts')",
+        tables,
+    )
+    assert _read_manifest(loc, v)["stats_columns"] == ["meta.ts"]
+
+
+def test_sql_ddl_refusals(spark, tmp_path):
+    tables = {"t": str(tmp_path / "t")}
+    snapshot_create(spark, tables["t"], "k bigint")
+    loc2 = str(tmp_path / "x")
+    with pytest.raises(ValueError, match="LOCATION"):
+        snapshot_sql(spark, "CREATE TABLE x (a int)", tables)
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE x (a int) LOCATION '{loc2}' AS SELECT 1",
+            tables,
+        )
+    with pytest.raises(ValueError, match="ambiguous"):
+        snapshot_sql(spark, f"CREATE TABLE t (a int) LOCATION '{loc2}'", tables)
+    with pytest.raises(ValueError, match="at least one column"):
+        snapshot_sql(
+            spark, f"CREATE TABLE x PARTITIONED BY () LOCATION '{loc2}'", tables
+        )
+    with pytest.raises(ValueError, match="infer a schema"):
+        snapshot_sql(spark, f"CREATE TABLE x LOCATION '{loc2}'", tables)
+    with pytest.raises(ValueError, match="trailing text"):
+        snapshot_sql(
+            spark, f"CREATE TABLE x (a int) LOCATION '{loc2}' garbage", tables
+        )
+    with pytest.raises(ValueError, match="unsupported TBLPROPERTIES"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE x (a int) TBLPROPERTIES ('nope'='1') "
+            f"LOCATION '{loc2}'",
+            tables,
+        )
+    with pytest.raises(ValueError, match="unknown table"):
+        snapshot_sql(spark, "DROP TABLE nope", tables)
+    with pytest.raises(ValueError, match="CREATE/write time"):
+        snapshot_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES ('bloom.k' = '10')",
+            tables,
+        )
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        snapshot_sql(spark, "ALTER TABLE t CLUSTER BY (k)", tables)
+    # a paren-typed coldef survives the cursor parse
+    loc3 = str(tmp_path / "d")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE d (a decimal(10,2), b string) LOCATION '{loc3}'",
+        tables,
+    )
+    assert "decimal(10,2)" in _read_manifest(loc3, 1)["schema_ddl"]
+
+
+def test_sql_create_quoted_path_with_keywords(spark, tmp_path):
+    """A LOCATION path containing SQL-looking text must not confuse the
+    clause cursor (the blanked-literal scan owns the structure)."""
+    tables = {}
+    loc = str(tmp_path / "AS SELECT (weird) dir")
+    snapshot_sql(spark, f"CREATE TABLE w (k int) LOCATION '{loc}'", tables)
+    assert tables["w"] == loc
+    snapshot_sql(spark, "INSERT INTO w VALUES (7)", tables)
+    assert snapshot_sql(spark, "SELECT k FROM w", tables).first().k == 7

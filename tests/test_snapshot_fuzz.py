@@ -63,6 +63,11 @@ SETTINGS = dict(
 #                          source does not key (WHEN NOT MATCHED BY
 #                          SOURCE, VERDICT r9 item 3); duplicate target
 #                          keys each keep one updated row
+#   ("add_col",)         — metadata-only ADD COLUMNS (round-9 DDL face):
+#                          widens the schema with a NULL double; every
+#                          later writer carries it, every earlier
+#                          version keeps its own narrower schema, and
+#                          both feed shapes must cross the commit
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
@@ -78,6 +83,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("racy_delete"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("merge_sync"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("set_stats"), st_.booleans()),
+    st_.tuples(st_.just("add_col")),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -98,17 +104,28 @@ def test_snapshot_random_op_sequences_match_model(
     head_rows: "list[int]" = []
     head_v = 0
     cur = "id"  # the data column's CURRENT logical name (renames flip it)
+    extras: "list[str]" = []  # add_col-added columns (NULL everywhere)
+    n_added = 0
 
     def with_pk(df):
         return df.withColumn("pk", (F.col(cur) % 3).cast("int")) if part else df
 
+    def with_extras(df):
+        # every writer after an add_col carries the widened schema
+        # (appends/merges require an exact schema match by design)
+        for e in extras:
+            df = df.withColumn(e, F.lit(None).cast("double"))
+        return df
+
     def write(rows, mode, narrow=False):
-        nonlocal head_v
+        nonlocal head_v, extras
+        if mode == "overwrite":
+            extras = []  # table replacement: the frame's schema wins
         df = spark.createDataFrame(
             [(i,) for i in rows], f"{cur} {'int' if narrow else 'bigint'}"
         )
         v = snapshot_write(
-            with_pk(df).repartition(2),
+            with_extras(with_pk(df)).repartition(2),
             p,
             mode=mode,
             merge_schema=narrow,
@@ -171,9 +188,11 @@ def test_snapshot_random_op_sequences_match_model(
                     _st["fired"] = True
                     _st["inner"] = True
                     try:
-                        df = with_pk(
-                            spark.createDataFrame(
-                                [(i,) for i in _hi], f"{cur} bigint"
+                        df = with_extras(
+                            with_pk(
+                                spark.createDataFrame(
+                                    [(i,) for i in _hi], f"{cur} bigint"
+                                )
                             )
                         )
                         _st["v"] = snapshot_write(
@@ -236,9 +255,11 @@ def test_snapshot_random_op_sequences_match_model(
             if first:
                 continue
             _, lo, n = op
-            src = with_pk(
-                spark.createDataFrame(
-                    [(i,) for i in range(lo, lo + n)], f"{cur} bigint"
+            src = with_extras(
+                with_pk(
+                    spark.createDataFrame(
+                        [(i,) for i in range(lo, lo + n)], f"{cur} bigint"
+                    )
                 )
             )
             if op[0] == "merge":
@@ -273,13 +294,25 @@ def test_snapshot_random_op_sequences_match_model(
             if v != head_v:
                 head_v = v
                 model[head_v] = ("set_stats", list(head_rows), cur)
+        elif op[0] == "add_col":
+            if first:
+                continue
+            from dask_awkward_spark.sources.snapshot import snapshot_add_columns
+
+            nm = f"x{n_added}"
+            n_added += 1
+            head_v = snapshot_add_columns(p, f"{nm} double")
+            extras.append(nm)
+            model[head_v] = ("add_col", list(head_rows), cur)
         elif op[0] == "merge_sync":
             if first:
                 continue
             _, lo, n = op
-            src = with_pk(
-                spark.createDataFrame(
-                    [(i,) for i in range(lo, lo + n)], f"{cur} bigint"
+            src = with_extras(
+                with_pk(
+                    spark.createDataFrame(
+                        [(i,) for i in range(lo, lo + n)], f"{cur} bigint"
+                    )
                 )
             )
             res = snapshot_merge(
@@ -314,7 +347,7 @@ def test_snapshot_random_op_sequences_match_model(
     vs = sorted(model)
     for a, b in zip(vs, vs[1:]):
         kinds = [model[v][0] for v in vs if a < v <= b]
-        if all(k in ("append", "rename", "set_stats") for k in kinds):
+        if all(k in ("append", "rename", "set_stats", "add_col") for k in kinds):
             name_b = model[b][2]
             delta = sorted(
                 r[name_b]

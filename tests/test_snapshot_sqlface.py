@@ -136,8 +136,13 @@ def test_sql_update_delete_nested_where(spark, tmp_path):
 
 def test_sql_statement_refusals(spark, tmp_path):
     p = _tbl(spark, tmp_path)
+    # DROP TABLE graduated from refusal to statement (round-9 DDL face):
+    # it unregisters the name from the passed map (data untouched)
+    tables = {"t": p}
+    assert snapshot_sql(spark, "DROP TABLE t", tables)["dropped"] == "t"
+    assert tables == {}
     for bad in [
-        "DROP TABLE t",
+        "TRUNCATE TABLE t",
         "DELETE FROM t",  # no WHERE
         "INSERT INTO missing VALUES (1)",
         "DELETE FROM t WHERE k = 1 OR k = 2",

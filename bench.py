@@ -85,6 +85,11 @@ HEADLINE = [
     # write path driven through the persistent catalog
     "io_snapshot_nested_prune",
     "io_snapshot_sql_dml",
+    # round-9 continuation: the SQL DDL lifecycle (CREATE/ALTER/
+    # constraint/DML by catalog name) and the IVF-PQ tier (ADC ranking
+    # over m-byte codes + exact re-score at full rescore)
+    "io_snapshot_ddl",
+    "sim_pq",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Product quantization (PQ) for the IVF index — the IVF-PQ tier.
+
+The int8 SQ tier (:func:`~dask_awkward_spark.functions.vectors
+.quantize_int8`) compresses each vector 8x (double -> byte per
+dimension). PQ goes further: the vector is split into ``m`` subvectors
+and each subvector is replaced by the id of its nearest entry in a
+per-subspace codebook of ``ksub`` centroids — ``m`` BYTES per vector
+regardless of dimension (d=128 doubles = 1024 bytes -> m=16 bytes, 64x)
+plus one stored float for the true norm. Ranking runs by ASYMMETRIC
+DISTANCE COMPUTATION (ADC): the query precomputes a lookup table of
+``m x ksub`` partial dots (its subvectors against every codebook
+entry), and a candidate's approximate dot is then just ``m`` table
+lookups summed — no arithmetic against the original vector at all.
+This is the classic IVF-PQ design (Jegou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011; FAISS ``IVFPQ``).
+
+Spark mapping, chosen deliberately:
+
+- The HOT path — the ADC scan over every probed candidate — is a pure
+  Column expression (:func:`adc_dot`): ``m`` ``element_at`` lookups
+  into the query row's LUT array, summed. JVM-side, whole-stage
+  codegen, no Python.
+- Encoding (ingest-time) and LUT building (query-side, |queries| rows)
+  are Arrow-batched pandas UDFs over numpy (:func:`pq_encode`,
+  :func:`pq_lut`): the expression form would need ``m x ksub``
+  aggregate nodes PER ROW (4096 at the production 16x256 shape), which
+  Catalyst cannot codegen sanely, while numpy does each Arrow batch in
+  one gemm. This is the same sanctioned Arrow tier as the multimodal
+  decode path — off the per-candidate hot loop by construction.
+- Training (:func:`pq_train`) is driver-side k-means per subspace on a
+  BOUNDED sample (like FAISS, which trains on a sample by default) —
+  deterministic init + fixed iterations, so tests and chunked==batch
+  equivalences are exact.
+
+Reference parity: dask-awkward has no similarity operators — this is
+training-data-pipeline uplift (SURVEY §2 extension), extending the
+oracle-checked IVF family (``sim_ivf_topk`` / ``sim_quantized`` /
+``sim_pq``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pq_train", "pq_encode", "pq_lut", "adc_dot", "PQ_TRAIN_MAX_SAMPLE"]
+
+#: Driver-side training-sample bound: pq_train collects at most this
+#: many vectors (k-means over the sample, numpy). FAISS trains PQ on a
+#: sample too — the codebook quality saturates long before the corpus.
+PQ_TRAIN_MAX_SAMPLE = 16384
+
+
+def _check_codebook(codebook) -> "tuple[int, int, int]":
+    """(m, ksub, dsub) of a nested-list codebook, validated rectangular."""
+    m = len(codebook)
+    if m == 0:
+        raise ValueError("empty codebook")
+    ksub = len(codebook[0])
+    dsub = len(codebook[0][0])
+    for j, sub in enumerate(codebook):
+        if len(sub) != ksub or any(len(c) != dsub for c in sub):
+            raise ValueError(
+                f"ragged codebook: subspace {j} is not {ksub} x {dsub}"
+            )
+    if ksub > 256:
+        raise ValueError(
+            f"ksub={ksub} > 256: codes are stored as one byte each"
+        )
+    return m, ksub, dsub
+
+
+def pq_train(
+    vecs: DataFrame,
+    m: int,
+    ksub: int = 256,
+    e_col: str = "e",
+    order_col: "str | None" = None,
+    sample_rows: int = PQ_TRAIN_MAX_SAMPLE,
+    iters: int = 12,
+) -> "list[list[list[float]]]":
+    """Train a PQ codebook: per-subspace k-means over a bounded sample.
+
+    Returns ``codebook[m][ksub][d/m]`` (plain nested lists — JSON-able,
+    which is how :func:`~dask_awkward_spark.functions.simindex
+    .ivf_index_add` persists it beside the index). Deterministic:
+    initial centroids are the sample rows at evenly spaced ranks of the
+    subvector norm (no RNG), then ``iters`` Lloyd steps; an emptied
+    cluster keeps its previous centroid. Pass ``order_col`` (an id) to
+    pin WHICH rows the bounded sample takes — without it the sample is
+    whatever ``limit`` yields, fine for quality, not reproducible."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if not 2 <= ksub <= 256:
+        raise ValueError(f"ksub must be in [2, 256], got {ksub}")
+    src = vecs.select(F.col(e_col).cast("array<double>").alias("e"))
+    if order_col is not None:
+        src = vecs.orderBy(order_col).select(
+            F.col(e_col).cast("array<double>").alias("e")
+        )
+    rows = src.limit(sample_rows).collect()
+    if len(rows) < ksub:
+        raise ValueError(
+            f"training sample has {len(rows)} rows < ksub={ksub}"
+        )
+    X = np.asarray([r.e for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} is not divisible by m={m}")
+    dsub = d // m
+    codebook = []
+    for j in range(m):
+        Xj = X[:, j * dsub:(j + 1) * dsub]
+        # deterministic init: rows at evenly spaced ranks of ||x_sub||
+        # (ties broken by row index via stable argsort)
+        order = np.argsort(np.linalg.norm(Xj, axis=1), kind="stable")
+        picks = order[np.linspace(0, len(order) - 1, ksub).astype(int)]
+        C = Xj[picks].copy()
+        for _ in range(iters):
+            # assign: argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+                # else: emptied cluster keeps its previous centroid
+        codebook.append([[float(v) for v in row] for row in C])
+    return codebook
+
+
+def pq_encode(e: Column, codebook) -> Column:
+    """PQ codes for an embedding column: ``array<tinyint>`` of length
+    ``m`` with the 0-BASED nearest-centroid id per subspace (stored
+    0-based so a byte covers ksub=256). Arrow-batched numpy under the
+    hood — one distance gemm per subspace per batch; see the module
+    docstring for why this is not an expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = _check_codebook(codebook)
+    C = np.asarray(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    c2 = (C * C).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("array<tinyint>")
+    def _enc(s):
+        import pandas as pd
+
+        X = np.asarray(list(s), dtype=np.float64)  # (n, d)
+        if X.ndim != 2 or X.shape[1] != m * dsub:
+            raise ValueError(
+                f"pq_encode: expected dim {m * dsub}, got shape {X.shape}"
+            )
+        out = np.empty((X.shape[0], m), dtype=np.int8)
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            d2 = c2[j][None, :] - 2.0 * (Xj @ C[j].T)
+            # ties: argmin takes the LOWEST code id (matches np/FAISS)
+            out[:, j] = d2.argmin(axis=1).astype(np.int8)
+        return pd.Series(list(out))
+
+    return _enc(e.cast("array<double>"))
+
+
+def pq_lut(qe: Column, codebook) -> Column:
+    """The ADC lookup table for a QUERY embedding column: a flat
+    ``array<double>`` of length ``m * ksub`` where slot ``j*ksub + c``
+    is ``<q_sub_j, codebook[j][c]>``. Built once per query row (the
+    tiny side), then every candidate's approximate dot is ``m``
+    lookups (:func:`adc_dot`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = _check_codebook(codebook)
+    C = np.asarray(codebook, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _lut(s):
+        import pandas as pd
+
+        Q = np.asarray(list(s), dtype=np.float64)  # (n, d)
+        out = np.empty((Q.shape[0], m * ksub), dtype=np.float64)
+        for j in range(m):
+            Qj = Q[:, j * dsub:(j + 1) * dsub]
+            out[:, j * ksub:(j + 1) * ksub] = Qj @ C[j].T
+        return pd.Series(list(out))
+
+    return _lut(qe.cast("array<double>"))
+
+
+def pq_lut_rows(qe_rows: "list[list[float]]", codebook) -> "list[list[float]]":
+    """Driver-side twin of :func:`pq_lut` for the collected search path
+    (the query rows are already in hand — no extra Spark job)."""
+    m, ksub, dsub = _check_codebook(codebook)
+    C = np.asarray(codebook, dtype=np.float64)
+    Q = np.asarray(qe_rows, dtype=np.float64)
+    out = np.empty((Q.shape[0], m * ksub), dtype=np.float64)
+    for j in range(m):
+        out[:, j * ksub:(j + 1) * ksub] = Q[:, j * dsub:(j + 1) * dsub] @ C[j].T
+    return [list(map(float, row)) for row in out]
+
+
+def adc_dot(codes: Column, lut: Column, ksub: int) -> Column:
+    """Approximate ``<e, q>`` from PQ codes + the query's LUT — the hot
+    ADC scan, a pure expression: ``sum_j lut[j*ksub + codes[j]]``.
+    ``element_at`` is 1-based; codes are stored 0-based."""
+    m_idx = F.sequence(F.lit(0), F.size(codes) - 1)
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            m_idx,
+            lambda c, j: F.element_at(
+                lut, (j * F.lit(ksub) + c.cast("int") + F.lit(1)).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -402,12 +402,16 @@ def sim_incremental(spark, sf_dir):
     return _ivf_lifecycle(spark, sf_dir, "simidx")
 
 
-def _ivf_lifecycle(spark, sf_dir, tag, quantized=False, rescore_k=None):
+def _ivf_lifecycle(spark, sf_dir, tag, quantized=False, rescore_k=None,
+                   pq=False):
     """Shared chunked-ingest IVF lifecycle for sim_incremental /
-    sim_quantized: three O(delta) appends under fixed centroids, then
-    vec 0's top-10 via a 2-cell probe. Exactness vs the batch IVF twin
-    holds for BOTH tiers (fixed centroids make chunked == batch; at
-    full rescore the quantized ranking is re-scored exactly)."""
+    sim_quantized / sim_pq: three O(delta) appends under fixed
+    centroids, then vec 0's top-10 via a 2-cell probe. Exactness vs the
+    batch IVF twin holds for EVERY tier (fixed centroids make chunked
+    == batch; at full rescore the quantized/ADC ranking is re-scored
+    exactly). ``pq=True`` trains an 8x16 product-quantization codebook
+    (deterministic: ordered sample, norm-rank init, fixed Lloyd steps)
+    and ingests through the IVF-PQ tier."""
     import os as _os
     import shutil
     import tempfile
@@ -420,11 +424,18 @@ def _ivf_lifecycle(spark, sf_dir, tag, quantized=False, rescore_k=None):
     emb = _emb(spark, sf_dir)
     hi = emb.agg(F.max("vec_id")).first()[0]
     cents = _centroids()
+    cb = None
+    if pq:
+        from ..functions.pq import pq_train
+
+        cb = pq_train(emb, m=8, ksub=16, order_col="vec_id",
+                      sample_rows=2048, iters=6)
     try:
         cuts = (-1, hi // 3, 2 * hi // 3, hi)
         for lo, up in zip(cuts, cuts[1:]):
             chunk = emb.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= up))
-            ivf_index_add(path, chunk, cents, e_col="e", quantized=quantized)
+            ivf_index_add(path, chunk, cents, e_col="e", quantized=quantized,
+                          pq_codebook=cb)
         out = ivf_search(
             spark, path, emb.filter(F.col("vec_id") == 0), cents,
             k=10, nprobe=2, rescore_k=rescore_k,
@@ -445,6 +456,22 @@ def sim_quantized(spark, sf_dir):
     sim_incremental — quantization must be invisible in the answer;
     the speed/recall trade at small rescore_k is pytest territory)."""
     return _ivf_lifecycle(spark, sf_dir, "simq", quantized=True,
+                          rescore_k=1_000_000)
+
+
+def sim_pq(spark, sf_dir):
+    """IVF-PQ tier (round-9 continuation) under an oracle: the same
+    three-chunk ingest as sim_incremental but through product
+    quantization — each row stores 8 one-byte codes + one float norm
+    beside e (64 doubles), and the ranking scan reads ONLY those two
+    columns, scoring candidates by ADC table lookups (pure expressions;
+    the codebook trains deterministically driver-side and persists
+    beside the index). rescore_k covers every probed candidate, so the
+    exact re-scoring tier makes the answer EQUAL DuckDB's single-pass
+    batch IVF twin — the 64x-compressed ranking must be invisible in
+    the result; the speed/recall trade at small rescore_k is pytest
+    territory (tests/test_pq.py)."""
+    return _ivf_lifecycle(spark, sf_dir, "simpq", pq=True,
                           rescore_k=1_000_000)
 
 
@@ -575,6 +602,7 @@ QUERIES = {
     "sim_label_centroids": sim_label_centroids,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_batch_search": sim_batch_search,
+    "sim_pq": sim_pq,
 }
 
 ORACLES = {
@@ -593,6 +621,9 @@ ORACLES = {
     # distributed two-tier batch path == single-pass batch IVF (exact
     # at full rescore; quantization and distribution both invisible)
     "sim_batch_search": _batch_search_sql(),
+    # PQ-ADC-then-rescored == flat == batch (exact by construction at
+    # full rescore — the 64x-compressed ranking is invisible): same twin
+    "sim_pq": _ivf_sql(),
 }
 
 

@@ -1,0 +1,252 @@
+"""IVF-PQ tier (functions/pq.py + simindex integration — round 9
+continuation): product-quantization codebook training, m-byte codes +
+ADC ranking, exact re-scoring, codebook persistence/stickiness."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_awkward_spark.functions.pq import (
+    adc_dot,
+    pq_encode,
+    pq_lut,
+    pq_lut_rows,
+    pq_train,
+)
+from dask_awkward_spark.functions.simindex import (
+    ivf_index_add,
+    ivf_search,
+)
+
+DIM = 16
+N_CELLS = 4
+
+
+def _centroids():
+    out = []
+    for j in range(N_CELLS):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"t{j}_{d}".encode()).hexdigest()
+            row.append(1.0 if h[0] in "89abcdef" else -1.0)
+        out.append(row)
+    return out
+
+
+def _vecs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda d: F.sin(F.col("id") * 0.7 + d * 1.3),
+        ).alias("e"),
+    )
+
+
+def _rows(df):
+    return sorted((r.q_id, r.vec_id, r.cell, r.cos) for r in df.collect())
+
+
+def _cb(spark, n=200, m=4, ksub=8):
+    return pq_train(
+        _vecs(spark, 0, n), m=m, ksub=ksub, order_col="vec_id",
+        sample_rows=n, iters=6,
+    )
+
+
+# ---- training ---------------------------------------------------------
+
+
+def test_train_shape_and_determinism(spark):
+    cb1 = _cb(spark)
+    cb2 = _cb(spark)
+    assert cb1 == cb2  # ordered sample + norm-rank init + fixed iters
+    assert len(cb1) == 4 and len(cb1[0]) == 8 and len(cb1[0][0]) == DIM // 4
+
+
+def test_train_refusals(spark):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(_vecs(spark, 0, 50), m=3, ksub=4, sample_rows=50)
+    with pytest.raises(ValueError, match="ksub"):
+        pq_train(_vecs(spark, 0, 50), m=4, ksub=1)
+    with pytest.raises(ValueError, match="rows < ksub"):
+        pq_train(_vecs(spark, 0, 4), m=4, ksub=8)
+
+
+# ---- encode / LUT / ADC -----------------------------------------------
+
+
+def test_encode_adc_matches_numpy(spark):
+    """pq_encode codes and the ADC expression reproduce the numpy
+    reference reconstruction exactly (same codebook entries, same
+    lookup sums)."""
+    cb = _cb(spark)
+    C = np.asarray(cb)  # (m, ksub, dsub)
+    m, ksub, dsub = C.shape
+    vecs = _vecs(spark, 0, 50)
+    enc = vecs.select("vec_id", pq_encode(F.col("e"), cb).alias("pqc"), "e").collect()
+    qe = [float(np.sin(7 * 0.7 + d * 1.3)) for d in range(DIM)]
+    lut = pq_lut_rows([qe], cb)[0]
+    Q = np.asarray(qe)
+    for r in enc:
+        x = np.asarray(r.e)
+        for j in range(m):
+            d2 = ((C[j] - x[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+            assert r.pqc[j] == int(d2.argmin()), (r.vec_id, j)
+        want = sum(
+            float(Q[j * dsub:(j + 1) * dsub] @ C[j][r.pqc[j]]) for j in range(m)
+        )
+        got = sum(lut[j * ksub + r.pqc[j]] for j in range(m))
+        assert abs(got - want) < 1e-9
+    # the Column-expression ADC agrees with the python lookup sum
+    one = (
+        vecs.select(pq_encode(F.col("e"), cb).alias("pqc"))
+        .withColumn("lut", F.array(*[F.lit(v) for v in lut]))
+        .select(adc_dot(F.col("pqc"), F.col("lut"), ksub).alias("s"))
+        .collect()
+    )
+    py = [
+        sum(lut[j * ksub + r.pqc[j]] for j in range(m)) for r in enc
+    ]
+    assert all(abs(a.s - b) < 1e-9 for a, b in zip(one, py))
+
+
+def test_lut_udf_matches_driver_rows(spark):
+    cb = _cb(spark)
+    q = _vecs(spark, 5, 9)
+    got = {
+        r.vec_id: list(r.lut)
+        for r in q.select("vec_id", pq_lut(F.col("e"), cb).alias("lut")).collect()
+    }
+    rows = q.orderBy("vec_id").collect()
+    want = pq_lut_rows([list(r.e) for r in rows], cb)
+    for r, w in zip(rows, want):
+        assert np.allclose(got[r.vec_id], w, atol=1e-12)
+
+
+# ---- index integration ------------------------------------------------
+
+
+def test_pq_exactness_at_full_rescore(spark, tmp_path):
+    """With rescore_k covering every candidate, the PQ index's answer
+    equals the flat index's bit-for-bit (ADC only ranks; survivors are
+    re-scored on e) — on BOTH plan paths."""
+    cents = _centroids()
+    cb = _cb(spark)
+    p_flat, p_pq = str(tmp_path / "flat"), str(tmp_path / "pq")
+    ivf_index_add(p_flat, _vecs(spark, 0, 200), cents)
+    ivf_index_add(p_pq, _vecs(spark, 0, 200), cents, pq_codebook=cb)
+    q = _vecs(spark, 0, 4)
+    flat = _rows(ivf_search(spark, p_flat, q, cents, k=5, nprobe=2))
+    got = _rows(
+        ivf_search(spark, p_pq, q, cents, k=5, nprobe=2, rescore_k=10**6)
+    )
+    assert got == flat
+    gotb = _rows(
+        ivf_search(
+            spark, p_pq, q, cents, k=5, nprobe=2, rescore_k=10**6, batch=True
+        )
+    )
+    assert gotb == flat
+
+
+def test_pq_chunked_equals_batch_build(spark, tmp_path):
+    cents = _centroids()
+    cb = _cb(spark)
+    p1, p2 = str(tmp_path / "chunked"), str(tmp_path / "one")
+    for lo, hi in ((0, 70), (70, 140), (140, 200)):
+        ivf_index_add(p1, _vecs(spark, lo, hi), cents, pq_codebook=cb)
+    ivf_index_add(p2, _vecs(spark, 0, 200), cents, pq_codebook=cb)
+    q = _vecs(spark, 0, 3)
+    a = _rows(ivf_search(spark, p1, q, cents, k=5, nprobe=2))
+    b = _rows(ivf_search(spark, p2, q, cents, k=5, nprobe=2))
+    assert a == b
+
+
+def test_pq_codebook_sticky_and_persisted(spark, tmp_path):
+    cents = _centroids()
+    cb = _cb(spark)
+    p = str(tmp_path / "pq")
+    ivf_index_add(p, _vecs(spark, 0, 100), cents, pq_codebook=cb)
+    # a later ingest without the codebook refuses
+    with pytest.raises(ValueError, match="sticky tier"):
+        ivf_index_add(p, _vecs(spark, 100, 120), cents)
+    # ... with a different codebook refuses
+    cb2 = [[[x + 1.0 for x in c] for c in s] for s in cb]
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        ivf_index_add(p, _vecs(spark, 100, 120), cents, pq_codebook=cb2)
+    # ... with the original appends fine, and search needs no codebook
+    ivf_index_add(p, _vecs(spark, 100, 120), cents, pq_codebook=cb)
+    out = ivf_search(spark, p, _vecs(spark, 0, 2), cents, k=3, nprobe=2)
+    assert out.count() == 6
+    # both tiers at once is refused
+    with pytest.raises(ValueError, match="ONE ranking tier"):
+        ivf_index_add(
+            str(tmp_path / "x"), _vecs(spark, 0, 50), cents,
+            quantized=True, pq_codebook=cb,
+        )
+
+
+def test_pq_ranking_scan_prunes_e_column(spark, tmp_path):
+    """The ADC ranking tier reads (vec_id, cell, pqc, norm) ONLY — the
+    m-bytes-per-vector probe-I/O win depends on e being column-pruned
+    out of the scan."""
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    cents = _centroids()
+    cb = _cb(spark)
+    p = str(tmp_path / "pq")
+    ivf_index_add(p, _vecs(spark, 0, 200), cents, pq_codebook=cb)
+    plan = (
+        snapshot_read(spark, p, where=[("cell", "in", [1, 2])])
+        .select("vec_id", "cell", "pqc", "norm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "pqc" in scan and "e:" not in scan, scan
+
+
+def test_pq_retrain_keeps_codes(spark, tmp_path):
+    """ivf_retrain re-assigns coarse cells but carries pqc/norm (per-row
+    properties of e, coarse-quantizer-independent); search over the
+    retrained index equals a fresh build under the new centroids."""
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+
+    cents = _centroids()
+    new_cents = [list(reversed(c)) for c in cents]
+    cb = _cb(spark)
+    p, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ivf_index_add(p, _vecs(spark, 0, 150), cents, pq_codebook=cb)
+    ivf_retrain(spark, p, new_cents)
+    ivf_index_add(p2, _vecs(spark, 0, 150), new_cents, pq_codebook=cb)
+    q = _vecs(spark, 0, 3)
+    assert _rows(ivf_search(spark, p, q, new_cents, k=5, nprobe=2)) == _rows(
+        ivf_search(spark, p2, q, new_cents, k=5, nprobe=2)
+    )
+
+
+def test_pq_recall_reasonable_at_default_rescore(spark, tmp_path):
+    """At the default rescore margin the PQ top-k overlaps the flat
+    top-k substantially (quality floor, not exactness — the dial is
+    rescore_k)."""
+    cents = _centroids()
+    cb = _cb(spark, n=300, m=4, ksub=16)
+    p_flat, p_pq = str(tmp_path / "flat"), str(tmp_path / "pq")
+    ivf_index_add(p_flat, _vecs(spark, 0, 300), cents)
+    ivf_index_add(p_pq, _vecs(spark, 0, 300), cents, pq_codebook=cb)
+    q = _vecs(spark, 10, 16)
+    flat = set(
+        (r.q_id, r.vec_id)
+        for r in ivf_search(spark, p_flat, q, cents, k=5, nprobe=4).collect()
+    )
+    got = set(
+        (r.q_id, r.vec_id)
+        for r in ivf_search(spark, p_pq, q, cents, k=5, nprobe=4).collect()
+    )
+    assert len(got & flat) / len(flat) >= 0.6, (len(got & flat), len(flat))

@@ -44,7 +44,10 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_lut", "adc_dot", "PQ_TRAIN_MAX_SAMPLE"]
+__all__ = [
+    "pq_train", "pq_encode", "pq_lut", "adc_dot",
+    "pq_code_value", "pq_code_int", "PQ_TRAIN_MAX_SAMPLE",
+]
 
 #: Driver-side training-sample bound: pq_train collects at most this
 #: many vectors (k-means over the sample, numpy). FAISS trains PQ on a
@@ -132,10 +135,12 @@ def pq_train(
 
 def pq_encode(e: Column, codebook) -> Column:
     """PQ codes for an embedding column: ``array<tinyint>`` of length
-    ``m`` with the 0-BASED nearest-centroid id per subspace (stored
-    0-based so a byte covers ksub=256). Arrow-batched numpy under the
-    hood — one distance gemm per subspace per batch; see the module
-    docstring for why this is not an expression."""
+    ``m`` with the 0-BASED nearest-centroid id per subspace. Signed
+    tinyint has no 128..255, so those ids are stored SIGN-WRAPPED
+    (``astype(int8)``) and every decode goes through
+    :func:`pq_code_value` / :func:`pq_code_int`. Arrow-batched numpy
+    under the hood — one distance gemm per subspace per batch; see the
+    module docstring for why this is not an expression."""
     from pyspark.sql.functions import pandas_udf
 
     m, ksub, dsub = _check_codebook(codebook)
@@ -199,17 +204,33 @@ def pq_lut_rows(qe_rows: "list[list[float]]", codebook) -> "list[list[float]]":
     return [list(map(float, row)) for row in out]
 
 
+def pq_code_value(c: Column) -> Column:
+    """A stored code byte back as its 0..255 value: codes >= 128 wrap
+    negative in a signed tinyint (parquet/Spark have no unsigned byte),
+    so every decode site must add 256 mod 256 — with a plain cast,
+    ksub > 128 (including the production default 256) would index the
+    LUT negatively: silently wrong scores, or a crash at code 255
+    (element_at index 0)."""
+    return (c.cast("int") + F.lit(256)) % F.lit(256)
+
+
+def pq_code_int(c: int) -> int:
+    """Python-side twin of :func:`pq_code_value` for collected rows."""
+    return (int(c) + 256) % 256
+
+
 def adc_dot(codes: Column, lut: Column, ksub: int) -> Column:
     """Approximate ``<e, q>`` from PQ codes + the query's LUT — the hot
     ADC scan, a pure expression: ``sum_j lut[j*ksub + codes[j]]``.
-    ``element_at`` is 1-based; codes are stored 0-based."""
+    ``element_at`` is 1-based; codes are stored 0-based and sign-wrapped
+    (:func:`pq_code_value`)."""
     m_idx = F.sequence(F.lit(0), F.size(codes) - 1)
     return F.aggregate(
         F.zip_with(
             codes,
             m_idx,
             lambda c, j: F.element_at(
-                lut, (j * F.lit(ksub) + c.cast("int") + F.lit(1)).cast("int")
+                lut, (j * F.lit(ksub) + pq_code_value(c) + F.lit(1)).cast("int")
             ),
         ),
         F.lit(0.0),

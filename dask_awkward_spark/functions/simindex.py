@@ -196,7 +196,9 @@ def ivf_index_add(
             "pq_codebook= (IVF-PQ); they rank on different columns"
         )
     stored = _load_pq_codebook(index_path)
+    created_cb = False
     if pq_codebook is not None:
+        from ..sources.snapshot import _read_manifest, _versions
         from .pq import _check_codebook, pq_encode
 
         _check_codebook(pq_codebook)
@@ -209,11 +211,39 @@ def ivf_index_add(
                     "after re-encoding"
                 )
         else:
+            # preflight BEFORE persisting anything: pq_codebook= against
+            # an existing non-PQ index would be refused by the append's
+            # schema check below, and an orphaned codebook file written
+            # first would then wrongly mark the table as PQ forever
+            pre = _versions(index_path)
+            if pre and "pqc" not in [
+                f["name"]
+                for f in json.loads(
+                    _read_manifest(index_path, pre[-1])["schema_json"]
+                )["fields"]
+            ]:
+                raise ValueError(
+                    f"index at {index_path} exists without a PQ tier; "
+                    "tiers are sticky — build a new index (or "
+                    "ivf_retrain a re-encoded one) to go PQ"
+                )
             active().ensure_dir(index_path)
             active().put_atomic(
                 _pq_codebook_file(index_path),
                 json.dumps(pq_codebook).encode("utf-8"),
             )
+            # read-back check: two concurrent FIRST PQ ingests with
+            # different codebooks both reach the put; the one whose
+            # write lost re-reads the winner's content and refuses
+            # BEFORE committing rows encoded under the loser
+            if _load_pq_codebook(index_path) != pq_codebook:
+                raise ValueError(
+                    f"lost a race creating the PQ codebook at "
+                    f"{index_path}: a concurrent ingest persisted a "
+                    "different one — re-encode under it or pick "
+                    "another path"
+                )
+            created_cb = True
     elif stored is not None:
         raise ValueError(
             f"index at {index_path} is a PQ index (sticky tier): pass "
@@ -234,7 +264,20 @@ def ivf_index_add(
     rows = new_vecs.select(*cols)
     # append on a fresh path IS table creation; the explicit spec is a
     # no-op match against an existing index (appends may not change it)
-    return snapshot_write(rows, index_path, mode="append", partition_by=["cell"])
+    try:
+        return snapshot_write(rows, index_path, mode="append", partition_by=["cell"])
+    except Exception:
+        if created_cb:
+            from ..sources.snapshot import _versions
+
+            # a failed CREATING ingest must not leave an orphaned
+            # codebook marking an empty/foreign path as a PQ index
+            if not _versions(index_path):
+                try:
+                    active().delete(_pq_codebook_file(index_path))
+                except Exception:
+                    pass  # best-effort cleanup; the preflight re-heals
+        raise
 
 
 def ivf_retrain(
@@ -514,44 +557,44 @@ def ivf_search(
     # evaluates queries x candidates predicate pairs (VERDICT r6 item 7):
     # hash probing scales with query count for free
     pq_cb = _load_pq_codebook(index_path) if "pqc" in idx.columns else None
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (r.q_id, r.qe, int(c))
+                for r in qrows
+                for c in r.cells
+            ],
+            f"q_id {id_t}, qe array<double>, cell int",
+        )
+    )
+    cos_q = None
     if pq_cb is not None:
+        # ---- IVF-PQ tier: rank by ADC, re-score survivors exact ------
         # ADC LUTs computed driver-side (the query rows are already in
-        # hand) and broadcast alongside the probe rows
+        # hand), broadcast ONE ROW PER QUERY — an m*ksub-double LUT
+        # duplicated per probe row would multiply the broadcast nprobe-
+        # fold (32 KB x 512 queries x nprobe at the production shape).
+        # Ranking only needs per-query ORDER, and ||qe|| is constant
+        # per query — so score = adc_dot / ||e|| (stored norm), never
+        # touching e or qe; the scan reads (vec_id, cell, pqc, norm)
         from .pq import _check_codebook, adc_dot, pq_lut_rows
 
         _, ksub, _ = _check_codebook(pq_cb)
         luts = pq_lut_rows([list(r.qe) for r in qrows], pq_cb)
-        qdf = F.broadcast(
+        lutdf = F.broadcast(
             spark.createDataFrame(
-                [
-                    (r.q_id, r.qe, lut, int(c))
-                    for r, lut in zip(qrows, luts)
-                    for c in r.cells
-                ],
-                f"q_id {id_t}, qe array<double>, lut array<double>, cell int",
+                [(r.q_id, lut) for r, lut in zip(qrows, luts)],
+                f"q_id {id_t}, lut array<double>",
             )
         )
-    else:
-        qdf = F.broadcast(
-            spark.createDataFrame(
-                [
-                    (r.q_id, r.qe, int(c))
-                    for r in qrows
-                    for c in r.cells
-                ],
-                f"q_id {id_t}, qe array<double>, cell int",
-            )
-        )
-    cos_q = None
-    if pq_cb is not None:
-        # ---- IVF-PQ tier: rank by ADC, re-score survivors exact ------
-        # ranking only needs per-query ORDER, and ||qe|| is constant
-        # per query — so score = adc_dot / ||e|| (stored norm), never
-        # touching e or qe; the scan reads (vec_id, cell, pqc, norm)
         cos_q = F.try_divide(
             adc_dot(F.col("pqc"), F.col("lut"), ksub), F.col("norm")
         )
-        cand_q = idx.select("vec_id", "cell", "pqc", "norm").join(qdf, "cell")
+        cand_q = (
+            idx.select("vec_id", "cell", "pqc", "norm")
+            .join(qdf.drop("qe"), "cell")
+            .join(lutdf, "q_id")
+        )
     elif "q" in idx.columns and "scale" in idx.columns:
         # ---- quantized tier: rank on int8, re-score survivors exact --
         qd = _as_double(F.col("q"))

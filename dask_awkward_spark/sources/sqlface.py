@@ -361,7 +361,10 @@ def snapshot_sql(
         if re.match(r"^VALUES\b", body, re.I):
             df = spark.sql(f"SELECT * FROM ({body})")
         elif re.match(r"^\(?\s*SELECT\b|^\(?\s*WITH\b", body, re.I):
-            df = spark.sql(body)
+            # through the SELECT face: catalog names in the body resolve
+            # and re-pin at THIS statement (incl. AS OF time travel), so
+            # INSERT INTO t SELECT ... FROM other_table works by name
+            df = _select_sql(spark, body, tables)
         else:
             raise ValueError(
                 f"INSERT body must be SELECT/WITH/VALUES, got {body[:40]!r}"
@@ -778,6 +781,14 @@ def _create_sql(spark, sql, m, tables, catalog_path):
             f"CREATE at {location!r} would make the name ambiguous — "
             "DROP TABLE it first or pick another name"
         )
+    aliased = sorted(n for n, p in tables.items() if p == location and n != name)
+    if aliased:
+        raise ValueError(
+            f"location {location!r} is already registered as table "
+            f"{aliased[0]!r}; a second name for the same path would "
+            "alias live data (and DROP ... PURGE under either name "
+            "would destroy the other's table) — use the existing name"
+        )
     if am is not None:
         if coldefs is not None:
             raise ValueError(
@@ -791,7 +802,10 @@ def _create_sql(spark, sql, m, tables, catalog_path):
             if re.match(r"^VALUES\b", sel, re.I):
                 df = spark.sql(f"SELECT * FROM ({sel})")
             elif re.match(r"^\(?\s*(SELECT|WITH)\b", sel, re.I):
-                df = spark.sql(sel)
+                # through the SELECT face, so catalog names in the body
+                # resolve (and re-pin at THIS statement — a stale view
+                # left by an earlier SELECT must not feed the CTAS)
+                df = _select_sql(spark, sel, tables)
             else:
                 raise ValueError(
                     f"CTAS body must be SELECT/WITH/VALUES, got {sel[:40]!r}"
@@ -853,7 +867,20 @@ def _ddl_sql(spark, sql, tables, catalog_path):
                 f"unknown table {name!r} (have {sorted(tables)}); "
                 "DROP TABLE IF EXISTS to make this a no-op"
             )
-        path = tables.pop(name)
+        path = tables[name]
+        if purge:
+            # refuse destroying a path another registered name still
+            # points at (aliases can predate the CREATE-time guard)
+            aliased = sorted(
+                n for n, p in tables.items() if p == path and n != name
+            )
+            if aliased:
+                raise ValueError(
+                    f"cannot PURGE {name!r}: table(s) {aliased} are "
+                    f"registered at the same location {path!r} — drop "
+                    "them first, or drop without PURGE"
+                )
+        tables.pop(name)
         if catalog_path is not None:
             from .catalog import snapshot_catalog_unregister
 

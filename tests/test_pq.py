@@ -250,3 +250,80 @@ def test_pq_recall_reasonable_at_default_rescore(spark, tmp_path):
         for r in ivf_search(spark, p_pq, q, cents, k=5, nprobe=4).collect()
     )
     assert len(got & flat) / len(flat) >= 0.6, (len(got & flat), len(flat))
+
+
+# ---- review-cycle regressions ------------------------------------------
+
+
+def test_ksub_256_sign_wrap(spark, tmp_path):
+    """Codes >= 128 wrap negative in the signed tinyint; the ADC decode
+    must mod them back — at ksub=256 (the production default) a plain
+    cast would index the LUT negatively (wrong scores) or at 0 (crash
+    on code 255)."""
+    cents = _centroids()
+    cb = pq_train(
+        _vecs(spark, 0, 300), m=2, ksub=256, order_col="vec_id",
+        sample_rows=300, iters=4,
+    )
+    p_flat, p_pq = str(tmp_path / "flat"), str(tmp_path / "pq")
+    ivf_index_add(p_flat, _vecs(spark, 0, 300), cents)
+    ivf_index_add(p_pq, _vecs(spark, 0, 300), cents, pq_codebook=cb)
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    # the wrapped region is actually exercised: some stored code is
+    # negative (raw id >= 128)
+    neg = (
+        snapshot_read(spark, p_pq)
+        .select(F.explode("pqc").alias("c"))
+        .filter(F.col("c") < 0)
+        .count()
+    )
+    assert neg > 0, "test corpus never produced a code >= 128"
+    q = _vecs(spark, 0, 4)
+    flat = _rows(ivf_search(spark, p_flat, q, cents, k=5, nprobe=2))
+    # default rescore must not crash; full rescore must be exact
+    ivf_search(spark, p_pq, q, cents, k=5, nprobe=2).collect()
+    got = _rows(ivf_search(spark, p_pq, q, cents, k=5, nprobe=2, rescore_k=10**6))
+    gotb = _rows(
+        ivf_search(spark, p_pq, q, cents, k=5, nprobe=2, rescore_k=10**6, batch=True)
+    )
+    assert got == flat and gotb == flat
+
+
+def test_pq_against_existing_flat_index_refused_without_orphan(spark, tmp_path):
+    """pq_codebook= against an existing non-PQ index must refuse BEFORE
+    persisting the codebook file — an orphaned file would mark the
+    table as PQ forever and break every later correct ingest."""
+    import os
+
+    cents = _centroids()
+    cb = _cb(spark)
+    p = str(tmp_path / "flat")
+    ivf_index_add(p, _vecs(spark, 0, 100), cents)
+    with pytest.raises(ValueError, match="without a PQ tier"):
+        ivf_index_add(p, _vecs(spark, 100, 150), cents, pq_codebook=cb)
+    assert not os.path.exists(os.path.join(p, "_pq_codebook.json"))
+    # the flat index keeps working
+    ivf_index_add(p, _vecs(spark, 100, 150), cents)
+    assert ivf_search(spark, p, _vecs(spark, 0, 2), cents, k=3, nprobe=2).count() == 6
+
+
+def test_failed_creating_ingest_cleans_codebook(spark, tmp_path):
+    """A failed CREATING PQ ingest (here: vectors of the wrong
+    dimension, refused inside the write) must not leave an orphaned
+    codebook file claiming the empty path is a PQ index."""
+    import os
+
+    cents = _centroids()
+    cb = _cb(spark)
+    p = str(tmp_path / "fresh")
+    bad = spark.range(0, 10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("e"),  # dim 2 != 16
+    )
+    with pytest.raises(Exception):
+        ivf_index_add(p, bad, cents, pq_codebook=cb)
+    assert not os.path.exists(os.path.join(p, "_pq_codebook.json"))
+    # the path is reusable for a flat index afterwards
+    ivf_index_add(p, _vecs(spark, 0, 50), cents)
+    assert ivf_search(spark, p, _vecs(spark, 0, 2), cents, k=3, nprobe=2).count() == 6

@@ -387,3 +387,51 @@ def test_sql_create_quoted_path_with_keywords(spark, tmp_path):
     assert tables["w"] == loc
     snapshot_sql(spark, "INSERT INTO w VALUES (7)", tables)
     assert snapshot_sql(spark, "SELECT k FROM w", tables).first().k == 7
+
+
+# ---- review-cycle regressions ------------------------------------------
+
+
+def test_ctas_and_insert_resolve_catalog_names_fresh(spark, tmp_path):
+    """CTAS / INSERT bodies route through the SELECT face: catalog
+    names resolve WITHOUT a prior SELECT, and a view pinned by an
+    earlier statement must not feed stale rows into a later body."""
+    cat = str(tmp_path / "cat")
+    loc, loc2, loc3 = (str(tmp_path / n) for n in ("a", "b", "c"))
+    snapshot_sql(spark, f"CREATE TABLE a (k bigint) LOCATION '{loc}'", cat)
+    snapshot_sql(spark, "INSERT INTO a VALUES (1), (2)", cat)
+    # SELECT pins a head view for 'a' at n=2 ...
+    assert snapshot_sql(spark, "SELECT count(*) AS n FROM a", cat).first().n == 2
+    # ... a mutation moves the head ...
+    snapshot_sql(spark, "INSERT INTO a VALUES (3)", cat)
+    # ... and a CTAS body referencing 'a' must see THE NEW head, not
+    # the stale pinned view
+    snapshot_sql(spark, f"CREATE TABLE b LOCATION '{loc2}' AS SELECT k FROM a", cat)
+    assert snapshot_read(spark, loc2).count() == 3
+    # INSERT INTO ... SELECT FROM <catalog name> works by name too
+    snapshot_sql(spark, f"CREATE TABLE c (k bigint) LOCATION '{loc3}'", cat)
+    snapshot_sql(spark, "INSERT INTO c SELECT k FROM a WHERE k >= 2", cat)
+    assert snapshot_read(spark, loc3).count() == 2
+    for v in ("a", "b", "c"):
+        if spark.catalog.tableExists(v):
+            spark.catalog.dropTempView(v)
+
+
+def test_purge_refused_when_location_aliased(spark, tmp_path):
+    """DROP ... PURGE must not destroy a path another registered name
+    still points at; CREATE refuses making such an alias up front."""
+    loc = str(tmp_path / "t")
+    snapshot_create(spark, loc, "k bigint")
+    tables = {"t1": loc, "t2": loc}  # aliases predating the guard
+    with pytest.raises(ValueError, match="same location"):
+        snapshot_sql(spark, "DROP TABLE t1 PURGE", tables)
+    assert tables == {"t1": loc, "t2": loc}  # refusal mutated nothing
+    st = snapshot_sql(spark, "DROP TABLE t1", tables)  # without PURGE: fine
+    assert st["purged"] is False and tables == {"t2": loc}
+    # CREATE-side guard: a second name for a registered location refuses
+    with pytest.raises(ValueError, match="already registered as table"):
+        snapshot_sql(
+            spark, f"CREATE TABLE IF NOT EXISTS t9 (k bigint) LOCATION '{loc}'",
+            tables,
+        )
+    assert os.path.exists(loc)

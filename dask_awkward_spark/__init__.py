@@ -89,7 +89,11 @@ from .sources.snapshot import (
     stream_from_snapshot,
     stream_to_snapshot,
 )
-from .sources.sqlface import snapshot_sql, snapshot_changes_view
+from .sources.sqlface import (
+    snapshot_sql,
+    snapshot_sql_script,
+    snapshot_changes_view,
+)
 from .sources.catalog import (
     snapshot_catalog_register,
     snapshot_catalog_unregister,

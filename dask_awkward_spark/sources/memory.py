@@ -147,23 +147,89 @@ def from_arrow(spark: SparkSession, table) -> NestedArray:
     return NestedArray(df, F.struct(*[F.col(c) for c in df.columns]))
 
 
-def to_arrow(arr: NestedArray):
+def _restore_unions(arr):
+    """Tagged struct → sparse Arrow union, recursively — the opt-in
+    inverse of :func:`_devolve_unions` for export. Any struct whose
+    FIRST field is ``tag: int8`` re-encodes as
+    ``sparse_union<f0, f1, ...>`` with type codes 0..n-1 (the devolve
+    direction remaps original Arrow codes to positions, so positions
+    are what round-trips). A NULL struct row (or NULL tag — Arrow
+    unions have no top-level validity) restores as variant 0 with a
+    NULL child, the standard encoding of "no value" in a union.
+    Non-matching arrays pass through ``is``-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.offset:
+        arr = pa.concat_arrays([arr])  # same rebase rule as devolve
+    t = arr.type
+    if (
+        pa.types.is_struct(t)
+        and t.num_fields >= 2
+        and t.field(0).name == "tag"
+        and pa.types.is_int8(t.field(0).type)
+    ):
+        kids = [_restore_unions(arr.field(i)) for i in range(1, t.num_fields)]
+        names = [t.field(i).name for i in range(1, t.num_fields)]
+        tag = arr.field(0)  # NULL under a NULL parent row too
+        codes = pc.if_else(
+            pc.is_valid(tag), tag, pa.scalar(0, pa.int8())
+        )
+        return pa.UnionArray.from_sparse(codes, kids, field_names=names)
+    if pa.types.is_struct(t):
+        kids = [_restore_unions(arr.field(i)) for i in range(t.num_fields)]
+        if all(k is arr.field(i) for i, k in enumerate(kids)):
+            return arr
+        return pa.StructArray.from_arrays(
+            kids,
+            names=[t.field(i).name for i in range(t.num_fields)],
+            mask=pc.is_null(arr),
+        )
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vals = _restore_unions(arr.values)
+        if vals is arr.values:
+            return arr
+        cls = pa.ListArray if pa.types.is_list(t) else pa.LargeListArray
+        return cls.from_arrays(arr.offsets, vals, mask=pc.is_null(arr))
+    if pa.types.is_fixed_size_list(t):
+        vals = _restore_unions(arr.values)
+        if vals is arr.values:
+            return arr
+        out = pa.FixedSizeListArray.from_arrays(vals, t.list_size)
+        if arr.null_count:
+            out = pc.if_else(pc.is_valid(arr), out, pa.nulls(len(arr), out.type))
+        return out
+    return arr
+
+
+def to_arrow(arr: NestedArray, restore_unions: bool = False):
     """NestedArray → pyarrow Table (reference to_awkward/Arrow bridge;
     Spark 4's native ``DataFrame.toArrow`` — Arrow IPC transfer, no
     pandas hop). Driver-side materialization: size-gate it like any
     collect.
 
-    Union devolution is ONE-WAY: a column ingested from an Arrow union
-    (:func:`_devolve_unions`) exports as its tagged-struct encoding
-    (``struct<tag: tinyint, <variants>>``), NOT as a reconstructed
-    ``union<...>`` — Spark has no union type, so the original Arrow
-    type is not recoverable from the Spark schema alone. Consumers
-    wanting a real UnionArray back can rebuild it from the tag column
-    (``pa.UnionArray.from_sparse(tag, children)``); the tagged struct
-    carries exactly the information needed. Spark's Arrow export also
-    renders a NULL MAP value as ``{}`` (documented in
+    Union devolution is ONE-WAY by default: a column ingested from an
+    Arrow union (:func:`_devolve_unions`) exports as its tagged-struct
+    encoding (``struct<tag: tinyint, <variants>>``) — Spark has no
+    union type, so the original Arrow type is not recoverable from the
+    Spark schema alone. ``restore_unions=True`` opts into the inverse
+    (:func:`_restore_unions`): every struct whose first field is
+    ``tag: int8`` re-encodes as a SPARSE union with type codes 0..n-1
+    (positions, not the source's original code numbers — positions are
+    what devolution stores). Only pass the flag when tagged structs in
+    the data really are devolved unions; a user struct that happens to
+    lead with an ``int8 tag`` field matches the shape too. Spark's
+    Arrow export also renders a NULL MAP value as ``{}`` (documented in
     tests/test_union.py)."""
-    return arr.to_df().toArrow()
+    table = arr.to_df().toArrow()
+    if not restore_unions:
+        return table
+    import pyarrow as pa
+
+    cols = [_restore_unions(table.column(i)) for i in range(table.num_columns)]
+    return pa.Table.from_arrays(cols, names=table.column_names)
 
 
 def from_map(

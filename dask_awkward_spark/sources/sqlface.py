@@ -43,7 +43,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_sql", "snapshot_changes_view"]
+__all__ = ["snapshot_sql", "snapshot_sql_script", "snapshot_changes_view"]
 
 
 def snapshot_changes_view(
@@ -396,6 +396,55 @@ def snapshot_sql(
         "SELECT], DROP TABLE [PURGE], ALTER TABLE (ADD/RENAME/DROP "
         "COLUMN, SET TBLPROPERTIES, ADD/DROP CONSTRAINT), and SHOW TABLES"
     )
+
+
+def snapshot_sql_script(
+    spark: SparkSession, script: str, tables: "dict[str, str] | str"
+) -> "list":
+    """Run a multi-statement SQL script through :func:`snapshot_sql` —
+    statements split on semicolons OUTSIDE quoted literals, ``--`` line
+    comments stripped (outside literals too), empty statements skipped.
+    Returns the per-statement results in order. Statements run
+    SEQUENTIALLY and a failure stops the script at that statement (the
+    raised error names its 1-based position); there is no rollback —
+    each statement is its own atomic commit, exactly as if issued one
+    at a time (multi-statement transactions are a different, much
+    heavier contract). With ``tables`` as a catalog path, a SQL-only
+    consumer can run an entire provisioning script — CREATE TABLEs,
+    ALTERs, seed INSERTs — from one string against one path."""
+    # strip -- comments on the blanked view (a -- inside a string
+    # literal is content, not a comment), splice the real text
+    blank = _blank_literals(script)
+    out_src: "list[str]" = []
+    pos = 0
+    for mm in re.finditer(r"--[^\n]*", blank):
+        out_src.append(script[pos:mm.start()])
+        pos = mm.end()
+    out_src.append(script[pos:])
+    cleaned = "".join(out_src)
+    blank = _blank_literals(cleaned)
+    stmts, start = [], 0
+    for i, c in enumerate(blank):
+        if c == ";":
+            stmts.append(cleaned[start:i])
+            start = i + 1
+    stmts.append(cleaned[start:])
+    results = []
+    n = 0
+    for s in stmts:
+        if not s.strip():
+            continue
+        n += 1
+        try:
+            results.append(snapshot_sql(spark, s, tables))
+        except Exception as e:
+            msg = f"script statement {n} ({s.strip()[:60]!r}): {e}"
+            try:
+                wrapped = type(e)(msg)  # keep the type for except clauses
+            except Exception:
+                wrapped = RuntimeError(msg)  # exotic constructor signature
+            raise wrapped from e
+    return results
 
 
 # words that can FOLLOW a FROM-target without being its alias — used to

@@ -435,3 +435,50 @@ def test_purge_refused_when_location_aliased(spark, tmp_path):
             tables,
         )
     assert os.path.exists(loc)
+
+
+# ---- snapshot_sql_script ------------------------------------------------
+
+
+def test_sql_script_provisioning_flow(spark, tmp_path):
+    """A whole provisioning script — DDL + seeds + reads — as ONE string
+    against one catalog path; '--' comments and literal semicolons must
+    not confuse the splitter."""
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+    cat = str(tmp_path / "cat")
+    loc = str(tmp_path / "t")
+    res = snapshot_sql_script(
+        spark,
+        f"""
+        -- provisioning script (this comment vanishes)
+        CREATE TABLE t (k bigint, s string) LOCATION '{loc}';
+        INSERT INTO t VALUES (1, 'a;b'), (2, '-- not a comment');
+        ALTER TABLE t ADD COLUMN extra double;
+        SELECT count(*) AS n FROM t;  -- trailing comment
+        """,
+        cat,
+    )
+    assert len(res) == 4
+    assert res[0] == 1 and res[1] == 2 and res[2] == 3
+    assert res[3].first().n == 2
+    # literal content with ; and -- survived intact
+    vals = sorted(r.s for r in snapshot_read(spark, loc).collect())
+    assert vals == ["-- not a comment", "a;b"]
+    if spark.catalog.tableExists("t"):
+        spark.catalog.dropTempView("t")
+
+
+def test_sql_script_failure_names_statement(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+    loc = str(tmp_path / "t")
+    tables = {}
+    with pytest.raises(ValueError, match="script statement 2"):
+        snapshot_sql_script(
+            spark,
+            f"CREATE TABLE t (k bigint) LOCATION '{loc}'; FROBNICATE t;",
+            tables,
+        )
+    # statement 1 committed (no rollback — each statement is atomic)
+    assert tables == {"t": loc}

@@ -275,3 +275,63 @@ def test_to_arrow_exports_tagged_struct_one_way(spark):
         str(v) for v in [11, "a", "b", 44, 9.5]
     )
     assert got == want
+
+
+def test_to_arrow_restore_unions_roundtrip(spark):
+    """restore_unions=True re-encodes tagged structs as SPARSE unions on
+    export: values round-trip exactly; custom source type codes come
+    back as positions (what devolution stores)."""
+    from dask_awkward_spark.sources.memory import to_arrow
+
+    u = pa.UnionArray.from_dense(
+        pa.array([5, 9, 5, 9], pa.int8()),
+        pa.array([0, 0, 1, 1], pa.int32()),
+        [pa.array([10, 20], pa.int64()), pa.array(["a", "b"], pa.string())],
+        field_names=["i", "s"],
+        type_codes=[5, 9],  # non-contiguous source codes -> positions
+    )
+    t = pa.table({"u": u, "k": pa.array([1, 2, 3, 4], pa.int64())})
+    out = to_arrow(from_arrow(spark, t), restore_unions=True)
+    v = out.column(0).combine_chunks()
+    ut = v.type.field(v.type.get_field_index("u")).type
+    assert pa.types.is_union(ut) and ut.mode == "sparse"
+    assert list(ut.type_codes) == [0, 1]
+    rows = sorted(v.to_pylist(), key=lambda r: r["k"])
+    assert [r["u"] for r in rows] == [10, "a", 20, "b"]
+
+
+def test_to_arrow_restore_unions_nested_in_list(spark):
+    from dask_awkward_spark.sources.memory import to_arrow
+
+    su = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0], pa.int8()),
+        [
+            pa.array([1, None, 3], pa.int64()),
+            pa.array([None, "x", None], pa.string()),
+        ],
+    )
+    lu = pa.ListArray.from_arrays(pa.array([0, 2, 3], pa.int32()), su)
+    t = pa.table({"lu": lu, "k": pa.array([1, 2], pa.int64())})
+    out = to_arrow(from_arrow(spark, t), restore_unions=True)
+    v = out.column(0).combine_chunks()
+    rows = sorted(v.to_pylist(), key=lambda r: r["k"])
+    assert [r["lu"] for r in rows] == [[1, "x"], [3]]
+    lt = v.type.field(v.type.get_field_index("lu")).type
+    assert pa.types.is_union(lt.value_type)
+
+
+def test_to_arrow_restore_unions_null_rows(spark):
+    """Arrow unions have no top-level validity: a NULL tagged-struct row
+    (made by Spark processing, never by ingest) restores as variant 0
+    with a NULL child."""
+    from dask_awkward_spark.core import NestedArray
+    from dask_awkward_spark.sources.memory import to_arrow
+
+    df = spark.createDataFrame(
+        [((0, 7, None),), (None,), ((1, None, "y"),)],
+        "v struct<tag:tinyint, i:bigint, s:string>",
+    )
+    out = to_arrow(NestedArray(df), restore_unions=True)
+    v = out.column(0).combine_chunks()
+    got = v.to_pylist()
+    assert sorted(map(str, got)) == sorted(map(str, [7, None, "y"]))

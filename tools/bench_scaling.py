@@ -39,6 +39,7 @@ DEFAULT_QUERIES = [
     "text_contamination",          # broadcast benchmark side
     "io_snapshot_merge",           # MERGE upsert: stat-pruned file rewrites
     "io_snapshot_sync",            # 3-family sync MERGE (r9): region-gated rewrites
+    "sim_pq",                      # IVF-PQ: ADC ranking + exact re-score
 ]
 
 # per-table (key column -> per-replica offset) so joins/groups see N x

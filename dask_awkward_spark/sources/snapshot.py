@@ -3904,8 +3904,12 @@ def snapshot_merge(
     key matches no target row, ``("insert", condition)`` adds only those
     of them the condition accepts (SQL string or Column over the source
     row as struct ``s`` — Delta's ``WHEN NOT MATCHED AND cond THEN
-    INSERT``; matched clauses still see every source row), ``None``
-    drops them. Like Delta/Iceberg
+    INSERT``; matched clauses still see every source row),
+    ``("insert", condition, {target_col: expr})`` additionally builds
+    the inserted row from expressions over ``s`` (Delta's column-list
+    ``INSERT (cols) VALUES (exprs)`` — unassigned columns insert NULL,
+    every ``on`` key must be assigned, and the source may then omit or
+    re-shape table columns), ``None`` drops them. Like Delta/Iceberg
     MERGE, a target row matched by MORE than one source row is refused
     (ambiguous), NULL source keys never match (they insert), and
     duplicate-key target rows each take the one source row's values.
@@ -4004,18 +4008,42 @@ def snapshot_merge(
             clauses.append((cond, action, assigns))
     elif when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
-    nm_cond = None
+    nm_cond, nm_assigns = None, None
     if isinstance(when_not_matched, (list, tuple)):
-        # ("insert", condition): Delta's WHEN NOT MATCHED AND cond THEN
-        # INSERT — the condition gates INSERTION ONLY (matched clauses
-        # still see every source row), sees the source row as struct
-        # ``s``, and a NULL result never inserts
-        if len(when_not_matched) != 2 or when_not_matched[0] != "insert":
+        # ("insert", condition[, assignments]): Delta's WHEN NOT MATCHED
+        # [AND cond] THEN INSERT [(cols) VALUES (exprs)] — the condition
+        # gates INSERTION ONLY (matched clauses still see every source
+        # row), sees the source row as struct ``s``, and a NULL result
+        # never inserts. ``assignments`` ({target_col: expr over s}, the
+        # column-list INSERT) builds the inserted row from expressions;
+        # unassigned columns insert NULL, and every ``on`` key must be
+        # assigned (an unkeyed insert could never be matched again).
+        if (
+            len(when_not_matched) not in (2, 3)
+            or when_not_matched[0] != "insert"
+        ):
             raise ValueError(
                 "when_not_matched must be 'insert', ('insert', condition), "
-                f"or None, got {when_not_matched!r}"
+                "('insert', condition, assignments), or None, got "
+                f"{when_not_matched!r}"
             )
         nm_cond = when_not_matched[1]
+        if len(when_not_matched) == 3 and when_not_matched[2] is not None:
+            nm_assigns = when_not_matched[2]
+            if not isinstance(nm_assigns, dict) or not nm_assigns:
+                raise ValueError(
+                    "insert assignments must be a non-empty dict "
+                    "{target_col: expr over s} (or omitted for the "
+                    f"whole source row), got {nm_assigns!r}"
+                )
+            bad_keys = sorted(set(nm_assigns) & set(on))
+            if bad_keys:
+                raise ValueError(
+                    f"may not assign merge key columns {bad_keys}: the "
+                    "inserted row keeps its join key (s.<key>) — an "
+                    "insert keyed differently than it was anti-joined "
+                    "could collide with existing rows"
+                )
         when_not_matched = "insert"
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
@@ -4099,14 +4127,22 @@ def snapshot_merge(
                     f"clause assignments reference unknown columns {unknown} "
                     f"(table schema: {names})"
                 )
+    # full table row needed only when something materializes whole rows
+    # from the source (a full-row insert, or a full-row update); a
+    # column-list insert (nm_assigns) builds its row from expressions,
+    # so the source needs just the keys plus whatever the expressions
+    # reference
     if clause_mode:
-        # full table row needed only when something materializes whole
-        # rows from the source (insert, or a full-row update clause);
-        # partial-assignment CDC sources may omit table columns and may
-        # carry EXTRA ones (visible to conditions as s.<col>)
-        need_full = when_not_matched == "insert" or any(
-            a == "update" and asg is None for _c, a, asg in clauses
+        need_full = (
+            when_not_matched == "insert" and nm_assigns is None
+        ) or any(a == "update" and asg is None for _c, a, asg in clauses)
+    else:
+        need_full = when_matched == "update" or (
+            when_not_matched == "insert" and nm_assigns is None
         )
+    if clause_mode or nm_assigns is not None:
+        # partial-assignment CDC sources may omit table columns and may
+        # carry EXTRA ones (visible to conditions/assignments as s.<col>)
         src_missing = sorted(set(names if need_full else on) - set(source.columns))
         if src_missing:
             raise ValueError(f"source is missing columns {src_missing}")
@@ -4127,12 +4163,16 @@ def snapshot_merge(
                 )
         src = source.select(*casts)
     else:
-        need_full = when_matched == "update" or when_not_matched == "insert"
         src_missing = sorted(set(names if need_full else on) - set(source.columns))
         if src_missing:
             raise ValueError(f"source is missing columns {src_missing}")
         src = source.select(*(names if need_full else on))
-    if not clause_mode and need_full and src.schema.simpleString() != schema.simpleString():
+    if (
+        not clause_mode
+        and nm_assigns is None
+        and need_full
+        and src.schema.simpleString() != schema.simpleString()
+    ):
         # a source column that LOSSLESSLY upcasts to the table's type
         # (int chain / float->double / decimal growth — the widening
         # lattice) is cast implicitly, Delta's merge behavior; any
@@ -4490,7 +4530,37 @@ def snapshot_merge(
                     .filter(cc)
                     .select("s.*")
                 )
-            ins = ins.select(*names)
+            if nm_assigns is not None:
+                # column-list INSERT: each table column comes from its
+                # assignment expression over the source struct ``s`` —
+                # unassigned columns insert NULL (cast to the column's
+                # type, so the staged schema stays exact)
+                unknown = sorted(set(nm_assigns) - set(names))
+                if unknown:
+                    raise ValueError(
+                        f"insert assignments name unknown columns "
+                        f"{unknown} (table has {names})"
+                    )
+                srow = ins.select(
+                    F.struct(*[F.col(c).alias(c) for c in ins.columns]).alias("s")
+                )
+                proj = []
+                for f in schema.fields:
+                    a = nm_assigns.get(f.name)
+                    if f.name in on:
+                        # the inserted row keeps its join key (key
+                        # assignment is refused at validation)
+                        proj.append(
+                            F.col("s").getField(f.name).cast(f.dataType).alias(f.name)
+                        )
+                    elif a is None:
+                        proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+                    else:
+                        e = F.expr(a) if isinstance(a, str) else a
+                        proj.append(e.cast(f.dataType).alias(f.name))
+                ins = srow.select(*proj)
+            else:
+                ins = ins.select(*names)
             if nm_cond is not None:
                 # one evaluation: a non-deterministic condition must not
                 # let the counted rows differ from the written rows

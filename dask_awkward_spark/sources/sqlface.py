@@ -92,7 +92,9 @@ _WHEN_RE = re.compile(
     # bare form would eat "NOT MATCHED" and break the clause tiling
     r"\s*WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
     r"(?:\s+AND\s+(.+?))?\s+THEN\s+"
-    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT(?:\s+\*)?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    r"(UPDATE\s+SET\s+.+?|DELETE|"
+    r"INSERT(?:\s+\*|\s*\(.+?\)\s*VALUES\s*\(.+?\))?)"
+    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.I | re.S,
 )
 
@@ -275,8 +277,11 @@ def snapshot_sql(
       every condition and assignment passes VERBATIM into
       :func:`snapshot_merge`'s clause grammar (they are already SQL
       over the ``t``/``s`` row structs), so the aliases are fixed to
-      ``t``/``s``; anything richer (expression keys, column-list
-      INSERT) points at the Python face.
+      ``t``/``s``. ``INSERT (cols) VALUES (exprs)`` (Delta's
+      column-list insert) builds the inserted row from expressions
+      over ``s`` — unlisted columns NULL, join keys kept from the
+      source. Anything richer (expression ON keys) points at the
+      Python face.
     - ``SELECT``/``WITH`` — reads by catalog name over head-pinned
       views, with ``FROM t VERSION AS OF n`` / ``TIMESTAMP AS OF
       '...'`` / ``TAG AS OF 'name'`` time travel (see
@@ -604,6 +609,10 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
 
 
 _HISTORY_RE = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$", re.I)
+_DETAIL_RE = re.compile(rf"^\s*DESCRIBE\s+DETAIL\s+({_IDENT})\s*;?\s*$", re.I)
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.I
+)
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})"
     rf"(?:\s+WHERE\s+(.+?))?"
@@ -646,6 +655,12 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     m = _HISTORY_RE.match(sql)
     if m:
         return snapshot_history(spark, _resolve(m.group(1), tables))
+    m = _DETAIL_RE.match(sql)
+    if m:
+        return _describe_detail(spark, _resolve(m.group(1), tables))
+    m = _SHOW_CREATE_RE.match(sql)
+    if m:
+        return _show_create_table(spark, m.group(1), _resolve(m.group(1), tables))
     m = _OPTIMIZE_RE.match(sql)
     if m:
         table, where_sql, zorder = m.group(1), m.group(2), m.group(3)
@@ -675,6 +690,89 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     if m:
         return snapshot_restore(_resolve(m.group(1), tables), int(m.group(2)))
     return None
+
+
+def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """``DESCRIBE DETAIL t`` (Delta parity): one row of table-level
+    metadata straight from the head manifest — METADATA-ONLY except for
+    the file-size sum (one stat per live data file, no data read)."""
+    import json as _json
+    import os as _os
+
+    from .snapshot import _read_manifest, _require_versions, _fs
+
+    versions = _require_versions(path)
+    m = _read_manifest(path, versions[-1])
+    size = 0
+    for f in m["files"]:
+        try:
+            size += _fs().size(_os.path.join(path, f))
+        except Exception:
+            continue  # a racing vacuum must not fail an inspect
+    row = {
+        "format": "snapshot",
+        "location": path,
+        "version": m["version"],
+        "num_versions": len(versions),
+        "committed_at": float(m.get("committed_at") or 0.0),
+        "num_files": len(m["files"]),
+        "size_bytes": size,
+        "partition_columns": list(m.get("partition_by") or []),
+        "stats_columns": list(m.get("stats_columns") or []),
+        "bloom_columns": sorted((m.get("bloom_ndv") or {})),
+        "constraints": sorted((m.get("constraints") or {})),
+        "schema_ddl": m["schema_ddl"],
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        "format string, location string, version bigint, "
+        "num_versions bigint, committed_at double, num_files bigint, "
+        "size_bytes bigint, partition_columns array<string>, "
+        "stats_columns array<string>, bloom_columns array<string>, "
+        "constraints array<string>, schema_ddl string",
+    )
+
+
+def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """``SHOW CREATE TABLE t``: render the CREATE statement that would
+    recreate the table's CURRENT definition through this module's own
+    grammar (column names are LOGICAL — physical mapping internals
+    never leak). One row, one ``createtab_stmt`` column (Spark's
+    convention)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from .snapshot import _mapping_physical, _read_manifest, _require_versions
+
+    m = _read_manifest(path, _require_versions(path)[-1])
+    schema = _St.fromJson(_json.loads(m["schema_json"]))
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    stmt = f"CREATE TABLE {name} ({cols})"
+    if m.get("partition_by"):
+        stmt += f"\nPARTITIONED BY ({', '.join(m['partition_by'])})"
+    props = []
+    if m.get("stats_columns"):
+        # stored physical; render logical so the statement round-trips
+        inv = {p: l for l, p in _mapping_physical(m).items()}
+
+        def logical(leaf: str) -> str:
+            head, dot, rest = leaf.partition(".")
+            return inv.get(head, head) + dot + rest
+
+        props.append(
+            "'stats_columns' = '"
+            + ",".join(logical(c) for c in m["stats_columns"])
+            + "'"
+        )
+    for c, ndv in sorted((m.get("bloom_ndv") or {}).items()):
+        props.append(f"'bloom.{c}' = '{ndv}'")
+    if props:
+        stmt += f"\nTBLPROPERTIES ({', '.join(props)})"
+    stmt += f"\nLOCATION '{path}'"
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
 
 # ---- DDL face: CREATE / DROP / ALTER TABLE, SHOW TABLES ----
@@ -1026,9 +1124,12 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
     here; every CONDITION and ASSIGNMENT passes through VERBATIM to
     :func:`snapshot_merge`, which already takes them as Spark SQL
     strings over the ``t``/``s`` row structs — so the target alias must
-    be ``t`` and the source alias ``s`` (Delta's docs convention), the
-    ON clause must be conjunctive ``t.k = s.k`` equi-keys, and WHEN NOT
-    MATCHED supports only the unconditional full-row INSERT."""
+    be ``t`` and the source alias ``s`` (Delta's docs convention), and
+    the ON clause must be conjunctive ``t.k = s.k`` equi-keys. WHEN NOT
+    MATCHED takes ``[AND cond] THEN INSERT`` (full row), ``INSERT *``,
+    or the column-list ``INSERT (cols) VALUES (exprs)`` — expressions
+    over ``s``, unlisted columns NULL, join keys kept from the
+    source."""
     from .snapshot import snapshot_merge, snapshot_read
 
     table, source, on_sql, whens = (
@@ -1114,10 +1215,31 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
                 )
             if not_matched is not None:
                 raise ValueError("duplicate WHEN NOT MATCHED clause")
-            # AND <cond> gates insertion only (snapshot_merge's
-            # ("insert", cond) form — matched clauses still see every
-            # source row, exactly Delta's semantics)
-            not_matched = "insert" if cond is None else ("insert", cond)
+            im = re.match(
+                r"^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*$",
+                action,
+                re.I | re.S,
+            )
+            if im:
+                # column-list INSERT (c1, c2) VALUES (e1, e2): exprs
+                # pass verbatim over the source struct s; unlisted
+                # columns insert NULL (snapshot_merge's assignments)
+                cols = [c.strip() for c in im.group(1).split(",")]
+                vals = _split_top_level(im.group(2))
+                if len(cols) != len(vals) or not cols or not all(
+                    re.match(rf"^{_IDENT}$", c) for c in cols
+                ):
+                    raise ValueError(
+                        f"MERGE INSERT column list {im.group(1)!r} must be "
+                        f"bare target column names matching its "
+                        f"{len(vals)} VALUES expressions"
+                    )
+                not_matched = ("insert", cond, dict(zip(cols, vals)))
+            else:
+                # AND <cond> gates insertion only (snapshot_merge's
+                # ("insert", cond) form — matched clauses still see
+                # every source row, exactly Delta's semantics)
+                not_matched = "insert" if cond is None else ("insert", cond)
             continue
         if is_insert:
             raise ValueError(

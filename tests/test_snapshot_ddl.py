@@ -482,3 +482,41 @@ def test_sql_script_failure_names_statement(spark, tmp_path):
         )
     # statement 1 committed (no rollback — each statement is atomic)
     assert tables == {"t": loc}
+
+
+def test_describe_detail_and_show_create(spark, tmp_path):
+    """DESCRIBE DETAIL surfaces manifest metadata; SHOW CREATE TABLE
+    renders a statement that re-parses through this grammar — with
+    LOGICAL column names even after a rename."""
+    cat = str(tmp_path / "cat")
+    loc = str(tmp_path / "d")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE d (id bigint, seg string, meta struct<ts:bigint>) "
+        f"PARTITIONED BY (seg) TBLPROPERTIES ('stats_columns'='id,meta.ts', "
+        f"'bloom.id'='500') LOCATION '{loc}'",
+        cat,
+    )
+    snapshot_sql(
+        spark,
+        "INSERT INTO d VALUES (1, 'A', named_struct('ts', CAST(5 AS bigint)))",
+        cat,
+    )
+    snapshot_sql(spark, "ALTER TABLE d RENAME COLUMN id TO doc_id", cat)
+    r = snapshot_sql(spark, "DESCRIBE DETAIL d", cat).first()
+    assert r.format == "snapshot" and r.version == 3 and r.num_files == 1
+    assert r.partition_columns == ["seg"] and r.size_bytes > 0
+    assert r.bloom_columns == ["doc_id"]  # blooms follow the rename
+    stmt = snapshot_sql(spark, "SHOW CREATE TABLE d", cat).first().createtab_stmt
+    assert "doc_id bigint" in stmt and "id bigint" not in stmt.replace("doc_id", "")
+    assert "'stats_columns' = 'seg,doc_id,meta.ts'" in stmt
+    assert "'bloom.doc_id' = '500'" in stmt
+    # the rendered statement round-trips through the same grammar
+    loc2 = str(tmp_path / "d2")
+    v = snapshot_sql(
+        spark,
+        stmt.replace("CREATE TABLE d ", "CREATE TABLE d2 ").replace(loc, loc2),
+        cat,
+    )
+    assert v == 1
+    assert _read_manifest(loc2, 1)["partition_by"] == ["seg"]

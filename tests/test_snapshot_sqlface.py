@@ -601,3 +601,90 @@ def test_sql_optimize_empty_zorder_refused(spark, tmp_path):
     snapshot_write(spark.range(3).select(F.col("id").alias("k")), p)
     with pytest.raises(ValueError, match="ZORDER BY"):
         snapshot_sql(spark, "OPTIMIZE z ZORDER BY ( , )", {"z": p})
+
+
+# ---- column-list MERGE INSERT (round 9 continuation) -------------------
+
+
+def test_merge_column_list_insert_python_face(spark, tmp_path):
+    """('insert', cond, {col: expr}) builds inserted rows from
+    expressions over s: unassigned columns NULL, join keys kept from
+    the source (key assignment refused), and the source may re-shape
+    table columns."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = _tbl(spark, tmp_path)  # k 0..9, v = 2k, meta.g = k%3
+    src = spark.createDataFrame(
+        [(8, 800.0), (20, 2000.0), (30, 5.0)], "k bigint, raw double"
+    )
+    st = snapshot_merge(
+        spark, p, src, on=["k"],
+        when_matched=None,
+        when_not_matched=("insert", "s.raw > 100.0", {"v": "s.raw / 100"}),
+    )
+    assert st["inserted_rows"] == 1  # only k=20 passes the gate unmatched
+    row = snapshot_read(spark, p).filter("k = 20").first()
+    assert row.v == 20.0 and row.meta is None
+    with pytest.raises(ValueError, match="may not assign merge key"):
+        snapshot_merge(
+            spark, p, src, on=["k"], when_matched=None,
+            when_not_matched=("insert", None, {"k": "s.k + 1"}),
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        snapshot_merge(
+            spark, p, src, on=["k"], when_matched=None,
+            when_not_matched=("insert", None, {"zzz": "1"}),
+        )
+    with pytest.raises(ValueError, match="non-empty dict"):
+        snapshot_merge(
+            spark, p, src, on=["k"], when_matched=None,
+            when_not_matched=("insert", None, {}),
+        )
+
+
+def test_merge_column_list_insert_sql_form(spark, tmp_path):
+    """MERGE ... WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES
+    (exprs) parses and matches the Python face; malformed lists
+    refuse."""
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = _tbl(spark, tmp_path)
+    p2 = _tbl(spark, tmp_path, "t2")
+    spark.createDataFrame(
+        [(9, 3.0), (42, 7.0)], "k bigint, raw double"
+    ).createOrReplaceTempView("clins_src")
+    try:
+        st = snapshot_sql(
+            spark,
+            "MERGE INTO t USING clins_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.raw "
+            "WHEN NOT MATCHED AND s.raw > 5.0 THEN "
+            "INSERT (v, meta) VALUES (s.raw * 2, named_struct('g', CAST(s.raw AS INT)))",
+            {"t": p},
+        )
+        assert st["updated_rows"] == 1 and st["inserted_rows"] == 1
+        row = snapshot_read(spark, p).filter("k = 42").first()
+        assert row.v == 14.0 and row.meta.g == 7
+        # equivalent Python-face call on a twin table
+        st2 = snapshot_merge(
+            spark, p2,
+            spark.table("clins_src"), on=["k"],
+            when_matched=[(None, "update", {"v": "s.raw"})],
+            when_not_matched=(
+                "insert", "s.raw > 5.0",
+                {"v": "s.raw * 2", "meta": "named_struct('g', CAST(s.raw AS INT))"},
+            ),
+        )
+        assert st2["inserted_rows"] == st["inserted_rows"]
+        a = sorted(map(str, snapshot_read(spark, p).collect()))
+        b = sorted(map(str, snapshot_read(spark, p2).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="column list"):
+            snapshot_sql(
+                spark,
+                "MERGE INTO t USING clins_src s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (v, meta) VALUES (s.raw)",
+                {"t": p},
+            )
+    finally:
+        spark.catalog.dropTempView("clins_src")

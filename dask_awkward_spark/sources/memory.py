@@ -70,8 +70,12 @@ def _devolve_unions(arr):
             vals.append(v)
         return pa.StructArray.from_arrays([tag] + vals, names=["tag"] + names)
     if pa.types.is_struct(t):
-        kids = [_devolve_unions(arr.field(i)) for i in range(t.num_fields)]
-        if all(k is arr.field(i) for i, k in enumerate(kids)):
+        # capture children ONCE: pyarrow returns a fresh wrapper per
+        # .field() call, so comparing against a re-fetch would never be
+        # identical and every union-free column would be rebuilt
+        srcs = [arr.field(i) for i in range(t.num_fields)]
+        kids = [_devolve_unions(k) for k in srcs]
+        if all(k is s for k, s in zip(kids, srcs)):
             return arr
         return pa.StructArray.from_arrays(
             kids,
@@ -79,25 +83,28 @@ def _devolve_unions(arr):
             mask=pc.is_null(arr),
         )
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        vals = _devolve_unions(arr.values)
-        if vals is arr.values:
+        src_vals = arr.values
+        vals = _devolve_unions(src_vals)
+        if vals is src_vals:
             return arr
         cls = pa.ListArray if pa.types.is_list(t) else pa.LargeListArray
         # mask: a NULL list entry must stay NULL, not collapse to []
         # (offsets alone encode lengths; validity travels separately)
         return cls.from_arrays(arr.offsets, vals, mask=pc.is_null(arr))
     if pa.types.is_fixed_size_list(t):
-        vals = _devolve_unions(arr.values)
-        if vals is arr.values:
+        src_vals = arr.values
+        vals = _devolve_unions(src_vals)
+        if vals is src_vals:
             return arr
         out = pa.FixedSizeListArray.from_arrays(vals, t.list_size)
         if arr.null_count:
             out = pc.if_else(pc.is_valid(arr), out, pa.nulls(len(arr), out.type))
         return out
     if pa.types.is_map(t):
-        items = _devolve_unions(arr.items)
-        keys = _devolve_unions(arr.keys)
-        if items is arr.items and keys is arr.keys:
+        src_items, src_keys = arr.items, arr.keys
+        items = _devolve_unions(src_items)
+        keys = _devolve_unions(src_keys)
+        if items is src_items and keys is src_keys:
             return arr
         offs = arr.offsets
         if arr.null_count:
@@ -179,8 +186,12 @@ def _restore_unions(arr):
         )
         return pa.UnionArray.from_sparse(codes, kids, field_names=names)
     if pa.types.is_struct(t):
-        kids = [_restore_unions(arr.field(i)) for i in range(t.num_fields)]
-        if all(k is arr.field(i) for i, k in enumerate(kids)):
+        # capture children ONCE: pyarrow returns a fresh wrapper per
+        # .field() call, so comparing against a re-fetch would never be
+        # identical and every union-free column would be rebuilt
+        srcs = [arr.field(i) for i in range(t.num_fields)]
+        kids = [_restore_unions(k) for k in srcs]
+        if all(k is s for k, s in zip(kids, srcs)):
             return arr
         return pa.StructArray.from_arrays(
             kids,
@@ -188,19 +199,34 @@ def _restore_unions(arr):
             mask=pc.is_null(arr),
         )
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        vals = _restore_unions(arr.values)
-        if vals is arr.values:
+        src = arr.values
+        vals = _restore_unions(src)
+        if vals is src:
             return arr
         cls = pa.ListArray if pa.types.is_list(t) else pa.LargeListArray
         return cls.from_arrays(arr.offsets, vals, mask=pc.is_null(arr))
     if pa.types.is_fixed_size_list(t):
-        vals = _restore_unions(arr.values)
-        if vals is arr.values:
+        src = arr.values
+        vals = _restore_unions(src)
+        if vals is src:
             return arr
         out = pa.FixedSizeListArray.from_arrays(vals, t.list_size)
         if arr.null_count:
             out = pc.if_else(pc.is_valid(arr), out, pa.nulls(len(arr), out.type))
         return out
+    if pa.types.is_map(t):
+        # mirror _devolve_unions: a tagged struct under a MAP value or
+        # key restores too (Spark renders NULL map entries as {}, so no
+        # validity splice is needed on the way back out). Caveat, in
+        # pyarrow not here: python-SCALAR access through a map whose
+        # item child is a sliced sparse union drops the value in
+        # pyarrow 16.1 (reproducible with a pure-pyarrow MapArray) —
+        # the buffers are correct; read .keys/.items or use IPC
+        ksrc, isrc = arr.keys, arr.items
+        keys, items = _restore_unions(ksrc), _restore_unions(isrc)
+        if keys is ksrc and items is isrc:
+            return arr
+        return pa.MapArray.from_arrays(arr.offsets, keys, items)
     return arr
 
 

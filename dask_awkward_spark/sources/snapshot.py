@@ -4127,6 +4127,15 @@ def snapshot_merge(
                     f"clause assignments reference unknown columns {unknown} "
                     f"(table schema: {names})"
                 )
+    if nm_assigns is not None:
+        # up front with the other static validations — never after the
+        # pruning/count jobs have already run
+        unknown = sorted(set(nm_assigns) - set(names))
+        if unknown:
+            raise ValueError(
+                f"insert assignments name unknown columns {unknown} "
+                f"(table has {names})"
+            )
     # full table row needed only when something materializes whole rows
     # from the source (a full-row insert, or a full-row update); a
     # column-list insert (nm_assigns) builds its row from expressions,
@@ -4534,13 +4543,8 @@ def snapshot_merge(
                 # column-list INSERT: each table column comes from its
                 # assignment expression over the source struct ``s`` —
                 # unassigned columns insert NULL (cast to the column's
-                # type, so the staged schema stays exact)
-                unknown = sorted(set(nm_assigns) - set(names))
-                if unknown:
-                    raise ValueError(
-                        f"insert assignments name unknown columns "
-                        f"{unknown} (table has {names})"
-                    )
+                # type, so the staged schema stays exact); unknown
+                # names were refused up front with the other statics
                 srow = ins.select(
                     F.struct(*[F.col(c).alias(c) for c in ins.columns]).alias("s")
                 )

@@ -151,6 +151,8 @@ def _literal(toks: "list", i: int):
         return _unquote(tok), i + 1
     if kind == "num":
         return (float(tok) if any(c in tok for c in ".eE") else int(tok)), i + 1
+    if kind == "word" and tok.upper() in ("TRUE", "FALSE"):
+        return tok.upper() == "TRUE", i + 1
     if kind == "word" and tok.upper() in ("DATE", "TIMESTAMP"):
         if i + 1 >= len(toks) or toks[i + 1][0] != "str":
             raise ValueError(f"{tok.upper()} must be followed by a quoted literal")
@@ -403,6 +405,45 @@ def snapshot_sql(
     )
 
 
+def _strip_line_comments(script: str) -> str:
+    """``--`` line comments removed, with ONE pass that tracks string
+    literals the same way :func:`_blank_literals` does (open-quote kind
+    owns the span, doubled same-kind quote escapes, backslash escapes):
+    a ``--`` inside a literal stays, a quote inside a comment never
+    opens a literal."""
+    out: "list[str]" = []
+    i, n, q = 0, len(script), None
+    while i < n:
+        c = script[i]
+        if q is not None:
+            out.append(c)
+            if c == "\\":
+                if i + 1 < n:
+                    out.append(script[i + 1])
+                i += 2
+                continue
+            if c == q:
+                if i + 1 < n and script[i + 1] == q:
+                    out.append(script[i + 1])
+                    i += 2
+                    continue
+                q = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            q = c
+            out.append(c)
+            i += 1
+            continue
+        if c == "-" and i + 1 < n and script[i + 1] == "-":
+            while i < n and script[i] != "\n":
+                i += 1
+            continue  # keep the newline itself (statement spacing)
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def snapshot_sql_script(
     spark: SparkSession, script: str, tables: "dict[str, str] | str"
 ) -> "list":
@@ -417,16 +458,11 @@ def snapshot_sql_script(
     heavier contract). With ``tables`` as a catalog path, a SQL-only
     consumer can run an entire provisioning script — CREATE TABLEs,
     ALTERs, seed INSERTs — from one string against one path."""
-    # strip -- comments on the blanked view (a -- inside a string
-    # literal is content, not a comment), splice the real text
-    blank = _blank_literals(script)
-    out_src: "list[str]" = []
-    pos = 0
-    for mm in re.finditer(r"--[^\n]*", blank):
-        out_src.append(script[pos:mm.start()])
-        pos = mm.end()
-    out_src.append(script[pos:])
-    cleaned = "".join(out_src)
+    # ONE scanner for literals AND comments: a quote inside a comment
+    # must not open a phantom literal (blanking-first would let
+    # "-- don't" swallow every later statement), and a -- inside a
+    # literal is content, not a comment
+    cleaned = _strip_line_comments(script)
     blank = _blank_literals(cleaned)
     stmts, start = [], 0
     for i, c in enumerate(blank):
@@ -696,7 +732,6 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
     """``DESCRIBE DETAIL t`` (Delta parity): one row of table-level
     metadata straight from the head manifest — METADATA-ONLY except for
     the file-size sum (one stat per live data file, no data read)."""
-    import json as _json
     import os as _os
 
     from .snapshot import _read_manifest, _require_versions, _fs
@@ -733,17 +768,44 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _render_pred_value(v) -> str:
+    """One constraint predicate value back as WHERE-grammar SQL (the
+    inverse of :func:`_literal`)."""
+    import datetime as _dt
+
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_render_pred_value(x) for x in v) + ")"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
 def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
-    """``SHOW CREATE TABLE t``: render the CREATE statement that would
-    recreate the table's CURRENT definition through this module's own
-    grammar (column names are LOGICAL — physical mapping internals
-    never leak). One row, one ``createtab_stmt`` column (Spark's
-    convention)."""
+    """``SHOW CREATE TABLE t``: render a statement SCRIPT that recreates
+    the table's CURRENT definition through this module's own grammar
+    (column names are LOGICAL — physical mapping internals never leak;
+    CHECK constraints render as ALTER TABLE statements after the
+    CREATE, so run the output through :func:`snapshot_sql_script`).
+    One row, one ``createtab_stmt`` column (Spark's convention)."""
     import json as _json
 
     from pyspark.sql.types import StructType as _St
 
-    from .snapshot import _mapping_physical, _read_manifest, _require_versions
+    from .snapshot import (
+        _decode_pred_value,
+        _mapping_physical,
+        _read_manifest,
+        _require_versions,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
 
     m = _read_manifest(path, _require_versions(path)[-1])
     schema = _St.fromJson(_json.loads(m["schema_json"]))
@@ -764,14 +826,20 @@ def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
 
         props.append(
             "'stats_columns' = '"
-            + ",".join(logical(c) for c in m["stats_columns"])
+            + q(",".join(logical(c) for c in m["stats_columns"]))
             + "'"
         )
     for c, ndv in sorted((m.get("bloom_ndv") or {}).items()):
         props.append(f"'bloom.{c}' = '{ndv}'")
     if props:
         stmt += f"\nTBLPROPERTIES ({', '.join(props)})"
-    stmt += f"\nLOCATION '{path}'"
+    stmt += f"\nLOCATION '{q(path)}';"
+    for cname, triples in sorted((m.get("constraints") or {}).items()):
+        cond = " AND ".join(
+            f"{c} {op.upper()} {_render_pred_value(_decode_pred_value(v))}"
+            for c, op, v in triples
+        )
+        stmt += f"\nALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({cond});"
     return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
 
@@ -1233,6 +1301,11 @@ def _merge_sql(spark: SparkSession, m, tables: "dict[str, str]"):
                         f"MERGE INSERT column list {im.group(1)!r} must be "
                         f"bare target column names matching its "
                         f"{len(vals)} VALUES expressions"
+                    )
+                if len(set(cols)) != len(cols):
+                    raise ValueError(
+                        f"duplicate columns in MERGE INSERT list {cols}: "
+                        "a dict would silently keep only the last value"
                     )
                 not_matched = ("insert", cond, dict(zip(cols, vals)))
             else:

@@ -520,3 +520,76 @@ def test_describe_detail_and_show_create(spark, tmp_path):
     )
     assert v == 1
     assert _read_manifest(loc2, 1)["partition_by"] == ["seg"]
+
+
+# ---- second review cycle regressions ------------------------------------
+
+
+def test_sql_script_comment_with_apostrophe(spark, tmp_path):
+    """A quote inside a '--' comment must not open a phantom literal
+    that swallows the rest of the script (the comments are stripped by
+    a scanner that tracks literals, not by blank-then-regex)."""
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+    loc = str(tmp_path / "t")
+    tables = {}
+    res = snapshot_sql_script(
+        spark,
+        f"""
+        -- don't touch anything below lightly
+        CREATE TABLE t (k bigint) LOCATION '{loc}';
+        -- it's important both statements run
+        INSERT INTO t VALUES (1), (2);
+        """,
+        tables,
+    )
+    assert len(res) == 2 and snapshot_read(spark, loc).count() == 2
+
+
+def test_show_create_renders_constraints_and_script_roundtrips(spark, tmp_path):
+    """CHECK constraints render as ALTER statements after the CREATE;
+    the whole output is a runnable script that recreates the table's
+    definition — constraints included (proven by enforcement)."""
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+    cat = str(tmp_path / "cat")
+    loc, loc2 = str(tmp_path / "t"), str(tmp_path / "t2")
+    snapshot_sql_script(
+        spark,
+        f"""
+        CREATE TABLE t (k bigint, s string) LOCATION '{loc}';
+        ALTER TABLE t ADD CONSTRAINT pos CHECK (k >= 0 AND s IN ('a', 'b'));
+        """,
+        cat,
+    )
+    stmt = snapshot_sql(spark, "SHOW CREATE TABLE t", cat).first().createtab_stmt
+    assert "ADD CONSTRAINT pos CHECK (k >= 0 AND s IN ('a', 'b'))" in stmt
+    script = stmt.replace("TABLE t", "TABLE t2").replace(loc, loc2)
+    snapshot_sql_script(spark, script, cat)
+    with pytest.raises(Exception, match="pos"):
+        snapshot_sql(spark, "INSERT INTO t2 VALUES (-1, 'a')", cat)
+
+
+def test_merge_insert_duplicate_columns_refused(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    snapshot_create(spark, loc, "k bigint, v double")
+    spark.createDataFrame([(1, 2.0)], "k bigint, v double").createOrReplaceTempView(
+        "dup_src"
+    )
+    try:
+        with pytest.raises(ValueError, match="duplicate columns"):
+            snapshot_sql(
+                spark,
+                "MERGE INTO t USING dup_src s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (v, v) VALUES (1, 2)",
+                {"t": loc},
+            )
+    finally:
+        spark.catalog.dropTempView("dup_src")
+
+
+def test_parse_where_boolean_literals(spark):
+    from dask_awkward_spark.sources.sqlface import parse_where
+
+    assert parse_where("flag = TRUE") == [("flag", "=", True)]
+    assert parse_where("flag in (false, true)") == [("flag", "in", [False, True])]

@@ -335,3 +335,32 @@ def test_to_arrow_restore_unions_null_rows(spark):
     v = out.column(0).combine_chunks()
     got = v.to_pylist()
     assert sorted(map(str, got)) == sorted(map(str, [7, None, "y"]))
+
+
+def test_to_arrow_restore_unions_under_map(spark):
+    """A devolved union under a MAP value restores too (review finding:
+    the restore walk must mirror _devolve_unions's map branch)."""
+    from dask_awkward_spark.sources.memory import to_arrow
+
+    su = pa.UnionArray.from_sparse(
+        pa.array([0, 1], pa.int8()),
+        [pa.array([7, None], pa.int64()), pa.array([None, "z"], pa.string())],
+    )
+    m = pa.MapArray.from_arrays(
+        pa.array([0, 1, 2], pa.int32()),
+        pa.array(["a", "b"], pa.string()),
+        su,
+    )
+    t = pa.table({"m": m, "k": pa.array([1, 2], pa.int64())})
+    out = to_arrow(from_arrow(spark, t), restore_unions=True)
+    v = out.column(0).combine_chunks()
+    mt = v.type.field(v.type.get_field_index("m")).type
+    assert pa.types.is_map(mt) and pa.types.is_union(mt.item_type)
+    # assert at the ARRAY level: pyarrow 16.1's python-scalar access
+    # through a map whose item child is a sliced sparse union drops the
+    # value (reproducible on a pure-pyarrow MapArray, no Spark
+    # involved), but the Arrow buffers are correct — keys/items read
+    # back exactly
+    rm = v.field("m")
+    ks = sorted(zip(rm.keys.to_pylist(), rm.items.to_pylist()))
+    assert ks == [("a", 7), ("b", "z")]

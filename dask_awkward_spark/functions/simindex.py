@@ -362,6 +362,7 @@ def ivf_recall(
     nprobes: "tuple[int, ...]" = (1, 2, 4),
     id_col: str = "vec_id",
     e_col: str = "e",
+    rescore_k: "int | None" = None,
 ) -> "list[dict]":
     """Measured recall@k per nprobe against brute-force ground truth —
     the quality dial for the speed/recall trade and the drift signal
@@ -373,7 +374,9 @@ def ivf_recall(
     measurement harness, not a query path). Recall@k for one query =
     |IVF top-k ∩ exact top-k| / |exact top-k|; the returned rows carry
     the mean over queries per nprobe, monotone in nprobe by
-    construction (probing every cell IS brute force).
+    construction (probing every cell IS brute force). Over a
+    quantized/PQ index, ``rescore_k=`` sweeps the OTHER quality dial —
+    how many ranked survivors the exact tier re-scores per query.
 
     Cost note: each entry in ``nprobes`` runs its own :func:`ivf_search`
     — the index's probed cells are RE-READ per nprobe (O(len(nprobes))
@@ -392,7 +395,7 @@ def ivf_recall(
         got: "dict[object, set]" = {}
         rows = ivf_search(
             spark, index_path, queries, centroids, k=k, nprobe=np_,
-            id_col=id_col, e_col=e_col,
+            id_col=id_col, e_col=e_col, rescore_k=rescore_k,
         ).collect()
         for r in rows:
             got.setdefault(r.q_id, set()).add(r.vec_id)

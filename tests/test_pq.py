@@ -327,3 +327,19 @@ def test_failed_creating_ingest_cleans_codebook(spark, tmp_path):
     # the path is reusable for a flat index afterwards
     ivf_index_add(p, _vecs(spark, 0, 50), cents)
     assert ivf_search(spark, p, _vecs(spark, 0, 2), cents, k=3, nprobe=2).count() == 6
+
+
+def test_recall_harness_sweeps_rescore_k(spark, tmp_path):
+    """ivf_recall over a PQ index: recall at a generous rescore_k is >=
+    recall at the minimum one (the second quality dial, measured)."""
+    from dask_awkward_spark.functions.simindex import ivf_recall
+
+    cents = _centroids()
+    cb = _cb(spark, n=300, m=4, ksub=16)
+    p = str(tmp_path / "pq")
+    ivf_index_add(p, _vecs(spark, 0, 300), cents, pq_codebook=cb)
+    q = _vecs(spark, 10, 14)
+    tight = ivf_recall(spark, p, q, cents, k=5, nprobes=(4,), rescore_k=5)
+    wide = ivf_recall(spark, p, q, cents, k=5, nprobes=(4,), rescore_k=200)
+    assert wide[0]["recall_at_k"] >= tight[0]["recall_at_k"]
+    assert wide[0]["recall_at_k"] >= 0.9  # near-exhaustive re-score at nprobe=max

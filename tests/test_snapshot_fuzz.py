@@ -68,6 +68,12 @@ SETTINGS = dict(
 #                          later writer carries it, every earlier
 #                          version keeps its own narrower schema, and
 #                          both feed shapes must cross the commit
+#   ("sql_delete"|"sql_update"|"sql_insert", lo, n) — the SAME mutation
+#                          as delete/update/append but routed through
+#                          the snapshot_sql STRING face: the fuzz model
+#                          must hold identically whichever front issued
+#                          the commit (the SQL face is a front, not a
+#                          reimplementation — this is the proof)
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),
@@ -84,6 +90,9 @@ _op = st_.one_of(
     st_.tuples(st_.just("merge_sync"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("set_stats"), st_.booleans()),
     st_.tuples(st_.just("add_col")),
+    st_.tuples(st_.just("sql_delete"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("sql_update"), st_.integers(0, 60), st_.integers(1, 25)),
+    st_.tuples(st_.just("sql_insert"), st_.integers(0, 50), st_.integers(1, 10)),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -219,30 +228,69 @@ def test_snapshot_random_op_sequences_match_model(
             if res["version"] != head_v:
                 head_v = res["version"]
                 model[head_v] = ("racy_delete", list(head_rows), cur)
-        elif op[0] in ("delete", "mor_delete"):
+        elif op[0] == "sql_insert":
             if first:
                 continue
             _, lo, n = op
-            res = snapshot_delete(
-                spark, p, [(cur, ">=", lo), (cur, "<", lo + n)],
-                strategy="merge-on-read" if op[0] == "mor_delete" else "copy-on-write",
+            from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+            # VALUES literals are positional: [cur] + [pk if part] + extras
+            def lit_row(i):
+                vals = [str(i)] + ([str(i % 3)] if part else [])
+                vals += ["CAST(NULL AS DOUBLE)"] * len(extras)
+                return "(" + ", ".join(vals) + ")"
+            v = snapshot_sql(
+                spark,
+                "INSERT INTO tf VALUES "
+                + ", ".join(lit_row(i) for i in range(lo, lo + n)),
+                {"tf": p},
             )
+            head_rows = head_rows + list(range(lo, lo + n))
+            head_v = v
+            model[v] = ("append", list(head_rows), cur)
+        elif op[0] in ("delete", "mor_delete", "sql_delete"):
+            if first:
+                continue
+            _, lo, n = op
+            if op[0] == "sql_delete":
+                from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+                res = snapshot_sql(
+                    spark,
+                    f"DELETE FROM tf WHERE {cur} >= {lo} AND {cur} < {lo + n}",
+                    {"tf": p},
+                )
+            else:
+                res = snapshot_delete(
+                    spark, p, [(cur, ">=", lo), (cur, "<", lo + n)],
+                    strategy="merge-on-read" if op[0] == "mor_delete" else "copy-on-write",
+                )
             survivors = [x for x in head_rows if not (lo <= x < lo + n)]
             assert res["removed_rows"] == len(head_rows) - len(survivors)
             head_rows = survivors
             if res["version"] != head_v:  # no-op deletes commit nothing
                 head_v = res["version"]
                 model[head_v] = ("delete", list(head_rows), cur)
-        elif op[0] == "update":
+        elif op[0] in ("update", "sql_update"):
             if first:
                 continue
             _, lo, n = op
             from pyspark.sql import functions as F
 
-            res = snapshot_update(
-                spark, p, [(cur, ">=", lo), (cur, "<", lo + n)],
-                {cur: F.col(cur) + 17},
-            )
+            if op[0] == "sql_update":
+                from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+                res = snapshot_sql(
+                    spark,
+                    f"UPDATE tf SET {cur} = {cur} + 17 "
+                    f"WHERE {cur} >= {lo} AND {cur} < {lo + n}",
+                    {"tf": p},
+                )
+            else:
+                res = snapshot_update(
+                    spark, p, [(cur, ">=", lo), (cur, "<", lo + n)],
+                    {cur: F.col(cur) + 17},
+                )
             changed = [x + 17 if lo <= x < lo + n else x for x in head_rows]
             assert res["updated_rows"] == sum(
                 1 for x in head_rows if lo <= x < lo + n

@@ -2335,6 +2335,63 @@ def snapshot_drop_column(
         # another writer claimed head+1: re-read and retry
 
 
+def _split_coldefs(s: str) -> "list[str]":
+    """Split a coldef list on commas OUTSIDE () and <> — a comma inside
+    ``decimal(10,2)`` or ``struct<a:int,b:int>`` is part of the type."""
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "(<":
+            depth += 1
+        elif c in ")>":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _insert_nested_field(dt, segs: "list[str]", field, dotted: str):
+    """``dt`` (a StructType) with ``field`` appended to the struct at
+    ``segs`` (a chain of struct field names). Refuses a path through a
+    non-struct (incl. list/map — 'any element' addressing is a
+    different question, same principle as the stats grammar)."""
+    from pyspark.sql.types import StructField
+
+    if not isinstance(dt, StructType):
+        raise ValueError(
+            f"cannot add {dotted!r}: the path crosses a non-struct "
+            f"({dt.simpleString()}) — only struct chains accept nested "
+            "adds (rewrite via overwrite for list/map element changes)"
+        )
+    if not segs:
+        if field.name.lower() in {f.name.lower() for f in dt.fields}:
+            raise ValueError(
+                f"field {dotted!r} already exists (case-insensitive, "
+                "like every read path)"
+            )
+        return StructType(list(dt.fields) + [field])
+    head, rest = segs[0], segs[1:]
+    hit = [f for f in dt.fields if f.name.lower() == head.lower()]
+    if not hit:
+        raise ValueError(
+            f"cannot add {dotted!r}: no struct field {head!r} in "
+            f"{dt.fieldNames()}"
+        )
+    return StructType(
+        [
+            StructField(
+                f.name,
+                _insert_nested_field(f.dataType, rest, field, dotted)
+                if f is hit[0]
+                else f.dataType,
+                f.nullable,
+            )
+            for f in dt.fields
+        ]
+    )
+
+
 def snapshot_add_columns(
     path: str, columns, expect_head: "int | None" = None
 ) -> int:
@@ -2349,8 +2406,17 @@ def snapshot_add_columns(
     re-add of a previously DROPPED name gets a fresh physical name via
     the column mapping, so it can never resolve the dropped column's
     bytes. Row-preserving: change feeds and streams cross the commit
-    transparently (consumers see NULLs under the new names). Returns
-    the new version.
+    transparently (consumers see NULLs under the new names).
+
+    A DOTTED name adds a field INSIDE an existing struct (Delta's
+    ``ADD COLUMNS (meta.extra double)``): ``"meta.extra double"``
+    widens ``meta`` in place — old files null-fill the new field at
+    its depth on BOTH reader faces, the parent keeps its column-mapping
+    identity (renaming ``meta`` later still carries the added field),
+    and the new leaf participates in nested-stats skipping for files
+    written from here on. Paths through list/map elements are refused
+    (struct chains only, the same addressing rule as the stats
+    grammar). Returns the new version.
 
     Reference: no counterpart (dask-awkward builds a new array with
     ``with_field`` instead); Spark-native analog is ``ALTER TABLE ADD
@@ -2360,13 +2426,18 @@ def snapshot_add_columns(
     if isinstance(columns, str):
         from pyspark.sql.types import _parse_datatype_string
 
-        parsed = _parse_datatype_string(columns)
-        if not isinstance(parsed, StructType):
-            raise ValueError(
-                f"columns must be a DDL list like 'a int, b string', "
-                f"got {columns!r} (parsed to {parsed.simpleString()})"
+        new_fields = []
+        for item in _split_coldefs(columns):
+            name, _, rest = item.partition(" ")
+            if not rest.strip():
+                raise ValueError(
+                    f"cannot parse coldef {item!r}: expected '<name> <type>'"
+                )
+            new_fields.append(
+                StructField(name.strip(), _parse_datatype_string(rest.strip()))
             )
-        new_fields = list(parsed.fields)
+        if not new_fields:
+            raise ValueError("no columns to add")
     else:
         new_fields = list(columns.fields)
     if not new_fields:
@@ -2375,7 +2446,9 @@ def snapshot_add_columns(
     lower = [n.lower() for n in names]
     if len(set(lower)) != len(lower):
         raise ValueError(f"duplicate names in the add list: {names}")
-    _check_reserved_names(names)
+    # reserved-name rules apply per SEGMENT for dotted adds (the leaf
+    # lands in stats paths; parents are existing, already-checked names)
+    _check_reserved_names([seg for n in names for seg in n.split(".")])
     while True:
         head = _require_versions(path)[-1]
         if expect_head is not None and head != expect_head:
@@ -2384,17 +2457,13 @@ def snapshot_add_columns(
             )
         m = _read_manifest(path, head)
         schema = StructType.fromJson(json.loads(m["schema_json"]))
-        live = {f.name.lower() for f in schema.fields}
-        dup = [n for n in names if n.lower() in live]
-        if dup:
-            raise ValueError(
-                f"columns {dup} already exist in {schema.fieldNames()} "
-                "(case-insensitive, like every read path)"
+        out_schema = schema
+        for f in new_fields:
+            segs = f.name.split(".")
+            leaf = StructField(segs[-1], f.dataType, nullable=True)
+            out_schema = _insert_nested_field(
+                out_schema, segs[:-1], leaf, f.name
             )
-        out_schema = StructType(
-            list(schema.fields)
-            + [StructField(f.name, f.dataType, nullable=True) for f in new_fields]
-        )
         manifest = _cow_manifest(
             m, head, "add_columns", list(m["files"]), dict(m.get("stats", {}))
         )
@@ -2402,7 +2471,9 @@ def snapshot_add_columns(
         manifest["schema_json"] = out_schema.json()
         # identity-mapped tables stay identity (None): no column was
         # ever dropped under None mapping, so logical-as-physical is
-        # exact for the new names too
+        # exact for the new names too. Nested adds never touch the
+        # mapping — only TOP-level names are mapped, and the parent
+        # keeps its id
         manifest["column_mapping"] = _extend_mapping(
             m.get("column_mapping"), out_schema
         )
@@ -4885,6 +4956,60 @@ def _read_partition_file(
     yield from _yield_resolved(t, fields, spark_schema, physical)
 
 
+def _align_nested(arr, tt):
+    """``arr`` re-shaped so every STRUCT level carries exactly the
+    target type's fields — missing nested fields (added after this file
+    was written, the ``snapshot_add_columns`` dotted form) null-fill,
+    recursively under struct/list/map. Matching is case-insensitive
+    like the top-level resolution; non-struct leaves pass through for
+    the subsequent cast to handle scalar widenings. Arrays that already
+    match return ``is``-identical (children captured once — pyarrow
+    returns a fresh wrapper per accessor call)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    at = arr.type
+    if pa.types.is_struct(tt) and pa.types.is_struct(at):
+        by_lower = {at.field(i).name.lower(): i for i in range(at.num_fields)}
+        kids, changed = [], False
+        for i in range(tt.num_fields):
+            f = tt.field(i)
+            j = by_lower.get(f.name.lower())
+            if j is None:
+                kids.append(pa.nulls(len(arr), f.type))
+                changed = True
+            else:
+                src = arr.field(j)
+                k = _align_nested(src, f.type)
+                kids.append(k)
+                changed = changed or (k is not src)
+        if not changed and at.num_fields == tt.num_fields:
+            return arr
+        return pa.StructArray.from_arrays(
+            kids,
+            names=[tt.field(i).name for i in range(tt.num_fields)],
+            mask=pc.is_null(arr),
+        )
+    if (
+        pa.types.is_list(tt) or pa.types.is_large_list(tt)
+    ) and (pa.types.is_list(at) or pa.types.is_large_list(at)):
+        src = arr.values
+        vals = _align_nested(src, tt.value_type)
+        if vals is src:
+            return arr
+        cls = pa.ListArray if pa.types.is_list(at) else pa.LargeListArray
+        return cls.from_arrays(arr.offsets, vals, mask=pc.is_null(arr))
+    if pa.types.is_map(tt) and pa.types.is_map(at):
+        ksrc, isrc = arr.keys, arr.items
+        keys, items = _align_nested(ksrc, tt.key_type), _align_nested(isrc, tt.item_type)
+        if keys is ksrc and items is isrc:
+            return arr
+        return pa.MapArray.from_arrays(arr.offsets, keys, items)
+    return arr
+
+
 def _yield_resolved(t, fields: "list[str]", spark_schema=None, physical=None):
     """Shared tail of both executor readers: case-insensitive field
     resolution, null-fill for columns absent from old files (schema
@@ -4906,10 +5031,21 @@ def _yield_resolved(t, fields: "list[str]", spark_schema=None, physical=None):
             except Exception:
                 target = None  # unmappable schema: yield as-is
             if target is not None and t.schema != target:
-                # a genuine cast failure must RAISE — swallowing it would
-                # send wrong-typed batches to the JVM (worker checks only
-                # names/count) and crash far from the cause
-                t = t.cast(target)
+                import pyarrow as pa
+
+                # align struct NESTING first (a field added after this
+                # file was written null-fills at its depth), then cast
+                # for scalar conversions. A genuine cast failure must
+                # RAISE — swallowing it would send wrong-typed batches
+                # to the JVM (worker checks only names/count) and crash
+                # far from the cause
+                cols = [
+                    _align_nested(t.column(i), target.field(i).type)
+                    for i in range(t.num_columns)
+                ]
+                t = pa.Table.from_arrays(cols, names=list(t.column_names))
+                if t.schema != target:
+                    t = t.cast(target)
         yield from t.to_batches()
     else:  # defensive: a column absent from an old file
         cols = [

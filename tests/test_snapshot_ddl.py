@@ -131,7 +131,7 @@ def test_add_columns_refusals(spark, tmp_path):
         snapshot_add_columns(p, "_change_type string")
     with pytest.raises(ValueError, match="no columns"):
         snapshot_add_columns(p, StructType([]))
-    with pytest.raises(ValueError, match="DDL list"):
+    with pytest.raises(ValueError, match="cannot parse coldef"):
         snapshot_add_columns(p, "bigint")
     with pytest.raises(SnapshotConflictError):
         snapshot_add_columns(p, "x int", expect_head=99)
@@ -593,3 +593,113 @@ def test_parse_where_boolean_literals(spark):
 
     assert parse_where("flag = TRUE") == [("flag", "=", True)]
     assert parse_where("flag in (false, true)") == [("flag", "in", [False, True])]
+
+
+# ---- nested ADD COLUMNS (dotted form) ------------------------------------
+
+
+def test_add_nested_column_both_faces(spark, tmp_path):
+    """'meta.extra double' widens the struct in place: old files
+    null-fill the new field AT ITS DEPTH on BOTH reader faces, and the
+    widened schema accepts appends carrying it."""
+    from dask_awkward_spark.sources.snapshot import from_snapshot
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, (7,)), (2, (9,))], "k bigint, meta struct<ts:bigint>"
+        ),
+        p,
+    )
+    files_before = list(_read_manifest(p, 1)["files"])
+    v = snapshot_add_columns(p, "meta.extra double, note string")
+    assert v == 2
+    assert _read_manifest(p, 2)["files"] == files_before  # metadata-only
+    rows = snapshot_read(spark, p).orderBy("k").collect()
+    assert [r.meta.extra for r in rows] == [None, None]
+    assert [r.note for r in rows] == [None, None]
+    ds = sorted((r.k, r.meta.ts, r.meta.extra) for r in from_snapshot(spark, p).collect())
+    assert ds == [(1, 7, None), (2, 9, None)]
+    snapshot_write(
+        spark.createDataFrame(
+            [(3, (5, 1.5), "x")],
+            "k bigint, meta struct<ts:bigint, extra:double>, note string",
+        ),
+        p,
+        mode="append",
+    )
+    mixed = sorted(
+        (r.k, r.meta.extra) for r in from_snapshot(spark, p).collect()
+    )
+    assert mixed == [(1, None), (2, None), (3, 1.5)]
+    # time travel: v1 keeps the narrow struct
+    assert (
+        snapshot_read(spark, p, version=1).schema["meta"].dataType.simpleString()
+        == "struct<ts:bigint>"
+    )
+
+
+def test_add_nested_column_rename_and_stats(spark, tmp_path):
+    """The parent keeps its column-mapping identity (rename after the
+    nested add carries the field), and the new leaf participates in
+    nested-stats skipping once files record it."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_rename_column,
+        snapshot_set_stats_columns,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            F.struct(F.col("id").alias("ts")).alias("meta"),
+        ),
+        p,
+    )
+    snapshot_add_columns(p, "meta.score double")
+    snapshot_rename_column(p, "meta", "info")
+    assert "info" in snapshot_read(spark, p).columns
+    snapshot_set_stats_columns(p, ["info.score"])
+    snapshot_write(
+        spark.range(100, 300)
+        .select(
+            F.col("id").alias("k"),
+            F.struct(
+                F.col("id").alias("ts"), (F.col("id") / 100.0).alias("score")
+            ).alias("info"),
+        )
+        .repartitionByRange(4, "info.score"),
+        p,
+        mode="append",
+    )
+    rep = snapshot_scan_report(p, [("info.score", ">", 2.5)])
+    assert rep["skipped"] >= 1, f"added nested leaf must prune: {rep}"
+    assert snapshot_read(spark, p, where=[("info.score", ">", 2.5)]).count() == 49
+
+
+def test_add_nested_column_refusals(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, (7,), [1, 2])],
+            "k bigint, meta struct<ts:bigint>, xs array<bigint>",
+        ),
+        p,
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_add_columns(p, "meta.TS bigint")  # case-insensitive
+    with pytest.raises(ValueError, match="no struct field"):
+        snapshot_add_columns(p, "nope.x int")
+    with pytest.raises(ValueError, match="non-struct"):
+        snapshot_add_columns(p, "k.x int")
+    with pytest.raises(ValueError, match="non-struct"):
+        snapshot_add_columns(p, "xs.x int")  # list element: refused
+    with pytest.raises(ValueError, match="cannot parse coldef"):
+        snapshot_add_columns(p, "lonely")
+    # SQL form reaches the same face
+    v = snapshot_sql(
+        spark, "ALTER TABLE t ADD COLUMNS (meta.deep struct<a:int>)", {"t": p}
+    )
+    assert v == 2
+    dt = snapshot_read(spark, p).schema["meta"].dataType.simpleString()
+    assert dt == "struct<ts:bigint,deep:struct<a:int>>"

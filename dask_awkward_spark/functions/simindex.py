@@ -373,10 +373,14 @@ def ivf_recall(
     SAMPLED query frame (guarded to the brute-force bound — this is a
     measurement harness, not a query path). Recall@k for one query =
     |IVF top-k ∩ exact top-k| / |exact top-k|; the returned rows carry
-    the mean over queries per nprobe, monotone in nprobe by
-    construction (probing every cell IS brute force). Over a
-    quantized/PQ index, ``rescore_k=`` sweeps the OTHER quality dial —
-    how many ranked survivors the exact tier re-scores per query.
+    the mean over queries per nprobe — monotone in nprobe for a FLAT
+    index (probing every cell IS brute force). Over a quantized/PQ
+    index, ``rescore_k=`` sweeps the OTHER quality dial — how many
+    ranked survivors the exact tier re-scores per query — and a SMALL
+    fixed ``rescore_k`` can make the nprobe sweep non-monotone: extra
+    probed cells add approximately-ranked candidates that may push a
+    true neighbor out of the survivor set before exact re-scoring, so
+    probing everything is brute force on the APPROXIMATE scores only.
 
     Cost note: each entry in ``nprobes`` runs its own :func:`ivf_search`
     — the index's probed cells are RE-READ per nprobe (O(len(nprobes))

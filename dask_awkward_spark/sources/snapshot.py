@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 import uuid
@@ -2386,6 +2387,7 @@ def _insert_nested_field(dt, segs: "list[str]", field, dotted: str):
                 if f is hit[0]
                 else f.dataType,
                 f.nullable,
+                f.metadata,  # rebuilt levels must not drop field metadata
             )
             for f in dt.fields
         ]
@@ -2429,12 +2431,27 @@ def snapshot_add_columns(
         new_fields = []
         for item in _split_coldefs(columns):
             name, _, rest = item.partition(" ")
+            name = name.strip()
             if not rest.strip():
                 raise ValueError(
                     f"cannot parse coldef {item!r}: expected '<name> <type>'"
                 )
+            # the hand-rolled name split must not silently accept what
+            # the DDL parser would have rejected or renamed: 'a: int'
+            # must not commit a column literally named 'a:', and
+            # 'meta. double' must not add an empty-named nested field
+            if not all(
+                re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", seg)
+                for seg in name.split(".")
+            ):
+                raise ValueError(
+                    f"bad column name {name!r} in coldef {item!r}: "
+                    "expected '<name> <type>' or '<parent>.<name> <type>' "
+                    "(identifier segments, no ':' — write 'a int', "
+                    "not 'a: int')"
+                )
             new_fields.append(
-                StructField(name.strip(), _parse_datatype_string(rest.strip()))
+                StructField(name, _parse_datatype_string(rest.strip()))
             )
         if not new_fields:
             raise ValueError("no columns to add")
@@ -4956,6 +4973,35 @@ def _read_partition_file(
     yield from _yield_resolved(t, fields, spark_schema, physical)
 
 
+def _type_needs_align(at, tt) -> bool:
+    """True iff ``at`` -> ``tt`` needs structural realignment (some
+    struct level's FIELD SETS differ) rather than a plain cast — a
+    type-only walk, so the common scalar-widening read never touches
+    array data to find out."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(tt) and pa.types.is_struct(at):
+        a_by_lower = {
+            at.field(i).name.lower(): at.field(i).type
+            for i in range(at.num_fields)
+        }
+        for i in range(tt.num_fields):
+            f = tt.field(i)
+            sub = a_by_lower.get(f.name.lower())
+            if sub is None or _type_needs_align(sub, f.type):
+                return True
+        return False
+    if (
+        pa.types.is_list(tt) or pa.types.is_large_list(tt)
+    ) and (pa.types.is_list(at) or pa.types.is_large_list(at)):
+        return _type_needs_align(at.value_type, tt.value_type)
+    if pa.types.is_map(tt) and pa.types.is_map(at):
+        return _type_needs_align(at.key_type, tt.key_type) or _type_needs_align(
+            at.item_type, tt.item_type
+        )
+    return False
+
+
 def _align_nested(arr, tt):
     """``arr`` re-shaped so every STRUCT level carries exactly the
     target type's fields — missing nested fields (added after this file
@@ -5006,7 +5052,19 @@ def _align_nested(arr, tt):
         keys, items = _align_nested(ksrc, tt.key_type), _align_nested(isrc, tt.item_type)
         if keys is ksrc and items is isrc:
             return arr
-        return pa.MapArray.from_arrays(arr.offsets, keys, items)
+        offs = arr.offsets
+        if arr.null_count:
+            # MapArray.from_arrays has no mask kwarg (pyarrow 16): a
+            # NULL map entry must not collapse to {} — encode validity
+            # as a null at its offsets position (same pattern as the
+            # devolve walk's map branch)
+            o = offs.to_pylist()
+            v = pc.is_valid(arr).to_pylist()
+            offs = pa.array(
+                [o[i] if (i >= len(v) or v[i]) else None for i in range(len(o))],
+                pa.int32(),
+            )
+        return pa.MapArray.from_arrays(offs, keys, items)
     return arr
 
 
@@ -5035,15 +5093,26 @@ def _yield_resolved(t, fields: "list[str]", spark_schema=None, physical=None):
 
                 # align struct NESTING first (a field added after this
                 # file was written null-fills at its depth), then cast
-                # for scalar conversions. A genuine cast failure must
+                # for scalar conversions. The rebuild is skipped when
+                # no column actually realigned (the common case: plain
+                # scalar widenings), so the pre-existing cast-only path
+                # pays no extra copies. A genuine cast failure must
                 # RAISE — swallowing it would send wrong-typed batches
                 # to the JVM (worker checks only names/count) and crash
                 # far from the cause
-                cols = [
-                    _align_nested(t.column(i), target.field(i).type)
+                flagged = [
+                    i
                     for i in range(t.num_columns)
+                    if _type_needs_align(t.schema.field(i).type, target.field(i).type)
                 ]
-                t = pa.Table.from_arrays(cols, names=list(t.column_names))
+                if flagged:
+                    cols = [
+                        _align_nested(t.column(i), target.field(i).type)
+                        if i in flagged
+                        else t.column(i)
+                        for i in range(t.num_columns)
+                    ]
+                    t = pa.Table.from_arrays(cols, names=list(t.column_names))
                 if t.schema != target:
                     t = t.cast(target)
         yield from t.to_batches()

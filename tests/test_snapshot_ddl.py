@@ -703,3 +703,30 @@ def test_add_nested_column_refusals(spark, tmp_path):
     assert v == 2
     dt = snapshot_read(spark, p).schema["meta"].dataType.simpleString()
     assert dt == "struct<ts:bigint,deep:struct<a:int>>"
+
+
+def test_add_columns_name_guards_and_metadata(spark, tmp_path):
+    """Third-review regressions: 'a: int' must refuse (not commit a
+    column named 'a:'), empty dotted segments refuse, and a dotted add
+    preserves StructField metadata on rebuilt levels."""
+    from pyspark.sql.types import StructField, StructType as St, LongType
+
+    p = str(tmp_path / "t")
+    sch = St([
+        StructField("k", LongType(), True, {"comment": "the key"}),
+        StructField(
+            "meta",
+            St([StructField("ts", LongType(), True)]),
+            True,
+            {"comment": "payload"},
+        ),
+    ])
+    snapshot_create(spark, p, sch)
+    for bad in ("a: int", "a:int double", "meta. double", "x-y int"):
+        with pytest.raises(ValueError, match="bad column name|cannot parse"):
+            snapshot_add_columns(p, bad)
+    snapshot_add_columns(p, "meta.extra double")
+    got = snapshot_read(spark, p).schema
+    assert got["k"].metadata == {"comment": "the key"}
+    assert got["meta"].metadata == {"comment": "payload"}
+    assert "extra" in got["meta"].dataType.fieldNames()

@@ -76,6 +76,7 @@ from .sources.snapshot import (
     snapshot_rename_column,
     snapshot_restore,
     snapshot_scan_report,
+    snapshot_set_partition_spec,
     snapshot_set_stats_columns,
     snapshot_tag,
     snapshot_tags,

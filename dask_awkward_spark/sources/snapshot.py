@@ -2394,6 +2394,46 @@ def _insert_nested_field(dt, segs: "list[str]", field, dotted: str):
     )
 
 
+def snapshot_set_partition_spec(
+    path: str, partition_by: "list[str] | None", expect_head: "int | None" = None
+) -> int:
+    """Change the table's partition spec METADATA-ONLY (Iceberg's
+    partition-spec EVOLUTION): files written from this commit on lay
+    out under the new spec; existing files keep their old directory
+    layout AND keep pruning — file skipping here is min==max stats on
+    the column values stored INSIDE the files, never directory-name
+    parsing, so a mixed-layout table reads and prunes exactly. Migrate
+    old files to the new layout whenever convenient with
+    ``snapshot_compact`` / ``OPTIMIZE`` (rewrites always use the
+    current spec — Iceberg's "migrate by rewrite"). ``None``/``[]``
+    un-partitions future writes. An append staged against the old spec
+    refuses at commit (the existing mixed-layout guard), exactly like
+    a concurrent overwrite-repartition. Returns the new version.
+
+    Reference: no counterpart; the lakehouse analogs are Iceberg's
+    ``ALTER TABLE ... ADD/DROP PARTITION FIELD`` (Delta cannot change
+    partitioning without a full rewrite)."""
+    pb = list(partition_by or [])
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        _check_partition_by(pb, schema)
+        if (m.get("partition_by") or []) == pb:
+            return head  # no-op: spec unchanged
+        manifest = _cow_manifest(
+            m, head, "set_partition_spec", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["partition_by"] = pb or None
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+        # another writer claimed head+1: re-read and retry
+
+
 def snapshot_add_columns(
     path: str, columns, expect_head: "int | None" = None
 ) -> int:
@@ -2749,11 +2789,11 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     ok_ops = (
         "append", "delete", "update", "merge", "compact",
         "rename_column", "drop_column", "add_columns",
-        "set_stats_columns",
+        "set_stats_columns", "set_partition_spec",
     )
     no_chg_ok = (
         "append", "compact", "rename_column", "drop_column",
-        "add_columns", "set_stats_columns",
+        "add_columns", "set_stats_columns", "set_partition_spec",
     )
     out = []
     prev = set(_read_manifest(path, s)["files"]) if s else set()
@@ -2770,7 +2810,7 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
             )
         if m["op"] in (
             "compact", "rename_column", "drop_column", "add_columns",
-            "set_stats_columns",
+            "set_stats_columns", "set_partition_spec",
         ):
             pass  # row-preserving commits: no change records by design
         elif chg is not None:
@@ -2835,13 +2875,13 @@ def snapshot_changes(
     ok_ops = (
         ("append", "delete", "update", "merge", "compact",
          "rename_column", "drop_column", "add_columns",
-         "set_stats_columns")
+         "set_stats_columns", "set_partition_spec")
         if row_level
-        # rename/drop/add/set_stats_columns are metadata-only (file set
-        # unchanged), so the plain file-delta feed crosses them too —
-        # consumers simply see the until-version's column names
+        # rename/drop/add/set_stats/set_partition_spec are metadata-only
+        # (file set unchanged), so the plain file-delta feed crosses
+        # them too — consumers simply see the until-version's columns
         else ("append", "rename_column", "drop_column", "add_columns",
-              "set_stats_columns")
+              "set_stats_columns", "set_partition_spec")
     )
     # the table-creating commit (no parent) is a degenerate append
     bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
@@ -5231,6 +5271,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 m["op"] not in (
                     "append", "rename_column", "drop_column",
                     "add_columns", "set_stats_columns",
+                    "set_partition_spec",
                 )
                 and m["parent"] is not None
             ):

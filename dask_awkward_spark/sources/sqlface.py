@@ -1139,6 +1139,18 @@ def _ddl_sql(spark, sql, tables, catalog_path):
     am = re.match(rf"^DROP\s+COLUMN\s+({_IDENT})\s*$", action, re.I)
     if am:
         return snapshot_drop_column(path, am.group(1))
+    am = re.match(r"^SET\s+PARTITION\s+SPEC\s*\(", action, re.I)
+    if am:
+        from .snapshot import snapshot_set_partition_spec
+
+        j = _close_paren(blank_action, am.end() - 1)
+        if blank_action[j:].strip():
+            raise ValueError(
+                f"unparsed trailing text after PARTITION SPEC: "
+                f"{action[j:].strip()[:40]!r}"
+            )
+        cols = [c.strip() for c in action[am.end():j - 1].split(",") if c.strip()]
+        return snapshot_set_partition_spec(path, cols)
     am = re.match(r"^SET\s+TBLPROPERTIES\s*\(", action, re.I)
     if am:
         j = _close_paren(blank_action, am.end() - 1)
@@ -1182,8 +1194,8 @@ def _ddl_sql(spark, sql, tables, catalog_path):
     raise ValueError(
         f"unsupported ALTER TABLE action {action.strip()[:60]!r}: the DDL "
         "face speaks ADD COLUMN(S), RENAME COLUMN a TO b, DROP COLUMN c, "
-        "SET TBLPROPERTIES ('stats_columns'='...'), ADD CONSTRAINT n "
-        "CHECK (<triples>), DROP CONSTRAINT n"
+        "SET TBLPROPERTIES ('stats_columns'='...'), SET PARTITION SPEC "
+        "(c, ...), ADD CONSTRAINT n CHECK (<triples>), DROP CONSTRAINT n"
     )
 
 

@@ -68,6 +68,11 @@ SETTINGS = dict(
 #                          later writer carries it, every earlier
 #                          version keeps its own narrower schema, and
 #                          both feed shapes must cross the commit
+#   ("set_pspec", flag)  — partition-spec EVOLUTION (round-9
+#                          continuation): metadata-only flip between
+#                          partitioned and flat layouts; later writers
+#                          follow the current spec, mixed layouts must
+#                          read the model exactly and feeds must cross
 #   ("sql_delete"|"sql_update"|"sql_insert", lo, n) — the SAME mutation
 #                          as delete/update/append but routed through
 #                          the snapshot_sql STRING face: the fuzz model
@@ -93,6 +98,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("sql_delete"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("sql_update"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("sql_insert"), st_.integers(0, 50), st_.integers(1, 10)),
+    st_.tuples(st_.just("set_pspec"), st_.booleans()),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -342,6 +348,21 @@ def test_snapshot_random_op_sequences_match_model(
             if v != head_v:
                 head_v = v
                 model[head_v] = ("set_stats", list(head_rows), cur)
+        elif op[0] == "set_pspec":
+            # partition-spec EVOLUTION mid-sequence: metadata-only, the
+            # mixed layout must read back the model exactly and every
+            # later writer lays out under the current spec
+            if first:
+                continue
+            from dask_awkward_spark.sources.snapshot import (
+                snapshot_set_partition_spec,
+            )
+
+            spec = (["pk"] if part else [cur]) if op[1] else []
+            v = snapshot_set_partition_spec(p, spec)
+            if v != head_v:
+                head_v = v
+                model[head_v] = ("set_pspec", list(head_rows), cur)
         elif op[0] == "add_col":
             if first:
                 continue
@@ -395,7 +416,10 @@ def test_snapshot_random_op_sequences_match_model(
     vs = sorted(model)
     for a, b in zip(vs, vs[1:]):
         kinds = [model[v][0] for v in vs if a < v <= b]
-        if all(k in ("append", "rename", "set_stats", "add_col") for k in kinds):
+        if all(
+            k in ("append", "rename", "set_stats", "add_col", "set_pspec")
+            for k in kinds
+        ):
             name_b = model[b][2]
             delta = sorted(
                 r[name_b]

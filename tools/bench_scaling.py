@@ -40,6 +40,7 @@ DEFAULT_QUERIES = [
     "io_snapshot_merge",           # MERGE upsert: stat-pruned file rewrites
     "io_snapshot_sync",            # 3-family sync MERGE (r9): region-gated rewrites
     "sim_pq",                      # IVF-PQ: ADC ranking + exact re-score
+    "io_snapshot_ddl",             # SQL DDL lifecycle by catalog name
 ]
 
 # per-table (key column -> per-replica offset) so joins/groups see N x

@@ -1660,3 +1660,77 @@ FROM src WHERE bal >= 0 GROUP BY seg
 
 QUERIES["io_snapshot_ddl"] = io_snapshot_ddl
 ORACLES["io_snapshot_ddl"] = IO_SNAPSHOT_DDL_SQL
+
+
+def io_snapshot_pspec(spark, sf_dir):
+    """Partition-spec evolution under an oracle (round 9 continuation):
+    orders load partitioned by priority, the spec then EVOLVES to the
+    order-year (metadata-only — zero files rewritten, proven), an
+    append lands under the new layout, a DELETE cuts across BOTH
+    layouts, and a scoped OPTIMIZE migrates the delete's survivors.
+    The mixed-layout read-back must equal plain SQL over the source
+    rows — layout is invisible in the answer, pruning still fires on
+    both partition columns."""
+    import shutil
+
+    from ..sources.snapshot import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_scan_report,
+        snapshot_set_partition_spec,
+        snapshot_write,
+        _read_manifest,
+        _versions,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_pspec_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.year(F.col("o_orderdate")).cast("int").alias("yr"),
+        F.col("o_totalprice").alias("price"),
+    )
+    hi = ords.agg(F.max("okey")).first()[0]
+    cut = hi // 2
+    try:
+        snapshot_write(ords.filter(F.col("okey") <= cut), path, partition_by=["prio"])
+        files_v1 = list(_read_manifest(path, 1)["files"])
+        v = snapshot_set_partition_spec(path, ["yr"])
+        assert _read_manifest(path, v)["files"] == files_v1, (
+            "spec evolution must rewrite ZERO files"
+        )
+        snapshot_write(ords.filter(F.col("okey") > cut), path, mode="append")
+        newest = [f for f in _read_manifest(path, v + 1)["files"] if f not in set(files_v1)]
+        assert newest and all("yr=" in f for f in newest), newest
+        # pruning fires on BOTH partition columns across the mixed layout
+        assert snapshot_scan_report(path, [("prio", "=", "1-URGENT")])["skipped"] >= 1
+        assert snapshot_scan_report(path, [("yr", "=", 1995)])["skipped"] >= 1
+        st = snapshot_delete(spark, path, [("prio", "=", "5-LOW")])
+        assert st["removed_rows"] > 0
+        snapshot_compact(spark, path)  # migrate-by-rewrite under yr
+        assert all("yr=" in f for f in _read_manifest(path, _versions(path)[-1])["files"])
+        return (
+            snapshot_read(spark, path)
+            .groupBy("yr")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("price"))).alias("price_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_PSPEC_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+FROM orders WHERE o_orderpriority <> '5-LOW'
+GROUP BY 1
+"""
+
+QUERIES["io_snapshot_pspec"] = io_snapshot_pspec
+ORACLES["io_snapshot_pspec"] = IO_SNAPSHOT_PSPEC_SQL

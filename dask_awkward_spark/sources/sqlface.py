@@ -846,7 +846,9 @@ def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
 # ---- DDL face: CREATE / DROP / ALTER TABLE, SHOW TABLES ----
 
 _CREATE_RE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*", re.I
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    rf"({_IDENT})\s*",
+    re.I,
 )
 _DROP_TABLE_RE = re.compile(
     rf"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})(\s+PURGE)?\s*;?\s*$",
@@ -950,7 +952,12 @@ def _create_sql(spark, sql, m, tables, catalog_path):
     from .snapshot import SnapshotConflictError, snapshot_create, snapshot_write, _versions
 
     blank = _blank_literals(sql)
-    if_not_exists, name = bool(m.group(1)), m.group(2)
+    replace, if_not_exists, name = bool(m.group(1)), bool(m.group(2)), m.group(3)
+    if replace and if_not_exists:
+        raise ValueError(
+            "CREATE OR REPLACE and IF NOT EXISTS contradict each other "
+            "(Spark refuses the combination too)"
+        )
     i = _skip_ws(blank, m.end())
     coldefs = None
     if i < len(blank) and blank[i] == "(":
@@ -1025,25 +1032,47 @@ def _create_sql(spark, sql, m, tables, catalog_path):
                 raise ValueError(
                     f"CTAS body must be SELECT/WITH/VALUES, got {sel[:40]!r}"
                 )
-            try:
+            if replace:
+                # OR REPLACE: a full redefinition — the statement's
+                # specs WIN (explicit empties reset the sticky ones);
+                # old versions stay time-travelable until vacuum
                 version = snapshot_write(
-                    df, location, mode="append", expect_head=0,
-                    partition_by=pb, bloom_by=bloom, stats_columns=stats_cols,
+                    df, location, mode="overwrite",
+                    partition_by=pb or [], bloom_by=bloom or {},
+                    stats_columns=stats_cols or [],
                 )
-            except SnapshotConflictError:
-                if not if_not_exists:
-                    raise
-                version = _versions(location)[-1]
+            else:
+                try:
+                    version = snapshot_write(
+                        df, location, mode="append", expect_head=0,
+                        partition_by=pb, bloom_by=bloom, stats_columns=stats_cols,
+                    )
+                except SnapshotConflictError:
+                    if not if_not_exists:
+                        raise
+                    version = _versions(location)[-1]
     else:
         if coldefs is None:
             raise ValueError(
                 "CREATE TABLE needs a (column list) or AS SELECT — an "
                 "empty table cannot infer a schema"
             )
-        version = snapshot_create(
-            spark, location, coldefs, partition_by=pb, bloom_by=bloom,
-            stats_columns=stats_cols, if_not_exists=if_not_exists,
-        )
+        if replace:
+            from pyspark.sql.types import StructType, _parse_datatype_string
+
+            parsed = _parse_datatype_string(coldefs)
+            if not isinstance(parsed, StructType):
+                raise ValueError(f"bad column list {coldefs!r}")
+            version = snapshot_write(
+                spark.createDataFrame([], parsed), location, mode="overwrite",
+                partition_by=pb or [], bloom_by=bloom or {},
+                stats_columns=stats_cols or [],
+            )
+        else:
+            version = snapshot_create(
+                spark, location, coldefs, partition_by=pb, bloom_by=bloom,
+                stats_columns=stats_cols, if_not_exists=if_not_exists,
+            )
     tables[name] = location
     if catalog_path is not None:
         from .catalog import snapshot_catalog_register

@@ -730,3 +730,44 @@ def test_add_columns_name_guards_and_metadata(spark, tmp_path):
     assert got["k"].metadata == {"comment": "the key"}
     assert got["meta"].metadata == {"comment": "payload"}
     assert "extra" in got["meta"].dataType.fieldNames()
+
+
+def test_create_or_replace(spark, tmp_path):
+    """CREATE OR REPLACE TABLE: full redefinition in one atomic
+    overwrite — the statement's specs win, old versions stay
+    time-travelable, and both the declared-schema and CTAS forms work."""
+    tables = {}
+    loc = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE t (k bigint, g int) PARTITIONED BY (g) LOCATION '{loc}'",
+        tables,
+    )
+    snapshot_sql(spark, "INSERT INTO t VALUES (1, 0), (2, 1)", tables)
+    v = snapshot_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE t LOCATION '{loc}' "
+        "AS SELECT CAST(7 AS bigint) AS k, 'x' AS s",
+        tables,
+    )
+    m = _read_manifest(loc, v)
+    assert m["partition_by"] is None  # replace resets the sticky spec
+    assert snapshot_sql(spark, "SELECT k, s FROM t", tables).collect()[0].k == 7
+    # time travel to the pre-replace table still works
+    assert snapshot_read(spark, loc, version=2).count() == 2
+    # declared-schema replace form
+    v = snapshot_sql(
+        spark, f"CREATE OR REPLACE TABLE t (a int) LOCATION '{loc}'", tables
+    )
+    assert snapshot_read(spark, loc).columns == ["a"]
+    with pytest.raises(ValueError, match="contradict"):
+        snapshot_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE IF NOT EXISTS t (a int) LOCATION '{loc}'",
+            tables,
+        )
+    # OR REPLACE on a fresh path simply creates
+    loc2 = str(tmp_path / "u")
+    assert snapshot_sql(
+        spark, f"CREATE OR REPLACE TABLE u (b int) LOCATION '{loc2}'", tables
+    ) == 1

@@ -290,8 +290,9 @@ def snapshot_sql(
       :func:`_select_sql`).
     - Maintenance: ``DESCRIBE HISTORY t``, ``OPTIMIZE t [WHERE ...]
       [ZORDER BY (...)]``, ``VACUUM t [RETAIN n HOURS] [KEEP LAST n]
-      [DRY RUN]``, ``RESTORE [TABLE] t [TO] VERSION AS OF n`` — routed
-      to the Python faces (see :func:`_maintenance_sql`).
+      [DRY RUN]``, ``RESTORE [TABLE] t [TO] VERSION AS OF n |
+      TIMESTAMP AS OF '...' | TAG AS OF 'name'`` — routed to the
+      Python faces (see :func:`_maintenance_sql`).
 
     - DDL: ``CREATE TABLE [IF NOT EXISTS] t [(cols)] [PARTITIONED BY
       (...)] [TBLPROPERTIES ('stats_columns'='...', 'bloom.c'='ndv')]
@@ -663,7 +664,9 @@ _VACUUM_RE = re.compile(
 )
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+(?:TO\s+)?"
-    rf"VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+    rf"(?:VERSION\s+AS\s+OF\s+(\d+)"
+    rf"|TIMESTAMP\s+AS\s+OF\s+'((?:[^']|'')*)'"
+    rf"|TAG\s+AS\s+OF\s+'((?:[^']|'')*)')\s*;?\s*$",
     re.I,
 )
 
@@ -679,8 +682,10 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     - ``VACUUM t [RETAIN n HOURS] [KEEP LAST n] [DRY RUN]`` →
       :func:`snapshot_vacuum` (returns its stats dict; defaults match
       the Python face — 24 h retention, keep the head).
-    - ``RESTORE [TABLE] t [TO] VERSION AS OF n`` →
-      :func:`snapshot_restore` (returns the new version)."""
+    - ``RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF
+      '<iso>' | TAG AS OF 'name'`` → :func:`snapshot_restore` (returns
+      the new version; timestamp resolves via ``snapshot_version_at``,
+      tag via the table's vacuum-proof pins)."""
     from .snapshot import (
         snapshot_compact,
         snapshot_history,
@@ -724,7 +729,31 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         return snapshot_vacuum(_resolve(table, tables), **kw)
     m = _RESTORE_RE.match(sql)
     if m:
-        return snapshot_restore(_resolve(m.group(1), tables), int(m.group(2)))
+        path = _resolve(m.group(1), tables)
+        if m.group(2) is not None:
+            version = int(m.group(2))
+        elif m.group(3) is not None:
+            import datetime as _dt
+
+            from .snapshot import snapshot_version_at
+
+            raw = m.group(3).replace("''", "'")
+            try:
+                ts = _dt.datetime.fromisoformat(raw)
+            except ValueError as e:
+                raise ValueError(f"bad TIMESTAMP AS OF literal {raw!r}: {e}")
+            version = snapshot_version_at(path, ts.timestamp())
+        else:
+            from .snapshot import snapshot_tags
+
+            raw = m.group(4).replace("''", "'")
+            tags = snapshot_tags(path)
+            if raw not in tags:
+                raise ValueError(
+                    f"no tag {raw!r} on the table (have {sorted(tags)})"
+                )
+            version = tags[raw]
+        return snapshot_restore(path, version)
     return None
 
 

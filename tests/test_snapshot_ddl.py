@@ -771,3 +771,36 @@ def test_create_or_replace(spark, tmp_path):
     assert snapshot_sql(
         spark, f"CREATE OR REPLACE TABLE u (b int) LOCATION '{loc2}'", tables
     ) == 1
+
+
+def test_restore_timestamp_and_tag_forms(spark, tmp_path):
+    import datetime
+
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_tag,
+        _read_manifest,
+        _versions,
+    )
+
+    loc = str(tmp_path / "t")
+    tables = {"t": loc}
+    snapshot_create(spark, loc, "k bigint")
+    snapshot_sql(spark, "INSERT INTO t VALUES (1)", tables)      # v2
+    snapshot_tag(loc, "golden")
+    ts = datetime.datetime.fromtimestamp(
+        _read_manifest(loc, 2)["committed_at"] + 0.001
+    )
+    snapshot_sql(spark, "INSERT INTO t VALUES (2), (3)", tables)  # v3
+    v = snapshot_sql(
+        spark,
+        f"RESTORE TABLE t TO TIMESTAMP AS OF '{ts.isoformat(sep=' ')}'",
+        tables,
+    )
+    assert snapshot_read(spark, loc).count() == 1
+    snapshot_sql(spark, "INSERT INTO t VALUES (4), (5), (6)", tables)
+    snapshot_sql(spark, "RESTORE t TAG AS OF 'golden'", tables)
+    assert snapshot_read(spark, loc).count() == 1
+    with pytest.raises(ValueError, match="no tag"):
+        snapshot_sql(spark, "RESTORE t TAG AS OF 'nope'", tables)
+    with pytest.raises(ValueError, match="bad TIMESTAMP"):
+        snapshot_sql(spark, "RESTORE t TIMESTAMP AS OF 'yesterday'", tables)

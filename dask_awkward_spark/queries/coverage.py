@@ -1667,7 +1667,7 @@ def io_snapshot_pspec(spark, sf_dir):
     orders load partitioned by priority, the spec then EVOLVES to the
     order-year (metadata-only — zero files rewritten, proven), an
     append lands under the new layout, a DELETE cuts across BOTH
-    layouts, and a scoped OPTIMIZE migrates the delete's survivors.
+    layouts, and an OPTIMIZE migrates every survivor to the new layout.
     The mixed-layout read-back must equal plain SQL over the source
     rows — layout is invisible in the answer, pruning still fires on
     both partition columns."""
@@ -1703,7 +1703,8 @@ def io_snapshot_pspec(spark, sf_dir):
             "spec evolution must rewrite ZERO files"
         )
         snapshot_write(ords.filter(F.col("okey") > cut), path, mode="append")
-        newest = [f for f in _read_manifest(path, v + 1)["files"] if f not in set(files_v1)]
+        v1_set = set(files_v1)
+        newest = [f for f in _read_manifest(path, v + 1)["files"] if f not in v1_set]
         assert newest and all("yr=" in f for f in newest), newest
         # pruning fires on BOTH partition columns across the mixed layout
         assert snapshot_scan_report(path, [("prio", "=", "1-URGENT")])["skipped"] >= 1

@@ -1035,6 +1035,7 @@ def snapshot_write(
     bloom_by: "dict[str, int] | None" = None,
     stats_columns: "list[str] | None" = None,
     _validate_constraints: bool = True,
+    _reset_constraints: bool = False,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
     of the snapshot table at ``path``.
@@ -1090,6 +1091,9 @@ def snapshot_write(
     :func:`snapshot_set_stats_columns` changes it metadata-only."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if _reset_constraints and mode != "overwrite":
+        raise ValueError("_reset_constraints is a table-REPLACEMENT hook "
+                         "(overwrite only)")
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
     _check_reserved_names(df.columns)
     _fs().ensure_dir(path)
@@ -1303,12 +1307,15 @@ def snapshot_write(
             # overwrite replaces the file set, so its DVs go with it
             "deletes": head_m.get("deletes") if mode == "append" else None,
             # CHECK constraints are table definition, not data: they
-            # survive a data overwrite (Delta's INSERT OVERWRITE rule)
-            "constraints": head_m.get("constraints"),
+            # survive a data overwrite (Delta's INSERT OVERWRITE rule).
+            # _reset_constraints is CREATE OR REPLACE's hook — a full
+            # REDEFINITION drops them (the old definition may reference
+            # columns the new schema doesn't even have)
+            "constraints": None if _reset_constraints else head_m.get("constraints"),
             "committed_at": time.time(),
         }
         cons_now = json.dumps(head_m.get("constraints") or {}, sort_keys=True)
-        if _validate_constraints and cons_now != validated_cons:
+        if _validate_constraints and not _reset_constraints and cons_now != validated_cons:
             # the pinned (merged) schema null-fills columns a
             # merge_schema append legally omitted — NULL passes CHECK
             _enforce_constraints(

@@ -294,7 +294,7 @@ def snapshot_sql(
       TIMESTAMP AS OF '...' | TAG AS OF 'name'`` — routed to the
       Python faces (see :func:`_maintenance_sql`).
 
-    - DDL: ``CREATE TABLE [IF NOT EXISTS] t [(cols)] [PARTITIONED BY
+    - DDL: ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [(cols)] [PARTITIONED BY
       (...)] [TBLPROPERTIES ('stats_columns'='...', 'bloom.c'='ndv')]
       LOCATION 'path' [AS SELECT ...]``, ``DROP TABLE [IF EXISTS] t
       [PURGE]``, ``ALTER TABLE t ADD COLUMN(S) / RENAME COLUMN a TO b /
@@ -729,30 +729,26 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         return snapshot_vacuum(_resolve(table, tables), **kw)
     m = _RESTORE_RE.match(sql)
     if m:
+        from .snapshot import _resolve_version
+
         path = _resolve(m.group(1), tables)
         if m.group(2) is not None:
             version = int(m.group(2))
-        elif m.group(3) is not None:
-            import datetime as _dt
-
-            from .snapshot import snapshot_version_at
-
-            raw = m.group(3).replace("''", "'")
-            try:
-                ts = _dt.datetime.fromisoformat(raw)
-            except ValueError as e:
-                raise ValueError(f"bad TIMESTAMP AS OF literal {raw!r}: {e}")
-            version = snapshot_version_at(path, ts.timestamp())
         else:
-            from .snapshot import snapshot_tags
+            # the SAME resolver every read face uses — SQL RESTORE and
+            # SELECT ... AS OF must report identical errors
+            as_of = tag = None
+            if m.group(3) is not None:
+                import datetime as _dt
 
-            raw = m.group(4).replace("''", "'")
-            tags = snapshot_tags(path)
-            if raw not in tags:
-                raise ValueError(
-                    f"no tag {raw!r} on the table (have {sorted(tags)})"
-                )
-            version = tags[raw]
+                raw = m.group(3).replace("''", "'")
+                try:
+                    as_of = _dt.datetime.fromisoformat(raw).timestamp()
+                except ValueError as e:
+                    raise ValueError(f"bad TIMESTAMP AS OF literal {raw!r}: {e}")
+            else:
+                tag = m.group(4).replace("''", "'")
+            version = _resolve_version(path, None, as_of, tag)
         return snapshot_restore(path, version)
     return None
 
@@ -969,8 +965,10 @@ def _apply_tblproperties(props: "dict[str, str]"):
 
 
 def _create_sql(spark, sql, m, tables, catalog_path):
-    """``CREATE TABLE [IF NOT EXISTS] t [(coldefs)] [PARTITIONED BY
-    (...)] [TBLPROPERTIES (...)] LOCATION 'path' [AS SELECT ...]`` —
+    """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [(coldefs)]
+    [PARTITIONED BY (...)] [TBLPROPERTIES (...)] LOCATION 'path'
+    [AS SELECT ...]`` (OR REPLACE = full redefinition: one atomic
+    overwrite, the statement's specs win, constraints drop) —
     cursor-parsed over the literal-blanked text so struct DDL
     (``decimal(10,2)``, ``struct<a:int>``) and quoted values never
     confuse the clause structure. Declared-schema form routes to
@@ -1063,12 +1061,15 @@ def _create_sql(spark, sql, m, tables, catalog_path):
                 )
             if replace:
                 # OR REPLACE: a full redefinition — the statement's
-                # specs WIN (explicit empties reset the sticky ones);
-                # old versions stay time-travelable until vacuum
+                # specs WIN (explicit empties reset the sticky ones),
+                # CHECK constraints drop (the old definition may
+                # reference columns the new schema lacks); old versions
+                # stay time-travelable until vacuum
                 version = snapshot_write(
                     df, location, mode="overwrite",
                     partition_by=pb or [], bloom_by=bloom or {},
                     stats_columns=stats_cols or [],
+                    _reset_constraints=True,
                 )
             else:
                 try:
@@ -1090,12 +1091,16 @@ def _create_sql(spark, sql, m, tables, catalog_path):
             from pyspark.sql.types import StructType, _parse_datatype_string
 
             parsed = _parse_datatype_string(coldefs)
-            if not isinstance(parsed, StructType):
-                raise ValueError(f"bad column list {coldefs!r}")
+            if not isinstance(parsed, StructType) or not parsed.fields:
+                raise ValueError(
+                    f"bad column list {coldefs!r}: expected at least one "
+                    "'name type' coldef (same rule as snapshot_create)"
+                )
             version = snapshot_write(
                 spark.createDataFrame([], parsed), location, mode="overwrite",
                 partition_by=pb or [], bloom_by=bloom or {},
                 stats_columns=stats_cols or [],
+                _reset_constraints=True,
             )
         else:
             version = snapshot_create(

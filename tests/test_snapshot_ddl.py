@@ -776,11 +776,7 @@ def test_create_or_replace(spark, tmp_path):
 def test_restore_timestamp_and_tag_forms(spark, tmp_path):
     import datetime
 
-    from dask_awkward_spark.sources.snapshot import (
-        snapshot_tag,
-        _read_manifest,
-        _versions,
-    )
+    from dask_awkward_spark.sources.snapshot import snapshot_tag, _read_manifest
 
     loc = str(tmp_path / "t")
     tables = {"t": loc}
@@ -800,7 +796,31 @@ def test_restore_timestamp_and_tag_forms(spark, tmp_path):
     snapshot_sql(spark, "INSERT INTO t VALUES (4), (5), (6)", tables)
     snapshot_sql(spark, "RESTORE t TAG AS OF 'golden'", tables)
     assert snapshot_read(spark, loc).count() == 1
-    with pytest.raises(ValueError, match="no tag"):
+    with pytest.raises(ValueError, match="not in"):
         snapshot_sql(spark, "RESTORE t TAG AS OF 'nope'", tables)
     with pytest.raises(ValueError, match="bad TIMESTAMP"):
         snapshot_sql(spark, "RESTORE t TIMESTAMP AS OF 'yesterday'", tables)
+
+
+def test_create_or_replace_drops_constraints(spark, tmp_path):
+    """OR REPLACE is a full REDEFINITION: CHECK constraints drop with
+    the old definition (they may reference columns the new schema
+    lacks); plain INSERT OVERWRITE keeps them (Delta's rule)."""
+    tables = {}
+    loc = str(tmp_path / "t")
+    snapshot_sql(spark, f"CREATE TABLE t (k bigint) LOCATION '{loc}'", tables)
+    snapshot_sql(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (k > 0)", tables)
+    # the replaced table has a DIFFERENT schema and no constraints
+    snapshot_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE t LOCATION '{loc}' AS SELECT 'x' AS s",
+        tables,
+    )
+    assert _read_manifest(loc, 3)["constraints"] is None
+    snapshot_sql(spark, "INSERT INTO t VALUES ('y')", tables)  # must not crash
+    # negative values fine too: the constraint is gone
+    snapshot_sql(
+        spark, f"CREATE OR REPLACE TABLE t (k bigint) LOCATION '{loc}'", tables
+    )
+    snapshot_sql(spark, "INSERT INTO t VALUES (-5)", tables)
+    assert snapshot_read(spark, loc).first().k == -5

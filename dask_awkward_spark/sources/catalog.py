@@ -49,12 +49,22 @@ def snapshot_catalog_register(
     table_path: str,
     version: "int | None" = None,
     tag: "str | None" = None,
+    replace: bool = True,
 ) -> int:
     """Upsert one catalog entry (creates the catalog table on first
     use). ``version=``/``tag=`` pin the name to a fixed snapshot —
     ``tag`` is the durable choice (tagged versions survive vacuum).
     Re-registering an existing name replaces its entry atomically
-    (one MERGE commit). Returns the catalog version."""
+    (one MERGE commit). Returns the catalog version.
+
+    ``replace=False`` makes the call CREATE-ONLY for foreign entries:
+    an existing registration of ``name`` at a DIFFERENT path is never
+    clobbered — the merge's update clause is gated on path equality
+    (so the commit itself can't take the entry), and the surviving
+    entry is re-read afterwards; a foreign path raises ``ValueError``.
+    This closes the race where two concurrent ``CREATE TABLE``\\ s of
+    the same name at different locations both read an empty catalog
+    and the later register silently orphans the earlier table."""
     from .snapshot import (
         SnapshotConflictError,
         snapshot_merge,
@@ -75,25 +85,39 @@ def snapshot_catalog_register(
             return snapshot_write(src, catalog_path, expect_head=0, mode="append")
         except SnapshotConflictError:
             pass
+    assigns = {
+        "path": "s.path",
+        "pin_version": "s.pin_version",
+        "pin_tag": "s.pin_tag",
+        "registered_at": "s.registered_at",
+    }
     stats = snapshot_merge(
         spark,
         catalog_path,
         src,
         on=["name"],
         when_matched=[
-            (
-                None,
-                "update",
-                {
-                    "path": "s.path",
-                    "pin_version": "s.pin_version",
-                    "pin_tag": "s.pin_tag",
-                    "registered_at": "s.registered_at",
-                },
-            )
+            # create-only: a matched entry updates ONLY when it already
+            # points at our path (idempotent re-create); a foreign-path
+            # entry matches no clause and stays untouched
+            ("s.path = t.path", "update", assigns)
+            if not replace
+            else (None, "update", assigns)
         ],
         when_not_matched="insert",
     )
+    if not replace:
+        try:
+            cur = snapshot_catalog_lookup(spark, catalog_path, name)
+        except KeyError:
+            cur = None  # raced with an unregister: nothing clobbered
+        if cur is not None and cur["path"] != table_path:
+            raise ValueError(
+                f"catalog name {name!r} is registered at "
+                f"{cur['path']!r} (not {table_path!r}); create-only "
+                "registration never clobbers a foreign entry — "
+                "DROP/unregister it first or pick another name"
+            )
     return stats["version"]
 
 

@@ -1111,7 +1111,13 @@ def _create_sql(spark, sql, m, tables, catalog_path):
     if catalog_path is not None:
         from .catalog import snapshot_catalog_register
 
-        snapshot_catalog_register(spark, catalog_path, name, location)
+        # create-only write-through: two concurrent CREATEs of the same
+        # name at different locations both read an empty catalog — the
+        # gated register makes the later one FAIL instead of silently
+        # orphaning the earlier table
+        snapshot_catalog_register(
+            spark, catalog_path, name, location, replace=False
+        )
     return version
 
 

@@ -824,3 +824,36 @@ def test_create_or_replace_drops_constraints(spark, tmp_path):
     )
     snapshot_sql(spark, "INSERT INTO t VALUES (-5)", tables)
     assert snapshot_read(spark, loc).first().k == -5
+
+
+def test_catalog_register_create_only_never_clobbers(spark, tmp_path):
+    """replace=False registration: an existing same-name entry at a
+    DIFFERENT path survives the merge untouched (clause-gated) and the
+    call raises — the CREATE-through-catalog race can orphan no table."""
+    from dask_awkward_spark.sources.catalog import (
+        snapshot_catalog_lookup,
+        snapshot_catalog_register,
+    )
+
+    cat = str(tmp_path / "cat")
+    loc_a, loc_b = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_catalog_register(spark, cat, "t", loc_a)
+    with pytest.raises(ValueError, match="never clobbers"):
+        snapshot_catalog_register(spark, cat, "t", loc_b, replace=False)
+    assert snapshot_catalog_lookup(spark, cat, "t")["path"] == loc_a
+    # idempotent re-create at the SAME path is fine
+    snapshot_catalog_register(spark, cat, "t", loc_a, replace=False)
+    assert snapshot_catalog_lookup(spark, cat, "t")["path"] == loc_a
+    # the default stays a replacing upsert
+    snapshot_catalog_register(spark, cat, "t", loc_b)
+    assert snapshot_catalog_lookup(spark, cat, "t")["path"] == loc_b
+    # SQL CREATE through a catalog whose snapshot predates a foreign
+    # registration refuses at the write-through, not silently
+    snapshot_create(spark, str(tmp_path / "c"), "k bigint")
+    stale_tables_view = cat  # catalog path mode re-reads per statement
+    with pytest.raises(ValueError, match="ambiguous|never clobbers"):
+        snapshot_sql(
+            spark,
+            f"CREATE TABLE t (k bigint) LOCATION '{tmp_path / 'c'}'",
+            stale_tables_view,
+        )

@@ -469,6 +469,7 @@ def ivf_search(
     exclude_self: bool = True,
     rescore_k: "int | None" = None,
     batch: "bool | None" = None,
+    version: "int | None" = None,
 ) -> DataFrame:
     """Top-``k`` cosine neighbors per query vector, probing each query's
     best ``nprobe`` cells only.
@@ -545,7 +546,7 @@ def ivf_search(
     if batch:
         return _ivf_search_batch(
             spark, index_path, queries, centroids, k, nprobe,
-            id_col, e_col, exclude_self, rk_n,
+            id_col, e_col, exclude_self, rk_n, version,
         )
     qrows = queries.select(
         F.col(id_col).alias("q_id"),
@@ -555,7 +556,9 @@ def ivf_search(
     if not qrows:
         raise ValueError("queries frame is empty")
     probe_cells = sorted({int(c) for r in qrows for c in r.cells})
-    idx = snapshot_read(spark, index_path, where=[("cell", "in", probe_cells)])
+    idx = snapshot_read(
+        spark, index_path, version=version, where=[("cell", "in", probe_cells)]
+    )
     # q_id keeps the caller's id type (string/uuid ids are as legal here
     # as in ivf_index_add)
     id_t = queries.schema[id_col].dataType.simpleString()
@@ -636,7 +639,8 @@ def ivf_search(
                 )
             )
             full = snapshot_read(
-                spark, index_path, where=[("cell", "in", probe_cells)]
+                spark, index_path, version=version,
+                where=[("cell", "in", probe_cells)],
             ).select("vec_id", "cell", "e")
             cand = full.join(surv_df.join(qev, "q_id"), "vec_id")
         else:
@@ -652,6 +656,7 @@ def ivf_search(
             full = snapshot_read(
                 spark,
                 index_path,
+                version=version,
                 where=[("cell", "in", probe_cells), ("vec_id", "in", ids)],
             ).select("vec_id", "cell", "e")
             vid_t = idx.schema["vec_id"].dataType.simpleString()
@@ -695,6 +700,7 @@ def _ivf_search_batch(
     e_col: str,
     exclude_self: bool,
     rk_n: int,
+    version: "int | None" = None,
 ) -> DataFrame:
     """Distributed two-tier probe for BATCH query sides (VERDICT r9
     item 1): the whole search is DataFrame plans — the only driver
@@ -727,7 +733,9 @@ def _ivf_search_batch(
     qx = q.select("q_id", "qe", F.explode("cells").alias("cell")).withColumn(
         "cell", F.col("cell").cast("int")
     )
-    idx = snapshot_read(spark, index_path, where=[("cell", "in", probe_cells)])
+    idx = snapshot_read(
+        spark, index_path, version=version, where=[("cell", "in", probe_cells)]
+    )
     pq_cb = _load_pq_codebook(index_path) if "pqc" in idx.columns else None
     cos_q = None
     if pq_cb is not None:
@@ -767,7 +775,8 @@ def _ivf_search_batch(
             .select("q_id", "vec_id")
         ).join(q.select("q_id", "qe"), "q_id")
         full = snapshot_read(
-            spark, index_path, where=[("cell", "in", probe_cells)]
+            spark, index_path, version=version,
+            where=[("cell", "in", probe_cells)],
         ).select("vec_id", "cell", "e")
         cand = full.join(surv, "vec_id")
     else:

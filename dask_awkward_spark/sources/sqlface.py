@@ -650,6 +650,9 @@ _DETAIL_RE = re.compile(rf"^\s*DESCRIBE\s+DETAIL\s+({_IDENT})\s*;?\s*$", re.I)
 _SHOW_CREATE_RE = re.compile(
     rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.I
 )
+_SHOW_PROPS_RE = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", re.I
+)
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})"
     rf"(?:\s+WHERE\s+(.+?))?"
@@ -702,6 +705,9 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     m = _SHOW_CREATE_RE.match(sql)
     if m:
         return _show_create_table(spark, m.group(1), _resolve(m.group(1), tables))
+    m = _SHOW_PROPS_RE.match(sql)
+    if m:
+        return _show_tblproperties(spark, _resolve(m.group(1), tables))
     m = _OPTIMIZE_RE.match(sql)
     if m:
         table, where_sql, zorder = m.group(1), m.group(2), m.group(3)
@@ -809,6 +815,32 @@ def _render_pred_value(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     return repr(v)
+
+
+def _show_tblproperties(spark: SparkSession, path: str) -> DataFrame:
+    """``SHOW TBLPROPERTIES t``: the engine's sticky specs as (key,
+    value) rows, the SAME vocabulary TBLPROPERTIES accepts at CREATE —
+    stats_columns rendered LOGICAL (the stored physical names never
+    leak), one ``bloom.<col>`` row per bloom column."""
+    import json as _json
+
+    from .snapshot import _mapping_physical, _read_manifest, _require_versions
+
+    m = _read_manifest(path, _require_versions(path)[-1])
+    rows = []
+    if m.get("stats_columns"):
+        inv = {p: l for l, p in _mapping_physical(m).items()}
+        rows.append((
+            "stats_columns",
+            ",".join(
+                inv.get(c.partition(".")[0], c.partition(".")[0])
+                + c.partition(".")[1] + c.partition(".")[2]
+                for c in m["stats_columns"]
+            ),
+        ))
+    for c, ndv in sorted((m.get("bloom_ndv") or {}).items()):
+        rows.append((f"bloom.{c}", str(ndv)))
+    return spark.createDataFrame(rows or [], "key string, value string")
 
 
 def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:

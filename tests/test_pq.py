@@ -343,3 +343,28 @@ def test_recall_harness_sweeps_rescore_k(spark, tmp_path):
     wide = ivf_recall(spark, p, q, cents, k=5, nprobes=(4,), rescore_k=200)
     assert wide[0]["recall_at_k"] >= tight[0]["recall_at_k"]
     assert wide[0]["recall_at_k"] >= 0.9  # near-exhaustive re-score at nprobe=max
+
+
+def test_time_travel_search(spark, tmp_path):
+    """version= searches the index AT a pinned snapshot: results ignore
+    later ingests — on both plan paths and through a retrain."""
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+
+    cents = _centroids()
+    cb = _cb(spark)
+    p = str(tmp_path / "pq")
+    ivf_index_add(p, _vecs(spark, 0, 150), cents, pq_codebook=cb)  # v1
+    q = _vecs(spark, 0, 3)
+    at_v1 = _rows(ivf_search(spark, p, q, cents, k=5, nprobe=2))
+    ivf_index_add(p, _vecs(spark, 150, 400), cents, pq_codebook=cb)  # v2
+    now = _rows(ivf_search(spark, p, q, cents, k=5, nprobe=2))
+    assert now != at_v1  # the new vectors changed the neighborhoods
+    pinned = _rows(ivf_search(spark, p, q, cents, k=5, nprobe=2, version=1))
+    assert pinned == at_v1
+    pinned_b = _rows(
+        ivf_search(spark, p, q, cents, k=5, nprobe=2, version=1, batch=True)
+    )
+    assert pinned_b == at_v1
+    # a retrain (atomic overwrite) leaves v1 searchable until vacuum
+    ivf_retrain(spark, p, [list(reversed(c)) for c in cents])
+    assert _rows(ivf_search(spark, p, q, cents, k=5, nprobe=2, version=1)) == at_v1

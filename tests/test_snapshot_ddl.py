@@ -857,3 +857,26 @@ def test_catalog_register_create_only_never_clobbers(spark, tmp_path):
             f"CREATE TABLE t (k bigint) LOCATION '{tmp_path / 'c'}'",
             stale_tables_view,
         )
+
+
+def test_show_tblproperties(spark, tmp_path):
+    tables = {}
+    loc = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE t (id bigint, meta struct<ts:bigint>) TBLPROPERTIES "
+        f"('stats_columns'='id,meta.ts', 'bloom.id'='64') LOCATION '{loc}'",
+        tables,
+    )
+    from dask_awkward_spark.sources.snapshot import snapshot_rename_column
+
+    snapshot_rename_column(loc, "id", "doc_id")
+    got = {
+        r.key: r.value
+        for r in snapshot_sql(spark, "SHOW TBLPROPERTIES t", tables).collect()
+    }
+    assert got == {"stats_columns": "doc_id,meta.ts", "bloom.doc_id": "64"}
+    # a prefix-default table reports no properties
+    loc2 = str(tmp_path / "u")
+    snapshot_create(spark, loc2, "k bigint")
+    assert snapshot_sql(spark, "SHOW TBLPROPERTIES u", {"u": loc2}).count() == 0

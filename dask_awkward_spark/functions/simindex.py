@@ -197,11 +197,25 @@ def ivf_index_add(
         )
     stored = _load_pq_codebook(index_path)
     created_cb = False
+    pq_spec = None
     if pq_codebook is not None:
         from ..sources.snapshot import _read_manifest, _versions
-        from .pq import _check_codebook, pq_encode
+        from .pq import normalize_pq_spec, pq_encode
 
-        _check_codebook(pq_codebook)
+        pq_spec = normalize_pq_spec(pq_codebook)
+        if pq_spec["residual"]:
+            # residual codes are x - centroid(cell) under the spec's
+            # OWN centroids — an ingest assigning cells with a
+            # different quantizer would store codes that decode
+            # against the wrong centroid rows
+            want = [[float(v) for v in row] for row in centroids]
+            if pq_spec["centroids"] != want:
+                raise ValueError(
+                    "residual PQ spec was trained against DIFFERENT "
+                    "IVF centroids than this ingest's: cells and "
+                    "residuals would disagree — pass the centroids "
+                    "the spec carries (spec['centroids'])"
+                )
         if stored is not None:
             if stored != pq_codebook:
                 raise ValueError(
@@ -259,7 +273,16 @@ def ivf_index_add(
         cols.append(F.transform(q, lambda v: v.cast("tinyint")).alias("q"))
         cols.append(scale.cast("float").alias("scale"))
     if pq_codebook is not None:
-        cols.append(pq_encode(F.col(e_col), pq_codebook).alias("pqc"))
+        # residual specs get the SAME cell expression that lands in the
+        # index row — code and stored cell cannot disagree (ties in the
+        # coarse argmax would otherwise be two chances to differ)
+        cols.append(
+            pq_encode(
+                F.col(e_col), pq_codebook,
+                cell=ivf_cell(F.col(e_col), centroids)
+                if pq_spec["residual"] else None,
+            ).alias("pqc")
+        )
         cols.append(norm(F.col(e_col).cast("array<double>")).cast("float").alias("norm"))
     rows = new_vecs.select(*cols)
     # append on a fresh path IS table creation; the explicit spec is a
@@ -302,9 +325,29 @@ def ivf_retrain(
     drift signal (see :func:`ivf_recall`), not per ingest."""
     from ..sources.snapshot import snapshot_read, snapshot_write
 
+    stored = _load_pq_codebook(index_path)
+    if stored is not None:
+        from .pq import normalize_pq_spec
+
+        spec = normalize_pq_spec(stored)
+        if spec["residual"] and spec["centroids"] != [
+            [float(v) for v in row] for row in centroids
+        ]:
+            # a raw-PQ code is a per-row property of e (carries fine);
+            # a RESIDUAL code is a property of (e, old quantizer) —
+            # re-celling under new centroids would leave every code
+            # decoding against the wrong centroid row
+            raise ValueError(
+                f"index at {index_path} is RESIDUAL-encoded against "
+                "its original IVF centroids: retraining under new "
+                "centroids would orphan every stored code — build a "
+                "fresh index with a codebook trained on the new "
+                "quantizer (pq_train(..., residual_centroids=...))"
+            )
     idx = snapshot_read(spark, index_path)
     # carry every non-cell column (the quantized tier's q/scale are
-    # per-row properties of e — independent of the quantizer)
+    # per-row properties of e — independent of the quantizer; a
+    # residual pqc is NOT, hence the refusal above on centroid change)
     rest = [c for c in idx.columns if c not in ("vec_id", "cell")]
     rows = idx.select(
         "vec_id",
@@ -567,14 +610,30 @@ def ivf_search(
     # evaluates queries x candidates predicate pairs (VERDICT r6 item 7):
     # hash probing scales with query count for free
     pq_cb = _load_pq_codebook(index_path) if "pqc" in idx.columns else None
+    pq_spec = None
+    if pq_cb is not None:
+        from .pq import normalize_pq_spec
+
+        pq_spec = normalize_pq_spec(pq_cb)
+
+    def _probe_cdot(qe, c):
+        # residual ADC ranks <q, e> ~ <q, centroid(cell)> + LUT-sum:
+        # the first term is per-(query, cell) — one scalar riding each
+        # probe row (|queries| x nprobe of them), computed here exactly
+        # as the batch path's expression does (left-to-right fold)
+        if pq_spec is None or not pq_spec["residual"]:
+            return 0.0
+        cent = pq_spec["centroids"][c - 1]
+        return float(sum(x * y for x, y in zip(qe, cent)))
+
     qdf = F.broadcast(
         spark.createDataFrame(
             [
-                (r.q_id, r.qe, int(c))
+                (r.q_id, r.qe, int(c), _probe_cdot(r.qe, int(c)))
                 for r in qrows
                 for c in r.cells
             ],
-            f"q_id {id_t}, qe array<double>, cell int",
+            f"q_id {id_t}, qe array<double>, cell int, cdot double",
         )
     )
     cos_q = None
@@ -585,12 +644,14 @@ def ivf_search(
         # duplicated per probe row would multiply the broadcast nprobe-
         # fold (32 KB x 512 queries x nprobe at the production shape).
         # Ranking only needs per-query ORDER, and ||qe|| is constant
-        # per query — so score = adc_dot / ||e|| (stored norm), never
-        # touching e or qe; the scan reads (vec_id, cell, pqc, norm)
+        # per query — so score = (cdot + adc_dot) / ||e|| (stored
+        # norm), never touching e or qe; the scan reads (vec_id, cell,
+        # pqc, norm). cdot is the residual tier's coarse term, 0 on
+        # raw-codebook indexes.
         from .pq import _check_codebook, adc_dot, pq_lut_rows
 
-        _, ksub, _ = _check_codebook(pq_cb)
-        luts = pq_lut_rows([list(r.qe) for r in qrows], pq_cb)
+        _, ksub, _ = _check_codebook(pq_spec["codebook"])
+        luts = pq_lut_rows([list(r.qe) for r in qrows], pq_spec["codebook"])
         lutdf = F.broadcast(
             spark.createDataFrame(
                 [(r.q_id, lut) for r, lut in zip(qrows, luts)],
@@ -598,7 +659,8 @@ def ivf_search(
             )
         )
         cos_q = F.try_divide(
-            adc_dot(F.col("pqc"), F.col("lut"), ksub), F.col("norm")
+            F.col("cdot") + adc_dot(F.col("pqc"), F.col("lut"), ksub),
+            F.col("norm"),
         )
         cand_q = (
             idx.select("vec_id", "cell", "pqc", "norm")
@@ -742,13 +804,28 @@ def _ivf_search_batch(
         # IVF-PQ on the batch path: the ADC LUT is a COLUMN on the
         # (small) query side — one Arrow-batched gemm over |queries|
         # rows — and the per-candidate scan is pure-expression lookups;
-        # ||qe|| is constant per query, so score = adc_dot / norm
-        from .pq import _check_codebook, adc_dot, pq_lut
+        # ||qe|| is constant per query, so score = (cdot + adc_dot) /
+        # norm. cdot is the residual tier's per-(query, cell) coarse
+        # term <q, centroid(cell)> — computed HERE on the exploded
+        # probe frame (|queries| x nprobe rows), never per candidate.
+        from .pq import _check_codebook, adc_dot, normalize_pq_spec, pq_lut
 
-        _, ksub, _ = _check_codebook(pq_cb)
-        qx_l = qx.withColumn("lut", pq_lut(F.col("qe"), pq_cb))
+        spec = normalize_pq_spec(pq_cb)
+        _, ksub, _ = _check_codebook(spec["codebook"])
+        qx_l = qx.withColumn("lut", pq_lut(F.col("qe"), spec["codebook"]))
+        if spec["residual"]:
+            cents_lit = F.array(*[
+                F.array(*[F.lit(float(v)) for v in row])
+                for row in spec["centroids"]
+            ])
+            qx_l = qx_l.withColumn(
+                "cdot", dot(F.col("qe"), F.element_at(cents_lit, F.col("cell")))
+            )
+        else:
+            qx_l = qx_l.withColumn("cdot", F.lit(0.0))
         cos_q = F.try_divide(
-            adc_dot(F.col("pqc"), F.col("lut"), ksub), F.col("norm")
+            F.col("cdot") + adc_dot(F.col("pqc"), F.col("lut"), ksub),
+            F.col("norm"),
         )
         cand_q = idx.select("vec_id", "cell", "pqc", "norm").join(qx_l, "cell")
     elif "q" in idx.columns and "scale" in idx.columns:

@@ -368,3 +368,193 @@ def test_time_travel_search(spark, tmp_path):
     # a retrain (atomic overwrite) leaves v1 searchable until vacuum
     ivf_retrain(spark, p, [list(reversed(c)) for c in cents])
     assert _rows(ivf_search(spark, p, q, cents, k=5, nprobe=2, version=1)) == at_v1
+
+
+# ---- residual encoding (round 10 — true IVFADC) ------------------------
+
+
+def _res_spec(spark, cents, n=200, m=4, ksub=8):
+    return pq_train(
+        _vecs(spark, 0, n), m=m, ksub=ksub, order_col="vec_id",
+        sample_rows=n, iters=6, residual_centroids=cents,
+    )
+
+
+def test_residual_train_spec_shape_and_determinism(spark):
+    cents = _centroids()
+    s1, s2 = _res_spec(spark, cents), _res_spec(spark, cents)
+    assert s1 == s2
+    assert s1["format"] == 2 and s1["residual"] is True
+    assert s1["centroids"] == [[float(v) for v in c] for c in cents]
+    cb = s1["codebook"]
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == DIM // 4
+    # residual codebook differs from the raw one over the same sample
+    assert cb != _cb(spark, m=4, ksub=8)
+
+
+def test_residual_encode_matches_numpy(spark):
+    """Residual codes are argmin over ``x - centroid(cell)`` with the
+    SAME cell the index row stores (first-max coarse argmax)."""
+    from dask_awkward_spark.functions.simindex import ivf_cell
+
+    cents = _centroids()
+    spec = _res_spec(spark, cents)
+    C = np.asarray(spec["codebook"])
+    m, ksub, dsub = C.shape
+    IC = np.asarray(cents)
+    rows = (
+        _vecs(spark, 0, 60)
+        .select(
+            "vec_id", "e",
+            ivf_cell(F.col("e"), cents).alias("cell"),
+            pq_encode(
+                F.col("e"), spec, cell=ivf_cell(F.col("e"), cents)
+            ).alias("pqc"),
+        )
+        .collect()
+    )
+    for r in rows:
+        x = np.asarray(r.e)
+        assert r.cell == int((x @ IC.T).argmax()) + 1
+        res = x - IC[r.cell - 1]
+        for j in range(m):
+            d2 = ((C[j] - res[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+            assert r.pqc[j] == int(d2.argmin()), (r.vec_id, j)
+
+
+def test_residual_exactness_at_full_rescore(spark, tmp_path):
+    """Full-rescore answers are exact regardless of encoding (ADC only
+    ranks) — residual index == flat index on BOTH plan paths."""
+    cents = _centroids()
+    spec = _res_spec(spark, cents)
+    p_flat, p_res = str(tmp_path / "flat"), str(tmp_path / "res")
+    ivf_index_add(p_flat, _vecs(spark, 0, 200), cents)
+    ivf_index_add(p_res, _vecs(spark, 0, 200), cents, pq_codebook=spec)
+    q = _vecs(spark, 0, 4)
+    flat = _rows(ivf_search(spark, p_flat, q, cents, k=5, nprobe=2))
+    got = _rows(
+        ivf_search(spark, p_res, q, cents, k=5, nprobe=2, rescore_k=10**6)
+    )
+    assert got == flat
+    gotb = _rows(
+        ivf_search(
+            spark, p_res, q, cents, k=5, nprobe=2, rescore_k=10**6, batch=True
+        )
+    )
+    assert gotb == flat
+
+
+def test_residual_chunked_equals_batch_build(spark, tmp_path):
+    cents = _centroids()
+    spec = _res_spec(spark, cents)
+    p1, p2 = str(tmp_path / "chunked"), str(tmp_path / "one")
+    for lo, hi in ((0, 70), (70, 140), (140, 200)):
+        ivf_index_add(p1, _vecs(spark, lo, hi), cents, pq_codebook=spec)
+    ivf_index_add(p2, _vecs(spark, 0, 200), cents, pq_codebook=spec)
+    q = _vecs(spark, 0, 3)
+    assert _rows(ivf_search(spark, p1, q, cents, k=5, nprobe=2)) == _rows(
+        ivf_search(spark, p2, q, cents, k=5, nprobe=2)
+    )
+
+
+def test_residual_batch_path_matches_collected_at_small_rescore(spark, tmp_path):
+    """The per-(query, cell) coarse term is computed driver-side on the
+    collected path and as an expression on the batch path — the SAME
+    left-to-right fold, so even the APPROXIMATE ranking (small
+    rescore_k) agrees between paths bit-for-bit."""
+    cents = _centroids()
+    spec = _res_spec(spark, cents)
+    p = str(tmp_path / "res")
+    ivf_index_add(p, _vecs(spark, 0, 200), cents, pq_codebook=spec)
+    q = _vecs(spark, 0, 6)
+    a = _rows(ivf_search(spark, p, q, cents, k=5, nprobe=3, rescore_k=8))
+    b = _rows(
+        ivf_search(spark, p, q, cents, k=5, nprobe=3, rescore_k=8, batch=True)
+    )
+    assert a == b
+
+
+def test_residual_ingest_centroid_mismatch_refused(spark, tmp_path):
+    cents = _centroids()
+    spec = _res_spec(spark, cents)
+    p = str(tmp_path / "res")
+    other = [[v * 2 for v in c] for c in cents]
+    with pytest.raises(ValueError, match="DIFFERENT IVF centroids"):
+        ivf_index_add(p, _vecs(spark, 0, 50), other, pq_codebook=spec)
+    # nothing persisted by the refused creating ingest
+    import os
+
+    assert not os.path.exists(p)
+
+
+def test_residual_retrain_centroid_change_refused(spark, tmp_path):
+    """A residual pqc is a property of (e, coarse quantizer) — retrain
+    under new centroids would orphan every code. Same-centroid retrain
+    (pure compaction-style rewrite) stays legal."""
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+
+    cents = _centroids()
+    spec = _res_spec(spark, cents)
+    p = str(tmp_path / "res")
+    ivf_index_add(p, _vecs(spark, 0, 150), cents, pq_codebook=spec)
+    with pytest.raises(ValueError, match="RESIDUAL-encoded"):
+        ivf_retrain(spark, p, [list(reversed(c)) for c in cents])
+    before = _rows(ivf_search(spark, p, _vecs(spark, 0, 3), cents, k=5, nprobe=2))
+    ivf_retrain(spark, p, cents)
+    after = _rows(ivf_search(spark, p, _vecs(spark, 0, 3), cents, k=5, nprobe=2))
+    assert before == after
+
+
+def test_residual_recall_beats_raw_on_clustered_data(spark, tmp_path):
+    """The point of residual encoding: on clustered data the raw
+    codebook must span the whole space while the residual one only
+    spans within-cluster offsets — better recall at the same m bytes.
+    Clusters are the coarse centroids plus small deterministic offsets;
+    probing EVERY cell isolates ADC ranking quality from cell recall."""
+    cents = _centroids()
+    # points = centroid(cluster) + 0.15 * sin offsets (deterministic)
+    vecs = spark.range(0, 240).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda d: F.element_at(
+                F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents]),
+                (F.col("id") % N_CELLS + 1).cast("int"),
+            )[d] + 0.15 * F.sin(F.col("id") * 1.1 + d * 0.9),
+        ).alias("e"),
+    )
+    raw = pq_train(vecs, m=4, ksub=8, order_col="vec_id",
+                   sample_rows=240, iters=6)
+    res = pq_train(vecs, m=4, ksub=8, order_col="vec_id",
+                   sample_rows=240, iters=6, residual_centroids=cents)
+    from dask_awkward_spark.functions.simindex import ivf_recall
+
+    q = vecs.filter(F.col("vec_id") < 24)
+    recalls = {}
+    for tag, cb in (("raw", raw), ("res", res)):
+        p = str(tmp_path / tag)
+        ivf_index_add(p, vecs, cents, pq_codebook=cb)
+        recalls[tag] = ivf_recall(
+            spark, p, q, cents, k=10, nprobes=(N_CELLS,)
+        )[0]["recall_at_k"]
+    assert recalls["res"] >= recalls["raw"], recalls
+
+
+def test_spec_format_refusals(spark):
+    from dask_awkward_spark.functions.pq import normalize_pq_spec
+
+    cents = _centroids()
+    spec = _res_spec(spark, cents)
+    with pytest.raises(ValueError, match="unsupported PQ codebook spec"):
+        normalize_pq_spec({**spec, "format": 3})
+    with pytest.raises(ValueError, match="missing 'codebook'"):
+        normalize_pq_spec({"format": 2, "residual": False})
+    with pytest.raises(ValueError, match="centroids"):
+        normalize_pq_spec({"format": 2, "residual": True,
+                           "codebook": spec["codebook"]})
+    # format-1 bare list still normalizes (round-9 indexes readable)
+    got = normalize_pq_spec(spec["codebook"])
+    assert got["residual"] is False and got["centroids"] is None
+    # residual encode without the cell column is refused
+    with pytest.raises(ValueError, match="coarse cell"):
+        pq_encode(F.col("e"), spec)

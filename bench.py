@@ -90,6 +90,11 @@ HEADLINE = [
     # over m-byte codes + exact re-score at full rescore)
     "io_snapshot_ddl",
     "sim_pq",
+    # round 10: partition transforms (days/bucket inverse-image
+    # pruning + spec evolution + cross-layout DELETE) and residual
+    # IVF-PQ (true IVFADC — per-(query,cell) coarse term + ADC)
+    "io_snapshot_transform",
+    "sim_pq_residual",
 ]
 
 

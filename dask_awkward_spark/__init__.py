@@ -61,6 +61,7 @@ from .sources.snapshot import (
     SnapshotConstraintViolation,
     from_snapshot,
     snapshot_add_columns,
+    snapshot_alter_column_type,
     snapshot_changes,
     snapshot_compact,
     snapshot_convert,

@@ -1578,7 +1578,10 @@ def io_snapshot_ddl(spark, sf_dir):
     """SQL DDL face lifecycle (round 9 continuation): EVERY statement —
     table creation included — is a SQL string against one catalog path.
     CREATE TABLE declares the schema and the stats-column property,
-    INSERT INTO fills it from a view, ALTER TABLE ADD COLUMNS widens it
+    INSERT INTO fills it from a view, ALTER COLUMN TYPE widens the
+    declared int key to bigint metadata-only (round 10 — zero files
+    rewritten, proven; later DML rewrites at the wide width, so the
+    final read mixes file widths), ALTER TABLE ADD COLUMNS widens it
     metadata-only (old rows read NULL), UPDATE computes the new column
     for one segment, RENAME COLUMN proves the mapping survives SQL DML,
     ADD CONSTRAINT + DELETE exercise enforcement and pruning, and the
@@ -1602,15 +1605,28 @@ def io_snapshot_ddl(spark, sf_dir):
     try:
         v = snapshot_sql(
             spark,
-            f"CREATE TABLE t (k bigint, seg string, bal double) "
+            f"CREATE TABLE t (k int, seg string, bal double) "
             f"TBLPROPERTIES ('stats_columns' = 'k,bal') LOCATION '{loc}'",
             cat,
         )
         assert v == 1, f"CREATE must commit v1, got {v}"
         cust.orderBy("k").repartitionByRange(6, "k").createOrReplaceTempView(view)
-        snapshot_sql(spark, f"INSERT INTO t SELECT k, seg, bal FROM {view}", cat)
+        snapshot_sql(
+            spark,
+            f"INSERT INTO t SELECT CAST(k AS INT) AS k, seg, bal FROM {view}",
+            cat,
+        )
         rep = snapshot_scan_report(loc, [("k", "<", 2)])
         assert rep["skipped"] >= 1, f"declared stats_columns must prune: {rep}"
+        # round-10 widen: metadata-only — later DML rewrites at bigint,
+        # so the final read crosses int-width AND bigint-width files
+        from ..sources.snapshot import _read_manifest, _versions
+
+        pre_files = list(_read_manifest(loc, _versions(loc)[-1])["files"])
+        snapshot_sql(spark, "ALTER TABLE t ALTER COLUMN k TYPE bigint", cat)
+        m_w = _read_manifest(loc, _versions(loc)[-1])
+        assert m_w["files"] == pre_files, "widening must rewrite ZERO files"
+        assert "k:bigint" in m_w["schema_ddl"], m_w["schema_ddl"]
         snapshot_sql(spark, "ALTER TABLE t ADD COLUMNS (bonus double)", cat)
         st = snapshot_sql(
             spark, "UPDATE t SET bonus = bal * 0.1 WHERE seg = 'BUILDING'", cat
@@ -1735,3 +1751,108 @@ GROUP BY 1
 
 QUERIES["io_snapshot_pspec"] = io_snapshot_pspec
 ORACLES["io_snapshot_pspec"] = IO_SNAPSHOT_PSPEC_SQL
+
+
+def io_snapshot_transform(spark, sf_dir):
+    """Partition TRANSFORMS under an oracle (round 10 — Iceberg hidden
+    partitioning): events load partitioned by ``days(ts)`` +
+    ``bucket(4, user_id)``; the transform value lives only in the
+    directory name (the raw columns stay in every file), and pruning is
+    asserted by the INVERSE-IMAGE rule — a predicate on RAW ``ts``
+    must skip other days' files, a RAW ``user_id`` equality must skip
+    other buckets' files (footer min/max on a spread key cannot do
+    that). The spec then EVOLVES to ``truncate(2000, event_id)``
+    (metadata-only, zero files rewritten — proven), an append lands
+    under the new layout, and a DELETE with a raw-ts predicate cuts
+    across BOTH layouts (whole-day files drop by the all-match proof —
+    the dir value records nulls=0 for the virtual column). The final
+    mixed-layout read-back must equal plain SQL over the source rows:
+    layout and transforms are invisible in the answer."""
+    import datetime
+    import shutil
+    import zlib
+
+    from ..sources.events import load_events
+    from ..sources.snapshot import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_scan_report,
+        snapshot_set_partition_spec,
+        snapshot_write,
+        _read_manifest,
+        _versions,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_TMP}/dakspark_ptrans_{sf_tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    cut = hi // 2
+    try:
+        snapshot_write(
+            ev.filter(F.col("event_id") <= cut), path,
+            partition_by=["days(ts)", "bucket(4, user_id)"],
+        )
+        m1 = _read_manifest(path, 1)
+        assert m1["partition_by"] == ["days(ts)", "bucket(4, user_id)"]
+        assert all(
+            "ts_day=" in f and "user_id_bucket_4=" in f for f in m1["files"]
+        ), "transform dirs missing"
+        # inverse-image pruning on the RAW columns (the data spans
+        # 2024-01: a one-week slice must skip most days' files; a
+        # user_id equality must skip the other 3 buckets' files)
+        rep = snapshot_scan_report(
+            path, [("ts", ">=", datetime.datetime(2024, 1, 24))]
+        )
+        assert rep["skipped"] >= rep["total"] // 2, f"days() did not prune: {rep}"
+        uid = ev.agg(F.min("user_id")).first()[0]
+        rep2 = snapshot_scan_report(path, [("user_id", "=", uid)])
+        assert rep2["skipped"] >= rep2["total"] // 2, f"bucket() did not prune: {rep2}"
+        # the bucket dir value is the crc32 inverse image, provably
+        bdir = f"user_id_bucket_4={zlib.crc32(str(uid).encode()) % 4}"
+        assert any(bdir in f for f in m1["files"]), bdir
+        # spec EVOLUTION to an int-truncate transform: metadata-only
+        v = snapshot_set_partition_spec(path, ["truncate(2000, event_id)"])
+        assert _read_manifest(path, v)["files"] == m1["files"], (
+            "spec evolution must rewrite ZERO files"
+        )
+        snapshot_write(ev.filter(F.col("event_id") > cut), path, mode="append")
+        v1_set = set(m1["files"])
+        newest = [
+            f for f in _read_manifest(path, v + 1)["files"] if f not in v1_set
+        ]
+        assert newest and all("event_id_truncate_2000=" in f for f in newest)
+        # DELETE with a raw-ts predicate cuts across BOTH layouts
+        st = snapshot_delete(
+            spark, path, [("ts", "<", datetime.datetime(2024, 1, 8))]
+        )
+        assert st["removed_rows"] > 0
+        # mixed-layout pruning still fires after the DELETE
+        rep3 = snapshot_scan_report(
+            path, [("event_id", "<=", min(2000, cut))],
+            version=_versions(path)[-1],
+        )
+        assert rep3["skipped"] >= 1, rep3
+        return (
+            snapshot_read(spark, path)
+            .groupBy(F.dayofmonth("ts").cast("int").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("value"))).alias("value_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+IO_SNAPSHOT_TRANSFORM_SQL = """
+SELECT CAST(day(ts) AS INT) AS day, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY 1
+"""
+
+QUERIES["io_snapshot_transform"] = io_snapshot_transform
+ORACLES["io_snapshot_transform"] = IO_SNAPSHOT_TRANSFORM_SQL

@@ -606,19 +606,286 @@ _PART_SHADOW = "__dakp_"  # staging-only shadow column prefix
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _check_partition_by(partition_by: "list[str]", schema: StructType) -> None:
-    types = {f.name: f.dataType.simpleString() for f in schema.fields}
-    for c in partition_by:
-        if c not in types:
-            raise ValueError(f"partition column {c!r} not in schema {sorted(types)}")
-        if types[c] not in _PART_TYPES:
+# ---- partition transforms (Iceberg-style hidden partitioning) --------
+#
+# A spec entry is either a bare column name (identity, the original
+# grammar) or a TRANSFORM over one: days(ts) / month(ts) / year(ts) /
+# hour(ts) / bucket(n, col) / truncate(w, col). The transform VALUE
+# lives only in the hive directory name (a virtual column — the raw
+# column stays inside every file, like identity partitioning); pruning
+# works by the INVERSE-IMAGE rule: a predicate on the RAW column maps
+# to a conservative predicate on the transform value (ts >= X implies
+# days(ts) >= date(X); col = v implies bucket = hash(v) % n), which the
+# ordinary stats machinery then evaluates against the dir-value-backed
+# min==max entry. Temporal transforms accept date / timestamp_ntz
+# sources only — a tz-aware timestamp's day boundary depends on the
+# session zone, the same repr trap that keeps timestamps out of
+# _PART_TYPES. bucket uses crc32 of the value's canonical string (int
+# cast or the string itself), reproduced bit-for-bit driver-side.
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(days|day|month|year|hour|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+_TEMPORAL_SRC = ("date", "timestamp_ntz")
+_BUCKET_SRC = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _parse_pspec_entry(entry: str):
+    """One spec entry parsed: ``(kind, arg, col, vname, canonical)``.
+    ``kind`` is 'identity' for a bare name (then vname == col). vname
+    is the virtual column the hive dir / stats entry carries — a
+    deterministic flattening of the transform, e.g. ``days(ts)`` ->
+    ``ts_day``, ``bucket(16, user_id)`` -> ``user_id_bucket_16``."""
+    entry = entry.strip()
+    mt = _TRANSFORM_RE.match(entry)
+    if mt is None:
+        return ("identity", None, entry, entry, entry)
+    kind, arg, col = mt.group(1), mt.group(2), mt.group(3)
+    if kind == "day":
+        kind = "days"  # Iceberg accepts both spellings
+    if kind in ("bucket", "truncate"):
+        if arg is None:
             raise ValueError(
-                f"cannot partition by {c!r} ({types[c]}): partition values "
-                f"live in directory names and must round-trip exactly — "
-                f"allowed types are {_PART_TYPES}; use zorder_by for the rest"
+                f"{kind}() needs a width argument: {kind}(N, {col})"
             )
-    if len(set(partition_by)) != len(partition_by):
+        n = int(arg)
+        if n < 1 or (kind == "bucket" and n < 2):
+            raise ValueError(f"{kind} width must be >= {2 if kind == 'bucket' else 1}, got {n}")
+        vname = f"{col}_{kind}_{n}"
+        return (kind, n, col, vname, f"{kind}({n}, {col})")
+    if arg is not None:
+        raise ValueError(f"{kind}() takes a single column: {kind}({col})")
+    vname = f"{col}_{kind.rstrip('s')}"
+    return (kind, None, col, vname, f"{kind}({col})")
+
+
+def _transform_virtual_type(kind: str, src_simple: str) -> str:
+    """simpleString type of a transform's VIRTUAL value (what the hive
+    dir encodes and the stats entry stores)."""
+    if kind == "days":
+        return "date"
+    if kind in ("month", "hour"):
+        return "string"  # zero-padded — lexicographic == chronological
+    if kind == "year":
+        return "int"
+    if kind == "bucket":
+        return "int"
+    if kind == "truncate":
+        return "string" if src_simple == "string" else "bigint"
+    raise AssertionError(kind)
+
+
+def _transform_expr(kind: str, arg, col: str, src_simple: str) -> Column:
+    """The transform as a Spark Column over the source column — the
+    shadow partitionBy column at write time. Must agree exactly with
+    :func:`_transform_value` (the driver-side inverse-image twin)."""
+    c = F.col(col)
+    if kind == "days":
+        return F.to_date(c)
+    if kind == "month":
+        return F.date_format(c.cast("timestamp_ntz"), "yyyy-MM")
+    if kind == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if kind == "year":
+        return F.year(c).cast("int")
+    if kind == "bucket":
+        return F.pmod(
+            F.crc32(c.cast("string").cast("binary")), F.lit(arg)
+        ).cast("int")
+    # truncate: prefix for strings, floor-to-width for integers
+    if src_simple == "string":
+        return F.substring(c, 1, arg)
+    return (c - F.pmod(c, F.lit(arg))).cast("bigint")
+
+
+def _transform_value(kind: str, arg, v, src_simple: str):
+    """Driver-side twin of :func:`_transform_expr`: the transform of a
+    PREDICATE value, or None when the value's type doesn't fit (then no
+    derived pruning — never an unsafe skip)."""
+    import datetime
+    import zlib
+
+    if kind in ("days", "month", "hour", "year"):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                return None  # aware literal vs wall-clock dirs: no map
+            d, t = v.date(), v
+        elif isinstance(v, datetime.date):
+            d, t = v, datetime.datetime(v.year, v.month, v.day)
+        else:
+            return None
+        if kind == "days":
+            return d
+        if kind == "month":
+            return f"{d.year:04d}-{d.month:02d}"
+        if kind == "hour":
+            return t.strftime("%Y-%m-%d-%H")
+        return d.year
+    if kind == "bucket":
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            return None
+        s = v if isinstance(v, str) else str(v)
+        return zlib.crc32(s.encode("utf-8")) % arg
+    if kind == "truncate":
+        if src_simple == "string":
+            return v[:arg] if isinstance(v, str) else None
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+        return v - (v % arg)
+    return None
+
+
+#: op on the RAW column -> sound op on the MONOTONE transform value
+#: (strict bounds widen: ts < X admits days(ts) == days(X) rows).
+_MONOTONE_OP = {"=": "=", "in": "in", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+
+
+def _derive_transform_triples(m: dict, pwhere) -> "list[tuple]":
+    """Inverse-image pruning predicates: for each transform in the
+    table's partition spec, map every predicate on its SOURCE column to
+    a conservative predicate on the virtual transform column (whose
+    min==max stats the dir value backs). Sound by construction —
+    monotone transforms translate ranges with widened bounds; bucket
+    translates equality/IN only. Returns extra triples to AND into the
+    prune set (they are prune-only: never applied as row filters)."""
+    pb = m.get("partition_by") or []
+    if not pwhere or not pb:
+        return []
+    pmap = _mapping_physical(m)
+    try:
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(m["schema_json"])).fields
+        }
+    except Exception:
+        return []
+    out = []
+    for entry in pb:
+        try:
+            kind, arg, col, vname, _ = _parse_pspec_entry(entry)
+        except ValueError:
+            continue  # foreign/newer spec entry: derive nothing
+        if kind == "identity":
+            continue
+        src_simple = types.get(col, "")
+        pcol = pmap.get(col, col)  # pwhere arrives physical
+        if pcol != col:
+            # stats carry the PHYSICAL vname (dirs are written after
+            # the physical rename): re-derive it from the mapped column
+            vname = _parse_pspec_entry(
+                f"{kind}({arg}, {pcol})" if arg is not None else f"{kind}({pcol})"
+            )[3]
+        for c, op, v in pwhere:
+            if c != pcol or op not in _MONOTONE_OP:
+                continue
+            if kind == "bucket" and op not in ("=", "in"):
+                continue  # hashing destroys order: ranges don't map
+            if op == "in":
+                tv = [
+                    _transform_value(kind, arg, x, src_simple)
+                    for x in v
+                    if x is not None
+                ]
+                if any(x is None for x in tv) or not tv:
+                    continue  # one unmappable element: derive nothing
+                out.append((vname, "in", tv))
+                continue
+            tv = _transform_value(kind, arg, v, src_simple)
+            if tv is None:
+                continue
+            out.append((vname, _MONOTONE_OP[op], tv))
+    return out
+
+
+def _check_partition_by(partition_by: "list[str]", schema: StructType) -> None:
+    _canon_partition_by(partition_by, schema)
+
+
+def _transform_virtual_cols(m: dict) -> "list[tuple[str, str]]":
+    """(PHYSICAL virtual-column name, simple type) per transform in the
+    manifest's partition spec — the extra stats columns the checkpoint
+    sidecar carries so inverse-image pruning also runs on the
+    distributed (1M-file) path."""
+    pb = m.get("partition_by") or []
+    if not pb:
+        return []
+    pmap = _mapping_physical(m)
+    try:
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(m["schema_json"])).fields
+        }
+    except Exception:
+        return []
+    out = []
+    for entry in pb:
+        try:
+            kind, arg, col, vname, _ = _parse_pspec_entry(entry)
+        except ValueError:
+            continue
+        if kind == "identity":
+            continue
+        pcol = pmap.get(col, col)
+        if pcol != col:
+            vname = _parse_pspec_entry(
+                f"{kind}({arg}, {pcol})" if arg is not None else f"{kind}({pcol})"
+            )[3]
+        out.append((vname, _transform_virtual_type(kind, types.get(col, ""))))
+    return out
+
+
+def _canon_partition_by(
+    partition_by: "list[str]", schema: StructType
+) -> "list[str]":
+    """Validate a partition spec (identity columns and transforms) and
+    return it in CANONICAL spelling (``days(1,ts)`` never exists;
+    ``day(ts)``/spacing variants normalize to ``days(ts)``) so manifest
+    spec-equality checks are string comparisons."""
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    canon, vnames = [], []
+    for entry in partition_by:
+        kind, arg, col, vname, cform = _parse_pspec_entry(entry)
+        if col not in types:
+            raise ValueError(f"partition column {col!r} not in schema {sorted(types)}")
+        src = types[col]
+        if kind == "identity":
+            if src not in _PART_TYPES:
+                raise ValueError(
+                    f"cannot partition by {col!r} ({src}): partition values "
+                    f"live in directory names and must round-trip exactly — "
+                    f"allowed types are {_PART_TYPES}; use zorder_by for the "
+                    "rest, or a transform (days/bucket/truncate) to derive "
+                    "a coarser directory value"
+                )
+        elif kind in ("days", "month", "year", "hour"):
+            ok = _TEMPORAL_SRC if kind != "hour" else ("timestamp_ntz",)
+            if src not in ok:
+                raise ValueError(
+                    f"{kind}({col}): source must be one of {ok}, got {src} "
+                    "— a tz-aware timestamp's day boundary depends on the "
+                    "session zone (normalize to timestamp_ntz first)"
+                )
+        elif kind == "bucket":
+            if src not in _BUCKET_SRC:
+                raise ValueError(
+                    f"bucket(n, {col}): source must be one of {_BUCKET_SRC}, got {src}"
+                )
+        elif kind == "truncate":
+            if src not in _BUCKET_SRC:
+                raise ValueError(
+                    f"truncate(w, {col}): source must be one of {_BUCKET_SRC}, got {src}"
+                )
+        if vname in types and vname != col:
+            raise ValueError(
+                f"transform {cform!r}: virtual column name {vname!r} "
+                "collides with a real column — rename one"
+            )
+        canon.append(cform)
+        vnames.append(vname)
+    if len(set(vnames)) != len(vnames):
         raise ValueError(f"duplicate partition columns in {partition_by}")
+    return canon
 
 
 def _parse_part_value(dirname: str, simple: str):
@@ -677,16 +944,42 @@ def _stage_files(
     if pmap:
         # files store PHYSICAL names: rename mapped columns before the
         # write (internal columns — _change_type, file/pos — pass through),
-        # and translate the partition/bloom specs to match
+        # and translate the partition/bloom specs to match (a transform
+        # entry translates its INNER column: days(ts) -> days(ts_phys))
         if any(pmap.get(c, c) != c for c in df.columns):
             df = df.select(*[df[c].alias(pmap.get(c, c)) for c in df.columns])
         if partition_by:
-            partition_by = [pmap.get(c, c) for c in partition_by]
+            def _phys_entry(e: str) -> str:
+                kind, arg, col, _, _ = _parse_pspec_entry(e)
+                pc = pmap.get(col, col)
+                if kind == "identity":
+                    return pc
+                return f"{kind}({arg}, {pc})" if arg is not None else f"{kind}({pc})"
+
+            partition_by = [_phys_entry(e) for e in partition_by]
         if bloom_ndv:
             bloom_ndv = {pmap.get(c, c): v for c, v in bloom_ndv.items()}
+    part_vtypes: "dict[str, str]" = {}  # virtual dir col -> simple type
+    part_names: "list[str]" = []  # shadow/dir names, spec order
     if partition_by:
-        for c in partition_by:
-            df = df.withColumn(_PART_SHADOW + c, F.col(c))
+        src_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for e in partition_by:
+            kind, arg, col, vname, _ = _parse_pspec_entry(e)
+            part_names.append(vname)
+            if kind == "identity":
+                df = df.withColumn(_PART_SHADOW + vname, F.col(col))
+            else:
+                # the transform value exists ONLY in the directory name
+                # (the raw column stays in the file); its dir-value
+                # backup below is therefore the stats entry inverse-
+                # image pruning evaluates
+                df = df.withColumn(
+                    _PART_SHADOW + vname,
+                    _transform_expr(kind, arg, col, src_types.get(col, "")),
+                )
+                part_vtypes[vname] = _transform_virtual_type(
+                    kind, src_types.get(col, "")
+                )
     # INT96 (Spark's legacy parquet timestamp) carries NO footer min/max,
     # which would silently disable time-range file skipping — the main
     # 100 TB pruning case. Upgrade the SESSION to INT64 micros once and
@@ -702,7 +995,7 @@ def _stage_files(
     try:
         w = df.write.mode("overwrite").option("compression", compression)
         if partition_by:
-            w = w.partitionBy(*(_PART_SHADOW + c for c in partition_by))
+            w = w.partitionBy(*(_PART_SHADOW + c for c in part_names))
         have = {f.name for f in df.schema.fields}
         for c, ndv in (bloom_ndv or {}).items():
             if c in have:  # DV/change frames don't carry the data columns
@@ -742,9 +1035,22 @@ def _stage_files(
                 c = p.split("=", 1)[0]
                 mm = stats[rel].setdefault("minmax", {})
                 if c not in mm:
-                    v = _encode_stat(_parse_part_value(p, col_types.get(c, "")))
+                    # transform dirs carry a VIRTUAL column: its type
+                    # comes from the transform, and this backup is the
+                    # entry inverse-image pruning evaluates (the value
+                    # exists nowhere else)
+                    simple = part_vtypes.get(c) or col_types.get(c, "")
+                    v = _encode_stat(_parse_part_value(p, simple))
                     if v is not None:
                         mm[c] = [v, v]
+                        if c in part_vtypes:
+                            # a parsed (non-NULL-dir) transform value is
+                            # constant and non-null for EVERY row of the
+                            # file — record the zero null count so the
+                            # all-match fast paths (metadata counts,
+                            # whole-file DELETE drops) stay provable on
+                            # transform-partitioned tables
+                            stats[rel].setdefault("nulls", {})[c] = 0
     finally:
         _fs().delete_prefix(staging)
     return files, stats
@@ -908,28 +1214,33 @@ def _phys_schema(schema: StructType, pmap: "dict[str, str]") -> StructType:
 def _where_phys(m: dict, where):
     """Predicate triples with column names translated logical->physical
     for stats/checkpoint lookups (file stats are keyed by the physical
-    names the footers carry). Must be applied EXACTLY ONCE, at the
-    public entry point: after a rename a->b plus a re-add of `a`, a
-    second pass would wrongly move the renamed column's physical name
-    onto the new column."""
+    names the footers carry), PLUS the inverse-image triples a
+    transform partition spec derives (prune-only — every caller feeds
+    the result to stats evaluation, never to row filters, so the
+    conservative derived predicates can only skip provably-empty
+    files). Must be applied EXACTLY ONCE, at the public entry point:
+    after a rename a->b plus a re-add of `a`, a second pass would
+    wrongly move the renamed column's physical name onto the new
+    column (and double-derive transform triples)."""
     if not where:
         return where
     pmap = _mapping_physical(m)
-    if not pmap:
-        return where
+    if pmap:
 
-    def phys(c: str) -> str:
-        if c in pmap:
-            return pmap[c]
-        # dotted = struct-leaf predicate: rename/drop are top-level-only
-        # (column mapping tracks ids per top-level column), so only the
-        # HEAD segment translates; the nested suffix is logical==physical
-        if "." in c:
-            head, rest = c.split(".", 1)
-            return f"{pmap.get(head, head)}.{rest}"
-        return c
+        def phys(c: str) -> str:
+            if c in pmap:
+                return pmap[c]
+            # dotted = struct-leaf predicate: rename/drop are top-level-
+            # only (column mapping tracks ids per top-level column), so
+            # only the HEAD segment translates; the nested suffix is
+            # logical==physical
+            if "." in c:
+                head, rest = c.split(".", 1)
+                return f"{pmap.get(head, head)}.{rest}"
+            return c
 
-    return [(phys(c), op, v) for c, op, v in where]
+        where = [(phys(c), op, v) for c, op, v in where]
+    return list(where) + _derive_transform_triples(m, where)
 
 
 def _check_reserved_names(columns) -> None:
@@ -1107,7 +1418,9 @@ def snapshot_write(
     if partition_by is None:
         eff_pb = head_pb
     else:
-        eff_pb = list(partition_by)
+        # canonical spelling up front (day(ts) -> days(ts), spacing)
+        # so the sticky-spec equality below is a string comparison
+        eff_pb = _canon_partition_by(list(partition_by), df.schema)
         if mode == "append" and pre and eff_pb != head_pb:
             raise ValueError(
                 f"append partition_by {eff_pb} != table's {head_pb}; "
@@ -1190,9 +1503,17 @@ def snapshot_write(
         )
         pmap_sc = (eff_cm_ext or {}).get("physical") or {}
         # partition columns always record (partition pruning IS their
-        # min==max stats) — include them implicitly, physical-named
+        # min==max stats) — include them implicitly, physical-named;
+        # a transform entry contributes its SOURCE column (the virtual
+        # dir value records unconditionally via the dir-value backup,
+        # but predicates on the raw column still want its footer stats)
         eff_sc = [
-            p for p in (pmap_sc.get(c, c) for c in eff_pb) if p not in eff_sc
+            p
+            for p in (
+                pmap_sc.get(c, c)
+                for c in (_parse_pspec_entry(e)[2] for e in eff_pb)
+            )
+            if p not in eff_sc
         ] + eff_sc
         if mode == "append" and pre and eff_sc != pre_m.get("stats_columns"):
             raise ValueError(
@@ -1637,9 +1958,17 @@ def snapshot_set_stats_columns(
         pmap = _mapping_physical(m)
         if columns:
             spec = _resolve_stats_columns(schema, pmap, columns)
+            # transform entries contribute their SOURCE column (the
+            # virtual dir value records via the dir-value backup)
             spec = [
                 p
-                for p in (pmap.get(c, c) for c in (m.get("partition_by") or []))
+                for p in (
+                    pmap.get(c, c)
+                    for c in (
+                        _parse_pspec_entry(e)[2]
+                        for e in (m.get("partition_by") or [])
+                    )
+                )
                 if p not in spec
             ] + spec
         else:
@@ -1679,6 +2008,15 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
         cols = [
             (p, _ckpt_arrow_type(s))
             for p, s in _prunable_leaf_paths(schema, pmap, manifest.get("stats_columns"))
+        ]
+        # transform partition specs add VIRTUAL columns (dir-value
+        # stats) — carried in the sidecar so inverse-image pruning
+        # works on the distributed path too
+        have = {p for p, _ in cols}
+        cols += [
+            (p, _ckpt_arrow_type(s))
+            for p, s in _transform_virtual_cols(manifest)
+            if p not in have
         ]
         files = manifest.get("files") or []
         stats = manifest.get("stats") or {}
@@ -1836,7 +2174,10 @@ def _dist_prune_files(
         # the spec (or prefix) names the candidates; the `in ck_cols`
         # intersection keeps this sound when the checkpoint was written
         # under an older spec (missing sidecar columns never prune)
-        for p, s in _prunable_leaf_paths(schema, pmap, m.get("stats_columns"))
+        for p, s in (
+            _prunable_leaf_paths(schema, pmap, m.get("stats_columns"))
+            + _transform_virtual_cols(m)  # inverse-image virtual cols
+        )
         if f"min__{p}" in ck_cols
     }
     cond = _dist_keep_cond(col_types, where)
@@ -2276,8 +2617,20 @@ def snapshot_rename_column(
         manifest["schema_json"] = out_schema.json()
         manifest["column_mapping"] = cm
         if m.get("partition_by"):
+            def _ren_entry(e: str) -> str:
+                # a transform renames its INNER column: days(a)->days(b)
+                kind, arg, col, _, canon = _parse_pspec_entry(e)
+                if col != old:
+                    return canon if kind != "identity" else e
+                if kind == "identity":
+                    return new
+                return (
+                    f"{kind}({arg}, {new})" if arg is not None
+                    else f"{kind}({new})"
+                )
+
             manifest["partition_by"] = [
-                new if c == old else c for c in m["partition_by"]
+                _ren_entry(c) for c in m["partition_by"]
             ]
         if m.get("bloom_ndv"):
             manifest["bloom_ndv"] = {
@@ -2312,10 +2665,13 @@ def snapshot_drop_column(
             raise ValueError(f"column {name!r} not in schema {names}")
         if len(names) == 1:
             raise ValueError("cannot drop the table's only column")
-        if name in (m.get("partition_by") or []):
+        if name in (
+            _parse_pspec_entry(e)[2] for e in (m.get("partition_by") or [])
+        ):
             raise ValueError(
-                f"cannot drop partition column {name!r}; overwrite with a "
-                "new partition spec first"
+                f"cannot drop partition column {name!r} (the spec names "
+                "it, bare or inside a transform); set a new partition "
+                "spec first"
             )
         _refuse_constrained(m, name, "drop")
         cm = m.get("column_mapping") or _init_mapping(schema)
@@ -2360,17 +2716,46 @@ def _split_coldefs(s: str) -> "list[str]":
 
 
 def _insert_nested_field(dt, segs: "list[str]", field, dotted: str):
-    """``dt`` (a StructType) with ``field`` appended to the struct at
-    ``segs`` (a chain of struct field names). Refuses a path through a
-    non-struct (incl. list/map — 'any element' addressing is a
-    different question, same principle as the stats grammar)."""
-    from pyspark.sql.types import StructField
+    """``dt`` with ``field`` appended to the struct at ``segs`` — a
+    chain of struct field names that may also step INSIDE containers
+    with the ``element`` (list) / ``value`` (map) segments, Delta's
+    addressing for ``ADD COLUMNS (items.element.x double)`` (round 10
+    — old files null-fill the new field at depth on both reader
+    faces). Map KEYS are refused: keys define entry identity, and a
+    null-filled key field would silently change what equality means.
+    Stats never descend lists/maps (repeated parquet leaves carry no
+    usable min/max), so the stats grammar keeps refusing these paths —
+    correct, not a gap."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
 
+    if segs and isinstance(dt, ArrayType) and segs[0] == "element":
+        return ArrayType(
+            _insert_nested_field(dt.elementType, segs[1:], field, dotted),
+            dt.containsNull,
+        )
+    if segs and isinstance(dt, MapType):
+        if segs[0] == "value":
+            return MapType(
+                dt.keyType,
+                _insert_nested_field(dt.valueType, segs[1:], field, dotted),
+                dt.valueContainsNull,
+            )
+        if segs[0] == "key":
+            raise ValueError(
+                f"cannot add {dotted!r}: map KEYS define entry identity "
+                "— a null-filled key field in old files would change "
+                "what key equality means; restructure via overwrite"
+            )
     if not isinstance(dt, StructType):
+        hint = (
+            " (step inside a list with '.element.', a map value with "
+            "'.value.')"
+            if isinstance(dt, (ArrayType, MapType))
+            else ""
+        )
         raise ValueError(
             f"cannot add {dotted!r}: the path crosses a non-struct "
-            f"({dt.simpleString()}) — only struct chains accept nested "
-            "adds (rewrite via overwrite for list/map element changes)"
+            f"({dt.simpleString()}){hint}"
         )
     if not segs:
         if field.name.lower() in {f.name.lower() for f in dt.fields}:
@@ -2429,13 +2814,13 @@ def snapshot_set_partition_spec(
             )
         m = _read_manifest(path, head)
         schema = StructType.fromJson(json.loads(m["schema_json"]))
-        _check_partition_by(pb, schema)
-        if (m.get("partition_by") or []) == pb:
+        cpb = _canon_partition_by(pb, schema)
+        if (m.get("partition_by") or []) == cpb:
             return head  # no-op: spec unchanged
         manifest = _cow_manifest(
             m, head, "set_partition_spec", list(m["files"]), dict(m.get("stats", {}))
         )
-        manifest["partition_by"] = pb or None
+        manifest["partition_by"] = cpb or None
         if _commit_manifest(path, head + 1, manifest, m):
             return head + 1
         # another writer claimed head+1: re-read and retry
@@ -2463,9 +2848,13 @@ def snapshot_add_columns(
     its depth on BOTH reader faces, the parent keeps its column-mapping
     identity (renaming ``meta`` later still carries the added field),
     and the new leaf participates in nested-stats skipping for files
-    written from here on. Paths through list/map elements are refused
-    (struct chains only, the same addressing rule as the stats
-    grammar). Returns the new version.
+    written from here on. Container steps use Delta's addressing
+    (round 10): ``items.element.x`` adds a field to the struct INSIDE
+    ``array<struct>``, ``mp.value.x`` inside a map's value struct —
+    old files null-fill the new field at depth on both reader faces;
+    map KEY adds are refused (keys define entry identity). List/map
+    leaves stay out of the stats grammar (repeated parquet leaves
+    carry no usable min/max). Returns the new version.
 
     Reference: no counterpart (dask-awkward builds a new array with
     ``with_field`` instead); Spark-native analog is ``ALTER TABLE ADD
@@ -2541,6 +2930,122 @@ def snapshot_add_columns(
         manifest["column_mapping"] = _extend_mapping(
             m.get("column_mapping"), out_schema
         )
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+        # another writer claimed head+1: re-read and retry
+
+
+def snapshot_alter_column_type(
+    path: str, column: str, new_type, expect_head: "int | None" = None
+) -> int:
+    """Widen a column's type METADATA-ONLY (Delta's ``ALTER TABLE t
+    ALTER COLUMN c TYPE <wider>``, VERDICT r9 missing-item 3): the
+    commit rewrites no data file — the recorded schema pins the wider
+    type and files written at EITHER width read back exactly (Spark 4's
+    vectorized reader upcasts natively; the same lossless lattice the
+    ``merge_schema=`` write path already uses — int chain, float ->
+    double, sub-long ints -> double, decimal widening). Until now a
+    SQL-only consumer had to push a widened WRITE to trigger the
+    lattice; this is the pre-widening DDL face.
+
+    ``column`` may be a DOTTED struct path (``meta.count`` — struct
+    chains only, the same addressing rule as nested ADD COLUMNS).
+    Narrowing and non-lossless changes are refused with the lattice
+    named; widening a PARTITION source column to a type the spec cannot
+    carry (e.g. an identity partition column to double) is refused with
+    the spec named. Returns the new version (the current head when the
+    column already has the requested type — idempotent).
+
+    Reference: no counterpart (dask-awkward casts with
+    ``values_astype`` instead); Delta analog requires
+    ``delta.enableTypeWidening``."""
+    from pyspark.sql.types import StructField
+
+    if isinstance(new_type, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        new_type = _parse_datatype_string(new_type.strip())
+    new_simple = new_type.simpleString()
+    segs = column.split(".")
+    if not all(re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", s) for s in segs):
+        raise ValueError(f"bad column path {column!r}")
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        noop = False
+
+        def widen(st: StructType, i: int) -> StructType:
+            nonlocal noop
+            fields, hit = [], False
+            for f in st.fields:
+                if f.name != segs[i]:
+                    fields.append(f)
+                    continue
+                hit = True
+                if i == len(segs) - 1:
+                    cur = f.dataType.simpleString()
+                    if cur == new_simple:
+                        noop = True
+                        fields.append(f)
+                        continue
+                    w = _widened(cur, new_simple)
+                    if w != new_simple:
+                        raise ValueError(
+                            f"cannot ALTER {column!r} from {cur} to "
+                            f"{new_simple}: only LOSSLESS widening is "
+                            "metadata-only (int chain, float->double, "
+                            "sub-long ints->double, decimal widening) — "
+                            "narrowing or re-typing needs a rewrite "
+                            "(INSERT OVERWRITE with the cast)"
+                        )
+                    fields.append(
+                        StructField(f.name, new_type, f.nullable, f.metadata)
+                    )
+                else:
+                    if not isinstance(f.dataType, StructType):
+                        raise ValueError(
+                            f"path {column!r} crosses {f.name!r} "
+                            f"({f.dataType.simpleString()}): dotted ALTER "
+                            "COLUMN addresses struct chains only"
+                        )
+                    fields.append(
+                        StructField(
+                            f.name, widen(f.dataType, i + 1),
+                            f.nullable, f.metadata,
+                        )
+                    )
+            if not hit:
+                raise ValueError(
+                    f"column {'.'.join(segs[:i + 1])!r} not in "
+                    f"{[x.name for x in st.fields]}"
+                )
+            return StructType(fields)
+
+        out_schema = widen(schema, 0)
+        if noop:
+            return head
+        # the widened type must still satisfy the table's partition
+        # spec (identity dirs and transform sources are type-gated)
+        if m.get("partition_by"):
+            try:
+                _canon_partition_by(m["partition_by"], out_schema)
+            except ValueError as e:
+                raise ValueError(
+                    f"cannot widen {column!r} to {new_simple}: the "
+                    f"partition spec {m['partition_by']} could not carry "
+                    f"it ({e}) — set a new partition spec first"
+                ) from e
+        manifest = _cow_manifest(
+            m, head, "alter_column_type", list(m["files"]),
+            dict(m.get("stats", {})),
+        )
+        manifest["schema_ddl"] = out_schema.simpleString()
+        manifest["schema_json"] = out_schema.json()
         if _commit_manifest(path, head + 1, manifest, m):
             return head + 1
         # another writer claimed head+1: re-read and retry
@@ -2796,11 +3301,12 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     ok_ops = (
         "append", "delete", "update", "merge", "compact",
         "rename_column", "drop_column", "add_columns",
-        "set_stats_columns", "set_partition_spec",
+        "set_stats_columns", "set_partition_spec", "alter_column_type",
     )
     no_chg_ok = (
         "append", "compact", "rename_column", "drop_column",
         "add_columns", "set_stats_columns", "set_partition_spec",
+        "alter_column_type",
     )
     out = []
     prev = set(_read_manifest(path, s)["files"]) if s else set()
@@ -2817,7 +3323,7 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
             )
         if m["op"] in (
             "compact", "rename_column", "drop_column", "add_columns",
-            "set_stats_columns", "set_partition_spec",
+            "set_stats_columns", "set_partition_spec", "alter_column_type",
         ):
             pass  # row-preserving commits: no change records by design
         elif chg is not None:
@@ -2882,13 +3388,14 @@ def snapshot_changes(
     ok_ops = (
         ("append", "delete", "update", "merge", "compact",
          "rename_column", "drop_column", "add_columns",
-         "set_stats_columns", "set_partition_spec")
+         "set_stats_columns", "set_partition_spec", "alter_column_type")
         if row_level
         # rename/drop/add/set_stats/set_partition_spec are metadata-only
         # (file set unchanged), so the plain file-delta feed crosses
         # them too — consumers simply see the until-version's columns
         else ("append", "rename_column", "drop_column", "add_columns",
-              "set_stats_columns", "set_partition_spec")
+              "set_stats_columns", "set_partition_spec",
+              "alter_column_type")
     )
     # the table-creating commit (no parent) is a degenerate append
     bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
@@ -5278,7 +5785,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 m["op"] not in (
                     "append", "rename_column", "drop_column",
                     "add_columns", "set_stats_columns",
-                    "set_partition_spec",
+                    "set_partition_spec", "alter_column_type",
                 )
                 and m["parent"] is not None
             ):

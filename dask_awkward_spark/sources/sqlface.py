@@ -1027,7 +1027,13 @@ def _create_sql(spark, sql, m, tables, catalog_path):
     pm = re.compile(r"PARTITIONED\s+BY\s*\(", re.I).match(blank, i)
     if pm:
         j = _close_paren(blank, pm.end() - 1)
-        pb = [c.strip() for c in sql[pm.end():j - 1].split(",") if c.strip()]
+        # top-level commas only: a transform entry like bucket(16, id)
+        # carries a comma of its own
+        pb = [
+            sql[pm.end() + lo:pm.end() + hi].strip()
+            for lo, hi in _top_level_comma_spans(blank[pm.end():j - 1])
+            if sql[pm.end() + lo:pm.end() + hi].strip()
+        ]
         if not pb:
             raise ValueError("PARTITIONED BY needs at least one column")
         i = _skip_ws(blank, j)
@@ -1240,6 +1246,15 @@ def _ddl_sql(spark, sql, tables, catalog_path):
     am = re.match(rf"^DROP\s+COLUMN\s+({_IDENT})\s*$", action, re.I)
     if am:
         return snapshot_drop_column(path, am.group(1))
+    am = re.match(
+        rf"^ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+(.+?)\s*$", action, re.I
+    )
+    if am:
+        # metadata-only lossless widening (round 10): the Python face
+        # validates the lattice and refuses narrowing
+        from .snapshot import snapshot_alter_column_type
+
+        return snapshot_alter_column_type(path, am.group(1), am.group(2))
     am = re.match(r"^SET\s+PARTITION\s+SPEC\s*\(", action, re.I)
     if am:
         from .snapshot import snapshot_set_partition_spec
@@ -1250,7 +1265,11 @@ def _ddl_sql(spark, sql, tables, catalog_path):
                 f"unparsed trailing text after PARTITION SPEC: "
                 f"{action[j:].strip()[:40]!r}"
             )
-        cols = [c.strip() for c in action[am.end():j - 1].split(",") if c.strip()]
+        cols = [
+            action[am.end() + lo:am.end() + hi].strip()
+            for lo, hi in _top_level_comma_spans(blank_action[am.end():j - 1])
+            if action[am.end() + lo:am.end() + hi].strip()
+        ]
         return snapshot_set_partition_spec(path, cols)
     am = re.match(r"^SET\s+TBLPROPERTIES\s*\(", action, re.I)
     if am:
@@ -1295,8 +1314,9 @@ def _ddl_sql(spark, sql, tables, catalog_path):
     raise ValueError(
         f"unsupported ALTER TABLE action {action.strip()[:60]!r}: the DDL "
         "face speaks ADD COLUMN(S), RENAME COLUMN a TO b, DROP COLUMN c, "
-        "SET TBLPROPERTIES ('stats_columns'='...'), SET PARTITION SPEC "
-        "(c, ...), ADD CONSTRAINT n CHECK (<triples>), DROP CONSTRAINT n"
+        "ALTER COLUMN c TYPE <wider>, SET TBLPROPERTIES "
+        "('stats_columns'='...'), SET PARTITION SPEC (c, ...), "
+        "ADD CONSTRAINT n CHECK (<triples>), DROP CONSTRAINT n"
     )
 
 

@@ -1,0 +1,258 @@
+"""Partition TRANSFORMS (round 10 — Iceberg hidden partitioning,
+VERDICT r9 next-item 2): days/month/year/hour/bucket/truncate in
+``partition_by=`` and ``SET PARTITION SPEC``, with inverse-image
+pruning — a predicate on the RAW column skips files by the transform's
+directory value. The transform value lives ONLY in the dir name (the
+raw column stays inside every file), so reads never see virtual
+columns and mixed layouts keep working."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
+from pyspark.sql import functions as F
+
+from dask_awkward_spark.sources.snapshot import (
+    _parse_pspec_entry,
+    _read_manifest,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_rename_column,
+    snapshot_scan_report,
+    snapshot_set_partition_spec,
+    snapshot_write,
+)
+from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-05-01 00:00:00")).cast("timestamp_ntz")
+            + F.make_interval(hours=F.col("id") % (24 * 10))
+        ).alias("ts"),
+        F.concat(F.lit("u"), (F.col("id") % 40).cast("string")).alias("uid"),
+    )
+
+
+def test_parse_and_canonicalize():
+    assert _parse_pspec_entry("days(ts)") == ("days", None, "ts", "ts_day", "days(ts)")
+    assert _parse_pspec_entry(" day( ts ) ")[4] == "days(ts)"
+    assert _parse_pspec_entry("bucket(16, uid)") == (
+        "bucket", 16, "uid", "uid_bucket_16", "bucket(16, uid)"
+    )
+    assert _parse_pspec_entry("truncate(100,k)")[4] == "truncate(100, k)"
+    assert _parse_pspec_entry("plain") == ("identity", None, "plain", "plain", "plain")
+    with pytest.raises(ValueError, match="width"):
+        _parse_pspec_entry("bucket(ts)")
+    with pytest.raises(ValueError, match="single column"):
+        _parse_pspec_entry("days(2, ts)")
+
+
+def test_days_layout_and_inverse_image_prune(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 600), p, partition_by=["days(ts)"])
+    m = _read_manifest(p, 1)
+    assert m["partition_by"] == ["days(ts)"]
+    assert all("ts_day=" in f for f in m["files"])
+    # the virtual column never reaches the read schema
+    df = snapshot_read(spark, p)
+    assert df.columns == ["k", "ts", "uid"] and df.count() == 600
+    # a raw-ts range predicate prunes most days' files
+    rep = snapshot_scan_report(p, [("ts", ">=", datetime.datetime(2024, 5, 9))])
+    assert rep["skipped"] >= rep["total"] * 0.5, rep
+    got = snapshot_read(
+        spark, p, where=[("ts", ">=", datetime.datetime(2024, 5, 9))]
+    ).count()
+    want = 600 - _rows(spark, 0, 600).filter(
+        F.col("ts") < F.lit("2024-05-09").cast("timestamp_ntz")
+    ).count()
+    assert got == want
+
+
+def test_bucket_equality_prune_beats_footer_stats(spark, tmp_path):
+    """The bucket transform's whole point: footer min/max on a spread
+    key keeps every file, but hash(v) % n == dir value skips ~ (n-1)/n
+    of them for an equality probe."""
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 800), p, partition_by=["bucket(8, uid)"])
+    rep = snapshot_scan_report(p, [("uid", "=", "u7")])
+    assert rep["skipped"] >= rep["total"] * 0.5, rep
+    a = sorted(
+        r.k for r in snapshot_read(spark, p, where=[("uid", "=", "u7")]).collect()
+    )
+    b = sorted(
+        r.k for r in _rows(spark, 0, 800).filter(F.col("uid") == "u7").collect()
+    )
+    assert a == b and a
+    # IN maps element-wise; range ops on a hashed value derive nothing
+    # (correctness unchanged either way)
+    assert snapshot_scan_report(p, [("uid", "in", ["u7", "u9"])])["skipped"] > 0
+    assert (
+        snapshot_read(spark, p, where=[("uid", ">=", "u7")]).count()
+        == _rows(spark, 0, 800).filter(F.col("uid") >= "u7").count()
+    )
+
+
+def test_truncate_int_and_month(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(
+        _rows(spark, 0, 500), p, partition_by=["truncate(100, k)", "month(ts)"]
+    )
+    m = _read_manifest(p, 1)
+    assert m["partition_by"] == ["truncate(100, k)", "month(ts)"]
+    assert all("k_truncate_100=" in f and "ts_month=" in f for f in m["files"])
+    rep = snapshot_scan_report(p, [("k", "<", 100)])
+    assert rep["skipped"] >= 1
+    assert snapshot_read(spark, p, where=[("k", "<", 100)]).count() == 100
+    rep2 = snapshot_scan_report(
+        p, [("ts", "<", datetime.datetime(2024, 4, 1))]
+    )
+    assert rep2["scanned"] == 0, rep2  # whole table is May
+
+
+def test_spec_evolution_to_transform_mixed_layout(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 200), p)  # unpartitioned v1
+    v = snapshot_set_partition_spec(p, ["days(ts)"])
+    assert v == 2
+    snapshot_write(_rows(spark, 200, 400), p, mode="append")
+    m = _read_manifest(p, 3)
+    assert any("ts_day=" in f for f in m["files"])
+    assert any("ts_day=" not in f for f in m["files"])
+    assert snapshot_read(spark, p).count() == 400
+    # pruning: new-layout files skip; old files stay (their raw footer
+    # stats still prune where tight)
+    got = snapshot_read(
+        spark, p, where=[("ts", "=", datetime.datetime(2024, 5, 3, 7))]
+    ).count()
+    want = (
+        _rows(spark, 0, 400)
+        .filter(F.col("ts") == F.lit("2024-05-03 07:00:00").cast("timestamp_ntz"))
+        .count()
+    )
+    assert got == want
+
+
+def test_transform_spec_sticky_and_canonical_append(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 100), p, partition_by=["day(ts)"])
+    assert _read_manifest(p, 1)["partition_by"] == ["days(ts)"]
+    # inherited append; explicit canonical-variant append; changed spec refused
+    snapshot_write(_rows(spark, 100, 150), p, mode="append")
+    snapshot_write(
+        _rows(spark, 150, 200), p, mode="append", partition_by=["days( ts )"]
+    )
+    with pytest.raises(ValueError, match="only overwrite may repartition"):
+        snapshot_write(
+            _rows(spark, 200, 220), p, mode="append", partition_by=["month(ts)"]
+        )
+    assert snapshot_read(spark, p).count() == 200
+
+
+def test_transform_refusals(spark, tmp_path):
+    p = str(tmp_path / "x")
+    df = _rows(spark, 0, 10)
+    with pytest.raises(ValueError, match="source must be one of"):
+        snapshot_write(df, p, partition_by=["days(uid)"])
+    with pytest.raises(ValueError, match="source must be one of"):
+        snapshot_write(df, p, partition_by=["bucket(4, ts)"])
+    with pytest.raises(ValueError, match="not in schema"):
+        snapshot_write(df, p, partition_by=["days(nope)"])
+    with pytest.raises(ValueError, match="collides"):
+        snapshot_write(
+            df.withColumn("ts_day", F.lit(1)), p, partition_by=["days(ts)"]
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_write(df, p, partition_by=["days(ts)", "day(ts)"])
+
+
+def test_dml_on_transform_partitioned_table(spark, tmp_path):
+    """DELETE with a raw-column predicate on a days-partitioned table:
+    whole-day files drop metadata-only (the dir value records nulls=0
+    for the virtual column, keeping the all-match proof alive), and the
+    rewrite keeps the transform layout."""
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 600), p, partition_by=["days(ts)"])
+    out = snapshot_delete(
+        spark, p, [("ts", "<", datetime.datetime(2024, 5, 3))]
+    )
+    assert snapshot_read(spark, p).count() == 600 - _rows(spark, 0, 600).filter(
+        F.col("ts") < F.lit("2024-05-03").cast("timestamp_ntz")
+    ).count()
+    m = _read_manifest(p, out if isinstance(out, int) else out["version"])
+    assert all("ts_day=" in f for f in m["files"])
+
+
+def test_rename_source_column_keeps_transform_spec(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 200), p, partition_by=["days(ts)"])
+    snapshot_rename_column(p, "ts", "event_ts")
+    m = _read_manifest(p, 2)
+    assert m["partition_by"] == ["days(event_ts)"]
+    # pruning still works through the rename (stats keyed physical)
+    rep = snapshot_scan_report(p, [("event_ts", ">=", datetime.datetime(2024, 5, 9))])
+    assert rep["skipped"] >= 1
+    assert (
+        snapshot_read(
+            spark, p, where=[("event_ts", ">=", datetime.datetime(2024, 5, 9))]
+        ).count()
+        == _rows(spark, 0, 200)
+        .filter(F.col("ts") >= F.lit("2024-05-09").cast("timestamp_ntz"))
+        .count()
+    )
+    # dropping the renamed source column is refused (spec names it)
+    from dask_awkward_spark.sources.snapshot import snapshot_drop_column
+
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_drop_column(p, "event_ts")
+
+
+def test_sql_ddl_transform_spec(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tables = {"t": p}
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE t (k bigint, ts timestamp_ntz, uid string) "
+        f"PARTITIONED BY (days(ts), bucket(8, uid)) LOCATION '{p}'",
+        tables,
+    )
+    assert _read_manifest(p, 1)["partition_by"] == ["days(ts)", "bucket(8, uid)"]
+    snapshot_write(_rows(spark, 0, 100), p, mode="append")
+    assert all(
+        "ts_day=" in f and "uid_bucket_8=" in f
+        for f in _read_manifest(p, 2)["files"]
+    )
+    # SHOW CREATE TABLE round-trips the transform spec
+    stmt = snapshot_sql(spark, "SHOW CREATE TABLE t", tables).first()[0]
+    assert "PARTITIONED BY (days(ts), bucket(8, uid))" in stmt
+    # SET PARTITION SPEC with a transform (comma inside parens)
+    snapshot_sql(
+        spark, "ALTER TABLE t SET PARTITION SPEC (truncate(50, k))", tables
+    )
+    assert _read_manifest(p, 3)["partition_by"] == ["truncate(50, k)"]
+
+
+def test_distributed_prune_path_sees_transform_stats(spark, tmp_path, monkeypatch):
+    """Force the checkpoint/executor-side prune path and confirm the
+    virtual transform columns prune there too (they ride the stats
+    sidecar)."""
+    import dask_awkward_spark.sources.snapshot as S
+
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 400), p, partition_by=["bucket(8, uid)"])
+    monkeypatch.setattr(S, "_DIST_PRUNE_MIN_FILES", 1)
+    rels = S._dist_prune_files(
+        spark, p, 1, _read_manifest(p, 1), [("uid", "=", "u7"),
+                                            ("uid_bucket_8", "=",
+                                             __import__("zlib").crc32(b"u7") % 8)]
+    )
+    m = _read_manifest(p, 1)
+    if rels is not None:  # sidecar present (best-effort)
+        assert len(rels) < len(m["files"])
+    got = snapshot_read(spark, p, where=[("uid", "=", "u7")]).count()
+    assert got == _rows(spark, 0, 400).filter(F.col("uid") == "u7").count()

@@ -880,3 +880,227 @@ def test_show_tblproperties(spark, tmp_path):
     loc2 = str(tmp_path / "u")
     snapshot_create(spark, loc2, "k bigint")
     assert snapshot_sql(spark, "SHOW TBLPROPERTIES u", {"u": loc2}).count() == 0
+
+
+# ---- ALTER COLUMN TYPE — metadata-only lossless widening (round 10) ---
+
+
+def test_alter_column_type_widen_metadata_only(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_alter_column_type
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 50).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        ),
+        p,
+    )
+    files = list(_read_manifest(p, 1)["files"])
+    v = snapshot_alter_column_type(p, "k", "bigint")
+    m = _read_manifest(p, v)
+    assert m["files"] == files and m["op"] == "alter_column_type"
+    assert "k:bigint" in m["schema_ddl"]
+    df = snapshot_read(spark, p)
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert df.agg(F.sum("k")).first()[0] == sum(range(50))
+    # float -> double too; appends then land at the wide width and the
+    # mixed-width table reads exactly
+    snapshot_alter_column_type(p, "x", "double")
+    snapshot_write(
+        spark.range(50, 100).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("x")
+        ),
+        p,
+        mode="append",
+    )
+    out = snapshot_read(spark, p)
+    assert out.count() == 100 and out.agg(F.sum("x")).first()[0] == sum(range(100))
+
+
+def test_alter_column_type_refusals_and_noop(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_alter_column_type
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            F.struct(F.col("id").cast("smallint").alias("n")).alias("meta"),
+        ),
+        p,
+    )
+    # narrowing / lossy / re-typing refused with the lattice named
+    for col, t in (("k", "int"), ("k", "float"), ("k", "string")):
+        with pytest.raises(ValueError, match="LOSSLESS widening"):
+            snapshot_alter_column_type(p, col, t)
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_alter_column_type(p, "nope", "bigint")
+    with pytest.raises(ValueError, match="struct chains only"):
+        snapshot_alter_column_type(p, "k.x", "bigint")
+    # nested struct leaf widens; no-op is idempotent (no new commit)
+    v = snapshot_alter_column_type(p, "meta.n", "int")
+    assert "meta:struct<n:int>" in _read_manifest(p, v)["schema_ddl"]
+    assert snapshot_alter_column_type(p, "meta.n", "int") == v
+    assert snapshot_read(spark, p).agg(F.sum("meta.n")).first()[0] == sum(range(20))
+
+
+def test_alter_column_type_sql_face_and_feeds(spark, tmp_path):
+    """SQL form; the widen commit is row-preserving, so change feeds
+    cross it (consumers just see the wider type)."""
+    p = str(tmp_path / "t")
+    tables = {"t": p}
+    snapshot_write(
+        spark.range(0, 10).select(F.col("id").cast("int").alias("k")), p
+    )
+    v = snapshot_sql(spark, "ALTER TABLE t ALTER COLUMN k TYPE bigint", tables)
+    assert _read_manifest(p, v)["op"] == "alter_column_type"
+    with pytest.raises(ValueError, match="LOSSLESS widening"):
+        snapshot_sql(spark, "ALTER TABLE t ALTER COLUMN k TYPE int", tables)
+    snapshot_write(
+        spark.range(10, 15).select(F.col("id").alias("k")), p, mode="append"
+    )
+    # plain file-delta feed crosses the metadata-only widen
+    rows = sorted(r.k for r in snapshot_changes(spark, p, since=1).collect())
+    assert rows == [10, 11, 12, 13, 14]
+
+
+def test_alter_column_type_partition_spec_gate(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_alter_column_type
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 30).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 3).cast("int").alias("g"),
+        ),
+        p,
+        partition_by=["g"],
+    )
+    # widening the partition column to a type the spec CANNOT carry
+    # (int -> double is lossless, but doubles cannot be dir values) is
+    # refused with the spec named ...
+    with pytest.raises(ValueError, match="partition spec"):
+        snapshot_alter_column_type(p, "g", "double")
+    # ... while widening within _PART_TYPES is fine
+    assert snapshot_alter_column_type(p, "g", "bigint") == 2
+    # same gate for a TRANSFORM source column
+    p2 = str(tmp_path / "t2")
+    snapshot_write(
+        spark.range(0, 30).select(F.col("id").cast("int").alias("k")),
+        p2,
+        partition_by=["truncate(10, k)"],
+    )
+    with pytest.raises(ValueError, match="partition spec"):
+        snapshot_alter_column_type(p2, "k", "double")
+    assert snapshot_alter_column_type(p2, "k", "bigint") == 2
+
+
+# ---- nested adds under list/map elements (round 10) -------------------
+
+
+def test_add_column_under_list_element(spark, tmp_path):
+    """Delta's ``ADD COLUMNS (items.element.x double)``: the field
+    lands inside array<struct>, old files null-fill it AT DEPTH, and
+    writers at the widened schema mix with old files exactly."""
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 8).select(
+            F.col("id").alias("k"),
+            F.array(
+                F.struct(F.col("id").alias("a")),
+                F.struct((F.col("id") + 1).alias("a")),
+            ).alias("items"),
+        ),
+        p,
+    )
+    v = snapshot_add_columns(p, "items.element.x double")
+    assert (
+        _read_manifest(p, v)["schema_ddl"]
+        == "struct<k:bigint,items:array<struct<a:bigint,x:double>>>"
+    )
+    row = snapshot_read(spark, p).orderBy("k").first()
+    assert row.items[0].a == 0 and row.items[0].x is None
+    snapshot_write(
+        spark.range(8, 12).select(
+            F.col("id").alias("k"),
+            F.array(
+                F.struct(F.col("id").alias("a"), F.lit(1.5).alias("x"))
+            ).alias("items"),
+        ),
+        p,
+        mode="append",
+    )
+    out = snapshot_read(spark, p)
+    it = out.select(F.explode("items").alias("it"))
+    assert out.count() == 12
+    assert it.agg(F.sum("it.x")).first()[0] == 1.5 * 4
+    assert it.filter(F.col("it.x").isNull()).count() == 16
+
+
+def test_add_column_under_map_value_and_refusals(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.create_map(
+                F.lit("m"), F.struct(F.col("id").alias("q"))
+            ).alias("mp"),
+            F.array(F.col("id")).alias("xs"),
+        ),
+        p,
+    )
+    v = snapshot_add_columns(p, "mp.value.r bigint")
+    assert "mp:map<string,struct<q:bigint,r:bigint>>" in _read_manifest(p, v)[
+        "schema_ddl"
+    ]
+    row = snapshot_read(spark, p).orderBy("k").first()
+    assert dict(row.mp)["m"].q == 0 and dict(row.mp)["m"].r is None
+    # map keys define entry identity: refused
+    with pytest.raises(ValueError, match="entry identity"):
+        snapshot_add_columns(p, "mp.key.z int")
+    # bare list segment still refused, now with the addressing hint
+    with pytest.raises(ValueError, match="element"):
+        snapshot_add_columns(p, "xs.x int")
+    # element step into a non-struct element refused
+    with pytest.raises(ValueError, match="non-struct"):
+        snapshot_add_columns(p, "xs.element.x int")
+
+
+def test_add_list_element_column_streams_and_cdf_cross(spark, tmp_path):
+    """The widened lineage's OLD files null-fill at depth on the ARROW
+    read face too (the stream/CDF readers): a consumer reading the
+    whole lineage after the add sees the new field as NULL in pre-add
+    rows."""
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 6).select(
+            F.col("id").alias("k"),
+            F.array(F.struct(F.col("id").alias("a"))).alias("items"),
+        ),
+        p,
+        mode="append",
+    )
+    snapshot_add_columns(p, "items.element.x double")
+    snapshot_write(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"),
+            F.array(
+                F.struct(F.col("id").alias("a"), F.lit(2.0).alias("x"))
+            ).alias("items"),
+        ),
+        p,
+        mode="append",
+    )
+    # batch feed across the add (plain file-delta mode)
+    delta = snapshot_changes(spark, p, since=0)
+    got = sorted(
+        (r.k, r.items[0].a, r.items[0].x) for r in delta.collect()
+    )
+    assert got == [(i, i, None) for i in range(6)] + [
+        (i, i, 2.0) for i in range(6, 9)
+    ]
+    # SQL form of the element add
+    v = snapshot_sql(
+        spark, "ALTER TABLE t ADD COLUMNS (items.element.y bigint)", {"t": p}
+    )
+    assert "y:bigint" in _read_manifest(p, v)["schema_ddl"]

@@ -68,11 +68,14 @@ SETTINGS = dict(
 #                          later writer carries it, every earlier
 #                          version keeps its own narrower schema, and
 #                          both feed shapes must cross the commit
-#   ("set_pspec", flag)  — partition-spec EVOLUTION (round-9
+#   ("set_pspec", 0|1|2) — partition-spec EVOLUTION (round-9
 #                          continuation): metadata-only flip between
-#                          partitioned and flat layouts; later writers
-#                          follow the current spec, mixed layouts must
-#                          read the model exactly and feeds must cross
+#                          flat (0), identity-partitioned (1), and
+#                          TRANSFORM-partitioned (2, round 10 —
+#                          truncate/bucket derived directory values);
+#                          later writers follow the current spec, mixed
+#                          layouts must read the model exactly and
+#                          feeds must cross
 #   ("sql_delete"|"sql_update"|"sql_insert", lo, n) — the SAME mutation
 #                          as delete/update/append but routed through
 #                          the snapshot_sql STRING face: the fuzz model
@@ -98,7 +101,7 @@ _op = st_.one_of(
     st_.tuples(st_.just("sql_delete"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("sql_update"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("sql_insert"), st_.integers(0, 50), st_.integers(1, 10)),
-    st_.tuples(st_.just("set_pspec"), st_.booleans()),
+    st_.tuples(st_.just("set_pspec"), st_.integers(0, 2)),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -358,7 +361,18 @@ def test_snapshot_random_op_sequences_match_model(
                 snapshot_set_partition_spec,
             )
 
-            spec = (["pk"] if part else [cur]) if op[1] else []
+            if op[1] == 0:
+                spec = []
+            elif op[1] == 1:
+                spec = ["pk"] if part else [cur]
+            else:
+                # round-10 partition TRANSFORM: evolve to a derived
+                # directory value (truncate/bucket); mixed layouts and
+                # every later DML must stay invisible in the model
+                spec = (
+                    ["pk", f"bucket(3, {cur})"] if part
+                    else [f"truncate(7, {cur})"]
+                )
             v = snapshot_set_partition_spec(p, spec)
             if v != head_v:
                 head_v = v

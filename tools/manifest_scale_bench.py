@@ -119,6 +119,14 @@ def bench_one(spark, n_files: int) -> dict:
         t0 = time.perf_counter()
         snap._read_manifest(path, v)
         cold_resolve_s = time.perf_counter() - t0
+        # end-to-end PLAN cost of the public read face (no action):
+        # at >= _DIST_PRUNE_MIN_FILES this takes the executor-side
+        # prune automatically — the number a live 1M-file service pays
+        # per query before Spark even sees the plan
+        for _ in range(2):
+            t0 = time.perf_counter()
+            snap.snapshot_read(spark, path, where=where)
+            read_plan_s = time.perf_counter() - t0
         return {
             "n_files": n_files,
             "delta_commit_s": round(delta_commit_s, 3),
@@ -128,6 +136,8 @@ def bench_one(spark, n_files: int) -> dict:
             "driver_prune_s": round(driver_prune_s, 3),
             "dist_prune_s": round(dist_prune_s, 3),
             "cold_resolve_s": round(cold_resolve_s, 3),
+            "read_plan_s": round(read_plan_s, 3),
+            "dist_path_auto": n_files >= snap._DIST_PRUNE_MIN_FILES,
             "files_kept": len(kept_driver),
             "build_s": round(build_s, 1),
         }

@@ -159,6 +159,28 @@ def _read_manifest_raw(path: str, version: int) -> dict:
 _MANIFEST_CACHE: "dict[tuple, dict]" = {}
 _MANIFEST_CACHE_CAP = 8
 
+# Raw (as-published) manifest cache, same keying. For a FULL manifest
+# the resolved dict IS the raw dict (one shared object — no duplicate
+# 100+ MB checkpoint in memory); deltas are tiny. Exists because the
+# executor-side prune's base-version walk inspects the RAW form
+# ("delta_of" markers are erased by resolution) — without it every
+# 1M-file read re-parsed the checkpoint JSON per query (measured 3.9s,
+# tools/manifest_scale_bench.py).
+_RAW_CACHE: "dict[tuple, dict]" = {}
+
+
+def _read_manifest_raw_cached(path: str, version: int) -> dict:
+    key = (os.path.abspath(path), version) + _fs().stat_sig(
+        _manifest_file(path, version)
+    )
+    hit = _RAW_CACHE.get(key)
+    if hit is None:
+        hit = _read_manifest_raw(path, version)
+        if len(_RAW_CACHE) >= _MANIFEST_CACHE_CAP:
+            _RAW_CACHE.pop(next(iter(_RAW_CACHE)))
+        _RAW_CACHE[key] = hit
+    return hit
+
 
 def _read_manifest(path: str, version: int) -> dict:
     """The RESOLVED logical manifest: always carries the full ``files``
@@ -174,7 +196,7 @@ def _read_manifest(path: str, version: int) -> dict:
     hit = _MANIFEST_CACHE.get(key)
     if hit is not None:
         return hit
-    raw = _read_manifest_raw(path, version)
+    raw = _read_manifest_raw_cached(path, version)
     if "delta_of" in raw:
         parent = _read_manifest(path, raw["delta_of"])
         removed = set(raw.get("remove") or ())
@@ -212,11 +234,42 @@ def _encode_manifest(manifest: dict, parent_m: "dict | None") -> dict:
     stats = manifest.get("stats") or {}
     pfiles = parent_m.get("files") or []
     pstats = parent_m.get("stats") or {}
+    if version % _CKPT_EVERY == 0:
+        return manifest  # periodic checkpoint: self-contained by design
+
+    def _delta(added, removed):
+        delta = {
+            k: v for k, v in manifest.items() if k not in ("files", "stats")
+        }
+        delta["delta_of"] = manifest["parent"]
+        delta["add"] = [[f, stats.get(f)] for f in added]
+        delta["remove"] = removed
+        return delta
+
+    np_ = len(pfiles)
+    if len(files) >= np_ and files[:np_] == pfiles:
+        # append-shaped commit — the O(delta) hot path at many-file
+        # scale: parent prefix carried verbatim (pointer-equal list
+        # compare, the append built files as parent + tail), nothing
+        # removed, so the O(files) per-entry stats diff below is not
+        # needed. Carried stats ride by reference per module convention
+        # (every mutator copies the dict, never entries); a bounded
+        # identity spot-check guards the convention — any non-append-
+        # shaped or convention-breaking commit falls through to the
+        # exact full diff. Measured: 2.0s -> ~0.05s per append at 1M
+        # files (tools/manifest_scale_bench.py).
+        added = files[np_:]
+        if len(added) * 2 < max(1, len(files)):
+            step = max(1, np_ // 64)
+            for f in pfiles[::step]:
+                s, ps = stats.get(f), pstats.get(f)
+                if s is not ps and s != ps:
+                    break  # carried stats changed: take the exact diff
+            else:
+                return _delta(added, [])
     pset, fset = set(pfiles), set(files)
     removed = [f for f in pfiles if f not in fset]
     added = [f for f in files if f not in pset]
-    if version % _CKPT_EVERY == 0:
-        return manifest  # periodic checkpoint: self-contained by design
     if (len(added) + len(removed)) * 2 >= max(1, len(files)):
         return manifest  # churn ~ table size: a delta would not be smaller
     for f in files:
@@ -224,11 +277,7 @@ def _encode_manifest(manifest: dict, parent_m: "dict | None") -> dict:
             s, ps = stats.get(f), pstats.get(f)
             if s is not ps and s != ps:
                 return manifest  # a carried file's stats changed: full
-    delta = {k: v for k, v in manifest.items() if k not in ("files", "stats")}
-    delta["delta_of"] = manifest["parent"]
-    delta["add"] = [[f, stats.get(f)] for f in added]
-    delta["remove"] = removed
-    return delta
+    return _delta(added, removed)
 
 
 class CommitBackend:
@@ -2150,7 +2199,7 @@ def _dist_prune_files(
     v = version
     while v >= 1:
         try:
-            raw = _read_manifest_raw(path, v)
+            raw = _read_manifest_raw_cached(path, v)
         except FileNotFoundError:
             return None
         if "delta_of" not in raw:
@@ -5348,6 +5397,10 @@ def snapshot_restore(path: str, version: int) -> int:
             "stream_batch_id": src.get("stream_batch_id"),
             "partition_by": src.get("partition_by"),
             "bloom_ndv": src.get("bloom_ndv"),
+            # restore is as-of semantics for METADATA too: a restore
+            # across a set_stats_columns commit must bring the spec
+            # back, not silently reset it to the prefix default
+            "stats_columns": src.get("stats_columns"),
             "column_mapping": src.get("column_mapping"),
             "deletes": src.get("deletes"),
             "constraints": src.get("constraints"),

@@ -446,19 +446,47 @@ def _strip_line_comments(script: str) -> str:
 
 
 def snapshot_sql_script(
-    spark: SparkSession, script: str, tables: "dict[str, str] | str"
+    spark: SparkSession, script: str, tables: "dict[str, str] | str",
+    on_error: str = "stop",
 ) -> "list":
     """Run a multi-statement SQL script through :func:`snapshot_sql` —
     statements split on semicolons OUTSIDE quoted literals, ``--`` line
     comments stripped (outside literals too), empty statements skipped.
     Returns the per-statement results in order. Statements run
     SEQUENTIALLY and a failure stops the script at that statement (the
-    raised error names its 1-based position); there is no rollback —
-    each statement is its own atomic commit, exactly as if issued one
-    at a time (multi-statement transactions are a different, much
-    heavier contract). With ``tables`` as a catalog path, a SQL-only
-    consumer can run an entire provisioning script — CREATE TABLEs,
-    ALTERs, seed INSERTs — from one string against one path."""
+    raised error names its 1-based position). Each statement is its own
+    atomic commit, exactly as if issued one at a time.
+
+    ``on_error="rollback"`` (round 10) adds COMPENSATING rollback: the
+    head version of every reachable table is recorded before the first
+    statement, and on failure each table the script advanced is
+    RESTOREd to its pre-script version (a new O(1) metadata commit —
+    the failed statements stay time-travelable until vacuum) and each
+    table the script CREATED is dropped (PURGE). This is script-level
+    atomicity-by-compensation, NOT isolation: concurrent readers see
+    intermediate commits while the script runs (Delta has no
+    multi-statement transactions either), and a concurrent writer's
+    commit landing mid-script on the same table would be restored away
+    with it — run migration scripts the way they are always run, with
+    writers paused on the touched tables. The raised error names the
+    failing statement and lists what was rolled back."""
+    if on_error not in ("stop", "rollback"):
+        raise ValueError(f"on_error must be stop|rollback, got {on_error!r}")
+    from .snapshot import _versions, snapshot_restore
+
+    def _table_map() -> "dict[str, str]":
+        if isinstance(tables, str):
+            from .catalog import snapshot_catalog_tables
+
+            return snapshot_catalog_tables(spark, tables)
+        return dict(tables)
+
+    pre_heads: "dict[str, tuple[str, int]] | None" = None
+    if on_error == "rollback":
+        pre_heads = {}
+        for name, path in _table_map().items():
+            v = _versions(path)
+            pre_heads[name] = (path, v[-1] if v else 0)
     # ONE scanner for literals AND comments: a quote inside a comment
     # must not open a phantom literal (blanking-first would let
     # "-- don't" swallow every later statement), and a -- inside a
@@ -480,7 +508,33 @@ def snapshot_sql_script(
         try:
             results.append(snapshot_sql(spark, s, tables))
         except Exception as e:
+            rolled = []
+            if pre_heads is not None:
+                # compensating rollback, best-effort per table: restore
+                # advanced tables, drop created ones; a table that
+                # fails to roll back is reported, never silently left
+                # half-done without a trace
+                post = _table_map()
+                for name, path in post.items():
+                    try:
+                        v = _versions(path)
+                        cur = v[-1] if v else 0
+                        pre_v = pre_heads[name][1] if name in pre_heads else 0
+                        if pre_v == 0 and cur:
+                            # the script created it (or it was a mapped
+                            # location with no table yet): remove
+                            snapshot_sql(
+                                spark, f"DROP TABLE {name} PURGE", tables
+                            )
+                            rolled.append(f"dropped created table {name}")
+                        elif cur > pre_v > 0:
+                            snapshot_restore(path, pre_v)
+                            rolled.append(f"restored {name} to v{pre_v}")
+                    except Exception as re_:
+                        rolled.append(f"FAILED to roll back {name}: {re_}")
             msg = f"script statement {n} ({s.strip()[:60]!r}): {e}"
+            if rolled:
+                msg += f" [rollback: {'; '.join(rolled)}]"
             try:
                 wrapped = type(e)(msg)  # keep the type for except clauses
             except Exception:

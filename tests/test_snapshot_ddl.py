@@ -1104,3 +1104,102 @@ def test_add_list_element_column_streams_and_cdf_cross(spark, tmp_path):
         spark, "ALTER TABLE t ADD COLUMNS (items.element.y bigint)", {"t": p}
     )
     assert "y:bigint" in _read_manifest(p, v)["schema_ddl"]
+
+
+# ---- script rollback (round 10 — compensating multi-statement undo) ---
+
+
+def test_script_rollback_restores_advanced_tables(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+    from dask_awkward_spark.sources.snapshot import snapshot_versions
+
+    p = str(tmp_path / "t")
+    tables = {"t": p}
+    snapshot_write(
+        spark.createDataFrame([(1, "A"), (2, "B")], "k bigint, seg string"), p
+    )
+    with pytest.raises(ValueError, match="rollback: restored t to v1"):
+        snapshot_sql_script(
+            spark,
+            """
+            INSERT INTO t VALUES (3, 'C');
+            DELETE FROM t WHERE k = 1;
+            THIS IS NOT SQL;
+            """,
+            tables,
+            on_error="rollback",
+        )
+    # content is back to the pre-script state (as a NEW restore commit
+    # — the failed statements stay time-travelable)
+    rows = sorted((r.k, r.seg) for r in snapshot_read(spark, p).collect())
+    assert rows == [(1, "A"), (2, "B")]
+    assert snapshot_versions(p)[-1]["op"] == "restore"
+    # stop mode (default) leaves the partial commits in place
+    with pytest.raises(ValueError, match="statement 2"):
+        snapshot_sql_script(
+            spark, "INSERT INTO t VALUES (9, 'Z'); NOPE;", tables
+        )
+    assert snapshot_read(spark, p).count() == 3
+
+
+def test_script_rollback_drops_created_tables(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+    from dask_awkward_spark.sources.snapshot import _versions
+
+    base = str(tmp_path / "cat")
+    loc = str(tmp_path / "new")
+    with pytest.raises(ValueError, match="dropped created table nt"):
+        snapshot_sql_script(
+            spark,
+            f"""
+            CREATE TABLE nt (k bigint) LOCATION '{loc}';
+            INSERT INTO nt VALUES (1), (2);
+            BROKEN;
+            """,
+            base,
+            on_error="rollback",
+        )
+    assert not _versions(loc), "the created table must be gone"
+    # ... and deregistered from the catalog
+    from dask_awkward_spark.sources.catalog import snapshot_catalog_tables
+
+    assert "nt" not in snapshot_catalog_tables(spark, base)
+
+
+def test_script_rollback_noop_on_success_and_bad_mode(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+    p = str(tmp_path / "t")
+    tables = {"t": p}
+    snapshot_write(spark.createDataFrame([(1,)], "k bigint"), p)
+    res = snapshot_sql_script(
+        spark, "INSERT INTO t VALUES (2); INSERT INTO t VALUES (3);",
+        tables, on_error="rollback",
+    )
+    assert len(res) == 2 and snapshot_read(spark, p).count() == 3
+    with pytest.raises(ValueError, match="stop|rollback"):
+        snapshot_sql_script(spark, "SELECT 1", tables, on_error="abort")
+
+
+def test_restore_carries_stats_columns(spark, tmp_path):
+    """RESTORE is as-of for metadata too: a restore across a
+    set_stats_columns commit brings the spec back (round-10 fix — it
+    was silently reset to the prefix default before)."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_restore,
+        snapshot_set_stats_columns,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 2.0)], "k bigint, x double"), p
+    )
+    snapshot_set_stats_columns(p, ["x"])   # v2
+    snapshot_write(
+        spark.createDataFrame([(2, 3.0)], "k bigint, x double"), p,
+        mode="append",
+    )                                       # v3
+    v = snapshot_restore(p, 2)
+    assert _read_manifest(p, v)["stats_columns"] == ["x"]
+    v2 = snapshot_restore(p, 1)
+    assert _read_manifest(p, v2)["stats_columns"] is None

@@ -115,7 +115,7 @@ def bench_one(spark, n_files: int) -> dict:
         assert kept_dist == kept_driver
         # the cold path also re-parses the manifest JSON driver-side:
         # measure a cold resolve (cache dropped) for the full picture
-        snap._MANIFEST_CACHE.clear()
+        snap._MANIFEST_CACHE.clear(); snap._RAW_CACHE.clear()
         t0 = time.perf_counter()
         snap._read_manifest(path, v)
         cold_resolve_s = time.perf_counter() - t0

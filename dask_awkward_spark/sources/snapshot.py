@@ -3278,6 +3278,49 @@ def snapshot_versions(path: str) -> "list[dict]":
     return [_read_manifest(path, v) for v in _versions(path)]
 
 
+def snapshot_partitions(
+    spark: SparkSession, path: str, version: "int | None" = None
+) -> DataFrame:
+    """The table's partition inventory as a DataFrame (Delta's ``SHOW
+    PARTITIONS`` / Iceberg's ``.partitions`` metadata table) — one row
+    per live partition-directory tuple with its file count, recorded
+    row count, and MOR-deleted row count, derived ENTIRELY from the
+    head manifest (zero data files read; at 100 TB this is how you see
+    which day is fat without listing a bucket). Transform specs report
+    their VIRTUAL dir values (``ts_day=2024-05-01``). Files from an
+    earlier spec's layout (partition-spec evolution) group under the
+    ``partition`` value they were written with — or ``(unpartitioned)``
+    — so a mixed-layout table shows exactly what sits where, which is
+    the migrate-by-rewrite to-do list. Row counts are best-effort like
+    :func:`snapshot_history` (``files_without_stats`` counts gaps)."""
+    v = _resolve_version(path, version, None, None)
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    dv = _dv_positions(path, m.get("deletes") or []) if m.get("deletes") else {}
+    groups: "dict[str, list[str]]" = {}
+    for f in m["files"]:
+        segs = [s for s in f.split("/")[1:-1] if "=" in s]
+        key = "/".join(segs) if segs else "(unpartitioned)"
+        groups.setdefault(key, []).append(f)
+    rows = []
+    for key in sorted(groups):
+        fs = groups[key]
+        n_rows, gaps, deleted = 0, 0, 0
+        for f in fs:
+            s = stats.get(f) or {}
+            if "rows" in s:
+                n_rows += s["rows"]
+            else:
+                gaps += 1
+            deleted += len(dv.get(f.rsplit("/", 1)[-1], ()))
+        rows.append((key, len(fs), n_rows - deleted, deleted, gaps))
+    return spark.createDataFrame(
+        rows,
+        "partition string, files int, rows bigint, deleted_rows bigint, "
+        "files_without_stats int",
+    )
+
+
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """The table's operation history as a DataFrame (Delta's DESCRIBE
     HISTORY shape): one row per surviving version with the operation,
@@ -3719,12 +3762,28 @@ def snapshot_maintain(
             "skipped_partitions": [],
             "files_before": len(files),
         }
-    # group data files by their partition-value tuple (hive dir names,
-    # physical column names — translate back through the mapping)
+    # group data files by their partition-value tuple (hive dir names —
+    # the PHYSICAL vname per spec entry: identity columns translate
+    # through the mapping, transforms flatten to their virtual dir
+    # name, e.g. days(ts) -> ts_day)
     pmap = _mapping_physical(m)
-    phys_pb = [pmap.get(c, c) for c in pb]
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    phys_pb, dir_types = [], {}
+    for e in pb:
+        kind, arg, col, vname, _ = _parse_pspec_entry(e)
+        pcol = pmap.get(col, col)
+        if kind == "identity":
+            phys_pb.append(pcol)
+            dir_types[pcol] = types.get(col, "")
+        else:
+            if pcol != col:
+                vname = _parse_pspec_entry(
+                    f"{kind}({arg}, {pcol})" if arg is not None
+                    else f"{kind}({pcol})"
+                )[3]
+            phys_pb.append(vname)
+            dir_types[vname] = _transform_virtual_type(kind, types.get(col, ""))
     counts: "dict[tuple, int]" = {}
     for f in files:
         segs = f.split("/")[1:-1]  # data/<c=v>/.../<file>
@@ -3746,8 +3805,10 @@ def snapshot_maintain(
             "files_before": len(files),
         }
 
-    def val(col_logical: str, seg: str):
-        return _parse_part_value(seg, types.get(col_logical, ""))
+    def val(dir_col: str, seg: str):
+        # dir_col is the PHYSICAL dir name (identity column or
+        # transform vname); its value type comes from dir_types
+        return _parse_part_value(seg, dir_types.get(dir_col, ""))
 
     # the scope vocabulary (ANDed =/in triples) cannot name a NULL or
     # unparseable partition value — report those as SKIPPED, never as
@@ -3755,7 +3816,7 @@ def snapshot_maintain(
     # forever); a full compact or an explicit overwrite owns them
     nameable = [
         t for t in fat
-        if all(val(c, seg) is not None for c, seg in zip(pb, t))
+        if all(val(c, seg) is not None for c, seg in zip(phys_pb, t))
     ]
     skipped = [t for t in fat if t not in nameable]
     if not nameable:
@@ -3765,15 +3826,22 @@ def snapshot_maintain(
             "skipped_partitions": skipped,
             "files_before": len(files),
         }
-    if len(pb) == 1:
-        scope = [(pb[0], "in", [val(pb[0], t[0]) for t in nameable])]
+    # scope triples carry the PHYSICAL dir name — for a transform that
+    # is the VIRTUAL column, which the file-level prune evaluates
+    # against its dir-value-backed min==max stats directly (compact's
+    # where= selects whole files, never rows, so a virtual name is
+    # legal here). Pre-spec-layout files carry no virtual stats and
+    # may-match any scope — they get swept into the rewrite, which IS
+    # migrate-by-rewrite, the documented behavior.
+    if len(phys_pb) == 1:
+        scope = [(phys_pb[0], "in", [val(phys_pb[0], t[0]) for t in nameable])]
         v = snapshot_compact(
             spark, path, where=scope, target_file_bytes=target_file_bytes
         )
     else:
         v = head_v
         for t in nameable:  # one scoped commit per fat partition tuple
-            scope = [(c, "=", val(c, seg)) for c, seg in zip(pb, t)]
+            scope = [(c, "=", val(c, seg)) for c, seg in zip(phys_pb, t)]
             v = snapshot_compact(
                 spark, path, where=scope, target_file_bytes=target_file_bytes
             )
@@ -3839,6 +3907,14 @@ def snapshot_compact(
         # "deletes"; a scoped one keeps them for the carried files)
         df = _visible_df(spark, path, m, affected)
         pb = m.get("partition_by") or []
+        # the range-partition clustering keys: a transform entry
+        # clusters on its EXPRESSION (days(ts) is not a column)
+        _ct = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        pb_cols = [
+            F.col(col) if kind == "identity"
+            else _transform_expr(kind, arg, col, _ct.get(col, ""))
+            for kind, arg, col, _, _ in map(_parse_pspec_entry, pb)
+        ]
         # Partitioned tables range-partition on (partition cols, inner
         # key): the hive dirs stay the outer clustering, a SMALL value
         # shares a task with its neighbors (staging's partitionBy still
@@ -3854,8 +3930,8 @@ def snapshot_compact(
 
             zdf, key = zorder_column(df, zorder_by, bits)
             out = (
-                zdf.repartitionByRange(n_out, *pb, key)
-                .sortWithinPartitions(*pb, key)
+                zdf.repartitionByRange(n_out, *pb_cols, F.col(key))
+                .sortWithinPartitions(*pb_cols, F.col(key))
                 .drop(key)
             )
         elif zorder_by:
@@ -3874,7 +3950,7 @@ def snapshot_compact(
             rh = F.abs(F.hash(*[F.col(c) for c in df.columns]).cast("bigint"))
             out = (
                 df.withColumn("__dak_rh", rh)
-                .repartitionByRange(n_out, *pb, "__dak_rh")
+                .repartitionByRange(n_out, *pb_cols, F.col("__dak_rh"))
                 .drop("__dak_rh")
             )
         else:

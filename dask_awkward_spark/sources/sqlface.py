@@ -707,6 +707,9 @@ _SHOW_CREATE_RE = re.compile(
 _SHOW_PROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", re.I
 )
+_SHOW_PARTS_RE = re.compile(
+    rf"^\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*;?\s*$", re.I
+)
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})"
     rf"(?:\s+WHERE\s+(.+?))?"
@@ -762,6 +765,11 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     m = _SHOW_PROPS_RE.match(sql)
     if m:
         return _show_tblproperties(spark, _resolve(m.group(1), tables))
+    m = _SHOW_PARTS_RE.match(sql)
+    if m:
+        from .snapshot import snapshot_partitions
+
+        return snapshot_partitions(spark, _resolve(m.group(1), tables))
     m = _OPTIMIZE_RE.match(sql)
     if m:
         table, where_sql, zorder = m.group(1), m.group(2), m.group(3)

@@ -256,3 +256,66 @@ def test_distributed_prune_path_sees_transform_stats(spark, tmp_path, monkeypatc
         assert len(rels) < len(m["files"])
     got = snapshot_read(spark, p, where=[("uid", "=", "u7")]).count()
     assert got == _rows(spark, 0, 400).filter(F.col("uid") == "u7").count()
+
+
+def test_maintain_compacts_fat_transform_partition(spark, tmp_path):
+    """snapshot_maintain on a TRANSFORM-partitioned table: the dir
+    grouping matches the virtual name (days(ts) -> ts_day=...), the
+    fat day compacts through a virtual-column scope, and tight days
+    stay untouched (round-10 fix — the grouping silently no-opped on
+    transform specs before)."""
+    from dask_awkward_spark.sources.snapshot import snapshot_maintain
+
+    p = str(tmp_path / "t")
+    # day 1 gets 5 small files (5 appends), day 2 gets one
+    one = _rows(spark, 0, 24).filter(
+        F.col("ts") < F.lit("2024-05-02").cast("timestamp_ntz")
+    ).coalesce(1)
+    for i in range(5):
+        snapshot_write(one, p, mode="append", partition_by=["days(ts)"])
+    two = _rows(spark, 24, 48).filter(
+        (F.col("ts") >= F.lit("2024-05-02").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-05-03").cast("timestamp_ntz"))
+    ).coalesce(1)
+    snapshot_write(two, p, mode="append")
+    total = snapshot_read(spark, p).count()
+    out = snapshot_maintain(spark, p, max_files_per_partition=2)
+    assert out["compacted_partitions"] == [("ts_day=2024-05-01",)], out
+    m = _read_manifest(p, out["version"])
+    day1 = [f for f in m["files"] if "ts_day=2024-05-01" in f]
+    assert len(day1) <= 2, day1
+    assert snapshot_read(spark, p).count() == total
+    # tight again: no-op
+    out2 = snapshot_maintain(spark, p, max_files_per_partition=2)
+    assert out2["compacted_partitions"] == []
+
+
+def test_snapshot_partitions_inventory(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_partitions,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 200), p)  # unpartitioned v1
+    snapshot_set_partition_spec(p, ["days(ts)"])
+    snapshot_write(_rows(spark, 200, 400), p, mode="append")
+    inv = {r.partition: r for r in snapshot_partitions(spark, p).collect()}
+    assert "(unpartitioned)" in inv
+    assert any(k.startswith("ts_day=") for k in inv)
+    assert sum(r.rows for r in inv.values()) == 400
+    # MOR delete shows as deleted_rows in the owning partitions
+    snapshot_delete(
+        spark, p,
+        [("ts", "<", datetime.datetime(2024, 5, 2))],
+        strategy="merge-on-read",
+    )
+    inv2 = {r.partition: r for r in snapshot_partitions(spark, p).collect()}
+    assert sum(r.deleted_rows for r in inv2.values()) > 0
+    assert sum(r.rows for r in inv2.values()) == snapshot_read(spark, p).count()
+    # SQL face
+    got = snapshot_sql(spark, "SHOW PARTITIONS t", {"t": p})
+    assert got.columns == [
+        "partition", "files", "rows", "deleted_rows", "files_without_stats"
+    ]
+    assert got.count() == len(inv2)

@@ -237,6 +237,12 @@ def pq_encode(e: Column, codebook, cell: "Column | None" = None) -> Column:
             "residual PQ spec: pq_encode needs the row's coarse cell "
             "column (codes quantize x - centroid(cell))"
         )
+    if not spec["residual"] and cell is not None:
+        raise ValueError(
+            "cell= was passed with a RAW (non-residual) codebook: raw "
+            "codes quantize x itself and would silently ignore the "
+            "cell — train with residual_centroids= for residual codes"
+        )
     IC = (
         np.asarray(spec["centroids"], dtype=np.float64)
         if spec["residual"] else None

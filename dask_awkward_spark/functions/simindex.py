@@ -814,13 +814,24 @@ def _ivf_search_batch(
         _, ksub, _ = _check_codebook(spec["codebook"])
         qx_l = qx.withColumn("lut", pq_lut(F.col("qe"), spec["codebook"]))
         if spec["residual"]:
-            cents_lit = F.array(*[
-                F.array(*[F.lit(float(v)) for v in row])
-                for row in spec["centroids"]
-            ])
-            qx_l = qx_l.withColumn(
-                "cdot", dot(F.col("qe"), F.element_at(cents_lit, F.col("cell")))
+            # the coarse term <q, centroid(cell)> joins from a TINY
+            # broadcast (cell, centroid) frame — a literal centroid
+            # matrix would put n_cells x dim expression nodes in the
+            # plan (10^5-10^6 at production shapes, review finding);
+            # the dot's left fold matches the collected path's Python
+            # sum exactly, so both paths still rank bit-identically
+            cdf = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (i + 1, [float(v) for v in row])
+                        for i, row in enumerate(spec["centroids"])
+                    ],
+                    "cell int, __dak_cent array<double>",
+                )
             )
+            qx_l = qx_l.join(cdf, "cell").withColumn(
+                "cdot", dot(F.col("qe"), F.col("__dak_cent"))
+            ).drop("__dak_cent")
         else:
             qx_l = qx_l.withColumn("cdot", F.lit(0.0))
         cos_q = F.try_divide(

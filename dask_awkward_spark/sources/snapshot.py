@@ -674,7 +674,8 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 _TRANSFORM_RE = re.compile(
     r"^\s*(days|day|month|year|hour|bucket|truncate)\s*\(\s*"
-    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$",
+    re.I,  # the SQL faces are case-insensitive everywhere else
 )
 _TEMPORAL_SRC = ("date", "timestamp_ntz")
 _BUCKET_SRC = ("tinyint", "smallint", "int", "bigint", "string")
@@ -690,7 +691,7 @@ def _parse_pspec_entry(entry: str):
     mt = _TRANSFORM_RE.match(entry)
     if mt is None:
         return ("identity", None, entry, entry, entry)
-    kind, arg, col = mt.group(1), mt.group(2), mt.group(3)
+    kind, arg, col = mt.group(1).lower(), mt.group(2), mt.group(3)
     if kind == "day":
         kind = "days"  # Iceberg accepts both spellings
     if kind in ("bucket", "truncate"):
@@ -707,6 +708,24 @@ def _parse_pspec_entry(entry: str):
         raise ValueError(f"{kind}() takes a single column: {kind}({col})")
     vname = f"{col}_{kind.rstrip('s')}"
     return (kind, None, col, vname, f"{kind}({col})")
+
+
+def _phys_pspec_entry(entry: str, pmap: "dict | None"):
+    """One spec entry resolved to PHYSICAL terms: ``(kind, arg, pcol,
+    vname)`` where pcol is the mapped inner column and vname the dir /
+    stats name files actually carry. The ONE place the logical->
+    physical vname rule lives — dirs, sidecar columns, derived
+    triples, and maintain grouping all route here, so they can never
+    disagree on the flattening."""
+    kind, arg, col, vname, _ = _parse_pspec_entry(entry)
+    pcol = (pmap or {}).get(col, col)
+    if kind != "identity" and pcol != col:
+        vname = _parse_pspec_entry(
+            f"{kind}({arg}, {pcol})" if arg is not None else f"{kind}({pcol})"
+        )[3]
+    elif kind == "identity":
+        vname = pcol
+    return kind, arg, pcol, vname
 
 
 def _transform_virtual_type(kind: str, src_simple: str) -> str:
@@ -772,9 +791,25 @@ def _transform_value(kind: str, arg, v, src_simple: str):
             return t.strftime("%Y-%m-%d-%H")
         return d.year
     if kind == "bucket":
-        if isinstance(v, bool) or not isinstance(v, (int, str)):
+        # STRICT type gate (review finding, round 10): the hash runs on
+        # the SOURCE type's canonical string, so a cross-typed literal
+        # (int predicate on a string column, '042' vs 42) would hash to
+        # a DIFFERENT bucket than the rows Spark's casting filter
+        # matches — an unsound skip. Monotone transforms survive a cast
+        # (conservative ranges); a hash does not — derive only when the
+        # literal's type is the source's.
+        if isinstance(v, bool):
             return None
-        s = v if isinstance(v, str) else str(v)
+        if src_simple == "string":
+            if not isinstance(v, str):
+                return None
+            s = v
+        elif src_simple in ("tinyint", "smallint", "int", "bigint"):
+            if not isinstance(v, int):
+                return None
+            s = str(v)
+        else:
+            return None
         return zlib.crc32(s.encode("utf-8")) % arg
     if kind == "truncate":
         if src_simple == "string":
@@ -812,19 +847,12 @@ def _derive_transform_triples(m: dict, pwhere) -> "list[tuple]":
     out = []
     for entry in pb:
         try:
-            kind, arg, col, vname, _ = _parse_pspec_entry(entry)
+            kind, arg, pcol, vname = _phys_pspec_entry(entry, pmap)
         except ValueError:
             continue  # foreign/newer spec entry: derive nothing
         if kind == "identity":
             continue
-        src_simple = types.get(col, "")
-        pcol = pmap.get(col, col)  # pwhere arrives physical
-        if pcol != col:
-            # stats carry the PHYSICAL vname (dirs are written after
-            # the physical rename): re-derive it from the mapped column
-            vname = _parse_pspec_entry(
-                f"{kind}({arg}, {pcol})" if arg is not None else f"{kind}({pcol})"
-            )[3]
+        src_simple = types.get(_parse_pspec_entry(entry)[2], "")
         for c, op, v in pwhere:
             if c != pcol or op not in _MONOTONE_OP:
                 continue
@@ -870,17 +898,13 @@ def _transform_virtual_cols(m: dict) -> "list[tuple[str, str]]":
     out = []
     for entry in pb:
         try:
-            kind, arg, col, vname, _ = _parse_pspec_entry(entry)
+            kind, arg, pcol, vname = _phys_pspec_entry(entry, pmap)
         except ValueError:
             continue
         if kind == "identity":
             continue
-        pcol = pmap.get(col, col)
-        if pcol != col:
-            vname = _parse_pspec_entry(
-                f"{kind}({arg}, {pcol})" if arg is not None else f"{kind}({pcol})"
-            )[3]
-        out.append((vname, _transform_virtual_type(kind, types.get(col, ""))))
+        src = types.get(_parse_pspec_entry(entry)[2], "")
+        out.append((vname, _transform_virtual_type(kind, src)))
     return out
 
 
@@ -999,8 +1023,7 @@ def _stage_files(
             df = df.select(*[df[c].alias(pmap.get(c, c)) for c in df.columns])
         if partition_by:
             def _phys_entry(e: str) -> str:
-                kind, arg, col, _, _ = _parse_pspec_entry(e)
-                pc = pmap.get(col, col)
+                kind, arg, pc, _ = _phys_pspec_entry(e, pmap)
                 if kind == "identity":
                     return pc
                 return f"{kind}({arg}, {pc})" if arg is not None else f"{kind}({pc})"
@@ -2681,6 +2704,17 @@ def snapshot_rename_column(
             manifest["partition_by"] = [
                 _ren_entry(c) for c in m["partition_by"]
             ]
+            # the renamed spec must still validate against the renamed
+            # schema (review finding, round 10): renaming a column ONTO
+            # a transform's virtual dir name — or any rename that
+            # breaks the spec — would brick every later write
+            try:
+                _canon_partition_by(manifest["partition_by"], out_schema)
+            except ValueError as e:
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: the table's "
+                    f"partition spec would no longer validate ({e})"
+                ) from e
         if m.get("bloom_ndv"):
             manifest["bloom_ndv"] = {
                 (new if c == old else c): v for c, v in m["bloom_ndv"].items()
@@ -2966,6 +3000,20 @@ def snapshot_add_columns(
             out_schema = _insert_nested_field(
                 out_schema, segs[:-1], leaf, f.name
             )
+        # a new top-level name must not collide with a transform's
+        # VIRTUAL dir name (review finding, round 10): the add itself
+        # is metadata-only, but every later write would refuse at
+        # _canon_partition_by — a commit that bricks the table's own
+        # partition spec is refused up front instead
+        if m.get("partition_by"):
+            try:
+                _canon_partition_by(m["partition_by"], out_schema)
+            except ValueError as e:
+                raise ValueError(
+                    f"cannot add columns {names}: the table's partition "
+                    f"spec {m['partition_by']} would no longer validate "
+                    f"({e})"
+                ) from e
         manifest = _cow_manifest(
             m, head, "add_columns", list(m["files"]), dict(m.get("stats", {}))
         )
@@ -3308,12 +3356,16 @@ def snapshot_partitions(
         n_rows, gaps, deleted = 0, 0, 0
         for f in fs:
             s = stats.get(f) or {}
+            n_dv = len(dv.get(f.rsplit("/", 1)[-1], ()))
             if "rows" in s:
-                n_rows += s["rows"]
+                # DV entries subtract only from files whose row count
+                # was actually summed — otherwise a stats-less file
+                # with a deletion vector would push rows negative
+                n_rows += s["rows"] - n_dv
+                deleted += n_dv
             else:
                 gaps += 1
-            deleted += len(dv.get(f.rsplit("/", 1)[-1], ()))
-        rows.append((key, len(fs), n_rows - deleted, deleted, gaps))
+        rows.append((key, len(fs), n_rows, deleted, gaps))
     return spark.createDataFrame(
         rows,
         "partition string, files int, rows bigint, deleted_rows bigint, "
@@ -3771,19 +3823,12 @@ def snapshot_maintain(
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
     phys_pb, dir_types = [], {}
     for e in pb:
-        kind, arg, col, vname, _ = _parse_pspec_entry(e)
-        pcol = pmap.get(col, col)
-        if kind == "identity":
-            phys_pb.append(pcol)
-            dir_types[pcol] = types.get(col, "")
-        else:
-            if pcol != col:
-                vname = _parse_pspec_entry(
-                    f"{kind}({arg}, {pcol})" if arg is not None
-                    else f"{kind}({pcol})"
-                )[3]
-            phys_pb.append(vname)
-            dir_types[vname] = _transform_virtual_type(kind, types.get(col, ""))
+        kind, arg, pcol, vname = _phys_pspec_entry(e, pmap)
+        src = types.get(_parse_pspec_entry(e)[2], "")
+        phys_pb.append(vname)
+        dir_types[vname] = (
+            src if kind == "identity" else _transform_virtual_type(kind, src)
+        )
     counts: "dict[tuple, int]" = {}
     for f in files:
         segs = f.split("/")[1:-1]  # data/<c=v>/.../<file>

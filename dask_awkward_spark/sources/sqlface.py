@@ -515,6 +515,13 @@ def snapshot_sql_script(
                 # fails to roll back is reported, never silently left
                 # half-done without a trace
                 post = _table_map()
+                for name in sorted(set(pre_heads) - set(post)):
+                    # the script DROPped it — PURGE is unrecoverable,
+                    # but the compensation report must say so
+                    rolled.append(
+                        f"FAILED to roll back {name}: the script "
+                        "dropped it (PURGE is unrecoverable)"
+                    )
                 for name, path in post.items():
                     try:
                         v = _versions(path)
@@ -522,9 +529,16 @@ def snapshot_sql_script(
                         pre_v = pre_heads[name][1] if name in pre_heads else 0
                         if pre_v == 0 and cur:
                             # the script created it (or it was a mapped
-                            # location with no table yet): remove
+                            # location with no table yet): remove. Dict
+                            # mode passes a COPY — the drop's catalog
+                            # bookkeeping must not pop the name out of
+                            # the CALLER's mapping (re-running the
+                            # fixed script needs it)
                             snapshot_sql(
-                                spark, f"DROP TABLE {name} PURGE", tables
+                                spark,
+                                f"DROP TABLE {name} PURGE",
+                                tables if isinstance(tables, str)
+                                else dict(tables),
                             )
                             rolled.append(f"dropped created table {name}")
                         elif cur > pre_v > 0:

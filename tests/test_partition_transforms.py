@@ -319,3 +319,160 @@ def test_snapshot_partitions_inventory(spark, tmp_path):
         "partition", "files", "rows", "deleted_rows", "files_without_stats"
     ]
     assert got.count() == len(inv2)
+
+
+# ---- round-10 review-cycle regressions --------------------------------
+
+
+def test_bucket_cross_typed_literal_never_prunes_unsoundly(spark, tmp_path):
+    """Review finding: a cross-typed literal (int predicate on a STRING
+    bucket source) hashes to a different bucket than the rows Spark's
+    casting filter matches — derivation must refuse, never skip."""
+    p = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.format_string("%03d", F.col("id") % 50).alias("code"),  # '042'
+    )
+    snapshot_write(df, p, partition_by=["bucket(4, code)"])
+    # int literal 42: Spark casts '042' -> 42 and matches; the derived
+    # bucket for str(42)='42' would be a DIFFERENT bucket than '042's
+    got = snapshot_read(spark, p, where=[("code", "=", 42)]).count()
+    want = df.filter(F.col("code") == 42).count()
+    assert got == want and want > 0
+    # same-typed literal still prunes
+    rep = snapshot_scan_report(p, [("code", "=", "042")])
+    assert rep["skipped"] >= 1
+
+
+def test_transform_spec_case_insensitive_sql(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_sql(
+        spark,
+        f"CREATE TABLE t (k bigint, ts timestamp_ntz) "
+        f"PARTITIONED BY (DAYS(ts), TRUNCATE(100, k)) LOCATION '{p}'",
+        {"t": p},
+    )
+    assert _read_manifest(p, 1)["partition_by"] == [
+        "days(ts)", "truncate(100, k)"
+    ]
+
+
+def test_add_or_rename_colliding_with_virtual_name_refused(spark, tmp_path):
+    """Review finding: a metadata commit that invalidates the table's
+    own partition spec (new column named like a transform's virtual
+    dir) must refuse up front, not brick every later write."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_add_columns,
+        snapshot_rename_column,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_rows(spark, 0, 50), p, partition_by=["days(ts)"])
+    with pytest.raises(ValueError, match="no longer validate"):
+        snapshot_add_columns(p, "ts_day date")
+    with pytest.raises(ValueError, match="no longer validate"):
+        snapshot_rename_column(p, "uid", "ts_day")
+    # the table still writes fine (nothing committed)
+    snapshot_write(_rows(spark, 50, 60), p, mode="append")
+    assert snapshot_read(spark, p).count() == 60
+
+
+def test_residual_batch_search_after_broadcast_cdot(spark, tmp_path):
+    """The broadcast-join coarse term (review finding: no literal
+    centroid matrix in the plan) still ranks bit-identically to the
+    collected path at small rescore_k."""
+    import hashlib
+
+    from dask_awkward_spark.functions.pq import pq_train
+    from dask_awkward_spark.functions.simindex import ivf_index_add, ivf_search
+
+    DIM, N_CELLS = 16, 4
+    cents = [
+        [
+            1.0 if hashlib.md5(f"t{j}_{d}".encode()).hexdigest()[0] in "89abcdef"
+            else -1.0
+            for d in range(DIM)
+        ]
+        for j in range(N_CELLS)
+    ]
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda d: F.sin(F.col("id") * 0.7 + d * 1.3),
+            ).alias("e"),
+        )
+
+    spec = pq_train(vecs(0, 150), m=4, ksub=8, order_col="vec_id",
+                    sample_rows=150, iters=5, residual_centroids=cents)
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, vecs(0, 150), cents, pq_codebook=spec)
+    q = vecs(0, 5)
+    a = sorted(
+        (r.q_id, r.vec_id, r.cos)
+        for r in ivf_search(spark, p, q, cents, k=4, nprobe=2, rescore_k=6).collect()
+    )
+    b = sorted(
+        (r.q_id, r.vec_id, r.cos)
+        for r in ivf_search(
+            spark, p, q, cents, k=4, nprobe=2, rescore_k=6, batch=True
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pq_encode_cell_with_raw_codebook_refused(spark):
+    from dask_awkward_spark.functions.pq import pq_encode, pq_train
+
+    vecs = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda d: F.sin(F.col("id") + d),
+        ).alias("e"),
+    )
+    raw = pq_train(vecs, m=4, ksub=8, order_col="vec_id", sample_rows=60,
+                   iters=3)
+    with pytest.raises(ValueError, match="RAW"):
+        pq_encode(F.col("e"), raw, cell=F.lit(1))
+
+
+def test_script_rollback_preserves_caller_tables_dict(spark, tmp_path):
+    """Review finding: the compensation's DROP must not pop the table
+    out of the CALLER's dict — re-running the fixed script needs it."""
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+    loc = str(tmp_path / "nt")
+    tables = {"nt": loc}
+    with pytest.raises(ValueError, match="dropped created table nt"):
+        snapshot_sql_script(
+            spark,
+            "CREATE TABLE nt (k bigint) LOCATION '%s'; "
+            "INSERT INTO nt VALUES (1); BROKEN;" % loc,
+            tables,
+            on_error="rollback",
+        )
+    assert tables == {"nt": loc}  # caller mapping untouched
+    # the fixed script now runs
+    out = snapshot_sql_script(
+        spark,
+        "CREATE TABLE nt (k bigint) LOCATION '%s'; "
+        "INSERT INTO nt VALUES (1);" % loc,
+        tables,
+        on_error="rollback",
+    )
+    assert len(out) == 2
+
+
+def test_script_rollback_reports_script_dropped_table(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+    p = str(tmp_path / "t")
+    snapshot_write(spark.createDataFrame([(1,)], "k bigint"), p)
+    with pytest.raises(ValueError, match="dropped it .PURGE is unrecoverable"):
+        snapshot_sql_script(
+            spark, "DROP TABLE t PURGE; BROKEN;", {"t": p},
+            on_error="rollback",
+        )

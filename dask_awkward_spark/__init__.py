@@ -79,6 +79,7 @@ from .sources.snapshot import (
     snapshot_scan_report,
     snapshot_partitions,
     snapshot_set_partition_spec,
+    snapshot_set_properties,
     snapshot_set_stats_columns,
     snapshot_tag,
     snapshot_tags,

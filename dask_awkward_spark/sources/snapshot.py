@@ -1349,6 +1349,7 @@ def snapshot_create(
     partition_by: "list[str] | None" = None,
     bloom_by: "dict[str, int] | None" = None,
     stats_columns: "list[str] | None" = None,
+    properties: "dict[str, str] | None" = None,
     if_not_exists: bool = False,
 ) -> int:
     """Create an EMPTY snapshot table with a declared schema (SQL
@@ -1399,6 +1400,7 @@ def snapshot_create(
             partition_by=partition_by,
             bloom_by=bloom_by,
             stats_columns=stats_columns,
+            properties=properties,
         )
     except SnapshotConflictError:
         if if_not_exists:
@@ -1417,6 +1419,7 @@ def snapshot_write(
     partition_by: "list[str] | None" = None,
     bloom_by: "dict[str, int] | None" = None,
     stats_columns: "list[str] | None" = None,
+    properties: "dict[str, str] | None" = None,
     _validate_constraints: bool = True,
     _reset_constraints: bool = False,
 ) -> int:
@@ -1477,6 +1480,9 @@ def snapshot_write(
     if _reset_constraints and mode != "overwrite":
         raise ValueError("_reset_constraints is a table-REPLACEMENT hook "
                          "(overwrite only)")
+    if properties is not None:
+        _check_properties(properties)
+        properties = dict(properties) or None
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
     _check_reserved_names(df.columns)
     _fs().ensure_dir(path)
@@ -1705,6 +1711,17 @@ def snapshot_write(
             # REDEFINITION drops them (the old definition may reference
             # columns the new schema doesn't even have)
             "constraints": None if _reset_constraints else head_m.get("constraints"),
+            # user table properties are table DEFINITION, like
+            # constraints: they survive data overwrites and reset only
+            # on a full REDEFINITION (CREATE OR REPLACE — where the
+            # STATEMENT's own TBLPROPERTIES, if any, become the new set)
+            "properties": (
+                (properties or None) if _reset_constraints
+                else (
+                    properties if properties is not None
+                    else head_m.get("properties")
+                )
+            ),
             "committed_at": time.time(),
         }
         cons_now = json.dumps(head_m.get("constraints") or {}, sort_keys=True)
@@ -3032,6 +3049,75 @@ def snapshot_add_columns(
         # another writer claimed head+1: re-read and retry
 
 
+#: property keys the ENGINE owns — they carry sticky spec semantics and
+#: must route through their dedicated faces, never the opaque bag
+_RESERVED_PROP_KEYS = ("stats_columns",)
+_RESERVED_PROP_PREFIXES = ("bloom.",)
+
+
+def _check_properties(props) -> None:
+    if not isinstance(props, dict):
+        raise ValueError(f"properties must be a dict, got {type(props).__name__}")
+    for k, v in props.items():
+        if not isinstance(k, str) or not k:
+            raise ValueError(f"property keys must be non-empty strings, got {k!r}")
+        if not isinstance(v, str):
+            raise ValueError(
+                f"property values must be strings, got {k!r}={v!r} "
+                "(stringify — the manifest stores opaque text)"
+            )
+        if k.lower() in _RESERVED_PROP_KEYS or any(
+            k.lower().startswith(p) for p in _RESERVED_PROP_PREFIXES
+        ):
+            raise ValueError(
+                f"property key {k!r} is engine-reserved: use the "
+                "stats_columns= / bloom_by= faces (or their "
+                "TBLPROPERTIES spellings) — reserved keys carry sticky "
+                "spec semantics, not opaque text"
+            )
+
+
+def snapshot_set_properties(
+    path: str,
+    props: "dict[str, str] | None" = None,
+    unset: "list[str] | tuple[str, ...]" = (),
+    expect_head: "int | None" = None,
+) -> int:
+    """Merge/remove OPAQUE user table properties METADATA-ONLY (Delta's
+    ``ALTER TABLE SET/UNSET TBLPROPERTIES`` for arbitrary keys — owner
+    tags, pipeline markers, retention hints a platform layer reads).
+    The engine never interprets these; its own sticky specs
+    (``stats_columns``, ``bloom.*``) are reserved and refused here.
+    Properties are table DEFINITION: they survive appends and data
+    overwrites, reset on CREATE OR REPLACE, restore as-of with
+    RESTORE, and land in SHOW TBLPROPERTIES / SHOW CREATE TABLE.
+    Unsetting a missing key is a no-op (SQL's IF EXISTS spirit);
+    returns the new version (current head when nothing changes)."""
+    _check_properties(props or {})
+    for k in unset:
+        if not isinstance(k, str):
+            raise ValueError(f"unset keys must be strings, got {k!r}")
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        merged = dict(m.get("properties") or {})
+        merged.update(props or {})
+        for k in unset:
+            merged.pop(k, None)
+        if (merged or None) == m.get("properties"):
+            return head  # no-op
+        manifest = _cow_manifest(
+            m, head, "set_properties", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["properties"] = merged or None
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+
+
 def snapshot_alter_column_type(
     path: str, column: str, new_type, expect_head: "int | None" = None
 ) -> int:
@@ -3445,12 +3531,12 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     ok_ops = (
         "append", "delete", "update", "merge", "compact",
         "rename_column", "drop_column", "add_columns",
-        "set_stats_columns", "set_partition_spec", "alter_column_type",
+        "set_stats_columns", "set_partition_spec", "alter_column_type", "set_properties",
     )
     no_chg_ok = (
         "append", "compact", "rename_column", "drop_column",
         "add_columns", "set_stats_columns", "set_partition_spec",
-        "alter_column_type",
+        "alter_column_type", "set_properties",
     )
     out = []
     prev = set(_read_manifest(path, s)["files"]) if s else set()
@@ -3467,7 +3553,7 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
             )
         if m["op"] in (
             "compact", "rename_column", "drop_column", "add_columns",
-            "set_stats_columns", "set_partition_spec", "alter_column_type",
+            "set_stats_columns", "set_partition_spec", "alter_column_type", "set_properties",
         ):
             pass  # row-preserving commits: no change records by design
         elif chg is not None:
@@ -3532,14 +3618,14 @@ def snapshot_changes(
     ok_ops = (
         ("append", "delete", "update", "merge", "compact",
          "rename_column", "drop_column", "add_columns",
-         "set_stats_columns", "set_partition_spec", "alter_column_type")
+         "set_stats_columns", "set_partition_spec", "alter_column_type", "set_properties")
         if row_level
         # rename/drop/add/set_stats/set_partition_spec are metadata-only
         # (file set unchanged), so the plain file-delta feed crosses
         # them too — consumers simply see the until-version's columns
         else ("append", "rename_column", "drop_column", "add_columns",
               "set_stats_columns", "set_partition_spec",
-              "alter_column_type")
+              "alter_column_type", "set_properties")
     )
     # the table-creating commit (no parent) is a degenerate append
     bad = [v for v in span if mans[v]["op"] not in ok_ops and mans[v]["parent"] is not None]
@@ -4213,6 +4299,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "column_mapping": m.get("column_mapping"),
         "deletes": m.get("deletes"),
         "constraints": m.get("constraints"),
+        "properties": m.get("properties"),
         "committed_at": time.time(),
     }
 
@@ -4242,6 +4329,7 @@ def _rebase_manifest(
         or m2.get("deletes") != old_m.get("deletes")
         or m2.get("constraints") != old_m.get("constraints")
         or m2.get("stats_columns") != old_m.get("stats_columns")
+        or m2.get("properties") != old_m.get("properties")
     ):
         return None
     old_set = set(old_m["files"])
@@ -5525,6 +5613,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "column_mapping": src.get("column_mapping"),
             "deletes": src.get("deletes"),
             "constraints": src.get("constraints"),
+            "properties": src.get("properties"),
             "committed_at": time.time(),
         }
         if _commit_manifest(path, head + 1, manifest, m):
@@ -5959,7 +6048,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 m["op"] not in (
                     "append", "rename_column", "drop_column",
                     "add_columns", "set_stats_columns",
-                    "set_partition_spec", "alter_column_type",
+                    "set_partition_spec", "alter_column_type", "set_properties",
                 )
                 and m["parent"] is not None
             ):

@@ -863,6 +863,7 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
         "stats_columns": list(m.get("stats_columns") or []),
         "bloom_columns": sorted((m.get("bloom_ndv") or {})),
         "constraints": sorted((m.get("constraints") or {})),
+        "properties": dict(m.get("properties") or {}),
         "schema_ddl": m["schema_ddl"],
     }
     return spark.createDataFrame(
@@ -871,7 +872,8 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
         "num_versions bigint, committed_at double, num_files bigint, "
         "size_bytes bigint, partition_columns array<string>, "
         "stats_columns array<string>, bloom_columns array<string>, "
-        "constraints array<string>, schema_ddl string",
+        "constraints array<string>, properties map<string,string>, "
+        "schema_ddl string",
     )
 
 
@@ -916,6 +918,8 @@ def _show_tblproperties(spark: SparkSession, path: str) -> DataFrame:
         ))
     for c, ndv in sorted((m.get("bloom_ndv") or {}).items()):
         rows.append((f"bloom.{c}", str(ndv)))
+    for k, v in sorted((m.get("properties") or {}).items()):
+        rows.append((k, v))  # opaque user properties, verbatim
     return spark.createDataFrame(rows or [], "key string, value string")
 
 
@@ -964,6 +968,8 @@ def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
         )
     for c, ndv in sorted((m.get("bloom_ndv") or {}).items()):
         props.append(f"'bloom.{c}' = '{ndv}'")
+    for k, v in sorted((m.get("properties") or {}).items()):
+        props.append(f"'{q(k)}' = '{q(v)}'")
     if props:
         stmt += f"\nTBLPROPERTIES ({', '.join(props)})"
     stmt += f"\nLOCATION '{q(path)}';"
@@ -1045,12 +1051,14 @@ def _top_level_comma_spans(blank: str) -> "list[tuple[int, int]]":
 
 
 def _apply_tblproperties(props: "dict[str, str]"):
-    """Split a TBLPROPERTIES dict into the engine's sticky table specs:
-    ``stats_columns`` (comma-separated leaf list, Delta's
+    """Split a TBLPROPERTIES dict three ways: the engine's sticky table
+    specs — ``stats_columns`` (comma-separated leaf list, Delta's
     dataSkippingStatsColumns analog) and ``bloom.<col>`` (expected NDV,
-    the parquet bloom spec). Unknown keys refuse loudly — a silently
-    dropped property is a lie about what the table enforces."""
-    stats_cols, bloom = None, {}
+    the parquet bloom spec) — and everything else as OPAQUE user
+    properties (round 10, Delta parity: owner tags, pipeline markers;
+    stored verbatim in the manifest, never dropped, rendered by SHOW
+    TBLPROPERTIES / SHOW CREATE TABLE)."""
+    stats_cols, bloom, user = None, {}, {}
     for k, v in props.items():
         if k.lower() == "stats_columns":
             stats_cols = [c.strip() for c in v.split(",") if c.strip()]
@@ -1064,12 +1072,8 @@ def _apply_tblproperties(props: "dict[str, str]"):
                     f"got {v!r}"
                 )
         else:
-            raise ValueError(
-                f"unsupported TBLPROPERTIES key {k!r}: this engine speaks "
-                "'stats_columns' = 'a,b.c' (stats-column spec) and "
-                "'bloom.<col>' = '<ndv>' (parquet bloom filters)"
-            )
-    return stats_cols, (bloom or None)
+            user[k] = v
+    return stats_cols, (bloom or None), (user or None)
 
 
 def _create_sql(spark, sql, m, tables, catalog_path):
@@ -1113,12 +1117,12 @@ def _create_sql(spark, sql, m, tables, catalog_path):
         if not pb:
             raise ValueError("PARTITIONED BY needs at least one column")
         i = _skip_ws(blank, j)
-    stats_cols, bloom = None, None
+    stats_cols, bloom, uprops = None, None, None
     tm = re.compile(r"TBLPROPERTIES\s*\(", re.I).match(blank, i)
     if tm:
         j = _close_paren(blank, tm.end() - 1)
         props = _parse_tblproperties(sql[tm.end():j - 1], blank[tm.end():j - 1])
-        stats_cols, bloom = _apply_tblproperties(props)
+        stats_cols, bloom, uprops = _apply_tblproperties(props)
         i = _skip_ws(blank, j)
     lm = re.compile(r"LOCATION\s+('[^']*'|\"[^\"]*\")", re.I).match(blank, i)
     if lm is None:
@@ -1183,13 +1187,15 @@ def _create_sql(spark, sql, m, tables, catalog_path):
                     df, location, mode="overwrite",
                     partition_by=pb or [], bloom_by=bloom or {},
                     stats_columns=stats_cols or [],
+                    properties=uprops or {},
                     _reset_constraints=True,
                 )
             else:
                 try:
                     version = snapshot_write(
                         df, location, mode="append", expect_head=0,
-                        partition_by=pb, bloom_by=bloom, stats_columns=stats_cols,
+                        partition_by=pb, bloom_by=bloom,
+                        stats_columns=stats_cols, properties=uprops,
                     )
                 except SnapshotConflictError:
                     if not if_not_exists:
@@ -1214,12 +1220,14 @@ def _create_sql(spark, sql, m, tables, catalog_path):
                 spark.createDataFrame([], parsed), location, mode="overwrite",
                 partition_by=pb or [], bloom_by=bloom or {},
                 stats_columns=stats_cols or [],
+                properties=uprops or {},
                 _reset_constraints=True,
             )
         else:
             version = snapshot_create(
                 spark, location, coldefs, partition_by=pb, bloom_by=bloom,
-                stats_columns=stats_cols, if_not_exists=if_not_exists,
+                stats_columns=stats_cols, properties=uprops,
+                if_not_exists=if_not_exists,
             )
     tables[name] = location
     if catalog_path is not None:
@@ -1358,20 +1366,28 @@ def _ddl_sql(spark, sql, tables, catalog_path):
         props = _parse_tblproperties(
             action[am.end():j - 1], blank_action[am.end():j - 1]
         )
-        stats_cols, bloom = _apply_tblproperties(props)
+        stats_cols, bloom, uprops = _apply_tblproperties(props)
         if bloom is not None:
             raise ValueError(
                 "bloom.<col> applies at CREATE/write time (the spec rides "
-                "on data commits); SET TBLPROPERTIES changes only "
-                "'stats_columns' metadata-only — restate blooms on the "
-                "next snapshot_write"
+                "on data commits); SET TBLPROPERTIES changes "
+                "'stats_columns' and opaque user keys metadata-only — "
+                "restate blooms on the next snapshot_write"
             )
-        if stats_cols is None:
+        if stats_cols is None and uprops is None:
             raise ValueError(
-                "SET TBLPROPERTIES needs 'stats_columns' = '...' "
-                "('' resets to the schema-order prefix default)"
+                "SET TBLPROPERTIES needs at least one key: "
+                "'stats_columns' = '...' ('' resets to the schema-order "
+                "prefix default) or any opaque user property"
             )
-        return snapshot_set_stats_columns(path, stats_cols or None)
+        v = None
+        if stats_cols is not None:
+            v = snapshot_set_stats_columns(path, stats_cols or None)
+        if uprops is not None:
+            from .snapshot import snapshot_set_properties
+
+            v = snapshot_set_properties(path, uprops)
+        return v
     am = re.match(
         rf"^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\(", action, re.I
     )
@@ -1387,11 +1403,39 @@ def _ddl_sql(spark, sql, tables, catalog_path):
     am = re.match(rf"^DROP\s+CONSTRAINT\s+({_IDENT})\s*$", action, re.I)
     if am:
         return snapshot_drop_constraint(path, am.group(1))
+    am = re.match(
+        r"^UNSET\s+TBLPROPERTIES\s*(?:(IF\s+EXISTS)\s*)?\(", action, re.I
+    )
+    if am:
+        from .snapshot import snapshot_set_properties
+
+        j = _close_paren(blank_action, am.end() - 1)
+        if blank_action[j:].strip():
+            raise ValueError(
+                f"unparsed trailing text after UNSET TBLPROPERTIES: "
+                f"{action[j:].strip()[:40]!r}"
+            )
+        keys = []
+        span_r, span_b = action[am.end():j - 1], blank_action[am.end():j - 1]
+        for lo, hi in _top_level_comma_spans(span_b):
+            km = re.match(r"^\s*'([^']*)'\s*$", span_r[lo:hi])
+            if km is None or not km.group(1):
+                raise ValueError(
+                    f"UNSET TBLPROPERTIES takes quoted keys: "
+                    f"{span_r[lo:hi].strip()[:30]!r}"
+                )
+            keys.append(km.group(1))
+        if not keys:
+            raise ValueError("UNSET TBLPROPERTIES needs at least one key")
+        # unsetting a missing key is always a no-op (the Python face's
+        # contract) — IF EXISTS is accepted for SQL-compat spelling
+        return snapshot_set_properties(path, unset=keys)
     raise ValueError(
         f"unsupported ALTER TABLE action {action.strip()[:60]!r}: the DDL "
         "face speaks ADD COLUMN(S), RENAME COLUMN a TO b, DROP COLUMN c, "
         "ALTER COLUMN c TYPE <wider>, SET TBLPROPERTIES "
-        "('stats_columns'='...'), SET PARTITION SPEC (c, ...), "
+        "('stats_columns'='...' and/or opaque user keys), UNSET "
+        "TBLPROPERTIES ('k', ...), SET PARTITION SPEC (c, ...), "
         "ADD CONSTRAINT n CHECK (<triples>), DROP CONSTRAINT n"
     )
 

@@ -77,6 +77,7 @@ from .sources.snapshot import (
     snapshot_rename_column,
     snapshot_restore,
     snapshot_scan_report,
+    snapshot_files,
     snapshot_partitions,
     snapshot_set_partition_spec,
     snapshot_set_properties,

@@ -1098,6 +1098,9 @@ def _stage_files(
             files.append(rel)
             try:
                 stats[rel] = _file_stats(src, stats_cols=stats_cols)
+                # recorded size makes the file inventory and DESCRIBE
+                # DETAIL metadata-only (no per-file stat at read time)
+                stats[rel]["bytes"] = os.path.getsize(src)
             except Exception:
                 continue  # stats are an optimization; never fail the write
             # the dir VALUE backs up the partition column's bounds
@@ -2400,6 +2403,7 @@ def snapshot_convert(spark: SparkSession, path: str) -> int:
     for rel in rels:
         try:
             stats[rel] = _file_stats(os.path.join(path, rel), md=metas[rel])
+            stats[rel]["bytes"] = os.path.getsize(os.path.join(path, rel))
         except Exception:
             continue  # stats are an optimization; never fail the convert
     manifest = {
@@ -3412,6 +3416,41 @@ def snapshot_versions(path: str) -> "list[dict]":
     return [_read_manifest(path, v) for v in _versions(path)]
 
 
+def snapshot_files(
+    spark: SparkSession, path: str, version: "int | None" = None
+) -> DataFrame:
+    """The table's live FILE inventory as a DataFrame (Iceberg's
+    ``t.files`` metadata table): one row per data file with its
+    partition directory, recorded row count, recorded size (writers
+    from round 10 on record bytes at stage time — older files show
+    NULL rather than paying a per-file stat), deletion-vector row
+    count, and whether footer stats were harvested. Everything comes
+    from the manifest — zero file opens. The drill-down under
+    :func:`snapshot_partitions`: which file in the fat partition is
+    the tiny one, what a scoped OPTIMIZE would rewrite."""
+    v = _resolve_version(path, version, None, None)
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    dv = _dv_positions(path, m.get("deletes") or []) if m.get("deletes") else {}
+    rows = []
+    for f in m["files"]:
+        s = stats.get(f)
+        segs = [x for x in f.split("/")[1:-1] if "=" in x]
+        rows.append((
+            f,
+            "/".join(segs) if segs else "(unpartitioned)",
+            (s or {}).get("rows"),
+            (s or {}).get("bytes"),
+            len(dv.get(f.rsplit("/", 1)[-1], ())),
+            s is not None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "file string, partition string, rows bigint, bytes bigint, "
+        "deleted_rows bigint, has_stats boolean",
+    )
+
+
 def snapshot_partitions(
     spark: SparkSession, path: str, version: "int | None" = None
 ) -> DataFrame:
@@ -4029,8 +4068,14 @@ def snapshot_compact(
             affected = list(m["files"])
         aff_set = set(affected)
         carried = [f for f in m["files"] if f not in aff_set]
-        files = [os.path.join(path, f) for f in affected]
-        total = sum(_fs().size(f) for f in files)
+        stats_m = m.get("stats", {})
+        # files are immutable: the stage-time recorded size IS the
+        # current size — stat only the (older-lineage) files without it
+        total = sum(
+            b if (b := (stats_m.get(f) or {}).get("bytes")) is not None
+            else _fs().size(os.path.join(path, f))
+            for f in affected
+        )
         n_out = max(1, math.ceil(total / max(target_file_bytes, 1)))
         # deletion vectors are applied here and PURGED by the rewrite:
         # compaction is the scheduled physical erase for merge-on-read

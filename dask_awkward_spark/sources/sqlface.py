@@ -715,6 +715,7 @@ def _select_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
 
 _HISTORY_RE = re.compile(rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$", re.I)
 _DETAIL_RE = re.compile(rf"^\s*DESCRIBE\s+DETAIL\s+({_IDENT})\s*;?\s*$", re.I)
+_FILES_RE = re.compile(rf"^\s*DESCRIBE\s+FILES\s+({_IDENT})\s*;?\s*$", re.I)
 _SHOW_CREATE_RE = re.compile(
     rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.I
 )
@@ -773,6 +774,11 @@ def _maintenance_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     m = _DETAIL_RE.match(sql)
     if m:
         return _describe_detail(spark, _resolve(m.group(1), tables))
+    m = _FILES_RE.match(sql)
+    if m:
+        from .snapshot import snapshot_files
+
+        return snapshot_files(spark, _resolve(m.group(1), tables))
     m = _SHOW_CREATE_RE.match(sql)
     if m:
         return _show_create_table(spark, m.group(1), _resolve(m.group(1), tables))
@@ -846,7 +852,12 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
     versions = _require_versions(path)
     m = _read_manifest(path, versions[-1])
     size = 0
+    stats = m.get("stats", {})
     for f in m["files"]:
+        b = (stats.get(f) or {}).get("bytes")
+        if b is not None:
+            size += b  # recorded at stage time (round 10): no stat call
+            continue
         try:
             size += _fs().size(_os.path.join(path, f))
         except Exception:

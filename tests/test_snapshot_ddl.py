@@ -1304,3 +1304,42 @@ def test_user_properties_cross_feeds_and_fuzzless_paths(spark, tmp_path):
     assert _read_manifest(p, _versions_of(p)[-1])["properties"] == {
         "owner": "x"
     }
+
+
+# ---- file inventory + recorded sizes (round 10) -----------------------
+
+
+def test_snapshot_files_inventory_and_recorded_bytes(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_files,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("g")
+        ),
+        p,
+        partition_by=["g"],
+    )
+    inv = snapshot_files(spark, p).collect()
+    m = _read_manifest(p, 1)
+    assert {r.file for r in inv} == set(m["files"])
+    assert all(r.partition.startswith("g=") for r in inv)
+    assert sum(r.rows for r in inv) == 100
+    # recorded bytes match the actual on-disk size, no stat at read
+    import os as _os
+
+    for r in inv:
+        assert r.bytes == _os.path.getsize(_os.path.join(p, r.file)), r
+    # MOR delete rows show per file; DESCRIBE FILES SQL form
+    snapshot_delete(spark, p, [("k", "<", 10)], strategy="merge-on-read")
+    got = snapshot_sql(spark, "DESCRIBE FILES t", {"t": p})
+    assert got.columns == [
+        "file", "partition", "rows", "bytes", "deleted_rows", "has_stats"
+    ]
+    assert sum(r.deleted_rows for r in got.collect()) == 10
+    # DESCRIBE DETAIL's size now comes from the recorded bytes
+    det = snapshot_sql(spark, "DESCRIBE DETAIL t", {"t": p}).first()
+    assert det.size_bytes == sum(r.bytes for r in inv)

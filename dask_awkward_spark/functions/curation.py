@@ -94,6 +94,69 @@ def quota_sample(df: DataFrame, key: Column, rate: "Column | float", salt: str =
     return df.filter(u < F.lit(_hex_threshold(float(rate))))
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    total_rows: int,
+    temperature: float = 2.0,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-reweighted group mixing — the multilingual-corpus
+    sampling idiom (XLM-R / mBERT: resample language l with probability
+    proportional to ``n_l^(1/T)``, flattening the head so low-resource
+    groups are not drowned; T=1 keeps natural proportions, T→∞ goes
+    uniform). Deterministic and reproducible: each group keeps its
+    ``k_g`` LOWEST-hash rows (md5 gate + id tiebreak — re-run- and
+    partitioning-stable, like every curation op).
+
+    Exactness discipline: at the default ``T=2`` the weights are
+    ``floor(sqrt(n_g))`` — IEEE sqrt is correctly rounded, so the whole
+    quota computation is INTEGER arithmetic any engine reproduces
+    bit-for-bit (the oracle twin relies on this); other temperatures
+    use float ``pow`` and are documented as engine-faithful, not
+    cross-engine-exact. Group count is driver-bounded by contract
+    (languages/sources — the same bound as k-means centroids): one
+    tiny aggregate collects to compute quotas.
+
+    Scale shape: one groupBy count (map-side combined), quotas
+    broadcast back, ONE per-group window for rank selection — no
+    global sort, no unpartitioned window."""
+    from pyspark.sql import Window
+
+    if total_rows < 0:
+        raise ValueError(f"total_rows must be >= 0, got {total_rows}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    if not counts:
+        return df
+    if temperature == 2.0:
+        import math
+
+        wgt = {r[group_col]: math.isqrt(r["__n"]) for r in counts}
+    else:
+        wgt = {
+            r[group_col]: int(r["__n"] ** (1.0 / temperature)) for r in counts
+        }
+    z = sum(wgt.values()) or 1
+    quotas = [
+        (g, (w * int(total_rows)) // z) for g, w in sorted(wgt.items())
+    ]
+    spark = df.sparkSession
+    gt = df.schema[group_col].dataType.simpleString()
+    qdf = F.broadcast(
+        spark.createDataFrame(quotas, f"{group_col} {gt}, __quota bigint")
+    )
+    w = Window.partitionBy(group_col).orderBy(hash_key(key, salt), key)
+    return (
+        df.join(qdf, group_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )
+
+
 def cap_running_budget(
     df: DataFrame,
     partition_by: "str | list[str]",

@@ -659,3 +659,55 @@ HAVING CAST(round(count(*) * 1e6 / c.n_sh) AS BIGINT) >= 100000
 
 QUERIES.update({"text_contamination": text_contamination})
 ORACLES.update({"text_contamination": TEXT_CONTAMINATION_SQL})
+
+
+def lang_temperature_mix(spark, sf_dir):
+    """Temperature-reweighted language mixing (round 10 — the XLM-R
+    multilingual-sampling idiom): resample language l proportionally to
+    ``n_l^(1/2)``, flattening English's head so low-resource languages
+    keep presence, targeting half the corpus. Fully deterministic AND
+    cross-engine-exact: T=2 weights are ``floor(sqrt(n_l))`` (IEEE sqrt
+    is correctly rounded, so quota arithmetic is pure integers), and
+    each language keeps its quota of LOWEST-md5 docs (id tiebreak) via
+    one per-language window — no RNG, no global sort, no unpartitioned
+    window. The oracle twin reruns the identical integer math."""
+    from ..functions.curation import temperature_mix
+
+    df = _docs(spark, sf_dir)
+    total = df.count() // 2
+    return (
+        temperature_mix(df, "lang", F.col("doc_id"), total, temperature=2.0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+
+
+LANG_TEMPERATURE_MIX_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+z AS (SELECT SUM(CAST(floor(sqrt(n)) AS BIGINT)) AS zz,
+             (SELECT count(*) FROM documents) // 2 AS total FROM c),
+q AS (SELECT c.lang,
+             (CAST(floor(sqrt(c.n)) AS BIGINT) * z.total) // z.zz AS quota
+      FROM c, z),
+ranked AS (
+  SELECT d.lang, d.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), d.doc_id
+         ) AS rk
+  FROM documents d
+)
+SELECT r.lang, count(*) AS n_kept,
+       CAST(sum(r.n_chars) AS BIGINT) AS kept_chars,
+       min(r.doc_id) AS min_id
+FROM ranked r JOIN q ON r.lang = q.lang
+WHERE r.rk <= q.quota
+GROUP BY r.lang
+"""
+
+QUERIES.update({"lang_temperature_mix": lang_temperature_mix})
+ORACLES.update({"lang_temperature_mix": LANG_TEMPERATURE_MIX_SQL})

@@ -207,3 +207,52 @@ def test_quota_sample_composes_with_streaming(spark, tmp_path):
     stream_ids = sorted(r.doc_id for r in spark.table(name).collect())
     assert stream_ids == batch_ids
     assert 100 < len(batch_ids) < 200  # ~150
+
+
+# ---- temperature mixing (round 10 — XLM-R language sampling) ----------
+
+
+def test_temperature_mix_flattens_head(spark):
+    """The point of T>1: the dominant group's kept SHARE shrinks versus
+    its natural share, rare groups' shares grow; total ~= target."""
+    from dask_awkward_spark.functions.curation import temperature_mix
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 700, "en")
+        .when(F.col("id") < 900, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = temperature_mix(df, "lang", F.col("doc_id"), total_rows=500)
+    kept = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(kept.values())
+    assert abs(total - 500) <= 3  # floor rounding per group
+    # natural en share 0.70; sqrt-weights: en share = sqrt(700)/Z ~ 0.48
+    assert kept["en"] / total < 0.55
+    assert kept["fr"] / total > 0.10  # natural 0.10 -> boosted
+    # deterministic: identical output on a re-run over a reshuffle
+    again = temperature_mix(
+        df.repartition(7), "lang", F.col("doc_id"), total_rows=500
+    )
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.select("doc_id", "lang").collect()
+    )
+
+
+def test_temperature_mix_refusals_and_t1(spark):
+    from dask_awkward_spark.functions.curation import temperature_mix
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    with pytest.raises(ValueError, match="total_rows"):
+        temperature_mix(df, "lang", F.col("doc_id"), -1)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix(df, "lang", F.col("doc_id"), 10, temperature=0)
+    # T=1: natural proportions (single group keeps exactly the target)
+    out = temperature_mix(
+        df, "lang", F.col("doc_id"), 40, temperature=1.0
+    )
+    assert out.count() == 40

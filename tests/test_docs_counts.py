@@ -20,6 +20,7 @@ def test_readme_query_count_matches_registry():
     n = len(all_queries())
     text = README.read_text()
     claims = [int(m) for m in re.findall(r"exposes (\d+) queries", text)]
+    claims += [int(m) for m in re.findall(r"(\d+) named queries", text)]
     claims += [
         int(a)
         for a, b in re.findall(r"# (\d+)/(\d+) pass", text)

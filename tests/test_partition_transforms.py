@@ -476,3 +476,37 @@ def test_script_rollback_reports_script_dropped_table(spark, tmp_path):
             spark, "DROP TABLE t PURGE; BROKEN;", {"t": p},
             on_error="rollback",
         )
+
+
+def test_streaming_ingest_into_transform_partitioned_table(spark, tmp_path):
+    """stream_to_snapshot into a pre-created transform-partitioned
+    table: every micro-batch append inherits the sticky spec, files
+    land under the transform dirs, and inverse-image pruning fires on
+    the streamed data."""
+    from dask_awkward_spark.sources.datasource import stream_from_datasource
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_create,
+        stream_to_snapshot,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_create(
+        spark, p, "id bigint, ts timestamp_ntz",
+        partition_by=["days(ts)"],
+    )
+
+    def gen(tag):
+        yield {"id": tag, "ts": __import__("datetime").datetime(2024, 5, 1 + tag)}
+
+    stream_to_snapshot(
+        stream_from_datasource(
+            spark, gen, list(range(4)), "id bigint, ts timestamp_ntz",
+            batch_size=1,
+        ),
+        p,
+    )
+    m = _read_manifest(p, 5)  # create + 4 batch appends
+    assert all("ts_day=2024-05-0" in f for f in m["files"])
+    rep = snapshot_scan_report(p, [("ts", ">=", datetime.datetime(2024, 5, 4))])
+    assert rep == {"total": 4, "scanned": 1, "skipped": 3}
+    assert snapshot_read(spark, p).count() == 4

@@ -120,9 +120,19 @@ def temperature_mix(
     tiny aggregate collects to compute quotas.
 
     Scale shape: one groupBy count (map-side combined), quotas
-    broadcast back, ONE per-group window for rank selection — no
-    global sort, no unpartitioned window."""
+    broadcast back (null-safe join — a NULL group is a group), ONE
+    per-group window for rank selection — no global sort, no
+    unpartitioned window.
+
+    ``total_rows`` is an UPPER bound, not a promise: a group whose
+    quota exceeds its population contributes everything it has and the
+    shortfall is NOT redistributed — keep-only sampling cannot
+    upsample, and a redistribution loop would trade the integer-exact
+    quota math away for a few extra rows. Under heavy skew with small
+    rare groups, expect the kept total below the target by the
+    saturated groups' deficit."""
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
     if total_rows < 0:
         raise ValueError(f"total_rows must be >= 0, got {total_rows}")
@@ -140,20 +150,27 @@ def temperature_mix(
             r[group_col]: int(r["__n"] ** (1.0 / temperature)) for r in counts
         }
     z = sum(wgt.values()) or 1
+    # None sorts first (a NULL group key is as legal as any other)
     quotas = [
-        (g, (w * int(total_rows)) // z) for g, w in sorted(wgt.items())
+        (g, (w * int(total_rows)) // z)
+        for g, w in sorted(wgt.items(), key=lambda kv: (kv[0] is not None, kv[0]))
     ]
     spark = df.sparkSession
-    gt = df.schema[group_col].dataType.simpleString()
     qdf = F.broadcast(
-        spark.createDataFrame(quotas, f"{group_col} {gt}, __quota bigint")
+        spark.createDataFrame(
+            quotas,
+            StructType([
+                StructField("__grp", df.schema[group_col].dataType, True),
+                StructField("__quota", LongType(), False),
+            ]),
+        )
     )
     w = Window.partitionBy(group_col).orderBy(hash_key(key, salt), key)
     return (
-        df.join(qdf, group_col)
+        df.join(qdf, F.col(group_col).eqNullSafe(F.col("__grp")))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("__quota"))
-        .drop("__rk", "__quota")
+        .drop("__rk", "__quota", "__grp")
     )
 
 

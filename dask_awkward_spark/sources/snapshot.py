@@ -1098,11 +1098,16 @@ def _stage_files(
             files.append(rel)
             try:
                 stats[rel] = _file_stats(src, stats_cols=stats_cols)
-                # recorded size makes the file inventory and DESCRIBE
-                # DETAIL metadata-only (no per-file stat at read time)
-                stats[rel]["bytes"] = os.path.getsize(src)
             except Exception:
                 continue  # stats are an optimization; never fail the write
+            try:
+                # recorded size makes the file inventory and DESCRIBE
+                # DETAIL metadata-only (no per-file stat at read time).
+                # Own guard: a size failure must not skip the dir-value
+                # backup below (the transform value exists nowhere else)
+                stats[rel]["bytes"] = os.path.getsize(src)
+            except Exception:
+                pass
             # the dir VALUE backs up the partition column's bounds
             # when the footer omitted them (constant columns always
             # have footer stats in practice; this is the belt)
@@ -3098,9 +3103,23 @@ def snapshot_set_properties(
     Unsetting a missing key is a no-op (SQL's IF EXISTS spirit);
     returns the new version (current head when nothing changes)."""
     _check_properties(props or {})
+    if isinstance(unset, str):
+        raise ValueError(
+            f"unset= takes a LIST of keys, got the string {unset!r} "
+            "(iterating it per character would silently unset nothing)"
+        )
     for k in unset:
         if not isinstance(k, str):
             raise ValueError(f"unset keys must be strings, got {k!r}")
+        if k.lower() in _RESERVED_PROP_KEYS or any(
+            k.lower().startswith(p) for p in _RESERVED_PROP_PREFIXES
+        ):
+            raise ValueError(
+                f"cannot unset engine-reserved key {k!r}: reset the "
+                "stats spec with SET TBLPROPERTIES ('stats_columns'='') "
+                "/ snapshot_set_stats_columns(None); blooms restate on "
+                "the next write"
+            )
     while True:
         head = _require_versions(path)[-1]
         if expect_head is not None and head != expect_head:
@@ -3416,6 +3435,18 @@ def snapshot_versions(path: str) -> "list[dict]":
     return [_read_manifest(path, v) for v in _versions(path)]
 
 
+def _file_partition_key(rel: str) -> str:
+    """A data file's partition-directory key (``ts_day=2024-05-01/g=1``)
+    or ``(unpartitioned)`` — THE parsing both inventories share so they
+    can never disagree on grouping."""
+    segs = [s for s in rel.split("/")[1:-1] if "=" in s]
+    return "/".join(segs) if segs else "(unpartitioned)"
+
+
+def _file_dv_count(dv: dict, rel: str) -> int:
+    return len(dv.get(rel.rsplit("/", 1)[-1], ()))
+
+
 def snapshot_files(
     spark: SparkSession, path: str, version: "int | None" = None
 ) -> DataFrame:
@@ -3435,13 +3466,12 @@ def snapshot_files(
     rows = []
     for f in m["files"]:
         s = stats.get(f)
-        segs = [x for x in f.split("/")[1:-1] if "=" in x]
         rows.append((
             f,
-            "/".join(segs) if segs else "(unpartitioned)",
+            _file_partition_key(f),
             (s or {}).get("rows"),
             (s or {}).get("bytes"),
-            len(dv.get(f.rsplit("/", 1)[-1], ())),
+            _file_dv_count(dv, f),
             s is not None,
         ))
     return spark.createDataFrame(
@@ -3472,16 +3502,14 @@ def snapshot_partitions(
     dv = _dv_positions(path, m.get("deletes") or []) if m.get("deletes") else {}
     groups: "dict[str, list[str]]" = {}
     for f in m["files"]:
-        segs = [s for s in f.split("/")[1:-1] if "=" in s]
-        key = "/".join(segs) if segs else "(unpartitioned)"
-        groups.setdefault(key, []).append(f)
+        groups.setdefault(_file_partition_key(f), []).append(f)
     rows = []
     for key in sorted(groups):
         fs = groups[key]
         n_rows, gaps, deleted = 0, 0, 0
         for f in fs:
             s = stats.get(f) or {}
-            n_dv = len(dv.get(f.rsplit("/", 1)[-1], ()))
+            n_dv = _file_dv_count(dv, f)
             if "rows" in s:
                 # DV entries subtract only from files whose row count
                 # was actually summed — otherwise a stats-less file

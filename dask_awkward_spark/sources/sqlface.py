@@ -1033,16 +1033,20 @@ def _close_paren(blank: str, i: int) -> int:
 
 def _parse_tblproperties(real: str, blank: str) -> "dict[str, str]":
     """The ``'key' = 'value'`` pairs inside a TBLPROPERTIES span
-    (both spans WITHOUT the outer parens)."""
+    (both spans WITHOUT the outer parens). Doubled quotes escape — the
+    form SHOW CREATE TABLE emits for values containing ``'``, so its
+    output replays through this parser."""
     props = {}
     for lo, hi in _top_level_comma_spans(blank):
-        pm = re.match(r"^\s*'([^']*)'\s*=\s*'([^']*)'\s*$", real[lo:hi])
+        pm = re.match(
+            r"^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", real[lo:hi]
+        )
         if pm is None:
             raise ValueError(
                 f"cannot parse TBLPROPERTIES item {real[lo:hi].strip()!r}: "
                 "expected 'key' = 'value' (single-quoted both sides)"
             )
-        props[pm.group(1)] = pm.group(2)
+        props[pm.group(1).replace("''", "'")] = pm.group(2).replace("''", "'")
     return props
 
 
@@ -1391,14 +1395,18 @@ def _ddl_sql(spark, sql, tables, catalog_path):
                 "'stats_columns' = '...' ('' resets to the schema-order "
                 "prefix default) or any opaque user property"
             )
-        v = None
+        if stats_cols is not None and uprops is not None:
+            raise ValueError(
+                "SET TBLPROPERTIES mixes the reserved 'stats_columns' "
+                "spec with user properties: they commit through "
+                "different faces and one statement would need two "
+                "non-atomic versions — split into two ALTER statements"
+            )
         if stats_cols is not None:
-            v = snapshot_set_stats_columns(path, stats_cols or None)
-        if uprops is not None:
-            from .snapshot import snapshot_set_properties
+            return snapshot_set_stats_columns(path, stats_cols or None)
+        from .snapshot import snapshot_set_properties
 
-            v = snapshot_set_properties(path, uprops)
-        return v
+        return snapshot_set_properties(path, uprops)
     am = re.match(
         rf"^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\(", action, re.I
     )
@@ -1429,13 +1437,13 @@ def _ddl_sql(spark, sql, tables, catalog_path):
         keys = []
         span_r, span_b = action[am.end():j - 1], blank_action[am.end():j - 1]
         for lo, hi in _top_level_comma_spans(span_b):
-            km = re.match(r"^\s*'([^']*)'\s*$", span_r[lo:hi])
+            km = re.match(r"^\s*'((?:[^']|'')*)'\s*$", span_r[lo:hi])
             if km is None or not km.group(1):
                 raise ValueError(
                     f"UNSET TBLPROPERTIES takes quoted keys: "
                     f"{span_r[lo:hi].strip()[:30]!r}"
                 )
-            keys.append(km.group(1))
+            keys.append(km.group(1).replace("''", "'"))
         if not keys:
             raise ValueError("UNSET TBLPROPERTIES needs at least one key")
         # unsetting a missing key is always a no-op (the Python face's

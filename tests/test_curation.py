@@ -256,3 +256,78 @@ def test_temperature_mix_refusals_and_t1(spark):
         df, "lang", F.col("doc_id"), 40, temperature=1.0
     )
     assert out.count() == 40
+
+
+def test_temperature_mix_null_group_and_saturation(spark):
+    """Round-10 review regressions: a NULL group key samples like any
+    other group (null-safe join, None-first quota ordering), and a
+    group smaller than its quota contributes everything it has (the
+    target is an upper bound — no silent crash, no empty result)."""
+    from dask_awkward_spark.functions.curation import temperature_mix
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, "en")
+        .when(F.col("id") < 290, None)
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = temperature_mix(df, "lang", F.col("doc_id"), total_rows=150)
+    kept = {
+        r.lang: r.cnt
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert None in kept and kept[None] > 0
+    assert kept.get("fr", 0) <= 10  # saturation caps at the group size
+    assert sum(kept.values()) <= 150
+    # all-NULL group column still samples (not an empty frame)
+    allnull = df.withColumn("lang", F.lit(None).cast("string"))
+    got = temperature_mix(allnull, "lang", F.col("doc_id"), total_rows=50)
+    assert got.count() == 50
+    # unset= as a bare string is refused loudly on the properties face
+    from dask_awkward_spark.sources.snapshot import snapshot_set_properties
+
+    with pytest.raises(ValueError, match="LIST of keys"):
+        snapshot_set_properties("/tmp/nowhere", unset="owner")
+
+
+def test_show_create_quote_escape_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE output with a quoted property value replays
+    through the DDL parser (doubled-quote escape both ways)."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_set_properties,
+        snapshot_write,
+        _read_manifest,
+        _versions,
+    )
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "t")
+    snapshot_write(spark.createDataFrame([(1,)], "k bigint"), p)
+    snapshot_set_properties(p, {"owner": "O'Brien"})
+    stmt = snapshot_sql(spark, "SHOW CREATE TABLE t", {"t": p}).first()[0]
+    assert "'O''Brien'" in stmt
+    # replay the CREATE at a new location: the parser accepts its own
+    # renderer's output and the property survives the round trip
+    p2 = str(tmp_path / "t2")
+    replay = stmt.split(";")[0].replace(f"'{p}'", f"'{p2}'").replace(
+        "CREATE TABLE t ", "CREATE TABLE t2 "
+    )
+    snapshot_sql(spark, replay, {"t2": p2})
+    assert _read_manifest(p2, _versions(p2)[-1])["properties"] == {
+        "owner": "O'Brien"
+    }
+    # UNSET with the escaped spelling, and reserved-key refusals
+    snapshot_sql(spark, "ALTER TABLE t UNSET TBLPROPERTIES ('owner')", {"t": p})
+    assert _read_manifest(p, _versions(p)[-1])["properties"] is None
+    with pytest.raises(ValueError, match="engine-reserved"):
+        snapshot_sql(
+            spark, "ALTER TABLE t UNSET TBLPROPERTIES ('stats_columns')",
+            {"t": p},
+        )
+    with pytest.raises(ValueError, match="split into two"):
+        snapshot_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES ('stats_columns'='k', 'o'='1')",
+            {"t": p},
+        )

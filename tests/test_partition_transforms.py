@@ -510,3 +510,31 @@ def test_streaming_ingest_into_transform_partitioned_table(spark, tmp_path):
     rep = snapshot_scan_report(p, [("ts", ">=", datetime.datetime(2024, 5, 4))])
     assert rep == {"total": 4, "scanned": 1, "skipped": 3}
     assert snapshot_read(spark, p).count() == 4
+
+
+def test_year_and_hour_transform_layouts(spark, tmp_path):
+    """The two remaining temporal transforms end to end: year() (int
+    dir values) and hour() (lexicographic-chronological strings)."""
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2023-12-31 20:00:00")).cast("timestamp_ntz")
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+    )
+    snapshot_write(df, p, partition_by=["year(ts)", "hour(ts)"])
+    m = _read_manifest(p, 1)
+    assert all("ts_year=" in f and "ts_hour=" in f for f in m["files"])
+    assert any("ts_year=2023" in f for f in m["files"])
+    assert any("ts_year=2024" in f for f in m["files"])
+    # inverse image on both: year boundary and an hour range
+    rep = snapshot_scan_report(p, [("ts", "<", datetime.datetime(2024, 1, 1))])
+    assert rep["scanned"] == 4, rep  # the four 2023 hours
+    got = snapshot_read(
+        spark, p,
+        where=[("ts", ">=", datetime.datetime(2024, 1, 3))],
+    ).count()
+    assert got == df.filter(
+        F.col("ts") >= F.lit("2024-01-03").cast("timestamp_ntz")
+    ).count()

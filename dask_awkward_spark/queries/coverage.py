@@ -1856,3 +1856,100 @@ GROUP BY 1
 
 QUERIES["io_snapshot_transform"] = io_snapshot_transform
 ORACLES["io_snapshot_transform"] = IO_SNAPSHOT_TRANSFORM_SQL
+
+
+def io_snapshot_script(spark, sf_dir):
+    """Multi-statement SQL script with COMPENSATING ROLLBACK under an
+    oracle (round 10): a provisioning script CREATEs a table from the
+    supplier view, a second script mutates it and then FAILS — with
+    ``on_error="rollback"`` the mutation is RESTOREd (an O(1) metadata
+    commit; the failed statements stay time-travelable) and the
+    created-table state survives exactly. A third, fixed script then
+    applies the real mutation. The final read-back must equal DuckDB
+    over the source rows with only the GOOD mutation applied — the
+    rolled-back DELETE must be invisible."""
+    import shutil
+
+    from ..sources.snapshot import _versions, snapshot_scan_report
+    from ..sources.sqlface import snapshot_sql, snapshot_sql_script
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{_TMP}/dakspark_script_{sf_tag}_{os.getpid()}"
+    loc, cat = f"{base}/t", f"{base}/cat"
+    shutil.rmtree(base, ignore_errors=True)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    view = f"script_src_{os.getpid()}"
+    try:
+        supp.createOrReplaceTempView(view)
+        snapshot_sql_script(
+            spark,
+            f"""
+            CREATE TABLE t (k bigint, nk bigint, bal double)
+              TBLPROPERTIES ('owner' = 'pipeline') LOCATION '{loc}';
+            INSERT INTO t SELECT k, nk, bal FROM {view};
+            """,
+            cat,
+            on_error="rollback",
+        )
+        v_good = _versions(loc)[-1]
+        # the BAD script: a destructive DELETE lands, then a broken
+        # statement fails the script — rollback must RESTORE the table
+        try:
+            snapshot_sql_script(
+                spark,
+                "DELETE FROM t WHERE bal >= 0.0; THIS IS NOT SQL;",
+                cat,
+                on_error="rollback",
+            )
+            raise AssertionError("the bad script must raise")
+        except ValueError as e:
+            assert "rollback: restored t" in str(e), e
+        assert _versions(loc)[-1] > v_good, "rollback commits a restore"
+        n_now = snapshot_sql(spark, "SELECT count(*) AS n FROM t", cat).first().n
+        n_src = supp.count()
+        assert n_now == n_src, f"rolled-back DELETE visible: {n_now} != {n_src}"
+        # the FIXED script applies the real mutation
+        snapshot_sql_script(
+            spark,
+            "DELETE FROM t WHERE bal < 0.0; "
+            "ALTER TABLE t SET TBLPROPERTIES ('stage' = 'clean');",
+            cat,
+            on_error="rollback",
+        )
+        props = {
+            r.key: r.value
+            for r in snapshot_sql(spark, "SHOW TBLPROPERTIES t", cat).collect()
+        }
+        assert props.get("owner") == "pipeline" and props.get("stage") == "clean"
+        assert snapshot_scan_report(loc, [("k", "<", 0)])["scanned"] == 0
+        return snapshot_sql(
+            spark,
+            """
+            SELECT nk, count(*) AS n,
+                   CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT)
+                     AS bal_c
+            FROM t GROUP BY nk
+            """,
+            cat,
+        ).localCheckpoint(eager=True)
+    finally:
+        if spark.catalog.tableExists(view):
+            spark.catalog.dropTempView(view)
+        if spark.catalog.tableExists("t"):
+            spark.catalog.dropTempView("t")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+IO_SNAPSHOT_SCRIPT_SQL = """
+SELECT s_nationkey AS nk, count(*) AS n,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+FROM supplier WHERE s_acctbal >= 0
+GROUP BY s_nationkey
+"""
+
+QUERIES["io_snapshot_script"] = io_snapshot_script
+ORACLES["io_snapshot_script"] = IO_SNAPSHOT_SCRIPT_SQL

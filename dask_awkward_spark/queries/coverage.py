@@ -23,6 +23,18 @@ from .tpch import cents
 
 _TMP = tempfile.gettempdir()
 
+def _teardown(spark, base, *views):
+    """Shared lifecycle-query cleanup: drop the temp views that exist,
+    then the scratch dir — one place to change teardown semantics for
+    every snapshot lifecycle oracle."""
+    import shutil
+
+    for v in views:
+        if spark.catalog.tableExists(v):
+            spark.catalog.dropTempView(v)
+    shutil.rmtree(base, ignore_errors=True)
+
+
 
 # ---- IO round trips (scan + sink together in one checked query) ----
 
@@ -869,8 +881,7 @@ def q_sql_snapshot(spark, sf_dir):
             """
         ).localCheckpoint(eager=True)
     finally:
-        spark.catalog.dropTempView(view) if spark.catalog.tableExists(view) else None
-        shutil.rmtree(path, ignore_errors=True)
+        _teardown(spark, path, view)
 
 
 Q_SQL_SNAPSHOT_SQL = """
@@ -1071,8 +1082,7 @@ def io_snapshot_convert(spark, sf_dir):
             """
         ).localCheckpoint(eager=True)
     finally:
-        spark.catalog.dropTempView(view) if spark.catalog.tableExists(view) else None
-        shutil.rmtree(path, ignore_errors=True)
+        _teardown(spark, path, view)
 
 
 IO_SNAPSHOT_CONVERT_SQL = """
@@ -1399,9 +1409,7 @@ def io_snapshot_sql_dml(spark, sf_dir):
             """
         ).localCheckpoint(eager=True)
     finally:
-        spark.catalog.dropTempView(view) if spark.catalog.tableExists(view) else None
-        spark.catalog.dropTempView("cust") if spark.catalog.tableExists("cust") else None
-        shutil.rmtree(base, ignore_errors=True)
+        _teardown(spark, base, view, "cust")
 
 
 IO_SNAPSHOT_SQL_DML_SQL = """
@@ -1470,8 +1478,7 @@ def io_snapshot_sql_merge(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     finally:
-        spark.catalog.dropTempView(view) if spark.catalog.tableExists(view) else None
-        shutil.rmtree(path, ignore_errors=True)
+        _teardown(spark, path, view)
 
 
 QUERIES["io_snapshot_sql_merge"] = io_snapshot_sql_merge
@@ -1651,11 +1658,7 @@ def io_snapshot_ddl(spark, sf_dir):
             cat,
         ).localCheckpoint(eager=True)
     finally:
-        if spark.catalog.tableExists(view):
-            spark.catalog.dropTempView(view)
-        if spark.catalog.tableExists("t"):
-            spark.catalog.dropTempView("t")
-        shutil.rmtree(base, ignore_errors=True)
+        _teardown(spark, base, view, "t")
 
 
 # bonus exists only on BUILDING rows (added column, UPDATE-scoped):
@@ -1937,11 +1940,7 @@ def io_snapshot_script(spark, sf_dir):
             cat,
         ).localCheckpoint(eager=True)
     finally:
-        if spark.catalog.tableExists(view):
-            spark.catalog.dropTempView(view)
-        if spark.catalog.tableExists("t"):
-            spark.catalog.dropTempView("t")
-        shutil.rmtree(base, ignore_errors=True)
+        _teardown(spark, base, view, "t")
 
 
 IO_SNAPSHOT_SCRIPT_SQL = """

@@ -4863,6 +4863,7 @@ def snapshot_merge(
     when_not_matched_by_source: "str | list | None" = None,
     compression: str = "zstd",
     change_feed: bool = True,
+    merge_schema: bool = False,
 ) -> "dict[str, int]":
     """MERGE (upsert) ``source`` into the snapshot table on the ``on``
     key columns, as one atomic copy-on-write commit. ``change_feed=True``
@@ -4941,7 +4942,19 @@ def snapshot_merge(
     file is rewritten. Commits compare-and-swap against the head and
     restart on conflict. Returns {'version', 'updated_rows',
     'deleted_rows', 'inserted_rows', 'rewritten_files',
-    'carried_files'}."""
+    'carried_files'}.
+
+    ``merge_schema=True`` (round 10 — Delta's autoMerge): source-only
+    columns are ADDED to the table first (metadata-only commit; old
+    rows read NULL) and a source column WIDER than the target's
+    pre-widens the type through the lossless lattice — then the merge
+    itself runs unchanged against the widened head (two commits, not
+    Delta's one; the pre-widen is idempotent and row-preserving, so a
+    crash between them leaves a valid table). A source OMITTING
+    pre-existing table columns is still refused for full-row shapes,
+    and clause-mode CDC sources whose extra columns are metadata
+    should keep the default — under merge_schema those extras become
+    real table columns."""
     if not on:
         raise ValueError("merge needs at least one key column in on=")
     clause_mode = isinstance(when_matched, (list, tuple))
@@ -5085,6 +5098,37 @@ def snapshot_merge(
     # input) must not change between those passes OR across commit
     # retries; checkpointing per retry would also pin one extra copy
     # per conflict for the session lifetime
+    if merge_schema:
+        # MERGE schema evolution (Delta's autoMerge), COMPOSITIONALLY:
+        # source-only columns pre-widen the table via the proven
+        # metadata-only snapshot_add_columns commit, and a source
+        # column WIDER than the target's pre-widens its type via
+        # snapshot_alter_column_type — then the ordinary merge runs
+        # against the widened head. Two commits instead of Delta's one
+        # (documented; the pre-widen is idempotent and row-preserving,
+        # so a crash between them leaves a valid widened table). Do
+        # NOT combine with clause-mode CDC sources whose extra columns
+        # are metadata, not data — those stay merge_schema=False (the
+        # default), where extras remain invisible to the table.
+        from pyspark.sql.types import StructField as _SF
+
+        m_pre = _read_manifest(path, _require_versions(path)[-1])
+        pre_schema = StructType.fromJson(json.loads(m_pre["schema_json"]))
+        lower = {f.name.lower(): f for f in pre_schema.fields}
+        adds = [
+            _SF(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name.lower() not in lower
+        ]
+        for f in source.schema.fields:
+            tf = lower.get(f.name.lower())
+            if tf is None:
+                continue
+            sstr, tstr = f.dataType.simpleString(), tf.dataType.simpleString()
+            if sstr != tstr and _widened(sstr, tstr) == sstr:
+                snapshot_alter_column_type(path, tf.name, f.dataType)
+        if adds:
+            snapshot_add_columns(path, StructType(adds))
     head0 = _require_versions(path)[-1]
     m0 = _read_manifest(path, head0)
     schema = StructType.fromJson(json.loads(m0["schema_json"]))

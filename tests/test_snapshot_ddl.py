@@ -1343,3 +1343,68 @@ def test_snapshot_files_inventory_and_recorded_bytes(spark, tmp_path):
     # DESCRIBE DETAIL's size now comes from the recorded bytes
     det = snapshot_sql(spark, "DESCRIBE DETAIL t", {"t": p}).first()
     assert det.size_bytes == sum(r.bytes for r in inv)
+
+
+# ---- MERGE schema evolution (round 10 — Delta autoMerge) --------------
+
+
+def test_merge_schema_evolution_adds_and_widens(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k bigint, v int"
+        ),
+        p,
+    )
+    src = spark.createDataFrame(
+        [(2, 200, "beta"), (3, 300, "gamma")],
+        "k bigint, v bigint, tag string",   # v WIDER, tag NEW
+    )
+    # without the flag: refused like an append's drift
+    with pytest.raises(ValueError, match="missing columns|mismatch"):
+        snapshot_merge(spark, p, src, on=["k"])
+    st = snapshot_merge(spark, p, src, on=["k"], merge_schema=True)
+    assert st["updated_rows"] == 1 and st["inserted_rows"] == 1
+    out = {r.k: (r.v, r.tag) for r in snapshot_read(spark, p).collect()}
+    # old row null-fills the added column; updated/inserted carry it;
+    # v is bigint everywhere now
+    assert out == {1: (10, None), 2: (200, "beta"), 3: (300, "gamma")}
+    assert dict(snapshot_read(spark, p).dtypes) == {
+        "k": "bigint", "v": "bigint", "tag": "string"
+    }
+    m = _read_manifest(p, snapshot_versions(p)[-1]["version"])
+    assert "tag:string" in m["schema_ddl"] and "v:bigint" in m["schema_ddl"]
+
+
+def test_merge_schema_evolution_noop_and_refusals(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_merge
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 1.0)], "k bigint, x double"), p
+    )
+    # identical schema: the flag is a no-op (no extra commits)
+    pre = len(snapshot_versions(p))
+    snapshot_merge(
+        spark, p,
+        spark.createDataFrame([(2, 2.0)], "k bigint, x double"),
+        on=["k"], merge_schema=True,
+    )
+    assert len(snapshot_versions(p)) == pre + 1  # just the merge commit
+    # a NARROWING source column is still refused (int target would
+    # lose the table's doubles) — evolution never narrows
+    bad = spark.createDataFrame([(3, 3)], "k bigint, x int")
+    st = snapshot_merge(spark, p, bad, on=["k"], merge_schema=True)
+    # int -> double is the LOSSLESS direction (source narrower than
+    # table): implicit upcast, no schema commit
+    assert st["inserted_rows"] == 1
+    assert dict(snapshot_read(spark, p).dtypes)["x"] == "double"
+    # a source omitting a pre-existing table column keeps refusing for
+    # full-row shapes, flag or not
+    with pytest.raises(ValueError, match="missing columns"):
+        snapshot_merge(
+            spark, p, spark.createDataFrame([(9,)], "k bigint"),
+            on=["k"], merge_schema=True,
+        )

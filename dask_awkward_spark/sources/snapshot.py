@@ -260,7 +260,15 @@ def _encode_manifest(manifest: dict, parent_m: "dict | None") -> dict:
         # files (tools/manifest_scale_bench.py).
         added = files[np_:]
         if len(added) * 2 < max(1, len(files)):
-            step = max(1, np_ // 64)
+            # DAK_SNAPSHOT_EXACT_DELTA_DIFF=1 degrades the spot-check
+            # to the exhaustive per-entry diff (tests/fuzz set it so
+            # the copy-dict-never-entries convention is ENFORCED there,
+            # not just sampled — ADVICE r10)
+            step = (
+                1
+                if os.environ.get("DAK_SNAPSHOT_EXACT_DELTA_DIFF")
+                else max(1, np_ // 64)
+            )
             for f in pfiles[::step]:
                 s, ps = stats.get(f), pstats.get(f)
                 if s is not ps and s != ps:
@@ -543,6 +551,66 @@ def _decode_stat(v):
     return v
 
 
+# String min/max values longer than this are TRUNCATED before entering
+# a manifest (Delta's dataSkipping string truncation analog): a
+# documents-style table whose long text column lands in the stats
+# prefix would otherwise carry two multi-KB values per file per
+# manifest entry — manifest size, not data, becomes the scale limit.
+_STATS_STR_MAX = int(os.environ.get("DAK_SNAPSHOT_STATS_STR_MAX", "32"))
+
+
+def _trunc_str_max(s: str, cap: int) -> "str | None":
+    """A sound upper bound for every string that ``s`` upper-bounds,
+    at most ``cap`` chars long: the cap-prefix with its last
+    incrementable code point bumped (strictly greater than ``s``
+    because it differs at a position where ``s`` continues or ties).
+    Scans backwards past U+10FFFF (nothing above it) and skips the
+    surrogate gap; returns None when no prefix char can be bumped —
+    the caller must then drop the bound entirely (missing stats never
+    prune, so dropping is always safe)."""
+    p = s[:cap]
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp >= 0x10FFFF:
+            continue
+        cp += 1
+        if 0xD800 <= cp <= 0xDFFF:
+            cp = 0xE000  # lone surrogates don't UTF-8-encode; jump the gap
+        return p[:i] + chr(cp)
+    return None
+
+
+def _truncate_stats(minmax: "dict[str, list]") -> "list[str]":
+    """Width-bound long STRING bounds in ``minmax`` IN PLACE; return
+    the sorted column names whose bounds were widened. min truncates to
+    a prefix (a prefix lexicographically lower-bounds every extension);
+    max truncates to an incremented prefix via :func:`_trunc_str_max`
+    (or, unbumpable, the whole entry drops). Truncated bounds stay
+    sound for may-match pruning — they are merely WIDER — but can no
+    longer PROVE equality (min == max == v may hold for the prefix
+    while rows differ past it), so :func:`_file_all_match` refuses any
+    column named in the returned marker list."""
+    trunc = []
+    for name in list(minmax):
+        lo, hi = minmax[name]
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            continue
+        widened = False
+        if len(lo) > _STATS_STR_MAX:
+            lo = lo[:_STATS_STR_MAX]
+            widened = True
+        if len(hi) > _STATS_STR_MAX:
+            hi = _trunc_str_max(hi, _STATS_STR_MAX)
+            if hi is None:
+                del minmax[name]  # no sound bound at this width
+                continue
+            widened = True
+        if widened:
+            minmax[name] = [lo, hi]
+            trunc.append(name)
+    return sorted(trunc)
+
+
 def _stats_encodable(sc) -> bool:
     """Can this parquet leaf's min/max ever survive _encode_stat?
     Booleans, raw binary, and decimals never can — recording them would
@@ -591,7 +659,14 @@ def _file_stats(local_path: str, md=None, stats_cols: "list[str] | None" = None)
     keeps on missing stats, all-match refuses). An explicit
     ``stats_cols`` spec (the table's ``stats_columns`` property,
     PHYSICAL dotted paths) replaces the prefix entirely: exactly those
-    leaves record, however late in the schema they sit."""
+    leaves record, however late in the schema they sit.
+
+    String bounds are VALUE-LENGTH-capped too (the width cap bounds
+    column count, this bounds bytes per value): values longer than
+    ``DAK_SNAPSHOT_STATS_STR_MAX`` (default 32) are truncated — min to
+    a prefix, max to an incremented prefix — and the affected columns
+    are listed under ``trunc`` so the whole-file all-match proof
+    refuses them (see :func:`_truncate_stats`)."""
     import pyarrow.parquet as pq
 
     if md is None:
@@ -641,7 +716,14 @@ def _file_stats(local_path: str, md=None, stats_cols: "list[str] | None" = None)
     # drop columns missing stats in any row group (can't trust the range)
     minmax = {k: v for k, v in minmax.items() if complete.get(k) == md.num_row_groups}
     nulls = {k: v for k, v in nulls.items() if ncomplete.get(k) == md.num_row_groups}
-    return {"rows": md.num_rows, "minmax": minmax, "nulls": nulls}
+    out = {"rows": md.num_rows, "minmax": minmax, "nulls": nulls}
+    # width-bound long string values (aggregation above ran on the full
+    # values, so per-row-group merge order can't affect the result);
+    # the marker list keeps the all-match fast path honest
+    trunc = _truncate_stats(minmax)
+    if trunc:
+        out["trunc"] = trunc
+    return out
 
 
 # Partitionable column types: values appear verbatim in directory names
@@ -1832,8 +1914,16 @@ def _file_all_match(
     of one value plus a NULL must NOT be whole-file-dropped)."""
     if not stats or not stats.get("rows"):
         return False  # empty/unknown file: nothing provable (and nothing to drop)
+    trunc = stats.get("trunc") or ()
     for col, op, value in where:
         if isinstance(value, float) and math.isnan(value):
+            return False
+        if col in trunc:
+            # truncated string bounds are sound for may-match only:
+            # a prefix can't PROVE min == max == v (rows may differ
+            # past the cap), and even the inequality proofs are
+            # refused here for defense in depth — all-match refuses
+            # on any doubt by contract
             return False
         if stats.get("nulls", {}).get(col) != 0:
             return False  # nulls present or null count unrecorded

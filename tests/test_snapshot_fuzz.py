@@ -27,6 +27,14 @@ from dask_awkward_spark.sources.snapshot import (
 # object-store copy emulation) — VERDICT r6 item 1
 pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
 
+# the fuzzer also runs the append fast path's carried-stats diff
+# EXHAUSTIVELY (not the 64-sample spot check) so a mutator that edits a
+# carried file's stats entry in place — breaking the copy-dict-never-
+# entries convention — fails here deterministically (ADVICE r10)
+@pytest.fixture(autouse=True)
+def _exact_delta_diff(monkeypatch):
+    monkeypatch.setenv("DAK_SNAPSHOT_EXACT_DELTA_DIFF", "1")
+
 SETTINGS = dict(
     # soak mode: DAKSPARK_HYPO_EXAMPLES=50 python -m pytest tests/test_snapshot_fuzz.py
     max_examples=int(os.environ.get("DAKSPARK_HYPO_EXAMPLES", "8")),

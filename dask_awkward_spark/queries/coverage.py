@@ -1612,7 +1612,8 @@ def io_snapshot_ddl(spark, sf_dir):
     try:
         v = snapshot_sql(
             spark,
-            f"CREATE TABLE t (k int, seg string, bal double) "
+            f"CREATE TABLE t (k int, seg string, bal double, "
+            f"flags array<int>) "
             f"TBLPROPERTIES ('stats_columns' = 'k,bal') LOCATION '{loc}'",
             cat,
         )
@@ -1620,7 +1621,8 @@ def io_snapshot_ddl(spark, sf_dir):
         cust.orderBy("k").repartitionByRange(6, "k").createOrReplaceTempView(view)
         snapshot_sql(
             spark,
-            f"INSERT INTO t SELECT CAST(k AS INT) AS k, seg, bal FROM {view}",
+            f"INSERT INTO t SELECT CAST(k AS INT) AS k, seg, bal, "
+            f"array(CAST(k % 100 AS INT)) AS flags FROM {view}",
             cat,
         )
         rep = snapshot_scan_report(loc, [("k", "<", 2)])
@@ -1631,9 +1633,16 @@ def io_snapshot_ddl(spark, sf_dir):
 
         pre_files = list(_read_manifest(loc, _versions(loc)[-1])["files"])
         snapshot_sql(spark, "ALTER TABLE t ALTER COLUMN k TYPE bigint", cat)
+        # ... and through a CONTAINER element (round 11): the list's
+        # element widens metadata-only too; later DML rewrites store
+        # array<bigint>, so the final read also mixes element widths
+        snapshot_sql(
+            spark, "ALTER TABLE t ALTER COLUMN flags.element TYPE bigint", cat
+        )
         m_w = _read_manifest(loc, _versions(loc)[-1])
         assert m_w["files"] == pre_files, "widening must rewrite ZERO files"
         assert "k:bigint" in m_w["schema_ddl"], m_w["schema_ddl"]
+        assert "flags:array<bigint>" in m_w["schema_ddl"], m_w["schema_ddl"]
         snapshot_sql(spark, "ALTER TABLE t ADD COLUMNS (bonus double)", cat)
         st = snapshot_sql(
             spark, "UPDATE t SET bonus = bal * 0.1 WHERE seg = 'BUILDING'", cat
@@ -1652,7 +1661,8 @@ def io_snapshot_ddl(spark, sf_dir):
                    CAST(sum(CAST(round(balance * 100) AS BIGINT)) AS BIGINT)
                      AS bal_c,
                    CAST(coalesce(sum(CAST(round(bonus * 100) AS BIGINT)), 0)
-                        AS BIGINT) AS bonus_c
+                        AS BIGINT) AS bonus_c,
+                   CAST(sum(flags[0]) AS BIGINT) AS f_sum
             FROM t GROUP BY seg
             """,
             cat,
@@ -1666,14 +1676,15 @@ def io_snapshot_ddl(spark, sf_dir):
 # float64 through the driver's pandas canonicalization)
 IO_SNAPSHOT_DDL_SQL = """
 WITH src AS (
-  SELECT c_mktsegment AS seg, c_acctbal AS bal,
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
          CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 0.1 END AS bonus
   FROM customer
 )
 SELECT seg, count(*) AS n,
        CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c,
        CAST(coalesce(sum(CAST(round(bonus * 100) AS BIGINT)), 0) AS BIGINT)
-         AS bonus_c
+         AS bonus_c,
+       CAST(sum(k % 100) AS BIGINT) AS f_sum
 FROM src WHERE bal >= 0 GROUP BY seg
 """
 

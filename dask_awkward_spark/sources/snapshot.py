@@ -3244,13 +3244,19 @@ def snapshot_alter_column_type(
     SQL-only consumer had to push a widened WRITE to trigger the
     lattice; this is the pre-widening DDL face.
 
-    ``column`` may be a DOTTED struct path (``meta.count`` — struct
-    chains only, the same addressing rule as nested ADD COLUMNS).
-    Narrowing and non-lossless changes are refused with the lattice
-    named; widening a PARTITION source column to a type the spec cannot
-    carry (e.g. an identity partition column to double) is refused with
-    the spec named. Returns the new version (the current head when the
-    column already has the requested type — idempotent).
+    ``column`` may be a DOTTED path: struct chains (``meta.count``)
+    and — the same addressing rule as nested ADD COLUMNS — container
+    steps with ``element`` (list) / ``value`` (map), so
+    ``items.element.x`` widens a field inside ``list<struct<...>>``
+    and ``tags.element`` widens a bare ``array<int>`` element. Map
+    KEYS are refused (key equality is evaluated at the recorded type;
+    a mixed-width key column would split identical keys — restructure
+    via overwrite). Narrowing and non-lossless changes are refused
+    with the lattice named; widening a PARTITION source column to a
+    type the spec cannot carry (e.g. an identity partition column to
+    double) is refused with the spec named. Returns the new version
+    (the current head when the column already has the requested type —
+    idempotent).
 
     Reference: no counterpart (dask-awkward casts with
     ``values_astype`` instead); Delta analog requires
@@ -3275,50 +3281,75 @@ def snapshot_alter_column_type(
         schema = StructType.fromJson(json.loads(m["schema_json"]))
         noop = False
 
-        def widen(st: StructType, i: int) -> StructType:
+        def widen(dt, i: int):
+            """``dt`` with the type at ``segs[i:]`` widened. Empty
+            remainder = the leaf itself (so ``tags.element`` addresses
+            a bare list's element type). Container steps mirror
+            :func:`_insert_nested_field`'s addressing exactly."""
             nonlocal noop
+            from pyspark.sql.types import ArrayType, MapType
+
+            if i == len(segs):
+                cur = dt.simpleString()
+                if cur == new_simple:
+                    noop = True
+                    return dt
+                w = _widened(cur, new_simple)
+                if w != new_simple:
+                    raise ValueError(
+                        f"cannot ALTER {column!r} from {cur} to "
+                        f"{new_simple}: only LOSSLESS widening is "
+                        "metadata-only (int chain, float->double, "
+                        "sub-long ints->double, decimal widening) — "
+                        "narrowing or re-typing needs a rewrite "
+                        "(INSERT OVERWRITE with the cast)"
+                    )
+                return new_type
+            if isinstance(dt, ArrayType) and segs[i] == "element":
+                return ArrayType(
+                    widen(dt.elementType, i + 1), dt.containsNull
+                )
+            if isinstance(dt, MapType):
+                if segs[i] == "value":
+                    return MapType(
+                        dt.keyType,
+                        widen(dt.valueType, i + 1),
+                        dt.valueContainsNull,
+                    )
+                if segs[i] == "key":
+                    raise ValueError(
+                        f"cannot ALTER {column!r}: map KEY types pin "
+                        "entry identity — old files' keys would compare "
+                        "at a different width; restructure via overwrite"
+                    )
+            if not isinstance(dt, StructType):
+                hint = (
+                    " (step inside a list with '.element.', a map "
+                    "value with '.value.')"
+                    if isinstance(dt, (ArrayType, MapType))
+                    else ""
+                )
+                raise ValueError(
+                    f"path {column!r} crosses a non-struct "
+                    f"({dt.simpleString()}){hint}: dotted ALTER COLUMN "
+                    "addresses struct chains and container elements"
+                )
             fields, hit = [], False
-            for f in st.fields:
+            for f in dt.fields:
                 if f.name != segs[i]:
                     fields.append(f)
                     continue
                 hit = True
-                if i == len(segs) - 1:
-                    cur = f.dataType.simpleString()
-                    if cur == new_simple:
-                        noop = True
-                        fields.append(f)
-                        continue
-                    w = _widened(cur, new_simple)
-                    if w != new_simple:
-                        raise ValueError(
-                            f"cannot ALTER {column!r} from {cur} to "
-                            f"{new_simple}: only LOSSLESS widening is "
-                            "metadata-only (int chain, float->double, "
-                            "sub-long ints->double, decimal widening) — "
-                            "narrowing or re-typing needs a rewrite "
-                            "(INSERT OVERWRITE with the cast)"
-                        )
-                    fields.append(
-                        StructField(f.name, new_type, f.nullable, f.metadata)
+                fields.append(
+                    StructField(
+                        f.name, widen(f.dataType, i + 1),
+                        f.nullable, f.metadata,
                     )
-                else:
-                    if not isinstance(f.dataType, StructType):
-                        raise ValueError(
-                            f"path {column!r} crosses {f.name!r} "
-                            f"({f.dataType.simpleString()}): dotted ALTER "
-                            "COLUMN addresses struct chains only"
-                        )
-                    fields.append(
-                        StructField(
-                            f.name, widen(f.dataType, i + 1),
-                            f.nullable, f.metadata,
-                        )
-                    )
+                )
             if not hit:
                 raise ValueError(
                     f"column {'.'.join(segs[:i + 1])!r} not in "
-                    f"{[x.name for x in st.fields]}"
+                    f"{[x.name for x in dt.fields]}"
                 )
             return StructType(fields)
 

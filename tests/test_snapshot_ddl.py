@@ -938,7 +938,7 @@ def test_alter_column_type_refusals_and_noop(spark, tmp_path):
             snapshot_alter_column_type(p, col, t)
     with pytest.raises(ValueError, match="not in"):
         snapshot_alter_column_type(p, "nope", "bigint")
-    with pytest.raises(ValueError, match="struct chains only"):
+    with pytest.raises(ValueError, match="crosses a non-struct"):
         snapshot_alter_column_type(p, "k.x", "bigint")
     # nested struct leaf widens; no-op is idempotent (no new commit)
     v = snapshot_alter_column_type(p, "meta.n", "int")
@@ -965,6 +965,99 @@ def test_alter_column_type_sql_face_and_feeds(spark, tmp_path):
     # plain file-delta feed crosses the metadata-only widen
     rows = sorted(r.k for r in snapshot_changes(spark, p, since=1).collect())
     assert rows == [10, 11, 12, 13, 14]
+
+
+def test_alter_column_type_through_container_elements(spark, tmp_path):
+    """Widening addresses list/map elements with the same ``element`` /
+    ``value`` steps nested ADD COLUMNS uses (VERDICT r10 item 2): old
+    files written at the narrow width read back exactly under the
+    pinned wide schema, map keys keep refusing."""
+    from dask_awkward_spark.sources.snapshot import snapshot_alter_column_type
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            F.array(
+                F.struct(F.col("id").cast("int").alias("x")),
+                F.struct((F.col("id") + 1).cast("int").alias("x")),
+            ).alias("items"),
+            F.array(F.col("id").cast("int")).alias("tags"),
+            F.create_map(
+                F.lit("n"), F.col("id").cast("smallint")
+            ).alias("mp"),
+        ),
+        p,
+    )
+    # field inside list<struct<...>>
+    v = snapshot_alter_column_type(p, "items.element.x", "bigint")
+    m = _read_manifest(p, v)
+    assert "items:array<struct<x:bigint>>" in m["schema_ddl"]
+    assert m["files"] == _read_manifest(p, 1)["files"]  # metadata-only
+    # bare list element and map value
+    snapshot_alter_column_type(p, "tags.element", "bigint")
+    snapshot_alter_column_type(p, "mp.value", "int")
+    df = snapshot_read(spark, p)
+    assert dict(df.dtypes)["items"] == "array<struct<x:bigint>>"
+    assert dict(df.dtypes)["tags"] == "array<bigint>"
+    assert dict(df.dtypes)["mp"] == "map<string,int>"
+    # OLD (narrow) files read back exactly under the wide schema
+    got = df.select(
+        F.aggregate(
+            "items", F.lit(0).cast("bigint"), lambda a, s: a + s["x"]
+        ).alias("sx"),
+        F.element_at("tags", 1).alias("t0"),
+        F.element_at("mp", "n").alias("n"),
+    ).agg(F.sum("sx"), F.sum("t0"), F.sum("n")).first()
+    assert tuple(got) == (
+        sum(2 * i + 1 for i in range(40)),
+        sum(range(40)),
+        sum(range(40)),
+    )
+    # appends land at the wide width; mixed table stays exact
+    snapshot_write(
+        spark.range(40, 50).select(
+            F.col("id").alias("k"),
+            F.array(F.struct(F.col("id").alias("x"))).alias("items"),
+            F.array(F.col("id")).alias("tags"),
+            F.create_map(F.lit("n"), F.col("id").cast("int")).alias("mp"),
+        ),
+        p,
+        mode="append",
+    )
+    assert snapshot_read(spark, p).count() == 50
+    # map KEYS refuse — mixed-width keys would split identical keys
+    with pytest.raises(ValueError, match="map KEY"):
+        snapshot_alter_column_type(p, "mp.key", "bigint")
+    # idempotence through a container path too
+    assert snapshot_alter_column_type(p, "tags.element", "bigint") == (
+        snapshot_versions(p)[-1]["version"]
+    )
+
+
+def test_alter_column_type_container_sql_face(spark, tmp_path):
+    """The dotted container path flows through the SQL grammar
+    unchanged (element/value are ordinary identifier segments)."""
+    p = str(tmp_path / "t")
+    tables = {"t": p}
+    snapshot_write(
+        spark.range(0, 10).select(
+            F.array(
+                F.struct(F.col("id").cast("int").alias("x"))
+            ).alias("items"),
+        ),
+        p,
+    )
+    v = snapshot_sql(
+        spark, "ALTER TABLE t ALTER COLUMN items.element.x TYPE bigint", tables
+    )
+    assert "x:bigint" in _read_manifest(p, v)["schema_ddl"]
+    assert (
+        snapshot_sql(spark, "SELECT sum(items[0].x) AS s FROM t", tables)
+        .first()
+        .s
+        == sum(range(10))
+    )
 
 
 def test_alter_column_type_partition_spec_gate(spark, tmp_path):

@@ -147,6 +147,7 @@ from .functions.incremental import dedup_probe, incremental_dedup, minhash_bands
 from .functions.simindex import (
     guard_bruteforce_query_side,
     ivf_cell,
+    ivf_centroids,
     ivf_index_add,
     ivf_maintain,
     ivf_recall,

@@ -147,6 +147,32 @@ def _load_pq_codebook(index_path: str) -> "list | None":
     return json.loads(active().read_bytes(f).decode("utf-8"))
 
 
+def ivf_centroids(
+    index_path: str, version: "int | None" = None
+) -> "list[list[float]] | None":
+    """The index's persisted IVF centroids, or None on an index
+    written before centroid persistence (round 11) whose property was
+    never back-filled. Stored as the ``ivf_centroids`` table property,
+    so they are ATOMIC with the data commit that used them (a retrain's
+    new quantizer and its re-celled rows publish together) and
+    VERSION-PINNED (a time-travel search at ``version=`` probes with
+    the quantizer that assigned those cells). Like the PQ codebook,
+    centroids are part of the index's identity — this is what lets a
+    SQL-only consumer search without holding them (the ANN SEARCH
+    statement, sources/sqlface.py)."""
+    import json
+
+    from ..sources.snapshot import _read_manifest, _versions
+
+    vs = _versions(index_path)
+    if not vs:
+        return None
+    v = vs[-1] if version is None else version
+    props = _read_manifest(index_path, v).get("properties") or {}
+    raw = props.get("ivf_centroids")
+    return None if raw is None else json.loads(raw)
+
+
 def ivf_index_add(
     index_path: str,
     new_vecs: DataFrame,
@@ -285,10 +311,52 @@ def ivf_index_add(
         )
         cols.append(norm(F.col(e_col).cast("array<double>")).cast("float").alias("norm"))
     rows = new_vecs.select(*cols)
-    # append on a fresh path IS table creation; the explicit spec is a
-    # no-op match against an existing index (appends may not change it)
+    # centroid identity (round 11): cells were just assigned under
+    # `centroids`, so the index's persisted quantizer must agree or the
+    # stored cell column and a search's probe cells would disagree —
+    # the same identity rule the residual PQ spec enforces. Persisted
+    # as a table property so it commits ATOMICALLY with the rows.
+    from ..sources.snapshot import SnapshotConflictError, _versions
+
+    want = [[float(v) for v in row] for row in centroids]
+    want_prop = {"ivf_centroids": json.dumps(want)}
+
+    def _check_stored_centroids():
+        got = ivf_centroids(index_path)
+        if got is not None and got != want:
+            raise ValueError(
+                f"index at {index_path} was assigned under DIFFERENT "
+                "IVF centroids: stored cells and this ingest's would "
+                "disagree — pass ivf_centroids(index_path), or "
+                "ivf_retrain under the new quantizer"
+            )
+        return got
+
     try:
-        return snapshot_write(rows, index_path, mode="append", partition_by=["cell"])
+        if not _versions(index_path):
+            # CREATING ingest: property rides the creating commit;
+            # expect_head=0 turns a lost create race into a clean
+            # retry below instead of silently appending rows celled
+            # under a possibly different quantizer
+            try:
+                return snapshot_write(
+                    rows, index_path, mode="append", expect_head=0,
+                    partition_by=["cell"], properties=want_prop,
+                )
+            except SnapshotConflictError:
+                pass  # a rival created the index first: fall through
+        stored_c = _check_stored_centroids()
+        v = snapshot_write(
+            rows, index_path, mode="append", partition_by=["cell"]
+        )
+        if stored_c is None:
+            # legacy index (pre centroid persistence): back-fill so
+            # SQL-face searches become possible; merge semantics keep
+            # any user properties intact
+            from ..sources.snapshot import snapshot_set_properties
+
+            snapshot_set_properties(index_path, want_prop)
+        return v
     except Exception:
         if created_cb:
             from ..sources.snapshot import _versions
@@ -354,7 +422,25 @@ def ivf_retrain(
         ivf_cell(F.col("e"), centroids).alias("cell"),
         *rest,
     )
-    return snapshot_write(rows, index_path, mode="overwrite", partition_by=["cell"])
+    # the NEW quantizer publishes in the SAME commit as the rows it
+    # assigned (a property write is a whole-set replace, so carry the
+    # head's other keys); a crash can never leave the persisted
+    # centroids describing the other side's cells
+    import json
+
+    from ..sources.snapshot import _read_manifest, _versions
+
+    props = dict(
+        _read_manifest(index_path, _versions(index_path)[-1]).get("properties")
+        or {}
+    )
+    props["ivf_centroids"] = json.dumps(
+        [[float(v) for v in row] for row in centroids]
+    )
+    return snapshot_write(
+        rows, index_path, mode="overwrite",
+        partition_by=["cell"], properties=props,
+    )
 
 
 def ivf_maintain(
@@ -504,7 +590,7 @@ def ivf_search(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
-    centroids: "list[list[float]]",
+    centroids: "list[list[float]] | None" = None,
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -572,6 +658,18 @@ def ivf_search(
     cannot change a per-query ORDER)."""
     from ..sources.snapshot import snapshot_read
 
+    if centroids is None:
+        # self-describing index (round 11): the quantizer persisted
+        # with the searched VERSION's commit is by construction the one
+        # that assigned that version's cells
+        centroids = ivf_centroids(index_path, version=version)
+        if centroids is None:
+            raise ValueError(
+                f"no centroids passed and none persisted at "
+                f"{index_path} (index predates centroid persistence): "
+                "pass centroids=, or back-fill by running one "
+                "ivf_index_add ingest"
+            )
     if nprobe < 1 or nprobe > len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
     rk_n = max(4 * k, 32) if rescore_k is None else rescore_k

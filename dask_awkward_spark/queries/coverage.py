@@ -1963,3 +1963,51 @@ GROUP BY s_nationkey
 
 QUERIES["io_snapshot_script"] = io_snapshot_script
 ORACLES["io_snapshot_script"] = IO_SNAPSHOT_SCRIPT_SQL
+
+
+def io_snapshot_ann_sql(spark, sf_dir):
+    """Vector search through the SQL face (VERDICT r10 item 4): the
+    index builds with one Python ingest (``ivf_index_add`` — the
+    centroids persist as the version-pinned ``ivf_centroids`` table
+    property in the SAME commit), then the search itself is ONE SQL
+    string — ``ANN SEARCH idx QUERY (...) TOP 10 NPROBE 2 EXCLUDE 0``
+    — against the catalog name: quantizer, probe pruning, and exact
+    re-scoring all come from the self-describing index. Hash-matches
+    the same DuckDB batch-IVF twin as ``sim_ivf_topk``, so the SQL
+    spelling is proven equivalent to the Python face's plan.
+
+    Reference: no counterpart (dask-awkward has no SQL face and no
+    similarity search); the statement form is the TVF-style spelling
+    Delta/pgvector users expect."""
+    import shutil
+
+    from ..functions.simindex import ivf_index_add
+    from ..sources.sqlface import snapshot_sql
+    from .similarity import _centroids, _emb
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{_TMP}/dakspark_annsql_{sf_tag}_{os.getpid()}"
+    path = f"{base}/idx"
+    shutil.rmtree(base, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    try:
+        ivf_index_add(path, emb.select("vec_id", "e"), _centroids())
+        qe = emb.filter(F.col("vec_id") == 0).select("e").first().e
+        vlit = ", ".join(repr(float(x)) for x in qe)
+        return snapshot_sql(
+            spark,
+            f"ANN SEARCH idx QUERY ({vlit}) TOP 10 NPROBE 2 EXCLUDE 0",
+            {"idx": path},
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _ann_sql_oracle() -> str:
+    from .similarity import _ivf_sql
+
+    return _ivf_sql()
+
+
+QUERIES["io_snapshot_ann_sql"] = io_snapshot_ann_sql
+ORACLES["io_snapshot_ann_sql"] = _ann_sql_oracle()

@@ -1550,6 +1550,12 @@ def snapshot_write(
     spec; every DML rewrite re-applies it; advisory only — no read
     path depends on it.
 
+    ``properties={...}`` sets the table's opaque user TBLPROPERTIES.
+    Omitted (``None``) INHERITS the head's set unchanged; an explicit
+    dict REPLACES the whole set (a write carries table definition —
+    unlike :func:`snapshot_set_properties`, which merges key-wise);
+    an explicit ``{}`` therefore clears it.
+
     ``stats_columns=["leaf", "meta.ts", ...]`` (Delta's
     dataSkippingStatsColumns analog) CHOOSES which leaves record
     min/max/null-count stats instead of the default schema-order
@@ -1570,9 +1576,13 @@ def snapshot_write(
     if _reset_constraints and mode != "overwrite":
         raise ValueError("_reset_constraints is a table-REPLACEMENT hook "
                          "(overwrite only)")
+    # properties semantics (ADVICE r10): omitted (None) INHERITS the
+    # head's set; an explicit dict REPLACES the whole set (this is a
+    # definition-carrying write, unlike snapshot_set_properties' merge);
+    # an explicit {} therefore CLEARS it — the one spelling that can
     if properties is not None:
         _check_properties(properties)
-        properties = dict(properties) or None
+        properties = dict(properties)
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
     _check_reserved_names(df.columns)
     _fs().ensure_dir(path)
@@ -1808,7 +1818,7 @@ def snapshot_write(
             "properties": (
                 (properties or None) if _reset_constraints
                 else (
-                    properties if properties is not None
+                    (properties or None) if properties is not None
                     else head_m.get("properties")
                 )
             ),

@@ -331,3 +331,36 @@ def test_show_create_quote_escape_roundtrip(spark, tmp_path):
             "ALTER TABLE t SET TBLPROPERTIES ('stats_columns'='k', 'o'='1')",
             {"t": p},
         )
+
+
+def test_write_properties_inherit_replace_clear(spark, tmp_path):
+    """snapshot_write's properties tri-state (ADVICE r10): omitted
+    inherits, an explicit dict REPLACES the whole set, an explicit {}
+    clears — the one data-write spelling that can."""
+    from dask_awkward_spark.sources.snapshot import (
+        _read_manifest,
+        _versions,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1,)], "k bigint"), p,
+        properties={"owner": "a", "tier": "gold"},
+    )
+    props = lambda: _read_manifest(p, _versions(p)[-1])["properties"]  # noqa: E731
+    assert props() == {"owner": "a", "tier": "gold"}
+    # omitted -> inherit
+    snapshot_write(spark.createDataFrame([(2,)], "k bigint"), p, mode="append")
+    assert props() == {"owner": "a", "tier": "gold"}
+    # explicit dict -> REPLACE (tier gone, not merged)
+    snapshot_write(
+        spark.createDataFrame([(3,)], "k bigint"), p, properties={"owner": "b"}
+    )
+    assert props() == {"owner": "b"}
+    # explicit {} -> CLEAR
+    snapshot_write(spark.createDataFrame([(4,)], "k bigint"), p, properties={})
+    assert props() is None
+    # and rows were never disturbed by the property commits
+    assert snapshot_read(spark, p).count() == 1

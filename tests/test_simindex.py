@@ -561,3 +561,145 @@ def test_collected_survivor_cap_switches_to_join(spark, tmp_path, monkeypatch):
     # the query-side collect (4 rows) happens; the survivor collect must not
     assert sizes and max(sizes) <= 4, sizes
     assert _result_rows(got_df) == want and len(want) == 20
+
+
+# ---- self-describing index: persisted centroids + ANN SQL (round 11) --
+
+
+def test_centroids_persist_and_search_without_argument(spark, tmp_path):
+    from dask_awkward_spark.functions.simindex import ivf_centroids
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 200), _centroids())
+    want = [[float(v) for v in row] for row in _centroids()]
+    assert ivf_centroids(p) == want
+    q = _vecs(spark, 0, 1)
+    got = ivf_search(spark, p, q, k=5, nprobe=2).collect()
+    ref = ivf_search(spark, p, q, _centroids(), k=5, nprobe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+def test_ingest_refuses_different_centroids(spark, tmp_path):
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 50), _centroids())
+    other = [[-v for v in row] for row in _centroids()]
+    with pytest.raises(ValueError, match="DIFFERENT\\s+IVF centroids"):
+        ivf_index_add(p, _vecs(spark, 50, 60), other)
+
+
+def test_retrain_repins_centroids_atomically(spark, tmp_path):
+    """After a retrain, the persisted quantizer is the NEW one at head
+    while the OLD version still resolves the old one — a time-travel
+    search probes with the quantizer that assigned those cells."""
+    from dask_awkward_spark.functions.simindex import (
+        ivf_centroids,
+        ivf_retrain,
+    )
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 200), _centroids())
+    v1 = snap._versions(p)[-1]
+    new_c = [row[1:] + row[:1] for row in _centroids()]  # rotated
+    ivf_retrain(spark, p, new_c)
+    assert ivf_centroids(p) == [[float(v) for v in r] for r in new_c]
+    assert ivf_centroids(p, version=v1) == [
+        [float(v) for v in r] for r in _centroids()
+    ]
+    q = _vecs(spark, 3, 4)
+    head = ivf_search(spark, p, q, k=5, nprobe=4).collect()
+    old = ivf_search(spark, p, q, k=5, nprobe=4, version=v1).collect()
+    # full probe: both quantizers cover the corpus, same neighbors
+    assert sorted((r.vec_id, r.cos) for r in head) == sorted(
+        (r.vec_id, r.cos) for r in old
+    )
+
+
+def test_legacy_index_backfills_on_next_ingest(spark, tmp_path):
+    from dask_awkward_spark.functions.simindex import ivf_centroids
+    from dask_awkward_spark.sources.snapshot import snapshot_set_properties
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 50), _centroids())
+    # simulate a pre-round-11 index: strip the property
+    snapshot_set_properties(p, unset=["ivf_centroids"])
+    assert ivf_centroids(p) is None
+    with pytest.raises(ValueError, match="predates centroid persistence"):
+        ivf_search(spark, p, _vecs(spark, 0, 1), k=3)
+    ivf_index_add(p, _vecs(spark, 50, 80), _centroids())
+    assert ivf_centroids(p) is not None
+    assert ivf_search(spark, p, _vecs(spark, 0, 1), k=3).count() == 3
+
+
+def test_ann_sql_statement(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 300), _centroids())
+    qe = _vecs(spark, 7, 8).select("e").first().e
+    vlit = ", ".join(repr(float(x)) for x in qe)
+    rows = snapshot_sql(
+        spark,
+        f"ANN SEARCH idx QUERY ({vlit}) TOP 5 NPROBE 2 EXCLUDE 7",
+        {"idx": p},
+    ).collect()
+    assert [c for c in rows[0].asDict()] == ["vec_id", "cell", "cos"]
+    assert len(rows) == 5 and all(r.vec_id != 7 for r in rows)
+    # best-first ordering
+    assert [r.cos for r in rows] == sorted(
+        (r.cos for r in rows), reverse=True
+    )
+    # equals the Python face with self-exclusion
+    ref = ivf_search(
+        spark, p, _vecs(spark, 7, 8), k=5, nprobe=2, exclude_self=True
+    ).collect()
+    assert sorted((r.vec_id, r.cell, r.cos) for r in rows) == sorted(
+        (r.vec_id, r.cell, r.cos) for r in ref
+    )
+    # no EXCLUDE: the corpus vector itself comes back on top
+    top = snapshot_sql(
+        spark, f"ANN SEARCH idx QUERY ({vlit}) TOP 3", {"idx": p}
+    ).first()
+    assert top.vec_id == 7 and top.cos == 1.0
+
+
+def test_ann_sql_grammar_and_refusals(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 50), _centroids())
+    t = {"idx": p}
+    with pytest.raises(ValueError, match="ANN SEARCH tail"):
+        snapshot_sql(spark, "ANN SEARCH idx QUERY (1.0, 2.0) LIMIT 5", t)
+    with pytest.raises(ValueError, match="numeric vector literal"):
+        snapshot_sql(spark, "ANN SEARCH idx QUERY ('a', 'b') TOP 5", t)
+    with pytest.raises(ValueError, match="vector literal is empty"):
+        snapshot_sql(spark, "ANN SEARCH idx QUERY () TOP 5", t)
+    # a non-index snapshot table refuses with a pointer
+    p2 = str(tmp_path / "plain")
+    from dask_awkward_spark.sources.snapshot import snapshot_write
+
+    snapshot_write(spark.createDataFrame([(1,)], "k bigint"), p2)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        snapshot_sql(
+            spark, "ANN SEARCH t QUERY (1.0) TOP 1", {"t": p2}
+        )
+
+
+def test_ann_sql_version_as_of_travels_quantizer(spark, tmp_path):
+    """VERSION AS OF must pin BOTH the rows and the quantizer: after a
+    retrain, the pinned search still probes with the old centroids."""
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 200), _centroids())
+    v1 = snap._versions(p)[-1]
+    qe = _vecs(spark, 3, 4).select("e").first().e
+    vlit = ", ".join(repr(float(x)) for x in qe)
+    stmt = f"ANN SEARCH idx QUERY ({vlit}) TOP 5 NPROBE 4 EXCLUDE 3"
+    before = snapshot_sql(spark, stmt, {"idx": p}).collect()
+    ivf_retrain(spark, p, [row[1:] + row[:1] for row in _centroids()])
+    pinned = snapshot_sql(
+        spark, stmt + f" VERSION AS OF {v1}", {"idx": p}
+    ).collect()
+    assert sorted(map(tuple, pinned)) == sorted(map(tuple, before))

@@ -85,6 +85,7 @@ from .sources.snapshot import (
     snapshot_tag,
     snapshot_tags,
     snapshot_delete_tag,
+    snapshot_txn,
     snapshot_update,
     snapshot_vacuum,
     snapshot_version_at,

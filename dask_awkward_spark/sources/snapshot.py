@@ -106,6 +106,127 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, _MANIFESTS)
 
 
+# ---- staged transactions (round 11, VERDICT r10 item 5) --------------
+#
+# snapshot_txn() turns every commit made inside the context into a
+# STAGED one: the manifest lands in a thread-local overlay (plus a
+# .tmp-txn-* forensic copy in the manifest dir — vacuum's tmp sweep GCs
+# it after a crash) instead of at its published name, and the overlay
+# participates in _versions/_read_manifest so later statements read
+# earlier staged state exactly as if committed. On a clean exit each
+# touched table's NET result publishes as ONE real CAS commit; on any
+# failure — including a hard crash — NOTHING was ever published:
+# staged data files sit unreferenced (vacuum territory, same as any
+# lost commit race) and no reader can observe a partial script.
+# Single-table scripts are thereby fully atomic; multi-table scripts
+# keep one small window — the publish loop is one CAS per table in
+# statement order, so a crash BETWEEN publishes can leave earlier
+# tables committed (documented; Delta offers no multi-table
+# transactions at all).
+
+import threading as _threading
+
+_TXN_LOCAL = _threading.local()
+
+
+def _txn_overlay() -> "dict | None":
+    """path -> {version: manifest} for this thread's active
+    transaction, or None outside one."""
+    return getattr(_TXN_LOCAL, "staged", None)
+
+
+class _SnapshotTxnHandle:
+    """Passed to the ``snapshot_txn`` body; only carries txn state."""
+
+    def __init__(self, staged: dict, txn_id: str):
+        self.staged = staged
+        self.txn_id = txn_id
+
+
+def _txn_trace_file(path: str, txn_id: str, version: int) -> str:
+    return os.path.join(
+        _manifest_dir(path), f".tmp-txn-{txn_id}-v{version:08d}.json"
+    )
+
+
+def _txn_cleanup(staged: dict, txn_id: str) -> None:
+    for ap, chain in staged.items():
+        for v in chain:
+            try:
+                _fs().delete(_txn_trace_file(ap, txn_id, v))
+            except Exception:
+                pass  # forensic copies; vacuum's tmp sweep is the backstop
+
+
+def _txn_publish(staged: dict) -> "list[str]":
+    """One real CAS commit per touched table, statement order. A chain
+    of one staged commit publishes verbatim (op and row-level change
+    files preserved); a longer chain COLLAPSES to its final manifest —
+    intermediate states were transaction-internal, so the published op
+    is ``txn`` and row-level change files are dropped (the CDF
+    crossing refuses loudly, exactly like ``change_feed=False``; the
+    file-delta feed stays exact). A head that moved since staging
+    aborts with nothing further published."""
+    published: "list[str]" = []
+    for ap, chain in staged.items():
+        vs = sorted(chain)
+        first, final = chain[vs[0]], chain[vs[-1]]
+        pre = first.get("parent") or 0
+        real = _versions(ap)
+        head = real[-1] if real else 0
+
+        def _conflict(reason: str):
+            done = "; ".join(published) if published else "nothing"
+            return SnapshotConflictError(
+                f"transaction publish aborted at {ap}: {reason}; "
+                f"published so far: {done}; all remaining staged "
+                "work discarded"
+            )
+
+        if head != pre:
+            raise _conflict(f"table moved to v{head} (staged against v{pre})")
+        out = dict(final)
+        if len(vs) > 1:
+            out["op"] = "txn"
+            out.pop("changes", None)
+        out["version"] = head + 1
+        out["parent"] = head if head else None
+        out["committed_at"] = time.time()
+        parent_m = _read_manifest(ap, head) if real else None
+        if not _commit_manifest(ap, head + 1, out, parent_m):
+            raise _conflict(f"lost the CAS race for v{head + 1}")
+        published.append(f"{ap} -> v{head + 1}")
+    return published
+
+
+class snapshot_txn:
+    """Context manager: stage every snapshot commit this THREAD makes,
+    then publish each touched table's net result as one CAS commit on
+    exit — or discard everything if the body raises. See the module
+    comment above for the exact atomicity contract. Does not nest.
+    Physically destructive maintenance (``snapshot_vacuum``, DROP
+    PURGE) is refused inside a transaction — deletion cannot be
+    staged."""
+
+    def __enter__(self):
+        if _txn_overlay() is not None:
+            raise RuntimeError("snapshot_txn does not nest")
+        self._staged: "dict[str, dict[int, dict]]" = {}
+        self._txn_id = uuid.uuid4().hex[:12]
+        _TXN_LOCAL.staged = self._staged
+        _TXN_LOCAL.txn_id = self._txn_id
+        return _SnapshotTxnHandle(self._staged, self._txn_id)
+
+    def __exit__(self, exc_type, exc, tb):
+        _TXN_LOCAL.staged = None  # deactivate BEFORE publishing
+        try:
+            if exc_type is None:
+                _txn_publish(self._staged)
+        finally:
+            _txn_cleanup(self._staged, self._txn_id)
+        return False
+
+
 def _versions(path: str) -> "list[int]":
     d = _manifest_dir(path)
     out = []
@@ -115,6 +236,11 @@ def _versions(path: str) -> "list[int]":
                 out.append(int(name[1:-5]))
             except ValueError:
                 continue
+    staged = _txn_overlay()
+    if staged:
+        extra = staged.get(os.path.abspath(path))
+        if extra:
+            return sorted(set(out) | set(extra))
     return sorted(out)
 
 
@@ -170,6 +296,11 @@ _RAW_CACHE: "dict[tuple, dict]" = {}
 
 
 def _read_manifest_raw_cached(path: str, version: int) -> dict:
+    staged = _txn_overlay()
+    if staged:
+        m = staged.get(os.path.abspath(path), {}).get(version)
+        if m is not None:
+            return m  # staged manifests are full/resolved (no delta_of)
     key = (os.path.abspath(path), version) + _fs().stat_sig(
         _manifest_file(path, version)
     )
@@ -187,6 +318,11 @@ def _read_manifest(path: str, version: int) -> dict:
     list and ``stats`` map, whatever mix of delta/full manifests is on
     disk. Deltas recurse to their parent (cached), so a cold read costs
     at most one checkpoint parse + _CKPT_EVERY delta replays."""
+    staged = _txn_overlay()
+    if staged:
+        m = staged.get(os.path.abspath(path), {}).get(version)
+        if m is not None:
+            return m  # staged manifests are already resolved
     # the backend's stat signature (inode+mtime+size on POSIX; the
     # ETag/generation stand-in on object stores) keys the cache: a
     # recreated table at the same path can never serve stale content
@@ -511,9 +647,29 @@ def _commit_manifest(
     create-if-absent itself is delegated to the selected
     :class:`CommitBackend`. Winning a full (checkpoint) commit also
     drops the typed stats parquet for executor-side pruning —
-    best-effort, readers fall back without it."""
+    best-effort, readers fall back without it.
+
+    Inside a :class:`snapshot_txn` the claim is STAGED instead: it
+    lands in the thread's overlay (same CAS semantics against the
+    overlay+disk view) plus a forensic ``.tmp-txn-*`` copy, and the
+    real publish happens once at transaction exit."""
     d = _manifest_dir(path)
     _fs().ensure_dir(d)
+    staged = _txn_overlay()
+    if staged is not None:
+        ap = os.path.abspath(path)
+        chain = staged.setdefault(ap, {})
+        if version in chain or _fs().exists(_manifest_file(path, version)):
+            return False  # the overlay view keeps CAS semantics
+        chain[version] = manifest
+        try:
+            _fs().put_atomic(
+                _txn_trace_file(ap, _TXN_LOCAL.txn_id, version),
+                json.dumps(_encode_manifest(manifest, parent_m), indent=1).encode(),
+            )
+        except Exception:
+            pass  # trace only — the in-memory chain is authoritative
+        return True
     payload = _encode_manifest(manifest, parent_m)
     data = json.dumps(payload, indent=1).encode()
     if not _COMMIT_BACKEND.put_if_absent(_manifest_file(path, version), data):
@@ -6492,6 +6648,12 @@ def snapshot_vacuum(
     ``dry_run=True`` reports what WOULD be removed without touching
     anything — check the blast radius before GC-ing 100 TB of
     history."""
+    if _txn_overlay() is not None:
+        raise ValueError(
+            "VACUUM cannot run inside a snapshot_txn: physical deletion "
+            "cannot be staged or rolled back — run it outside the "
+            "transaction"
+        )
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     cutoff = time.time() - retain_seconds

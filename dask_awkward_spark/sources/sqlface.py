@@ -475,9 +475,29 @@ def snapshot_sql_script(
     commit landing mid-script on the same table would be restored away
     with it — run migration scripts the way they are always run, with
     writers paused on the touched tables. The raised error names the
-    failing statement and lists what was rolled back."""
-    if on_error not in ("stop", "rollback"):
-        raise ValueError(f"on_error must be stop|rollback, got {on_error!r}")
+    failing statement and lists what was rolled back.
+
+    ``on_error="atomic"`` (round 11) upgrades compensation to STAGED
+    all-or-nothing: every statement's commits land in a
+    :class:`~dask_awkward_spark.sources.snapshot.snapshot_txn` overlay
+    (later statements read earlier staged state exactly), nothing
+    publishes until the whole script succeeded, and then each touched
+    table's net result publishes as ONE CAS commit — a failure (or a
+    hard crash) anywhere before publish leaves NO observable state:
+    no reader ever sees an intermediate version, created tables never
+    exist, catalog registrations (the catalog is itself a snapshot
+    table) never land. Single-table scripts are thereby fully atomic;
+    the remaining window is the multi-table publish loop itself — one
+    CAS per table in statement order, so a crash BETWEEN publishes
+    commits earlier tables but never a partial table. Statements that
+    physically destroy data (``VACUUM``, ``DROP TABLE ... PURGE``)
+    cannot be staged and are refused inside an atomic script. A
+    multi-statement table advance publishes collapsed (op ``txn``, no
+    row-level change files — the CDF refuses crossing it loudly)."""
+    if on_error not in ("stop", "rollback", "atomic"):
+        raise ValueError(
+            f"on_error must be stop|rollback|atomic, got {on_error!r}"
+        )
     from .snapshot import _versions, snapshot_restore
 
     def _table_map() -> "dict[str, str]":
@@ -487,12 +507,27 @@ def snapshot_sql_script(
             return snapshot_catalog_tables(spark, tables)
         return dict(tables)
 
-    pre_heads: "dict[str, tuple[str, int]] | None" = None
+    def _v1_sig(path: str):
+        """Lineage identity: the v1 manifest's storage signature. A
+        DROP PURGE + re-CREATE at the same path restarts the version
+        count, so version numbers alone cannot distinguish 'advanced'
+        from 'replaced' (ADVICE r10) — the recreated v1 is a different
+        inode/generation."""
+        from .snapshot import _manifest_file
+        from .storage import active
+
+        try:
+            return active().stat_sig(_manifest_file(path, 1))
+        except Exception:
+            return None
+
+    pre_heads: "dict[str, tuple[str, int, object]] | None" = None
     if on_error == "rollback":
         pre_heads = {}
         for name, path in _table_map().items():
             v = _versions(path)
-            pre_heads[name] = (path, v[-1] if v else 0)
+            head = v[-1] if v else 0
+            pre_heads[name] = (path, head, _v1_sig(path) if head else None)
     # ONE scanner for literals AND comments: a quote inside a comment
     # must not open a phantom literal (blanking-first would let
     # "-- don't" swallow every later statement), and a -- inside a
@@ -505,6 +540,41 @@ def snapshot_sql_script(
             stmts.append(cleaned[start:i])
             start = i + 1
     stmts.append(cleaned[start:])
+
+    if on_error == "atomic":
+        from .snapshot import snapshot_txn
+
+        results = []
+        with snapshot_txn():
+            n = 0
+            for s in stmts:
+                if not s.strip():
+                    continue
+                n += 1
+                sb = _blank_literals(s)
+                if re.match(r"^\s*VACUUM\b", sb, re.I) or re.match(
+                    r"^\s*DROP\s+TABLE\b.*\bPURGE\s*$", sb.strip(), re.I
+                ):
+                    raise ValueError(
+                        f"script statement {n} ({s.strip()[:60]!r}): "
+                        "physical deletion (VACUUM / DROP TABLE PURGE) "
+                        "cannot be staged inside on_error='atomic' — "
+                        "run it in its own script"
+                    )
+                try:
+                    results.append(snapshot_sql(spark, s, tables))
+                except Exception as e:
+                    msg = (
+                        f"script statement {n} ({s.strip()[:60]!r}): {e}"
+                        " [atomic: nothing was published]"
+                    )
+                    try:
+                        wrapped = type(e)(msg)
+                    except Exception:
+                        wrapped = RuntimeError(msg)
+                    raise wrapped from e
+        return results
+
     results = []
     n = 0
     for s in stmts:
@@ -532,7 +602,11 @@ def snapshot_sql_script(
                     try:
                         v = _versions(path)
                         cur = v[-1] if v else 0
-                        pre_v = pre_heads[name][1] if name in pre_heads else 0
+                        pre_v, pre_sig = (
+                            (pre_heads[name][1], pre_heads[name][2])
+                            if name in pre_heads
+                            else (0, None)
+                        )
                         if pre_v == 0 and cur:
                             # the script created it (or it was a mapped
                             # location with no table yet): remove. Dict
@@ -547,6 +621,20 @@ def snapshot_sql_script(
                                 else dict(tables),
                             )
                             rolled.append(f"dropped created table {name}")
+                        elif pre_v > 0 and (
+                            cur < pre_v or _v1_sig(path) != pre_sig
+                        ):
+                            # lineage REPLACED (DROP PURGE +
+                            # re-CREATE restarts the version count) or
+                            # history trimmed under us — restoring
+                            # into the new lineage would be an
+                            # affirmatively false rollback claim
+                            # (ADVICE r10)
+                            rolled.append(
+                                f"FAILED to roll back {name}: the "
+                                "script dropped and recreated it "
+                                "(PURGE is unrecoverable)"
+                            )
                         elif cur > pre_v > 0:
                             snapshot_restore(path, pre_v)
                             rolled.append(f"restored {name} to v{pre_v}")

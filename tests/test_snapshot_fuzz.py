@@ -110,6 +110,10 @@ _op = st_.one_of(
     st_.tuples(st_.just("sql_update"), st_.integers(0, 60), st_.integers(1, 25)),
     st_.tuples(st_.just("sql_insert"), st_.integers(0, 50), st_.integers(1, 10)),
     st_.tuples(st_.just("set_pspec"), st_.integers(0, 2)),
+    st_.tuples(
+        st_.just("sql_script"), st_.integers(0, 50), st_.integers(2, 10),
+        st_.booleans(),
+    ),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -265,6 +269,51 @@ def test_snapshot_random_op_sequences_match_model(
             head_rows = head_rows + list(range(lo, lo + n))
             head_v = v
             model[v] = ("append", list(head_rows), cur)
+        elif op[0] == "sql_script":
+            # atomic multi-statement script (round 11): INSERT + DELETE
+            # stage in a snapshot_txn and publish as ONE commit; with
+            # fail=True a broken tail statement aborts and the model
+            # must be COMPLETELY untouched (no intermediate versions)
+            if first:
+                continue
+            _, lo, n, fail = op
+            from dask_awkward_spark.sources.snapshot import _versions
+            from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+            def script_row(i):
+                vals = [str(i)] + ([str(i % 3)] if part else [])
+                vals += ["CAST(NULL AS DOUBLE)"] * len(extras)
+                return "(" + ", ".join(vals) + ")"
+
+            cut_lo = lo + n // 2
+            script = (
+                "INSERT INTO tf VALUES "
+                + ", ".join(script_row(i) for i in range(lo, lo + n))
+                + f"; DELETE FROM tf WHERE {cur} >= {cut_lo} "
+                + f"AND {cur} < {lo + n};"
+            )
+            if fail:
+                script += " TOTALLY NOT SQL;"
+                try:
+                    snapshot_sql_script(
+                        spark, script, {"tf": p}, on_error="atomic"
+                    )
+                    raise AssertionError("broken script must raise")
+                except ValueError:
+                    pass
+                # all-or-nothing: no version moved, no rows changed
+                assert (_versions(p)[-1] if _versions(p) else 0) == head_v
+            else:
+                snapshot_sql_script(
+                    spark, script, {"tf": p}, on_error="atomic"
+                )
+                head_rows = [
+                    x
+                    for x in head_rows + list(range(lo, lo + n))
+                    if not (cut_lo <= x < lo + n)
+                ]
+                head_v = _versions(p)[-1]
+                model[head_v] = ("txn", list(head_rows), cur)
         elif op[0] in ("delete", "mor_delete", "sql_delete"):
             if first:
                 continue

@@ -1,0 +1,235 @@
+"""Staged transactions (sources/snapshot.py snapshot_txn — VERDICT r10
+item 5): commits made inside the context stage in an overlay and
+publish as ONE CAS commit per touched table on exit; any failure —
+including a crash injected between stage and publish — leaves NO
+observable state. snapshot_sql_script(on_error="atomic") rides the
+same machinery, and rollback mode now detects lineage replacement
+(ADVICE r10)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+# every test runs under BOTH data-plane backends (posix / object-copy)
+pytestmark = pytest.mark.usefixtures("snapshot_storage_backend")
+from pyspark.sql import functions as F
+
+from dask_awkward_spark.sources.snapshot import (
+    SnapshotConflictError,
+    _read_manifest,
+    _versions,
+    snapshot_changes,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_txn,
+    snapshot_vacuum,
+    snapshot_write,
+)
+from dask_awkward_spark.sources.sqlface import snapshot_sql_script
+
+
+def test_txn_collapses_to_one_commit(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(10), p)
+    with snapshot_txn():
+        snapshot_write(spark.range(10, 20), p, mode="append")
+        snapshot_delete(spark, p, [("id", "<", 5)])
+        # later staged statements read earlier staged state
+        assert snapshot_read(spark, p).count() == 15
+        assert _versions(p) == [1, 2, 3]
+    assert _versions(p) == [1, 2]  # three staged commits -> ONE published
+    m = _read_manifest(p, 2)
+    assert m["op"] == "txn" and m["parent"] == 1
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == list(
+        range(5, 20)
+    )
+    # time travel skips the transaction's internals entirely
+    assert snapshot_read(spark, p, version=1).count() == 10
+    # a collapsed commit may hide deletes/overwrites inside, so BOTH
+    # change feeds refuse to cross it loudly (same contract as any
+    # non-append op) — never a silently wrong delta
+    with pytest.raises(ValueError, match="not appends"):
+        snapshot_changes(spark, p, since=1, row_level=True).count()
+    with pytest.raises(ValueError, match="not appends"):
+        snapshot_changes(spark, p, since=1).count()
+
+
+def test_txn_single_commit_publishes_verbatim(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(5), p)
+    with snapshot_txn():
+        snapshot_write(spark.range(5, 9), p, mode="append")
+    m = _read_manifest(p, 2)
+    assert m["op"] == "append"  # no collapse needed: full fidelity
+    assert snapshot_changes(spark, p, since=1, row_level=True).count() == 4
+
+
+def test_txn_crash_between_stage_and_publish_leaves_nothing(
+    spark, tmp_path
+):
+    """The VERDICT done-criterion: crash injection between stage and
+    publish shows no partial state — on-disk manifests, table rows,
+    and created tables are all exactly pre-transaction."""
+    p = str(tmp_path / "t")
+    p2 = str(tmp_path / "created")
+    snapshot_write(spark.range(10), p)
+    with pytest.raises(RuntimeError, match="power loss"):
+        with snapshot_txn():
+            snapshot_write(spark.range(10, 20), p, mode="append")
+            snapshot_delete(spark, p, [("id", ">=", 15)])
+            snapshot_write(spark.range(3), p2)  # created mid-txn
+            # everything above is staged, nothing published:
+            real = [
+                f
+                for f in glob.glob(os.path.join(p, "_manifests", "v*.json"))
+            ]
+            assert len(real) == 1  # only the pre-txn v1
+            raise RuntimeError("power loss")
+    assert _versions(p) == [1]
+    assert snapshot_read(spark, p).count() == 10
+    assert _versions(p2) == []  # the created table never existed
+    # forensic trace files were cleaned up
+    assert glob.glob(os.path.join(p, "_manifests", ".tmp-txn-*")) == []
+
+
+def test_txn_publish_cas_aborts_on_moved_head(spark, tmp_path):
+    """A concurrent writer advancing the head mid-transaction aborts
+    the publish — no half-applied transaction rows."""
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(10), p)
+    with pytest.raises(SnapshotConflictError, match="moved to v2"):
+        with snapshot_txn() as tx:
+            snapshot_write(spark.range(10, 20), p, mode="append")
+            # rival commits OUTSIDE the transaction (other process):
+            # simulate by suspending the overlay
+            import dask_awkward_spark.sources.snapshot as snap
+
+            snap._TXN_LOCAL.staged = None
+            try:
+                snapshot_write(spark.range(100, 103), p, mode="append")
+            finally:
+                snap._TXN_LOCAL.staged = tx.staged
+    # the rival's commit survives; the transaction's rows never landed
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == (
+        list(range(10)) + [100, 101, 102]
+    )
+
+
+def test_txn_refuses_vacuum_and_nesting(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(5), p)
+    with snapshot_txn():
+        with pytest.raises(ValueError, match="cannot run inside"):
+            snapshot_vacuum(p)
+        with pytest.raises(RuntimeError, match="does not nest"):
+            with snapshot_txn():
+                pass
+    # exiting cleanly with no staged work is a no-op
+    assert _versions(p) == [1]
+
+
+def test_atomic_script_all_or_nothing(spark, tmp_path):
+    """snapshot_sql_script(on_error='atomic'): the failing script
+    publishes NOTHING — unlike rollback mode, no intermediate version
+    ever exists, not even a restored-away one."""
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), p
+    )
+    tables = {"t": p}
+    with pytest.raises(Exception, match="nothing was published"):
+        snapshot_sql_script(
+            spark,
+            """
+            INSERT INTO t SELECT k + 100 AS k FROM t;
+            DELETE FROM t WHERE k < 3;
+            BROKEN STATEMENT;
+            """,
+            tables,
+            on_error="atomic",
+        )
+    assert _versions(p) == [1]  # no intermediate commits AT ALL
+    assert snapshot_read(spark, p).count() == 10
+    # the same script minus the broken tail publishes ONE commit
+    out = snapshot_sql_script(
+        spark,
+        """
+        INSERT INTO t SELECT k + 100 AS k FROM t;
+        DELETE FROM t WHERE k < 3;
+        """,
+        tables,
+        on_error="atomic",
+    )
+    assert len(out) == 2
+    assert _versions(p) == [1, 2]
+    got = sorted(r.k for r in snapshot_read(spark, p).collect())
+    assert got == list(range(3, 10)) + list(range(100, 110))
+
+
+def test_atomic_script_multi_table_and_catalog(spark, tmp_path):
+    """CREATE + cross-table fill inside one atomic script: on failure
+    the created table AND its catalog registration never existed (the
+    catalog is itself a snapshot table, so it stages too)."""
+    from dask_awkward_spark.sources.catalog import (
+        snapshot_catalog_register,
+        snapshot_catalog_tables,
+    )
+
+    cat = str(tmp_path / "cat")
+    src = str(tmp_path / "src")
+    snapshot_write(
+        spark.range(20).select(F.col("id").alias("k")), src
+    )
+    snapshot_catalog_register(spark, cat, "src", src)
+    dst_loc = str(tmp_path / "dst")
+    script_ok = f"""
+        CREATE TABLE dst (k bigint) LOCATION '{dst_loc}';
+        INSERT INTO dst SELECT k FROM src WHERE k >= 10;
+    """
+    with pytest.raises(Exception, match="nothing was published"):
+        snapshot_sql_script(
+            spark, script_ok + "NOT SQL;", cat, on_error="atomic"
+        )
+    assert "dst" not in snapshot_catalog_tables(spark, cat)
+    assert _versions(dst_loc) == []
+    # clean run: table exists, registered, filled
+    snapshot_sql_script(spark, script_ok, cat, on_error="atomic")
+    assert "dst" in snapshot_catalog_tables(spark, cat)
+    assert snapshot_read(spark, dst_loc).count() == 10
+
+
+def test_atomic_script_refuses_physical_deletion(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(5), p)
+    for stmt in ("VACUUM t", "DROP TABLE t PURGE"):
+        with pytest.raises(ValueError, match="cannot be staged"):
+            snapshot_sql_script(
+                spark, f"DELETE FROM t WHERE id < 0; {stmt};",
+                {"t": p}, on_error="atomic",
+            )
+        assert _versions(p) == [1]  # nothing published either
+
+
+def test_rollback_detects_lineage_replacement(spark, tmp_path):
+    """ADVICE r10 (medium): a script that DROPs PURGE a pre-existing
+    table and re-CREATEs it before failing must report the table as
+    unrecoverable — not stay silent, and never 'restore' into the new
+    lineage."""
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(7).select(F.col("id").alias("k")), p
+    )
+    script = f"""
+        DROP TABLE t PURGE;
+        CREATE TABLE t (k bigint) LOCATION '{p}';
+        INSERT INTO t SELECT CAST(1 AS BIGINT) AS k;
+        INSERT INTO t SELECT CAST(2 AS BIGINT) AS k;
+        NOT SQL;
+    """
+    with pytest.raises(Exception, match="dropped and recreated") as ei:
+        snapshot_sql_script(spark, script, {"t": p}, on_error="rollback")
+    # and it must NOT claim a successful restore into the new lineage
+    assert "restored t" not in str(ei.value)

@@ -115,7 +115,13 @@ def temperature_mix(
     quota computation is INTEGER arithmetic any engine reproduces
     bit-for-bit (the oracle twin relies on this); other temperatures
     use float ``pow`` and are documented as engine-faithful, not
-    cross-engine-exact. Group count is driver-bounded by contract
+    cross-engine-exact. Scope of the bit-for-bit claim (ADVICE r10):
+    it holds while group counts stay below ~2^52 — past that, a
+    correctly-rounded double sqrt can round UP across an integer
+    boundary and ``floor(sqrt(n))`` diverges from the Python-side
+    ``math.isqrt`` quota; 2^52 rows in ONE group is ~40 PB of minimal
+    rows, far past the driver-bounded-group-count contract, so the
+    bound is documented rather than special-cased. Group count is driver-bounded by contract
     (languages/sources — the same bound as k-means centroids): one
     tiny aggregate collects to compute quotas.
 

@@ -1,0 +1,135 @@
+"""TRUE two-process commit race soak (VERDICT r10 item 6): the
+CAS/rebase machinery was only ever raced in-process
+(tests/test_snapshot_rebase.py monkeypatches a rival mid-staging);
+here two REAL interpreter+JVM writers hammer one table concurrently —
+appends and copy-on-write deletes over disjoint key spaces — under
+both commit primitives and both data planes. The parent then asserts
+the linearizability claim: every surviving version's projection onto
+each worker's key space equals the state after some prefix of that
+worker's serial ops, prefixes monotone across versions, and the final
+table is exactly the union of both workers' net rows. Any lost update
+fails loudly here."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from dask_awkward_spark.sources.snapshot import (
+    _read_manifest,
+    _versions,
+    snapshot_read,
+)
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_race_worker.py")
+_N_OPS = 8
+
+
+def _run_workers(table: str, tmp, backend_env: "dict[str, str]"):
+    env = dict(os.environ)
+    env.update(backend_env)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    outs = [str(tmp / f"worker{w}.json") for w in (1, 2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, table, str(w), str(_N_OPS), out],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for w, out in zip((1, 2), outs)
+    ]
+    for pr in procs:
+        _, err = pr.communicate(timeout=600)
+        assert pr.returncode == 0, err.decode()[-2000:]
+    return [json.load(open(o)) for o in outs]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "commit_backend,storage_backend",
+    [("posix-link", "posix"), ("conditional-put", "object-copy")],
+    ids=["posixlink-posix", "condput-objstore"],
+)
+def test_two_process_commit_race(
+    spark, tmp_path, commit_backend, storage_backend
+):
+    table = str(tmp_path / "tbl")
+    # seed the table so neither worker is the creating writer
+    from dask_awkward_spark.sources.snapshot import (
+        set_commit_backend,
+        snapshot_write,
+    )
+    from dask_awkward_spark.sources.storage import set_storage_backend
+
+    prev_c = set_commit_backend(commit_backend)
+    prev_s = set_storage_backend(storage_backend)
+    try:
+        snapshot_write(
+            spark.createDataFrame([(0,)], "id bigint"), table
+        )
+        reports = _run_workers(
+            table,
+            tmp_path,
+            {
+                "DAK_SNAPSHOT_COMMIT_BACKEND": commit_backend,
+                "DAK_SNAPSHOT_STORAGE_BACKEND": storage_backend,
+            },
+        )
+        states = {r["worker"]: [set(s) for s in r["states"]] for r in reports}
+        spaces = {
+            w: set(range(100_000 * w, 100_000 * (w + 1))) for w in (1, 2)
+        }
+
+        # every version committed (nothing vacuumed here): count check —
+        # each worker issued one commit per op (deletes may no-op only
+        # if the range was empty, which the op schedule prevents)
+        vs = _versions(table)
+        assert len(vs) >= 1 + 2 * 2  # seed + at least a few from each
+
+        # linearizability: per-version projections are prefix states,
+        # monotone across versions
+        last_idx = {1: 0, 2: 0}
+        for v in vs:
+            rows = {
+                r.id
+                for r in snapshot_read(spark, table, version=v).collect()
+            }
+            assert 0 in rows, f"v{v} lost the seed row"
+            for w in (1, 2):
+                proj = rows & spaces[w]
+                matches = [
+                    i for i, st in enumerate(states[w]) if st == proj
+                ]
+                assert matches, (
+                    f"v{v}: worker {w} projection {sorted(proj)[:8]}... "
+                    "matches NO prefix state — lost or phantom update"
+                )
+                # monotone: a later version can never regress a worker
+                assert max(matches) >= last_idx[w], (
+                    f"v{v}: worker {w} regressed to an earlier state"
+                )
+                last_idx[w] = max(
+                    i for i in matches if i >= last_idx[w]
+                )
+
+        # the head is exactly both workers' net result (plus the seed)
+        final = {
+            r.id for r in snapshot_read(spark, table).collect()
+        }
+        want = {0} | states[1][-1] | states[2][-1]
+        assert final == want
+        # and the head's manifest parses with a sane lineage
+        m = _read_manifest(table, vs[-1])
+        assert m["version"] == vs[-1]
+    finally:
+        set_commit_backend(prev_c)
+        set_storage_backend(prev_s)

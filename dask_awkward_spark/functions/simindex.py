@@ -147,6 +147,14 @@ def _load_pq_codebook(index_path: str) -> "list | None":
     return json.loads(active().read_bytes(f).decode("utf-8"))
 
 
+def _centroids_norm(centroids) -> "list[list[float]]":
+    """The ONE normalized identity representation of a quantizer —
+    every equality check and every persisted ``ivf_centroids`` value
+    routes through this, so a formatting change can never split the
+    identity across sites."""
+    return [[float(v) for v in row] for row in centroids]
+
+
 def ivf_centroids(
     index_path: str, version: "int | None" = None
 ) -> "list[list[float]] | None":
@@ -234,8 +242,7 @@ def ivf_index_add(
             # OWN centroids — an ingest assigning cells with a
             # different quantizer would store codes that decode
             # against the wrong centroid rows
-            want = [[float(v) for v in row] for row in centroids]
-            if pq_spec["centroids"] != want:
+            if pq_spec["centroids"] != _centroids_norm(centroids):
                 raise ValueError(
                     "residual PQ spec was trained against DIFFERENT "
                     "IVF centroids than this ingest's: cells and "
@@ -318,7 +325,7 @@ def ivf_index_add(
     # as a table property so it commits ATOMICALLY with the rows.
     from ..sources.snapshot import SnapshotConflictError, _versions
 
-    want = [[float(v) for v in row] for row in centroids]
+    want = _centroids_norm(centroids)
     want_prop = {"ivf_centroids": json.dumps(want)}
 
     def _check_stored_centroids():
@@ -333,30 +340,41 @@ def ivf_index_add(
         return got
 
     try:
-        if not _versions(index_path):
-            # CREATING ingest: property rides the creating commit;
-            # expect_head=0 turns a lost create race into a clean
-            # retry below instead of silently appending rows celled
-            # under a possibly different quantizer
+        # every commit is PINNED to the head the identity check read
+        # (expect_head): a concurrent ivf_retrain landing between check
+        # and append would otherwise be rebased onto silently, mixing
+        # rows celled under the OLD quantizer into the retrained index.
+        # A lost pin re-reads and re-checks; contention re-stages the
+        # delta (index maintenance, not a hot path).
+        while True:
+            vs = _versions(index_path)
+            head = vs[-1] if vs else 0
+            if head == 0:
+                # CREATING ingest: the quantizer property rides the
+                # creating commit itself
+                try:
+                    return snapshot_write(
+                        rows, index_path, mode="append", expect_head=0,
+                        partition_by=["cell"], properties=want_prop,
+                    )
+                except SnapshotConflictError:
+                    continue  # a rival created the index first: re-read
+            stored_c = _check_stored_centroids()
             try:
-                return snapshot_write(
-                    rows, index_path, mode="append", expect_head=0,
-                    partition_by=["cell"], properties=want_prop,
+                v = snapshot_write(
+                    rows, index_path, mode="append", expect_head=head,
+                    partition_by=["cell"],
                 )
             except SnapshotConflictError:
-                pass  # a rival created the index first: fall through
-        stored_c = _check_stored_centroids()
-        v = snapshot_write(
-            rows, index_path, mode="append", partition_by=["cell"]
-        )
-        if stored_c is None:
-            # legacy index (pre centroid persistence): back-fill so
-            # SQL-face searches become possible; merge semantics keep
-            # any user properties intact
-            from ..sources.snapshot import snapshot_set_properties
+                continue  # head moved (maybe a retrain): re-check identity
+            if stored_c is None:
+                # legacy index (pre centroid persistence): back-fill so
+                # SQL-face searches become possible; merge semantics
+                # keep any user properties intact
+                from ..sources.snapshot import snapshot_set_properties
 
-            snapshot_set_properties(index_path, want_prop)
-        return v
+                snapshot_set_properties(index_path, want_prop)
+            return v
     except Exception:
         if created_cb:
             from ..sources.snapshot import _versions
@@ -398,9 +416,9 @@ def ivf_retrain(
         from .pq import normalize_pq_spec
 
         spec = normalize_pq_spec(stored)
-        if spec["residual"] and spec["centroids"] != [
-            [float(v) for v in row] for row in centroids
-        ]:
+        if spec["residual"] and spec["centroids"] != _centroids_norm(
+            centroids
+        ):
             # a raw-PQ code is a per-row property of e (carries fine);
             # a RESIDUAL code is a property of (e, old quantizer) —
             # re-celling under new centroids would leave every code
@@ -434,9 +452,7 @@ def ivf_retrain(
         _read_manifest(index_path, _versions(index_path)[-1]).get("properties")
         or {}
     )
-    props["ivf_centroids"] = json.dumps(
-        [[float(v) for v in row] for row in centroids]
-    )
+    props["ivf_centroids"] = json.dumps(_centroids_norm(centroids))
     return snapshot_write(
         rows, index_path, mode="overwrite",
         partition_by=["cell"], properties=props,

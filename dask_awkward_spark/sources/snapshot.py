@@ -170,6 +170,8 @@ def _txn_publish(staged: dict) -> "list[str]":
     published: "list[str]" = []
     for ap, chain in staged.items():
         vs = sorted(chain)
+        if not vs:
+            continue  # defensive: nothing ever staged for this path
         first, final = chain[vs[0]], chain[vs[-1]]
         pre = first.get("parent") or 0
         real = _versions(ap)
@@ -658,10 +660,16 @@ def _commit_manifest(
     staged = _txn_overlay()
     if staged is not None:
         ap = os.path.abspath(path)
-        chain = staged.setdefault(ap, {})
-        if version in chain or _fs().exists(_manifest_file(path, version)):
-            return False  # the overlay view keeps CAS semantics
-        chain[version] = manifest
+        chain = staged.get(ap)
+        if (chain and version in chain) or _fs().exists(
+            _manifest_file(path, version)
+        ):
+            # overlay view keeps CAS semantics — and a LOSING claim
+            # must not leave an empty chain behind (a caller that
+            # legitimately swallows the conflict, e.g. CREATE IF NOT
+            # EXISTS, would otherwise poison the publish loop)
+            return False
+        staged.setdefault(ap, {})[version] = manifest
         try:
             _fs().put_atomic(
                 _txn_trace_file(ap, _TXN_LOCAL.txn_id, version),

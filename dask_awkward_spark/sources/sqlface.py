@@ -507,17 +507,21 @@ def snapshot_sql_script(
             return snapshot_catalog_tables(spark, tables)
         return dict(tables)
 
-    def _v1_sig(path: str):
-        """Lineage identity: the v1 manifest's storage signature. A
-        DROP PURGE + re-CREATE at the same path restarts the version
-        count, so version numbers alone cannot distinguish 'advanced'
-        from 'replaced' (ADVICE r10) — the recreated v1 is a different
-        inode/generation."""
-        from .snapshot import _manifest_file
-        from .storage import active
+    def _vsig(path: str, version: int):
+        """Lineage identity: the CONTENT identity (committed_at, op)
+        of the pre-script head's manifest. Manifest content is
+        immutable once committed, so a normally-advanced table keeps
+        it (even across an in-script VACUUM, whose checkpoint
+        materialization rewrites the FILE but preserves the logical
+        content — a storage stat would false-alarm there); a DROP
+        PURGE + re-CREATE restarts the version count with fresh
+        timestamps, so version numbers alone cannot distinguish
+        'advanced' from 'replaced' (ADVICE r10)."""
+        from .snapshot import _read_manifest
 
         try:
-            return active().stat_sig(_manifest_file(path, 1))
+            m = _read_manifest(path, version)
+            return (m.get("committed_at"), m.get("op"))
         except Exception:
             return None
 
@@ -527,7 +531,9 @@ def snapshot_sql_script(
         for name, path in _table_map().items():
             v = _versions(path)
             head = v[-1] if v else 0
-            pre_heads[name] = (path, head, _v1_sig(path) if head else None)
+            pre_heads[name] = (
+                path, head, _vsig(path, head) if head else None
+            )
     # ONE scanner for literals AND comments: a quote inside a comment
     # must not open a phantom literal (blanking-first would let
     # "-- don't" swallow every later statement), and a -- inside a
@@ -544,6 +550,11 @@ def snapshot_sql_script(
     if on_error == "atomic":
         from .snapshot import snapshot_txn
 
+        # dict mode runs against a PRIVATE copy: CREATE/DROP mutate the
+        # mapping immediately, and an aborted script must leave the
+        # caller's dict — like everything else — exactly as it was;
+        # mutations merge back only after a successful publish
+        run_tables = tables if isinstance(tables, str) else dict(tables)
         results = []
         with snapshot_txn():
             n = 0
@@ -553,7 +564,9 @@ def snapshot_sql_script(
                 n += 1
                 sb = _blank_literals(s)
                 if re.match(r"^\s*VACUUM\b", sb, re.I) or re.match(
-                    r"^\s*DROP\s+TABLE\b.*\bPURGE\s*$", sb.strip(), re.I
+                    r"^\s*DROP\s+TABLE\b.*\bPURGE\s*$",
+                    sb.strip(),
+                    re.I | re.S,  # statements may span lines
                 ):
                     raise ValueError(
                         f"script statement {n} ({s.strip()[:60]!r}): "
@@ -562,7 +575,7 @@ def snapshot_sql_script(
                         "run it in its own script"
                     )
                 try:
-                    results.append(snapshot_sql(spark, s, tables))
+                    results.append(snapshot_sql(spark, s, run_tables))
                 except Exception as e:
                     msg = (
                         f"script statement {n} ({s.strip()[:60]!r}): {e}"
@@ -573,6 +586,9 @@ def snapshot_sql_script(
                     except Exception:
                         wrapped = RuntimeError(msg)
                     raise wrapped from e
+        if not isinstance(tables, str):
+            tables.clear()
+            tables.update(run_tables)  # publish succeeded: sync mutations
         return results
 
     results = []
@@ -622,18 +638,24 @@ def snapshot_sql_script(
                             )
                             rolled.append(f"dropped created table {name}")
                         elif pre_v > 0 and (
-                            cur < pre_v or _v1_sig(path) != pre_sig
+                            cur < pre_v or _vsig(path, pre_v) != pre_sig
                         ):
                             # lineage REPLACED (DROP PURGE +
                             # re-CREATE restarts the version count) or
-                            # history trimmed under us — restoring
-                            # into the new lineage would be an
-                            # affirmatively false rollback claim
+                            # the restore target no longer exists —
+                            # restoring into the new lineage would be
+                            # an affirmatively false rollback claim
                             # (ADVICE r10)
-                            rolled.append(
-                                f"FAILED to roll back {name}: the "
-                                "script dropped and recreated it "
+                            reason = (
+                                "the script dropped and recreated it "
                                 "(PURGE is unrecoverable)"
+                                if _vsig(path, pre_v) is not None
+                                else f"pre-script version v{pre_v} no "
+                                "longer exists (vacuumed or recreated "
+                                "shorter)"
+                            )
+                            rolled.append(
+                                f"FAILED to roll back {name}: {reason}"
                             )
                         elif cur > pre_v > 0:
                             snapshot_restore(path, pre_v)
@@ -788,7 +810,16 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
             "columns): build one with ivf_index_add"
         )
     vid_t = schema["vec_id"].dataType
+    vid_is_str = vid_t.simpleString() == "string"
     if excl is not None:
+        if excl.startswith("'") != vid_is_str:
+            # parse-time message, not a Py4J type-verification blowup
+            raise ValueError(
+                f"EXCLUDE {excl} does not match the index's vec_id "
+                f"type ({vid_t.simpleString()}): "
+                + ("quote the id ('…')" if vid_is_str
+                   else "pass a bare integer id")
+            )
         qid = (
             excl[1:-1].replace("''", "'")
             if excl.startswith("'")
@@ -796,7 +827,7 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         )
     else:
         # a label only — exclude_self is off, so collisions are inert
-        qid = "__ann_query__" if vid_t.simpleString() == "string" else -1
+        qid = "__ann_query__" if vid_is_str else -1
     qdf = spark.createDataFrame(
         [(qid, vec)],
         StructType(
@@ -1514,8 +1545,17 @@ def _ddl_sql(spark, sql, tables, catalog_path):
 
             snapshot_catalog_unregister(spark, catalog_path, name)
         if purge:
+            from .snapshot import _txn_overlay
             from .storage import active
 
+            if _txn_overlay() is not None:
+                # the layer guard, not just the script-face regex:
+                # physical deletion cannot be staged or rolled back
+                raise ValueError(
+                    f"cannot PURGE {name!r} inside a snapshot_txn: "
+                    "physical deletion cannot be staged — run it "
+                    "outside the transaction"
+                )
             active().delete_prefix(path)
         return {"dropped": name, "path": path, "purged": purge}
 

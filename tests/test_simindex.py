@@ -703,3 +703,52 @@ def test_ann_sql_version_as_of_travels_quantizer(spark, tmp_path):
         spark, stmt + f" VERSION AS OF {v1}", {"idx": p}
     ).collect()
     assert sorted(map(tuple, pinned)) == sorted(map(tuple, before))
+
+
+def test_ingest_refuses_racing_retrain(spark, tmp_path, monkeypatch):
+    """Code-review r11: an ivf_retrain landing between the ingest's
+    identity check and its append must NOT be rebased onto silently —
+    the head-pinned commit loses, re-checks, and refuses."""
+    import dask_awkward_spark.sources.snapshot as snap_mod
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 100), _centroids())
+    new_c = [row[1:] + row[:1] for row in _centroids()]
+    real_write = snap_mod.snapshot_write
+    state = {"fired": False}
+
+    def racing_write(df, path, **kw):
+        # the FIRST pinned append triggers a retrain first (the race)
+        if not state["fired"] and kw.get("expect_head") not in (None, 0):
+            state["fired"] = True
+            ivf_retrain(spark, p, new_c)
+        return real_write(df, path, **kw)
+
+    monkeypatch.setattr(snap_mod, "snapshot_write", racing_write)
+    with pytest.raises(ValueError, match="DIFFERENT\\s+IVF centroids"):
+        ivf_index_add(p, _vecs(spark, 100, 120), _centroids())
+    assert state["fired"]
+    # the retrained index is intact and self-consistent: no rows were
+    # celled under the old quantizer
+    from dask_awkward_spark.functions.simindex import ivf_centroids
+
+    assert ivf_centroids(p) == [[float(v) for v in r] for r in new_c]
+    assert (
+        ivf_search(spark, p, _vecs(spark, 0, 1), k=3).count() == 3
+    )
+
+
+def test_ann_sql_exclude_type_mismatch_is_loud(spark, tmp_path):
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 30), _centroids())
+    qe = _vecs(spark, 1, 2).select("e").first().e
+    vlit = ", ".join(repr(float(x)) for x in qe)
+    with pytest.raises(ValueError, match="does not match the index"):
+        snapshot_sql(
+            spark,
+            f"ANN SEARCH idx QUERY ({vlit}) TOP 3 EXCLUDE 'seven'",
+            {"idx": p},
+        )

@@ -233,3 +233,103 @@ def test_rollback_detects_lineage_replacement(spark, tmp_path):
         snapshot_sql_script(spark, script, {"t": p}, on_error="rollback")
     # and it must NOT claim a successful restore into the new lineage
     assert "restored t" not in str(ei.value)
+
+
+# ---- round-11 code-review regressions ----------------------------------
+
+
+def test_drop_purge_refused_inside_txn_layer_guard(spark, tmp_path):
+    """The guard lives at the LAYER (the physical delete site), not
+    just the script-face regex — and the regex handles multi-line
+    statements too."""
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(5), p)
+    with snapshot_txn():
+        with pytest.raises(ValueError, match="cannot be staged|cannot PURGE"):
+            snapshot_sql(spark, "DROP TABLE t PURGE", {"t": p})
+    assert snapshot_read(spark, p).count() == 5  # data untouched
+    # multi-line spelling through the atomic script face
+    with pytest.raises(ValueError, match="cannot be staged"):
+        snapshot_sql_script(
+            spark,
+            "DELETE FROM t WHERE id < 0;\nDROP TABLE t\nPURGE;",
+            {"t": p},
+            on_error="atomic",
+        )
+    assert _versions(p) == [1]
+
+
+def test_txn_swallowed_create_conflict_does_not_poison_publish(
+    spark, tmp_path
+):
+    """A CAS-losing staged claim that the caller legitimately swallows
+    (CREATE IF NOT EXISTS pattern) must not leave an empty chain that
+    aborts the whole publish."""
+    from dask_awkward_spark.sources.snapshot import SnapshotConflictError
+
+    p = str(tmp_path / "exists")
+    p2 = str(tmp_path / "work")
+    snapshot_write(spark.range(3), p)
+    with snapshot_txn():
+        with pytest.raises(SnapshotConflictError):
+            # a creating write against an existing table loses its pin
+            snapshot_write(spark.range(9), p, expect_head=0, mode="append")
+        snapshot_write(spark.range(7), p2)  # real staged work
+    # the real work published despite the swallowed conflict
+    assert _versions(p2) == [1]
+    assert snapshot_read(spark, p2).count() == 7
+    assert _versions(p) == [1]
+
+
+def test_atomic_script_leaves_callers_dict_untouched_on_abort(
+    spark, tmp_path
+):
+    p = str(tmp_path / "t")
+    loc2 = str(tmp_path / "t2")
+    snapshot_write(spark.range(4).select(F.col("id").alias("k")), p)
+    tables = {"t": p}
+    with pytest.raises(Exception, match="nothing was published"):
+        snapshot_sql_script(
+            spark,
+            f"CREATE TABLE t2 (k bigint) LOCATION '{loc2}';"
+            "DROP TABLE t; BROKEN;",
+            tables,
+            on_error="atomic",
+        )
+    # the caller's mapping is exactly as passed: no phantom t2, t intact
+    assert tables == {"t": p}
+    # success DOES sync mutations (CREATE visible, DROP applied)
+    snapshot_sql_script(
+        spark,
+        f"CREATE TABLE t2 (k bigint) LOCATION '{loc2}';"
+        "INSERT INTO t2 SELECT k FROM t; DROP TABLE t;",
+        tables,
+        on_error="atomic",
+    )
+    assert tables == {"t2": loc2}
+    assert snapshot_read(spark, loc2).count() == 4
+
+
+def test_rollback_restores_after_inscript_vacuum(spark, tmp_path):
+    """An in-script VACUUM trimming OLD manifests must not read as
+    lineage replacement: the pre-script head survives (vacuum keeps
+    the head), so the failed script still restores to it."""
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(5).select(F.col("id").alias("k")), p)
+    snapshot_write(
+        spark.range(5, 9).select(F.col("id").alias("k")), p, mode="append"
+    )
+    pre_head = _versions(p)[-1]
+    with pytest.raises(Exception) as ei:
+        snapshot_sql_script(
+            spark,
+            "VACUUM t RETAIN 0 HOURS;"
+            "DELETE FROM t WHERE k >= 0;"
+            "BROKEN;",
+            {"t": p},
+            on_error="rollback",
+        )
+    assert f"restored t to v{pre_head}" in str(ei.value)
+    assert snapshot_read(spark, p).count() == 9  # rows are back

@@ -182,3 +182,38 @@ def test_delete_whole_file_fast_path_still_fires_on_short_strings(
     res = snapshot_delete(spark, p, [("tier", "=", "cold")])
     assert res.get("files_rewritten", 0) == 0  # metadata-only drop
     assert snapshot_read(spark, p).count() == 100
+
+
+def test_dist_prune_agrees_on_truncated_strings(spark, tmp_path):
+    """The executor-side sidecar prune carries the TRUNCATED bounds and
+    must keep exactly the files the driver loop keeps — the
+    two-prune-paths-agree discipline extended to the widened-bounds
+    case (both paths are may-match only; the trunc marker gates only
+    the all-match fast path, which is driver-side)."""
+    from dask_awkward_spark.sources.snapshot import (
+        _dist_prune_files,
+        _where_phys,
+    )
+
+    p = str(tmp_path / "tbl")
+    snapshot_write(_long_text_df(spark, "a").coalesce(1), p)
+    snapshot_write(_long_text_df(spark, "m").coalesce(1), p, mode="append")
+    snapshot_write(
+        _long_text_df(spark, "z").coalesce(1), p, mode="overwrite"
+    )
+    snapshot_write(_long_text_df(spark, "a").coalesce(1), p, mode="append")
+    snapshot_write(_long_text_df(spark, "m").coalesce(1), p, mode="append")
+    v = _versions(p)[-1]
+    m = _read_manifest(p, v)
+    assert len(m["files"]) == 3
+    for where in [
+        [("text", "<", "m")],
+        [("text", ">", "m")],
+        [("text", "=", "a" * 40)],
+        [("text", ">=", "z"), ("id", "<", 100)],
+        [("text", "in", ["a", "zz"])],
+    ]:
+        pw = _where_phys(m, where)
+        dist = _dist_prune_files(spark, p, v, m, pw)
+        drv, _ = _prune_files(m, pw, None)
+        assert dist == drv, where

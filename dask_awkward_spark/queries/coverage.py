@@ -2011,3 +2011,71 @@ def _ann_sql_oracle() -> str:
 
 QUERIES["io_snapshot_ann_sql"] = io_snapshot_ann_sql
 ORACLES["io_snapshot_ann_sql"] = _ann_sql_oracle()
+
+
+def io_snapshot_ann_sql_batch(spark, sf_dir):
+    """The BATCH form of the ANN statement (round 11): the 10,500-row
+    heterogeneous query side of ``sim_batch_search`` — 20x past the
+    collected-path gate, over the same QUANTIZED index — issued as one
+    SQL string, ``ANN SEARCH idx QUERY (SELECT vec_id, e FROM qs) TOP
+    3 NPROBE 2 RESCORE 1000000``. The query side itself is a snapshot
+    table resolved by catalog name inside the subquery, so a SQL-only
+    consumer can run the realistic distributed re-ranking job end to
+    end. Hash-matches the same DuckDB single-pass batch-IVF twin
+    (quantization, distribution, AND the SQL front all invisible in
+    the result)."""
+    import shutil
+
+    from ..functions.simindex import ivf_index_add
+    from ..sources.snapshot import snapshot_write
+    from ..sources.sqlface import snapshot_sql
+    from .similarity import (
+        CORPUS_CAP,
+        N_REPS_BATCH,
+        QUERY_CAP,
+        _centroids,
+        _emb,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{_TMP}/dakspark_annsqlb_{sf_tag}_{os.getpid()}"
+    idx, qtbl = f"{base}/idx", f"{base}/qs"
+    shutil.rmtree(base, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    try:
+        ivf_index_add(
+            idx, emb.filter(F.col("vec_id") < CORPUS_CAP), _centroids(),
+            e_col="e", quantized=True,
+        )
+        qs = emb.filter(F.col("vec_id") < QUERY_CAP).select(
+            "vec_id", "e",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(N_REPS_BATCH))
+            ).alias("rep"),
+        ).select(
+            # disjoint from corpus ids, so no exclusion clause needed
+            (F.lit(1_000_000) + F.col("vec_id") * 100 + F.col("rep"))
+            .alias("vec_id"),
+            F.transform(
+                "e", lambda x: x + F.col("rep") * F.lit(0.001)
+            ).alias("e"),
+        )
+        snapshot_write(qs, qtbl)
+        return snapshot_sql(
+            spark,
+            "ANN SEARCH idx QUERY (SELECT vec_id, e FROM qs) "
+            "TOP 3 NPROBE 2 RESCORE 1000000",
+            {"idx": idx, "qs": qtbl},
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _ann_sql_batch_oracle() -> str:
+    from .similarity import _batch_search_sql
+
+    return _batch_search_sql()
+
+
+QUERIES["io_snapshot_ann_sql_batch"] = io_snapshot_ann_sql_batch
+ORACLES["io_snapshot_ann_sql_batch"] = _ann_sql_batch_oracle()

@@ -729,7 +729,8 @@ _ANN_RE = None  # compiled lazily below (needs _IDENT)
 _ANN_TAIL_RE = re.compile(
     r"^\s*TOP\s+(\d+)"
     r"(?:\s+NPROBE\s+(\d+))?"
-    r"(?:\s+EXCLUDE\s+('(?:[^']|'')*'|-?\d+))?"
+    r"(?:\s+RESCORE\s+(\d+))?"
+    r"(?:\s+EXCLUDE\s+(SELF|'(?:[^']|'')*'|-?\d+))?"
     r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
     r"\s*;?\s*$",
     re.I,
@@ -737,12 +738,25 @@ _ANN_TAIL_RE = re.compile(
 
 
 def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
-    """``ANN SEARCH t QUERY (v1, v2, ...) TOP k [NPROBE n] [EXCLUDE id]
-    [VERSION AS OF v]`` — vector similarity search as ONE SQL string
-    against a registered IVF index table (VERDICT r10 item 4: the SQL
-    faces covered the full table lifecycle, but a SQL-only consumer —
-    the persona the catalog path serves — could not issue a vector
-    query). Returns ``(vec_id, cell, cos)``, best first.
+    """``ANN SEARCH t QUERY (<vector literal> | SELECT ...) TOP k
+    [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] [VERSION AS OF v]`` —
+    vector similarity search as ONE SQL string against a registered
+    IVF index table (VERDICT r10 item 4: the SQL faces covered the
+    full table lifecycle, but a SQL-only consumer — the persona the
+    catalog path serves — could not issue a vector query).
+
+    Two QUERY forms. A numeric literal ``QUERY (0.1, 0.2, ...)`` is
+    the interactive lookup: returns ``(vec_id, cell, cos)`` best
+    first; ``EXCLUDE <id>`` drops one corpus id BEFORE ranking (the
+    self-exclusion spelling when the query vector was taken from the
+    corpus — post-filtering would under-fill the top-k). A subquery
+    ``QUERY (SELECT id, embedding FROM q)`` is the BATCH form — first
+    column the query id, second the vector, resolved through the same
+    SELECT face (catalog names + AS OF inside work) — and returns
+    ``(q_id, vec_id, cell, cos)``; a large side auto-routes to the
+    distributed batch plan, so the realistic 10^5-query re-ranking job
+    is one SQL string too. ``EXCLUDE SELF`` there drops each query's
+    own id (ids share the corpus id space).
 
     The quantizer comes from the index itself: the version-pinned
     ``ivf_centroids`` table property that committed atomically WITH the
@@ -750,10 +764,8 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     .ivf_centroids`), so the statement needs nothing but the catalog
     name — every probe-pruning / ADC / re-scoring tier of
     :func:`~dask_awkward_spark.functions.simindex.ivf_search` applies
-    unchanged. ``EXCLUDE <id>`` drops one corpus id BEFORE ranking (the
-    self-exclusion spelling when the query vector was taken from the
-    corpus — post-filtering the result would under-fill the top-k).
-    ``VERSION AS OF`` time-travels BOTH the rows and the quantizer."""
+    unchanged (``RESCORE n`` = its ``rescore_k``). ``VERSION AS OF``
+    time-travels BOTH the rows and the quantizer."""
     global _ANN_RE
     if _ANN_RE is None:
         _ANN_RE = re.compile(
@@ -777,25 +789,20 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     path = _resolve(m.group(1), tables)
     j = _close_paren(_blank_literals(sql), m.end() - 1)
     inner = sql[m.end():j - 1]
-    try:
-        vec = [float(x) for x in inner.split(",") if x.strip()]
-    except ValueError:
-        raise ValueError(
-            f"QUERY (...) must be a numeric vector literal, got "
-            f"{inner[:40]!r}"
-        )
-    if not vec:
-        raise ValueError("QUERY (...) vector literal is empty")
+    subquery = re.match(r"^\s*\(?\s*(SELECT|WITH)\b", inner, re.I) is not None
     tm = _ANN_TAIL_RE.match(sql[j:])
     if tm is None:
         raise ValueError(
             f"cannot parse ANN SEARCH tail {sql[j:].strip()[:60]!r}: "
-            "expected TOP k [NPROBE n] [EXCLUDE id] [VERSION AS OF v]"
+            "expected TOP k [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] "
+            "[VERSION AS OF v]"
         )
     k = int(tm.group(1))
     nprobe = int(tm.group(2)) if tm.group(2) else 2
-    excl, version = tm.group(3), tm.group(4)
+    rescore = int(tm.group(3)) if tm.group(3) else None
+    excl, version = tm.group(4), tm.group(5)
     version = int(version) if version else None
+    excl_self = excl is not None and excl.upper() == "SELF"
     head = _require_versions(path)[-1]
     schema = StructType.fromJson(
         json.loads(
@@ -811,6 +818,46 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         )
     vid_t = schema["vec_id"].dataType
     vid_is_str = vid_t.simpleString() == "string"
+    if subquery:
+        if excl is not None and not excl_self:
+            raise ValueError(
+                "EXCLUDE <id> applies to the vector-literal form; a "
+                "subquery batch uses EXCLUDE SELF (each query's own "
+                "id is dropped) — filter other ids in the subquery"
+            )
+        body = _select_sql(spark, inner, tables)
+        if len(body.columns) < 2:
+            raise ValueError(
+                "the QUERY subquery must produce (id, vector) — got "
+                f"columns {body.columns}"
+            )
+        qdf = body.select(
+            F.col(body.columns[0]).alias("vec_id"),
+            F.col(body.columns[1]).cast("array<double>").alias("e"),
+        )
+        return (
+            ivf_search(
+                spark, path, qdf, None, k=k, nprobe=nprobe,
+                exclude_self=excl_self, rescore_k=rescore,
+                version=version,
+            )
+            .orderBy("q_id", F.col("cos").desc(), "vec_id")
+        )
+    if excl_self:
+        raise ValueError(
+            "EXCLUDE SELF needs query ids — use the subquery form "
+            "(QUERY (SELECT id, e FROM ...)), or EXCLUDE <id> with a "
+            "vector literal"
+        )
+    try:
+        vec = [float(x) for x in inner.split(",") if x.strip()]
+    except ValueError:
+        raise ValueError(
+            f"QUERY (...) must be a numeric vector literal or a "
+            f"SELECT subquery, got {inner[:40]!r}"
+        )
+    if not vec:
+        raise ValueError("QUERY (...) vector literal is empty")
     if excl is not None:
         if excl.startswith("'") != vid_is_str:
             # parse-time message, not a Py4J type-verification blowup
@@ -840,7 +887,8 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     return (
         ivf_search(
             spark, path, qdf, None, k=k, nprobe=nprobe,
-            exclude_self=excl is not None, version=version,
+            exclude_self=excl is not None, rescore_k=rescore,
+            version=version,
         )
         .select("vec_id", "cell", "cos")
         .orderBy(F.col("cos").desc(), "vec_id")

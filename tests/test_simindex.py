@@ -752,3 +752,48 @@ def test_ann_sql_exclude_type_mismatch_is_loud(spark, tmp_path):
             f"ANN SEARCH idx QUERY ({vlit}) TOP 3 EXCLUDE 'seven'",
             {"idx": p},
         )
+
+
+def test_ann_sql_subquery_batch_form(spark, tmp_path):
+    """QUERY (SELECT ...) routes the ids+vectors through the SELECT
+    face and equals the Python batch search; EXCLUDE SELF drops each
+    query's own id."""
+    from dask_awkward_spark.sources.snapshot import snapshot_write
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    q = str(tmp_path / "qs")
+    ivf_index_add(p, _vecs(spark, 0, 300), _centroids())
+    snapshot_write(_vecs(spark, 5, 9), q)
+    t = {"idx": p, "qs": q}
+    rows = snapshot_sql(
+        spark,
+        "ANN SEARCH idx QUERY (SELECT vec_id, e FROM qs) "
+        "TOP 4 NPROBE 2 EXCLUDE SELF",
+        t,
+    ).collect()
+    assert list(rows[0].asDict()) == ["q_id", "vec_id", "cell", "cos"]
+    assert len(rows) == 4 * 4
+    assert all(r.vec_id != r.q_id for r in rows)
+    ref = ivf_search(
+        spark, p, _vecs(spark, 5, 9), k=4, nprobe=2, exclude_self=True
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref))
+    # grammar refusals specific to each form
+    with pytest.raises(ValueError, match="EXCLUDE SELF needs query ids"):
+        snapshot_sql(
+            spark, "ANN SEARCH idx QUERY (1.0, 2.0) TOP 3 EXCLUDE SELF", t
+        )
+    with pytest.raises(ValueError, match="uses EXCLUDE SELF"):
+        snapshot_sql(
+            spark,
+            "ANN SEARCH idx QUERY (SELECT vec_id, e FROM qs) "
+            "TOP 3 EXCLUDE 7",
+            t,
+        )
+    with pytest.raises(ValueError, match="must produce"):
+        snapshot_sql(
+            spark,
+            "ANN SEARCH idx QUERY (SELECT vec_id FROM qs) TOP 3",
+            t,
+        )

@@ -333,3 +333,48 @@ def test_rollback_restores_after_inscript_vacuum(spark, tmp_path):
         )
     assert f"restored t to v{pre_head}" in str(ei.value)
     assert snapshot_read(spark, p).count() == 9  # rows are back
+
+
+def test_atomic_script_stages_optimize_and_restore(spark, tmp_path):
+    """Maintenance that only COMMITS (OPTIMIZE, RESTORE) stages like
+    any DML: an aborted script's compaction never publishes (its files
+    sit unreferenced for vacuum), a successful one collapses with the
+    rest."""
+    p = str(tmp_path / "t")
+    for lo in range(0, 40, 10):
+        snapshot_write(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")),
+            p,
+            mode="append" if lo else "overwrite",
+        )
+    pre = _versions(p)[-1]
+    tables = {"t": p}
+    with pytest.raises(Exception, match="nothing was published"):
+        snapshot_sql_script(
+            spark,
+            "OPTIMIZE t; DELETE FROM t WHERE k >= 30; BROKEN;",
+            tables,
+            on_error="atomic",
+        )
+    assert _versions(p)[-1] == pre  # compaction never published
+    out = snapshot_sql_script(
+        spark,
+        "OPTIMIZE t; DELETE FROM t WHERE k >= 30;",
+        tables,
+        on_error="atomic",
+    )
+    assert _versions(p)[-1] == pre + 1  # collapsed to ONE commit
+    assert sorted(
+        r.k for r in snapshot_read(spark, p).collect()
+    ) == list(range(30))
+    # RESTORE inside an atomic script is a staged metadata commit too
+    snapshot_sql_script(
+        spark,
+        f"RESTORE TABLE t TO VERSION AS OF {pre};"
+        "DELETE FROM t WHERE k < 5;",
+        tables,
+        on_error="atomic",
+    )
+    assert sorted(
+        r.k for r in snapshot_read(spark, p).collect()
+    ) == list(range(5, 40))

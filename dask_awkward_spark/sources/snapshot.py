@@ -208,7 +208,11 @@ class snapshot_txn:
     comment above for the exact atomicity contract. Does not nest.
     Physically destructive maintenance (``snapshot_vacuum``, DROP
     PURGE) is refused inside a transaction — deletion cannot be
-    staged."""
+    staged. The overlay is THREAD-local by design: a streaming query's
+    micro-batch commits run on Spark's streaming threads, so they
+    always publish for real — starting a stream inside a transaction
+    cannot corrupt it (the stream's real commits simply move the head,
+    which the publish CAS then detects and aborts on)."""
 
     def __enter__(self):
         if _txn_overlay() is not None:

@@ -378,3 +378,24 @@ def test_atomic_script_stages_optimize_and_restore(spark, tmp_path):
     assert sorted(
         r.k for r in snapshot_read(spark, p).collect()
     ) == list(range(5, 40))
+
+
+def test_txn_append_chain_publishes_as_delta(spark, tmp_path):
+    """Scale property: a collapsed append-only transaction's published
+    manifest is a DELTA against the real parent (adds only) — the
+    prefix-identity fast path survives the collapse, so a txn on a
+    1M-file table still commits O(delta) bytes."""
+    from dask_awkward_spark.sources.snapshot import _read_manifest_raw
+
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(100).repartition(8), p)
+    n_before = len(_read_manifest(p, 1)["files"])
+    with snapshot_txn():
+        snapshot_write(spark.range(100, 110).coalesce(1), p, mode="append")
+        snapshot_write(spark.range(110, 120).coalesce(1), p, mode="append")
+    raw = _read_manifest_raw(p, 2)
+    assert raw.get("delta_of") == 1  # delta-encoded, not a full rewrite
+    assert len(raw["add"]) == 2 and raw.get("remove") == []
+    m = _read_manifest(p, 2)
+    assert len(m["files"]) == n_before + 2
+    assert snapshot_read(spark, p).count() == 120

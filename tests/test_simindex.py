@@ -797,3 +797,42 @@ def test_ann_sql_subquery_batch_form(spark, tmp_path):
             "ANN SEARCH idx QUERY (SELECT vec_id FROM qs) TOP 3",
             t,
         )
+
+
+def test_ann_sql_over_pq_index(spark, tmp_path):
+    """The ANN statement runs the PQ/ADC tier unchanged: SQL result ==
+    Python-face result over a residual-encoded index, and RESCORE wide
+    enough makes it exact vs brute force."""
+    from dask_awkward_spark.functions.pq import pq_train
+    from dask_awkward_spark.functions.simindex import knn_bruteforce
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    cents = _centroids()
+    cb = pq_train(
+        _vecs(spark, 0, 200), m=4, ksub=8, order_col="vec_id",
+        sample_rows=200, iters=6, residual_centroids=cents,
+    )
+    ivf_index_add(p, _vecs(spark, 0, 200), cents, pq_codebook=cb)
+    qe = _vecs(spark, 3, 4).select("e").first().e
+    vlit = ", ".join(repr(float(x)) for x in qe)
+    rows = snapshot_sql(
+        spark,
+        f"ANN SEARCH idx QUERY ({vlit}) TOP 5 NPROBE {N_CELLS} "
+        "RESCORE 100000 EXCLUDE 3",
+        {"idx": p},
+    ).collect()
+    ref = ivf_search(
+        spark, p, _vecs(spark, 3, 4), k=5, nprobe=N_CELLS,
+        rescore_k=100000, exclude_self=True,
+    ).collect()
+    assert sorted((r.vec_id, r.cell, r.cos) for r in rows) == sorted(
+        (r.vec_id, r.cell, r.cos) for r in ref
+    )
+    # full probe + full rescore over the PQ tier is EXACT
+    bf = knn_bruteforce(
+        _vecs(spark, 0, 200), _vecs(spark, 3, 4), k=5
+    ).collect()
+    assert sorted((r.vec_id, r.cos) for r in rows) == sorted(
+        (r.vec_id, r.cos) for r in bf
+    )

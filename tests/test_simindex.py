@@ -836,3 +836,27 @@ def test_ann_sql_over_pq_index(spark, tmp_path):
     assert sorted((r.vec_id, r.cos) for r in rows) == sorted(
         (r.vec_id, r.cos) for r in bf
     )
+
+
+def test_ann_sql_by_catalog_path(spark, tmp_path):
+    """tables= as a catalog PATH (the one-string SQL-only consumer):
+    the index resolves by registered name, including the subquery's
+    query-side table."""
+    from dask_awkward_spark.sources.catalog import snapshot_catalog_register
+    from dask_awkward_spark.sources.snapshot import snapshot_write
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    cat = str(tmp_path / "cat")
+    p = str(tmp_path / "idx")
+    q = str(tmp_path / "qs")
+    ivf_index_add(p, _vecs(spark, 0, 120), _centroids())
+    snapshot_write(_vecs(spark, 2, 4), q)
+    snapshot_catalog_register(spark, cat, "idx", p)
+    snapshot_catalog_register(spark, cat, "qs", q)
+    out = snapshot_sql(
+        spark,
+        "ANN SEARCH idx QUERY (SELECT vec_id, e FROM qs) "
+        "TOP 3 NPROBE 2 EXCLUDE SELF",
+        cat,
+    )
+    assert out.count() == 2 * 3

@@ -95,6 +95,11 @@ HEADLINE = [
     # IVF-PQ (true IVFADC — per-(query,cell) coarse term + ADC)
     "io_snapshot_transform",
     "sim_pq_residual",
+    # round 11: staged atomic scripts (nothing-published failure +
+    # collapsed publish) and vector search through the SQL face
+    # (self-describing index: version-pinned centroids property)
+    "io_snapshot_txn",
+    "io_snapshot_ann_sql",
 ]
 
 

@@ -399,3 +399,79 @@ def test_txn_append_chain_publishes_as_delta(spark, tmp_path):
     m = _read_manifest(p, 2)
     assert len(m["files"]) == n_before + 2
     assert snapshot_read(spark, p).count() == 120
+
+
+def test_concurrent_txns_in_two_threads_are_isolated(spark, tmp_path):
+    """The overlay is thread-local: two transactions on DIFFERENT
+    tables publish independently; neither sees the other's staged
+    state."""
+    import threading
+
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_write(spark.range(5), pa_)
+    snapshot_write(spark.range(5), pb)
+    barrier = threading.Barrier(2, timeout=120)
+    errs = []
+
+    def work(path, lo):
+        try:
+            with snapshot_txn():
+                snapshot_write(
+                    spark.range(lo, lo + 5), path, mode="append"
+                )
+                barrier.wait()  # both staged, neither published
+                # the OTHER table's staged state is invisible here
+                other = pb if path == pa_ else pa_
+                assert _versions(other) == [1]
+                snapshot_delete(spark, path, [("id", "<", 2)])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=work, args=(pa_, 100))
+    t2 = threading.Thread(target=work, args=(pb, 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    for p, lo in ((pa_, 100), (pb, 200)):
+        assert _versions(p) == [1, 2]
+        got = sorted(r.id for r in snapshot_read(spark, p).collect())
+        assert got == [2, 3, 4] + list(range(lo, lo + 5))
+
+
+def test_txn_composes_with_index_build_and_register(spark, tmp_path):
+    """The composition story: build an IVF index AND register it in
+    the catalog in one all-or-nothing unit — on failure neither the
+    index nor its name ever existed."""
+    from dask_awkward_spark.functions.simindex import ivf_index_add
+    from dask_awkward_spark.sources.catalog import (
+        snapshot_catalog_register,
+        snapshot_catalog_tables,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda d: F.sin(F.col("id") * 0.7 + d),
+            ).alias("e"),
+        )
+
+    cents = [[1.0] * 8, [-1.0] * 8]
+    cat = str(tmp_path / "cat")
+    idx = str(tmp_path / "idx")
+    snapshot_catalog_register(spark, cat, "seed", str(tmp_path / "seed"))
+    with pytest.raises(RuntimeError, match="abort"):
+        with snapshot_txn():
+            ivf_index_add(idx, vecs(0, 50), cents)
+            snapshot_catalog_register(spark, cat, "idx", idx)
+            raise RuntimeError("abort")
+    assert _versions(idx) == []
+    assert "idx" not in snapshot_catalog_tables(spark, cat)
+    with snapshot_txn():
+        ivf_index_add(idx, vecs(0, 50), cents)
+        snapshot_catalog_register(spark, cat, "idx", idx)
+    assert _versions(idx) == [1]
+    assert "idx" in snapshot_catalog_tables(spark, cat)
+    from dask_awkward_spark.functions.simindex import ivf_search
+
+    assert ivf_search(spark, idx, vecs(3, 4), k=3, nprobe=2).count() == 3

@@ -154,6 +154,7 @@ from .functions.simindex import (
     ivf_recall,
     ivf_retrain,
     ivf_search,
+    ivf_stream_ingest,
     knn_bruteforce,
 )
 from .functions.sketches import hll_distinct, kmv_distinct

@@ -181,6 +181,46 @@ def ivf_centroids(
     return None if raw is None else json.loads(raw)
 
 
+def _index_row_cols(
+    centroids,
+    id_col: str,
+    e_col: str,
+    quantized: bool = False,
+    pq_codebook=None,
+    pq_spec=None,
+):
+    """The index row projection — one definition shared by batch ingest
+    and the streaming sink, so a streamed index is column-identical to
+    a batch build by construction (pure per-row expressions: fully
+    streaming-compatible, no shuffle)."""
+    from .pq import pq_encode
+
+    cols = [
+        F.col(id_col).alias("vec_id"),
+        ivf_cell(F.col(e_col), centroids).alias("cell"),
+        F.col(e_col).cast("array<double>").alias("e"),
+    ]
+    if quantized:
+        q, scale = quantize_int8(F.col(e_col).cast("array<double>"))
+        cols.append(F.transform(q, lambda v: v.cast("tinyint")).alias("q"))
+        cols.append(scale.cast("float").alias("scale"))
+    if pq_codebook is not None:
+        # residual specs get the SAME cell expression that lands in the
+        # index row — code and stored cell cannot disagree (ties in the
+        # coarse argmax would otherwise be two chances to differ)
+        cols.append(
+            pq_encode(
+                F.col(e_col), pq_codebook,
+                cell=ivf_cell(F.col(e_col), centroids)
+                if pq_spec["residual"] else None,
+            ).alias("pqc")
+        )
+        cols.append(
+            norm(F.col(e_col).cast("array<double>")).cast("float").alias("norm")
+        )
+    return cols
+
+
 def ivf_index_add(
     index_path: str,
     new_vecs: DataFrame,
@@ -296,28 +336,9 @@ def ivf_index_add(
             f"index at {index_path} is a PQ index (sticky tier): pass "
             "pq_codebook= with the original codebook on every ingest"
         )
-    cols = [
-        F.col(id_col).alias("vec_id"),
-        ivf_cell(F.col(e_col), centroids).alias("cell"),
-        F.col(e_col).cast("array<double>").alias("e"),
-    ]
-    if quantized:
-        q, scale = quantize_int8(F.col(e_col).cast("array<double>"))
-        cols.append(F.transform(q, lambda v: v.cast("tinyint")).alias("q"))
-        cols.append(scale.cast("float").alias("scale"))
-    if pq_codebook is not None:
-        # residual specs get the SAME cell expression that lands in the
-        # index row — code and stored cell cannot disagree (ties in the
-        # coarse argmax would otherwise be two chances to differ)
-        cols.append(
-            pq_encode(
-                F.col(e_col), pq_codebook,
-                cell=ivf_cell(F.col(e_col), centroids)
-                if pq_spec["residual"] else None,
-            ).alias("pqc")
-        )
-        cols.append(norm(F.col(e_col).cast("array<double>")).cast("float").alias("norm"))
-    rows = new_vecs.select(*cols)
+    rows = new_vecs.select(
+        *_index_row_cols(centroids, id_col, e_col, quantized, pq_codebook, pq_spec)
+    )
     # centroid identity (round 11): cells were just assigned under
     # `centroids`, so the index's persisted quantizer must agree or the
     # stored cell column and a search's probe cells would disagree —
@@ -387,6 +408,105 @@ def ivf_index_add(
                 except Exception:
                     pass  # best-effort cleanup; the preflight re-heals
         raise
+
+
+def ivf_stream_ingest(
+    stream_vecs: DataFrame,
+    index_path: str,
+    centroids: "list[list[float]]",
+    checkpoint_dir: "str | None" = None,
+    drain: bool = True,
+    id_col: str = "vec_id",
+    e_col: str = "e",
+    quantized: bool = False,
+):
+    """EXACTLY-ONCE streaming ingest into an IVF index: the continuous
+    twin of :func:`ivf_index_add` for an embedding stream (the
+    always-on production shape — new vectors arrive, the index must
+    absorb them without a rebuild).
+
+    Cell assignment is the same pure per-row expression as batch
+    ingest (:func:`_index_row_cols` is shared), and the coarse
+    quantizer is FIXED, so streamed == chunked == batch by
+    construction — a search over the drained index returns exactly a
+    batch build's answer. Each micro-batch appends as ONE atomic
+    snapshot commit recording its batch id; a post-crash replay of the
+    last micro-batch is skipped by the table's recorded watermark
+    (:func:`~dask_awkward_spark.sources.snapshot.stream_to_snapshot`'s
+    idempotent-sink contract — the manifest IS the transactional
+    store). The quantizer identity rule applies unchanged: the first
+    batch persists ``ivf_centroids`` with the creating commit, and a
+    mismatched existing index refuses before any batch lands.
+
+    ``drain=True`` processes everything available and stops (bounded
+    backfills, tests); pass a durable ``checkpoint_dir`` with
+    ``drain=False`` for an always-on query (returns the
+    StreamingQuery). PQ-tier streaming is deliberately excluded: codes
+    require the persisted codebook handshake — run batch
+    :func:`ivf_index_add` for PQ indexes.
+
+    Reference: no counterpart (dask-awkward has no streaming and no
+    similarity ops); the lakehouse analog is Auto Loader into a
+    Delta table consumed by a vector index refresh."""
+    import shutil
+    import tempfile
+
+    from ..sources.snapshot import (
+        SnapshotBatchReplayedError,
+        _read_manifest,
+        _versions,
+        snapshot_write,
+    )
+
+    want = _centroids_norm(centroids)
+    stored = ivf_centroids(index_path)
+    if stored is not None and stored != want:
+        raise ValueError(
+            f"index at {index_path} was assigned under DIFFERENT IVF "
+            "centroids: stored cells and this stream's would disagree "
+            "— pass ivf_centroids(index_path), or ivf_retrain first"
+        )
+    import json as _json
+
+    want_prop = {"ivf_centroids": _json.dumps(want)}
+    rows = stream_vecs.select(
+        *_index_row_cols(centroids, id_col, e_col, quantized=quantized)
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _versions(index_path)
+        if versions:
+            seen = _read_manifest(index_path, versions[-1]).get(
+                "stream_batch_id"
+            )
+            if seen is not None and batch_id <= seen:
+                return  # replayed micro-batch already committed
+        try:
+            snapshot_write(
+                batch_df, index_path, mode="append",
+                partition_by=["cell"], stream_batch_id=batch_id,
+                properties=None if versions else want_prop,
+            )
+        except SnapshotBatchReplayedError:
+            return  # a racing replayer landed the same batch first
+
+    ephemeral = checkpoint_dir is None
+    if ephemeral and not drain:
+        raise ValueError("drain=False requires a durable checkpoint_dir")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_ivf_ckpt_")
+    q = (
+        rows.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    if not drain:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if ephemeral:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def ivf_retrain(

@@ -751,3 +751,55 @@ FROM a2 GROUP BY cid
 
 QUERIES.update({"sim_kmeans": sim_kmeans})
 ORACLES.update({"sim_kmeans": _kmeans_sql()})
+
+
+def sim_stream_ingest(spark, sf_dir):
+    """STREAMING index ingest (round 11): the embeddings corpus is
+    re-chunked into 4 parquet files and streamed one-file-per-trigger
+    through :func:`~dask_awkward_spark.functions.simindex
+    .ivf_stream_ingest` — 4 micro-batches, each ONE atomic snapshot
+    commit with its batch id recorded (the exactly-once watermark).
+    Because cell assignment is a pure per-row expression under a FIXED
+    quantizer, the drained index must equal a batch build exactly, so
+    a search over it hash-matches the same DuckDB single-pass IVF twin
+    as ``sim_ivf_topk`` — streamed == chunked == batch, proven through
+    the driver's correctness gate."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.simindex import ivf_search, ivf_stream_ingest
+
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = f"{tempfile.gettempdir()}/dakspark_simstream_{sf_tag}_{_os.getpid()}"
+    src, idx = f"{base}/src", f"{base}/idx"
+    shutil.rmtree(base, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    try:
+        # re-chunk so the file stream yields 4 genuine micro-batches
+        emb.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ivf_stream_ingest(stream, idx, _centroids())
+        from ..sources.snapshot import _read_manifest, _versions
+
+        vs = _versions(idx)
+        assert len(vs) >= 2, "must ingest as MULTIPLE micro-batch commits"
+        assert (
+            _read_manifest(idx, vs[-1]).get("stream_batch_id") is not None
+        ), "batch watermark must be recorded"
+        q = emb.filter(F.col("vec_id") == 0).select("vec_id", "e")
+        return (
+            ivf_search(spark, idx, q, k=10, nprobe=2, exclude_self=True)
+            .select("vec_id", "cell", "cos")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES.update({"sim_stream_ingest": sim_stream_ingest})
+ORACLES.update({"sim_stream_ingest": _ivf_sql()})

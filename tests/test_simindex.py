@@ -860,3 +860,55 @@ def test_ann_sql_by_catalog_path(spark, tmp_path):
         cat,
     )
     assert out.count() == 2 * 3
+
+
+def test_stream_ingest_equals_batch_and_replays_once(spark, tmp_path):
+    """ivf_stream_ingest: the drained index holds exactly a batch
+    build's rows (fixed quantizer => streamed == batch), re-running
+    the SAME stream over the same checkpoint appends nothing (the
+    exactly-once watermark), and the quantizer persisted with the
+    creating batch."""
+    from dask_awkward_spark.functions.simindex import (
+        ivf_centroids,
+        ivf_stream_ingest,
+    )
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    batch_idx = str(tmp_path / "bidx")
+    ckpt = str(tmp_path / "ckpt")
+    _vecs(spark, 0, 120).repartition(3).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    ivf_stream_ingest(stream(), idx, _centroids(), checkpoint_dir=ckpt)
+    assert len(snap._versions(idx)) >= 2  # multiple micro-batches
+    ivf_index_add(batch_idx, _vecs(spark, 0, 120), _centroids())
+    got = sorted(
+        (r.vec_id, r.cell) for r in snapshot_read(spark, idx).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cell)
+        for r in snapshot_read(spark, batch_idx).collect()
+    )
+    assert got == want and len(got) == 120
+    assert ivf_centroids(idx) == [
+        [float(v) for v in row] for row in _centroids()
+    ]
+    # restart over the SAME checkpoint: nothing new, nothing doubled
+    head = snap._versions(idx)[-1]
+    ivf_stream_ingest(stream(), idx, _centroids(), checkpoint_dir=ckpt)
+    assert snapshot_read(spark, idx).count() == 120
+    assert snap._versions(idx)[-1] == head
+    # mismatched quantizer refuses BEFORE any batch lands
+    other = [[-v for v in row] for row in _centroids()]
+    with pytest.raises(ValueError, match="DIFFERENT IVF"):
+        ivf_stream_ingest(stream(), idx, other, checkpoint_dir=ckpt)
+    # searches over the streamed index work without a quantizer arg
+    assert ivf_search(spark, idx, _vecs(spark, 1, 2), k=4).count() == 4

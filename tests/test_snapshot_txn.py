@@ -475,3 +475,25 @@ def test_txn_composes_with_index_build_and_register(spark, tmp_path):
     from dask_awkward_spark.functions.simindex import ivf_search
 
     assert ivf_search(spark, idx, vecs(3, 4), k=3, nprobe=2).count() == 3
+
+
+def test_txn_publish_under_conditional_put_backend(spark, tmp_path):
+    """The publish CAS rides whatever commit primitive is selected —
+    prove the collapse under the object-store conditional-put backend
+    too (the race soak covers it cross-process; this is the in-process
+    txn path)."""
+    from dask_awkward_spark.sources.snapshot import set_commit_backend
+
+    prev = set_commit_backend("conditional-put")
+    try:
+        p = str(tmp_path / "t")
+        snapshot_write(spark.range(6), p)
+        with snapshot_txn():
+            snapshot_write(spark.range(6, 12), p, mode="append")
+            snapshot_delete(spark, p, [("id", "<", 3)])
+        assert _versions(p) == [1, 2]
+        assert sorted(
+            r.id for r in snapshot_read(spark, p).collect()
+        ) == list(range(3, 12))
+    finally:
+        set_commit_backend(prev)

@@ -31,15 +31,40 @@ def main() -> None:
         .getOrCreate()
     )
     from dask_awkward_spark.sources.snapshot import (
+        SnapshotConflictError,
         snapshot_delete,
         snapshot_write,
     )
+    from dask_awkward_spark.sources.sqlface import snapshot_sql_script
 
     base = 100_000 * wid
     mine: "set[int]" = set()
     states = [sorted(mine)]
     for i in range(n_ops):
-        if i % 3 == 2 and mine:
+        if i % 4 == 3 and mine:
+            # an ATOMIC two-statement script racing real rival commits:
+            # the staged-txn publish CAS loses whenever the rival moved
+            # the head mid-script — retry re-stages against the new
+            # head; the net effect lands as ONE commit or not at all
+            ins = list(range(base + i * 10, base + i * 10 + 10))
+            lo, hi = base + (i - 3) * 10, base + (i - 3) * 10 + 5
+            vals = ", ".join(f"({x})" for x in ins)
+            script = (
+                f"INSERT INTO t VALUES {vals};"
+                f"DELETE FROM t WHERE id >= {lo} AND id < {hi};"
+            )
+            while True:
+                try:
+                    snapshot_sql_script(
+                        spark, script, {"t": table}, on_error="atomic"
+                    )
+                    break
+                except SnapshotConflictError:
+                    continue  # rival won the publish CAS: re-stage
+            mine = {
+                x for x in (mine | set(ins)) if not (lo <= x < hi)
+            }
+        elif i % 3 == 2 and mine:
             lo = base + (i - 2) * 10
             hi = lo + 5
             snapshot_delete(

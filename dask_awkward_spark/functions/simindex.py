@@ -443,7 +443,12 @@ def ivf_stream_ingest(
     ``drain=False`` for an always-on query (returns the
     StreamingQuery). PQ-tier streaming is deliberately excluded: codes
     require the persisted codebook handshake — run batch
-    :func:`ivf_index_add` for PQ indexes.
+    :func:`ivf_index_add` for PQ indexes. Operational note: every
+    micro-batch adds one small file per touched cell, so a long-running
+    stream accretes small files — run :func:`ivf_maintain` on a
+    schedule (scoped OPTIMIZE: compacts only the cells past the size
+    threshold, never rewrites the index) exactly as with chunked batch
+    ingest.
 
     Reference: no counterpart (dask-awkward has no streaming and no
     similarity ops); the lakehouse analog is Auto Loader into a

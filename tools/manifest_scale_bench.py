@@ -97,6 +97,24 @@ def bench_one(spark, n_files: int) -> dict:
         assert "delta_of" not in snap._read_manifest_raw(path, v)
         full_bytes = os.path.getsize(snap._manifest_file(path, v))
 
+        # staged transaction (round 11): three appends collapse to ONE
+        # published CAS commit — staging, the forensic traces, and the
+        # publish must all stay O(delta) however many files the table
+        # already references
+        t0 = time.perf_counter()
+        with snap.snapshot_txn():
+            for k in range(3):
+                snap.snapshot_write(
+                    spark.range(2 * 10**9 + 10 * k, 2 * 10**9 + 10 * k + 10)
+                    .coalesce(1),
+                    path,
+                    mode="append",
+                )
+        txn_commit_s = time.perf_counter() - t0
+        vtx = snap._versions(path)[-1]
+        assert "delta_of" in snap._read_manifest_raw(path, vtx)
+        txn_bytes = os.path.getsize(snap._manifest_file(path, vtx))
+
         # read planning: selective predicate keeps ~1% of files
         where = [("id", "<", n_files)]
         m = snap._read_manifest(path, v)
@@ -133,6 +151,8 @@ def bench_one(spark, n_files: int) -> dict:
             "full_commit_s": round(full_commit_s, 3),
             "delta_manifest_bytes": delta_bytes,
             "full_manifest_bytes": full_bytes,
+            "txn_commit_s": round(txn_commit_s, 3),
+            "txn_manifest_bytes": txn_bytes,
             "driver_prune_s": round(driver_prune_s, 3),
             "dist_prune_s": round(dist_prune_s, 3),
             "cold_resolve_s": round(cold_resolve_s, 3),

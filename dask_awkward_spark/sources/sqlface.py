@@ -858,6 +858,16 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         )
     if not vec:
         raise ValueError("QUERY (...) vector literal is empty")
+    from ..functions.simindex import ivf_centroids
+
+    cents = ivf_centroids(path, version=version)
+    if cents and len(vec) != len(cents[0]):
+        # loud at parse time — a mismatched literal would otherwise
+        # surface as null cosines deep inside the probe expressions
+        raise ValueError(
+            f"QUERY vector has {len(vec)} dims but the index's "
+            f"quantizer expects {len(cents[0])}"
+        )
     if excl is not None:
         if excl.startswith("'") != vid_is_str:
             # parse-time message, not a Py4J type-verification blowup

@@ -752,6 +752,10 @@ def test_ann_sql_exclude_type_mismatch_is_loud(spark, tmp_path):
             f"ANN SEARCH idx QUERY ({vlit}) TOP 3 EXCLUDE 'seven'",
             {"idx": p},
         )
+    with pytest.raises(ValueError, match="dims but the index"):
+        snapshot_sql(
+            spark, "ANN SEARCH idx QUERY (1.0, 2.0) TOP 3", {"idx": p}
+        )
 
 
 def test_ann_sql_subquery_batch_form(spark, tmp_path):

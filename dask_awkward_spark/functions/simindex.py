@@ -419,6 +419,7 @@ def ivf_stream_ingest(
     id_col: str = "vec_id",
     e_col: str = "e",
     quantized: bool = False,
+    app_id: "str | None" = None,
 ):
     """EXACTLY-ONCE streaming ingest into an IVF index: the continuous
     twin of :func:`ivf_index_add` for an embedding stream (the
@@ -458,14 +459,17 @@ def ivf_stream_ingest(
 
     from ..sources.snapshot import (
         SnapshotBatchReplayedError,
-        _read_manifest,
+        SnapshotConflictError,
+        _stream_app_id,
+        _stream_batch_seen,
         _versions,
+        snapshot_set_properties,
         snapshot_write,
     )
 
     want = _centroids_norm(centroids)
-    stored = ivf_centroids(index_path)
-    if stored is not None and stored != want:
+    stored0 = ivf_centroids(index_path)
+    if stored0 is not None and stored0 != want:
         raise ValueError(
             f"index at {index_path} was assigned under DIFFERENT IVF "
             "centroids: stored cells and this stream's would disagree "
@@ -478,27 +482,52 @@ def ivf_stream_ingest(
         *_index_row_cols(centroids, id_col, e_col, quantized=quantized)
     )
 
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _versions(index_path)
-        if versions:
-            seen = _read_manifest(index_path, versions[-1]).get(
-                "stream_batch_id"
-            )
-            if seen is not None and batch_id <= seen:
-                return  # replayed micro-batch already committed
-        try:
-            snapshot_write(
-                batch_df, index_path, mode="append",
-                partition_by=["cell"], stream_batch_id=batch_id,
-                properties=None if versions else want_prop,
-            )
-        except SnapshotBatchReplayedError:
-            return  # a racing replayer landed the same batch first
-
     ephemeral = checkpoint_dir is None
     if ephemeral and not drain:
         raise ValueError("drain=False requires a durable checkpoint_dir")
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_ivf_ckpt_")
+    # the watermark is scoped by app_id (txnAppId pattern), default =
+    # this checkpoint: batch ids restart at 0 per checkpoint, so a
+    # later backfill stream with a new checkpoint must not be swallowed
+    # by this one's mark; pass a STABLE app_id= for lost-checkpoint
+    # recovery dedup (see stream_to_snapshot)
+    app_id = app_id or _stream_app_id(ckpt)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # every commit is head-PINNED around a fresh identity check,
+        # like batch ingest: an ivf_retrain landing mid-stream must
+        # fail the stream loudly, never be rebased onto with rows
+        # celled under the stale quantizer
+        while True:
+            if _stream_batch_seen(index_path, batch_id, app_id):
+                return  # replayed micro-batch already committed
+            versions = _versions(index_path)
+            head = versions[-1] if versions else 0
+            stored = ivf_centroids(index_path)
+            if stored is not None and stored != want:
+                raise ValueError(
+                    f"index at {index_path} was re-quantized while this "
+                    "stream ran (ivf_retrain?): stop the stream and "
+                    "restart it under ivf_centroids(index_path)"
+                )
+            try:
+                snapshot_write(
+                    batch_df, index_path, mode="append",
+                    expect_head=head, partition_by=["cell"],
+                    stream_batch_id=batch_id, stream_app_id=app_id,
+                    properties=None if versions else want_prop,
+                )
+            except SnapshotConflictError:
+                continue  # head moved: re-check identity, retry
+            except SnapshotBatchReplayedError:
+                return  # a racing replayer landed the same batch first
+            if versions and stored is None:
+                # legacy index (pre centroid persistence): back-fill so
+                # the identity check above and SQL-face searches engage
+                # from the next batch on (same self-heal as batch ingest)
+                snapshot_set_properties(index_path, want_prop)
+            return
+
     q = (
         rows.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", ckpt)

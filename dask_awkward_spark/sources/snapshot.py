@@ -1673,6 +1673,7 @@ def snapshot_write(
     compression: str = "zstd",
     expect_head: "int | None" = None,
     stream_batch_id: "int | None" = None,
+    stream_app_id: "str | None" = None,
     merge_schema: bool = False,
     partition_by: "list[str] | None" = None,
     bloom_by: "dict[str, int] | None" = None,
@@ -1941,20 +1942,39 @@ def snapshot_write(
         # stream attached afterwards must not have its early batches
         # swallowed by a stale watermark.
         prior = head_m.get("stream_batch_id")
+        prior_app = head_m.get("stream_app_id")
+        app_mark = prior_app
         if stream_batch_id is not None:
             # enforced INSIDE the commit loop: two writers replaying the
             # same micro-batch can both pass a pre-check, but the loser's
-            # retry re-reads the head and must land here, not double-append
-            if prior is not None and stream_batch_id <= prior:
+            # retry re-reads the head and must land here, not double-append.
+            # The watermark is SCOPED by stream_app_id (Delta's txnAppId
+            # pattern): Spark batch ids restart at 0 per checkpoint, so a
+            # NEW stream (new checkpoint = new app id) attaching to an
+            # already-ingested table must not have its early batches
+            # swallowed by another stream's high-water mark — only a
+            # same-app replay dedupes. A None on either side keeps the
+            # legacy global behavior (pre-round-11 manifests, direct
+            # callers).
+            same_app = (
+                stream_app_id is None
+                or prior_app is None
+                or prior_app == stream_app_id
+            )
+            if prior is not None and same_app and stream_batch_id <= prior:
                 raise SnapshotBatchReplayedError(
                     f"micro-batch {stream_batch_id} already committed "
-                    f"(table watermark {prior})"
+                    f"(table watermark {prior}"
+                    + (f", app {prior_app}" if prior_app else "")
+                    + ")"
                 )
             watermark = stream_batch_id
+            app_mark = stream_app_id
         elif mode == "append" or expect_head is not None:
             watermark = prior
         else:
             watermark = None  # plain overwrite: table replaced, guard reset
+            app_mark = None
         manifest = {
             "version": head + 1,
             "parent": head or None,
@@ -1964,6 +1984,7 @@ def snapshot_write(
             "schema_ddl": out_schema.simpleString(),  # human-readable only
             "schema_json": out_schema.json(),  # lossless; the read path pins this
             "stream_batch_id": watermark,
+            "stream_app_id": app_mark,
             "partition_by": eff_pb or None,
             "bloom_ndv": eff_bloom or None,
             "stats_columns": eff_sc or None,
@@ -2688,6 +2709,7 @@ def snapshot_convert(spark: SparkSession, path: str) -> int:
         "schema_ddl": schema.simpleString(),
         "schema_json": schema.json(),
         "stream_batch_id": None,
+        "stream_app_id": None,
         "partition_by": None,
         "bloom_ndv": None,
         "column_mapping": None,
@@ -4665,6 +4687,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "schema_ddl": m["schema_ddl"],
         "schema_json": m["schema_json"],
         "stream_batch_id": m.get("stream_batch_id"),
+        "stream_app_id": m.get("stream_app_id"),
         "partition_by": m.get("partition_by"),
         "bloom_ndv": m.get("bloom_ndv"),
         "stats_columns": m.get("stats_columns"),
@@ -4725,6 +4748,7 @@ def _rebase_manifest(
     # the (advisory) bloom spec — the rebased commit must carry the
     # NEW head's, not resurrect the old
     out["stream_batch_id"] = m2.get("stream_batch_id")
+    out["stream_app_id"] = m2.get("stream_app_id")
     out["bloom_ndv"] = m2.get("bloom_ndv")
     out["committed_at"] = time.time()
     return out
@@ -6020,6 +6044,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "schema_ddl": src["schema_ddl"],
             "schema_json": src["schema_json"],
             "stream_batch_id": src.get("stream_batch_id"),
+            "stream_app_id": src.get("stream_app_id"),
             "partition_by": src.get("partition_by"),
             "bloom_ndv": src.get("bloom_ndv"),
             # restore is as-of semantics for METADATA too: a restore
@@ -6038,11 +6063,42 @@ def snapshot_restore(path: str, version: int) -> int:
         # intentionally erases later content — that is its contract)
 
 
+def _stream_app_id(checkpoint_dir: str) -> str:
+    """The checkpoint's identity as a watermark namespace: batch ids
+    are monotone PER CHECKPOINT, so the checkpoint path is the natural
+    txnAppId. Stable across restarts of the same checkpoint; fresh for
+    every new (or ephemeral) one."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
+
+
+def _stream_batch_seen(path: str, batch_id: int, app_id: str) -> bool:
+    """Cheap pre-check: has THIS stream already committed this
+    micro-batch? (The authoritative guard re-fires inside the commit
+    loop — see snapshot_write.) Only a same-app watermark dedupes; a
+    legacy manifest without an app id keeps the old global behavior."""
+    versions = _versions(path)
+    if not versions:
+        return False
+    m = _read_manifest(path, versions[-1])
+    seen = m.get("stream_batch_id")
+    seen_app = m.get("stream_app_id")
+    return (
+        seen is not None
+        and (seen_app is None or seen_app == app_id)
+        and batch_id <= seen
+    )
+
+
 def stream_to_snapshot(
     df: DataFrame,
     path: str,
     checkpoint_dir: "str | None" = None,
     drain: bool = True,
+    app_id: "str | None" = None,
 ):
     """Exactly-once streaming ingest into a snapshot table.
 
@@ -6062,28 +6118,43 @@ def stream_to_snapshot(
     ``drain=True`` (default) processes everything available and stops —
     pass a durable ``checkpoint_dir`` and ``drain=False`` to keep the
     query running and get the StreamingQuery back (restart-recovery
-    then works across processes)."""
+    then works across processes).
+
+    The watermark is SCOPED by ``app_id`` (Delta's txnAppId pattern),
+    which defaults to a hash of the checkpoint path: Spark numbers
+    micro-batches per checkpoint from 0, so a SECOND stream attached to
+    an already-ingested table (new checkpoint) starts a new id
+    namespace and must not have its early batches silently swallowed by
+    the first stream's high-water mark (round-11 review fix — data
+    loss is strictly worse than duplicates). The flip side: after a
+    LOST checkpoint, a full re-play through a fresh checkpoint now
+    duplicates by default — when you need that recovery dedup, pass a
+    STABLE ``app_id=`` (e.g. the pipeline name) on every attach, and
+    same-app replays keep deduping across checkpoint re-creations,
+    exactly Delta's documented ``txnAppId`` contract."""
     import shutil
     import tempfile
 
+    ephemeral = checkpoint_dir is None
+    if ephemeral and not drain:
+        raise ValueError("drain=False requires a durable checkpoint_dir")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_snap_ckpt_")
+    app_id = app_id or _stream_app_id(ckpt)
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _versions(path)
-        if versions:
-            seen = _read_manifest(path, versions[-1]).get("stream_batch_id")
-            if seen is not None and batch_id <= seen:
-                return  # replayed micro-batch already committed (cheap check)
+        if _stream_batch_seen(path, batch_id, app_id):
+            return  # replayed micro-batch already committed (cheap check)
         try:
-            snapshot_write(batch_df, path, mode="append", stream_batch_id=batch_id)
+            snapshot_write(
+                batch_df, path, mode="append",
+                stream_batch_id=batch_id, stream_app_id=app_id,
+            )
         except SnapshotBatchReplayedError:
             # lost a race with another writer replaying the same batch —
             # the guard re-fires inside the commit loop, which is what
             # makes the pre-check above merely an optimization
             return
 
-    ephemeral = checkpoint_dir is None
-    if ephemeral and not drain:
-        raise ValueError("drain=False requires a durable checkpoint_dir")
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_snap_ckpt_")
     q = (
         df.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", ckpt)

@@ -804,13 +804,10 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     version = int(version) if version else None
     excl_self = excl is not None and excl.upper() == "SELF"
     head = _require_versions(path)[-1]
-    schema = StructType.fromJson(
-        json.loads(
-            _read_manifest(path, head if version is None else version)[
-                "schema_json"
-            ]
-        )
-    )
+    m_idx = _read_manifest(path, head if version is None else version)
+    schema = StructType.fromJson(json.loads(m_idx["schema_json"]))
+    raw_cents = (m_idx.get("properties") or {}).get("ivf_centroids")
+    cents = json.loads(raw_cents) if raw_cents else None
     if "vec_id" not in schema.names or "cell" not in schema.names:
         raise ValueError(
             f"table at {path} is not an IVF index (no vec_id/cell "
@@ -831,6 +828,19 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
                 "the QUERY subquery must produce (id, vector) — got "
                 f"columns {body.columns}"
             )
+        if excl_self:
+            # schema-level guard, same spirit as the literal form's
+            # EXCLUDE type check: a mismatched id type would make the
+            # vec_id != q_id self-filter compare through an implicit
+            # cast (nulls) and silently drop candidates
+            q_id_t = body.schema[body.columns[0]].dataType.simpleString()
+            if (q_id_t == "string") != vid_is_str:
+                raise ValueError(
+                    f"EXCLUDE SELF: the subquery's id column is "
+                    f"{q_id_t} but the index's vec_id is "
+                    f"{vid_t.simpleString()} — self-exclusion compares "
+                    "them directly; cast the id in the subquery"
+                )
         qdf = body.select(
             F.col(body.columns[0]).alias("vec_id"),
             F.col(body.columns[1]).cast("array<double>").alias("e"),
@@ -858,9 +868,6 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         )
     if not vec:
         raise ValueError("QUERY (...) vector literal is empty")
-    from ..functions.simindex import ivf_centroids
-
-    cents = ivf_centroids(path, version=version)
     if cents and len(vec) != len(cents[0]):
         # loud at parse time — a mismatched literal would otherwise
         # surface as null cosines deep inside the probe expressions

@@ -916,3 +916,86 @@ def test_stream_ingest_equals_batch_and_replays_once(spark, tmp_path):
         ivf_stream_ingest(stream(), idx, other, checkpoint_dir=ckpt)
     # searches over the streamed index work without a quantizer arg
     assert ivf_search(spark, idx, _vecs(spark, 1, 2), k=4).count() == 4
+
+
+def test_stream_ingest_new_checkpoint_not_swallowed(spark, tmp_path):
+    """Review r11: batch ids restart at 0 per checkpoint, so a SECOND
+    backfill stream (fresh checkpoint) against an already-ingested
+    index must land all its batches — the watermark is scoped by
+    checkpoint (app id), not global."""
+    from dask_awkward_spark.functions.simindex import ivf_stream_ingest
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    idx = str(tmp_path / "idx")
+
+    def run(lo, hi, tag):
+        src = str(tmp_path / f"src{tag}")
+        _vecs(spark, lo, hi).repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ivf_stream_ingest(
+            stream, idx, _centroids(),
+            checkpoint_dir=str(tmp_path / f"ckpt{tag}"),
+        )
+
+    run(0, 40, "a")
+    assert snapshot_read(spark, idx).count() == 40
+    run(40, 90, "b")  # NEW checkpoint: batches 0..1 again
+    assert snapshot_read(spark, idx).count() == 90  # nothing swallowed
+    # and stream_to_snapshot itself has the same contract now
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_write,
+        stream_to_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    s1 = str(tmp_path / "s1")
+    spark.range(10).coalesce(2).write.parquet(s1)
+
+    def fstream(src):
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    stream_to_snapshot(fstream(s1), t)
+    s2 = str(tmp_path / "s2")
+    spark.range(10, 25).coalesce(2).write.parquet(s2)
+    stream_to_snapshot(fstream(s2), t)
+    from dask_awkward_spark.sources.snapshot import snapshot_read as sread
+
+    assert sread(spark, t).count() == 25
+
+
+def test_stream_ingest_refuses_midstream_retrain(spark, tmp_path):
+    """Review r11: an ivf_retrain landing between micro-batches must
+    fail the stream loudly — never rebase rows celled under the stale
+    quantizer into the retrained index."""
+    from dask_awkward_spark.functions.simindex import (
+        ivf_retrain,
+        ivf_stream_ingest,
+    )
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    idx = str(tmp_path / "idx")
+    ivf_index_add(idx, _vecs(spark, 0, 60), _centroids())
+    src = str(tmp_path / "src")
+    _vecs(spark, 60, 120).repartition(3).write.parquet(src)
+    new_c = [row[1:] + row[:1] for row in _centroids()]
+    ivf_retrain(spark, idx, new_c)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(Exception, match="DIFFERENT IVF|re-quantized"):
+        ivf_stream_ingest(
+            stream, idx, _centroids(),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    # no stale-celled rows landed
+    assert snapshot_read(spark, idx).count() == 60

@@ -365,16 +365,32 @@ def test_stream_to_snapshot_checkpoint_restart_no_dups_no_gaps(spark, tmp_path):
 
 def test_stream_to_snapshot_replay_guard_after_lost_checkpoint(spark, tmp_path):
     """Worst-case restart: the CHECKPOINT is gone, so Spark replays every
-    micro-batch from 0. The manifest watermark makes the replay
-    idempotent — already-committed batch ids are skipped, only genuinely
-    new ones append."""
+    micro-batch from 0. With a STABLE app_id (Delta's txnAppId
+    contract, round-11 scoping) the manifest watermark makes the
+    replay idempotent — already-committed batch ids are skipped, only
+    genuinely new ones append."""
     from dask_awkward_spark.sources.snapshot import stream_to_snapshot
 
     p = str(tmp_path / "tbl")
-    stream_to_snapshot(_descriptor_stream(spark, 4), p, checkpoint_dir=str(tmp_path / "c1"))
-    # fresh checkpoint: batches 0..5 all replay over the grown log
-    stream_to_snapshot(_descriptor_stream(spark, 6), p, checkpoint_dir=str(tmp_path / "c2"))
+    stream_to_snapshot(
+        _descriptor_stream(spark, 4), p,
+        checkpoint_dir=str(tmp_path / "c1"), app_id="pipe",
+    )
+    # fresh checkpoint, SAME app: batches 0..5 replay over the grown log
+    stream_to_snapshot(
+        _descriptor_stream(spark, 6), p,
+        checkpoint_dir=str(tmp_path / "c2"), app_id="pipe",
+    )
     assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2, 3, 4, 5]
+    # a DIFFERENT app (the default: checkpoint-derived) is a NEW stream:
+    # its batches land even though its ids restart at 0 — new data is
+    # never silently swallowed by another stream's watermark
+    stream_to_snapshot(
+        _descriptor_stream(spark, 2), p, checkpoint_dir=str(tmp_path / "c3")
+    )
+    assert sorted(r.id for r in snapshot_read(spark, p).collect()) == (
+        [0, 0, 1, 1, 2, 3, 4, 5]
+    )
 
 
 def test_stream_watermark_survives_compaction(spark, tmp_path):
@@ -383,12 +399,18 @@ def test_stream_watermark_survives_compaction(spark, tmp_path):
     from dask_awkward_spark.sources.snapshot import stream_to_snapshot
 
     p = str(tmp_path / "tbl")
-    stream_to_snapshot(_descriptor_stream(spark, 3), p, checkpoint_dir=str(tmp_path / "c1"))
+    stream_to_snapshot(
+        _descriptor_stream(spark, 3), p,
+        checkpoint_dir=str(tmp_path / "c1"), app_id="pipe",
+    )
     snapshot_compact(spark, p)
     assert snapshot_versions(p)[-1]["stream_batch_id"] == 2  # carried forward
     snapshot_vacuum(p, keep_last=1, retain_seconds=0)
-    # full replay with a lost checkpoint: nothing duplicates
-    stream_to_snapshot(_descriptor_stream(spark, 3), p, checkpoint_dir=str(tmp_path / "c2"))
+    # full replay with a lost checkpoint (same app): nothing duplicates
+    stream_to_snapshot(
+        _descriptor_stream(spark, 3), p,
+        checkpoint_dir=str(tmp_path / "c2"), app_id="pipe",
+    )
     assert sorted(r.id for r in snapshot_read(spark, p).collect()) == [0, 1, 2]
 
 

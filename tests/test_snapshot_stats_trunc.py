@@ -217,3 +217,67 @@ def test_dist_prune_agrees_on_truncated_strings(spark, tmp_path):
         dist = _dist_prune_files(spark, p, v, m, pw)
         drv, _ = _prune_files(m, pw, None)
         assert dist == drv, where
+
+
+def test_trunc_str_max_property_fuzz():
+    """Property: for ANY string, the truncated max is <= cap chars,
+    strictly greater than the original AND every extension of it,
+    UTF-8-encodable, and JSON-round-trippable — or None only when every
+    prefix char is U+10FFFF."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st_.text(
+            alphabet=st_.characters(
+                codec="utf-8", min_codepoint=1
+            ),
+            min_size=33,
+            max_size=200,
+        )
+    )
+    def prop(s):
+        hi = _trunc_str_max(s, 32)
+        if hi is None:
+            assert all(ord(c) >= 0x10FFFF for c in s[:32])
+            return
+        assert len(hi) <= 32
+        assert hi > s
+        assert hi > s + "\U0010FFFF" * 4  # bounds every extension
+        hi.encode("utf-8")
+        assert json.loads(json.dumps(hi)) == hi
+
+    prop()
+
+
+def test_truncate_stats_property_fuzz():
+    """Property over full min/max pairs: after truncation the bounds
+    still bracket the originals ([lo', hi'] wider), both fit the cap,
+    and sorting by the bounds never misorders vs the originals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    text = st_.text(
+        alphabet=st_.characters(codec="utf-8", min_codepoint=1),
+        min_size=0,
+        max_size=120,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(text, text)
+    def prop(a, b):
+        lo, hi = sorted([a, b])
+        mm = {"c": [lo, hi]}
+        marked = _truncate_stats(mm)
+        if "c" not in mm:
+            return  # dropped whole (unbumpable): always safe
+        nlo, nhi = mm["c"]
+        assert len(nlo) <= _STATS_STR_MAX and len(nhi) <= _STATS_STR_MAX
+        assert nlo <= lo and nhi >= hi  # only ever WIDER
+        if marked:
+            assert marked == ["c"]
+        else:
+            assert (nlo, nhi) == (lo, hi)  # untouched when short
+
+    prop()

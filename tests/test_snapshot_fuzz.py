@@ -114,6 +114,10 @@ _op = st_.one_of(
         st_.just("sql_script"), st_.integers(0, 50), st_.integers(2, 10),
         st_.booleans(),
     ),
+    st_.tuples(
+        st_.just("txn"), st_.integers(0, 50), st_.integers(2, 12),
+        st_.booleans(),
+    ),
 )
 _seq = st_.lists(_op, min_size=2, max_size=7)
 
@@ -312,6 +316,54 @@ def test_snapshot_random_op_sequences_match_model(
                     for x in head_rows + list(range(lo, lo + n))
                     if not (cut_lo <= x < lo + n)
                 ]
+                head_v = _versions(p)[-1]
+                model[head_v] = ("txn", list(head_rows), cur)
+        elif op[0] == "txn":
+            # Python-face staged transaction: append + update commit as
+            # ONE version, or abort leaves the table byte-identical
+            if first:
+                continue
+            _, lo, n, abort = op
+            from dask_awkward_spark.sources.snapshot import (
+                _versions,
+                snapshot_txn,
+            )
+            from pyspark.sql import functions as F
+
+            cut = lo + n // 2
+            pre_vs = _versions(p)
+
+            def txn_body():
+                df = with_extras(
+                    with_pk(
+                        spark.createDataFrame(
+                            [(i,) for i in range(lo, lo + n)],
+                            f"{cur} bigint",
+                        )
+                    )
+                )
+                snapshot_write(df.repartition(1), p, mode="append")
+                snapshot_update(
+                    spark, p, [(cur, ">=", lo), (cur, "<", cut)],
+                    {cur: F.col(cur) + 17},
+                )
+
+            if abort:
+                try:
+                    with snapshot_txn():
+                        txn_body()
+                        raise RuntimeError("fuzz abort")
+                except RuntimeError:
+                    pass
+                assert _versions(p) == pre_vs  # nothing published
+            else:
+                with snapshot_txn():
+                    txn_body()
+                grown = head_rows + list(range(lo, lo + n))
+                head_rows = [
+                    x + 17 if lo <= x < cut else x for x in grown
+                ]
+                assert _versions(p) == pre_vs + [pre_vs[-1] + 1]
                 head_v = _versions(p)[-1]
                 model[head_v] = ("txn", list(head_rows), cur)
         elif op[0] in ("delete", "mor_delete", "sql_delete"):

@@ -90,6 +90,13 @@ SETTINGS = dict(
 #                          must hold identically whichever front issued
 #                          the commit (the SQL face is a front, not a
 #                          reimplementation — this is the proof)
+#   ("sql_script", lo, n, fail) — atomic two-statement script (round
+#                          11): INSERT+DELETE publish as ONE commit, or
+#                          (fail=True) a broken tail aborts and the
+#                          version log must be byte-identical
+#   ("txn", lo, n, abort) — Python-face snapshot_txn: append + update
+#                          staged and published as ONE net version, or
+#                          aborted mid-body with zero observable state
 _op = st_.one_of(
     st_.tuples(st_.just("overwrite"), st_.integers(0, 50), st_.integers(1, 20)),
     st_.tuples(st_.just("append"), st_.integers(0, 50), st_.integers(1, 20)),

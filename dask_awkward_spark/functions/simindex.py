@@ -391,10 +391,17 @@ def ivf_index_add(
             if stored_c is None:
                 # legacy index (pre centroid persistence): back-fill so
                 # SQL-face searches become possible; merge semantics
-                # keep any user properties intact
+                # keep any user properties intact. PINNED to the append
+                # we just made — an unpinned set could stamp stale
+                # centroids over a concurrent retrain (r11 review)
                 from ..sources.snapshot import snapshot_set_properties
 
-                snapshot_set_properties(index_path, want_prop)
+                try:
+                    snapshot_set_properties(
+                        index_path, want_prop, expect_head=v
+                    )
+                except SnapshotConflictError:
+                    pass  # someone moved the head: next ingest re-checks
             return v
     except Exception:
         if created_cb:
@@ -460,8 +467,9 @@ def ivf_stream_ingest(
     from ..sources.snapshot import (
         SnapshotBatchReplayedError,
         SnapshotConflictError,
+        _read_manifest,
         _stream_app_id,
-        _stream_batch_seen,
+        _stream_batch_seen_m,
         _versions,
         snapshot_set_properties,
         snapshot_write,
@@ -497,13 +505,17 @@ def ivf_stream_ingest(
         # every commit is head-PINNED around a fresh identity check,
         # like batch ingest: an ivf_retrain landing mid-stream must
         # fail the stream loudly, never be rebased onto with rows
-        # celled under the stale quantizer
+        # celled under the stale quantizer. ONE metadata read per
+        # attempt serves the watermark check, the identity check, and
+        # the pin (r11 review: was 3 listings + 2 reads per batch)
         while True:
-            if _stream_batch_seen(index_path, batch_id, app_id):
-                return  # replayed micro-batch already committed
             versions = _versions(index_path)
             head = versions[-1] if versions else 0
-            stored = ivf_centroids(index_path)
+            m = _read_manifest(index_path, head) if versions else {}
+            if versions and _stream_batch_seen_m(m, batch_id, app_id):
+                return  # replayed micro-batch already committed
+            raw_c = (m.get("properties") or {}).get("ivf_centroids")
+            stored = _json.loads(raw_c) if raw_c else None
             if stored is not None and stored != want:
                 raise ValueError(
                     f"index at {index_path} was re-quantized while this "
@@ -524,8 +536,15 @@ def ivf_stream_ingest(
             if versions and stored is None:
                 # legacy index (pre centroid persistence): back-fill so
                 # the identity check above and SQL-face searches engage
-                # from the next batch on (same self-heal as batch ingest)
-                snapshot_set_properties(index_path, want_prop)
+                # from the next batch on — PINNED to the batch we just
+                # committed, so a concurrent retrain can never be
+                # stamped over with stale centroids (r11 review)
+                try:
+                    snapshot_set_properties(
+                        index_path, want_prop, expect_head=head + 1
+                    )
+                except SnapshotConflictError:
+                    pass  # head moved: the next batch re-checks identity
             return
 
     q = (

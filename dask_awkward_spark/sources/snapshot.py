@@ -1941,39 +1941,37 @@ def snapshot_write(
         # overwrite resets it: that is a table replacement, and a new
         # stream attached afterwards must not have its early batches
         # swallowed by a stale watermark.
-        prior = head_m.get("stream_batch_id")
-        prior_app = head_m.get("stream_app_id")
-        app_mark = prior_app
+        # enforced INSIDE the commit loop: two writers replaying the
+        # same micro-batch can both pass a pre-check, but the loser's
+        # retry re-reads the head and must land here, not double-append.
+        # Watermarks are a PER-APP MAP (Delta's txnAppId semantics,
+        # second r11 review pass): Spark numbers micro-batches per
+        # checkpoint from 0, so each stream (app) owns its own
+        # high-water mark — a second stream's commits can never clobber
+        # the first's dedup state, and a new stream is never swallowed
+        # by another's mark. Legacy single-slot watermarks (and callers
+        # passing no app id) live under the "" key — old tables keep
+        # their replay protection without ever blocking a NEW app.
+        marks = _stream_marks(head_m)
+        watermark = head_m.get("stream_batch_id")  # legacy display slot
+        app_mark = head_m.get("stream_app_id")
         if stream_batch_id is not None:
-            # enforced INSIDE the commit loop: two writers replaying the
-            # same micro-batch can both pass a pre-check, but the loser's
-            # retry re-reads the head and must land here, not double-append.
-            # The watermark is SCOPED by stream_app_id (Delta's txnAppId
-            # pattern): Spark batch ids restart at 0 per checkpoint, so a
-            # NEW stream (new checkpoint = new app id) attaching to an
-            # already-ingested table must not have its early batches
-            # swallowed by another stream's high-water mark — only a
-            # same-app replay dedupes. A None on either side keeps the
-            # legacy global behavior (pre-round-11 manifests, direct
-            # callers).
-            same_app = (
-                stream_app_id is None
-                or prior_app is None
-                or prior_app == stream_app_id
-            )
-            if prior is not None and same_app and stream_batch_id <= prior:
+            key = stream_app_id or ""
+            seen = marks.get(key)
+            if seen is not None and stream_batch_id <= seen:
                 raise SnapshotBatchReplayedError(
                     f"micro-batch {stream_batch_id} already committed "
-                    f"(table watermark {prior}"
-                    + (f", app {prior_app}" if prior_app else "")
+                    f"(watermark {seen}"
+                    + (f", app {stream_app_id}" if stream_app_id else "")
                     + ")"
                 )
+            marks = dict(marks)
+            marks[key] = stream_batch_id
             watermark = stream_batch_id
             app_mark = stream_app_id
-        elif mode == "append" or expect_head is not None:
-            watermark = prior
-        else:
-            watermark = None  # plain overwrite: table replaced, guard reset
+        elif not (mode == "append" or expect_head is not None):
+            marks = {}  # plain overwrite: table replaced, guard reset
+            watermark = None
             app_mark = None
         manifest = {
             "version": head + 1,
@@ -1985,6 +1983,7 @@ def snapshot_write(
             "schema_json": out_schema.json(),  # lossless; the read path pins this
             "stream_batch_id": watermark,
             "stream_app_id": app_mark,
+            "stream_marks": marks or None,
             "partition_by": eff_pb or None,
             "bloom_ndv": eff_bloom or None,
             "stats_columns": eff_sc or None,
@@ -2710,6 +2709,7 @@ def snapshot_convert(spark: SparkSession, path: str) -> int:
         "schema_json": schema.json(),
         "stream_batch_id": None,
         "stream_app_id": None,
+        "stream_marks": None,
         "partition_by": None,
         "bloom_ndv": None,
         "column_mapping": None,
@@ -4688,6 +4688,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "schema_json": m["schema_json"],
         "stream_batch_id": m.get("stream_batch_id"),
         "stream_app_id": m.get("stream_app_id"),
+        "stream_marks": m.get("stream_marks"),
         "partition_by": m.get("partition_by"),
         "bloom_ndv": m.get("bloom_ndv"),
         "stats_columns": m.get("stats_columns"),
@@ -4749,6 +4750,7 @@ def _rebase_manifest(
     # NEW head's, not resurrect the old
     out["stream_batch_id"] = m2.get("stream_batch_id")
     out["stream_app_id"] = m2.get("stream_app_id")
+    out["stream_marks"] = m2.get("stream_marks")
     out["bloom_ndv"] = m2.get("bloom_ndv")
     out["committed_at"] = time.time()
     return out
@@ -6045,6 +6047,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "schema_json": src["schema_json"],
             "stream_batch_id": src.get("stream_batch_id"),
             "stream_app_id": src.get("stream_app_id"),
+            "stream_marks": src.get("stream_marks"),
             "partition_by": src.get("partition_by"),
             "bloom_ndv": src.get("bloom_ndv"),
             # restore is as-of semantics for METADATA too: a restore
@@ -6067,30 +6070,51 @@ def _stream_app_id(checkpoint_dir: str) -> str:
     """The checkpoint's identity as a watermark namespace: batch ids
     are monotone PER CHECKPOINT, so the checkpoint path is the natural
     txnAppId. Stable across restarts of the same checkpoint; fresh for
-    every new (or ephemeral) one."""
+    every new (or ephemeral) one. URI locations (s3://, hdfs://) hash
+    verbatim — abspath would splice them onto the driver's cwd and the
+    'stable across restarts' guarantee would depend on the working
+    directory."""
     import hashlib
 
-    return hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:16]
+    p = checkpoint_dir
+    if "://" not in p:
+        p = os.path.abspath(p)
+    return hashlib.md5(p.encode()).hexdigest()[:16]
+
+
+def _stream_marks(m: dict) -> "dict[str, int]":
+    """The per-app watermark map ("micro-batches <= N from app A are in
+    this table"). Legacy single-slot manifests seed the map under their
+    recorded app — or the "" key when the slot predates app scoping —
+    so pre-existing replay protection carries over WITHOUT ever
+    blocking a genuinely new app's first batches."""
+    marks = dict(m.get("stream_marks") or {})
+    legacy = m.get("stream_batch_id")
+    if legacy is not None:
+        key = m.get("stream_app_id") or ""
+        if marks.get(key, -1) < legacy:
+            marks[key] = legacy
+    return marks
 
 
 def _stream_batch_seen(path: str, batch_id: int, app_id: str) -> bool:
-    """Cheap pre-check: has THIS stream already committed this
+    """Cheap pre-check: has THIS app already committed this
     micro-batch? (The authoritative guard re-fires inside the commit
-    loop — see snapshot_write.) Only a same-app watermark dedupes; a
-    legacy manifest without an app id keeps the old global behavior."""
+    loop — see snapshot_write.)"""
     versions = _versions(path)
     if not versions:
         return False
-    m = _read_manifest(path, versions[-1])
-    seen = m.get("stream_batch_id")
-    seen_app = m.get("stream_app_id")
-    return (
-        seen is not None
-        and (seen_app is None or seen_app == app_id)
-        and batch_id <= seen
+    return _stream_batch_seen_m(
+        _read_manifest(path, versions[-1]), batch_id, app_id
     )
+
+
+def _stream_batch_seen_m(m: dict, batch_id: int, app_id: str) -> bool:
+    """Manifest-dict form of :func:`_stream_batch_seen` for callers
+    that already hold the head manifest (one metadata read serves the
+    watermark check, the property checks, and the head pin)."""
+    seen = _stream_marks(m).get(app_id or "")
+    return seen is not None and batch_id <= seen
 
 
 def stream_to_snapshot(

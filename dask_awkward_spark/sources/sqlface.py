@@ -832,14 +832,20 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
             # schema-level guard, same spirit as the literal form's
             # EXCLUDE type check: a mismatched id type would make the
             # vec_id != q_id self-filter compare through an implicit
-            # cast (nulls) and silently drop candidates
+            # (possibly LOSSY) cast and silently drop or keep wrong
+            # candidates — exact integer family vs integer family is
+            # the only safe cross-type pairing (bigint ids above 2^53
+            # collide under a double compare)
+            ints = {"tinyint", "smallint", "int", "bigint"}
             q_id_t = body.schema[body.columns[0]].dataType.simpleString()
-            if (q_id_t == "string") != vid_is_str:
+            v_t = vid_t.simpleString()
+            ok = q_id_t == v_t or (q_id_t in ints and v_t in ints)
+            if not ok:
                 raise ValueError(
                     f"EXCLUDE SELF: the subquery's id column is "
-                    f"{q_id_t} but the index's vec_id is "
-                    f"{vid_t.simpleString()} — self-exclusion compares "
-                    "them directly; cast the id in the subquery"
+                    f"{q_id_t} but the index's vec_id is {v_t} — "
+                    "self-exclusion compares them directly; cast the "
+                    "id in the subquery"
                 )
         qdf = body.select(
             F.col(body.columns[0]).alias("vec_id"),

@@ -972,9 +972,12 @@ def test_stream_ingest_new_checkpoint_not_swallowed(spark, tmp_path):
 
 
 def test_stream_ingest_refuses_midstream_retrain(spark, tmp_path):
-    """Review r11: an ivf_retrain landing between micro-batches must
-    fail the stream loudly — never rebase rows celled under the stale
-    quantizer into the retrained index."""
+    """Review r11: a retrain BEFORE the stream starts trips the entry
+    check; one landing MID-STREAM (between the setup check and a
+    micro-batch commit) must trip the per-batch in-loop guard — never
+    rebase rows celled under the stale quantizer into the retrained
+    index."""
+    import dask_awkward_spark.sources.snapshot as snap_mod
     from dask_awkward_spark.functions.simindex import (
         ivf_retrain,
         ivf_stream_ingest,
@@ -986,16 +989,48 @@ def test_stream_ingest_refuses_midstream_retrain(spark, tmp_path):
     src = str(tmp_path / "src")
     _vecs(spark, 60, 120).repartition(3).write.parquet(src)
     new_c = [row[1:] + row[:1] for row in _centroids()]
-    ivf_retrain(spark, idx, new_c)
-    stream = (
+
+    # retrain BEFORE the first micro-batch COMMIT but AFTER the
+    # stream's setup check: inject via the write path the batch loop
+    # calls (ivf_stream_ingest binds snapshot_write at call time, so
+    # patching the module first intercepts commit_batch's writes)
+    real_write = snap_mod.snapshot_write
+    state = {"fired": False}
+
+    def racing_write(df, path, **kw):
+        if not state["fired"] and kw.get("stream_batch_id") is not None:
+            state["fired"] = True
+            ivf_retrain(spark, idx, new_c)  # lands between check & pin
+        return real_write(df, path, **kw)
+
+    snap_mod.snapshot_write = racing_write
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with pytest.raises(Exception, match="re-quantized"):
+            ivf_stream_ingest(
+                stream, idx, _centroids(),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+    finally:
+        snap_mod.snapshot_write = real_write
+    assert state["fired"]
+    # no stale-celled rows landed; the retrained index is intact
+    assert snapshot_read(spark, idx).count() == 60
+    from dask_awkward_spark.functions.simindex import ivf_centroids
+
+    assert ivf_centroids(idx) == [[float(v) for v in r] for r in new_c]
+    # and the plain BEFORE-stream case still refuses at entry
+    stream2 = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    with pytest.raises(Exception, match="DIFFERENT IVF|re-quantized"):
+    with pytest.raises(ValueError, match="DIFFERENT IVF"):
         ivf_stream_ingest(
-            stream, idx, _centroids(),
-            checkpoint_dir=str(tmp_path / "ckpt"),
+            stream2, idx, _centroids(),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
         )
-    # no stale-celled rows landed
-    assert snapshot_read(spark, idx).count() == 60

@@ -2721,3 +2721,67 @@ def test_storage_backend_migration_mid_table(spark, tmp_path):
         )
     finally:
         set_storage_backend(prev)
+
+
+def test_stream_watermarks_are_per_app(spark, tmp_path):
+    """txnAppId semantics (round-11 second review): each stream owns
+    its own watermark, so another app's commits can never clobber a
+    stable app's dedup state — A's lost-checkpoint replay still
+    dedupes AFTER B ingested in between."""
+    from dask_awkward_spark.sources.snapshot import stream_to_snapshot
+
+    p = str(tmp_path / "tbl")
+    stream_to_snapshot(
+        _descriptor_stream(spark, 3), p,
+        checkpoint_dir=str(tmp_path / "a1"), app_id="A",
+    )
+    # app B lands its own batches 0..1 (ids restart — must not dedupe)
+    stream_to_snapshot(
+        _descriptor_stream(spark, 2), p,
+        checkpoint_dir=str(tmp_path / "b1"), app_id="B",
+    )
+    got = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got == [0, 0, 1, 1, 2]
+    # A lost its checkpoint: full replay of 0..3 — only batch 3 is new,
+    # even though B's commits came after A's watermark
+    stream_to_snapshot(
+        _descriptor_stream(spark, 4), p,
+        checkpoint_dir=str(tmp_path / "a2"), app_id="A",
+    )
+    got = sorted(r.id for r in snapshot_read(spark, p).collect())
+    assert got == [0, 0, 1, 1, 2, 3]
+    # and B's replay over ITS lost checkpoint dedupes too
+    stream_to_snapshot(
+        _descriptor_stream(spark, 2), p,
+        checkpoint_dir=str(tmp_path / "b2"), app_id="B",
+    )
+    assert snapshot_read(spark, p).count() == 6
+
+
+def test_legacy_watermark_never_swallows_a_new_app(spark, tmp_path):
+    """A pre-app-scoping manifest (single slot, no app id) keeps its
+    own replay protection under the '' key but must not swallow the
+    first batches of a NEW app attaching after the upgrade."""
+    from dask_awkward_spark.sources.snapshot import (
+        _read_manifest,
+        _versions,
+        stream_to_snapshot,
+    )
+
+    p = str(tmp_path / "tbl")
+    # simulate a legacy table: commit with a batch id but NO app id
+    snapshot_write(spark.range(3), p, stream_batch_id=5)
+    m = _read_manifest(p, _versions(p)[-1])
+    assert m["stream_batch_id"] == 5 and not m.get("stream_app_id")
+    # a NEW stream (checkpoint-derived app) starts at batch 0: must land
+    stream_to_snapshot(
+        _descriptor_stream(spark, 2), p, checkpoint_dir=str(tmp_path / "c1")
+    )
+    assert snapshot_read(spark, p).count() == 5
+    # while a legacy-style writer (no app id) is still deduped at <= 5
+    import pytest as _pytest
+
+    from dask_awkward_spark.sources.snapshot import SnapshotBatchReplayedError
+
+    with _pytest.raises(SnapshotBatchReplayedError):
+        snapshot_write(spark.range(1), p, mode="append", stream_batch_id=4)

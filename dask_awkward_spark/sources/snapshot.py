@@ -1984,6 +1984,15 @@ def snapshot_write(
             "stream_batch_id": watermark,
             "stream_app_id": app_mark,
             "stream_marks": marks or None,
+            # nested-drop tombstones are table definition like the
+            # schema: appends carry them; a plain overwrite replaces
+            # every old file, so re-using a dropped nested name can no
+            # longer resurrect bytes — the set resets
+            "nested_tombstones": (
+                head_m.get("nested_tombstones")
+                if (mode == "append" or expect_head is not None)
+                else None
+            ),
             "partition_by": eff_pb or None,
             "bloom_ndv": eff_bloom or None,
             "stats_columns": eff_sc or None,
@@ -2710,6 +2719,7 @@ def snapshot_convert(spark: SparkSession, path: str) -> int:
         "stream_batch_id": None,
         "stream_app_id": None,
         "stream_marks": None,
+        "nested_tombstones": None,
         "partition_by": None,
         "bloom_ndv": None,
         "column_mapping": None,
@@ -2938,6 +2948,83 @@ def _reject_reserved_column(name: str) -> None:
         )
 
 
+def _remove_nested_field(dt, segs: "list[str]", dotted: str):
+    """``dt`` with the field at ``segs`` removed — the inverse of
+    :func:`_insert_nested_field`, same addressing (struct chains plus
+    ``element``/``value`` container steps; map keys refuse). Refuses
+    removing a struct's LAST field (an empty struct has no parquet
+    representation — drop the parent instead) and a bare container
+    element (that is the column's type, not a field)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if segs and isinstance(dt, ArrayType) and segs[0] == "element":
+        if len(segs) == 1:
+            raise ValueError(
+                f"cannot drop {dotted!r}: the element IS the list's "
+                "type — drop the column itself"
+            )
+        return ArrayType(
+            _remove_nested_field(dt.elementType, segs[1:], dotted),
+            dt.containsNull,
+        )
+    if segs and isinstance(dt, MapType):
+        if segs[0] == "value":
+            if len(segs) == 1:
+                raise ValueError(
+                    f"cannot drop {dotted!r}: the value IS the map's "
+                    "type — drop the column itself"
+                )
+            return MapType(
+                dt.keyType,
+                _remove_nested_field(dt.valueType, segs[1:], dotted),
+                dt.valueContainsNull,
+            )
+        if segs[0] == "key":
+            raise ValueError(
+                f"cannot drop {dotted!r}: map KEYS define entry "
+                "identity; restructure via overwrite"
+            )
+    if not isinstance(dt, StructType):
+        hint = (
+            " (step inside a list with '.element.', a map value with "
+            "'.value.')"
+            if isinstance(dt, (ArrayType, MapType))
+            else ""
+        )
+        raise ValueError(
+            f"cannot drop {dotted!r}: the path crosses a non-struct "
+            f"({dt.simpleString()}){hint}"
+        )
+    head, rest = segs[0], segs[1:]
+    hit = [f for f in dt.fields if f.name == head]
+    if not hit:
+        raise ValueError(
+            f"cannot drop {dotted!r}: no struct field {head!r} in "
+            f"{dt.fieldNames()}"
+        )
+    if not rest:
+        if len(dt.fields) == 1:
+            raise ValueError(
+                f"cannot drop {dotted!r}: it is the struct's only "
+                "field (an empty struct has no representation) — drop "
+                "the parent instead"
+            )
+        return StructType([f for f in dt.fields if f.name != head])
+    return StructType(
+        [
+            StructField(
+                f.name,
+                _remove_nested_field(f.dataType, rest, dotted)
+                if f is hit[0]
+                else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in dt.fields
+        ]
+    )
+
+
 def _refuse_constrained(m: dict, col: str, action: str) -> None:
     for cname, triples in (m.get("constraints") or {}).items():
         if any(c == col for c, _, _ in triples):
@@ -3050,7 +3137,21 @@ def snapshot_drop_column(
     bytes; the bytes themselves are reclaimed by the next compact).
     Time travel to earlier versions still sees the column. Refuses for
     partition columns (repartition via overwrite first) and columns a
-    CHECK constraint references. Returns the new version."""
+    CHECK constraint references. Returns the new version.
+
+    ``name`` may be a DOTTED path into structs and container elements
+    (``meta.tmp``, ``items.element.x``, ``mp.value.r`` — the same
+    addressing as nested ADD COLUMNS; map keys refuse): the leaf is
+    removed from the recorded schema metadata-only (old files keep the
+    bytes until compaction rewrites them; readers project them away).
+    Nested fields carry no column-mapping ids, so the dropped PHYSICAL
+    path is TOMBSTONED in the manifest and a later nested ADD at the
+    same path is refused — re-adding would resurrect the old files'
+    bytes instead of reading NULL. A plain overwrite (table
+    replacement) clears the tombstones with the rest of the schema."""
+    segs = name.split(".")
+    if len(segs) > 1:
+        return _drop_nested_column(path, segs, name, expect_head)
     while True:
         head = _require_versions(path)[-1]
         if expect_head is not None and head != expect_head:
@@ -3093,6 +3194,64 @@ def snapshot_drop_column(
             manifest["bloom_ndv"] = {
                 c: v for c, v in m["bloom_ndv"].items() if c != name
             } or None
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+        # another writer claimed head+1: re-read and retry
+
+
+def _phys_dotted(m: dict, dotted: str) -> str:
+    """A logical dotted path with its HEAD segment translated to the
+    stable physical name (column mapping is top-level-only; nested
+    segments are physical as-is) — the spelling tombstones and stats
+    keys carry, so a parent rename never invalidates either."""
+    segs = dotted.split(".")
+    pmap = _mapping_physical(m)
+    head = (pmap or {}).get(segs[0], segs[0])
+    return ".".join([head] + segs[1:])
+
+
+def _drop_nested_column(
+    path: str, segs: "list[str]", name: str, expect_head: "int | None"
+) -> int:
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        if segs[0] not in schema.fieldNames():
+            raise ValueError(
+                f"column {segs[0]!r} not in schema {schema.fieldNames()}"
+            )
+        out_fields = []
+        for f in schema.fields:
+            if f.name != segs[0]:
+                out_fields.append(f)
+                continue
+            from pyspark.sql.types import StructField
+
+            out_fields.append(
+                StructField(
+                    f.name,
+                    _remove_nested_field(f.dataType, segs[1:], name),
+                    f.nullable,
+                    f.metadata,
+                )
+            )
+        out_schema = StructType(out_fields)
+        _refuse_constrained(m, name, "drop")
+        manifest = _cow_manifest(
+            m, head, "drop_column", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["schema_ddl"] = out_schema.simpleString()
+        manifest["schema_json"] = out_schema.json()
+        tomb = list(m.get("nested_tombstones") or [])
+        pdot = _phys_dotted(m, name)
+        if pdot not in tomb:
+            tomb.append(pdot)
+        manifest["nested_tombstones"] = tomb
         if _commit_manifest(path, head + 1, manifest, m):
             return head + 1
         # another writer claimed head+1: re-read and retry
@@ -3310,8 +3469,20 @@ def snapshot_add_columns(
         m = _read_manifest(path, head)
         schema = StructType.fromJson(json.loads(m["schema_json"]))
         out_schema = schema
+        tomb = set(m.get("nested_tombstones") or ())
         for f in new_fields:
             segs = f.name.split(".")
+            if len(segs) > 1 and tomb and _phys_dotted(m, f.name) in tomb:
+                # nested fields carry no column-mapping ids, so a
+                # re-add at a dropped path would RESOLVE the old
+                # files' retained bytes instead of reading NULL
+                raise ValueError(
+                    f"cannot re-add {f.name!r}: a nested field was "
+                    "DROPPED at this path and old files still carry "
+                    "its bytes — re-adding would resurrect them; use "
+                    "a different name, or rewrite the table "
+                    "(INSERT OVERWRITE) first"
+                )
             leaf = StructField(segs[-1], f.dataType, nullable=True)
             out_schema = _insert_nested_field(
                 out_schema, segs[:-1], leaf, f.name
@@ -4693,6 +4864,7 @@ def _cow_manifest(m: dict, head: int, op: str, files: "list[str]", stats: dict) 
         "bloom_ndv": m.get("bloom_ndv"),
         "stats_columns": m.get("stats_columns"),
         "column_mapping": m.get("column_mapping"),
+        "nested_tombstones": m.get("nested_tombstones"),
         "deletes": m.get("deletes"),
         "constraints": m.get("constraints"),
         "properties": m.get("properties"),
@@ -6048,6 +6220,7 @@ def snapshot_restore(path: str, version: int) -> int:
             "stream_batch_id": src.get("stream_batch_id"),
             "stream_app_id": src.get("stream_app_id"),
             "stream_marks": src.get("stream_marks"),
+            "nested_tombstones": src.get("nested_tombstones"),
             "partition_by": src.get("partition_by"),
             "bloom_ndv": src.get("bloom_ndv"),
             # restore is as-of semantics for METADATA too: a restore

@@ -1501,3 +1501,128 @@ def test_merge_schema_evolution_noop_and_refusals(spark, tmp_path):
             spark, p, spark.createDataFrame([(9,)], "k bigint"),
             on=["k"], merge_schema=True,
         )
+
+
+# ---- nested DROP COLUMN (round 11 — write-side grammar parity) --------
+
+
+def _nested_drop_df(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.struct(
+            F.col("id").alias("keep"),
+            (F.col("id") * 2).alias("tmp"),
+        ).alias("meta"),
+        F.array(
+            F.struct(F.col("id").alias("x"), (F.col("id") + 1).alias("y"))
+        ).alias("items"),
+        F.create_map(
+            F.lit("a"),
+            F.struct(F.col("id").alias("r"), F.lit(1).alias("s")),
+        ).alias("mp"),
+    )
+
+
+def test_drop_nested_column_metadata_only(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import snapshot_drop_column
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark), p)
+    files = list(_read_manifest(p, 1)["files"])
+    v = snapshot_drop_column(p, "meta.tmp")
+    m = _read_manifest(p, v)
+    assert m["files"] == files and m["op"] == "drop_column"
+    assert "tmp" not in m["schema_ddl"]
+    assert m["nested_tombstones"] == ["meta.tmp"]
+    # old files read back under the NARROWER schema (bytes projected away)
+    df = snapshot_read(spark, p)
+    assert dict(df.dtypes)["meta"] == "struct<keep:bigint>"
+    assert df.agg(F.sum("meta.keep")).first()[0] == sum(range(40))
+    # container-nested drops use the same addressing
+    snapshot_drop_column(p, "items.element.y")
+    snapshot_drop_column(p, "mp.value.s")
+    df = snapshot_read(spark, p)
+    assert dict(df.dtypes)["items"] == "array<struct<x:bigint>>"
+    assert dict(df.dtypes)["mp"] == "map<string,struct<r:bigint>>"
+    got = df.select(
+        F.element_at("items", 1).x.alias("x"),
+        F.element_at("mp", "a").r.alias("r"),
+    ).agg(F.sum("x"), F.sum("r")).first()
+    assert tuple(got) == (sum(range(40)), sum(range(40)))
+    # appends land at the narrow schema; mixed table reads exactly
+    snapshot_write(
+        spark.range(40, 50).select(
+            F.col("id").alias("k"),
+            F.struct(F.col("id").alias("keep")).alias("meta"),
+            F.array(F.struct(F.col("id").alias("x"))).alias("items"),
+            F.create_map(
+                F.lit("a"), F.struct(F.col("id").alias("r"))
+            ).alias("mp"),
+        ),
+        p,
+        mode="append",
+    )
+    assert snapshot_read(spark, p).agg(F.sum("meta.keep")).first()[0] == sum(
+        range(50)
+    )
+
+
+def test_drop_nested_refusals_and_tombstone(spark, tmp_path):
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_add_columns,
+        snapshot_delete,
+        snapshot_drop_column,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark), p)
+    snapshot_drop_column(p, "meta.tmp")
+    # re-ADD at the tombstoned path refuses (old bytes would resurrect)
+    with pytest.raises(ValueError, match="resurrect"):
+        snapshot_add_columns(p, "meta.tmp double")
+    # a SIBLING name is fine
+    snapshot_add_columns(p, "meta.tmp2 double")
+    # the tombstone survives appends and DML rewrites
+    snapshot_delete(spark, p, [("k", "<", 5)])
+    with pytest.raises(ValueError, match="resurrect"):
+        snapshot_add_columns(p, "meta.tmp double")
+    # ... and survives a parent RENAME (stored physical)
+    from dask_awkward_spark.sources.snapshot import snapshot_rename_column
+
+    snapshot_rename_column(p, "meta", "info")
+    with pytest.raises(ValueError, match="resurrect"):
+        snapshot_add_columns(p, "info.tmp double")
+    # grammar refusals
+    snapshot_drop_column(p, "items.element.y")
+    with pytest.raises(ValueError, match="only"):
+        snapshot_drop_column(p, "items.element.x")  # last struct field
+    with pytest.raises(ValueError, match="map KEY"):
+        snapshot_drop_column(p, "mp.key")
+    with pytest.raises(ValueError, match="drop the column itself"):
+        snapshot_drop_column(p, "items.element")
+    with pytest.raises(ValueError, match="crosses a non-struct"):
+        snapshot_drop_column(p, "k.x")
+    # a plain OVERWRITE replaces every old file: tombstones reset and
+    # the name becomes usable again
+    snapshot_write(_nested_drop_df(spark), p)
+    assert not _read_manifest(
+        p, snapshot_versions(p)[-1]["version"]
+    ).get("nested_tombstones")
+    snapshot_drop_column(p, "meta.tmp")
+    snapshot_write(_nested_drop_df(spark), p)  # overwrite again
+    snapshot_add_columns(p, "meta.extra double")  # no refusal
+
+
+def test_drop_nested_sql_face(spark, tmp_path):
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark), p)
+    v = snapshot_sql(
+        spark, "ALTER TABLE t DROP COLUMN meta.tmp", {"t": p}
+    )
+    assert "tmp" not in _read_manifest(p, v)["schema_ddl"]
+    assert (
+        snapshot_sql(
+            spark, "SELECT sum(meta.keep) AS s FROM t", {"t": p}
+        ).first().s
+        == sum(range(40))
+    )

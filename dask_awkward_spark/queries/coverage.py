@@ -1644,6 +1644,22 @@ def io_snapshot_ddl(spark, sf_dir):
         assert "k:bigint" in m_w["schema_ddl"], m_w["schema_ddl"]
         assert "flags:array<bigint>" in m_w["schema_ddl"], m_w["schema_ddl"]
         snapshot_sql(spark, "ALTER TABLE t ADD COLUMNS (bonus double)", cat)
+        # round-11 nested DROP: a scratch struct gains a field, loses a
+        # NESTED field metadata-only (zero rewrites, proven), then goes
+        # away entirely — the lifecycle's final answer is unchanged, so
+        # the oracle needs no new terms while the driver still grades
+        # the whole grammar round trip
+        snapshot_sql(
+            spark,
+            "ALTER TABLE t ADD COLUMNS (scratch struct<a:double,b:double>)",
+            cat,
+        )
+        pre_files2 = list(_read_manifest(loc, _versions(loc)[-1])["files"])
+        snapshot_sql(spark, "ALTER TABLE t DROP COLUMN scratch.b", cat)
+        m_d = _read_manifest(loc, _versions(loc)[-1])
+        assert m_d["files"] == pre_files2, "nested drop must rewrite ZERO files"
+        assert "scratch:struct<a:double>" in m_d["schema_ddl"], m_d["schema_ddl"]
+        snapshot_sql(spark, "ALTER TABLE t DROP COLUMN scratch", cat)
         st = snapshot_sql(
             spark, "UPDATE t SET bonus = bal * 0.1 WHERE seg = 'BUILDING'", cat
         )

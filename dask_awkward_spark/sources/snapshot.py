@@ -1984,13 +1984,16 @@ def snapshot_write(
             "stream_batch_id": watermark,
             "stream_app_id": app_mark,
             "stream_marks": marks or None,
-            # nested-drop tombstones are table definition like the
-            # schema: appends carry them; a plain overwrite replaces
-            # every old file, so re-using a dropped nested name can no
-            # longer resurrect bytes — the set resets
+            # nested-drop tombstones are BYTE-safety state, not table
+            # definition: appends carry them; ANY overwrite — plain or
+            # CAS (a full compact commits overwrite+expect_head) —
+            # replaces the visible file set, so no old bytes remain to
+            # resurrect and the set resets (a SCOPED compact rewrites
+            # only some files and goes through _cow_manifest, which
+            # carries them)
             "nested_tombstones": (
                 head_m.get("nested_tombstones")
-                if (mode == "append" or expect_head is not None)
+                if mode == "append"
                 else None
             ),
             "partition_by": eff_pb or None,
@@ -2996,7 +2999,8 @@ def _remove_nested_field(dt, segs: "list[str]", dotted: str):
             f"({dt.simpleString()}){hint}"
         )
     head, rest = segs[0], segs[1:]
-    hit = [f for f in dt.fields if f.name == head]
+    # case-INSENSITIVE like nested ADD and every read path
+    hit = [f for f in dt.fields if f.name.lower() == head.lower()]
     if not hit:
         raise ValueError(
             f"cannot drop {dotted!r}: no struct field {head!r} in "
@@ -3009,7 +3013,7 @@ def _remove_nested_field(dt, segs: "list[str]", dotted: str):
                 "field (an empty struct has no representation) — drop "
                 "the parent instead"
             )
-        return StructType([f for f in dt.fields if f.name != head])
+        return StructType([f for f in dt.fields if f is not hit[0]])
     return StructType(
         [
             StructField(
@@ -3202,12 +3206,15 @@ def snapshot_drop_column(
 def _phys_dotted(m: dict, dotted: str) -> str:
     """A logical dotted path with its HEAD segment translated to the
     stable physical name (column mapping is top-level-only; nested
-    segments are physical as-is) — the spelling tombstones and stats
-    keys carry, so a parent rename never invalidates either."""
+    segments are physical as-is), CASE-FOLDED — name resolution is
+    case-insensitive on every face, so tombstone identity must be too
+    (a case-variant re-add would otherwise resolve the dropped bytes).
+    A parent rename never invalidates the spelling (physical head)."""
     segs = dotted.split(".")
-    pmap = _mapping_physical(m)
-    head = (pmap or {}).get(segs[0], segs[0])
-    return ".".join([head] + segs[1:])
+    pmap = _mapping_physical(m) or {}
+    low = {k.lower(): v for k, v in pmap.items()}
+    head = low.get(segs[0].lower(), segs[0])
+    return ".".join([head] + segs[1:]).lower()
 
 
 def _drop_nested_column(
@@ -3221,26 +3228,7 @@ def _drop_nested_column(
             )
         m = _read_manifest(path, head)
         schema = StructType.fromJson(json.loads(m["schema_json"]))
-        if segs[0] not in schema.fieldNames():
-            raise ValueError(
-                f"column {segs[0]!r} not in schema {schema.fieldNames()}"
-            )
-        out_fields = []
-        for f in schema.fields:
-            if f.name != segs[0]:
-                out_fields.append(f)
-                continue
-            from pyspark.sql.types import StructField
-
-            out_fields.append(
-                StructField(
-                    f.name,
-                    _remove_nested_field(f.dataType, segs[1:], name),
-                    f.nullable,
-                    f.metadata,
-                )
-            )
-        out_schema = StructType(out_fields)
+        out_schema = _remove_nested_field(schema, segs, name)
         _refuse_constrained(m, name, "drop")
         manifest = _cow_manifest(
             m, head, "drop_column", list(m["files"]), dict(m.get("stats", {}))

@@ -1626,3 +1626,57 @@ def test_drop_nested_sql_face(spark, tmp_path):
         ).first().s
         == sum(range(40))
     )
+
+
+def test_drop_nested_tombstone_is_case_insensitive(spark, tmp_path):
+    """Review r11: name resolution is case-insensitive on every face,
+    so a case-VARIANT re-add (meta.TMP after dropping meta.tmp) must
+    hit the tombstone too — it would resolve the same retained bytes."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_add_columns,
+        snapshot_drop_column,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark), p)
+    snapshot_drop_column(p, "meta.tmp")
+    for variant in ("meta.TMP double", "META.tmp double", "Meta.Tmp double"):
+        with pytest.raises(ValueError, match="resurrect"):
+            snapshot_add_columns(p, variant)
+    # case-variant DROP spelling resolves too (parity with nested ADD)
+    snapshot_write(_nested_drop_df(spark), p)  # reset via overwrite
+    v = snapshot_drop_column(p, "META.Tmp")
+    assert "tmp" not in _read_manifest(p, v)["schema_ddl"]
+
+
+def test_full_compact_clears_nested_tombstones(spark, tmp_path):
+    """Review r11: an UNSCOPED compact rewrites every file under the
+    narrow schema — no bytes remain to resurrect, so the tombstone
+    clears and the name becomes reusable; a SCOPED compact rewrites
+    only some files and must keep it."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_add_columns,
+        snapshot_compact,
+        snapshot_drop_column,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark).repartition(4), p)
+    snapshot_drop_column(p, "meta.tmp")
+    # scoped compact: old files may survive -> tombstone carried
+    snapshot_compact(spark, p, where=[("k", "<", 10)])
+    with pytest.raises(ValueError, match="resurrect"):
+        snapshot_add_columns(p, "meta.tmp double")
+    # full compact: every file rewritten -> tombstone cleared
+    snapshot_compact(spark, p)
+    m = _read_manifest(p, snapshot_versions(p)[-1]["version"])
+    assert not m.get("nested_tombstones")
+    snapshot_add_columns(p, "meta.tmp double")  # reusable again
+    assert snapshot_read(spark, p).count() == 40
+    # and the re-added field reads NULL everywhere (no resurrection)
+    assert (
+        snapshot_read(spark, p)
+        .where(F.col("meta.tmp").isNotNull())
+        .count()
+        == 0
+    )

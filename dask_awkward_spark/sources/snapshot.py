@@ -3057,6 +3057,19 @@ def snapshot_rename_column(
     under ``delta.columnMapping.mode=name``."""
     if old == new:
         raise ValueError("old and new name are identical")
+    if "." in old or "." in new:
+        # nested ADD/DROP/widen address dotted paths, but a rename at
+        # depth needs per-NESTED-field physical ids to keep old files'
+        # bytes resolvable under the new name — column mapping here is
+        # top-level-only by design (Delta likewise gates nested renames
+        # behind name-mapping mode). Refuse with the working recipe
+        # instead of a bare "not in schema".
+        raise ValueError(
+            f"cannot rename {old!r}: nested fields have no mapping ids "
+            "(top-level column mapping only) — ADD the new field, copy "
+            "with snapshot_update, then DROP the old one; or rewrite "
+            "via INSERT OVERWRITE"
+        )
     _reject_reserved_column(new)
     while True:
         head = _require_versions(path)[-1]

@@ -1680,3 +1680,17 @@ def test_full_compact_clears_nested_tombstones(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_rename_nested_refuses_with_recipe(spark, tmp_path):
+    """Nested renames need per-field mapping ids the layer deliberately
+    lacks (Delta parity) — the refusal names the working recipe instead
+    of a bare 'not in schema'."""
+    from dask_awkward_spark.sources.snapshot import snapshot_rename_column
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark), p)
+    with pytest.raises(ValueError, match="no mapping ids"):
+        snapshot_rename_column(p, "meta.tmp", "meta.kept")
+    with pytest.raises(ValueError, match="no mapping ids"):
+        snapshot_rename_column(p, "meta", "meta.x")

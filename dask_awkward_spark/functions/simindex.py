@@ -377,6 +377,7 @@ def ivf_index_add(
                     return snapshot_write(
                         rows, index_path, mode="append", expect_head=0,
                         partition_by=["cell"], properties=want_prop,
+                        _allow_reserved_props=("ivf_centroids",),
                     )
                 except SnapshotConflictError:
                     continue  # a rival created the index first: re-read
@@ -398,7 +399,8 @@ def ivf_index_add(
 
                 try:
                     snapshot_set_properties(
-                        index_path, want_prop, expect_head=v
+                        index_path, want_prop, expect_head=v,
+                        _allow_reserved_props=("ivf_centroids",),
                     )
                 except SnapshotConflictError:
                     pass  # someone moved the head: next ingest re-checks
@@ -528,6 +530,7 @@ def ivf_stream_ingest(
                     expect_head=head, partition_by=["cell"],
                     stream_batch_id=batch_id, stream_app_id=app_id,
                     properties=None if versions else want_prop,
+                    _allow_reserved_props=("ivf_centroids",),
                 )
             except SnapshotConflictError:
                 continue  # head moved: re-check identity, retry
@@ -541,7 +544,8 @@ def ivf_stream_ingest(
                 # stamped over with stale centroids (r11 review)
                 try:
                     snapshot_set_properties(
-                        index_path, want_prop, expect_head=head + 1
+                        index_path, want_prop, expect_head=head + 1,
+                        _allow_reserved_props=("ivf_centroids",),
                     )
                 except SnapshotConflictError:
                     pass  # head moved: the next batch re-checks identity
@@ -603,33 +607,47 @@ def ivf_retrain(
                 "fresh index with a codebook trained on the new "
                 "quantizer (pq_train(..., residual_centroids=...))"
             )
-    idx = snapshot_read(spark, index_path)
-    # carry every non-cell column (the quantized tier's q/scale are
-    # per-row properties of e — independent of the quantizer; a
-    # residual pqc is NOT, hence the refusal above on centroid change)
-    rest = [c for c in idx.columns if c not in ("vec_id", "cell")]
-    rows = idx.select(
-        "vec_id",
-        ivf_cell(F.col("e"), centroids).alias("cell"),
-        *rest,
-    )
-    # the NEW quantizer publishes in the SAME commit as the rows it
-    # assigned (a property write is a whole-set replace, so carry the
-    # head's other keys); a crash can never leave the persisted
-    # centroids describing the other side's cells
     import json
 
-    from ..sources.snapshot import _read_manifest, _versions
+    from ..sources.snapshot import (
+        SnapshotConflictError,
+        _read_manifest,
+        _versions,
+    )
 
-    props = dict(
-        _read_manifest(index_path, _versions(index_path)[-1]).get("properties")
-        or {}
-    )
-    props["ivf_centroids"] = json.dumps(_centroids_norm(centroids))
-    return snapshot_write(
-        rows, index_path, mode="overwrite",
-        partition_by=["cell"], properties=props,
-    )
+    # PINNED read-modify-write (4th r11 review): the corpus read, the
+    # property carry, and the overwrite are one expect_head unit — a
+    # concurrent ingest or property change forces a retry that re-reads
+    # BOTH, so retrain can neither drop freshly-appended vectors nor
+    # silently revert someone's property commit
+    while True:
+        head = _versions(index_path)[-1]
+        idx = snapshot_read(spark, index_path, version=head)
+        # carry every non-cell column (the quantized tier's q/scale
+        # are per-row properties of e — independent of the quantizer;
+        # a residual pqc is NOT, hence the refusal above)
+        rest = [c for c in idx.columns if c not in ("vec_id", "cell")]
+        rows = idx.select(
+            "vec_id",
+            ivf_cell(F.col("e"), centroids).alias("cell"),
+            *rest,
+        )
+        # the NEW quantizer publishes in the SAME commit as the rows it
+        # assigned (a property write is a whole-set replace, so carry
+        # the head's other keys); a crash can never leave the persisted
+        # centroids describing the other side's cells
+        props = dict(
+            _read_manifest(index_path, head).get("properties") or {}
+        )
+        props["ivf_centroids"] = json.dumps(_centroids_norm(centroids))
+        try:
+            return snapshot_write(
+                rows, index_path, mode="overwrite", expect_head=head,
+                partition_by=["cell"], properties=props,
+                _allow_reserved_props=("ivf_centroids",),
+            )
+        except SnapshotConflictError:
+            continue  # a rival moved the head: re-read corpus + props
 
 
 def ivf_maintain(

@@ -1681,6 +1681,7 @@ def snapshot_write(
     properties: "dict[str, str] | None" = None,
     _validate_constraints: bool = True,
     _reset_constraints: bool = False,
+    _allow_reserved_props: "tuple[str, ...]" = (),
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
     of the snapshot table at ``path``.
@@ -1750,7 +1751,7 @@ def snapshot_write(
     # definition-carrying write, unlike snapshot_set_properties' merge);
     # an explicit {} therefore CLEARS it — the one spelling that can
     if properties is not None:
-        _check_properties(properties)
+        _check_properties(properties, allow=_allow_reserved_props)
         properties = dict(properties)
     df = data.to_df() if hasattr(data, "to_df") else data  # NestedArray too
     _check_reserved_names(df.columns)
@@ -1958,15 +1959,27 @@ def snapshot_write(
         if stream_batch_id is not None:
             key = stream_app_id or ""
             seen = marks.get(key)
-            if seen is not None and stream_batch_id <= seen:
+            if seen is not None and stream_batch_id <= _mark_batch(seen):
                 raise SnapshotBatchReplayedError(
                     f"micro-batch {stream_batch_id} already committed "
-                    f"(watermark {seen}"
+                    f"(watermark {_mark_batch(seen)}"
                     + (f", app {stream_app_id}" if stream_app_id else "")
                     + ")"
                 )
             marks = dict(marks)
-            marks[key] = stream_batch_id
+            marks[key] = [stream_batch_id, int(time.time())]
+            if len(marks) > _STREAM_MARKS_MAX:
+                # evict least-recently-updated apps, never this one
+                drop = sorted(
+                    (k for k in marks if k != key),
+                    key=lambda k: (
+                        marks[k][1]
+                        if isinstance(marks[k], (list, tuple))
+                        else 0
+                    ),
+                )[: len(marks) - _STREAM_MARKS_MAX]
+                for k in drop:
+                    del marks[k]
             watermark = stream_batch_id
             app_mark = stream_app_id
         elif not (mode == "append" or expect_head is not None):
@@ -3522,11 +3535,11 @@ def snapshot_add_columns(
 
 #: property keys the ENGINE owns — they carry sticky spec semantics and
 #: must route through their dedicated faces, never the opaque bag
-_RESERVED_PROP_KEYS = ("stats_columns",)
+_RESERVED_PROP_KEYS = ("stats_columns", "ivf_centroids")
 _RESERVED_PROP_PREFIXES = ("bloom.",)
 
 
-def _check_properties(props) -> None:
+def _check_properties(props, allow: "tuple[str, ...]" = ()) -> None:
     if not isinstance(props, dict):
         raise ValueError(f"properties must be a dict, got {type(props).__name__}")
     for k, v in props.items():
@@ -3537,14 +3550,18 @@ def _check_properties(props) -> None:
                 f"property values must be strings, got {k!r}={v!r} "
                 "(stringify — the manifest stores opaque text)"
             )
+        if k.lower() in allow:
+            continue  # engine-internal writer of an engine-owned key
         if k.lower() in _RESERVED_PROP_KEYS or any(
             k.lower().startswith(p) for p in _RESERVED_PROP_PREFIXES
         ):
             raise ValueError(
                 f"property key {k!r} is engine-reserved: use the "
-                "stats_columns= / bloom_by= faces (or their "
-                "TBLPROPERTIES spellings) — reserved keys carry sticky "
-                "spec semantics, not opaque text"
+                "stats_columns= / bloom_by= faces (or, for "
+                "ivf_centroids — the vector index's quantizer "
+                "IDENTITY — the ivf_index_add/ivf_retrain faces); "
+                "reserved keys carry interpreted semantics, not "
+                "opaque text"
             )
 
 
@@ -3553,6 +3570,7 @@ def snapshot_set_properties(
     props: "dict[str, str] | None" = None,
     unset: "list[str] | tuple[str, ...]" = (),
     expect_head: "int | None" = None,
+    _allow_reserved_props: "tuple[str, ...]" = (),
 ) -> int:
     """Merge/remove OPAQUE user table properties METADATA-ONLY (Delta's
     ``ALTER TABLE SET/UNSET TBLPROPERTIES`` for arbitrary keys — owner
@@ -3564,7 +3582,7 @@ def snapshot_set_properties(
     RESTORE, and land in SHOW TBLPROPERTIES / SHOW CREATE TABLE.
     Unsetting a missing key is a no-op (SQL's IF EXISTS spirit);
     returns the new version (current head when nothing changes)."""
-    _check_properties(props or {})
+    _check_properties(props or {}, allow=_allow_reserved_props)
     if isinstance(unset, str):
         raise ValueError(
             f"unset= takes a LIST of keys, got the string {unset!r} "
@@ -3573,6 +3591,8 @@ def snapshot_set_properties(
     for k in unset:
         if not isinstance(k, str):
             raise ValueError(f"unset keys must be strings, got {k!r}")
+        if k.lower() in _allow_reserved_props:
+            continue
         if k.lower() in _RESERVED_PROP_KEYS or any(
             k.lower().startswith(p) for p in _RESERVED_PROP_PREFIXES
         ):
@@ -3677,18 +3697,19 @@ def snapshot_alter_column_type(
                         "(INSERT OVERWRITE with the cast)"
                     )
                 return new_type
-            if isinstance(dt, ArrayType) and segs[i] == "element":
+            seg = segs[i].lower()  # case-insensitive like ADD/DROP
+            if isinstance(dt, ArrayType) and seg == "element":
                 return ArrayType(
                     widen(dt.elementType, i + 1), dt.containsNull
                 )
             if isinstance(dt, MapType):
-                if segs[i] == "value":
+                if seg == "value":
                     return MapType(
                         dt.keyType,
                         widen(dt.valueType, i + 1),
                         dt.valueContainsNull,
                     )
-                if segs[i] == "key":
+                if seg == "key":
                     raise ValueError(
                         f"cannot ALTER {column!r}: map KEY types pin "
                         "entry identity — old files' keys would compare "
@@ -3708,7 +3729,7 @@ def snapshot_alter_column_type(
                 )
             fields, hit = [], False
             for f in dt.fields:
-                if f.name != segs[i]:
+                if f.name.lower() != seg:
                     fields.append(f)
                     continue
                 hit = True
@@ -6256,7 +6277,24 @@ def _stream_app_id(checkpoint_dir: str) -> str:
     return hashlib.md5(p.encode()).hexdigest()[:16]
 
 
-def _stream_marks(m: dict) -> "dict[str, int]":
+#: Max DISTINCT streaming apps whose watermarks a manifest retains
+#: (Delta bounds the analogous txnAppId state by retention duration).
+#: Each drained ephemeral-checkpoint ingest mints a fresh app hash, so
+#: without a cap the map would grow one entry per historical ingest
+#: run, carried in EVERY later manifest forever. Eviction is
+#: least-recently-updated; an app idle past eviction loses replay
+#: dedup for a lost-checkpoint recovery (it can still ingest — new
+#: batches are never blocked), matching Delta's expiry semantics.
+_STREAM_MARKS_MAX = int(os.environ.get("DAK_SNAPSHOT_STREAM_MARKS_MAX", "64"))
+
+
+def _mark_batch(v) -> int:
+    """A mark's batch id — entries are [batch_id, updated_epoch]
+    (bare ints accepted for robustness)."""
+    return v[0] if isinstance(v, (list, tuple)) else v
+
+
+def _stream_marks(m: dict) -> dict:
     """The per-app watermark map ("micro-batches <= N from app A are in
     this table"). Legacy single-slot manifests seed the map under their
     recorded app — or the "" key when the slot predates app scoping —
@@ -6266,9 +6304,48 @@ def _stream_marks(m: dict) -> "dict[str, int]":
     legacy = m.get("stream_batch_id")
     if legacy is not None:
         key = m.get("stream_app_id") or ""
-        if marks.get(key, -1) < legacy:
-            marks[key] = legacy
+        if _mark_batch(marks.get(key, [-1, 0])) < legacy:
+            marks[key] = [legacy, 0]
     return marks
+
+
+def _run_stream_sink(
+    rows: DataFrame,
+    make_commit_batch,
+    checkpoint_dir: "str | None",
+    drain: bool,
+    prefix: str,
+    app_id: "str | None" = None,
+):
+    """The ONE foreachBatch sink lifecycle (shared by
+    :func:`stream_to_snapshot` and the IVF streaming ingest — 4th r11
+    review: the scaffolding had been copied): resolve the checkpoint
+    (ephemeral tmpdir when none given), derive the watermark app id,
+    build the commit closure via ``make_commit_batch(app_id)``, start,
+    and either return the live StreamingQuery (``drain=False``,
+    durable checkpoint required) or drain-and-stop, removing an
+    ephemeral checkpoint afterwards."""
+    import shutil
+    import tempfile
+
+    ephemeral = checkpoint_dir is None
+    if ephemeral and not drain:
+        raise ValueError("drain=False requires a durable checkpoint_dir")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=prefix)
+    app = app_id or _stream_app_id(ckpt)
+    q = (
+        rows.writeStream.foreachBatch(make_commit_batch(app))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    if not drain:
+        return q
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if ephemeral:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _stream_batch_seen(path: str, batch_id: int, app_id: str) -> bool:
@@ -6288,7 +6365,7 @@ def _stream_batch_seen_m(m: dict, batch_id: int, app_id: str) -> bool:
     that already hold the head manifest (one metadata read serves the
     watermark check, the property checks, and the head pin)."""
     seen = _stream_marks(m).get(app_id or "")
-    return seen is not None and batch_id <= seen
+    return seen is not None and batch_id <= _mark_batch(seen)
 
 
 def stream_to_snapshot(
@@ -6330,42 +6407,27 @@ def stream_to_snapshot(
     STABLE ``app_id=`` (e.g. the pipeline name) on every attach, and
     same-app replays keep deduping across checkpoint re-creations,
     exactly Delta's documented ``txnAppId`` contract."""
-    import shutil
-    import tempfile
+    def make_commit_batch(app: str):
+        def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if _stream_batch_seen(path, batch_id, app):
+                return  # replayed micro-batch already committed (cheap check)
+            try:
+                snapshot_write(
+                    batch_df, path, mode="append",
+                    stream_batch_id=batch_id, stream_app_id=app,
+                )
+            except SnapshotBatchReplayedError:
+                # lost a race with another writer replaying the same
+                # batch — the guard re-fires inside the commit loop,
+                # which makes the pre-check above merely an optimization
+                return
 
-    ephemeral = checkpoint_dir is None
-    if ephemeral and not drain:
-        raise ValueError("drain=False requires a durable checkpoint_dir")
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_snap_ckpt_")
-    app_id = app_id or _stream_app_id(ckpt)
+        return commit_batch
 
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if _stream_batch_seen(path, batch_id, app_id):
-            return  # replayed micro-batch already committed (cheap check)
-        try:
-            snapshot_write(
-                batch_df, path, mode="append",
-                stream_batch_id=batch_id, stream_app_id=app_id,
-            )
-        except SnapshotBatchReplayedError:
-            # lost a race with another writer replaying the same batch —
-            # the guard re-fires inside the commit loop, which is what
-            # makes the pre-check above merely an optimization
-            return
-
-    q = (
-        df.writeStream.foreachBatch(commit_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
+    return _run_stream_sink(
+        df, make_commit_batch, checkpoint_dir, drain,
+        "dakspark_snap_ckpt_", app_id,
     )
-    if not drain:
-        return q
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        if ephemeral:
-            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def stream_from_snapshot(

@@ -1289,6 +1289,12 @@ def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     for c, ndv in sorted((m.get("bloom_ndv") or {}).items()):
         props.append(f"'bloom.{c}' = '{ndv}'")
     for k, v in sorted((m.get("properties") or {}).items()):
+        if k == "ivf_centroids":
+            # engine-owned identity (now a reserved key): rendering it
+            # would make the replayed CREATE refuse — and a replayed
+            # empty table is not an index anyway (ivf_index_add
+            # re-persists the quantizer with the first ingest)
+            continue
         props.append(f"'{q(k)}' = '{q(v)}'")
     if props:
         stmt += f"\nTBLPROPERTIES ({', '.join(props)})"

@@ -621,7 +621,10 @@ def test_legacy_index_backfills_on_next_ingest(spark, tmp_path):
     p = str(tmp_path / "idx")
     ivf_index_add(p, _vecs(spark, 0, 50), _centroids())
     # simulate a pre-round-11 index: strip the property
-    snapshot_set_properties(p, unset=["ivf_centroids"])
+    snapshot_set_properties(
+        p, unset=["ivf_centroids"],
+        _allow_reserved_props=("ivf_centroids",),  # simulate pre-r11
+    )
     assert ivf_centroids(p) is None
     with pytest.raises(ValueError, match="predates centroid persistence"):
         ivf_search(spark, p, _vecs(spark, 0, 1), k=3)
@@ -1034,3 +1037,38 @@ def test_stream_ingest_refuses_midstream_retrain(spark, tmp_path):
             stream2, idx, _centroids(),
             checkpoint_dir=str(tmp_path / "ckpt2"),
         )
+
+
+def test_ivf_centroids_property_is_tamperproof(spark, tmp_path):
+    """Review r11 (4th pass): ivf_centroids is the index's quantizer
+    IDENTITY — interpreted by every search — so the opaque-property
+    faces must refuse it like the other engine-owned keys, while the
+    engine's own writers keep working."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_set_properties,
+    )
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 50), _centroids())
+    with pytest.raises(ValueError, match="engine-reserved"):
+        snapshot_set_properties(p, {"ivf_centroids": "[[0.0]]"})
+    with pytest.raises(ValueError, match="engine-reserved"):
+        snapshot_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES ('ivf_centroids'='[[0.0]]')",
+            {"t": p},
+        )
+    with pytest.raises(ValueError, match="engine-reserved"):
+        snapshot_sql(
+            spark,
+            "ALTER TABLE t UNSET TBLPROPERTIES ('ivf_centroids')",
+            {"t": p},
+        )
+    # user keys still merge fine alongside the engine's
+    snapshot_set_properties(p, {"owner": "x"})
+    # SHOW CREATE omits the engine key so its output stays replayable
+    stmt = snapshot_sql(spark, "SHOW CREATE TABLE t", {"t": p}).first()[0]
+    assert "'ivf_centroids'" not in stmt and "'owner'" in stmt
+    # ... and the index still searches (identity untouched)
+    assert ivf_search(spark, p, _vecs(spark, 1, 2), k=3).count() == 3

@@ -2785,3 +2785,34 @@ def test_legacy_watermark_never_swallows_a_new_app(spark, tmp_path):
 
     with _pytest.raises(SnapshotBatchReplayedError):
         snapshot_write(spark.range(1), p, mode="append", stream_batch_id=4)
+
+
+def test_stream_marks_are_bounded(spark, tmp_path, monkeypatch):
+    """Review r11 (4th pass): the per-app watermark map caps at
+    DAK_SNAPSHOT_STREAM_MARKS_MAX by least-recently-updated eviction —
+    N historical ingest runs must not bloat every later manifest
+    forever; the most recent apps keep their dedup."""
+    import dask_awkward_spark.sources.snapshot as snap_mod
+    from dask_awkward_spark.sources.snapshot import (
+        _read_manifest,
+        _stream_marks,
+        _versions,
+    )
+
+    monkeypatch.setattr(snap_mod, "_STREAM_MARKS_MAX", 3)
+    p = str(tmp_path / "tbl")
+    snapshot_write(spark.range(1), p)
+    for i in range(6):
+        snapshot_write(
+            spark.range(1), p, mode="append",
+            stream_batch_id=0, stream_app_id=f"app{i}",
+        )
+    marks = _stream_marks(_read_manifest(p, _versions(p)[-1]))
+    assert len(marks) == 3
+    assert "app5" in marks  # the latest writer always survives
+    # an evicted app may duplicate on replay but is never BLOCKED
+    snapshot_write(
+        spark.range(1), p, mode="append",
+        stream_batch_id=0, stream_app_id="app0",
+    )
+    assert snapshot_read(spark, p).count() == 8

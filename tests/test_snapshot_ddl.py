@@ -1035,6 +1035,28 @@ def test_alter_column_type_through_container_elements(spark, tmp_path):
     )
 
 
+def test_alter_column_type_is_case_insensitive(spark, tmp_path):
+    """Review r11 (4th pass): ALTER TYPE resolves dotted segments
+    case-folded like nested ADD/DROP — the same script must not work
+    for two of the three grammar faces and refuse the third."""
+    from dask_awkward_spark.sources.snapshot import snapshot_alter_column_type
+
+    p = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(10).select(
+            F.struct(F.col("id").cast("int").alias("n")).alias("meta"),
+            F.array(
+                F.struct(F.col("id").cast("int").alias("x"))
+            ).alias("items"),
+        ),
+        p,
+    )
+    v = snapshot_alter_column_type(p, "Meta.N", "bigint")
+    assert "n:bigint" in _read_manifest(p, v)["schema_ddl"]
+    snapshot_alter_column_type(p, "Items.ELEMENT.x", "bigint")
+    assert snapshot_read(spark, p).count() == 10
+
+
 def test_alter_column_type_container_sql_face(spark, tmp_path):
     """The dotted container path flows through the SQL grammar
     unchanged (element/value are ordinary identifier segments)."""

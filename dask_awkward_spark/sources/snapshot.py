@@ -3070,7 +3070,13 @@ def snapshot_rename_column(
     under ``delta.columnMapping.mode=name``."""
     if old == new:
         raise ValueError("old and new name are identical")
-    if "." in old or "." in new:
+    if "." not in old and "." in new:
+        # renaming a top-level column TO a dotted name is not a nested
+        # rename — it is an illegal name (dotted names ARE the
+        # struct-leaf predicate grammar; creating one would wedge every
+        # later append). Keep the creation-time refusal message.
+        _reject_reserved_column(new)
+    if "." in old:
         # nested ADD/DROP/widen address dotted paths, but a rename at
         # depth needs per-NESTED-field physical ids to keep old files'
         # bytes resolvable under the new name — column mapping here is

@@ -1714,5 +1714,7 @@ def test_rename_nested_refuses_with_recipe(spark, tmp_path):
     snapshot_write(_nested_drop_df(spark), p)
     with pytest.raises(ValueError, match="no mapping ids"):
         snapshot_rename_column(p, "meta.tmp", "meta.kept")
-    with pytest.raises(ValueError, match="no mapping ids"):
+    # renaming a TOP-LEVEL column to a dotted name is not a nested
+    # rename — it is an illegal name (creation-time refusal message)
+    with pytest.raises(ValueError, match="may not contain"):
         snapshot_rename_column(p, "meta", "meta.x")

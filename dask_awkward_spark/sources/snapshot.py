@@ -1264,13 +1264,27 @@ def _stage_files(
     if partition_by:
         _check_partition_by(partition_by, df.schema)  # validate LOGICAL names
     pmap = dict((column_mapping or {}).get("physical") or {})
-    if pmap:
+    nested = _nested_physical(column_mapping)
+    if pmap or nested:
         # files store PHYSICAL names: rename mapped columns before the
         # write (internal columns — _change_type, file/pos — pass through),
         # and translate the partition/bloom specs to match (a transform
-        # entry translates its INNER column: days(ts) -> days(ts_phys))
-        if any(pmap.get(c, c) != c for c in df.columns):
-            df = df.select(*[df[c].alias(pmap.get(c, c)) for c in df.columns])
+        # entry translates its INNER column: days(ts) -> days(ts_phys)).
+        # Nested renames translate via a positional struct CAST to the
+        # physical-spelled type (same positions/types: name-only).
+        cols, dirty = [], False
+        for f in df.schema.fields:
+            p = pmap.get(f.name, f.name)
+            c = df[f.name]
+            pdt = _phys_dtype(f.dataType, p, nested)
+            if pdt != f.dataType:
+                c = c.cast(_relax_nullable(pdt))
+                dirty = True
+            if p != f.name:
+                dirty = True
+            cols.append(c.alias(p))
+        if dirty:
+            df = df.select(*cols)
         if partition_by:
             def _phys_entry(e: str) -> str:
                 kind, arg, pc, _ = _phys_pspec_entry(e, pmap)
@@ -1507,6 +1521,7 @@ def _extend_mapping(cm: "dict | None", schema: StructType) -> "dict | None":
         "physical": dict(cm["physical"]),
         "next_id": cm["next_id"],
         "retired": list(cm["retired"]),
+        **({"nested": dict(cm["nested"])} if cm.get("nested") else {}),
     }
     # case-INSENSITIVE collision check, like the reads that resolve
     # physical names (Spark's caseSensitive=false and the arrow faces'
@@ -1526,19 +1541,147 @@ def _extend_mapping(cm: "dict | None", schema: StructType) -> "dict | None":
     return cm
 
 
-def _phys_schema(schema: StructType, pmap: "dict[str, str]") -> StructType:
+def _nested_physical(cm: "dict | None") -> "dict[str, str]":
+    """The mapping's NESTED rename map: {physical dotted path (original
+    case, head segment physical) -> current logical leaf name}. Empty =
+    no nested field was ever renamed (identity). Keys are full physical
+    paths so a TOP-LEVEL rename (which keeps the physical head) never
+    invalidates them."""
+    return dict((cm or {}).get("nested") or {})
+
+
+def _nested_phys_leaf(
+    nested: "dict[str, str]", pparent: str, logical_leaf: str
+) -> str:
+    """The PHYSICAL leaf name backing ``logical_leaf`` under the
+    physical parent dotted path ``pparent`` — identity unless a nested
+    rename recorded a different spelling. Case-insensitive on both
+    sides, like every name-resolution face. ``element``/``value`` are
+    container STEPS, never renameable fields (the rename face refuses
+    them), so they pass through."""
+    if not nested or logical_leaf in ("element", "value"):
+        return logical_leaf
+    pl, ll = pparent.lower(), logical_leaf.lower()
+    for k, v in nested.items():
+        kp, _, kl = k.rpartition(".")
+        if v.lower() == ll and kp.lower() == pl:
+            return kl
+    return logical_leaf
+
+
+def _phys_path(
+    pmap: "dict[str, str] | None", nested: "dict[str, str] | None", dotted: str
+) -> str:
+    """FULL logical->physical dotted-path translation: the head segment
+    via the top-level column mapping, every nested segment via the
+    nested rename map (identity when unmapped). The one place both
+    mapping layers compose — tombstones, stats keys, and predicate
+    translation all route through here so they can never disagree."""
+    segs = dotted.split(".")
+    pmap = pmap or {}
+    low = {k.lower(): v for k, v in pmap.items()}
+    out = [low.get(segs[0].lower(), pmap.get(segs[0], segs[0]))]
+    for s in segs[1:]:
+        out.append(_nested_phys_leaf(nested or {}, ".".join(out), s))
+    return ".".join(out)
+
+
+def _phys_dtype(dt, pprefix: str, nested: "dict[str, str]"):
+    """``dt`` with every nested struct field renamed to its PHYSICAL
+    name (what the files store) — identity when ``nested`` is empty.
+    Positionally identical to the logical type, so a struct CAST maps
+    one onto the other exactly."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if not nested:
+        return dt
+    if isinstance(dt, StructType):
+        fields = []
+        for f in dt.fields:
+            pn = _nested_phys_leaf(nested, pprefix, f.name)
+            fields.append(
+                StructField(
+                    pn,
+                    _phys_dtype(f.dataType, f"{pprefix}.{pn}", nested),
+                    f.nullable,
+                    f.metadata,
+                )
+            )
+        return StructType(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _phys_dtype(dt.elementType, f"{pprefix}.element", nested),
+            dt.containsNull,
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            dt.keyType,
+            _phys_dtype(dt.valueType, f"{pprefix}.value", nested),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _phys_schema(
+    schema: StructType,
+    pmap: "dict[str, str]",
+    nested: "dict[str, str] | None" = None,
+) -> StructType:
     """``schema`` with field names replaced by their physical names —
-    what the parquet files actually store."""
-    if not pmap:
+    what the parquet files actually store. With nested renames the
+    struct-internal spellings translate too (same positions, same
+    types: a positional struct cast maps physical back to logical)."""
+    if not pmap and not nested:
         return schema
     from pyspark.sql.types import StructField
 
-    return StructType(
-        [
-            StructField(pmap.get(f.name, f.name), f.dataType, f.nullable)
-            for f in schema.fields
-        ]
-    )
+    nested = nested or {}
+    out = []
+    for f in schema.fields:
+        p = (pmap or {}).get(f.name, f.name)
+        out.append(
+            StructField(p, _phys_dtype(f.dataType, p, nested), f.nullable)
+        )
+    return StructType(out)
+
+
+def _relax_nullable(dt):
+    """``dt`` with every nested field/element marked nullable — cast
+    targets must never TIGHTEN nullability (ANSI refuses nullable ->
+    NOT NULL), and for the name-only renaming casts the flags are
+    irrelevant (parquet scans relax them anyway)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _relax_nullable(f.dataType), True, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_relax_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _relax_nullable(dt.valueType), True)
+    return dt
+
+
+def _logical_cols(schema: StructType, pschema: StructType) -> "list":
+    """The select list that surfaces a PHYSICAL-named scan under the
+    LOGICAL schema: alias per top-level column, plus a positional
+    struct CAST where nested renames changed internal spellings (the
+    cast is name-only — positions and types are identical, nullability
+    relaxed — so it stays inside whole-stage codegen; columns with no
+    nested rename skip it and keep their pre-rename plan shape)."""
+    cols = []
+    for f, pf in zip(schema.fields, pschema.fields):
+        c = F.col(pf.name)
+        if pf.dataType != f.dataType:
+            c = c.cast(_relax_nullable(f.dataType))
+        cols.append(c.alias(f.name))
+    return cols
 
 
 def _where_phys(m: dict, where):
@@ -1555,21 +1698,16 @@ def _where_phys(m: dict, where):
     if not where:
         return where
     pmap = _mapping_physical(m)
-    if pmap:
-
-        def phys(c: str) -> str:
-            if c in pmap:
-                return pmap[c]
-            # dotted = struct-leaf predicate: rename/drop are top-level-
-            # only (column mapping tracks ids per top-level column), so
-            # only the HEAD segment translates; the nested suffix is
-            # logical==physical
-            if "." in c:
-                head, rest = c.split(".", 1)
-                return f"{pmap.get(head, head)}.{rest}"
-            return c
-
-        where = [(phys(c), op, v) for c, op, v in where]
+    nested = _nested_physical(m.get("column_mapping"))
+    if pmap or nested:
+        # full-path translation: the head segment via the top-level
+        # mapping, nested segments via the nested rename map — stats
+        # and sidecar columns are keyed by the paths the files store
+        where = [
+            (_phys_path(pmap, nested, c) if "." in c or c in pmap else c,
+             op, v)
+            for c, op, v in where
+        ]
     return list(where) + _derive_transform_triples(m, where)
 
 
@@ -1825,13 +1963,28 @@ def snapshot_write(
             ph: lg
             for lg, ph in (_mapping_physical(head_m) or {}).items()
         }
+        old_nested = {
+            k.lower(): v
+            for k, v in _nested_physical(
+                head_m.get("column_mapping")
+            ).items()
+        }
         new_pmap = (eff_cm_ext or {}).get("physical") or {}
         valid = {p for p, _ in _leaf_stats_candidates(df.schema, new_pmap)}
         out = []
         for p in sc_list:
-            head_seg, dot, rest = p.partition(".")
-            logical = inv.get(head_seg, head_seg)
-            new_p = new_pmap.get(logical, logical) + (dot + rest)
+            # stored entries are PHYSICAL under the OLD mapping: invert
+            # the head via the top-level map and every nested segment
+            # via the old nested rename map, then re-resolve the
+            # logical path under the new write's naming
+            psegs = p.split(".")
+            lsegs = [inv.get(psegs[0], psegs[0])]
+            for i in range(1, len(psegs)):
+                key = ".".join(psegs[: i + 1]).lower()
+                lsegs.append(old_nested.get(key, psegs[i]))
+            logical = ".".join(lsegs)
+            head_seg, dot, rest = logical.partition(".")
+            new_p = new_pmap.get(head_seg, head_seg) + (dot + rest)
             if new_p in valid and new_p not in out:
                 out.append(new_p)
         return out or None
@@ -1847,7 +2000,8 @@ def snapshot_write(
             )
     else:
         eff_sc = _resolve_stats_columns(
-            df.schema, (eff_cm_ext or {}).get("physical"), stats_columns
+            df.schema, (eff_cm_ext or {}).get("physical"), stats_columns,
+            _nested_physical(eff_cm_ext),
         )
         pmap_sc = (eff_cm_ext or {}).get("physical") or {}
         # partition columns always record (partition pruning IS their
@@ -2253,21 +2407,28 @@ def _ckpt_arrow_type(simple: str):
     return None
 
 
-def _leaf_stats_candidates(schema: StructType, pmap: "dict | None" = None):
+def _leaf_stats_candidates(
+    schema: StructType,
+    pmap: "dict | None" = None,
+    nested: "dict | None" = None,
+):
     """UNCAPPED ordered (physical dotted path, simple type) pairs for
     every leaf the stats machinery can in principle carry: top-level
     primitives plus STRUCT-nested leaves. Lists/maps are not descended —
     their parquet leaves are repeated, so _file_stats never records
-    them. The head segment is translated logical→physical (column
-    mapping is top-level-only)."""
+    them. Every segment is translated logical→physical (head via the
+    column mapping, struct segments via the nested rename map) so the
+    paths match the footer/sidecar keys the files actually store."""
     from pyspark.sql.types import StructType as _ST
 
     out = []
+    nested = nested or {}
 
     def walk(prefix: str, dtype) -> None:
         if isinstance(dtype, _ST):
             for f in dtype.fields:
-                walk(f"{prefix}.{f.name}", f.dataType)
+                pn = _nested_phys_leaf(nested, prefix, f.name)
+                walk(f"{prefix}.{pn}", f.dataType)
             return
         if _ckpt_arrow_type(dtype.simpleString()) is not None:
             out.append((prefix, dtype.simpleString()))
@@ -2282,6 +2443,7 @@ def _prunable_leaf_paths(
     schema: StructType,
     pmap: "dict | None" = None,
     stats_columns: "list[str] | None" = None,
+    nested: "dict | None" = None,
 ):
     """Ordered (physical dotted path, simple type) pairs for every leaf
     the stats envelope actually carries. With an explicit
@@ -2290,7 +2452,7 @@ def _prunable_leaf_paths(
     cap applies. Otherwise the schema-order prefix up to
     ``DAK_SNAPSHOT_STATS_MAX_COLS`` (default 64, Delta's
     dataSkippingNumIndexedCols analog)."""
-    out = _leaf_stats_candidates(schema, pmap)
+    out = _leaf_stats_candidates(schema, pmap, nested)
     if stats_columns is not None:
         types = dict(out)
         return [(p, types[p]) for p in stats_columns if p in types]
@@ -2306,21 +2468,24 @@ def _prunable_leaf_paths(
 
 
 def _resolve_stats_columns(
-    schema: StructType, pmap: "dict | None", cols: "list[str]"
+    schema: StructType,
+    pmap: "dict | None",
+    cols: "list[str]",
+    nested: "dict | None" = None,
 ) -> "list[str]":
     """Validate an explicit stats-column spec (LOGICAL dotted leaf
     paths) and return the PHYSICAL form the manifest stores. The
-    head-segment translation happens exactly ONCE, here — physical
-    names are stable per column id forever, so the stored spec survives
-    renames untouched and keeps matching the footer-stats keys. Unknown
-    paths, paths under lists/maps, and leaves whose type can never
-    record prunable stats are refused loudly (a silently dead spec
-    entry would read as coverage)."""
+    logical→physical translation happens exactly ONCE, here — physical
+    paths are stable forever, so the stored spec survives renames
+    (top-level AND nested) untouched and keeps matching the
+    footer-stats keys. Unknown paths, paths under lists/maps, and
+    leaves whose type can never record prunable stats are refused
+    loudly (a silently dead spec entry would read as coverage)."""
     if not isinstance(cols, (list, tuple)):
         raise ValueError(
             f"stats_columns must be a list of leaf paths, got {cols!r}"
         )
-    valid = dict(_leaf_stats_candidates(schema, pmap))
+    valid = dict(_leaf_stats_candidates(schema, pmap, nested))
     pmap = pmap or {}
     out: "list[str]" = []
     for c in cols:
@@ -2328,8 +2493,7 @@ def _resolve_stats_columns(
             raise ValueError(
                 f"stats_columns entries must be non-empty strings, got {c!r}"
             )
-        head, dot, rest = c.partition(".")
-        phys = pmap.get(head, head) + (dot + rest)
+        phys = _phys_path(pmap, nested, c)
         if phys not in valid:
             raise ValueError(
                 f"stats_columns path {c!r} is not a stats-recordable leaf: "
@@ -2367,7 +2531,10 @@ def snapshot_set_stats_columns(
         schema = StructType.fromJson(json.loads(m["schema_json"]))
         pmap = _mapping_physical(m)
         if columns:
-            spec = _resolve_stats_columns(schema, pmap, columns)
+            spec = _resolve_stats_columns(
+                schema, pmap, columns,
+                _nested_physical(m.get("column_mapping")),
+            )
             # transform entries contribute their SOURCE column (the
             # virtual dir value records via the dir-value backup)
             spec = [
@@ -2417,7 +2584,10 @@ def _write_ckpt_parquet(path: str, version: int, manifest: dict) -> None:
         # leaves ride along as flat dotted-named columns
         cols = [
             (p, _ckpt_arrow_type(s))
-            for p, s in _prunable_leaf_paths(schema, pmap, manifest.get("stats_columns"))
+            for p, s in _prunable_leaf_paths(
+                schema, pmap, manifest.get("stats_columns"),
+                _nested_physical(manifest.get("column_mapping")),
+            )
         ]
         # transform partition specs add VIRTUAL columns (dir-value
         # stats) — carried in the sidecar so inverse-image pruning
@@ -2585,7 +2755,10 @@ def _dist_prune_files(
         # intersection keeps this sound when the checkpoint was written
         # under an older spec (missing sidecar columns never prune)
         for p, s in (
-            _prunable_leaf_paths(schema, pmap, m.get("stats_columns"))
+            _prunable_leaf_paths(
+                schema, pmap, m.get("stats_columns"),
+                _nested_physical(m.get("column_mapping")),
+            )
             + _transform_virtual_cols(m)  # inverse-image virtual cols
         )
         if f"min__{p}" in ck_cols
@@ -3043,8 +3216,11 @@ def _remove_nested_field(dt, segs: "list[str]", dotted: str):
 
 
 def _refuse_constrained(m: dict, col: str, action: str) -> None:
+    # prefix match: a constraint on `meta.x` pins `meta` (and `meta.x`)
+    # — renaming/dropping the parent would leave the stored predicate
+    # referencing a path the schema no longer has
     for cname, triples in (m.get("constraints") or {}).items():
-        if any(c == col for c, _, _ in triples):
+        if any(c == col or c.startswith(col + ".") for c, _, _ in triples):
             raise ValueError(
                 f"cannot {action} column {col!r}: CHECK constraint "
                 f"{cname!r} references it — drop the constraint first"
@@ -3065,6 +3241,18 @@ def snapshot_rename_column(
     constraint first, re-add under the new name). Partition and bloom
     specs follow the rename. Returns the new version.
 
+    ``old`` may be a DOTTED path into structs and container elements
+    (``meta.tmp``, ``items.element.x`` — the same addressing as nested
+    ADD/DROP; map keys refuse): the NESTED field is renamed
+    metadata-only via a stored physical-path map (the same case-folded
+    path identity nested DROP's tombstones use), so old files' bytes
+    resolve under the new name and new files keep writing the stable
+    physical spelling. ``new`` is the bare new leaf name, or a full
+    dotted path with the SAME parent (renames never MOVE a field).
+    Renaming onto a tombstoned (dropped) path is refused — compact
+    first. Iceberg renames nested fields the same way (field-id
+    metadata only).
+
     Reference: no counterpart (dask-awkward arrays are immutable
     per-graph); Spark-native analog is ``ALTER TABLE RENAME COLUMN``
     under ``delta.columnMapping.mode=name``."""
@@ -3077,18 +3265,7 @@ def snapshot_rename_column(
         # later append). Keep the creation-time refusal message.
         _reject_reserved_column(new)
     if "." in old:
-        # nested ADD/DROP/widen address dotted paths, but a rename at
-        # depth needs per-NESTED-field physical ids to keep old files'
-        # bytes resolvable under the new name — column mapping here is
-        # top-level-only by design (Delta likewise gates nested renames
-        # behind name-mapping mode). Refuse with the working recipe
-        # instead of a bare "not in schema".
-        raise ValueError(
-            f"cannot rename {old!r}: nested fields have no mapping ids "
-            "(top-level column mapping only) — ADD the new field, copy "
-            "with snapshot_update, then DROP the old one; or rewrite "
-            "via INSERT OVERWRITE"
-        )
+        return _rename_nested_column(path, old, new, expect_head)
     _reject_reserved_column(new)
     while True:
         head = _require_versions(path)[-1]
@@ -3110,6 +3287,9 @@ def snapshot_rename_column(
             "physical": dict(cm["physical"]),
             "next_id": cm["next_id"],
             "retired": list(cm["retired"]),
+            # nested-rename entries are keyed by PHYSICAL path, which a
+            # top-level rename never changes — carry them verbatim
+            **({"nested": dict(cm["nested"])} if cm.get("nested") else {}),
         }
         cm["ids"][new] = cm["ids"].pop(old)
         cm["physical"][new] = cm["physical"].pop(old)
@@ -3158,6 +3338,194 @@ def snapshot_rename_column(
             manifest["bloom_ndv"] = {
                 (new if c == old else c): v for c, v in m["bloom_ndv"].items()
             }
+        if _commit_manifest(path, head + 1, manifest, m):
+            return head + 1
+        # another writer claimed head+1: re-read and retry
+
+
+def _rename_nested_field(dt, segs: "list[str]", new_leaf: str, dotted: str,
+                         canon: "list[str]"):
+    """``dt`` with the field at ``segs`` renamed to ``new_leaf`` — the
+    same addressing as :func:`_remove_nested_field` (struct chains plus
+    ``element``/``value`` container steps; map keys refuse). Appends
+    the SCHEMA-SPELLED segment to ``canon`` at every step, so the
+    caller gets the canonical logical path regardless of the case the
+    user typed. Refuses renaming a bare container element (that is the
+    column's type, not a field) and a new name that collides with a
+    sibling (case-insensitive, like every resolution face)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if segs and isinstance(dt, ArrayType) and segs[0] == "element":
+        if len(segs) == 1:
+            raise ValueError(
+                f"cannot rename {dotted!r}: the element IS the list's "
+                "type — rename the column itself"
+            )
+        canon.append("element")
+        return ArrayType(
+            _rename_nested_field(dt.elementType, segs[1:], new_leaf,
+                                 dotted, canon),
+            dt.containsNull,
+        )
+    if segs and isinstance(dt, MapType):
+        if segs[0] == "value":
+            if len(segs) == 1:
+                raise ValueError(
+                    f"cannot rename {dotted!r}: the value IS the map's "
+                    "type — rename the column itself"
+                )
+            canon.append("value")
+            return MapType(
+                dt.keyType,
+                _rename_nested_field(dt.valueType, segs[1:], new_leaf,
+                                     dotted, canon),
+                dt.valueContainsNull,
+            )
+        if segs[0] == "key":
+            raise ValueError(
+                f"cannot rename {dotted!r}: map KEYS define entry "
+                "identity; restructure via overwrite"
+            )
+    if not isinstance(dt, StructType):
+        hint = (
+            " (step inside a list with '.element.', a map value with "
+            "'.value.')"
+            if isinstance(dt, (ArrayType, MapType))
+            else ""
+        )
+        raise ValueError(
+            f"cannot rename {dotted!r}: the path crosses a non-struct "
+            f"({dt.simpleString()}){hint}"
+        )
+    head, rest = segs[0], segs[1:]
+    hit = [f for f in dt.fields if f.name.lower() == head.lower()]
+    if not hit:
+        raise ValueError(
+            f"cannot rename {dotted!r}: no struct field {head!r} in "
+            f"{dt.fieldNames()}"
+        )
+    canon.append(hit[0].name)
+    if not rest:
+        clash = [
+            f for f in dt.fields
+            if f is not hit[0] and f.name.lower() == new_leaf.lower()
+        ]
+        if clash:
+            raise ValueError(
+                f"cannot rename {dotted!r} to {new_leaf!r}: the struct "
+                f"already has a field {clash[0].name!r}"
+            )
+        return StructType(
+            [
+                StructField(new_leaf, f.dataType, f.nullable, f.metadata)
+                if f is hit[0]
+                else f
+                for f in dt.fields
+            ]
+        )
+    return StructType(
+        [
+            StructField(
+                f.name,
+                _rename_nested_field(f.dataType, rest, new_leaf, dotted,
+                                     canon)
+                if f is hit[0]
+                else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in dt.fields
+        ]
+    )
+
+
+def _rename_nested_column(
+    path: str, old: str, new: str, expect_head: "int | None"
+) -> int:
+    """Nested RENAME COLUMN, metadata-only: record ``physical path ->
+    new logical leaf`` in the column mapping's nested rename map — the
+    same case-folded physical-path identity nested DROP's tombstones
+    use — so old files' bytes resolve under the new name and new files
+    keep writing the stable physical spelling. Refuses moves (the new
+    path must share the old parent), sibling collisions, renames onto
+    tombstoned (dropped) paths, container-step grammar words as the new
+    name, and fields a CHECK constraint references.
+
+    Reference: no counterpart; Iceberg's ``RENAME COLUMN`` on nested
+    fields is the analog (field-id metadata only, zero file rewrites)."""
+    segs = old.split(".")
+    nsegs = new.split(".")
+    if len(nsegs) > 1:
+        if [s.lower() for s in nsegs[:-1]] != [s.lower() for s in segs[:-1]]:
+            raise ValueError(
+                f"cannot rename {old!r} to {new!r}: a rename never MOVES "
+                "a field — the new path must share the old parent (pass "
+                f"the bare new leaf name, or {'.'.join(segs[:-1])}.<name>)"
+            )
+    new_leaf = nsegs[-1]
+    if new_leaf.lower() in ("element", "value", "key"):
+        raise ValueError(
+            f"cannot rename {old!r} to {new_leaf!r}: that word is a "
+            "container STEP in the dotted-path grammar, not a field name"
+        )
+    if not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", new_leaf):
+        raise ValueError(
+            f"bad field name {new_leaf!r}: identifier segments only "
+            "(no '.', '`' or ':')"
+        )
+    _check_reserved_names([new_leaf])
+    while True:
+        head = _require_versions(path)[-1]
+        if expect_head is not None and head != expect_head:
+            raise SnapshotConflictError(
+                f"table head is v{head}, expected v{expect_head}"
+            )
+        m = _read_manifest(path, head)
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        canon: "list[str]" = []
+        out_schema = _rename_nested_field(schema, segs, new_leaf, old, canon)
+        old_canon = ".".join(canon)
+        if canon[-1] == new_leaf:
+            return head  # exact-case no-op: idempotent, no commit
+        _refuse_constrained(m, old_canon, "rename")
+        cm = m.get("column_mapping") or _init_mapping(schema)
+        cm = {
+            "ids": dict(cm["ids"]),
+            "physical": dict(cm["physical"]),
+            "next_id": cm["next_id"],
+            "retired": list(cm["retired"]),
+            "nested": dict(cm.get("nested") or {}),
+        }
+        pdot = _phys_path(cm["physical"], cm["nested"], old_canon)
+        # renaming ONTO a dropped path is refused: the tombstone marks
+        # bytes that must stay dead, and a live logical name at that
+        # spelling invites exactly the resurrection confusion the
+        # tombstone exists to prevent — compact (rewrites the bytes
+        # away) and rename then
+        tomb = set(m.get("nested_tombstones") or ())
+        new_pdot = ".".join(pdot.split(".")[:-1] + [new_leaf]).lower()
+        if new_pdot in tomb:
+            raise ValueError(
+                f"cannot rename {old!r} to {new_leaf!r}: a nested field "
+                "was DROPPED at that path and old files still carry its "
+                "bytes — compact the table first, or pick another name"
+            )
+        # record physical -> logical; an entry that lands back on the
+        # stored spelling (case-insensitively) is identity — drop it so
+        # the map only carries real renames
+        for k in list(cm["nested"]):
+            if k.lower() == pdot.lower():
+                del cm["nested"][k]
+        if pdot.rsplit(".", 1)[-1].lower() != new_leaf.lower():
+            cm["nested"][pdot] = new_leaf
+        if not cm["nested"]:
+            del cm["nested"]
+        manifest = _cow_manifest(
+            m, head, "rename_column", list(m["files"]), dict(m.get("stats", {}))
+        )
+        manifest["schema_ddl"] = out_schema.simpleString()
+        manifest["schema_json"] = out_schema.json()
+        manifest["column_mapping"] = cm
         if _commit_manifest(path, head + 1, manifest, m):
             return head + 1
         # another writer claimed head+1: re-read and retry
@@ -3216,9 +3584,21 @@ def snapshot_drop_column(
             "physical": dict(cm["physical"]),
             "next_id": cm["next_id"],
             "retired": list(cm["retired"]),
+            **({"nested": dict(cm["nested"])} if cm.get("nested") else {}),
         }
         cm["ids"].pop(name)
-        cm["retired"].append(cm["physical"].pop(name))
+        retired_phys = cm["physical"].pop(name)
+        cm["retired"].append(retired_phys)
+        if cm.get("nested"):
+            # nested-rename entries under the dropped column are dead
+            # (the retired physical head can never be reused)
+            cm["nested"] = {
+                k: v
+                for k, v in cm["nested"].items()
+                if not k.lower().startswith(retired_phys.lower() + ".")
+            } or None
+            if not cm["nested"]:
+                del cm["nested"]
         out_schema = StructType([f for f in schema.fields if f.name != name])
         manifest = _cow_manifest(
             m, head, "drop_column", list(m["files"]), dict(m.get("stats", {}))
@@ -3236,17 +3616,17 @@ def snapshot_drop_column(
 
 
 def _phys_dotted(m: dict, dotted: str) -> str:
-    """A logical dotted path with its HEAD segment translated to the
-    stable physical name (column mapping is top-level-only; nested
-    segments are physical as-is), CASE-FOLDED — name resolution is
+    """A logical dotted path translated to its full PHYSICAL spelling
+    (head via the top-level column mapping, nested segments via the
+    nested rename map), CASE-FOLDED — name resolution is
     case-insensitive on every face, so tombstone identity must be too
     (a case-variant re-add would otherwise resolve the dropped bytes).
-    A parent rename never invalidates the spelling (physical head)."""
-    segs = dotted.split(".")
-    pmap = _mapping_physical(m) or {}
-    low = {k.lower(): v for k, v in pmap.items()}
-    head = low.get(segs[0].lower(), segs[0])
-    return ".".join([head] + segs[1:]).lower()
+    A parent rename never invalidates the spelling (physical paths are
+    stable): tombstones, the nested rename map, and the stats keys all
+    speak this identity."""
+    return _phys_path(
+        _mapping_physical(m), _nested_physical(m.get("column_mapping")), dotted
+    ).lower()
 
 
 def _drop_nested_column(
@@ -3272,6 +3652,21 @@ def _drop_nested_column(
         if pdot not in tomb:
             tomb.append(pdot)
         manifest["nested_tombstones"] = tomb
+        # the dropped field's nested-rename entries (itself and anything
+        # under it) are dead — the tombstone carries the byte-safety
+        # from here; old manifests keep theirs for time travel
+        cm = m.get("column_mapping")
+        if cm and cm.get("nested"):
+            kept = {
+                k: v
+                for k, v in cm["nested"].items()
+                if not (k.lower() == pdot or k.lower().startswith(pdot + "."))
+            }
+            if kept != cm["nested"]:
+                cm = {**cm, "nested": kept}
+                if not kept:
+                    del cm["nested"]
+                manifest["column_mapping"] = cm
         if _commit_manifest(path, head + 1, manifest, m):
             return head + 1
         # another writer claimed head+1: re-read and retry
@@ -3490,6 +3885,10 @@ def snapshot_add_columns(
         schema = StructType.fromJson(json.loads(m["schema_json"]))
         out_schema = schema
         tomb = set(m.get("nested_tombstones") or ())
+        ren = {
+            k.lower(): v
+            for k, v in _nested_physical(m.get("column_mapping")).items()
+        }
         for f in new_fields:
             segs = f.name.split(".")
             if len(segs) > 1 and tomb and _phys_dotted(m, f.name) in tomb:
@@ -3502,6 +3901,17 @@ def snapshot_add_columns(
                     "its bytes — re-adding would resurrect them; use "
                     "a different name, or rewrite the table "
                     "(INSERT OVERWRITE) first"
+                )
+            if len(segs) > 1 and ren and _phys_dotted(m, f.name) in ren:
+                # the identity physical spelling of the new field is
+                # the STORED spelling of a renamed sibling — resolving
+                # it would read that field's bytes under the new name
+                raise ValueError(
+                    f"cannot add {f.name!r}: a nested field was RENAMED "
+                    f"away from this spelling (now "
+                    f"{ren[_phys_dotted(m, f.name)]!r}) and old files "
+                    "still store its bytes here — use a different "
+                    "name, or compact the table first"
                 )
             leaf = StructField(segs[-1], f.dataType, nullable=True)
             out_schema = _insert_nested_field(
@@ -3876,9 +4286,11 @@ def _visible_tagged(spark: SparkSession, path: str, m: dict, rels: "list[str]") 
     files = [os.path.join(path, f) for f in rels]
     # scan under the PHYSICAL names the files store, surface the
     # logical names the manifest maps them to (identity when unmapped)
-    pschema = _phys_schema(schema, _mapping_physical(m))
+    pschema = _phys_schema(
+        schema, _mapping_physical(m), _nested_physical(m.get("column_mapping"))
+    )
     tagged = _data_reader(spark, pschema).parquet(*files).select(
-        *[F.col(p).alias(l) for p, l in zip(pschema.fieldNames(), names)],
+        *_logical_cols(schema, pschema),
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__dak_file"),
         F.col("_metadata.row_index").alias("__dak_pos"),
     )
@@ -3902,20 +4314,16 @@ def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> D
     if not rels:
         return spark.createDataFrame([], schema)
     pmap = _mapping_physical(m)
-    pschema = _phys_schema(schema, pmap)
+    nested = _nested_physical(m.get("column_mapping"))
+    pschema = _phys_schema(schema, pmap, nested)
 
     def plain(file_rels):
         df = _data_reader(spark, pschema).parquet(
             *[os.path.join(path, f) for f in file_rels]
         )
-        if not pmap:
+        if not pmap and not nested:
             return df
-        return df.select(
-            *[
-                F.col(p).alias(l)
-                for p, l in zip(pschema.fieldNames(), schema.fieldNames())
-            ]
-        )
+        return df.select(*_logical_cols(schema, pschema))
 
     dvs = m.get("deletes") or []
     if not dvs:
@@ -4227,13 +4635,12 @@ def snapshot_changes(
     # files (data AND change records) store PHYSICAL names — stable
     # across renames, so one until-version map resolves the whole span
     pmap = _mapping_physical(until_m)
-    pschema = _phys_schema(schema, pmap)
-    lnames, pnames = schema.fieldNames(), pschema.fieldNames()
+    pschema = _phys_schema(
+        schema, pmap, _nested_physical(until_m.get("column_mapping"))
+    )
 
     def logical(df: DataFrame, extra: "list[str]") -> DataFrame:
-        return df.select(
-            *[F.col(p).alias(l) for p, l in zip(pnames, lnames)], *extra
-        )
+        return df.select(*_logical_cols(schema, pschema), *extra)
 
     if not row_level:
         base = set(_read_manifest(path, since)["files"]) if since else set()
@@ -4779,18 +5186,15 @@ def _enforce_constraints(
         # logical ones — scan physical, alias back before evaluating
         # (a by-name read would silently null a renamed column, and
         # NULL passes CHECK: the constraint would stop constraining)
-        pschema = _phys_schema(schema, pmap)
+        nested = _nested_physical(m.get("column_mapping"))
+        pschema = _phys_schema(schema, pmap, nested)
         reader = spark.read.schema(pschema)
     else:
+        nested = {}
         reader = spark.read
     df = reader.parquet(*[os.path.join(path, f) for f in new_files])
-    if schema is not None and pmap:
-        df = df.select(
-            *[
-                F.col(p).alias(l)
-                for p, l in zip(pschema.fieldNames(), schema.fieldNames())
-            ]
-        )
+    if schema is not None and (pmap or nested):
+        df = df.select(*_logical_cols(schema, pschema))
     conds = _constraint_conds(cons)
     any_bad = None
     for _, _, cond in conds:

@@ -1704,17 +1704,129 @@ def test_full_compact_clears_nested_tombstones(spark, tmp_path):
     )
 
 
-def test_rename_nested_refuses_with_recipe(spark, tmp_path):
-    """Nested renames need per-field mapping ids the layer deliberately
-    lacks (Delta parity) — the refusal names the working recipe instead
-    of a bare 'not in schema'."""
+def test_rename_nested_metadata_only(spark, tmp_path):
+    """Nested RENAME COLUMN (round 12): metadata-only via the stored
+    physical-path map — zero files rewritten, old files' bytes resolve
+    under the new name, appends write the stable physical spelling."""
     from dask_awkward_spark.sources.snapshot import snapshot_rename_column
 
     p = str(tmp_path / "t")
     snapshot_write(_nested_drop_df(spark), p)
-    with pytest.raises(ValueError, match="no mapping ids"):
-        snapshot_rename_column(p, "meta.tmp", "meta.kept")
-    # renaming a TOP-LEVEL column to a dotted name is not a nested
-    # rename — it is an illegal name (creation-time refusal message)
+    files = list(_read_manifest(p, 1)["files"])
+    v = snapshot_rename_column(p, "meta.tmp", "meta.score")
+    m = _read_manifest(p, v)
+    assert m["files"] == files and m["op"] == "rename_column"
+    assert m["column_mapping"]["nested"] == {"meta.tmp": "score"}
+    # old-file read-back: bytes written under 'tmp' surface as 'score'
+    df = snapshot_read(spark, p)
+    assert "score" in df.schema["meta"].dataType.fieldNames()
+    assert df.agg(F.sum("meta.score")).collect()[0][0] == sum(
+        2 * i for i in range(40)
+    )
+    # time travel still sees the old spelling
+    assert "tmp" in snapshot_read(spark, p, version=1).schema[
+        "meta"
+    ].dataType.fieldNames()
+    # appends speak the NEW logical name but files store the physical
+    # one; predicate pruning on the renamed leaf spans both eras
+    extra = _nested_drop_df(spark, 10).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.keep").alias("keep"), F.col("meta.tmp").alias("score")
+        ),
+    )
+    snapshot_write(extra, p, mode="append")
+    assert snapshot_read(spark, p).count() == 50
+    assert (
+        snapshot_read(spark, p, where=[("meta.score", "<=", 4)]).count() == 6
+    )  # 3 rows per era: ids 0..2 each
+    # container depth: items.element.x -> items.element.px (old files'
+    # bytes at x resolve under px)
+    snapshot_rename_column(p, "items.element.x", "px")
+    got = (
+        snapshot_read(spark, p)
+        .select(F.explode("items").alias("e"))
+        .agg(F.sum("e.px").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == sum(range(40)) + sum(range(10))
+    # SQL-face form
+    snapshot_sql(
+        spark, "ALTER TABLE t RENAME COLUMN meta.score TO sc2", {"t": p}
+    )
+    assert "sc2" in snapshot_read(spark, p).schema["meta"].dataType.fieldNames()
+
+
+def test_rename_nested_refusals(spark, tmp_path):
+    """Moves, sibling collisions, container-step grammar words, and
+    constrained fields refuse; a top-level rename TO a dotted name
+    keeps the illegal-name creation message."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_add_constraint,
+        snapshot_rename_column,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark), p)
+    with pytest.raises(ValueError, match="never MOVES"):
+        snapshot_rename_column(p, "meta.tmp", "items.tmp")
+    with pytest.raises(ValueError, match="already has a field"):
+        snapshot_rename_column(p, "meta.tmp", "KEEP")  # case-insensitive
+    with pytest.raises(ValueError, match="container STEP"):
+        snapshot_rename_column(p, "meta.tmp", "element")
+    with pytest.raises(ValueError, match="map KEYS"):
+        snapshot_rename_column(p, "mp.key", "q")
+    with pytest.raises(ValueError, match="the element IS the list's"):
+        snapshot_rename_column(p, "items.element", "q")
     with pytest.raises(ValueError, match="may not contain"):
         snapshot_rename_column(p, "meta", "meta.x")
+    snapshot_add_constraint(spark, p, "c1", [("meta.tmp", ">=", 0)])
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snapshot_rename_column(p, "meta.tmp", "score")
+    # and renaming the PARENT of a constrained leaf refuses too
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snapshot_rename_column(p, "meta", "meta2")
+
+
+def test_rename_nested_drop_readd_lifecycle(spark, tmp_path):
+    """rename -> drop -> re-add: the tombstone carries the PHYSICAL
+    spelling, so re-adding the OLD spelling refuses (bytes live there)
+    while the dropped LOGICAL name is free again under a fresh
+    physical spelling that null-fills."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_add_columns,
+        snapshot_compact,
+        snapshot_drop_column,
+        snapshot_rename_column,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(_nested_drop_df(spark), p)
+    snapshot_rename_column(p, "meta.tmp", "meta.score")
+    v = snapshot_drop_column(p, "meta.score")
+    m = _read_manifest(p, v)
+    assert m["nested_tombstones"] == ["meta.tmp"]  # physical identity
+    assert not (m["column_mapping"].get("nested") or {})  # entry cleaned
+    # the old PHYSICAL spelling is tombstoned (bytes live in old files)
+    with pytest.raises(ValueError, match="resurrect"):
+        snapshot_add_columns(p, "meta.tmp double")
+    # renaming another field ONTO the tombstoned spelling refuses too
+    with pytest.raises(ValueError, match="DROPPED at that path"):
+        snapshot_rename_column(p, "meta.keep", "tmp")
+    # the dropped LOGICAL name re-adds under a fresh spelling: NULLs
+    snapshot_add_columns(p, "meta.score double")
+    df = snapshot_read(spark, p)
+    assert df.where(F.col("meta.score").isNotNull()).count() == 0
+    assert df.count() == 40
+    # adding the CURRENT logical spelling of a renamed sibling is the
+    # live-name collision; adding its PHYSICAL spelling is the rename
+    # guard — exercise the latter on a fresh rename
+    snapshot_rename_column(p, "meta.keep", "meta.kept")
+    with pytest.raises(ValueError, match="RENAMED away"):
+        snapshot_add_columns(p, "meta.keep double")
+    # full compact rewrites every file -> tombstone AND mapping reset
+    head = snapshot_compact(spark, p)
+    m = _read_manifest(p, head)
+    assert not m.get("nested_tombstones")
+    snapshot_add_columns(p, "meta.keep double")  # spelling free again
+    assert snapshot_read(spark, p).count() == 40

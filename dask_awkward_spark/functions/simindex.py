@@ -181,6 +181,36 @@ def ivf_centroids(
     return None if raw is None else json.loads(raw)
 
 
+#: columns the index machinery owns — metadata payload may not shadow
+#: them (searches select them by name; a collision would rank on
+#: user data or scan the wrong bytes)
+_INDEX_RESERVED = ("vec_id", "cell", "e", "q", "scale", "pqc", "norm")
+
+
+def _check_search_where(where: "list[tuple] | None") -> "list[tuple]":
+    """Validate a hybrid-search filter: the snapshot layer's triple
+    grammar, over metadata columns only — predicates on the index's
+    own ranking/tier columns are refused (filtering on ``cell`` would
+    silently fight probe pruning; ``e``/``q``/``pqc``/``norm``/
+    ``scale`` are internal representations). ``vec_id`` is legal (an
+    id-scoped search is a real hybrid query)."""
+    if not where:
+        return []
+    from ..sources.snapshot import _check_where
+
+    _check_where(where)
+    bad = sorted(
+        {c for c, _, _ in where if c in _INDEX_RESERVED and c != "vec_id"}
+    )
+    if bad:
+        raise ValueError(
+            f"where= may not predicate on the index's internal columns "
+            f"{bad}: filters apply to metadata columns ingested via "
+            "ivf_index_add(meta_cols=...) (or vec_id)"
+        )
+    return list(where)
+
+
 def _index_row_cols(
     centroids,
     id_col: str,
@@ -188,18 +218,30 @@ def _index_row_cols(
     quantized: bool = False,
     pq_codebook=None,
     pq_spec=None,
+    meta_cols: "list[str] | None" = None,
 ):
     """The index row projection — one definition shared by batch ingest
     and the streaming sink, so a streamed index is column-identical to
     a batch build by construction (pure per-row expressions: fully
-    streaming-compatible, no shuffle)."""
+    streaming-compatible, no shuffle). ``meta_cols`` carries payload
+    metadata columns (lang, quality, ...) into the index rows verbatim
+    — the columns hybrid filtered search (``ivf_search(where=...)``)
+    predicates against; they ride the same cell-partitioned files, so
+    a filter prunes exactly like the index's own columns."""
     from .pq import pq_encode
 
+    bad = [c for c in (meta_cols or []) if c in _INDEX_RESERVED]
+    if bad:
+        raise ValueError(
+            f"meta_cols {bad} collide with the index's own columns "
+            f"{_INDEX_RESERVED}; rename them in the source frame"
+        )
     cols = [
         F.col(id_col).alias("vec_id"),
         ivf_cell(F.col(e_col), centroids).alias("cell"),
         F.col(e_col).cast("array<double>").alias("e"),
     ]
+    cols += [F.col(c) for c in (meta_cols or [])]
     if quantized:
         q, scale = quantize_int8(F.col(e_col).cast("array<double>"))
         cols.append(F.transform(q, lambda v: v.cast("tinyint")).alias("q"))
@@ -229,6 +271,7 @@ def ivf_index_add(
     e_col: str = "e",
     quantized: bool = False,
     pq_codebook: "list | None" = None,
+    meta_cols: "list[str] | None" = None,
 ) -> int:
     """One incremental ingest step: assign cells to the delta's vectors
     and append ``(id, cell, e)`` to the snapshot-table index in one
@@ -258,7 +301,16 @@ def ivf_index_add(
     (or rebuild under :func:`ivf_retrain`, which carries codes as-is
     since they are per-row properties of ``e``), and searches need no
     codebook argument. Mutually exclusive with ``quantized=True`` —
-    they are alternative ranking tiers."""
+    they are alternative ranking tiers.
+
+    ``meta_cols=`` carries payload metadata columns (lang, quality,
+    license, ...) from ``new_vecs`` into the index rows verbatim — the
+    columns hybrid filtered search predicates against
+    (``ivf_search(where=...)`` / ``ANN SEARCH ... WHERE``). They ride
+    the same cell-partitioned files, so the filter applies INSIDE the
+    cell-pruned candidate scan (round 12). Sticky like every other
+    index column: later ingests must carry the same columns (the
+    snapshot layer's append schema check enforces it)."""
     import json
 
     from ..sources.snapshot import snapshot_write
@@ -337,7 +389,10 @@ def ivf_index_add(
             "pq_codebook= with the original codebook on every ingest"
         )
     rows = new_vecs.select(
-        *_index_row_cols(centroids, id_col, e_col, quantized, pq_codebook, pq_spec)
+        *_index_row_cols(
+            centroids, id_col, e_col, quantized, pq_codebook, pq_spec,
+            meta_cols=meta_cols,
+        )
     )
     # centroid identity (round 11): cells were just assigned under
     # `centroids`, so the index's persisted quantizer must agree or the
@@ -806,9 +861,22 @@ def ivf_search(
     rescore_k: "int | None" = None,
     batch: "bool | None" = None,
     version: "int | None" = None,
+    where: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Top-``k`` cosine neighbors per query vector, probing each query's
     best ``nprobe`` cells only.
+
+    ``where=`` (round 12 — hybrid filtered search) is a list of ANDed
+    ``(column, op, value)`` triples over the index's METADATA columns
+    (ingested via ``ivf_index_add(meta_cols=...)``; ``vec_id`` works
+    too): the filter applies INSIDE the cell-pruned candidate scan,
+    BEFORE ranking, so the k-contract is "top-k among rows passing the
+    filter" — exact at full rescore, never an over-fetch-and-post-filter
+    that under-fills k. Because the triples are the snapshot layer's
+    own predicate vocabulary, they prune FILES inside the probed cells
+    too (stats/bloom skipping composes with cell pruning). Predicates
+    on the index's ranking columns (``e``/``q``/``pqc``/...) are
+    refused — they are internal tiers, not payload.
 
     Two plan shapes, picked by the query-side row count (``batch=None``,
     the default, gates at ``IVF_COLLECT_MAX_QUERY_ROWS`` via a bounded
@@ -886,6 +954,7 @@ def ivf_search(
             "fewer exact-tier survivors than requested neighbors "
             "would silently truncate the result"
         )
+    where = _check_search_where(where)
     if batch is None:
         n = queries.limit(IVF_COLLECT_MAX_QUERY_ROWS + 1).count()
         if n == 0:
@@ -894,7 +963,7 @@ def ivf_search(
     if batch:
         return _ivf_search_batch(
             spark, index_path, queries, centroids, k, nprobe,
-            id_col, e_col, exclude_self, rk_n, version,
+            id_col, e_col, exclude_self, rk_n, version, where,
         )
     qrows = queries.select(
         F.col(id_col).alias("q_id"),
@@ -904,8 +973,13 @@ def ivf_search(
     if not qrows:
         raise ValueError("queries frame is empty")
     probe_cells = sorted({int(c) for r in qrows for c in r.cells})
+    # the hybrid filter lands HERE — inside the cell-pruned scan,
+    # before any ranking tier: every candidate already passes it, so
+    # top-k-among-filtered is exact at full rescore, and the triples
+    # prune files inside the probed cells too
     idx = snapshot_read(
-        spark, index_path, version=version, where=[("cell", "in", probe_cells)]
+        spark, index_path, version=version,
+        where=[("cell", "in", probe_cells)] + where,
     )
     # q_id keeps the caller's id type (string/uuid ids are as legal here
     # as in ivf_index_add)
@@ -1007,7 +1081,7 @@ def ivf_search(
             )
             full = snapshot_read(
                 spark, index_path, version=version,
-                where=[("cell", "in", probe_cells)],
+                where=[("cell", "in", probe_cells)] + where,
             ).select("vec_id", "cell", "e")
             cand = full.join(surv_df.join(qev, "q_id"), "vec_id")
         else:
@@ -1024,7 +1098,8 @@ def ivf_search(
                 spark,
                 index_path,
                 version=version,
-                where=[("cell", "in", probe_cells), ("vec_id", "in", ids)],
+                where=[("cell", "in", probe_cells), ("vec_id", "in", ids)]
+                + where,
             ).select("vec_id", "cell", "e")
             vid_t = idx.schema["vec_id"].dataType.simpleString()
             pairs = F.broadcast(
@@ -1068,6 +1143,7 @@ def _ivf_search_batch(
     exclude_self: bool,
     rk_n: int,
     version: "int | None" = None,
+    where: "list[tuple] | None" = None,
 ) -> DataFrame:
     """Distributed two-tier probe for BATCH query sides (VERDICT r9
     item 1): the whole search is DataFrame plans — the only driver
@@ -1100,8 +1176,12 @@ def _ivf_search_batch(
     qx = q.select("q_id", "qe", F.explode("cells").alias("cell")).withColumn(
         "cell", F.col("cell").cast("int")
     )
+    where = list(where or [])
+    # hybrid filter inside the cell-pruned scan (see ivf_search): the
+    # ranking tier only ever sees candidates that pass it
     idx = snapshot_read(
-        spark, index_path, version=version, where=[("cell", "in", probe_cells)]
+        spark, index_path, version=version,
+        where=[("cell", "in", probe_cells)] + where,
     )
     pq_cb = _load_pq_codebook(index_path) if "pqc" in idx.columns else None
     cos_q = None
@@ -1169,7 +1249,7 @@ def _ivf_search_batch(
         ).join(q.select("q_id", "qe"), "q_id")
         full = snapshot_read(
             spark, index_path, version=version,
-            where=[("cell", "in", probe_cells)],
+            where=[("cell", "in", probe_cells)] + where,
         ).select("vec_id", "cell", "e")
         cand = full.join(surv, "vec_id")
     else:

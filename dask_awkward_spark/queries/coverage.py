@@ -1590,7 +1590,9 @@ def io_snapshot_ddl(spark, sf_dir):
     rewritten, proven; later DML rewrites at the wide width, so the
     final read mixes file widths), ALTER TABLE ADD COLUMNS widens it
     metadata-only (old rows read NULL), UPDATE computes the new column
-    for one segment, RENAME COLUMN proves the mapping survives SQL DML,
+    for one segment, RENAME COLUMN proves the mapping survives SQL DML
+    (top-level AND — round 12 — a NESTED field via the physical-path
+    map, with the final read crossing files at both spellings),
     ADD CONSTRAINT + DELETE exercise enforcement and pruning, and the
     read-back is a SQL SELECT by catalog name. The DuckDB twin computes
     the same final populations from the source rows."""
@@ -1613,7 +1615,7 @@ def io_snapshot_ddl(spark, sf_dir):
         v = snapshot_sql(
             spark,
             f"CREATE TABLE t (k int, seg string, bal double, "
-            f"flags array<int>) "
+            f"flags array<int>, mt struct<v:bigint>) "
             f"TBLPROPERTIES ('stats_columns' = 'k,bal') LOCATION '{loc}'",
             cat,
         )
@@ -1622,7 +1624,8 @@ def io_snapshot_ddl(spark, sf_dir):
         snapshot_sql(
             spark,
             f"INSERT INTO t SELECT CAST(k AS INT) AS k, seg, bal, "
-            f"array(CAST(k % 100 AS INT)) AS flags FROM {view}",
+            f"array(CAST(k % 100 AS INT)) AS flags, "
+            f"named_struct('v', CAST(k % 100 AS BIGINT)) AS mt FROM {view}",
             cat,
         )
         rep = snapshot_scan_report(loc, [("k", "<", 2)])
@@ -1660,6 +1663,16 @@ def io_snapshot_ddl(spark, sf_dir):
         assert m_d["files"] == pre_files2, "nested drop must rewrite ZERO files"
         assert "scratch:struct<a:double>" in m_d["schema_ddl"], m_d["schema_ddl"]
         snapshot_sql(spark, "ALTER TABLE t DROP COLUMN scratch", cat)
+        # round-12 nested RENAME: metadata-only via the stored
+        # physical-path map (zero rewrites, proven) — files written
+        # BEFORE it keep storing 'v' while the DML below rewrites some
+        # files under the new spelling, so the final read-back crosses
+        # BOTH spellings and its mv_sum term proves old-file resolution
+        pre_files3 = list(_read_manifest(loc, _versions(loc)[-1])["files"])
+        snapshot_sql(spark, "ALTER TABLE t RENAME COLUMN mt.v TO val", cat)
+        m_r = _read_manifest(loc, _versions(loc)[-1])
+        assert m_r["files"] == pre_files3, "nested rename must rewrite ZERO files"
+        assert "mt:struct<val:bigint>" in m_r["schema_ddl"], m_r["schema_ddl"]
         st = snapshot_sql(
             spark, "UPDATE t SET bonus = bal * 0.1 WHERE seg = 'BUILDING'", cat
         )
@@ -1678,7 +1691,8 @@ def io_snapshot_ddl(spark, sf_dir):
                      AS bal_c,
                    CAST(coalesce(sum(CAST(round(bonus * 100) AS BIGINT)), 0)
                         AS BIGINT) AS bonus_c,
-                   CAST(sum(flags[0]) AS BIGINT) AS f_sum
+                   CAST(sum(flags[0]) AS BIGINT) AS f_sum,
+                   CAST(sum(mt.val) AS BIGINT) AS mv_sum
             FROM t GROUP BY seg
             """,
             cat,
@@ -1700,7 +1714,8 @@ SELECT seg, count(*) AS n,
        CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c,
        CAST(coalesce(sum(CAST(round(bonus * 100) AS BIGINT)), 0) AS BIGINT)
          AS bonus_c,
-       CAST(sum(k % 100) AS BIGINT) AS f_sum
+       CAST(sum(k % 100) AS BIGINT) AS f_sum,
+       CAST(sum(k % 100) AS BIGINT) AS mv_sum
 FROM src WHERE bal >= 0 GROUP BY seg
 """
 
@@ -2195,3 +2210,53 @@ FROM kept GROUP BY nk
 
 QUERIES["io_snapshot_txn"] = io_snapshot_txn
 ORACLES["io_snapshot_txn"] = IO_SNAPSHOT_TXN_SQL
+
+
+def io_snapshot_ann_where(spark, sf_dir):
+    """Hybrid FILTERED vector search through the SQL face (round 12,
+    VERDICT r11 item 2): the index ingests with ``meta_cols=["label"]``
+    — payload metadata riding the same cell-partitioned files — and the
+    search is ONE SQL string whose ``WHERE label IN (...)`` applies
+    INSIDE the cell-pruned candidate scan, BEFORE the quantized ranking
+    tier, so ``TOP 10`` is exactly the top 10 among rows passing the
+    filter (never an over-fetch-and-post-filter that under-fills k).
+    RESCORE past the corpus makes the exact tier total, so the result
+    hash-matches the DuckDB batch-IVF twin with the same predicate
+    ANDed into its candidate set — the only line the two twins differ
+    by IS the filter."""
+    import shutil
+
+    from ..functions.simindex import ivf_index_add
+    from ..sources.sqlface import snapshot_sql
+    from .similarity import _centroids, _emb
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{_TMP}/dakspark_annwhere_{sf_tag}_{os.getpid()}"
+    path = f"{base}/idx"
+    shutil.rmtree(base, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    try:
+        ivf_index_add(
+            path, emb.select("vec_id", "e", "label"), _centroids(),
+            quantized=True, meta_cols=["label"],
+        )
+        qe = emb.filter(F.col("vec_id") == 0).select("e").first().e
+        vlit = ", ".join(repr(float(x)) for x in qe)
+        return snapshot_sql(
+            spark,
+            f"ANN SEARCH idx QUERY ({vlit}) TOP 10 NPROBE 2 "
+            f"RESCORE 1000000 EXCLUDE 0 WHERE label IN (1, 4, 7)",
+            {"idx": path},
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _ann_where_oracle() -> str:
+    from .similarity import _ivf_sql
+
+    return _ivf_sql(extra_pred="AND a.label IN (1, 4, 7)")
+
+
+QUERIES["io_snapshot_ann_where"] = io_snapshot_ann_where
+ORACLES["io_snapshot_ann_where"] = _ann_where_oracle()

@@ -286,7 +286,11 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(extra_pred: str = "") -> str:
+    """The DuckDB batch-IVF twin. ``extra_pred`` ANDs a hybrid filter
+    into the candidate set (e.g. ``"AND a.label IN (1, 4, 7)"``) —
+    the filtered-search oracle (round 12) shares every other line, so
+    any divergence is the filter itself."""
     dots = []
     for row in _centroids():
         lit = "[" + ", ".join(str(w) for w in row) + "]"
@@ -303,11 +307,11 @@ def _ivf_sql() -> str:
     qq = dot.format(d=DIM, a="qe", b="qe")
     return f"""
 WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ), dd AS (
-  SELECT vec_id, e, {ds} AS ds FROM v
+  SELECT vec_id, label, e, {ds} AS ds FROM v
 ), assigned AS (
-  SELECT vec_id, e, CAST(list_position(ds, list_max(ds)) AS INT) AS cell, ds FROM dd
+  SELECT vec_id, label, e, CAST(list_position(ds, list_max(ds)) AS INT) AS cell, ds FROM dd
 ), q AS (
   SELECT e AS qe, cell AS c1, ds AS qds FROM assigned WHERE vec_id = 0
 ), q2 AS (
@@ -317,7 +321,7 @@ WITH v AS (
 ), cand AS (
   SELECT a.vec_id, a.cell, a.e, q2.qe
   FROM assigned a CROSS JOIN q2
-  WHERE a.vec_id <> 0 AND (a.cell = q2.c1 OR a.cell = q2.c2)
+  WHERE a.vec_id <> 0 AND (a.cell = q2.c1 OR a.cell = q2.c2) {extra_pred}
 )
 SELECT vec_id, cell, round({eq} / (sqrt({ee}) * sqrt({qq})), 6) AS cos
 FROM cand

@@ -732,18 +732,29 @@ _ANN_TAIL_RE = re.compile(
     r"(?:\s+RESCORE\s+(\d+))?"
     r"(?:\s+EXCLUDE\s+(SELF|'(?:[^']|'')*'|-?\d+))?"
     r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
-    r"\s*;?\s*$",
-    re.I,
+    r"(?:\s+WHERE\s+(.+?))?"  # hybrid filter: LAST, so its string
+    r"\s*;?\s*$",             # literals can contain anything
+    re.I | re.S,
 )
 
 
 def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     """``ANN SEARCH t QUERY (<vector literal> | SELECT ...) TOP k
-    [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] [VERSION AS OF v]`` —
-    vector similarity search as ONE SQL string against a registered
-    IVF index table (VERDICT r10 item 4: the SQL faces covered the
-    full table lifecycle, but a SQL-only consumer — the persona the
-    catalog path serves — could not issue a vector query).
+    [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] [VERSION AS OF v]
+    [WHERE <predicates>]`` — vector similarity search as ONE SQL
+    string against a registered IVF index table (VERDICT r10 item 4:
+    the SQL faces covered the full table lifecycle, but a SQL-only
+    consumer — the persona the catalog path serves — could not issue a
+    vector query).
+
+    ``WHERE`` (round 12, hybrid filtered search) takes the same
+    conjunctive predicate grammar as DELETE/UPDATE, over the index's
+    metadata columns (``ivf_index_add(meta_cols=...)``): it applies
+    INSIDE the cell-pruned candidate scan, before ranking, so ``TOP
+    k`` means "the top k among rows passing the filter" — exact at
+    full rescore, never an over-fetched post-filter that under-fills
+    k. It is the LAST clause (after the pins), so its string literals
+    never collide with the tail grammar.
 
     Two QUERY forms. A numeric literal ``QUERY (0.1, 0.2, ...)`` is
     the interactive lookup: returns ``(vec_id, cell, cos)`` best
@@ -795,13 +806,17 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         raise ValueError(
             f"cannot parse ANN SEARCH tail {sql[j:].strip()[:60]!r}: "
             "expected TOP k [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] "
-            "[VERSION AS OF v]"
+            "[VERSION AS OF v] [WHERE <predicates>]"
         )
     k = int(tm.group(1))
     nprobe = int(tm.group(2)) if tm.group(2) else 2
     rescore = int(tm.group(3)) if tm.group(3) else None
     excl, version = tm.group(4), tm.group(5)
     version = int(version) if version else None
+    # hybrid filter (round 12): the same conjunctive triple grammar
+    # the DML faces speak — applied INSIDE the cell-pruned candidate
+    # scan, so TOP k means "top k among rows passing the filter"
+    ann_where = parse_where(tm.group(6)) if tm.group(6) else None
     excl_self = excl is not None and excl.upper() == "SELF"
     head = _require_versions(path)[-1]
     m_idx = _read_manifest(path, head if version is None else version)
@@ -855,7 +870,7 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
             ivf_search(
                 spark, path, qdf, None, k=k, nprobe=nprobe,
                 exclude_self=excl_self, rescore_k=rescore,
-                version=version,
+                version=version, where=ann_where,
             )
             .orderBy("q_id", F.col("cos").desc(), "vec_id")
         )
@@ -865,15 +880,24 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
             "(QUERY (SELECT id, e FROM ...)), or EXCLUDE <id> with a "
             "vector literal"
         )
+    pieces = [x.strip() for x in inner.split(",")]
+    if pieces == [""]:
+        raise ValueError("QUERY (...) vector literal is empty")
+    if any(not x for x in pieces):
+        # an empty element is a typo ('1.0,,2.0' / trailing comma) —
+        # skipping it would silently parse a DIFFERENT element count,
+        # and a coincidental dimension match would mask it entirely
+        raise ValueError(
+            f"QUERY (...) vector literal has an empty element "
+            f"(doubled or trailing comma?): {inner[:40]!r}"
+        )
     try:
-        vec = [float(x) for x in inner.split(",") if x.strip()]
+        vec = [float(x) for x in pieces]
     except ValueError:
         raise ValueError(
             f"QUERY (...) must be a numeric vector literal or a "
             f"SELECT subquery, got {inner[:40]!r}"
         )
-    if not vec:
-        raise ValueError("QUERY (...) vector literal is empty")
     if cents and len(vec) != len(cents[0]):
         # loud at parse time — a mismatched literal would otherwise
         # surface as null cosines deep inside the probe expressions
@@ -911,7 +935,7 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         ivf_search(
             spark, path, qdf, None, k=k, nprobe=nprobe,
             exclude_self=excl is not None, rescore_k=rescore,
-            version=version,
+            version=version, where=ann_where,
         )
         .select("vec_id", "cell", "cos")
         .orderBy(F.col("cos").desc(), "vec_id")

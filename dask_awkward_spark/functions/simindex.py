@@ -773,18 +773,100 @@ def ivf_recall(
     true neighbor out of the survivor set before exact re-scoring, so
     probing everything is brute force on the APPROXIMATE scores only.
 
-    Cost note: each entry in ``nprobes`` runs its own :func:`ivf_search`
-    — the index's probed cells are RE-READ per nprobe (O(len(nprobes))
-    scans), plus one brute-force pass for the truth. A single scan at
-    max(nprobes) with per-prefix evaluation would be possible but is
-    not worth the complexity for a bounded measurement harness; size
-    ``queries`` and ``nprobes`` accordingly."""
+    Cost (round 12 — the r9-carried re-scan fix): over a FLAT index the
+    whole sweep is ONE cell-pruned scan at max(nprobes) — every
+    candidate carries its query's probe RANK, so each requested tier is
+    a window over the prefix ``rank < nprobe`` of the same candidate
+    frame (provably identical to per-tier searches: a flat search IS
+    exact cosine over the probed prefix). Quantized/PQ indexes keep one
+    :func:`ivf_search` per tier BY NECESSITY, not economy: with a fixed
+    ``rescore_k`` the exact tier's survivor set is NOT
+    prefix-decomposable — extra probed cells displace survivors before
+    re-scoring — so a shared scan would measure a different estimator
+    than the search users run. Plus one brute-force pass for ground
+    truth either way."""
     from ..sources.snapshot import snapshot_read
 
     corpus = snapshot_read(spark, index_path).select(id_col, e_col)
     truth: "dict[object, set]" = {}
     for r in knn_bruteforce(corpus, queries, k=k, id_col=id_col, e_col=e_col).collect():
         truth.setdefault(r.q_id, set()).add(r.vec_id)
+
+    def _tally(got: "dict[object, set]", np_: int) -> dict:
+        recalls = [
+            len(got.get(q, set()) & hits) / len(hits)
+            for q, hits in truth.items()
+            if hits
+        ]
+        return {
+            "nprobe": np_,
+            "k": k,
+            "n_queries": len(truth),
+            "recall_at_k": round(sum(recalls) / max(len(recalls), 1), 4),
+        }
+
+    idx_head = snapshot_read(spark, index_path)
+    flat = "q" not in idx_head.columns and "pqc" not in idx_head.columns
+    if flat:
+        mx = max(nprobes)
+        tiers = sorted(set(int(n) for n in nprobes))
+        if tiers[0] < 1 or mx > len(centroids):
+            raise ValueError(
+                f"nprobe must be in [1, {len(centroids)}], got {nprobes}"
+            )
+        if rescore_k is not None and rescore_k < k:
+            raise ValueError(
+                f"rescore_k must be >= k (got rescore_k={rescore_k}, k={k}): "
+                "fewer exact-tier survivors than requested neighbors "
+                "would silently truncate the result"
+            )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(e_col).cast("array<double>").alias("qe"),
+            _probe_cells_expr(F.col(e_col), centroids, mx).alias("cells"),
+        )
+        probe_cells = sorted(
+            int(r["cell"])
+            for r in q.select(F.explode("cells").alias("cell"))
+            .distinct()
+            .collect()
+        )
+        qx = q.select(
+            "q_id", "qe", F.posexplode("cells").alias("pr", "cell")
+        ).withColumn("cell", F.col("cell").cast("int"))
+        idx = snapshot_read(
+            spark, index_path, where=[("cell", "in", probe_cells)]
+        ).select("vec_id", "cell", "e")
+        # each candidate evaluates in every tier whose prefix covers its
+        # probe rank — one scan, |tiers| windows over shared rows
+        tier_arr = F.array(*[F.lit(t) for t in tiers])
+        cand = (
+            idx.join(qx, "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn(
+                "tier",
+                F.explode(F.filter(tier_arr, lambda t: t > F.col("pr"))),
+            )
+        )
+        cos = dot(F.col("e"), F.col("qe")) / (
+            F.sqrt(dot(F.col("e"), F.col("e")))
+            * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        )
+        w = Window.partitionBy("q_id", "tier").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+        rows = (
+            cand.select(
+                "q_id", "tier", "vec_id", F.round(cos, 6).alias("cos")
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()  # bounded: |queries| x |tiers| x k
+        )
+        by_tier: "dict[int, dict[object, set]]" = {t: {} for t in tiers}
+        for r in rows:
+            by_tier[r.tier].setdefault(r.q_id, set()).add(r.vec_id)
+        return [_tally(by_tier[int(np_)], int(np_)) for np_ in nprobes]
     out = []
     for np_ in nprobes:
         got: "dict[object, set]" = {}
@@ -794,19 +876,7 @@ def ivf_recall(
         ).collect()
         for r in rows:
             got.setdefault(r.q_id, set()).add(r.vec_id)
-        recalls = [
-            len(got.get(q, set()) & hits) / len(hits)
-            for q, hits in truth.items()
-            if hits
-        ]
-        out.append(
-            {
-                "nprobe": np_,
-                "k": k,
-                "n_queries": len(truth),
-                "recall_at_k": round(sum(recalls) / max(len(recalls), 1), 4),
-            }
-        )
+        out.append(_tally(got, np_))
     return out
 
 

@@ -1350,3 +1350,68 @@ def test_index_dml_staleness_guard(spark, tmp_path):
         where=[("lang", "=", "fr")],
     ).collect()
     assert {r.vec_id for r in got} <= {1, 2, 3, 4} and len(got) == 3
+
+
+def test_recall_single_pass_equals_per_tier_searches(spark, tmp_path):
+    """Round 12 (the r9-carried re-scan): the flat index's recall sweep
+    is ONE scan with per-prefix windows — provably identical to running
+    ivf_search once per nprobe tier."""
+    from dask_awkward_spark.functions.simindex import ivf_recall
+
+    cents = _centroids()
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, _vecs(spark, 0, 180), cents)
+    q = _vecs(spark, 0, 6)
+    got = ivf_recall(spark, p, q, cents, k=5, nprobes=(1, 2, 4, 2))
+    # reference: the per-tier estimator, computed by hand
+    import math
+
+    rows = _vecs(spark, 0, 180).collect()
+    by_id = {r.vec_id: r.e for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    def cell_order(e):
+        dots = [
+            (sum(x * y for x, y in zip(e, c)), -(i + 1))
+            for i, c in enumerate(cents)
+        ]
+        return [-c for _d, c in sorted(dots, key=lambda t: (-t[0], -t[1]))]
+
+    cells = {vid: cell_order(e)[0] for vid, e in by_id.items()}
+    truth = {}
+    for qid in range(6):
+        qe = by_id[qid]
+        scored = sorted(
+            ((-cos(by_id[v], qe), v) for v in by_id if v != qid),
+        )[:5]
+        truth[qid] = {v for _c, v in scored}
+    for ent in got:
+        np_ = ent["nprobe"]
+        recs = []
+        for qid in range(6):
+            qe = by_id[qid]
+            probed = set(cell_order(qe)[:np_])
+            scored = sorted(
+                (
+                    (-cos(by_id[v], qe), v)
+                    for v in by_id
+                    if v != qid and cells[v] in probed
+                )
+            )[:5]
+            ivf_top = {v for _c, v in scored}
+            recs.append(len(ivf_top & truth[qid]) / 5)
+        assert ent["recall_at_k"] == round(sum(recs) / len(recs), 4), ent
+    # duplicate tier entries report identically, and ordering follows
+    # the caller's nprobes tuple
+    assert [e["nprobe"] for e in got] == [1, 2, 4, 2]
+    assert got[1]["recall_at_k"] == got[3]["recall_at_k"]

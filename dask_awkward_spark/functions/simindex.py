@@ -518,14 +518,11 @@ def ivf_stream_ingest(
     Reference: no counterpart (dask-awkward has no streaming and no
     similarity ops); the lakehouse analog is Auto Loader into a
     Delta table consumed by a vector index refresh."""
-    import shutil
-    import tempfile
-
     from ..sources.snapshot import (
         SnapshotBatchReplayedError,
         SnapshotConflictError,
         _read_manifest,
-        _stream_app_id,
+        _run_stream_sink,
         _stream_batch_seen_m,
         _versions,
         snapshot_set_properties,
@@ -547,78 +544,73 @@ def ivf_stream_ingest(
         *_index_row_cols(centroids, id_col, e_col, quantized=quantized)
     )
 
-    ephemeral = checkpoint_dir is None
-    if ephemeral and not drain:
-        raise ValueError("drain=False requires a durable checkpoint_dir")
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="dakspark_ivf_ckpt_")
-    # the watermark is scoped by app_id (txnAppId pattern), default =
-    # this checkpoint: batch ids restart at 0 per checkpoint, so a
-    # later backfill stream with a new checkpoint must not be swallowed
-    # by this one's mark; pass a STABLE app_id= for lost-checkpoint
-    # recovery dedup (see stream_to_snapshot)
-    app_id = app_id or _stream_app_id(ckpt)
-
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # every commit is head-PINNED around a fresh identity check,
-        # like batch ingest: an ivf_retrain landing mid-stream must
-        # fail the stream loudly, never be rebased onto with rows
-        # celled under the stale quantizer. ONE metadata read per
-        # attempt serves the watermark check, the identity check, and
-        # the pin (r11 review: was 3 listings + 2 reads per batch)
-        while True:
-            versions = _versions(index_path)
-            head = versions[-1] if versions else 0
-            m = _read_manifest(index_path, head) if versions else {}
-            if versions and _stream_batch_seen_m(m, batch_id, app_id):
-                return  # replayed micro-batch already committed
-            raw_c = (m.get("properties") or {}).get("ivf_centroids")
-            stored = _json.loads(raw_c) if raw_c else None
-            if stored is not None and stored != want:
-                raise ValueError(
-                    f"index at {index_path} was re-quantized while this "
-                    "stream ran (ivf_retrain?): stop the stream and "
-                    "restart it under ivf_centroids(index_path)"
-                )
-            try:
-                snapshot_write(
-                    batch_df, index_path, mode="append",
-                    expect_head=head, partition_by=["cell"],
-                    stream_batch_id=batch_id, stream_app_id=app_id,
-                    properties=None if versions else want_prop,
-                    _allow_reserved_props=("ivf_centroids",),
-                )
-            except SnapshotConflictError:
-                continue  # head moved: re-check identity, retry
-            except SnapshotBatchReplayedError:
-                return  # a racing replayer landed the same batch first
-            if versions and stored is None:
-                # legacy index (pre centroid persistence): back-fill so
-                # the identity check above and SQL-face searches engage
-                # from the next batch on — PINNED to the batch we just
-                # committed, so a concurrent retrain can never be
-                # stamped over with stale centroids (r11 review)
+    def make_commit_batch(app: str):
+        # the watermark is scoped by the sink-derived app id (txnAppId
+        # pattern, default = the checkpoint): batch ids restart at 0
+        # per checkpoint, so a later backfill stream with a new
+        # checkpoint must not be swallowed by this one's mark; pass a
+        # STABLE app_id= for lost-checkpoint recovery dedup (see
+        # stream_to_snapshot)
+        def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # every commit is head-PINNED around a fresh identity
+            # check, like batch ingest: an ivf_retrain landing
+            # mid-stream must fail the stream loudly, never be rebased
+            # onto with rows celled under the stale quantizer. ONE
+            # metadata read per attempt serves the watermark check, the
+            # identity check, and the pin (r11 review: was 3 listings +
+            # 2 reads per batch)
+            while True:
+                versions = _versions(index_path)
+                head = versions[-1] if versions else 0
+                m = _read_manifest(index_path, head) if versions else {}
+                if versions and _stream_batch_seen_m(m, batch_id, app):
+                    return  # replayed micro-batch already committed
+                raw_c = (m.get("properties") or {}).get("ivf_centroids")
+                stored = _json.loads(raw_c) if raw_c else None
+                if stored is not None and stored != want:
+                    raise ValueError(
+                        f"index at {index_path} was re-quantized while "
+                        "this stream ran (ivf_retrain?): stop the "
+                        "stream and restart it under "
+                        "ivf_centroids(index_path)"
+                    )
                 try:
-                    snapshot_set_properties(
-                        index_path, want_prop, expect_head=head + 1,
+                    snapshot_write(
+                        batch_df, index_path, mode="append",
+                        expect_head=head, partition_by=["cell"],
+                        stream_batch_id=batch_id, stream_app_id=app,
+                        properties=None if versions else want_prop,
                         _allow_reserved_props=("ivf_centroids",),
                     )
                 except SnapshotConflictError:
-                    pass  # head moved: the next batch re-checks identity
-            return
+                    continue  # head moved: re-check identity, retry
+                except SnapshotBatchReplayedError:
+                    return  # a racing replayer landed the same batch
+                if versions and stored is None:
+                    # legacy index (pre centroid persistence): back-fill
+                    # so the identity check above and SQL-face searches
+                    # engage from the next batch on — PINNED to the
+                    # batch we just committed, so a concurrent retrain
+                    # can never be stamped over with stale centroids
+                    # (r11 review)
+                    try:
+                        snapshot_set_properties(
+                            index_path, want_prop, expect_head=head + 1,
+                            _allow_reserved_props=("ivf_centroids",),
+                        )
+                    except SnapshotConflictError:
+                        pass  # head moved: the next batch re-checks
+                return
 
-    q = (
-        rows.writeStream.foreachBatch(commit_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
+        return commit_batch
+
+    # ADVICE r11: the sink lifecycle (ephemeral checkpoint, app-id
+    # derivation, start/drain/stop) is _run_stream_sink's — the
+    # duplication the helper was extracted to remove is gone
+    return _run_stream_sink(
+        rows, make_commit_batch, checkpoint_dir, drain,
+        "dakspark_ivf_ckpt_", app_id=app_id,
     )
-    if not drain:
-        return q
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        if ephemeral:
-            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def ivf_retrain(

@@ -6954,13 +6954,18 @@ def _stream_app_id(checkpoint_dir: str) -> str:
     every new (or ephemeral) one. URI locations (s3://, hdfs://) hash
     verbatim — abspath would splice them onto the driver's cwd and the
     'stable across restarts' guarantee would depend on the working
-    directory."""
+    directory. sha256-derived (ADVICE r11): the id is non-cryptographic,
+    but md5 raises on FIPS-enforced Python builds unless explicitly
+    flagged — sha256[:16] keeps streaming ingest alive there. (Existing
+    tables are unaffected: the app id only namespaces NEW marks, and a
+    restart re-deriving a different id would at worst replay into the
+    exactly-once guard's per-app map, never lose rows.)"""
     import hashlib
 
     p = checkpoint_dir
     if "://" not in p:
         p = os.path.abspath(p)
-    return hashlib.md5(p.encode()).hexdigest()[:16]
+    return hashlib.sha256(p.encode()).hexdigest()[:16]
 
 
 #: Max DISTINCT streaming apps whose watermarks a manifest retains

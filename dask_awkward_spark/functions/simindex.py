@@ -199,8 +199,15 @@ def _check_search_where(where: "list[tuple] | None") -> "list[tuple]":
     from ..sources.snapshot import _check_where
 
     _check_where(where)
+    # case-INSENSITIVE, like every resolution face: Spark would resolve
+    # a predicate on "CELL" to the internal cell column and silently
+    # fight probe pruning if the refusal matched exact-case only
     bad = sorted(
-        {c for c, _, _ in where if c in _INDEX_RESERVED and c != "vec_id"}
+        {
+            c
+            for c, _, _ in where
+            if c.lower() in _INDEX_RESERVED and c.lower() != "vec_id"
+        }
     )
     if bad:
         raise ValueError(
@@ -230,7 +237,7 @@ def _index_row_cols(
     a filter prunes exactly like the index's own columns."""
     from .pq import pq_encode
 
-    bad = [c for c in (meta_cols or []) if c in _INDEX_RESERVED]
+    bad = [c for c in (meta_cols or []) if c.lower() in _INDEX_RESERVED]
     if bad:
         raise ValueError(
             f"meta_cols {bad} collide with the index's own columns "
@@ -433,6 +440,7 @@ def ivf_index_add(
                         rows, index_path, mode="append", expect_head=0,
                         partition_by=["cell"], properties=want_prop,
                         _allow_reserved_props=("ivf_centroids",),
+                        _allow_index_write=True,
                     )
                 except SnapshotConflictError:
                     continue  # a rival created the index first: re-read
@@ -440,7 +448,7 @@ def ivf_index_add(
             try:
                 v = snapshot_write(
                     rows, index_path, mode="append", expect_head=head,
-                    partition_by=["cell"],
+                    partition_by=["cell"], _allow_index_write=True,
                 )
             except SnapshotConflictError:
                 continue  # head moved (maybe a retrain): re-check identity
@@ -581,6 +589,7 @@ def ivf_stream_ingest(
                         stream_batch_id=batch_id, stream_app_id=app,
                         properties=None if versions else want_prop,
                         _allow_reserved_props=("ivf_centroids",),
+                        _allow_index_write=True,
                     )
                 except SnapshotConflictError:
                     continue  # head moved: re-check identity, retry
@@ -692,6 +701,7 @@ def ivf_retrain(
                 rows, index_path, mode="overwrite", expect_head=head,
                 partition_by=["cell"], properties=props,
                 _allow_reserved_props=("ivf_centroids",),
+                _allow_index_write=True,
             )
         except SnapshotConflictError:
             continue  # a rival moved the head: re-read corpus + props

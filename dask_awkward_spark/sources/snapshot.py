@@ -122,8 +122,12 @@ def _manifest_dir(path: str) -> str:
 #
 # Multi-table scripts (round 12, VERDICT r11 item 6) publish through a
 # TXN JOURNAL — two-phase, all-or-nothing across tables:
-#   1. each table's exact to-be-published bytes land as a
-#      ``.tmp-pending-v*-{txn}.json`` beside its log;
+#   1. each table's exact to-be-published bytes are CLAIMED at the
+#      deterministic name ``.tmp-pending-v{n}.json`` beside its log via
+#      atomic create-if-absent — at most ONE transaction can ever hold
+#      a slot, so two overlapping multi-table transactions serialize
+#      per table-version here (the loser aborts the holder's UNDECIDED
+#      journal or completes its committed one, then conflicts cleanly);
 #   2. ONE atomic create of ``txn-journal-{txn}.json`` (in the FIRST
 #      table's log dir) is the commit point for the WHOLE transaction —
 #      a rival writer needing one of the staged slots races for the
@@ -135,12 +139,12 @@ def _manifest_dir(path: str) -> str:
 #      (_commit_manifest) from the journal, and a crash before the
 #      journal is DISCARDED (pendings are inert without it; vacuum's
 #      tmp sweep ages them out).
-# Residual (documented, detected, never silent): a rival writer whose
-# pending-scan -> CAS gap straddles steps 1-2 can claim a staged slot
-# after the journal commits; promotion then finds foreign bytes and
-# raises naming the torn table (the journal is kept for forensics).
-# The window is microseconds and requires losing BOTH races; Delta
-# offers no multi-table transactions at all.
+# Residual (documented, detected, never silent): a SINGLE-commit rival
+# whose pending-existence-check -> CAS gap straddles steps 1-2 can
+# claim a staged slot after the journal commits; promotion then finds
+# foreign bytes and raises naming the torn table (the journal is kept
+# for forensics). The window is microseconds and requires losing BOTH
+# races; Delta offers no multi-table transactions at all.
 
 import threading as _threading
 
@@ -176,12 +180,17 @@ def _txn_cleanup(staged: dict, txn_id: str) -> None:
                 pass  # forensic copies; vacuum's tmp sweep is the backstop
 
 
-_TXN_PENDING_RE = re.compile(r"^\.tmp-pending-v(\d{8})-([0-9a-f]{12})\.json$")
+_TXN_PENDING_RE = re.compile(r"^\.tmp-pending-v(\d{8})\.json$")
 
 
-def _txn_pending_file(path: str, version: int, txn_id: str) -> str:
+def _txn_pending_file(path: str, version: int) -> str:
+    # DETERMINISTIC per (table, version) — the pending file doubles as
+    # the slot CLAIM (created via put_if_absent), so two overlapping
+    # multi-table transactions can never both stage the same slot, and
+    # every real commit can check for one with a single exists() probe
+    # instead of a directory listing (code-review r12, findings 1+8)
     return os.path.join(
-        _manifest_dir(path), f".tmp-pending-v{version:08d}-{txn_id}.json"
+        _manifest_dir(path), f".tmp-pending-v{version:08d}.json"
     )
 
 
@@ -190,10 +199,15 @@ def _txn_journal_file(coord: str, txn_id: str) -> str:
 
 
 def _read_small_json(p: str) -> "dict | None":
+    """None means ABSENT, nothing else: a transient I/O error must
+    propagate — recovery paths make delete-or-promote decisions on
+    this answer, and reading a flaky 500 as 'file gone' would discard
+    a committed transaction's bytes (code-review r12, finding 2)."""
     try:
-        return json.loads(_fs().read_bytes(p).decode("utf-8"))
-    except Exception:
+        data = _fs().read_bytes(p)
+    except FileNotFoundError:
         return None
+    return json.loads(data.decode("utf-8"))
 
 
 def _txn_complete(j: dict, txn_id: str) -> None:
@@ -203,17 +217,21 @@ def _txn_complete(j: dict, txn_id: str) -> None:
     the exact staged bytes), GC the pendings, and drop the journal once
     every entry is visible."""
     for ap, v in j.get("entries") or []:
-        pf = _txn_pending_file(ap, v, txn_id)
+        pf = _txn_pending_file(ap, v)
         pend = _read_small_json(pf)
-        if pend is not None:
-            _COMMIT_BACKEND.put_if_absent(
+        if pend is not None and pend.get("txn_id") == txn_id:
+            payload = pend["payload"]
+            if _COMMIT_BACKEND.put_if_absent(
                 _manifest_file(ap, v),
-                json.dumps(pend["payload"], indent=1).encode(),
-            )
-        try:
-            _fs().delete(pf)
-        except Exception:
-            pass
+                json.dumps(payload, indent=1).encode(),
+            ) and "delta_of" not in payload:
+                # recovered checkpoint commits get their stats sidecar
+                # too (pyarrow-only, best-effort like the direct path)
+                _write_ckpt_parquet(ap, v, payload)
+            try:
+                _fs().delete(pf)
+            except Exception:
+                pass
     if all(
         _fs().exists(_manifest_file(ap, v))
         for ap, v in (j.get("entries") or [])
@@ -226,43 +244,36 @@ def _txn_complete(j: dict, txn_id: str) -> None:
 
 def _txn_block_or_help(path: str, version: int) -> None:
     """Called by every REAL commit before its CAS: if a journaled
-    transaction staged a pending manifest at (path, version), decide
-    its fate first. Journal committed -> complete the whole
-    transaction (our caller's CAS then loses and retries at the next
-    version — no lost update either way). Journal absent -> claim the
-    decision ourselves by atomically creating it with
-    ``status=aborted`` (exactly one of commit/abort can ever win the
-    create) and GC the pending. Journal aborted -> GC the pending."""
-    d = _manifest_dir(path)
-    try:
-        names = _fs().list_dir(d)
-    except FileNotFoundError:
+    transaction holds the (path, version) slot claim, decide its fate
+    first. Journal committed -> complete the whole transaction (our
+    caller's CAS then loses and retries at the next version — no lost
+    update either way). Journal absent -> claim the decision ourselves
+    by atomically creating it with ``status=aborted`` (exactly one of
+    commit/abort can ever win the create) and GC the pending. Journal
+    aborted -> GC the pending. One exists() probe when no transaction
+    is in flight — never a directory listing."""
+    pf = _txn_pending_file(path, version)
+    pend = _read_small_json(pf)
+    if pend is None:
         return
-    for name in names:
-        mm = _TXN_PENDING_RE.match(name)
-        if not mm or int(mm.group(1)) != version:
-            continue
-        pend = _read_small_json(os.path.join(d, name))
-        if pend is None:
-            continue  # torn/garbage pending: the CAS itself arbitrates
-        txn_id = pend["txn_id"]
-        jf = _txn_journal_file(pend["coordinator"], txn_id)
-        j = _read_small_json(jf)
-        if j is None:
-            abort = json.dumps(
-                {"status": "aborted", "coordinator": pend["coordinator"]}
-            ).encode()
-            if _COMMIT_BACKEND.put_if_absent(jf, abort):
-                j = {"status": "aborted"}
-            else:
-                j = _read_small_json(jf)  # we lost: coordinator committed
-        if j and j.get("status") == "committed":
-            _txn_complete(j, txn_id)
+    txn_id = pend["txn_id"]
+    jf = _txn_journal_file(pend["coordinator"], txn_id)
+    j = _read_small_json(jf)
+    if j is None:
+        abort = json.dumps(
+            {"status": "aborted", "coordinator": pend["coordinator"]}
+        ).encode()
+        if _COMMIT_BACKEND.put_if_absent(jf, abort):
+            j = {"status": "aborted"}
         else:
-            try:
-                _fs().delete(os.path.join(d, name))
-            except Exception:
-                pass
+            j = _read_small_json(jf)  # we lost: coordinator committed
+    if j and j.get("status") == "committed":
+        _txn_complete(j, txn_id)
+    else:
+        try:
+            _fs().delete(pf)
+        except Exception:
+            pass
 
 
 def _txn_publish(staged: dict) -> "list[str]":
@@ -324,26 +335,44 @@ def _txn_publish(staged: dict) -> "list[str]":
         ap: _encode_manifest(out, parent_m) for ap, _v, out, parent_m in plan
     }
 
+    claimed: "list[tuple[str, int]]" = []
+
     def _discard():
-        for ap_, v_, _o, _p in plan:
+        for ap_, v_ in claimed:
             try:
-                _fs().delete(_txn_pending_file(ap_, v_, txn_id))
+                _fs().delete(_txn_pending_file(ap_, v_))
             except Exception:
                 pass
 
-    # phase 1: stage each table's exact to-be-published bytes
+    # phase 1: CLAIM each table's slot with its exact to-be-published
+    # bytes — the deterministic pending name is the mutual exclusion
+    # between overlapping multi-table transactions (finding 1): a taken
+    # slot gets ONE block-or-help resolution (abort an undecided rival,
+    # complete a committed one), then one retry, then a clean conflict
     for ap, v, out, parent_m in plan:
-        _fs().put_atomic(
-            _txn_pending_file(ap, v, txn_id),
-            json.dumps(
-                {
-                    "coordinator": coord,
-                    "txn_id": txn_id,
-                    "payload": payloads[ap],
-                },
-                indent=1,
-            ).encode(),
-        )
+        pend_data = json.dumps(
+            {
+                "coordinator": coord,
+                "txn_id": txn_id,
+                "payload": payloads[ap],
+            },
+            indent=1,
+        ).encode()
+        pf = _txn_pending_file(ap, v)
+        won = _COMMIT_BACKEND.put_if_absent(pf, pend_data)
+        if not won:
+            _txn_block_or_help(ap, v)
+            won = not _fs().exists(
+                _manifest_file(ap, v)
+            ) and _COMMIT_BACKEND.put_if_absent(pf, pend_data)
+        if not won:
+            _discard()
+            raise _conflict(
+                ap,
+                f"another transaction holds the v{v} slot (or the table "
+                "moved) while staging",
+            )
+        claimed.append((ap, v))
     # re-verify every slot is still free — narrows the residual window
     # to the journal create itself
     for ap, v, _out, _pm in plan:
@@ -389,7 +418,7 @@ def _txn_publish(staged: dict) -> "list[str]":
             # else: a helper completed this promotion first — fine
         published.append(f"{ap} -> v{v}")
         try:
-            _fs().delete(_txn_pending_file(ap, v, txn_id))
+            _fs().delete(_txn_pending_file(ap, v))
         except Exception:
             pass
     try:
@@ -1799,9 +1828,8 @@ def _phys_path(
     mapping layers compose — tombstones, stats keys, and predicate
     translation all route through here so they can never disagree."""
     segs = dotted.split(".")
-    pmap = pmap or {}
-    low = {k.lower(): v for k, v in pmap.items()}
-    out = [low.get(segs[0].lower(), pmap.get(segs[0], segs[0]))]
+    low = {k.lower(): v for k, v in (pmap or {}).items()}
+    out = [low.get(segs[0].lower(), segs[0])]
     for s in segs[1:]:
         out.append(_nested_phys_leaf(nested or {}, ".".join(out), s))
     return ".".join(out)
@@ -2041,6 +2069,7 @@ def snapshot_write(
     _validate_constraints: bool = True,
     _reset_constraints: bool = False,
     _allow_reserved_props: "tuple[str, ...]" = (),
+    _allow_index_write: bool = False,
 ) -> int:
     """Commit ``data`` (a DataFrame or NestedArray) as a new version
     of the snapshot table at ``path``.
@@ -2121,6 +2150,15 @@ def snapshot_write(
     # unless respecified) — but an append may not CHANGE it
     pre = _versions(path)
     pre_m = _read_manifest(path, pre[-1]) if pre else {}
+    if not _allow_index_write:
+        # raw appends/overwrites on an IVF index table write
+        # caller-supplied derived columns (cell/q/pqc/norm) the search
+        # would silently trust — same staleness class as UPDATE/MERGE
+        # (code-review r12); the ivf_* ingest/retrain faces and the
+        # row-preserving compact set the bypass
+        _refuse_index_dml(
+            pre_m, None, f"{mode} (raw write) to"
+        )
     head_pb = pre_m.get("partition_by") or []
     if partition_by is None:
         eff_pb = head_pb
@@ -3479,14 +3517,11 @@ def snapshot_rename_column(
     under ``delta.columnMapping.mode=name``."""
     if old == new:
         raise ValueError("old and new name are identical")
-    if "." not in old and "." in new:
-        # renaming a top-level column TO a dotted name is not a nested
-        # rename — it is an illegal name (dotted names ARE the
-        # struct-leaf predicate grammar; creating one would wedge every
-        # later append). Keep the creation-time refusal message.
-        _reject_reserved_column(new)
     if "." in old:
         return _rename_nested_column(path, old, new, expect_head)
+    # a top-level rename TO a dotted name is not a nested rename — it
+    # is an illegal name, refused by the reserved-name check below
+    # with the same message the creation path raises
     _reject_reserved_column(new)
     while True:
         head = _require_versions(path)[-1]
@@ -5346,9 +5381,11 @@ def snapshot_compact(
         try:
             # a compact rewrites rows every prior commit already
             # validated — skip re-running CHECK constraints over 100 TB
+            # (row-preserving: derived index columns carry verbatim, so
+            # the index-table write guard does not apply)
             return snapshot_write(
                 out, path, mode="overwrite", expect_head=head,
-                _validate_constraints=False,
+                _validate_constraints=False, _allow_index_write=True,
             )
         except SnapshotConflictError:
             continue  # an append landed mid-compact: redo against the new head
@@ -5841,10 +5878,11 @@ def _refuse_index_dml(m: dict, cols, action: str) -> None:
     property is an IVF index whose ``cell``/``q``/``pqc``/``norm``
     columns are derived from ``e`` under that quantizer. The ingest and
     retrain faces enforce centroid identity
-    (functions/simindex.py:ivf_index_add); this closes the raw-DML
+    (functions/simindex.py:ivf_index_add); this closes the raw-write
     side: UPDATE/MERGE writing a derived column (``cols=None`` = every
-    column — full-row update or any insert family) refuses with the
-    working recipes. Metadata-column DML (quality, lang, ...) and
+    column — full-row update, any insert family, or a raw
+    append/overwrite through snapshot_write / SQL INSERT) refuses with
+    the working recipes. Metadata-column DML (quality, lang, ...) and
     DELETE pass — they can never stale a code."""
     if not (m.get("properties") or {}).get("ivf_centroids"):
         return
@@ -6954,18 +6992,18 @@ def _stream_app_id(checkpoint_dir: str) -> str:
     every new (or ephemeral) one. URI locations (s3://, hdfs://) hash
     verbatim — abspath would splice them onto the driver's cwd and the
     'stable across restarts' guarantee would depend on the working
-    directory. sha256-derived (ADVICE r11): the id is non-cryptographic,
-    but md5 raises on FIPS-enforced Python builds unless explicitly
-    flagged — sha256[:16] keeps streaming ingest alive there. (Existing
-    tables are unaffected: the app id only namespaces NEW marks, and a
-    restart re-deriving a different id would at worst replay into the
-    exactly-once guard's per-app map, never lose rows.)"""
+    directory. md5 is flagged non-cryptographic (ADVICE r11: plain md5
+    raises on FIPS-enforced Python builds) rather than swapped for
+    sha256 — the derived id namespaces PERSISTED watermarks, so
+    changing the hash would shift every existing durable checkpoint's
+    app id and let the first post-upgrade replay slip past its mark
+    (a double-append, the exact bug the watermark exists to stop)."""
     import hashlib
 
     p = checkpoint_dir
     if "://" not in p:
         p = os.path.abspath(p)
-    return hashlib.sha256(p.encode()).hexdigest()[:16]
+    return hashlib.md5(p.encode(), usedforsecurity=False).hexdigest()[:16]
 
 
 #: Max DISTINCT streaming apps whose watermarks a manifest retains

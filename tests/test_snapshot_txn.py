@@ -703,3 +703,98 @@ def test_vacuum_completes_then_sweeps_txn_leftovers(
     assert _versions(lagging)[-1] == 2
     assert snapshot_read(spark, lagging).count() == (10 if lagging == pa else 14)
     assert glob.glob(os.path.join(lagging, "_manifests", ".tmp-pending-*")) == []
+
+
+def test_two_multi_table_txns_sharing_a_table_serialize(spark, tmp_path):
+    """Code-review r12 finding 1: the pending file IS the slot claim —
+    a second multi-table transaction staging the same (table, version)
+    cannot pass its commit point; exactly one publishes, the other
+    conflicts with nothing applied anywhere."""
+    import threading
+
+    pa, pb, pc = (str(tmp_path / n) for n in ("a", "b", "c"))
+    for p, n in ((pa, 3), (pb, 4), (pc, 5)):
+        snapshot_write(spark.range(n), p)
+    results = {}
+
+    def run(tag, tables, lo):
+        try:
+            with snapshot_txn():
+                for t in tables:
+                    snapshot_write(
+                        spark.range(lo, lo + 2), t, mode="append"
+                    )
+            results[tag] = "ok"
+        except (SnapshotConflictError, RuntimeError) as e:
+            results[tag] = f"conflict: {e}"
+
+    barrier = threading.Barrier(2)
+
+    def sync_run(tag, tables, lo):
+        barrier.wait()
+        run(tag, tables, lo)
+
+    t1 = threading.Thread(target=sync_run, args=("A", [pa, pb], 100))
+    t2 = threading.Thread(target=sync_run, args=("B", [pb, pc], 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    # at least one committed; a loser applied NOTHING anywhere
+    n_a = snapshot_read(spark, pa).count()
+    n_b = snapshot_read(spark, pb).count()
+    n_c = snapshot_read(spark, pc).count()
+    a_ok = results["A"] == "ok"
+    b_ok = results["B"] == "ok"
+    assert n_a == 3 + (2 if a_ok else 0)
+    assert n_b == 4 + (2 if a_ok else 0) + (2 if b_ok else 0)
+    assert n_c == 5 + (2 if b_ok else 0)
+    for p in (pa, pb, pc):
+        assert glob.glob(os.path.join(p, "_manifests", ".tmp-pending-*")) == []
+
+
+def test_index_table_refuses_raw_writes(spark, tmp_path):
+    """Code-review r12 finding 3: raw appends/overwrites (snapshot_write
+    or SQL INSERT INTO) on an index table refuse like UPDATE/MERGE —
+    the sanctioned paths (ivf ingest/retrain, compact) still work."""
+    from dask_awkward_spark.functions.simindex import (
+        ivf_index_add,
+        ivf_search,
+    )
+    from dask_awkward_spark.sources.snapshot import snapshot_compact
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    import hashlib
+
+    def cents():
+        out = []
+        for j in range(4):
+            out.append([
+                1.0 if hashlib.md5(f"t{j}_{d}".encode()).hexdigest()[0]
+                in "89abcdef" else -1.0
+                for d in range(8)
+            ])
+        return out
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda d: F.sin(F.col("id") * 0.7 + d * 1.3),
+        ).alias("e"),
+    )
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, vecs, cents())
+    bad = snapshot_read(spark, p).limit(1)
+    with pytest.raises(ValueError, match="stale"):
+        snapshot_write(bad, p, mode="append")
+    with pytest.raises(ValueError, match="stale"):
+        snapshot_write(bad, p, mode="overwrite")
+    with pytest.raises(ValueError, match="stale"):
+        snapshot_sql(
+            spark,
+            "INSERT INTO idx VALUES (999, 1, array(1.0))",
+            {"idx": p},
+        )
+    # sanctioned paths still work end to end
+    ivf_index_add(p, vecs.withColumn("vec_id", F.col("vec_id") + 100), cents())
+    snapshot_compact(spark, p)
+    got = ivf_search(spark, p, vecs.limit(1), cents(), k=3, nprobe=4)
+    assert got.count() == 3

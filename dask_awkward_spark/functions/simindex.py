@@ -492,6 +492,7 @@ def ivf_stream_ingest(
     e_col: str = "e",
     quantized: bool = False,
     app_id: "str | None" = None,
+    meta_cols: "list[str] | None" = None,
 ):
     """EXACTLY-ONCE streaming ingest into an IVF index: the continuous
     twin of :func:`ivf_index_add` for an embedding stream (the
@@ -548,8 +549,15 @@ def ivf_stream_ingest(
     import json as _json
 
     want_prop = {"ivf_centroids": _json.dumps(want)}
+    # meta_cols: payload metadata rides the stream too (pure per-row
+    # projection, still shuffle-free), so a STREAMED index supports
+    # hybrid filtered search exactly like a batch build — the append
+    # schema check keeps it sticky across batch/stream mixes
     rows = stream_vecs.select(
-        *_index_row_cols(centroids, id_col, e_col, quantized=quantized)
+        *_index_row_cols(
+            centroids, id_col, e_col, quantized=quantized,
+            meta_cols=meta_cols,
+        )
     )
 
     def make_commit_batch(app: str):
@@ -620,6 +628,81 @@ def ivf_stream_ingest(
         rows, make_commit_batch, checkpoint_dir, drain,
         "dakspark_ivf_ckpt_", app_id=app_id,
     )
+
+
+#: coarse-quantizer training sample bound — the k-means runs DRIVER-side
+#: over at most this many vectors (n_cells x dim doubles of state), the
+#: same shape as pq_train's per-subspace codebooks: training is a
+#: bounded sample problem, never an O(corpus) job
+IVF_TRAIN_MAX_SAMPLE = 10_000
+
+
+def ivf_train_centroids(
+    vecs: DataFrame,
+    n_cells: int,
+    e_col: str = "e",
+    order_col: "str | None" = None,
+    sample_rows: int = IVF_TRAIN_MAX_SAMPLE,
+    iters: int = 8,
+) -> "list[list[float]]":
+    """Train an IVF coarse quantizer: Lloyd's k-means over a BOUNDED
+    sample, driver-side (centroids are k x dim doubles — driver state
+    by design, exactly like :func:`~dask_awkward_spark.functions.pq
+    .pq_train`'s codebooks). Deterministic when ``order_col`` is given:
+    the sample is the first ``sample_rows`` rows in that order and init
+    is the first ``n_cells`` distinct sampled vectors — the same train
+    call always returns the same quantizer, so a rebuilt index is
+    bit-reproducible. Empty clusters keep their previous centroid.
+
+    Feeds :func:`ivf_index_add` / ``CREATE VECTOR INDEX`` (the SQL
+    face); pass the result anywhere ``centroids`` is accepted.
+
+    Reference: no counterpart; the faiss analog is
+    ``index_factory(d, 'IVF<n>,Flat').train(sample)``."""
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    base = vecs.select(F.col(e_col).cast("array<double>").alias("e"))
+    if order_col is not None:
+        base = vecs.select(
+            F.col(e_col).cast("array<double>").alias("e"),
+            F.col(order_col).alias("__o"),
+        ).orderBy("__o").select("e")
+    rows = [list(r.e) for r in base.limit(sample_rows).collect() if r.e]
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"need at least n_cells={n_cells} sample vectors to train, "
+            f"got {len(rows)} — lower n_cells or widen the sample"
+        )
+    import numpy as np
+
+    x = np.asarray(rows, dtype=np.float64)
+    # init: first n_cells DISTINCT vectors (duplicate-heavy samples
+    # must not seed coincident centroids)
+    seen, init = set(), []
+    for row in rows:
+        key = tuple(row)
+        if key not in seen:
+            seen.add(key)
+            init.append(row)
+        if len(init) == n_cells:
+            break
+    if len(init) < n_cells:
+        raise ValueError(
+            f"sample has only {len(init)} distinct vectors; "
+            f"n_cells={n_cells} would seed coincident centroids"
+        )
+    cents = np.asarray(init, dtype=np.float64)
+    xx = (x * x).sum(axis=1)[:, None]  # hoisted |x|^2 term
+    for _ in range(max(1, iters)):
+        # gemm-form distances: O(sample x n_cells) memory, never the
+        # sample x n_cells x dim broadcast cube
+        d2 = xx - 2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(axis=0)
+    return _centroids_norm(cents.tolist())
 
 
 def ivf_retrain(

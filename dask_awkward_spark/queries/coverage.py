@@ -2260,3 +2260,59 @@ def _ann_where_oracle() -> str:
 
 QUERIES["io_snapshot_ann_where"] = io_snapshot_ann_where
 ORACLES["io_snapshot_ann_where"] = _ann_where_oracle()
+
+
+def io_snapshot_ann_create(spark, sf_dir):
+    """SQL-only index LIFECYCLE (round 12): until now a SQL consumer
+    could SEARCH an index but never BUILD one — here the corpus lands
+    as a snapshot table, ``CREATE VECTOR INDEX ... WITH ('centroids' =
+    '<json>') AS SELECT vec_id, e FROM src`` builds and registers the
+    index, and ``ANN SEARCH`` probes it, ALL through SQL strings
+    against one table mapping. The explicit-centroids spelling is the
+    reproducible-pin form (the k-means-trained ``'n_cells'`` form is
+    pytest-covered by determinism + parity tests); with the same
+    quantizer the result hash-matches the same DuckDB batch-IVF twin
+    as ``io_snapshot_ann_sql`` — proving the CREATE built exactly the
+    index the Python face would."""
+    import json as _json
+    import shutil
+
+    from ..sources.snapshot import snapshot_write
+    from ..sources.sqlface import snapshot_sql
+    from .similarity import _centroids, _emb
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"{_TMP}/dakspark_anncreate_{sf_tag}_{os.getpid()}"
+    src, idx = f"{base}/src", f"{base}/idx"
+    shutil.rmtree(base, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    t = {"src": src}
+    try:
+        snapshot_write(emb.select("vec_id", "e"), src)
+        cents = _json.dumps(_centroids())
+        snapshot_sql(
+            spark,
+            f"CREATE VECTOR INDEX idx LOCATION '{idx}' "
+            f"WITH ('centroids' = '{cents}') "
+            f"AS SELECT vec_id, e FROM src",
+            t,
+        )
+        qe = emb.filter(F.col("vec_id") == 0).select("e").first().e
+        vlit = ", ".join(repr(float(x)) for x in qe)
+        return snapshot_sql(
+            spark,
+            f"ANN SEARCH idx QUERY ({vlit}) TOP 10 NPROBE 2 EXCLUDE 0",
+            t,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _ann_create_oracle() -> str:
+    from .similarity import _ivf_sql
+
+    return _ivf_sql()
+
+
+QUERIES["io_snapshot_ann_create"] = io_snapshot_ann_create
+ORACLES["io_snapshot_ann_create"] = _ann_create_oracle()

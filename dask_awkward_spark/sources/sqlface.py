@@ -333,6 +333,10 @@ def snapshot_sql(
     if out is not None:
         return out
 
+    out = _vector_index_sql(spark, sql, tables, catalog_path)
+    if out is not None:
+        return out
+
     out = _ann_sql(spark, sql, tables)
     if out is not None:
         return out
@@ -407,8 +411,9 @@ def snapshot_sql(
         "RESTORE ... VERSION AS OF, CREATE TABLE ... LOCATION [AS "
         "SELECT], DROP TABLE [PURGE], ALTER TABLE (ADD/RENAME/DROP "
         "COLUMN, SET TBLPROPERTIES, ADD/DROP CONSTRAINT), SHOW TABLES, "
+        "CREATE VECTOR INDEX i LOCATION 'p' [WITH (...)] AS SELECT, "
         "and ANN SEARCH t QUERY (...) TOP k [NPROBE n] [EXCLUDE id] "
-        "[VERSION AS OF v]"
+        "[VERSION|TIMESTAMP|TAG AS OF ...] [WHERE ...]"
     )
 
 
@@ -738,6 +743,118 @@ _ANN_TAIL_RE = re.compile(
     r"\s*;?\s*$",             # literals can contain anything
     re.I | re.S,
 )
+
+
+_VIDX_RE = re.compile(
+    rf"^\s*CREATE\s+VECTOR\s+INDEX\s+({_IDENT})\s+"
+    rf"LOCATION\s+'((?:[^']|'')*)'\s*"
+    rf"(?:WITH\s*\()?",
+    re.I,
+)
+
+
+def _vector_index_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: "dict[str, str]",
+    catalog_path: "str | None",
+):
+    """``CREATE VECTOR INDEX idx LOCATION 'path' [WITH ('n_cells' =
+    '8' | 'centroids' = '<json>', 'quantized' = 'true', 'sample' =
+    'N', 'iters' = 'N')] AS SELECT <id>, <vector> [, meta...] FROM
+    ...`` — the SQL-only index LIFECYCLE closer (round 12): until now a
+    SQL-only consumer could SEARCH an index (``ANN SEARCH``) but never
+    BUILD one. The AS body runs through the SELECT face (catalog names
+    + AS OF pins work); its first column is the vector id, the second
+    the embedding, and every remaining column ingests as hybrid-filter
+    METADATA (``ivf_index_add(meta_cols=...)``). The quantizer comes
+    from ``'centroids'`` (a JSON literal — reproducible pins, and the
+    oracle's parity spelling) or is TRAINED with ``'n_cells'`` k-means
+    over a bounded sample of the body (driver-side Lloyd,
+    :func:`~dask_awkward_spark.functions.simindex.ivf_train_centroids`
+    — deterministic: the sample orders by the id column). The created
+    index registers under ``idx`` like CREATE TABLE (catalog
+    write-through included), so ``ANN SEARCH idx ...`` works in the
+    next statement. Returns the creating commit's version."""
+    m = _VIDX_RE.match(sql)
+    if m is None:
+        return None
+    import json as _json
+
+    from ..functions.simindex import ivf_index_add, ivf_train_centroids
+
+    name, location = m.group(1), m.group(2).replace("''", "'")
+    rest_off = m.end()
+    opts: "dict[str, str]" = {}
+    blank = _blank_literals(sql)
+    if sql[m.end() - 1] == "(":  # WITH (...) present
+        j = _close_paren(blank, m.end() - 1)
+        opts = _parse_tblproperties(sql[m.end():j - 1], blank[m.end():j - 1])
+        rest_off = j
+    am = re.match(r"\s*AS\s+(.+)$", sql[rest_off:], re.I | re.S)
+    if am is None:
+        raise ValueError(
+            "CREATE VECTOR INDEX needs an AS SELECT body: "
+            "AS SELECT <id>, <vector> [, meta...] FROM ..."
+        )
+    body = _select_sql(spark, am.group(1).rstrip().rstrip(";"), tables)
+    if len(body.columns) < 2:
+        raise ValueError(
+            "the AS body must produce (id, vector [, meta...]) — got "
+            f"columns {body.columns}"
+        )
+    unknown = sorted(
+        set(opts) - {"n_cells", "centroids", "quantized", "sample", "iters"}
+    )
+    if unknown:
+        raise ValueError(
+            f"unknown CREATE VECTOR INDEX options {unknown}: expected "
+            "'n_cells' | 'centroids', 'quantized', 'sample', 'iters'"
+        )
+    if ("n_cells" in opts) == ("centroids" in opts):
+        raise ValueError(
+            "pass exactly ONE of 'n_cells' (train k-means over a "
+            "sample) or 'centroids' (a JSON literal quantizer)"
+        )
+    from .snapshot import _versions
+
+    if _versions(location):
+        raise ValueError(
+            f"{location} is already a snapshot table: CREATE VECTOR "
+            "INDEX builds a fresh index — ingest increments with "
+            "ivf_index_add, or DROP TABLE first"
+        )
+    if name in tables and tables[name] != location:
+        raise ValueError(
+            f"table name {name!r} is already registered at "
+            f"{tables[name]}; pick another index name"
+        )
+    id_c, e_c = body.columns[0], body.columns[1]
+    meta = list(body.columns[2:])
+    if "centroids" in opts:
+        cents = _json.loads(opts["centroids"])
+    else:
+        cents = ivf_train_centroids(
+            body,
+            int(opts["n_cells"]),
+            e_col=e_c,
+            order_col=id_c,
+            sample_rows=int(opts.get("sample", "10000")),
+            iters=int(opts.get("iters", "8")),
+        )
+    quantized = opts.get("quantized", "false").lower() in ("true", "1")
+    v = ivf_index_add(
+        location, body, cents, id_col=id_c, e_col=e_c,
+        quantized=quantized, meta_cols=meta or None,
+    )
+    tables[name] = location
+    if catalog_path is not None:
+        from .catalog import snapshot_catalog_register
+
+        snapshot_catalog_register(
+            spark, catalog_path, name, location, replace=False
+        )
+    return v
 
 
 def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):

@@ -1415,3 +1415,120 @@ def test_recall_single_pass_equals_per_tier_searches(spark, tmp_path):
     # the caller's nprobes tuple
     assert [e["nprobe"] for e in got] == [1, 2, 4, 2]
     assert got[1]["recall_at_k"] == got[3]["recall_at_k"]
+
+
+def test_stream_ingest_carries_meta_cols_for_hybrid_search(spark, tmp_path):
+    """Round 12: a STREAMED index carries payload metadata too, so
+    hybrid filtered search works identically over stream and batch
+    builds (sticky schema keeps batch/stream mixes consistent)."""
+    from dask_awkward_spark.functions.simindex import ivf_stream_ingest
+    from dask_awkward_spark.sources.snapshot import snapshot_read
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    bidx = str(tmp_path / "bidx")
+    _meta_vecs(spark, 0, 90).repartition(3).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    ivf_stream_ingest(
+        stream(), idx, _centroids(), meta_cols=["lang", "quality"]
+    )
+    ivf_index_add(
+        bidx, _meta_vecs(spark, 0, 90), _centroids(),
+        meta_cols=["lang", "quality"],
+    )
+    assert sorted(snapshot_read(spark, idx).columns) == sorted(
+        snapshot_read(spark, bidx).columns
+    )
+    w = [("lang", "=", "en"), ("quality", ">=", 2.0)]
+    q = _vecs(spark, 0, 2)
+    got = _result_rows(ivf_search(spark, idx, q, k=4, nprobe=N_CELLS, where=w))
+    want = _result_rows(ivf_search(spark, bidx, q, k=4, nprobe=N_CELLS, where=w))
+    assert got == want and len(got) == 8
+    # a batch ingest WITHOUT the meta columns refuses (sticky schema)
+    with pytest.raises(ValueError, match="schema|columns"):
+        ivf_index_add(idx, _vecs(spark, 100, 110), _centroids())
+
+
+def test_ivf_train_centroids_deterministic_and_useful(spark, tmp_path):
+    """Round 12: driver-side bounded-sample k-means — deterministic
+    under order_col (same call, same quantizer), shapes validated, and
+    the trained quantizer actually spreads the corpus across cells."""
+    from dask_awkward_spark.functions.simindex import (
+        ivf_train_centroids,
+    )
+
+    vecs = _vecs(spark, 0, 300)
+    a = ivf_train_centroids(vecs, 4, order_col="vec_id")
+    b = ivf_train_centroids(vecs, 4, order_col="vec_id")
+    assert a == b and len(a) == 4 and len(a[0]) == DIM
+    p = str(tmp_path / "idx")
+    ivf_index_add(p, vecs, a)
+    m = snap._read_manifest(p, snap._versions(p)[-1])
+    cells = {int(f.split("cell=")[1].split("/")[0]) for f in m["files"]}
+    assert len(cells) >= 2, f"trained quantizer collapsed: {cells}"
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_train_centroids(vecs, 0)
+    with pytest.raises(ValueError, match="at least n_cells"):
+        ivf_train_centroids(_vecs(spark, 0, 2), 4)
+
+
+def test_create_vector_index_sql_lifecycle(spark, tmp_path):
+    """Round 12: the SQL-only index lifecycle — CREATE VECTOR INDEX
+    (trained form + metadata columns) builds, registers, and is
+    immediately searchable with a hybrid WHERE; equals the Python face
+    given the same quantizer; DROP TABLE unregisters it."""
+    import json as _json
+
+    from dask_awkward_spark.sources.snapshot import snapshot_write
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "idx")
+    loc2 = str(tmp_path / "idx2")
+    snapshot_write(_meta_vecs(spark, 0, 150), src)
+    t = {"src": src}
+    v = snapshot_sql(
+        spark,
+        f"CREATE VECTOR INDEX vidx LOCATION '{loc}' "
+        f"WITH ('n_cells' = '4', 'quantized' = 'true') "
+        f"AS SELECT vec_id, e, lang, quality FROM src",
+        t,
+    )
+    assert v == 1 and t["vidx"] == loc
+    qe = _vecs(spark, 0, 1).select("e").first().e
+    vlit = ", ".join(repr(float(x)) for x in qe)
+    rows = snapshot_sql(
+        spark,
+        f"ANN SEARCH vidx QUERY ({vlit}) TOP 4 NPROBE 4 "
+        f"RESCORE 100000 EXCLUDE 0 WHERE lang = 'en'",
+        t,
+    ).collect()
+    assert len(rows) == 4 and all(r.vec_id % 3 == 0 for r in rows)
+    # explicit-centroids form == the Python face bit-for-bit
+    cents = _centroids()
+    snapshot_sql(
+        spark,
+        f"CREATE VECTOR INDEX vidx2 LOCATION '{loc2}' "
+        f"WITH ('centroids' = '{_json.dumps(cents)}') "
+        f"AS SELECT vec_id, e FROM src",
+        t,
+    )
+    pyidx = str(tmp_path / "pyidx")
+    ivf_index_add(pyidx, _vecs(spark, 0, 150), cents)
+    got = _result_rows(
+        ivf_search(spark, loc2, _vecs(spark, 0, 3), k=4, nprobe=2)
+    )
+    want = _result_rows(
+        ivf_search(spark, pyidx, _vecs(spark, 0, 3), k=4, nprobe=2)
+    )
+    assert got == want
+    # DROP TABLE unregisters the index name like any table
+    snapshot_sql(spark, "DROP TABLE vidx2", t)
+    assert "vidx2" not in t

@@ -1056,6 +1056,10 @@ def ivf_search(
     Either way the expensive cosine runs on candidates inside probed
     cells alone (~nprobe/n_cells of the index), then a per-query window
     takes the top-k (partitioned by query id — never a global sort).
+    With a highly selective ``where=`` the probed cells may hold fewer
+    than ``k`` passing rows — the result then carries fewer rows for
+    that query (the honest answer under the nprobe contract; raise
+    ``nprobe`` to widen the candidate pool, exactly as for low recall).
     Ties break on candidate id, so results are deterministic, and both
     paths return identical rows for the same inputs.
 

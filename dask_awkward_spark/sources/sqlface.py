@@ -337,6 +337,10 @@ def snapshot_sql(
     if out is not None:
         return out
 
+    m = _DESC_VIDX_RE.match(sql)
+    if m:
+        return _describe_vector_index(spark, m.group(1), tables)
+
     out = _ann_sql(spark, sql, tables)
     if out is not None:
         return out
@@ -751,6 +755,57 @@ _VIDX_RE = re.compile(
     rf"(?:WITH\s*\()?",
     re.I,
 )
+_DESC_VIDX_RE = re.compile(
+    rf"^\s*DESCRIBE\s+VECTOR\s+INDEX\s+({_IDENT})\s*;?\s*$", re.I
+)
+
+
+def _describe_vector_index(spark: SparkSession, name: str, tables) -> "DataFrame":
+    """``DESCRIBE VECTOR INDEX idx``: the index's identity card as
+    (key, value) rows — quantizer shape, ranking tier, metadata
+    columns, live row/file counts — everything a SQL-only operator
+    needs to pick nprobe/rescore or decide a retrain, from the
+    manifest alone (zero data-file opens)."""
+    import json as _json
+
+    from .snapshot import _read_manifest, _require_versions
+
+    path = _resolve(name, tables)
+    head = _require_versions(path)[-1]
+    m = _read_manifest(path, head)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(m["schema_json"]))
+    cols = set(schema.fieldNames())
+    if "vec_id" not in cols or "cell" not in cols:
+        raise ValueError(
+            f"table at {path} is not an IVF index (no vec_id/cell "
+            "columns): build one with CREATE VECTOR INDEX or "
+            "ivf_index_add"
+        )
+    raw_c = (m.get("properties") or {}).get("ivf_centroids")
+    cents = _json.loads(raw_c) if raw_c else None
+    tier = (
+        "ivf-pq (ADC)" if "pqc" in cols
+        else "ivf-sq (int8 + exact rescore)" if "q" in cols
+        else "ivf-flat (exact)"
+    )
+    meta = sorted(cols - {"vec_id", "cell", "e", "q", "scale", "pqc", "norm"})
+    stats = m.get("stats", {})
+    rows = sum(
+        (s or {}).get("rows") or 0 for s in stats.values()
+    )
+    out = [
+        ("version", str(head)),
+        ("n_cells", str(len(cents)) if cents else "(quantizer not persisted)"),
+        ("dim", str(len(cents[0])) if cents else "(quantizer not persisted)"),
+        ("tier", tier),
+        ("meta_columns", ", ".join(meta) if meta else "(none)"),
+        ("files", str(len(m["files"]))),
+        ("rows", str(rows)),
+        ("vec_id_type", schema["vec_id"].dataType.simpleString()),
+    ]
+    return spark.createDataFrame(out, "key string, value string")
 
 
 def _vector_index_sql(

@@ -1532,3 +1532,34 @@ def test_create_vector_index_sql_lifecycle(spark, tmp_path):
     # DROP TABLE unregisters the index name like any table
     snapshot_sql(spark, "DROP TABLE vidx2", t)
     assert "vidx2" not in t
+
+
+def test_describe_vector_index(spark, tmp_path):
+    """DESCRIBE VECTOR INDEX: the identity card (quantizer shape,
+    tier, metadata columns, counts) from the manifest alone."""
+    import json as _json
+
+    from dask_awkward_spark.sources.snapshot import snapshot_write
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "idx")
+    snapshot_write(_meta_vecs(spark, 0, 80), src)
+    t = {"src": src}
+    snapshot_sql(
+        spark,
+        f"CREATE VECTOR INDEX vidx LOCATION '{loc}' "
+        f"WITH ('centroids' = '{_json.dumps(_centroids())}') "
+        f"AS SELECT vec_id, e, lang, quality FROM src",
+        t,
+    )
+    kv = {
+        r.key: r.value
+        for r in snapshot_sql(spark, "DESCRIBE VECTOR INDEX vidx", t).collect()
+    }
+    assert kv["n_cells"] == str(N_CELLS) and kv["dim"] == str(DIM)
+    assert kv["tier"].startswith("ivf-flat")
+    assert kv["meta_columns"] == "lang, quality"
+    assert kv["rows"] == "80" and kv["vec_id_type"] == "bigint"
+    with pytest.raises(ValueError, match="not an IVF index"):
+        snapshot_sql(spark, "DESCRIBE VECTOR INDEX src", t)

@@ -815,8 +815,9 @@ def _vector_index_sql(
     catalog_path: "str | None",
 ):
     """``CREATE VECTOR INDEX idx LOCATION 'path' [WITH ('n_cells' =
-    '8' | 'centroids' = '<json>', 'quantized' = 'true', 'sample' =
-    'N', 'iters' = 'N')] AS SELECT <id>, <vector> [, meta...] FROM
+    '8' | 'centroids' = '<json>', 'quantized' = 'true' | 'pq_m' = 'm'
+    [, 'pq_ksub' = 'k', 'pq_residual' = 'true'], 'sample' = 'N',
+    'iters' = 'N')] AS SELECT <id>, <vector> [, meta...] FROM
     ...`` — the SQL-only index LIFECYCLE closer (round 12): until now a
     SQL-only consumer could SEARCH an index (``ANN SEARCH``) but never
     BUILD one. The AS body runs through the SELECT face (catalog names
@@ -859,17 +860,29 @@ def _vector_index_sql(
             f"columns {body.columns}"
         )
     unknown = sorted(
-        set(opts) - {"n_cells", "centroids", "quantized", "sample", "iters"}
+        set(opts)
+        - {
+            "n_cells", "centroids", "quantized", "sample", "iters",
+            "pq_m", "pq_ksub", "pq_residual",
+        }
     )
     if unknown:
         raise ValueError(
             f"unknown CREATE VECTOR INDEX options {unknown}: expected "
-            "'n_cells' | 'centroids', 'quantized', 'sample', 'iters'"
+            "'n_cells' | 'centroids', 'quantized', 'pq_m' [, 'pq_ksub', "
+            "'pq_residual'], 'sample', 'iters'"
         )
     if ("n_cells" in opts) == ("centroids" in opts):
         raise ValueError(
             "pass exactly ONE of 'n_cells' (train k-means over a "
             "sample) or 'centroids' (a JSON literal quantizer)"
+        )
+    if "pq_m" in opts and opts.get("quantized", "false").lower() in (
+        "true", "1"
+    ):
+        raise ValueError(
+            "pick ONE ranking tier: 'quantized' (int8 SQ) or 'pq_m' "
+            "(IVF-PQ); they rank on different columns"
         )
     from .snapshot import _versions
 
@@ -898,9 +911,27 @@ def _vector_index_sql(
             iters=int(opts.get("iters", "8")),
         )
     quantized = opts.get("quantized", "false").lower() in ("true", "1")
+    pq_cb = None
+    if "pq_m" in opts:
+        # the PRODUCTION ranking tier from pure SQL: train the PQ
+        # codebook over the same bounded deterministic sample the
+        # coarse quantizer uses; 'pq_residual' encodes x - centroid
+        # (IVFADC) against the index's own quantizer
+        from ..functions.pq import pq_train
+
+        residual = opts.get("pq_residual", "false").lower() in ("true", "1")
+        pq_cb = pq_train(
+            body,
+            int(opts["pq_m"]),
+            ksub=int(opts.get("pq_ksub", "256")),
+            e_col=e_c,
+            order_col=id_c,
+            sample_rows=int(opts.get("sample", "10000")),
+            residual_centroids=cents if residual else None,
+        )
     v = ivf_index_add(
         location, body, cents, id_col=id_c, e_col=e_c,
-        quantized=quantized, meta_cols=meta or None,
+        quantized=quantized, pq_codebook=pq_cb, meta_cols=meta or None,
     )
     tables[name] = location
     if catalog_path is not None:

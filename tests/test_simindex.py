@@ -1563,3 +1563,66 @@ def test_describe_vector_index(spark, tmp_path):
     assert kv["rows"] == "80" and kv["vec_id_type"] == "bigint"
     with pytest.raises(ValueError, match="not an IVF index"):
         snapshot_sql(spark, "DESCRIBE VECTOR INDEX src", t)
+
+
+def test_create_vector_index_pq_tier(spark, tmp_path):
+    """CREATE VECTOR INDEX builds the production IVF-PQ tier from pure
+    SQL ('pq_m', optional residual IVFADC) — the codebook trains over
+    the same deterministic sample as the coarse quantizer, persists
+    beside the table, and ANN SEARCH ranks through ADC with exact
+    rescore, equal to a Python-face build with the same inputs."""
+    import json as _json
+
+    from dask_awkward_spark.functions.pq import pq_train
+    from dask_awkward_spark.functions.simindex import _load_pq_codebook
+    from dask_awkward_spark.sources.snapshot import snapshot_write
+    from dask_awkward_spark.sources.sqlface import snapshot_sql
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "idx")
+    snapshot_write(_vecs(spark, 0, 150), src)
+    t = {"src": src}
+    cents = _centroids()
+    snapshot_sql(
+        spark,
+        f"CREATE VECTOR INDEX pidx LOCATION '{loc}' "
+        f"WITH ('centroids' = '{_json.dumps(cents)}', 'pq_m' = '4', "
+        f"'pq_ksub' = '16', 'pq_residual' = 'true') "
+        f"AS SELECT vec_id, e FROM src",
+        t,
+    )
+    assert _load_pq_codebook(loc) is not None
+    qe = _vecs(spark, 3, 4).select("e").first().e
+    vlit = ", ".join(repr(float(x)) for x in qe)
+    rows = snapshot_sql(
+        spark,
+        f"ANN SEARCH pidx QUERY ({vlit}) TOP 5 NPROBE 4 "
+        f"RESCORE 100000 EXCLUDE 3",
+        t,
+    ).collect()
+    assert len(rows) == 5 and all(r.vec_id != 3 for r in rows)
+    # equals the Python face given the same codebook + quantizer
+    cb = pq_train(
+        _vecs(spark, 0, 150), 4, ksub=16, order_col="vec_id",
+        sample_rows=10000, residual_centroids=cents,
+    )
+    pyidx = str(tmp_path / "pyidx")
+    ivf_index_add(pyidx, _vecs(spark, 0, 150), cents, pq_codebook=cb)
+    want = sorted(
+        (r.vec_id, r.cell, r.cos)
+        for r in ivf_search(
+            spark, pyidx, _vecs(spark, 3, 4), k=5, nprobe=4,
+            rescore_k=100000,
+        ).collect()
+    )
+    got = sorted((r.vec_id, r.cell, r.cos) for r in rows)
+    assert got == want
+    # tier exclusivity refuses
+    with pytest.raises(ValueError, match="ONE ranking tier"):
+        snapshot_sql(
+            spark,
+            f"CREATE VECTOR INDEX x LOCATION '{tmp_path}/x' "
+            f"WITH ('n_cells' = '2', 'pq_m' = '4', 'quantized' = 'true') "
+            f"AS SELECT vec_id, e FROM src",
+            t,
+        )

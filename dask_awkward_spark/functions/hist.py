@@ -159,7 +159,9 @@ def bin_index_var(x: Column, edges: list[float]) -> Column:
     no UDF (the edge list rides the plan as an array literal)."""
     if len(edges) < 2 or any(a >= b for a, b in zip(edges, edges[1:])):
         raise ValueError("edges must be >= 2 strictly increasing values")
-    arr = F.array(*[F.lit(float(e)) for e in edges])
+    from .vectors import array_lit
+
+    arr = array_lit([float(e) for e in edges])
     return F.size(F.filter(arr, lambda e: x >= e))
 
 

@@ -17,6 +17,42 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _sql_double(v: float) -> str:
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"array literal elements must be finite, got {v!r}")
+    return repr(f) + "D"
+
+
+def array_lit(vals: "list[float]") -> Column:
+    """``array<double>`` literal built in ONE expression parse.
+
+    ``F.array(*[F.lit(v) for v in vals])`` costs one py4j round trip
+    per element plus one Catalyst node per literal — for a 64-dim
+    vector that is ~65 driver⇄JVM calls just to BUILD the expression
+    (measured as the dominant cost of the ANN query family at bench
+    scale, where the data itself is small). ``repr`` round-trips doubles
+    exactly and Spark's parser reads them exactly, so the literal is
+    bit-identical to the ``lit()`` form."""
+    if not vals:
+        return F.expr("cast(array() as array<double>)")
+    return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+
+
+def matrix_lit(rows: "list[list[float]]") -> Column:
+    """``array<array<double>>`` literal in one parse — centroid / plane
+    tables (k x d doubles) as a single driver call instead of k*d."""
+    if not rows:
+        return F.expr("cast(array() as array<array<double>>)")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(v) for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def dot(x: Column, y: Column) -> Column:
     """Dot product of two equal-length array columns."""
     return F.aggregate(
@@ -70,12 +106,24 @@ def hyperplane_bits(x: Column, planes: "list[list[float]]") -> Column:
     (generate them from any seeded source; <= 63 planes)."""
     if len(planes) > 63:
         raise ValueError(f"at most 63 planes fit a bigint bucket, got {len(planes)}")
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(x, p) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        bucket = bucket + (bit * F.lit(int(2**i)).cast("bigint"))
-    return bucket
+    if not planes:
+        return F.lit(0).cast("bigint")
+    # one-parse plane matrix + weight array (see array_lit): the sum
+    # folds bit_i * 2^i in plane order, exactly like the unrolled loop
+    weights = F.expr(
+        "array(" + ",".join(f"{2 ** i}L" for i in range(len(planes))) + ")"
+    )
+    bits = F.transform(
+        matrix_lit(planes),
+        lambda p: F.when(dot(x, p) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(bits, weights, lambda b, w: b * w),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
 
 
 def quantize_int8(x: Column) -> "tuple[Column, Column]":

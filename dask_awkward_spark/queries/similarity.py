@@ -133,18 +133,31 @@ SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 def bucket_expr(e: F.Column) -> F.Column:
     """8-bit random-hyperplane bucket id as a pure per-row expression —
     shared by sim_lsh_buckets and the LSH-gated near-dup join."""
+    from ..functions.vectors import matrix_lit
+
     planes = _planes()
-    bucket = None
-    for j, row in enumerate(planes):
-        warr = F.array(*[F.lit(w) for w in row])
-        bit = (
-            F.when(
-                F.aggregate(F.zip_with(e, warr, lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z) > 0,
-                F.lit(2 ** j),
-            ).otherwise(F.lit(0))
-        )
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("bigint")
+    # one-parse plane matrix (see vectors.array_lit): same per-plane dot
+    # fold and the same int sum order as the unrolled loop — bit-identical
+    weights = F.expr(
+        "array(" + ",".join(str(2 ** j) for j in range(len(planes))) + ")"
+    )
+    bits = F.transform(
+        matrix_lit(planes),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(e, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(bits, weights, lambda b, w: b * w),
+        F.lit(0),
+        lambda a, v: a + v,
+    ).cast("bigint")
 
 
 def bucket_sql_expr() -> str:
@@ -670,19 +683,18 @@ def sim_kmeans(spark, sf_dir, k: int = 4, iters: int = 2):
     ties break to the lowest cluster id (array_position = first min)."""
     emb = _emb(spark, sf_dir)
 
-    def lits(vec):
-        return F.array(*[F.lit(float(v)) for v in vec])
+    from ..functions.vectors import matrix_lit
 
     def assign_expr(cents):
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(F.col("e"), lits(c), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda a, z: a + z,
-                )
-                for c in cents
-            ]
+        # centroid table as ONE 2-D literal (see vectors.matrix_lit):
+        # same per-centroid squared-distance fold, bit-identical result
+        dists = F.transform(
+            matrix_lit(cents),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            ),
         )
         return dists, F.array_position(dists, F.array_min(dists)).cast("int")
 

@@ -379,7 +379,9 @@ def snapshot_sql(
         )
         path = _resolve(table, tables)
         if re.match(r"^VALUES\b", body, re.I):
-            df = spark.sql(f"SELECT * FROM ({body})")
+            # literal rows are driver-bounded: one write task / one data
+            # file instead of defaultParallelism near-empty ones
+            df = spark.sql(f"SELECT * FROM ({body})").coalesce(1)
         elif re.match(r"^\(?\s*SELECT\b|^\(?\s*WITH\b", body, re.I):
             # through the SELECT face: catalog names in the body resolve
             # and re-pin at THIS statement (incl. AS OF time travel), so
@@ -1752,7 +1754,8 @@ def _create_sql(spark, sql, m, tables, catalog_path):
         else:
             sel = am.group(1).strip()
             if re.match(r"^VALUES\b", sel, re.I):
-                df = spark.sql(f"SELECT * FROM ({sel})")
+                # literal rows: one write task (see the INSERT branch)
+                df = spark.sql(f"SELECT * FROM ({sel})").coalesce(1)
             elif re.match(r"^\(?\s*(SELECT|WITH)\b", sel, re.I):
                 # through the SELECT face, so catalog names in the body
                 # resolve (and re-pin at THIS statement — a stale view
@@ -1802,7 +1805,9 @@ def _create_sql(spark, sql, m, tables, catalog_path):
                     "'name type' coldef (same rule as snapshot_create)"
                 )
             version = snapshot_write(
-                spark.createDataFrame([], parsed), location, mode="overwrite",
+                # empty frame: one write task, not defaultParallelism
+                spark.createDataFrame([], parsed).coalesce(1),
+                location, mode="overwrite",
                 partition_by=pb or [], bloom_by=bloom or {},
                 stats_columns=stats_cols or [],
                 properties=uprops or {},

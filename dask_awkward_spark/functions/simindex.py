@@ -1125,21 +1125,27 @@ def ivf_search(
             "would silently truncate the result"
         )
     where = _check_search_where(where)
+    qcols = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(e_col).cast("array<double>").alias("qe"),
+        _probe_cells_expr(F.col(e_col), centroids, nprobe).alias("cells"),
+    )
+    qrows = None
     if batch is None:
-        n = queries.limit(IVF_COLLECT_MAX_QUERY_ROWS + 1).count()
-        if n == 0:
+        # ONE bounded job decides the path AND (when collected) yields
+        # the probe rows — the separate limit().count() gate cost a
+        # second full pass over the query side per search
+        qrows = qcols.limit(IVF_COLLECT_MAX_QUERY_ROWS + 1).collect()
+        if not qrows:
             raise ValueError("queries frame is empty")
-        batch = n > IVF_COLLECT_MAX_QUERY_ROWS
+        batch = len(qrows) > IVF_COLLECT_MAX_QUERY_ROWS
     if batch:
         return _ivf_search_batch(
             spark, index_path, queries, centroids, k, nprobe,
             id_col, e_col, exclude_self, rk_n, version, where,
         )
-    qrows = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(e_col).cast("array<double>").alias("qe"),
-        _probe_cells_expr(F.col(e_col), centroids, nprobe).alias("cells"),
-    ).collect()
+    if qrows is None:
+        qrows = qcols.collect()
     if not qrows:
         raise ValueError("queries frame is empty")
     probe_cells = sorted({int(c) for r in qrows for c in r.cells})

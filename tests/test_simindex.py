@@ -528,7 +528,14 @@ def test_batch_path_never_collects_unbounded(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", spy)
     out = ivf_search(spark, p, q, cents, k=3, nprobe=2)
     monkeypatch.setattr(DataFrame, "collect", orig)
-    assert sizes and max(sizes) <= N_CELLS, sizes
+    # the path gate itself is one limit(IVF_COLLECT_MAX_QUERY_ROWS + 1)
+    # collect (it doubles as the probe-row fetch when the side turns
+    # out small); every bound stays a CONSTANT — never |queries|
+    from dask_awkward_spark.functions.simindex import IVF_COLLECT_MAX_QUERY_ROWS
+
+    assert sizes and max(sizes) <= max(
+        N_CELLS, IVF_COLLECT_MAX_QUERY_ROWS + 1
+    ), sizes
     rows = out.collect()
     assert len(rows) == 600 * 3
 

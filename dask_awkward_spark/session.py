@@ -56,6 +56,15 @@ def get_spark(app_name: str = "dask_awkward_spark", cpus: int | None = None) -> 
         )
         .config("spark.sql.files.openCostInBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
+        # local[k] has exactly one locality domain (every task is
+        # process-local), so the delay-scheduling wait can only ADD
+        # latency — a coalesce over parallelized partitions stalls the
+        # full 3s default. On a real cluster keep/raise the default via
+        # this env (delay scheduling earns its keep there).
+        .config(
+            "spark.locality.wait",
+            os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0s"),
+        )
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert explicitly (sources/events loader)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

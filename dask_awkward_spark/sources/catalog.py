@@ -76,8 +76,10 @@ def snapshot_catalog_register(
     if version is not None and tag is not None:
         raise ValueError("pin by version OR tag, not both")
     row = [(name, table_path, version, tag, time.time())]
-    # one-row literal frame: a single write task, not defaultParallelism
-    src = spark.createDataFrame(row, _SCHEMA).coalesce(1)
+    # one-row literal frame built on a 1-slice RDD: a single write task
+    # (a bare createDataFrame parallelizes to defaultParallelism slices,
+    # and .coalesce(1) on one stalls ~3s on scheduler locality wait)
+    src = spark.createDataFrame(spark.sparkContext.parallelize(row, 1), _SCHEMA)
     if not _versions(catalog_path):
         # CAS the creating write on the empty table: two concurrent
         # first registrations of the same name must not BOTH take the
@@ -154,8 +156,11 @@ def snapshot_catalog_rename(
     if new in taken:
         raise ValueError(f"catalog name {new!r} is already registered")
     src = spark.createDataFrame(
-        [(new, e["path"], e["pin_version"], e["pin_tag"], time.time())], _SCHEMA
-    ).coalesce(1)
+        spark.sparkContext.parallelize(
+            [(new, e["path"], e["pin_version"], e["pin_tag"], time.time())], 1
+        ),
+        _SCHEMA,
+    )
     # Column condition, not a spliced SQL literal: a name containing a
     # quote/backslash must neither break the parse nor (worse) make the
     # delete silently miss and leave BOTH names registered

@@ -1805,8 +1805,11 @@ def _create_sql(spark, sql, m, tables, catalog_path):
                     "'name type' coldef (same rule as snapshot_create)"
                 )
             version = snapshot_write(
-                # empty frame: one write task, not defaultParallelism
-                spark.createDataFrame([], parsed).coalesce(1),
+                # empty frame on a 1-slice RDD: one write task (coalesce
+                # on a parallelized frame stalls on locality wait)
+                spark.createDataFrame(
+                    spark.sparkContext.parallelize([], 1), parsed
+                ),
                 location, mode="overwrite",
                 partition_by=pb or [], bloom_by=bloom or {},
                 stats_columns=stats_cols or [],

@@ -89,9 +89,11 @@ def read_hot(spark: SparkSession, path: str) -> "DataFrame":
     real scale (many files / many row groups) the guard never fires
     because the scan already yields >= parallelism splits.
     """
+    from .sources.tables import scan_partitions_estimate
+
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if scan_partitions_estimate(spark, path) < max(2, target // 2):
         df = df.repartition(target)
     return df
 

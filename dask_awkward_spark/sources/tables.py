@@ -172,11 +172,68 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_table(df, name)
 
 
+def scan_partitions_estimate(spark: SparkSession, *paths: str) -> int:
+    """The scan partition count Spark's FilePartition packing will
+    produce for these parquet files — computed from file sizes and the
+    session's split confs, WITHOUT ``df.rdd.getNumPartitions()`` (which
+    materializes the whole toRDD conversion plan: ~30-45 ms per call at
+    bench scale, and real driver planning time on large file sets)."""
+    import os as _os
+
+    sizes = []
+    for p in paths:
+        if _os.path.isdir(p):
+            for root, _, names in _os.walk(p):
+                sizes += [
+                    _os.path.getsize(_os.path.join(root, n))
+                    for n in names
+                    if n.endswith(".parquet")
+                ]
+        elif _os.path.exists(p):
+            sizes.append(_os.path.getsize(p))
+    if not sizes:
+        return 1
+
+    def _bytes_conf(key: str, default: int) -> int:
+        try:
+            v = str(spark.conf.get(key)).strip().lower()
+        except Exception:  # noqa: BLE001
+            return default
+        mult = 1
+        for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if v.endswith(suf) or v.endswith(suf + "b"):
+                v = v.rstrip("b").rstrip(suf)
+                mult = m
+                break
+        try:
+            return int(float(v) * mult)
+        except ValueError:
+            return default
+
+    max_split = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    par = spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    target = min(max_split, max(open_cost, total // max(par, 1)))
+    # each file splits into <=target chunks, chunks (+open cost) are
+    # then packed greedily into partitions of capacity `target`
+    n, cur = 0, 0
+    for s in sizes:
+        chunks = max(1, -(-s // target)) if s else 1
+        for i in range(chunks):
+            sz = min(target, s - i * target) + open_cost
+            if cur + sz > target and cur > 0:
+                n, cur = n + 1, 0
+            cur += sz
+    return n + (1 if cur > 0 else 0)
+
+
 def load_table_hot(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """:func:`load_table` + the single-row-group parallelism guard."""
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    est = scan_partitions_estimate(spark, f"{sf_dir}/{name}.parquet")
+    if est < max(2, target // 2):
         df = df.repartition(target)
     return df
 

@@ -120,13 +120,18 @@ def knn_bruteforce(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), F.col(e_col).cast("array<double>").alias("qe")
-        )
+        ).withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe")))
     )
+    # per-side squared norms before the cross join (see _exact_topk):
+    # the all-pairs cosine then folds ONE O(dim) dot per pair, not three
     cand = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(e_col).cast("array<double>").alias("e")
+        F.col(id_col).alias("vec_id"),
+        F.col(e_col).cast("array<double>").alias("e"),
+    ).withColumn(
+        "__dak_e2", dot(F.col("e"), F.col("e"))
     ).crossJoin(q).filter(F.col("vec_id") != F.col("q_id"))
     cos = dot(F.col("e"), F.col("qe")) / (
-        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        F.sqrt(F.col("__dak_e2")) * F.sqrt(F.col("__dak_qe2"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -937,16 +942,20 @@ def ivf_recall(
         # probe rank — one scan, |tiers| windows over shared rows
         tier_arr = F.array(*[F.lit(t) for t in tiers])
         cand = (
-            idx.join(qx, "cell")
+            idx.withColumn("__dak_e2", dot(F.col("e"), F.col("e")))
+            .join(
+                qx.withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe"))),
+                "cell",
+            )
             .filter(F.col("vec_id") != F.col("q_id"))
             .withColumn(
                 "tier",
                 F.explode(F.filter(tier_arr, lambda t: t > F.col("pr"))),
             )
         )
+        # per-side squared norms (see _exact_topk): bit-identical
         cos = dot(F.col("e"), F.col("qe")) / (
-            F.sqrt(dot(F.col("e"), F.col("e")))
-            * F.sqrt(dot(F.col("qe"), F.col("qe")))
+            F.sqrt(F.col("__dak_e2")) * F.sqrt(F.col("__dak_qe2"))
         )
         w = Window.partitionBy("q_id", "tier").orderBy(
             F.col("cos").desc(), F.col("vec_id")
@@ -1227,12 +1236,20 @@ def ivf_search(
         qd = _as_double(F.col("q"))
         # cosine over the DEQUANTIZED vector: scale is a positive
         # per-row scalar, so it cancels between dot and norm — the
-        # ranking never touches `scale` or `e` (column-pruned scan)
+        # ranking never touches `scale` or `e` (column-pruned scan).
+        # Squared norms attach per SIDE before the join (see
+        # _exact_topk): same expressions, same doubles, 1/3 the
+        # per-pair array folds
         cos_q = F.try_divide(
             dot(qd, F.col("qe")),
-            F.sqrt(dot(qd, qd)) * F.sqrt(dot(F.col("qe"), F.col("qe"))),
+            F.sqrt(F.col("__dak_qq")) * F.sqrt(F.col("__dak_qe2")),
         )
-        cand_q = idx.select("vec_id", "cell", "q").join(qdf, "cell")
+        cand_q = idx.select(
+            "vec_id", "cell", "q", dot(qd, qd).alias("__dak_qq")
+        ).join(
+            qdf.withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe"))),
+            "cell",
+        )
     if cos_q is not None:
         if exclude_self:
             cand_q = cand_q.filter(F.col("vec_id") != F.col("q_id"))
@@ -1253,12 +1270,15 @@ def ivf_search(
                 spark.createDataFrame(
                     [(r.q_id, r.qe) for r in qrows],
                     f"q_id {id_t}, qe array<double>",
-                )
+                ).withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe")))
             )
             full = snapshot_read(
                 spark, index_path, version=version,
                 where=[("cell", "in", probe_cells)] + where,
-            ).select("vec_id", "cell", "e")
+            ).select(
+                "vec_id", "cell", "e",
+                dot(F.col("e"), F.col("e")).alias("__dak_e2"),
+            )
             cand = full.join(surv_df.join(qev, "q_id"), "vec_id")
         else:
             surv = surv_df.collect()  # bounded: <= |queries| x rescore_k pairs
@@ -1276,17 +1296,25 @@ def ivf_search(
                 version=version,
                 where=[("cell", "in", probe_cells), ("vec_id", "in", ids)]
                 + where,
-            ).select("vec_id", "cell", "e")
+            ).select(
+                "vec_id", "cell", "e",
+                dot(F.col("e"), F.col("e")).alias("__dak_e2"),
+            )
             vid_t = idx.schema["vec_id"].dataType.simpleString()
             pairs = F.broadcast(
                 spark.createDataFrame(
                     [(r.q_id, qe_by_id[r.q_id], r.vec_id) for r in surv],
                     f"q_id {id_t}, qe array<double>, vec_id {vid_t}",
-                )
+                ).withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe")))
             )
             cand = full.join(pairs, "vec_id")
     else:
-        cand = idx.join(qdf, "cell")
+        cand = idx.withColumn(
+            "__dak_e2", dot(F.col("e"), F.col("e"))
+        ).join(
+            qdf.withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe"))),
+            "cell",
+        )
         if exclude_self:
             cand = cand.filter(F.col("vec_id") != F.col("q_id"))
     return _exact_topk(cand, k)
@@ -1294,10 +1322,29 @@ def ivf_search(
 
 def _exact_topk(cand: DataFrame, k: int) -> DataFrame:
     """Shared exact tier tail: cosine over ``e``/``qe``, per-query
-    window top-``k`` on (rounded cos DESC, vec_id)."""
-    cos = dot(F.col("e"), F.col("qe")) / (
-        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    window top-``k`` on (rounded cos DESC, vec_id).
+
+    Spark's array folds (``aggregate``/``zip_with``) are CodegenFallback
+    — interpreted per row — and it does no common-subexpression
+    elimination across a projection, so the naive cosine evaluates
+    THREE O(dim) folds per (query, candidate) pair although ``||e||``
+    is per-candidate and ``||qe||`` per-query. Callers that can attach
+    the squared norms BEFORE their join (``__dak_e2`` on the index
+    side, ``__dak_qe2`` on the query side — the same ``dot(x, x)``
+    expression, just evaluated once per side row) cut the per-pair work
+    to the one irreducible ``<e, qe>`` fold; the value, and therefore
+    the ranking and the rounded output, is bit-identical."""
+    e2 = (
+        F.col("__dak_e2")
+        if "__dak_e2" in cand.columns
+        else dot(F.col("e"), F.col("e"))
     )
+    qe2 = (
+        F.col("__dak_qe2")
+        if "__dak_qe2" in cand.columns
+        else dot(F.col("qe"), F.col("qe"))
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.sqrt(e2) * F.sqrt(qe2))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         cand.select("q_id", "vec_id", "cell", F.round(cos, 6).alias("cos"))
@@ -1402,11 +1449,23 @@ def _ivf_search_batch(
         cand_q = idx.select("vec_id", "cell", "pqc", "norm").join(qx_l, "cell")
     elif "q" in idx.columns and "scale" in idx.columns:
         qd = _as_double(F.col("q"))
+        # per-side squared norms evaluated BEFORE the join (see
+        # _exact_topk: the folds are CodegenFallback and uncached, so
+        # inline they would re-run per PAIR): the candidate's ||q||^2
+        # once per index row, the query's ||qe||^2 once per probe row —
+        # identical expressions, identical doubles, bit-identical rank
         cos_q = F.try_divide(
             dot(qd, F.col("qe")),
-            F.sqrt(dot(qd, qd)) * F.sqrt(dot(F.col("qe"), F.col("qe"))),
+            F.sqrt(F.col("__dak_qq")) * F.sqrt(F.col("__dak_qe2")),
         )
-        cand_q = idx.select("vec_id", "cell", "q").join(qx, "cell")
+        cand_q = idx.select(
+            "vec_id", "cell", "q", dot(qd, qd).alias("__dak_qq")
+        ).join(
+            qx.withColumn(
+                "__dak_qe2", dot(F.col("qe"), F.col("qe"))
+            ),
+            "cell",
+        )
     if cos_q is not None:
         if exclude_self:
             cand_q = cand_q.filter(F.col("vec_id") != F.col("q_id"))
@@ -1422,14 +1481,29 @@ def _ivf_search_batch(
             .withColumn("rk", F.row_number().over(wq))
             .filter(F.col("rk") <= rk_n)
             .select("q_id", "vec_id")
-        ).join(q.select("q_id", "qe"), "q_id")
+        ).join(
+            q.select(
+                "q_id", "qe", dot(F.col("qe"), F.col("qe")).alias("__dak_qe2")
+            ),
+            "q_id",
+        )
         full = snapshot_read(
             spark, index_path, version=version,
             where=[("cell", "in", probe_cells)] + where,
-        ).select("vec_id", "cell", "e")
+        ).select(
+            "vec_id", "cell", "e",
+            dot(F.col("e"), F.col("e")).alias("__dak_e2"),
+        )
         cand = full.join(surv, "vec_id")
     else:
-        cand = idx.join(qx, "cell")
+        cand = idx.withColumn(
+            "__dak_e2", dot(F.col("e"), F.col("e"))
+        ).join(
+            qx.withColumn(
+                "__dak_qe2", dot(F.col("qe"), F.col("qe"))
+            ),
+            "cell",
+        )
         if exclude_self:
             cand = cand.filter(F.col("vec_id") != F.col("q_id"))
     return _exact_topk(cand, k)

@@ -506,17 +506,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     from .similarity import bucket_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # n2 computes ONCE per vector before the self-join (the array folds
+    # are CodegenFallback and re-run per pair when inline) — same
+    # expression, same doubles, one fold per pair instead of three
     v = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
-    ).withColumn("bucket", bucket_expr(F.col("e")))
+    ).withColumn("bucket", bucket_expr(F.col("e"))).withColumn(
+        "n2", dot(F.col("e"), F.col("e"))
+    )
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = dot(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+        F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))
     )
     return (
         pairs.select(

@@ -58,10 +58,20 @@ def sim_topk_bruteforce(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qside = emb.filter(F.col("vec_id") == 0)
     guard_bruteforce_query_side(qside)
-    q = F.broadcast(qside.select(F.col("e").alias("qe")))
-    cand = emb.filter(F.col("vec_id") != 0).crossJoin(q)
+    # squared norms attach per SIDE before the cross join: the array
+    # folds are CodegenFallback and re-evaluate per pair when inline —
+    # same expressions, same doubles, one O(dim) fold per pair not three
+    q = F.broadcast(
+        qside.select(
+            F.col("e").alias("qe"),
+            _dot(F.col("e"), F.col("e")).alias("qe2"),
+        )
+    )
+    cand = emb.filter(F.col("vec_id") != 0).withColumn(
+        "e2", _dot(F.col("e"), F.col("e"))
+    ).crossJoin(q)
     cos = _dot(F.col("e"), F.col("qe")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        F.sqrt(F.col("e2")) * F.sqrt(F.col("qe2"))
     )
     return (
         cand.select("vec_id", F.round(cos, 6).alias("cos"))
@@ -97,11 +107,18 @@ def sim_knn_per_query(spark, sf_dir):
     qside = emb.filter(F.col("vec_id") < 5)
     guard_bruteforce_query_side(qside)
     q = F.broadcast(
-        qside.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+        qside.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            _dot(F.col("e"), F.col("e")).alias("qe2"),
+        )
     )
-    cand = emb.filter(F.col("vec_id") >= 5).crossJoin(q)
+    # per-side squared norms (see sim_topk_bruteforce): bit-identical
+    cand = emb.filter(F.col("vec_id") >= 5).withColumn(
+        "e2", _dot(F.col("e"), F.col("e"))
+    ).crossJoin(q)
     cos = _dot(F.col("e"), F.col("qe")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        F.sqrt(F.col("e2")) * F.sqrt(F.col("qe2"))
     )
     scored = cand.select("q_id", "vec_id", F.round(cos, 6).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -281,16 +298,19 @@ def sim_ivf_topk(spark, sf_dir):
             F.col("e").alias("qe"),
             c1.alias("c1"),
             F.array_position(masked, F.array_max(masked)).cast("int").alias("c2"),
+            _dot(F.col("e"), F.col("e")).alias("qe2"),
         )
     )
+    # per-side squared norms (see sim_topk_bruteforce): bit-identical
     cand = (
         assigned.drop("ds")
         .filter(F.col("vec_id") != 0)
+        .withColumn("e2", _dot(F.col("e"), F.col("e")))
         .crossJoin(qrow)
         .filter((F.col("cell") == F.col("c1")) | (F.col("cell") == F.col("c2")))
     )
     cos = _dot(F.col("e"), F.col("qe")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        F.sqrt(F.col("e2")) * F.sqrt(F.col("qe2"))
     )
     return (
         cand.select("vec_id", "cell", F.round(cos, 6).alias("cos"))

@@ -19,8 +19,12 @@ from pyspark.sql import functions as F
 
 def _sql_double(v: float) -> str:
     f = float(v)
-    if f != f or f in (float("inf"), float("-inf")):
-        raise ValueError(f"array literal elements must be finite, got {v!r}")
+    if f != f:
+        return "CAST('NaN' AS DOUBLE)"
+    if f == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if f == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
     return repr(f) + "D"
 
 
@@ -106,18 +110,31 @@ def hyperplane_bits(x: Column, planes: "list[list[float]]") -> Column:
     (generate them from any seeded source; <= 63 planes)."""
     if len(planes) > 63:
         raise ValueError(f"at most 63 planes fit a bigint bucket, got {len(planes)}")
+    return plane_sign_bucket(x, planes, strict=False)
+
+
+def plane_sign_bucket(
+    x: Column, planes: "list[list[float]]", strict: bool
+) -> Column:
+    """Shared random-hyperplane bucket core: bit ``i`` set when
+    ``<x, plane_i>`` clears zero — ``strict=False`` counts 0 as
+    positive (:func:`hyperplane_bits`' contract), ``strict=True``
+    requires ``> 0`` (the similarity-query family's contract; the two
+    comparators are baked into their respective DuckDB oracle twins, so
+    they must stay selectable). One-parse plane matrix + weight array
+    (see :func:`array_lit`); the sum folds ``bit_i * 2^i`` in plane
+    order, exactly like the historical unrolled loop."""
     if not planes:
         return F.lit(0).cast("bigint")
-    # one-parse plane matrix + weight array (see array_lit): the sum
-    # folds bit_i * 2^i in plane order, exactly like the unrolled loop
     weights = F.expr(
         "array(" + ",".join(f"{2 ** i}L" for i in range(len(planes))) + ")"
     )
     bits = F.transform(
         matrix_lit(planes),
-        lambda p: F.when(dot(x, p) >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
+        lambda p: F.when(
+            dot(x, p) > 0 if strict else dot(x, p) >= 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
     )
     return F.aggregate(
         F.zip_with(bits, weights, lambda b, w: b * w),

@@ -150,31 +150,11 @@ SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM (
 def bucket_expr(e: F.Column) -> F.Column:
     """8-bit random-hyperplane bucket id as a pure per-row expression —
     shared by sim_lsh_buckets and the LSH-gated near-dup join."""
-    from ..functions.vectors import matrix_lit
+    from ..functions.vectors import plane_sign_bucket
 
-    planes = _planes()
-    # one-parse plane matrix (see vectors.array_lit): same per-plane dot
-    # fold and the same int sum order as the unrolled loop — bit-identical
-    weights = F.expr(
-        "array(" + ",".join(str(2 ** j) for j in range(len(planes))) + ")"
-    )
-    bits = F.transform(
-        matrix_lit(planes),
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(e, p, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, z: a + z,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return F.aggregate(
-        F.zip_with(bits, weights, lambda b, w: b * w),
-        F.lit(0),
-        lambda a, v: a + v,
-    ).cast("bigint")
+    # strict comparator (> 0): this query family's oracle twin counts a
+    # zero dot as NEGATIVE, unlike hyperplane_bits' >= 0 contract
+    return plane_sign_bucket(e, _planes(), strict=True)
 
 
 def bucket_sql_expr() -> str:

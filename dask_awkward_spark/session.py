@@ -93,7 +93,10 @@ def read_hot(spark: SparkSession, path: str) -> "DataFrame":
 
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
-    if scan_partitions_estimate(spark, path) < max(2, target // 2):
+    est = scan_partitions_estimate(
+        spark, path, fallback=lambda: df.rdd.getNumPartitions()
+    )
+    if est < max(2, target // 2):
         df = df.repartition(target)
     return df
 

@@ -230,7 +230,12 @@ def snapshot_catalog_list(spark: SparkSession, catalog_path: str) -> "list[dict]
         .collect()
     ]
     if len(_LIST_CACHE) >= _LIST_CACHE_CAP and ckey not in _LIST_CACHE:
-        _LIST_CACHE.pop(next(iter(_LIST_CACHE)))
+        try:
+            # race-tolerant evict: a rival thread may pop the same first
+            # key (or empty the dict) between the len check and here
+            _LIST_CACHE.pop(next(iter(_LIST_CACHE)), None)
+        except (StopIteration, RuntimeError, KeyError):
+            pass
     _LIST_CACHE[ckey] = (sig, entries)
     return [dict(e) for e in entries]
 

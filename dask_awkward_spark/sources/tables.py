@@ -172,37 +172,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_table(df, name)
 
 
-def scan_partitions_estimate(spark: SparkSession, *paths: str) -> int:
+def scan_partitions_estimate(
+    spark: SparkSession, *paths: str, fallback=None
+) -> int:
     """The scan partition count Spark's FilePartition packing will
     produce for these parquet files — computed from file sizes and the
     session's split confs, WITHOUT ``df.rdd.getNumPartitions()`` (which
     materializes the whole toRDD conversion plan: ~30-45 ms per call at
-    bench scale, and real driver planning time on large file sets)."""
+    bench scale, and real driver planning time on large file sets).
+
+    Mirrors ``FilePartition.getFilePartitions`` exactly: hidden files
+    (``_``/``.`` prefixes) are ignored, files sort by length descending,
+    each splits into chunks of ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/defaultParallelism))``, and a
+    partition closes when ``current + chunk > maxSplitBytes`` where
+    ``current`` charges each packed chunk its open cost but the
+    incoming chunk none. Only plain local paths can be statted here;
+    anything else (object-store URIs, globs) returns ``fallback()`` —
+    callers pass the RDD probe so remote tables keep the old exact
+    behavior instead of a bogus 1."""
     import os as _os
 
-    sizes = []
+    sizes: "list[int]" = []
+    statable = True
     for p in paths:
         if _os.path.isdir(p):
-            for root, _, names in _os.walk(p):
+            for root, dirs, names in _os.walk(p):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 sizes += [
                     _os.path.getsize(_os.path.join(root, n))
                     for n in names
-                    if n.endswith(".parquet")
+                    if n.endswith(".parquet") and not n.startswith(("_", "."))
                 ]
-        elif _os.path.exists(p):
+        elif _os.path.isfile(p):
             sizes.append(_os.path.getsize(p))
-    if not sizes:
-        return 1
+        else:
+            statable = False
+    if not statable or not sizes:
+        return int(fallback()) if fallback is not None else 1
 
     def _bytes_conf(key: str, default: int) -> int:
         try:
             v = str(spark.conf.get(key)).strip().lower()
         except Exception:  # noqa: BLE001
             return default
+        if v.endswith("b"):
+            v = v[:-1]  # Spark's own defaultValueString spells '...b'
         mult = 1
-        for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-            if v.endswith(suf) or v.endswith(suf + "b"):
-                v = v.rstrip("b").rstrip(suf)
+        for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                       ("t", 1 << 40)):
+            if v.endswith(suf):
+                v = v[: -len(suf)]
                 mult = m
                 break
         try:
@@ -214,17 +234,17 @@ def scan_partitions_estimate(spark: SparkSession, *paths: str) -> int:
     open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
     par = spark.sparkContext.defaultParallelism
     total = sum(s + open_cost for s in sizes)
-    target = min(max_split, max(open_cost, total // max(par, 1)))
-    # each file splits into <=target chunks, chunks (+open cost) are
-    # then packed greedily into partitions of capacity `target`
+    target = max(
+        1, min(max_split, max(open_cost, total // max(par, 1)))
+    )
     n, cur = 0, 0
-    for s in sizes:
-        chunks = max(1, -(-s // target)) if s else 1
+    for s in sorted(sizes, reverse=True):
+        chunks = max(1, -(-s // target))
         for i in range(chunks):
-            sz = min(target, s - i * target) + open_cost
+            sz = min(target, s - i * target)
             if cur + sz > target and cur > 0:
                 n, cur = n + 1, 0
-            cur += sz
+            cur += sz + open_cost
     return n + (1 if cur > 0 else 0)
 
 
@@ -232,7 +252,11 @@ def load_table_hot(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """:func:`load_table` + the single-row-group parallelism guard."""
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    est = scan_partitions_estimate(spark, f"{sf_dir}/{name}.parquet")
+    est = scan_partitions_estimate(
+        spark,
+        f"{sf_dir}/{name}.parquet",
+        fallback=lambda: df.rdd.getNumPartitions(),
+    )
     if est < max(2, target // 2):
         df = df.repartition(target)
     return df

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .schema import apply_at_depth, broadcast_binop, list_depth
+from .session import local_frame
 
 VALUE_COL = "v"
 
@@ -666,7 +667,8 @@ class NestedArray:
             offsets[pid] = acc
             acc += counts[pid]
         spark = self._df.sparkSession
-        off_df = spark.createDataFrame(
+        off_df = local_frame(
+            spark,
             [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
             "__pid__ int, __off__ long",
         )
@@ -701,8 +703,8 @@ class NestedArray:
                 raise IndexError("index out of range")
         idxed = self.with_row_index()
         spark = self._df.sparkSession
-        sel = spark.createDataFrame(
-            [(p, i) for p, i in enumerate(key)], "__pos__ long, __idx__ long"
+        sel = local_frame(
+            spark, [(p, i) for p, i in enumerate(key)], "__pos__ long, __idx__ long"
         )
         joined = idxed._df.join(F.broadcast(sel), F.col("__row_id__") == F.col("__idx__"))
         if validate:

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_frame
 from .vectors import dot, norm, quantize_int8
 
 
@@ -1191,7 +1192,8 @@ def ivf_search(
         return float(sum(x * y for x, y in zip(qe, cent)))
 
     qdf = F.broadcast(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [
                 (r.q_id, r.qe, int(c), _probe_cdot(r.qe, int(c)))
                 for r in qrows

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 
 def _epoch_us(col: Column) -> Column:
     """Microsecond epoch of a timestamp column (NTZ normalized through an
@@ -204,7 +206,7 @@ def _keyless_running_last(union: DataFrame, sort_exprs: list, direction: str) ->
         [T.StructField("__pid__", T.IntegerType()), T.StructField("__carry__", rv_type)]
     )
     if carry_rows:
-        carry = F.broadcast(spark.createDataFrame(carry_rows, carry_schema))
+        carry = F.broadcast(local_frame(spark, carry_rows, carry_schema))
         patched = local.join(carry, "__pid__", "left")
     else:
         patched = local.withColumn("__carry__", F.lit(None).cast(rv_type))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core import VALUE_COL, NestedArray, Scalar, align_many, pin_layout
+from ..session import local_frame
 from ..schema import apply_at_depth, apply_at_depth2, bind, broadcast_binop, normalize_axis
 
 
@@ -269,8 +270,8 @@ def _row_index_and_offsets(df, val_col):
         vacc += s or 0
         if m is not None and (vmin is None or m < vmin):
             vmin = m
-    off_df = w_df.sparkSession.createDataFrame(
-        rows or [(0, 0, 0)], "__pid__ int, __ro__ long, __vo__ long"
+    off_df = local_frame(
+        w_df.sparkSession, rows or [(0, 0, 0)], "__pid__ int, __ro__ long, __vo__ long"
     )
     w = Window.partitionBy("__pid__").orderBy("__mono__")
     bounds = (
@@ -321,7 +322,8 @@ def _cumulative_offsets(df, order_col: str, val_col: str, assume_contiguous: boo
         if m is not None and (vmin is None or m < vmin):
             vmin = m
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
+    off_df = local_frame(
+        spark,
         [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
         "__pid__ int, __off__ long",
     )

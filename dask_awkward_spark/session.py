@@ -78,6 +78,113 @@ def get_spark(app_name: str = "dask_awkward_spark", cpus: int | None = None) -> 
     return spark
 
 
+def _arrow_literal_safe(dt) -> bool:
+    """True when the pickle and Arrow literal paths provably agree on dt.
+
+    The allowed set is what the engine's literal frames actually carry
+    (verified bit-identical both ways, incl. NaN/+-Inf, NULLs, empty
+    frames): timestamps, dates and decimals are excluded because their
+    pickle-vs-Arrow coercions (session-tz attach, precision rescale) are
+    not identical by construction.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dt,
+        (
+            T.NullType, T.BooleanType, T.ByteType, T.ShortType,
+            T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+            T.StringType, T.BinaryType,
+        ),
+    ):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _arrow_literal_safe(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _arrow_literal_safe(dt.keyType) and _arrow_literal_safe(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return all(_arrow_literal_safe(f.dataType) for f in dt.fields)
+    return False
+
+
+def _pylist_cell(v, dt):
+    """One literal value as the pyarrow ``from_pylist`` shape (structs
+    become dicts keyed by field name, recursively)."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dt, T.StructType):
+        vals = [v.get(f.name) for f in dt.fields] if isinstance(v, dict) else list(v)
+        return {
+            f.name: _pylist_cell(x, f.dataType) for f, x in zip(dt.fields, vals)
+        }
+    if isinstance(dt, T.ArrayType):
+        return [_pylist_cell(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        return {k: _pylist_cell(x, dt.valueType) for k, x in dict(v).items()}
+    return v
+
+
+def local_frame(spark: SparkSession, rows, schema) -> "DataFrame":
+    """Tiny driver-literal DataFrame as a JVM LocalRelation, not an RDD.
+
+    ``createDataFrame(list)`` parallelizes the rows into a pickled RDD, so
+    EVERY action on the frame re-runs a Python-worker stage (pickle ->
+    worker -> unpickle): ~130 ms of pure overhead per action in local mode,
+    and a per-action pickled-row ship plus Python worker spin-up on a
+    cluster (guide section 4: eliminate the JVM<->Python boundary). Routing
+    the same rows through ONE Arrow batch at construction instead yields a
+    LocalTableScan the JVM evaluates directly — no Python stage, ever.
+
+    Values are bit-identical to the classic path for the types gated by
+    :func:`_arrow_literal_safe`; schemas carrying timestamp/date/decimal
+    (none of the engine's literal frames do) fall back to the classic
+    1-slice RDD frame, as does any Arrow conversion surprise.
+
+    A LocalRelation splits into up to one partition per row when executed,
+    so frames that feed a WRITE should stay 0/1-row or be coalesced by the
+    caller; every current caller broadcasts, collects or sinks the frame.
+    """
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = schema if isinstance(schema, StructType) else _parse_datatype_string(schema)
+    rows = list(rows or [])
+    try:
+        if not isinstance(st, StructType):
+            raise ValueError("non-struct schema")
+        # an EMPTY frame has no values to coerce — any schema that
+        # round-trips through Arrow (checked below) is exact
+        if rows and not _arrow_literal_safe(st):
+            raise ValueError("outside the verified literal-type set")
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        names = st.fieldNames()
+        pylist = [
+            {
+                n: _pylist_cell(v, f.dataType)
+                for n, f, v in zip(
+                    names,
+                    st.fields,
+                    (
+                        [r.get(n) for n in names]
+                        if isinstance(r, dict)
+                        else list(r)
+                    ),
+                )
+            }
+            for r in rows
+        ]
+        tbl = pa.Table.from_pylist(pylist, schema=to_arrow_schema(st))
+        df = spark.createDataFrame(tbl)
+        if df.schema != st:  # nullability/type drift: take the exact path
+            raise ValueError("arrow schema round-trip drifted")
+        return df
+    except Exception:
+        return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
+
+
 def read_hot(spark: SparkSession, path: str) -> "DataFrame":
     """Parquet read that guarantees scan parallelism for CPU-heavy consumers.
 

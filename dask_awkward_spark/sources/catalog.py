@@ -27,6 +27,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 __all__ = [
     "snapshot_catalog_register",
     "snapshot_catalog_unregister",
@@ -76,10 +78,9 @@ def snapshot_catalog_register(
     if version is not None and tag is not None:
         raise ValueError("pin by version OR tag, not both")
     row = [(name, table_path, version, tag, time.time())]
-    # one-row literal frame built on a 1-slice RDD: a single write task
-    # (a bare createDataFrame parallelizes to defaultParallelism slices,
-    # and .coalesce(1) on one stalls ~3s on scheduler locality wait)
-    src = spark.createDataFrame(spark.sparkContext.parallelize(row, 1), _SCHEMA)
+    # one-row literal frame as a LocalRelation: a single write task and no
+    # Python-worker stage per action (session.local_frame)
+    src = local_frame(spark, row, _SCHEMA)
     if not _versions(catalog_path):
         # CAS the creating write on the empty table: two concurrent
         # first registrations of the same name must not BOTH take the
@@ -155,11 +156,8 @@ def snapshot_catalog_rename(
     taken = {x["name"] for x in snapshot_catalog_list(spark, catalog_path)}
     if new in taken:
         raise ValueError(f"catalog name {new!r} is already registered")
-    src = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(new, e["path"], e["pin_version"], e["pin_tag"], time.time())], 1
-        ),
-        _SCHEMA,
+    src = local_frame(
+        spark, [(new, e["path"], e["pin_version"], e["pin_tag"], time.time())], _SCHEMA
     )
     # Column condition, not a spliced SQL literal: a name containing a
     # quote/backslash must neither break the parse nor (worse) make the

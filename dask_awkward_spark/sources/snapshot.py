@@ -72,6 +72,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..session import local_frame
+
 from .storage import (  # noqa: F401 — re-exported as public API
     ObjectCopyStorageBackend,
     PosixStorageBackend,
@@ -2038,7 +2040,7 @@ def snapshot_create(
         )
     try:
         return snapshot_write(
-            spark.createDataFrame([], schema),
+            local_frame(spark, [], schema),
             path,
             mode="append",
             expect_head=0,
@@ -4533,7 +4535,7 @@ def _visible_tagged(spark: SparkSession, path: str, m: dict, rels: "list[str]") 
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     names = schema.fieldNames()
     if not rels:
-        df = spark.createDataFrame([], schema)
+        df = local_frame(spark, [], schema)
         return df.select(
             *names,
             F.lit(None).cast("string").alias("__dak_file"),
@@ -4568,7 +4570,7 @@ def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> D
     speed and one carries the (broadcast) join."""
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     if not rels:
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
     pmap = _mapping_physical(m)
     nested = _nested_physical(m.get("column_mapping"))
     pschema = _phys_schema(schema, pmap, nested)
@@ -4593,7 +4595,7 @@ def _visible_df(spark: SparkSession, path: str, m: dict, rels: "list[str]") -> D
     if hit:
         parts.append(_visible_tagged(spark, path, m, hit).select(*schema.fieldNames()))
     out = _union_all(parts)
-    return out if out is not None else spark.createDataFrame([], schema)
+    return out if out is not None else local_frame(spark, [], schema)
 
 
 def snapshot_scan_report(
@@ -4658,7 +4660,8 @@ def snapshot_files(
             _file_dv_count(dv, f),
             s is not None,
         ))
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "file string, partition string, rows bigint, bytes bigint, "
         "deleted_rows bigint, has_stats boolean",
@@ -4703,7 +4706,8 @@ def snapshot_partitions(
             else:
                 gaps += 1
         rows.append((key, len(fs), n_rows, deleted, gaps))
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "partition string, files int, rows bigint, deleted_rows bigint, "
         "files_without_stats int",
@@ -4760,7 +4764,8 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
             )
         )
         prev_files, prev_rows = set(files), total_rows
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "version int, op string, committed_at double, files_delta int, "
         "rows_delta bigint, total_files int, total_rows bigint, "
@@ -4902,7 +4907,7 @@ def snapshot_changes(
         base = set(_read_manifest(path, since)["files"]) if since else set()
         delta = [f for f in until_m["files"] if f not in base]
         if not delta:
-            return spark.createDataFrame([], schema)
+            return local_frame(spark, [], schema)
         return logical(
             _data_reader(spark, pschema).parquet(
                 *[os.path.join(path, f) for f in delta]
@@ -4948,7 +4953,7 @@ def snapshot_changes(
                 .withColumn(_COMMIT_COL, F.lit(v))
             )
     out = _union_all(parts)
-    return out if out is not None else spark.createDataFrame([], out_schema)
+    return out if out is not None else local_frame(spark, [], out_schema)
 
 
 def snapshot_apply_changes(

@@ -43,6 +43,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 __all__ = ["snapshot_sql", "snapshot_sql_script", "snapshot_changes_view"]
 
 
@@ -807,7 +809,7 @@ def _describe_vector_index(spark: SparkSession, name: str, tables) -> "DataFrame
         ("rows", str(rows)),
         ("vec_id_type", schema["vec_id"].dataType.simpleString()),
     ]
-    return spark.createDataFrame(out, "key string, value string")
+    return local_frame(spark, out, "key string, value string")
 
 
 def _vector_index_sql(
@@ -1155,7 +1157,8 @@ def _ann_sql(spark: SparkSession, sql: str, tables: "dict[str, str]"):
     else:
         # a label only — exclude_self is off, so collisions are inert
         qid = "__ann_query__" if vid_is_str else -1
-    qdf = spark.createDataFrame(
+    qdf = local_frame(
+        spark,
         [(qid, vec)],
         StructType(
             [
@@ -1443,7 +1446,8 @@ def _describe_detail(spark: SparkSession, path: str) -> DataFrame:
         "properties": dict(m.get("properties") or {}),
         "schema_ddl": m["schema_ddl"],
     }
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [tuple(row.values())],
         "format string, location string, version bigint, "
         "num_versions bigint, committed_at double, num_files bigint, "
@@ -1497,7 +1501,7 @@ def _show_tblproperties(spark: SparkSession, path: str) -> DataFrame:
         rows.append((f"bloom.{c}", str(ndv)))
     for k, v in sorted((m.get("properties") or {}).items()):
         rows.append((k, v))  # opaque user properties, verbatim
-    return spark.createDataFrame(rows or [], "key string, value string")
+    return local_frame(spark, rows or [], "key string, value string")
 
 
 def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
@@ -1562,7 +1566,7 @@ def _show_create_table(spark: SparkSession, name: str, path: str) -> DataFrame:
             for c, op, v in triples
         )
         stmt += f"\nALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({cond});"
-    return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+    return local_frame(spark, [(stmt,)], "createtab_stmt string")
 
 
 # ---- DDL face: CREATE / DROP / ALTER TABLE, SHOW TABLES ----
@@ -1805,11 +1809,9 @@ def _create_sql(spark, sql, m, tables, catalog_path):
                     "'name type' coldef (same rule as snapshot_create)"
                 )
             version = snapshot_write(
-                # empty frame on a 1-slice RDD: one write task (coalesce
-                # on a parallelized frame stalls on locality wait)
-                spark.createDataFrame(
-                    spark.sparkContext.parallelize([], 1), parsed
-                ),
+                # empty LocalRelation frame: one write task, no Python
+                # worker stage (session.local_frame)
+                local_frame(spark, [], parsed),
                 location, mode="overwrite",
                 partition_by=pb or [], bloom_by=bloom or {},
                 stats_columns=stats_cols or [],
@@ -1901,8 +1903,8 @@ def _ddl_sql(spark, sql, tables, catalog_path):
 
     m = _SHOW_TABLES_RE.match(sql)
     if m:
-        return spark.createDataFrame(
-            sorted(tables.items()) or [], "name string, path string"
+        return local_frame(
+            spark, sorted(tables.items()) or [], "name string, path string"
         )
 
     m = _ALTER_RE.match(sql)

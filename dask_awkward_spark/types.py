@@ -23,6 +23,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .session import local_frame
+
 
 def uint64_to_decimal(col: Column) -> Column:
     """Lossless uint64 carrier (LongType would overflow past 2^63-1)."""
@@ -103,7 +105,7 @@ def categorical_encode(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
     for pid in range(n_parts):
         offs.append((pid, acc))
         acc += counts.get(pid, 0)
-    off = F.broadcast(spark.createDataFrame(offs, "__pid__ int, __off__ bigint"))
+    off = F.broadcast(local_frame(spark, offs, "__pid__ int, __off__ bigint"))
     local_rank = F.row_number().over(Window.partitionBy("__pid__").orderBy("value"))
     dictionary = (
         ranged.withColumn("__rk__", local_rank)

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_frame
+
 
 def hash_key(col: Column, salt: str = "") -> Column:
     """Deterministic uniform-ish key in [0, 2^32) as 8 hex chars —
@@ -163,7 +165,8 @@ def temperature_mix(
     ]
     spark = df.sparkSession
     qdf = F.broadcast(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             quotas,
             StructType([
                 StructField("__grp", df.schema[group_col].dataType, True),

@@ -1219,7 +1219,8 @@ def ivf_search(
         _, ksub, _ = _check_codebook(pq_spec["codebook"])
         luts = pq_lut_rows([list(r.qe) for r in qrows], pq_spec["codebook"])
         lutdf = F.broadcast(
-            spark.createDataFrame(
+            local_frame(
+                spark,
                 [(r.q_id, lut) for r, lut in zip(qrows, luts)],
                 f"q_id {id_t}, lut array<double>",
             )
@@ -1269,7 +1270,8 @@ def ivf_search(
             # distributed: re-attach qe (broadcast, one row per query)
             # and join the survivors back to the cell-pruned index
             qev = F.broadcast(
-                spark.createDataFrame(
+                local_frame(
+                    spark,
                     [(r.q_id, r.qe) for r in qrows],
                     f"q_id {id_t}, qe array<double>",
                 ).withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe")))
@@ -1285,8 +1287,10 @@ def ivf_search(
         else:
             surv = surv_df.collect()  # bounded: <= |queries| x rescore_k pairs
             if not surv:  # every probed cell empty (or self-only)
-                return spark.createDataFrame(
-                    [], f"q_id {id_t}, vec_id {idx.schema['vec_id'].dataType.simpleString()}, cell int, cos double"
+                return local_frame(
+                    spark,
+                    [],
+                    f"q_id {id_t}, vec_id {idx.schema['vec_id'].dataType.simpleString()}, cell int, cos double",
                 )
             qe_by_id = {r.q_id: r.qe for r in qrows}
             ids = sorted({r.vec_id for r in surv})
@@ -1304,7 +1308,8 @@ def ivf_search(
             )
             vid_t = idx.schema["vec_id"].dataType.simpleString()
             pairs = F.broadcast(
-                spark.createDataFrame(
+                local_frame(
+                    spark,
                     [(r.q_id, qe_by_id[r.q_id], r.vec_id) for r in surv],
                     f"q_id {id_t}, qe array<double>, vec_id {vid_t}",
                 ).withColumn("__dak_qe2", dot(F.col("qe"), F.col("qe")))
@@ -1431,7 +1436,8 @@ def _ivf_search_batch(
             # the dot's left fold matches the collected path's Python
             # sum exactly, so both paths still rank bit-identically
             cdf = F.broadcast(
-                spark.createDataFrame(
+                local_frame(
+                    spark,
                     [
                         (i + 1, [float(v) for v in row])
                         for i, row in enumerate(spec["centroids"])

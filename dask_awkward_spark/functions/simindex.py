@@ -143,6 +143,18 @@ def knn_bruteforce(
     )
 
 
+def _meta_rows(index_path: str, version: "int | None") -> "int | None":
+    """The index's visible row count from manifest metadata alone (no
+    job), or None when unprovable — the ranking-tier skip gate must
+    never trade a Spark job for the job it is trying to save."""
+    from ..sources.snapshot import _meta_row_count
+
+    try:
+        return _meta_row_count(index_path, version)
+    except Exception:
+        return None
+
+
 def _pq_codebook_file(index_path: str) -> str:
     import os
 
@@ -1180,6 +1192,20 @@ def ivf_search(
         from .pq import normalize_pq_spec
 
         pq_spec = normalize_pq_spec(pq_cb)
+    if pq_cb is not None or ("q" in idx.columns and "scale" in idx.columns):
+        # rescore_k >= the index's visible row count (manifest metadata
+        # — never a job) makes the ranking tier a provable NO-OP: every
+        # candidate survives the top-rescore_k window, so the exact tier
+        # re-scores the identical pair set either way. Skip the tier
+        # outright — its quantized scan, per-pair ADC/int8 scoring and
+        # ranking window are work the plan would throw away (guide
+        # §1.2). The exact-at-full-rescore queries are the documented
+        # use of huge rescore_k; partial-rescore searches keep the tier.
+        n_idx = _meta_rows(index_path, version)
+        if n_idx is not None and rk_n >= n_idx:
+            pq_cb = pq_spec = None
+            idx = idx.drop(*[c for c in ("q", "scale", "pqc", "norm")
+                             if c in idx.columns])
 
     def _probe_cdot(qe, c):
         # residual ADC ranks <q, e> ~ <q, centroid(cell)> + LUT-sum:
@@ -1414,6 +1440,16 @@ def _ivf_search_batch(
         where=[("cell", "in", probe_cells)] + where,
     )
     pq_cb = _load_pq_codebook(index_path) if "pqc" in idx.columns else None
+    if pq_cb is not None or ("q" in idx.columns and "scale" in idx.columns):
+        # same provable-no-op gate as the collected path: rescore_k
+        # covering the whole index (manifest metadata, never a job)
+        # means every candidate survives the ranking window — skip the
+        # quantized/ADC tier, its scan and its window outright
+        n_idx = _meta_rows(index_path, version)
+        if n_idx is not None and rk_n >= n_idx:
+            pq_cb = None
+            idx = idx.drop(*[c for c in ("q", "scale", "pqc", "norm")
+                             if c in idx.columns])
     cos_q = None
     if pq_cb is not None:
         # IVF-PQ on the batch path: the ADC LUT is a COLUMN on the

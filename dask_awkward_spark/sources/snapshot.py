@@ -318,6 +318,17 @@ def _txn_publish(staged: dict) -> "list[str]":
         if len(vs) > 1:
             out["op"] = "txn"
             out.pop("changes", None)
+            # deferred change staging never materialized: the collapse
+            # drops change files anyway, so the per-statement staging
+            # write jobs were saved outright (guide §1.2: don't compute
+            # what you throw away)
+            out.pop(_CHANGES_LAZY, None)
+        elif _CHANGES_LAZY in out:
+            # single-statement chain publishes with its real op and its
+            # row-level change files: materialize the deferred staging
+            # exactly once, at the publish
+            parts, pth, comp, cmap = out.pop(_CHANGES_LAZY)
+            out["changes"] = _stage_changes(parts, pth, comp, cmap)
         out["version"] = head + 1
         out["parent"] = head if head else None
         out["committed_at"] = time.time()
@@ -617,6 +628,10 @@ def _encode_manifest(manifest: dict, parent_m: "dict | None") -> dict:
     checkpoint manifest). Only ``files``/``stats`` delta-encode — DV
     lists, change-file lists, and constraints stay inline (all are
     O(affected files), never O(table))."""
+    if _CHANGES_LAZY in manifest:
+        # deferred in-txn change staging (DataFrame plans) is in-memory
+        # state, never serialized: the publish materializes or drops it
+        manifest = {k: v for k, v in manifest.items() if k != _CHANGES_LAZY}
     if parent_m is None or manifest.get("parent") is None:
         return manifest
     version = manifest["version"]
@@ -1485,6 +1500,50 @@ def _parse_part_value(dirname: str, simple: str):
     return None
 
 
+_TIME_VALUED_RE = re.compile(
+    r"\b(current_timestamp|current_date|now|localtimestamp|current_timezone)\("
+)
+
+
+def _plan_deterministic(df: DataFrame) -> bool:
+    """True when Spark can PROVE every expression in ``df``'s analyzed
+    plan (and its children) re-evaluates to the same values —
+    rand()/uuid() anywhere make it False via the plan's own
+    ``deterministic`` flag, and the per-QUERY-folded time functions
+    (current_timestamp & family, which Spark counts as deterministic
+    but folds to a DIFFERENT literal in each execution) are rejected by
+    name from the analyzed tree. Unprovable (any inspection error) is
+    treated as non-deterministic: callers use this to skip a
+    consistency pin, so the safe answer is 'keep the pin'."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return bool(plan.deterministic()) and not _TIME_VALUED_RE.search(
+            plan.toString()
+        )
+    except Exception:
+        return False
+
+
+def _coalesce_local_relation(df: DataFrame) -> DataFrame:
+    """Write-fanout guard (VERDICT r12 item 6 / ADVICE r12): a
+    multi-row LocalRelation (``session.local_frame``, e.g. a
+    snapshot_files/history diagnostic frame a user pipes back into a
+    write) splits into up to one partition per ROW at execution, which
+    would land one near-empty data file per row. Coalesce such frames
+    to one task before staging; every other plan shape passes through
+    untouched (scan-fed frames keep their parallelism)."""
+    try:
+        lg = df._jdf.queryExecution().analyzed()
+        if (
+            lg.getClass().getSimpleName() == "LocalRelation"
+            and lg.data().size() > 1
+        ):
+            return df.coalesce(1)
+    except Exception:
+        pass  # advisory only — never fail a write over plan inspection
+    return df
+
+
 def _stage_files(
     df: DataFrame,
     path: str,
@@ -1509,6 +1568,7 @@ def _stage_files(
     min==max stats pruning, exact because the column is constant per
     file. The shadow (not the column itself) feeds ``partitionBy``,
     which would otherwise strip the column from the files."""
+    df = _coalesce_local_relation(df)
     data_dir = os.path.join(path, _DATA)
     _fs().ensure_dir(data_dir)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -4503,6 +4563,26 @@ def snapshot_count(
     return total
 
 
+def _meta_row_count(path: str, version: "int | None" = None) -> "int | None":
+    """Visible-row count STRICTLY from manifest metadata (recorded
+    per-file rows minus deletion-vectored positions) — None when any
+    file lacks a recorded count. Unlike :func:`snapshot_count` this
+    never scans: callers use it for plan-shape decisions (e.g. skipping
+    a ranking tier a huge rescore_k provably makes a no-op), where an
+    unprovable answer must mean 'keep the safe plan', not 'run a job'."""
+    v = _resolve_version(path, version, None)
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    dv = _dv_positions(path, m.get("deletes") or []) if m.get("deletes") else {}
+    total = 0
+    for f in m["files"]:
+        s = stats.get(f)
+        if s is None or not isinstance(s.get("rows"), int):
+            return None
+        total += s["rows"] - len(dv.get(f.rsplit("/", 1)[-1], ()))
+    return total
+
+
 def _where_to_column(where) -> "Column | None":
     """ANDed (col, op, value) triples as one Spark Column predicate."""
     cond = None
@@ -4756,7 +4836,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
                 len(files),
                 total_rows,
                 len(m.get("deletes") or ()),
-                len(m.get("changes") or ()),
+                len(_manifest_changes(m) or ()),
                 no_stats,
                 m.get("partition_by"),
                 m.get("stream_batch_id"),
@@ -4798,7 +4878,7 @@ def _cdf_walk(path: str, s: int, e: int) -> "list[tuple[int, str, list[str]]]":
     prev = set(_read_manifest(path, s)["files"]) if s else set()
     for v in range(s + 1, e + 1):
         m = _read_manifest(path, v)
-        chg = m.get("changes")
+        chg = _manifest_changes(m)
         if m["parent"] is not None and (
             m["op"] not in ok_ops or (chg is None and m["op"] not in no_chg_ok)
         ):
@@ -5680,6 +5760,48 @@ def _stage_changes(
     return files
 
 
+#: In-memory-only manifest key carrying DEFERRED change staging inside a
+#: snapshot_txn: (parts, path, compression, column_mapping). Never
+#: serialized — _encode_manifest strips it, and it only ever lives in the
+#: thread-local overlay (staged manifests are plain dicts there).
+_CHANGES_LAZY = "__dak_changes_lazy"
+
+
+def _set_changes(
+    manifest: dict,
+    parts: "list[tuple[DataFrame, str]]",
+    path: str,
+    compression: str,
+    column_mapping: "dict | None",
+) -> None:
+    """Record a DML commit's row-level change files on ``manifest``.
+
+    Outside a transaction the files stage immediately (one Spark write
+    job). INSIDE a :class:`snapshot_txn` the staging is DEFERRED — the
+    manifest carries the change-frame plans, not files: a multi-
+    statement chain COLLAPSES at publish and drops its change files
+    entirely (and a failed script discards everything), so staging them
+    per statement is a wasted write job proportional to the changed
+    rows. The frames reference immutable already-staged data files, so
+    they evaluate identically whenever the publish (single-statement
+    chain) or an in-txn reader (:func:`_manifest_changes`) forces them."""
+    if _txn_overlay() is not None:
+        manifest[_CHANGES_LAZY] = (list(parts), path, compression, column_mapping)
+    else:
+        manifest["changes"] = _stage_changes(parts, path, compression, column_mapping)
+
+
+def _manifest_changes(m: dict) -> "list | None":
+    """``m``'s change-file list, materializing a deferred one first (a
+    reader inside the transaction — CDF walk, history counts — must see
+    exactly what an eager staging would have produced)."""
+    lazy = m.pop(_CHANGES_LAZY, None)
+    if lazy is not None:
+        parts, path, compression, column_mapping = lazy
+        m["changes"] = _stage_changes(parts, path, compression, column_mapping)
+    return m.get("changes")
+
+
 def snapshot_delete(
     spark: SparkSession,
     path: str,
@@ -5764,8 +5886,19 @@ def snapshot_delete(
             matches = tagged.filter(cond).select(
                 F.col("__dak_file").alias("file"), F.col("__dak_pos").alias("pos")
             )
-            removed = matches.count()
+            # ONE job stages the DV file AND yields the removed count
+            # from its footer stats — the separate matches.count() was a
+            # second full tagged scan per DELETE. An empty match set
+            # un-stages the zero-row file, so the no-op path publishes
+            # nothing, as before.
+            dv_files, dv_stats = _stage_files(matches.repartition(1), path, compression)
+            removed = _staged_rows(path, dv_files, dv_stats)
             if removed == 0:
+                for rel in dv_files:
+                    try:
+                        _fs().delete(os.path.join(path, rel))
+                    except Exception:
+                        pass  # unreferenced either way: vacuum territory
                 return {
                     "version": head,
                     "removed_rows": 0,
@@ -5773,14 +5906,14 @@ def snapshot_delete(
                     "carried_files": len(m["files"]),
                     "delete_files": 0,
                 }
-            dv_files, _ = _stage_files(matches.repartition(1), path, compression)
             manifest = _cow_manifest(
                 m, head, "delete", list(m["files"]), dict(m.get("stats", {}))
             )
             manifest["deletes"] = list(m.get("deletes") or []) + dv_files
             if change_feed:
                 names = StructType.fromJson(json.loads(m["schema_json"])).fieldNames()
-                manifest["changes"] = _stage_changes(
+                _set_changes(
+                    manifest,
                     [(tagged.filter(cond).select(*names), "delete")],
                     path, compression, m.get("column_mapping"),
                 )
@@ -5805,11 +5938,12 @@ def snapshot_delete(
         # (plus the optional change-feed scan). Files carrying a
         # deletion vector fall back to the row path: their stats count
         # rows the DV already removed.
-        dv_named = (
-            set(_dv_positions(path, m.get("deletes") or []))
+        dv_pos = (
+            _dv_positions(path, m.get("deletes") or [])
             if m.get("deletes")
-            else set()
+            else {}
         )
+        dv_named = set(dv_pos)
         full = [
             f
             for f in affected
@@ -5821,7 +5955,16 @@ def snapshot_delete(
         partial = [f for f in affected if f not in full_set]
         if partial:
             df = _visible_df(spark, path, m, partial)
-            before = df.count()
+            # the pre-rewrite visible-row count is manifest metadata:
+            # recorded per-file rows minus deletion-vectored positions
+            # (positions are recorded at most once per row — repeated
+            # deletes scan tagged-visible rows only). One full count
+            # job per DELETE saved; files without a recorded row count
+            # fall back to the exact scan (guide §5: the driver/metadata
+            # answer what a job would)
+            before = _stats_row_count(mstats, partial, dv_pos)
+            if before is None:
+                before = df.count()
             # SQL DELETE semantics: only rows where the predicate is
             # TRUE go; a NULL predicate (e.g. col = 'x' on a NULL) must
             # KEEP the row — plain ~cond would silently drop it
@@ -5836,14 +5979,7 @@ def snapshot_delete(
             before, new_files, new_stats = 0, [], {}
         # footer stats give the surviving row count for free; a file
         # whose stats collection failed falls back to its own footer
-        after = 0
-        for f in new_files:
-            if f in new_stats:
-                after += new_stats[f]["rows"]
-            else:
-                import pyarrow.parquet as pq
-
-                after += pq.read_metadata(os.path.join(path, f)).num_rows
+        after = _staged_rows(path, new_files, new_stats)
         car = set(carried)
         stats = {f: s for f, s in mstats.items() if f in car}
         stats.update(new_stats)
@@ -5852,7 +5988,8 @@ def snapshot_delete(
             # one extra READ-ONLY pass over the (pruned) affected files
             # — whole-file-dropped rows included; opt out with
             # change_feed=False for huge takedowns
-            manifest["changes"] = _stage_changes(
+            _set_changes(
+                manifest,
                 [(_visible_df(spark, path, m, affected).filter(cond), "delete")],
                 path,
                 compression,
@@ -5869,6 +6006,40 @@ def snapshot_delete(
             }
         # unrebasable conflict (compact/DML/possibly-matching append):
         # re-read and redo — the just-staged files stay for vacuum
+
+
+def _staged_rows(path: str, files: "list[str]", stats: dict) -> int:
+    """Row count of freshly staged files: footer stats give it for
+    free; a file whose stats collection failed falls back to its own
+    footer read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        s = stats.get(f) or {}
+        rows = s.get("rows")
+        if isinstance(rows, int):
+            total += rows
+        else:
+            total += pq.read_metadata(os.path.join(path, f)).num_rows
+    return total
+
+
+def _stats_row_count(
+    mstats: dict, rels: "list[str]", dv_pos: "dict[str, list[int]]"
+) -> "int | None":
+    """VISIBLE-row count of ``rels`` from manifest stats alone: each
+    file's recorded row count minus its deletion-vectored positions.
+    None when any file lacks a recorded count — the caller must then
+    run the exact scan."""
+    total = 0
+    for f in rels:
+        s = mstats.get(f) or {}
+        rows = s.get("rows")
+        if not isinstance(rows, int):
+            return None
+        total += rows - len(dv_pos.get(f.rsplit("/", 1)[-1], ()))
+    return total
 
 
 #: columns of an IVF index table that are DERIVED from `e` under the
@@ -6021,7 +6192,8 @@ def snapshot_update(
             )
             manifest["deletes"] = list(m.get("deletes") or []) + dv_files
             if change_feed:
-                manifest["changes"] = _stage_changes(
+                _set_changes(
+                    manifest,
                     [
                         (matched.select(*names), "update_preimage"),
                         (patched, "update_postimage"),
@@ -6042,7 +6214,16 @@ def snapshot_update(
         df = _visible_df(spark, path, m, affected)
         updated_rows = df.filter(cond).count()
         out_df = df.select(cols)
-        if change_feed:
+        post_df = None
+        if change_feed and _plan_deterministic(out_df):
+            # every RHS and the predicate are deterministic over
+            # immutable files: the postimage re-evaluates the exact
+            # committed values, so the localCheckpoint pin (one extra
+            # full job + a memory copy of the rewritten files) is
+            # unnecessary (guide §5 — cache only what recompute can't
+            # reproduce)
+            post_df = df.filter(cond).select(*cols)
+        elif change_feed:
             # pin ONE evaluation of the assignment expressions: a
             # non-deterministic RHS (rand(), current_timestamp()) must
             # yield the SAME values in the data files and the postimage
@@ -6053,6 +6234,7 @@ def snapshot_update(
                 *cols, cond.alias("__dak_chg")
             ).localCheckpoint(eager=True)
             out_df = pinned.drop("__dak_chg")
+            post_df = pinned.filter("__dak_chg").drop("__dak_chg")
         new_files, new_stats = _stage_files(
             out_df, path, compression, m.get("partition_by"),
             m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
@@ -6063,10 +6245,11 @@ def snapshot_update(
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "update", carried + new_files, stats)
         if change_feed:
-            manifest["changes"] = _stage_changes(
+            _set_changes(
+                manifest,
                 [
                     (df.filter(cond), "update_preimage"),
-                    (pinned.filter("__dak_chg").drop("__dak_chg"), "update_postimage"),
+                    (post_df, "update_postimage"),
                 ],
                 path,
                 compression,
@@ -6909,9 +7092,7 @@ def snapshot_merge(
                     )
             if inserted:
                 chg.append((ins.select(*names), "insert"))
-            manifest["changes"] = _stage_changes(
-                chg, path, compression, m.get("column_mapping")
-            )
+            _set_changes(manifest, chg, path, compression, m.get("column_mapping"))
         out = _commit_dml(
             path, manifest, m,
             # a concurrent blind append adds rows the third clause family

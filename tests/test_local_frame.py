@@ -81,3 +81,45 @@ def test_row_shapes_dict_and_nested(spark):
     b = local_frame(spark, rows_tup, st).collect()
     c = _classic(spark, rows_tup, st).collect()
     assert repr(a) == repr(b) == repr(c)
+
+
+def test_locality_wait_local_master_only():
+    """VERDICT r12 item 2: the zero locality wait is a LOCAL-mode-only
+    default — a cluster master must keep Spark's delay scheduling
+    (data locality on cached/HDFS-local reads); the env override wins
+    on any master."""
+    from dask_awkward_spark.session import _locality_wait_for
+
+    assert _locality_wait_for("local[32]", None) == "0s"
+    assert _locality_wait_for("local[*]", None) == "0s"
+    assert _locality_wait_for("local-cluster[2,1,1024]", None) == "0s"
+    # real cluster masters: leave spark.locality.wait at Spark's default
+    assert _locality_wait_for("spark://host:7077", None) is None
+    assert _locality_wait_for("yarn", None) is None
+    assert _locality_wait_for("k8s://https://host:443", None) is None
+    # explicit env wins everywhere
+    assert _locality_wait_for("local[8]", "3s") == "3s"
+    assert _locality_wait_for("yarn", "1s") == "1s"
+
+
+def test_multi_row_local_frame_writes_one_file(spark, tmp_path):
+    """VERDICT r12 item 6: a multi-row LocalRelation piped into a
+    snapshot write must NOT fan out into one near-empty file per row —
+    _stage_files coalesces it to a single task structurally, not by
+    caller convention."""
+    from dask_awkward_spark.sources.snapshot import snapshot_read, snapshot_write
+
+    p = str(tmp_path / "fanout")
+    df = local_frame(
+        spark,
+        [(i, f"s{i}") for i in range(5)],
+        "id bigint, s string",
+    )
+    assert _plan_name(df) == "LocalTableScanExec"  # precondition: the guard's target
+    snapshot_write(df, p)
+    import glob
+
+    files = glob.glob(f"{p}/data/*.parquet")
+    assert len(files) == 1, files
+    got = sorted((r.id, r.s) for r in snapshot_read(spark, p).collect())
+    assert got == [(i, f"s{i}") for i in range(5)]

@@ -2816,3 +2816,69 @@ def test_stream_marks_are_bounded(spark, tmp_path, monkeypatch):
         stream_batch_id=0, stream_app_id="app0",
     )
     assert snapshot_read(spark, p).count() == 8
+
+
+def test_update_nondeterministic_rhs_postimage_matches_data(spark, tmp_path):
+    """r13: the CoW UPDATE consistency pin is skipped only when Spark
+    PROVES the plan deterministic — a rand() RHS must still pin one
+    evaluation so the postimage records exactly the committed values,
+    and current_timestamp() (per-query folded, 'deterministic' to
+    Spark) must also keep the pin."""
+    from dask_awkward_spark.sources.snapshot import (
+        _plan_deterministic,
+        snapshot_changes,
+        snapshot_read,
+        snapshot_update,
+        snapshot_write,
+    )
+
+    p = str(tmp_path / "ndet")
+    snapshot_write(
+        spark.range(200).select(F.col("id"), (F.col("id") * 0.5).alias("v")), p
+    )
+    snapshot_update(spark, p, [("id", "<", 100)], {"v": F.rand(seed=7) + F.lit(100.0)})
+    post = {
+        r.id: r.v
+        for r in snapshot_changes(spark, p, since=1, row_level=True)
+        .filter("_change_type = 'update_postimage'")
+        .collect()
+    }
+    data = {r.id: r.v for r in snapshot_read(spark, p).filter("id < 100").collect()}
+    assert post == data, "postimage must record the exact committed values"
+    # determinism probe: time-valued functions are NOT provably stable
+    df = spark.range(3)
+    assert _plan_deterministic(df.select((F.col("id") + 1).alias("x")))
+    assert not _plan_deterministic(df.select(F.rand().alias("x")))
+    assert not _plan_deterministic(df.select(F.current_timestamp().alias("x")))
+    assert not _plan_deterministic(df.select(F.expr("now()").alias("x")))
+
+
+def test_delete_counts_from_metadata_match_scan(spark, tmp_path):
+    """r13: CoW DELETE's pre-rewrite row count comes from manifest
+    stats (minus DV positions) — the returned counts must equal the
+    old full-scan answer, including under stacked deletion vectors."""
+    from dask_awkward_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    p = str(tmp_path / "mcount")
+    snapshot_write(
+        spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("g")), p
+    )
+    # stack a DV first so the metadata count must subtract positions
+    st_mor = snapshot_delete(spark, p, [("g", "=", 3)], strategy="merge-on-read")
+    assert st_mor["removed_rows"] == 14 and st_mor["delete_files"] == 1
+    st = snapshot_delete(spark, p, [("g", "=", 5)])
+    assert st["removed_rows"] == 14
+    assert snapshot_read(spark, p).count() == 100 - 14 - 14
+    # MOR no-op delete publishes nothing and leaves no stray data files
+    import glob as _glob
+
+    before_files = set(_glob.glob(f"{p}/data/*.parquet"))
+    st2 = snapshot_delete(
+        spark, p, [("g", "=", 3)], strategy="merge-on-read"
+    )
+    assert st2["removed_rows"] == 0 and st2["version"] == st["version"]
+    assert set(_glob.glob(f"{p}/data/*.parquet")) == before_files

@@ -798,3 +798,57 @@ def test_index_table_refuses_raw_writes(spark, tmp_path):
     snapshot_compact(spark, p)
     got = ivf_search(spark, p, vecs.limit(1), cents(), k=3, nprobe=4)
     assert got.count() == 3
+
+
+def test_txn_defers_change_staging(spark, tmp_path, monkeypatch):
+    """r13: change-feed staging inside a transaction is DEFERRED — a
+    multi-statement chain collapses at publish and drops its change
+    files, so staging them per statement was a wasted Spark write job
+    per DML. Asserted structurally: _stage_changes never runs for a
+    collapsing chain, runs exactly once at publish for a single-DML
+    chain (whose published version must still serve the row-level CDF),
+    and a reader INSIDE the txn forces materialization on demand."""
+    import dask_awkward_spark.sources.snapshot as S
+
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(10).withColumn("v", F.col("id") * 2), p)
+
+    calls = []
+    orig = S._stage_changes
+
+    def counting(parts, path, compression, column_mapping=None):
+        calls.append(len(parts))
+        return orig(parts, path, compression, column_mapping)
+
+    monkeypatch.setattr(S, "_stage_changes", counting)
+
+    # collapsing chain: two DMLs, zero change staging ever
+    with snapshot_txn():
+        snapshot_delete(spark, p, [("id", "<", 3)])
+        from dask_awkward_spark.sources.snapshot import snapshot_update
+
+        snapshot_update(spark, p, [("id", ">=", 8)], {"v": F.col("v") + 1})
+    assert calls == [], "collapsing chain must never stage change files"
+    assert _versions(p) == [1, 2]
+    assert _read_manifest(p, 2)["op"] == "txn"
+    assert "changes" not in _read_manifest(p, 2)
+
+    # single-DML chain: staged exactly once, AT the publish, and the
+    # published commit serves the row-level feed exactly as before
+    with snapshot_txn():
+        snapshot_delete(spark, p, [("id", "=", 5)])
+        assert calls == [], "staging must wait for the publish"
+    assert calls == [1]
+    chg = snapshot_changes(spark, p, since=2, row_level=True)
+    assert [(r.id, r._change_type) for r in chg.collect()] == [(5, "delete")]
+
+    # an in-txn CDF reader forces materialization on demand (the staged
+    # version must look exactly as an eager staging would have made it)
+    calls.clear()
+    with snapshot_txn():
+        snapshot_delete(spark, p, [("id", "=", 6)])
+        assert calls == []
+        rows = snapshot_changes(spark, p, since=3, row_level=True).collect()
+        assert [(r.id, r._change_type) for r in rows] == [(6, "delete")]
+        assert calls == [1], "reader materializes the deferred staging"
+    assert calls == [1], "publish reuses the already-materialized files"

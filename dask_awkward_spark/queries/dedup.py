@@ -636,15 +636,57 @@ def _fuzzy_pairs(docs, extra=(), persist_docs=False):
         )
 
     ex_cols = [f"{s}_a" for _c, s in extra] + [f"{s}_b" for _c, s in extra]
+    # The candidate-pair frame is BYTE-tiny but CPU-heavy (O(len^2)
+    # Levenshtein per pair), so AQE's byte-based partition coalescing
+    # collapses the scoring stage to one or two tasks and serializes it
+    # — measured 319 s at the 10x replica sweep on 32 cores. An
+    # explicit hash repartition on the pair key pins the parallelism
+    # (AQE never coalesces a user repartition); row set unchanged. It
+    # must sit AFTER the text-side joins: placed before them, the join
+    # re-shuffles by its own key and the scoring stage inherits the
+    # join's byte-coalesced layout again (measured: 40.9 s before-joins
+    # vs 4.7 s after-joins for the same 294,800-pair scoring pass).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     paired = (
         cand.join(side("a"), "doc_a")
         .join(side("b"), "doc_b")
+        .repartition(par, "doc_a", "doc_b")
         .select(
             "doc_a",
             "doc_b",
             *ex_cols,
-            F.levenshtein("ta", "tb").cast("bigint").alias("lev"),
+            "ta",
+            "tb",
             F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
+        )
+        # sound pre-gate: levenshtein(a, b) >= |len(a) - len(b)|, and
+        # round(x * 1e6 / mx) is monotone in x — a pair whose LENGTH
+        # difference already rounds past the keep bound can never pass
+        # the exact filter below, so its O(len^2) distance is
+        # thrown-away work (guide §1.2). NULL/zero-length edge cases
+        # keep flowing (coalesce TRUE) for the exact filter to decide.
+        .filter(
+            F.coalesce(
+                F.round(
+                    F.abs(F.length("ta") - F.length("tb")) * 1e6 / F.col("mx")
+                )
+                <= 500000,
+                F.lit(True),
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            *ex_cols,
+            # identical texts short-circuit the O(len^2) distance to an
+            # O(len) equality check — levenshtein(x, x) = 0 exactly; on
+            # near-dup-heavy corpora (the scale case) most candidate
+            # pairs are exact copies
+            F.when(F.col("ta") == F.col("tb"), F.lit(0))
+            .otherwise(F.levenshtein("ta", "tb"))
+            .cast("bigint")
+            .alias("lev"),
+            "mx",
         )
     )
     out = paired.select(

@@ -199,10 +199,13 @@ def scan_partitions_estimate(
         if _os.path.isdir(p):
             for root, dirs, names in _os.walk(p):
                 dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                # every non-hidden file counts — Spark's
+                # InMemoryFileIndex packs all of them, not just
+                # .parquet-suffixed ones (ADVICE r12)
                 sizes += [
                     _os.path.getsize(_os.path.join(root, n))
                     for n in names
-                    if n.endswith(".parquet") and not n.startswith(("_", "."))
+                    if not n.startswith(("_", "."))
                 ]
         elif _os.path.isfile(p):
             sizes.append(_os.path.getsize(p))
@@ -232,7 +235,21 @@ def scan_partitions_estimate(
 
     max_split = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    # bytesPerCore divides by spark.sql.files.minPartitionNum when set,
+    # else leafNodeDefaultParallelism, else defaultParallelism — the
+    # exact FilePartition.maxSplitBytes chain (ADVICE r12)
     par = spark.sparkContext.defaultParallelism
+    for key in ("spark.sql.leafNodeDefaultParallelism",
+                "spark.sql.files.minPartitionNum"):
+        try:
+            v = spark.conf.get(key, None)
+        except Exception:  # noqa: BLE001
+            v = None
+        if v:
+            try:
+                par = int(v)
+            except ValueError:
+                pass
     total = sum(s + open_cost for s in sizes)
     target = max(
         1, min(max_split, max(open_cost, total // max(par, 1)))

@@ -615,3 +615,34 @@ def test_datasource_pushed_ordering_filters_match_spark_nan_semantics(spark):
         got = sorted(r.id for r in df.filter(cond).collect())
         want = sorted(r.id for r in native.filter(cond).collect())
         assert got == want, cond
+
+
+def test_scan_partitions_estimate_matches_rdd_probe(spark, tmp_path):
+    """r13 (ADVICE r12 items 1-2): the FilePartition-packing estimate
+    must equal the exact RDD probe — including under an explicit
+    spark.sql.files.minPartitionNum and with non-.parquet-suffixed data
+    files in the directory (Spark packs every non-hidden file)."""
+    from dask_awkward_spark.sources.tables import scan_partitions_estimate
+
+    p = str(tmp_path / "t")
+    spark.range(200_000).selectExpr("id", "id * 2 AS v").repartition(
+        7
+    ).write.parquet(p)
+    # a differently-suffixed data file Spark will still pack
+    import glob, shutil
+
+    f0 = sorted(glob.glob(f"{p}/part-*.parquet"))[0]
+    shutil.copy(f0, f"{p}/extra.dat")
+
+    def probe():
+        return spark.read.parquet(p).rdd.getNumPartitions()
+
+    est = scan_partitions_estimate(spark, p, fallback=lambda: -1)
+    assert est == probe(), (est, probe())
+    # minPartitionNum drives bytesPerCore when set
+    spark.conf.set("spark.sql.files.minPartitionNum", "3")
+    try:
+        est2 = scan_partitions_estimate(spark, p, fallback=lambda: -1)
+        assert est2 == probe(), (est2, probe())
+    finally:
+        spark.conf.unset("spark.sql.files.minPartitionNum")

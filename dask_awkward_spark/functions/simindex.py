@@ -1432,6 +1432,21 @@ def _ivf_search_batch(
     qx = q.select("q_id", "qe", F.explode("cells").alias("cell")).withColumn(
         "cell", F.col("cell").cast("int")
     )
+    # The candidate join usually BROADCASTS the cell-pruned index side,
+    # which makes the probe frame's partitioning the parallelism of the
+    # whole scoring stage (per-pair interpreted cosine folds) — an
+    # under-partitioned query side (one unsplittable parquet file
+    # locally) serializes it: measured 3.3 s on ONE task for 522k pairs
+    # at 32 cores. Same guard as session.read_hot: one bounded probe
+    # per search, hash-spread on q_id only when the side is provably
+    # under-parallel (at production scale a 10^5-row query side already
+    # arrives wide and the guard never fires).
+    par = spark.sparkContext.defaultParallelism
+    try:
+        if qx.rdd.getNumPartitions() < max(2, par // 2):
+            qx = qx.repartition(par, "q_id")
+    except Exception:
+        pass  # parallelism probe is advisory — never fail a search
     where = list(where or [])
     # hybrid filter inside the cell-pruned scan (see ivf_search): the
     # ranking tier only ever sees candidates that pass it

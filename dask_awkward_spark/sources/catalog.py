@@ -212,6 +212,19 @@ def snapshot_catalog_list(spark: SparkSession, catalog_path: str) -> "list[dict]
         ]
     try:
         sig = (head,) + _fs().stat_sig(_manifest_file(catalog_path, head))
+        # content-level tiebreaker (ADVICE r12): a backend without inode
+        # identity (ObjectCopy: mtime_ns+size only) could serve a stale
+        # entry for a dropped-and-recreated catalog whose same-numbered
+        # head lands with coincident mtime and byte length. The raw
+        # manifest's committed_at stamp (one small uncached read — the
+        # manifest CACHE shares the stat keying, so it cannot arbitrate)
+        # breaks that tie.
+        from .snapshot import _read_small_json
+
+        raw = _read_small_json(_manifest_file(catalog_path, head))
+        if raw is None:
+            raise OSError("manifest vanished while listing")
+        sig = sig + (raw.get("committed_at"),)
     except OSError:
         # listed-then-removed race (rival vacuum/drop): don't cache
         return [

@@ -637,12 +637,18 @@ def _fuzzy_pairs(docs, extra=(), persist_docs=False):
 
     ex_cols = [f"{s}_a" for _c, s in extra] + [f"{s}_b" for _c, s in extra]
     # The candidate-pair frame is BYTE-tiny but CPU-heavy (O(len^2)
-    # Levenshtein per pair), so AQE's byte-based partition coalescing
-    # collapses the scoring stage to one or two tasks and serializes it
-    # — measured 319 s at the 10x replica sweep on 32 cores. An
-    # explicit hash repartition on the pair key pins the parallelism
-    # (AQE never coalesces a user repartition); row set unchanged. It
-    # must sit AFTER the text-side joins: placed before them, the join
+    # Levenshtein per pair; the keep filter pushes into the text join's
+    # condition, so scoring runs in the stage that reads the
+    # candidate-distinct shuffle). AQE's byte-based coalescing collapses
+    # that stage to 1-2 tasks and serializes it — measured 319 s at the
+    # 10x replica sweep on 32 cores. The explicit pair-key repartition
+    # pins the parallelism: it collapses into the distinct's exchange
+    # (the INITIAL formatted plan shows no extra node — same
+    # hashpartitioning either way) but AQE's re-optimization carries
+    # the user REPARTITION_BY_NUM intent, which coalescing must honor.
+    # Stage probe at 10x/32 cores: final stage 32 tasks / 4.4 s wall
+    # WITH the repartition vs 2 tasks / 39.8 s without. It must sit
+    # AFTER the text-side joins: placed before them, the join
     # re-shuffles by its own key and the scoring stage inherits the
     # join's byte-coalesced layout again (measured: 40.9 s before-joins
     # vs 4.7 s after-joins for the same 294,800-pair scoring pass).

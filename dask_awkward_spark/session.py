@@ -194,6 +194,47 @@ def local_frame(spark: SparkSession, rows, schema) -> "DataFrame":
         return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
 
 
+def local_rows_table(df):
+    """``df``'s rows as a pyarrow Table when the OPTIMIZED plan folds to a
+    pure LocalRelation of :func:`_arrow_literal_safe` types, else None.
+
+    The write-side twin of :func:`local_frame`: a literal frame's rows
+    (VALUES inserts, CREATE TABLE's empty frame, one-row catalog rows)
+    already live in the driver, so staging them through a Spark write job
+    pays a full job launch + task + commit protocol to move KB-scale
+    data that never left the driver in the first place (guide §5). The
+    extraction here is job-free — ``collect()`` on a plan whose physical
+    form is a LocalTableScan short-circuits in the JVM without submitting
+    a job (verified via statusTracker) — and projections/renames layered
+    over the literal fold into the LocalRelation by the optimizer's
+    ConvertToLocalRelation rule, so column-mapped spellings qualify too.
+    Types outside the verified literal set (timestamp/date/decimal), a
+    non-LocalRelation plan, or any inspection/conversion surprise return
+    None and the caller takes the normal Spark write path.
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        st = df.schema
+        if not _arrow_literal_safe(st):
+            return None
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        names = st.fieldNames()
+        pylist = [
+            {
+                n: _pylist_cell(v, f.dataType)
+                for n, f, v in zip(names, st.fields, tuple(r))
+            }
+            for r in df.collect()
+        ]
+        return pa.Table.from_pylist(pylist, schema=to_arrow_schema(st))
+    except Exception:
+        return None
+
+
 def read_hot(spark: SparkSession, path: str) -> "DataFrame":
     """Parquet read that guarantees scan parallelism for CPU-heavy consumers.
 

@@ -328,7 +328,7 @@ def _txn_publish(staged: dict) -> "list[str]":
             # row-level change files: materialize the deferred staging
             # exactly once, at the publish
             parts, pth, comp, cmap = out.pop(_CHANGES_LAZY)
-            out["changes"] = _stage_changes(parts, pth, comp, cmap)
+            out["changes"] = _stage_changes(parts, pth, comp, cmap)[0]
         out["version"] = head + 1
         out["parent"] = head if head else None
         out["committed_at"] = time.time()
@@ -1544,6 +1544,27 @@ def _coalesce_local_relation(df: DataFrame) -> DataFrame:
     return df
 
 
+def _nan_in_literal(v) -> bool:
+    """True when any float NaN hides anywhere in a literal value tree
+    (rows from ``pyarrow.Table.to_pylist`` — dicts/lists/scalars)."""
+    if isinstance(v, float):
+        return v != v
+    if isinstance(v, (list, tuple)):
+        return any(_nan_in_literal(x) for x in v)
+    if isinstance(v, dict):
+        return any(_nan_in_literal(x) for x in v.values())
+    return False
+
+
+#: parquet codec spellings shared by Spark's writer and pyarrow — the
+#: driver-side literal staging fast path only fires for these (an exotic
+#: codec name falls back to the Spark writer rather than guessing).
+_PA_PARQUET_CODEC = {
+    "zstd": "zstd", "snappy": "snappy", "gzip": "gzip",
+    "lz4": "lz4", "none": "none", "uncompressed": "none",
+}
+
+
 def _stage_files(
     df: DataFrame,
     path: str,
@@ -1568,7 +1589,6 @@ def _stage_files(
     min==max stats pruning, exact because the column is constant per
     file. The shadow (not the column itself) feeds ``partitionBy``,
     which would otherwise strip the column from the files."""
-    df = _coalesce_local_relation(df)
     data_dir = os.path.join(path, _DATA)
     _fs().ensure_dir(data_dir)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -1607,6 +1627,34 @@ def _stage_files(
             partition_by = [_phys_entry(e) for e in partition_by]
         if bloom_ndv:
             bloom_ndv = {pmap.get(c, c): v for c, v in bloom_ndv.items()}
+    # driver-side literal staging (guide §5): a frame whose optimized plan
+    # is a pure LocalRelation of verified literal types carries rows that
+    # never left the driver — write the one staged parquet file directly
+    # with pyarrow instead of paying a Spark job launch + commit protocol
+    # (~0.15 s/commit locally; at scale these frames are KB-bounded by
+    # construction, so "the driver does no data work" is not at risk).
+    # Conditions: no hive layout (the shadow/partitionBy machinery needs
+    # the Spark writer), no bloom spec (parquet blooms come from the
+    # parquet-mr writer), a codec pyarrow spells identically. Publish and
+    # footer-stats collection below are SHARED with the Spark path — the
+    # staged file goes through the same walk/link/stats loop.
+    ltbl = None
+    if not partition_by and not bloom_ndv and compression in _PA_PARQUET_CODEC:
+        from ..session import local_rows_table
+
+        ltbl = local_rows_table(df)
+        if ltbl is not None and any(
+            _nan_in_literal(r) for r in ltbl.to_pylist()
+        ):
+            # parquet-cpp records NaN-EXCLUDING min/max for float
+            # columns where parquet-mr omits the stats entirely — and
+            # the pruning layer relies on that omission (Spark orders
+            # NaN above every value, so a NaN row can satisfy a
+            # predicate the NaN-excluding max says cannot match).
+            # A NaN-bearing literal frame takes the Spark writer.
+            ltbl = None
+    if ltbl is None:
+        df = _coalesce_local_relation(df)
     part_vtypes: "dict[str, str]" = {}  # virtual dir col -> simple type
     part_names: "list[str]" = []  # shadow/dir names, spec order
     if partition_by:
@@ -1641,16 +1689,34 @@ def _stage_files(
     if spark.conf.get(ts_conf, "INT96") not in ("TIMESTAMP_MICROS", "TIMESTAMP_MILLIS"):
         spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
     try:
-        w = df.write.mode("overwrite").option("compression", compression)
-        if partition_by:
-            w = w.partitionBy(*(_PART_SHADOW + c for c in part_names))
-        have = {f.name for f in df.schema.fields}
-        for c, ndv in (bloom_ndv or {}).items():
-            if c in have:  # DV/change frames don't carry the data columns
-                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
-                    f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+        wrote_local = False
+        if ltbl is not None:
+            try:
+                import pyarrow.parquet as _papq
+
+                os.makedirs(staging, exist_ok=True)
+                _papq.write_table(
+                    ltbl,
+                    os.path.join(staging, "part-00000-local.parquet"),
+                    compression=_PA_PARQUET_CODEC[compression],
                 )
-        w.parquet(staging)
+                wrote_local = True
+            except Exception:
+                # any pyarrow surprise: clear the staging dir and take
+                # the Spark path (mode=overwrite re-creates it cleanly)
+                _fs().delete_prefix(staging)
+                df = _coalesce_local_relation(df)
+        if not wrote_local:
+            w = df.write.mode("overwrite").option("compression", compression)
+            if partition_by:
+                w = w.partitionBy(*(_PART_SHADOW + c for c in part_names))
+            have = {f.name for f in df.schema.fields}
+            for c, ndv in (bloom_ndv or {}).items():
+                if c in have:  # DV/change frames don't carry the data columns
+                    w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                        f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+                    )
+            w.parquet(staging)
         col_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         # staging publication routes through the storage backend: LIST
         # the staged prefix, PUBLISH each part file at its unique final
@@ -5755,9 +5821,11 @@ def _stage_changes(
     same stable-name rule as data files."""
     tagged = _union_all([df.withColumn(_CHANGE_COL, F.lit(k)) for df, k in parts])
     if tagged is None:
-        return []
-    files, _ = _stage_files(tagged, path, compression, column_mapping=column_mapping)
-    return files
+        return [], {}
+    files, stats = _stage_files(
+        tagged, path, compression, column_mapping=column_mapping
+    )
+    return files, stats
 
 
 #: In-memory-only manifest key carrying DEFERRED change staging inside a
@@ -5788,7 +5856,53 @@ def _set_changes(
     if _txn_overlay() is not None:
         manifest[_CHANGES_LAZY] = (list(parts), path, compression, column_mapping)
     else:
-        manifest["changes"] = _stage_changes(parts, path, compression, column_mapping)
+        manifest["changes"] = _stage_changes(
+            parts, path, compression, column_mapping
+        )[0]
+
+
+def _stage_data_and_changes(
+    stage_data,
+    chg_parts: "list[tuple[DataFrame, str]] | None",
+    path: str,
+    compression: str,
+    column_mapping: "dict | None",
+):
+    """Stage a DML commit's data files and its row-level change files as
+    two CONCURRENT Spark jobs (guide §2.6: actions are only sequential
+    because the driver calls them sequentially — these two are
+    independent, both deriving from immutable committed files or pinned
+    checkpoints, so the second job's tasks back-fill executors the first
+    leaves idle). ``stage_data`` is a thunk returning ``(files, stats)``
+    and runs on the calling thread; the change staging runs on a worker.
+
+    Returns ``(files, stats, chg_files, chg_stats)``. ``chg_files`` is
+    None when ``chg_parts`` is None (feed off) or the commit sits inside
+    a txn overlay — the wave-1 deferral then owns change staging (the
+    overlay is thread-local, so the worker thread could not see it
+    anyway) and the caller routes through :func:`_set_changes`."""
+    if chg_parts is None or _txn_overlay() is not None:
+        files, stats = stage_data()
+        return files, stats, None, None
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(
+            _stage_changes, chg_parts, path, compression, column_mapping
+        )
+        try:
+            files, stats = stage_data()
+        except BaseException:
+            # harvest the worker before propagating: its staged files
+            # are unreferenced garbage for vacuum either way, but a
+            # still-running thread must not outlive this frame
+            try:
+                fut.result()
+            except Exception:
+                pass
+            raise
+        chg_files, chg_stats = fut.result()
+    return files, stats, chg_files, chg_stats
 
 
 def _manifest_changes(m: dict) -> "list | None":
@@ -5798,7 +5912,7 @@ def _manifest_changes(m: dict) -> "list | None":
     lazy = m.pop(_CHANGES_LAZY, None)
     if lazy is not None:
         parts, path, compression, column_mapping = lazy
-        m["changes"] = _stage_changes(parts, path, compression, column_mapping)
+        m["changes"] = _stage_changes(parts, path, compression, column_mapping)[0]
     return m.get("changes")
 
 
@@ -5970,13 +6084,31 @@ def snapshot_delete(
             # KEEP the row — plain ~cond would silently drop it
             # (three-valued logic)
             keep = df.filter(~cond | cond.isNull())
-            new_files, new_stats = _stage_files(
+        else:
+            before, keep = 0, None
+        # one extra READ-ONLY pass over the (pruned) affected files for
+        # the change feed — whole-file-dropped rows included; opt out
+        # with change_feed=False for huge takedowns. It runs CONCURRENT
+        # with the survivor rewrite (guide §2.6): the two jobs read the
+        # same immutable committed files and share no state.
+        chg_parts = (
+            [(_visible_df(spark, path, m, affected).filter(cond), "delete")]
+            if change_feed
+            else None
+        )
+
+        def _data_stage():
+            if keep is None:
+                return [], {}
+            return _stage_files(
                 keep, path, compression, m.get("partition_by"),
                 m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
                 stats_cols=m.get("stats_columns"),
             )
-        else:
-            before, new_files, new_stats = 0, [], {}
+
+        new_files, new_stats, chg_files, _cs = _stage_data_and_changes(
+            _data_stage, chg_parts, path, compression, m.get("column_mapping")
+        )
         # footer stats give the surviving row count for free; a file
         # whose stats collection failed falls back to its own footer
         after = _staged_rows(path, new_files, new_stats)
@@ -5985,16 +6117,13 @@ def snapshot_delete(
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "delete", carried + new_files, stats)
         if change_feed:
-            # one extra READ-ONLY pass over the (pruned) affected files
-            # — whole-file-dropped rows included; opt out with
-            # change_feed=False for huge takedowns
-            _set_changes(
-                manifest,
-                [(_visible_df(spark, path, m, affected).filter(cond), "delete")],
-                path,
-                compression,
-                m.get("column_mapping"),
-            )
+            if chg_files is not None:
+                manifest["changes"] = chg_files
+            else:
+                _set_changes(
+                    manifest, chg_parts, path, compression,
+                    m.get("column_mapping"),
+                )
         out = _commit_dml(path, manifest, m, pwhere, tz)
         if out is not None:
             return {
@@ -6179,10 +6308,28 @@ def snapshot_update(
             dv_files, _ = _stage_files(dv.repartition(1), path, compression)
             # pin ONE evaluation of the RHS (see copy-on-write branch)
             patched = matched.select(*cols).localCheckpoint(eager=True)
-            new_files, new_stats = _stage_files(
-                patched, path, compression, m.get("partition_by"),
-                m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
-                stats_cols=m.get("stats_columns"),
+            # change staging overlaps the patched-row staging (guide
+            # §2.6) — both jobs replay pinned checkpoints, no shared
+            # state, and the early no-op exit above already happened
+            chg_parts = (
+                [
+                    (matched.select(*names), "update_preimage"),
+                    (patched, "update_postimage"),
+                ]
+                if change_feed
+                else None
+            )
+
+            def _data_stage():
+                return _stage_files(
+                    patched, path, compression, m.get("partition_by"),
+                    m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
+                    stats_cols=m.get("stats_columns"),
+                )
+
+            new_files, new_stats, chg_files, _cs = _stage_data_and_changes(
+                _data_stage, chg_parts, path, compression,
+                m.get("column_mapping"),
             )
             _enforce_constraints(spark, m, path, new_files, schema=schema)
             stats = dict(m.get("stats", {}))
@@ -6192,16 +6339,13 @@ def snapshot_update(
             )
             manifest["deletes"] = list(m.get("deletes") or []) + dv_files
             if change_feed:
-                _set_changes(
-                    manifest,
-                    [
-                        (matched.select(*names), "update_preimage"),
-                        (patched, "update_postimage"),
-                    ],
-                    path,
-                    compression,
-                    m.get("column_mapping"),
-                )
+                if chg_files is not None:
+                    manifest["changes"] = chg_files
+                else:
+                    _set_changes(
+                        manifest, chg_parts, path, compression,
+                        m.get("column_mapping"),
+                    )
             out = _commit_dml(path, manifest, m, pwhere, tz)
             if out is not None:
                 return {
@@ -6212,10 +6356,10 @@ def snapshot_update(
                 }
             continue  # unrebasable conflict: re-read and redo
         df = _visible_df(spark, path, m, affected)
-        updated_rows = df.filter(cond).count()
         out_df = df.select(cols)
         post_df = None
-        if change_feed and _plan_deterministic(out_df):
+        det = change_feed and _plan_deterministic(out_df)
+        if det:
             # every RHS and the predicate are deterministic over
             # immutable files: the postimage re-evaluates the exact
             # committed values, so the localCheckpoint pin (one extra
@@ -6235,26 +6379,49 @@ def snapshot_update(
             ).localCheckpoint(eager=True)
             out_df = pinned.drop("__dak_chg")
             post_df = pinned.filter("__dak_chg").drop("__dak_chg")
-        new_files, new_stats = _stage_files(
-            out_df, path, compression, m.get("partition_by"),
-            m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
-            stats_cols=m.get("stats_columns"),
+        # the matched-row count job is SKIPPED on the deterministic
+        # eager-change path: the staged preimage+postimage change file
+        # carries the count in its footer stats (rows/2 — both images
+        # select the same deterministic row set), so a dedicated full
+        # scan per UPDATE answers nothing the staging didn't already
+        updated_rows = (
+            None
+            if det and _txn_overlay() is None
+            else df.filter(cond).count()
+        )
+        chg_parts = (
+            [
+                (df.filter(cond), "update_preimage"),
+                (post_df, "update_postimage"),
+            ]
+            if change_feed
+            else None
+        )
+
+        def _data_stage():
+            return _stage_files(
+                out_df, path, compression, m.get("partition_by"),
+                m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
+                stats_cols=m.get("stats_columns"),
+            )
+
+        new_files, new_stats, chg_files, chg_stats = _stage_data_and_changes(
+            _data_stage, chg_parts, path, compression, m.get("column_mapping")
         )
         _enforce_constraints(spark, m, path, new_files, schema=schema)
         stats = {f: s for f, s in m.get("stats", {}).items() if f not in aff}
         stats.update(new_stats)
         manifest = _cow_manifest(m, head, "update", carried + new_files, stats)
         if change_feed:
-            _set_changes(
-                manifest,
-                [
-                    (df.filter(cond), "update_preimage"),
-                    (post_df, "update_postimage"),
-                ],
-                path,
-                compression,
-                m.get("column_mapping"),
-            )
+            if chg_files is not None:
+                manifest["changes"] = chg_files
+            else:
+                _set_changes(
+                    manifest, chg_parts, path, compression,
+                    m.get("column_mapping"),
+                )
+        if updated_rows is None:
+            updated_rows = _staged_rows(path, chg_files, chg_stats) // 2
         out = _commit_dml(path, manifest, m, pwhere, tz)
         if out is not None:
             return {
@@ -6713,27 +6880,54 @@ def snapshot_merge(
         aff = set(affected)
         carried = [f for f in m["files"] if f not in aff]
         tgt = _visible_df(spark, path, m, affected)
-        # insert-only merges never need the matched count — skip the join job
-        n_matched = (
-            tgt.join(src_n, on, "left_semi").count() if when_matched is not None else 0
-        )
-        if n_matched:
-            # reserved alias — a key column literally named "count" must
-            # not collide with the aggregate
-            dup = (
-                src_n.groupBy(*on)
-                .agg(F.count(F.lit(1)).alias("__dak_n"))
-                .filter(F.col("__dak_n") > 1)
-                .drop("__dak_n")
-                .join(tgt.select(*on), on, "left_semi")
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise ValueError(
-                    "merge is ambiguous: multiple source rows match the "
-                    "same target row (dedupe the source on the key first)"
+        # ONE key-level aggregation job answers the three questions the
+        # merge used to pay up to three separate join jobs for (guide
+        # §1.2/§2.3 — aggregate before you shuffle, never rescan per
+        # count): matched target rows, source-duplicate ambiguity, and
+        # (for an unconditional insert clause) the inserted-row count.
+        # Both sides partial-aggregate map-side to distinct keys before
+        # the full-outer join, so it carries keys, not rows. NULL keys
+        # never equi-join, so null-key source groups land on the
+        # insert side exactly as the keys_ok split routes those rows.
+        # Reserved __dak_ aliases — a key column literally named
+        # "count" must not collide with the aggregates.
+        need_counts = when_matched is not None or when_not_matched == "insert"
+        kstats = None
+        if need_counts:
+            kstats = (
+                src.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("__dak_sn"))
+                .join(
+                    tgt.groupBy(*on).agg(F.count(F.lit(1)).alias("__dak_tn")),
+                    on,
+                    "full_outer",
                 )
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.col("__dak_sn").isNotNull()
+                            & F.col("__dak_tn").isNotNull(),
+                            F.col("__dak_tn"),
+                        )
+                    ).alias("__dak_m"),
+                    F.max(
+                        F.when(F.col("__dak_tn").isNotNull(), F.col("__dak_sn"))
+                    ).alias("__dak_mx"),
+                    F.sum(
+                        F.when(F.col("__dak_tn").isNull(), F.col("__dak_sn"))
+                    ).alias("__dak_ins"),
+                )
+                .first()
+            )
+        n_matched = (
+            int(kstats["__dak_m"] or 0) if when_matched is not None else 0
+        )
+        fused_ins = int(kstats["__dak_ins"] or 0) if kstats is not None else 0
+        if n_matched and (kstats["__dak_mx"] or 0) > 1:
+            raise ValueError(
+                "merge is ambiguous: multiple source rows match the "
+                "same target row (dedupe the source on the key first)"
+            )
         parts, inserted, upd_post = [], 0, None
         pinned_m, out_cols, n_updated, n_deleted = None, None, 0, 0
         upd_idx = [i for i, (_c, a, _g) in enumerate(clauses) if a == "update"]
@@ -7017,32 +7211,26 @@ def snapshot_merge(
                 # one evaluation: a non-deterministic condition must not
                 # let the counted rows differ from the written rows
                 ins = ins.localCheckpoint(eager=True)
-            inserted = ins.count()
+                inserted = ins.count()
+            else:
+                # unconditional insert (assignment projections preserve
+                # row count): the fused key-level aggregation above
+                # already counted the anti-join side — no second job
+                inserted = fused_ins
             if inserted:
                 parts.append(ins)
         if not rewritten and not inserted:
             return _zero(head, len(m["files"]))
         out = _union_all(parts)
-        new_files, new_stats = _stage_files(
-            out, path, compression, m.get("partition_by"),
-            m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
-            stats_cols=m.get("stats_columns"),
-        )
-        _enforce_constraints(spark, m, path, new_files, schema=schema)
-        stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
-        stats.update(new_stats)
-        # an insert-only merge never rewrites a file — the file set
-        # strictly grows, which IS an append: stamping it so keeps
-        # snapshot_changes / stream_from_snapshot working across
-        # upsert-maintained tables instead of hard-failing the feed
-        manifest = _cow_manifest(
-            m, head, "merge" if rewritten else "append", carried + new_files, stats
-        )
+        chg = None
         if change_feed and rewritten:
             # only target-row changes need recording — an insert-only
             # commit (op append) lets the feed derive its inserts from
             # the added data files, so writing them twice here would
-            # just double the insert volume on upsert-maintained tables
+            # just double the insert volume on upsert-maintained tables.
+            # Built BEFORE staging so the change write can run CONCURRENT
+            # with the data write (guide §2.6): every frame below reads
+            # pinned checkpoints or immutable committed files.
             chg = []
             if clause_mode and (n_updated or n_deleted):
                 # exactly the clause-HIT rows: fall-through (ci == -1)
@@ -7092,7 +7280,34 @@ def snapshot_merge(
                     )
             if inserted:
                 chg.append((ins.select(*names), "insert"))
-            _set_changes(manifest, chg, path, compression, m.get("column_mapping"))
+
+        def _data_stage():
+            return _stage_files(
+                out, path, compression, m.get("partition_by"),
+                m.get("bloom_ndv"), column_mapping=m.get("column_mapping"),
+                stats_cols=m.get("stats_columns"),
+            )
+
+        new_files, new_stats, chg_files, _cs = _stage_data_and_changes(
+            _data_stage, chg, path, compression, m.get("column_mapping")
+        )
+        _enforce_constraints(spark, m, path, new_files, schema=schema)
+        stats = {f: s for f, s in m.get("stats", {}).items() if f not in set(rewritten)}
+        stats.update(new_stats)
+        # an insert-only merge never rewrites a file — the file set
+        # strictly grows, which IS an append: stamping it so keeps
+        # snapshot_changes / stream_from_snapshot working across
+        # upsert-maintained tables instead of hard-failing the feed
+        manifest = _cow_manifest(
+            m, head, "merge" if rewritten else "append", carried + new_files, stats
+        )
+        if chg is not None:
+            if chg_files is not None:
+                manifest["changes"] = chg_files
+            else:
+                _set_changes(
+                    manifest, chg, path, compression, m.get("column_mapping")
+                )
         out = _commit_dml(
             path, manifest, m,
             # a concurrent blind append adds rows the third clause family

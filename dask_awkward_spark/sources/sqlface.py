@@ -381,9 +381,12 @@ def snapshot_sql(
         )
         path = _resolve(table, tables)
         if re.match(r"^VALUES\b", body, re.I):
-            # literal rows are driver-bounded: one write task / one data
-            # file instead of defaultParallelism near-empty ones
-            df = spark.sql(f"SELECT * FROM ({body})").coalesce(1)
+            # literal rows are driver-bounded: the staging layer writes a
+            # pure LocalRelation driver-side as one file (or coalesces it
+            # to one write task on the fallback path) — wrapping it in
+            # coalesce(1) here would bury the LocalRelation under a
+            # Repartition node and force the slow path
+            df = spark.sql(f"SELECT * FROM ({body})")
         elif re.match(r"^\(?\s*SELECT\b|^\(?\s*WITH\b", body, re.I):
             # through the SELECT face: catalog names in the body resolve
             # and re-pin at THIS statement (incl. AS OF time travel), so
@@ -1758,8 +1761,10 @@ def _create_sql(spark, sql, m, tables, catalog_path):
         else:
             sel = am.group(1).strip()
             if re.match(r"^VALUES\b", sel, re.I):
-                # literal rows: one write task (see the INSERT branch)
-                df = spark.sql(f"SELECT * FROM ({sel})").coalesce(1)
+                # literal rows: staged driver-side / single write task
+                # (see the INSERT branch — no coalesce(1) wrapper, it
+                # would hide the LocalRelation from the staging layer)
+                df = spark.sql(f"SELECT * FROM ({sel})")
             elif re.match(r"^\(?\s*(SELECT|WITH)\b", sel, re.I):
                 # through the SELECT face, so catalog names in the body
                 # resolve (and re-pin at THIS statement — a stale view

@@ -160,15 +160,15 @@ def dedup_incremental(spark, sf_dir):
 
     import os
 
-    # the delta probes go through the parallelism-guarded read: the
-    # MinHash signature stage (2 seeded md5 per distinct token + chunk
-    # mins) is CPU-bound exactly like the shingle pipeline, and the
-    # unsplittable single-row-group documents scan would serialize it on
-    # one core (A/B at sf0.1: bands checkpoint 0.35-0.54s -> 0.09-0.14s
-    # per chunk). The max-id probe keeps the plain scan — an aggregate
-    # gains nothing from the extra shuffle.
+    # measured and REJECTED (round 13): routing the delta probes through
+    # the parallelism-guarded read (_docs_par) cuts the bands-checkpoint
+    # stage 0.35-0.54s -> 0.09-0.14s per chunk in isolation, but the
+    # 32-way spread it injects widens every downstream stage (index
+    # appends, probe joins, the final verdicts evaluation) and the FULL
+    # query measures ~1s SLOWER in-session (hot 3.3-3.7s vs plain
+    # 2.4-2.8s best-of-3 alternating) — the same trade the shingle-vs-
+    # light-dedup note on _docs_par records. The plain scan stays.
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    docs_hot = _docs_par(spark, sf_dir).select("doc_id", "text")
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     # pid-scoped path: a fixed name would let a concurrent run (bench vs
     # oracle harness) rmtree the index this process is mid-probe on
@@ -177,12 +177,8 @@ def dedup_incremental(spark, sf_dir):
     mid = docs.agg(F.max("doc_id")).first()[0] // 2
     elems = F.array_distinct(tx.tokens(F.lower(F.col("text"))))
     try:
-        v1 = incremental_dedup(
-            spark, path, docs_hot.filter(F.col("doc_id") <= mid), elems
-        )
-        v2 = incremental_dedup(
-            spark, path, docs_hot.filter(F.col("doc_id") > mid), elems
-        )
+        v1 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") <= mid), elems)
+        v2 = incremental_dedup(spark, path, docs.filter(F.col("doc_id") > mid), elems)
         # kept docs get dup_of = -1 (a NULL bigint round-trips as NaN
         # through the oracle harness's pandas conversion); materialize
         # BEFORE dropping the scratch index the lazy plan reads from

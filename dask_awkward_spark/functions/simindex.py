@@ -424,12 +424,54 @@ def ivf_index_add(
             f"index at {index_path} is a PQ index (sticky tier): pass "
             "pq_codebook= with the original codebook on every ingest"
         )
-    rows = new_vecs.select(
-        *_index_row_cols(
-            centroids, id_col, e_col, quantized, pq_codebook, pq_spec,
-            meta_cols=meta_cols,
+    # Two-stage projection around a cell-hash distribution (guide §2/§6
+    # — Iceberg's hash write-distribution mode, applied to the ingest):
+    # assign cells FIRST, repartition on the stored cell column, then
+    # derive the ranking-tier columns post-shuffle. Without this, every
+    # scan task of a wide delta writes one small file per cell it
+    # happens to hold (tasks x cells files); with it, one task per cell
+    # writes ONE right-sized file — and a single-split local delta's
+    # encode/write parallelizes across cells instead of serializing
+    # (measured at sf0.1: 0.72 -> 0.56 s per staged chunk). The encode
+    # references the MATERIALIZED cell column, so code and stored cell
+    # agree by construction (stronger than re-deriving the argmax) and
+    # the coarse assignment is computed exactly once per row. Column
+    # order and types mirror _index_row_cols exactly — the append-side
+    # schema check holds across the streaming sink and this path.
+    bad = [c for c in (meta_cols or []) if c.lower() in _INDEX_RESERVED]
+    if bad:
+        raise ValueError(
+            f"meta_cols {bad} collide with the index's own columns "
+            f"{_INDEX_RESERVED}; rename them in the source frame"
         )
-    )
+    base = [
+        F.col(id_col).alias("vec_id"),
+        ivf_cell(F.col(e_col), centroids).alias("cell"),
+        F.col(e_col).cast("array<double>").alias("e"),
+    ] + [F.col(c) for c in (meta_cols or [])]
+    pre = new_vecs.select(*base)
+    derived = []
+    if quantized:
+        q, scale = quantize_int8(F.col("e"))
+        derived.append(F.transform(q, lambda v: v.cast("tinyint")).alias("q"))
+        derived.append(scale.cast("float").alias("scale"))
+    if pq_codebook is not None:
+        from .pq import pq_encode as _pq_encode
+
+        derived.append(
+            _pq_encode(
+                F.col("e"), pq_codebook,
+                cell=F.col("cell") if pq_spec["residual"] else None,
+            ).alias("pqc")
+        )
+        derived.append(norm(F.col("e")).cast("float").alias("norm"))
+    if derived:
+        pre = pre.select("*", *derived)
+    # the ranking-tier columns (incl. the Arrow-batched PQ encode) are
+    # derived BEFORE the shuffle — splitting a narrow delta's encode
+    # into per-cell micro-batches measured SLOWER (sim_pq ABAB +0.4s),
+    # while an at-scale delta's scan is already wide
+    rows = pre.repartition(max(2, len(centroids)), "cell")
     # centroid identity (round 11): cells were just assigned under
     # `centroids`, so the index's persisted quantizer must agree or the
     # stored cell column and a search's probe cells would disagree —

@@ -1544,6 +1544,37 @@ def _coalesce_local_relation(df: DataFrame) -> DataFrame:
     return df
 
 
+def _maybe_distribute_by_partitions(df: DataFrame, partition_by) -> DataFrame:
+    """Hash-distribute a provably NARROW frame by its partition-spec
+    values before a hive-layout staging write (guide §2/§6 — Iceberg's
+    hash write-distribution mode, applied only where it cannot hurt).
+
+    A 1-split input writes every hive dir sequentially from one task —
+    measured 1.50 s vs 0.72 s for the 60-dir days()+bucket() write at
+    sf0.1 — while a WIDE input keeps its existing distribution: a
+    blanket hash on partition values would funnel a hot value through
+    one task at scale (the compaction path documents the same rejection
+    and range-partitions on (partition cols, inner key) instead). The
+    guard fires only when the frame's partition count sits under a
+    quarter of the session parallelism; for such a frame the repartition
+    can never do worse than the single task it replaces. Row sets are
+    unchanged — only executor placement and output file grouping."""
+    try:
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= max(2, target // 4):
+            return df
+        ct = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        keys = [
+            F.col(col) if kind == "identity"
+            else _transform_expr(kind, arg, col, ct.get(col, ""))
+            for kind, arg, col, _, _ in map(_parse_pspec_entry, partition_by)
+        ]
+        return df.repartition(target, *keys)
+    except Exception:
+        return df  # advisory only — never fail a write over the probe
+
+
 def _nan_in_literal(v) -> bool:
     """True when any float NaN hides anywhere in a literal value tree
     (rows from ``pyarrow.Table.to_pylist`` — dicts/lists/scalars)."""
@@ -2410,6 +2441,10 @@ def snapshot_write(
                 f"(table has {pre_m.get('stats_columns')}; only overwrite "
                 "or snapshot_set_stats_columns may)"
             )
+    if eff_pb:
+        # user-facing write path only: compaction and the DML rewrites
+        # call _stage_files directly and arrange their own distribution
+        df = _maybe_distribute_by_partitions(df, eff_pb)
     new_files, new_stats = _stage_files(
         df, path, compression, eff_pb, eff_bloom,
         column_mapping=eff_cm_ext,

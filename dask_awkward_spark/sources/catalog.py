@@ -188,6 +188,40 @@ _LIST_CACHE: "dict[str, tuple[tuple, list[dict]]]" = {}
 _LIST_CACHE_CAP = 8
 
 
+def _pyarrow_entries(catalog_path: str, head: int) -> "list[dict] | None":
+    """Driver-side read of the catalog's visible rows (guide §5 — the
+    catalog IS table metadata, and a Spark job launch to list a handful
+    of rows is pure per-statement floor: every DDL commit moves the
+    head, so the listing cache misses once per statement by design).
+    Returns None whenever the head manifest carries anything this plain
+    reader can't honor — deletion vectors, a column mapping, an
+    unexpected schema — and the Spark read path answers instead.
+    Name-sorting parity: Python sorts str by code point, which equals
+    the UTF-8 byte order Spark's UTF8String sort uses."""
+    try:
+        import pyarrow.parquet as pq
+
+        from .snapshot import _read_manifest
+
+        m = _read_manifest(catalog_path, head)
+        if m.get("deletes") or (m.get("column_mapping") or {}).get(
+            "physical"
+        ):
+            return None
+        rows: "list[dict]" = []
+        for rel in m["files"]:
+            rows.extend(
+                pq.read_table(os.path.join(catalog_path, rel)).to_pylist()
+            )
+        want = {"name", "path", "pin_version", "pin_tag", "registered_at"}
+        if rows and set(rows[0]) != want:
+            return None
+        rows.sort(key=lambda r: r["name"])
+        return rows
+    except Exception:
+        return None
+
+
 def snapshot_catalog_list(spark: SparkSession, catalog_path: str) -> "list[dict]":
     """Every entry, name-sorted. Each dict carries ``name``, ``path``,
     ``pin_version`` / ``pin_tag`` (the snapshot the name is pinned to —
@@ -234,12 +268,14 @@ def snapshot_catalog_list(spark: SparkSession, catalog_path: str) -> "list[dict]
     hit = _LIST_CACHE.get(ckey)
     if hit is not None and hit[0] == sig:
         return [dict(e) for e in hit[1]]  # callers may mutate their copy
-    entries = [
-        r.asDict()
-        for r in snapshot_read(spark, catalog_path, version=head)
-        .orderBy("name")
-        .collect()
-    ]
+    entries = _pyarrow_entries(catalog_path, head)
+    if entries is None:
+        entries = [
+            r.asDict()
+            for r in snapshot_read(spark, catalog_path, version=head)
+            .orderBy("name")
+            .collect()
+        ]
     if len(_LIST_CACHE) >= _LIST_CACHE_CAP and ckey not in _LIST_CACHE:
         try:
             # race-tolerant evict: a rival thread may pop the same first
@@ -256,24 +292,23 @@ def snapshot_catalog_lookup(
 ) -> "dict":
     """One entry by name; KeyError when absent (whether the entry or
     the whole catalog — callers get one exception type to handle)."""
-    from .snapshot import snapshot_read, _versions
+    from .snapshot import _versions
 
     if not _versions(catalog_path):
         raise KeyError(
             f"no catalog at {catalog_path} (snapshot_catalog_register "
             "creates it on first use)"
         )
-    rows = (
-        snapshot_read(spark, catalog_path, where=[("name", "=", name)])
-        .limit(2)
-        .collect()
+    # through the (commit-invalidated) listing cache: a lookup was one
+    # pruned Spark read job per call; the cached list answers it
+    # driver-side, and a catalog is row-bounded by its table count
+    for e in snapshot_catalog_list(spark, catalog_path):
+        if e["name"] == name:
+            return dict(e)
+    raise KeyError(
+        f"no catalog entry {name!r} in {catalog_path} "
+        f"(snapshot_catalog_register to add one)"
     )
-    if not rows:
-        raise KeyError(
-            f"no catalog entry {name!r} in {catalog_path} "
-            f"(snapshot_catalog_register to add one)"
-        )
-    return rows[0].asDict()
 
 
 def snapshot_catalog_tables(
